@@ -1,0 +1,32 @@
+"""lotad_spark — a PySpark-native database drift-diff engine.
+
+A brand-new engine with the query/data-processing capabilities of the
+reference drift-diff tool (WillNye/lotad, surveyed in SURVEY.md): given two
+databases (here: directories of Parquet tables, or anything Spark can read),
+compute
+
+* tables present in one DB but not the other,
+* per-table schema drift (missing columns, type mismatches),
+* per-table row-level data drift via a canonical row hash and a symmetric
+  set-difference,
+
+plus a suite of large-scale LLM-data-pipeline operators (dedup, similarity
+search, text analysis, multimodal plumbing) designed for 100 TB operation.
+
+Architecture is Spark-first: lazy DataFrame plans, Catalyst optimization,
+a single pandas UDF on the JSON-canonicalization slow path, and no driver-side
+row loops.
+"""
+
+from lotad_spark.hashing import canonical_row_hash, with_row_hash
+from lotad_spark.operators.diff import DiffResult, diff_tables
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "canonical_row_hash",
+    "with_row_hash",
+    "diff_tables",
+    "DiffResult",
+    "__version__",
+]

@@ -1,0 +1,199 @@
+"""Core data-drift diff kernel: canonical hash + symmetric set difference.
+
+Reference semantics (lotad/queries/duckdb/db_compare_create_tmp_table_merge.sql:1-45,
+lotad/db_compare.py:266-302):
+
+1. project both sides to the **intersection** of their schemas, minus
+   ignore rules and (optionally) date/timestamp columns;
+2. nested columns → JSON strings; type-mismatched shared columns → string
+   cast; columns sorted alphabetically;
+3. tag provenance (``observed_in``) and compute the canonical row hash;
+4. symmetric hash anti-join: rows whose hash appears on exactly one side;
+   **set semantics** — a hash occurring n× in db1 and ≥1× in db2 is removed
+   entirely;
+5. deduplicating UNION of the two branches.
+
+Spark-first execution strategies (selectable, ``auto`` = ``groupby``):
+
+* ``groupby`` — union both tagged sides and aggregate by hash with
+  ``collect_set(observed_in)``; hashes seen on exactly one side survive.
+  ONE shuffle total, map-side partial aggregation, each input scanned once.
+  This is the 100 TB plan: shuffle volume ≈ input volume, no rescans, no
+  cached intermediates, AQE coalesces the post-shuffle partitions.
+* ``antijoin`` — literal translation of the reference plan (two left-anti
+  joins + union-distinct). Costs two join shuffles and an extra distinct
+  shuffle; Spark reuses the per-side exchanges, but the distinct makes it
+  strictly heavier than ``groupby``. Kept for parity testing and for cases
+  where one side is small enough to broadcast (pass
+  ``broadcast_threshold``-sized sides and Catalyst/AQE will pick BHJ,
+  turning the diff into a shuffle-free map-side probe).
+
+Both strategies produce the same rows for canonical inputs; they differ only
+when one side holds multiple *raw* variants that canonicalize to the same
+hash (e.g. the same JSON with reordered keys twice in db1): ``antijoin``
+keeps each raw variant (reference behavior), ``groupby`` keeps one
+representative per hash.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lotad_spark.hashing import (
+    HASH_COL,
+    PROVENANCE_COL,
+    canonical_row_hash,
+    _is_nested,
+)
+
+
+def _quoted(c: str) -> F.Column:
+    return F.col(f"`{c}`")
+
+
+def normalize_for_diff(
+    df1: DataFrame,
+    df2: DataFrame,
+    *,
+    ignore_columns: Iterable[str] = (),
+    ignore_dates: bool = False,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Project both sides onto the comparable plane.
+
+    Returns ``(df1_norm, df2_norm, columns)`` where columns are the sorted
+    shared column names. Mirrors reference lotad/db_compare.py:283-302:
+    schema intersection (P1), ignore rules (P2), date exclusion (P9),
+    nested→JSON (P3), mismatch→string cast (P4), sorted order (P6).
+    """
+    ignore = set(ignore_columns)
+    s1 = {f.name: f.dataType for f in df1.schema.fields}
+    s2 = {f.name: f.dataType for f in df2.schema.fields}
+    date_types = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+    shared: list[str] = []
+    for name in sorted(set(s1) & set(s2)):
+        if name in ignore:
+            continue
+        if ignore_dates and (
+            isinstance(s1[name], date_types) or isinstance(s2[name], date_types)
+        ):
+            continue
+        shared.append(name)
+
+    def side(df: DataFrame, own: dict, other: dict) -> DataFrame:
+        exprs = []
+        for name in shared:
+            col, dt = _quoted(name), own[name]
+            if _is_nested(dt):
+                col, dt = F.to_json(col), T.StringType()
+            other_dt = T.StringType() if _is_nested(other[name]) else other[name]
+            if dt != other_dt:
+                col = col.cast("string")
+            exprs.append(col.alias(name))
+        return df.select(*exprs)
+
+    return side(df1, s1, s2), side(df2, s2, s1), shared
+
+
+@dataclass
+class DiffResult:
+    """Result of a two-sided table diff."""
+
+    diff: DataFrame  # observed_in, <sorted shared columns>, hashed_row
+    columns: list[str]  # the compared (shared, normalized) column names
+    db1_id: str
+    db2_id: str
+    table_name: str | None = None
+    _counts: dict | None = field(default=None, repr=False)
+
+    def is_empty(self) -> bool:
+        """Cheap LIMIT-1 existence probe (reference lotad/db_compare.py:356-358)."""
+        return self.diff.isEmpty()
+
+    def counts(self) -> dict[str, int]:
+        """Drifted-row count per provenance side (summary A1)."""
+        if self._counts is None:
+            rows = (
+                self.diff.groupBy(PROVENANCE_COL)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            got = {r[PROVENANCE_COL]: r["n"] for r in rows}
+            self._counts = {
+                self.db1_id: got.get(self.db1_id, 0),
+                self.db2_id: got.get(self.db2_id, 0),
+            }
+        return self._counts
+
+
+def _tag(df: DataFrame, db_id: str, cols: list[str], json_strings: bool) -> DataFrame:
+    hashed = df.withColumn(
+        HASH_COL, canonical_row_hash(df, cols, json_strings=json_strings)
+    )
+    return hashed.select(
+        F.lit(db_id).alias(PROVENANCE_COL), *[_quoted(c) for c in cols], HASH_COL
+    )
+
+
+def diff_tables(
+    df1: DataFrame,
+    df2: DataFrame,
+    *,
+    db1_id: str = "db1",
+    db2_id: str = "db2",
+    ignore_columns: Iterable[str] = (),
+    ignore_dates: bool = False,
+    strategy: str = "auto",
+    json_strings: bool = True,
+    table_name: str | None = None,
+) -> DiffResult:
+    """Row-level drift between two tables (the engine's core operator, J1+SO1).
+
+    ``json_strings=False`` keeps string columns out of the Python
+    canonicalization path (pure-JVM hash) when the source is known not to
+    embed JSON in strings.
+    """
+    n1, n2, cols = normalize_for_diff(
+        df1, df2, ignore_columns=ignore_columns, ignore_dates=ignore_dates
+    )
+    if not cols:
+        raise ValueError(
+            "diff_tables: the two inputs share no comparable columns "
+            f"(df1: {df1.columns}, df2: {df2.columns}, ignored: {sorted(set(ignore_columns))})"
+        )
+    t1 = _tag(n1, db1_id, cols, json_strings)
+    t2 = _tag(n2, db2_id, cols, json_strings)
+
+    if strategy == "auto":
+        strategy = "groupby"
+
+    if strategy == "groupby":
+        unioned = t1.unionByName(t2)
+        agg = unioned.groupBy(HASH_COL).agg(
+            *[F.first(_quoted(c)).alias(c) for c in cols],
+            F.collect_set(PROVENANCE_COL).alias("_sides"),
+        )
+        diff = (
+            agg.filter(F.size("_sides") == 1)
+            .withColumn(PROVENANCE_COL, F.col("_sides")[0])
+            .select(PROVENANCE_COL, *[_quoted(c) for c in cols], HASH_COL)
+        )
+    elif strategy == "antijoin":
+        only1 = t1.join(t2.select(HASH_COL), HASH_COL, "left_anti")
+        only2 = t2.join(t1.select(HASH_COL), HASH_COL, "left_anti")
+        diff = (
+            only1.unionByName(only2)
+            .dropDuplicates()
+            .select(PROVENANCE_COL, *[_quoted(c) for c in cols], HASH_COL)
+        )
+    else:
+        raise ValueError(f"unknown diff strategy: {strategy!r}")
+
+    return DiffResult(
+        diff=diff, columns=cols, db1_id=db1_id, db2_id=db2_id, table_name=table_name
+    )

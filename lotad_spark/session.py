@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the drift-diff workload.
+
+Local-mode defaults mirror what we would set fleet-wide on a real cluster:
+AQE on (runtime coalescing + skew-join handling), Arrow on (the canonical
+hash UDF is Arrow-vectorized), shuffle partitions sized to cores instead of
+the 200 default, UTC session timezone so timestamp comparisons against
+external engines (DuckDB oracle) are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "lotad_spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    On a real cluster ``master``/memory come from spark-submit; everything
+    set here is safe to carry over unchanged.
+    """
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cores, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Inter-table concurrency: compare_all submits one job per table from
+        # a driver thread pool; FAIR scheduling keeps small tables from
+        # starving behind a big one.
+        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.ui.enabled", os.environ.get("LOTAD_SPARK_UI", "false"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

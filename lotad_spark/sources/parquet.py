@@ -1,0 +1,127 @@
+"""Parquet-directory database source.
+
+The engine's primary "database" is a directory of ``<table>.parquet`` files
+(the BASELINE.json approach: "DataFrame diff operations over DuckDB-exported
+Parquet"). This module provides the catalog surface the reference exposes
+per connection (list_tables / get_schema / table scan — reference
+lotad/connection.py:148-162) re-expressed over Spark.
+
+TIMESTAMP(NANOS) parquet columns: Spark refuses them by default
+(PARQUET_TYPE_ILLEGAL). We set ``spark.sql.legacy.parquet.nanosAsLong`` and
+rebuild a proper timestamp with integer division (``DIV 1000`` — no
+double-precision loss on int64 epochs). DuckDB performs the same ns→µs
+truncation, so cross-engine value comparisons stay exact.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Column names carrying timestamp[ns] in the parquet footer."""
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read one parquet table, normalizing nanosecond timestamps."""
+    nanos = _nanos_timestamp_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+class ParquetDatabase:
+    """A named collection of parquet tables (one file or dir per table).
+
+    Catalog surface mirrors the reference connection interface:
+    ``list_tables`` (lotad/connection.py:155-162), ``get_schema``
+    (lotad/connection.py:148-153), and a projected table scan
+    (lotad/connection.py:164-175).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, db_id: str | None = None):
+        self.spark = spark
+        self.path = str(path)
+        self.db_id = db_id or self.path
+
+    def list_tables(self) -> list[str]:
+        names = set()
+        for entry in os.listdir(self.path):
+            p = Path(self.path) / entry
+            if entry.endswith(".parquet"):
+                names.add(entry[: -len(".parquet")])
+            elif p.is_dir() and any(f.endswith(".parquet") for f in os.listdir(p)):
+                names.add(entry)
+        return sorted(names)
+
+    def table_path(self, table_name: str) -> str:
+        file_path = Path(self.path) / f"{table_name}.parquet"
+        dir_path = Path(self.path) / table_name
+        return str(file_path if file_path.exists() else dir_path)
+
+    def table(self, table_name: str) -> DataFrame:
+        return read_table(self.spark, self.table_path(table_name))
+
+    def get_schema(self, table_name: str, ignore_dates: bool = False) -> dict[str, str]:
+        """``{column: TYPE_NAME}`` in engine-style upper-case type strings,
+        optionally excluding date/timestamp columns (reference
+        queries/duckdb/get_schema.sql:5-8)."""
+        date_types = (T.DateType, T.TimestampType, T.TimestampNTZType)
+        out: dict[str, str] = {}
+        for field in self.table(table_name).schema.fields:
+            if ignore_dates and isinstance(field.dataType, date_types):
+                continue
+            out[field.name] = spark_type_name(field.dataType)
+        return out
+
+
+def spark_type_name(dt: T.DataType) -> str:
+    """Engine-style (DuckDB-flavored) upper-case type string for a Spark type.
+
+    The reference normalizes engine type names through static maps
+    (lotad/connection.py:184-211); our sources are Spark-typed, so this is
+    the equivalent Spark→generic mapping (SURVEY §1.2 / F6).
+    """
+    mapping = {
+        T.BooleanType: "BOOLEAN",
+        T.ByteType: "TINYINT",
+        T.ShortType: "SMALLINT",
+        T.IntegerType: "INTEGER",
+        T.LongType: "BIGINT",
+        T.FloatType: "FLOAT",
+        T.DoubleType: "DOUBLE",
+        T.StringType: "VARCHAR",
+        T.BinaryType: "BLOB",
+        T.DateType: "DATE",
+        T.TimestampType: "TIMESTAMP",
+        T.TimestampNTZType: "TIMESTAMP",
+    }
+    for cls, name in mapping.items():
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"{spark_type_name(dt.elementType)}[]"
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return "JSON"
+    return dt.simpleString().upper()

@@ -1,0 +1,151 @@
+"""Diff-kernel behavior — ports the reference's mutation scenarios
+(FIXTURES.md table; test/data_drift_test.py) onto the driver testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lotad_spark.operators.diff import diff_tables, normalize_for_diff
+
+STRATEGIES = ["groupby", "antijoin"]
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from lotad_spark.sources.parquet import read_table
+
+    return read_table(spark, f"{sf_dir}/events.parquet")
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+class TestDiffScenarios:
+    def test_identical_inputs_no_drift(self, customer, strategy):
+        res = diff_tables(customer, customer, strategy=strategy)
+        assert res.is_empty()
+        assert res.counts() == {"db1": 0, "db2": 0}
+
+    def test_deleted_row(self, customer, strategy):
+        db1 = customer.filter(F.col("c_custkey") != 7)
+        res = diff_tables(db1, customer, strategy=strategy)
+        rows = res.diff.collect()
+        assert len(rows) == 1
+        assert rows[0].observed_in == "db2"
+        assert rows[0].c_custkey == 7
+
+    def test_value_change_both_versions(self, customer, strategy):
+        db1 = customer.withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") == 3, F.col("c_acctbal") + 10.0).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        res = diff_tables(db1, customer, strategy=strategy)
+        assert res.counts() == {"db1": 1, "db2": 1}
+        keys = {(r.observed_in, r.c_custkey) for r in res.diff.collect()}
+        assert keys == {("db1", 3), ("db2", 3)}
+
+    def test_ignored_column_suppresses_drift(self, customer, strategy):
+        db1 = customer.withColumn("c_acctbal", F.col("c_acctbal") + 1.0)
+        res = diff_tables(db1, customer, ignore_columns=["c_acctbal"], strategy=strategy)
+        assert res.is_empty()
+        assert "c_acctbal" not in res.columns
+
+    def test_missing_column_no_data_drift(self, customer, strategy):
+        # schema intersection: dropped column doesn't produce data drift
+        db1 = customer.drop("c_mktsegment")
+        res = diff_tables(db1, customer, strategy=strategy)
+        assert "c_mktsegment" not in res.columns
+        assert res.is_empty()
+
+    def test_type_mismatch_cast_no_drift(self, customer, strategy):
+        db1 = customer.withColumn("c_custkey", F.col("c_custkey").cast("string"))
+        res = diff_tables(db1, customer, strategy=strategy)
+        assert res.is_empty()
+
+    def test_ignore_dates(self, spark, sf_dir, strategy):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(500)
+        db1 = li.withColumn("l_shipdate", F.col("l_shipdate") + F.expr("INTERVAL 1 DAY"))
+        res = diff_tables(db1, li, ignore_dates=True, strategy=strategy)
+        assert "l_shipdate" not in res.columns
+        assert res.is_empty()
+
+    def test_json_key_reorder_no_drift(self, spark, strategy):
+        db1 = spark.createDataFrame(
+            [(1, '{"a": 1, "b": 2}'), (2, '{"x": [1, 2]}')], "id long, props string"
+        )
+        db2 = spark.createDataFrame(
+            [(1, '{"b": 2, "a": 1}'), (2, '{"x": [2, 1]}')], "id long, props string"
+        )
+        res = diff_tables(db1, db2, strategy=strategy)
+        assert res.is_empty()
+
+    def test_json_value_change_detected(self, spark, strategy):
+        db1 = spark.createDataFrame([(1, '{"a": 1}')], "id long, props string")
+        db2 = spark.createDataFrame([(1, '{"a": 2}')], "id long, props string")
+        res = diff_tables(db1, db2, strategy=strategy)
+        assert res.counts() == {"db1": 1, "db2": 1}
+
+    def test_set_semantics_duplicate_hashes(self, spark, strategy):
+        # hash present n× in db1 and ≥1× in db2 → removed entirely
+        db1 = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "id long, v string")
+        db2 = spark.createDataFrame([(1, "x")], "id long, v string")
+        res = diff_tables(db1, db2, strategy=strategy)
+        rows = res.diff.collect()
+        assert len(rows) == 1
+        assert (rows[0].observed_in, rows[0].id) == ("db1", 2)
+
+    def test_nested_struct_column(self, spark, strategy):
+        db1 = spark.createDataFrame([(1, {"j": "a", "s": 1})], "id long, o struct<j:string,s:long>")
+        db2 = spark.createDataFrame([(1, {"j": "b", "s": 1})], "id long, o struct<j:string,s:long>")
+        res = diff_tables(db1, db2, strategy=strategy)
+        assert res.counts() == {"db1": 1, "db2": 1}
+        db2_same = spark.createDataFrame(
+            [(1, {"j": "a", "s": 1})], "id long, o struct<j:string,s:long>"
+        )
+        assert diff_tables(db1, db2_same, strategy=strategy).is_empty()
+
+    def test_provenance_tags(self, customer, strategy):
+        db1 = customer.filter(F.col("c_custkey") > 10)
+        db2 = customer.filter(F.col("c_custkey") <= 140)
+        res = diff_tables(db1, db2, db1_id="left.db", db2_id="right.db", strategy=strategy)
+        sides = {r.observed_in for r in res.diff.collect()}
+        assert sides == {"left.db", "right.db"}
+
+
+class TestNormalize:
+    def test_sorted_intersection(self, spark):
+        df1 = spark.createDataFrame([(1, "a", 2.0)], "b long, a string, z double")
+        df2 = spark.createDataFrame([("a", 1, True)], "a string, b long, y boolean")
+        n1, n2, cols = normalize_for_diff(df1, df2)
+        assert cols == ["a", "b"]
+        assert n1.columns == cols and n2.columns == cols
+
+    def test_mismatch_cast_to_string(self, spark):
+        df1 = spark.createDataFrame([(1,)], "k long")
+        df2 = spark.createDataFrame([("1",)], "k string")
+        n1, n2, _ = normalize_for_diff(df1, df2)
+        assert dict(n1.dtypes)["k"] == "string"
+        assert dict(n2.dtypes)["k"] == "string"
+
+    def test_nested_to_json(self, spark):
+        df1 = spark.createDataFrame([(1, [1, 2])], "id long, xs array<long>")
+        n1, n2, _ = normalize_for_diff(df1, df1)
+        assert dict(n1.dtypes)["xs"] == "string"
+
+    def test_events_readable_and_ts_is_timestamp(self, spark, sf_dir, events):
+        # events.parquet carries timestamp[ns]; the source layer restores a
+        # proper timestamp column via DIV-1000 truncation
+        assert dict(events.dtypes)["ts"] == "timestamp"
+        assert events.count() > 0
+
+    def test_projection_prunes_scan(self, spark, sf_dir):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        n1, _, cols = normalize_for_diff(
+            cust.select("c_custkey", "c_name"), cust
+        )
+        plan = n1._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema" in plan and "c_acctbal" not in plan
