@@ -112,6 +112,23 @@ def canonical_member(col: Column, dtype: T.DataType) -> Column:
         return F.coalesce(_canon_json_udf(guarded), col, F.lit(CANONICAL_NULL))
     if isinstance(dtype, T.BinaryType):
         return F.coalesce(F.base64(col), F.lit(CANONICAL_NULL))
+    return _scalar_member(col, dtype)
+
+
+def _scalar_member(col: Column, dtype: T.DataType) -> Column:
+    """String rendering of a primitive with Python ``str()`` parity.
+
+    The reference renders non-JSON scalars with ``str(value)``
+    (lotad/utils.py:75-77), so ``True`` must hash as ``"True"`` — a boolean
+    column and its stringified copy must NOT drift against each other.
+    Spark's ``cast("string")`` yields ``"true"``; fix booleans JVM-side.
+    (Float rendering still differs in corners — ``1e20`` vs ``1.0E20`` —
+    which only matters when one side arrives pre-stringified; documented
+    caveat, not hit by same-typed comparisons.)
+    """
+    if isinstance(dtype, T.BooleanType):
+        rendered = F.when(col, F.lit("True")).otherwise(F.lit("False"))
+        return F.coalesce(rendered, F.lit(CANONICAL_NULL))
     return F.coalesce(col.cast("string"), F.lit(CANONICAL_NULL))
 
 
@@ -125,7 +142,7 @@ def canonical_member_fast(col: Column, dtype: T.DataType) -> Column:
         return F.coalesce(_canon_json_udf(F.to_json(col)), F.lit(CANONICAL_NULL))
     if isinstance(dtype, T.BinaryType):
         return F.coalesce(F.base64(col), F.lit(CANONICAL_NULL))
-    return F.coalesce(col.cast("string"), F.lit(CANONICAL_NULL))
+    return _scalar_member(col, dtype)
 
 
 def canonical_row_hash(
