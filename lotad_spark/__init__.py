@@ -10,8 +10,8 @@ compute
 * per-table row-level data drift via a canonical row hash and a symmetric
   set-difference,
 
-plus a suite of large-scale LLM-data-pipeline operators (dedup, similarity
-search, text analysis, multimodal plumbing) designed for 100 TB operation.
+plus LLM-data-pipeline operators as they land (see ``lotad_spark.pipeline``
+for the implemented set).
 
 Architecture is Spark-first: lazy DataFrame plans, Catalyst optimization,
 a single pandas UDF on the JSON-canonicalization slow path, and no driver-side

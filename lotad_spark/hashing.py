@@ -127,7 +127,10 @@ def _scalar_member(col: Column, dtype: T.DataType) -> Column:
     caveat, not hit by same-typed comparisons.)
     """
     if isinstance(dtype, T.BooleanType):
-        rendered = F.when(col, F.lit("True")).otherwise(F.lit("False"))
+        # SQL CASE sends NULL conditions to `otherwise`, so a plain
+        # when/otherwise would render NULL as "False"; keep NULL flowing to
+        # the coalesce instead (reference: str(None) == "None").
+        rendered = F.when(col, F.lit("True")).when(~col, F.lit("False"))
         return F.coalesce(rendered, F.lit(CANONICAL_NULL))
     return F.coalesce(col.cast("string"), F.lit(CANONICAL_NULL))
 

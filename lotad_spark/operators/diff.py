@@ -13,26 +13,23 @@ lotad/db_compare.py:266-302):
    entirely;
 5. deduplicating UNION of the two branches.
 
-Spark-first execution strategies (selectable, ``auto`` = ``groupby``):
+Spark-first execution strategies (selectable, ``auto`` = ``antijoin``):
 
-* ``groupby`` — union both tagged sides and aggregate by hash with
-  ``collect_set(observed_in)``; hashes seen on exactly one side survive.
-  ONE shuffle total, map-side partial aggregation, each input scanned once.
-  This is the 100 TB plan: shuffle volume ≈ input volume, no rescans, no
-  cached intermediates, AQE coalesces the post-shuffle partitions.
-* ``antijoin`` — literal translation of the reference plan (two left-anti
-  joins + union-distinct). Costs two join shuffles and an extra distinct
-  shuffle; Spark reuses the per-side exchanges, but the distinct makes it
-  strictly heavier than ``groupby``. Kept for parity testing and for cases
-  where one side is small enough to broadcast (pass
-  ``broadcast_threshold``-sized sides and Catalyst/AQE will pick BHJ,
-  turning the diff into a shuffle-free map-side probe).
+* ``antijoin`` (default) — translation of the reference plan (two left-anti
+  joins + union-distinct). Exact reference parity: every raw variant that
+  canonicalizes to the same hash survives. Costs two join shuffles and a
+  distinct shuffle; Spark reuses the per-side exchanges, and when one side
+  is small Catalyst/AQE picks a broadcast hash join, turning the diff into
+  a shuffle-free map-side probe.
+* ``groupby`` (opt-in, for scale) — union both tagged sides and aggregate
+  by hash with ``collect_set(observed_in)``; hashes seen on exactly one
+  side survive. ONE shuffle total, map-side partial aggregation, each
+  input scanned once. This is the 100 TB plan: shuffle volume ≈ input
+  volume, no rescans, no cached intermediates, AQE coalesces the
+  post-shuffle partitions. Differs from reference only when one side holds
+  multiple raw variants of the same canonical hash: it keeps one
+  deterministic representative (lexicographic min) instead of all.
 
-Both strategies produce the same rows for canonical inputs; they differ only
-when one side holds multiple *raw* variants that canonicalize to the same
-hash (e.g. the same JSON with reordered keys twice in db1): ``antijoin``
-keeps each raw variant (reference behavior), ``groupby`` keeps one
-representative per hash.
 """
 
 from __future__ import annotations
@@ -166,22 +163,37 @@ def diff_tables(
             "diff_tables: the two inputs share no comparable columns "
             f"(df1: {df1.columns}, df2: {df2.columns}, ignored: {sorted(set(ignore_columns))})"
         )
+    reserved = {HASH_COL, PROVENANCE_COL} & set(cols)
+    if reserved:
+        raise ValueError(
+            f"diff_tables: input data columns collide with reserved metadata "
+            f"columns {sorted(reserved)}; rename them before diffing"
+        )
     t1 = _tag(n1, db1_id, cols, json_strings)
     t2 = _tag(n2, db2_id, cols, json_strings)
 
     if strategy == "auto":
-        strategy = "groupby"
+        # Reference parity: the UNION keeps every raw variant that
+        # canonicalizes to the same hash. `groupby` stays opt-in for scale.
+        strategy = "antijoin"
 
     if strategy == "groupby":
         unioned = t1.unionByName(t2)
+        # min(struct) picks a deterministic representative per hash
+        # (lexicographic over the sorted column tuple) — unlike first(),
+        # which is pick-whatever-arrives and breaks run-to-run stability.
         agg = unioned.groupBy(HASH_COL).agg(
-            *[F.first(_quoted(c)).alias(c) for c in cols],
+            F.min(F.struct(*[_quoted(c) for c in cols])).alias("_rep"),
             F.collect_set(PROVENANCE_COL).alias("_sides"),
         )
         diff = (
             agg.filter(F.size("_sides") == 1)
             .withColumn(PROVENANCE_COL, F.col("_sides")[0])
-            .select(PROVENANCE_COL, *[_quoted(c) for c in cols], HASH_COL)
+            .select(
+                PROVENANCE_COL,
+                *[F.col("_rep").getField(c).alias(c) for c in cols],
+                HASH_COL,
+            )
         )
     elif strategy == "antijoin":
         only1 = t1.join(t2.select(HASH_COL), HASH_COL, "left_anti")

@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Read TIMESTAMP(NANOS) parquet as BIGINT (sources/parquet.py
+        # rebuilds µs timestamps with floor division). Set once here so the
+        # behavior never depends on table read order.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Inter-table concurrency: compare_all submits one job per table from
         # a driver thread pool; FAIR scheduling keeps small tables from
         # starving behind a big one.

@@ -18,34 +18,45 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
-import pyarrow.parquet as pq
+import pyarrow.dataset as pads
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
-    """Column names carrying timestamp[ns] in the parquet footer."""
-    try:
-        schema = pq.read_schema(path)
-    except Exception:
-        return []
-    out = []
-    for field in schema:
-        t = field.type
-        if str(t).startswith("timestamp[ns"):
-            out.append(field.name)
-    return out
+    """Column names carrying timestamp[ns] in the parquet footer.
+
+    Uses ``pyarrow.dataset`` so single-file AND directory-per-table sources
+    both probe correctly (a bare footer read raises on directories, which
+    previously made the result order-dependent).
+    """
+    schema = pads.dataset(path, format="parquet").schema
+    return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+
+
+def _floor_div_1000(col_name: str) -> F.Column:
+    """Floor-division ns→µs that matches DuckDB for pre-epoch instants.
+
+    Spark's ``DIV`` truncates toward zero; for negative epochs we need floor
+    semantics. Integer-only (no double round-trip — int64 ns epochs exceed
+    2^53 and would lose precision through FLOOR(x / 1000.0)).
+    """
+    c = F.col(f"`{col_name}`")
+    q = F.expr(f"`{col_name}` DIV 1000")
+    return F.when(c % 1000 < 0, q - 1).otherwise(q)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read one parquet table, normalizing nanosecond timestamps."""
+    """Read one parquet table, normalizing nanosecond timestamps to µs."""
     nanos = _nanos_timestamp_columns(path)
     if nanos:
+        # Also set at session build (get_spark); re-assert here for
+        # externally-built sessions. The conf is harmless for µs/ms tables.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        df = df.withColumn(c, F.timestamp_micros(_floor_div_1000(c)))
     return df
 
 

@@ -80,6 +80,28 @@ class TestRowHashColumn:
         rows = {r.id: r.hashed_row for r in with_row_hash(df, ["v"]).collect()}
         assert rows[1] == rows[2]
 
+    def test_boolean_str_parity(self, spark):
+        # str(True) == "True" — a boolean column must hash identically to
+        # its pre-stringified copy (reference lotad/utils.py:75-77).
+        df = spark.createDataFrame(
+            [(1, True, "True"), (2, False, "False")], "id long, b boolean, s string"
+        )
+        hb = {r.id: r.hashed_row for r in with_row_hash(df, ["b"]).collect()}
+        hs = {r.id: r.hashed_row for r in with_row_hash(df, ["s"]).collect()}
+        assert hb == hs
+
+    def test_null_boolean_is_none_not_false(self, spark):
+        # Regression: when/otherwise sent NULL to "False"; NULL must render
+        # "None" so NULL-vs-False drifts are reported.
+        df = spark.createDataFrame(
+            [(1, None), (2, False), (3, True)], "id long, b boolean"
+        )
+        h = {r.id: r.hashed_row for r in with_row_hash(df, ["b"]).collect()}
+        assert h[1] != h[2]
+        assert h[1] != h[3]
+        dfs = spark.createDataFrame([(1, "None")], "id long, b string")
+        assert h[1] == with_row_hash(dfs, ["b"]).collect()[0].hashed_row
+
     def test_fast_path_matches_for_plain_values(self, spark):
         df = spark.createDataFrame([(1, "plain", 2.0)], "a long, b string, c double")
         slow = with_row_hash(df, json_strings=True).collect()[0].hashed_row
