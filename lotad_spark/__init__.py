@@ -20,13 +20,29 @@ row loops.
 
 from lotad_spark.hashing import canonical_row_hash, with_row_hash
 from lotad_spark.operators.diff import DiffResult, diff_tables
+from lotad_spark.compare import CompareResult, DatabaseComparator, compare_all
+from lotad_spark.drift import (
+    MissingTableDrift,
+    TableDataDiff,
+    TableSchemaDrift,
+    generate_missing_table_drift,
+    generate_table_schema_drift,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "canonical_row_hash",
     "with_row_hash",
     "diff_tables",
     "DiffResult",
+    "compare_all",
+    "DatabaseComparator",
+    "CompareResult",
+    "MissingTableDrift",
+    "TableSchemaDrift",
+    "TableDataDiff",
+    "generate_missing_table_drift",
+    "generate_table_schema_drift",
     "__version__",
 ]

@@ -1,0 +1,179 @@
+"""Whole-database comparison orchestrator — the engine's main entry point.
+
+Spark re-expression of the reference's ``DatabaseComparator.compare_all``
+(lotad/db_compare.py:149-217):
+
+1. catalog scan on both sides, table-name set logic → missing-table drift;
+2. per shared table: schema drift from introspected schemas;
+3. per surviving table (regex filters applied): row-level data drift via
+   ``diff_tables``, written to the output dir; summary rows only for
+   non-empty diffs (reference probes LIMIT 1, db_compare.py:356-364);
+4. three summary tables + text report.
+
+Concurrency: the reference fans out one OS process per table
+(multiprocessing.Pool, db_compare.py:193). Here a driver ThreadPool submits
+one Spark job chain per table and the FAIR scheduler multiplexes executors —
+tables run concurrently *and* each table's scan/join parallelizes across the
+cluster, which the reference cannot do.
+"""
+
+from __future__ import annotations
+
+import re
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from collections.abc import Iterable
+
+from pyspark.sql import SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from lotad_spark.analysis import DriftAnalysis
+from lotad_spark.drift import (
+    TableDataDiff,
+    generate_missing_table_drift,
+    generate_table_schema_drift,
+)
+from lotad_spark.operators.diff import diff_tables
+
+
+@dataclass
+class CompareResult:
+    """Outcome of a full two-database comparison."""
+
+    analysis: DriftAnalysis
+    data_drift: list[TableDataDiff] = field(default_factory=list)
+    compared_tables: list[str] = field(default_factory=list)
+
+    def report(self) -> str:
+        return self.analysis.render_report()
+
+
+def _matches_any(patterns: Iterable[str], name: str) -> bool:
+    """Case-insensitive prefix regex match (reference db_compare.py:197-202
+    uses ``re.match``)."""
+    return any(re.match(p, name, re.IGNORECASE) for p in patterns)
+
+
+class DatabaseComparator:
+    """Compares two database sources (any objects exposing ``db_id``,
+    ``list_tables()``, ``get_schema(table, ignore_dates)``, ``table(name)`` —
+    see ``ParquetDatabase`` / ``DictDatabase``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        db1,
+        db2,
+        *,
+        output_path: str,
+        ignore_dates: bool = False,
+        ignore_tables: Iterable[str] = (),
+        target_tables: Iterable[str] = (),
+        table_ignore_columns: dict[str, list[str]] | None = None,
+        strategy: str = "auto",
+        max_concurrent_tables: int = 8,
+    ):
+        self.spark = spark
+        self.db1 = db1
+        self.db2 = db2
+        self.ignore_dates = ignore_dates
+        self.ignore_tables = list(ignore_tables)
+        self.target_tables = list(target_tables)
+        self.table_ignore_columns = table_ignore_columns or {}
+        self.strategy = strategy
+        self.max_concurrent_tables = max_concurrent_tables
+        self.analysis = DriftAnalysis(spark, output_path, db1.db_id, db2.db_id)
+
+    # ---- pieces (each independently usable) ----
+
+    def schema_drift(self, table_name: str):
+        return generate_table_schema_drift(
+            table_name,
+            self.db1.db_id,
+            self.db1.get_schema(table_name, self.ignore_dates),
+            self.db2.db_id,
+            self.db2.get_schema(table_name, self.ignore_dates),
+        )
+
+    def _data_drift_one(self, table_name: str) -> TableDataDiff | None:
+        result = diff_tables(
+            self.db1.table(table_name),
+            self.db2.table(table_name),
+            db1_id=self.db1.db_id,
+            db2_id=self.db2.db_id,
+            ignore_columns=self.table_ignore_columns.get(table_name, []),
+            ignore_dates=self.ignore_dates,
+            strategy=self.strategy,
+            table_name=table_name,
+        )
+        diff = result.diff.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if diff.isEmpty():
+                return None
+            out_dir = self.analysis.table_dir(table_name)
+            diff.write.mode("overwrite").parquet(out_dir)
+            counts = result.counts()
+            return TableDataDiff(
+                table_name=table_name,
+                path=out_dir,
+                rows_only_in_db1=counts[self.db1.db_id],
+                rows_only_in_db2=counts[self.db2.db_id],
+            )
+        finally:
+            diff.unpersist()
+
+    # ---- the main path ----
+
+    def compare_all(self) -> CompareResult:
+        tables1 = set(self.db1.list_tables())
+        tables2 = set(self.db2.list_tables())
+        shared = sorted(tables1 & tables2)
+
+        all_schema_drift = []
+        for t in shared:
+            all_schema_drift.extend(self.schema_drift(t))
+        if all_schema_drift:
+            self.analysis.add_schema_drift(all_schema_drift)
+
+        missing = generate_missing_table_drift(
+            self.db1.db_id, tables1, self.db2.db_id, tables2
+        )
+        if missing:
+            self.analysis.add_missing_table_drift(missing)
+
+        to_compare = [
+            t
+            for t in shared
+            if not (self.ignore_tables and _matches_any(self.ignore_tables, t))
+            and not (self.target_tables and not _matches_any(self.target_tables, t))
+        ]
+
+        drifted: list[TableDataDiff] = []
+        workers = max(1, min(self.max_concurrent_tables, len(to_compare) or 1))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for res in pool.map(self._data_drift_one, to_compare):
+                if res is not None:
+                    drifted.append(res)
+        for res in sorted(drifted, key=lambda r: r.table_name):
+            self.analysis.add_data_drift(res)
+
+        self.analysis.write()
+        return CompareResult(
+            analysis=self.analysis,
+            data_drift=drifted,
+            compared_tables=to_compare,
+        )
+
+
+def compare_all(
+    spark: SparkSession,
+    db1,
+    db2,
+    *,
+    output_path: str,
+    **kwargs,
+) -> CompareResult:
+    """Functional convenience wrapper over ``DatabaseComparator``."""
+    return DatabaseComparator(
+        spark, db1, db2, output_path=output_path, **kwargs
+    ).compare_all()
