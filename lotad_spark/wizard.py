@@ -1,0 +1,50 @@
+"""Config-wizard analytics: ignorable-column suggestion.
+
+Re-expression of the reference wizard's one real query path
+(lotad/config_wizard.py:33-147): a column is suggested as ignorable when a
+distinct-value sample from db1 has ZERO value overlap with db2 — the
+signature of non-deterministic identifiers (UUID PKs, auto-increments,
+load timestamps) that would mark every row as drifted.
+
+Per column (reference SQL
+queries/duckdb/config_builder_ignore_columns_get_column_val_intersect.sql:1-8):
+``DISTINCT col FROM db1 LIMIT 10000`` then an overlap count against db2.
+The sample is tiny by construction, so Spark broadcasts it and the probe is
+a shuffle-free map-side semi join — at 100 TB each probe is one scan of the
+db2 column (parquet-pruned to that single column) with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SAMPLE_LIMIT = 10000  # reference: LIMIT 10000
+
+
+def column_overlap_count(
+    df1: DataFrame, df2: DataFrame, column: str, *, sample_limit: int = SAMPLE_LIMIT
+) -> int:
+    """Rows of ``df2`` whose ``column`` value appears in a distinct sample of
+    ``df1[column]`` (the wizard's J3 probe, as a broadcast semi join)."""
+    sample = df1.select(F.col(f"`{column}`")).distinct().limit(sample_limit)
+    return df2.join(F.broadcast(sample), on=column, how="left_semi").count()
+
+
+def suggest_ignore_columns(
+    df1: DataFrame,
+    df2: DataFrame,
+    *,
+    sample_limit: int = SAMPLE_LIMIT,
+) -> list[str]:
+    """Columns shared (same name, same type) by both sides whose values have
+    zero overlap — candidates for ``ignore_column`` rules
+    (reference lotad/config_wizard.py:33-99, docstring :102-105)."""
+    s1 = {f.name: f.dataType for f in df1.schema.fields}
+    s2 = {f.name: f.dataType for f in df2.schema.fields}
+    shared = [c for c in sorted(set(s1) & set(s2)) if s1[c] == s2[c]]
+    return [
+        c
+        for c in shared
+        if column_overlap_count(df1, df2, c, sample_limit=sample_limit) == 0
+    ]
