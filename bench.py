@@ -1,0 +1,116 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the wall time of the full-database drift diff (8 relational
+tables, db1 vs mutated db2 — the same workload measured for the DuckDB
+reference baseline in BASELINE.md / scripts/measure_baseline.py). Extra
+headline queries (aggregation, top-k, window agg) are reported in
+``queries`` alongside the per-table diff times.
+
+Run: PYTHONPATH=/root/repo python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lotad_spark.benchmarks.fixtures import (  # noqa: E402
+    EXPECTED_DRIFT_SF01,
+    RELATIONAL_TABLES,
+    build_parquet_variants,
+)
+from lotad_spark.operators.diff import diff_tables  # noqa: E402
+from lotad_spark.session import get_spark  # noqa: E402
+from lotad_spark.sources.parquet import ParquetDatabase  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    work = f"/tmp/lotad_bench_sf{sf}"
+
+    db1_dir, db2_dir = build_parquet_variants(sf_dir, work)
+    spark = get_spark("lotad_bench")
+
+    db1 = ParquetDatabase(spark, db1_dir, "db1")
+    db2 = ParquetDatabase(spark, db2_dir, "db2")
+
+    # Warm up the JVM / parquet readers so per-query times measure the
+    # workload, not session spin-up.
+    db1.table("region").count()
+
+    queries: dict[str, float] = {}
+    drift_counts: dict[str, int] = {}
+
+    diff_total = 0.0
+    for t in RELATIONAL_TABLES:
+        t0 = time.perf_counter()
+        r = diff_tables(db1.table(t), db2.table(t), db1_id="db1", db2_id="db2")
+        drift_counts[t] = r.diff.count()
+        dt = time.perf_counter() - t0
+        queries[f"diff_{t}"] = round(dt, 3)
+        diff_total += dt
+
+    if sf == 0.1:
+        mismatches = {
+            t: (drift_counts[t], EXPECTED_DRIFT_SF01[t])
+            for t in RELATIONAL_TABLES
+            if drift_counts[t] != EXPECTED_DRIFT_SF01[t]
+        }
+        if mismatches:
+            print(
+                f"DRIFT COUNT MISMATCH vs reference baseline: {mismatches}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+
+    # Scale-path variant: single-shuffle groupby strategy on the largest table.
+    t0 = time.perf_counter()
+    diff_tables(
+        db1.table("lineitem"), db2.table("lineitem"),
+        db1_id="db1", db2_id="db2", strategy="groupby",
+    ).diff.count()
+    queries["diff_lineitem_groupby"] = round(time.perf_counter() - t0, 3)
+
+    # Headline analytics queries from the driver contract.
+    import __spark_entry__ as entry_mod
+
+    for name in ("q1_lineitem_agg", "topk_orders", "events_window_agg"):
+        fn = entry_mod.queries()[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.foreach(lambda _: None)
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    # LLM-pipeline headliners (added as they land in entry queries()).
+    for name in entry_mod.queries():
+        if name.startswith(("dedup_", "ann_", "text_")):
+            fn = entry_mod.queries()[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).foreach(lambda _: None)
+            queries[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "full_db_drift_diff_wall_sec",
+                "value": round(diff_total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
