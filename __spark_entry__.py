@@ -324,6 +324,182 @@ def q_events_window_agg(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# LLM-pipeline queries (documents table)
+# ---------------------------------------------------------------------------
+
+def _dup_corpus(spark, sf_dir):
+    """documents ∪ exact copies (doc_id+100000) of every 10th doc."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return d.unionByName(copies)
+
+
+def _near_dup_corpus(spark, sf_dir):
+    """documents ∪ near-copies (appended tail) of every 25th doc."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz tail words")))
+    )
+    return d.unionByName(copies)
+
+
+def q_text_stats(spark, sf_dir):
+    from lotad_spark.pipeline import text_stats
+
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    from lotad_spark.pipeline import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_text_lang_id(spark, sf_dir):
+    from lotad_spark.pipeline import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprints(spark, sf_dir):
+    from lotad_spark.pipeline import bow_fingerprint, normalized_fingerprint
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        normalized_fingerprint("text").alias("fp_norm"),
+        bow_fingerprint("text").alias("fp_bow"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from lotad_spark.pipeline import exact_dedup
+
+    return exact_dedup(_dup_corpus(spark, sf_dir))
+
+
+def q_dedup_near_minhash(spark, sf_dir):
+    from lotad_spark.pipeline import near_dup_pairs
+
+    return near_dup_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.6)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from lotad_spark.pipeline import simhash32
+
+    return simhash32(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL fragments for the pipeline queries (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+_DUP_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0"
+)
+
+_NEAR_DUP_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000, text || ' zz tail words' FROM documents "
+    "WHERE doc_id % 25 = 0"
+)
+
+_LANG_MARKER_SQL = {
+    "en": "['the','a','of','and','is']",
+    "de": "['der','die','das','und','ist']",
+    "fr": "['le','la','les','et','est']",
+    "es": "['el','la','los','y','es']",
+    "zh": "['的','是','了','在','和']",
+}
+
+_LANG_ID_SQL = (
+    "WITH scored AS (SELECT doc_id, "
+    + ", ".join(
+        f"len(list_filter({markers}::VARCHAR[], m -> list_contains("
+        f"list_transform({_TOKS}, t -> lower(t)), m))) AS s_{lang}"
+        for lang, markers in _LANG_MARKER_SQL.items()
+    )
+    + " FROM documents) SELECT doc_id, CASE "
+    + " ".join(
+        f"WHEN s_{lang} = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN '{lang}'"
+        for lang in _LANG_MARKER_SQL
+    )
+    + " END AS lang_pred FROM scored"
+)
+
+# MinHash K=8 / 4 bands of 2 — mirrors lotad_spark.pipeline.dedup defaults.
+_SIG_COLS_SQL = ", ".join(
+    f"min(substr(md5('{i}:' || shingle), 1, 16)) AS sig_{i}" for i in range(8)
+)
+_BAND_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_i, "
+    f"md5(sig_{2 * b} || '|' || sig_{2 * b + 1}) AS bh FROM sig"
+    for b in range(4)
+)
+
+_NEAR_DUP_SQL = f"""
+WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+toks AS (SELECT doc_id, {_TOKS} AS tk FROM corpus),
+sh AS (
+    SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+    FROM toks WHERE len(tk) >= 3
+),
+sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_ROWS_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_i = b.band_i AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS n_inter
+    FROM cand c
+    JOIN sh s1 ON s1.doc_id = c.id_a
+    JOIN sh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+    GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+    CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE) >= 0.6
+"""
+
+_SIMHASH_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+th AS (
+    SELECT doc_id, cnt,
+        ('0x' || substr(md5(tok), 1, 8))::UBIGINT AS tok_hash
+    FROM tf
+),
+bits AS (
+    SELECT doc_id, bs.b,
+        SUM(CASE WHEN (tok_hash >> bs.b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+    FROM th, (SELECT unnest(range(0, 32)) AS b) bs
+    GROUP BY 1, 2
+)
+SELECT doc_id,
+    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT)
+        AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -360,6 +536,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_lineitem_agg": q_q1_lineitem_agg,
         "topk_orders": q_topk_orders,
         "events_window_agg": q_events_window_agg,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprints": q_text_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "dedup_near_minhash": q_dedup_near_minhash,
+        "dedup_simhash": q_dedup_simhash,
     }
 
 
@@ -505,4 +688,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
             "FROM events GROUP BY 1, 2"
         ),
+        "text_stats": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            f"CAST(len({_TOKS}) AS BIGINT) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpeish, "
+            "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) "
+            "AS n_punct FROM documents"
+        ),
+        "text_quality": (
+            f"SELECT doc_id, "
+            f"(CAST(len(list_filter({_TOKS}, t -> lower(t) IN "
+            f"('the','a','of','and','is'))) AS DOUBLE) "
+            f"/ CAST(len({_TOKS}) AS DOUBLE)) * 0.5 "
+            f"+ (least(CAST(len({_TOKS}) AS DOUBLE), 100.0) / 100.0) * 0.3 "
+            f"+ (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) "
+            f"AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.2 AS quality "
+            f"FROM documents"
+        ),
+        "text_lang_id": _LANG_ID_SQL,
+        "text_fingerprints": (
+            "SELECT doc_id, "
+            "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_norm, "
+            f"md5(array_to_string(list_sort(list_transform({_TOKS}, "
+            "t -> lower(t))), ' ')) AS fp_bow FROM documents"
+        ),
+        "dedup_exact": (
+            f"SELECT md5(text) AS content_hash, min(doc_id) AS doc_id "
+            f"FROM ({_DUP_CORPUS_SQL}) GROUP BY md5(text)"
+        ),
+        "dedup_near_minhash": _NEAR_DUP_SQL,
+        "dedup_simhash": _SIMHASH_SQL,
     }

@@ -10,8 +10,9 @@ compute
 * per-table row-level data drift via a canonical row hash and a symmetric
   set-difference,
 
-plus LLM-data-pipeline operators as they land (see ``lotad_spark.pipeline``
-for the implemented set).
+plus large-scale LLM-data-pipeline operators (``lotad_spark.pipeline``):
+exact/MinHash-LSH/SimHash dedup, text statistics, quality scoring,
+heuristic language ID, and document fingerprints.
 
 Architecture is Spark-first: lazy DataFrame plans, Catalyst optimization,
 a single pandas UDF on the JSON-canonicalization slow path, and no driver-side

@@ -1,0 +1,42 @@
+"""LLM-training-data pipeline operators.
+
+Large-scale text/dedup/similarity operators over document and embedding
+tables — the operations a 100 TB training-data pipeline needs, built
+Spark-first (expression compositions inside whole-stage codegen; shuffles
+only on aggregation keys; LSH banding instead of all-pairs joins).
+
+Cross-engine determinism: operators that participate in the DuckDB oracle
+gate hash with md5 (available and bit-identical in both engines). At 100 TB
+you would swap ``F.md5`` for ``F.xxhash64`` (cheaper, JVM-native) — the
+operator shapes don't change.
+"""
+
+from lotad_spark.pipeline.text import (
+    bow_fingerprint,
+    lang_id,
+    normalized_fingerprint,
+    quality_score,
+    text_stats,
+    tokens,
+)
+from lotad_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    near_dup_pairs,
+    shingles,
+    simhash32,
+)
+
+__all__ = [
+    "tokens",
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "normalized_fingerprint",
+    "bow_fingerprint",
+    "exact_dedup",
+    "shingles",
+    "minhash_signatures",
+    "near_dup_pairs",
+    "simhash32",
+]

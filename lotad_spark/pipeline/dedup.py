@@ -1,0 +1,228 @@
+"""Deduplication operators: exact, MinHash+LSH near-dup, SimHash.
+
+Scale design (the part that matters at 100 TB):
+
+* **No all-pairs joins anywhere.** Candidate pairs come from LSH band
+  buckets (docs agreeing on one band of the MinHash signature); the exact
+  n-gram Jaccard verification runs only on those candidates.
+* Exact dedup groups by a 128-bit content hash, not the raw text — the
+  shuffle key is 32 bytes regardless of document size, and map-side
+  partial aggregation collapses local duplicates before the exchange.
+* MinHash signatures are ONE explode + ONE groupBy over (doc × shingle):
+  the K permutation minima are K aggregate expressions in a single
+  aggregation, not K passes.
+* Skew: band buckets of boilerplate documents (empty text, common
+  headers) can explode the candidate join. AQE skew-join handles moderate
+  cases; for pathological corpora cap bucket size with a count filter
+  before the self-join (``max_bucket`` parameter).
+
+Hashing is md5 (bit-identical in the DuckDB oracle); at production scale
+swap for ``F.xxhash64`` — shapes unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lotad_spark.pipeline.text import tokens
+
+DEFAULT_PERMS = 8
+DEFAULT_BANDS = 4  # 4 bands × 2 rows = 8 perms
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One surviving ``id_col`` per distinct text content (minimum id wins —
+    deterministic). Returns (content_hash, doc_id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = tokens(F.col(text_col))
+    # sequence(0, -k) would flip to a descending range — guard short docs.
+    grams = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def _perm_hash(i: int, shingle: Column) -> Column:
+    """Permutation-i hash of a shingle: first 16 hex chars of
+    md5('<i>:' + shingle). Lexicographic min over hex strings is a valid
+    MinHash (uniform over the 64-bit space)."""
+    return F.substring(F.md5(F.concat(F.lit(f"{i}:"), shingle)), 1, 16)
+
+
+def minhash_signatures(
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    num_perms: int = DEFAULT_PERMS,
+) -> DataFrame:
+    """K-permutation MinHash signature per document, one groupBy:
+    (id, sig_0 … sig_{K-1})."""
+    aggs = [
+        F.min(_perm_hash(i, F.col("shingle"))).alias(f"sig_{i}")
+        for i in range(num_perms)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one LSH band.
+
+    Shuffle key is (band_index, band_hash); the self-join happens inside
+    each bucket only. ``max_bucket`` drops degenerate buckets (boilerplate
+    skew guard).
+    """
+    rows = num_perms // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig_df.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_i"), F.col(f"band_{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_i", "band.bh")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        counts = stacked.groupBy("band_i", "bh").agg(F.count(F.lit(1)).alias("_n"))
+        stacked = (
+            stacked.join(counts, ["band_i", "bh"])
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a = stacked.select(
+        F.col(id_col).alias("id_a"), F.col("band_i"), F.col("bh")
+    )
+    b = stacked.select(
+        F.col(id_col).alias("id_b"), F.col("band_i"), F.col("bh")
+    )
+    return (
+        a.join(b, ["band_i", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame, shingle_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard similarity over shingle sets for given (id_a, id_b)
+    pairs: |A ∩ B| / (|A| + |B| − |A ∩ B|). Joins only candidate pairs —
+    never all-pairs."""
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.7,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification:
+    (id_a, id_b, jaccard), jaccard ≥ threshold."""
+    sh = shingles(df, id_col, text_col, n)
+    sigs = minhash_signatures(sh, id_col, num_perms)
+    cands = lsh_candidate_pairs(sigs, id_col, num_perms, bands, max_bucket)
+    jac = ngram_jaccard(cands, sh, id_col)
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def simhash32(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash over term frequencies: bit b is set when the
+    count-weighted sum of (±1 per token whose md5-derived 32-bit hash has
+    bit b set) is positive. Near-duplicates differ in few bits (compare
+    with hamming distance downstream)."""
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "tok_hash",
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
+        )
+    )
+    bits = tok.select(
+        id_col,
+        "cnt",
+        "tok_hash",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).withColumn(
+        "contrib",
+        # SQL shiftright accepts a column shift amount (the pyspark
+        # wrapper doesn't) — keep it in expr form.
+        F.when(
+            F.expr("(shiftright(tok_hash, b) & 1) = 1"), F.col("cnt")
+        ).otherwise(-F.col("cnt")),
+    )
+    return (
+        bits.groupBy(id_col, "b")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bit_val",
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bit_val").cast("bigint").alias("simhash"))
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators: tokenization, stats, quality, language ID,
+document fingerprints.
+
+All pure ``pyspark.sql.functions`` expression compositions — no UDFs, no
+shuffles beyond what the caller aggregates; every operator stays inside
+whole-stage codegen and scales linearly with a single scan of the corpus.
+
+Every formula is chosen to be *bit-reproducible in ANSI SQL* (DuckDB
+oracle): md5 for fingerprints, integer counts, IEEE double arithmetic with
+a fixed operation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language marker lexicons for the heuristic language ID.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document counts: characters, whitespace tokens, BPE-ish tokens,
+    punctuation marks."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("bigint").alias("n_chars"),
+        F.size(tokens(t)).cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens_bpeish"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_punct"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality score in [0, 1]:
+
+    0.5 * stopword-token ratio + 0.3 * min(n_tokens, 100)/100
+    + 0.2 * (1 - punct/chars).
+
+    Fixed operation order → bit-identical doubles in any IEEE engine.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks).cast("double")
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop, F.lower(x)))
+    ).cast("double")
+    n_chars = F.length(t).cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("double")
+    score = (
+        (stop_hits / n_tokens) * F.lit(0.5)
+        + (F.least(n_tokens, F.lit(100.0)) / F.lit(100.0)) * F.lit(0.3)
+        + (F.lit(1.0) - n_punct / n_chars) * F.lit(0.2)
+    )
+    return df.select(F.col(id_col), score.alias("quality"))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count distinct marker-lexicon hits per
+    language, pick the max (deterministic fixed tie-break order: en, de,
+    fr, es, zh). A real deployment swaps the lexicons for char-n-gram
+    profiles; the operator shape (pure expressions, argmax over scores)
+    is the same."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    # Score = number of the language's (distinct) marker words present.
+    # Counting over the marker list (not the token list) gives identical
+    # dedup semantics in any engine.
+    scores = {
+        lang: F.size(
+            F.filter(
+                F.array([F.lit(w) for w in words]),
+                lambda m: F.array_contains(toks, m),
+            )
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):  # earlier langs win ties → build from the back
+        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def normalized_fingerprint(text_col: Column | str) -> Column:
+    """md5 of whitespace-normalized lowercased text — catches
+    formatting-only duplicates."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def bow_fingerprint(text_col: Column | str) -> Column:
+    """md5 of the sorted bag of lowercased tokens — catches word-reorder
+    duplicates."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(
+        F.array_join(F.array_sort(F.transform(tokens(c), F.lower)), " ")
+    )

@@ -1,0 +1,98 @@
+"""LLM-pipeline operator semantics (dedup, text analysis)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from lotad_spark.pipeline import (
+    bow_fingerprint,
+    exact_dedup,
+    lang_id,
+    near_dup_pairs,
+    normalized_fingerprint,
+    quality_score,
+    shingles,
+    simhash32,
+    text_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog tonight"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "dog lazy the over jumps fox brown quick the"),  # reordered words
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestTextOps:
+    def test_text_stats(self, spark):
+        df = spark.createDataFrame([(1, "ab cd, x9!")], "doc_id long, text string")
+        r = text_stats(df).collect()[0]
+        assert r.n_chars == 10
+        assert r.n_tokens == 3
+        # BPE-ish: ab, cd, ',', x, 9, '!'
+        assert r.n_tokens_bpeish == 6
+        assert r.n_punct == 2
+
+    def test_quality_in_range(self, docs):
+        for r in quality_score(docs).collect():
+            assert 0.0 <= r.quality <= 1.0
+
+    def test_lang_id_deterministic_markers(self, spark):
+        df = spark.createDataFrame(
+            [(1, "der hund und die katze ist da"), (2, "the cat is a pet of mine")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+        assert got == {1: "de", 2: "en"}
+
+    def test_fingerprints(self, docs):
+        fp = docs.select(
+            "doc_id",
+            normalized_fingerprint("text").alias("norm"),
+            bow_fingerprint("text").alias("bow"),
+        )
+        got = {r.doc_id: r for r in fp.collect()}
+        assert got[1].norm == got[2].norm
+        assert got[1].bow == got[2].bow
+        # word reorder: different normalized fp, SAME bag-of-words fp
+        assert got[1].norm != got[5].norm
+        assert got[1].bow == got[5].bow
+        assert got[1].bow != got[4].bow
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_id(self, docs):
+        kept = {r.doc_id for r in exact_dedup(docs).collect()}
+        assert kept == {1, 3, 4, 5}  # doc 2 collapses into doc 1
+
+    def test_shingles(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        got = {r.shingle for r in shingles(df, n=3).collect()}
+        assert got == {"a b c", "b c d"}
+
+    def test_shingles_short_doc_empty(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        assert shingles(df, n=3).count() == 0
+
+    def test_near_dup_detects_appended_tail(self, docs):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in near_dup_pairs(docs, threshold=0.5).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (2, 3) in pairs or (1, 3) in pairs  # near-dup found
+        assert all(a != 4 and b != 4 for a, b in pairs)
+
+    def test_simhash_close_for_near_dups(self, docs):
+        got = {r.doc_id: r.simhash for r in simhash32(docs).collect()}
+        assert got[1] == got[2]
+
+        def hamming(x, y):
+            return bin(x ^ y).count("1")
+
+        assert hamming(got[1], got[3]) < hamming(got[1], got[4])
