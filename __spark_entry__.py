@@ -393,9 +393,76 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash32(_t(spark, sf_dir, "documents"))
 
 
+def q_ann_cosine_topk(spark, sf_dir):
+    from lotad_spark.pipeline.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from lotad_spark.pipeline.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL fragments for the pipeline queries (DuckDB dialect)
 # ---------------------------------------------------------------------------
+
+_ANN_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, vec_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+    FROM q, c WHERE vec_id != query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS r
+    FROM scored
+)
+SELECT query_id, vec_id, sim FROM ranked WHERE r <= 5
+"""
+
+_ANN_IVF_SQL = """
+WITH cent AS (
+    SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+    FROM embeddings ORDER BY vec_id ASC LIMIT 16
+),
+assigned AS (
+    SELECT vec_id, emb, cent_id FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6)
+                    DESC, c.cent_id ASC) AS r
+        FROM embeddings e, cent c
+    ) WHERE r = 1
+),
+probes AS (
+    SELECT query_id, qv, cent_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, c.cent_id,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                round(list_cosine_similarity(q.embedding::DOUBLE[], c.cv), 6)
+                    DESC, c.cent_id ASC) AS r
+        FROM embeddings q, cent c WHERE q.vec_id < 5
+    ) WHERE r <= 2
+),
+scored AS (
+    SELECT p.query_id, a.vec_id,
+        round(list_cosine_similarity(p.qv, a.emb), 6) AS sim
+    FROM probes p JOIN assigned a USING (cent_id)
+    WHERE a.vec_id != p.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS r
+    FROM scored
+)
+SELECT query_id, vec_id, sim FROM ranked WHERE r <= 5
+"""
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
 
@@ -543,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_near_minhash": q_dedup_near_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -719,4 +788,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_near_minhash": _NEAR_DUP_SQL,
         "dedup_simhash": _SIMHASH_SQL,
+        "ann_cosine_topk": _ANN_COSINE_SQL,
+        "ann_ivf_topk": _ANN_IVF_SQL,
     }

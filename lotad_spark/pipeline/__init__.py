@@ -26,6 +26,7 @@ from lotad_spark.pipeline.dedup import (
     shingles,
     simhash32,
 )
+from lotad_spark.pipeline.similarity import cosine_topk, ivf_topk
 
 __all__ = [
     "tokens",
@@ -39,4 +40,6 @@ __all__ = [
     "minhash_signatures",
     "near_dup_pairs",
     "simhash32",
+    "cosine_topk",
+    "ivf_topk",
 ]
