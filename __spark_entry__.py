@@ -393,6 +393,23 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash32(_t(spark, sf_dir, "documents"))
 
 
+def q_custom_query_diff(spark, sf_dir):
+    """Custom query replaces the scan on both sides (Q1-Q3): project two
+    columns, diff the projections."""
+    from lotad_spark.operators.custom_query import custom_query_frame
+    from lotad_spark.sources.memory import DictDatabase
+
+    db1 = DictDatabase({"customer": _t(spark, sf_dir, "customer")}, "db1")
+    db2 = DictDatabase(
+        {"customer": _customer_value_change(spark, sf_dir)}, "db2"
+    )
+    query = "SELECT c_custkey, c_acctbal FROM customer;"
+    f1 = custom_query_frame(spark, db1, query, view_prefix="_cq_db1")
+    f2 = custom_query_frame(spark, db2, query, view_prefix="_cq_db2")
+    r = diff_tables(f1, f2, db1_id="db1", db2_id="db2")
+    return r.diff.drop(HASH_COL)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from lotad_spark.pipeline.similarity import cosine_topk
 
@@ -612,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "custom_query_diff": q_custom_query_diff,
     }
 
 
@@ -790,4 +808,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
+        "custom_query_diff": _sym_except(
+            "c_custkey, c_acctbal",
+            "(SELECT c_custkey, c_acctbal FROM customer)",
+            f"(SELECT c_custkey, c_acctbal FROM ({_CUSTOMER_VALUE_CHANGE_SQL}))",
+        ),
     }

@@ -70,6 +70,7 @@ class DatabaseComparator:
         ignore_tables: Iterable[str] = (),
         target_tables: Iterable[str] = (),
         table_ignore_columns: dict[str, list[str]] | None = None,
+        table_queries: dict[str, str] | None = None,
         strategy: str = "auto",
         max_concurrent_tables: int = 8,
     ):
@@ -80,6 +81,7 @@ class DatabaseComparator:
         self.ignore_tables = list(ignore_tables)
         self.target_tables = list(target_tables)
         self.table_ignore_columns = table_ignore_columns or {}
+        self.table_queries = table_queries or {}
         self.strategy = strategy
         self.max_concurrent_tables = max_concurrent_tables
         self.analysis = DriftAnalysis(spark, output_path, db1.db_id, db2.db_id)
@@ -95,10 +97,31 @@ class DatabaseComparator:
             self.db2.get_schema(table_name, self.ignore_dates),
         )
 
+    def _side_frames(self, table_name: str):
+        """Default: projected table scans. With a configured custom query,
+        the query result replaces the scan on BOTH sides (Q3, reference
+        db_compare.py:241-264)."""
+        query = self.table_queries.get(table_name)
+        if not query:
+            return self.db1.table(table_name), self.db2.table(table_name)
+        from lotad_spark.operators.custom_query import custom_query_frame
+
+        return (
+            custom_query_frame(
+                self.spark, self.db1, query,
+                view_prefix=f"_lotad_db1_{table_name}",
+            ),
+            custom_query_frame(
+                self.spark, self.db2, query,
+                view_prefix=f"_lotad_db2_{table_name}",
+            ),
+        )
+
     def _data_drift_one(self, table_name: str) -> TableDataDiff | None:
+        df1, df2 = self._side_frames(table_name)
         result = diff_tables(
-            self.db1.table(table_name),
-            self.db2.table(table_name),
+            df1,
+            df2,
             db1_id=self.db1.db_id,
             db2_id=self.db2.db_id,
             ignore_columns=self.table_ignore_columns.get(table_name, []),
