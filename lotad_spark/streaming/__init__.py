@@ -1,0 +1,8 @@
+"""Structured Streaming operators (batch-equivalent semantics)."""
+
+from lotad_spark.streaming.windowed import (
+    session_event_agg,
+    windowed_event_agg,
+)
+
+__all__ = ["windowed_event_agg", "session_event_agg"]

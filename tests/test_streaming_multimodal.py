@@ -1,0 +1,86 @@
+"""Streaming (batch-parity + real readStream run) and multimodal plumbing."""
+
+import pyspark.sql.functions as F
+
+from lotad_spark.pipeline.multimodal import frame_sample_plan, with_decoded_metadata
+from lotad_spark.sources.parquet import ParquetDatabase
+from lotad_spark.streaming import session_event_agg, windowed_event_agg
+
+
+def _events(spark, sf_dir):
+    return ParquetDatabase(spark, sf_dir, "db").table("events")
+
+
+class TestWindowedAgg:
+    def test_batch_shape(self, spark, sf_dir):
+        out = windowed_event_agg(_events(spark, sf_dir))
+        rows = out.collect()
+        assert len(rows) > 0
+        assert out.columns == ["hour_start", "event_type", "n_events", "sum_value"]
+        total = sum(r.n_events for r in rows)
+        assert total == _events(spark, sf_dir).count()
+
+    def test_streaming_matches_batch(self, spark, sf_dir, tmp_path):
+        ev = _events(spark, sf_dir)
+        src = str(tmp_path / "events_src")
+        ev.write.mode("overwrite").parquet(src)
+
+        batch = {
+            (r.hour_start, r.event_type): (r.n_events, str(r.sum_value))
+            for r in windowed_event_agg(spark.read.parquet(src)).collect()
+        }
+
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            windowed_event_agg(stream)
+            .writeStream.format("memory")
+            .queryName("win_agg_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.hour_start, r.event_type): (r.n_events, str(r.sum_value))
+            for r in spark.sql("SELECT * FROM win_agg_test").collect()
+        }
+        assert got == batch
+
+
+class TestSessionAgg:
+    def test_sessions_partition_events(self, spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        out = session_event_agg(ev, gap="5 minutes")
+        rows = out.collect()
+        assert sum(r.n_events for r in rows) == ev.count()
+        # multiple sessions per user exist at 5-minute gaps
+        assert len(rows) > ev.select("user_id").distinct().count()
+
+
+class TestMultimodal:
+    def test_decode_stub_metadata(self, spark):
+        df = spark.createDataFrame(
+            [(1, b"x" * 300), (2, b"y" * 7), (3, None)],
+            "media_id long, content binary",
+        )
+        got = {r.media_id: r for r in with_decoded_metadata(df).collect()}
+        assert got[1].width == 300 % 256 and got[1].height == 300 // 256 + 1
+        assert got[2].width == 7 and got[2].mode == "STUB"
+        assert got[3].mode == "NULL"
+        assert "content" not in with_decoded_metadata(df).columns
+
+    def test_decode_keeps_partitioning_columns(self, spark):
+        df = spark.createDataFrame(
+            [(1, "img/png", b"abc")], "media_id long, media_type string, content binary"
+        )
+        out = with_decoded_metadata(df)
+        assert out.columns == ["media_id", "media_type", "width", "height", "mode"]
+
+    def test_frame_sample(self, spark):
+        df = spark.createDataFrame(
+            [(1, b"z" * 250)], "media_id long, content binary"
+        )
+        rows = frame_sample_plan(df, every_nth=1).collect()
+        # 250 bytes → 3 stub frames (0, 1, 2)
+        assert [r.frame_idx for r in rows] == [0, 1, 2]
+        assert "content" not in frame_sample_plan(df).columns
