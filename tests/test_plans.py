@@ -1,0 +1,61 @@
+"""Physical-plan regression tests — the scale properties the engine
+promises (pruning, pushdown, broadcast, vectorized-only Python) must stay
+visible in the executed plan, not just hold by accident."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from lotad_spark.operators.diff import diff_tables
+from lotad_spark.sources.parquet import ParquetDatabase
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf_dir):
+    return ParquetDatabase(spark, sf_dir, "db").table("customer")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestDiffPlans:
+    def test_ignore_column_prunes_parquet_scan(self, customer):
+        r = diff_tables(
+            customer, customer.filter("c_custkey != 5"), ignore_columns=["c_name"]
+        )
+        scans = [l for l in _plan(r.diff).splitlines() if "FileScan" in l]
+        assert scans and all("c_name" not in l for l in scans)
+
+    def test_side_filters_pushed_into_scan(self, customer):
+        r = diff_tables(customer, customer.filter("c_custkey != 5"))
+        plan = _plan(r.diff)
+        assert "NOT (c_custkey" in plan  # filter reached DataFilters
+
+    def test_json_free_path_has_no_python(self, customer):
+        r = diff_tables(customer, customer, json_strings=False)
+        plan = _plan(r.diff)
+        assert "EvalPython" not in plan
+
+    def test_default_path_is_arrow_vectorized_only(self, customer):
+        plan = _plan(diff_tables(customer, customer).diff)
+        assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+
+class TestProbePlans:
+    def test_wizard_probe_broadcasts(self, customer, spark, sf_dir):
+        supplier = ParquetDatabase(spark, sf_dir, "db").table("supplier")
+        sample = (
+            customer.select(F.col("c_nationkey").alias("s_nationkey"))
+            .distinct()
+            .limit(10000)
+        )
+        probe = supplier.join(F.broadcast(sample), "s_nationkey", "left_semi")
+        assert "BroadcastHashJoin" in _plan(probe)
+
+    def test_ann_corpus_scan_not_shuffled_before_scoring(self, spark, sf_dir):
+        from lotad_spark.pipeline.similarity import cosine_topk
+
+        e = ParquetDatabase(spark, sf_dir, "db").table("embeddings")
+        plan = _plan(cosine_topk(e.filter("vec_id < 3"), e, k=3))
+        # query side broadcast → corpus side scored without a pre-join shuffle
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
