@@ -44,9 +44,12 @@ def main() -> None:
     db1 = ParquetDatabase(spark, db1_dir, "db1")
     db2 = ParquetDatabase(spark, db2_dir, "db2")
 
-    # Warm up the JVM / parquet readers so per-query times measure the
-    # workload, not session spin-up.
-    db1.table("region").count()
+    # Warm up the JVM, parquet readers, Python worker pool, and codegen so
+    # per-query times measure the workload, not session spin-up.
+    diff_tables(
+        db1.table("region").limit(5), db2.table("region").limit(5),
+        db1_id="db1", db2_id="db2",
+    ).diff.count()
 
     queries: dict[str, float] = {}
     drift_counts: dict[str, int] = {}

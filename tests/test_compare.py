@@ -170,3 +170,34 @@ class TestCompareAll:
             "db2",
             "rows_only_in_db2",
         }
+
+
+class TestGenericTypes:
+    def test_cross_engine_names_normalize_equal(self):
+        from lotad_spark.typemaps import generic_type
+
+        assert generic_type("TEXT") == generic_type("VARCHAR")
+        assert generic_type("BYTEA") == generic_type("BLOB")
+        assert generic_type("FLOAT8") == generic_type("DOUBLE PRECISION")
+        assert generic_type("DECIMAL(18,2)") == "DECIMAL"
+        assert generic_type("TEXT[]") == "VARCHAR[]"
+        assert generic_type("WEIRDTYPE") == "WEIRDTYPE"
+
+    def test_schema_drift_suppressed_after_normalization(self):
+        from lotad_spark.drift import generate_table_schema_drift
+        from lotad_spark.typemaps import generic_type
+
+        # Postgres TEXT vs DuckDB VARCHAR: raw names differ, generic equal
+        drift = generate_table_schema_drift(
+            "t", "pg", {"c": "TEXT"}, "duck", {"c": "VARCHAR"},
+            generic_type=generic_type,
+        )
+        assert drift == []
+        # genuinely different types still reported, with RAW (GENERIC) form
+        drift = generate_table_schema_drift(
+            "t", "pg", {"c": "TEXT"}, "duck", {"c": "BIGINT"},
+            generic_type=generic_type,
+        )
+        assert len(drift) == 1
+        assert drift[0].db1_column_type == "TEXT (VARCHAR)"
+        assert drift[0].db2_column_type == "BIGINT"
