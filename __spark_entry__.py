@@ -21,8 +21,12 @@ Conventions used here so Spark and DuckDB agree bit-for-bit:
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +37,9 @@ from lotad_spark.sources.parquet import ParquetDatabase
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Timestamp→string rendering must agree with the DuckDB oracle
+    # regardless of how the caller built the session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return ParquetDatabase(spark, sf_dir, "db").table(name)
 
 
@@ -85,6 +92,16 @@ def q_diff_deleted_rows(spark, sf_dir):
     r = diff_tables(
         _t(spark, sf_dir, "customer"), _customer_deleted(spark, sf_dir),
         db1_id="db1", db2_id="db2",
+    )
+    return r.diff.drop(HASH_COL)
+
+
+def q_diff_deleted_rows_groupby(spark, sf_dir):
+    """Scale-path strategy (single-shuffle groupby) must produce the same
+    rows as the parity default on canonical inputs."""
+    r = diff_tables(
+        _t(spark, sf_dir, "customer"), _customer_deleted(spark, sf_dir),
+        db1_id="db1", db2_id="db2", strategy="groupby",
     )
     return r.diff.drop(HASH_COL)
 
@@ -642,6 +659,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_deleted_rows": q_diff_deleted_rows,
+        "diff_deleted_rows_groupby": q_diff_deleted_rows_groupby,
         "diff_value_change": q_diff_value_change,
         "diff_counts": q_diff_counts,
         "diff_ignore_column": q_diff_ignore_column,
@@ -727,6 +745,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "diff_deleted_rows": _sym_except(
+            _CUSTOMER_COLS, "customer", f"({deleted})"
+        ),
+        "diff_deleted_rows_groupby": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"
         ),
         "diff_value_change": _sym_except(

@@ -29,9 +29,11 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 
     Uses ``pyarrow.dataset`` so single-file AND directory-per-table sources
     both probe correctly (a bare footer read raises on directories, which
-    previously made the result order-dependent).
+    previously made the result order-dependent). For remote filesystems
+    pyarrow needs the matching fsspec driver; without it we raise rather
+    than silently mis-typing ns columns as BIGINT.
     """
-    schema = pads.dataset(path, format="parquet").schema
+    schema = pads.dataset(path.removeprefix("file://"), format="parquet").schema
     return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
 
 
@@ -75,19 +77,36 @@ class ParquetDatabase:
         self.db_id = db_id or self.path
 
     def list_tables(self) -> list[str]:
+        """Catalog scan via the Hadoop FileSystem API — works on any
+        scheme Spark can read (file://, hdfs://, s3a://…), not just the
+        driver's local disk."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
         names = set()
-        for entry in os.listdir(self.path):
-            p = Path(self.path) / entry
-            if entry.endswith(".parquet"):
+        for status in fs.listStatus(jpath):
+            entry = status.getPath().getName()
+            if status.isDirectory():
+                for sub in fs.listStatus(status.getPath()):
+                    if sub.getPath().getName().endswith(".parquet"):
+                        names.add(entry)
+                        break
+            elif entry.endswith(".parquet"):
                 names.add(entry[: -len(".parquet")])
-            elif p.is_dir() and any(f.endswith(".parquet") for f in os.listdir(p)):
-                names.add(entry)
         return sorted(names)
 
     def table_path(self, table_name: str) -> str:
-        file_path = Path(self.path) / f"{table_name}.parquet"
-        dir_path = Path(self.path) / table_name
-        return str(file_path if file_path.exists() else dir_path)
+        file_path = f"{self.path.rstrip('/')}/{table_name}.parquet"
+        if "://" not in self.path:  # local fast path
+            return file_path if Path(file_path).exists() else str(
+                Path(self.path) / table_name
+            )
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(file_path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return file_path if fs.exists(jpath) else (
+            f"{self.path.rstrip('/')}/{table_name}"
+        )
 
     def table(self, table_name: str) -> DataFrame:
         return read_table(self.spark, self.table_path(table_name))

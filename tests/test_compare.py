@@ -201,3 +201,19 @@ class TestGenericTypes:
         assert len(drift) == 1
         assert drift[0].db1_column_type == "TEXT (VARCHAR)"
         assert drift[0].db2_column_type == "BIGINT"
+
+
+class TestHadoopFsCatalog:
+    def test_list_tables_with_file_scheme(self, spark, sf_dir):
+        from lotad_spark.sources import ParquetDatabase
+
+        local = ParquetDatabase(spark, sf_dir, "db").list_tables()
+        schemed = ParquetDatabase(spark, f"file://{sf_dir}", "db").list_tables()
+        assert schemed == local
+        assert "customer" in schemed
+
+    def test_table_read_with_file_scheme(self, spark, sf_dir):
+        from lotad_spark.sources import ParquetDatabase
+
+        db = ParquetDatabase(spark, f"file://{sf_dir}", "db")
+        assert db.table("events").count() > 0  # ns probe works through scheme

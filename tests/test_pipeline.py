@@ -96,3 +96,23 @@ class TestDedup:
             return bin(x ^ y).count("1")
 
         assert hamming(got[1], got[3]) < hamming(got[1], got[4])
+
+
+class TestLshSkewGuard:
+    def test_max_bucket_drops_degenerate_buckets(self, spark):
+        # 6 identical docs land in one bucket per band; max_bucket below 6
+        # suppresses the bucket entirely (boilerplate-skew guard).
+        rows = [(i, "same boilerplate text repeated here") for i in range(6)]
+        rows.append((100, "a genuinely different document about engines"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from lotad_spark.pipeline.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            shingles,
+        )
+
+        sigs = minhash_signatures(shingles(df))
+        unguarded = lsh_candidate_pairs(sigs).count()
+        guarded = lsh_candidate_pairs(sigs, max_bucket=5).count()
+        assert unguarded == 15  # C(6,2) all-pairs inside the bucket
+        assert guarded == 0
