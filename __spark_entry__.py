@@ -392,6 +392,14 @@ def q_text_fingerprints(spark, sf_dir):
     )
 
 
+def q_text_winnow_fp(spark, sf_dir):
+    from lotad_spark.pipeline.text import winnow_fingerprint
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", winnow_fingerprint("text").alias("winnow_fp")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from lotad_spark.pipeline import exact_dedup
 
@@ -424,6 +432,34 @@ def q_multimodal_decode(spark, sf_dir):
         F.encode(F.col("text"), "utf-8").alias("content"),
     )
     return with_decoded_metadata(media)
+
+
+def _embedding_dup_corpus(spark, sf_dir):
+    """embeddings ∪ scaled copies (x1.0001, cosine exactly 1) of every
+    20th vector."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = (
+        e.filter(F.col("vec_id") % 20 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 200000)
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: (x * F.lit(1.0001)).cast("float"),
+            ),
+        )
+    )
+    return e.withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    ).unionByName(copies)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    from lotad_spark.pipeline.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _embedding_dup_corpus(spark, sf_dir), threshold=0.99
+    )
 
 
 def q_custom_query_diff(spark, sf_dir):
@@ -639,6 +675,74 @@ FROM s GROUP BY user_id, sid
 """
 
 
+
+
+_WINNOW_SQL = """
+WITH n AS (
+    SELECT doc_id,
+        lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+        list_transform(range(1, greatest(length(t) - 8 + 1, 0) + 1),
+                       i -> substr(md5(substring(t, i, 8)), 1, 8)) AS grams
+    FROM n
+),
+m AS (
+    SELECT doc_id,
+        list_transform(range(0, CAST(ceil(len(grams) / 4.0) AS INT)),
+                       w -> list_min(list_slice(grams, w * 4 + 1, w * 4 + 4)))
+            AS mins
+    FROM g
+)
+SELECT doc_id,
+    md5(array_to_string(list_sort(list_distinct(mins)), '')) AS winnow_fp
+FROM m
+"""
+
+
+def _embedding_lsh_sql() -> str:
+    """Generated oracle for dedup_embedding: identical hyperplane constants
+    embedded as SQL literals (same md5 derivation as the Spark side)."""
+    from lotad_spark.pipeline.similarity import lsh_hyperplanes
+
+    planes = lsh_hyperplanes(16, 64)
+    bits_sql = ", ".join(
+        "CASE WHEN round(list_dot_product(v, ["
+        + ", ".join(repr(x) for x in pl)
+        + "]::DOUBLE[]), 6) > 0 THEN '1' ELSE '0' END"
+        for pl in planes
+    )
+    bands_sql = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_i, "
+        f"bits[{4 * b + 1}] || bits[{4 * b + 2}] || bits[{4 * b + 3}] || "
+        f"bits[{4 * b + 4}] AS bh FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH corpus AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 200000,
+        list_transform(embedding::DOUBLE[], x -> CAST(CAST(x * 1.0001 AS FLOAT) AS DOUBLE))
+    FROM embeddings WHERE vec_id % 20 = 0
+),
+sig AS (SELECT vec_id, [{bits_sql}] AS bits FROM corpus),
+bands AS ({bands_sql}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_i = b.band_i AND a.bh = b.bh AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, round(list_cosine_similarity(ca.v, cb.v), 6) AS sim
+FROM cand c
+JOIN corpus ca ON ca.vec_id = c.id_a
+JOIN corpus cb ON cb.vec_id = c.id_b
+WHERE round(list_cosine_similarity(ca.v, cb.v), 6) >= 0.99
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -681,12 +785,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprints": q_text_fingerprints,
+        "text_winnow_fp": q_text_winnow_fp,
         "dedup_exact": q_dedup_exact,
         "dedup_near_minhash": q_dedup_near_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "custom_query_diff": q_custom_query_diff,
+        "dedup_embedding": q_dedup_embedding,
         "events_session_agg": q_events_session_agg,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -877,6 +983,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(text)) // 256 + 1 AS INTEGER) AS height, "
             "'STUB' AS mode FROM documents"
         ),
+        "text_winnow_fp": _WINNOW_SQL,
+        "dedup_embedding": _embedding_lsh_sql(),
         "custom_query_diff": _sym_except(
             "c_custkey, c_acctbal",
             "(SELECT c_custkey, c_acctbal FROM customer)",

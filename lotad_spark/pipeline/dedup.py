@@ -191,7 +191,11 @@ def simhash32(
     """32-bit SimHash over term frequencies: bit b is set when the
     count-weighted sum of (±1 per token whose md5-derived 32-bit hash has
     bit b set) is positive. Near-duplicates differ in few bits (compare
-    with hamming distance downstream)."""
+    with hamming distance downstream).
+
+    Packed-aggregate shape: the 32 per-bit sums are 32 parallel aggregate
+    expressions in ONE groupBy over (doc × token) — no ×32 row explode,
+    so the aggregation input is bounded by the token count."""
     tok = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy(id_col, "tok")
@@ -201,28 +205,26 @@ def simhash32(
             F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
         )
     )
-    bits = tok.select(
-        id_col,
-        "cnt",
-        "tok_hash",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
-    ).withColumn(
-        "contrib",
-        # SQL shiftright accepts a column shift amount (the pyspark
-        # wrapper doesn't) — keep it in expr form.
-        F.when(
-            F.expr("(shiftright(tok_hash, b) & 1) = 1"), F.col("cnt")
-        ).otherwise(-F.col("cnt")),
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("tok_hash"), b).bitwiseAND(F.lit(1)) == 1,
+                F.col("cnt"),
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"s_{b}")
+        for b in range(32)
+    ]
+    packed = sum(
+        (
+            F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(32)
+        ),
+        F.lit(0).cast("long"),
     )
     return (
-        bits.groupBy(id_col, "b")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn(
-            "bit_val",
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("bit_val").cast("bigint").alias("simhash"))
+        tok.groupBy(id_col)
+        .agg(*bit_sums)
+        .select(F.col(id_col), packed.cast("bigint").alias("simhash"))
     )

@@ -86,6 +86,91 @@ def cosine_topk(
     return _ranked_topk(scored, k, id_col=id_col).select("query_id", id_col, "sim")
 
 
+def lsh_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) derives
+    from md5 bytes → uniform in [-1, 1]. No RNG state — any engine (or
+    oracle) regenerating from the same (p, d) gets identical constants."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) / 2**32)
+            * 2.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates via random-hyperplane LSH:
+    (id_a, id_b, sim), sim ≥ threshold.
+
+    Signature bit p = sign of ⟨v, h_p⟩; bands of ``n_planes/bands`` bits
+    bucket the corpus; the exact cosine check runs on bucket-local
+    candidate pairs only — never all-pairs. Identical directions always
+    share every bit, so exact/scaled duplicates have recall 1."""
+    planes = lsh_hyperplanes(n_planes, dim)
+    v = F.col(vec_col).cast("array<double>")
+
+    def dot_lit(plane: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in plane])
+        return F.aggregate(
+            F.zip_with(v, lit, lambda p, q: p * q), F.lit(0.0), lambda a, x: a + x
+        )
+
+    bits = [
+        F.when(F.round(dot_lit(pl), 6) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for pl in planes
+    ]
+    rows = n_planes // bands
+    band_cols = [
+        F.concat(*bits[b * rows : (b + 1) * rows]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = df.select(F.col(id_col), F.col(vec_col), *band_cols)
+    stacked = banded.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_i"), F.col(f"band_{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, vec_col, "band.band_i", "band.bh")
+    a = stacked.select(F.col(id_col).alias("id_a"), "band_i", "bh")
+    b = stacked.select(F.col(id_col).alias("id_b"), "band_i", "bh")
+    # Dedup candidate id pairs BEFORE re-attaching vectors — the distinct
+    # shuffle carries two longs per row, not two embeddings.
+    cands = (
+        a.join(b, ["band_i", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def assign_to_centroids(
     corpus: DataFrame,
     centroids: DataFrame,

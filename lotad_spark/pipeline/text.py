@@ -114,6 +114,39 @@ def normalized_fingerprint(text_col: Column | str) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
 
 
+def winnow_fingerprint(
+    text_col: Column | str, *, k: int = 8, window: int = 4
+) -> Column:
+    """Winnowing (MOSS-style) rolling fingerprint: hash every k-char gram
+    of the normalized text, keep the minimum hash of each ``window``-gram
+    block, digest the sorted distinct minima. Robust to local edits —
+    only blocks overlapping a change alter the fingerprint set.
+
+    Pure expressions (one pass, no shuffle); hashes are md5 hex prefixes
+    so any SQL engine reproduces the value exactly.
+    """
+    name = text_col if isinstance(text_col, str) else None
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if name is None:
+        raise ValueError("winnow_fingerprint needs a column name")
+    norm = f"lower(regexp_replace(trim(`{name}`), '\\\\s+', ' '))"
+    # sequence(1, 0) would flip to a descending range — guard texts
+    # shorter than k with an explicit empty array.
+    grams = (
+        f"if(length({norm}) < {k}, array(), "
+        f"transform(sequence(1, length({norm}) - {k} + 1), "
+        f"i -> substr(md5(substring({norm}, i, {k})), 1, 8)))"
+    )
+    mins = (
+        f"if(size({grams}) = 0, array(), "
+        f"transform(sequence(0, cast(ceil(size({grams}) / {window}.0) as int) - 1), "
+        f"w -> array_min(slice({grams}, w * {window} + 1, {window}))))"
+    )
+    return F.expr(
+        f"md5(array_join(array_sort(array_distinct({mins})), ''))"
+    )
+
+
 def bow_fingerprint(text_col: Column | str) -> Column:
     """md5 of the sorted bag of lowercased tokens — catches word-reorder
     duplicates."""

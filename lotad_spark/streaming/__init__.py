@@ -2,7 +2,8 @@
 
 from lotad_spark.streaming.windowed import (
     session_event_agg,
+    streaming_dedup,
     windowed_event_agg,
 )
 
-__all__ = ["windowed_event_agg", "session_event_agg"]
+__all__ = ["windowed_event_agg", "session_event_agg", "streaming_dedup"]

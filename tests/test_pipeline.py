@@ -116,3 +116,39 @@ class TestLshSkewGuard:
         guarded = lsh_candidate_pairs(sigs, max_bucket=5).count()
         assert unguarded == 15  # C(6,2) all-pairs inside the bucket
         assert guarded == 0
+
+
+class TestWinnowFingerprint:
+    def test_local_edit_changes_fp_reorder_does_not_collapse(self, spark):
+        from lotad_spark.pipeline.text import winnow_fingerprint
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "the quick brown fox jumps over the hazy dog tonight"),
+            (4, "ab"),  # shorter than k → empty-gram fingerprint
+            (5, "xy"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.fp
+            for r in df.select(
+                "doc_id", winnow_fingerprint("text").alias("fp")
+            ).collect()
+        }
+        assert got[1] == got[2]
+        assert got[1] != got[3]
+        assert got[4] == got[5]  # both collapse to the empty fingerprint
+
+    def test_whitespace_normalization(self, spark):
+        from lotad_spark.pipeline.text import winnow_fingerprint
+
+        df = spark.createDataFrame(
+            [(1, "Hello   world  here"), (2, "hello world here")],
+            "doc_id long, text string",
+        )
+        got = [
+            r.fp
+            for r in df.select(winnow_fingerprint("text").alias("fp")).collect()
+        ]
+        assert got[0] == got[1]

@@ -84,3 +84,31 @@ class TestMultimodal:
         # 250 bytes → 3 stub frames (0, 1, 2)
         assert [r.frame_idx for r in rows] == [0, 1, 2]
         assert "content" not in frame_sample_plan(df).columns
+
+
+class TestStreamingDedup:
+    def test_streaming_dedup_suppresses_duplicates(self, spark, sf_dir, tmp_path):
+        from lotad_spark.streaming import streaming_dedup
+
+        ev = _events(spark, sf_dir).limit(200)
+        doubled = ev.unionByName(ev)  # every event twice
+        src = str(tmp_path / "dup_src")
+        doubled.write.mode("overwrite").parquet(src)
+
+        # batch semantics
+        batch_n = streaming_dedup(spark.read.parquet(src)).count()
+        assert batch_n == 200
+
+        # streaming semantics: duplicates inside the watermark suppressed
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            streaming_dedup(stream, watermark="10 hours")
+            .writeStream.format("memory")
+            .queryName("dedup_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT count(*) AS n FROM dedup_test").collect()[0].n
+        assert got == 200
