@@ -64,3 +64,45 @@ class TestIvfTopk:
         got = ivf_topk(q, e, k=3, n_centroids=8, nprobe=1).collect()
         assert len(got) <= 6
         assert all(r.query_id != r.vec_id for r in got)
+
+
+class TestEmbeddingNearDup:
+    def test_scaled_duplicates_found(self, spark):
+        from lotad_spark.pipeline.similarity import embedding_near_dup_pairs
+
+        base = [float(i % 7 - 3) for i in range(8)]
+        ortho = [0.0] * 8
+        ortho[0] = 1.0
+        rows = [
+            (0, base),
+            (1, [x * 2.0 for x in base]),   # same direction → sim 1.0
+            (2, ortho),                      # unrelated
+            (3, [x * 0.5 for x in base]),   # same direction → sim 1.0
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = embedding_near_dup_pairs(df, dim=8, n_planes=8, bands=4).collect()
+        pairs = {(r.id_a, r.id_b) for r in got}
+        # Identical directions share every LSH bit → recall 1 on duplicates.
+        assert pairs == {(0, 1), (0, 3), (1, 3)}
+        assert all(r.sim >= 0.99 for r in got)
+
+    def test_no_pairs_below_threshold(self, spark):
+        from lotad_spark.pipeline.similarity import embedding_near_dup_pairs
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = embedding_near_dup_pairs(df, dim=4, n_planes=4, bands=2).collect()
+        assert got == []
+
+    def test_no_cartesian_in_plan(self, spark):
+        from lotad_spark.pipeline.similarity import embedding_near_dup_pairs
+
+        rows = [(i, [float(i), 1.0]) for i in range(4)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        plan = embedding_near_dup_pairs(
+            df, dim=2, n_planes=4, bands=2
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan

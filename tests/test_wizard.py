@@ -1,0 +1,61 @@
+"""Wizard ignore-column suggestion (J3/A3/L1 — reference
+lotad/config_wizard.py:33-147)."""
+
+import pytest
+
+from lotad_spark.wizard import column_overlap_count, suggest_ignore_columns
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    # `uid` is disjoint across sides (UUID-like load identifier), `name`
+    # fully overlaps, `batch_ts` disjoint (load timestamp), `score` overlaps
+    # partially (real data drift — must NOT be suggested).
+    df1 = spark.createDataFrame(
+        [
+            ("a1", "alice", "2024-01-01T00:00:00", 1.0),
+            ("a2", "bob", "2024-01-01T00:00:01", 2.0),
+            ("a3", "carol", "2024-01-01T00:00:02", 3.0),
+        ],
+        "uid string, name string, batch_ts string, score double",
+    )
+    df2 = spark.createDataFrame(
+        [
+            ("b1", "alice", "2024-02-01T00:00:00", 1.0),
+            ("b2", "bob", "2024-02-01T00:00:01", 2.0),
+            ("b3", "carol", "2024-02-01T00:00:02", 99.0),
+        ],
+        "uid string, name string, batch_ts string, score double",
+    )
+    return df1, df2
+
+
+class TestSuggestIgnoreColumns:
+    def test_suggests_disjoint_columns_only(self, sides):
+        df1, df2 = sides
+        assert suggest_ignore_columns(df1, df2) == ["batch_ts", "uid"]
+
+    def test_partial_overlap_not_suggested(self, sides):
+        df1, df2 = sides
+        # 2 of 3 score values overlap — drift, not an ignorable identifier.
+        assert column_overlap_count(df1, df2, "score") == 2
+
+    def test_type_mismatch_column_skipped(self, spark, sides):
+        df1, _ = sides
+        df2_retyped = spark.createDataFrame(
+            [("x1", 1), ("x2", 2)], "uid string, name int"
+        )
+        # `name` differs in type → not shared; `uid` disjoint → suggested.
+        assert suggest_ignore_columns(df1, df2_retyped) == ["uid"]
+
+    def test_sample_limit_caps_probe(self, sides):
+        df1, df2 = sides
+        # With a sample of 1 distinct name, at most that one value can match.
+        n = column_overlap_count(df1, df2, "name", sample_limit=1)
+        assert n == 1
+
+    def test_overlap_counts_df2_rows_not_values(self, spark):
+        df1 = spark.createDataFrame([("v",)], "c string")
+        df2 = spark.createDataFrame([("v",), ("v",), ("w",)], "c string")
+        # Reference counts db2 rows whose value appears in the db1 sample.
+        assert column_overlap_count(df1, df2, "c") == 2
