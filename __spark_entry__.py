@@ -424,6 +424,19 @@ def q_events_session_agg(spark, sf_dir):
     return session_event_agg(_t(spark, sf_dir, "events"), gap="5 minutes")
 
 
+def q_events_key_stats(spark, sf_dir):
+    """Batch face of the applyInPandasWithState stateful operator — same
+    per-key lifetime stats the streaming state machine maintains."""
+    from lotad_spark.streaming import key_lifetime_stats
+
+    return key_lifetime_stats(_t(spark, sf_dir, "events"), key_col="user_id").select(
+        "user_id",
+        "n_events",
+        F.col("first_ts").cast("string").alias("first_ts"),
+        F.col("last_ts").cast("string").alias("last_ts"),
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     from lotad_spark.pipeline.multimodal import with_decoded_metadata
 
@@ -794,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_query_diff": q_custom_query_diff,
         "dedup_embedding": q_dedup_embedding,
         "events_session_agg": q_events_session_agg,
+        "events_key_stats": q_events_key_stats,
         "multimodal_decode": q_multimodal_decode,
     }
 
@@ -977,6 +991,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "events_session_agg": _SESSION_SQL,
+        "events_key_stats": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(CAST(min(ts) AS TIMESTAMP) AS VARCHAR) AS first_ts, "
+            "CAST(CAST(max(ts) AS TIMESTAMP) AS VARCHAR) AS last_ts "
+            "FROM events GROUP BY user_id"
+        ),
         "multimodal_decode": (
             "SELECT doc_id AS media_id, "
             "CAST(octet_length(encode(text)) % 256 AS INTEGER) AS width, "

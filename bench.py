@@ -76,6 +76,20 @@ def main() -> None:
             )
             sys.exit(1)
 
+    # Orchestrated run: same 8 tables through compare_all's ThreadPool +
+    # FAIR scheduling — measures the concurrency win over the sequential
+    # per-table loop above (the reference runs one process per table).
+    import shutil
+    import tempfile
+
+    from lotad_spark.compare import compare_all
+
+    out_dir = tempfile.mkdtemp(prefix="lotad_bench_out_")
+    t0 = time.perf_counter()
+    compare_all(spark, db1, db2, output_path=out_dir)
+    queries["compare_all_concurrent"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     # Scale-path variant: single-shuffle groupby strategy on the largest table.
     t0 = time.perf_counter()
     diff_tables(

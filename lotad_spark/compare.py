@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 from collections.abc import Iterable
 
 from pyspark.sql import SparkSession
-from pyspark.storagelevel import StorageLevel
+from pyspark.sql import functions as F
 
 from lotad_spark.analysis import DriftAnalysis
 from lotad_spark.drift import (
@@ -129,21 +129,38 @@ class DatabaseComparator:
             strategy=self.strategy,
             table_name=table_name,
         )
-        diff = result.diff.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            if diff.isEmpty():
-                return None
-            out_dir = self.analysis.table_dir(table_name)
-            diff.write.mode("overwrite").parquet(out_dir)
-            counts = result.counts()
-            return TableDataDiff(
-                table_name=table_name,
-                path=out_dir,
-                rows_only_in_db1=counts[self.db1.db_id],
-                rows_only_in_db2=counts[self.db2.db_id],
-            )
-        finally:
-            diff.unpersist()
+        # ONE execution of the diff plan: materialize straight to the sink,
+        # then take the per-side counts and the emptiness probe from the
+        # written parquet (a footer-metadata scan), mirroring the reference's
+        # CTAS-then-aggregate shape (db_compare.py:308-312,356-364). The
+        # earlier persist + isEmpty + write + counts sequence ran the plan
+        # up to three times and pinned every drift row in executor memory.
+        out_dir = self.analysis.table_dir(table_name)
+        result.diff.write.mode("overwrite").parquet(out_dir)
+        written = self.spark.read.parquet(out_dir)
+        by_side = {
+            r[0]: r[1]
+            for r in written.groupBy("observed_in")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not by_side:
+            self._remove_dir(out_dir)
+            return None
+        return TableDataDiff(
+            table_name=table_name,
+            path=out_dir,
+            rows_only_in_db1=by_side.get(self.db1.db_id, 0),
+            rows_only_in_db2=by_side.get(self.db2.db_id, 0),
+        )
+
+    def _remove_dir(self, path: str) -> None:
+        """Drop an empty drift dir via the Hadoop FileSystem API (works on
+        any scheme — the reference only materializes non-empty diffs)."""
+        jvm = self.spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
 
     # ---- the main path ----
 

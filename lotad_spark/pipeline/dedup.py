@@ -50,12 +50,18 @@ def shingles(
     n: int = 3,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
-    toks = tokens(F.col(text_col))
+    # Bind the token array ONCE per row (`transform(array(x), tk -> …)[0]`):
+    # referencing the tokenizer expression inside the per-gram lambda would
+    # re-split the full text for every gram — O(tokens × length) per doc,
+    # since interpreted higher-order functions do no subexpression reuse.
     # sequence(0, -k) would flip to a descending range — guard short docs.
-    grams = F.when(F.size(toks) >= n, F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(
+        F.array(tokens(F.col(text_col))),
+        lambda tk: F.when(F.size(tk) >= n, F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+        )).otherwise(F.array().cast("array<string>")),
+    )[0]
     return (
         df.select(F.col(id_col), F.explode(grams).alias("shingle"))
         .distinct()

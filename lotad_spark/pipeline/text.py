@@ -62,21 +62,26 @@ def quality_score(
     Fixed operation order → bit-identical doubles in any IEEE engine.
     """
     t = F.col(text_col)
-    toks = tokens(t)
-    n_tokens = F.size(toks).cast("double")
     stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
-    stop_hits = F.size(
-        F.filter(toks, lambda x: F.array_contains(stop, F.lower(x)))
-    ).cast("double")
-    n_chars = F.length(t).cast("double")
-    n_punct = F.size(
-        F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
-    ).cast("double")
-    score = (
-        (stop_hits / n_tokens) * F.lit(0.5)
-        + (F.least(n_tokens, F.lit(100.0)) / F.lit(100.0)) * F.lit(0.3)
-        + (F.lit(1.0) - n_punct / n_chars) * F.lit(0.2)
-    )
+
+    # Bind the token array once per row — `n_tokens` is referenced twice in
+    # the score and inlining the tokenizer would re-split the text each time.
+    def score_of(tk: Column) -> Column:
+        n_tokens = F.size(tk).cast("double")
+        stop_hits = F.size(
+            F.filter(tk, lambda x: F.array_contains(stop, F.lower(x)))
+        ).cast("double")
+        n_chars = F.length(t).cast("double")
+        n_punct = F.size(
+            F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+        ).cast("double")
+        return (
+            (stop_hits / n_tokens) * F.lit(0.5)
+            + (F.least(n_tokens, F.lit(100.0)) / F.lit(100.0)) * F.lit(0.3)
+            + (F.lit(1.0) - n_punct / n_chars) * F.lit(0.2)
+        )
+
+    score = F.transform(F.array(tokens(t)), score_of)[0]
     return df.select(F.col(id_col), score.alias("quality"))
 
 
@@ -86,24 +91,40 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     fr, es, zh). A real deployment swaps the lexicons for char-n-gram
     profiles; the operator shape (pure expressions, argmax over scores)
     is the same."""
-    toks = F.transform(tokens(F.col(text_col)), F.lower)
     # Score = number of the language's (distinct) marker words present.
     # Counting over the marker list (not the token list) gives identical
     # dedup semantics in any engine.
-    scores = {
-        lang: F.size(
-            F.filter(
-                F.array([F.lit(w) for w in words]),
-                lambda m: F.array_contains(toks, m),
-            )
-        )
-        for lang, words in LANG_MARKERS.items()
-    }
+    #
+    # Two lambda bindings (`transform(array(x), v -> …)[0]`) keep this one
+    # pass per row: the lowered token array is bound once (inlining it
+    # re-tokenizes the text per marker word), and the score vector is
+    # bound once (the argmax references each score twice).
     langs = list(LANG_MARKERS)
-    best = F.greatest(*[scores[lg] for lg in langs])
-    pred = F.lit(None).cast("string")
-    for lg in reversed(langs):  # earlier langs win ties → build from the back
-        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
+
+    def scores_arr(tk: Column) -> Column:
+        return F.array(*[
+            F.size(
+                F.filter(
+                    F.array([F.lit(w) for w in LANG_MARKERS[lg]]),
+                    lambda m: F.array_contains(tk, m),
+                )
+            )
+            for lg in langs
+        ])
+
+    def pick(ss: Column) -> Column:
+        best = F.array_max(ss)
+        pred = F.lit(None).cast("string")
+        # Earlier langs win ties → build the when-chain from the back.
+        for i in reversed(range(len(langs))):
+            pred = F.when(ss[i] == best, F.lit(langs[i])).otherwise(pred)
+        return pred
+
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    pred = F.transform(
+        F.array(toks),
+        lambda tk: F.transform(F.array(scores_arr(tk)), pick)[0],
+    )[0]
     return df.select(F.col(id_col), pred.alias("lang_pred"))
 
 
@@ -126,24 +147,33 @@ def winnow_fingerprint(
     so any SQL engine reproduces the value exactly.
     """
     name = text_col if isinstance(text_col, str) else None
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
     if name is None:
         raise ValueError("winnow_fingerprint needs a column name")
     norm = f"lower(regexp_replace(trim(`{name}`), '\\\\s+', ' '))"
+    # Each stage is bound ONCE per row via a single-element transform()
+    # lambda (`transform(array(x), v -> body)[0]`). Textually inlining the
+    # stages instead re-evaluates `grams` inside every window-block lambda
+    # iteration — interpreted higher-order functions do no subexpression
+    # reuse, so that shape is O(len³) per document and hangs on real-sized
+    # text. The lambda binding keeps it one pass, matching the staged-CTE
+    # oracle SQL.
+    #
     # sequence(1, 0) would flip to a descending range — guard texts
     # shorter than k with an explicit empty array.
     grams = (
-        f"if(length({norm}) < {k}, array(), "
-        f"transform(sequence(1, length({norm}) - {k} + 1), "
-        f"i -> substr(md5(substring({norm}, i, {k})), 1, 8)))"
+        f"if(length(t) < {k}, array(), "
+        f"transform(sequence(1, length(t) - {k} + 1), "
+        f"i -> substr(md5(substring(t, i, {k})), 1, 8)))"
     )
     mins = (
-        f"if(size({grams}) = 0, array(), "
-        f"transform(sequence(0, cast(ceil(size({grams}) / {window}.0) as int) - 1), "
-        f"w -> array_min(slice({grams}, w * {window} + 1, {window}))))"
+        f"if(size(gs) = 0, array(), "
+        f"transform(sequence(0, cast(ceil(size(gs) / {window}.0) as int) - 1), "
+        f"w -> array_min(slice(gs, w * {window} + 1, {window}))))"
     )
     return F.expr(
-        f"md5(array_join(array_sort(array_distinct({mins})), ''))"
+        f"transform(array({norm}), t -> "
+        f"transform(array({grams}), gs -> "
+        f"md5(array_join(array_sort(array_distinct({mins})), '')))[0])[0]"
     )
 
 

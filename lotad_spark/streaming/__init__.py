@@ -1,9 +1,15 @@
 """Structured Streaming operators (batch-equivalent semantics)."""
 
 from lotad_spark.streaming.windowed import (
+    key_lifetime_stats,
     session_event_agg,
     streaming_dedup,
     windowed_event_agg,
 )
 
-__all__ = ["windowed_event_agg", "session_event_agg", "streaming_dedup"]
+__all__ = [
+    "windowed_event_agg",
+    "session_event_agg",
+    "streaming_dedup",
+    "key_lifetime_stats",
+]

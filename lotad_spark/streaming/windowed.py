@@ -12,8 +12,11 @@ operators extend the engine for the pipeline workloads that need them.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def windowed_event_agg(
@@ -68,6 +71,81 @@ def streaming_dedup(
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
     return events.dropDuplicates(keys)
+
+
+def key_lifetime_stats(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Per-key lifetime stats: (<key>, n_events, first_ts, last_ts).
+
+    Batch: one aggregation (count / min / max — oracle-checkable SQL).
+
+    Streaming: a CUSTOM stateful operator via ``applyInPandasWithState``
+    — the pattern for state machines Spark's built-in aggregates can't
+    express. Per-key state (count + first/last event time) is updated
+    with each Arrow batch and re-emitted (update mode); an event-time
+    timeout ``state_ttl_ms`` past the watermark evicts idle keys, so
+    state size is bounded by the set of keys active inside the horizon —
+    the same bounded-state contract as ``streaming_dedup``. At cluster
+    scale the state store shards by the grouping key alongside the
+    shuffle, so no single executor holds the full key space.
+    """
+    if not events.isStreaming:
+        return events.groupBy(key_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+
+    import pandas as pd
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, first_ts, last_ts = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            lo, hi = pdf[ts_col].min(), pdf[ts_col].max()
+            first_ts = lo if first_ts is None else min(first_ts, lo)
+            last_ts = hi if last_ts is None else max(last_ts, hi)
+        state.update((n, first_ts, last_ts))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "first_ts": [first_ts],
+                "last_ts": [last_ts],
+            }
+        )
+
+    key_type = {f.name: f.dataType.simpleString() for f in events.schema.fields}[
+        key_col
+    ]
+    out_schema = (
+        f"{key_col} {key_type}, n_events bigint, "
+        "first_ts timestamp, last_ts timestamp"
+    )
+    state_schema = "n bigint, first_ts timestamp, last_ts timestamp"
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def session_event_agg(

@@ -112,3 +112,76 @@ class TestStreamingDedup:
         q.awaitTermination(120)
         got = spark.sql("SELECT count(*) AS n FROM dedup_test").collect()[0].n
         assert got == 200
+
+
+class TestKeyLifetimeStats:
+    def test_stateful_stream_matches_batch(self, spark, sf_dir, tmp_path):
+        from lotad_spark.streaming import key_lifetime_stats
+
+        ev = _events(spark, sf_dir)
+        src = str(tmp_path / "events_src_state")
+        # One file → one micro-batch → the memory sink holds exactly the
+        # final update row per key.
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+        batch = {
+            r.user_id: (r.n_events, r.first_ts, r.last_ts)
+            for r in key_lifetime_stats(spark.read.parquet(src)).collect()
+        }
+        assert len(batch) > 0
+
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            key_lifetime_stats(stream)
+            .writeStream.format("memory")
+            .queryName("key_stats_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.user_id: (r.n_events, r.first_ts, r.last_ts)
+            for r in spark.sql("SELECT * FROM key_stats_test").collect()
+        }
+        assert got == batch
+
+    def test_state_accumulates_across_batches(self, spark, tmp_path):
+        import datetime as dt
+
+        from lotad_spark.streaming import key_lifetime_stats
+
+        src = str(tmp_path / "two_batches")
+        schema = "user_id bigint, ts timestamp"
+        t = dt.datetime(2024, 1, 1, 12, 0, 0)
+        t2 = t + dt.timedelta(minutes=5)
+        spark.createDataFrame([(1, t)], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        spark.createDataFrame([(1, t2)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        # maxFilesPerTrigger=1 → two micro-batches in one run; update mode
+        # emits the running state after each, proving accumulation.
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            key_lifetime_stats(stream, ts_col="ts")
+            .writeStream.format("memory")
+            .queryName("ks_accum")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_two"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM ks_accum").collect()
+        assert sorted(r.n_events for r in rows) == [1, 2]
+        final = max(rows, key=lambda r: r.n_events)
+        assert final.first_ts == min(t, t2)
+        assert final.last_ts == max(t, t2)
