@@ -727,11 +727,13 @@ def _embedding_lsh_sql() -> str:
         + "]::DOUBLE[]), 6) > 0 THEN '1' ELSE '0' END"
         for pl in planes
     )
+    # 2 bands x 8 bits — must mirror embedding_near_dup_pairs' defaults.
     bands_sql = " UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band_i, "
-        f"bits[{4 * b + 1}] || bits[{4 * b + 2}] || bits[{4 * b + 3}] || "
-        f"bits[{4 * b + 4}] AS bh FROM sig"
-        for b in range(4)
+        "SELECT vec_id, {b} AS band_i, {concat} AS bh FROM sig".format(
+            b=b,
+            concat=" || ".join(f"bits[{8 * b + i + 1}]" for i in range(8)),
+        )
+        for b in range(2)
     )
     return f"""
 WITH corpus AS (

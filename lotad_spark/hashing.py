@@ -166,6 +166,27 @@ def canonical_row_hash(
     return F.lower(F.hex(F.xxhash64(*members)))
 
 
+def register_sql_functions(spark) -> None:
+    """Register ``get_row_hash`` for SQL use (reference parity: the UDF is
+    registered into every connection so custom queries can call it,
+    lotad/connection.py:133,247 / queries use
+    ``get_row_hash(TO_JSON(t)::VARCHAR)``).
+
+    Spark SQL shape: ``get_row_hash(to_json(struct(*)))``. The function takes
+    the JSON rendering of a value/row and returns the canonical digest of
+    its recursive canonicalization — identical semantics to the reference's
+    whole-row scalar UDF (one digest over the sorted-key document), which
+    differs from the column-wise composition ``with_row_hash`` uses on the
+    diff hot path. Registration is idempotent.
+    """
+
+    @F.pandas_udf(T.StringType())
+    def get_row_hash(s: pd.Series) -> pd.Series:
+        return s.map(canonical_value_hash, na_action="ignore")
+
+    spark.udf.register("get_row_hash", get_row_hash)
+
+
 def with_row_hash(
     df: DataFrame,
     columns: Iterable[str] | None = None,

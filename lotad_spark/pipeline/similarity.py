@@ -110,7 +110,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     n_planes: int = 16,
-    bands: int = 4,
+    bands: int = 2,
     threshold: float = 0.99,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates via random-hyperplane LSH:
@@ -119,7 +119,14 @@ def embedding_near_dup_pairs(
     Signature bit p = sign of ⟨v, h_p⟩; bands of ``n_planes/bands`` bits
     bucket the corpus; the exact cosine check runs on bucket-local
     candidate pairs only — never all-pairs. Identical directions always
-    share every bit, so exact/scaled duplicates have recall 1."""
+    share every bit, so exact/scaled duplicates have recall 1 with ANY
+    banding — which is why the default is 2 bands × 8 bits, not 4 × 4:
+    bucket count is 2^rows, and 4-bit bands put the whole corpus in 16
+    buckets per band (candidate volume ≈ n²/2^rows — quadratic). Wider
+    bands trade recall only for sub-threshold near-misses; at 0.99 the
+    per-band recall is still 0.955^8 ≈ 0.69 per band. For looser
+    thresholds raise ``bands`` (and ``n_planes`` with it) instead of
+    shrinking rows below 8; at 100 TB use 16-bit rows (65k buckets)."""
     planes = lsh_hyperplanes(n_planes, dim)
     v = F.col(vec_col).cast("array<double>")
 

@@ -56,4 +56,10 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # SQL-callable canonical hash, mirroring the reference's per-connection
+    # UDF registration (lotad/connection.py:133,247) so custom queries can
+    # call get_row_hash(to_json(struct(*))).
+    from lotad_spark.hashing import register_sql_functions
+
+    register_sql_functions(spark)
     return spark

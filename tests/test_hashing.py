@@ -119,3 +119,39 @@ class TestRowHashColumn:
         df = spark.createDataFrame([(1, 2.0)], "a long, c double")
         plan = with_row_hash(df)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestSqlRegisteredUdf:
+    """get_row_hash registered for SQL — reference parity with the per-
+    connection UDF registration (lotad/connection.py:133,247)."""
+
+    def test_sql_matches_python_reference(self, spark):
+        from lotad_spark.hashing import canonical_value_hash
+
+        spark.createDataFrame(
+            [(1, '{"b": 2, "a": 1}'), (2, "plain")], "id long, payload string"
+        ).createOrReplaceTempView("sqludf_t")
+        got = {
+            r.id: r.h
+            for r in spark.sql(
+                "SELECT id, get_row_hash(payload) AS h FROM sqludf_t"
+            ).collect()
+        }
+        assert got[1] == canonical_value_hash('{"b": 2, "a": 1}')
+        assert got[2] == "plain"
+
+    def test_sql_json_key_order_invariant(self, spark):
+        row = spark.sql(
+            "SELECT get_row_hash('{\"a\": 1, \"b\": [2, 3]}') = "
+            "get_row_hash('{\"b\": [3, 2], \"a\": 1}') AS eq"
+        ).collect()[0]
+        assert row.eq is True
+
+    def test_whole_row_shape(self, spark):
+        spark.createDataFrame([(1, "x")], "a long, b string").createOrReplaceTempView(
+            "sqludf_row"
+        )
+        out = spark.sql(
+            "SELECT get_row_hash(to_json(struct(*))) AS h FROM sqludf_row"
+        ).collect()
+        assert len(out) == 1 and len(out[0].h) == 16  # 64-bit hex digest
