@@ -447,6 +447,24 @@ def q_multimodal_decode(spark, sf_dir):
     return with_decoded_metadata(media)
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Feature-extraction plumbing (stub byte-histogram kernel) — rows-only
+    check: the per-byte kernel is not expressible in portable SQL."""
+    from lotad_spark.pipeline.multimodal import extract_features
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", F.round(F.aggregate(
+            F.col("features").cast("array<double>"),
+            F.lit(0.0), lambda a, x: a + x,
+        ), 3).alias("feature_mass"),
+    )
+
+
 def _embedding_dup_corpus(spark, sf_dir):
     """embeddings ∪ scaled copies (x1.0001, cosine exactly 1) of every
     20th vector."""
@@ -811,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_agg": q_events_session_agg,
         "events_key_stats": q_events_key_stats,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
     }
 
 

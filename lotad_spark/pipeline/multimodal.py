@@ -91,3 +91,73 @@ def frame_sample_plan(
         "frame_idx",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_nth))),
     ).drop(content_col)
+
+
+FEATURE_DIM = 16
+
+
+def extract_features(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """(id, features array<float>) per media row via Arrow-batched
+    mapInPandas — the plumbing that feeds the similarity/ANN operators.
+
+    STUB kernel: a normalized ``dim``-bin byte histogram (deterministic,
+    engine-independent). A real deployment swaps in a vision/audio encoder;
+    the batch iteration, output schema, and downstream compatibility with
+    ``cosine_topk`` / ``embedding_near_dup_pairs`` are the contract."""
+    out_schema = f"`{id_col}` bigint, features array<float>"
+
+    def feat_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[content_col]:
+                hist = [0] * dim
+                if b is not None:
+                    for byte in bytes(b):
+                        hist[byte % dim] += 1
+                    total = max(sum(hist), 1)
+                    hist = [h / total for h in hist]
+                feats.append(hist)
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.mapInPandas(feat_batches, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    width: int = 64,
+    height: int = 64,
+) -> DataFrame:
+    """Binary→binary resize stage: same schema out as in, plus
+    ``resized_width``/``resized_height`` metadata.
+
+    STUB kernel: deterministic byte truncate/pad to ``width*height`` (a
+    real deployment decodes, resamples, re-encodes). Payload stays binary
+    through the stage — resize BEFORE any wide transform so the big bytes
+    never shuffle."""
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields}, resized_width int, resized_height int"
+    target = width * height
+
+    def resize_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[content_col] = pdf[content_col].map(
+                lambda b: None
+                if b is None
+                else (bytes(b)[:target]).ljust(target, b"\0")
+            )
+            out["resized_width"] = width
+            out["resized_height"] = height
+            yield out
+
+    return df.mapInPandas(resize_batches, schema=out_schema)

@@ -85,6 +85,41 @@ class TestMultimodal:
         assert [r.frame_idx for r in rows] == [0, 1, 2]
         assert "content" not in frame_sample_plan(df).columns
 
+    def test_extract_features_feeds_similarity(self, spark):
+        from lotad_spark.pipeline.multimodal import FEATURE_DIM, extract_features
+
+        df = spark.createDataFrame(
+            [(1, b"abcabc"), (2, b"abcabc"), (3, b"zzzzzz"), (4, None)],
+            "media_id long, content binary",
+        )
+        out = extract_features(df)
+        assert out.schema.simpleString() == (
+            "struct<media_id:bigint,features:array<float>>"
+        )
+        got = {r.media_id: list(r.features) for r in out.collect()}
+        assert len(got[1]) == FEATURE_DIM
+        assert got[1] == got[2]  # deterministic: same bytes, same features
+        assert got[1] != got[3]
+        assert abs(sum(got[1]) - 1.0) < 1e-6  # normalized histogram
+        assert sum(got[4]) == 0  # NULL payload -> zero vector
+
+    def test_resize_binary_roundtrip(self, spark):
+        from lotad_spark.pipeline.multimodal import resize_images
+
+        df = spark.createDataFrame(
+            [(1, "img/png", b"x" * 10), (2, "img/png", b"y" * 9999), (3, None, None)],
+            "media_id long, media_type string, content binary",
+        )
+        out = resize_images(df, width=8, height=8)
+        assert out.columns == [
+            "media_id", "media_type", "content", "resized_width", "resized_height",
+        ]
+        got = {r.media_id: r for r in out.collect()}
+        assert len(got[1].content) == 64 and len(got[2].content) == 64
+        assert bytes(got[1].content[:10]) == b"x" * 10  # pad, keep prefix
+        assert got[3].content is None
+        assert got[1].resized_width == 8
+
 
 class TestStreamingDedup:
     def test_streaming_dedup_suppresses_duplicates(self, spark, sf_dir, tmp_path):
