@@ -412,6 +412,25 @@ def q_dedup_near_minhash(spark, sf_dir):
     return near_dup_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.6)
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Standalone exact n-gram Jaccard over a deterministic candidate set
+    (every 10th doc paired with its successor) — the verification kernel of
+    the MinHash path, oracle-checked in isolation."""
+    from lotad_spark.pipeline.dedup import ngram_jaccard, shingles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(ids.select(F.col("doc_id").alias("id_b")), "id_b")
+    )
+    sh = shingles(docs)
+    return ngram_jaccard(pairs, sh).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from lotad_spark.pipeline import simhash32
 
@@ -659,6 +678,35 @@ JOIN sizes zb ON zb.doc_id = i.id_b
 WHERE CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE) >= 0.6
 """
 
+_NGRAM_JACCARD_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 10 = 0
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+    FROM toks WHERE len(tk) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS n_inter
+    FROM pairs c
+    JOIN sh s1 ON s1.doc_id = c.id_a
+    JOIN sh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+    GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+    round(CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE), 6)
+        AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+"""
+
 _SIMHASH_SQL = """
 WITH toks AS (
     SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -821,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fp": q_text_winnow_fp,
         "dedup_exact": q_dedup_exact,
         "dedup_near_minhash": q_dedup_near_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1008,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_DUP_CORPUS_SQL}) GROUP BY md5(text)"
         ),
         "dedup_near_minhash": _NEAR_DUP_SQL,
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
