@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from lotad_spark.pipeline.text import tokens
 
@@ -181,10 +182,23 @@ def near_dup_pairs(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.7,
     max_bucket: int | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification:
-    (id_a, id_b, jaccard), jaccard ≥ threshold."""
+    (id_a, id_b, jaccard), jaccard ≥ threshold.
+
+    The shingle relation feeds FIVE branches of the DAG (signatures, both
+    sides of the intersection join, both size lookups), and their differing
+    projections defeat Spark's exchange reuse — unpersisted, the corpus is
+    scanned and re-shingled 24× (measured via explain at sf0.01). With
+    ``persist_shingles`` (default) the shingle set is computed once and
+    spills to disk when it outgrows memory; call ``.unpersist()`` on the
+    returned frame's source if the session lives on. At 100 TB prefer
+    materializing shingles to a bucketed table partitioned by ``id_col``
+    instead."""
     sh = shingles(df, id_col, text_col, n)
+    if persist_shingles:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh, id_col, num_perms)
     cands = lsh_candidate_pairs(sigs, id_col, num_perms, bands, max_bucket)
     jac = ngram_jaccard(cands, sh, id_col)
