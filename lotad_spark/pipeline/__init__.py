@@ -26,7 +26,19 @@ from lotad_spark.pipeline.dedup import (
     shingles,
     simhash32,
 )
-from lotad_spark.pipeline.similarity import cosine_topk, ivf_topk
+from lotad_spark.pipeline.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+)
+from lotad_spark.pipeline.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    resize_images,
+    with_decoded_metadata,
+)
+from lotad_spark.pipeline.dedup import ngram_jaccard
+from lotad_spark.pipeline.text import winnow_fingerprint
 
 __all__ = [
     "tokens",
@@ -42,4 +54,11 @@ __all__ = [
     "simhash32",
     "cosine_topk",
     "ivf_topk",
+    "embedding_near_dup_pairs",
+    "ngram_jaccard",
+    "winnow_fingerprint",
+    "extract_features",
+    "resize_images",
+    "frame_sample_plan",
+    "with_decoded_metadata",
 ]
