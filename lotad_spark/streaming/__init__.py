@@ -2,6 +2,7 @@
 
 from lotad_spark.streaming.windowed import (
     key_lifetime_stats,
+    streaming_drift,
     session_event_agg,
     streaming_dedup,
     windowed_event_agg,
@@ -12,4 +13,5 @@ __all__ = [
     "session_event_agg",
     "streaming_dedup",
     "key_lifetime_stats",
+    "streaming_drift",
 ]

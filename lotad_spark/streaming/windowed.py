@@ -174,3 +174,32 @@ def session_event_agg(
             "n_events",
         )
     )
+
+
+def streaming_drift(
+    stream: DataFrame,
+    reference: DataFrame,
+    *,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Continuous drift detection: rows arriving on ``stream`` whose
+    canonical row hash has no match in the static ``reference`` snapshot.
+
+    The streaming face of the core diff operator (`diff_tables` J1): a
+    stream-static LEFT ANTI join on ``hashed_row``. Spark broadcasts or
+    re-reads the static side per micro-batch; the stream side carries no
+    state (anti-join against a static frame needs no watermark), so this
+    runs indefinitely with bounded memory. Works identically on a batch
+    frame for testing — same hash, same join, same schema.
+
+    At scale: keep the reference as a compact parquet/Delta table of
+    hashes only (``with_row_hash(ref).select("hashed_row")`` materialized);
+    the per-micro-batch cost is then one broadcast of the hash set or one
+    hash-join against a pruned single-column scan.
+    """
+    from lotad_spark.hashing import HASH_COL, with_row_hash
+
+    cols = columns or [c for c in stream.columns if c in set(reference.columns)]
+    hashed_stream = with_row_hash(stream.select(*cols), cols)
+    ref_hashes = with_row_hash(reference.select(*cols), cols).select(HASH_COL)
+    return hashed_stream.join(ref_hashes, HASH_COL, "left_anti")

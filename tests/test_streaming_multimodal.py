@@ -220,3 +220,54 @@ class TestKeyLifetimeStats:
         final = max(rows, key=lambda r: r.n_events)
         assert final.first_ts == min(t, t2)
         assert final.last_ts == max(t, t2)
+
+
+class TestStreamingDrift:
+    def test_batch_face_matches_diff_tables(self, spark, sf_dir):
+        from lotad_spark.operators.diff import diff_tables
+        from lotad_spark.streaming import streaming_drift
+
+        ref = ParquetDatabase(spark, sf_dir, "db").table("customer")
+        mutated = ref.withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 1).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        got = {r.c_custkey for r in streaming_drift(mutated, ref).collect()}
+        expected = {
+            r.c_custkey
+            for r in diff_tables(mutated, ref, db1_id="a", db2_id="b")
+            .diff.filter(F.col("observed_in") == "a")
+            .collect()
+        }
+        assert got == expected and len(got) > 0
+
+    def test_stream_emits_only_drifted_rows(self, spark, sf_dir, tmp_path):
+        from lotad_spark.streaming import streaming_drift
+
+        ref = ParquetDatabase(spark, sf_dir, "db").table("customer")
+        mutated = ref.withColumn(
+            "c_name",
+            F.when(F.col("c_custkey") % 50 == 0, F.lit("DRIFTED")).otherwise(
+                F.col("c_name")
+            ),
+        )
+        src = str(tmp_path / "drift_stream_src")
+        mutated.write.mode("overwrite").parquet(src)
+        expected = mutated.filter(F.col("c_name") == "DRIFTED").count()
+        assert expected > 0
+
+        stream = spark.readStream.schema(mutated.schema).parquet(src)
+        q = (
+            streaming_drift(stream, ref)
+            .writeStream.format("memory")
+            .queryName("drift_stream_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM drift_stream_test").collect()
+        assert len(rows) == expected
+        assert all(r.c_name == "DRIFTED" for r in rows)
