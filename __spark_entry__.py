@@ -443,6 +443,54 @@ def q_events_session_agg(spark, sf_dir):
     return session_event_agg(_t(spark, sf_dir, "events"), gap="5 minutes")
 
 
+def q_skew_two_phase_agg(spark, sf_dir):
+    """Salted two-phase aggregation ≡ plain GROUP BY (skew operator parity
+    proven cross-engine, not just against Spark's own aggregate)."""
+    from lotad_spark.operators.skew import two_phase_agg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.col("l_quantity").cast("decimal(18,2)").alias("q")
+    )
+    return two_phase_agg(
+        li,
+        ["l_suppkey"],
+        {"sum_qty": ("sum", "q"), "n_items": ("count", "q")},
+    ).select(
+        "l_suppkey",
+        F.col("sum_qty").cast("decimal(18,2)").alias("sum_qty"),
+        F.col("n_items").cast("bigint").alias("n_items"),
+    )
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """Salted equi-join ≡ plain join (aggregated so the oracle is order-
+    free): orders salted against the nation-sized customer projection."""
+    from lotad_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    return (
+        salted_join(orders, cust, "o_custkey", buckets=4)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+def q_drift_static_batch(spark, sf_dir):
+    """Batch face of streaming_drift: mutated customer rows absent from the
+    reference snapshot (anti-join on the canonical hash)."""
+    from lotad_spark.streaming import streaming_drift
+
+    ref = _t(spark, sf_dir, "customer")
+    mutated = _customer_value_change(spark, sf_dir)
+    return streaming_drift(mutated, ref).select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+
+
 def q_events_key_stats(spark, sf_dir):
     """Batch face of the applyInPandasWithState stateful operator — same
     per-key lifetime stats the streaming state machine maintains."""
@@ -877,6 +925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "events_session_agg": q_events_session_agg,
         "events_key_stats": q_events_key_stats,
+        "skew_two_phase_agg": q_skew_two_phase_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "drift_static_batch": q_drift_static_batch,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
     }
@@ -1062,6 +1113,28 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "events_session_agg": _SESSION_SQL,
+        "skew_two_phase_agg": (
+            "SELECT l_suppkey, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, "
+            "CAST(count(l_quantity) AS BIGINT) AS n_items "
+            "FROM lineitem GROUP BY l_suppkey"
+        ),
+        "skew_salted_join": (
+            "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_nationkey"
+        ),
+        "drift_static_batch": (
+            f"WITH m AS ({_CUSTOMER_VALUE_CHANGE_SQL}) "
+            "SELECT m.c_custkey, CAST(m.c_acctbal AS DOUBLE) AS c_acctbal "
+            "FROM m WHERE NOT EXISTS ("
+            "  SELECT 1 FROM customer r WHERE "
+            "  r.c_custkey IS NOT DISTINCT FROM m.c_custkey AND "
+            "  r.c_name IS NOT DISTINCT FROM m.c_name AND "
+            "  r.c_nationkey IS NOT DISTINCT FROM m.c_nationkey AND "
+            "  r.c_acctbal IS NOT DISTINCT FROM m.c_acctbal AND "
+            "  r.c_mktsegment IS NOT DISTINCT FROM m.c_mktsegment)"
+        ),
         "events_key_stats": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(CAST(min(ts) AS TIMESTAMP) AS VARCHAR) AS first_ts, "
