@@ -117,7 +117,15 @@ def key_lifetime_stats(
             first_ts = lo if first_ts is None else min(first_ts, lo)
             last_ts = hi if last_ts is None else max(last_ts, hi)
         state.update((n, first_ts, last_ts))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+        # TTL anchored to max(own last event, watermark): the watermark is 0
+        # during the FIRST micro-batch of a run, so anchoring to it alone
+        # stamps an epoch-1970 timeout and the state is silently evicted on
+        # the next restart from checkpoint (caught by
+        # TestCheckpointRecovery). last_ts also keeps the timeout strictly
+        # above the current watermark, which Spark requires.
+        last_ms = int(pd.Timestamp(last_ts).timestamp() * 1000)
+        anchor = max(state.getCurrentWatermarkMs(), last_ms)
+        state.setTimeoutTimestamp(anchor + state_ttl_ms)
         yield pd.DataFrame(
             {
                 key_col: [key[0]],

@@ -271,3 +271,53 @@ class TestStreamingDrift:
         rows = spark.sql("SELECT * FROM drift_stream_test").collect()
         assert len(rows) == expected
         assert all(r.c_name == "DRIFTED" for r in rows)
+
+
+class TestCheckpointRecovery:
+    def test_state_survives_query_restart(self, spark, tmp_path):
+        """key_lifetime_stats state must persist across SEPARATE runs of the
+        query from the same checkpoint — the exactly-once restart contract a
+        long-lived 100 TB pipeline depends on."""
+        import datetime as dt
+
+        from lotad_spark.streaming import key_lifetime_stats
+
+        src = str(tmp_path / "restart_src")
+        ckpt = str(tmp_path / "restart_ckpt")
+        out = str(tmp_path / "restart_out")
+        schema = "user_id bigint, ts timestamp"
+        t1 = dt.datetime(2024, 3, 1, 9, 0, 0)
+        t2 = t1 + dt.timedelta(minutes=10)
+
+        def run_once():
+            # The memory sink refuses checkpoint recovery; foreachBatch is
+            # the recoverable sink shape for update-mode stateful output.
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                key_lifetime_stats(stream, ts_col="ts")
+                .writeStream.foreachBatch(
+                    lambda df, _id: df.write.mode("append").parquet(out)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame([(7, t1)], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        run_once()
+        first = [r for r in spark.read.parquet(out).collect() if r.user_id == 7]
+        assert [r.n_events for r in first] == [1]
+
+        # New file lands AFTER the first run finished; a fresh query run on
+        # the same checkpoint must resume state, not recount from scratch.
+        spark.createDataFrame([(7, t2)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_once()
+        rows = [r for r in spark.read.parquet(out).collect() if r.user_id == 7]
+        assert sorted(r.n_events for r in rows) == [1, 2]
+        assert max(r.last_ts for r in rows) == t2
