@@ -392,6 +392,15 @@ def q_text_fingerprints(spark, sf_dir):
     )
 
 
+def q_corpus_filter(spark, sf_dir):
+    """End-to-end training-data gate: lang + quality + token bounds."""
+    from lotad_spark.pipeline.text import corpus_filter
+
+    return corpus_filter(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.round("quality", 6).alias("quality"), "n_tokens"
+    )
+
+
 def q_text_winnow_fp(spark, sf_dir):
     from lotad_spark.pipeline.text import winnow_fingerprint
 
@@ -913,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
+        "corpus_filter": q_corpus_filter,
         "text_fingerprints": q_text_fingerprints,
         "text_winnow_fp": q_text_winnow_fp,
         "dedup_exact": q_dedup_exact,
@@ -1097,6 +1107,24 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents"
         ),
         "text_lang_id": _LANG_ID_SQL,
+        "corpus_filter": (
+            f"WITH lang AS ({_LANG_ID_SQL}), "
+            f"q AS (SELECT doc_id, "
+            f"(CAST(len(list_filter({_TOKS}, t -> lower(t) IN "
+            f"('the','a','of','and','is'))) AS DOUBLE) "
+            f"/ CAST(len({_TOKS}) AS DOUBLE)) * 0.5 "
+            f"+ (least(CAST(len({_TOKS}) AS DOUBLE), 100.0) / 100.0) * 0.3 "
+            f"+ (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) "
+            f"AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.2 AS quality "
+            f"FROM documents), "
+            f"st AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens "
+            f"FROM documents) "
+            "SELECT q.doc_id, round(q.quality, 6) AS quality, st.n_tokens "
+            "FROM q JOIN lang ON lang.doc_id = q.doc_id "
+            "JOIN st ON st.doc_id = q.doc_id "
+            "WHERE lang.lang_pred = 'en' AND q.quality >= 0.5 "
+            "AND st.n_tokens BETWEEN 5 AND 100000"
+        ),
         "text_fingerprints": (
             "SELECT doc_id, "
             "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_norm, "

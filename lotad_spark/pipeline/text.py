@@ -184,3 +184,36 @@ def bow_fingerprint(text_col: Column | str) -> Column:
     return F.md5(
         F.array_join(F.array_sort(F.transform(tokens(c), F.lower)), " ")
     )
+
+
+def corpus_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """The canonical training-data gate: keep documents that are in
+    ``lang``, score at least ``min_quality``, and fall inside the token
+    bounds. Returns (id, quality, n_tokens) for the kept set.
+
+    Composition of ``lang_id`` + ``quality_score`` + ``text_stats`` —
+    three joins on the id, each side one scan + zero shuffles of the text
+    itself (all pure expressions), so Catalyst collapses the whole gate
+    into a single pass over the corpus."""
+    q = quality_score(df, id_col, text_col)
+    lid = lang_id(df, id_col, text_col)
+    st = text_stats(df, id_col, text_col).select(id_col, "n_tokens")
+    return (
+        q.join(lid, id_col)
+        .join(st, id_col)
+        .filter(
+            (F.col("lang_pred") == lang)
+            & (F.col("quality") >= min_quality)
+            & F.col("n_tokens").between(min_tokens, max_tokens)
+        )
+        .select(id_col, "quality", "n_tokens")
+    )

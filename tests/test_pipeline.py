@@ -152,3 +152,18 @@ class TestWinnowFingerprint:
             for r in df.select(winnow_fingerprint("text").alias("fp")).collect()
         ]
         assert got[0] == got[1]
+
+
+class TestCorpusFilter:
+    def test_gate_composition(self, spark, sf_dir):
+        from lotad_spark.pipeline.text import corpus_filter, lang_id
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        docs = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        kept = corpus_filter(docs, min_quality=0.5)
+        rows = kept.collect()
+        assert 0 < len(rows) < docs.count()
+        assert all(r.quality >= 0.5 for r in rows)
+        # every kept doc really is lang=en
+        en = {r.doc_id for r in lang_id(docs).filter("lang_pred = 'en'").collect()}
+        assert {r.doc_id for r in rows} <= en
