@@ -300,13 +300,18 @@ def q_suggest_ignore_columns(spark, sf_dir):
 
 
 def q_q1_lineitem_agg(spark, sf_dir):
+    """Summation stays exact DECIMAL internally; the emitted columns follow
+    the repo-wide cross-engine convention round(CAST(... AS DOUBLE), 2) so
+    the driver's value digest renders identically on Spark and DuckDB."""
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -322,22 +327,11 @@ def q_topk_orders(spark, sf_dir):
 
 
 def q_events_window_agg(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").cast("string").alias("hour_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
+    """Batch face of the shared batch+streaming window aggregation — the
+    SAME definition `readStream` runs (streaming/windowed.py)."""
+    from lotad_spark.streaming import windowed_event_agg
+
+    return windowed_event_agg(_t(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------
@@ -466,7 +460,7 @@ def q_skew_two_phase_agg(spark, sf_dir):
         {"sum_qty": ("sum", "q"), "n_items": ("count", "q")},
     ).select(
         "l_suppkey",
-        F.col("sum_qty").cast("decimal(18,2)").alias("sum_qty"),
+        F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
         F.col("n_items").cast("bigint").alias("n_items"),
     )
 
@@ -1071,8 +1065,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q1_lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "
-            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, "
-            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+            "round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) "
+            "AS sum_qty, "
+            "round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) "
             "AS sum_base_price, "
             "CAST(count(*) AS BIGINT) AS count_order "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
@@ -1085,7 +1080,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR) "
             "AS hour_start, event_type, "
             "CAST(count(*) AS BIGINT) AS n_events, "
-            "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value "
+            "round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) "
+            "AS sum_value "
             "FROM events GROUP BY 1, 2"
         ),
         "text_stats": (
@@ -1143,7 +1139,8 @@ def oracle_sql() -> dict[str, str]:
         "events_session_agg": _SESSION_SQL,
         "skew_two_phase_agg": (
             "SELECT l_suppkey, "
-            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, "
+            "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) "
+            "AS sum_qty, "
             "CAST(count(l_quantity) AS BIGINT) AS n_items "
             "FROM lineitem GROUP BY l_suppkey"
         ),

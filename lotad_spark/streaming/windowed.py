@@ -31,7 +31,10 @@ def windowed_event_agg(
     (hour_start, <key>, n_events, sum_value).
 
     On a streaming input a watermark bounds state; on batch it is a no-op
-    path. Decimal sum → deterministic across partitionings and engines.
+    path. The sum is computed over exact DECIMAL(18,2) internally (so it is
+    deterministic across partitionings and engines) and EMITTED as
+    round(CAST(... AS DOUBLE), 2) — the repo-wide cross-engine output
+    convention that renders identically in Spark and DuckDB digests.
     """
     if events.isStreaming:
         events = events.withWatermark(ts_col, watermark)
@@ -39,9 +42,9 @@ def windowed_event_agg(
         events.groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("sum_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("string").alias("hour_start"),
