@@ -97,13 +97,18 @@ def main() -> None:
     queries["compare_all_concurrent"] = round(time.perf_counter() - t0, 3)
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    # Scale-path variant: single-shuffle groupby strategy on the largest table.
-    t0 = time.perf_counter()
-    diff_tables(
-        db1.table("lineitem"), db2.table("lineitem"),
-        db1_id="db1", db2_id="db2", strategy="groupby",
-    ).diff.count()
-    queries["diff_lineitem_groupby"] = round(time.perf_counter() - t0, 3)
+    # Scale-path variant: hash-only-shuffle groupby strategy on the largest
+    # table, min-of-two like the per-table loop above.
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        diff_tables(
+            db1.table("lineitem"), db2.table("lineitem"),
+            db1_id="db1", db2_id="db2", strategy="groupby",
+        ).diff.count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    queries["diff_lineitem_groupby"] = round(best, 3)
 
     # Headline analytics queries from the driver contract.
     import __spark_entry__ as entry_mod

@@ -21,14 +21,24 @@ Spark-first execution strategies (selectable, ``auto`` = ``antijoin``):
   distinct shuffle; Spark reuses the per-side exchanges, and when one side
   is small Catalyst/AQE picks a broadcast hash join, turning the diff into
   a shuffle-free map-side probe.
-* ``groupby`` (opt-in, for scale) — union both tagged sides and aggregate
-  by hash with ``collect_set(observed_in)``; hashes seen on exactly one
-  side survive. ONE shuffle total, map-side partial aggregation, each
-  input scanned once. This is the 100 TB plan: shuffle volume ≈ input
-  volume, no rescans, no cached intermediates, AQE coalesces the
-  post-shuffle partitions. Differs from reference only when one side holds
-  multiple raw variants of the same canonical hash: it keeps one
-  deterministic representative (lexicographic min) instead of all.
+* ``groupby`` (opt-in, for scale) — two phases over HASH-ONLY projections:
+  (1) union the two (hash, provenance) projections and aggregate
+  ``collect_set(observed_in)`` per hash; hashes seen on exactly one side
+  survive; (2) LEFT SEMI join the tagged inputs against the surviving
+  hashes. The survivor aggregation shuffles ~40 bytes/row (hash + side)
+  instead of full rows — at 100 TB that is the difference between a
+  full-data shuffle and a metadata shuffle — and since real drift is
+  small relative to the inputs, AQE turns phase 2 into a broadcast
+  semi-join (no shuffle of full rows at all). Output is IDENTICAL to
+  ``antijoin`` (every raw variant that canonicalizes to a surviving hash
+  is kept, then exact-duplicate rows collapse), so the two strategies
+  are interchangeable; only the physical plan differs.
+
+  An earlier formulation carried all columns through the aggregate as
+  ``min(struct(*cols))`` + ``collect_set``; over near-unique hash keys
+  map-side partial aggregation is pure overhead and the full-row hash
+  aggregate measured 3.8× slower than antijoin at sf0.1 (BENCH_r03).
+  The hash-only + semi-join-back shape restores the scale advantage.
 
 """
 
@@ -178,22 +188,24 @@ def diff_tables(
         strategy = "antijoin"
 
     if strategy == "groupby":
-        unioned = t1.unionByName(t2)
-        # min(struct) picks a deterministic representative per hash
-        # (lexicographic over the sorted column tuple) — unlike first(),
-        # which is pick-whatever-arrives and breaks run-to-run stability.
-        agg = unioned.groupBy(HASH_COL).agg(
-            F.min(F.struct(*[_quoted(c) for c in cols])).alias("_rep"),
-            F.collect_set(PROVENANCE_COL).alias("_sides"),
+        # Phase 1: survivor hashes from a metadata-only aggregation. The
+        # shuffle carries (hash, provenance) — ~40 B/row — never full rows.
+        survivors = (
+            t1.select(HASH_COL, PROVENANCE_COL)
+            .unionByName(t2.select(HASH_COL, PROVENANCE_COL))
+            .groupBy(HASH_COL)
+            .agg(F.collect_set(PROVENANCE_COL).alias("_sides"))
+            .filter(F.size("_sides") == 1)
+            .select(HASH_COL)
         )
+        # Phase 2: pull the full rows for surviving hashes. Drift is small
+        # relative to the inputs, so AQE picks a broadcast semi-join here;
+        # dropDuplicates matches antijoin's exact-duplicate collapse.
         diff = (
-            agg.filter(F.size("_sides") == 1)
-            .withColumn(PROVENANCE_COL, F.col("_sides")[0])
-            .select(
-                PROVENANCE_COL,
-                *[F.col("_rep").getField(c).alias(c) for c in cols],
-                HASH_COL,
-            )
+            t1.unionByName(t2)
+            .join(survivors, HASH_COL, "left_semi")
+            .dropDuplicates()
+            .select(PROVENANCE_COL, *[_quoted(c) for c in cols], HASH_COL)
         )
     elif strategy == "antijoin":
         only1 = t1.join(t2.select(HASH_COL), HASH_COL, "left_anti")
