@@ -518,20 +518,19 @@ def q_multimodal_decode(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Feature-extraction plumbing (stub byte-histogram kernel) — rows-only
-    check: the per-byte kernel is not expressible in portable SQL."""
-    from lotad_spark.pipeline.multimodal import extract_features
+    """Feature-extraction plumbing: the Arrow kernel emits exact integer
+    byte-histogram counts, so the full histogram is oracle-checkable
+    (DuckDB recomputes the same counts from the codepoints — the corpus is
+    ASCII, so byte == codepoint)."""
+    from lotad_spark.pipeline.multimodal import extract_feature_counts
 
     media = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("content"),
     )
-    feats = extract_features(media)
-    return feats.select(
-        "media_id", F.round(F.aggregate(
-            F.col("features").cast("array<double>"),
-            F.lit(0.0), lambda a, x: a + x,
-        ), 3).alias("feature_mass"),
+    return extract_feature_counts(media).select(
+        "media_id",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias("hist"),
     )
 
 
@@ -1171,6 +1170,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(text)) % 256 AS INTEGER) AS width, "
             "CAST(octet_length(encode(text)) // 256 + 1 AS INTEGER) AS height, "
             "'STUB' AS mode FROM documents"
+        ),
+        # ASCII corpus ⇒ ord(char) == utf-8 byte; the 16-bin integer
+        # histogram matches the Arrow kernel's np.bincount exactly.
+        "multimodal_features": (
+            "SELECT doc_id AS media_id, "
+            "array_to_string(list_transform(range(16), b -> "
+            "len(list_filter(list_transform(split(text, ''), c -> ord(c)), "
+            "c -> c % 16 = b))), ',') AS hist "
+            "FROM documents"
         ),
         "text_winnow_fp": _WINNOW_SQL,
         "dedup_embedding": _embedding_lsh_sql(),

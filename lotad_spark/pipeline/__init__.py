@@ -32,6 +32,7 @@ from lotad_spark.pipeline.similarity import (
     ivf_topk,
 )
 from lotad_spark.pipeline.multimodal import (
+    extract_feature_counts,
     extract_features,
     frame_sample_plan,
     resize_images,
@@ -57,6 +58,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "ngram_jaccard",
     "winnow_fingerprint",
+    "extract_feature_counts",
     "extract_features",
     "resize_images",
     "frame_sample_plan",

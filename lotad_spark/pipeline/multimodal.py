@@ -96,6 +96,38 @@ def frame_sample_plan(
 FEATURE_DIM = 16
 
 
+def extract_feature_counts(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """(id, hist array<int>) per media row via Arrow-batched mapInPandas.
+
+    STUB kernel: a ``dim``-bin raw byte histogram — INTEGER counts, so the
+    kernel output is exactly comparable across engines (the DuckDB oracle
+    recomputes the same counts; no float-rendering slack). A real
+    deployment swaps in a vision/audio encoder emitting raw activations;
+    the batch iteration and output schema are the contract."""
+    out_schema = f"`{id_col}` bigint, hist array<int>"
+
+    def feat_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for b in pdf[content_col]:
+                if b is None:
+                    feats.append([0] * dim)
+                else:
+                    arr = np.frombuffer(bytes(b), dtype=np.uint8) % dim
+                    feats.append(np.bincount(arr, minlength=dim).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "hist": feats})
+
+    return df.mapInPandas(feat_batches, schema=out_schema)
+
+
 def extract_features(
     df: DataFrame,
     content_col: str = "content",
@@ -103,29 +135,26 @@ def extract_features(
     id_col: str = "media_id",
     dim: int = FEATURE_DIM,
 ) -> DataFrame:
-    """(id, features array<float>) per media row via Arrow-batched
-    mapInPandas — the plumbing that feeds the similarity/ANN operators.
+    """(id, features array<float>) — the normalized embedding face that
+    feeds the similarity/ANN operators (``cosine_topk`` /
+    ``embedding_near_dup_pairs``).
 
-    STUB kernel: a normalized ``dim``-bin byte histogram (deterministic,
-    engine-independent). A real deployment swaps in a vision/audio encoder;
-    the batch iteration, output schema, and downstream compatibility with
-    ``cosine_topk`` / ``embedding_near_dup_pairs`` are the contract."""
-    out_schema = f"`{id_col}` bigint, features array<float>"
+    The Python kernel emits raw integer counts
+    (:func:`extract_feature_counts`); L1 normalization is a pure JVM
+    expression on top — the UDF stays minimal and the float math happens
+    in whole-stage codegen, not in Python."""
+    from pyspark.sql import functions as F
 
-    def feat_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = []
-            for b in pdf[content_col]:
-                hist = [0] * dim
-                if b is not None:
-                    for byte in bytes(b):
-                        hist[byte % dim] += 1
-                    total = max(sum(hist), 1)
-                    hist = [h / total for h in hist]
-                feats.append(hist)
-            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
-
-    return df.mapInPandas(feat_batches, schema=out_schema)
+    counts = extract_feature_counts(df, content_col, id_col=id_col, dim=dim)
+    total = F.greatest(
+        F.aggregate("hist", F.lit(0), lambda a, x: a + x), F.lit(1)
+    ).cast("double")
+    return counts.select(
+        id_col,
+        F.transform("hist", lambda h: (h.cast("double") / total))
+        .cast("array<float>")
+        .alias("features"),
+    )
 
 
 def resize_images(
