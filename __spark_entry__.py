@@ -613,10 +613,38 @@ ranked AS (
 SELECT query_id, vec_id, sim FROM ranked WHERE r <= 5
 """
 
-_ANN_IVF_SQL = """
-WITH cent AS (
-    SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
-    FROM embeddings ORDER BY vec_id ASC LIMIT 16
+def _ann_ivf_sql() -> str:
+    """IVF oracle with k-means centroids embedded as literals.
+
+    The SAME deterministic trainer (`pipeline.kmeans.train_centroids`)
+    runs here on the sample read via DuckDB; because init and iteration
+    are RNG-free, the constants match the Spark side bit-for-bit
+    (``repr`` of a double round-trips exactly through DuckDB's parser).
+    The driver evaluates oracles at sf0.01; override with
+    $SPARK_GRAFT_ORACLE_SF_DIR when checking another scale locally.
+    """
+    import duckdb
+
+    from lotad_spark.pipeline import kmeans
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    sample = duckdb.connect().execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
+    ).fetchall()
+    cents = kmeans.train_centroids([list(r[0]) for r in sample], 16)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return _ANN_IVF_SQL_TEMPLATE.replace("__CENTROID_VALUES__", values)
+
+
+_ANN_IVF_SQL_TEMPLATE = """
+WITH cent(cent_id, cv) AS (
+    VALUES __CENTROID_VALUES__
 ),
 assigned AS (
     SELECT vec_id, emb, cent_id FROM (
@@ -1134,7 +1162,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
-        "ann_ivf_topk": _ANN_IVF_SQL,
+        "ann_ivf_topk": _ann_ivf_sql(),
         "events_session_agg": _SESSION_SQL,
         "skew_two_phase_agg": (
             "SELECT l_suppkey, "

@@ -10,11 +10,13 @@ Two operators:
   whole corpus.
 * ``ivf_topk`` — IVF-bucketed scale path: corpus vectors are assigned to
   their nearest centroid once (broadcast centroids, no shuffle), queries
-  probe only the ``nprobe`` nearest buckets. Centroid "training" here is a
-  deterministic subset pick (first ``n_centroids`` by id) — honest stub
-  for k-means; the bucketing/probing shape is the real thing. At 100 TB
-  the assignment becomes a write-once partitioned layout and each query
-  reads ``nprobe/​n_centroids`` of the data.
+  probe only the ``nprobe`` nearest buckets. Centroids come from
+  deterministic spherical k-means (``pipeline.kmeans``: max-min
+  farthest-point init + fixed Lloyd iterations on a bounded id-ordered
+  sample — no RNG, so any engine retraining on the same sample gets
+  identical constants). At 100 TB the assignment becomes a write-once
+  partitioned layout and each query reads ``nprobe/​n_centroids`` of the
+  data.
 
 Similarities are rounded to 6 decimals *before* ranking, with vec_id
 tie-breaks, so results are reproducible across engines (float folds can
@@ -209,17 +211,35 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    sample_size: int | None = None,
+    train_iters: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF buckets: (query_id, vec_id, sim).
 
-    Centroids = first ``n_centroids`` corpus vectors by id (deterministic
-    k-means stub). Each query searches only its ``nprobe`` nearest buckets.
+    Centroids are trained with deterministic spherical k-means
+    (``pipeline.kmeans``: farthest-point init + fixed Lloyd iterations
+    over a bounded id-ordered sample — no RNG, reproducible across
+    engines) unless a pre-trained ``centroids`` frame
+    (cent_id, cent_vec) is supplied. Each query searches only its
+    ``nprobe`` nearest buckets.
     """
-    centroids = (
-        corpus.orderBy(F.asc(id_col))
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-    )
+    if centroids is None:
+        from lotad_spark.pipeline import kmeans
+
+        sample = kmeans.sample_vectors(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_size=sample_size or kmeans.DEFAULT_SAMPLE_SIZE,
+        )
+        cents = kmeans.train_centroids(
+            sample, n_centroids, iters=train_iters or kmeans.DEFAULT_ITERS
+        )
+        centroids = corpus.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cent_id int, cent_vec array<double>",
+        )
     assigned = assign_to_centroids(
         corpus, centroids, id_col=id_col, vec_col=vec_col
     )

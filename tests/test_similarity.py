@@ -65,6 +65,48 @@ class TestIvfTopk:
         assert len(got) <= 6
         assert all(r.query_id != r.vec_id for r in got)
 
+    def test_kmeans_recall_vs_exact(self, spark, sf_dir):
+        """Trained centroids must deliver useful recall at nprobe=2/16 —
+        the guarantee the round-3 first-N-by-id stub could not make."""
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        e = ParquetDatabase(spark, sf_dir, "db").table("embeddings")
+        q = e.filter("vec_id < 5")
+        exact = {
+            (r.query_id, r.vec_id) for r in cosine_topk(q, e, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(q, e, k=5, n_centroids=16, nprobe=4).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        # The synthetic embeddings are near-random (no cluster structure),
+        # the IVF worst case: recall must still clearly beat the 25% scan
+        # fraction (nprobe 4 of 16). Measured 0.60 at sf0.001.
+        assert recall >= 0.5, f"IVF recall@5 {recall:.2f} < 0.5"
+
+    def test_kmeans_deterministic(self):
+        import numpy as np
+
+        from lotad_spark.pipeline.kmeans import train_centroids
+
+        # structured sample, no RNG: three well-separated direction groups
+        base = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+        sample = [
+            [b + 0.01 * ((i * 7 + j) % 5) for j, b in enumerate(base[i % 3])]
+            for i in range(60)
+        ]
+        c1 = train_centroids(sample, 3)
+        c2 = train_centroids(list(sample), 3)
+        assert c1 == c2  # bit-for-bit reproducible
+        assert all(
+            abs(float(np.linalg.norm(c)) - 1.0) < 1e-9 for c in np.array(c1)
+        )
+        # each base direction is captured by some centroid
+        C = np.array(c1)
+        for b in base:
+            assert max(C @ np.array(b)) > 0.95
+
 
 class TestEmbeddingNearDup:
     def test_scaled_duplicates_found(self, spark):
