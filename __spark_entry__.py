@@ -440,6 +440,16 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash32(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash hamming pairing over the near-dup corpus: banding recall is
+    exact for hamming ≤ bands−1 = 3 (pigeonhole), mirrored in the oracle."""
+    from lotad_spark.pipeline import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_near_dup_corpus(spark, sf_dir)).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def q_events_session_agg(spark, sf_dir):
     from lotad_spark.streaming import session_event_agg
 
@@ -785,10 +795,14 @@ JOIN sizes za ON za.doc_id = i.id_a
 JOIN sizes zb ON zb.doc_id = i.id_b
 """
 
-_SIMHASH_SQL = """
-WITH toks AS (
+def _simhash_fp_ctes(source_sql: str) -> str:
+    """CTE chain computing (doc_id, simhash) for an arbitrary corpus —
+    shared by the fingerprint oracle and the pairing oracle."""
+    return f"""
+corpus AS ({source_sql}),
+toks AS (
     SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-    FROM documents
+    FROM corpus
 ),
 tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
 th AS (
@@ -801,12 +815,42 @@ bits AS (
         SUM(CASE WHEN (tok_hash >> bs.b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
     FROM th, (SELECT unnest(range(0, 32)) AS b) bs
     GROUP BY 1, 2
+),
+fp AS (
+    SELECT doc_id,
+        CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+             AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+)"""
+
+
+_SIMHASH_SQL = (
+    "WITH "
+    + _simhash_fp_ctes("SELECT doc_id, text FROM documents")
+    + "\nSELECT doc_id, simhash FROM fp"
 )
-SELECT doc_id,
-    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT)
-        AS simhash
-FROM bits GROUP BY doc_id
+
+# 4 bands × 8 bits; recall exact for hamming ≤ 3 — mirrors
+# lotad_spark.pipeline.dedup.simhash_near_dup_pairs defaults.
+_SIMHASH_PAIRS_SQL = (
+    "WITH "
+    + _simhash_fp_ctes(_NEAR_DUP_CORPUS_SQL)
+    + """,
+sl AS (
+    SELECT doc_id, simhash, bs.b AS band_i,
+        (simhash >> (bs.b * 8)) & 255 AS bv
+    FROM fp, (SELECT unnest(range(0, 4)) AS b) bs
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        a.simhash AS ha, b.simhash AS hb
+    FROM sl a JOIN sl b
+      ON a.band_i = b.band_i AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
+)
 
 
 
@@ -950,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_minhash": q_dedup_near_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "custom_query_diff": q_custom_query_diff,
@@ -1161,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_minhash": _NEAR_DUP_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _SIMHASH_SQL,
+        "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ann_ivf_sql(),
         "events_session_agg": _SESSION_SQL,

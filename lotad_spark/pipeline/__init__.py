@@ -25,6 +25,7 @@ from lotad_spark.pipeline.dedup import (
     near_dup_pairs,
     shingles,
     simhash32,
+    simhash_near_dup_pairs,
 )
 from lotad_spark.pipeline.similarity import (
     cosine_topk,
@@ -53,6 +54,7 @@ __all__ = [
     "minhash_signatures",
     "near_dup_pairs",
     "simhash32",
+    "simhash_near_dup_pairs",
     "cosine_topk",
     "ivf_topk",
     "embedding_near_dup_pairs",

@@ -248,3 +248,60 @@ def simhash32(
         .agg(*bit_sums)
         .select(F.col(id_col), packed.cast("bigint").alias("simhash"))
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRING: (id_a, id_b, hamming) for pairs
+    within ``max_hamming`` bits, via multi-probe banding — the downstream
+    operator `simhash32` fingerprints exist for.
+
+    The 32-bit fingerprint splits into ``bands`` equal slices; candidates
+    share at least one (slice_index, slice_value). Pigeonhole: a pair
+    differing in ≤ bands−1 bits cannot touch every slice, so for
+    ``max_hamming ≤ bands−1`` (the default: 3 ≤ 3) recall is EXACT, not
+    approximate. Verification is exact ``bit_count(a XOR b)`` on the
+    candidate pairs only — never all-pairs; the join runs inside slice
+    buckets, the same scale shape as the MinHash LSH path. Raising
+    ``max_hamming`` past bands−1 trades recall for candidate volume —
+    raise ``bands`` with it (and widen the fingerprint) instead."""
+    if 32 % bands:
+        raise ValueError(f"bands must divide 32, got {bands}")
+    fp = simhash32(df, id_col, text_col)
+    width = 32 // bands
+    mask = (1 << width) - 1
+    slices = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_i"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bv"),
+        )
+        for b in range(bands)
+    ])
+    stacked = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(slices).alias("s")
+    ).select(id_col, "simhash", "s.band_i", "s.bv")
+    a = stacked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"), "band_i", "bv"
+    )
+    b = stacked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"), "band_i", "bv"
+    )
+    return (
+        a.join(b, ["band_i", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # fingerprints ride along (8 B each) — the distinct shuffle stays
+        # ids+fingerprints wide, and no join back to re-attach them.
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -97,6 +97,44 @@ class TestDedup:
 
         assert hamming(got[1], got[3]) < hamming(got[1], got[4])
 
+    def test_simhash_pairing_finds_identical_and_respects_threshold(self, docs):
+        from lotad_spark.pipeline.dedup import simhash_near_dup_pairs
+
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+        }
+        # docs 1 and 2 are identical → hamming 0, always banded together
+        assert got[(1, 2)] == 0
+        # every reported pair really is within the threshold
+        fps = {r.doc_id: r.simhash for r in simhash32(docs).collect()}
+        for (a, b), h in got.items():
+            assert bin(fps[a] ^ fps[b]).count("1") == h <= 3
+
+    def test_simhash_pairing_exact_recall_within_bands_minus_1(self, spark):
+        """Pigeonhole guarantee: EVERY pair with hamming ≤ bands−1 must be
+        found — cross-check the operator against brute force."""
+        rows = [
+            (i, f"alpha beta gamma delta epsilon zeta token{i % 7} "
+                f"word{i % 3} filler{i % 5} common text body here")
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = {r.doc_id: r.simhash for r in simhash32(df).collect()}
+        from lotad_spark.pipeline.dedup import simhash_near_dup_pairs
+
+        got = {
+            (r.id_a, r.id_b)
+            for r in simhash_near_dup_pairs(df, max_hamming=3).collect()
+        }
+        brute = {
+            (a, b)
+            for a in fps
+            for b in fps
+            if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+        }
+        assert got == brute
+
 
 class TestLshSkewGuard:
     def test_max_bucket_drops_degenerate_buckets(self, spark):
