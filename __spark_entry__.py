@@ -717,6 +717,7 @@ _LANG_ID_SQL = (
         for lang, markers in _LANG_MARKER_SQL.items()
     )
     + " FROM documents) SELECT doc_id, CASE "
+    + "WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'unknown' "
     + " ".join(
         f"WHEN s_{lang} = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN '{lang}'"
         for lang in _LANG_MARKER_SQL
@@ -1168,11 +1169,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, "
             f"(CAST(len(list_filter({_TOKS}, t -> lower(t) IN "
             f"('the','a','of','and','is'))) AS DOUBLE) "
-            f"/ CAST(len({_TOKS}) AS DOUBLE)) * 0.5 "
+            f"/ greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)) * 0.5 "
             f"+ (least(CAST(len({_TOKS}) AS DOUBLE), 100.0) / 100.0) * 0.3 "
             f"+ (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) "
-            f"AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.2 AS quality "
-            f"FROM documents"
+            f"AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.2 "
+            f"AS quality FROM documents"
         ),
         "text_lang_id": _LANG_ID_SQL,
         "corpus_filter": (
@@ -1180,11 +1181,11 @@ def oracle_sql() -> dict[str, str]:
             f"q AS (SELECT doc_id, "
             f"(CAST(len(list_filter({_TOKS}, t -> lower(t) IN "
             f"('the','a','of','and','is'))) AS DOUBLE) "
-            f"/ CAST(len({_TOKS}) AS DOUBLE)) * 0.5 "
+            f"/ greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)) * 0.5 "
             f"+ (least(CAST(len({_TOKS}) AS DOUBLE), 100.0) / 100.0) * 0.3 "
             f"+ (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) "
-            f"AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.2 AS quality "
-            f"FROM documents), "
+            f"AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.2 "
+            f"AS quality FROM documents), "
             f"st AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens "
             f"FROM documents) "
             "SELECT q.doc_id, round(q.quality, 6) AS quality, st.n_tokens "

@@ -21,9 +21,6 @@ data_analysis.py:104-105).
 
 from __future__ import annotations
 
-import shutil
-from pathlib import Path
-
 from pyspark.sql import SparkSession
 
 from lotad_spark.drift import MissingTableDrift, TableDataDiff, TableSchemaDrift
@@ -90,14 +87,21 @@ class DriftAnalysis:
 
     def __init__(self, spark: SparkSession, output_path: str, db1_id: str, db2_id: str):
         self.spark = spark
-        self.output_path = Path(output_path)
+        # Keep the raw string: Path() would collapse the '//' of remote
+        # URIs ('s3a://bucket' → 's3a:/bucket'). All create/delete/join
+        # goes through the Hadoop FileSystem API, same as
+        # DatabaseComparator._remove_dir, so any FS scheme works.
+        self.output_path = output_path.rstrip("/")
         self.db1_id = db1_id
         self.db2_id = db2_id
         # Recreate the output location per run (reference deletes the
         # output DB file, data_analysis.py:59-61).
-        if self.output_path.exists():
-            shutil.rmtree(self.output_path)
-        self.output_path.mkdir(parents=True)
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.output_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+        fs.mkdirs(jpath)
         self._summary_rows: list[tuple] = []
         self._missing_rows: list[tuple] = []
         self._schema_rows: list[tuple] = []
@@ -137,7 +141,7 @@ class DriftAnalysis:
         )
 
     def table_dir(self, table_name: str) -> str:
-        return str(self.output_path / table_name)
+        return f"{self.output_path}/{table_name}"
 
     def write(self) -> None:
         """Materialize the three summary tables as parquet."""

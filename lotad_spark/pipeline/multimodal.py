@@ -39,6 +39,19 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     return (n % 256, (n // 256) % 256 + 1, "STUB")
 
 
+def _pil_decode(payload: bytes) -> tuple[int, int, str]:  # pragma: no cover
+    """Real decode via PIL when it's installed. A payload PIL can't parse
+    decodes to (0, 0, 'ERROR') instead of failing the stage — a corrupt
+    image in a 100 TB corpus must not kill the job."""
+    import io
+
+    try:
+        with _PIL_Image.open(io.BytesIO(payload)) as im:
+            return (im.width, im.height, im.mode)
+    except Exception:  # noqa: BLE001 — any parse failure is data, not a bug
+        return (0, 0, "ERROR")
+
+
 def with_decoded_metadata(
     df: DataFrame,
     content_col: str = "content",
@@ -58,13 +71,10 @@ def with_decoded_metadata(
     pass_names = [f.name for f in passthrough]
 
     def decode_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _pil_decode if _HAS_PIL else _fake_decode
         for pdf in batches:
-            if _HAS_PIL:  # pragma: no cover — not available in this container
-                raise NotImplementedError(
-                    "real PIL decode path not exercised in this environment"
-                )
             decoded = pdf[content_col].map(
-                lambda b: _fake_decode(bytes(b)) if b is not None else (0, 0, "NULL")
+                lambda b: kernel(bytes(b)) if b is not None else (0, 0, "NULL")
             )
             out = pdf[pass_names].copy()
             out["width"] = decoded.map(lambda t: t[0])

@@ -60,6 +60,9 @@ def quality_score(
     + 0.2 * (1 - punct/chars).
 
     Fixed operation order → bit-identical doubles in any IEEE engine.
+    Divisors are clamped with greatest(·, 1) — mirrored in the oracle
+    SQL — so an empty/whitespace-only document scores deterministically
+    (and never divides by zero under ``spark.sql.ansi.enabled``).
     """
     t = F.col(text_col)
     stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
@@ -71,12 +74,12 @@ def quality_score(
         stop_hits = F.size(
             F.filter(tk, lambda x: F.array_contains(stop, F.lower(x)))
         ).cast("double")
-        n_chars = F.length(t).cast("double")
+        n_chars = F.greatest(F.length(t), F.lit(1)).cast("double")
         n_punct = F.size(
             F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
         ).cast("double")
         return (
-            (stop_hits / n_tokens) * F.lit(0.5)
+            (stop_hits / F.greatest(n_tokens, F.lit(1.0))) * F.lit(0.5)
             + (F.least(n_tokens, F.lit(100.0)) / F.lit(100.0)) * F.lit(0.3)
             + (F.lit(1.0) - n_punct / n_chars) * F.lit(0.2)
         )
@@ -88,7 +91,10 @@ def quality_score(
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic language ID: count distinct marker-lexicon hits per
     language, pick the max (deterministic fixed tie-break order: en, de,
-    fr, es, zh). A real deployment swaps the lexicons for char-n-gram
+    fr, es, zh); a document with ZERO marker hits in every language is
+    ``'unknown'`` — so marker-free/non-language text is rejected by
+    ``corpus_filter`` instead of silently defaulting to the first
+    language. A real deployment swaps the lexicons for char-n-gram
     profiles; the operator shape (pure expressions, argmax over scores)
     is the same."""
     # Score = number of the language's (distinct) marker words present.
@@ -118,7 +124,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         # Earlier langs win ties → build the when-chain from the back.
         for i in reversed(range(len(langs))):
             pred = F.when(ss[i] == best, F.lit(langs[i])).otherwise(pred)
-        return pred
+        return F.when(best == 0, F.lit("unknown")).otherwise(pred)
 
     toks = F.transform(tokens(F.col(text_col)), F.lower)
     pred = F.transform(

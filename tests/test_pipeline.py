@@ -50,6 +50,34 @@ class TestTextOps:
         got = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
         assert got == {1: "de", 2: "en"}
 
+    def test_lang_id_marker_free_is_unknown(self, spark):
+        df = spark.createDataFrame(
+            [(1, "zzz qqq 12345 %%%"), (2, "")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+        assert got == {1: "unknown", 2: "unknown"}
+
+    def test_quality_degenerate_docs_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "ok text here")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r.quality for r in quality_score(df).collect()}
+        # empty/whitespace-only must score a real number, not NULL/NaN
+        assert all(q is not None and 0.0 <= q <= 1.0 for q in got.values())
+
+    def test_corpus_filter_rejects_marker_free_docs(self, spark):
+        from lotad_spark.pipeline.text import corpus_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is a pet of the house and it is fine"),
+                (2, "zz qq xx yy ww vv uu tt ss rr"),  # marker-free
+            ],
+            "doc_id long, text string",
+        )
+        kept = {r.doc_id for r in corpus_filter(df).collect()}
+        assert kept == {1}
+
     def test_fingerprints(self, docs):
         fp = docs.select(
             "doc_id",
