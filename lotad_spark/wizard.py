@@ -39,12 +39,55 @@ def suggest_ignore_columns(
 ) -> list[str]:
     """Columns shared (same name, same type) by both sides whose values have
     zero overlap — candidates for ``ignore_column`` rules
-    (reference lotad/config_wizard.py:33-99, docstring :102-105)."""
+    (reference lotad/config_wizard.py:33-99, docstring :102-105).
+
+    BATCHED: instead of one Spark job per column (a 500-column table would
+    pay 500 sequential job submissions), both sides are melted to
+    (column_name, value-as-string) pairs and ALL columns probe in one
+    pass — a deterministic per-column distinct sample (lexicographically
+    first ``sample_limit`` values, where the reference takes an arbitrary
+    LIMIT), broadcast, then one map-side semi join + one tiny groupBy.
+    Constant job count regardless of column width; each side is scanned
+    once total instead of once per column. NULLs never count as overlap
+    (matches the reference's equi-join probe)."""
+    from pyspark.sql import Window
+
     s1 = {f.name: f.dataType for f in df1.schema.fields}
     s2 = {f.name: f.dataType for f in df2.schema.fields}
     shared = [c for c in sorted(set(s1) & set(s2)) if s1[c] == s2[c]]
-    return [
-        c
-        for c in shared
-        if column_overlap_count(df1, df2, c, sample_limit=sample_limit) == 0
-    ]
+    if not shared:
+        return []
+
+    def melt(df: DataFrame) -> DataFrame:
+        pairs = F.array(*[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"`{c}`").cast("string").alias("value"),
+            )
+            for c in shared
+        ])
+        return (
+            df.select(F.explode(pairs).alias("p"))
+            .select("p.column_name", "p.value")
+            .filter(F.col("value").isNotNull())
+        )
+
+    w = Window.partitionBy("column_name").orderBy("value")
+    sample = (
+        melt(df1)
+        .distinct()
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= sample_limit)
+        .drop("_r")
+    )
+    overlapping = {
+        r.column_name
+        for r in (
+            melt(df2)
+            .join(F.broadcast(sample), ["column_name", "value"], "left_semi")
+            .groupBy("column_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    return [c for c in shared if c not in overlapping]

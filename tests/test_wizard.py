@@ -59,3 +59,26 @@ class TestSuggestIgnoreColumns:
         df2 = spark.createDataFrame([("v",), ("v",), ("w",)], "c string")
         # Reference counts db2 rows whose value appears in the db1 sample.
         assert column_overlap_count(df1, df2, "c") == 2
+
+    def test_batched_probe_job_count_independent_of_width(self, spark):
+        """All columns probe in ONE action — a wide table must not pay one
+        sequential Spark job per column (round-3 shape: N jobs for N
+        columns)."""
+        n_cols = 24
+        schema = ", ".join(f"c{i} long" for i in range(n_cols))
+        rows = [tuple(r * 100 + i for i in range(n_cols)) for r in range(50)]
+        df1 = spark.createDataFrame(rows, schema)
+        df2 = spark.createDataFrame(
+            [tuple(v + 1_000_000 for v in r) for r in rows], schema
+        )
+        sc = spark.sparkContext
+        sc.setJobGroup("wizard_batch_test", "probe", True)
+        try:
+            got = suggest_ignore_columns(df1, df2)
+        finally:
+            sc.setJobGroup(None, None)
+        assert got == sorted(f"c{i}" for i in range(n_cols))
+        jobs = sc.statusTracker().getJobIdsForGroup("wizard_batch_test")
+        # Measured 4 (sample shuffle + broadcast build + AQE probe stages)
+        # — the point is it's CONSTANT in column count, not 1-per-column.
+        assert len(jobs) <= 5, f"expected ≤5 jobs for {n_cols} columns, got {len(jobs)}"
