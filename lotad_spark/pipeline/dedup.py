@@ -182,20 +182,23 @@ def near_dup_pairs(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.7,
     max_bucket: int | None = None,
-    persist_shingles: bool = True,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification:
     (id_a, id_b, jaccard), jaccard ≥ threshold.
 
     The shingle relation feeds FIVE branches of the DAG (signatures, both
-    sides of the intersection join, both size lookups), and their differing
-    projections defeat Spark's exchange reuse — unpersisted, the corpus is
-    scanned and re-shingled 24× (measured via explain at sf0.01). With
-    ``persist_shingles`` (default) the shingle set is computed once and
-    spills to disk when it outgrows memory; call ``.unpersist()`` on the
-    returned frame's source if the session lives on. At 100 TB prefer
-    materializing shingles to a bucketed table partitioned by ``id_col``
-    instead."""
+    sides of the intersection join, both size lookups). Re-computing it
+    per branch is pure-expression work over the text scan; persisting it
+    trades that CPU for cache serialization of the exploded (doc ×
+    shingle) relation — measured at sf0.1 (5.2k docs) the persist LOSES:
+    2.0–2.2 s unpersisted vs 2.7 s warm / 8.0 s cold persisted, so the
+    default is OFF. The cache also outlives the call (Spark has no
+    scoped unpersist on a derived plan), so repeated calls with
+    ``persist_shingles=True`` accumulate pinned storage — reserve it for
+    interactive sessions that reuse ONE corpus. At 100 TB neither shape
+    is right: materialize shingles once to a bucketed table partitioned
+    by ``id_col`` and feed all branches from that."""
     sh = shingles(df, id_col, text_col, n)
     if persist_shingles:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
