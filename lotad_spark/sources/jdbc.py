@@ -7,9 +7,12 @@ database, and ``partition_column``/``num_partitions`` shards the scan
 across executors — which the reference (single connection per table)
 cannot do.
 
-This container ships no JDBC driver jars, so these classes are exercised
-by unit tests only up to plan construction; on a real cluster pass
-``spark.jars`` with the driver.
+Postgres/SQLite driver jars aren't shipped here, so those subclasses are
+exercised up to plan construction; the shared ``JdbcDatabase`` machinery
+(driver registration, catalog query, bounds probe, partitioned scan) IS
+exercised live end-to-end through :class:`DuckDbDatabase` with the public
+``org.duckdb:duckdb_jdbc`` driver (tests/test_jdbc_e2e.py) — on a real
+cluster pass ``spark.jars`` with whichever engine's driver you need.
 """
 
 from __future__ import annotations
@@ -130,6 +133,42 @@ class PostgresDatabase(JdbcDatabase):
                 "query",
                 "SELECT table_name FROM information_schema.tables "
                 "WHERE table_schema = 'public' AND table_type = 'BASE TABLE'",
+            )
+            .options(**self.properties)
+            .load()
+        )
+        return sorted(r["table_name"] for r in df.collect())
+
+
+class DuckDbDatabase(JdbcDatabase):
+    """DuckDB file via JDBC — the reference's own native engine as a live
+    JDBC side (reference attaches DuckDB files directly,
+    lotad/connection.py:115-140). With the public ``org.duckdb:duckdb_jdbc``
+    driver on ``spark.jars``, this exercises the full JdbcDatabase path
+    (driver registration, catalog query, bounds probe, partitioned scan)
+    end-to-end — see tests/test_jdbc_e2e.py."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, db_id: str | None = None, **kwargs
+    ):
+        super().__init__(
+            spark,
+            f"jdbc:duckdb:{path}",
+            db_id or path,
+            properties={"driver": "org.duckdb.DuckDBDriver"},
+            **kwargs,
+        )
+
+    def list_tables(self) -> list[str]:
+        if self._tables is not None:
+            return sorted(self._tables)
+        df = (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option(
+                "query",
+                "SELECT table_name FROM information_schema.tables "
+                "WHERE table_schema = 'main' AND table_type = 'BASE TABLE'",
             )
             .options(**self.properties)
             .load()
