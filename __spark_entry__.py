@@ -434,6 +434,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Transitive dedup groups over the MinHash near-dup pairs — the
+    keep/drop list (keep doc_id == component_id). Oracle: recursive-CTE
+    transitive closure over the same pair set."""
+    from lotad_spark.pipeline import dedup_components, near_dup_pairs
+
+    pairs = near_dup_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.6)
+    return dedup_components(pairs)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from lotad_spark.pipeline import simhash32
 
@@ -993,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fp": q_text_winnow_fp,
         "dedup_exact": q_dedup_exact,
         "dedup_near_minhash": q_dedup_near_minhash,
+        "dedup_components": q_dedup_components,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1205,6 +1216,17 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_DUP_CORPUS_SQL}) GROUP BY md5(text)"
         ),
         "dedup_near_minhash": _NEAR_DUP_SQL,
+        "dedup_components": (
+            "WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM "
+            f"({_NEAR_DUP_SQL})), "
+            "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT src, dst FROM edges "
+            "UNION SELECT r.src, e.dst FROM reach r "
+            "JOIN edges e ON e.src = r.dst) "
+            "SELECT src AS doc_id, least(src, min(dst)) AS component_id "
+            "FROM reach GROUP BY src"
+        ),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,

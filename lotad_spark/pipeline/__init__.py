@@ -20,6 +20,7 @@ from lotad_spark.pipeline.text import (
     tokens,
 )
 from lotad_spark.pipeline.dedup import (
+    dedup_components,
     exact_dedup,
     minhash_signatures,
     near_dup_pairs,
@@ -49,6 +50,7 @@ __all__ = [
     "lang_id",
     "normalized_fingerprint",
     "bow_fingerprint",
+    "dedup_components",
     "exact_dedup",
     "shingles",
     "minhash_signatures",

@@ -208,6 +208,69 @@ def near_dup_pairs(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def dedup_components(
+    pairs: DataFrame,
+    *,
+    max_iter: int = 20,
+    id_out: str = "doc_id",
+) -> DataFrame:
+    """Connected components over a near-dup pair graph:
+    (doc_id, component_id) where component_id is the MINIMUM doc id
+    transitively reachable — the step that turns pairwise matches into an
+    actionable keep/drop list (keep ``doc_id == component_id``, drop the
+    rest). Input is any (id_a, id_b) frame (MinHash, SimHash, or
+    embedding-LSH pairs).
+
+    Iterative min-label propagation, the standard Spark shape for CC
+    (GraphFrames' Pregel loop is the same): each round every vertex takes
+    the min of its own label and its neighbors' labels — one join + one
+    groupBy per round, converging in O(component diameter) rounds.
+    Near-dup clusters are clique-like (diameter 1-2), so 2-4 rounds in
+    practice; ``max_iter`` bounds pathological chains. Labels are
+    ``localCheckpoint``-ed each round: without truncation the iterative
+    lineage re-executes from scratch on every convergence check
+    (O(rounds²) work) and eventually overflows the planner. Only vertices
+    appearing in ``pairs`` are labeled — join the corpus back for
+    singleton docs (they are their own component by definition)."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges["src"] == labels["id"])
+                .select(F.col("dst").alias("id"), "label")
+                .groupBy("id")
+                .agg(F.min("label").alias("_nbr"))
+            )
+            proposed = (
+                labels.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("_nbr", "label")
+                    ).alias("label"),
+                    F.col("label").alias("_old"),
+                )
+            ).localCheckpoint()
+            changed = proposed.filter(F.col("label") < F.col("_old")).count()
+            labels = proposed.drop("_old")
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_out), F.col("label").alias("component_id")
+    )
+
+
 def simhash32(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

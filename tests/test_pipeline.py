@@ -164,6 +164,29 @@ class TestDedup:
         assert got == brute
 
 
+class TestDedupComponents:
+    def test_chain_collapses_to_min_id(self, spark):
+        # 1-2, 2-3, 3-4 chain: diameter 3 forces multiple propagation
+        # rounds; everything must still label to min id 1.
+        pairs = spark.createDataFrame(
+            [(2, 3), (1, 2), (3, 4), (10, 11)], "id_a long, id_b long"
+        )
+        from lotad_spark.pipeline import dedup_components
+
+        got = {r.doc_id: r.component_id for r in dedup_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_keep_list_is_one_per_component(self, spark):
+        pairs = spark.createDataFrame(
+            [(5, 6), (6, 7), (20, 21)], "id_a long, id_b long"
+        )
+        from lotad_spark.pipeline import dedup_components
+
+        comp = dedup_components(pairs)
+        keep = {r.doc_id for r in comp.filter("doc_id = component_id").collect()}
+        assert keep == {5, 20}
+
+
 class TestLshSkewGuard:
     def test_max_bucket_drops_degenerate_buckets(self, spark):
         # 6 identical docs land in one bucket per band; max_bucket below 6
