@@ -80,5 +80,14 @@ def suggest_ignore_columns_cmd(db1_path, db2_path, tables) -> None:
             click.echo(f"{t}: {c}")
 
 
+@cli.command()
+@click.option("--config", "config_path", default=None)
+def wizard(config_path) -> None:
+    """Interactive config builder (reference lotad/config_wizard.py menu)."""
+    from lotad_spark.config_wizard import ConfigWizard
+
+    ConfigWizard.cli_start(config_path)
+
+
 if __name__ == "__main__":
     cli()
