@@ -41,6 +41,43 @@ class TestDiffPlans:
         assert "BatchEvalPython" not in plan  # never row-at-a-time
 
 
+class TestGroupbyDiffPlans:
+    def test_survivor_aggregate_shuffles_hash_only(self, customer):
+        """The scale property of the groupby strategy: the aggregation
+        exchange must carry (hashed_row, observed_in) ONLY — never the data
+        columns. A data column appearing under the hash aggregate's
+        exchange means the round-3 full-row-shuffle regression is back."""
+        r = diff_tables(customer, customer.filter("c_custkey != 5"),
+                        strategy="groupby")
+        plan = _plan(r.diff)
+        # Locate the aggregate exchange: hashpartitioning on hashed_row.
+        agg_exchanges = [
+            l for l in plan.splitlines()
+            if "Exchange hashpartitioning(hashed_row" in l
+        ]
+        assert agg_exchanges, plan
+        assert all("c_name" not in l and "c_acctbal" not in l
+                   for l in agg_exchanges)
+
+    def test_semi_join_back_broadcasts_small_survivors(self, customer):
+        """AQE should turn the phase-2 semi-join into a broadcast when the
+        survivor set is small (the common case: little real drift)."""
+        r = diff_tables(customer, customer.filter("c_custkey != 5"),
+                        strategy="groupby")
+        r.diff.count()  # let AQE finalize
+        plan = _plan(r.diff)
+        assert "LeftSemi" in plan
+        assert "BroadcastHashJoin" in plan, plan
+
+
+class TestPairingPlans:
+    def test_simhash_pairing_no_cartesian(self, spark, sf_dir):
+        from lotad_spark.pipeline.dedup import simhash_near_dup_pairs
+
+        d = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        plan = _plan(simhash_near_dup_pairs(d))
+        assert "CartesianProduct" not in plan
+
 class TestProbePlans:
     def test_wizard_probe_broadcasts(self, customer, spark, sf_dir):
         supplier = ParquetDatabase(spark, sf_dir, "db").table("supplier")
