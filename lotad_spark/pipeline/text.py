@@ -64,7 +64,14 @@ def quality_score(
     SQL — so an empty/whitespace-only document scores deterministically
     (and never divides by zero under ``spark.sql.ansi.enabled``).
     """
-    t = F.col(text_col)
+    return df.select(
+        F.col(id_col), quality_expr(F.col(text_col)).alias("quality")
+    )
+
+
+def quality_expr(t: Column) -> Column:
+    """The quality score as a composable Column expression (see
+    :func:`quality_score` for the formula)."""
     stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
 
     # Bind the token array once per row — `n_tokens` is referenced twice in
@@ -84,8 +91,7 @@ def quality_score(
             + (F.lit(1.0) - n_punct / n_chars) * F.lit(0.2)
         )
 
-    score = F.transform(F.array(tokens(t)), score_of)[0]
-    return df.select(F.col(id_col), score.alias("quality"))
+    return F.transform(F.array(tokens(t)), score_of)[0]
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -101,6 +107,14 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     # Counting over the marker list (not the token list) gives identical
     # dedup semantics in any engine.
     #
+    return df.select(
+        F.col(id_col), lang_pred_expr(F.col(text_col)).alias("lang_pred")
+    )
+
+
+def lang_pred_expr(t: Column) -> Column:
+    """The language prediction as a composable Column expression (see
+    :func:`lang_id` for semantics)."""
     # Two lambda bindings (`transform(array(x), v -> …)[0]`) keep this one
     # pass per row: the lowered token array is bound once (inlining it
     # re-tokenizes the text per marker word), and the score vector is
@@ -126,12 +140,11 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             pred = F.when(ss[i] == best, F.lit(langs[i])).otherwise(pred)
         return F.when(best == 0, F.lit("unknown")).otherwise(pred)
 
-    toks = F.transform(tokens(F.col(text_col)), F.lower)
-    pred = F.transform(
+    toks = F.transform(tokens(t), F.lower)
+    return F.transform(
         F.array(toks),
         lambda tk: F.transform(F.array(scores_arr(tk)), pick)[0],
     )[0]
-    return df.select(F.col(id_col), pred.alias("lang_pred"))
 
 
 def normalized_fingerprint(text_col: Column | str) -> Column:
@@ -206,16 +219,21 @@ def corpus_filter(
     ``lang``, score at least ``min_quality``, and fall inside the token
     bounds. Returns (id, quality, n_tokens) for the kept set.
 
-    Composition of ``lang_id`` + ``quality_score`` + ``text_stats`` —
-    three joins on the id, each side one scan + zero shuffles of the text
-    itself (all pure expressions), so Catalyst collapses the whole gate
-    into a single pass over the corpus."""
-    q = quality_score(df, id_col, text_col)
-    lid = lang_id(df, id_col, text_col)
-    st = text_stats(df, id_col, text_col).select(id_col, "n_tokens")
+    Pure EXPRESSION composition (``quality_expr`` + ``lang_pred_expr`` +
+    token count in one projection): ONE scan, ZERO joins, ZERO exchanges
+    — pinned by tests/test_plans.py. An earlier formulation joined the
+    three operator DataFrames on the id and Catalyst did NOT collapse
+    the self-joins (measured: 2 exchanges + 3 scans at sf0.01).
+    Stateless expressions also mean the same definition runs unchanged
+    on a ``readStream`` input — the streaming ingest gate."""
+    t = F.col(text_col)
     return (
-        q.join(lid, id_col)
-        .join(st, id_col)
+        df.select(
+            F.col(id_col),
+            quality_expr(t).alias("quality"),
+            lang_pred_expr(t).alias("lang_pred"),
+            F.size(tokens(t)).cast("bigint").alias("n_tokens"),
+        )
         .filter(
             (F.col("lang_pred") == lang)
             & (F.col("quality") >= min_quality)

@@ -70,6 +70,19 @@ class TestGroupbyDiffPlans:
         assert "BroadcastHashJoin" in plan, plan
 
 
+class TestTextPlans:
+    def test_corpus_filter_single_scan_no_joins(self, spark, sf_dir):
+        """The training gate is ONE projection: a join or exchange here
+        means the expression composition regressed to self-joins."""
+        from lotad_spark.pipeline.text import corpus_filter
+
+        d = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        plan = _plan(corpus_filter(d))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert plan.count("FileScan") == 1
+
+
 class TestPairingPlans:
     def test_simhash_pairing_no_cartesian(self, spark, sf_dir):
         from lotad_spark.pipeline.dedup import simhash_near_dup_pairs

@@ -47,6 +47,41 @@ class TestWindowedAgg:
         assert got == batch
 
 
+class TestStreamingCorpusFilter:
+    def test_training_gate_streams_and_matches_batch(self, spark, sf_dir, tmp_path):
+        """corpus_filter is stateless expressions — the SAME definition
+        must run on readStream (append mode, no state) with identical
+        output: the streaming ingest gate for a training-data pipeline."""
+        from lotad_spark.pipeline.text import corpus_filter
+        from lotad_spark.sources.parquet import read_table
+
+        docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        src = str(tmp_path / "docs_src")
+        docs.write.mode("overwrite").parquet(src)
+
+        batch = {
+            (r.doc_id, round(r.quality, 9), r.n_tokens)
+            for r in corpus_filter(spark.read.parquet(src)).collect()
+        }
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            corpus_filter(stream)
+            .writeStream.format("memory")
+            .queryName("corpus_gate_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.doc_id, round(r.quality, 9), r.n_tokens)
+            for r in spark.sql("SELECT * FROM corpus_gate_test").collect()
+        }
+        assert got == batch and len(got) > 0
+
+
 class TestSessionAgg:
     def test_sessions_partition_events(self, spark, sf_dir):
         ev = _events(spark, sf_dir)
