@@ -29,7 +29,9 @@ from lotad_spark.pipeline.dedup import (
     simhash_near_dup_pairs,
 )
 from lotad_spark.pipeline.similarity import (
+    build_ivf_index,
     cosine_topk,
+    ivf_topk_indexed,
     embedding_near_dup_pairs,
     ivf_topk,
 )
@@ -57,8 +59,10 @@ __all__ = [
     "near_dup_pairs",
     "simhash32",
     "simhash_near_dup_pairs",
+    "build_ivf_index",
     "cosine_topk",
     "ivf_topk",
+    "ivf_topk_indexed",
     "embedding_near_dup_pairs",
     "ngram_jaccard",
     "winnow_fingerprint",

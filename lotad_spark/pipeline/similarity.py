@@ -202,6 +202,88 @@ def assign_to_centroids(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int | None = None,
+    train_iters: int | None = None,
+) -> None:
+    """Materialize the write-once IVF layout: corpus assigned to trained
+    centroids and written as parquet PARTITIONED BY cent_id, centroids
+    saved alongside. This is the 100 TB serving shape: the expensive
+    train+assign runs once; every later query reads only its ``nprobe``
+    probed partitions (true partition pruning at the scan — pinned by
+    tests/test_plans.py), i.e. ``nprobe/n_centroids`` of the data."""
+    from lotad_spark.pipeline import kmeans
+
+    sample = kmeans.sample_vectors(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_size=sample_size or kmeans.DEFAULT_SAMPLE_SIZE,
+    )
+    cents = kmeans.train_centroids(
+        sample, n_centroids, iters=train_iters or kmeans.DEFAULT_ITERS
+    )
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cent_id int, cent_vec array<double>",
+    )
+    assigned = assign_to_centroids(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    )
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(
+        f"{path}/data"
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a :func:`build_ivf_index` layout.
+
+    The probed cent_ids are collected to the driver (bounded:
+    |queries| × nprobe ints) and applied as a STATIC partition filter, so
+    the scan provably touches only the probed partitions — no dynamic
+    pruning gamble, no full-index read."""
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    probe_scored = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "_psim", F.round(cosine(F.col("_qvec"), F.col("cent_vec")), 6)
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("_psim"), F.asc("cent_id"))
+    probes = (
+        probe_scored.withColumn("_r", F.row_number().over(pw))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "_qvec", "cent_id")
+    )
+    probed_ids = sorted({r.cent_id for r in probes.select("cent_id").collect()})
+
+    data = spark.read.parquet(f"{index_path}/data").filter(
+        F.col("cent_id").isin(probed_ids)
+    )
+    scored = (
+        data.join(F.broadcast(probes), "cent_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6))
+    )
+    return _ranked_topk(scored, k, id_col=id_col).select("query_id", id_col, "sim")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -85,6 +85,31 @@ class TestIvfTopk:
         # fraction (nprobe 4 of 16). Measured 0.60 at sf0.001.
         assert recall >= 0.5, f"IVF recall@5 {recall:.2f} < 0.5"
 
+    def test_indexed_ivf_matches_inmemory_and_prunes(self, spark, sf_dir, tmp_path):
+        """The write-once partitioned index must return the same answers
+        as the in-memory path (same deterministic centroids) and its scan
+        must read ONLY the probed cent_id partitions."""
+        from lotad_spark.pipeline.similarity import build_ivf_index, ivf_topk_indexed
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        e = ParquetDatabase(spark, sf_dir, "db").table("embeddings")
+        q = e.filter("vec_id < 3")
+        idx = str(tmp_path / "ivf_idx")
+        build_ivf_index(e, idx, n_centroids=8)
+
+        mem = {
+            (r.query_id, r.vec_id, r.sim)
+            for r in ivf_topk(q, e, k=4, n_centroids=8, nprobe=2).collect()
+        }
+        via_index = ivf_topk_indexed(spark, idx, q, k=4, nprobe=2)
+        got = {(r.query_id, r.vec_id, r.sim) for r in via_index.collect()}
+        assert got == mem and len(got) > 0
+
+        plan = via_index._jdf.queryExecution().executedPlan().toString()
+        pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert pf, plan
+        assert any("cent_id" in l.split("PartitionFilters", 1)[1] for l in pf), pf
+
     def test_kmeans_deterministic(self):
         import numpy as np
 
