@@ -89,5 +89,15 @@ def wizard(config_path) -> None:
     ConfigWizard.cli_start(config_path)
 
 
+@cli.command()
+@click.option("--config", "config_path", default=None)
+def setup(config_path) -> None:
+    """Alias for ``wizard`` — the reference's command name
+    (lotad/cli.py:16-22)."""
+    from lotad_spark.config_wizard import ConfigWizard
+
+    ConfigWizard.cli_start(config_path)
+
+
 if __name__ == "__main__":
     cli()

@@ -34,6 +34,15 @@ class TestWizardBootstrap:
         res = _run(["wizard"], "\n")
         assert res.exit_code == 0
 
+    def test_setup_alias(self, tmp_path, sf_dir):
+        cfg = tmp_path / "wiz2.yaml"
+        res = _run(
+            ["setup", "--config", str(cfg)],
+            f"{sf_dir}\n{sf_dir}\nn\n7\n",
+        )
+        assert res.exit_code == 0, res.output
+        assert os.path.exists(cfg)
+
 
 class TestWizardMenuActions:
     def _bootstrap(self, tmp_path, sf_dir) -> str:
