@@ -460,6 +460,101 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_sample_hash(spark, sf_dir):
+    """Deterministic Bernoulli sample (rate 0.25) keyed on md5(id) — same
+    rows on every run/partitioning/engine; pure scan-side filter."""
+    from lotad_spark.pipeline import hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_sample(docs, 0.25)
+
+
+def q_train_eval_split(spark, sf_dir):
+    """Hash-keyed train/eval split: a doc keeps its split forever (across
+    runs and corpus growth) — the property that prevents eval leakage."""
+    from lotad_spark.pipeline import train_eval_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return train_eval_split(docs, eval_rate=0.1)
+
+
+def q_stratified_cap(spark, sf_dir):
+    """Per-source cap (≤50 docs/source, uniform hash priority) — the
+    anti-domination cap; WindowGroupLimit keeps it map-side partial."""
+    from lotad_spark.pipeline import stratified_cap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_cap(docs, "source", 50)
+
+
+def _eval_snippets(spark, sf_dir):
+    """Deterministic benchmark stand-in: every 25th doc's first 30 tokens
+    — guaranteed to be CONTAINED in its source doc, so the contamination
+    operator has true positives to find."""
+    from lotad_spark.pipeline.text import tokens
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select(
+            "doc_id",
+            F.array_join(F.slice(tokens(F.col("text")), 1, 30), " ").alias(
+                "text"
+            ),
+        )
+    )
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: n-gram CONTAINMENT (|T∩E| / |E|) of each
+    eval item in each training doc, eval side broadcast — the 100 TB side
+    is never shuffled by shingle."""
+    from lotad_spark.pipeline import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return contamination_pairs(
+        docs, _eval_snippets(spark, sf_dir), threshold=0.5
+    ).select(
+        "train_id", "eval_id", F.round("containment", 6).alias("containment")
+    )
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-language length quantiles (linear interpolation — same
+    definition as DuckDB quantile_cont): the corpus length profile that
+    sizes token budgets and length filters."""
+    docs = _t(spark, sf_dir, "documents")
+    pct = F.percentile(F.col("n_chars"), F.array(*[
+        F.lit(p) for p in (0.25, 0.5, 0.75, 0.95)
+    ]))
+    agg = docs.groupBy("lang").agg(pct.alias("ps"))
+    return agg.select(
+        "lang",
+        F.round(F.col("ps")[0], 6).alias("p25"),
+        F.round(F.col("ps")[1], 6).alias("p50"),
+        F.round(F.col("ps")[2], 6).alias("p75"),
+        F.round(F.col("ps")[3], 6).alias("p95"),
+    )
+
+
+def q_curate_corpus(spark, sf_dir):
+    """The composed curation pipeline: gate → exact dedup → near-dup
+    component drop → decontaminate → per-source cap → hash sample, as one
+    lazy plan (two corpus shuffles end-to-end)."""
+    from lotad_spark.pipeline import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate_corpus(
+        docs,
+        _eval_snippets(spark, sf_dir),
+        cap_per_source=40,
+        sample_rate=0.5,
+    )
+    return out.select(
+        "doc_id", "source", F.round("quality", 6).alias("quality"), "n_tokens"
+    )
+
+
 def q_events_session_agg(spark, sf_dir):
     from lotad_spark.streaming import session_event_agg
 
@@ -806,6 +901,133 @@ JOIN sizes za ON za.doc_id = i.id_a
 JOIN sizes zb ON zb.doc_id = i.id_b
 """
 
+# --- sampling / contamination / curation fragments -------------------------
+
+from lotad_spark.pipeline.sampling import _hex_threshold
+
+# Distinct word-3-gram shingles of a (doc_id, tk) CTE — the shape shared by
+# the near-dup and contamination oracles.
+def _shingle_select(toks_cte: str) -> str:
+    return (
+        "SELECT DISTINCT doc_id, "
+        "unnest(list_transform(range(1, len(tk) - 1), "
+        "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle "
+        f"FROM {toks_cte} WHERE len(tk) >= 3"
+    )
+
+
+_EVAL_SNIPPET_SQL = (
+    f"SELECT doc_id, array_to_string(list_slice({_TOKS}, 1, 30), ' ') AS text "
+    "FROM documents WHERE doc_id % 25 = 0"
+)
+
+_CONTAM_SQL = f"""
+WITH ev AS ({_EVAL_SNIPPET_SQL}),
+ttk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+tsh AS ({_shingle_select('ttk')}),
+etk AS (SELECT doc_id, {_TOKS} AS tk FROM ev),
+esh AS ({_shingle_select('etk')}),
+esz AS (SELECT doc_id, count(*) AS e_sz FROM esh GROUP BY doc_id),
+inter AS (
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS n_inter
+    FROM tsh t JOIN esh e ON e.shingle = t.shingle GROUP BY 1, 2
+)
+SELECT train_id, eval_id,
+    round(CAST(n_inter AS DOUBLE) / CAST(e_sz AS DOUBLE), 6) AS containment
+FROM inter JOIN esz ON esz.doc_id = inter.eval_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(e_sz AS DOUBLE) >= 0.5
+"""
+
+_QUALITY_EXPR_SQL = (
+    f"(CAST(len(list_filter({_TOKS}, t -> lower(t) IN "
+    f"('the','a','of','and','is'))) AS DOUBLE) "
+    f"/ greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)) * 0.5 "
+    f"+ (least(CAST(len({_TOKS}) AS DOUBLE), 100.0) / 100.0) * 0.3 "
+    f"+ (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) "
+    f"AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.2"
+)
+
+_CURATE_SQL = f"""
+WITH RECURSIVE lang AS ({_LANG_ID_SQL}),
+q AS (SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality FROM documents),
+st AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+gated AS (
+    SELECT d.doc_id, d.source, d.text, q.quality, st.n_tokens
+    FROM documents d
+    JOIN lang ON lang.doc_id = d.doc_id
+    JOIN q ON q.doc_id = d.doc_id
+    JOIN st ON st.doc_id = d.doc_id
+    WHERE lang.lang_pred = 'en' AND q.quality >= 0.5
+      AND st.n_tokens BETWEEN 5 AND 100000
+),
+dd AS (
+    SELECT * FROM gated
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+toks AS (SELECT doc_id, {_TOKS} AS tk FROM dd),
+sh AS ({_shingle_select('toks')}),
+sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_ROWS_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_i = b.band_i AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS n_inter
+    FROM cand c
+    JOIN sh s1 ON s1.doc_id = c.id_a
+    JOIN sh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+    GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+    SELECT i.id_a, i.id_b FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE)
+          >= 0.6
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT src, dst FROM edges
+          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component_id
+         FROM reach GROUP BY src),
+near_drop AS (SELECT doc_id FROM comp WHERE doc_id != component_id),
+kept AS (SELECT * FROM dd
+         WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+ev AS ({_EVAL_SNIPPET_SQL}),
+etk AS (SELECT doc_id, {_TOKS} AS tk FROM ev),
+esh AS ({_shingle_select('etk')}),
+esz AS (SELECT doc_id, count(*) AS e_sz FROM esh GROUP BY doc_id),
+ktk AS (SELECT doc_id, {_TOKS} AS tk FROM kept),
+ksh AS ({_shingle_select('ktk')}),
+cinter AS (
+    SELECT k.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS n_inter
+    FROM ksh k JOIN esh e ON e.shingle = k.shingle GROUP BY 1, 2
+),
+contam AS (
+    SELECT DISTINCT train_id FROM cinter
+    JOIN esz ON esz.doc_id = cinter.eval_id
+    WHERE CAST(n_inter AS DOUBLE) / CAST(e_sz AS DOUBLE) >= 0.5
+),
+kept2 AS (SELECT * FROM kept
+          WHERE doc_id NOT IN (SELECT train_id FROM contam)),
+capped AS (
+    SELECT * FROM kept2
+    QUALIFY row_number() OVER (
+        PARTITION BY source
+        ORDER BY quality DESC,
+                 substr(md5('curate:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                 doc_id) <= 40
+)
+SELECT doc_id, source, round(quality, 6) AS quality, n_tokens FROM capped
+WHERE substr(md5('curate:' || CAST(doc_id AS VARCHAR)), 1, 8)
+      < '{_hex_threshold(0.5)}'
+"""
+
+
 def _simhash_fp_ctes(source_sql: str) -> str:
     """CTE chain computing (doc_id, simhash) for an arbitrary corpus —
     shared by the fingerprint oracle and the pairing oracle."""
@@ -1007,6 +1229,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "sample_hash": q_sample_hash,
+        "train_eval_split": q_train_eval_split,
+        "stratified_cap": q_stratified_cap,
+        "contamination_check": q_contamination_check,
+        "length_quantiles": q_length_quantiles,
+        "curate_corpus": q_curate_corpus,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "custom_query_diff": q_custom_query_diff,
@@ -1230,6 +1458,33 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
+        "sample_hash": (
+            "SELECT doc_id FROM documents "
+            "WHERE substr(md5(':' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            f"< '{_hex_threshold(0.25)}'"
+        ),
+        "train_eval_split": (
+            "SELECT doc_id, CASE WHEN "
+            "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            f"< '{_hex_threshold(0.1)}' THEN 'eval' ELSE 'train' END AS split "
+            "FROM documents"
+        ),
+        "stratified_cap": (
+            "SELECT doc_id, source FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source ORDER BY "
+            "substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) "
+            "<= 50"
+        ),
+        "contamination_check": _CONTAM_SQL,
+        "length_quantiles": (
+            "SELECT lang, "
+            "round(quantile_cont(n_chars, 0.25), 6) AS p25, "
+            "round(quantile_cont(n_chars, 0.50), 6) AS p50, "
+            "round(quantile_cont(n_chars, 0.75), 6) AS p75, "
+            "round(quantile_cont(n_chars, 0.95), 6) AS p95 "
+            "FROM documents GROUP BY lang"
+        ),
+        "curate_corpus": _CURATE_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ann_ivf_sql(),
         "events_session_agg": _SESSION_SQL,

@@ -42,8 +42,19 @@ from lotad_spark.pipeline.multimodal import (
     resize_images,
     with_decoded_metadata,
 )
-from lotad_spark.pipeline.dedup import ngram_jaccard
+from lotad_spark.pipeline.dedup import exact_dedup_rows, ngram_jaccard
 from lotad_spark.pipeline.text import winnow_fingerprint
+from lotad_spark.pipeline.sampling import (
+    hash_sample,
+    sample_key,
+    stratified_cap,
+    train_eval_split,
+)
+from lotad_spark.pipeline.contamination import (
+    contaminated_ids,
+    contamination_pairs,
+)
+from lotad_spark.pipeline.curate import curate_corpus
 
 __all__ = [
     "tokens",
@@ -71,4 +82,12 @@ __all__ = [
     "resize_images",
     "frame_sample_plan",
     "with_decoded_metadata",
+    "exact_dedup_rows",
+    "hash_sample",
+    "sample_key",
+    "stratified_cap",
+    "train_eval_split",
+    "contaminated_ids",
+    "contamination_pairs",
+    "curate_corpus",
 ]

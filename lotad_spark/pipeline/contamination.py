@@ -1,0 +1,95 @@
+"""Benchmark decontamination: find training documents that contain
+eval/benchmark content, via n-gram containment.
+
+The standard LLM-pipeline hygiene step (the reference pipelines for
+GPT-3/PaLM/Llama all describe a variant): before training, drop every
+training document sharing too many n-grams with any benchmark item, so
+eval scores measure generalization rather than memorization.
+
+Metric: **containment**, not Jaccard —
+``|train_shingles ∩ eval_shingles| / |eval_shingles|``. A 100-word
+benchmark question fully quoted inside a 10 000-word web page has tiny
+Jaccard but containment 1.0; containment is the right direction for
+"does the training doc CONTAIN the eval item".
+
+Scale design (the asymmetry is the whole design):
+
+* The eval side is small (benchmark suites are 10³–10⁶ items) and the
+  train side is the 100 TB corpus — so the eval shingle set is
+  **broadcast**, and the train side streams through a map-side hash
+  join: the 100 TB side is never shuffled by shingle.
+* The only exchange is the groupBy on (train_id, eval_id) **matches**,
+  whose volume is bounded by actual overlap, which for a clean corpus is
+  ≈ 0. The cost is one scan of train + shingling CPU.
+* If the eval set ever outgrows broadcast (~8 GB of shingles), drop the
+  ``F.broadcast`` hint and the same plan degrades gracefully to a
+  shuffled hash join on the shingle — semantics unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lotad_spark.pipeline.dedup import shingles
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    train_id: str = "doc_id",
+    eval_id: str = "doc_id",
+) -> DataFrame:
+    """(train_id, eval_id, containment) for every train×eval pair whose
+    n-gram containment of the EVAL item reaches ``threshold``.
+
+    ``containment = |T ∩ E| / |E|`` over distinct word n-grams.
+    Eval shingles and sizes are broadcast; the train corpus is scanned
+    once and never shuffled by shingle.
+    """
+    t_sh = shingles(train, train_id, "text", n).select(
+        F.col(train_id).alias("train_id"), "shingle"
+    )
+    e_sh = shingles(eval_df, eval_id, "text", n).select(
+        F.col(eval_id).alias("eval_id"), "shingle"
+    )
+    e_sz = e_sh.groupBy("eval_id").agg(F.count(F.lit(1)).alias("e_sz"))
+    inter = (
+        t_sh.join(F.broadcast(e_sh), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(F.broadcast(e_sz), "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            (F.col("n_inter").cast("double") / F.col("e_sz").cast("double")
+             ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    train_id: str = "doc_id",
+    eval_id: str = "doc_id",
+) -> DataFrame:
+    """Distinct train ids to DROP: one column ``train_id``. Feed to an
+    anti-join against the corpus (see ``curate.curate_corpus``)."""
+    return (
+        contamination_pairs(
+            train, eval_df, n=n, threshold=threshold,
+            train_id=train_id, eval_id=eval_id,
+        )
+        .select("train_id")
+        .distinct()
+    )

@@ -1,0 +1,117 @@
+"""curate_corpus — the end-to-end training-data curation pipeline, as ONE
+lazy DataFrame composition:
+
+    quality/language gate → exact dedup → near-dup (MinHash-LSH)
+    component drop → benchmark decontamination → per-source cap →
+    deterministic sample
+
+Every stage is an operator this package already oracle-checks in
+isolation (text.corpus_filter, dedup.exact_dedup_rows,
+dedup.near_dup_pairs + dedup_components, contamination.contaminated_ids,
+sampling.stratified_cap + hash_sample); this module is the composition a
+real pipeline runs nightly, declared lazily so Catalyst sees the WHOLE
+plan — the gate's language/quality/length predicates are applied at the
+first scan, and every later stage works on the reduced corpus.
+
+Stage order is cost order (each stage shrinks the input of the next):
+
+1. **Gate** — stateless projection+filter, applied on the scan; at real
+   corpus ratios this drops the bulk of raw crawl before anything
+   shuffles.
+2. **Exact dedup** — one shuffle by 128-bit content hash;
+   WindowGroupLimit keeps one row per local duplicate set map-side.
+3. **Near-dup drop** — MinHash-LSH pairs (banded, candidates only) →
+   min-label connected components → drop non-representatives via a
+   broadcast anti-join (the drop list is small: only docs IN a dup
+   component).
+4. **Decontaminate** — eval shingles broadcast; the corpus is never
+   shuffled by shingle; drop list anti-joined broadcast.
+5. **Cap per source** — WindowGroupLimit top-``cap`` per source by
+   quality (then id-hash tiebreak).
+6. **Sample** — stateless hash filter, reproducible across runs/engines.
+
+The heavy corpus is shuffled exactly TWICE end-to-end (content-hash
+dedup, per-source cap); every other stage is a scan-side filter or a
+broadcast join against a small derived set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lotad_spark.pipeline.contamination import contaminated_ids
+from lotad_spark.pipeline.dedup import (
+    dedup_components,
+    exact_dedup_rows,
+    near_dup_pairs,
+)
+from lotad_spark.pipeline.sampling import hash_sample, stratified_cap
+from lotad_spark.pipeline.text import lang_pred_expr, quality_expr, tokens
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    near_threshold: float = 0.6,
+    contam_threshold: float = 0.5,
+    cap_per_source: int = 1_000,
+    sample_rate: float = 1.0,
+    salt: str = "curate",
+) -> DataFrame:
+    """Returns the curated corpus as (id, source, quality, n_tokens).
+
+    ``eval_df`` is the benchmark set to decontaminate against (skipped
+    when None). All thresholds mirror the component operators' defaults;
+    see the module docstring for the plan shape per stage.
+    """
+    t = F.col(text_col)
+    gated = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        t,
+        quality_expr(t).alias("quality"),
+        lang_pred_expr(t).alias("lang_pred"),
+        F.size(tokens(t)).cast("bigint").alias("n_tokens"),
+    ).filter(
+        (F.col("lang_pred") == lang)
+        & (F.col("quality") >= min_quality)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+    )
+
+    deduped = exact_dedup_rows(gated, id_col, text_col)
+
+    pairs = near_dup_pairs(
+        deduped, id_col, text_col, threshold=near_threshold
+    )
+    comps = dedup_components(pairs, id_out=id_col)
+    near_drop = comps.filter(F.col(id_col) != F.col("component_id")).select(
+        id_col
+    )
+    kept = deduped.join(F.broadcast(near_drop), id_col, "left_anti")
+
+    if eval_df is not None:
+        bad = contaminated_ids(
+            kept, eval_df, threshold=contam_threshold,
+            train_id=id_col, eval_id=id_col,
+        ).withColumnRenamed("train_id", id_col)
+        kept = kept.join(F.broadcast(bad), id_col, "left_anti")
+
+    capped = stratified_cap(
+        kept, source_col, cap_per_source, id_col,
+        priority=F.col("quality"), salt=salt,
+    )
+    sampled = (
+        hash_sample(capped, sample_rate, id_col, salt=salt)
+        if sample_rate < 1.0
+        else capped
+    )
+    return sampled.select(id_col, source_col, "quality", "n_tokens")

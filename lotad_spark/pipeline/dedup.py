@@ -44,6 +44,26 @@ def exact_dedup(
     )
 
 
+def exact_dedup_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Full-row exact dedup: keeps the minimum-id ROW per distinct text
+    (all columns survive, unlike :func:`exact_dedup` which returns only
+    the id map). ``row_number() = 1`` over a content-hash window — Spark
+    ≥ 3.5 plans the rank filter as WindowGroupLimit, so each map task
+    keeps one row per local content-hash before the exchange: the
+    shuffle carries near-deduped data, and there is NO join back to
+    re-attach the surviving rows."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def shingles(
     df: DataFrame,
     id_col: str = "doc_id",
