@@ -96,14 +96,20 @@ def curate_corpus(
     near_drop = comps.filter(F.col(id_col) != F.col("component_id")).select(
         id_col
     )
-    kept = deduped.join(F.broadcast(near_drop), id_col, "left_anti")
+    # No explicit broadcast hint: the drop list scales with corpus
+    # duplication (unbounded on a dup-heavy crawl), so a forced broadcast
+    # could blow past Spark's broadcast limit / driver memory. AQE picks
+    # broadcast at runtime whenever the list is actually small.
+    kept = deduped.join(near_drop, id_col, "left_anti")
 
     if eval_df is not None:
         bad = contaminated_ids(
             kept, eval_df, threshold=contam_threshold,
             train_id=id_col, eval_id=id_col,
         ).withColumnRenamed("train_id", id_col)
-        kept = kept.join(F.broadcast(bad), id_col, "left_anti")
+        # Same reasoning as the near-dup drop: contamination volume
+        # scales with the corpus, so let AQE decide the join strategy.
+        kept = kept.join(bad, id_col, "left_anti")
 
     capped = stratified_cap(
         kept, source_col, cap_per_source, id_col,
