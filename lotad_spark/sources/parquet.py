@@ -50,7 +50,16 @@ def _floor_div_1000(col_name: str) -> F.Column:
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read one parquet table, normalizing nanosecond timestamps to µs."""
+    """Read one parquet table, normalizing timestamps to one session type.
+
+    Two encodings appear in the wild and both must land as plain
+    ``TimestampType``: TIMESTAMP(NANOS) (rejected by Spark's vectorized
+    reader by default; read as long + DIV-1000) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false), which Spark surfaces as ``timestamp_ntz``.
+    The session timezone is pinned to UTC (session.py), so the NTZ→LTZ
+    cast is value-preserving — same wall-clock rendering DuckDB gives the
+    naive TIMESTAMP, keeping cross-engine hashes exact.
+    """
     nanos = _nanos_timestamp_columns(path)
     if nanos:
         # Also set at session build (get_spark); re-assert here for
@@ -59,6 +68,9 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(_floor_div_1000(c)))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -137,8 +137,9 @@ class TestNormalize:
         assert dict(n1.dtypes)["xs"] == "string"
 
     def test_events_readable_and_ts_is_timestamp(self, spark, sf_dir, events):
-        # events.parquet carries timestamp[ns]; the source layer restores a
-        # proper timestamp column via DIV-1000 truncation
+        # the source layer lands ts as plain TimestampType whether the file
+        # carries timestamp[ns] (legacy-long + DIV-1000) or timestamp[us]
+        # isAdjustedToUTC=false (read as NTZ, cast under the UTC session TZ)
         assert dict(events.dtypes)["ts"] == "timestamp"
         assert events.count() > 0
 
