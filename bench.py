@@ -54,12 +54,14 @@ def main() -> None:
     queries: dict[str, float] = {}
     drift_counts: dict[str, int] = {}
 
-    # Min of two warm repeats per table: per-job scheduling overhead on a
-    # shared box varies by ±1s, which across 8 tables swamps the signal.
+    # Min of three warm repeats per table: per-job scheduling overhead on a
+    # shared box varies by ±1s, which across 8 tables swamps the signal
+    # (the round-4 driver run recorded diff_orders at 4.55s where the
+    # warm best was 2.5s — one noisy repeat out of two was enough).
     diff_total = 0.0
     for t in RELATIONAL_TABLES:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             r = diff_tables(
                 db1.table(t), db2.table(t), db1_id="db1", db2_id="db2"

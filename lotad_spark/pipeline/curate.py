@@ -21,18 +21,23 @@ Stage order is cost order (each stage shrinks the input of the next):
 2. **Exact dedup** — one shuffle by 128-bit content hash;
    WindowGroupLimit keeps one row per local duplicate set map-side.
 3. **Near-dup drop** — MinHash-LSH pairs (banded, candidates only) →
-   min-label connected components → drop non-representatives via a
-   broadcast anti-join (the drop list is small: only docs IN a dup
-   component).
-4. **Decontaminate** — eval shingles broadcast; the corpus is never
-   shuffled by shingle; drop list anti-joined broadcast.
+   min-label connected components → drop non-representatives via an
+   anti-join. The drop list scales with corpus duplication (unbounded
+   on a dup-heavy crawl), so no broadcast hint is forced: AQE picks
+   broadcast at runtime when the list is actually small, shuffle
+   otherwise.
+4. **Decontaminate** — eval shingles broadcast (the EVAL set is the
+   bounded side; the corpus is never shuffled by shingle); the
+   resulting drop list is anti-joined with the same AQE-decided
+   strategy as stage 3.
 5. **Cap per source** — WindowGroupLimit top-``cap`` per source by
    quality (then id-hash tiebreak).
 6. **Sample** — stateless hash filter, reproducible across runs/engines.
 
-The heavy corpus is shuffled exactly TWICE end-to-end (content-hash
-dedup, per-source cap); every other stage is a scan-side filter or a
-broadcast join against a small derived set.
+The heavy corpus is shuffled exactly twice unconditionally (content-hash
+dedup, per-source cap); the stage-3/4 anti-joins add shuffles only when
+AQE measures their drop lists as too large to broadcast — the worst case
+on a dup-heavy crawl, where a forced broadcast would be the scale bug.
 """
 
 from __future__ import annotations
