@@ -249,9 +249,14 @@ def dedup_components(
     practice; ``max_iter`` bounds pathological chains. Labels are
     ``localCheckpoint``-ed each round: without truncation the iterative
     lineage re-executes from scratch on every convergence check
-    (O(rounds²) work) and eventually overflows the planner. Only vertices
-    appearing in ``pairs`` are labeled — join the corpus back for
-    singleton docs (they are their own component by definition)."""
+    (O(rounds²) work) and eventually overflows the planner. The
+    checkpoint is LAZY and the convergence count is the action that
+    materializes it, so each round runs exactly ONE job (checkpoint
+    write + changed-count fused) instead of an eager-materialize job
+    followed by a count job — at small SF the loop is all fixed per-job
+    overhead, and this halves it. Only vertices appearing in ``pairs``
+    are labeled — join the corpus back for singleton docs (they are
+    their own component by definition)."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -279,7 +284,10 @@ def dedup_components(
                     ).alias("label"),
                     F.col("label").alias("_old"),
                 )
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
+            # This count is the single action of the round: it triggers
+            # the lazy checkpoint (truncating lineage) AND measures
+            # convergence in the same job.
             changed = proposed.filter(F.col("label") < F.col("_old")).count()
             labels = proposed.drop("_old")
             if changed == 0:
