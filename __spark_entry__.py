@@ -623,11 +623,26 @@ def q_events_key_stats(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode: each doc becomes a valid binary P6 PPM payload
+    (header 'P6\\n<w> <h>\\n255\\n' + w*h*3 pixel bytes) with dimensions
+    derived from doc_id; the kernel parses the header back out (same
+    answer PIL gives), so the oracle checks an actual decode round-trip,
+    not a byte-length fake."""
     from lotad_spark.pipeline.multimodal import with_decoded_metadata
 
+    w = (F.col("doc_id") % 13 + 1).cast("int")
+    h = (F.col("doc_id") % 7 + 1).cast("int")
+    ppm = F.concat(
+        F.lit("P6\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+        F.repeat(F.lit("x"), w * h * 3),
+    )
     media = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.encode(ppm, "utf-8").alias("content"),
     )
     return with_decoded_metadata(media)
 
@@ -1517,11 +1532,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(max(ts) AS TIMESTAMP) AS VARCHAR) AS last_ts "
             "FROM events GROUP BY user_id"
         ),
+        # The Spark side builds a real P6 PPM per doc and header-parses it
+        # back; the oracle recomputes the encoded dimensions directly, so a
+        # hash match proves the decode round-trip.
         "multimodal_decode": (
             "SELECT doc_id AS media_id, "
-            "CAST(octet_length(encode(text)) % 256 AS INTEGER) AS width, "
-            "CAST(octet_length(encode(text)) // 256 + 1 AS INTEGER) AS height, "
-            "'STUB' AS mode FROM documents"
+            "CAST(doc_id % 13 + 1 AS INTEGER) AS width, "
+            "CAST(doc_id % 7 + 1 AS INTEGER) AS height, "
+            "'RGB' AS mode FROM documents"
         ),
         # ASCII corpus ⇒ ord(char) == utf-8 byte; the 16-bin integer
         # histogram matches the Arrow kernel's np.bincount exactly.

@@ -2,12 +2,17 @@
 
 Convention: a media table carries ``content binary`` plus typed metadata
 columns (``media_type string``, ``n_bytes bigint``, …). Decode /
-feature-extraction / resize run as Arrow-batched ``mapInPandas`` stages —
-the image/audio libraries are not in this container, so the actual decode
-is STUBBED: when PIL is importable it is used; otherwise a clearly-marked
-deterministic fake derives dimensions/features from the raw bytes. The
+feature-extraction / resize run as Arrow-batched ``mapInPandas`` stages.
+
+Decode kernel tiers: (1) PIL when importable (not in this container);
+(2) otherwise a REAL pure-Python header parse for the public
+zero-dependency formats — BMP (``BM`` + BITMAPINFOHEADER) and netpbm
+P1-P6 (PPM/PGM/PBM) — returning the same (width, height, mode) PIL
+would; (3) for payloads in neither format, a clearly-marked
+deterministic fake derives dimensions from the byte length (STUB — a
+corrupt or exotic payload must yield a row, not kill the stage). The
 Spark-side plumbing — output schema, batch iteration, partition
-preservation — is real and tested; swapping the stub for a real decoder
+preservation — is identical across tiers; swapping in libvips/ffmpeg
 changes only the inner function.
 
 Scale notes: ``mapInPandas`` streams Arrow batches — no row-at-a-time
@@ -37,6 +42,70 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     the byte length (STUB — replace with PIL/libvips in production)."""
     n = len(payload)
     return (n % 256, (n // 256) % 256 + 1, "STUB")
+
+
+# PIL-compatible mode strings per netpbm magic (P1/P4 bitmap, P2/P5
+# graymap, P3/P6 pixmap) and BMP bits-per-pixel.
+_PNM_MODE = {"P1": "1", "P2": "L", "P3": "RGB", "P4": "1", "P5": "L", "P6": "RGB"}
+_BMP_MODE = {1: "1", 4: "P", 8: "P", 24: "RGB", 32: "RGBA"}
+
+
+def _parse_bmp(payload: bytes) -> tuple[int, int, str] | None:
+    """REAL decode of a BMP header (public format, zero deps): ``BM``
+    magic + BITMAPINFOHEADER width/height/bpp at fixed offsets. Height is
+    signed — negative means top-down row order, dimensions unchanged.
+    Returns None when the payload is not BMP."""
+    if len(payload) < 30 or payload[:2] != b"BM":
+        return None
+    import struct
+
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if width <= 0 or height == 0:
+        return None
+    return (width, abs(height), _BMP_MODE.get(bpp, f"BMP{bpp}"))
+
+
+def _parse_pnm(payload: bytes) -> tuple[int, int, str] | None:
+    """REAL decode of a netpbm (P1-P6 PBM/PGM/PPM) header: magic, then
+    whitespace-separated width/height with ``#`` comments allowed
+    anywhere in the header — the full public spec for the header section.
+    Like PIL, dimensions come from the header alone (a truncated pixel
+    section fails at load, not open). Returns None when not netpbm."""
+    magic = payload[:2].decode("ascii", "replace")
+    if magic not in _PNM_MODE or (len(payload) > 2 and payload[2:3].isdigit()):
+        return None
+    dims: list[int] = []
+    i = 2
+    while len(dims) < 2 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":  # comment runs to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(payload) and payload[j : j + 1].isdigit():
+                j += 1
+            dims.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(dims) < 2 or dims[0] <= 0 or dims[1] <= 0:
+        return None
+    return (dims[0], dims[1], _PNM_MODE[magic])
+
+
+def _headers_decode(payload: bytes) -> tuple[int, int, str]:
+    """No-PIL kernel: real header parse for BMP/netpbm payloads, byte-
+    length fake (mode='STUB') for anything else."""
+    for parse in (_parse_bmp, _parse_pnm):
+        parsed = parse(payload)
+        if parsed is not None:
+            return parsed
+    return _fake_decode(payload)
 
 
 def _pil_decode(payload: bytes) -> tuple[int, int, str]:  # pragma: no cover
@@ -71,7 +140,7 @@ def with_decoded_metadata(
     pass_names = [f.name for f in passthrough]
 
     def decode_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kernel = _pil_decode if _HAS_PIL else _fake_decode
+        kernel = _pil_decode if _HAS_PIL else _headers_decode
         for pdf in batches:
             decoded = pdf[content_col].map(
                 lambda b: kernel(bytes(b)) if b is not None else (0, 0, "NULL")

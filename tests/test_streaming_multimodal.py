@@ -104,6 +104,41 @@ class TestMultimodal:
         assert got[3].mode == "NULL"
         assert "content" not in with_decoded_metadata(df).columns
 
+    def test_decode_real_ppm_and_bmp_headers(self, spark):
+        # REAL decode path: valid P6 PPM and BMP payloads parse to their
+        # true dimensions (what PIL would return), not byte-length fakes.
+        import struct
+
+        ppm = b"P6\n# a comment\n12 5\n255\n" + b"x" * (12 * 5 * 3)
+        pgm = b"P5\n3 4\n255\n" + b"\0" * 12
+        bmp = (
+            b"BM"
+            + struct.pack("<IHHI", 0, 0, 0, 54)
+            + struct.pack("<IiiHH", 40, 64, -32, 1, 24)  # top-down height
+            + b"\0" * 16
+        )
+        df = spark.createDataFrame(
+            [(1, ppm), (2, pgm), (3, bmp), (4, b"not an image")],
+            "media_id long, content binary",
+        )
+        got = {r.media_id: r for r in with_decoded_metadata(df).collect()}
+        assert (got[1].width, got[1].height, got[1].mode) == (12, 5, "RGB")
+        assert (got[2].width, got[2].height, got[2].mode) == (3, 4, "L")
+        assert (got[3].width, got[3].height, got[3].mode) == (64, 32, "RGB")
+        assert got[4].mode == "STUB"  # unknown format falls back, loudly
+
+    def test_pnm_parser_units(self):
+        from lotad_spark.pipeline.multimodal import _parse_bmp, _parse_pnm
+
+        assert _parse_pnm(b"P6 7 9 255 ") == (7, 9, "RGB")
+        assert _parse_pnm(b"P3\n#c\n#c\n2\n3\n255\n1 1 1") == (2, 3, "RGB")
+        assert _parse_pnm(b"P1\n5 6\n") == (5, 6, "1")
+        assert _parse_pnm(b"P6\n0 5\n255\n") is None  # zero dim invalid
+        assert _parse_pnm(b"P62 3") is None  # bad magic
+        assert _parse_pnm(b"Plain text, not an image") is None
+        assert _parse_bmp(b"BMtooshort") is None
+        assert _parse_bmp(b"not bmp at all, padded out to length") is None
+
     def test_decode_keeps_partitioning_columns(self, spark):
         df = spark.createDataFrame(
             [(1, "img/png", b"abc")], "media_id long, media_type string, content binary"
