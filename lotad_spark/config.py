@@ -4,12 +4,17 @@ Mirrors the reference's config model (lotad/config.py:64-309) re-pointed at
 Parquet-directory databases: two DB endpoints, output path, table filters,
 per-table rules (``ignore_column``) and per-table custom queries with the
 same validation rules (CTE ban, parseability, whitespace normalization,
-trailing ``;`` — lotad/config.py:141-163). Password/.env handling is
-dropped: parquet sources need none (SURVEY §7.1 M3).
+trailing ``;`` — lotad/config.py:141-163). Credentials follow the
+reference's secrets-out-of-YAML contract (lotad config.py:222-233,
+278-287) via ``${ENV_VAR}`` references in ``*_jdbc`` specs, resolved only
+at connect time; the ``.env``-file write is dropped — deployments inject
+env vars directly.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from dataclasses import dataclass, field
 from enum import Enum
 
@@ -99,12 +104,45 @@ class TableConfig:
         return out
 
 
+_ENV_REF = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def resolve_env_refs(value: str) -> str:
+    """Expand ``${ENV_VAR}`` references from the process environment.
+
+    The reference keeps database passwords out of the versioned YAML and
+    resolves them from the environment at load time (lotad
+    config.py:222-233, 278-287); this is the same contract minus the
+    ``.env`` file write — the YAML stores only the reference, the secret
+    lives wherever the deployment injects env vars. Unset variables are a
+    loud error: a silently-empty password yields a confusing auth failure
+    three layers down."""
+    def _sub(m: "re.Match[str]") -> str:
+        name = m.group(1)
+        if name not in os.environ:
+            raise KeyError(
+                f"config references ${{{name}}} but it is not set in the "
+                "environment"
+            )
+        return os.environ[name]
+
+    return _ENV_REF.sub(_sub, value)
+
+
 @dataclass
 class Config:
-    """Comparison run configuration (YAML-serializable)."""
+    """Comparison run configuration (YAML-serializable).
 
-    db1_path: str
-    db2_path: str
+    Either side may be a parquet directory (``db1_path``) or a live JDBC
+    endpoint (``db1_jdbc`` — keys ``url``, ``properties`` such as
+    driver/user/password, ``tables``, ``partition_columns``,
+    ``num_partitions``). Secret-bearing values use ``${ENV_VAR}``
+    references, interpolated only when the connection is built — never at
+    serialization, so round-tripping the config through ``write`` can
+    never leak a secret into the YAML."""
+
+    db1_path: str | None = None
+    db2_path: str | None = None
     output_path: str = "drift_analysis_out"
     db1_id: str | None = None
     db2_id: str | None = None
@@ -112,6 +150,8 @@ class Config:
     ignore_tables: list[str] = field(default_factory=list)
     table_configs: list[TableConfig] = field(default_factory=list)
     ignore_dates: bool = False
+    db1_jdbc: dict | None = None
+    db2_jdbc: dict | None = None
 
     def __post_init__(self):
         self.table_configs = [
@@ -119,6 +159,20 @@ class Config:
             for tc in self.table_configs
         ]
         self._map = {tc.table_name: tc for tc in self.table_configs}
+        for side in ("db1", "db2"):
+            path, jdbc = getattr(self, f"{side}_path"), getattr(self, f"{side}_jdbc")
+            if (path is None) == (jdbc is None):
+                raise ValueError(
+                    f"exactly one of {side}_path / {side}_jdbc must be set"
+                )
+            if jdbc is not None:
+                pw = (jdbc.get("properties") or {}).get("password", "")
+                if pw and not _ENV_REF.search(pw):
+                    raise ValueError(
+                        f"{side}_jdbc carries a literal password; use a "
+                        "${ENV_VAR} reference so the secret never lands in "
+                        "the YAML"
+                    )
 
     @classmethod
     def load(cls, path: str) -> "Config":
@@ -130,7 +184,14 @@ class Config:
             yaml.dump(self.dict(), f, indent=2)
 
     def dict(self) -> dict:
-        out: dict = {"db1_path": self.db1_path, "db2_path": self.db2_path}
+        out: dict = {}
+        for side in ("db1", "db2"):
+            if getattr(self, f"{side}_path") is not None:
+                out[f"{side}_path"] = getattr(self, f"{side}_path")
+            else:
+                # Serialized AS WRITTEN: ${ENV_VAR} references stay
+                # references — resolution happens only at connect time.
+                out[f"{side}_jdbc"] = getattr(self, f"{side}_jdbc")
         if self.output_path:
             out["output_path"] = self.output_path
         for k in ("db1_id", "db2_id"):
@@ -170,13 +231,42 @@ class Config:
             self._map[table].query = query
 
 
+def database_from_config(spark, config: Config, side: str):
+    """Build one side's database: ParquetDatabase for ``*_path``,
+    JdbcDatabase for ``*_jdbc`` (with ``${ENV_VAR}`` secrets resolved
+    HERE, at connect time — the Config object and its serialization keep
+    only the references)."""
+    from lotad_spark.sources.parquet import ParquetDatabase
+
+    db_id = getattr(config, f"{side}_id") or side
+    path = getattr(config, f"{side}_path")
+    if path is not None:
+        return ParquetDatabase(spark, path, db_id)
+
+    from lotad_spark.sources.jdbc import JdbcDatabase
+
+    spec = getattr(config, f"{side}_jdbc")
+    props = {
+        k: resolve_env_refs(str(v))
+        for k, v in (spec.get("properties") or {}).items()
+    }
+    return JdbcDatabase(
+        spark,
+        resolve_env_refs(spec["url"]),
+        db_id,
+        properties=props,
+        tables=spec.get("tables"),
+        partition_columns=spec.get("partition_columns"),
+        num_partitions=int(spec.get("num_partitions", 8)),
+    )
+
+
 def comparator_from_config(spark, config: Config):
     """Build a ready-to-run DatabaseComparator from a Config."""
     from lotad_spark.compare import DatabaseComparator
-    from lotad_spark.sources.parquet import ParquetDatabase
 
-    db1 = ParquetDatabase(spark, config.db1_path, config.db1_id or "db1")
-    db2 = ParquetDatabase(spark, config.db2_path, config.db2_id or "db2")
+    db1 = database_from_config(spark, config, "db1")
+    db2 = database_from_config(spark, config, "db2")
     return DatabaseComparator(
         spark,
         db1,

@@ -97,6 +97,36 @@ def main() -> int:
         failures.append("identical nation tables drifted")
     print("nation identical: ok")
 
+    # Config→credentials path, live: a YAML-shaped config with a
+    # ${ENV_VAR}-referenced property builds a working JdbcDatabase (the
+    # dummy 'sessioninit' property is resolved from env and accepted by
+    # the DuckDB driver; a password would flow the same way).
+    from lotad_spark.config import Config, database_from_config
+
+    os.environ["JDBC_E2E_DUMMY"] = "true"
+    cfg = Config(
+        db1_path=sf_dir,
+        db2_jdbc={
+            "url": f"jdbc:duckdb:{db1_path}",
+            "properties": {
+                "driver": "org.duckdb.DuckDBDriver",
+                "duckdb.read_only": "${JDBC_E2E_DUMMY}",
+            },
+            "tables": ["customer", "nation"],
+        },
+    )
+    via_cfg = database_from_config(spark, cfg, "db2")
+    n = via_cfg.table("customer").count()
+    print(f"config-built JDBC scan rows: {n}")
+    if n == 0:
+        failures.append("config-built JDBC database returned no rows")
+    if via_cfg.properties["duckdb.read_only"] != "true":
+        failures.append(
+            f"env ref not resolved: {via_cfg.properties['duckdb.read_only']}"
+        )
+    if "true" in str(cfg.dict()["db2_jdbc"]["properties"]["duckdb.read_only"]):
+        failures.append("resolved value leaked back into config dict")
+
     if failures:
         print(f"FAILURES: {failures}")
         return 1

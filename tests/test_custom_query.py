@@ -96,6 +96,71 @@ class TestConfigRoundTrip:
         assert cfg.get_table_config("t").ignore_columns == ["uuid_col"]
 
 
+class TestJdbcCredentials:
+    """Secrets-out-of-YAML contract: ${ENV_VAR} references resolve only at
+    connect time and survive serialization as references."""
+
+    _SPEC = {
+        "url": "jdbc:postgresql://db.example/prod",
+        "properties": {
+            "driver": "org.postgresql.Driver",
+            "user": "svc",
+            "password": "${LOTAD_TEST_DB_PASSWORD}",
+        },
+        "tables": ["customer"],
+    }
+
+    def test_password_never_lands_in_yaml(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("LOTAD_TEST_DB_PASSWORD", "s3cret-hunter2")
+        cfg = Config(db1_path="/x/db1", db2_jdbc=dict(self._SPEC))
+        p = tmp_path / "cfg.yaml"
+        cfg.write(str(p))
+        text = p.read_text()
+        assert "s3cret-hunter2" not in text
+        assert "${LOTAD_TEST_DB_PASSWORD}" in text
+        loaded = Config.load(str(p))
+        assert (
+            loaded.db2_jdbc["properties"]["password"]
+            == "${LOTAD_TEST_DB_PASSWORD}"
+        )
+
+    def test_literal_password_rejected(self):
+        spec = {
+            "url": "jdbc:postgresql://db.example/prod",
+            "properties": {"password": "hunter2"},
+        }
+        with pytest.raises(ValueError, match="literal password"):
+            Config(db1_path="/x/db1", db2_jdbc=spec)
+
+    def test_resolution_at_connect_time(self, spark, monkeypatch):
+        from lotad_spark.config import database_from_config
+
+        monkeypatch.setenv("LOTAD_TEST_DB_PASSWORD", "s3cret-hunter2")
+        cfg = Config(db1_path="/x/db1", db2_jdbc=dict(self._SPEC))
+        db2 = database_from_config(spark, cfg, "db2")
+        assert db2.properties["password"] == "s3cret-hunter2"
+        assert db2.properties["user"] == "svc"
+        assert db2.list_tables() == ["customer"]
+        # the Config object itself still holds only the reference
+        assert cfg.dict()["db2_jdbc"]["properties"]["password"] == (
+            "${LOTAD_TEST_DB_PASSWORD}"
+        )
+
+    def test_unset_env_var_is_loud(self, spark, monkeypatch):
+        from lotad_spark.config import database_from_config
+
+        monkeypatch.delenv("LOTAD_TEST_DB_PASSWORD", raising=False)
+        cfg = Config(db1_path="/x/db1", db2_jdbc=dict(self._SPEC))
+        with pytest.raises(KeyError, match="LOTAD_TEST_DB_PASSWORD"):
+            database_from_config(spark, cfg, "db2")
+
+    def test_exactly_one_source_per_side(self):
+        with pytest.raises(ValueError, match="exactly one"):
+            Config(db1_path="a", db1_jdbc=self._SPEC, db2_path="b")
+        with pytest.raises(ValueError, match="exactly one"):
+            Config(db2_path="b")
+
+
 class TestCustomQueryExecution:
     def test_frame_runs_against_side(self, spark, sf_dir):
         from lotad_spark.sources.parquet import ParquetDatabase
