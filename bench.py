@@ -130,6 +130,42 @@ def main() -> None:
             fn(spark, sf_dir).foreach(lambda _: None)
             queries[name] = round(time.perf_counter() - t0, 3)
 
+    # ANN serving shape: ann_ivf_topk above pays k-means training per call
+    # (the correctness query). Production builds the index ONCE
+    # (build_ivf_index: train + assign + write partitioned-by-centroid)
+    # and serves probes off the materialized layout with static partition
+    # pruning — report both halves so the bench reflects serving latency.
+    from lotad_spark.pipeline.similarity import build_ivf_index, ivf_topk_indexed
+    from lotad_spark.sources.parquet import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    idx_dir = tempfile.mkdtemp(prefix="lotad_bench_ivf_")
+    t0 = time.perf_counter()
+    build_ivf_index(emb, idx_dir)
+    queries["ann_ivf_build_once"] = round(time.perf_counter() - t0, 3)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ivf_topk_indexed(
+            spark, idx_dir, emb.filter(F.col("vec_id") < 5), k=5
+        ).foreach(lambda _: None)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    queries["ann_ivf_probe_indexed"] = round(best, 3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # MinHash at production parameters (K=128 permutations, 16 bands × 8
+    # rows) on the same corpus as the K=8 demo row — the measured cost of
+    # the scale-grade configuration, not just the oracle-sized one.
+    from lotad_spark.pipeline.dedup import near_dup_pairs
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    near_dup_pairs(
+        docs, num_perms=128, bands=16, threshold=0.6
+    ).foreach(lambda _: None)
+    queries["dedup_near_minhash_k128"] = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {

@@ -110,6 +110,28 @@ class TestIvfTopk:
         assert pf, plan
         assert any("cent_id" in l.split("PartitionFilters", 1)[1] for l in pf), pf
 
+    def test_indexed_ivf_recall_vs_exact(self, spark, sf_dir, tmp_path):
+        """The serving shape (materialized index + static-pruned probes)
+        must carry the same recall guarantee as the in-memory path, not
+        just agree with it — this is the number a user of the index sees."""
+        from lotad_spark.pipeline.similarity import build_ivf_index, ivf_topk_indexed
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        e = ParquetDatabase(spark, sf_dir, "db").table("embeddings")
+        q = e.filter("vec_id < 5")
+        idx = str(tmp_path / "ivf_recall_idx")
+        build_ivf_index(e, idx, n_centroids=16)
+
+        exact = {
+            (r.query_id, r.vec_id) for r in cosine_topk(q, e, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk_indexed(spark, idx, q, k=5, nprobe=4).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, f"indexed IVF recall@5 {recall:.2f} < 0.5"
+
     def test_kmeans_deterministic(self):
         import numpy as np
 
