@@ -31,6 +31,35 @@ def column_overlap_count(
     return df2.join(F.broadcast(sample), on=column, how="left_semi").count()
 
 
+def _local_top_values(melted: DataFrame, limit: int) -> DataFrame:
+    """Per-partition cap of a melted (column_name, value) relation to the
+    ``limit`` lexicographically-first DISTINCT values per column — an
+    Arrow-batched narrow stage (no shuffle; string cast already happened
+    JVM-side in the melt). State is bounded: per column at most
+    ``2 * limit`` values are held before pruning back to ``limit``."""
+
+    def cap_batches(batches):
+        import pandas as pd
+
+        state: dict[str, set] = {}
+        for pdf in batches:
+            for col_name, vals in pdf.groupby("column_name")["value"]:
+                s = state.setdefault(col_name, set())
+                s.update(vals)
+                if len(s) > 2 * limit:
+                    state[col_name] = set(sorted(s)[:limit])
+        rows = [
+            (c, v)
+            for c, s in state.items()
+            for v in sorted(s)[:limit]
+        ]
+        yield pd.DataFrame(rows, columns=["column_name", "value"])
+
+    return melted.mapInPandas(
+        cap_batches, schema="column_name string, value string"
+    )
+
+
 def suggest_ignore_columns(
     df1: DataFrame,
     df2: DataFrame,
@@ -49,7 +78,16 @@ def suggest_ignore_columns(
     LIMIT), broadcast, then one map-side semi join + one tiny groupBy.
     Constant job count regardless of column width; each side is scanned
     once total instead of once per column. NULLs never count as overlap
-    (matches the reference's equi-join probe)."""
+    (matches the reference's equi-join probe).
+
+    BOUNDED SHUFFLE: the df1 melt never shuffles raw values. An
+    Arrow-batched per-partition cap (:func:`_local_top_values`) keeps the
+    ``sample_limit`` lexicographically-first distinct values per column
+    WITHIN each partition, so the global distinct + window shuffles at
+    most partitions × columns × limit rows instead of rows × columns —
+    the exchange is bounded by config, not by table size (pinned by
+    tests/test_wizard.py). Exact: every value in the global first-k is in
+    some partition's local first-k."""
     from pyspark.sql import Window
 
     s1 = {f.name: f.dataType for f in df1.schema.fields}
@@ -74,7 +112,7 @@ def suggest_ignore_columns(
 
     w = Window.partitionBy("column_name").orderBy("value")
     sample = (
-        melt(df1)
+        _local_top_values(melt(df1), sample_limit)
         .distinct()
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= sample_limit)

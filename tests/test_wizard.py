@@ -82,3 +82,29 @@ class TestSuggestIgnoreColumns:
         # Measured 4 (sample shuffle + broadcast build + AQE probe stages)
         # — the point is it's CONSTANT in column count, not 1-per-column.
         assert len(jobs) <= 5, f"expected ≤5 jobs for {n_cols} columns, got {len(jobs)}"
+
+    def test_local_cap_bounds_shuffle_and_stays_exact(self, spark):
+        """The df1 sample shuffle must be bounded by the per-partition cap:
+        no Exchange may sit BELOW the MapInPandas stage (raw rows×columns
+        never shuffle), and a binding limit still yields the exact
+        lexicographically-first distinct sample."""
+        from pyspark.sql import functions as F
+
+        from lotad_spark.wizard import _local_top_values
+
+        df = spark.range(0, 1000, 1, 8).select(
+            F.concat(F.lit("v"), F.lpad(F.col("id").cast("string"), 4, "0"))
+            .alias("val")
+        )
+        melted = df.select(
+            F.lit("val").alias("column_name"), F.col("val").alias("value")
+        )
+        capped = _local_top_values(melted, 5)
+        plan = capped._jdf.queryExecution().executedPlan().toString()
+        map_idx = plan.index("MapInPandas")
+        below = plan[map_idx:]  # plans print root-first; below = upstream
+        assert "Exchange" not in below, below
+        # Exact: global first-5 distinct == first-5 of the partition-capped
+        # union, even though each of the 8 partitions capped independently.
+        got = sorted(r.value for r in capped.collect())
+        assert got[:5] == [f"v{i:04d}" for i in range(5)]
