@@ -403,6 +403,38 @@ def q_text_winnow_fp(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    from lotad_spark.pipeline import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction proven on content that HAS PII: each document gets a
+    deterministic synthetic contact line (email + IPv4 + phone derived
+    from doc_id) appended, then scrubbed; the oracle builds the same
+    augmented text and applies the same RE2/Java-portable patterns, so a
+    hash match proves every span was found and replaced identically."""
+    from lotad_spark.pipeline import pii_scrub
+
+    d = F.col("doc_id")
+    aug = _t(spark, sf_dir, "documents").select(
+        d,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com from "),
+            F.lit("10.0."),
+            (d % 256).cast("string"),
+            F.lit(".7 call +1 555 01"),
+            (d % 89).cast("string"),
+            F.lit("9"),
+        ).alias("text"),
+    )
+    return pii_scrub(aug)
+
+
 def q_dedup_exact(spark, sf_dir):
     from lotad_spark.pipeline import exact_dedup
 
@@ -1238,6 +1270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "text_fingerprints": q_text_fingerprints,
         "text_winnow_fp": q_text_winnow_fp,
+        "text_repetition": q_text_repetition,
+        "text_pii_scrub": q_text_pii_scrub,
         "dedup_exact": q_dedup_exact,
         "dedup_near_minhash": q_dedup_near_minhash,
         "dedup_components": q_dedup_components,
@@ -1551,6 +1585,35 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "text_winnow_fp": _WINNOW_SQL,
+        "text_repetition": (
+            "WITH lines AS (SELECT doc_id, "
+            "CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines, "
+            "round(1.0 - CAST(len(list_distinct(str_split(text, chr(10)))) "
+            "AS DOUBLE) / greatest(len(str_split(text, chr(10))), 1), 6) "
+            "AS dup_line_frac FROM documents), "
+            f"tok AS (SELECT doc_id, {_TOKS} AS a FROM documents), "
+            "grams AS (SELECT doc_id, unnest(list_transform("
+            "range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS gram "
+            "FROM tok), "
+            "gc AS (SELECT doc_id, gram, count(*) AS c FROM grams "
+            "GROUP BY doc_id, gram), "
+            "agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot_c "
+            "FROM gc GROUP BY doc_id) "
+            "SELECT l.doc_id, l.n_lines, l.dup_line_frac, "
+            "round(coalesce(CAST(top_c AS DOUBLE) / tot_c, 0.0), 6) "
+            "AS top_bigram_frac FROM lines l LEFT JOIN agg USING (doc_id)"
+        ),
+        "text_pii_scrub": (
+            "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+            "text || ' contact user' || doc_id || '@example.com from 10.0.'"
+            " || (doc_id % 256) || '.7 call +1 555 01' || (doc_id % 89) "
+            "|| '9', "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), "
+            r"'\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'), "
+            r"'\+?\d[\d()\- ]{6,}\d', '<PHONE>', 'g') AS text "
+            "FROM documents"
+        ),
         "dedup_embedding": _embedding_lsh_sql(),
         "custom_query_diff": _sym_except(
             "c_custkey, c_acctbal",

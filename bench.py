@@ -166,6 +166,50 @@ def main() -> None:
     ).foreach(lambda _: None)
     queries["dedup_near_minhash_k128"] = round(time.perf_counter() - t0, 3)
 
+    # Streaming soak: the FULL sf events table through a real multi-batch
+    # readStream (8 source files, one per micro-batch) — windowed agg and
+    # the applyInPandasWithState custom operator both carry
+    # watermark-bounded state across batches; availableNow terminates
+    # after draining. Wall time is the whole run: spin-up, all
+    # micro-batches, state commits.
+    from lotad_spark.streaming import key_lifetime_stats, windowed_event_agg
+
+    stream_src = os.path.join(work, "stream_src")
+    if not os.path.exists(stream_src):
+        read_table(spark, f"{sf_dir}/events.parquet").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(stream_src)
+    stream_schema = spark.read.parquet(stream_src).schema
+    for bench_name, op in (
+        ("stream_windowed_agg_soak", windowed_event_agg),
+        ("stream_stateful_soak", key_lifetime_stats),
+    ):
+        ckpt = tempfile.mkdtemp(prefix=f"lotad_bench_ckpt_{bench_name}_")
+        stream = (
+            spark.readStream.schema(stream_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_src)
+        )
+        t0 = time.perf_counter()
+        sq = (
+            op(stream)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        queries[bench_name] = round(time.perf_counter() - t0, 3)
+        n_batches = (sq.lastProgress or {}).get("batchId")
+        if n_batches is not None and n_batches < 2:
+            print(
+                f"{bench_name}: expected multi-batch soak, got "
+                f"batchId={n_batches}",
+                file=sys.stderr,
+            )
+        shutil.rmtree(ckpt, ignore_errors=True)
+
     print(
         json.dumps(
             {

@@ -15,7 +15,9 @@ from lotad_spark.pipeline.text import (
     bow_fingerprint,
     lang_id,
     normalized_fingerprint,
+    pii_scrub,
     quality_score,
+    repetition_stats,
     text_stats,
     tokens,
 )
@@ -63,6 +65,8 @@ __all__ = [
     "lang_id",
     "normalized_fingerprint",
     "bow_fingerprint",
+    "pii_scrub",
+    "repetition_stats",
     "dedup_components",
     "exact_dedup",
     "shingles",

@@ -205,6 +205,99 @@ def bow_fingerprint(text_col: Column | str) -> Column:
     )
 
 
+# PII scrub patterns, applied IN ORDER (email before IP before phone —
+# the phone pattern would otherwise eat dotted IPs digit-by-digit).
+# Regex subset chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): character classes, bounded repetition, \b — no
+# lookarounds, no backreferences.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d()\- ]{6,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    patterns: list[tuple[str, str]] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4s, phone numbers) with typed
+    placeholders — the standard pre-training privacy pass.
+
+    A chain of JVM-side ``regexp_replace`` expressions in one projection:
+    single scan, whole-stage codegen, no Python, no shuffle — at 100 TB
+    this is scan-bound exactly like any other stateless gate, and it
+    composes into :func:`corpus_filter`-style fused projections."""
+    target = out_col or text_col
+    expr = F.col(text_col)
+    for pat, repl in patterns or PII_PATTERNS:
+        expr = F.regexp_replace(expr, pat, repl)
+    return df.withColumn(target, expr)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+    (id, n_lines, dup_line_frac, top_bigram_frac).
+
+    ``dup_line_frac`` — fraction of lines that are duplicates of an
+    earlier line (1 − distinct/total) — and ``top_bigram_frac`` — share
+    of all token bigrams taken by the single most frequent one — are the
+    two cheapest high-signal repetition filters for crawl text.
+
+    Plan shape: the line stats are a pure projection; the bigram mode
+    needs true per-(doc, gram) counts, so it is ONE explode feeding two
+    hash aggregations keyed by the doc id — partial aggregation runs
+    map-side and only (doc, gram, count) partials shuffle. Left join back
+    restores gram-free docs (fraction 0.0)."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double")
+            / F.greatest(F.size(lines), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_line_frac"),
+    )
+    # Bind the token array once (same trick as dedup.shingles) and emit
+    # overlapping bigrams; docs under 2 tokens yield no rows.
+    grams = F.transform(
+        F.array(tokens(t)),
+        lambda tk: F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 2),
+                lambda i: F.array_join(F.slice(tk, i + 1, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
+    gram_mode = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_tot"))
+    )
+    return base.join(gram_mode, id_col, "left").select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        F.round(
+            F.coalesce(
+                F.col("_top").cast("double") / F.col("_tot"), F.lit(0.0)
+            ),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
 def corpus_filter(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -78,6 +78,45 @@ class TestTextOps:
         kept = {r.doc_id for r in corpus_filter(df).collect()}
         assert kept == {1}
 
+    def test_repetition_stats(self, spark):
+        from lotad_spark.pipeline import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b\na b\nc d"),  # 3 lines, one duplicate
+                (2, "x y x y x y"),    # bigram "x y" 3 of 5
+                (3, "one"),            # no bigrams
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in repetition_stats(df).collect()}
+        assert got[1].n_lines == 3
+        assert got[1].dup_line_frac == round(1 - 2 / 3, 6)
+        assert got[2].dup_line_frac == 0.0
+        # bigrams of "x y x y x y": x y, y x, x y, y x, x y → top 3/5
+        assert got[2].top_bigram_frac == 0.6
+        assert got[3].top_bigram_frac == 0.0
+        assert got[4].n_lines == 1 and got[4].top_bigram_frac == 0.0
+
+    def test_pii_scrub_redacts_in_order(self, spark):
+        from lotad_spark.pipeline import pii_scrub
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail bob.smith+x@corp.example.org now"),
+                (2, "host 192.168.1.254 up"),
+                (3, "call +44 (0) 20-7946 0958 soon"),
+                (4, "clean text without identifiers"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.text for r in pii_scrub(df).collect()}
+        assert got[1] == "mail <EMAIL> now"
+        assert got[2] == "host <IP> up"
+        assert got[3] == "call <PHONE> soon"
+        assert got[4] == "clean text without identifiers"
+
     def test_fingerprints(self, docs):
         fp = docs.select(
             "doc_id",
