@@ -878,9 +878,20 @@ _LANG_ID_SQL = (
 )
 
 # MinHash K=8 / 4 bands of 2 — mirrors lotad_spark.pipeline.dedup defaults.
-_SIG_COLS_SQL = ", ".join(
-    f"min(substr(md5('{i}:' || shingle), 1, 16)) AS sig_{i}" for i in range(8)
-)
+# Mirrors pipeline.dedup.minhash_signatures: one 32-bit base hash per
+# shingle (first 8 md5 hex chars), then K universal-hash permutations
+# (a·h + b) mod 2^31−1 with the same deterministic coefficients.
+def _sig_cols_sql(num_perms: int = 8) -> str:
+    from lotad_spark.pipeline.dedup import MERSENNE31, perm_coeffs
+
+    base = "CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT)"
+    return ", ".join(
+        f"min(({a} * {base} + {b}) % {MERSENNE31}) AS sig_{i}"
+        for i, (a, b) in enumerate(perm_coeffs(num_perms))
+    )
+
+
+_SIG_COLS_SQL = _sig_cols_sql(8)
 _BAND_ROWS_SQL = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_i, "
     f"md5(sig_{2 * b} || '|' || sig_{2 * b + 1}) AS bh FROM sig"

@@ -89,11 +89,22 @@ def shingles(
     )
 
 
-def _perm_hash(i: int, shingle: Column) -> Column:
-    """Permutation-i hash of a shingle: first 16 hex chars of
-    md5('<i>:' + shingle). Lexicographic min over hex strings is a valid
-    MinHash (uniform over the 64-bit space)."""
-    return F.substring(F.md5(F.concat(F.lit(f"{i}:"), shingle)), 1, 16)
+MERSENNE31 = 2_147_483_647  # 2^31 − 1, the universal-hash modulus
+
+
+def perm_coeffs(num_perms: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficient pairs for the K universal-hash
+    permutations. a < 2^30 keeps a·h + b below 2^62 for a 32-bit base
+    hash — no signed-64 overflow in EITHER engine (Java longs would wrap
+    silently; DuckDB would error), so the arithmetic is bit-identical
+    across the Spark side and the SQL oracle."""
+    return [
+        (
+            (1_103_515_245 * i + 12_345) % ((1 << 30) - 1) + 1,
+            (69_069 * i + 1_234_567) % MERSENNE31,
+        )
+        for i in range(num_perms)
+    ]
 
 
 def minhash_signatures(
@@ -102,12 +113,28 @@ def minhash_signatures(
     num_perms: int = DEFAULT_PERMS,
 ) -> DataFrame:
     """K-permutation MinHash signature per document, one groupBy:
-    (id, sig_0 … sig_{K-1})."""
+    (id, sig_0 … sig_{K-1}).
+
+    ONE md5 per shingle, not K: the shingle is hashed once to a 32-bit
+    base (first 8 md5 hex chars), and the K permutations are cheap
+    universal hashes (a_i·h + b_i) mod (2^31−1) evaluated inside the
+    aggregate — at production K (128) this removes ~K× of the hash CPU,
+    which is the dominant cost of MinHash at corpus scale. The base hash
+    is computed in the pre-aggregation projection so codegen evaluates
+    it exactly once per shingle row."""
+    hashed = shingle_df.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
     aggs = [
-        F.min(_perm_hash(i, F.col("shingle"))).alias(f"sig_{i}")
-        for i in range(num_perms)
+        F.min(
+            (F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE31)
+        ).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(perm_coeffs(num_perms))
     ]
-    return shingle_df.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
