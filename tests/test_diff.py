@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from lotad_spark.operators.diff import diff_tables, normalize_for_diff
 
-STRATEGIES = ["groupby", "antijoin"]
+STRATEGIES = ["groupby", "antijoin", "window"]
 
 
 @pytest.fixture(scope="module")

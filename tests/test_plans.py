@@ -70,6 +70,22 @@ class TestGroupbyDiffPlans:
         assert "BroadcastHashJoin" in plan, plan
 
 
+class TestWindowDiffPlans:
+    def test_single_exchange(self, customer):
+        """The defining property of the default (window) strategy: ONE
+        exchange for the whole diff — the window shuffles by hash and the
+        trailing exact-duplicate collapse reuses that partitioning. A
+        second exchange means the distinct regressed to its own shuffle."""
+        r = diff_tables(customer, customer.filter("c_custkey != 5"))
+        plan = _plan(r.diff)
+        exchanges = [
+            l for l in plan.splitlines()
+            if "Exchange" in l and "Reused" not in l
+        ]
+        assert len(exchanges) == 1, plan
+        assert "hashpartitioning(hashed_row" in exchanges[0]
+
+
 class TestTextPlans:
     def test_corpus_filter_single_scan_no_joins(self, spark, sf_dir):
         """The training gate is ONE projection: a join or exchange here
