@@ -272,22 +272,48 @@ def dedup_components(
     (GraphFrames' Pregel loop is the same): each round every vertex takes
     the min of its own label and its neighbors' labels — one join + one
     groupBy per round, converging in O(component diameter) rounds.
-    Near-dup clusters are clique-like (diameter 1-2), so 2-4 rounds in
-    practice; ``max_iter`` bounds pathological chains. Labels are
-    ``localCheckpoint``-ed each round: without truncation the iterative
-    lineage re-executes from scratch on every convergence check
-    (O(rounds²) work) and eventually overflows the planner. The
-    checkpoint is LAZY and the convergence count is the action that
-    materializes it, so each round runs exactly ONE job (checkpoint
-    write + changed-count fused) instead of an eager-materialize job
-    followed by a count job — at small SF the loop is all fixed per-job
-    overhead, and this halves it. Only vertices appearing in ``pairs``
-    are labeled — join the corpus back for singleton docs (they are
-    their own component by definition)."""
+    Near-dup clusters are clique-like (diameter 1-2), so 2-4 propagation
+    steps in practice; ``max_iter`` bounds pathological chains. Each
+    scheduled round runs TWO propagation steps before the single
+    checkpoint + changed-count action: the loop is dominated by fixed
+    per-job latency (scheduling, broadcast, state commit), not by the
+    propagation itself, so fusing two steps per job halves the job count.
+    Convergence is read off the SECOND fused step: if step 2 changed no
+    label, step 1's output was already a fixed point and the round both
+    did the work and proved convergence — a diameter-1 graph (the
+    near-dup clique case) finishes in ONE job, with no separate
+    confirmation round. Labels are ``localCheckpoint``-ed each
+    round: without truncation the iterative lineage re-executes from
+    scratch on every convergence check (O(rounds²) work) and eventually
+    overflows the planner; the checkpoint is LAZY and the convergence
+    count is the action that materializes it. The symmetrized edge
+    relation is persisted REPARTITIONED by ``src``: the cached layout
+    carries hashpartitioning, so when the label side outgrows AQE's
+    broadcast threshold (the 100 TB case) every per-round join reuses the
+    cached edge partitioning and shuffles only the labels. Only vertices
+    appearing in ``pairs`` are labeled — join the corpus back for
+    singleton docs (they are their own component by definition)."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def propagate(lbl: DataFrame) -> DataFrame:
+        nbr_min = (
+            edges.join(lbl, edges["src"] == lbl["id"])
+            .select(F.col("dst").alias("id"), "label")
+            .groupBy("id")
+            .agg(F.min("label").alias("_nbr"))
+        )
+        return lbl.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("_nbr", "label")).alias("label"),
+        )
+
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -295,28 +321,19 @@ def dedup_components(
         .localCheckpoint()
     )
     try:
-        for _ in range(max_iter):
-            nbr_min = (
-                edges.join(labels, edges["src"] == labels["id"])
-                .select(F.col("dst").alias("id"), "label")
-                .groupBy("id")
-                .agg(F.min("label").alias("_nbr"))
-            )
+        for _ in range((max_iter + 1) // 2):
+            mid = propagate(labels).withColumnRenamed("label", "_mid")
             proposed = (
-                labels.join(nbr_min, "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce("_nbr", "label")
-                    ).alias("label"),
-                    F.col("label").alias("_old"),
-                )
+                propagate(mid.select("id", F.col("_mid").alias("label")))
+                .withColumnRenamed("label", "_new")
+                .join(mid, "id")
             ).localCheckpoint(eager=False)
-            # This count is the single action of the round: it triggers
-            # the lazy checkpoint (truncating lineage) AND measures
-            # convergence in the same job.
-            changed = proposed.filter(F.col("label") < F.col("_old")).count()
-            labels = proposed.drop("_old")
+            # The single action of the round: it triggers the lazy
+            # checkpoint (truncating lineage) AND counts step-2 changes.
+            # Labels only ever decrease, so _new < _mid iff step 2 moved;
+            # zero means step 1's labels were already a fixed point.
+            changed = proposed.filter(F.col("_new") < F.col("_mid")).count()
+            labels = proposed.select("id", F.col("_new").alias("label"))
             if changed == 0:
                 break
     finally:
