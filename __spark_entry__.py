@@ -519,6 +519,49 @@ def q_stratified_cap(spark, sf_dir):
     return stratified_cap(docs, "source", 50)
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_UPSAMPLE_WEIGHTS = {"src0": 2.3, "src1": 0.5}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Per-source data-mixture sampling: keep all of src0, half of src1,
+    a quarter of src2, 10% of everything else — one hash-keyed CASE
+    filter on the scan, zero shuffles."""
+    from lotad_spark.pipeline import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(docs, _MIX_RATES, default_rate=0.1)
+
+
+def q_upsample_weights(spark, sf_dir):
+    """Weighted repetition (weight 2.3 → 2 copies + deterministic 30%
+    third copy): expected multiplicity = the mixture weight, realized
+    set exactly reproducible; epoch column spreads copies across the
+    training order."""
+    from lotad_spark.pipeline import upsample_by_weight
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return upsample_by_weight(docs, _UPSAMPLE_WEIGHTS)
+
+
+def q_shuffle_batches(spark, sf_dir):
+    """Deterministic epoch shuffle + fixed-size batching via the bucketed
+    two-phase global rank (no single-partition window)."""
+    from lotad_spark.pipeline import shuffle_batches
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_batches(docs, 64)
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — keyword signal for topical
+    bucketing; two reduced-relation aggregations + WindowGroupLimit
+    top-k."""
+    from lotad_spark.pipeline import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def _eval_snippets(spark, sf_dir):
     """Deterministic benchmark stand-in: every 25th doc's first 30 tokens
     — guaranteed to be CONTAINED in its source doc, so the contamination
@@ -1290,6 +1333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sample_hash": q_sample_hash,
+        "mixture_sample": q_mixture_sample,
+        "upsample_weights": q_upsample_weights,
+        "shuffle_batches": q_shuffle_batches,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "train_eval_split": q_train_eval_split,
         "stratified_cap": q_stratified_cap,
         "contamination_check": q_contamination_check,
@@ -1522,6 +1569,60 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents "
             "WHERE substr(md5(':' || CAST(doc_id AS VARCHAR)), 1, 8) "
             f"< '{_hex_threshold(0.25)}'"
+        ),
+        "mixture_sample": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            "< CASE source "
+            + " ".join(
+                f"WHEN '{s}' THEN '{_hex_threshold(r)}'"
+                for s, r in sorted(_MIX_RATES.items())
+            )
+            + f" ELSE '{_hex_threshold(0.1)}' END"
+        ),
+        "upsample_weights": (
+            "SELECT doc_id, source, "
+            "CAST(unnest(generate_series(1, n)) AS INT) AS epoch FROM ("
+            "SELECT doc_id, source, CASE source "
+            + " ".join(
+                f"WHEN '{s}' THEN {int(w)}"
+                for s, w in sorted(_UPSAMPLE_WEIGHTS.items())
+            )
+            + " ELSE 1 END + CASE WHEN "
+            "substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            "< CASE source "
+            + " ".join(
+                f"WHEN '{s}' THEN '{_hex_threshold(w - int(w))}'"
+                for s, w in sorted(_UPSAMPLE_WEIGHTS.items())
+            )
+            + f" ELSE '{_hex_threshold(0.0)}' END THEN 1 ELSE 0 END AS n "
+            "FROM documents)"
+        ),
+        "shuffle_batches": (
+            "SELECT doc_id, shuffle_key, "
+            "CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 "
+            "AS BIGINT) AS shuffle_pos, "
+            "CAST(floor((row_number() OVER (ORDER BY shuffle_key, doc_id) "
+            "- 1) / 64) AS BIGINT) AS batch_id FROM ("
+            "SELECT doc_id, "
+            "substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            "AS shuffle_key FROM documents)"
+        ),
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM toks WHERE term <> '' GROUP BY doc_id, term), "
+            "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df "
+            "FROM tf GROUP BY term), "
+            "n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, "
+            "round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS score "
+            "FROM tf JOIN dfreq USING (term) CROSS JOIN n) "
+            "SELECT doc_id, term, tf, df, score FROM scored "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term ASC) <= 3"
         ),
         "train_eval_split": (
             "SELECT doc_id, CASE WHEN "

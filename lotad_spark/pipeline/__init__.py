@@ -19,6 +19,7 @@ from lotad_spark.pipeline.text import (
     quality_score,
     repetition_stats,
     text_stats,
+    tfidf_top_terms,
     tokens,
 )
 from lotad_spark.pipeline.dedup import (
@@ -48,9 +49,12 @@ from lotad_spark.pipeline.dedup import exact_dedup_rows, ngram_jaccard
 from lotad_spark.pipeline.text import winnow_fingerprint
 from lotad_spark.pipeline.sampling import (
     hash_sample,
+    mixture_sample,
     sample_key,
+    shuffle_batches,
     stratified_cap,
     train_eval_split,
+    upsample_by_weight,
 )
 from lotad_spark.pipeline.contamination import (
     contaminated_ids,
@@ -88,9 +92,13 @@ __all__ = [
     "with_decoded_metadata",
     "exact_dedup_rows",
     "hash_sample",
+    "mixture_sample",
     "sample_key",
+    "shuffle_batches",
     "stratified_cap",
+    "tfidf_top_terms",
     "train_eval_split",
+    "upsample_by_weight",
     "contaminated_ids",
     "contamination_pairs",
     "curate_corpus",

@@ -121,3 +121,122 @@ def stratified_cap(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    *,
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-source Bernoulli sampling — the "data mixture" operator that
+    turns raw source proportions into a target training mix (downsample
+    the over-represented crawl, keep all of the scarce high-quality
+    source). ``rates`` maps a source value to its keep probability;
+    sources absent from the map keep ``default_rate``.
+
+    Same determinism contract as ``hash_sample``: selection is keyed on
+    md5(salt ':' id), so the mix is reproducible across runs, engines,
+    and partitionings, and yesterday's kept rows stay kept when the
+    corpus grows.
+
+    Scale: the per-source threshold compiles to a single CASE expression
+    — the whole operator is one stateless filter on the scan, zero
+    shuffles, zero joins (a rates TABLE would force a broadcast join;
+    a literal CASE keeps it inside whole-stage codegen and lets the
+    common ``rate = 0`` sources prune via predicate pushdown)."""
+    threshold = F.lit(_hex_threshold(default_rate))
+    for src, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(source_col) == src, F.lit(_hex_threshold(rate))
+        ).otherwise(threshold)
+    return df.filter(sample_key(id_col, salt) < threshold)
+
+
+def upsample_by_weight(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    *,
+    default_weight: float = 1.0,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Weighted repetition — the other half of data mixing: a source with
+    weight 2.3 contributes every row twice plus a deterministic 30%
+    Bernoulli sample a third time (so the EXPECTED multiplicity is the
+    weight, and the realized set is exactly reproducible). Adds an
+    ``epoch`` column (1..n) distinguishing the copies so a downstream
+    global shuffle spreads them across the training order.
+
+    Scale: one stateless projection + ``explode(sequence(1, n))`` — the
+    row multiplication happens AFTER filters/pruning at the scan, never
+    shuffles, and the fractional draw reuses the ``hash_sample`` key
+    (md5 of the row id) so the oracle can replay it."""
+    n_copies = F.lit(int(default_weight))
+    frac_thr = F.lit(_hex_threshold(default_weight - int(default_weight)))
+    for src, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"weight must be >= 0, got {w} for {src!r}")
+        is_src = F.col(source_col) == src
+        n_copies = F.when(is_src, F.lit(int(w))).otherwise(n_copies)
+        frac_thr = F.when(
+            is_src, F.lit(_hex_threshold(w - int(w)))
+        ).otherwise(frac_thr)
+    total = n_copies + (sample_key(id_col, salt) < frac_thr).cast("int")
+    return (
+        df.withColumn("_n", total)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_n")
+    )
+
+
+def shuffle_batches(
+    df: DataFrame,
+    batch_size: int,
+    id_col: str = "doc_id",
+    *,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle + fixed-size batching: every row gets
+    a ``shuffle_key`` (md5 of salt ':' id), a global ``shuffle_pos``
+    (0-based rank in key order), and a ``batch_id`` (pos / batch_size) —
+    the "shuffle the corpus once per epoch, then read batches in order"
+    step of a training run, reproducible on any engine. Change ``salt``
+    per epoch for a fresh permutation.
+
+    Scale: ``row_number`` over a global ORDER BY is the obvious shape and
+    the classic scale bug — Spark plans an empty-PARTITION BY window as
+    ``Exchange SinglePartition`` (the whole corpus through one reducer).
+    The rank is computed bucketed instead: the key's first 2 hex chars
+    split the corpus into 256 uniform buckets; a per-bucket window ranks
+    locally (distributed, one hash shuffle), a 256-row aggregate —
+    reusing the SAME bucket partitioning, no extra exchange — yields
+    cumulative bucket offsets (the only single-partition window runs
+    over those 256 rows), and a broadcast join adds offset + local rank.
+    Widen the bucket prefix with the corpus (4 hex chars = 65k buckets at
+    100 TB)."""
+    d = df.withColumn("shuffle_key", sample_key(id_col, salt)).withColumn(
+        "_b", F.substring("shuffle_key", 1, 2)
+    )
+    wloc = Window.partitionBy("_b").orderBy("shuffle_key", id_col)
+    d = d.withColumn("_lrn", F.row_number().over(wloc))
+    counts = d.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    woff = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off")
+    )
+    return (
+        d.join(F.broadcast(offsets), "_b")
+        .withColumn("shuffle_pos", F.col("_off") + F.col("_lrn") - 1)
+        .withColumn(
+            "batch_id", F.floor(F.col("shuffle_pos") / F.lit(batch_size))
+        )
+        .drop("_b", "_lrn", "_off")
+    )

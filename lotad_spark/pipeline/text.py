@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -333,4 +334,65 @@ def corpus_filter(
             & F.col("n_tokens").between(min_tokens, max_tokens)
         )
         .select(id_col, "quality", "n_tokens")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: (id, term, tf, df, score) —
+    the classic keyword/topic signal a curation pipeline uses for
+    domain bucketing and topical mixing.
+
+    score = tf · ln(N / df), with terms lowercased whitespace tokens and
+    the score rounded to 6 decimals so two engines computing the same
+    ln() agree bit-for-bit after rounding. Ties break by term ascending
+    (total order → reproducible top-k).
+
+    Scale shape, all built-ins:
+    * TF: one shuffle of (doc, term) — the exploded relation never
+      carries the document text, and map-side partial aggregation
+      collapses repeated terms per partition before the exchange;
+    * DF: aggregates the TF output (already distinct per doc-term), so
+      per-term document counts reuse the reduced relation, shuffling one
+      row per distinct (doc, term);
+    * N: a scalar count joined in as a literal-free crossjoin of a
+      1-row frame — Catalyst broadcasts it;
+    * top-k: rank ≤ k over a per-doc window → WindowGroupLimit prunes to
+      k rows per doc map-side before the final shuffle."""
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("_n") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "term", "tf", "df", "score")
     )

@@ -373,3 +373,36 @@ class TestCorpusFilter:
         # every kept doc really is lang=en
         en = {r.doc_id for r in lang_id(docs).filter("lang_pred = 'en'").collect()}
         assert {r.doc_id for r in rows} <= en
+
+
+class TestTfidfTopTerms:
+    def test_scores_and_topk(self, spark):
+        from lotad_spark.pipeline import tfidf_top_terms
+        import math
+
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana apple"),
+                (2, "banana cherry"),
+                (3, "cherry date date date"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = tfidf_top_terms(docs, k=2).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert all(len(v) <= 2 for v in by_doc.values())
+        # 'apple' appears twice in doc 1 only: tf=2, df=1, N=3
+        apple = [r for r in rows if r.term == "apple"][0]
+        assert apple.tf == 2 and apple.df == 1
+        assert apple.score == round(2 * math.log(3 / 1), 6)
+        # ubiquitous term scores 0 and never beats a distinctive one
+        assert by_doc[1][0].term == "apple"
+
+    def test_empty_text_yields_no_terms(self, spark):
+        from lotad_spark.pipeline import tfidf_top_terms
+
+        docs = spark.createDataFrame([(1, ""), (2, "word")], ["doc_id", "text"])
+        got = {r.doc_id for r in tfidf_top_terms(docs, k=3).collect()}
+        assert got == {2}

@@ -191,3 +191,126 @@ class TestCurateCorpus:
                                    sample_rate=0.5).collect()
         }
         assert half <= full and half < full
+
+
+class TestMixtureSample:
+    def test_per_source_rates_and_nesting(self, docs):
+        from lotad_spark.pipeline import mixture_sample
+
+        m = mixture_sample(
+            docs.select("doc_id", "source"),
+            {"src0": 1.0, "src1": 0.0},
+            default_rate=0.5,
+        )
+        by_src = {
+            r.source: r.n
+            for r in m.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        totals = {
+            r.source: r.n
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_src["src0"] == totals["src0"]  # rate 1.0 keeps all
+        assert "src1" not in by_src  # rate 0.0 drops all
+        # default-rate sources are the hash_sample of themselves → nested
+        other = {r.doc_id for r in m.filter("source = 'src2'").collect()}
+        full = {
+            r.doc_id
+            for r in mixture_sample(
+                docs.select("doc_id", "source"), {}, default_rate=0.9
+            )
+            .filter("source = 'src2'")
+            .collect()
+        }
+        assert other <= full
+
+    def test_partitioning_invariant(self, docs):
+        from lotad_spark.pipeline import mixture_sample
+
+        rates = {"src0": 0.3, "src3": 0.7}
+        a = sorted(
+            r.doc_id
+            for r in mixture_sample(docs.select("doc_id", "source"), rates).collect()
+        )
+        b = sorted(
+            r.doc_id
+            for r in mixture_sample(
+                docs.repartition(7).select("doc_id", "source"), rates
+            ).collect()
+        )
+        assert a == b
+
+
+class TestUpsampleByWeight:
+    def test_copies_and_epochs(self, docs):
+        from lotad_spark.pipeline import upsample_by_weight
+
+        u = upsample_by_weight(
+            docs.select("doc_id", "source"), {"src0": 2.0, "src1": 0.0}
+        )
+        per_doc = (
+            u.filter("source = 'src0'")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"), F.max("epoch").alias("mx"))
+            .collect()
+        )
+        assert per_doc and all(r.n == 2 and r.mx == 2 for r in per_doc)
+        assert u.filter("source = 'src1'").count() == 0
+        # default weight 1.0: exactly one copy, epoch 1
+        rest = u.filter("source = 'src2'").groupBy("doc_id").count().collect()
+        assert rest and all(r["count"] == 1 for r in rest)
+
+    def test_fractional_weight_expected_multiplicity(self, docs):
+        from lotad_spark.pipeline import upsample_by_weight
+
+        u = upsample_by_weight(docs.select("doc_id", "source"), {}, default_weight=1.5)
+        n_in, n_out = docs.count(), u.count()
+        assert n_in < n_out < 2 * n_in  # ~1.5× in expectation
+
+    def test_negative_weight_rejected(self, docs):
+        from lotad_spark.pipeline import upsample_by_weight
+
+        with pytest.raises(ValueError):
+            upsample_by_weight(docs, {"src0": -1.0})
+
+
+class TestShuffleBatches:
+    def test_positions_contiguous_and_batches_full(self, docs):
+        from lotad_spark.pipeline import shuffle_batches
+
+        s = shuffle_batches(docs.select("doc_id"), 64)
+        n = docs.count()
+        pos = sorted(r.shuffle_pos for r in s.collect())
+        assert pos == list(range(n))  # exact 0..n-1, no gaps or dups
+        sizes = {
+            r.batch_id: r.n
+            for r in s.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+        }
+        full, last = divmod(n, 64)
+        assert all(sizes[b] == 64 for b in range(full))
+        if last:
+            assert sizes[full] == last
+
+    def test_salt_changes_permutation_not_membership(self, docs):
+        from lotad_spark.pipeline import shuffle_batches
+
+        a = shuffle_batches(docs.select("doc_id"), 64, salt="e1")
+        b = shuffle_batches(docs.select("doc_id"), 64, salt="e2")
+        ma = {r.doc_id: r.shuffle_pos for r in a.collect()}
+        mb = {r.doc_id: r.shuffle_pos for r in b.collect()}
+        assert set(ma) == set(mb)
+        assert ma != mb  # different epoch → different order
+
+    def test_no_single_partition_exchange_on_data(self, docs):
+        """The rank must come from the bucketed two-phase shape: the only
+        SinglePartition exchange allowed is the 256-row offsets branch
+        (child is the bucket-count aggregate), never the data relation."""
+        from lotad_spark.pipeline import shuffle_batches
+
+        plan = (
+            shuffle_batches(docs.select("doc_id"), 64)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "hashpartitioning(_b" in plan
