@@ -553,6 +553,17 @@ def q_shuffle_batches(spark, sf_dir):
     return shuffle_batches(docs, 64)
 
 
+def q_token_chunk_plan(spark, sf_dir):
+    """Concat-and-chunk packing plan: global token offsets in shuffled
+    order, cut into 512-token training blocks — distributed two-phase
+    cumulative sum, no single-partition window."""
+    from lotad_spark.pipeline import token_chunk_plan
+
+    return token_chunk_plan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), 512
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document — keyword signal for topical
     bucketing; two reduced-relation aggregations + WindowGroupLimit
@@ -1336,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "upsample_weights": q_upsample_weights,
         "shuffle_batches": q_shuffle_batches,
+        "token_chunk_plan": q_token_chunk_plan,
         "tfidf_top_terms": q_tfidf_top_terms,
         "train_eval_split": q_train_eval_split,
         "stratified_cap": q_stratified_cap,
@@ -1607,6 +1619,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8) "
             "AS shuffle_key FROM documents)"
+        ),
+        "token_chunk_plan": (
+            "WITH toks AS (SELECT doc_id, "
+            "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), "
+            "t -> t <> '')) AS BIGINT) AS n_tokens, "
+            "substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            "AS sk FROM documents), "
+            "offs AS (SELECT doc_id, n_tokens, "
+            "CAST(coalesce(sum(n_tokens) OVER (ORDER BY sk, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS chunk_start FROM toks WHERE n_tokens > 0) "
+            "SELECT doc_id, n_tokens, chunk_start, "
+            "CAST(floor(chunk_start / 512) AS BIGINT) AS first_chunk, "
+            "CAST(floor((chunk_start + n_tokens - 1) / 512) AS BIGINT) "
+            "AS last_chunk FROM offs"
         ),
         "tfidf_top_terms": (
             "WITH toks AS (SELECT doc_id, "

@@ -125,7 +125,7 @@ def main() -> None:
     # LLM-pipeline headliners (added as they land in entry queries()).
     for name in entry_mod.queries():
         if name.startswith(
-            ("dedup_", "ann_", "text_", "tfidf_", "mixture_", "upsample_", "shuffle_")
+            ("dedup_", "ann_", "text_", "tfidf_", "mixture_", "upsample_", "shuffle_", "token_")
         ):
             fn = entry_mod.queries()[name]
             t0 = time.perf_counter()
@@ -182,6 +182,15 @@ def main() -> None:
             "overwrite"
         ).parquet(stream_src)
     stream_schema = spark.read.parquet(stream_src).schema
+    # State-store partitioning is fixed at first run by the checkpoint and
+    # SHOULD be sized to the state, not inherited from the batch shuffle
+    # width: each micro-batch commits every state partition, so 32
+    # partitions × 8 batches = 256 commits of mostly-empty stores for a
+    # ~150-key workload — measured 2-3× the whole soak. 8 partitions fits
+    # this state; at production key cardinality raise it with the state
+    # size (commits amortize once partitions hold real state).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     for bench_name, op in (
         ("stream_windowed_agg_soak", windowed_event_agg),
         ("stream_stateful_soak", key_lifetime_stats),
@@ -211,6 +220,7 @@ def main() -> None:
                 file=sys.stderr,
             )
         shutil.rmtree(ckpt, ignore_errors=True)
+    spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     print(
         json.dumps(

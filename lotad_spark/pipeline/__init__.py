@@ -53,6 +53,7 @@ from lotad_spark.pipeline.sampling import (
     sample_key,
     shuffle_batches,
     stratified_cap,
+    token_chunk_plan,
     train_eval_split,
     upsample_by_weight,
 )
@@ -97,6 +98,7 @@ __all__ = [
     "shuffle_batches",
     "stratified_cap",
     "tfidf_top_terms",
+    "token_chunk_plan",
     "train_eval_split",
     "upsample_by_weight",
     "contaminated_ids",

@@ -240,3 +240,68 @@ def shuffle_batches(
         )
         .drop("_b", "_lrn", "_off")
     )
+
+
+def token_chunk_plan(
+    df: DataFrame,
+    block_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Concat-and-chunk packing plan — the "shuffle the corpus, lay every
+    token end-to-end, cut fixed ``block_size`` training blocks" step of
+    an LLM data pipeline, as a PLAN: each document gets its global token
+    offset (``chunk_start``), its token count, and the first/last block
+    it lands in (documents span blocks; readers slice accordingly).
+    Deterministic: order is the hash shuffle of :func:`shuffle_batches`,
+    so the same corpus yields byte-identical blocks on any engine.
+
+    Scale: a global token-offset is a global cumulative sum — same
+    single-partition-window trap as the global rank, avoided the same
+    way: per-bucket window cumsum (distributed, one hash shuffle — the
+    256-row bucket-total aggregate reuses that same exchange), cumulative
+    bucket offsets over 256 rows, broadcast join back. Documents with
+    zero tokens occupy no block and are dropped from the plan."""
+    n_tok = F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+    ).cast("bigint")
+    d = (
+        df.select(F.col(id_col), n_tok.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("shuffle_key", sample_key(id_col, salt))
+        .withColumn("_b", F.substring("shuffle_key", 1, 2))
+    )
+    wloc = (
+        Window.partitionBy("_b")
+        .orderBy("shuffle_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "_loff", F.coalesce(F.sum("n_tokens").over(wloc), F.lit(0))
+    )
+    totals = d.groupBy("_b").agg(F.sum("n_tokens").alias("_c"))
+    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b", F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_boff")
+    )
+    return (
+        d.join(F.broadcast(offsets), "_b")
+        .withColumn("chunk_start", F.col("_boff") + F.col("_loff"))
+        .withColumn(
+            "first_chunk", F.floor(F.col("chunk_start") / F.lit(block_size))
+        )
+        .withColumn(
+            "last_chunk",
+            F.floor(
+                (F.col("chunk_start") + F.col("n_tokens") - 1)
+                / F.lit(block_size)
+            ),
+        )
+        .select(
+            id_col, "n_tokens", "chunk_start", "first_chunk", "last_chunk"
+        )
+    )

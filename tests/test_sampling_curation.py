@@ -314,3 +314,37 @@ class TestShuffleBatches:
             .toString()
         )
         assert "hashpartitioning(_b" in plan
+
+
+class TestTokenChunkPlan:
+    def test_offsets_contiguous_and_blocks_cover(self, docs):
+        from lotad_spark.pipeline import token_chunk_plan
+
+        plan = token_chunk_plan(docs.select("doc_id", "text"), 128).collect()
+        rows = sorted(plan, key=lambda r: r.chunk_start)
+        # offsets tile the token stream exactly: each doc starts where
+        # the previous one ended
+        expect = 0
+        for r in rows:
+            assert r.chunk_start == expect
+            expect += r.n_tokens
+        # block bounds consistent with offsets
+        for r in rows:
+            assert r.first_chunk == r.chunk_start // 128
+            assert r.last_chunk == (r.chunk_start + r.n_tokens - 1) // 128
+            assert r.last_chunk >= r.first_chunk
+
+    def test_partitioning_invariant(self, docs):
+        from lotad_spark.pipeline import token_chunk_plan
+
+        a = {
+            r.doc_id: r.chunk_start
+            for r in token_chunk_plan(docs.select("doc_id", "text"), 64).collect()
+        }
+        b = {
+            r.doc_id: r.chunk_start
+            for r in token_chunk_plan(
+                docs.repartition(13).select("doc_id", "text"), 64
+            ).collect()
+        }
+        assert a == b
