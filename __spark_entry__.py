@@ -553,6 +553,14 @@ def q_shuffle_batches(spark, sf_dir):
     return shuffle_batches(docs, 64)
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Per-vector int8 scalar quantization of the embedding column — 4×
+    index compression as a stateless one-pass projection."""
+    from lotad_spark.pipeline import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 def q_token_chunk_plan(spark, sf_dir):
     """Concat-and-chunk packing plan: global token offsets in shuffled
     order, cut into 512-token training blocks — distributed two-phase
@@ -1348,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_weights": q_upsample_weights,
         "shuffle_batches": q_shuffle_batches,
         "token_chunk_plan": q_token_chunk_plan,
+        "quantize_embeddings": q_quantize_embeddings,
         "tfidf_top_terms": q_tfidf_top_terms,
         "train_eval_split": q_train_eval_split,
         "stratified_cap": q_stratified_cap,
@@ -1619,6 +1628,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8) "
             "AS shuffle_key FROM documents)"
+        ),
+        "quantize_embeddings": (
+            "SELECT vec_id, round((mx - mn) / 255.0, 6) AS scale, "
+            "round(mn, 6) AS zero_point, "
+            "CASE WHEN mx = mn THEN list_transform(emb, x -> 0) "
+            "ELSE list_transform(emb, x -> "
+            "CAST(round((x - mn) * 255.0 / (mx - mn)) AS INT)) END AS qvec "
+            "FROM (SELECT vec_id, emb, "
+            "list_aggregate(emb, 'min') AS mn, "
+            "list_aggregate(emb, 'max') AS mx FROM ("
+            "SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)) AS emb FROM embeddings))"
         ),
         "token_chunk_plan": (
             "WITH toks AS (SELECT doc_id, "

@@ -37,6 +37,7 @@ from lotad_spark.pipeline.similarity import (
     ivf_topk_indexed,
     embedding_near_dup_pairs,
     ivf_topk,
+    quantize_embeddings,
 )
 from lotad_spark.pipeline.multimodal import (
     extract_feature_counts,
@@ -83,6 +84,7 @@ __all__ = [
     "cosine_topk",
     "ivf_topk",
     "ivf_topk_indexed",
+    "quantize_embeddings",
     "embedding_near_dup_pairs",
     "ngram_jaccard",
     "winnow_fingerprint",

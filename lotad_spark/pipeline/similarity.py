@@ -345,3 +345,44 @@ def ivf_topk(
         .withColumn("sim", F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6))
     )
     return _ranked_topk(scored, k, id_col=id_col).select("query_id", id_col, "sim")
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization: (id, scale, zero_point, qvec)
+    with ``v ≈ zero_point + q · scale`` and ``q ∈ [0, 255]`` — 4× smaller
+    than float32 (16× vs the float64 compute form), the standard
+    compression for serving ANN indexes whose corpus dwarfs memory.
+
+    Per-vector (not per-corpus) min/max calibration keeps the operator a
+    stateless one-pass projection — no global aggregate, no shuffle, no
+    training: exactly the shape that survives a 100 TB corpus unchanged.
+    Quantized values round half-up from identical double inputs in any
+    engine, and scale/zero_point are emitted rounded to 6 decimals, so
+    the layout is bit-reproducible cross-engine (DuckDB oracle replays
+    it). Constant vectors (max == min) quantize to all-zero q with
+    scale 0 — dequantization returns the constant exactly."""
+    v = F.col(vec_col).cast("array<double>")
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = (mx - mn) / F.lit(255.0)
+    # One canonical expression shape — (x − mn) · 255 / (mx − mn) — reused
+    # verbatim by the SQL oracle: an algebraically-equal rewrite (e.g.
+    # dividing by the precomputed scale) can differ in the last ulp and
+    # flip a half-up rounding.
+    q = F.when(mx == mn, F.transform(v, lambda _: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.round(
+                (x - mn) * F.lit(255.0) / (mx - mn), 0
+            ).cast("int"),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.round(mn, 6).alias("zero_point"),
+        q.alias("qvec"),
+    )

@@ -195,3 +195,44 @@ class TestEmbeddingNearDup:
             df, dim=2, n_planes=4, bands=2
         )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+class TestQuantizeEmbeddings:
+    def test_roundtrip_error_bounded_by_half_step(self, spark, sf_dir):
+        from lotad_spark.pipeline import quantize_embeddings
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        emb = ParquetDatabase(spark, sf_dir, "db").table("embeddings")
+        q = quantize_embeddings(emb).join(emb, "vec_id")
+        rows = q.limit(50).collect()
+        assert rows
+        for r in rows:
+            deq = [r.zero_point + qi * r.scale for qi in r.qvec]
+            step = r.scale if r.scale > 0 else 0.0
+            for orig, back in zip(r.embedding, deq):
+                # rounded scale/zero_point add ≤1e-6 each on top of the
+                # half-step quantization error
+                assert abs(orig - back) <= step / 2 + 3e-4
+            assert all(0 <= qi <= 255 for qi in r.qvec)
+
+    def test_constant_vector_exact(self, spark):
+        from lotad_spark.pipeline import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [2.5, 2.5, 2.5])], "vec_id int, embedding array<float>"
+        )
+        r = quantize_embeddings(df).collect()[0]
+        assert r.qvec == [0, 0, 0] and r.scale == 0.0 and r.zero_point == 2.5
+
+    def test_stateless_plan_no_exchange(self, spark, sf_dir):
+        from lotad_spark.pipeline import quantize_embeddings
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        emb = ParquetDatabase(spark, sf_dir, "db").table("embeddings")
+        plan = (
+            quantize_embeddings(emb)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "Join" not in plan
