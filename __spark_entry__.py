@@ -572,6 +572,16 @@ def q_token_chunk_plan(spark, sf_dir):
     )
 
 
+def q_chunk_manifest(spark, sf_dir):
+    """Reader manifest for the chunk plan: (doc, chunk, in-doc slice) —
+    every block assembles to exactly block_size tokens."""
+    from lotad_spark.pipeline import chunk_manifest
+
+    return chunk_manifest(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), 512
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document — keyword signal for topical
     bucketing; two reduced-relation aggregations + WindowGroupLimit
@@ -1357,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_batches": q_shuffle_batches,
         "token_chunk_plan": q_token_chunk_plan,
         "quantize_embeddings": q_quantize_embeddings,
+        "chunk_manifest": q_chunk_manifest,
         "tfidf_top_terms": q_tfidf_top_terms,
         "train_eval_split": q_train_eval_split,
         "stratified_cap": q_stratified_cap,
@@ -1655,6 +1666,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(chunk_start / 512) AS BIGINT) AS first_chunk, "
             "CAST(floor((chunk_start + n_tokens - 1) / 512) AS BIGINT) "
             "AS last_chunk FROM offs"
+        ),
+        "chunk_manifest": (
+            "WITH toks AS (SELECT doc_id, "
+            "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), "
+            "t -> t <> '')) AS BIGINT) AS n_tokens, "
+            "substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            "AS sk FROM documents), "
+            "offs AS (SELECT doc_id, n_tokens, "
+            "CAST(coalesce(sum(n_tokens) OVER (ORDER BY sk, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS chunk_start FROM toks WHERE n_tokens > 0), "
+            "ex AS (SELECT doc_id, n_tokens, chunk_start, "
+            "unnest(generate_series("
+            "CAST(floor(chunk_start / 512) AS BIGINT), "
+            "CAST(floor((chunk_start + n_tokens - 1) / 512) AS BIGINT))) "
+            "AS chunk_id FROM offs) "
+            "SELECT doc_id, chunk_id, "
+            "CAST(greatest(chunk_start, chunk_id * 512) - chunk_start "
+            "AS BIGINT) AS slice_start, "
+            "CAST(least(chunk_start + n_tokens, (chunk_id + 1) * 512) "
+            "- greatest(chunk_start, chunk_id * 512) AS BIGINT) "
+            "AS slice_len FROM ex"
         ),
         "tfidf_top_terms": (
             "WITH toks AS (SELECT doc_id, "

@@ -49,6 +49,7 @@ from lotad_spark.pipeline.multimodal import (
 from lotad_spark.pipeline.dedup import exact_dedup_rows, ngram_jaccard
 from lotad_spark.pipeline.text import winnow_fingerprint
 from lotad_spark.pipeline.sampling import (
+    chunk_manifest,
     hash_sample,
     mixture_sample,
     sample_key,
@@ -94,6 +95,7 @@ __all__ = [
     "frame_sample_plan",
     "with_decoded_metadata",
     "exact_dedup_rows",
+    "chunk_manifest",
     "hash_sample",
     "mixture_sample",
     "sample_key",

@@ -305,3 +305,42 @@ def token_chunk_plan(
             id_col, "n_tokens", "chunk_start", "first_chunk", "last_chunk"
         )
     )
+
+
+def chunk_manifest(
+    df: DataFrame,
+    block_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Reader-side manifest for :func:`token_chunk_plan`: one row per
+    (chunk, document) pair — ``chunk_id``, the document, the 0-based
+    token offset INSIDE the document where this chunk's slice starts
+    (``slice_start``), and the slice length. A block reader fetches
+    chunk k by taking each listed document's ``[slice_start,
+    slice_start + slice_len)`` tokens in ``chunk_start`` order; every
+    chunk except the last is exactly ``block_size`` tokens.
+
+    Scale: the plan rows explode by ``sequence(first_chunk, last_chunk)``
+    — output size is O(total_tokens / block_size + docs), each row a
+    handful of ids and offsets; no additional shuffle beyond the plan's
+    own cumsum exchange."""
+    plan = token_chunk_plan(
+        df, block_size, id_col=id_col, text_col=text_col, salt=salt
+    )
+    c = F.col("chunk_id")
+    slice_start_g = F.greatest(F.col("chunk_start"), c * block_size)
+    slice_end_g = F.least(
+        F.col("chunk_start") + F.col("n_tokens"), (c + 1) * block_size
+    )
+    return (
+        plan.withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.col("first_chunk"), F.col("last_chunk"))),
+        )
+        .withColumn("slice_start", slice_start_g - F.col("chunk_start"))
+        .withColumn("slice_len", slice_end_g - slice_start_g)
+        .select(id_col, "chunk_id", "slice_start", "slice_len")
+    )

@@ -348,3 +348,40 @@ class TestTokenChunkPlan:
             ).collect()
         }
         assert a == b
+
+
+class TestChunkManifest:
+    def test_blocks_assemble_to_exact_size(self, docs):
+        from lotad_spark.pipeline import chunk_manifest
+
+        m = chunk_manifest(docs.select("doc_id", "text"), 128)
+        sizes = {
+            r.chunk_id: r.total
+            for r in m.groupBy("chunk_id")
+            .agg(F.sum("slice_len").alias("total"))
+            .collect()
+        }
+        last = max(sizes)
+        assert all(sizes[c] == 128 for c in sizes if c != last)
+        assert 0 < sizes[last] <= 128
+        # chunk ids are contiguous from 0
+        assert sorted(sizes) == list(range(last + 1))
+
+    def test_slices_tile_each_document(self, docs):
+        from lotad_spark.pipeline import chunk_manifest, token_chunk_plan
+
+        m = chunk_manifest(docs.select("doc_id", "text"), 128).collect()
+        plan = {
+            r.doc_id: r.n_tokens
+            for r in token_chunk_plan(docs.select("doc_id", "text"), 128).collect()
+        }
+        by_doc = {}
+        for r in m:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, rows in by_doc.items():
+            rows.sort(key=lambda r: r.chunk_id)
+            expect = 0
+            for r in rows:
+                assert r.slice_start == expect
+                expect += r.slice_len
+            assert expect == plan[doc_id]  # slices cover the whole doc
