@@ -572,6 +572,15 @@ def q_token_chunk_plan(spark, sf_dir):
     )
 
 
+def q_text_unigram_lm(spark, sf_dir):
+    """CCNet-style perplexity proxy: per-doc average unigram log-prob
+    under the corpus's own LM; decimal-exact summation keeps the score
+    reduction-order- and engine-independent."""
+    from lotad_spark.pipeline import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_chunk_manifest(spark, sf_dir):
     """Reader manifest for the chunk plan: (doc, chunk, in-doc slice) —
     every block assembles to exactly block_size tokens."""
@@ -1368,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_chunk_plan": q_token_chunk_plan,
         "quantize_embeddings": q_quantize_embeddings,
         "chunk_manifest": q_chunk_manifest,
+        "text_unigram_lm": q_text_unigram_lm,
         "tfidf_top_terms": q_tfidf_top_terms,
         "train_eval_split": q_train_eval_split,
         "stratified_cap": q_stratified_cap,
@@ -1666,6 +1676,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(chunk_start / 512) AS BIGINT) AS first_chunk, "
             "CAST(floor((chunk_start + n_tokens - 1) / 512) AS BIGINT) "
             "AS last_chunk FROM offs"
+        ),
+        "text_unigram_lm": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM toks WHERE term <> '' GROUP BY doc_id, term), "
+            "lm AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term), "
+            "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM lm), "
+            "lp AS (SELECT term, CAST(round(ln(c / tot.t), 6) "
+            "AS DECIMAL(18,6)) AS lp FROM lm CROSS JOIN tot) "
+            "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens, "
+            "round(CAST(sum(tf.tf * lp.lp) AS DOUBLE) / sum(tf.tf), 6) "
+            "AS avg_logprob FROM tf JOIN lp USING (term) "
+            "GROUP BY tf.doc_id"
         ),
         "chunk_manifest": (
             "WITH toks AS (SELECT doc_id, "

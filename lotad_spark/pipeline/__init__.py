@@ -21,6 +21,7 @@ from lotad_spark.pipeline.text import (
     text_stats,
     tfidf_top_terms,
     tokens,
+    unigram_logprob,
 )
 from lotad_spark.pipeline.dedup import (
     dedup_components,
@@ -104,6 +105,7 @@ __all__ = [
     "tfidf_top_terms",
     "token_chunk_plan",
     "train_eval_split",
+    "unigram_logprob",
     "upsample_by_weight",
     "contaminated_ids",
     "contamination_pairs",

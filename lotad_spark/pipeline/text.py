@@ -396,3 +396,61 @@ def tfidf_top_terms(
         .filter(F.col("_rn") <= k)
         .select(id_col, "term", "tf", "df", "score")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's
+    own unigram LM: (id, n_tokens, avg_logprob) — the deterministic
+    stand-in for CCNet-style perplexity filtering (a document of rare /
+    incoherent tokens scores far below the corpus mode; gate on the
+    tails). Trained and applied in one plan, no external model.
+
+    Determinism: a float sum over a document's token log-probs would be
+    reduction-order-dependent (parallel aggregation sums in partition
+    order). Each term's log-prob is rounded to 6 decimals and cast to
+    DECIMAL(18,6) FIRST, so the per-document sum is exact integer
+    arithmetic — associative, partitioning-proof, and bit-equal in any
+    engine (the repo-wide decimal-sum convention).
+
+    Scale: token counts are one (doc, term) shuffle with map-side
+    combine; the corpus LM aggregates that already-reduced relation; the
+    scalar total-token count rides in as a broadcast; scoring joins tf
+    against the LM by term — Catalyst broadcasts the LM when the vocab
+    fits (the common case: vocab ≪ corpus), else it's a term-keyed
+    shuffle of the reduced tf relation, never of raw text."""
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    lm = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = lm.select(F.sum("c").cast("double").alias("_t"))
+    lm = lm.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("c") / F.col("_t")), 6)
+        .cast("decimal(18,6)")
+        .alias("_lp"),
+    )
+    return (
+        tf.join(lm, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("_lp")).alias("_sum_lp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.col("_sum_lp").cast("double") / F.col("n_tokens"), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -406,3 +406,31 @@ class TestTfidfTopTerms:
         docs = spark.createDataFrame([(1, ""), (2, "word")], ["doc_id", "text"])
         got = {r.doc_id for r in tfidf_top_terms(docs, k=3).collect()}
         assert got == {2}
+
+
+class TestUnigramLogprob:
+    def test_rare_tokens_score_lower(self, spark):
+        from lotad_spark.pipeline import unigram_logprob
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the the the the"),          # only common tokens
+                (2, "the qzxv"),                 # one rare token
+                (3, "qzxv jklm wxyz"),           # all rare
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r.avg_logprob for r in unigram_logprob(docs).collect()}
+        assert got[1] > got[2] > got[3]
+
+    def test_partitioning_invariant_scores(self, spark, sf_dir):
+        from lotad_spark.pipeline import unigram_logprob
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        docs = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        a = {r.doc_id: r.avg_logprob for r in unigram_logprob(docs).collect()}
+        b = {
+            r.doc_id: r.avg_logprob
+            for r in unigram_logprob(docs.repartition(17)).collect()
+        }
+        assert a == b  # decimal-exact sums: no reduction-order drift
