@@ -385,3 +385,34 @@ class TestChunkManifest:
                 assert r.slice_start == expect
                 expect += r.slice_len
             assert expect == plan[doc_id]  # slices cover the whole doc
+
+    def test_edge_document_shapes(self, spark):
+        """Empty/whitespace docs vanish; exact-block and multi-block docs
+        still tile and assemble."""
+        from lotad_spark.pipeline import chunk_manifest, token_chunk_plan
+
+        docs = spark.createDataFrame(
+            [
+                (1, ""),
+                (2, "   "),
+                (3, "tok " * 128),   # exactly one block of tokens
+                (4, "word " * 300),  # spans >= 3 blocks
+                (5, "single"),
+            ],
+            ["doc_id", "text"],
+        )
+        plan = {r.doc_id: r for r in token_chunk_plan(docs, 128).collect()}
+        assert set(plan) == {3, 4, 5}
+        assert plan[3].n_tokens == 128 and plan[4].n_tokens == 300
+        total = sum(r.n_tokens for r in plan.values())
+        m = chunk_manifest(docs, 128)
+        sizes = {
+            r.chunk_id: r.t
+            for r in m.groupBy("chunk_id").agg(F.sum("slice_len").alias("t")).collect()
+        }
+        assert sum(sizes.values()) == total
+        last = max(sizes)
+        assert all(sizes[c] == 128 for c in sizes if c != last)
+        # doc 4 appears in at least 3 consecutive chunks
+        d4 = sorted(r.chunk_id for r in m.collect() if r.doc_id == 4)
+        assert len(d4) >= 3 and d4 == list(range(d4[0], d4[-1] + 1))
