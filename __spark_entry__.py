@@ -668,6 +668,24 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def q_training_plan(spark, sf_dir):
+    """Flagship composition: raw docs → curated corpus → per-source
+    mixture → epoch upsampling → deterministic concat-and-chunk packing,
+    one lazy plan end-to-end."""
+    from lotad_spark.pipeline import plan_training_corpus
+
+    return plan_training_corpus(
+        _t(spark, sf_dir, "documents"),
+        _eval_snippets(spark, sf_dir),
+        mixture_rates=_TRAIN_MIX,
+        default_rate=1.0,
+        upsample_weights=_TRAIN_UP,
+        block_size=256,
+        cap_per_source=40,
+        sample_rate=0.5,
+    )
+
+
 def q_events_session_agg(spark, sf_dir):
     from lotad_spark.streaming import session_event_agg
 
@@ -1086,8 +1104,7 @@ _QUALITY_EXPR_SQL = (
     f"AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.2"
 )
 
-_CURATE_SQL = f"""
-WITH RECURSIVE lang AS ({_LANG_ID_SQL}),
+_CURATE_CTES = f"""lang AS ({_LANG_ID_SQL}),
 q AS (SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality FROM documents),
 st AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
 gated AS (
@@ -1160,10 +1177,63 @@ capped AS (
         ORDER BY quality DESC,
                  substr(md5('curate:' || CAST(doc_id AS VARCHAR)), 1, 8),
                  doc_id) <= 40
+),
+final AS (
+    SELECT * FROM capped
+    WHERE substr(md5('curate:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < '{_hex_threshold(0.5)}'
+)"""
+
+_CURATE_SQL = f"""
+WITH RECURSIVE {_CURATE_CTES}
+SELECT doc_id, source, round(quality, 6) AS quality, n_tokens FROM final
+"""
+
+# plan_training_corpus oracle: the curated corpus (WITH text) through
+# mixture → upsample(epochs) → pack-id chunk plan, mirroring
+# q_training_plan's parameters exactly.
+_TRAIN_MIX = {"src0": 1.0, "src1": 0.25}
+_TRAIN_UP = {"src2": 2.0}
+_TRAINING_PLAN_SQL = f"""
+WITH RECURSIVE {_CURATE_CTES},
+mixed AS (
+    SELECT doc_id, source, text FROM final
+    WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE source {" ".join(f"WHEN '{s}' THEN '{_hex_threshold(r)}'" for s, r in sorted(_TRAIN_MIX.items()))} ELSE '{_hex_threshold(1.0)}' END
+),
+rep AS (
+    SELECT doc_id, source, text,
+           unnest(generate_series(1, n)) AS epoch
+    FROM (
+        SELECT *, CASE source {" ".join(f"WHEN '{s}' THEN {int(w)}" for s, w in sorted(_TRAIN_UP.items()))} ELSE 1 END
+               + CASE WHEN substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < CASE source {" ".join(f"WHEN '{s}' THEN '{_hex_threshold(w - int(w))}'" for s, w in sorted(_TRAIN_UP.items()))} ELSE '{_hex_threshold(0.0)}' END
+                 THEN 1 ELSE 0 END AS n
+        FROM mixed)
+),
+packs AS (
+    SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)
+           AS pack_id, text FROM rep
+),
+ptoks AS (
+    SELECT pack_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t <> '')) AS BIGINT) AS n_tokens,
+           substr(md5('shuffle:' || pack_id), 1, 8) AS sk
+    FROM packs
+),
+poffs AS (
+    SELECT pack_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY sk, pack_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS chunk_start
+    FROM ptoks WHERE n_tokens > 0
 )
-SELECT doc_id, source, round(quality, 6) AS quality, n_tokens FROM capped
-WHERE substr(md5('curate:' || CAST(doc_id AS VARCHAR)), 1, 8)
-      < '{_hex_threshold(0.5)}'
+SELECT pack_id, n_tokens, chunk_start,
+       CAST(floor(chunk_start / 256) AS BIGINT) AS first_chunk,
+       CAST(floor((chunk_start + n_tokens - 1) / 256) AS BIGINT)
+       AS last_chunk
+FROM poffs
 """
 
 
@@ -1384,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "length_quantiles": q_length_quantiles,
         "curate_corpus": q_curate_corpus,
+        "training_plan": q_training_plan,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "custom_query_diff": q_custom_query_diff,
@@ -1752,6 +1823,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang"
         ),
         "curate_corpus": _CURATE_SQL,
+        "training_plan": _TRAINING_PLAN_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ann_ivf_sql(),
         "events_session_agg": _SESSION_SQL,

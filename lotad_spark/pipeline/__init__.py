@@ -64,7 +64,7 @@ from lotad_spark.pipeline.contamination import (
     contaminated_ids,
     contamination_pairs,
 )
-from lotad_spark.pipeline.curate import curate_corpus
+from lotad_spark.pipeline.curate import curate_corpus, plan_training_corpus
 
 __all__ = [
     "tokens",
@@ -110,4 +110,5 @@ __all__ = [
     "contaminated_ids",
     "contamination_pairs",
     "curate_corpus",
+    "plan_training_corpus",
 ]

@@ -71,8 +71,10 @@ def curate_corpus(
     cap_per_source: int = 1_000,
     sample_rate: float = 1.0,
     salt: str = "curate",
+    keep_text: bool = False,
 ) -> DataFrame:
-    """Returns the curated corpus as (id, source, quality, n_tokens).
+    """Returns the curated corpus as (id, source, quality, n_tokens)
+    — plus the text column when ``keep_text`` (for downstream packing).
 
     ``eval_df`` is the benchmark set to decontaminate against (skipped
     when None). All thresholds mirror the component operators' defaults;
@@ -125,4 +127,74 @@ def curate_corpus(
         if sample_rate < 1.0
         else capped
     )
-    return sampled.select(id_col, source_col, "quality", "n_tokens")
+    out_cols = [id_col, source_col, "quality", "n_tokens"]
+    if keep_text:
+        out_cols.append(text_col)
+    return sampled.select(*out_cols)
+
+
+def plan_training_corpus(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    *,
+    mixture_rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    upsample_weights: dict[str, float] | None = None,
+    block_size: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    **curate_kwargs,
+) -> DataFrame:
+    """The full raw-crawl → training-blocks plan, lazily composed:
+
+        curate_corpus (gate → dedup → decontaminate → cap → sample)
+        → mixture_sample (per-source target rates)
+        → upsample_by_weight (epoch repetition)
+        → token_chunk_plan (deterministic shuffle, concat, fixed blocks)
+
+    Each copy of an upsampled document packs under its own
+    ``pack_id`` = ``id '#' epoch``, so repeated epochs land at distinct
+    (hash-shuffled) offsets in the training order instead of back-to-back.
+    Returns the chunk plan keyed by ``pack_id``; feed it to
+    :func:`lotad_spark.pipeline.sampling.chunk_manifest`'s explode shape
+    for reader slices.
+
+    Every stage is individually oracle-checked; the composition stays one
+    lazy DAG — Catalyst sees the gate predicates at the scan, and the only
+    corpus-wide shuffles are curation's two plus the packing cumsum."""
+    from lotad_spark.pipeline.sampling import (
+        mixture_sample,
+        token_chunk_plan,
+        upsample_by_weight,
+    )
+
+    curated = curate_corpus(
+        docs,
+        eval_df,
+        id_col=id_col,
+        text_col=text_col,
+        source_col=source_col,
+        keep_text=True,
+        **curate_kwargs,
+    )
+    if mixture_rates is not None:
+        curated = mixture_sample(
+            curated,
+            mixture_rates,
+            source_col=source_col,
+            id_col=id_col,
+            default_rate=default_rate,
+        )
+    repeated = upsample_by_weight(
+        curated, upsample_weights or {}, source_col=source_col, id_col=id_col
+    )
+    packed_ids = repeated.withColumn(
+        "pack_id",
+        F.concat(
+            F.col(id_col).cast("string"), F.lit("#"), F.col("epoch")
+        ),
+    )
+    return token_chunk_plan(
+        packed_ids, block_size, id_col="pack_id", text_col=text_col
+    )

@@ -416,3 +416,39 @@ class TestChunkManifest:
         # doc 4 appears in at least 3 consecutive chunks
         d4 = sorted(r.chunk_id for r in m.collect() if r.doc_id == 4)
         assert len(d4) >= 3 and d4 == list(range(d4[0], d4[-1] + 1))
+
+
+class TestPlanTrainingCorpus:
+    def test_end_to_end_blocks_and_epochs(self, docs, snippets):
+        from lotad_spark.pipeline import curate_corpus, plan_training_corpus
+
+        out = plan_training_corpus(
+            docs,
+            snippets,
+            mixture_rates={"src0": 1.0, "src1": 0.25},
+            upsample_weights={"src2": 2.0},
+            block_size=256,
+            cap_per_source=40,
+            sample_rate=0.5,
+        ).collect()
+        assert out
+        # offsets tile the packed token stream
+        rows = sorted(out, key=lambda r: r.chunk_start)
+        expect = 0
+        for r in rows:
+            assert r.chunk_start == expect
+            expect += r.n_tokens
+        # every src2 survivor packs exactly twice, others once
+        curated = curate_corpus(
+            docs, snippets, cap_per_source=40, sample_rate=0.5
+        ).collect()
+        kept_src2 = {r.doc_id for r in curated if r.source == "src2"}
+        packs_by_doc = {}
+        for r in out:
+            d, _, e = r.pack_id.partition("#")
+            packs_by_doc.setdefault(int(d), set()).add(int(e))
+        for d, epochs in packs_by_doc.items():
+            if d in kept_src2:
+                assert epochs == {1, 2}
+            else:
+                assert epochs == {1}
