@@ -391,3 +391,49 @@ class TestCheckpointRecovery:
         rows = [r for r in spark.read.parquet(out).collect() if r.user_id == 7]
         assert sorted(r.n_events for r in rows) == [1, 2]
         assert max(r.last_ts for r in rows) == t2
+
+
+class TestStreamingMixing:
+    def test_mixture_and_upsample_stream_and_match_batch(
+        self, spark, sf_dir, tmp_path
+    ):
+        """mixture_sample and upsample_by_weight are stateless hash-keyed
+        projections — the streaming-ingest half of data mixing: the same
+        definitions run on readStream (append, no state) and select the
+        IDENTICAL mix as the batch plan, so a micro-batch ingest pipe
+        and a backfill batch job produce the same corpus."""
+        from lotad_spark.pipeline import mixture_sample, upsample_by_weight
+        from lotad_spark.sources.parquet import read_table
+
+        docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source"
+        )
+        src = str(tmp_path / "mix_src")
+        docs.write.mode("overwrite").parquet(src)
+        rates = {"src0": 1.0, "src1": 0.25}
+        weights = {"src2": 2.0}
+
+        def pipe(df):
+            return upsample_by_weight(
+                mixture_sample(df, rates, default_rate=0.5), weights
+            )
+
+        batch = {
+            (r.doc_id, r.epoch)
+            for r in pipe(spark.read.parquet(src)).collect()
+        }
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            pipe(stream)
+            .writeStream.format("memory")
+            .queryName("mix_stream_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.doc_id, r.epoch)
+            for r in spark.sql("SELECT * FROM mix_stream_test").collect()
+        }
+        assert got == batch and len(got) > 0
