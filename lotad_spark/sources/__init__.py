@@ -1,5 +1,6 @@
-"""Sources: Parquet table directories (primary), JDBC (optional)."""
+"""Sources: Parquet table directories (primary), CSV/JSONL exports, JDBC."""
 
+from lotad_spark.sources.files import CsvDatabase, JsonlDatabase
 from lotad_spark.sources.parquet import ParquetDatabase, read_table
 
-__all__ = ["ParquetDatabase", "read_table"]
+__all__ = ["CsvDatabase", "JsonlDatabase", "ParquetDatabase", "read_table"]

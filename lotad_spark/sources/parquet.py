@@ -83,6 +83,8 @@ class ParquetDatabase:
     (lotad/connection.py:164-175).
     """
 
+    EXT = ".parquet"
+
     def __init__(self, spark: SparkSession, path: str, db_id: str | None = None):
         self.spark = spark
         self.path = str(path)
@@ -100,15 +102,15 @@ class ParquetDatabase:
             entry = status.getPath().getName()
             if status.isDirectory():
                 for sub in fs.listStatus(status.getPath()):
-                    if sub.getPath().getName().endswith(".parquet"):
+                    if sub.getPath().getName().endswith(self.EXT):
                         names.add(entry)
                         break
-            elif entry.endswith(".parquet"):
-                names.add(entry[: -len(".parquet")])
+            elif entry.endswith(self.EXT):
+                names.add(entry[: -len(self.EXT)])
         return sorted(names)
 
     def table_path(self, table_name: str) -> str:
-        file_path = f"{self.path.rstrip('/')}/{table_name}.parquet"
+        file_path = f"{self.path.rstrip('/')}/{table_name}{self.EXT}"
         if "://" not in self.path:  # local fast path
             return file_path if Path(file_path).exists() else str(
                 Path(self.path) / table_name
