@@ -99,5 +99,82 @@ def setup(config_path) -> None:
     ConfigWizard.cli_start(config_path)
 
 
+@cli.command()
+@click.option("--docs", "docs_path", type=click.Path(exists=True), required=True,
+              help="Parquet file/dir with (doc_id, text, source, ...) rows")
+@click.option("--eval-set", "eval_path", type=click.Path(exists=True), default=None,
+              help="Optional parquet of benchmark docs to decontaminate against")
+@click.option("--output", "output_path", required=True)
+@click.option("--block-size", default=2048, show_default=True)
+@click.option("--mix", "mix_rates", multiple=True, metavar="SOURCE=RATE",
+              help="Per-source keep rate, e.g. --mix web=0.3 (repeatable)")
+@click.option("--upsample", "up_weights", multiple=True, metavar="SOURCE=WEIGHT",
+              help="Per-source repetition weight, e.g. --upsample books=2.3")
+@click.option("--cap-per-source", default=1_000, show_default=True)
+@click.option("--sample-rate", default=1.0, show_default=True)
+@click.option("--min-quality", default=0.5, show_default=True)
+def curate(docs_path, eval_path, output_path, block_size, mix_rates,
+           up_weights, cap_per_source, sample_rate, min_quality) -> None:
+    """Run the raw-docs → training-blocks pipeline
+    (``pipeline.plan_training_corpus``) and write the chunk plan + reader
+    manifest as parquet under OUTPUT/{plan,manifest}."""
+
+    def parse_kv(pairs: tuple[str, ...], what: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for p in pairs:
+            key, sep, val = p.partition("=")
+            if not sep:
+                raise click.BadParameter(f"{what} needs SOURCE=NUMBER, got {p!r}")
+            out[key] = float(val)
+        return out
+
+    from pyspark.sql import functions as F
+
+    from lotad_spark.pipeline import plan_training_corpus
+    from lotad_spark.sources.parquet import read_table
+
+    # Fail fast on option syntax before paying Spark spin-up.
+    mix = parse_kv(mix_rates, "--mix") or None
+    up = parse_kv(up_weights, "--upsample")
+    spark = get_spark("lotad-curate")
+    docs = read_table(spark, docs_path)
+    eval_df = read_table(spark, eval_path) if eval_path else None
+    plan = plan_training_corpus(
+        docs, eval_df,
+        mixture_rates=mix,
+        upsample_weights=up,
+        block_size=block_size,
+        cap_per_source=cap_per_source,
+        sample_rate=sample_rate,
+        min_quality=min_quality,
+    )
+    plan.write.mode("overwrite").parquet(f"{output_path}/plan")
+    # Reader manifest straight off the written plan (no pipeline re-run):
+    # the same explode-and-slice arithmetic chunk_manifest applies.
+    p = read_table(spark, f"{output_path}/plan")
+    c = F.col("chunk_id")
+    start_g = F.greatest(F.col("chunk_start"), c * block_size)
+    end_g = F.least(
+        F.col("chunk_start") + F.col("n_tokens"), (c + 1) * block_size
+    )
+    manifest = (
+        p.withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.col("first_chunk"), F.col("last_chunk"))),
+        )
+        .withColumn("slice_start", start_g - F.col("chunk_start"))
+        .withColumn("slice_len", end_g - start_g)
+        .select("pack_id", "chunk_id", "slice_start", "slice_len")
+    )
+    manifest.write.mode("overwrite").parquet(f"{output_path}/manifest")
+    n_packs = p.count()
+    n_chunks = p.agg(F.max("last_chunk")).collect()[0][0]
+    click.echo(
+        f"curate: wrote {n_packs} packed docs, "
+        f"{(n_chunks or -1) + 1} blocks of {block_size} tokens "
+        f"to {output_path}/{{plan,manifest}}"
+    )
+
+
 if __name__ == "__main__":
     cli()
