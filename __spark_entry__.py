@@ -686,6 +686,17 @@ def q_training_plan(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): per-step reach via
+    min-timestamp joins — no per-user event arrays, shuffles carry
+    (user, ts) only."""
+    from lotad_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
 def q_events_session_agg(spark, sf_dir):
     from lotad_spark.streaming import session_event_agg
 
@@ -1459,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "custom_query_diff": q_custom_query_diff,
         "dedup_embedding": q_dedup_embedding,
+        "events_funnel": q_events_funnel,
         "events_session_agg": q_events_session_agg,
         "events_key_stats": q_events_key_stats,
         "skew_two_phase_agg": q_skew_two_phase_agg,

@@ -1,5 +1,6 @@
 """Relational + pipeline operators of the lotad_spark engine."""
 
 from lotad_spark.operators.diff import DiffResult, diff_tables, normalize_for_diff
+from lotad_spark.operators.funnel import funnel_counts
 
-__all__ = ["DiffResult", "diff_tables", "normalize_for_diff"]
+__all__ = ["DiffResult", "diff_tables", "funnel_counts", "normalize_for_diff"]

@@ -1,0 +1,74 @@
+"""Ordered funnel analysis over an event stream.
+
+How many users reach each step of a multi-step journey IN ORDER
+(view → click → purchase): the standard product-analytics query, and a
+shape worth doing right at scale — the naive per-user
+``collect_list(sorted events) + subsequence scan`` hauls every event of
+hot users into one aggregation buffer; this implementation never builds
+a per-user event array.
+
+Plan shape: one aggregation per step, each over the (already reduced)
+previous step's output joined to the per-(user, type) first-occurrence
+relation — min/max aggregates and equi-joins only, all keyed on
+``user_id``. Shuffle volume is per-user rows (steps × users), not
+events; every join after the first aggregation is between step-sized
+relations, which AQE broadcasts as the funnel narrows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(step_index, step, n_users) — users whose events contain the step
+    sequence in timestamp order (strictly increasing between steps).
+
+    A user reaches step i when some step-i event is strictly AFTER the
+    earliest time they reached step i-1; the earliest such time becomes
+    their step-i reach time. Greedy earliest-match is optimal (matching
+    any later step-i event only shrinks the room for step i+1), so this
+    computes exact subsequence containment without per-user arrays."""
+    if not steps:
+        raise ValueError("funnel_counts: need at least one step")
+    reached = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_reach_ts"))
+    )
+    out_rows = [reached.agg(
+        F.lit(0).alias("step_index"),
+        F.lit(steps[0]).alias("step"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )]
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(reached, user_col)
+            .filter(F.col(ts_col) > F.col("_reach_ts"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_reach_ts"))
+        )
+        reached = nxt
+        out_rows.append(reached.agg(
+            F.lit(i).alias("step_index"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        ))
+    # A global agg over an empty relation still yields one row (count 0),
+    # so steps nobody reached stay as explicit zero rows and the funnel
+    # always has len(steps) rows.
+    out = out_rows[0]
+    for frame in out_rows[1:]:
+        out = out.unionByName(frame)
+    return out
