@@ -686,6 +686,16 @@ def q_training_plan(spark, sf_dir):
     )
 
 
+def q_profile_drift(spark, sf_dir):
+    """Column-profile drift (counts/nulls/min/max) between customer and
+    its deleted-rows variant — shape monitoring without shuffling data
+    rows; each side is one full-scan aggregation."""
+    from lotad_spark.operators import profile_drift
+
+    db1 = _t(spark, sf_dir, "customer")
+    return profile_drift(db1, db1.filter(F.col("c_custkey") % 97 != 0))
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered funnel (view -> click -> purchase): per-step reach via
     min-timestamp joins — no per-user event arrays, shuffles carry
@@ -1471,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_query_diff": q_custom_query_diff,
         "dedup_embedding": q_dedup_embedding,
         "events_funnel": q_events_funnel,
+        "profile_drift": q_profile_drift,
         "events_session_agg": q_events_session_agg,
         "events_key_stats": q_events_key_stats,
         "skew_two_phase_agg": q_skew_two_phase_agg,

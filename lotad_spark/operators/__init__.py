@@ -2,5 +2,13 @@
 
 from lotad_spark.operators.diff import DiffResult, diff_tables, normalize_for_diff
 from lotad_spark.operators.funnel import funnel_counts
+from lotad_spark.operators.profile import profile_drift, profile_table
 
-__all__ = ["DiffResult", "diff_tables", "funnel_counts", "normalize_for_diff"]
+__all__ = [
+    "DiffResult",
+    "diff_tables",
+    "funnel_counts",
+    "normalize_for_diff",
+    "profile_drift",
+    "profile_table",
+]
