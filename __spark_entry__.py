@@ -707,6 +707,14 @@ def q_events_funnel(spark, sf_dir):
     )
 
 
+def q_events_retention(spark, sf_dir):
+    """Daily cohort retention — one groupBy(user) carrying (min day,
+    distinct day set); day sets are bounded by the window, not events."""
+    from lotad_spark.operators import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 def q_events_session_agg(spark, sf_dir):
     from lotad_spark.streaming import session_event_agg
 
@@ -1482,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "events_funnel": q_events_funnel,
         "profile_drift": q_profile_drift,
+        "events_retention": q_events_retention,
         "events_session_agg": q_events_session_agg,
         "events_key_stats": q_events_key_stats,
         "skew_two_phase_agg": q_skew_two_phase_agg,

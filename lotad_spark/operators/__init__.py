@@ -1,7 +1,7 @@
 """Relational + pipeline operators of the lotad_spark engine."""
 
 from lotad_spark.operators.diff import DiffResult, diff_tables, normalize_for_diff
-from lotad_spark.operators.funnel import funnel_counts
+from lotad_spark.operators.funnel import funnel_counts, retention_cohorts
 from lotad_spark.operators.profile import profile_drift, profile_table
 
 __all__ = [
@@ -9,6 +9,7 @@ __all__ = [
     "diff_tables",
     "funnel_counts",
     "normalize_for_diff",
+    "retention_cohorts",
     "profile_drift",
     "profile_table",
 ]

@@ -72,3 +72,53 @@ def funnel_counts(
     for frame in out_rows[1:]:
         out = out.unionByName(frame)
     return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily cohort retention: (cohort_day, offset_days, n_active,
+    cohort_size) — of the users whose FIRST activity fell on cohort_day,
+    how many were active again offset_days later. The companion
+    analytics query to :func:`funnel_counts`.
+
+    One data shuffle: a single groupBy(user) computes the cohort day
+    (min) and the distinct active-day set (collect_set — bounded by the
+    observation window in days, never by event volume, and deduped
+    map-side). Everything after runs on per-user rows: explode the day
+    set, offset against the cohort, count. Cohort sizes reuse the same
+    per-user relation."""
+    d = F.to_date(F.col(ts_col))
+    per_user = (
+        events.select(F.col(user_col).alias("_u"), d.alias("_d"))
+        .groupBy("_u")
+        .agg(
+            F.min("_d").alias("_cohort"),
+            F.collect_set("_d").alias("_days"),
+        )
+    )
+    ret = (
+        per_user.select("_cohort", F.explode("_days").alias("_d"))
+        .groupBy(
+            "_cohort",
+            F.datediff(F.col("_d"), F.col("_cohort"))
+            .cast("bigint")
+            .alias("offset_days"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    sizes = per_user.groupBy("_cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        ret.join(sizes, "_cohort")
+        .select(
+            F.col("_cohort").cast("string").alias("cohort_day"),
+            "offset_days",
+            "n_active",
+            "cohort_size",
+        )
+    )

@@ -52,3 +52,42 @@ class TestFunnel:
     def test_empty_steps_rejected(self, spark):
         with pytest.raises(ValueError):
             funnel_counts(_ev(spark, [(1, "view", 1)]), [])
+
+
+class TestRetention:
+    def test_cohort_math(self, spark):
+        from lotad_spark.operators import retention_cohorts
+
+        ev = _ev(spark, [
+            (1, "view", 1), (2, "view", 2),        # day 0 cohort: users 1,2
+        ])
+        ev2 = spark.createDataFrame(
+            [
+                (1, "click", datetime(2024, 1, 2)),   # user 1 back day+1
+                (2, "click", datetime(2024, 1, 3)),   # user 2 back day+2
+                (3, "view", datetime(2024, 1, 2)),    # new cohort day 2
+            ],
+            "user_id bigint, event_type string, ts timestamp",
+        )
+        got = {
+            (r.cohort_day, r.offset_days): (r.n_active, r.cohort_size)
+            for r in retention_cohorts(ev.unionByName(ev2)).collect()
+        }
+        assert got[("2024-01-01", 0)] == (2, 2)
+        assert got[("2024-01-01", 1)] == (1, 2)
+        assert got[("2024-01-01", 2)] == (1, 2)
+        assert got[("2024-01-02", 0)] == (1, 1)
+        assert len(got) == 4
+
+    def test_day0_always_full_cohort(self, spark, sf_dir):
+        from lotad_spark.operators import retention_cohorts
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        ev = ParquetDatabase(spark, sf_dir, "db").table("events")
+        rows = retention_cohorts(ev).collect()
+        day0 = {r.cohort_day: r for r in rows if r.offset_days == 0}
+        for r in day0.values():
+            assert r.n_active == r.cohort_size  # everyone active on day 0
+        assert sum(r.cohort_size for r in day0.values()) == (
+            ev.select("user_id").distinct().count()
+        )
