@@ -696,6 +696,23 @@ def q_profile_drift(spark, sf_dir):
     return profile_drift(db1, db1.filter(F.col("c_custkey") % 97 != 0))
 
 
+def q_psi_drift(spark, sf_dir):
+    """PSI of c_acctbal between customer and its value-shifted variant:
+    10 equal bins, Laplace-smoothed, per-bin terms rounded — the
+    standard numeric-distribution drift metric."""
+    from lotad_spark.operators import psi_drift
+
+    db1 = _t(spark, sf_dir, "customer")
+    return psi_drift(
+        db1,
+        _customer_value_change(spark, sf_dir),
+        "c_acctbal",
+        lo=0.0,
+        hi=10000.0,
+        n_bins=10,
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered funnel (view -> click -> purchase): per-step reach via
     min-timestamp joins — no per-user event arrays, shuffles carry
@@ -1491,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "profile_drift": q_profile_drift,
         "events_retention": q_events_retention,
+        "psi_drift": q_psi_drift,
         "events_session_agg": q_events_session_agg,
         "events_key_stats": q_events_key_stats,
         "skew_two_phase_agg": q_skew_two_phase_agg,

@@ -2,7 +2,7 @@
 
 from lotad_spark.operators.diff import DiffResult, diff_tables, normalize_for_diff
 from lotad_spark.operators.funnel import funnel_counts, retention_cohorts
-from lotad_spark.operators.profile import profile_drift, profile_table
+from lotad_spark.operators.profile import profile_drift, profile_table, psi_drift
 
 __all__ = [
     "DiffResult",
@@ -12,4 +12,5 @@ __all__ = [
     "retention_cohorts",
     "profile_drift",
     "profile_table",
+    "psi_drift",
 ]

@@ -77,3 +77,72 @@ def profile_drift(df1: DataFrame, df2: DataFrame) -> DataFrame:
     for d in differs[1:]:
         pred = pred | d
     return joined.filter(pred)
+
+
+def psi_drift(
+    df1: DataFrame,
+    df2: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between the two sides' distributions of
+    ``col`` over ``n_bins`` equal-width bins on [lo, hi): one row per bin
+    (bin_id, lo_edge, hi_edge, n_1, n_2, psi_term); the column's PSI is
+    the sum of psi_term (< 0.1 stable, 0.1–0.25 shifting, > 0.25 moved —
+    the standard monitoring thresholds). Out-of-range values clamp into
+    the edge bins; NULLs are excluded.
+
+    Determinism: proportions are Laplace-smoothed ((c+1)/(N+bins) — all
+    integer inputs, so the doubles agree in any engine), and each bin's
+    term is rounded to 6 decimals, so the metric is reproducible
+    bit-for-bit cross-engine and under any partitioning (the per-bin sum
+    is over rounded values a reader adds up in bin order).
+
+    Scale: each side is one scan + one aggregation keyed on ≤ n_bins
+    values; the bin spine (spark.range) keeps empty bins present. No
+    exchange carries more than n_bins rows."""
+    if not lo < hi:
+        raise ValueError(f"psi_drift: need lo < hi, got [{lo}, {hi})")
+    width = (hi - lo) / n_bins
+    spark = df1.sparkSession
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.floor((F.col(f"`{col}`").cast("double") - F.lit(lo)) / F.lit(width))
+        clamped = F.least(
+            F.greatest(b, F.lit(0)), F.lit(n_bins - 1)
+        ).cast("bigint")
+        return (
+            df.filter(F.col(f"`{col}`").isNotNull())
+            .select(clamped.alias("bin_id"))
+            .groupBy("bin_id")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+    spine = spark.range(n_bins).withColumnRenamed("id", "bin_id")
+    counts = (
+        spine.join(binned(df1, "_c1"), "bin_id", "left")
+        .join(binned(df2, "_c2"), "bin_id", "left")
+        .select(
+            "bin_id",
+            F.coalesce("_c1", F.lit(0)).alias("n_1"),
+            F.coalesce("_c2", F.lit(0)).alias("n_2"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_1").alias("_t1"), F.sum("n_2").alias("_t2")
+    )
+    p = (F.col("n_1") + 1) / (F.col("_t1") + n_bins)
+    q = (F.col("n_2") + 1) / (F.col("_t2") + n_bins)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin_id",
+            (F.lit(lo) + F.col("bin_id") * width).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bin_id") + 1) * width).alias("hi_edge"),
+            "n_1",
+            "n_2",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )

@@ -57,3 +57,44 @@ class TestProfile:
         # the only exchange is the single-row partial-agg gather
         assert plan.count("Exchange") <= 1
         assert "SinglePartition" in plan or "Exchange" not in plan
+
+
+class TestPsiDrift:
+    def test_identical_distributions_zero_psi(self, customer):
+        from lotad_spark.operators import psi_drift
+
+        rows = psi_drift(
+            customer, customer, "c_acctbal", lo=0.0, hi=10000.0
+        ).collect()
+        assert len(rows) == 10
+        assert all(r.psi_term == 0.0 for r in rows)
+        assert sum(r.n_1 for r in rows) == customer.count()
+
+    def test_shift_detected_and_localized(self, customer):
+        from lotad_spark.operators import psi_drift
+        import pyspark.sql.functions as F
+
+        shifted = customer.withColumn(
+            "c_acctbal", F.col("c_acctbal") + 3000.0
+        )
+        rows = psi_drift(
+            customer, shifted, "c_acctbal", lo=0.0, hi=10000.0
+        ).collect()
+        psi = sum(r.psi_term for r in rows)
+        assert psi > 0.25  # a 3-bin shift is a "moved" distribution
+        # clamping keeps every row binned on both sides
+        assert sum(r.n_2 for r in rows) == customer.count()
+
+    def test_empty_bins_present_with_zero_counts(self, spark):
+        from lotad_spark.operators import psi_drift
+
+        df = spark.createDataFrame([(5.0,)], "v double")
+        rows = {r.bin_id: r for r in psi_drift(df, df, "v", lo=0.0, hi=10.0, n_bins=5).collect()}
+        assert set(rows) == {0, 1, 2, 3, 4}
+        assert rows[4].n_1 == 0 and rows[2].n_1 == 1
+
+    def test_bad_range_rejected(self, customer):
+        from lotad_spark.operators import psi_drift
+
+        with pytest.raises(ValueError):
+            psi_drift(customer, customer, "c_acctbal", lo=5.0, hi=5.0)
