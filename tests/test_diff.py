@@ -150,3 +150,41 @@ class TestNormalize:
         )
         plan = n1._jdf.queryExecution().executedPlan().toString()
         assert "ReadSchema" in plan and "c_acctbal" not in plan
+
+
+class TestStrategyEquivalence:
+    def test_all_strategies_identical_on_randomized_inputs(self, spark):
+        """window ≡ antijoin ≡ groupby on adversarial inputs: duplicate
+        rows, rows duplicated across sides, near-identical rows, NULLs.
+        Deterministic pseudo-random corpus (seeded) — any divergence
+        between the physical strategies is a correctness bug."""
+        import random
+
+        rng = random.Random(20240813)
+        rows1, rows2 = [], []
+        for i in range(300):
+            key = rng.randrange(80)
+            val = rng.choice(["a", "b", None])
+            row = (key, val, rng.randrange(3))
+            # duplicates within a side
+            for _ in range(rng.choice([1, 1, 1, 2])):
+                rows1.append(row)
+            # most rows shared, some changed, some missing
+            roll = rng.random()
+            if roll < 0.7:
+                rows2.append(row)
+            elif roll < 0.85:
+                rows2.append((key, val, row[2] + 10))
+        schema = "k bigint, s string, v bigint"
+        df1 = spark.createDataFrame(rows1, schema)
+        df2 = spark.createDataFrame(rows2, schema)
+
+        def result(strategy):
+            return sorted(
+                (r.observed_in, r.k, str(r.s), r.v)
+                for r in diff_tables(df1, df2, strategy=strategy).diff.collect()
+            )
+
+        w, a, g = result("window"), result("antijoin"), result("groupby")
+        assert w == a == g
+        assert len(w) > 0
