@@ -696,6 +696,19 @@ def q_profile_drift(spark, sf_dir):
     return profile_drift(db1, db1.filter(F.col("c_custkey") % 97 != 0))
 
 
+def q_keyed_diff(spark, sf_dir):
+    """Per-key column-level diff of customer vs its deleted+value-shifted
+    variant: which columns changed for each key, plus __row__ markers
+    for one-side-only keys."""
+    from lotad_spark.operators import keyed_diff
+
+    db1 = _t(spark, sf_dir, "customer")
+    db2 = _customer_value_change(spark, sf_dir).filter(
+        F.col("c_custkey") % 97 != 0
+    )
+    return keyed_diff(db1, db2, ["c_custkey"])
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI of c_acctbal between customer and its value-shifted variant:
     10 equal bins, Laplace-smoothed, per-bin terms rounded — the
@@ -1509,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_drift": q_profile_drift,
         "events_retention": q_events_retention,
         "psi_drift": q_psi_drift,
+        "keyed_diff": q_keyed_diff,
         "events_session_agg": q_events_session_agg,
         "events_key_stats": q_events_key_stats,
         "skew_two_phase_agg": q_skew_two_phase_agg,

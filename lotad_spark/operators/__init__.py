@@ -2,12 +2,14 @@
 
 from lotad_spark.operators.diff import DiffResult, diff_tables, normalize_for_diff
 from lotad_spark.operators.funnel import funnel_counts, retention_cohorts
+from lotad_spark.operators.keyed_diff import keyed_diff
 from lotad_spark.operators.profile import profile_drift, profile_table, psi_drift
 
 __all__ = [
     "DiffResult",
     "diff_tables",
     "funnel_counts",
+    "keyed_diff",
     "normalize_for_diff",
     "retention_cohorts",
     "profile_drift",

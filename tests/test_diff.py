@@ -188,3 +188,52 @@ class TestStrategyEquivalence:
         w, a, g = result("window"), result("antijoin"), result("groupby")
         assert w == a == g
         assert len(w) > 0
+
+
+class TestKeyedDiff:
+    def _frames(self, spark):
+        a = spark.createDataFrame(
+            [(1, "x", 10.0), (2, "y", 20.0), (3, "z", None), (4, "w", 40.0)],
+            "k bigint, s string, v double",
+        )
+        b = spark.createDataFrame(
+            [(1, "x", 10.0), (2, "Y", 20.0), (3, "z", 30.0), (5, "q", 50.0)],
+            "k bigint, s string, v double",
+        )
+        return a, b
+
+    def test_changed_columns_and_row_markers(self, spark):
+        from lotad_spark.operators import keyed_diff
+
+        a, b = self._frames(spark)
+        rows = keyed_diff(a, b, ["k"]).collect()
+        got = {(r.k, r.column_name): (r.db1_value, r.db2_value) for r in rows}
+        assert got[(2, "s")] == ("y", "Y")
+        assert got[(3, "v")] == (None, "30.0")  # NULL -> value surfaces
+        assert got[(4, "__row__")] == ("db1", None)
+        assert got[(5, "__row__")] == (None, "db2")
+        assert (1, "s") not in got and (1, "v") not in got  # unchanged
+        assert len(got) == 4
+
+    def test_identical_sides_empty(self, spark):
+        from lotad_spark.operators import keyed_diff
+
+        a, _ = self._frames(spark)
+        assert keyed_diff(a, a, ["k"]).isEmpty()
+
+    def test_composite_key(self, spark):
+        from lotad_spark.operators import keyed_diff
+
+        a = spark.createDataFrame([(1, 1, "p"), (1, 2, "q")], "k1 int, k2 int, s string")
+        b = spark.createDataFrame([(1, 1, "p"), (1, 2, "Q")], "k1 int, k2 int, s string")
+        rows = keyed_diff(a, b, ["k1", "k2"]).collect()
+        assert [(r.k1, r.k2, r.column_name) for r in rows] == [(1, 2, "s")]
+
+    def test_requires_keys(self, spark):
+        from lotad_spark.operators import keyed_diff
+
+        a, b = self._frames(spark)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            keyed_diff(a, b, [])
