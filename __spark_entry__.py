@@ -745,6 +745,17 @@ def q_events_retention(spark, sf_dir):
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+def q_events_value_hist(spark, sf_dir):
+    """Tumbling-window histogram of the event value column — the batch
+    face of the streaming distribution monitor (one definition serves
+    both; watermark attaches on streams)."""
+    from lotad_spark.streaming import value_histogram
+
+    return value_histogram(
+        _t(spark, sf_dir, "events"), lo=0.0, hi=20.0, n_bins=5
+    )
+
+
 def q_events_session_agg(spark, sf_dir):
     from lotad_spark.streaming import session_event_agg
 
@@ -1523,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "psi_drift": q_psi_drift,
         "keyed_diff": q_keyed_diff,
+        "events_value_hist": q_events_value_hist,
         "events_session_agg": q_events_session_agg,
         "events_key_stats": q_events_key_stats,
         "skew_two_phase_agg": q_skew_two_phase_agg,

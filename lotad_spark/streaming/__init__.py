@@ -5,6 +5,7 @@ from lotad_spark.streaming.windowed import (
     streaming_drift,
     session_event_agg,
     streaming_dedup,
+    value_histogram,
     windowed_event_agg,
 )
 
@@ -14,4 +15,5 @@ __all__ = [
     "streaming_dedup",
     "key_lifetime_stats",
     "streaming_drift",
+    "value_histogram",
 ]

@@ -214,3 +214,45 @@ def streaming_drift(
     hashed_stream = with_row_hash(stream.select(*cols), cols)
     ref_hashes = with_row_hash(reference.select(*cols), cols).select(HASH_COL)
     return hashed_stream.join(ref_hashes, HASH_COL, "left_anti")
+
+
+def value_histogram(
+    events: DataFrame,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window equal-width histogram of a numeric column:
+    (hour_start, bin_id, n) — the streaming face of distribution
+    monitoring: run it on a readStream, land the counts, and feed each
+    window's row against a reference with ``operators.profile.psi_drift``
+    arithmetic to get online PSI. Batch and stream share this one
+    definition (watermark only attaches on a streaming input).
+
+    Out-of-range values clamp into the edge bins, NULLs are dropped, and
+    per-(window, bin) state is bounded by windows-in-watermark × n_bins —
+    constant per key, independent of event volume."""
+    if not lo < hi:
+        raise ValueError(f"value_histogram: need lo < hi, got [{lo}, {hi})")
+    width = (hi - lo) / n_bins
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    b = F.floor((F.col(val_col).cast("double") - F.lit(lo)) / F.lit(width))
+    bin_id = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("bigint")
+    return (
+        events.filter(F.col(val_col).isNotNull())
+        .groupBy(
+            F.window(ts_col, window).alias("w"), bin_id.alias("bin_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("hour_start"),
+            "bin_id",
+            "n",
+        )
+    )

@@ -437,3 +437,53 @@ class TestStreamingMixing:
             for r in spark.sql("SELECT * FROM mix_stream_test").collect()
         }
         assert got == batch and len(got) > 0
+
+
+class TestValueHistogram:
+    def test_stream_matches_batch(self, spark, sf_dir, tmp_path):
+        from lotad_spark.streaming import value_histogram
+
+        ev = _events(spark, sf_dir)
+        src = str(tmp_path / "hist_src")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+
+        batch = {
+            (r.hour_start, r.bin_id): r.n
+            for r in value_histogram(
+                spark.read.parquet(src), lo=0.0, hi=20.0, n_bins=5
+            ).collect()
+        }
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ckpt = str(tmp_path / "hist_ckpt")
+        q = (
+            value_histogram(stream, lo=0.0, hi=20.0, n_bins=5)
+            .writeStream.format("memory")
+            .queryName("hist_stream_test")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.hour_start, r.bin_id): r.n
+            for r in spark.sql("SELECT * FROM hist_stream_test").collect()
+        }
+        assert got == batch and len(got) > 0
+        # every count landed in a real bin
+        assert all(0 <= b <= 4 for (_, b) in got)
+
+    def test_clamps_and_rejects_bad_range(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from lotad_spark.streaming import value_histogram
+
+        ev = _events(spark, sf_dir)
+        rows = value_histogram(ev, lo=5.0, hi=6.0, n_bins=2).collect()
+        assert sum(r.n for r in rows) == ev.filter("value IS NOT NULL").count()
+        with _pytest.raises(ValueError):
+            value_histogram(ev, lo=1.0, hi=1.0)
