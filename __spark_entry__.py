@@ -745,6 +745,20 @@ def q_events_retention(spark, sf_dir):
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+def q_zorder_codes(spark, sf_dir):
+    """Morton codes interleaving (value, user_id) — the write-time
+    layout key for multi-column scan pruning; pure integer bit math,
+    engine-reproducible."""
+    from lotad_spark.sources import zvalue
+
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        zvalue([("value", 0.0, 250.0), ("user_id", 0.0, 2000.0)]).alias(
+            "zval"
+        ),
+    )
+
+
 def q_events_value_hist(spark, sf_dir):
     """Tumbling-window histogram of the event value column — the batch
     face of the streaming distribution monitor (one definition serves
@@ -752,7 +766,7 @@ def q_events_value_hist(spark, sf_dir):
     from lotad_spark.streaming import value_histogram
 
     return value_histogram(
-        _t(spark, sf_dir, "events"), lo=0.0, hi=20.0, n_bins=5
+        _t(spark, sf_dir, "events"), lo=0.0, hi=250.0, n_bins=5
     )
 
 
@@ -1535,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "keyed_diff": q_keyed_diff,
         "events_value_hist": q_events_value_hist,
+        "zorder_codes": q_zorder_codes,
         "events_session_agg": q_events_session_agg,
         "events_key_stats": q_events_key_stats,
         "skew_two_phase_agg": q_skew_two_phase_agg,

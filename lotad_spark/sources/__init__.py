@@ -2,5 +2,13 @@
 
 from lotad_spark.sources.files import CsvDatabase, JsonlDatabase
 from lotad_spark.sources.parquet import ParquetDatabase, read_table
+from lotad_spark.sources.zorder import write_zordered, zvalue
 
-__all__ = ["CsvDatabase", "JsonlDatabase", "ParquetDatabase", "read_table"]
+__all__ = [
+    "CsvDatabase",
+    "JsonlDatabase",
+    "ParquetDatabase",
+    "read_table",
+    "write_zordered",
+    "zvalue",
+]
