@@ -3,7 +3,12 @@
 from lotad_spark.operators.diff import DiffResult, diff_tables, normalize_for_diff
 from lotad_spark.operators.funnel import funnel_counts, retention_cohorts
 from lotad_spark.operators.keyed_diff import keyed_diff
-from lotad_spark.operators.profile import profile_drift, profile_table, psi_drift
+from lotad_spark.operators.profile import (
+    profile_drift,
+    profile_table,
+    psi_drift,
+    psi_from_counts,
+)
 
 __all__ = [
     "DiffResult",
@@ -15,4 +20,5 @@ __all__ = [
     "profile_drift",
     "profile_table",
     "psi_drift",
+    "psi_from_counts",
 ]

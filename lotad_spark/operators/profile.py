@@ -13,6 +13,8 @@ pushed-down shape: no exchange carries more than #columns rows.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -145,4 +147,56 @@ def psi_drift(
             "n_2",
             F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
         )
+    )
+
+
+def psi_from_counts(
+    current: DataFrame,
+    reference: DataFrame,
+    *,
+    bin_col: str = "bin_id",
+    count_col: str = "n",
+    group_cols: Sequence[str] = ("hour_start",),
+) -> DataFrame:
+    """Online PSI: score landed histogram counts (e.g. the output of
+    ``streaming.value_histogram`` written per window) against a
+    reference histogram — (group…, psi). The arithmetic and smoothing
+    match :func:`psi_drift` (per-bin terms rounded to 6 decimals, summed
+    as DECIMAL so the total is order-independent and engine-exact).
+
+    Scale: the inputs are already n_bins-sized per group; the reference
+    (n_bins rows total) broadcasts, and everything here is arithmetic on
+    count relations — the raw stream is never touched."""
+    gcols = list(group_cols)
+    ref = reference.groupBy(bin_col).agg(
+        F.sum(count_col).alias("_rc")
+    )
+    ref_tot = ref.agg(F.sum("_rc").alias("_rt"))
+    cur = current.groupBy(*gcols, bin_col).agg(
+        F.sum(count_col).alias("_cc")
+    )
+    cur_tot = cur.groupBy(*gcols).agg(F.sum("_cc").alias("_ct"))
+    # Bins with zero current count must still contribute a term — the
+    # reference bins ARE the spine, cross-joined under every group.
+    spine_n = reference.select(bin_col).distinct().count()
+    joined = (
+        cur_tot.crossJoin(F.broadcast(ref))
+        .join(cur, [*gcols, bin_col], "left")
+        .crossJoin(F.broadcast(ref_tot))
+        .select(
+            *gcols,
+            F.col(bin_col),
+            F.coalesce("_cc", F.lit(0)).alias("_cc"),
+            "_ct",
+            "_rc",
+            "_rt",
+        )
+    )
+    p = (F.col("_cc") + 1) / (F.col("_ct") + spine_n)
+    q = (F.col("_rc") + 1) / (F.col("_rt") + spine_n)
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")
+    return (
+        joined.select(*gcols, term.alias("_t"))
+        .groupBy(*gcols)
+        .agg(F.round(F.sum("_t").cast("double"), 6).alias("psi"))
     )

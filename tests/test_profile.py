@@ -98,3 +98,51 @@ class TestPsiDrift:
 
         with pytest.raises(ValueError):
             psi_drift(customer, customer, "c_acctbal", lo=5.0, hi=5.0)
+
+
+class TestPsiFromCounts:
+    def test_matches_psi_drift_on_same_data(self, spark, customer):
+        """The online arithmetic must agree with the batch psi_drift on
+        identical inputs: bin both sides, feed counts through
+        psi_from_counts, compare against sum(psi_term)."""
+        import pyspark.sql.functions as F
+
+        from lotad_spark.operators import psi_drift, psi_from_counts
+
+        shifted = customer.withColumn("c_acctbal", F.col("c_acctbal") + 2000.0)
+        per_bin = psi_drift(customer, shifted, "c_acctbal", lo=0.0, hi=10000.0)
+        expect = round(sum(r.psi_term for r in per_bin.collect()), 6)
+
+        ref = per_bin.select("bin_id", F.col("n_1").alias("n"))
+        cur = per_bin.select(
+            F.lit("w0").alias("hour_start"), "bin_id", F.col("n_2").alias("n")
+        )
+        got = psi_from_counts(cur, ref).collect()
+        assert len(got) == 1
+        assert abs(got[0].psi - expect) < 2e-6  # per-term rounding slack
+
+    def test_zero_for_identical_counts(self, spark):
+        from lotad_spark.operators import psi_from_counts
+
+        ref = spark.createDataFrame(
+            [(i, 100) for i in range(5)], "bin_id bigint, n bigint"
+        )
+        cur = spark.createDataFrame(
+            [("w0", i, 100) for i in range(5)],
+            "hour_start string, bin_id bigint, n bigint",
+        )
+        rows = psi_from_counts(cur, ref).collect()
+        assert rows[0].psi == 0.0
+
+    def test_per_window_scores(self, spark):
+        from lotad_spark.operators import psi_from_counts
+
+        ref = spark.createDataFrame(
+            [(0, 100), (1, 100)], "bin_id bigint, n bigint"
+        )
+        cur = spark.createDataFrame(
+            [("w0", 0, 100), ("w0", 1, 100), ("w1", 0, 200), ("w1", 1, 0)],
+            "hour_start string, bin_id bigint, n bigint",
+        )
+        got = {r.hour_start: r.psi for r in psi_from_counts(cur, ref).collect()}
+        assert got["w0"] == 0.0 and got["w1"] > 0.25
