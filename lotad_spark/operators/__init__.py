@@ -3,6 +3,7 @@
 from lotad_spark.operators.diff import DiffResult, diff_tables, normalize_for_diff
 from lotad_spark.operators.funnel import funnel_counts, retention_cohorts
 from lotad_spark.operators.keyed_diff import keyed_diff
+from lotad_spark.operators.snapshot import diff_against_snapshot, write_hash_snapshot
 from lotad_spark.operators.profile import (
     profile_drift,
     profile_table,
@@ -14,9 +15,11 @@ __all__ = [
     "DiffResult",
     "diff_tables",
     "funnel_counts",
+    "diff_against_snapshot",
     "keyed_diff",
     "normalize_for_diff",
     "retention_cohorts",
+    "write_hash_snapshot",
     "profile_drift",
     "profile_table",
     "psi_drift",

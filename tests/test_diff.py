@@ -237,3 +237,73 @@ class TestKeyedDiff:
 
         with _pytest.raises(ValueError):
             keyed_diff(a, b, [])
+
+
+class TestHashSnapshot:
+    def test_incremental_drift_matches_full_diff(self, spark, customer, tmp_path):
+        """Snapshot drift must agree with the full row diff on what a
+        fingerprint can know: same added rows (full columns), and one
+        hash-only row per deleted hash."""
+        from lotad_spark.operators import (
+            diff_against_snapshot,
+            write_hash_snapshot,
+        )
+
+        snap = str(tmp_path / "snap")
+        write_hash_snapshot(customer, snap)
+        today = (
+            customer.filter("c_custkey != 3")  # deleted
+            .withColumn(
+                "c_acctbal",
+                F.when(F.col("c_custkey") == 7, F.col("c_acctbal") + 5)
+                .otherwise(F.col("c_acctbal")),  # changed
+            )
+        )
+        got = diff_against_snapshot(today, snap)
+        full = diff_tables(customer, today, db1_id="snapshot", db2_id="current").diff
+
+        got_added = {r.c_custkey for r in got.collect() if r.observed_in == "current"}
+        full_added = {
+            r.c_custkey for r in full.collect() if r.observed_in == "current"
+        }
+        assert got_added == full_added == {7}
+        # removed side: hash-only rows, one per vanished hash (key 3's
+        # old row and key 7's old row)
+        removed = [r for r in got.collect() if r.observed_in == "snapshot"]
+        assert len(removed) == 2
+        assert all(r.c_custkey is None and r.hashed_row for r in removed)
+        full_removed_hashes = {
+            r.hashed_row for r in full.collect() if r.observed_in == "snapshot"
+        }
+        assert {r.hashed_row for r in removed} == full_removed_hashes
+
+    def test_identical_snapshot_empty(self, spark, customer, tmp_path):
+        from lotad_spark.operators import (
+            diff_against_snapshot,
+            write_hash_snapshot,
+        )
+
+        snap = str(tmp_path / "snap2")
+        write_hash_snapshot(customer, snap)
+        assert diff_against_snapshot(customer, snap).isEmpty()
+
+    def test_snapshot_side_is_hash_only_in_plan(self, spark, customer, tmp_path):
+        from lotad_spark.operators import (
+            diff_against_snapshot,
+            write_hash_snapshot,
+        )
+
+        snap = str(tmp_path / "snap3")
+        write_hash_snapshot(customer, snap)
+        plan = (
+            diff_against_snapshot(customer, snap)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        snap_scans = [
+            l for l in plan.splitlines() if "FileScan" in l and "snap3" in l
+        ]
+        assert snap_scans and all(
+            "c_name" not in l and "c_acctbal" not in l for l in snap_scans
+        )
