@@ -1917,6 +1917,13 @@ def oracle_sql() -> dict[str, str]:
         "training_plan": _TRAINING_PLAN_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ann_ivf_sql(),
+        "events_funnel": """WITH s0 AS (SELECT user_id, min(ts) AS rts FROM events WHERE event_type = 'view' GROUP BY user_id), s1 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s0 USING (user_id) WHERE e.event_type = 'click' AND e.ts > s0.rts GROUP BY e.user_id), s2 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s1 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > s1.rts GROUP BY e.user_id) SELECT 0 AS step_index, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s0 UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1 UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2""",
+        "events_retention": """WITH act AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events GROUP BY 1, 2), firstd AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY 1), sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM firstd GROUP BY 1), ret AS (SELECT f.cohort, CAST(a.d - f.cohort AS BIGINT) AS offset_days, CAST(count(*) AS BIGINT) AS n_active FROM act a JOIN firstd f USING (user_id) GROUP BY 1, 2) SELECT CAST(r.cohort AS VARCHAR) AS cohort_day, offset_days, n_active, cohort_size FROM ret r JOIN sizes USING (cohort)""",
+        "profile_drift": """WITH db2 AS (SELECT * FROM customer WHERE c_custkey % 97 != 0), p1 AS (SELECT * FROM (VALUES ('c_custkey', (SELECT CAST(count(c_custkey) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_custkey) AS BIGINT) FROM customer), (SELECT CAST(min(c_custkey) AS DOUBLE) FROM customer), (SELECT CAST(max(c_custkey) AS DOUBLE) FROM customer)), ('c_name', (SELECT CAST(count(c_name) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_name) AS BIGINT) FROM customer), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)), ('c_nationkey', (SELECT CAST(count(c_nationkey) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_nationkey) AS BIGINT) FROM customer), (SELECT CAST(min(c_nationkey) AS DOUBLE) FROM customer), (SELECT CAST(max(c_nationkey) AS DOUBLE) FROM customer)), ('c_acctbal', (SELECT CAST(count(c_acctbal) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_acctbal) AS BIGINT) FROM customer), (SELECT CAST(min(c_acctbal) AS DOUBLE) FROM customer), (SELECT CAST(max(c_acctbal) AS DOUBLE) FROM customer)), ('c_mktsegment', (SELECT CAST(count(c_mktsegment) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_mktsegment) AS BIGINT) FROM customer), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))) v(column_name, n_nonnull_1, n_null_1, min_val_1, max_val_1)), p2 AS (SELECT * FROM (VALUES ('c_custkey', (SELECT CAST(count(c_custkey) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_custkey) AS BIGINT) FROM db2), (SELECT CAST(min(c_custkey) AS DOUBLE) FROM db2), (SELECT CAST(max(c_custkey) AS DOUBLE) FROM db2)), ('c_name', (SELECT CAST(count(c_name) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_name) AS BIGINT) FROM db2), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)), ('c_nationkey', (SELECT CAST(count(c_nationkey) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_nationkey) AS BIGINT) FROM db2), (SELECT CAST(min(c_nationkey) AS DOUBLE) FROM db2), (SELECT CAST(max(c_nationkey) AS DOUBLE) FROM db2)), ('c_acctbal', (SELECT CAST(count(c_acctbal) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_acctbal) AS BIGINT) FROM db2), (SELECT CAST(min(c_acctbal) AS DOUBLE) FROM db2), (SELECT CAST(max(c_acctbal) AS DOUBLE) FROM db2)), ('c_mktsegment', (SELECT CAST(count(c_mktsegment) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_mktsegment) AS BIGINT) FROM db2), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))) v(column_name, n_nonnull_2, n_null_2, min_val_2, max_val_2)) SELECT p1.column_name, n_nonnull_1, n_null_1, min_val_1, max_val_1, n_nonnull_2, n_null_2, min_val_2, max_val_2 FROM p1 JOIN p2 USING (column_name) WHERE n_nonnull_1 IS DISTINCT FROM n_nonnull_2 OR n_null_1 IS DISTINCT FROM n_null_2 OR min_val_1 IS DISTINCT FROM min_val_2 OR max_val_1 IS DISTINCT FROM max_val_2""",
+        "psi_drift": """WITH db2 AS (SELECT c_custkey, CASE WHEN c_custkey % 101 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal FROM customer), spine AS (SELECT unnest(generate_series(0, 9)) AS bin_id), b1 AS (SELECT least(greatest(CAST(floor((CAST(c_acctbal AS DOUBLE) - 0.0) / 1000.0) AS BIGINT), 0), 9) AS bin_id, count(*) AS c1 FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1), b2 AS (SELECT least(greatest(CAST(floor((CAST(c_acctbal AS DOUBLE) - 0.0) / 1000.0) AS BIGINT), 0), 9) AS bin_id, count(*) AS c2 FROM db2 WHERE c_acctbal IS NOT NULL GROUP BY 1), counts AS (SELECT CAST(spine.bin_id AS BIGINT) AS bin_id, CAST(coalesce(c1, 0) AS BIGINT) AS n_1, CAST(coalesce(c2, 0) AS BIGINT) AS n_2 FROM spine LEFT JOIN b1 ON b1.bin_id = spine.bin_id LEFT JOIN b2 ON b2.bin_id = spine.bin_id), tot AS (SELECT sum(n_1) AS t1, sum(n_2) AS t2 FROM counts) SELECT bin_id, 0.0 + bin_id * 1000.0 AS lo_edge, 0.0 + (bin_id + 1) * 1000.0 AS hi_edge, n_1, n_2, round(((n_1 + 1) / (t1 + 10) - (n_2 + 1) / (t2 + 10)) * ln(((n_1 + 1) / (t1 + 10)) / ((n_2 + 1) / (t2 + 10))), 6) AS psi_term FROM counts CROSS JOIN tot""",
+        "keyed_diff": """WITH db2 AS (SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 101 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 97 != 0), changed AS (SELECT a.c_custkey, 'c_acctbal' AS column_name, CAST(a.c_acctbal AS VARCHAR) AS db1_value, CAST(b.c_acctbal AS VARCHAR) AS db2_value FROM customer a JOIN db2 b USING (c_custkey) WHERE CAST(a.c_acctbal AS VARCHAR) IS DISTINCT FROM CAST(b.c_acctbal AS VARCHAR) UNION ALL SELECT a.c_custkey, 'c_mktsegment' AS column_name, CAST(a.c_mktsegment AS VARCHAR) AS db1_value, CAST(b.c_mktsegment AS VARCHAR) AS db2_value FROM customer a JOIN db2 b USING (c_custkey) WHERE CAST(a.c_mktsegment AS VARCHAR) IS DISTINCT FROM CAST(b.c_mktsegment AS VARCHAR) UNION ALL SELECT a.c_custkey, 'c_name' AS column_name, CAST(a.c_name AS VARCHAR) AS db1_value, CAST(b.c_name AS VARCHAR) AS db2_value FROM customer a JOIN db2 b USING (c_custkey) WHERE CAST(a.c_name AS VARCHAR) IS DISTINCT FROM CAST(b.c_name AS VARCHAR) UNION ALL SELECT a.c_custkey, 'c_nationkey' AS column_name, CAST(a.c_nationkey AS VARCHAR) AS db1_value, CAST(b.c_nationkey AS VARCHAR) AS db2_value FROM customer a JOIN db2 b USING (c_custkey) WHERE CAST(a.c_nationkey AS VARCHAR) IS DISTINCT FROM CAST(b.c_nationkey AS VARCHAR)), onlyrows AS (SELECT a.c_custkey, '__row__' AS column_name, 'db1' AS db1_value, CAST(NULL AS VARCHAR) AS db2_value FROM customer a LEFT JOIN db2 b USING (c_custkey) WHERE b.c_custkey IS NULL UNION ALL SELECT b.c_custkey, '__row__', CAST(NULL AS VARCHAR), 'db2' FROM db2 b LEFT JOIN customer a USING (c_custkey) WHERE a.c_custkey IS NULL) SELECT * FROM changed UNION ALL SELECT * FROM onlyrows""",
+        "events_value_hist": """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0) / 50.0) AS BIGINT), 0), 4) AS bin_id, CAST(count(*) AS BIGINT) AS n FROM events WHERE value IS NOT NULL GROUP BY 1, 2""",
+        "zorder_codes": """SELECT event_id, ((((qv >> 0) & 1) << 0) + (((qv >> 1) & 1) << 2) + (((qv >> 2) & 1) << 4) + (((qv >> 3) & 1) << 6) + (((qv >> 4) & 1) << 8) + (((qv >> 5) & 1) << 10) + (((qv >> 6) & 1) << 12) + (((qv >> 7) & 1) << 14) + (((qv >> 8) & 1) << 16) + (((qv >> 9) & 1) << 18) + (((qv >> 10) & 1) << 20) + (((qv >> 11) & 1) << 22) + (((qv >> 12) & 1) << 24) + (((qv >> 13) & 1) << 26) + (((qv >> 14) & 1) << 28) + (((qv >> 15) & 1) << 30)) + ((((qu >> 0) & 1) << 1) + (((qu >> 1) & 1) << 3) + (((qu >> 2) & 1) << 5) + (((qu >> 3) & 1) << 7) + (((qu >> 4) & 1) << 9) + (((qu >> 5) & 1) << 11) + (((qu >> 6) & 1) << 13) + (((qu >> 7) & 1) << 15) + (((qu >> 8) & 1) << 17) + (((qu >> 9) & 1) << 19) + (((qu >> 10) & 1) << 21) + (((qu >> 11) & 1) << 23) + (((qu >> 12) & 1) << 25) + (((qu >> 13) & 1) << 27) + (((qu >> 14) & 1) << 29) + (((qu >> 15) & 1) << 31)) AS zval FROM (SELECT event_id, least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0) / 250.0 * 65535) AS BIGINT), 0), 65535) AS qv, least(greatest(CAST(floor((CAST(user_id AS DOUBLE) - 0.0) / 2000.0 * 65535) AS BIGINT), 0), 65535) AS qu FROM events)""",
         "events_session_agg": _SESSION_SQL,
         "skew_two_phase_agg": (
             "SELECT l_suppkey, "

@@ -57,6 +57,7 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    n_ok = n_skip = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -69,6 +70,7 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            n_skip += 1
             print(f"skip  {name}: no oracle (rows-only check, n={len(srows)})")
             continue
         try:
@@ -98,13 +100,16 @@ def main() -> int:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
+            n_ok += 1
             print(f"ok    {name} ({len(srows)} rows)")
 
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {[n for n, _ in failures]}")
         return 1
-    print("ALL OK")
+    # The skip count is part of the verdict: a query silently losing its
+    # oracle entry must be impossible to misread as verified.
+    print(f"ALL OK ({n_ok} value-checked, {n_skip} rows-only)")
     return 0
 
 
