@@ -27,10 +27,12 @@ from lotad_spark.pipeline.dedup import (
     dedup_components,
     exact_dedup,
     minhash_signatures,
+    near_dup_against_index,
     near_dup_pairs,
     shingles,
     simhash32,
     simhash_near_dup_pairs,
+    write_dedup_index,
 )
 from lotad_spark.pipeline.similarity import (
     build_ivf_index,
@@ -99,6 +101,7 @@ __all__ = [
     "chunk_manifest",
     "hash_sample",
     "mixture_sample",
+    "near_dup_against_index",
     "sample_key",
     "shuffle_batches",
     "stratified_cap",
@@ -107,6 +110,7 @@ __all__ = [
     "train_eval_split",
     "unigram_logprob",
     "upsample_by_weight",
+    "write_dedup_index",
     "contaminated_ids",
     "contamination_pairs",
     "curate_corpus",

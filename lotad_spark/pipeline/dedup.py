@@ -443,3 +443,144 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def write_dedup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+) -> None:
+    """Materialize the incremental near-dup index of a corpus: the LSH
+    band rows (``bands/``: band_i, bh, doc_id) plus the per-document
+    shingle-hash relation and sizes (``shingles/``: doc_id, sh64;
+    ``sizes/``: doc_id, sz) — everything batch dedup derives from the
+    text, stored so nightly ingestion never re-reads or re-shingles the
+    corpus. Band files partition by ``band_i`` (probes prune to the
+    bands they carry); shingle hashes are 64-bit md5 prefixes, so the
+    stored relation is ids + fixed-width hashes, never text."""
+    sh = shingles(docs, id_col, text_col, n)
+    sigs = minhash_signatures(sh, id_col, num_perms)
+    rows = num_perms // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    stacked = (
+        sigs.select(F.col(id_col), *band_cols)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_i"),
+                        F.col(f"band_{b}").alias("bh"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("band"),
+        )
+        .select(id_col, "band.band_i", "band.bh")
+    )
+    stacked.write.mode("overwrite").partitionBy("band_i").parquet(
+        f"{path}/bands"
+    )
+    hashed = sh.select(
+        F.col(id_col), F.substring(F.md5(F.col("shingle")), 1, 16).alias("sh64")
+    )
+    hashed.write.mode("overwrite").parquet(f"{path}/shingles")
+    hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/sizes")
+
+
+def near_dup_against_index(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs between an incoming batch and an indexed
+    corpus: (new_id, corpus_id, jaccard ≥ threshold) — the ingestion-time
+    half of dedup. The batch is shingled/banded fresh (it's the small
+    side); candidates come from a band-bucket join against the stored
+    band rows, and exact Jaccard verifies against the stored shingle
+    hashes — the corpus text is never touched. Same parameters must be
+    passed as at index time."""
+    spark = new_docs.sparkSession
+    sh_new = shingles(new_docs, id_col, text_col, n)
+    sigs = minhash_signatures(sh_new, id_col, num_perms)
+    rows = num_perms // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    new_bands = (
+        sigs.select(F.col(id_col), *band_cols)
+        .select(
+            F.col(id_col).alias("new_id"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_i"),
+                        F.col(f"band_{b}").alias("bh"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("band"),
+        )
+        .select("new_id", "band.band_i", "band.bh")
+    )
+    idx_bands = spark.read.parquet(f"{index_path}/bands").select(
+        F.col("band_i"), F.col("bh"), F.col(id_col).alias("corpus_id")
+    )
+    cands = (
+        new_bands.join(idx_bands, ["band_i", "bh"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    new_hashed = sh_new.select(
+        F.col(id_col).alias("new_id"),
+        F.substring(F.md5(F.col("shingle")), 1, 16).alias("sh64"),
+    )
+    idx_hashed = spark.read.parquet(f"{index_path}/shingles").select(
+        F.col(id_col).alias("corpus_id"), "sh64"
+    )
+    inter = (
+        cands.join(new_hashed, "new_id")
+        .join(idx_hashed, ["corpus_id", "sh64"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    new_sizes = new_hashed.groupBy("new_id").agg(F.count(F.lit(1)).alias("sz_new"))
+    idx_sizes = spark.read.parquet(f"{index_path}/sizes").select(
+        F.col(id_col).alias("corpus_id"), F.col("sz").alias("sz_corpus")
+    )
+    return (
+        inter.join(new_sizes, "new_id")
+        .join(idx_sizes, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (
+                F.col("n_inter").cast("double")
+                / (
+                    F.col("sz_new") + F.col("sz_corpus") - F.col("n_inter")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -434,3 +434,64 @@ class TestUnigramLogprob:
             for r in unigram_logprob(docs.repartition(17)).collect()
         }
         assert a == b  # decimal-exact sums: no reduction-order drift
+
+
+class TestIncrementalDedupIndex:
+    def test_ingestion_batch_matches_batch_dedup(self, spark, sf_dir, tmp_path):
+        """Index docs 0..N/2, probe with the rest: pairs found against
+        the index must equal the (old, new) cross-side pairs the batch
+        near_dup_pairs finds on the union — the incremental path loses
+        nothing that spans the index/batch boundary."""
+        import pyspark.sql.functions as F
+
+        from lotad_spark.pipeline import (
+            near_dup_against_index,
+            near_dup_pairs,
+            write_dedup_index,
+        )
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        docs = ParquetDatabase(spark, sf_dir, "db").table("documents").select(
+            "doc_id", "text"
+        )
+        cut = 250
+        corpus = docs.filter(F.col("doc_id") < cut)
+        batch = docs.filter(F.col("doc_id") >= cut)
+        idx = str(tmp_path / "dedup_idx")
+        write_dedup_index(corpus, idx)
+
+        inc = {
+            (r.new_id, r.corpus_id, round(r.jaccard, 6))
+            for r in near_dup_against_index(batch, idx, threshold=0.6).collect()
+        }
+        full = near_dup_pairs(docs, threshold=0.6).collect()
+        cross = {
+            (max(r.id_a, r.id_b), min(r.id_a, r.id_b), round(r.jaccard, 6))
+            for r in full
+            if (r.id_a < cut) != (r.id_b < cut)
+        }
+        assert inc == cross and len(inc) > 0
+
+    def test_corpus_text_never_read_at_probe_time(self, spark, sf_dir, tmp_path):
+        import pyspark.sql.functions as F
+
+        from lotad_spark.pipeline import near_dup_against_index, write_dedup_index
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        docs = ParquetDatabase(spark, sf_dir, "db").table("documents").select(
+            "doc_id", "text"
+        )
+        idx = str(tmp_path / "idx2")
+        write_dedup_index(docs.filter("doc_id < 100"), idx)
+        plan = (
+            near_dup_against_index(docs.filter("doc_id >= 100"), idx)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        scans = [l for l in plan.splitlines() if "FileScan" in l]
+        text_scans = [l for l in scans if "text#" in l]
+        # every scan reading text carries the batch's pushed-down filter;
+        # the index relations (bands/shingles/sizes) read ids+hashes only
+        assert text_scans and all(">= 100" in l for l in text_scans)
+        assert len(scans) > len(text_scans)  # index scans exist, text-free
