@@ -72,12 +72,14 @@ class DatabaseComparator:
         table_ignore_columns: dict[str, list[str]] | None = None,
         table_queries: dict[str, str] | None = None,
         strategy: str = "auto",
-        # Measured knee on local[32] at sf0.1: 2→14.2s, 4→6.8s, 8→10.2s.
-        # Beyond ~4 driver threads the Py4J gateway + Python GIL serialize
-        # job submission and inflate every table; executor-side capacity is
-        # not the limit. On a real cluster the same driver bound applies —
-        # raise only if job submission (not execution) is the bottleneck.
-        max_concurrent_tables: int = 4,
+        # Measured knee on local[32] at sf0.1 (round-6 re-sweep after the
+        # single-exchange diff cut per-table cost ~3×): 3→6.8s, 4→5.5s,
+        # 6→5.1s, 8→5.5s. Past the knee the Py4J gateway + Python GIL
+        # serialize job submission and inflate every table; executor-side
+        # capacity is not the limit. On a real cluster the same driver
+        # bound applies — raise only if job submission (not execution) is
+        # the bottleneck.
+        max_concurrent_tables: int = 6,
     ):
         self.spark = spark
         self.db1 = db1
