@@ -112,6 +112,21 @@ def main() -> None:
         best = dt if best is None else min(best, dt)
     queries["diff_lineitem_groupby"] = round(best, 3)
 
+    # Same scale-path strategy driven END-TO-END through the orchestrator
+    # (ThreadPool + FAIR pools + observe-on-write sink), restricted to the
+    # largest table: proves the config knob reaches the sink path and
+    # prices the full orchestration under the 100 TB strategy.
+    out_dir = tempfile.mkdtemp(prefix="lotad_bench_out_gb_")
+    t0 = time.perf_counter()
+    compare_all(
+        spark, db1, db2, output_path=out_dir,
+        strategy="groupby", target_tables=["lineitem"],
+    )
+    queries["compare_lineitem_groupby_e2e"] = round(
+        time.perf_counter() - t0, 3
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     # Headline analytics queries from the driver contract.
     import __spark_entry__ as entry_mod
 

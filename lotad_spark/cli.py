@@ -169,9 +169,12 @@ def curate(docs_path, eval_path, output_path, block_size, mix_rates,
     manifest.write.mode("overwrite").parquet(f"{output_path}/manifest")
     n_packs = p.count()
     n_chunks = p.agg(F.max("last_chunk")).collect()[0][0]
+    # max(last_chunk) == 0 means ONE block (ids are 0-based); only a
+    # None (empty plan) means zero blocks — `or` would conflate the two.
+    n_blocks = (n_chunks + 1) if n_chunks is not None else 0
     click.echo(
         f"curate: wrote {n_packs} packed docs, "
-        f"{(n_chunks or -1) + 1} blocks of {block_size} tokens "
+        f"{n_blocks} blocks of {block_size} tokens "
         f"to {output_path}/{{plan,manifest}}"
     )
 

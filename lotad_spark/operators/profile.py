@@ -176,19 +176,26 @@ def psi_from_counts(
         F.sum(count_col).alias("_cc")
     )
     cur_tot = cur.groupBy(*gcols).agg(F.sum("_cc").alias("_ct"))
-    # Bins with zero current count must still contribute a term — the
-    # reference bins ARE the spine, cross-joined under every group.
-    spine_n = reference.select(bin_col).distinct().count()
+    # The spine is the UNION of reference and current bin ids: a bin that
+    # appears only in the current window (a new mode — exactly the case
+    # drift detection exists for) still gets a Laplace-smoothed term with
+    # zero reference mass, instead of being silently excluded while its
+    # counts inflate _ct.
+    spine = (
+        reference.select(bin_col).union(current.select(bin_col)).distinct()
+    )
+    spine_n = spine.count()
     joined = (
-        cur_tot.crossJoin(F.broadcast(ref))
+        cur_tot.crossJoin(F.broadcast(spine))
         .join(cur, [*gcols, bin_col], "left")
+        .join(F.broadcast(ref), bin_col, "left")
         .crossJoin(F.broadcast(ref_tot))
         .select(
             *gcols,
             F.col(bin_col),
             F.coalesce("_cc", F.lit(0)).alias("_cc"),
             "_ct",
-            "_rc",
+            F.coalesce("_rc", F.lit(0)).alias("_rc"),
             "_rt",
         )
     )

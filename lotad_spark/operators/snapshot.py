@@ -67,12 +67,16 @@ def diff_against_snapshot(
     )
     added = (
         cur.join(snap, HASH_COL, "left_anti")
-        .dropDuplicates()
+        # Project down to the hashed columns BEFORE dropDuplicates: when
+        # ``columns`` is a subset of df.columns, rows identical in hashed
+        # columns but differing elsewhere must still collapse to one row
+        # per hash (matching write_hash_snapshot's distinct()).
         .select(
             F.lit(db_id).alias(PROVENANCE_COL),
             *[F.col(f"`{c}`") for c in cols],
             HASH_COL,
         )
+        .dropDuplicates()
     )
     removed = (
         snap.join(cur.select(HASH_COL), HASH_COL, "left_anti")

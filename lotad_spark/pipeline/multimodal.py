@@ -59,6 +59,12 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, str] | None:
         return None
     import struct
 
+    # The width/height/bpp offsets below are BITMAPINFOHEADER layout
+    # (DIB header size >= 40). A BITMAPCOREHEADER BMP (size 12, 16-bit
+    # width/height at different offsets) would decode to garbage
+    # dimensions here — fall through instead of trusting them.
+    if struct.unpack_from("<I", payload, 14)[0] < 40:
+        return None
     width = struct.unpack_from("<i", payload, 18)[0]
     height = struct.unpack_from("<i", payload, 22)[0]
     bpp = struct.unpack_from("<H", payload, 28)[0]

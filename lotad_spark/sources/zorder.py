@@ -50,6 +50,16 @@ def zvalue(cols: Sequence[tuple[Column | str, float, float]]) -> Column:
     n = len(cols)
     if n < 2:
         raise ValueError("zvalue: need at least 2 dimensions")
+    if BITS * n > 63:
+        # With 4 dims, bit 15 of dim 3 would land at position 63 (the
+        # bigint sign bit, breaking range-sort order); with ≥5 dims shift
+        # counts reach ≥64 where the JVM shiftleft wraps mod 64 and
+        # silently corrupts codes.
+        raise ValueError(
+            f"zvalue: {n} dims x {BITS} bits = {BITS * n} code bits "
+            "exceeds the 63 usable bits of a signed bigint; reduce the "
+            "number of dimensions (max 3 at 16 bits/dim)"
+        )
     out = F.lit(0).cast("bigint")
     for d, (c, lo, hi) in enumerate(cols):
         col = F.col(c) if isinstance(c, str) else c

@@ -98,6 +98,32 @@ class TestCompareAll:
         assert len(rows) == 1 and rows[0]["c_custkey"] == 5
         assert rows[0]["observed_in"] == "db1"
 
+    def test_groupby_strategy_end_to_end(self, spark, customer, tmp_path):
+        """The scale-path diff strategy is reachable through the
+        orchestrator's config knob and produces the same summary and
+        drift rows as the default strategy."""
+        mutated = customer.filter(F.col("c_custkey") != 5)
+        db1, db2 = _dbs(spark, {"customer": customer}, {"customer": mutated})
+        res = compare_all(
+            spark, db1, db2,
+            output_path=str(tmp_path / "out"),
+            strategy="groupby",
+        )
+        summary = res.analysis.get_data_drift_summary()
+        assert summary == [
+            {
+                "table_name": "customer",
+                "db1": "db1",
+                "rows_only_in_db1": 1,
+                "db2": "db2",
+                "rows_only_in_db2": 0,
+            }
+        ]
+        written = spark.read.parquet(res.data_drift[0].path)
+        rows = written.collect()
+        assert len(rows) == 1 and rows[0]["c_custkey"] == 5
+        assert rows[0]["observed_in"] == "db1"
+
     def test_ignore_tables_regex_filter(self, spark, customer, tmp_path):
         mutated = customer.filter(F.col("c_custkey") != 5)
         db1, db2 = _dbs(spark, {"customer": customer}, {"customer": mutated})

@@ -277,6 +277,34 @@ class TestHashSnapshot:
         }
         assert {r.hashed_row for r in removed} == full_removed_hashes
 
+    def test_subset_columns_collapse_to_one_row_per_hash(
+        self, spark, customer, tmp_path
+    ):
+        """With ``columns`` a subset of df.columns, rows identical in the
+        hashed columns but differing in an unhashed one must still emit
+        ONE row per hash (set semantics matching write_hash_snapshot's
+        distinct) — the projection must happen before dropDuplicates."""
+        from lotad_spark.operators import (
+            diff_against_snapshot,
+            write_hash_snapshot,
+        )
+
+        cols = ["c_custkey", "c_name"]
+        snap = str(tmp_path / "snap_subset")
+        write_hash_snapshot(customer, snap, columns=cols)
+        # Two rows per key, differing only in the unhashed c_acctbal; keys
+        # shifted so every hash is new relative to the snapshot.
+        today = customer.withColumn(
+            "c_custkey", F.col("c_custkey") + 1000
+        )
+        today = today.unionByName(
+            today.withColumn("c_acctbal", F.col("c_acctbal") + 1)
+        )
+        got = diff_against_snapshot(today, snap, columns=cols)
+        added = [r for r in got.collect() if r.observed_in == "current"]
+        assert len(added) == customer.count()
+        assert len({r.hashed_row for r in added}) == len(added)
+
     def test_identical_snapshot_empty(self, spark, customer, tmp_path):
         from lotad_spark.operators import (
             diff_against_snapshot,

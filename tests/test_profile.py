@@ -134,6 +134,28 @@ class TestPsiFromCounts:
         rows = psi_from_counts(cur, ref).collect()
         assert rows[0].psi == 0.0
 
+    def test_new_mode_bin_contributes(self, spark):
+        """A bin present only in the current window (a brand-new mode)
+        must join the spine with zero reference mass and contribute a
+        smoothed term — not be silently dropped while inflating the
+        current total."""
+        from lotad_spark.operators import psi_from_counts
+
+        ref = spark.createDataFrame(
+            [(0, 100), (1, 100)], "bin_id bigint, n bigint"
+        )
+        # Half the current mass lands in bin 2, unseen in the reference.
+        cur = spark.createDataFrame(
+            [("w0", 0, 100), ("w0", 1, 100), ("w0", 2, 200)],
+            "hour_start string, bin_id bigint, n bigint",
+        )
+        rows = psi_from_counts(cur, ref).collect()
+        assert len(rows) == 1
+        # With the bin dropped the score would be ~0.27 (only the two
+        # shared bins' shrunken shares); counting it pushes PSI well past
+        # 1 — the "distribution changed" regime a new mode belongs in.
+        assert rows[0].psi > 1.0
+
     def test_per_window_scores(self, spark):
         from lotad_spark.operators import psi_from_counts
 

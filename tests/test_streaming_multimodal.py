@@ -139,6 +139,29 @@ class TestMultimodal:
         assert _parse_bmp(b"BMtooshort") is None
         assert _parse_bmp(b"not bmp at all, padded out to length") is None
 
+    def test_bmp_coreheader_rejected(self):
+        """A BITMAPCOREHEADER BMP (DIB size 12, 16-bit width/height at
+        different offsets) must fall through rather than be read at
+        INFOHEADER offsets and decode to garbage dimensions."""
+        import struct
+
+        from lotad_spark.pipeline.multimodal import _parse_bmp
+
+        core = (
+            b"BM"
+            + struct.pack("<IHHI", 0, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 64, 32, 1, 24)  # CORE layout
+            + b"\0" * 16
+        )
+        assert _parse_bmp(core) is None
+        info = (
+            b"BM"
+            + struct.pack("<IHHI", 0, 0, 0, 54)
+            + struct.pack("<IiiHH", 40, 64, 32, 1, 24)
+            + b"\0" * 16
+        )
+        assert _parse_bmp(info) == (64, 32, "RGB")
+
     def test_decode_keeps_partitioning_columns(self, spark):
         df = spark.createDataFrame(
             [(1, "img/png", b"abc")], "media_id long, media_type string, content binary"

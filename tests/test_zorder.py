@@ -42,6 +42,15 @@ class TestZValue:
         with pytest.raises(ValueError):
             zvalue([("x", 1.0, 1.0), ("y", 0.0, 1.0)])
 
+    def test_rejects_codes_wider_than_bigint(self, spark):
+        """4 dims x 16 bits would put dim 3's top bit on the bigint sign
+        bit (breaking range order) and >=5 dims would wrap JVM shiftleft
+        mod 64 — both must be refused, 3 dims (48 bits) must pass."""
+        dims4 = [(c, 0.0, 1.0) for c in ("a", "b", "c", "d")]
+        with pytest.raises(ValueError, match="63 usable bits"):
+            zvalue(dims4)
+        zvalue([(c, 0.0, 1.0) for c in ("a", "b", "c")])  # fits: no raise
+
 
 class TestWriteZordered:
     def test_per_file_ranges_tighten_on_both_columns(
