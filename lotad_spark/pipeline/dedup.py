@@ -273,24 +273,23 @@ def dedup_components(
     the min of its own label and its neighbors' labels — one join + one
     groupBy per round, converging in O(component diameter) rounds.
     Near-dup clusters are clique-like (diameter 1-2), so 2-4 propagation
-    steps in practice; ``max_iter`` bounds pathological chains. Each
-    scheduled round runs TWO propagation steps before the single
-    checkpoint + changed-count action: the loop is dominated by fixed
-    per-job latency (scheduling, broadcast, state commit), not by the
-    propagation itself, so fusing two steps per job halves the job count.
-    Convergence is read off the SECOND fused step: if step 2 changed no
-    label, step 1's output was already a fixed point and the round both
-    did the work and proved convergence — a diameter-1 graph (the
-    near-dup clique case) finishes in ONE job, with no separate
-    confirmation round. Labels are ``localCheckpoint``-ed each
-    round: without truncation the iterative lineage re-executes from
-    scratch on every convergence check (O(rounds²) work) and eventually
-    overflows the planner; the checkpoint is LAZY and the convergence
-    count is the action that materializes it. The symmetrized edge
-    relation is persisted REPARTITIONED by ``src``: the cached layout
-    carries hashpartitioning, so when the label side outgrows AQE's
-    broadcast threshold (the 100 TB case) every per-round join reuses the
-    cached edge partitioning and shuffles only the labels. Only vertices
+    steps in practice; ``max_iter`` bounds pathological chains. ONE
+    propagation per scheduled round, with the previous label carried
+    through the plan as ``_old`` so the convergence count needs no
+    second join and no recompute (a round-6 experiment fusing two
+    propagation steps per job to halve the action count measured
+    consistently SLOWER — driver +24%, quiet-box A/B 3.2 s vs 2.3 s at
+    sf0.1 — because the second step's plan referenced the un-persisted
+    first step twice and the deeper per-job plan cost more than the
+    saved action). Labels are ``localCheckpoint``-ed each round: without
+    truncation the iterative lineage re-executes from scratch on every
+    convergence check (O(rounds²) work) and eventually overflows the
+    planner; the checkpoint is LAZY and the convergence count is the
+    action that materializes it. The symmetrized edge relation is
+    persisted REPARTITIONED by ``src``: the cached layout carries
+    hashpartitioning, so when the label side outgrows AQE's broadcast
+    threshold (the 100 TB case) every per-round join reuses the cached
+    edge partitioning and shuffles only the labels. Only vertices
     appearing in ``pairs`` are labeled — join the corpus back for
     singleton docs (they are their own component by definition)."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -309,9 +308,13 @@ def dedup_components(
             .groupBy("id")
             .agg(F.min("label").alias("_nbr"))
         )
+        # Carry the incoming label as _old: the convergence count below
+        # reads it from the SAME materialized plan — no second join
+        # against the previous labels, no recompute.
         return lbl.join(nbr_min, "id", "left").select(
             "id",
             F.least(F.col("label"), F.coalesce("_nbr", "label")).alias("label"),
+            F.col("label").alias("_old"),
         )
 
     labels = (
@@ -321,19 +324,14 @@ def dedup_components(
         .localCheckpoint()
     )
     try:
-        for _ in range((max_iter + 1) // 2):
-            mid = propagate(labels).withColumnRenamed("label", "_mid")
-            proposed = (
-                propagate(mid.select("id", F.col("_mid").alias("label")))
-                .withColumnRenamed("label", "_new")
-                .join(mid, "id")
-            ).localCheckpoint(eager=False)
+        for _ in range(max_iter):
+            prop = propagate(labels).localCheckpoint(eager=False)
             # The single action of the round: it triggers the lazy
-            # checkpoint (truncating lineage) AND counts step-2 changes.
-            # Labels only ever decrease, so _new < _mid iff step 2 moved;
-            # zero means step 1's labels were already a fixed point.
-            changed = proposed.filter(F.col("_new") < F.col("_mid")).count()
-            labels = proposed.select("id", F.col("_new").alias("label"))
+            # checkpoint (truncating lineage) AND counts changes. Labels
+            # only ever decrease, so label < _old iff this round moved;
+            # zero means the input was already a fixed point.
+            changed = prop.filter(F.col("label") < F.col("_old")).count()
+            labels = prop.select("id", "label")
             if changed == 0:
                 break
     finally:
