@@ -2,13 +2,16 @@
 
 from lotad_spark.sources.files import CsvDatabase, JsonlDatabase
 from lotad_spark.sources.parquet import ParquetDatabase, read_table
+from lotad_spark.sources.sqlite_native import SqliteNativeDatabase, write_sqlite
 from lotad_spark.sources.zorder import write_zordered, zvalue
 
 __all__ = [
     "CsvDatabase",
     "JsonlDatabase",
     "ParquetDatabase",
+    "SqliteNativeDatabase",
     "read_table",
+    "write_sqlite",
     "write_zordered",
     "zvalue",
 ]
