@@ -181,10 +181,17 @@ class SqliteNativeDatabase:
             return self.spark.createDataFrame([], schema)
 
         path, names = self.path, [f.name for f in schema.fields]
-        arrow_dtypes = {
-            f.name: ("Int64" if isinstance(f.dataType, T.LongType) else None)
-            for f in schema.fields
-        }
+        arrow_dtypes = {}
+        for f in schema.fields:
+            if isinstance(f.dataType, T.LongType):
+                arrow_dtypes[f.name] = "Int64"
+            elif isinstance(f.dataType, T.DoubleType):
+                # DBAPI surfaces SQL NULL as NaN in float columns; nullable
+                # Float64 maps it back to a true null. Lossless: SQLite
+                # itself stores NaN as NULL, so no real NaN can arrive.
+                arrow_dtypes[f.name] = "Float64"
+            else:
+                arrow_dtypes[f.name] = None
         range_clause = (
             "WHERE rowid BETWEEN ? AND ?" + where
             if has_rowid
@@ -200,10 +207,11 @@ class SqliteNativeDatabase:
                         args = (int(lo), int(hi)) if has_rowid else ()
                         out = pd.read_sql_query(query, con, params=args)
                         out.columns = names
-                        # int columns with NULLs arrive as float64 from the
-                        # DBAPI cursor; nullable Int64 keeps them integral.
+                        # int columns with NULLs arrive as float64, doubles
+                        # carry NaN for NULL; the nullable dtypes restore
+                        # integrality and true nulls respectively.
                         for c, dt in arrow_dtypes.items():
-                            if dt and out[c].dtype != "int64":
+                            if dt and str(out[c].dtype) not in ("int64", dt):
                                 out[c] = out[c].astype(dt)
                         yield out
             finally:

@@ -87,6 +87,15 @@ class TestSqliteNative:
         assert df.count() == 20
         assert sorted(r.k for r in df.collect()) == list(range(20))
 
+    def test_null_reals_become_null_not_nan(self, spark, tmp_path):
+        path = str(tmp_path / "realnull.sqlite")
+        with sqlite3.connect(path) as con:
+            con.execute("CREATE TABLE t (a REAL)")
+            con.executemany("INSERT INTO t VALUES (?)", [(1.5,), (None,)])
+        rows = SqliteNativeDatabase(spark, path).table("t").collect()
+        vals = sorted((r.a for r in rows), key=lambda x: (x is None, x or 0))
+        assert vals == [1.5, None]  # SQL NULL, not NaN
+
     def test_null_ints_stay_integral(self, spark, tmp_path):
         path = str(tmp_path / "nulls.sqlite")
         with sqlite3.connect(path) as con:
