@@ -104,6 +104,30 @@ class TestSqliteNative:
         rows = SqliteNativeDatabase(spark, path).table("t").collect()
         assert sorted((r.a for r in rows), key=lambda x: (x is None, x)) == [1, 3, None]
 
+    def test_compare_all_with_sqlite_side(
+        self, spark, sf_dir, sqlite_db, tmp_path
+    ):
+        """The full orchestrator treats a live sqlite file as a first-class
+        side: catalog intersection, per-table drift counts, and the summary
+        sink all work unchanged through the duck-typed database surface."""
+        from lotad_spark.compare import compare_all
+        from lotad_spark.sources import ParquetDatabase
+
+        res = compare_all(
+            spark,
+            ParquetDatabase(spark, sf_dir, "truth"),
+            SqliteNativeDatabase(spark, sqlite_db, "export"),
+            output_path=str(tmp_path / "out"),
+        )
+        assert sorted(res.compared_tables) == ["customer", "nation"]
+        drifted = {d.table_name: d for d in res.data_drift}
+        # nation round-trips identically → no drift entry materialized
+        assert set(drifted) == {"customer"}
+        # deleted key 13 + changed key 7 → truth-only rows on both counts
+        assert drifted["customer"].rows_only_in_db1 == 2
+        assert drifted["customer"].rows_only_in_db2 == 1
+        assert "customer" in res.report()
+
     def test_diff_against_parquet_side(self, spark, sf_dir, sqlite_db):
         sdb = SqliteNativeDatabase(spark, sqlite_db, db_id="export")
         pdb = ParquetDatabase(spark, sf_dir, "truth")
