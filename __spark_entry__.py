@@ -1573,6 +1573,23 @@ def q_dedup_index_probe(spark, sf_dir):
     )
 
 
+def q_psi_online(spark, sf_dir):
+    """Online PSI over landed histogram counts (operators/profile.py
+    ``psi_from_counts``): each hour's value histogram scored against the
+    all-hours reference — the batch face of the streaming monitor
+    (value_histogram → land counts → score). Arithmetic must match the
+    DuckDB re-derivation bit-for-bit: union-of-bins spine, Laplace
+    smoothing over spine size, per-term round(6), decimal-exact sum."""
+    from lotad_spark.operators import psi_from_counts
+    from lotad_spark.streaming import value_histogram
+
+    hist = value_histogram(
+        _t(spark, sf_dir, "events"), lo=0.0, hi=250.0, n_bins=5
+    )
+    ref = hist.groupBy("bin_id").agg(F.sum("n").alias("n"))
+    return psi_from_counts(hist, ref)
+
+
 def q_sqlite_scan_diff(spark, sf_dir):
     """Live SQLite file as a compare side through the native stdlib-sqlite3
     source (sources/sqlite_native.py — the reference attaches live SQLite
@@ -1713,6 +1730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": q_train_eval_split,
         "stratified_cap": q_stratified_cap,
         "length_quantiles": q_length_quantiles,
+        # --- new this round, queued for the r8 window (the 50-slot cap is
+        # full of never-yet-verified rows; the local gate checks it now) ---
+        "psi_online": q_psi_online,
     }
 
 
@@ -2002,6 +2022,33 @@ def oracle_sql() -> dict[str, str]:
             f"EXCEPT SELECT {_CUSTOMER_COLS} FROM ({_CUSTOMER_VALUE_CHANGE_SQL}))"
         ),
         "dedup_index_probe": _INDEX_PROBE_SQL,
+        "psi_online": (
+            # Re-derives psi_from_counts end-to-end: the same 5-bin hourly
+            # histogram, all-hours reference, union-of-bins spine, Laplace
+            # smoothing over spine size, round(term, 6), decimal-exact sum.
+            "WITH h AS (SELECT CAST(date_trunc('hour', ts) AS VARCHAR) "
+            "AS hour_start, least(greatest(CAST(floor(CAST(value AS DOUBLE) "
+            "/ 50.0) AS BIGINT), 0), 4) AS bin_id, CAST(count(*) AS BIGINT) "
+            "AS n FROM events WHERE value IS NOT NULL GROUP BY 1, 2), "
+            "ref AS (SELECT bin_id, sum(n) AS rc FROM h GROUP BY 1), "
+            "rtot AS (SELECT sum(rc) AS rt FROM ref), "
+            "spine AS (SELECT DISTINCT bin_id FROM h), "
+            "sn AS (SELECT count(*) AS s FROM spine), "
+            "ctot AS (SELECT hour_start, sum(n) AS ct FROM h GROUP BY 1), "
+            "terms AS (SELECT ctot.hour_start, "
+            "coalesce(h.n, 0) AS cc, ctot.ct, "
+            "coalesce(ref.rc, 0) AS rc, rtot.rt, sn.s "
+            "FROM ctot CROSS JOIN spine "
+            "LEFT JOIN h ON h.hour_start = ctot.hour_start "
+            "AND h.bin_id = spine.bin_id "
+            "LEFT JOIN ref ON ref.bin_id = spine.bin_id "
+            "CROSS JOIN rtot CROSS JOIN sn) "
+            "SELECT hour_start, round(CAST(sum(CAST(round("
+            "((cc + 1) / (ct + s) - (rc + 1) / (rt + s)) * "
+            "ln(((cc + 1) / (ct + s)) / ((rc + 1) / (rt + s))), 6) "
+            "AS DECIMAL(18,6))) AS DOUBLE), 6) AS psi "
+            "FROM terms GROUP BY hour_start"
+        ),
         "sqlite_scan_diff": (
             # The sqlite side is a deterministic mutation of customer
             # (drop %103 keys, rename %101 keys), so the oracle recomputes

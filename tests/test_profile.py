@@ -121,6 +121,23 @@ class TestPsiFromCounts:
         assert len(got) == 1
         assert abs(got[0].psi - expect) < 2e-6  # per-term rounding slack
 
+    def test_hourly_monitoring_composition(self, spark, sf_dir):
+        """value_histogram → psi_from_counts (the q_psi_online shape):
+        one non-negative psi per observed hour."""
+        import pyspark.sql.functions as F
+
+        from lotad_spark.operators import psi_from_counts
+        from lotad_spark.sources import ParquetDatabase
+        from lotad_spark.streaming import value_histogram
+
+        ev = ParquetDatabase(spark, sf_dir, "db").table("events")
+        hist = value_histogram(ev, lo=0.0, hi=250.0, n_bins=5)
+        ref = hist.groupBy("bin_id").agg(F.sum("n").alias("n"))
+        rows = psi_from_counts(hist, ref).collect()
+        n_hours = hist.select("hour_start").distinct().count()
+        assert len(rows) == n_hours > 0
+        assert all(r.psi >= 0.0 for r in rows)
+
     def test_zero_for_identical_counts(self, spark):
         from lotad_spark.operators import psi_from_counts
 
