@@ -24,6 +24,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from collections.abc import Iterable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -125,6 +126,23 @@ class DatabaseComparator:
         )
 
     def _data_drift_one(self, table_name: str) -> TableDataDiff | None:
+        """Catalog-class failures (table vanished between list and scan,
+        unreadable path, missing column) skip THIS table and let the rest
+        of the run complete — the reference warns and continues on
+        duckdb.CatalogException (db_compare.py:366-369) and raises on
+        everything else (db_compare.py:370-377); AnalysisException is the
+        Spark face of the same error class."""
+        try:
+            return self._data_drift_one_inner(table_name)
+        except AnalysisException as err:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Failed to process table %s: %s", table_name, err
+            )
+            return None
+
+    def _data_drift_one_inner(self, table_name: str) -> TableDataDiff | None:
         df1, df2 = self._side_frames(table_name)
         result = diff_tables(
             df1,

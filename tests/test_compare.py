@@ -124,6 +124,39 @@ class TestCompareAll:
         assert len(rows) == 1 and rows[0]["c_custkey"] == 5
         assert rows[0]["observed_in"] == "db1"
 
+    def test_catalog_failure_skips_table_not_run(self, spark, customer, tmp_path):
+        """A table that fails with a catalog-class error (vanished path,
+        missing relation) is skipped with a warning and the rest of the
+        run completes — reference parity: duckdb.CatalogException is
+        caught per-table (db_compare.py:366-369) while real errors still
+        raise (db_compare.py:370-377)."""
+
+        class _Broken(DictDatabase):
+            def __init__(self, tables, db_id, spark):
+                super().__init__(tables, db_id)
+                self._spark = spark
+
+            def get_schema(self, name, ignore_dates=False):
+                if name == "broken":
+                    return {"a": "BIGINT"}
+                return super().get_schema(name, ignore_dates)
+
+            def table(self, name):
+                if name == "broken":
+                    # genuine AnalysisException (PATH_NOT_FOUND) at scan
+                    return self._spark.read.parquet("/nonexistent/lotad_x")
+                return super().table(name)
+
+        mutated = customer.withColumn(
+            "c_acctbal", F.col("c_acctbal") + F.lit(1.0)
+        )
+        db1 = _Broken({"customer": customer, "broken": customer}, "db1", spark)
+        db2 = _Broken({"customer": mutated, "broken": customer}, "db2", spark)
+        res = compare_all(spark, db1, db2, output_path=str(tmp_path / "out"))
+        # broken skipped, customer still compared and drifted
+        assert sorted(res.compared_tables) == ["broken", "customer"]
+        assert [d.table_name for d in res.data_drift] == ["customer"]
+
     def test_ignore_tables_regex_filter(self, spark, customer, tmp_path):
         mutated = customer.filter(F.col("c_custkey") != 5)
         db1, db2 = _dbs(spark, {"customer": customer}, {"customer": mutated})
