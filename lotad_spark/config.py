@@ -232,7 +232,10 @@ class Config:
 
 
 def database_from_config(spark, config: Config, side: str):
-    """Build one side's database: ParquetDatabase for ``*_path``,
+    """Build one side's database: for ``*_path``, a parquet table
+    directory OR a live SQLite file (sniffed by the 16-byte
+    ``SQLite format 3`` magic header, like the reference routes
+    connection types per file — lotad/connection.py:299-327);
     JdbcDatabase for ``*_jdbc`` (with ``${ENV_VAR}`` secrets resolved
     HERE, at connect time — the Config object and its serialization keep
     only the references)."""
@@ -241,6 +244,15 @@ def database_from_config(spark, config: Config, side: str):
     db_id = getattr(config, f"{side}_id") or side
     path = getattr(config, f"{side}_path")
     if path is not None:
+        if os.path.isfile(path):
+            with open(path, "rb") as fh:
+                magic = fh.read(16)
+            if magic == b"SQLite format 3\x00":
+                from lotad_spark.sources.sqlite_native import (
+                    SqliteNativeDatabase,
+                )
+
+                return SqliteNativeDatabase(spark, path, db_id)
         return ParquetDatabase(spark, path, db_id)
 
     from lotad_spark.sources.jdbc import JdbcDatabase

@@ -104,6 +104,21 @@ class TestSqliteNative:
         rows = SqliteNativeDatabase(spark, path).table("t").collect()
         assert sorted((r.a for r in rows), key=lambda x: (x is None, x)) == [1, 3, None]
 
+    def test_config_routes_sqlite_file_by_magic(self, spark, sqlite_db, sf_dir):
+        """A *_path pointing at a SQLite file (sniffed by the 16-byte
+        magic header) builds the native source; a directory still builds
+        ParquetDatabase — so the CLI works on .sqlite inputs unchanged."""
+        from lotad_spark.config import Config, database_from_config
+        from lotad_spark.sources import ParquetDatabase
+
+        cfg = Config(db1_path=sf_dir, db2_path=sqlite_db, output_path="x")
+        assert isinstance(
+            database_from_config(spark, cfg, "db1"), ParquetDatabase
+        )
+        assert isinstance(
+            database_from_config(spark, cfg, "db2"), SqliteNativeDatabase
+        )
+
     def test_compare_all_with_sqlite_side(
         self, spark, sf_dir, sqlite_db, tmp_path
     ):
