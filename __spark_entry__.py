@@ -1649,8 +1649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       new native-sqlite scan diff);
     * positions 21-50: the reference-parity core (diff family, schema/
       missing-table drift, wizard, summary) plus one representative per
-      extension family (suggest_ignore_columns rotated to the tail to make
-      room — the wizard family keeps two in-window rows);
+      extension family, and the new-this-round psi_online
+      (suggest_ignore_columns and mixture_sample rotated to the tail to
+      make room — the wizard family keeps two in-window rows);
     * positions 51+: rows rotated OUT of the window this round — every
       one was driver-green in BOTH r5 and r6 with unchanged code, and
       all remain covered by the local gate (scripts/check_oracle.py runs
@@ -1709,8 +1710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "token_chunk_plan": q_token_chunk_plan,
         "chunk_manifest": q_chunk_manifest,
-        "mixture_sample": q_mixture_sample,
+        "psi_online": q_psi_online,
         # --- 51+: rotated out this round (driver-green r5 AND r6) ---
+        "mixture_sample": q_mixture_sample,
         "suggest_ignore_columns": q_suggest_ignore_columns,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -1730,9 +1732,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": q_train_eval_split,
         "stratified_cap": q_stratified_cap,
         "length_quantiles": q_length_quantiles,
-        # --- new this round, queued for the r8 window (the 50-slot cap is
-        # full of never-yet-verified rows; the local gate checks it now) ---
-        "psi_online": q_psi_online,
     }
 
 
