@@ -787,6 +787,87 @@ def q_events_session_agg(spark, sf_dir):
     return session_event_agg(_t(spark, sf_dir, "events"), gap="5 minutes")
 
 
+def q_asof_latest_order(spark, sf_dir):
+    """As-of join: each event stitched to the customer's latest order at
+    or before the event timestamp — one union + running-last window
+    (single key exchange, one sort), never an inequality join. The right
+    side is pre-reduced to one row per (custkey, orderdate) so ties are
+    deterministic; oracle is DuckDB's native ASOF JOIN."""
+    from lotad_spark.operators import asof_join
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_ok"))
+    )
+    return asof_join(
+        _t(spark, sf_dir, "events").select("event_id", "user_id", "ts"),
+        orders,
+        key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["last_ok"],
+    ).select("event_id", "user_id", "last_ok")
+
+
+def q_range_join_views(spark, sf_dir):
+    """Bin-bucketed interval join: view events inside the hour before
+    each purchase by the same user — intervals explode into hour bins,
+    points map to ONE bin, and the match is a plain (key, bin) equi-join
+    with the exact containment predicate as residual filter. No
+    nested-loop, no pair produced twice."""
+    from lotad_spark.operators import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    return range_join(
+        views,
+        purchases,
+        point_col="v_ts",
+        start_col="w_start",
+        end_col="w_end",
+        bin_width=3600.0,
+        point_key="v_user",
+        interval_key="p_user",
+    ).select("v_id", "p_id")
+
+
+def q_rollup_hourly(spark, sf_dir):
+    """Hypertable-style continuous aggregate: raw events fold once into
+    minute buckets of mergeable partials (count/sum/min/max as exact
+    decimals), hours derive by MERGING the minute partials — the oracle
+    aggregates raw straight to hours, proving rollup ≡ raw."""
+    from lotad_spark.operators import merge_rollup, rollup_time_bucket
+
+    minutes = rollup_time_bucket(
+        _t(spark, sf_dir, "events"),
+        ts_col="ts",
+        value_col="value",
+        unit="minute",
+        dims=["event_type"],
+    )
+    hours = merge_rollup(minutes, unit="hour", dims=["event_type"])
+    return hours.select(
+        F.col("bucket").cast("string").alias("bucket"),
+        "event_type",
+        "n",
+        "sum_value",
+        "min_value",
+        "max_value",
+    )
+
+
 def q_skew_two_phase_agg(spark, sf_dir):
     """Salted two-phase aggregation ≡ plain GROUP BY (skew operator parity
     proven cross-engine, not just against Spark's own aggregate)."""
@@ -1648,15 +1729,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       quantize_embeddings, the 2 new snapshot/index-probe rows, and the
       new native-sqlite scan diff);
     * positions 21-50: the reference-parity core (diff family, schema/
-      missing-table drift, wizard, summary) plus one representative per
-      extension family, and the new-this-round psi_online
-      (suggest_ignore_columns and mixture_sample rotated to the tail to
-      make room — the wizard family keeps two in-window rows);
+      missing-table drift, wizard, summary), one representative per
+      extension family, and the four new-this-round rows (psi_online,
+      asof_latest_order, range_join_views, rollup_hourly) —
+      suggest_ignore_columns, mixture_sample, dedup_near_minhash,
+      curate_corpus and ann_cosine_topk rotated to the tail to make room
+      (each family keeps an in-window representative: dedup_exact/
+      components/simhash_pairs, training_plan, ann_ivf_topk);
     * positions 51+: rows rotated OUT of the window this round — every
-      one was driver-green in BOTH r5 and r6 with unchanged code, and
-      all remain covered by the local gate (scripts/check_oracle.py runs
-      the full registry) and the pytest suite. See COVERAGE.md
-      "Driver-window rotation".
+      one has a driver-green row in r6 (and r5 where it existed then)
+      with unchanged code, and all remain covered by the local gate
+      (scripts/check_oracle.py runs the full registry) and the pytest
+      suite. See COVERAGE.md "Driver-window rotation".
     """
     return {
         # --- 1-19: never driver-verified before this round ---
@@ -1699,20 +1783,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_lineitem_agg": q_q1_lineitem_agg,
         "topk_orders": q_topk_orders,
         "events_window_agg": q_events_window_agg,
+        "asof_latest_order": q_asof_latest_order,
+        "range_join_views": q_range_join_views,
+        "rollup_hourly": q_rollup_hourly,
         "dedup_exact": q_dedup_exact,
-        "dedup_near_minhash": q_dedup_near_minhash,
         "dedup_components": q_dedup_components,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "contamination_check": q_contamination_check,
-        "curate_corpus": q_curate_corpus,
         "training_plan": q_training_plan,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "token_chunk_plan": q_token_chunk_plan,
         "chunk_manifest": q_chunk_manifest,
         "psi_online": q_psi_online,
         # --- 51+: rotated out this round (driver-green r5 AND r6) ---
         "mixture_sample": q_mixture_sample,
+        "dedup_near_minhash": q_dedup_near_minhash,
+        "curate_corpus": q_curate_corpus,
+        "ann_cosine_topk": q_ann_cosine_topk,
         "suggest_ignore_columns": q_suggest_ignore_columns,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -1880,6 +1967,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, "
             "round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) "
             "AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # DuckDB's native ASOF JOIN is the oracle for the union+window
+        # implementation — identical inclusive (>=) tie semantics.
+        "asof_latest_order": (
+            "SELECT e.event_id, e.user_id, o.last_ok "
+            "FROM events e ASOF LEFT JOIN ("
+            "SELECT o_custkey, o_orderdate, "
+            "CAST(max(o_orderkey) AS BIGINT) AS last_ok "
+            "FROM orders GROUP BY 1, 2) o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        # The bin-bucketed equi-join must reproduce the plain inequality
+        # self-join exactly (start inclusive, end exclusive).
+        "range_join_views": (
+            "SELECT v.event_id AS v_id, p.event_id AS p_id "
+            "FROM events v JOIN events p "
+            "ON v.user_id = p.user_id "
+            "AND v.event_type = 'view' AND p.event_type = 'purchase' "
+            "AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts"
+        ),
+        # Direct raw→hour aggregation: the minute→hour merged rollup must
+        # be row-identical (mergeable-partials invariant, decimal-exact).
+        "rollup_hourly": (
+            "SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) "
+            "AS VARCHAR) AS bucket, event_type, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DECIMAL(27,6)) "
+            "AS sum_value, "
+            "CAST(MIN(CAST(value AS DECIMAL(27,6))) AS DECIMAL(27,6)) "
+            "AS min_value, "
+            "CAST(MAX(CAST(value AS DECIMAL(27,6))) AS DECIMAL(27,6)) "
+            "AS max_value "
             "FROM events GROUP BY 1, 2"
         ),
         "text_stats": (

@@ -1,7 +1,14 @@
 """Relational + pipeline operators of the lotad_spark engine."""
 
+from lotad_spark.operators.asof import asof_join
 from lotad_spark.operators.diff import DiffResult, diff_tables, normalize_for_diff
 from lotad_spark.operators.funnel import funnel_counts, retention_cohorts
+from lotad_spark.operators.range_join import range_join
+from lotad_spark.operators.rollup import (
+    merge_rollup,
+    rollup_report,
+    rollup_time_bucket,
+)
 from lotad_spark.operators.keyed_diff import keyed_diff
 from lotad_spark.operators.snapshot import diff_against_snapshot, write_hash_snapshot
 from lotad_spark.operators.profile import (
@@ -13,7 +20,12 @@ from lotad_spark.operators.profile import (
 
 __all__ = [
     "DiffResult",
+    "asof_join",
     "diff_tables",
+    "merge_rollup",
+    "range_join",
+    "rollup_report",
+    "rollup_time_bucket",
     "funnel_counts",
     "diff_against_snapshot",
     "keyed_diff",

@@ -1,0 +1,142 @@
+"""As-of (nearest-timestamp) join — the temporal join Spark's DataFrame
+API lacks.
+
+For every left row, attach the single right row with the same key and the
+latest timestamp at or before the left row's timestamp (``backward``; the
+``forward`` direction mirrors it). The standard way to stitch events to
+the most recent snapshot/quote/config that preceded them.
+
+Plan shape — the 100 TB question: the naive formulation is an inequality
+join (``l.key = r.key AND r.ts <= l.ts`` + a max-per-left aggregation),
+which Spark can only execute as a broadcast-nested-loop or a
+sort-merge-join that replays every earlier right row for every left row
+(O(L×R) per key for hot keys). This implementation instead UNIONs the two
+tagged sides and runs one running ``last(..., ignoreNulls)`` window per
+attached column over ``(key, ts)`` order — a single hash exchange on the
+key and one sort, O((L+R) log (L+R)) per partition, no pair blow-up, no
+broadcast requirement on either side. Skewed keys cost their own sort but
+never a cross product.
+
+Tie semantics match DuckDB's ``ASOF JOIN`` (inequality ``>=``): a right
+row exactly at the left timestamp matches (the union sorts right rows
+before left rows at equal timestamps). Rows with NULL key or NULL
+timestamp on the right can never match; left rows with NULL timestamp
+stay unmatched — same as the SQL inequality, where NULL comparisons are
+never true.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PFX = "_asof_"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    right_key: str | None = None,
+    left_ts: str,
+    right_ts: str | None = None,
+    value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus the ``value_cols`` of the
+    matching ``right`` row (NULL when no right row qualifies).
+
+    ``key``/``left_ts`` name the left side's columns; ``right_key``/
+    ``right_ts`` default to the same names on the right side.
+    ``direction='backward'`` matches the latest right row with
+    ``right_ts <= left_ts``; ``'forward'`` the earliest with
+    ``right_ts >= left_ts``. ``tolerance_seconds`` additionally bounds
+    ``|left_ts - right_ts|``; a match outside it is nulled out.
+
+    When several right rows share the same ``(key, ts)`` the winner is
+    nondeterministic (exactly as in SQL ASOF joins) — pre-aggregate the
+    right side to one row per (key, ts) for deterministic output.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    rkey = right_key or key
+    rts = right_ts or left_ts
+    vals = (
+        list(value_cols)
+        if value_cols is not None
+        else [c for c in right.columns if c not in (rkey, rts)]
+    )
+    rschema = {f.name: f.dataType for f in right.schema.fields}
+
+    lhs = left.select(
+        F.col(key).alias(_PFX + "k"),
+        F.col(left_ts).alias(_PFX + "t"),
+        F.lit(1).alias(_PFX + "side"),
+        *[F.col(f"`{c}`") for c in left.columns],
+        *[
+            F.lit(None).cast(rschema[c]).alias(_PFX + c)
+            for c in vals
+        ],
+        F.lit(None).cast(rschema[rts]).alias(_PFX + "rts"),
+    )
+    rhs = right.filter(
+        F.col(rkey).isNotNull() & F.col(rts).isNotNull()
+    ).select(
+        F.col(rkey).alias(_PFX + "k"),
+        F.col(rts).alias(_PFX + "t"),
+        F.lit(0).alias(_PFX + "side"),
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in left.schema.fields
+        ],
+        *[F.col(f"`{c}`").alias(_PFX + c) for c in vals],
+        F.col(rts).alias(_PFX + "rts"),
+    )
+
+    # Right rows sort before left rows at equal timestamps, so an exact-
+    # timestamp right row is visible to the running last() — inclusive
+    # match, the ASOF JOIN convention.
+    t = F.col(_PFX + "t")
+    order = [
+        t.asc() if direction == "backward" else t.desc(),
+        F.col(_PFX + "side").asc(),
+    ]
+    w = (
+        Window.partitionBy(_PFX + "k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched_ts = F.last(_PFX + "rts", ignorenulls=True).over(w)
+
+    def _gate(expr: Column) -> Column:
+        ok = matched_ts.isNotNull() & F.col(left_ts).isNotNull()
+        if tolerance_seconds is not None:
+            gap = (
+                F.col(left_ts).cast("double")
+                - matched_ts.cast("double")
+            )
+            gap = gap if direction == "backward" else -gap
+            ok = ok & (gap <= F.lit(float(tolerance_seconds)))
+        return F.when(ok, expr)
+
+    out_vals = [
+        _gate(F.last(_PFX + c, ignorenulls=True).over(w)).alias(
+            c + suffix
+        )
+        for c in vals
+    ]
+    return (
+        lhs.unionByName(rhs)
+        .select(
+            F.col(_PFX + "side").alias(_PFX + "side"),
+            *[F.col(f"`{c}`") for c in left.columns],
+            *out_vals,
+        )
+        .filter(F.col(_PFX + "side") == 1)
+        .drop(_PFX + "side")
+    )

@@ -1,0 +1,103 @@
+"""Hypertable-style time-bucket rollups with mergeable partials.
+
+Continuous-aggregate pattern: raw events are folded ONCE into fine-grained
+time buckets carrying only mergeable partial aggregates (count / sum /
+min / max); every coarser resolution is then derived by re-aggregating the
+partials — never by touching the raw data again. The TimescaleDB
+"continuous aggregate" / OLAP-cube shape, built from plain Spark
+aggregates.
+
+Plan shape — the 100 TB question: the fine rollup is one map-side-combined
+``groupBy(bucket, dims)`` over the raw scan — output volume is buckets ×
+dims, independent of event volume. Each coarsening shuffles only rollup
+rows (minutes → hours is a 60× reduction input that is already tiny), so a
+year of minute-level partials re-rolls to hours in seconds regardless of
+how many trillions of raw events produced them. Partials are mergeable by
+construction: count and sum add, min and max fold — avg is derived at read
+time as sum/count, never stored (a stored avg cannot be merged).
+
+Sums are carried as ``decimal(27, 6)`` so the rolled-up total is
+bit-identical to a direct aggregation over raw — floating-point sums
+would differ by association order and break the rollup≡raw invariant
+this module promises (and the oracle checks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_UNITS = ("minute", "hour", "day", "week", "month", "year")
+
+
+def rollup_time_bucket(
+    events: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    unit: str = "minute",
+    dims: Sequence[str] = (),
+) -> DataFrame:
+    """Fold raw rows into one row per (time bucket, dims) carrying the
+    mergeable partials: ``bucket, *dims, n, sum_value, min_value,
+    max_value``."""
+    if unit not in _UNITS:
+        raise ValueError(f"rollup_time_bucket: unknown unit {unit!r}")
+    v = F.col(f"`{value_col}`").cast("decimal(27,6)")
+    return (
+        events.groupBy(
+            F.date_trunc(unit, F.col(f"`{ts_col}`")).alias("bucket"),
+            *[F.col(f"`{c}`") for c in dims],
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(v).cast("decimal(27,6)").alias("sum_value"),
+            F.min(v).cast("decimal(27,6)").alias("min_value"),
+            F.max(v).cast("decimal(27,6)").alias("max_value"),
+        )
+    )
+
+
+def merge_rollup(
+    rollup: DataFrame,
+    *,
+    unit: str,
+    dims: Sequence[str] = (),
+) -> DataFrame:
+    """Re-aggregate a finer rollup to a coarser ``unit`` by merging the
+    partials — the raw table is never read. Input and output share the
+    ``rollup_time_bucket`` schema, so coarsenings chain (minute → hour →
+    day)."""
+    if unit not in _UNITS:
+        raise ValueError(f"merge_rollup: unknown unit {unit!r}")
+    return (
+        rollup.groupBy(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket"),
+            *[F.col(f"`{c}`") for c in dims],
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_value").cast("decimal(27,6)").alias("sum_value"),
+            F.min("min_value").cast("decimal(27,6)").alias("min_value"),
+            F.max("max_value").cast("decimal(27,6)").alias("max_value"),
+        )
+    )
+
+
+def rollup_report(rollup: DataFrame, *, dims: Sequence[str] = ()) -> DataFrame:
+    """Read-time projection of a rollup: the stored partials plus the
+    derived average (sum/count — computed here precisely because a stored
+    avg would not merge)."""
+    return rollup.select(
+        F.col("bucket").cast("string").alias("bucket"),
+        *[F.col(f"`{c}`") for c in dims],
+        "n",
+        "sum_value",
+        "min_value",
+        "max_value",
+        (F.col("sum_value") / F.col("n"))
+        .cast("decimal(27,6)")
+        .alias("avg_value"),
+    )

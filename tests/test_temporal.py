@@ -1,0 +1,343 @@
+"""asof_join / range_join / time-bucket rollup operators."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lotad_spark.operators import (
+    asof_join,
+    merge_rollup,
+    range_join,
+    rollup_report,
+    rollup_time_bucket,
+)
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts(0), 100.0),
+            (1, _ts(10), 110.0),
+            (1, _ts(20), 120.0),
+            (2, _ts(5), 200.0),
+            (2, None, 999.0),  # null ts: never matches
+            (None, _ts(0), 888.0),  # null key: never matches
+        ],
+        "key bigint, qts timestamp, price double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, 1, _ts(0)),  # exactly at a quote: inclusive match
+            (2, 1, _ts(15)),  # between quotes: takes the earlier
+            (3, 1, _ts(25)),
+            (4, 2, _ts(4)),  # before any quote of key 2
+            (5, 3, _ts(30)),  # key with no quotes at all
+            (6, 1, None),  # null left ts stays unmatched
+        ],
+        "trade_id bigint, key bigint, tts timestamp",
+    )
+
+
+def test_asof_backward(spark, quotes, trades):
+    out = asof_join(
+        trades,
+        quotes,
+        key="key",
+        left_ts="tts",
+        right_ts="qts",
+        value_cols=["price"],
+    )
+    got = {r["trade_id"]: r["price"] for r in out.collect()}
+    assert got == {1: 100.0, 2: 110.0, 3: 120.0, 4: None, 5: None, 6: None}
+    assert out.count() == trades.count()  # left join: every row kept
+
+
+def test_asof_forward(spark, quotes, trades):
+    out = asof_join(
+        trades,
+        quotes,
+        key="key",
+        left_ts="tts",
+        right_ts="qts",
+        value_cols=["price"],
+        direction="forward",
+    )
+    got = {r["trade_id"]: r["price"] for r in out.collect()}
+    assert got == {1: 100.0, 2: 120.0, 3: None, 4: 200.0, 5: None, 6: None}
+
+
+def test_asof_tolerance(spark, quotes, trades):
+    out = asof_join(
+        trades,
+        quotes,
+        key="key",
+        left_ts="tts",
+        right_ts="qts",
+        value_cols=["price"],
+        tolerance_seconds=6 * 60,
+    )
+    got = {r["trade_id"]: r["price"] for r in out.collect()}
+    # trade 2 is 5 min past the 10:10 quote (in tolerance); trade 3 is
+    # 5 min past 10:20; trade 1 is exactly at its quote (gap 0).
+    assert got == {1: 100.0, 2: 110.0, 3: 120.0, 4: None, 5: None, 6: None}
+    tight = asof_join(
+        trades,
+        quotes,
+        key="key",
+        left_ts="tts",
+        right_ts="qts",
+        value_cols=["price"],
+        tolerance_seconds=60,
+    )
+    got = {r["trade_id"]: r["price"] for r in tight.collect()}
+    assert got == {1: 100.0, 2: None, 3: None, 4: None, 5: None, 6: None}
+
+
+def test_asof_matches_sql_inequality(spark, sf_dir):
+    """Brute-force SQL oracle: latest order at or before each event."""
+    from lotad_spark.sources import read_table
+
+    events = read_table(spark, f"{sf_dir}/events.parquet")
+    orders = (
+        read_table(spark, f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_ok"))
+    )
+    got = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        orders,
+        key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["last_ok"],
+    )
+    events.createOrReplaceTempView("_ev")
+    orders.createOrReplaceTempView("_od")
+    want = spark.sql(
+        """
+        SELECT event_id, last_ok FROM (
+          SELECT e.event_id, o.last_ok, row_number() OVER (
+            PARTITION BY e.event_id
+            ORDER BY o.o_orderdate DESC NULLS LAST
+          ) AS rn
+          FROM _ev e LEFT JOIN _od o
+            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        ) WHERE rn = 1
+        """
+    )
+    g = {r["event_id"]: r["last_ok"] for r in got.collect()}
+    w = {r["event_id"]: r["last_ok"] for r in want.collect()}
+    assert g == w and len(g) == events.count()
+
+
+@pytest.fixture(scope="module")
+def bands(spark):
+    return spark.createDataFrame(
+        [
+            ("lo", 0.0, 10.0),
+            ("mid", 10.0, 20.0),
+            ("wide", 5.0, 35.0),
+        ],
+        "band string, lo double, hi double",
+    )
+
+
+def test_range_join_numeric(spark, bands):
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 5.0, 10.0, 19.99, 20.0, 34.9, 35.0, 99.0])],
+        "pid bigint, x double",
+    )
+    out = range_join(
+        pts,
+        bands,
+        point_col="x",
+        start_col="lo",
+        end_col="hi",
+        bin_width=7.0,
+    )
+    got = sorted((r["pid"], r["band"]) for r in out.collect())
+    # start inclusive, end exclusive; 35.0 and 99.0 match nothing
+    assert got == [
+        (0, "lo"),
+        (1, "lo"),
+        (1, "wide"),
+        (2, "mid"),
+        (2, "wide"),
+        (3, "mid"),
+        (3, "wide"),
+        (4, "wide"),
+        (5, "wide"),
+    ]
+
+
+@pytest.mark.parametrize("width", [1.0, 3.3, 50.0])
+def test_range_join_bin_width_invariance(spark, bands, width):
+    pts = spark.createDataFrame(
+        [(i, i * 1.7) for i in range(25)], "pid bigint, x double"
+    )
+    out = range_join(
+        pts,
+        bands,
+        point_col="x",
+        start_col="lo",
+        end_col="hi",
+        bin_width=width,
+    )
+    want = sorted(
+        (r["pid"], r["band"])
+        for r in pts.crossJoin(bands)
+        .filter((F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+        .collect()
+    )
+    assert sorted((r["pid"], r["band"]) for r in out.collect()) == want
+
+
+def test_range_join_keyed_timestamps(spark, sf_dir):
+    """Views in the hour before each purchase — vs the SQL inequality."""
+    from lotad_spark.sources import read_table
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    out = range_join(
+        views,
+        purchases,
+        point_col="v_ts",
+        start_col="w_start",
+        end_col="w_end",
+        bin_width=3600.0,
+        point_key="v_user",
+        interval_key="p_user",
+    )
+    got = sorted((r["v_id"], r["p_id"]) for r in out.collect())
+    ev.createOrReplaceTempView("_ev2")
+    want = sorted(
+        (r["v_id"], r["p_id"])
+        for r in spark.sql(
+            """
+            SELECT v.event_id AS v_id, p.event_id AS p_id
+            FROM _ev2 v JOIN _ev2 p
+              ON v.user_id = p.user_id
+             AND v.event_type = 'view' AND p.event_type = 'purchase'
+             AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+            """
+        ).collect()
+    )
+    assert got == want
+
+
+def test_range_join_rejects_overlap_and_bad_width(spark, bands):
+    with pytest.raises(ValueError, match="overlapping"):
+        range_join(
+            bands,
+            bands,
+            point_col="lo",
+            start_col="lo",
+            end_col="hi",
+            bin_width=1.0,
+        )
+    pts = spark.createDataFrame([(1, 1.0)], "pid bigint, x double")
+    with pytest.raises(ValueError, match="positive"):
+        range_join(
+            pts,
+            bands,
+            point_col="x",
+            start_col="lo",
+            end_col="hi",
+            bin_width=0,
+        )
+    with pytest.raises(ValueError, match="go together"):
+        range_join(
+            pts,
+            bands,
+            point_col="x",
+            start_col="lo",
+            end_col="hi",
+            bin_width=1.0,
+            point_key="pid",
+        )
+
+
+def test_rollup_merge_equals_direct(spark, sf_dir):
+    """minute→hour merged rollup must be row-identical to aggregating the
+    raw events straight to hours — the mergeable-partials invariant."""
+    from lotad_spark.sources import read_table
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    minutes = rollup_time_bucket(
+        ev, ts_col="ts", value_col="value", unit="minute", dims=["event_type"]
+    )
+    hours = merge_rollup(minutes, unit="hour", dims=["event_type"])
+    direct = rollup_time_bucket(
+        ev, ts_col="ts", value_col="value", unit="hour", dims=["event_type"]
+    )
+    got = sorted(map(tuple, rollup_report(hours, dims=["event_type"]).collect()))
+    want = sorted(map(tuple, rollup_report(direct, dims=["event_type"]).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_rollup_chain_and_report(spark):
+    ev = spark.createDataFrame(
+        [
+            (_ts(0, 10), "a", 1.5),
+            (_ts(0, 50), "a", 2.5),
+            (_ts(59), "a", 4.0),
+            (dt.datetime(2024, 1, 1, 11, 0), "a", 8.0),
+        ],
+        "ts timestamp, k string, value double",
+    )
+    minutes = rollup_time_bucket(ev, ts_col="ts", value_col="value", dims=["k"])
+    assert minutes.count() == 3
+    days = merge_rollup(
+        merge_rollup(minutes, unit="hour", dims=["k"]), unit="day", dims=["k"]
+    )
+    r = rollup_report(days, dims=["k"]).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n"] == 4
+    assert float(row["sum_value"]) == 16.0
+    assert float(row["min_value"]) == 1.5
+    assert float(row["max_value"]) == 8.0
+    assert float(row["avg_value"]) == 4.0
+
+
+def test_rollup_rejects_unknown_unit(spark):
+    ev = spark.createDataFrame([(_ts(0), 1.0)], "ts timestamp, value double")
+    with pytest.raises(ValueError):
+        rollup_time_bucket(ev, ts_col="ts", value_col="value", unit="fortnight")
+    with pytest.raises(ValueError):
+        merge_rollup(
+            rollup_time_bucket(ev, ts_col="ts", value_col="value"), unit="eon"
+        )
+
+
+def test_asof_rejects_bad_direction(spark, quotes, trades):
+    with pytest.raises(ValueError):
+        asof_join(
+            trades,
+            quotes,
+            key="key",
+            left_ts="tts",
+            right_ts="qts",
+            direction="sideways",
+        )
