@@ -868,6 +868,27 @@ def q_rollup_hourly(spark, sf_dir):
     )
 
 
+def q_rollup_distinct_users(spark, sf_dir):
+    """Mergeable-sketch distinct counts: minute-level HLL sketches of
+    user_id unioned into hourly estimates — the partial that exact
+    count/sum/min/max rollups cannot carry. No oracle_sql: HLL register
+    layouts are engine-specific, so DuckDB's approx_count_distinct would
+    differ by design; the merge-invariance (minute-union ≡ direct-hour,
+    bit-equal) and a ≤5% error bound vs exact are pinned by
+    tests/test_temporal.py instead, and the driver records the rows-only
+    check."""
+    from lotad_spark.operators import (
+        distinct_report,
+        merge_distinct_rollup,
+        rollup_distinct,
+    )
+
+    minutes = rollup_distinct(
+        _t(spark, sf_dir, "events"), ts_col="ts", id_col="user_id"
+    )
+    return distinct_report(merge_distinct_rollup(minutes, unit="hour"))
+
+
 def q_skew_two_phase_agg(spark, sf_dir):
     """Salted two-phase aggregation ≡ plain GROUP BY (skew operator parity
     proven cross-engine, not just against Spark's own aggregate)."""
@@ -1730,12 +1751,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       new native-sqlite scan diff);
     * positions 21-50: the reference-parity core (diff family, schema/
       missing-table drift, wizard, summary), one representative per
-      extension family, and the four new-this-round rows (psi_online,
-      asof_latest_order, range_join_views, rollup_hourly) —
-      suggest_ignore_columns, mixture_sample, dedup_near_minhash,
-      curate_corpus and ann_cosine_topk rotated to the tail to make room
-      (each family keeps an in-window representative: dedup_exact/
-      components/simhash_pairs, training_plan, ann_ivf_topk);
+      extension family, and the five new-this-round rows (psi_online,
+      asof_latest_order, range_join_views, rollup_hourly,
+      rollup_distinct_users) — suggest_ignore_columns, mixture_sample,
+      dedup_near_minhash, curate_corpus, ann_cosine_topk and
+      token_chunk_plan rotated to the tail to make room (each family
+      keeps an in-window representative: dedup_exact/components/
+      simhash_pairs, training_plan, ann_ivf_topk, chunk_manifest);
     * positions 51+: rows rotated OUT of the window this round — every
       one has a driver-green row in r6 (and r5 where it existed then)
       with unchanged code, and all remain covered by the local gate
@@ -1786,16 +1808,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_order": q_asof_latest_order,
         "range_join_views": q_range_join_views,
         "rollup_hourly": q_rollup_hourly,
+        "rollup_distinct_users": q_rollup_distinct_users,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "contamination_check": q_contamination_check,
         "training_plan": q_training_plan,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "token_chunk_plan": q_token_chunk_plan,
         "chunk_manifest": q_chunk_manifest,
         "psi_online": q_psi_online,
         # --- 51+: rotated out this round (driver-green r5 AND r6) ---
+        "token_chunk_plan": q_token_chunk_plan,
         "mixture_sample": q_mixture_sample,
         "dedup_near_minhash": q_dedup_near_minhash,
         "curate_corpus": q_curate_corpus,

@@ -5,7 +5,10 @@ from lotad_spark.operators.diff import DiffResult, diff_tables, normalize_for_di
 from lotad_spark.operators.funnel import funnel_counts, retention_cohorts
 from lotad_spark.operators.range_join import range_join
 from lotad_spark.operators.rollup import (
+    distinct_report,
+    merge_distinct_rollup,
     merge_rollup,
+    rollup_distinct,
     rollup_report,
     rollup_time_bucket,
 )
@@ -22,7 +25,10 @@ __all__ = [
     "DiffResult",
     "asof_join",
     "diff_tables",
+    "distinct_report",
+    "merge_distinct_rollup",
     "merge_rollup",
+    "rollup_distinct",
     "range_join",
     "rollup_report",
     "rollup_time_bucket",

@@ -86,6 +86,80 @@ def merge_rollup(
     )
 
 
+def rollup_distinct(
+    events: DataFrame,
+    *,
+    ts_col: str,
+    id_col: str,
+    unit: str = "minute",
+    dims: Sequence[str] = (),
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Fold raw rows into one row per (time bucket, dims) carrying a
+    MERGEABLE HyperLogLog sketch of the distinct ``id_col`` values:
+    ``bucket, *dims, n_rows, id_sketch``.
+
+    Distinct counts are the partial count/sum/min/max cannot express —
+    exact distincts do not merge without carrying the full value set, so
+    the rollup stores a Datasketches HLL sketch (JVM ``hll_sketch_agg``)
+    whose registers max-combine losslessly: a union of minute sketches
+    is bit-equivalent to sketching the hour directly, so any coarser
+    resolution keeps the SAME estimate the raw data would give (pinned
+    by test). Sketch size is 2^lg_config_k registers per bucket row,
+    independent of event volume."""
+    if unit not in _UNITS:
+        raise ValueError(f"rollup_distinct: unknown unit {unit!r}")
+    return (
+        events.groupBy(
+            F.date_trunc(unit, F.col(f"`{ts_col}`")).alias("bucket"),
+            *[F.col(f"`{c}`") for c in dims],
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.hll_sketch_agg(
+                F.col(f"`{id_col}`"), F.lit(lg_config_k)
+            ).alias("id_sketch"),
+        )
+    )
+
+
+def merge_distinct_rollup(
+    rollup: DataFrame,
+    *,
+    unit: str,
+    dims: Sequence[str] = (),
+) -> DataFrame:
+    """Coarsen a distinct-count rollup by unioning the HLL sketches —
+    shares :func:`rollup_distinct`'s schema, so coarsenings chain."""
+    if unit not in _UNITS:
+        raise ValueError(f"merge_distinct_rollup: unknown unit {unit!r}")
+    return (
+        rollup.groupBy(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket"),
+            *[F.col(f"`{c}`") for c in dims],
+        )
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.hll_union_agg("id_sketch").alias("id_sketch"),
+        )
+    )
+
+
+def distinct_report(
+    rollup: DataFrame, *, dims: Sequence[str] = ()
+) -> DataFrame:
+    """Read-time projection of a distinct-count rollup: the estimate is
+    computed here (a stored estimate would not merge; the sketch does)."""
+    return rollup.select(
+        F.col("bucket").cast("string").alias("bucket"),
+        *[F.col(f"`{c}`") for c in dims],
+        "n_rows",
+        F.hll_sketch_estimate("id_sketch")
+        .cast("bigint")
+        .alias("n_distinct_est"),
+    )
+
+
 def rollup_report(rollup: DataFrame, *, dims: Sequence[str] = ()) -> DataFrame:
     """Read-time projection of a rollup: the stored partials plus the
     derived average (sum/count — computed here precisely because a stored

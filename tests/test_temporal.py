@@ -321,6 +321,54 @@ def test_rollup_chain_and_report(spark):
     assert float(row["avg_value"]) == 4.0
 
 
+def test_rollup_distinct_merge_invariant(spark, sf_dir):
+    """Unioning minute-level HLL sketches must give the SAME hourly
+    estimate as sketching the raw hour directly (registers max-combine
+    losslessly), and the estimate must sit within 5% of exact."""
+    from lotad_spark.operators import (
+        distinct_report,
+        merge_distinct_rollup,
+        rollup_distinct,
+    )
+    from lotad_spark.sources import read_table
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    minutes = rollup_distinct(ev, ts_col="ts", id_col="user_id")
+    merged = distinct_report(
+        merge_distinct_rollup(minutes, unit="hour")
+    ).collect()
+    direct = distinct_report(
+        rollup_distinct(ev, ts_col="ts", id_col="user_id", unit="hour")
+    ).collect()
+    m = {r["bucket"]: (r["n_rows"], r["n_distinct_est"]) for r in merged}
+    d = {r["bucket"]: (r["n_rows"], r["n_distinct_est"]) for r in direct}
+    assert m == d and len(m) > 0
+
+    exact = {
+        r["bucket"]: r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("bucket")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(exact) == set(m)
+    for b, n in exact.items():
+        assert abs(m[b][1] - n) <= max(1, 0.05 * n), (b, m[b][1], n)
+
+
+def test_rollup_distinct_rejects_unknown_unit(spark):
+    from lotad_spark.operators import merge_distinct_rollup, rollup_distinct
+
+    ev = spark.createDataFrame([(_ts(0), 1)], "ts timestamp, uid bigint")
+    with pytest.raises(ValueError):
+        rollup_distinct(ev, ts_col="ts", id_col="uid", unit="epoch")
+    with pytest.raises(ValueError):
+        merge_distinct_rollup(
+            rollup_distinct(ev, ts_col="ts", id_col="uid"), unit="never"
+        )
+
+
 def test_rollup_rejects_unknown_unit(spark):
     ev = spark.createDataFrame([(_ts(0), 1.0)], "ts timestamp, value double")
     with pytest.raises(ValueError):
