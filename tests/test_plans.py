@@ -125,3 +125,75 @@ class TestProbePlans:
         plan = _plan(cosine_topk(e.filter("vec_id < 3"), e, k=3))
         # query side broadcast → corpus side scored without a pre-join shuffle
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestTemporalPlans:
+    def test_asof_is_window_not_inequality_join(self, spark, sf_dir):
+        """The scale property of asof_join: one hash exchange on the key
+        feeding a Window — never a join that pairs left rows with every
+        earlier right row."""
+        from lotad_spark.operators import asof_join
+
+        ev = ParquetDatabase(spark, sf_dir, "db").table("events")
+        orders = ParquetDatabase(spark, sf_dir, "db").table("orders")
+        plan = _plan(
+            asof_join(
+                ev.select("event_id", "user_id", "ts"),
+                orders.select("o_custkey", "o_orderdate", "o_orderkey"),
+                key="user_id",
+                right_key="o_custkey",
+                left_ts="ts",
+                right_ts="o_orderdate",
+                value_cols=["o_orderkey"],
+            )
+        )
+        assert "Join" not in plan  # no join operator of any kind
+        assert "Window" in plan
+        assert plan.count("Exchange hashpartitioning(_asof_k") == 1
+
+    def test_range_join_is_equi_join_no_nested_loop(self, spark, sf_dir):
+        """Bin bucketing must surface as a hash-joinable equi-condition:
+        no BroadcastNestedLoopJoin / CartesianProduct in the plan."""
+        from lotad_spark.operators import range_join
+
+        ev = ParquetDatabase(spark, sf_dir, "db").table("events")
+        pts = ev.select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        ivs = ev.select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+            F.col("ts").alias("w_end"),
+        )
+        plan = _plan(
+            range_join(
+                pts,
+                ivs,
+                point_col="v_ts",
+                start_col="w_start",
+                end_col="w_end",
+                bin_width=3600.0,
+                point_key="v_user",
+                interval_key="p_user",
+            )
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+    def test_rollup_merge_never_rereads_raw(self, spark, sf_dir):
+        """Coarsening a rollup must aggregate rollup rows only — exactly
+        one FileScan in the merged plan (the original fine scan), with
+        partial aggregation map-side combined."""
+        from lotad_spark.operators import merge_rollup, rollup_time_bucket
+
+        ev = ParquetDatabase(spark, sf_dir, "db").table("events")
+        minutes = rollup_time_bucket(
+            ev, ts_col="ts", value_col="value", unit="minute"
+        )
+        plan = _plan(merge_rollup(minutes, unit="hour"))
+        assert plan.count("FileScan") == 1
+        assert "partial_sum" in plan.lower() or "HashAggregate" in plan
