@@ -868,6 +868,55 @@ def q_rollup_hourly(spark, sf_dir):
     )
 
 
+def q_rollup_incremental(spark, sf_dir):
+    """Continuous-aggregate maintenance end-to-end: materialize the
+    minute rollup of the first 20 days, upsert the remaining days'
+    events (partition-pruned read of touched days only, dynamic
+    partition overwrite — history never re-enters the job), then serve
+    hours by merging the stored minute partials. The oracle aggregates
+    ALL raw events straight to hours: incremental ≡ batch."""
+    from lotad_spark.operators import (
+        merge_rollup,
+        read_rollup,
+        rollup_time_bucket,
+        upsert_rollup,
+        write_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-21"
+    path = tempfile.mkdtemp(prefix="lotad_rollup_") + "/events_minutely"
+    write_rollup(
+        rollup_time_bucket(
+            ev.filter(F.col("ts") < cutoff),
+            ts_col="ts",
+            value_col="value",
+            unit="minute",
+            dims=["event_type"],
+        ),
+        path,
+    )
+    upsert_rollup(
+        ev.filter(F.col("ts") >= cutoff),
+        path,
+        ts_col="ts",
+        value_col="value",
+        unit="minute",
+        dims=["event_type"],
+    )
+    hours = merge_rollup(
+        read_rollup(spark, path), unit="hour", dims=["event_type"]
+    )
+    return hours.select(
+        F.col("bucket").cast("string").alias("bucket"),
+        "event_type",
+        "n",
+        "sum_value",
+        "min_value",
+        "max_value",
+    )
+
+
 def q_rollup_distinct_users(spark, sf_dir):
     """Mergeable-sketch distinct counts: minute-level HLL sketches of
     user_id unioned into hourly estimates — the partial that exact
@@ -1751,13 +1800,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       new native-sqlite scan diff);
     * positions 21-50: the reference-parity core (diff family, schema/
       missing-table drift, wizard, summary), one representative per
-      extension family, and the five new-this-round rows (psi_online,
+      extension family, and the six new-this-round rows (psi_online,
       asof_latest_order, range_join_views, rollup_hourly,
-      rollup_distinct_users) — suggest_ignore_columns, mixture_sample,
-      dedup_near_minhash, curate_corpus, ann_cosine_topk and
-      token_chunk_plan rotated to the tail to make room (each family
+      rollup_incremental, rollup_distinct_users) —
+      suggest_ignore_columns, mixture_sample, dedup_near_minhash,
+      curate_corpus, ann_cosine_topk, token_chunk_plan and
+      events_window_agg rotated to the tail to make room (each family
       keeps an in-window representative: dedup_exact/components/
-      simhash_pairs, training_plan, ann_ivf_topk, chunk_manifest);
+      simhash_pairs, training_plan, ann_ivf_topk, chunk_manifest, and
+      the streaming family's session/key_stats/drift_static/value_hist
+      rows are all in-window as never-verified);
     * positions 51+: rows rotated OUT of the window this round — every
       one has a driver-green row in r6 (and r5 where it existed then)
       with unchanged code, and all remain covered by the local gate
@@ -1804,10 +1856,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wizard_overlap_probe": q_wizard_overlap_probe,
         "q1_lineitem_agg": q_q1_lineitem_agg,
         "topk_orders": q_topk_orders,
-        "events_window_agg": q_events_window_agg,
         "asof_latest_order": q_asof_latest_order,
         "range_join_views": q_range_join_views,
         "rollup_hourly": q_rollup_hourly,
+        "rollup_incremental": q_rollup_incremental,
         "rollup_distinct_users": q_rollup_distinct_users,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
@@ -1818,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_manifest": q_chunk_manifest,
         "psi_online": q_psi_online,
         # --- 51+: rotated out this round (driver-green r5 AND r6) ---
+        "events_window_agg": q_events_window_agg,
         "token_chunk_plan": q_token_chunk_plan,
         "mixture_sample": q_mixture_sample,
         "dedup_near_minhash": q_dedup_near_minhash,
@@ -1896,7 +1949,7 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT DISTINCT {col} FROM customer LIMIT 10000) s USING ({col}))"
         )
 
-    return {
+    oracles = {
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"
         ),
@@ -2013,6 +2066,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Direct raw→hour aggregation: the minute→hour merged rollup must
         # be row-identical (mergeable-partials invariant, decimal-exact).
+        # rollup_incremental shares this oracle (registered below): the
+        # stored+upserted minute partials must serve the SAME hours.
         "rollup_hourly": (
             "SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) "
             "AS VARCHAR) AS bucket, event_type, "
@@ -2394,3 +2449,7 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT c_custkey, c_acctbal FROM ({_CUSTOMER_VALUE_CHANGE_SQL}))",
         ),
     }
+    # The incremental rollup must serve the SAME hours the batch rollup
+    # does — one oracle, two execution paths.
+    oracles["rollup_incremental"] = oracles["rollup_hourly"]
+    return oracles

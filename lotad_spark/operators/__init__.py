@@ -8,9 +8,12 @@ from lotad_spark.operators.rollup import (
     distinct_report,
     merge_distinct_rollup,
     merge_rollup,
+    read_rollup,
     rollup_distinct,
     rollup_report,
     rollup_time_bucket,
+    upsert_rollup,
+    write_rollup,
 )
 from lotad_spark.operators.keyed_diff import keyed_diff
 from lotad_spark.operators.snapshot import diff_against_snapshot, write_hash_snapshot
@@ -28,7 +31,10 @@ __all__ = [
     "distinct_report",
     "merge_distinct_rollup",
     "merge_rollup",
+    "read_rollup",
     "rollup_distinct",
+    "upsert_rollup",
+    "write_rollup",
     "range_join",
     "rollup_report",
     "rollup_time_bucket",

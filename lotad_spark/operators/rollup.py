@@ -160,6 +160,69 @@ def distinct_report(
     )
 
 
+def write_rollup(rollup: DataFrame, path: str) -> None:
+    """Materialize a rollup partitioned by bucket DAY, so incremental
+    maintenance and time-ranged reads prune to the days they touch."""
+    (
+        rollup.withColumn("bucket_day", F.to_date("bucket"))
+        .write.partitionBy("bucket_day")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def upsert_rollup(
+    new_events: DataFrame,
+    path: str,
+    *,
+    ts_col: str,
+    value_col: str,
+    unit: str = "minute",
+    dims: Sequence[str] = (),
+) -> None:
+    """Fold a new batch of raw events into a stored rollup — the nightly
+    continuous-aggregate maintenance step.
+
+    Scale shape: the batch rolls up to its own partials (one map-side-
+    combined aggregation over the new data only); the stored side is read
+    ONLY for the bucket-days the batch touches (partition-pruned via the
+    bounded distinct-day list), merged partial-wise, and written back
+    with dynamic partition overwrite so untouched days are never
+    rewritten. History volume never enters the job — cost is
+    O(new batch + touched-day rollup rows).
+
+    Requires the batch to be disjoint in raw rows from what the rollup
+    already absorbed (append-only ingestion); re-upserting the same rows
+    would double-count, exactly as in any partial-aggregate store."""
+    spark = new_events.sparkSession
+    fresh = rollup_time_bucket(
+        new_events, ts_col=ts_col, value_col=value_col, unit=unit, dims=dims
+    ).withColumn("bucket_day", F.to_date("bucket"))
+    # Bounded collect: one value per day in the ingest window.
+    days = [r[0] for r in fresh.select("bucket_day").distinct().collect()]
+    touched = spark.read.parquet(path).filter(F.col("bucket_day").isin(days))
+    merged = (
+        merge_rollup(touched.unionByName(fresh), unit=unit, dims=dims)
+        .withColumn("bucket_day", F.to_date("bucket"))
+        # Eager checkpoint: the merged partials must be materialized
+        # BEFORE the overwrite below deletes the very partitions the
+        # plan reads ("cannot overwrite a path being read from").
+        # Bounded: touched-day rollup rows only, never history.
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.partitionBy("bucket_day").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_rollup(spark, path: str) -> DataFrame:
+    """Read a stored rollup back in :func:`rollup_time_bucket` schema."""
+    return spark.read.parquet(path).drop("bucket_day")
+
+
 def rollup_report(rollup: DataFrame, *, dims: Sequence[str] = ()) -> DataFrame:
     """Read-time projection of a rollup: the stored partials plus the
     derived average (sum/count — computed here precisely because a stored

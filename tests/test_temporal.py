@@ -321,6 +321,69 @@ def test_rollup_chain_and_report(spark):
     assert float(row["avg_value"]) == 4.0
 
 
+def test_rollup_upsert_equals_batch(spark, sf_dir, tmp_path):
+    """Nightly maintenance invariant: rolling 20 days then upserting the
+    remaining days must read back identical to rolling all 30 at once,
+    and untouched day-partitions must keep their original files."""
+    import os
+
+    from lotad_spark.operators import (
+        read_rollup,
+        upsert_rollup,
+        write_rollup,
+    )
+    from lotad_spark.sources import read_table
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    cutoff = "2024-01-21"
+    path = str(tmp_path / "rollup")
+    write_rollup(
+        rollup_time_bucket(
+            ev.filter(F.col("ts") < cutoff),
+            ts_col="ts",
+            value_col="value",
+            unit="minute",
+            dims=["event_type"],
+        ),
+        path,
+    )
+    untouched_day = os.path.join(path, "bucket_day=2024-01-05")
+    before = sorted(os.listdir(untouched_day))
+    upsert_rollup(
+        ev.filter(F.col("ts") >= cutoff),
+        path,
+        ts_col="ts",
+        value_col="value",
+        unit="minute",
+        dims=["event_type"],
+    )
+    assert sorted(os.listdir(untouched_day)) == before  # never rewritten
+    got = sorted(
+        map(
+            tuple,
+            rollup_report(
+                read_rollup(spark, path), dims=["event_type"]
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            rollup_report(
+                rollup_time_bucket(
+                    ev,
+                    ts_col="ts",
+                    value_col="value",
+                    unit="minute",
+                    dims=["event_type"],
+                ),
+                dims=["event_type"],
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
 def test_rollup_distinct_merge_invariant(spark, sf_dir):
     """Unioning minute-level HLL sketches must give the SAME hourly
     estimate as sketching the raw hour directly (registers max-combine
