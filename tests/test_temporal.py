@@ -442,6 +442,72 @@ def test_rollup_rejects_unknown_unit(spark):
         )
 
 
+def test_asof_randomized_vs_bruteforce(spark):
+    """Backward and forward as-of on an adversarial seeded corpus —
+    duplicate timestamps across sides, NULL keys/timestamps, keys
+    missing on either side — must match a brute-force python scan."""
+    import random
+
+    rng = random.Random(20260814)
+    base = dt.datetime(2024, 3, 1)
+    lrows = [
+        (
+            i,
+            rng.choice([None] + list(range(12))),
+            rng.choice(
+                [None, base + dt.timedelta(seconds=rng.randrange(0, 600, 5))]
+            ),
+        )
+        for i in range(400)
+    ]
+    # One right row per (key, ts): asof tie-breaking among identical
+    # (key, ts) right rows is nondeterministic by contract.
+    seen, rrows = set(), []
+    for j in range(300):
+        k = rng.choice([None] + list(range(10)))
+        t = rng.choice(
+            [None, base + dt.timedelta(seconds=rng.randrange(0, 600, 5))]
+        )
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        rrows.append((k, t, float(j)))
+    left = spark.createDataFrame(lrows, "lid bigint, k bigint, t timestamp")
+    right = spark.createDataFrame(rrows, "k bigint, rt timestamp, p double")
+
+    def brute(direction):
+        out = {}
+        for lid, k, t in lrows:
+            best = None
+            if k is not None and t is not None:
+                for rk, rt, p in rrows:
+                    if rk != k or rt is None:
+                        continue
+                    if direction == "backward" and rt <= t:
+                        if best is None or rt > best[0]:
+                            best = (rt, p)
+                    elif direction == "forward" and rt >= t:
+                        if best is None or rt < best[0]:
+                            best = (rt, p)
+            out[lid] = best[1] if best else None
+        return out
+
+    for direction in ("backward", "forward"):
+        got = {
+            r["lid"]: r["p"]
+            for r in asof_join(
+                left,
+                right,
+                key="k",
+                left_ts="t",
+                right_ts="rt",
+                value_cols=["p"],
+                direction=direction,
+            ).collect()
+        }
+        assert got == brute(direction), direction
+
+
 def test_asof_rejects_bad_direction(spark, quotes, trades):
     with pytest.raises(ValueError):
         asof_join(
