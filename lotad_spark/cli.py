@@ -179,5 +179,61 @@ def curate(docs_path, eval_path, output_path, block_size, mix_rates,
     )
 
 
+@cli.command()
+@click.option("--events", "events_path", type=click.Path(exists=True),
+              required=True, help="Parquet file/dir of raw event rows")
+@click.option("--store", "store_path", required=True,
+              help="Rollup store directory (created on --init)")
+@click.option("--ts-col", default="ts", show_default=True)
+@click.option("--value-col", default="value", show_default=True)
+@click.option("--unit", default="minute", show_default=True,
+              type=click.Choice(["minute", "hour", "day"]))
+@click.option("--dim", "dims", multiple=True,
+              help="Grouping dimension column (repeatable)")
+@click.option("--init", is_flag=True, default=False,
+              help="Create the store from scratch instead of upserting")
+@click.option("--since", default=None,
+              help="Only fold events with ts >= SINCE (the nightly batch)")
+@click.option("--until", default=None,
+              help="Only fold events with ts < UNTIL (bound the backfill)")
+def rollup(events_path, store_path, ts_col, value_col, unit, dims,
+           init, since, until) -> None:
+    """Maintain a continuous-aggregate store (``operators.rollup``):
+    ``--init`` materializes the partials; without it, the batch is
+    upserted touching only the bucket-days it names."""
+    from pyspark.sql import functions as F
+
+    from lotad_spark.operators import (
+        rollup_time_bucket,
+        upsert_rollup,
+        write_rollup,
+    )
+    from lotad_spark.sources import read_table
+
+    spark = get_spark("lotad_rollup")
+    ev = read_table(spark, events_path)
+    if since:
+        ev = ev.filter(F.col(ts_col) >= since)
+    if until:
+        ev = ev.filter(F.col(ts_col) < until)
+    if init:
+        write_rollup(
+            rollup_time_bucket(
+                ev, ts_col=ts_col, value_col=value_col, unit=unit,
+                dims=list(dims),
+            ),
+            store_path,
+        )
+        verb = "initialized"
+    else:
+        upsert_rollup(
+            ev, store_path, ts_col=ts_col, value_col=value_col, unit=unit,
+            dims=list(dims),
+        )
+        verb = "upserted"
+    n = spark.read.parquet(store_path).count()
+    click.echo(f"rollup: {verb} {store_path} ({n} {unit} partial rows)")
+
+
 if __name__ == "__main__":
     cli()

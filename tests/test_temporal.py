@@ -508,6 +508,48 @@ def test_asof_randomized_vs_bruteforce(spark):
         assert got == brute(direction), direction
 
 
+def test_rollup_cli_init_upsert_serves_batch_hours(spark, sf_dir, tmp_path):
+    """python -m lotad_spark.cli rollup: --init the first half, upsert
+    the second, and the store must serve the same hours as a direct
+    aggregation over everything."""
+    from click.testing import CliRunner
+
+    from lotad_spark.cli import cli
+    from lotad_spark.operators import merge_rollup, read_rollup
+    from lotad_spark.sources import read_table
+
+    store = str(tmp_path / "store")
+    events = f"{sf_dir}/events.parquet"
+    runner = CliRunner()
+    r1 = runner.invoke(cli, [
+        "rollup", "--events", events, "--store", store, "--init",
+        "--until", "2024-01-15", "--dim", "event_type",
+    ])
+    assert r1.exit_code == 0, r1.output
+    assert "initialized" in r1.output
+    r2 = runner.invoke(cli, [
+        "rollup", "--events", events, "--store", store,
+        "--since", "2024-01-15", "--dim", "event_type",
+    ])
+    assert r2.exit_code == 0, r2.output
+    assert "upserted" in r2.output
+    got = sorted(map(tuple, rollup_report(
+        merge_rollup(
+            read_rollup(spark, store), unit="hour", dims=["event_type"]
+        ),
+        dims=["event_type"],
+    ).collect()))
+    ev = read_table(spark, events)
+    want = sorted(map(tuple, rollup_report(
+        rollup_time_bucket(
+            ev, ts_col="ts", value_col="value", unit="hour",
+            dims=["event_type"],
+        ),
+        dims=["event_type"],
+    ).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_asof_rejects_bad_direction(spark, quotes, trades):
     with pytest.raises(ValueError):
         asof_join(
