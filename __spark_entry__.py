@@ -917,6 +917,22 @@ def q_rollup_incremental(spark, sf_dir):
     )
 
 
+def q_quantile_estimates(spark, sf_dir):
+    """Mergeable-histogram quantiles — the deterministic t-digest
+    alternative: bin counts (one aggregation, n_bins rows) feed a pure
+    arithmetic interpolation, so the DuckDB oracle reproduces the exact
+    same estimates from the same formula. Counts ADD across batches/
+    windows, so the estimate is maintainable incrementally."""
+    from lotad_spark.operators import column_histogram, quantiles_from_counts
+
+    h = column_histogram(
+        _t(spark, sf_dir, "events"), col="value", lo=0.0, hi=250.0, n_bins=50
+    )
+    return quantiles_from_counts(
+        h, lo=0.0, hi=250.0, n_bins=50, qs=[0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
 def q_rollup_distinct_users(spark, sf_dir):
     """Mergeable-sketch distinct counts: minute-level HLL sketches of
     user_id unioned into hourly estimates — the partial that exact
@@ -1800,16 +1816,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       new native-sqlite scan diff);
     * positions 21-50: the reference-parity core (diff family, schema/
       missing-table drift, wizard, summary), one representative per
-      extension family, and the six new-this-round rows (psi_online,
+      extension family, and the seven new-this-round rows (psi_online,
       asof_latest_order, range_join_views, rollup_hourly,
-      rollup_incremental, rollup_distinct_users) —
+      rollup_incremental, rollup_distinct_users, quantile_estimates) —
       suggest_ignore_columns, mixture_sample, dedup_near_minhash,
-      curate_corpus, ann_cosine_topk, token_chunk_plan and
-      events_window_agg rotated to the tail to make room (each family
-      keeps an in-window representative: dedup_exact/components/
-      simhash_pairs, training_plan, ann_ivf_topk, chunk_manifest, and
-      the streaming family's session/key_stats/drift_static/value_hist
-      rows are all in-window as never-verified);
+      curate_corpus, ann_cosine_topk, token_chunk_plan,
+      events_window_agg and dedup_simhash_pairs rotated to the tail to
+      make room (each family keeps an in-window representative:
+      dedup_exact/dedup_components, training_plan, ann_ivf_topk,
+      chunk_manifest, and the streaming family's session/key_stats/
+      drift_static/value_hist rows are all in-window as
+      never-verified);
     * positions 51+: rows rotated OUT of the window this round — every
       one has a driver-green row in r6 (and r5 where it existed then)
       with unchanged code, and all remain covered by the local gate
@@ -1861,15 +1878,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hourly": q_rollup_hourly,
         "rollup_incremental": q_rollup_incremental,
         "rollup_distinct_users": q_rollup_distinct_users,
+        "quantile_estimates": q_quantile_estimates,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "contamination_check": q_contamination_check,
         "training_plan": q_training_plan,
         "ann_ivf_topk": q_ann_ivf_topk,
         "chunk_manifest": q_chunk_manifest,
         "psi_online": q_psi_online,
         # --- 51+: rotated out this round (driver-green r5 AND r6) ---
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "events_window_agg": q_events_window_agg,
         "token_chunk_plan": q_token_chunk_plan,
         "mixture_sample": q_mixture_sample,
@@ -2452,4 +2470,29 @@ def oracle_sql() -> dict[str, str]:
     # The incremental rollup must serve the SAME hours the batch rollup
     # does — one oracle, two execution paths.
     oracles["rollup_incremental"] = oracles["rollup_hourly"]
+    # Histogram-quantile estimates: identical binning, cumulative walk,
+    # and linear interpolation reproduced in SQL — the estimate is pure
+    # arithmetic on counts, so both engines must agree to the rounded
+    # sixth decimal.
+    oracles["quantile_estimates"] = (
+        "WITH h AS ("
+        "  SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0)/5.0) AS BIGINT), 0), 49)"
+        "    AS bin_id, CAST(count(*) AS BIGINT) AS n"
+        "  FROM events WHERE value IS NOT NULL GROUP BY 1"
+        "), spine AS (SELECT range AS bin_id FROM range(50)),"
+        "c AS ("
+        "  SELECT s.bin_id, COALESCE(h.n, 0) AS n,"
+        "         SUM(COALESCE(h.n, 0)) OVER (ORDER BY s.bin_id) AS cum"
+        "  FROM spine s LEFT JOIN h USING (bin_id)"
+        "), t AS (SELECT SUM(n) AS total FROM c),"
+        "qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) v(q)),"
+        "pick AS ("
+        "  SELECT q, MIN(c.bin_id) AS bin_id FROM qs, c, t"
+        "  WHERE c.n > 0 AND c.cum >= q * t.total GROUP BY q"
+        ") "
+        "SELECT p.q, "
+        "ROUND(0.0 + p.bin_id * 5.0 + ((p.q * t.total - (c.cum - c.n)) / c.n) * 5.0, 6)"
+        "  AS est "
+        "FROM pick p JOIN c ON p.bin_id = c.bin_id, t"
+    )
     return oracles

@@ -18,16 +18,20 @@ from lotad_spark.operators.rollup import (
 from lotad_spark.operators.keyed_diff import keyed_diff
 from lotad_spark.operators.snapshot import diff_against_snapshot, write_hash_snapshot
 from lotad_spark.operators.profile import (
+    column_histogram,
     profile_drift,
     profile_table,
     psi_drift,
     psi_from_counts,
+    quantiles_from_counts,
 )
 
 __all__ = [
     "DiffResult",
     "asof_join",
+    "column_histogram",
     "diff_tables",
+    "quantiles_from_counts",
     "distinct_report",
     "merge_distinct_rollup",
     "merge_rollup",

@@ -207,3 +207,107 @@ def psi_from_counts(
         .groupBy(*gcols)
         .agg(F.round(F.sum("_t").cast("double"), 6).alias("psi"))
     )
+
+
+def column_histogram(
+    df: DataFrame,
+    *,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Global equal-width histogram of a numeric column: (bin_id, n).
+    Out-of-range values clamp into the edge bins, NULLs drop — the same
+    binning contract as ``streaming.value_histogram``, without windows.
+    One map-side-combined aggregation; output is n_bins rows, so the
+    counts are a mergeable partial (bin counts ADD across batches)."""
+    if not lo < hi:
+        raise ValueError(f"column_histogram: need lo < hi, got [{lo}, {hi})")
+    width = (hi - lo) / n_bins
+    b = F.floor((F.col(f"`{col}`").cast("double") - F.lit(lo)) / F.lit(width))
+    bin_id = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("bigint")
+    return (
+        df.filter(F.col(f"`{col}`").isNotNull())
+        .groupBy(bin_id.alias("bin_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def quantiles_from_counts(
+    counts: DataFrame,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    qs: Sequence[float],
+    bin_col: str = "bin_id",
+    count_col: str = "n",
+) -> DataFrame:
+    """Quantile estimates (q, est) from binned counts — the mergeable
+    alternative to a t-digest: histogram counts add across batches,
+    windows, and resolutions, and the estimate is deterministic
+    arithmetic (linear interpolation inside the crossing bin), so two
+    engines computing from the same counts agree bit-for-bit — which is
+    exactly what the driver oracle checks.
+
+    Everything here runs on n_bins-sized relations: the zero-filled
+    spine, one cumulative window over n_bins rows (single-partition by
+    construction and by nature — this is metadata, not data), and a
+    qs × n_bins broadcast probe. The only data-sized work is whatever
+    produced ``counts`` (one aggregation)."""
+    if not qs:
+        raise ValueError("quantiles_from_counts: need at least one q")
+    if any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError("quantiles_from_counts: each q must be in (0, 1]")
+    spark = counts.sparkSession
+    width = (hi - lo) / n_bins
+    from pyspark.sql import Window
+
+    spine = spark.range(n_bins).select(F.col("id").alias(bin_col))
+    cum = (
+        spine.join(
+            counts.groupBy(bin_col).agg(
+                F.sum(count_col).cast("bigint").alias("_n")
+            ),
+            bin_col,
+            "left",
+        )
+        .select(bin_col, F.coalesce("_n", F.lit(0)).alias("_n"))
+        # n_bins rows: the single-partition window is the point, not an
+        # accident — never put data-sized relations through this.
+        .withColumn(
+            "_cum",
+            F.sum("_n").over(
+                Window.orderBy(bin_col).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+    )
+    total = cum.agg(F.max("_cum").alias("_total"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    probe = (
+        qdf.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(cum))
+        .filter(
+            (F.col("_n") > 0)
+            & (F.col("_cum") >= F.col("q") * F.col("_total"))
+        )
+    )
+    pick = probe.groupBy("q", "_total").agg(
+        F.min_by(
+            F.struct(F.col(bin_col).alias("_b"), "_n", "_cum"), F.col(bin_col)
+        ).alias("_hit")
+    )
+    target = F.col("q") * F.col("_total")
+    est = (
+        F.lit(lo)
+        + F.col("_hit._b") * F.lit(width)
+        + (
+            (target - (F.col("_hit._cum") - F.col("_hit._n")))
+            / F.col("_hit._n")
+        )
+        * F.lit(width)
+    )
+    return pick.select("q", F.round(est, 6).alias("est"))

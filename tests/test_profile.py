@@ -185,3 +185,126 @@ class TestPsiFromCounts:
         )
         got = {r.hour_start: r.psi for r in psi_from_counts(cur, ref).collect()}
         assert got["w0"] == 0.0 and got["w1"] > 0.25
+
+
+class TestHistogramQuantiles:
+    def test_known_counts(self, spark):
+        from lotad_spark.operators import quantiles_from_counts
+
+        # 10 values in [0,10): bins 0..9 each n=1 → q-th quantile at 10q
+        counts = spark.createDataFrame(
+            [(i, 1) for i in range(10)], "bin_id bigint, n bigint"
+        )
+        got = {
+            r["q"]: r["est"]
+            for r in quantiles_from_counts(
+                counts, lo=0.0, hi=10.0, n_bins=10, qs=[0.1, 0.5, 1.0]
+            ).collect()
+        }
+        assert got == {0.1: 1.0, 0.5: 5.0, 1.0: 10.0}
+
+    def test_zero_bins_skipped_and_interpolated(self, spark):
+        from lotad_spark.operators import quantiles_from_counts
+
+        # mass only in bins 2 (n=3) and 7 (n=1); bin width 1
+        counts = spark.createDataFrame(
+            [(2, 3), (7, 1)], "bin_id bigint, n bigint"
+        )
+        got = {
+            r["q"]: r["est"]
+            for r in quantiles_from_counts(
+                counts, lo=0.0, hi=10.0, n_bins=10, qs=[0.5, 0.8, 1.0]
+            ).collect()
+        }
+        # q=.5 → target 2 inside bin 2 at offset 2/3; q=.8 → target 3.2
+        # crosses into bin 7 at offset .2; q=1 → end of bin 7
+        assert got[0.5] == round(2 + 2 / 3, 6)
+        assert got[0.8] == round(7 + 0.2, 6)
+        assert got[1.0] == 8.0
+
+    def test_counts_merge_like_partials(self, spark, sf_dir):
+        """Histogram counts from two disjoint halves, summed, must give
+        the same quantiles as one pass over everything — the mergeable-
+        partial property that makes this the t-digest alternative."""
+        from pyspark.sql import functions as F
+
+        from lotad_spark.operators import (
+            column_histogram,
+            quantiles_from_counts,
+        )
+        from lotad_spark.sources import read_table
+
+        ev = read_table(spark, f"{sf_dir}/events.parquet")
+        args = dict(lo=0.0, hi=250.0, n_bins=25)
+        whole = column_histogram(ev, col="value", **args)
+        halves = (
+            column_histogram(
+                ev.filter("user_id % 2 = 0"), col="value", **args
+            )
+            .unionByName(
+                column_histogram(
+                    ev.filter("user_id % 2 = 1"), col="value", **args
+                )
+            )
+            .groupBy("bin_id")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        qs = [0.25, 0.5, 0.9]
+        a = sorted(
+            map(
+                tuple,
+                quantiles_from_counts(whole, qs=qs, **args).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                quantiles_from_counts(halves, qs=qs, **args).collect(),
+            )
+        )
+        assert a == b and len(a) == 3
+
+    def test_estimate_within_bin_width_of_exact(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from lotad_spark.operators import (
+            column_histogram,
+            quantiles_from_counts,
+        )
+        from lotad_spark.sources import read_table
+
+        ev = read_table(spark, f"{sf_dir}/events.parquet")
+        n_bins, lo, hi = 50, 0.0, 250.0
+        width = (hi - lo) / n_bins
+        h = column_histogram(ev, col="value", lo=lo, hi=hi, n_bins=n_bins)
+        est = {
+            r["q"]: r["est"]
+            for r in quantiles_from_counts(
+                h, lo=lo, hi=hi, n_bins=n_bins, qs=[0.25, 0.5, 0.75]
+            ).collect()
+        }
+        exact = ev.agg(
+            *[
+                F.expr(f"percentile(value, {p})").alias(str(p))
+                for p in (0.25, 0.5, 0.75)
+            ]
+        ).collect()[0]
+        for p in (0.25, 0.5, 0.75):
+            assert abs(est[p] - exact[str(p)]) <= width
+
+    def test_rejects_bad_inputs(self, spark):
+        from lotad_spark.operators import (
+            column_histogram,
+            quantiles_from_counts,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "value double")
+        with pytest.raises(ValueError):
+            column_histogram(df, col="value", lo=5.0, hi=5.0, n_bins=3)
+        counts = spark.createDataFrame([(0, 1)], "bin_id bigint, n bigint")
+        with pytest.raises(ValueError):
+            quantiles_from_counts(counts, lo=0.0, hi=1.0, n_bins=1, qs=[])
+        with pytest.raises(ValueError):
+            quantiles_from_counts(
+                counts, lo=0.0, hi=1.0, n_bins=1, qs=[0.0]
+            )
