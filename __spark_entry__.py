@@ -933,6 +933,28 @@ def q_quantile_estimates(spark, sf_dir):
     )
 
 
+def q_quantiles_online(spark, sf_dir):
+    """Online quantiles from landed stream counts: the SAME windowed
+    histogram definition readStream runs (streaming/windowed.py
+    value_histogram) feeds per-hour interpolated quantile estimates —
+    raw values are never revisited, only the n_bins counts each window
+    landed. Companion to psi_online over the same landed relation."""
+    from lotad_spark.operators import quantiles_from_counts
+    from lotad_spark.streaming import value_histogram
+
+    hist = value_histogram(
+        _t(spark, sf_dir, "events"), lo=0.0, hi=250.0, n_bins=5
+    )
+    return quantiles_from_counts(
+        hist,
+        lo=0.0,
+        hi=250.0,
+        n_bins=5,
+        qs=[0.5, 0.9],
+        group_cols=["hour_start"],
+    )
+
+
 def q_rollup_distinct_users(spark, sf_dir):
     """Mergeable-sketch distinct counts: minute-level HLL sketches of
     user_id unioned into hourly estimates — the partial that exact
@@ -1816,14 +1838,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       new native-sqlite scan diff);
     * positions 21-50: the reference-parity core (diff family, schema/
       missing-table drift, wizard, summary), one representative per
-      extension family, and the seven new-this-round rows (psi_online,
+      extension family, and the eight new-this-round rows (psi_online,
       asof_latest_order, range_join_views, rollup_hourly,
-      rollup_incremental, rollup_distinct_users, quantile_estimates) —
-      suggest_ignore_columns, mixture_sample, dedup_near_minhash,
-      curate_corpus, ann_cosine_topk, token_chunk_plan,
-      events_window_agg and dedup_simhash_pairs rotated to the tail to
-      make room (each family keeps an in-window representative:
-      dedup_exact/dedup_components, training_plan, ann_ivf_topk,
+      rollup_incremental, rollup_distinct_users, quantile_estimates,
+      quantiles_online) — suggest_ignore_columns, mixture_sample,
+      dedup_near_minhash, curate_corpus, ann_cosine_topk,
+      token_chunk_plan, events_window_agg, dedup_simhash_pairs and
+      contamination_check rotated to the tail to make room (each family
+      keeps an in-window representative: dedup_exact/dedup_components,
+      training_plan — which itself runs decontamination — ann_ivf_topk,
       chunk_manifest, and the streaming family's session/key_stats/
       drift_static/value_hist rows are all in-window as
       never-verified);
@@ -1879,14 +1902,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "rollup_distinct_users": q_rollup_distinct_users,
         "quantile_estimates": q_quantile_estimates,
+        "quantiles_online": q_quantiles_online,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
-        "contamination_check": q_contamination_check,
         "training_plan": q_training_plan,
         "ann_ivf_topk": q_ann_ivf_topk,
         "chunk_manifest": q_chunk_manifest,
         "psi_online": q_psi_online,
         # --- 51+: rotated out this round (driver-green r5 AND r6) ---
+        "contamination_check": q_contamination_check,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "events_window_agg": q_events_window_agg,
         "token_chunk_plan": q_token_chunk_plan,
@@ -2494,5 +2518,37 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(0.0 + p.bin_id * 5.0 + ((p.q * t.total - (c.cum - c.n)) / c.n) * 5.0, 6)"
         "  AS est "
         "FROM pick p JOIN c ON p.bin_id = c.bin_id, t"
+    )
+    # Per-hour online quantiles: same binning/interpolation, grouped by
+    # the landed window column.
+    oracles["quantiles_online"] = (
+        "WITH h AS ("
+        "  SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR)"
+        "    AS hour_start,"
+        "  LEAST(GREATEST(CAST(FLOOR((value - 0.0)/50.0) AS BIGINT), 0), 4)"
+        "    AS bin_id, CAST(count(*) AS BIGINT) AS n"
+        "  FROM events WHERE value IS NOT NULL GROUP BY 1, 2"
+        "), groups AS (SELECT DISTINCT hour_start FROM h),"
+        "spine AS (SELECT g.hour_start, r.range AS bin_id"
+        "  FROM groups g, range(5) r),"
+        "c AS ("
+        "  SELECT s.hour_start, s.bin_id, COALESCE(h.n, 0) AS n,"
+        "         SUM(COALESCE(h.n, 0)) OVER ("
+        "           PARTITION BY s.hour_start ORDER BY s.bin_id) AS cum"
+        "  FROM spine s LEFT JOIN h USING (hour_start, bin_id)"
+        "), t AS (SELECT hour_start, SUM(n) AS total FROM c GROUP BY 1),"
+        "qs AS (SELECT CAST(q AS DOUBLE) AS q "
+        "FROM (VALUES (0.5),(0.9)) v(q)),"
+        "pick AS ("
+        "  SELECT c.hour_start, q, MIN(c.bin_id) AS bin_id"
+        "  FROM qs, c JOIN t USING (hour_start)"
+        "  WHERE c.n > 0 AND c.cum >= q * t.total GROUP BY 1, 2"
+        ") "
+        "SELECT p.hour_start, p.q, "
+        "ROUND(0.0 + p.bin_id * 50.0 + "
+        "((p.q * t.total - (c.cum - c.n)) / c.n) * 50.0, 6) AS est "
+        "FROM pick p "
+        "JOIN c ON p.hour_start = c.hour_start AND p.bin_id = c.bin_id "
+        "JOIN t ON t.hour_start = p.hour_start"
     )
     return oracles

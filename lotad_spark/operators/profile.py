@@ -243,59 +243,71 @@ def quantiles_from_counts(
     qs: Sequence[float],
     bin_col: str = "bin_id",
     count_col: str = "n",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Quantile estimates (q, est) from binned counts — the mergeable
-    alternative to a t-digest: histogram counts add across batches,
-    windows, and resolutions, and the estimate is deterministic
+    """Quantile estimates (*group_cols, q, est) from binned counts — the
+    mergeable alternative to a t-digest: histogram counts add across
+    batches, windows, and resolutions, and the estimate is deterministic
     arithmetic (linear interpolation inside the crossing bin), so two
     engines computing from the same counts agree bit-for-bit — which is
     exactly what the driver oracle checks.
 
-    Everything here runs on n_bins-sized relations: the zero-filled
-    spine, one cumulative window over n_bins rows (single-partition by
-    construction and by nature — this is metadata, not data), and a
-    qs × n_bins broadcast probe. The only data-sized work is whatever
-    produced ``counts`` (one aggregation)."""
+    With ``group_cols`` (e.g. the window column ``streaming.
+    value_histogram`` emits) every group gets its own estimates — the
+    online-quantile face: land windowed counts from a stream, run this
+    over them. Everything here runs on groups × n_bins rows: the
+    zero-filled spine, one cumulative window partitioned by group (n_bins
+    rows per partition — metadata, not data), and a qs × n_bins-per-group
+    probe. The only data-sized work is whatever produced ``counts``."""
     if not qs:
         raise ValueError("quantiles_from_counts: need at least one q")
     if any(not 0.0 < q <= 1.0 for q in qs):
         raise ValueError("quantiles_from_counts: each q must be in (0, 1]")
     spark = counts.sparkSession
+    gcols = list(group_cols)
     width = (hi - lo) / n_bins
     from pyspark.sql import Window
 
-    spine = spark.range(n_bins).select(F.col("id").alias(bin_col))
+    bins = spark.range(n_bins).select(F.col("id").alias(bin_col))
+    if gcols:
+        spine = (
+            counts.select(*[F.col(f"`{c}`") for c in gcols])
+            .distinct()
+            .crossJoin(F.broadcast(bins))
+        )
+    else:
+        spine = bins
     cum = (
         spine.join(
-            counts.groupBy(bin_col).agg(
+            counts.groupBy(*gcols, bin_col).agg(
                 F.sum(count_col).cast("bigint").alias("_n")
             ),
-            bin_col,
+            [*gcols, bin_col],
             "left",
         )
-        .select(bin_col, F.coalesce("_n", F.lit(0)).alias("_n"))
-        # n_bins rows: the single-partition window is the point, not an
-        # accident — never put data-sized relations through this.
+        .select(*gcols, bin_col, F.coalesce("_n", F.lit(0)).alias("_n"))
+        # n_bins rows per group: a single partition per group is the
+        # point, not an accident — never put data-sized relations here.
         .withColumn(
             "_cum",
             F.sum("_n").over(
-                Window.orderBy(bin_col).rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
+                Window.partitionBy(*gcols)
+                .orderBy(bin_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
     )
-    total = cum.agg(F.max("_cum").alias("_total"))
+    total = cum.groupBy(*gcols).agg(F.max("_cum").alias("_total"))
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
-    probe = (
-        qdf.crossJoin(F.broadcast(total))
-        .crossJoin(F.broadcast(cum))
-        .filter(
-            (F.col("_n") > 0)
-            & (F.col("_cum") >= F.col("q") * F.col("_total"))
-        )
+    joined = total.crossJoin(F.broadcast(qdf))
+    probe = joined.join(cum, gcols) if gcols else joined.crossJoin(
+        F.broadcast(cum)
     )
-    pick = probe.groupBy("q", "_total").agg(
+    probe = probe.filter(
+        (F.col("_n") > 0)
+        & (F.col("_cum") >= F.col("q") * F.col("_total"))
+    )
+    pick = probe.groupBy(*gcols, "q", "_total").agg(
         F.min_by(
             F.struct(F.col(bin_col).alias("_b"), "_n", "_cum"), F.col(bin_col)
         ).alias("_hit")
@@ -310,4 +322,4 @@ def quantiles_from_counts(
         )
         * F.lit(width)
     )
-    return pick.select("q", F.round(est, 6).alias("est"))
+    return pick.select(*gcols, "q", F.round(est, 6).alias("est"))

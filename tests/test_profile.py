@@ -308,3 +308,28 @@ class TestHistogramQuantiles:
             quantiles_from_counts(
                 counts, lo=0.0, hi=1.0, n_bins=1, qs=[0.0]
             )
+
+    def test_grouped_quantiles_match_per_group_runs(self, spark):
+        from lotad_spark.operators import quantiles_from_counts
+
+        counts = spark.createDataFrame(
+            [("a", 0, 2), ("a", 3, 2), ("b", 9, 4)],
+            "g string, bin_id bigint, n bigint",
+        )
+        args = dict(lo=0.0, hi=10.0, n_bins=10, qs=[0.5, 1.0])
+        grouped = {
+            (r["g"], r["q"]): r["est"]
+            for r in quantiles_from_counts(
+                counts, group_cols=["g"], **args
+            ).collect()
+        }
+        for g in ("a", "b"):
+            solo = {
+                r["q"]: r["est"]
+                for r in quantiles_from_counts(
+                    counts.filter(F.col("g") == g).drop("g"), **args
+                ).collect()
+            }
+            for q, est in solo.items():
+                assert grouped[(g, q)] == est
+        assert len(grouped) == 4
