@@ -501,6 +501,19 @@ def q_sample_hash(spark, sf_dir):
     return hash_sample(docs, 0.25)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (A-ES): 50 docs drawn with
+    probability ∝ length from a hash-derived uniform — deterministic, so
+    the oracle replays the exact priorities in SQL. Top-k runs as
+    per-partition heaps (TakeOrderedAndProject), never a global sort."""
+    from lotad_spark.pipeline import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(
+        docs, 50, id_col="doc_id", weight_col="n_chars", salt="wsamp"
+    )
+
+
 def q_train_eval_split(spark, sf_dir):
     """Hash-keyed train/eval split: a doc keeps its split forever (across
     runs and corpus growth) — the property that prevents eval leakage."""
@@ -1838,18 +1851,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       new native-sqlite scan diff);
     * positions 21-50: the reference-parity core (diff family, schema/
       missing-table drift, wizard, summary), one representative per
-      extension family, and the eight new-this-round rows (psi_online,
+      extension family, and the nine new-this-round rows (psi_online,
       asof_latest_order, range_join_views, rollup_hourly,
       rollup_incremental, rollup_distinct_users, quantile_estimates,
-      quantiles_online) — suggest_ignore_columns, mixture_sample,
-      dedup_near_minhash, curate_corpus, ann_cosine_topk,
-      token_chunk_plan, events_window_agg, dedup_simhash_pairs and
-      contamination_check rotated to the tail to make room (each family
-      keeps an in-window representative: dedup_exact/dedup_components,
-      training_plan — which itself runs decontamination — ann_ivf_topk,
-      chunk_manifest, and the streaming family's session/key_stats/
-      drift_static/value_hist rows are all in-window as
-      never-verified);
+      quantiles_online, weighted_sample) — suggest_ignore_columns,
+      mixture_sample, dedup_near_minhash, curate_corpus,
+      ann_cosine_topk, token_chunk_plan, events_window_agg,
+      dedup_simhash_pairs, contamination_check and topk_orders rotated
+      to the tail to make room (each family keeps an in-window
+      representative: dedup_exact/dedup_components, training_plan —
+      which itself runs decontamination — ann_ivf_topk, chunk_manifest,
+      the new weighted_sample's TakeOrderedAndProject covers the top-k
+      shape, and the streaming family's session/key_stats/drift_static/
+      value_hist rows are all in-window as never-verified);
     * positions 51+: rows rotated OUT of the window this round — every
       one has a driver-green row in r6 (and r5 where it existed then)
       with unchanged code, and all remain covered by the local gate
@@ -1895,7 +1909,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wizard_distinct_sample": q_wizard_distinct_sample,
         "wizard_overlap_probe": q_wizard_overlap_probe,
         "q1_lineitem_agg": q_q1_lineitem_agg,
-        "topk_orders": q_topk_orders,
         "asof_latest_order": q_asof_latest_order,
         "range_join_views": q_range_join_views,
         "rollup_hourly": q_rollup_hourly,
@@ -1903,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_distinct_users": q_rollup_distinct_users,
         "quantile_estimates": q_quantile_estimates,
         "quantiles_online": q_quantiles_online,
+        "weighted_sample": q_weighted_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "training_plan": q_training_plan,
@@ -1910,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_manifest": q_chunk_manifest,
         "psi_online": q_psi_online,
         # --- 51+: rotated out this round (driver-green r5 AND r6) ---
+        "topk_orders": q_topk_orders,
         "contamination_check": q_contamination_check,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "events_window_agg": q_events_window_agg,
@@ -2550,5 +2565,16 @@ def oracle_sql() -> dict[str, str]:
         "FROM pick p "
         "JOIN c ON p.hour_start = c.hour_start AND p.bin_id = c.bin_id "
         "JOIN t ON t.hour_start = p.hour_start"
+    )
+    # A-ES weighted sample: identical md5-derived uniforms and ln/w
+    # priorities replayed in SQL; outputs are exact integers, ordering is
+    # the only float-dependent step.
+    oracles["weighted_sample"] = (
+        "SELECT doc_id, n_chars FROM ("
+        "  SELECT doc_id, n_chars,"
+        "    ln((CAST('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        "         AS UBIGINT) + 1) / 4294967297.0) / n_chars AS pri"
+        "  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0"
+        ") ORDER BY pri DESC, doc_id LIMIT 50"
     )
     return oracles

@@ -61,6 +61,7 @@ from lotad_spark.pipeline.sampling import (
     token_chunk_plan,
     train_eval_split,
     upsample_by_weight,
+    weighted_sample,
 )
 from lotad_spark.pipeline.contamination import (
     contaminated_ids,
@@ -108,6 +109,7 @@ __all__ = [
     "tfidf_top_terms",
     "token_chunk_plan",
     "train_eval_split",
+    "weighted_sample",
     "unigram_logprob",
     "upsample_by_weight",
     "write_dedup_index",

@@ -68,6 +68,46 @@ def hash_sample(
     return df.filter(sample_key(id_col, salt) < F.lit(_hex_threshold(rate)))
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row gets priority ln(u)/w for a hash-derived
+    uniform u ∈ (0, 1] and weight w > 0, and the k largest priorities
+    win — inclusion probability proportional to weight, no replacement,
+    no accept/reject loop.
+
+    Deterministic by the same contract as :func:`hash_sample`: u comes
+    from md5(salt ':' id), so the selection is identical on every run,
+    partitioning, and engine (the driver oracle replays it in SQL).
+
+    Scale: priorities are pure scan-side expressions; the top-k runs as
+    Spark's TakeOrderedAndProject — per-partition heaps of size k merged
+    on the driver, never a global sort shuffle. Rows with NULL or
+    non-positive weight are excluded (as the math requires w > 0)."""
+    if k <= 0:
+        raise ValueError(f"weighted_sample: k must be positive, got {k}")
+    w = F.col(f"`{weight_col}`").cast("double")
+    # (hash32 + 1) / (2^32 + 1) ∈ (0, 1]: never 0 (ln undefined), can
+    # reach 1 (priority 0, the best possible) — exactly the A-ES domain.
+    u = (F.conv(sample_key(id_col, salt), 16, 10).cast("double") + 1) / F.lit(
+        float(2**32 + 1)
+    )
+    pri = F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_pri", pri)
+        .orderBy(F.col("_pri").desc(), F.col(f"`{id_col}`"))
+        .limit(k)
+        .drop("_pri")
+    )
+
+
 def train_eval_split(
     df: DataFrame,
     eval_rate: float = 0.1,

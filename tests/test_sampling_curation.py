@@ -452,3 +452,66 @@ class TestPlanTrainingCorpus:
                 assert epochs == {1, 2}
             else:
                 assert epochs == {1}
+
+
+class TestWeightedSample:
+    def test_deterministic_across_partitionings(self, spark, docs):
+        from lotad_spark.pipeline import weighted_sample
+
+        d = docs.select("doc_id", "n_chars")
+        a = sorted(
+            r["doc_id"]
+            for r in weighted_sample(
+                d, 20, weight_col="n_chars", salt="s"
+            ).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in weighted_sample(
+                d.repartition(7), 20, weight_col="n_chars", salt="s"
+            ).collect()
+        )
+        assert a == b and len(a) == 20
+
+    def test_inclusion_tracks_weight(self, spark):
+        """Across many salts, a weight-10 row must be selected far more
+        often than a weight-1 row (A-ES gives P ∝ w for k=1)."""
+        from pyspark.sql import functions as F
+
+        from lotad_spark.pipeline import weighted_sample
+
+        rows = [(i, 10.0 if i < 5 else 1.0) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id bigint, weight double")
+        heavy = 0
+        for s in range(30):
+            got = weighted_sample(df, 1, salt=f"t{s}").collect()
+            heavy += got[0]["weight"] == 10.0
+        # heavy mass = 50/95 ≈ 53% of total weight; binomial(30, .53)
+        # below 6 has p < 1e-4 — a loose but meaningful bound.
+        assert heavy >= 6
+
+    def test_nonpositive_weights_excluded_and_k_bounds(self, spark):
+        import pytest
+
+        from lotad_spark.pipeline import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 2.0), (2, 0.0), (3, -1.0), (4, None)],
+            "doc_id bigint, weight double",
+        )
+        got = weighted_sample(df, 10).collect()
+        assert [r["doc_id"] for r in got] == [1]
+        with pytest.raises(ValueError):
+            weighted_sample(df, 0)
+
+    def test_topk_is_take_ordered_not_global_sort(self, spark, docs):
+        from lotad_spark.pipeline import weighted_sample
+
+        d = docs.select("doc_id", "n_chars")
+        plan = (
+            weighted_sample(d, 5, weight_col="n_chars")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
