@@ -71,6 +71,12 @@ def asof_join(
         if value_cols is not None
         else [c for c in right.columns if c not in (rkey, rts)]
     )
+    clash = {c + suffix for c in vals} & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: output columns {sorted(clash)} collide with left "
+            "columns; pass a suffix or rename"
+        )
     rschema = {f.name: f.dataType for f in right.schema.fields}
 
     lhs = left.select(

@@ -69,7 +69,13 @@ def range_join(
             (f.name, f.dataType.simpleString()) for f in frame.schema.fields
         )[c]
         col = F.col(f"`{c}`")
-        return col.cast("double") if t.startswith("timestamp") else col
+        if t == "date":
+            col = col.cast("timestamp")
+        return (
+            col.cast("double")
+            if t.startswith("timestamp") or t == "date"
+            else col
+        )
 
     p_num = _num(points, point_col)
     s_num = _num(intervals, start_col)

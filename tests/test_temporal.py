@@ -560,3 +560,39 @@ def test_asof_rejects_bad_direction(spark, quotes, trades):
             right_ts="qts",
             direction="sideways",
         )
+
+
+def test_asof_rejects_output_collision(spark, quotes, trades):
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            trades.withColumnRenamed("tts", "t"),
+            quotes.select(
+                "key", "qts", F.col("price").alias("trade_id")
+            ),
+            key="key",
+            left_ts="t",
+            right_ts="qts",
+            value_cols=["trade_id"],
+        )
+
+
+def test_range_join_date_columns(spark):
+    import datetime as dtm
+
+    pts = spark.createDataFrame(
+        [(1, dtm.date(2024, 1, 5)), (2, dtm.date(2024, 2, 1))],
+        "pid bigint, d date",
+    )
+    ivs = spark.createDataFrame(
+        [("jan", dtm.date(2024, 1, 1), dtm.date(2024, 2, 1))],
+        "name string, lo date, hi date",
+    )
+    out = range_join(
+        pts,
+        ivs,
+        point_col="d",
+        start_col="lo",
+        end_col="hi",
+        bin_width=86400.0 * 7,
+    )
+    assert [(r["pid"], r["name"]) for r in out.collect()] == [(1, "jan")]
