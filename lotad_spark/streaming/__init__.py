@@ -4,6 +4,7 @@ from lotad_spark.streaming.windowed import (
     key_lifetime_stats,
     streaming_drift,
     session_event_agg,
+    stream_interval_join,
     streaming_dedup,
     value_histogram,
     windowed_event_agg,
@@ -16,4 +17,5 @@ __all__ = [
     "key_lifetime_stats",
     "streaming_drift",
     "value_histogram",
+    "stream_interval_join",
 ]

@@ -256,3 +256,49 @@ def value_histogram(
             "n",
         )
     )
+
+
+def stream_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_key: str,
+    interval_key: str,
+    point_ts: str,
+    interval_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream temporal join: every (point, interval-anchor) pair
+    with equal keys and ``point_ts`` inside ``[interval_ts - max_delay,
+    interval_ts)`` — "views in the hour before each purchase", live.
+
+    The streaming face of ``operators.range_join``: the SAME pairing
+    semantics, but over two unbounded streams. Both sides carry
+    watermarks and the join condition carries the explicit time bound,
+    which is what lets Spark size and EVICT join state — without the
+    time range the state store would grow forever. State per key is
+    bounded by (watermark + max_delay) of input, independent of stream
+    length. On batch inputs the identical definition runs as an ordinary
+    equi-join with a residual time filter (use ``range_join`` instead
+    when the batch sides are large — it buckets the inequality away).
+
+    Column names must be distinct across sides (alias before calling),
+    as in ``range_join``."""
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(
+            f"stream_interval_join: overlapping column names "
+            f"{sorted(overlap)}; alias one side first"
+        )
+    if points.isStreaming:
+        points = points.withWatermark(point_ts, watermark)
+    if intervals.isStreaming:
+        intervals = intervals.withWatermark(interval_ts, watermark)
+    p_ts, i_ts = F.col(f"`{point_ts}`"), F.col(f"`{interval_ts}`")
+    cond = (
+        (F.col(f"`{point_key}`") == F.col(f"`{interval_key}`"))
+        & (p_ts >= i_ts - F.expr(f"INTERVAL {max_delay}"))
+        & (p_ts < i_ts)
+    )
+    return points.join(intervals, on=cond, how="inner")

@@ -510,3 +510,101 @@ class TestValueHistogram:
         assert sum(r.n for r in rows) == ev.filter("value IS NOT NULL").count()
         with _pytest.raises(ValueError):
             value_histogram(ev, lo=1.0, hi=1.0)
+
+
+class TestStreamIntervalJoin:
+    def _sides(self, spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        views = ev.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        return views, purchases
+
+    def test_two_real_streams_match_batch_range_join(
+        self, spark, sf_dir, tmp_path
+    ):
+        """views⋈purchases over TWO readStreams (watermarked stream-
+        stream join with a state-bounding time condition) must emit
+        exactly the pairs the batch bin-bucketed range_join produces."""
+        from lotad_spark.operators import range_join
+        from lotad_spark.streaming import stream_interval_join
+
+        views, purchases = self._sides(spark, sf_dir)
+        v_src = str(tmp_path / "views_src")
+        p_src = str(tmp_path / "purch_src")
+        views.write.mode("overwrite").parquet(v_src)
+        purchases.write.mode("overwrite").parquet(p_src)
+
+        batch = sorted(
+            (r["v_id"], r["p_id"])
+            for r in range_join(
+                views,
+                purchases.select(
+                    "p_id",
+                    "p_user",
+                    (F.col("p_ts") - F.expr("INTERVAL 1 HOUR")).alias(
+                        "w_start"
+                    ),
+                    F.col("p_ts").alias("w_end"),
+                ),
+                point_col="v_ts",
+                start_col="w_start",
+                end_col="w_end",
+                bin_width=3600.0,
+                point_key="v_user",
+                interval_key="p_user",
+            ).collect()
+        )
+
+        v_stream = spark.readStream.schema(
+            spark.read.parquet(v_src).schema
+        ).parquet(v_src)
+        p_stream = spark.readStream.schema(
+            spark.read.parquet(p_src).schema
+        ).parquet(p_src)
+        q = (
+            stream_interval_join(
+                v_stream,
+                p_stream,
+                point_key="v_user",
+                interval_key="p_user",
+                point_ts="v_ts",
+                interval_ts="p_ts",
+                max_delay="1 hour",
+            )
+            .select("v_id", "p_id")
+            .writeStream.format("memory")
+            .queryName("sij_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            (r["v_id"], r["p_id"])
+            for r in spark.sql("SELECT * FROM sij_test").collect()
+        )
+        assert got == batch and len(got) > 0
+
+    def test_rejects_overlapping_names(self, spark, sf_dir):
+        import pytest
+
+        from lotad_spark.streaming import stream_interval_join
+
+        views, _ = self._sides(spark, sf_dir)
+        with pytest.raises(ValueError, match="overlapping"):
+            stream_interval_join(
+                views,
+                views,
+                point_key="v_user",
+                interval_key="v_user",
+                point_ts="v_ts",
+                interval_ts="v_ts",
+            )
