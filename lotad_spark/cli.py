@@ -224,15 +224,26 @@ def rollup(events_path, store_path, ts_col, value_col, unit, dims,
             ),
             store_path,
         )
-        verb = "initialized"
+        n = spark.read.parquet(store_path).count()
+        click.echo(
+            f"rollup: initialized {store_path} ({n} {unit} partial rows)"
+        )
     else:
-        upsert_rollup(
+        days = upsert_rollup(
             ev, store_path, ts_col=ts_col, value_col=value_col, unit=unit,
             dims=list(dims),
         )
-        verb = "upserted"
-    n = spark.read.parquet(store_path).count()
-    click.echo(f"rollup: {verb} {store_path} ({n} {unit} partial rows)")
+        # Count only the partitions the upsert touched — a full-store
+        # count would scan every day of history for a log line.
+        day_f = F.col("bucket_day").isin([d for d in days if d is not None])
+        if None in days:
+            day_f = day_f | F.col("bucket_day").isNull()
+        n = spark.read.parquet(store_path).filter(day_f).count()
+        click.echo(
+            f"rollup: upserted {store_path} "
+            f"({len(days)} bucket-days touched, {n} {unit} partial rows "
+            "in them)"
+        )
 
 
 if __name__ == "__main__":

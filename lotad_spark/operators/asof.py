@@ -11,11 +11,15 @@ join (``l.key = r.key AND r.ts <= l.ts`` + a max-per-left aggregation),
 which Spark can only execute as a broadcast-nested-loop or a
 sort-merge-join that replays every earlier right row for every left row
 (O(L×R) per key for hot keys). This implementation instead UNIONs the two
-tagged sides and runs one running ``last(..., ignoreNulls)`` window per
-attached column over ``(key, ts)`` order — a single hash exchange on the
-key and one sort, O((L+R) log (L+R)) per partition, no pair blow-up, no
-broadcast requirement on either side. Skewed keys cost their own sort but
-never a cross product.
+tagged sides and resolves every match with ONE running
+``last(struct, ignoreNulls)`` window over ``(key, ts)`` order — a single
+hash exchange on the key and one sort, O((L+R) log (L+R)) per partition,
+no pair blow-up, no broadcast requirement on either side. Skewed keys
+cost their own sort but never a cross product. The match rides as one
+STRUCT payload (timestamp + all value columns together), so every output
+column comes from the same right row even when some of its values are
+NULL — per-column ``last(ignoreNulls)`` would silently substitute older
+rows' values.
 
 Tie semantics match DuckDB's ``ASOF JOIN`` (inequality ``>=``): a right
 row exactly at the left timestamp matches (the union sorts right rows
@@ -77,18 +81,34 @@ def asof_join(
             f"asof_join: output columns {sorted(clash)} collide with left "
             "columns; pass a suffix or rename"
         )
-    rschema = {f.name: f.dataType for f in right.schema.fields}
+    internal = [c for c in left.columns if c.startswith(_PFX)]
+    if internal:
+        raise ValueError(
+            f"asof_join: left columns {internal} collide with the "
+            f"internal '{_PFX}' prefix; rename them first"
+        )
 
+    # The match payload: the right timestamp plus ALL value columns in one
+    # struct. The struct is non-NULL exactly for right rows (rts is
+    # filtered non-NULL below), so last(payload, ignoreNulls) skips left
+    # rows but keeps right rows whose individual values are NULL — and
+    # timestamp + values always come from the SAME matched row.
     lhs = left.select(
         F.col(key).alias(_PFX + "k"),
         F.col(left_ts).alias(_PFX + "t"),
         F.lit(1).alias(_PFX + "side"),
         *[F.col(f"`{c}`") for c in left.columns],
-        *[
-            F.lit(None).cast(rschema[c]).alias(_PFX + c)
-            for c in vals
-        ],
-        F.lit(None).cast(rschema[rts]).alias(_PFX + "rts"),
+        F.lit(None)
+        .cast(
+            "struct<" + ",".join(
+                [f"`{rts}`:{right.schema[rts].dataType.simpleString()}"]
+                + [
+                    f"`{c}`:{right.schema[c].dataType.simpleString()}"
+                    for c in vals
+                ]
+            ) + ">"
+        )
+        .alias(_PFX + "payload"),
     )
     rhs = right.filter(
         F.col(rkey).isNotNull() & F.col(rts).isNotNull()
@@ -100,8 +120,9 @@ def asof_join(
             F.lit(None).cast(f.dataType).alias(f.name)
             for f in left.schema.fields
         ],
-        *[F.col(f"`{c}`").alias(_PFX + c) for c in vals],
-        F.col(rts).alias(_PFX + "rts"),
+        F.struct(
+            F.col(f"`{rts}`"), *[F.col(f"`{c}`") for c in vals]
+        ).alias(_PFX + "payload"),
     )
 
     # Right rows sort before left rows at equal timestamps, so an exact-
@@ -117,25 +138,23 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched_ts = F.last(_PFX + "rts", ignorenulls=True).over(w)
+    matched = F.last(_PFX + "payload", ignorenulls=True).over(w)
+    matched_ts = matched[rts]
 
     def _gate(expr: Column) -> Column:
         ok = matched_ts.isNotNull() & F.col(left_ts).isNotNull()
         if tolerance_seconds is not None:
+            # Date columns don't cast to double directly — go through
+            # timestamp so a date-typed side still gets epoch seconds.
             gap = (
-                F.col(left_ts).cast("double")
-                - matched_ts.cast("double")
+                F.col(left_ts).cast("timestamp").cast("double")
+                - matched_ts.cast("timestamp").cast("double")
             )
             gap = gap if direction == "backward" else -gap
             ok = ok & (gap <= F.lit(float(tolerance_seconds)))
         return F.when(ok, expr)
 
-    out_vals = [
-        _gate(F.last(_PFX + c, ignorenulls=True).over(w)).alias(
-            c + suffix
-        )
-        for c in vals
-    ]
+    out_vals = [_gate(matched[c]).alias(c + suffix) for c in vals]
     return (
         lhs.unionByName(rhs)
         .select(

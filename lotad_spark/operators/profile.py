@@ -209,6 +209,20 @@ def psi_from_counts(
     )
 
 
+def bin_id_expr(col: str, lo: float, hi: float, n_bins: int):
+    """THE equal-width binning contract: floor((v - lo)/width), clamped
+    into the edge bins. One definition shared by batch histograms here
+    and the streaming ``value_histogram`` — the quantiles_online oracle
+    depends on both staying bit-identical, so neither reimplements it."""
+    if not lo < hi:
+        raise ValueError(f"bin_id_expr: need lo < hi, got [{lo}, {hi})")
+    if n_bins <= 0:
+        raise ValueError(f"bin_id_expr: need n_bins > 0, got {n_bins}")
+    width = (hi - lo) / n_bins
+    b = F.floor((F.col(f"`{col}`").cast("double") - F.lit(lo)) / F.lit(width))
+    return F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("bigint")
+
+
 def column_histogram(
     df: DataFrame,
     *,
@@ -219,17 +233,13 @@ def column_histogram(
 ) -> DataFrame:
     """Global equal-width histogram of a numeric column: (bin_id, n).
     Out-of-range values clamp into the edge bins, NULLs drop — the same
-    binning contract as ``streaming.value_histogram``, without windows.
-    One map-side-combined aggregation; output is n_bins rows, so the
-    counts are a mergeable partial (bin counts ADD across batches)."""
-    if not lo < hi:
-        raise ValueError(f"column_histogram: need lo < hi, got [{lo}, {hi})")
-    width = (hi - lo) / n_bins
-    b = F.floor((F.col(f"`{col}`").cast("double") - F.lit(lo)) / F.lit(width))
-    bin_id = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("bigint")
+    binning contract as ``streaming.value_histogram`` (both call
+    :func:`bin_id_expr`), without windows. One map-side-combined
+    aggregation; output is n_bins rows, so the counts are a mergeable
+    partial (bin counts ADD across batches)."""
     return (
         df.filter(F.col(f"`{col}`").isNotNull())
-        .groupBy(bin_id.alias("bin_id"))
+        .groupBy(bin_id_expr(col, lo, hi, n_bins).alias("bin_id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
 
@@ -263,6 +273,14 @@ def quantiles_from_counts(
         raise ValueError("quantiles_from_counts: need at least one q")
     if any(not 0.0 < q <= 1.0 for q in qs):
         raise ValueError("quantiles_from_counts: each q must be in (0, 1]")
+    if not lo < hi:
+        raise ValueError(
+            f"quantiles_from_counts: need lo < hi, got [{lo}, {hi})"
+        )
+    if n_bins <= 0:
+        raise ValueError(
+            f"quantiles_from_counts: need n_bins > 0, got {n_bins}"
+        )
     spark = counts.sparkSession
     gcols = list(group_cols)
     width = (hi - lo) / n_bins

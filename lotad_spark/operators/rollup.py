@@ -179,7 +179,7 @@ def upsert_rollup(
     value_col: str,
     unit: str = "minute",
     dims: Sequence[str] = (),
-) -> None:
+) -> list:
     """Fold a new batch of raw events into a stored rollup — the nightly
     continuous-aggregate maintenance step.
 
@@ -193,29 +193,49 @@ def upsert_rollup(
 
     Requires the batch to be disjoint in raw rows from what the rollup
     already absorbed (append-only ingestion); re-upserting the same rows
-    would double-count, exactly as in any partial-aggregate store."""
+    would double-count, exactly as in any partial-aggregate store.
+
+    Returns the list of touched bucket-days (``None`` for the NULL-ts
+    bucket) so callers can report or audit partition-pruned."""
     spark = new_events.sparkSession
     fresh = rollup_time_bucket(
         new_events, ts_col=ts_col, value_col=value_col, unit=unit, dims=dims
     ).withColumn("bucket_day", F.to_date("bucket"))
-    # Bounded collect: one value per day in the ingest window.
-    days = [r[0] for r in fresh.select("bucket_day").distinct().collect()]
-    touched = spark.read.parquet(path).filter(F.col("bucket_day").isin(days))
-    merged = (
-        merge_rollup(touched.unionByName(fresh), unit=unit, dims=dims)
-        .withColumn("bucket_day", F.to_date("bucket"))
-        # Eager checkpoint: the merged partials must be materialized
-        # BEFORE the overwrite below deletes the very partitions the
-        # plan reads ("cannot overwrite a path being read from").
-        # Bounded: touched-day rollup rows only, never history.
-        .localCheckpoint(eager=True)
-    )
+    # The batch aggregates once and feeds both the day-list collect and
+    # the merge below — without the persist each action would re-scan
+    # and re-aggregate the raw batch from scratch.
+    fresh.persist()
+    try:
+        # Bounded collect: one value per day in the ingest window.
+        days = [
+            r[0] for r in fresh.select("bucket_day").distinct().collect()
+        ]
+        # NULL-ts events roll into a NULL bucket stored under the default
+        # partition; isin() never matches NULL, so it needs its own
+        # predicate or the stored null-day partials would be silently
+        # replaced by batch-only counts.
+        day_f = F.col("bucket_day").isin([d for d in days if d is not None])
+        if None in days:
+            day_f = day_f | F.col("bucket_day").isNull()
+        touched = spark.read.parquet(path).filter(day_f)
+        merged = (
+            merge_rollup(touched.unionByName(fresh), unit=unit, dims=dims)
+            .withColumn("bucket_day", F.to_date("bucket"))
+            # Eager checkpoint: the merged partials must be materialized
+            # BEFORE the overwrite below deletes the very partitions the
+            # plan reads ("cannot overwrite a path being read from").
+            # Bounded: touched-day rollup rows only, never history.
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        fresh.unpersist()
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         merged.write.partitionBy("bucket_day").mode("overwrite").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return days
 
 
 def read_rollup(spark, path: str) -> DataFrame:

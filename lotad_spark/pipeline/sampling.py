@@ -99,8 +99,11 @@ def weighted_sample(
         float(2**32 + 1)
     )
     pri = F.log(u) / w
+    # NaN weights satisfy `w > 0` (Spark orders NaN above all doubles)
+    # and a NaN priority sorts FIRST under desc — without the isnan
+    # guard a single NaN row deterministically hijacks a sample slot.
     return (
-        df.filter(w.isNotNull() & (w > 0))
+        df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
         .withColumn("_pri", pri)
         .orderBy(F.col("_pri").desc(), F.col(f"`{id_col}`"))
         .limit(k)

@@ -237,13 +237,13 @@ def value_histogram(
     Out-of-range values clamp into the edge bins, NULLs are dropped, and
     per-(window, bin) state is bounded by windows-in-watermark × n_bins —
     constant per key, independent of event volume."""
-    if not lo < hi:
-        raise ValueError(f"value_histogram: need lo < hi, got [{lo}, {hi})")
-    width = (hi - lo) / n_bins
+    # The one shared binning definition — the quantiles_online oracle
+    # depends on batch and stream binning staying bit-identical.
+    from lotad_spark.operators.profile import bin_id_expr
+
+    bin_id = bin_id_expr(val_col, lo, hi, n_bins)
     if events.isStreaming:
         events = events.withWatermark(ts_col, watermark)
-    b = F.floor((F.col(val_col).cast("double") - F.lit(lo)) / F.lit(width))
-    bin_id = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("bigint")
     return (
         events.filter(F.col(val_col).isNotNull())
         .groupBy(

@@ -515,3 +515,13 @@ class TestWeightedSample:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+    def test_nan_weight_cannot_hijack_sample(self, spark):
+        from lotad_spark.pipeline import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, float("nan")), (3, 500.0)],
+            "doc_id bigint, weight double",
+        )
+        got = weighted_sample(df, 2).collect()
+        assert sorted(r["doc_id"] for r in got) == [1, 3]

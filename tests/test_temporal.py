@@ -596,3 +596,93 @@ def test_range_join_date_columns(spark):
         bin_width=86400.0 * 7,
     )
     assert [(r["pid"], r["name"]) for r in out.collect()] == [(1, "jan")]
+
+
+def test_asof_null_value_in_matched_row_stays_null(spark):
+    """The matched right row wins even when its value is NULL — per-
+    column last(ignoreNulls) would silently substitute an OLDER row's
+    value (and mix rows across value columns)."""
+    quotes = spark.createDataFrame(
+        [(1, _ts(0), 100.0, "a"), (1, _ts(10), None, None)],
+        "key bigint, qts timestamp, price double, tag string",
+    )
+    trades = spark.createDataFrame(
+        [(1, 1, _ts(15)), (2, 1, _ts(5))],
+        "trade_id bigint, key bigint, tts timestamp",
+    )
+    out = {
+        r["trade_id"]: (r["price"], r["tag"])
+        for r in asof_join(
+            trades,
+            quotes,
+            key="key",
+            left_ts="tts",
+            right_ts="qts",
+            value_cols=["price", "tag"],
+        ).collect()
+    }
+    # trade 1 matches the 10:10 quote (price NULL) — NOT the 10:00 one
+    assert out == {1: (None, None), 2: (100.0, "a")}
+
+
+def test_asof_tolerance_with_date_right_ts(spark):
+    orders = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), 7)],
+        "k bigint, od date, okey bigint",
+    )
+    evs = spark.createDataFrame(
+        [(10, 1, dt.datetime(2024, 1, 1, 12)), (11, 1, dt.datetime(2024, 1, 9))],
+        "eid bigint, k bigint, ts timestamp",
+    )
+    out = {
+        r["eid"]: r["okey"]
+        for r in asof_join(
+            evs,
+            orders,
+            key="k",
+            left_ts="ts",
+            right_ts="od",
+            value_cols=["okey"],
+            tolerance_seconds=2 * 86400,
+        ).collect()
+    }
+    assert out == {10: 7, 11: None}  # 8 days out of tolerance
+
+
+def test_asof_rejects_internal_prefix_collision(spark, quotes, trades):
+    bad = trades.withColumnRenamed("trade_id", "_asof_x")
+    with pytest.raises(ValueError, match="_asof_"):
+        asof_join(
+            bad,
+            quotes,
+            key="key",
+            left_ts="tts",
+            right_ts="qts",
+            value_cols=["price"],
+        )
+
+
+def test_rollup_upsert_preserves_null_ts_bucket(spark, tmp_path):
+    """NULL-ts rows roll into the NULL bucket; a later upsert must MERGE
+    the stored null-bucket partials, not replace them with batch-only
+    counts (isin never matches NULL)."""
+    from lotad_spark.operators import (
+        read_rollup,
+        upsert_rollup,
+        write_rollup,
+    )
+
+    schema = "ts timestamp, value double"
+    first = spark.createDataFrame([(None, 1.0), (_ts(0), 2.0)], schema)
+    second = spark.createDataFrame([(None, 10.0), (_ts(1), 20.0)], schema)
+    path = str(tmp_path / "r")
+    write_rollup(
+        rollup_time_bucket(first, ts_col="ts", value_col="value"), path
+    )
+    days = upsert_rollup(second, path, ts_col="ts", value_col="value")
+    assert None in days
+    rows = {
+        r["bucket"]: (r["n"], float(r["sum_value"]))
+        for r in read_rollup(spark, path).collect()
+    }
+    assert rows[None] == (2, 11.0)  # both NULL-ts rows survived the merge
