@@ -930,6 +930,47 @@ def q_rollup_incremental(spark, sf_dir):
     )
 
 
+def q_rollup_gapfill(spark, sf_dir):
+    """time_bucket_gapfill: every series gets one row per hour between
+    its first and last observed bucket; gaps carry n=0 plus LOCF partials
+    (exact decimals, so the LOCF average derives at read time). Spine and
+    window run over rollup rows, never raw data."""
+    from lotad_spark.operators import gapfill_rollup, rollup_time_bucket
+
+    hours = rollup_time_bucket(
+        _t(spark, sf_dir, "events"),
+        ts_col="ts",
+        value_col="value",
+        unit="hour",
+        dims=["event_type"],
+    )
+    g = gapfill_rollup(hours, unit="hour", dims=["event_type"])
+    return g.select(
+        F.col("bucket").cast("string").alias("bucket"),
+        "event_type",
+        "n",
+        "sum_value",
+        "locf_sum_value",
+        "locf_n",
+    )
+
+
+def q_twa_by_user(spark, sf_dir):
+    """Time-weighted aggregation under LOCF over each user's irregular
+    event samples — exact (decimal numerator, microsecond duration)
+    parts, so the oracle's window-SQL replay must match bit-for-bit.
+    One key exchange + per-key sort; event_id breaks timestamp ties."""
+    from lotad_spark.operators import time_weighted_sum
+
+    return time_weighted_sum(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+    )
+
+
 def q_quantile_estimates(spark, sf_dir):
     """Mergeable-histogram quantiles — the deterministic t-digest
     alternative: bin counts (one aggregation, n_bins rows) feed a pure
@@ -1851,19 +1892,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       new native-sqlite scan diff);
     * positions 21-50: the reference-parity core (diff family, schema/
       missing-table drift, wizard, summary), one representative per
-      extension family, and the nine new-this-round rows (psi_online,
+      extension family, and the eleven new-this-round rows (psi_online,
       asof_latest_order, range_join_views, rollup_hourly,
-      rollup_incremental, rollup_distinct_users, quantile_estimates,
-      quantiles_online, weighted_sample) — suggest_ignore_columns,
-      mixture_sample, dedup_near_minhash, curate_corpus,
-      ann_cosine_topk, token_chunk_plan, events_window_agg,
-      dedup_simhash_pairs, contamination_check and topk_orders rotated
-      to the tail to make room (each family keeps an in-window
-      representative: dedup_exact/dedup_components, training_plan —
-      which itself runs decontamination — ann_ivf_topk, chunk_manifest,
-      the new weighted_sample's TakeOrderedAndProject covers the top-k
-      shape, and the streaming family's session/key_stats/drift_static/
-      value_hist rows are all in-window as never-verified);
+      rollup_incremental, rollup_gapfill, twa_by_user,
+      rollup_distinct_users, quantile_estimates, quantiles_online,
+      weighted_sample) — suggest_ignore_columns, mixture_sample,
+      dedup_near_minhash, curate_corpus, ann_cosine_topk,
+      token_chunk_plan, events_window_agg, dedup_simhash_pairs,
+      contamination_check, topk_orders, wizard_distinct_sample and
+      chunk_manifest rotated to the tail to make room (each family
+      keeps an in-window representative: dedup_exact/dedup_components,
+      training_plan — which itself runs decontamination — ann_ivf_topk,
+      wizard_overlap_probe, the new weighted_sample's
+      TakeOrderedAndProject covers the top-k shape, and the streaming
+      family's session/key_stats/drift_static/value_hist rows are all
+      in-window as never-verified);
     * positions 51+: rows rotated OUT of the window this round — every
       one has a driver-green row in r6 (and r5 where it existed then)
       with unchanged code, and all remain covered by the local gate
@@ -1906,13 +1949,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift_records": q_schema_drift_records,
         "missing_table_records": q_missing_table_records,
         "drift_summary": q_drift_summary,
-        "wizard_distinct_sample": q_wizard_distinct_sample,
         "wizard_overlap_probe": q_wizard_overlap_probe,
         "q1_lineitem_agg": q_q1_lineitem_agg,
         "asof_latest_order": q_asof_latest_order,
         "range_join_views": q_range_join_views,
         "rollup_hourly": q_rollup_hourly,
         "rollup_incremental": q_rollup_incremental,
+        "rollup_gapfill": q_rollup_gapfill,
+        "twa_by_user": q_twa_by_user,
         "rollup_distinct_users": q_rollup_distinct_users,
         "quantile_estimates": q_quantile_estimates,
         "quantiles_online": q_quantiles_online,
@@ -1921,9 +1965,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "training_plan": q_training_plan,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "chunk_manifest": q_chunk_manifest,
         "psi_online": q_psi_online,
         # --- 51+: rotated out this round (driver-green r5 AND r6) ---
+        "wizard_distinct_sample": q_wizard_distinct_sample,
+        "chunk_manifest": q_chunk_manifest,
         "topk_orders": q_topk_orders,
         "contamination_check": q_contamination_check,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2576,5 +2621,47 @@ def oracle_sql() -> dict[str, str]:
         "         AS UBIGINT) + 1) / 4294967297.0) / n_chars AS pri"
         "  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0"
         ") ORDER BY pri DESC, doc_id LIMIT 50"
+    )
+    # Gap-filled hourly rollup: per-series generate_series spine + LOCF
+    # window, replayed in SQL.
+    oracles["rollup_gapfill"] = (
+        "WITH r AS ("
+        "  SELECT date_trunc('hour', ts) AS b, event_type,"
+        "         CAST(count(*) AS BIGINT) AS n,"
+        "         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DECIMAL(27,6))"
+        "           AS sum_value"
+        "  FROM events GROUP BY 1, 2"
+        "), bounds AS ("
+        "  SELECT event_type, min(b) AS mn, max(b) AS mx FROM r GROUP BY 1"
+        "), nums AS (SELECT range AS i FROM range(200000)),"
+        "spine AS ("
+        "  SELECT bo.event_type, bo.mn + i * INTERVAL 1 HOUR AS b"
+        "  FROM bounds bo JOIN nums"
+        "    ON bo.mn + i * INTERVAL 1 HOUR <= bo.mx"
+        ") "
+        "SELECT CAST(CAST(s.b AS TIMESTAMP) AS VARCHAR) AS bucket,"
+        " s.event_type,"
+        " CAST(COALESCE(r.n, 0) AS BIGINT) AS n, r.sum_value,"
+        " LAST_VALUE(r.sum_value IGNORE NULLS) OVER ("
+        "   PARTITION BY s.event_type ORDER BY s.b) AS locf_sum_value,"
+        " CAST(LAST_VALUE(r.n IGNORE NULLS) OVER ("
+        "   PARTITION BY s.event_type ORDER BY s.b) AS BIGINT) AS locf_n "
+        "FROM spine s LEFT JOIN r"
+        "  ON s.event_type = r.event_type AND s.b = r.b"
+    )
+    # Time-weighted aggregation: identical LOCF segment durations via the
+    # same (ts, event_id) ordering; decimal exact.
+    oracles["twa_by_user"] = (
+        "WITH s AS ("
+        "  SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,"
+        "    date_diff('microsecond', ts, lead(ts) OVER ("
+        "      PARTITION BY user_id ORDER BY ts, event_id)) AS dur"
+        "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL"
+        ") "
+        "SELECT user_id,"
+        " CAST(SUM(v * dur) AS DECIMAL(38,6)) AS twa_num,"
+        " CAST(COALESCE(SUM(dur), 0) AS BIGINT) AS dur_us,"
+        " CAST(count(*) AS BIGINT) AS n_samples "
+        "FROM s GROUP BY 1"
     )
     return oracles

@@ -6,12 +6,14 @@ from lotad_spark.operators.funnel import funnel_counts, retention_cohorts
 from lotad_spark.operators.range_join import range_join
 from lotad_spark.operators.rollup import (
     distinct_report,
+    gapfill_rollup,
     merge_distinct_rollup,
     merge_rollup,
     read_rollup,
     rollup_distinct,
     rollup_report,
     rollup_time_bucket,
+    time_weighted_sum,
     upsert_rollup,
     write_rollup,
 )
@@ -37,6 +39,8 @@ __all__ = [
     "merge_rollup",
     "read_rollup",
     "rollup_distinct",
+    "gapfill_rollup",
+    "time_weighted_sum",
     "upsert_rollup",
     "write_rollup",
     "range_join",

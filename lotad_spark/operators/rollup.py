@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _UNITS = ("minute", "hour", "day", "week", "month", "year")
@@ -257,4 +257,105 @@ def rollup_report(rollup: DataFrame, *, dims: Sequence[str] = ()) -> DataFrame:
         (F.col("sum_value") / F.col("n"))
         .cast("decimal(27,6)")
         .alias("avg_value"),
+    )
+
+
+_UNIT_INTERVAL = {
+    "minute": "INTERVAL 1 MINUTE",
+    "hour": "INTERVAL 1 HOUR",
+    "day": "INTERVAL 1 DAY",
+}
+
+
+def gapfill_rollup(
+    rollup: DataFrame,
+    *,
+    unit: str,
+    dims: Sequence[str] = (),
+) -> DataFrame:
+    """Fill the missing time buckets of a rollup — the
+    ``time_bucket_gapfill`` shape: every series (dims group) gets one row
+    per ``unit`` between ITS first and last observed bucket; gaps carry
+    ``n = 0`` plus last-observation-carried-forward partials
+    (``locf_sum_value``, ``locf_n`` — exact decimals/counts, so the LOCF
+    average derives at read time as locf_sum/locf_n).
+
+    Scale: the spine explodes per-series bucket sequences — rollup-sized
+    (series × buckets), never data-sized — and the LOCF window runs over
+    the same per-series bucket counts. One join, one window, both on
+    rollup rows."""
+    if unit not in _UNIT_INTERVAL:
+        raise ValueError(f"gapfill_rollup: unsupported unit {unit!r}")
+    gcols = list(dims)
+    bounds = rollup.groupBy(*gcols).agg(
+        F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx")
+    )
+    spine = bounds.select(
+        *gcols,
+        F.explode(
+            F.sequence("_mn", "_mx", F.expr(_UNIT_INTERVAL[unit]))
+        ).alias("bucket"),
+    )
+    filled = spine.join(rollup, [*gcols, "bucket"], "left")
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "bucket",
+        *gcols,
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum_value"),
+        F.last(F.col("n").cast("bigint"), ignorenulls=True)
+        .over(w)
+        .alias("locf_n"),
+    )
+
+
+def time_weighted_sum(
+    events: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key time-weighted aggregation over irregular samples under
+    LOCF: each sample's value holds until the key's next sample, so the
+    time-weighted average over the key's observed span is
+    ``twa_num / dur_us`` — returned as EXACT parts (decimal numerator in
+    value·microseconds, bigint duration) so the result is bit-comparable
+    cross-engine; derive the average at read time.
+
+    The irregular-sampling companion to :func:`rollup_time_bucket`:
+    plain averages over-weight bursts; holding each value for its actual
+    duration is the hypertable ``time_weight('locf')`` semantics.
+
+    Scale: one window (lead) over (key, ts) — a single hash exchange on
+    the key and a per-key sort, then one aggregation of the same rows.
+    Keys with a single sample (no held interval) report NULL num and 0
+    duration. Pass ``tiebreak_col`` (a unique id) when timestamps can
+    repeat within a key — without it, equal-timestamp ordering (and so
+    the per-segment durations) is nondeterministic."""
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    dur_us = (
+        F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
+    ).cast("bigint")
+    v = F.col(f"`{value_col}`").cast("decimal(18,6)")
+    seg = events.filter(
+        F.col(ts_col).isNotNull() & F.col(f"`{key_col}`").isNotNull()
+    ).select(
+        F.col(f"`{key_col}`"),
+        v.alias("_v"),
+        dur_us.alias("_dur"),
+    )
+    return seg.groupBy(key_col).agg(
+        F.sum(F.col("_v") * F.col("_dur")).cast("decimal(38,6)").alias(
+            "twa_num"
+        ),
+        F.coalesce(F.sum("_dur"), F.lit(0)).cast("bigint").alias("dur_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
     )

@@ -686,3 +686,78 @@ def test_rollup_upsert_preserves_null_ts_bucket(spark, tmp_path):
         for r in read_rollup(spark, path).collect()
     }
     assert rows[None] == (2, 11.0)  # both NULL-ts rows survived the merge
+
+
+def test_gapfill_locf_hand_case(spark):
+    from lotad_spark.operators import gapfill_rollup
+
+    ev = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 0, 10), "a", 2.0),
+            (dt.datetime(2024, 1, 1, 3, 20), "a", 4.0),
+            (dt.datetime(2024, 1, 1, 2, 5), "b", 9.0),
+        ],
+        "ts timestamp, k string, value double",
+    )
+    hours = rollup_time_bucket(
+        ev, ts_col="ts", value_col="value", unit="hour", dims=["k"]
+    )
+    g = gapfill_rollup(hours, unit="hour", dims=["k"]).orderBy("k", "bucket")
+    rows = [
+        (r["k"], r["bucket"].hour, r["n"], r["sum_value"],
+         float(r["locf_sum_value"]), r["locf_n"])
+        for r in g.collect()
+    ]
+    # series a spans hours 0..3 (two gaps LOCF-filled); series b is a
+    # single bucket — no padding outside its own observed span
+    assert rows == [
+        ("a", 0, 1, rows[0][3], 2.0, 1),
+        ("a", 1, 0, None, 2.0, 1),
+        ("a", 2, 0, None, 2.0, 1),
+        ("a", 3, 1, rows[3][3], 4.0, 1),
+        ("b", 2, 1, rows[4][3], 9.0, 1),
+    ]
+    assert float(rows[0][3]) == 2.0 and float(rows[3][3]) == 4.0
+
+
+def test_gapfill_rejects_unknown_unit(spark):
+    from lotad_spark.operators import gapfill_rollup
+
+    r = rollup_time_bucket(
+        spark.createDataFrame([(_ts(0), 1.0)], "ts timestamp, value double"),
+        ts_col="ts",
+        value_col="value",
+    )
+    with pytest.raises(ValueError):
+        gapfill_rollup(r, unit="month")
+
+
+def test_time_weighted_sum_hand_case(spark):
+    from lotad_spark.operators import time_weighted_sum
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, base, 10.0),
+            (2, 1, base + dt.timedelta(seconds=2), 20.0),
+            (3, 1, base + dt.timedelta(seconds=3), 99.0),  # last: no dur
+            (4, 2, base, 7.0),  # single sample
+        ],
+        "event_id bigint, k bigint, ts timestamp, value double",
+    )
+    got = {
+        r["k"]: (
+            float(r["twa_num"]) if r["twa_num"] is not None else None,
+            r["dur_us"],
+            r["n_samples"],
+        )
+        for r in time_weighted_sum(
+            ev, key_col="k", ts_col="ts", value_col="value",
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    # key 1: 10 held 2s + 20 held 1s = 4e7 value-us over 3e6 us
+    assert got[1] == (10.0 * 2e6 + 20.0 * 1e6, 3_000_000, 3)
+    assert got[2] == (None, 0, 1)
+    # derived TWA
+    assert abs(got[1][0] / got[1][1] - (10 * 2 + 20 * 1) / 3) < 1e-9
