@@ -197,3 +197,36 @@ class TestTemporalPlans:
         plan = _plan(merge_rollup(minutes, unit="hour"))
         assert plan.count("FileScan") == 1
         assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+
+
+class TestRollupPlans:
+    def test_gapfill_single_scan_no_data_window(self, spark, sf_dir):
+        """Gapfill must read raw ONCE (the rollup scan) and run its LOCF
+        window partitioned by series — never a global single-partition
+        window over data rows."""
+        from lotad_spark.operators import gapfill_rollup, rollup_time_bucket
+
+        ev = ParquetDatabase(spark, sf_dir, "db").table("events")
+        hours = rollup_time_bucket(
+            ev, ts_col="ts", value_col="value", unit="hour",
+            dims=["event_type"],
+        )
+        plan = _plan(gapfill_rollup(hours, unit="hour", dims=["event_type"]))
+        assert plan.count("FileScan") <= 2  # rollup reused, not re-derived
+        # the LOCF window partitions by the series key
+        assert "windowspecdefinition(event_type" in plan
+
+    def test_twa_is_one_key_exchange(self, spark, sf_dir):
+        from lotad_spark.operators import time_weighted_sum
+
+        ev = ParquetDatabase(spark, sf_dir, "db").table("events")
+        plan = _plan(
+            time_weighted_sum(
+                ev, key_col="user_id", ts_col="ts", value_col="value",
+                tiebreak_col="event_id",
+            )
+        )
+        # one exchange for the lead() window; the aggregation reuses the
+        # user_id partitioning instead of shuffling again
+        assert plan.count("Exchange hashpartitioning(user_id") == 1
+        assert "Join" not in plan
