@@ -2657,6 +2657,7 @@ def oracle_sql() -> dict[str, str]:
         "    date_diff('microsecond', ts, lead(ts) OVER ("
         "      PARTITION BY user_id ORDER BY ts, event_id)) AS dur"
         "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL"
+        "    AND value IS NOT NULL"
         ") "
         "SELECT user_id,"
         " CAST(SUM(v * dur) AS DECIMAL(38,6)) AS twa_num,"

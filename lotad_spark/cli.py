@@ -235,10 +235,13 @@ def rollup(events_path, store_path, ts_col, value_col, unit, dims,
         )
         # Count only the partitions the upsert touched — a full-store
         # count would scan every day of history for a log line.
-        day_f = F.col("bucket_day").isin([d for d in days if d is not None])
-        if None in days:
-            day_f = day_f | F.col("bucket_day").isNull()
-        n = spark.read.parquet(store_path).filter(day_f).count()
+        from lotad_spark.operators.rollup import touched_day_filter
+
+        n = (
+            spark.read.parquet(store_path)
+            .filter(touched_day_filter(days))
+            .count()
+        )
         click.echo(
             f"rollup: upserted {store_path} "
             f"({len(days)} bucket-days touched, {n} {unit} partial rows "

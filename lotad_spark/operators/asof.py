@@ -92,23 +92,25 @@ def asof_join(
     # struct. The struct is non-NULL exactly for right rows (rts is
     # filtered non-NULL below), so last(payload, ignoreNulls) skips left
     # rows but keeps right rows whose individual values are NULL — and
-    # timestamp + values always come from the SAME matched row.
+    # timestamp + values always come from the SAME matched row. Fields
+    # get positional internal names (rts, v0, v1, …) so duplicate or
+    # exotically named value columns (including rts itself among
+    # value_cols) can never collide or break DDL parsing.
+    from pyspark.sql import types as T
+
+    payload_type = T.StructType(
+        [T.StructField("rts", right.schema[rts].dataType)]
+        + [
+            T.StructField(f"v{i}", right.schema[c].dataType)
+            for i, c in enumerate(vals)
+        ]
+    )
     lhs = left.select(
         F.col(key).alias(_PFX + "k"),
         F.col(left_ts).alias(_PFX + "t"),
         F.lit(1).alias(_PFX + "side"),
         *[F.col(f"`{c}`") for c in left.columns],
-        F.lit(None)
-        .cast(
-            "struct<" + ",".join(
-                [f"`{rts}`:{right.schema[rts].dataType.simpleString()}"]
-                + [
-                    f"`{c}`:{right.schema[c].dataType.simpleString()}"
-                    for c in vals
-                ]
-            ) + ">"
-        )
-        .alias(_PFX + "payload"),
+        F.lit(None).cast(payload_type).alias(_PFX + "payload"),
     )
     rhs = right.filter(
         F.col(rkey).isNotNull() & F.col(rts).isNotNull()
@@ -121,7 +123,11 @@ def asof_join(
             for f in left.schema.fields
         ],
         F.struct(
-            F.col(f"`{rts}`"), *[F.col(f"`{c}`") for c in vals]
+            F.col(f"`{rts}`").alias("rts"),
+            *[
+                F.col(f"`{c}`").alias(f"v{i}")
+                for i, c in enumerate(vals)
+            ],
         ).alias(_PFX + "payload"),
     )
 
@@ -139,7 +145,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last(_PFX + "payload", ignorenulls=True).over(w)
-    matched_ts = matched[rts]
+    matched_ts = matched["rts"]
 
     def _gate(expr: Column) -> Column:
         ok = matched_ts.isNotNull() & F.col(left_ts).isNotNull()
@@ -154,7 +160,10 @@ def asof_join(
             ok = ok & (gap <= F.lit(float(tolerance_seconds)))
         return F.when(ok, expr)
 
-    out_vals = [_gate(matched[c]).alias(c + suffix) for c in vals]
+    out_vals = [
+        _gate(matched[f"v{i}"]).alias(c + suffix)
+        for i, c in enumerate(vals)
+    ]
     return (
         lhs.unionByName(rhs)
         .select(

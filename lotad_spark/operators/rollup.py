@@ -160,6 +160,17 @@ def distinct_report(
     )
 
 
+def touched_day_filter(days: Sequence):
+    """Predicate matching the given bucket-days, including the NULL day —
+    ``isin`` alone never matches NULL, which is exactly the trap that
+    loses the default-partition partials. One definition shared by
+    :func:`upsert_rollup` and its callers."""
+    f = F.col("bucket_day").isin([d for d in days if d is not None])
+    if None in days:
+        f = f | F.col("bucket_day").isNull()
+    return f
+
+
 def write_rollup(rollup: DataFrame, path: str) -> None:
     """Materialize a rollup partitioned by bucket DAY, so incremental
     maintenance and time-ranged reads prune to the days they touch."""
@@ -211,13 +222,8 @@ def upsert_rollup(
             r[0] for r in fresh.select("bucket_day").distinct().collect()
         ]
         # NULL-ts events roll into a NULL bucket stored under the default
-        # partition; isin() never matches NULL, so it needs its own
-        # predicate or the stored null-day partials would be silently
-        # replaced by batch-only counts.
-        day_f = F.col("bucket_day").isin([d for d in days if d is not None])
-        if None in days:
-            day_f = day_f | F.col("bucket_day").isNull()
-        touched = spark.read.parquet(path).filter(day_f)
+        # partition; touched_day_filter handles the NULL day isin misses.
+        touched = spark.read.parquet(path).filter(touched_day_filter(days))
         merged = (
             merge_rollup(touched.unionByName(fresh), unit=unit, dims=dims)
             .withColumn("bucket_day", F.to_date("bucket"))
@@ -280,6 +286,13 @@ def gapfill_rollup(
     (``locf_sum_value``, ``locf_n`` — exact decimals/counts, so the LOCF
     average derives at read time as locf_sum/locf_n).
 
+    A finer-grained input is coarsened to ``unit`` first (merge_rollup),
+    so the spine and the observed buckets are always on the same grid —
+    an off-grid rollup can never masquerade as all-gaps. A NULL-dim
+    series fills like any other (the join back is null-safe); NULL
+    buckets (from NULL-ts raw rows) are not time points and are excluded
+    from the filled output.
+
     Scale: the spine explodes per-series bucket sequences — rollup-sized
     (series × buckets), never data-sized — and the LOCF window runs over
     the same per-series bucket counts. One join, one window, both on
@@ -287,6 +300,9 @@ def gapfill_rollup(
     if unit not in _UNIT_INTERVAL:
         raise ValueError(f"gapfill_rollup: unsupported unit {unit!r}")
     gcols = list(dims)
+    rollup = merge_rollup(
+        rollup.filter(F.col("bucket").isNotNull()), unit=unit, dims=gcols
+    )
     bounds = rollup.groupBy(*gcols).agg(
         F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx")
     )
@@ -296,7 +312,20 @@ def gapfill_rollup(
             F.sequence("_mn", "_mx", F.expr(_UNIT_INTERVAL[unit]))
         ).alias("bucket"),
     )
-    filled = spine.join(rollup, [*gcols, "bucket"], "left")
+    # Null-safe on the dims: a NULL-dim series is a real series and must
+    # get its observed partials back (plain equality would zero it out).
+    r = rollup.select(
+        F.col("bucket").alias("_rb"),
+        *[F.col(f"`{c}`").alias(f"_rd{i}") for i, c in enumerate(gcols)],
+        "n",
+        "sum_value",
+    )
+    cond = spine["bucket"] == r["_rb"]
+    for i, c in enumerate(gcols):
+        cond = cond & spine[f"`{c}`"].eqNullSafe(r[f"_rd{i}"])
+    filled = spine.join(r, on=cond, how="left").drop(
+        "_rb", *[f"_rd{i}" for i in range(len(gcols))]
+    )
     w = (
         Window.partitionBy(*gcols)
         .orderBy("bucket")
@@ -336,9 +365,13 @@ def time_weighted_sum(
     Scale: one window (lead) over (key, ts) — a single hash exchange on
     the key and a per-key sort, then one aggregation of the same rows.
     Keys with a single sample (no held interval) report NULL num and 0
-    duration. Pass ``tiebreak_col`` (a unique id) when timestamps can
-    repeat within a key — without it, equal-timestamp ordering (and so
-    the per-segment durations) is nondeterministic."""
+    duration. NULL-valued samples are not observations under LOCF — they
+    are dropped BEFORE segmenting, so the previous value holds through
+    them (keeping them would inflate the duration while adding nothing
+    to the numerator, biasing the average toward zero). Pass
+    ``tiebreak_col`` (a unique id) when timestamps can repeat within a
+    key — without it, equal-timestamp ordering (and so the per-segment
+    durations) is nondeterministic."""
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     w = Window.partitionBy(key_col).orderBy(*order)
     dur_us = (
@@ -346,7 +379,9 @@ def time_weighted_sum(
     ).cast("bigint")
     v = F.col(f"`{value_col}`").cast("decimal(18,6)")
     seg = events.filter(
-        F.col(ts_col).isNotNull() & F.col(f"`{key_col}`").isNotNull()
+        F.col(ts_col).isNotNull()
+        & F.col(f"`{key_col}`").isNotNull()
+        & F.col(f"`{value_col}`").isNotNull()
     ).select(
         F.col(f"`{key_col}`"),
         v.alias("_v"),

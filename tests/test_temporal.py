@@ -761,3 +761,82 @@ def test_time_weighted_sum_hand_case(spark):
     assert got[2] == (None, 0, 1)
     # derived TWA
     assert abs(got[1][0] / got[1][1] - (10 * 2 + 20 * 1) / 3) < 1e-9
+
+
+def test_gapfill_null_dim_series_keeps_its_data(spark):
+    from lotad_spark.operators import gapfill_rollup
+
+    ev = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 0, 30), None, 5.0),
+            (dt.datetime(2024, 1, 1, 2, 30), None, 7.0),
+        ],
+        "ts timestamp, k string, value double",
+    )
+    hours = rollup_time_bucket(
+        ev, ts_col="ts", value_col="value", unit="hour", dims=["k"]
+    )
+    g = gapfill_rollup(hours, unit="hour", dims=["k"]).orderBy("bucket")
+    rows = [(r["n"], float(r["locf_sum_value"])) for r in g.collect()]
+    # NULL-dim series is a real series: observed partials survive the
+    # null-safe join and the middle hour LOCF-fills
+    assert rows == [(1, 5.0), (0, 5.0), (1, 7.0)]
+
+
+def test_gapfill_coarsens_finer_rollup_first(spark):
+    """A minute rollup gap-filled at hour granularity must coarsen to
+    hours first — not report every off-grid minute bucket as a gap."""
+    from lotad_spark.operators import gapfill_rollup
+
+    ev = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 0, 10), 1.0),
+            (dt.datetime(2024, 1, 1, 0, 40), 2.0),
+            (dt.datetime(2024, 1, 1, 2, 5), 4.0),
+        ],
+        "ts timestamp, value double",
+    )
+    minutes = rollup_time_bucket(ev, ts_col="ts", value_col="value")
+    g = gapfill_rollup(minutes, unit="hour").orderBy("bucket")
+    rows = [
+        (r["bucket"].hour, r["n"], float(r["locf_sum_value"]))
+        for r in g.collect()
+    ]
+    assert rows == [(0, 2, 3.0), (1, 0, 3.0), (2, 1, 4.0)]
+
+
+def test_twa_null_values_hold_previous(spark):
+    """A NULL-valued sample is not an observation: the previous value
+    holds through it instead of diluting the duration."""
+    from lotad_spark.operators import time_weighted_sum
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, base, 10.0),
+            (2, 1, base + dt.timedelta(seconds=2), None),
+            (3, 1, base + dt.timedelta(seconds=3), 20.0),
+        ],
+        "event_id bigint, k bigint, ts timestamp, value double",
+    )
+    r = time_weighted_sum(
+        ev, key_col="k", ts_col="ts", value_col="value",
+        tiebreak_col="event_id",
+    ).collect()[0]
+    # 10 holds the full 3s to the next real observation
+    assert float(r["twa_num"]) == 10.0 * 3e6
+    assert r["dur_us"] == 3_000_000 and r["n_samples"] == 2
+
+
+def test_asof_value_cols_can_include_right_ts(spark, quotes, trades):
+    out = asof_join(
+        trades,
+        quotes,
+        key="key",
+        left_ts="tts",
+        right_ts="qts",
+        value_cols=["qts", "price"],
+    )
+    got = {r["trade_id"]: (r["qts"], r["price"]) for r in out.collect()}
+    assert got[2] == (_ts(10), 110.0)
+    assert got[5] == (None, None)
