@@ -476,6 +476,25 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(pairs)
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicate-substring spans (ExactSubstr dedup, span level):
+    maximal token ranges whose 6-grams repeat corpus-wide, over the
+    near-dup corpus. Oracle replays the positional-n-gram + gaps-and-
+    islands construction in SQL."""
+    from lotad_spark.pipeline.spandedup import duplicate_spans
+
+    return duplicate_spans(_near_dup_corpus(spark, sf_dir), n=6)
+
+
+def q_strip_dup_spans(spark, sf_dir):
+    """Span-stripped rewrite of the near-dup corpus: duplicated passages
+    removed, untouched documents byte-identical. The oracle rebuilds the
+    kept-token text with the same single-space join."""
+    from lotad_spark.pipeline.spandedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(_near_dup_corpus(spark, sf_dir), n=6)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from lotad_spark.pipeline import simhash32
 
@@ -1367,6 +1386,69 @@ JOIN sizes zb ON zb.doc_id = i.id_b
 WHERE CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE) >= 0.6
 """
 
+# Exact duplicate-substring spans: positional 6-gram hashes, globally
+# repeated grams, gaps-and-islands merge per document — the SQL replay of
+# pipeline/spandedup.py (same 16-hex-md5 gram key, same merge rule
+# pos − prev <= n).
+_SPAN_CTES_SQL = f"""
+WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+toks AS (SELECT doc_id, {_TOKS} AS tk FROM corpus),
+pg0 AS (
+    SELECT doc_id,
+        unnest(list_transform(range(1, len(tk) - 6 + 2),
+            i -> {{'pos': i - 1,
+                   'gh': substr(md5(array_to_string(tk[i:i+5], ' ')), 1, 16)}}
+        )) AS u
+    FROM toks WHERE len(tk) >= 6
+),
+pg AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM pg0),
+dup AS (SELECT gh FROM pg GROUP BY gh HAVING count(*) >= 2),
+m AS (SELECT p.doc_id, p.pos FROM pg p JOIN dup d USING (gh)),
+fl AS (
+    SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 6
+             THEN 1 ELSE 0 END AS nw
+    FROM m
+),
+isl AS (
+    SELECT doc_id, pos,
+        sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM fl
+),
+spans AS (
+    SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e, count(*) AS ng
+    FROM isl GROUP BY doc_id, g
+)"""
+
+_DUP_SPANS_SQL = f"""{_SPAN_CTES_SQL}
+SELECT doc_id, CAST(s AS BIGINT) AS span_start, CAST(e AS BIGINT) AS span_end,
+       CAST(ng AS BIGINT) AS n_dup_grams
+FROM spans
+"""
+
+_STRIP_SPANS_SQL = f"""{_SPAN_CTES_SQL},
+cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
+tp0 AS (
+    SELECT doc_id,
+        unnest(list_transform(range(1, len(tk) + 1),
+            i -> {{'pos': i - 1, 'tok': tk[i]}})) AS u
+    FROM toks
+),
+tp AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tp0),
+rebuilt AS (
+    SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS new_text
+    FROM tp t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+    WHERE c.pos IS NULL GROUP BY t.doc_id
+),
+nrem AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS nr FROM spans GROUP BY doc_id)
+SELECT c.doc_id,
+    CASE WHEN n.doc_id IS NULL THEN c.text ELSE coalesce(r.new_text, '') END AS text,
+    CAST(coalesce(n.nr, 0) AS BIGINT) AS n_tokens_removed
+FROM corpus c
+LEFT JOIN nrem n USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
 # Incremental index probe == batch MinHash near-dup over the same union
 # corpus, restricted to (new-batch, indexed-corpus) candidate pairs; the
 # stored 64-bit shingle hashes are collision-free at this scale, so
@@ -1961,6 +2043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_estimates": q_quantile_estimates,
         "quantiles_online": q_quantiles_online,
         "weighted_sample": q_weighted_sample,
+        "dup_spans": q_dup_spans,
+        "strip_dup_spans": q_strip_dup_spans,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "training_plan": q_training_plan,
@@ -2230,6 +2314,8 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_DUP_CORPUS_SQL}) GROUP BY md5(text)"
         ),
         "dedup_near_minhash": _NEAR_DUP_SQL,
+        "dup_spans": _DUP_SPANS_SQL,
+        "strip_dup_spans": _STRIP_SPANS_SQL,
         "dedup_components": (
             "WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM "
             f"({_NEAR_DUP_SQL})), "

@@ -1,0 +1,171 @@
+"""Exact duplicate-substring span detection (Lee et al., "Deduplicating
+Training Data Makes Language Models Better" — the ExactSubstr operator).
+
+Document-level dedup (exact hash, MinHash) misses the common failure
+mode of web corpora: distinct pages sharing long verbatim passages
+(boilerplate, quotes, licenses). The remedy is span-level: find every
+maximal token range whose n-grams occur elsewhere in the corpus, so the
+caller can strip the span (or weigh it down) instead of dropping whole
+documents.
+
+The reference implementation builds a suffix array — inherently
+single-machine. The distributed re-expression here is positional
+n-gram matching, the standard Spark-native equivalent:
+
+* one explode of (doc, token-position) n-grams, each hashed once to a
+  64-bit key (16 md5 hex chars — shuffle key is 16 bytes, never text);
+* one groupBy over the gram hash finds globally repeated grams
+  (map-side partial aggregation collapses local repeats first);
+* an equi-join marks the repeated positions (AQE broadcasts the dup-key
+  relation when small);
+* a per-document gaps-and-islands window merges overlapping /
+  adjacent covered intervals into maximal spans.
+
+A span of L >= n duplicated tokens is covered by L−n+1 consecutive
+repeated n-grams, so merged islands reproduce exactly the maximal
+repeated substrings of length >= n (up to hash collisions: ~2^-64 per
+gram pair).
+
+100 TB design: no all-pairs anything — cost is one shuffle of
+(16-byte hash) gram rows plus one join on the same key; the window is
+partitioned by doc_id (bounded by document length, never corpus size).
+At production scale swap md5 for ``F.xxhash64`` — shapes unchanged
+(md5 kept here for bit-identical DuckDB oracle parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lotad_spark.pipeline.text import tokens
+
+DEFAULT_N = 6
+
+
+def positional_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_N,
+) -> DataFrame:
+    """(id, pos, gh): one row per token position 0 <= pos <= len−n, with
+    gh = first 16 md5 hex chars of the space-joined n-gram starting
+    there. Documents shorter than n tokens emit nothing."""
+    # Bind the token array once per row (see shingles() in dedup.py) —
+    # re-splitting inside the per-gram lambda is O(tokens × length).
+    grams = F.transform(
+        F.array(tokens(F.col(text_col))),
+        lambda tk: F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - n),
+                lambda i: F.substring(
+                    F.md5(F.array_join(F.slice(tk, i + 1, n), " ")), 1, 16
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
+    return df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gh")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_N,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document:
+    (id, span_start, span_end, n_dup_grams) — token indices inclusive,
+    0-based; a span covers tokens [span_start, span_end] and every
+    n-gram inside it occurs >= min_count times corpus-wide.
+
+    Two covered intervals [p, p+n−1], [q, q+n−1] (p < q) merge iff
+    q <= p + n (overlapping or exactly adjacent)."""
+    grams = positional_ngrams(df, id_col, text_col, n)
+    dup_keys = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("gh")
+    )
+    marked = grams.join(dup_keys, "gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        marked.withColumn(
+            "_new",
+            F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w))
+    )
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_dup_grams")
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_N,
+    min_count: int = 2,
+) -> DataFrame:
+    """Rewrite each document with its duplicated spans removed:
+    (id, text, n_tokens_removed). Documents with no duplicated span pass
+    through unchanged with n_tokens_removed = 0.
+
+    The span relation re-joins to the corpus on id (one shuffle of
+    span metadata — 3 ints per span, never text); removal itself is a
+    pure filter over token positions, no Python in the loop."""
+    spans = (
+        duplicate_spans(df, id_col, text_col, n, min_count)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+            ).alias("_spans")
+        )
+    )
+    joined = df.join(spans, id_col, "left")
+    tk = F.array(tokens(F.col(text_col)))  # bind once
+    kept = F.transform(
+        tk,
+        lambda toks: F.filter(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(toks) - 1, F.lit(0)),
+                ),
+                lambda i: F.struct(toks[i].alias("t"), i.alias("p")),
+            ),
+            lambda s: ~F.exists(
+                F.col("_spans"),
+                lambda sp: (s["p"] >= sp["s"]) & (s["p"] <= sp["e"]),
+            ),
+        ),
+    )[0]
+    n_toks = F.size(tk[0])
+    # Documents with no duplicated span pass through BYTE-IDENTICAL —
+    # the token-rebuild (single-space array_join) only runs when a span
+    # was actually removed, so untouched text keeps its whitespace.
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("_spans").isNull(), F.col(text_col))
+        .otherwise(
+            F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+        )
+        .alias(text_col),
+        F.when(F.col("_spans").isNull(), F.lit(0))
+        .otherwise(n_toks - F.size(kept))
+        .cast("bigint")
+        .alias("n_tokens_removed"),
+    )

@@ -1,0 +1,120 @@
+"""Exact duplicate-substring span detection (pipeline/spandedup.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lotad_spark.pipeline.spandedup import (
+    duplicate_spans,
+    positional_ngrams,
+    strip_duplicate_spans,
+)
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2, "intro words then the quick brown fox jumps over the lazy dog ends here"),
+    (3, "totally unrelated text with nothing shared at all among these words"),
+    (4, ""),
+    (5, "short doc"),
+    (6, "aa bb cc dd ee ff aa bb cc dd ee ff tail"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+class TestPositionalNgrams:
+    def test_positions_and_counts(self, spark, corpus):
+        rows = positional_ngrams(corpus, n=6).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r.pos)
+        # doc 1 has 14 tokens -> 9 hexagrams at pos 0..8
+        assert sorted(by_doc[1]) == list(range(9))
+        # short / empty docs emit nothing
+        assert 4 not in by_doc and 5 not in by_doc
+
+    def test_gram_hash_is_16_hex(self, spark, corpus):
+        r = positional_ngrams(corpus, n=6).first()
+        assert len(r.gh) == 16
+        int(r.gh, 16)  # parses as hex
+
+
+class TestDuplicateSpans:
+    def test_cross_doc_shared_passage(self, spark, corpus):
+        spans = {
+            r.doc_id: (r.span_start, r.span_end, r.n_dup_grams)
+            for r in duplicate_spans(corpus, n=6).collect()
+        }
+        # the 9-token shared passage: tokens 0..8 of doc1, 3..11 of doc2
+        assert spans[1] == (0, 8, 4)
+        assert spans[2] == (3, 11, 4)
+        # self-repetition inside one doc is found too
+        assert spans[6] == (0, 11, 2)
+        # unrelated / empty / short docs have no spans
+        assert 3 not in spans and 4 not in spans and 5 not in spans
+
+    def test_spans_are_maximal(self, spark, corpus):
+        # islands merged: no two spans of one doc overlap or touch
+        rows = duplicate_spans(corpus, n=6).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+        for doc, sp in by_doc.items():
+            sp.sort()
+            for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
+                assert s2 > e1 + 1
+
+    def test_min_count_threshold(self, spark, corpus):
+        # min_count=3: the passage appears twice only -> nothing survives
+        assert duplicate_spans(corpus, n=6, min_count=3).count() == 0
+
+
+class TestSpanPlans:
+    def test_no_cartesian_and_hash_only_shuffle(self, spark, corpus):
+        """The dup-key detection groups by the 16-byte gram hash with
+        map-side partial aggregation, and nothing in the plan is an
+        all-pairs join; the islands window partitions by doc_id (never a
+        global single-partition window)."""
+        df = duplicate_spans(corpus, n=6)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "partial_count" in plan  # map-side combine before exchange
+        # the gaps-and-islands window is keyed by doc_id
+        assert "windowspecdefinition(doc_id" in plan
+
+
+class TestStripDuplicateSpans:
+    def test_strip(self, spark, corpus):
+        out = {
+            r.doc_id: (r.text, r.n_tokens_removed)
+            for r in strip_duplicate_spans(corpus, n=6).collect()
+        }
+        assert out[1] == ("and runs far away home", 9)
+        assert out[2] == ("intro words then ends here", 9)
+        assert out[3][1] == 0  # untouched
+        assert out[4] == ("", 0)
+        assert out[5] == ("short doc", 0)
+        assert out[6] == ("tail", 12)
+
+    def test_token_conservation(self, spark, corpus):
+        # kept tokens + removed tokens == original tokens, per doc
+        stripped = strip_duplicate_spans(corpus, n=6)
+        joined = (
+            corpus.select("doc_id", F.col("text").alias("orig"))
+            .join(stripped, "doc_id")
+            .select(
+                F.when(
+                    F.length(F.trim("orig")) == 0, F.lit(0)
+                ).otherwise(F.size(F.split(F.trim("orig"), r"\s+"))).alias("n0"),
+                F.when(
+                    F.length(F.trim("text")) == 0, F.lit(0)
+                ).otherwise(F.size(F.split(F.trim("text"), r"\s+"))).alias("n1"),
+                "n_tokens_removed",
+            )
+            .collect()
+        )
+        for r in joined:
+            assert r.n0 == r.n1 + r.n_tokens_removed
