@@ -788,6 +788,49 @@ def q_events_retention(spark, sf_dir):
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order journey graph: per-user adjacent event-type pair
+    counts — one user-keyed window, no per-user event arrays; output is
+    bounded by |types|², not event volume."""
+    from lotad_spark.operators.paths import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+def q_path_signatures(spark, sf_dir):
+    """First-5-events journey signatures counted across users; the
+    per-user prefix is a rank-filter window (k rows of state), and the
+    output is bounded by distinct paths."""
+    from lotad_spark.operators.paths import path_signatures
+
+    return path_signatures(_t(spark, sf_dir, "events"), k=5)
+
+
+def q_rollup_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly flags over hourly event counts per type:
+    each bucket scored against its own trailing 24 buckets from exact
+    integer sums — the raw event table feeds ONE aggregation; scoring
+    runs on the 3.4k-row rollup relation."""
+    from lotad_spark.operators.anomaly import rolling_zscore
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"), F.date_trunc("hour", "ts").alias("hour_start")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = rolling_zscore(
+        hourly, ["event_type"], "hour_start", "n",
+        window=24, min_periods=8, threshold=3.0,
+    )
+    return scored.select(
+        "event_type",
+        F.col("hour_start").cast("string").alias("hour_start"),
+        "n", "z", "is_anomaly",
+    )
+
+
 def q_zorder_codes(spark, sf_dir):
     """Morton codes interleaving (value, user_id) — the write-time
     layout key for multi-column scan pruning; pure integer bit math,
@@ -2045,6 +2088,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
+        "event_transitions": q_event_transitions,
+        "path_signatures": q_path_signatures,
+        "rollup_anomaly": q_rollup_anomaly,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "training_plan": q_training_plan,
@@ -2552,6 +2598,43 @@ def oracle_sql() -> dict[str, str]:
         "keyed_diff": """WITH db2 AS (SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 101 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 97 != 0), changed AS (SELECT a.c_custkey, 'c_acctbal' AS column_name, CAST(a.c_acctbal AS VARCHAR) AS db1_value, CAST(b.c_acctbal AS VARCHAR) AS db2_value FROM customer a JOIN db2 b USING (c_custkey) WHERE CAST(a.c_acctbal AS VARCHAR) IS DISTINCT FROM CAST(b.c_acctbal AS VARCHAR) UNION ALL SELECT a.c_custkey, 'c_mktsegment' AS column_name, CAST(a.c_mktsegment AS VARCHAR) AS db1_value, CAST(b.c_mktsegment AS VARCHAR) AS db2_value FROM customer a JOIN db2 b USING (c_custkey) WHERE CAST(a.c_mktsegment AS VARCHAR) IS DISTINCT FROM CAST(b.c_mktsegment AS VARCHAR) UNION ALL SELECT a.c_custkey, 'c_name' AS column_name, CAST(a.c_name AS VARCHAR) AS db1_value, CAST(b.c_name AS VARCHAR) AS db2_value FROM customer a JOIN db2 b USING (c_custkey) WHERE CAST(a.c_name AS VARCHAR) IS DISTINCT FROM CAST(b.c_name AS VARCHAR) UNION ALL SELECT a.c_custkey, 'c_nationkey' AS column_name, CAST(a.c_nationkey AS VARCHAR) AS db1_value, CAST(b.c_nationkey AS VARCHAR) AS db2_value FROM customer a JOIN db2 b USING (c_custkey) WHERE CAST(a.c_nationkey AS VARCHAR) IS DISTINCT FROM CAST(b.c_nationkey AS VARCHAR)), onlyrows AS (SELECT a.c_custkey, '__row__' AS column_name, 'db1' AS db1_value, CAST(NULL AS VARCHAR) AS db2_value FROM customer a LEFT JOIN db2 b USING (c_custkey) WHERE b.c_custkey IS NULL UNION ALL SELECT b.c_custkey, '__row__', CAST(NULL AS VARCHAR), 'db2' FROM db2 b LEFT JOIN customer a USING (c_custkey) WHERE a.c_custkey IS NULL) SELECT * FROM changed UNION ALL SELECT * FROM onlyrows""",
         "events_value_hist": """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0) / 50.0) AS BIGINT), 0), 4) AS bin_id, CAST(count(*) AS BIGINT) AS n FROM events WHERE value IS NOT NULL GROUP BY 1, 2""",
         "zorder_codes": """SELECT event_id, ((((qv >> 0) & 1) << 0) + (((qv >> 1) & 1) << 2) + (((qv >> 2) & 1) << 4) + (((qv >> 3) & 1) << 6) + (((qv >> 4) & 1) << 8) + (((qv >> 5) & 1) << 10) + (((qv >> 6) & 1) << 12) + (((qv >> 7) & 1) << 14) + (((qv >> 8) & 1) << 16) + (((qv >> 9) & 1) << 18) + (((qv >> 10) & 1) << 20) + (((qv >> 11) & 1) << 22) + (((qv >> 12) & 1) << 24) + (((qv >> 13) & 1) << 26) + (((qv >> 14) & 1) << 28) + (((qv >> 15) & 1) << 30)) + ((((qu >> 0) & 1) << 1) + (((qu >> 1) & 1) << 3) + (((qu >> 2) & 1) << 5) + (((qu >> 3) & 1) << 7) + (((qu >> 4) & 1) << 9) + (((qu >> 5) & 1) << 11) + (((qu >> 6) & 1) << 13) + (((qu >> 7) & 1) << 15) + (((qu >> 8) & 1) << 17) + (((qu >> 9) & 1) << 19) + (((qu >> 10) & 1) << 21) + (((qu >> 11) & 1) << 23) + (((qu >> 12) & 1) << 25) + (((qu >> 13) & 1) << 27) + (((qu >> 14) & 1) << 29) + (((qu >> 15) & 1) << 31)) AS zval FROM (SELECT event_id, least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0) / 250.0 * 65535) AS BIGINT), 0), 65535) AS qv, least(greatest(CAST(floor((CAST(user_id AS DOUBLE) - 0.0) / 2000.0 * 65535) AS BIGINT), 0), 65535) AS qu FROM events)""",
+        "event_transitions": (
+            "WITH seq AS (SELECT event_type AS from_type, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS to_type FROM events) "
+            "SELECT from_type, to_type, "
+            "CAST(count(*) AS BIGINT) AS n_transitions "
+            "FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2"
+        ),
+        "path_signatures": (
+            "WITH ranked AS (SELECT user_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events), "
+            "p AS (SELECT user_id, "
+            "string_agg(event_type, '>' ORDER BY rn) AS path "
+            "FROM ranked WHERE rn <= 5 GROUP BY user_id) "
+            "SELECT path, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM p GROUP BY path"
+        ),
+        # Same exact-integer-sum formula, same operation order: the z
+        # doubles agree bit-for-bit; round(6) is belt-and-braces.
+        "rollup_anomaly": (
+            "WITH hourly AS (SELECT event_type, "
+            "CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "st AS (SELECT event_type, hour_start, n, "
+            "sum(n) OVER w AS s, sum(n*n) OVER w AS ss, "
+            "count(n) OVER w AS c FROM hourly WINDOW w AS ("
+            "PARTITION BY event_type ORDER BY hour_start "
+            "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)), "
+            "scored AS (SELECT event_type, "
+            "CAST(hour_start AS VARCHAR) AS hour_start, n, "
+            "CASE WHEN c >= 8 AND (ss - s*s/c)/(c - 1) > 0 "
+            "THEN round((n - s/c) / sqrt((ss - s*s/c)/(c - 1)), 6) "
+            "END AS z FROM st) "
+            "SELECT event_type, hour_start, n, z, "
+            "(z IS NOT NULL AND abs(z) > 3.0) AS is_anomaly FROM scored"
+        ),
         "events_session_agg": _SESSION_SQL,
         "skew_two_phase_agg": (
             "SELECT l_suppkey, "

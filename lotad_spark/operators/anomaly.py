@@ -1,0 +1,65 @@
+"""Rolling z-score anomaly detection over time-bucketed series.
+
+Takes an already-aggregated bucket series (e.g. a rollup of counts per
+(key, bucket) — operators/rollup.py output, or any groupBy result) and
+scores each bucket against the trailing window of its OWN series:
+
+    z = (x − mean_prev) / stddev_prev      over the last `window` buckets
+
+A bucket is anomalous when |z| exceeds the threshold and the trailing
+window holds at least `min_periods` observations (cold-start buckets
+emit NULL z, never a spurious flag).
+
+Cross-engine determinism: mean and sample variance are derived from
+exact integer sums (sum, sum-of-squares, count over the frame) with one
+fixed formula — var = (ss − s²/n)/(n−1) — evaluated in the same
+operation order on both engines, so doubles agree bit-for-bit; z is
+additionally rounded to 6 decimals in the oracle-facing surface.
+
+100 TB design: input is the rollup relation (|keys| × |buckets| rows),
+orders of magnitude smaller than raw events; the only exchange is one
+hash partition by key for the window, whose frame state is `window`
+rows regardless of volume. The raw event table is never touched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_zscore(
+    buckets: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    window: int = 24,
+    min_periods: int = 8,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Input columns + (z, is_anomaly) per bucket. ``value_col`` must be
+    integral (counts/sums from a rollup) so trailing sums are exact."""
+    keys = list(key_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(-window, -1)
+    )
+    x = F.col(value_col).cast("bigint")
+    s = F.sum(x).over(w)
+    ss = F.sum(x * x).over(w)
+    n = F.count(x).over(w)
+    var = (ss - s * s / n) / (n - F.lit(1))
+    z = F.when(
+        (n >= min_periods) & (var > 0),
+        F.round((x - s / n) / F.sqrt(var), 6),
+    )
+    return buckets.select(
+        *keys,
+        F.col(ts_col),
+        x.alias(value_col),
+        z.alias("z"),
+        (~F.isnull(z) & (F.abs(z) > threshold)).alias("is_anomaly"),
+    )
