@@ -326,6 +326,16 @@ def q_topk_orders(spark, sf_dir):
     )
 
 
+def q_events_sliding_agg(spark, sf_dir):
+    """Hopping-window (30 min window / 10 min slide) counts + sums per
+    type — the batch face of the SAME definition `readStream` runs; each
+    event replicates into 3 windows map-side, the exchange carries only
+    (window, key) partials."""
+    from lotad_spark.streaming import sliding_window_agg
+
+    return sliding_window_agg(_t(spark, sf_dir, "events"))
+
+
 def q_events_window_agg(spark, sf_dir):
     """Batch face of the shared batch+streaming window aggregation — the
     SAME definition `readStream` runs (streaming/windowed.py)."""
@@ -2091,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "path_signatures": q_path_signatures,
         "rollup_anomaly": q_rollup_anomaly,
+        "events_sliding_agg": q_events_sliding_agg,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "training_plan": q_training_plan,
@@ -2268,6 +2279,19 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+        ),
+        # Spark's hopping windows are epoch-aligned (UTC session tz):
+        # an event joins windows start = ts − (epoch_us % slide) − k·slide
+        # for k in 0..window/slide−1 — pure microsecond arithmetic.
+        "events_sliding_agg": (
+            "WITH exp AS (SELECT event_type, value, "
+            "ts - to_microseconds(CAST(epoch_us(ts) % 600000000 AS BIGINT) "
+            "+ k * 600000000) AS ws "
+            "FROM events, unnest([0, 1, 2]) AS u(k)) "
+            "SELECT CAST(ws AS VARCHAR) AS win_start, event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) "
+            "AS sum_value FROM exp GROUP BY 1, 2"
         ),
         "events_window_agg": (
             "SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR) "

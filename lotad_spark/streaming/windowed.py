@@ -55,6 +55,49 @@ def windowed_event_agg(
     )
 
 
+def sliding_window_agg(
+    events: DataFrame,
+    *,
+    window: str = "30 minutes",
+    slide: str = "10 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Hopping (sliding) window counts + exact decimal sums per key:
+    (win_start, <key>, n_events, sum_value). Each event lands in
+    window/slide overlapping windows — smoothing that tumbling windows
+    can't express (a spike straddling a boundary splits across buckets).
+
+    Same one-definition batch+streaming contract as
+    ``windowed_event_agg``: ``F.window(ts, window, slide)`` replicates
+    each row into its covering windows BEFORE the aggregation (a
+    map-side explode — no extra shuffle vs tumbling; the exchange still
+    carries only (window, key) partials thanks to partial aggregation).
+    On streaming input the watermark evicts a window's state once it
+    closes. Windows are epoch-aligned (UTC session timezone), so the
+    assignment is engine-reproducible arithmetic."""
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(
+            F.window(ts_col, window, slide).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("win_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     key_cols: list[str] | None = None,

@@ -47,6 +47,45 @@ class TestWindowedAgg:
         assert got == batch
 
 
+class TestSlidingWindowAgg:
+    def test_each_event_lands_in_three_windows(self, spark, sf_dir):
+        from lotad_spark.streaming import sliding_window_agg
+
+        ev = _events(spark, sf_dir)
+        out = sliding_window_agg(ev)  # 30 min window, 10 min slide
+        rows = out.collect()
+        assert out.columns == ["win_start", "event_type", "n_events", "sum_value"]
+        assert sum(r.n_events for r in rows) == 3 * ev.count()
+
+    def test_streaming_matches_batch(self, spark, sf_dir, tmp_path):
+        from lotad_spark.streaming import sliding_window_agg
+
+        ev = _events(spark, sf_dir)
+        src = str(tmp_path / "events_sliding_src")
+        ev.write.mode("overwrite").parquet(src)
+
+        batch = {
+            (r.win_start, r.event_type): (r.n_events, str(r.sum_value))
+            for r in sliding_window_agg(spark.read.parquet(src)).collect()
+        }
+
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            sliding_window_agg(stream)
+            .writeStream.format("memory")
+            .queryName("sliding_agg_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.win_start, r.event_type): (r.n_events, str(r.sum_value))
+            for r in spark.sql("SELECT * FROM sliding_agg_test").collect()
+        }
+        assert got == batch
+
+
 class TestStreamingCorpusFilter:
     def test_training_gate_streams_and_matches_batch(self, spark, sf_dir, tmp_path):
         """corpus_filter is stateless expressions — the SAME definition
