@@ -505,6 +505,28 @@ def q_strip_dup_spans(spark, sf_dir):
     return strip_duplicate_spans(_near_dup_corpus(spark, sf_dir), n=6)
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """Round-0 BPE statistics: adjacent-symbol pair counts weighted by
+    word frequency over the corpus word histogram — the one
+    corpus-scale job of tokenizer training, oracle-replayed in SQL."""
+    from lotad_spark.pipeline.bpe import pair_counts, symbolize, word_histogram
+
+    return pair_counts(
+        symbolize(word_histogram(_t(spark, sf_dir, "documents")))
+    )
+
+
+def q_bpe_merges(spark, sf_dir):
+    """First 8 learned BPE merges (rank, left, right, pair_count).
+    Iterative — each round is a pair-count + fold-rewrite on the compact
+    vocab relation; not SQL-expressible end-to-end, so this row is
+    rows-only for the driver and the merge table is pinned against an
+    independent reference implementation in tests/test_bpe.py."""
+    from lotad_spark.pipeline.bpe import train_bpe
+
+    return train_bpe(_t(spark, sf_dir, "documents"), num_merges=8)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from lotad_spark.pipeline import simhash32
 
@@ -2102,6 +2124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_signatures": q_path_signatures,
         "rollup_anomaly": q_rollup_anomaly,
         "events_sliding_agg": q_events_sliding_agg,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "training_plan": q_training_plan,
@@ -2386,6 +2410,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_minhash": _NEAR_DUP_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "strip_dup_spans": _STRIP_SPANS_SQL,
+        "bpe_pair_counts": (
+            "WITH words AS (SELECT w AS word, count(*) AS freq FROM ("
+            f"SELECT unnest({_TOKS}) AS w FROM documents) "
+            "WHERE len(w) > 0 GROUP BY w), "
+            "sym AS (SELECT word, freq, "
+            "list_append(list_transform(range(1, len(word) + 1), "
+            "i -> word[i]), '</w>') AS syms FROM words), "
+            "pr AS (SELECT freq, unnest(list_transform(range(1, len(syms)), "
+            "i -> {'l': syms[i], 'r': syms[i+1]})) AS u "
+            "FROM sym WHERE len(syms) >= 2) "
+            'SELECT u.l AS "left", u.r AS "right", '
+            "CAST(sum(freq) AS BIGINT) AS pair_count FROM pr GROUP BY 1, 2"
+        ),
         "dedup_components": (
             "WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM "
             f"({_NEAR_DUP_SQL})), "

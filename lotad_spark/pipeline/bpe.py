@@ -1,0 +1,190 @@
+"""Distributed BPE (byte-pair encoding) tokenizer training.
+
+The canonical pre-training step the single-node tokenizer libraries
+can't do at corpus scale: learn the merge table FROM the full corpus.
+The Spark-first decomposition exploits the classic observation that BPE
+statistics factor through the word histogram:
+
+* **One pass over raw text** builds (word, freq) — the only job whose
+  cost scales with corpus bytes. Everything after runs on the compact
+  vocabulary relation (|distinct words| rows; millions, not billions).
+* Each merge round is two jobs on that relation: a weighted
+  adjacent-pair count (explode + groupBy, map-side partials) and a
+  symbol-array rewrite expressed as a ``F.aggregate`` fold — pure
+  JVM-side expressions, no Python in the loop.
+* The driver receives ONE row per round (the argmax pair) — the only
+  collect, bounded by num_merges.
+
+Ties on pair count break lexicographically (left, then right), so the
+learned merge table is deterministic across partitionings and engines.
+
+Iterative, hence not SQL-expressible end-to-end: the merge table is
+pinned in pytest against an independent in-memory reference
+implementation, and the round-0 pair statistics carry a full
+cross-engine SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lotad_spark.pipeline.text import tokens
+
+END_MARK = "</w>"
+
+
+def word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): whitespace-token counts over the corpus — the one
+    job that reads raw text."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+
+def symbolize(vocab: DataFrame) -> DataFrame:
+    """(word, freq, syms): the word exploded into single-character
+    symbols with a trailing end-of-word marker."""
+    w = F.col("word")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
+    )
+    return vocab.select(
+        "word", "freq", F.concat(chars, F.array(F.lit(END_MARK))).alias("syms")
+    )
+
+
+def pair_counts(sym_vocab: DataFrame) -> DataFrame:
+    """(left, right, pair_count): adjacent-symbol pair counts weighted
+    by word frequency. Non-overlapping double counting is intentional
+    and matches the reference BPE statistic (each adjacent slot counts
+    once per word occurrence)."""
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("syms") - 2),
+        lambda i: F.struct(
+            F.element_at("syms", i + 1).alias("left"),
+            F.element_at("syms", i + 2).alias("right"),
+        ),
+    )
+    return (
+        sym_vocab.filter(F.size("syms") >= 2)
+        .select(F.col("freq"), F.explode(pairs).alias("p"))
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+    )
+
+
+def merge_pair(sym_vocab: DataFrame, left: str, right: str) -> DataFrame:
+    """Rewrite every symbol array with (left, right) merged greedily
+    left-to-right (non-overlapping, as in reference BPE): a fold over
+    the array — if the accumulator ends with `left` and the next symbol
+    is `right`, the tail is replaced by the merged symbol."""
+    merged = left + right
+    folded = F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return sym_vocab.select("word", "freq", folded.alias("syms"))
+
+
+def train_bpe(
+    df: DataFrame, num_merges: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``num_merges`` BPE merges from the corpus:
+    (rank, left, right, pair_count), rank 0 first. Stops early when no
+    adjacent pair remains."""
+    spark = df.sparkSession
+    vocab = symbolize(word_histogram(df, text_col)).persist()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(num_merges):
+            top = (
+                pair_counts(vocab)
+                .orderBy(F.desc("pair_count"), "left", "right")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, c = top[0].left, top[0].right, top[0].pair_count
+            merges.append((rank, l, r, int(c)))
+            nxt = merge_pair(vocab, l, r).persist()
+            nxt.count()  # materialize before dropping the parent
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a learned merge list: (id, n_tokens,
+    tokens). Merges apply in rank order, each as the same greedy fold
+    used during training — a chain of pure expressions, no Python.
+
+    The expression tree grows linearly with len(merges); fine for the
+    tens of merges this surface targets. A production-size table
+    (10k+ merges) belongs in an Arrow-batched pandas UDF with the
+    merge list broadcast — same semantics, flat plan."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("_w")), lambda i: F.substring("_w", i, 1)
+    )
+    syms = F.concat(chars, F.array(F.lit(END_MARK)))
+    def _fold_step(left: str, right: str):
+        # closure factory: PySpark introspects lambda arity, so the
+        # merge literals can't ride in as default arguments
+        l_lit, r_lit, m_lit = F.lit(left), F.lit(right), F.lit(left + right)
+
+        def step(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == l_lit)
+                & (x == r_lit),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(m_lit)),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    for left, right in merges:
+        syms = F.aggregate(
+            syms, F.array().cast("array<string>"), _fold_step(left, right)
+        )
+    per_word = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("_wp", "_w"),
+        )
+        .filter(F.length("_w") > 0)
+        .select(id_col, "_wp", syms.alias("_syms"))
+    )
+    # collect_list keeps no order across the shuffle — aggregate
+    # (position, syms) structs and sort the bounded per-doc array.
+    return per_word.groupBy(id_col).agg(
+        F.sum(F.size("_syms")).cast("bigint").alias("n_tokens"),
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_wp"), F.col("_syms")))
+                ),
+                lambda s: s["_syms"],
+            )
+        ).alias("tokens"),
+    )
