@@ -505,6 +505,18 @@ def q_strip_dup_spans(spark, sf_dir):
     return strip_duplicate_spans(_near_dup_corpus(spark, sf_dir), n=6)
 
 
+def q_temperature_rates(spark, sf_dir):
+    """Temperature (α=0.5) mixture rates over the skewed language
+    distribution — the multilingual-training resampling computation;
+    one corpus count agg, then arithmetic on the 5-row lang relation
+    (decimal-exact sums, broadcast 1-row totals)."""
+    from lotad_spark.pipeline import temperature_rates
+
+    return temperature_rates(
+        _t(spark, sf_dir, "documents"), source_col="lang", alpha=0.5
+    )
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """Round-0 BPE statistics: adjacent-symbol pair counts weighted by
     word frequency over the corpus word histogram — the one
@@ -2126,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_agg": q_events_sliding_agg,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
+        "temperature_rates": q_temperature_rates,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "training_plan": q_training_plan,
@@ -2410,6 +2423,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_minhash": _NEAR_DUP_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "strip_dup_spans": _STRIP_SPANS_SQL,
+        # Same fixed formula and DECIMAL(38,18)-routed float sums on
+        # both engines — doubles agree bit-for-bit before round(6).
+        "temperature_rates": (
+            "WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) "
+            "AS n_docs FROM documents GROUP BY lang), "
+            "tot AS (SELECT sum(n_docs) AS N FROM counts), "
+            "c AS (SELECT lang, n_docs, n_docs / N AS p_raw, "
+            "pow(n_docs / N, 0.5) AS pa FROM counts, tot), "
+            "s AS (SELECT CAST(sum(CAST(pa AS DECIMAL(38,18))) AS DOUBLE) "
+            "AS S FROM c), "
+            "c2 AS (SELECT lang, n_docs, p_raw, pa / S AS p_temp FROM c, s), "
+            "t AS (SELECT min(n_docs / p_temp) AS T FROM c2) "
+            "SELECT lang, n_docs, round(p_raw, 6) AS p_raw, "
+            "round(p_temp, 6) AS p_temp, "
+            "round(least(p_temp * T / n_docs, 1.0), 6) AS keep_rate "
+            "FROM c2, t"
+        ),
         "bpe_pair_counts": (
             "WITH words AS (SELECT w AS word, count(*) AS freq FROM ("
             f"SELECT unnest({_TOKS}) AS w FROM documents) "

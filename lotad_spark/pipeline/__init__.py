@@ -58,6 +58,7 @@ from lotad_spark.pipeline.sampling import (
     sample_key,
     shuffle_batches,
     stratified_cap,
+    temperature_rates,
     token_chunk_plan,
     train_eval_split,
     upsample_by_weight,
@@ -106,6 +107,7 @@ __all__ = [
     "sample_key",
     "shuffle_batches",
     "stratified_cap",
+    "temperature_rates",
     "tfidf_top_terms",
     "token_chunk_plan",
     "train_eval_split",

@@ -199,6 +199,59 @@ def mixture_sample(
     return df.filter(sample_key(id_col, salt) < threshold)
 
 
+def temperature_rates(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture rates (the multilingual-training
+    standard: sample source s with probability ∝ p_s^α, α<1 flattening
+    the head so low-resource sources aren't drowned): per source,
+    (source, n_docs, p_raw, p_temp, keep_rate), where keep_rate is the
+    largest Bernoulli rate realizing the p_temp mix WITHOUT upsampling
+    (the binding source keeps rate 1.0; feed the column straight into
+    ``mixture_sample``).
+
+    Scale: one count aggregation over the corpus; every subsequent step
+    is arithmetic on the |sources|-row relation against broadcast
+    1-row totals. Determinism: the two float sums aggregate through
+    DECIMAL(38,18) so they are partitioning-order-independent, and the
+    arithmetic uses one fixed formula — engines agree bit-for-bit
+    before the final round(6)."""
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").alias("_N"))
+    c = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("p_raw", F.col("n_docs") / F.col("_N"))
+        .withColumn("_pa", F.pow("p_raw", F.lit(float(alpha))))
+    )
+    pa_sum = c.agg(
+        F.sum(F.col("_pa").cast("decimal(38,18)")).cast("double").alias("_S")
+    )
+    c2 = c.crossJoin(F.broadcast(pa_sum)).withColumn(
+        "p_temp", F.col("_pa") / F.col("_S")
+    )
+    t_cap = c2.agg(F.min(F.col("n_docs") / F.col("p_temp")).alias("_T"))
+    return (
+        c2.crossJoin(F.broadcast(t_cap))
+        .select(
+            source_col,
+            "n_docs",
+            F.round("p_raw", 6).alias("p_raw"),
+            F.round("p_temp", 6).alias("p_temp"),
+            F.round(
+                F.least(
+                    F.col("p_temp") * F.col("_T") / F.col("n_docs"),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+
+
 def upsample_by_weight(
     df: DataFrame,
     weights: dict[str, float],

@@ -241,6 +241,54 @@ class TestMixtureSample:
         assert a == b
 
 
+class TestTemperatureRates:
+    def test_flattens_skew_and_caps_at_one(self, spark):
+        from lotad_spark.pipeline import temperature_rates
+
+        rows = [(i, "big") for i in range(90)] + [
+            (100 + i, "small") for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = {r.source: r for r in temperature_rates(df, alpha=0.5).collect()}
+        # α=0.5: shares ∝ sqrt(p) → big 0.75, small 0.25
+        assert abs(out["big"].p_temp - 0.75) < 1e-6
+        assert abs(out["small"].p_temp - 0.25) < 1e-6
+        # no upsampling: the binding source (small: 10 docs for a 0.25
+        # share → T = 40) keeps everything; big keeps 30/90
+        assert out["small"].keep_rate == 1.0
+        assert abs(out["big"].keep_rate - (30 / 90)) < 1e-6
+
+    def test_alpha_one_is_identity_mix(self, spark):
+        from lotad_spark.pipeline import temperature_rates
+
+        rows = [(i, "a") for i in range(60)] + [(100 + i, "b") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = {r.source: r for r in temperature_rates(df, alpha=1.0).collect()}
+        # α=1 keeps the raw mix: every source keeps rate 1.0
+        assert out["a"].p_temp == out["a"].p_raw
+        assert all(r.keep_rate == 1.0 for r in out.values())
+
+    def test_rates_feed_mixture_sample(self, spark):
+        from lotad_spark.pipeline import mixture_sample, temperature_rates
+
+        rows = [(i, "big") for i in range(400)] + [
+            (1000 + i, "small") for i in range(25)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        rates = {
+            r.source: r.keep_rate
+            for r in temperature_rates(df, alpha=0.3).collect()
+        }
+        kept = mixture_sample(df, rates)
+        by = {
+            r.source: r.n
+            for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        # the scarce source survives whole; the head is cut toward it
+        assert by["small"] == 25
+        assert by["big"] < 400
+
+
 class TestUpsampleByWeight:
     def test_copies_and_epochs(self, docs):
         from lotad_spark.pipeline import upsample_by_weight
