@@ -505,6 +505,16 @@ def q_strip_dup_spans(spark, sf_dir):
     return strip_duplicate_spans(_near_dup_corpus(spark, sf_dir), n=6)
 
 
+def q_multi_grain_cube(spark, sf_dir):
+    """All four grains of (hour bucket × event_type) in one pass —
+    Spark's Expand replicates rows map-side and partial aggregation
+    collapses them before the SINGLE exchange; grand totals, bucket
+    totals, and type totals ride the same shuffle as the base grain."""
+    from lotad_spark.operators.rollup import multi_grain_report
+
+    return multi_grain_report(_t(spark, sf_dir, "events"), grain="cube")
+
+
 def q_temperature_rates(spark, sf_dir):
     """Temperature (α=0.5) mixture rates over the skewed language
     distribution — the multilingual-training resampling computation;
@@ -2139,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "temperature_rates": q_temperature_rates,
+        "multi_grain_cube": q_multi_grain_cube,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "training_plan": q_training_plan,
@@ -2423,6 +2434,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_minhash": _NEAR_DUP_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "strip_dup_spans": _STRIP_SPANS_SQL,
+        # GROUPING() packs bits first-column-most-significant in both
+        # engines, so grain ids align without translation.
+        "multi_grain_cube": (
+            "SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) "
+            "AS VARCHAR) AS bucket, event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) "
+            "AS sum_value, "
+            "CAST(GROUPING(CAST(date_trunc('hour', ts) AS TIMESTAMP), "
+            "event_type) AS BIGINT) AS grain_id "
+            "FROM events GROUP BY CUBE "
+            "(CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type)"
+        ),
         # Same fixed formula and DECIMAL(38,18)-routed float sums on
         # both engines — doubles agree bit-for-bit before round(6).
         "temperature_rates": (

@@ -266,6 +266,56 @@ def rollup_report(rollup: DataFrame, *, dims: Sequence[str] = ()) -> DataFrame:
     )
 
 
+def multi_grain_report(
+    events: DataFrame,
+    *,
+    unit: str = "hour",
+    dims: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "cube",
+) -> DataFrame:
+    """Every grouping-set grain of (time bucket, dims…) in ONE pass —
+    the OLAP CUBE/ROLLUP surface: per-bucket-per-dim rows, per-bucket
+    totals, per-dim totals, and the grand total, each tagged with the
+    standard packed grouping id (first listed column = most significant
+    bit; rolled-out columns emit NULL).
+
+    ``grain="cube"`` computes all 2^(1+|dims|) grains;
+    ``grain="rollup"`` the hierarchical prefix grains only.
+
+    Scale: Spark's Expand operator replicates each row into its grains
+    MAP-SIDE and partial aggregation collapses them before the single
+    exchange — one shuffle regardless of grain count. The exchange
+    carries (grain × group) partials, so cube cost grows with the
+    number of grains; at very high dims prefer ``rollup`` (d+2 grains,
+    not 2^(d+1)) or explicit grouping-set subsets."""
+    dims = list(dims)
+    base = events.select(
+        F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+        *[F.col(f"`{d}`") for d in dims],
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+    )
+    grouped = (
+        base.cube("bucket", *dims)
+        if grain == "cube"
+        else base.rollup("bucket", *dims)
+    )
+    if grain not in ("cube", "rollup"):
+        raise ValueError(f"multi_grain_report: unknown grain {grain!r}")
+    return grouped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("_v").cast("double"), 2).alias("sum_value"),
+        F.grouping_id().cast("bigint").alias("grain_id"),
+    ).select(
+        F.col("bucket").cast("string").alias("bucket"),
+        *dims,
+        "n_events",
+        "sum_value",
+        "grain_id",
+    )
+
+
 _UNIT_INTERVAL = {
     "minute": "INTERVAL 1 MINUTE",
     "hour": "INTERVAL 1 HOUR",

@@ -840,3 +840,62 @@ def test_asof_value_cols_can_include_right_ts(spark, quotes, trades):
     got = {r["trade_id"]: (r["qts"], r["price"]) for r in out.collect()}
     assert got[2] == (_ts(10), 110.0)
     assert got[5] == (None, None)
+
+
+def test_multi_grain_cube_consistency(spark):
+    """Every grain of the cube must agree with the base grain's sums,
+    and grain ids follow the packed-bit convention."""
+    from lotad_spark.operators.rollup import multi_grain_report
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 10 + m // 60, m % 60), t, float(v))
+        for m, t, v in [(0, "a", 1), (1, "a", 2), (2, "b", 4), (61, "a", 8)]
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = multi_grain_report(ev, grain="cube")
+    by = {
+        (r.bucket, r.event_type, r.grain_id): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    h10 = "2024-01-01 10:00:00"
+    h11 = "2024-01-01 11:00:00"
+    # base grain (0): bucket+type
+    assert by[(h10, "a", 0)] == (2, 3.0)
+    assert by[(h10, "b", 0)] == (1, 4.0)
+    # grain 1: bucket totals (type rolled out -> NULL)
+    assert by[(h10, None, 1)] == (3, 7.0)
+    assert by[(h11, None, 1)] == (1, 8.0)
+    # grain 2: per-type totals across time
+    assert by[(None, "a", 2)] == (3, 11.0)
+    # grain 3: grand total
+    assert by[(None, None, 3)] == (4, 15.0)
+
+
+def test_multi_grain_rollup_is_prefix_subset(spark):
+    from lotad_spark.operators.rollup import multi_grain_report
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, m), t, 1.0) for m, t in [(0, "a"), (1, "b")]
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    cube_ids = {r.grain_id for r in multi_grain_report(ev, grain="cube").collect()}
+    roll_ids = {r.grain_id for r in multi_grain_report(ev, grain="rollup").collect()}
+    assert cube_ids == {0, 1, 2, 3}
+    assert roll_ids == {0, 1, 3}  # hierarchical prefixes only
+
+    with pytest.raises(ValueError):
+        multi_grain_report(ev, grain="nope")
+
+
+def test_multi_grain_single_exchange(spark):
+    """Expand + partial agg: the whole cube is ONE shuffle."""
+    from lotad_spark.operators.rollup import multi_grain_report
+
+    rows = [(dt.datetime(2024, 1, 1, 10, 0), "a", 1.0)]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    plan = (
+        multi_grain_report(ev, grain="cube")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Expand" in plan
