@@ -1125,6 +1125,27 @@ def q_quantiles_online(spark, sf_dir):
     )
 
 
+def q_anomaly_online(spark, sf_dir):
+    """Online anomaly flags from landed stream counts: the SAME
+    value_histogram definition readStream runs feeds per-bin rolling
+    z-scores — each bin's hourly count scored against its own trailing
+    24 landed windows; raw events are never revisited. Completes the
+    online triple (psi_online, quantiles_online, anomaly_online) over
+    one landed relation. Hours where a bin landed no row are skipped
+    (both engines share the semantics); for drop-to-zero detection,
+    gapfill_rollup the landed counts first."""
+    from lotad_spark.operators.anomaly import rolling_zscore
+    from lotad_spark.streaming import value_histogram
+
+    hist = value_histogram(
+        _t(spark, sf_dir, "events"), lo=0.0, hi=250.0, n_bins=5
+    )
+    return rolling_zscore(
+        hist, ["bin_id"], "hour_start", "n",
+        window=24, min_periods=8, threshold=3.0,
+    )
+
+
 def q_rollup_distinct_users(spark, sf_dir):
     """Mergeable-sketch distinct counts: minute-level HLL sketches of
     user_id unioned into hourly estimates — the partial that exact
@@ -2068,24 +2089,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-green round, (c) multi-round-green reference-parity core.
     Layout this round:
 
-    * 1-10: the ten rows new this round (span dedup ×2, journey paths
-      ×2, rolling z-score anomaly, sliding windows, BPE ×2, temperature
-      rates, multi-grain cube);
-    * 11-31: the twenty-one rows that had never been driver-verified
+    * 1-11: the eleven rows new this round (span dedup ×2, journey
+      paths ×2, rolling z-score anomaly + its online face, sliding
+      windows, BPE ×2, temperature rates, multi-grain cube);
+    * 12-32: the twenty-one rows that had never been driver-verified
       as of r6's file (r6's seven analytics oracles, the snapshot /
       index-probe / sqlite rows, and the eleven temporal/quantile rows
       added after r6's snapshot);
-    * 32-41: rows green in r5 only (pushed out by r6's window
+    * 33-42: rows green in r5 only (pushed out by r6's window
       overflow), plus the repaired quantize_embeddings;
-    * 42-50: multi-round-green core representatives (diff family core,
-      schema/missing-table drift, summary, wizard probe);
+    * 43-50: multi-round-green core representatives (diff family core,
+      schema/missing-table drift, summary);
     * 51+: rotated out — every row here has at least one driver-green
       round with unchanged code since, and the full registry stays
       enforced by scripts/check_oracle.py and the pytest suite. See
       COVERAGE.md "Driver-window rotation".
     """
     return {
-        # --- 1-10: new this round (no driver row yet) ---
+        # --- 1-11: new this round (no driver row yet) ---
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "event_transitions": q_event_transitions,
@@ -2096,7 +2117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "temperature_rates": q_temperature_rates,
         "multi_grain_cube": q_multi_grain_cube,
-        # --- 11-31: never driver-verified in any prior round ---
+        "anomaly_online": q_anomaly_online,
+        # --- 12-32: never driver-verified in any prior round ---
         "events_funnel": q_events_funnel,
         "profile_drift": q_profile_drift,
         "events_retention": q_events_retention,
@@ -2118,7 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_online": q_quantiles_online,
         "weighted_sample": q_weighted_sample,
         "psi_online": q_psi_online,
-        # --- 32-41: one driver-green round (r5) only ---
+        # --- 33-42: one driver-green round (r5) only ---
         "quantize_embeddings": q_quantize_embeddings,
         "custom_query_diff": q_custom_query_diff,
         "dedup_embedding": q_dedup_embedding,
@@ -2129,7 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "skew_salted_join": q_skew_salted_join,
         "skew_two_phase_agg": q_skew_two_phase_agg,
-        # --- 42-50: multi-round-green reference-parity core ---
+        # --- 43-50: multi-round-green reference-parity core ---
         "diff_deleted_rows": q_diff_deleted_rows,
         "diff_deleted_rows_groupby": q_diff_deleted_rows_groupby,
         "diff_value_change": q_diff_value_change,
@@ -2138,8 +2160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift_records": q_schema_drift_records,
         "missing_table_records": q_missing_table_records,
         "drift_summary": q_drift_summary,
-        "wizard_overlap_probe": q_wizard_overlap_probe,
         # --- 51+: rotated out (multi-round driver-green, local gate) ---
+        "wizard_overlap_probe": q_wizard_overlap_probe,
         "q1_lineitem_agg": q_q1_lineitem_agg,
         "diff_ignore_column": q_diff_ignore_column,
         "diff_ignore_dates": q_diff_ignore_dates,
@@ -2859,6 +2881,24 @@ def oracle_sql() -> dict[str, str]:
     )
     # Per-hour online quantiles: same binning/interpolation, grouped by
     # the landed window column.
+    oracles["anomaly_online"] = (
+        "WITH h AS ("
+        "  SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR)"
+        "    AS hour_start,"
+        "  LEAST(GREATEST(CAST(FLOOR((value - 0.0)/50.0) AS BIGINT), 0), 4)"
+        "    AS bin_id, CAST(count(*) AS BIGINT) AS n"
+        "  FROM events WHERE value IS NOT NULL GROUP BY 1, 2"
+        "), st AS (SELECT bin_id, hour_start, n,"
+        "  sum(n) OVER w AS s, sum(n*n) OVER w AS ss, count(n) OVER w AS c"
+        "  FROM h WINDOW w AS (PARTITION BY bin_id ORDER BY hour_start"
+        "  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)"
+        "), scored AS (SELECT bin_id, hour_start, n,"
+        "  CASE WHEN c >= 8 AND (ss - s*s/c)/(c - 1) > 0"
+        "  THEN round((n - s/c) / sqrt((ss - s*s/c)/(c - 1)), 6) END AS z"
+        "  FROM st) "
+        "SELECT bin_id, hour_start, n, z,"
+        " (z IS NOT NULL AND abs(z) > 3.0) AS is_anomaly FROM scored"
+    )
     oracles["quantiles_online"] = (
         "WITH h AS ("
         "  SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR)"

@@ -99,13 +99,27 @@ def merge_pair(sym_vocab: DataFrame, left: str, right: str) -> DataFrame:
 
 
 def train_bpe(
-    df: DataFrame, num_merges: int = 10, text_col: str = "text"
+    df: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+    materialize_every: int = 4,
 ) -> DataFrame:
     """Learn the first ``num_merges`` BPE merges from the corpus:
     (rank, left, right, pair_count), rank 0 first. Stops early when no
-    adjacent pair remains."""
+    adjacent pair remains.
+
+    Folds are pure expressions, so up to ``materialize_every`` merge
+    rewrites CHAIN lazily on top of the last persisted vocab before the
+    next checkpoint — each round still pays its argmax job (inherent:
+    round k+1's statistic depends on round k's rewrite), but the
+    rewrite itself costs one extra expression in that job instead of a
+    dedicated persist+count job per round. At small vocabs this halves
+    the job count; at production vocabs it bounds how much cached state
+    churns per round."""
     spark = df.sparkSession
-    vocab = symbolize(word_histogram(df, text_col)).persist()
+    base = symbolize(word_histogram(df, text_col)).persist()
+    vocab = base
+    pending = 0  # fold expressions chained since the last materialize
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(num_merges):
@@ -119,12 +133,15 @@ def train_bpe(
                 break
             l, r, c = top[0].left, top[0].right, top[0].pair_count
             merges.append((rank, l, r, int(c)))
-            nxt = merge_pair(vocab, l, r).persist()
-            nxt.count()  # materialize before dropping the parent
-            vocab.unpersist()
-            vocab = nxt
+            vocab = merge_pair(vocab, l, r)
+            pending += 1
+            if pending >= materialize_every:
+                nxt = vocab.persist()
+                nxt.count()  # materialize before dropping the parent
+                base.unpersist()
+                base, vocab, pending = nxt, nxt, 0
     finally:
-        vocab.unpersist()
+        base.unpersist()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     )
