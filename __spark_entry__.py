@@ -834,6 +834,20 @@ def q_events_funnel(spark, sf_dir):
     )
 
 
+def q_events_funnel_windowed(spark, sf_dir):
+    """Conversion-window funnel (each transition within 6 h of SOME
+    reachable previous event — multi-attempt semantics): reachable sets
+    advance via one asof-style union+running-max window per step, never
+    a fan-out join. Oracle is an independent EXISTS-chain formulation."""
+    from lotad_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        within_seconds=21600,
+    )
+
+
 def q_events_retention(spark, sf_dir):
     """Daily cohort retention — one groupBy(user) carrying (min day,
     distinct day set); day sets are bounded by the window, not events."""
@@ -2089,24 +2103,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-green round, (c) multi-round-green reference-parity core.
     Layout this round:
 
-    * 1-11: the eleven rows new this round (span dedup ×2, journey
+    * 1-12: the twelve rows new this round (span dedup ×2, journey
       paths ×2, rolling z-score anomaly + its online face, sliding
-      windows, BPE ×2, temperature rates, multi-grain cube);
-    * 12-32: the twenty-one rows that had never been driver-verified
+      windows, BPE ×2, temperature rates, multi-grain cube, the
+      conversion-window funnel);
+    * 13-33: the twenty-one rows that had never been driver-verified
       as of r6's file (r6's seven analytics oracles, the snapshot /
       index-probe / sqlite rows, and the eleven temporal/quantile rows
       added after r6's snapshot);
-    * 33-42: rows green in r5 only (pushed out by r6's window
+    * 34-43: rows green in r5 only (pushed out by r6's window
       overflow), plus the repaired quantize_embeddings;
-    * 43-50: multi-round-green core representatives (diff family core,
-      schema/missing-table drift, summary);
+    * 44-50: multi-round-green core representatives (diff family core,
+      schema drift, summary);
     * 51+: rotated out — every row here has at least one driver-green
       round with unchanged code since, and the full registry stays
       enforced by scripts/check_oracle.py and the pytest suite. See
       COVERAGE.md "Driver-window rotation".
     """
     return {
-        # --- 1-11: new this round (no driver row yet) ---
+        # --- 1-12: new this round (no driver row yet) ---
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "event_transitions": q_event_transitions,
@@ -2118,7 +2133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_rates": q_temperature_rates,
         "multi_grain_cube": q_multi_grain_cube,
         "anomaly_online": q_anomaly_online,
-        # --- 12-32: never driver-verified in any prior round ---
+        "events_funnel_windowed": q_events_funnel_windowed,
+        # --- 13-33: never driver-verified in any prior round ---
         "events_funnel": q_events_funnel,
         "profile_drift": q_profile_drift,
         "events_retention": q_events_retention,
@@ -2140,7 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_online": q_quantiles_online,
         "weighted_sample": q_weighted_sample,
         "psi_online": q_psi_online,
-        # --- 33-42: one driver-green round (r5) only ---
+        # --- 34-43: one driver-green round (r5) only ---
         "quantize_embeddings": q_quantize_embeddings,
         "custom_query_diff": q_custom_query_diff,
         "dedup_embedding": q_dedup_embedding,
@@ -2151,16 +2167,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "skew_salted_join": q_skew_salted_join,
         "skew_two_phase_agg": q_skew_two_phase_agg,
-        # --- 43-50: multi-round-green reference-parity core ---
+        # --- 44-50: multi-round-green reference-parity core ---
         "diff_deleted_rows": q_diff_deleted_rows,
         "diff_deleted_rows_groupby": q_diff_deleted_rows_groupby,
         "diff_value_change": q_diff_value_change,
         "diff_counts": q_diff_counts,
         "diff_dup_collapse": q_diff_dup_collapse,
         "schema_drift_records": q_schema_drift_records,
-        "missing_table_records": q_missing_table_records,
         "drift_summary": q_drift_summary,
         # --- 51+: rotated out (multi-round driver-green, local gate) ---
+        "missing_table_records": q_missing_table_records,
         "wizard_overlap_probe": q_wizard_overlap_probe,
         "q1_lineitem_agg": q_q1_lineitem_agg,
         "diff_ignore_column": q_diff_ignore_column,
@@ -2723,6 +2739,26 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ann_ivf_sql(),
         "events_funnel": """WITH s0 AS (SELECT user_id, min(ts) AS rts FROM events WHERE event_type = 'view' GROUP BY user_id), s1 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s0 USING (user_id) WHERE e.event_type = 'click' AND e.ts > s0.rts GROUP BY e.user_id), s2 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s1 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > s1.rts GROUP BY e.user_id) SELECT 0 AS step_index, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s0 UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1 UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2""",
+        # Independent formulation: EXISTS-chain over per-step distinct
+        # event sets vs the union+running-max DP — same reachable sets.
+        "events_funnel_windowed": (
+            "WITH s0 AS (SELECT DISTINCT user_id, ts FROM events "
+            "WHERE event_type = 'view'), "
+            "s1 AS (SELECT DISTINCT e.user_id, e.ts FROM events e "
+            "WHERE e.event_type = 'click' AND EXISTS ("
+            "SELECT 1 FROM s0 p WHERE p.user_id = e.user_id "
+            "AND p.ts < e.ts AND e.ts <= p.ts + to_seconds(21600))), "
+            "s2 AS (SELECT DISTINCT e.user_id, e.ts FROM events e "
+            "WHERE e.event_type = 'purchase' AND EXISTS ("
+            "SELECT 1 FROM s1 p WHERE p.user_id = e.user_id "
+            "AND p.ts < e.ts AND e.ts <= p.ts + to_seconds(21600))) "
+            "SELECT 0 AS step_index, 'view' AS step, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM s0 "
+            "UNION ALL SELECT 1, 'click', "
+            "CAST(count(DISTINCT user_id) AS BIGINT) FROM s1 "
+            "UNION ALL SELECT 2, 'purchase', "
+            "CAST(count(DISTINCT user_id) AS BIGINT) FROM s2"
+        ),
         "events_retention": """WITH act AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events GROUP BY 1, 2), firstd AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY 1), sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM firstd GROUP BY 1), ret AS (SELECT f.cohort, CAST(a.d - f.cohort AS BIGINT) AS offset_days, CAST(count(*) AS BIGINT) AS n_active FROM act a JOIN firstd f USING (user_id) GROUP BY 1, 2) SELECT CAST(r.cohort AS VARCHAR) AS cohort_day, offset_days, n_active, cohort_size FROM ret r JOIN sizes USING (cohort)""",
         "profile_drift": """WITH db2 AS (SELECT * FROM customer WHERE c_custkey % 97 != 0), p1 AS (SELECT * FROM (VALUES ('c_custkey', (SELECT CAST(count(c_custkey) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_custkey) AS BIGINT) FROM customer), (SELECT CAST(min(c_custkey) AS DOUBLE) FROM customer), (SELECT CAST(max(c_custkey) AS DOUBLE) FROM customer)), ('c_name', (SELECT CAST(count(c_name) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_name) AS BIGINT) FROM customer), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)), ('c_nationkey', (SELECT CAST(count(c_nationkey) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_nationkey) AS BIGINT) FROM customer), (SELECT CAST(min(c_nationkey) AS DOUBLE) FROM customer), (SELECT CAST(max(c_nationkey) AS DOUBLE) FROM customer)), ('c_acctbal', (SELECT CAST(count(c_acctbal) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_acctbal) AS BIGINT) FROM customer), (SELECT CAST(min(c_acctbal) AS DOUBLE) FROM customer), (SELECT CAST(max(c_acctbal) AS DOUBLE) FROM customer)), ('c_mktsegment', (SELECT CAST(count(c_mktsegment) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_mktsegment) AS BIGINT) FROM customer), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))) v(column_name, n_nonnull_1, n_null_1, min_val_1, max_val_1)), p2 AS (SELECT * FROM (VALUES ('c_custkey', (SELECT CAST(count(c_custkey) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_custkey) AS BIGINT) FROM db2), (SELECT CAST(min(c_custkey) AS DOUBLE) FROM db2), (SELECT CAST(max(c_custkey) AS DOUBLE) FROM db2)), ('c_name', (SELECT CAST(count(c_name) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_name) AS BIGINT) FROM db2), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)), ('c_nationkey', (SELECT CAST(count(c_nationkey) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_nationkey) AS BIGINT) FROM db2), (SELECT CAST(min(c_nationkey) AS DOUBLE) FROM db2), (SELECT CAST(max(c_nationkey) AS DOUBLE) FROM db2)), ('c_acctbal', (SELECT CAST(count(c_acctbal) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_acctbal) AS BIGINT) FROM db2), (SELECT CAST(min(c_acctbal) AS DOUBLE) FROM db2), (SELECT CAST(max(c_acctbal) AS DOUBLE) FROM db2)), ('c_mktsegment', (SELECT CAST(count(c_mktsegment) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_mktsegment) AS BIGINT) FROM db2), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))) v(column_name, n_nonnull_2, n_null_2, min_val_2, max_val_2)) SELECT p1.column_name, n_nonnull_1, n_null_1, min_val_1, max_val_1, n_nonnull_2, n_null_2, min_val_2, max_val_2 FROM p1 JOIN p2 USING (column_name) WHERE n_nonnull_1 IS DISTINCT FROM n_nonnull_2 OR n_null_1 IS DISTINCT FROM n_null_2 OR min_val_1 IS DISTINCT FROM min_val_2 OR max_val_1 IS DISTINCT FROM max_val_2""",
         "psi_drift": """WITH db2 AS (SELECT c_custkey, CASE WHEN c_custkey % 101 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal FROM customer), spine AS (SELECT unnest(generate_series(0, 9)) AS bin_id), b1 AS (SELECT least(greatest(CAST(floor((CAST(c_acctbal AS DOUBLE) - 0.0) / 1000.0) AS BIGINT), 0), 9) AS bin_id, count(*) AS c1 FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1), b2 AS (SELECT least(greatest(CAST(floor((CAST(c_acctbal AS DOUBLE) - 0.0) / 1000.0) AS BIGINT), 0), 9) AS bin_id, count(*) AS c2 FROM db2 WHERE c_acctbal IS NOT NULL GROUP BY 1), counts AS (SELECT CAST(spine.bin_id AS BIGINT) AS bin_id, CAST(coalesce(c1, 0) AS BIGINT) AS n_1, CAST(coalesce(c2, 0) AS BIGINT) AS n_2 FROM spine LEFT JOIN b1 ON b1.bin_id = spine.bin_id LEFT JOIN b2 ON b2.bin_id = spine.bin_id), tot AS (SELECT sum(n_1) AS t1, sum(n_2) AS t2 FROM counts) SELECT bin_id, 0.0 + bin_id * 1000.0 AS lo_edge, 0.0 + (bin_id + 1) * 1000.0 AS hi_edge, n_1, n_2, round(((n_1 + 1) / (t1 + 10) - (n_2 + 1) / (t2 + 10)) * ln(((n_1 + 1) / (t1 + 10)) / ((n_2 + 1) / (t2 + 10))), 6) AS psi_term FROM counts CROSS JOIN tot""",

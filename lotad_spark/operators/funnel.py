@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -30,17 +30,36 @@ def funnel_counts(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """(step_index, step, n_users) — users whose events contain the step
     sequence in timestamp order (strictly increasing between steps).
 
-    A user reaches step i when some step-i event is strictly AFTER the
-    earliest time they reached step i-1; the earliest such time becomes
-    their step-i reach time. Greedy earliest-match is optimal (matching
-    any later step-i event only shrinks the room for step i+1), so this
-    computes exact subsequence containment without per-user arrays."""
+    Unbounded (``within_seconds=None``): a user reaches step i when some
+    step-i event is strictly AFTER the earliest time they reached step
+    i-1; the earliest such time becomes their step-i reach time. Greedy
+    earliest-match is optimal (matching any later step-i event only
+    shrinks the room for step i+1), so this computes exact subsequence
+    containment without per-user arrays.
+
+    Windowed (``within_seconds=w``): each transition must land within w
+    seconds of SOME reachable previous-step event — the product-
+    analytics conversion window, multi-attempt semantics (a user whose
+    first attempt stalls but whose second attempt converts counts).
+    Greedy-from-the-earliest is WRONG here (the earliest step-1 event
+    may close its window before a later attempt would have converted),
+    so each round keeps the full reachable event set — but never joins
+    it against candidates: a candidate converts iff the LATEST reachable
+    previous event before it is within w, which one asof-style
+    union + running-max window per step computes with zero fan-out.
+    Shuffles stay keyed on user; per-user window state is one running
+    timestamp."""
     if not steps:
         raise ValueError("funnel_counts: need at least one step")
+    if within_seconds is not None:
+        return _windowed_funnel(
+            events, list(steps), user_col, type_col, ts_col, within_seconds
+        )
     reached = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
@@ -70,6 +89,68 @@ def funnel_counts(
     # always has len(steps) rows.
     out = out_rows[0]
     for frame in out_rows[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+def _windowed_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    within_seconds: int,
+) -> DataFrame:
+    """Conversion-window funnel: reachable step-i events are step-i
+    events within ``within_seconds`` after the latest reachable step-
+    (i-1) event before them (strictly after — the running max excludes
+    equal timestamps by sorting candidates before predecessors on
+    ties). DP over event sets, one user-keyed window per step."""
+    reach = (
+        events.filter(F.col(type_col) == steps[0])
+        .select(F.col(user_col).alias("_u"), F.col(ts_col).alias("_t"))
+        .distinct()
+    )
+    counts = [reach.agg(
+        F.lit(0).alias("step_index"),
+        F.lit(steps[0]).alias("step"),
+        F.count_distinct(F.col("_u")).cast("bigint").alias("n_users"),
+    )]
+    w = (
+        Window.partitionBy("_u")
+        .orderBy("_t", "_isp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        cand = (
+            events.filter(F.col(type_col) == step)
+            .select(F.col(user_col).alias("_u"), F.col(ts_col).alias("_t"))
+            .distinct()
+        )
+        u = reach.withColumn("_isp", F.lit(1)).unionByName(
+            cand.withColumn("_isp", F.lit(0))
+        )
+        prev_ts = F.max(F.when(F.col("_isp") == 1, F.col("_t"))).over(w)
+        reach = (
+            u.withColumn("_pts", prev_ts)
+            .filter(
+                (F.col("_isp") == 0)
+                & F.col("_pts").isNotNull()
+                & (
+                    F.col("_t")
+                    <= F.col("_pts")
+                    + F.make_interval(secs=F.lit(float(within_seconds)))
+                )
+            )
+            .select("_u", "_t")
+        )
+        counts.append(reach.agg(
+            F.lit(i).alias("step_index"),
+            F.lit(step).alias("step"),
+            F.count_distinct(F.col("_u")).cast("bigint").alias("n_users"),
+        ))
+    out = counts[0]
+    for frame in counts[1:]:
         out = out.unionByName(frame)
     return out
 

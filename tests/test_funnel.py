@@ -91,3 +91,86 @@ class TestRetention:
         assert sum(r.cohort_size for r in day0.values()) == (
             ev.select("user_id").distinct().count()
         )
+
+
+class TestWindowedFunnel:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, event_type string, ts timestamp"
+        )
+
+    def test_window_excludes_slow_transitions(self, spark):
+        from datetime import datetime, timedelta
+
+        from lotad_spark.operators.funnel import funnel_counts
+
+        t0 = datetime(2024, 1, 1)
+        ev = self._ev(spark, [
+            (1, "view", t0),
+            (1, "click", t0 + timedelta(minutes=10)),   # inside 30 min
+            (2, "view", t0),
+            (2, "click", t0 + timedelta(hours=2)),      # outside
+        ])
+        got = {
+            r.step_index: r.n_users
+            for r in funnel_counts(
+                ev, ["view", "click"], within_seconds=1800
+            ).collect()
+        }
+        assert got == {0: 2, 1: 1}
+
+    def test_multi_attempt_converts(self, spark):
+        """Greedy-from-earliest would return 0 converters here: the
+        first view's window closes, but the second attempt lands."""
+        from datetime import datetime, timedelta
+
+        from lotad_spark.operators.funnel import funnel_counts
+
+        t0 = datetime(2024, 1, 1)
+        ev = self._ev(spark, [
+            (1, "view", t0),
+            (1, "view", t0 + timedelta(hours=2)),
+            (1, "click", t0 + timedelta(hours=2, minutes=10)),
+        ])
+        got = {
+            r.step_index: r.n_users
+            for r in funnel_counts(
+                ev, ["view", "click"], within_seconds=1800
+            ).collect()
+        }
+        assert got == {0: 1, 1: 1}
+
+    def test_equal_timestamp_not_a_transition(self, spark):
+        from datetime import datetime
+
+        from lotad_spark.operators.funnel import funnel_counts
+
+        t0 = datetime(2024, 1, 1)
+        ev = self._ev(spark, [(1, "view", t0), (1, "click", t0)])
+        got = {
+            r.step_index: r.n_users
+            for r in funnel_counts(
+                ev, ["view", "click"], within_seconds=1800
+            ).collect()
+        }
+        assert got == {0: 1, 1: 0}
+
+    def test_unbounded_equals_huge_window_on_real_data(self, spark, sf_dir):
+        """With a window wider than the whole observation span, the
+        windowed DP and the unbounded greedy must agree (both compute
+        exact subsequence containment)."""
+        from lotad_spark.operators.funnel import funnel_counts
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        ev = ParquetDatabase(spark, sf_dir, "db").table("events")
+        steps = ["view", "click", "purchase"]
+        unbounded = {
+            r.step_index: r.n_users for r in funnel_counts(ev, steps).collect()
+        }
+        huge = {
+            r.step_index: r.n_users
+            for r in funnel_counts(
+                ev, steps, within_seconds=10**9
+            ).collect()
+        }
+        assert huge == unbounded
