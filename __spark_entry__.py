@@ -1139,6 +1139,20 @@ def q_quantiles_online(spark, sf_dir):
     )
 
 
+def q_value_deciles(spark, sf_dir):
+    """Adaptive quantile bucketing: every event tagged with its value
+    decile — boundaries from the mergeable histogram quantiles (one
+    aggregation), assignment a stateless projection against 9 collected
+    boundary literals. The curation shape behind "drop the bottom
+    quality decile"."""
+    from lotad_spark.operators.profile import quantile_buckets
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    return quantile_buckets(
+        ev, "value", lo=0.0, hi=250.0, n_buckets=10, n_bins=100
+    )
+
+
 def q_anomaly_online(spark, sf_dir):
     """Online anomaly flags from landed stream counts: the SAME
     value_histogram definition readStream runs feeds per-bin rolling
@@ -2103,17 +2117,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-green round, (c) multi-round-green reference-parity core.
     Layout this round:
 
-    * 1-12: the twelve rows new this round (span dedup ×2, journey
+    * 1-13: the thirteen rows new this round (span dedup ×2, journey
       paths ×2, rolling z-score anomaly + its online face, sliding
       windows, BPE ×2, temperature rates, multi-grain cube, the
-      conversion-window funnel);
-    * 13-33: the twenty-one rows that had never been driver-verified
+      conversion-window funnel, quantile bucketing);
+    * 14-34: the twenty-one rows that had never been driver-verified
       as of r6's file (r6's seven analytics oracles, the snapshot /
       index-probe / sqlite rows, and the eleven temporal/quantile rows
       added after r6's snapshot);
-    * 34-43: rows green in r5 only (pushed out by r6's window
+    * 35-44: rows green in r5 only (pushed out by r6's window
       overflow), plus the repaired quantize_embeddings;
-    * 44-50: multi-round-green core representatives (diff family core,
+    * 45-50: multi-round-green core representatives (diff family core,
       schema drift, summary);
     * 51+: rotated out — every row here has at least one driver-green
       round with unchanged code since, and the full registry stays
@@ -2121,7 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       COVERAGE.md "Driver-window rotation".
     """
     return {
-        # --- 1-12: new this round (no driver row yet) ---
+        # --- 1-13: new this round (no driver row yet) ---
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "event_transitions": q_event_transitions,
@@ -2134,7 +2148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_grain_cube": q_multi_grain_cube,
         "anomaly_online": q_anomaly_online,
         "events_funnel_windowed": q_events_funnel_windowed,
-        # --- 13-33: never driver-verified in any prior round ---
+        "value_deciles": q_value_deciles,
+        # --- 14-34: never driver-verified in any prior round ---
         "events_funnel": q_events_funnel,
         "profile_drift": q_profile_drift,
         "events_retention": q_events_retention,
@@ -2156,7 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_online": q_quantiles_online,
         "weighted_sample": q_weighted_sample,
         "psi_online": q_psi_online,
-        # --- 34-43: one driver-green round (r5) only ---
+        # --- 35-44: one driver-green round (r5) only ---
         "quantize_embeddings": q_quantize_embeddings,
         "custom_query_diff": q_custom_query_diff,
         "dedup_embedding": q_dedup_embedding,
@@ -2167,15 +2182,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "skew_salted_join": q_skew_salted_join,
         "skew_two_phase_agg": q_skew_two_phase_agg,
-        # --- 44-50: multi-round-green reference-parity core ---
+        # --- 45-50: multi-round-green reference-parity core ---
         "diff_deleted_rows": q_diff_deleted_rows,
         "diff_deleted_rows_groupby": q_diff_deleted_rows_groupby,
         "diff_value_change": q_diff_value_change,
         "diff_counts": q_diff_counts,
-        "diff_dup_collapse": q_diff_dup_collapse,
         "schema_drift_records": q_schema_drift_records,
         "drift_summary": q_drift_summary,
         # --- 51+: rotated out (multi-round driver-green, local gate) ---
+        "diff_dup_collapse": q_diff_dup_collapse,
         "missing_table_records": q_missing_table_records,
         "wizard_overlap_probe": q_wizard_overlap_probe,
         "q1_lineitem_agg": q_q1_lineitem_agg,
@@ -2917,6 +2932,26 @@ def oracle_sql() -> dict[str, str]:
     )
     # Per-hour online quantiles: same binning/interpolation, grouped by
     # the landed window column.
+    oracles["value_deciles"] = (
+        "WITH h AS (SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0)/2.5)"
+        " AS BIGINT), 0), 99) AS bin_id, CAST(count(*) AS BIGINT) AS n"
+        " FROM events WHERE value IS NOT NULL GROUP BY 1),"
+        "spine AS (SELECT r.range AS bin_id FROM range(100) r),"
+        "c AS (SELECT s.bin_id, COALESCE(h.n, 0) AS n,"
+        " SUM(COALESCE(h.n, 0)) OVER (ORDER BY s.bin_id) AS cum"
+        " FROM spine s LEFT JOIN h USING (bin_id)),"
+        "t AS (SELECT MAX(cum) AS total FROM c),"
+        "qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.1),(0.2),"
+        "(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9)) v(q)),"
+        "pick AS (SELECT q, MIN(c.bin_id) AS bin_id FROM qs, c, t"
+        " WHERE c.n > 0 AND c.cum >= q * t.total GROUP BY q),"
+        "bnd AS (SELECT ROUND(0.0 + p.bin_id * 2.5 +"
+        " ((p.q * t.total - (c.cum - c.n)) / c.n) * 2.5, 6) AS est"
+        " FROM pick p JOIN c ON c.bin_id = p.bin_id JOIN t ON true) "
+        "SELECT event_id, value, CASE WHEN value IS NULL THEN NULL ELSE"
+        " CAST(LEAST((SELECT count(*) FROM bnd WHERE value > bnd.est), 9)"
+        " AS BIGINT) END AS bucket FROM events"
+    )
     oracles["anomaly_online"] = (
         "WITH h AS ("
         "  SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR)"

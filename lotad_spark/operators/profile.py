@@ -209,6 +209,58 @@ def psi_from_counts(
     )
 
 
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    n_bins: int = 100,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Input columns + a quantile ``bucket`` (0 .. n_buckets−1) for
+    ``value_col`` — the adaptive-threshold curation step ("drop the
+    bottom quality decile", "stratify by length decile") that fixed
+    cutoffs can't express.
+
+    Boundaries come from the mergeable histogram quantile machinery
+    (``column_histogram`` + ``quantiles_from_counts`` at
+    i/n_buckets), so they are deterministic arithmetic both engines
+    reproduce; assignment is a pure expression counting boundaries
+    below the value (bucket = #{b_i < v}, clamped to n_buckets−1;
+    NULL values get NULL). Boundary estimates are rounded to 6
+    decimals before comparing — identical literals on any engine.
+
+    Scale: one histogram aggregation over the data, n_buckets−1
+    boundary scalars collected (bounded), then a stateless projection —
+    no second shuffle, no sort. Accuracy is bin-width-bounded: size
+    ``n_bins`` to the resolution the buckets need."""
+    if n_buckets < 2:
+        raise ValueError(
+            f"quantile_buckets: need n_buckets >= 2, got {n_buckets}"
+        )
+    hist = column_histogram(df, col=value_col, lo=lo, hi=hi, n_bins=n_bins)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(
+        (float(r.q), float(r.est))
+        for r in quantiles_from_counts(
+            hist, lo=lo, hi=hi, n_bins=n_bins, qs=qs
+        ).collect()
+    )
+    v = F.col(value_col)
+    bucket = F.lit(0)
+    for _, b in bounds:
+        bucket = bucket + F.when(v > F.lit(b), 1).otherwise(0)
+    return df.withColumn(
+        bucket_col,
+        F.when(
+            v.isNotNull(),
+            F.least(bucket, F.lit(n_buckets - 1)).cast("bigint"),
+        ),
+    )
+
+
 def bin_id_expr(col: str, lo: float, hi: float, n_bins: int):
     """THE equal-width binning contract: floor((v - lo)/width), clamped
     into the edge bins. One definition shared by batch histograms here

@@ -333,3 +333,49 @@ class TestHistogramQuantiles:
             for q, est in solo.items():
                 assert grouped[(g, q)] == est
         assert len(grouped) == 4
+
+
+class TestQuantileBuckets:
+    def test_uniform_values_bucket_evenly(self, spark):
+        from lotad_spark.operators.profile import quantile_buckets
+
+        df = spark.range(1000).select(
+            F.col("id"), (F.col("id") + 0.5).cast("double").alias("v")
+        )
+        out = quantile_buckets(
+            df, "v", lo=0.0, hi=1000.0, n_buckets=10, n_bins=100
+        )
+        sizes = {
+            r.bucket: r.n
+            for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(sizes) == set(range(10))
+        # uniform data: each decile holds ~100 of 1000 (bin-width slack)
+        for b, n in sizes.items():
+            assert 80 <= n <= 120, (b, n)
+        # buckets are monotone in the value
+        rows = out.orderBy("v").collect()
+        assert all(
+            a.bucket <= b.bucket for a, b in zip(rows, rows[1:])
+        )
+
+    def test_null_and_bounds(self, spark):
+        from lotad_spark.operators.profile import quantile_buckets
+
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 9999.0), (4, -50.0)],
+            "id long, v double",
+        )
+        out = {
+            r.id: r.bucket
+            for r in quantile_buckets(
+                df, "v", lo=0.0, hi=100.0, n_buckets=4, n_bins=10
+            ).collect()
+        }
+        assert out[2] is None          # NULL stays NULL
+        assert out[3] == 3             # above range -> top bucket
+        assert out[4] == 0             # below range -> bottom bucket
+        with _pytest.raises(ValueError):
+            quantile_buckets(df, "v", lo=0.0, hi=1.0, n_buckets=1)
