@@ -291,6 +291,11 @@ def multi_grain_report(
     number of grains; at very high dims prefer ``rollup`` (d+2 grains,
     not 2^(d+1)) or explicit grouping-set subsets."""
     dims = list(dims)
+    if "bucket" in dims:
+        raise ValueError(
+            "multi_grain_report: 'bucket' is the time-bucket output "
+            "column; alias the dim first"
+        )
     base = events.select(
         F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
         *[F.col(f"`{d}`") for d in dims],

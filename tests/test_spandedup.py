@@ -86,6 +86,58 @@ class TestSpanPlans:
         assert "windowspecdefinition(doc_id" in plan
 
 
+class TestRandomizedVsBruteForce:
+    def test_random_corpora_match_reference(self, spark):
+        """Seeded random corpora vs an independent O(n·m) in-memory
+        reference: same gram-repeat detection, same island merge."""
+        import random
+
+        rng = random.Random(20240814)
+        vocab = [f"w{i}" for i in range(12)]  # small vocab -> collisions
+        n = 4
+        docs = []
+        for doc_id in range(40):
+            length = rng.randint(0, 20)
+            docs.append(
+                (doc_id, " ".join(rng.choice(vocab) for _ in range(length)))
+            )
+
+        # reference: positional n-grams, global count >= 2, merge islands
+        from collections import Counter
+
+        grams = {}  # doc -> [(pos, gram)]
+        counts = Counter()
+        for doc_id, text in docs:
+            toks = text.split()
+            g = [
+                (p, " ".join(toks[p:p + n]))
+                for p in range(len(toks) - n + 1)
+            ]
+            grams[doc_id] = g
+            counts.update(gr for _, gr in g)
+        expected = set()
+        for doc_id, g in grams.items():
+            dup_pos = sorted(p for p, gr in g if counts[gr] >= 2)
+            if not dup_pos:
+                continue
+            start = prev = dup_pos[0]
+            n_g = 1
+            for p in dup_pos[1:]:
+                if p - prev > n:
+                    expected.add((doc_id, start, prev + n - 1, n_g))
+                    start, n_g = p, 0
+                prev = p
+                n_g += 1
+            expected.add((doc_id, start, prev + n - 1, n_g))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+            for r in duplicate_spans(df, n=n).collect()
+        }
+        assert got == expected
+
+
 class TestStripDuplicateSpans:
     def test_strip(self, spark, corpus):
         out = {
