@@ -249,5 +249,65 @@ def rollup(events_path, store_path, ts_col, value_col, unit, dims,
         )
 
 
+@cli.command("dedup-spans")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (doc_id, text, ...) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes OUTPUT/spans and (with --strip) OUTPUT/stripped")
+@click.option("--ngram", "n", default=6, show_default=True,
+              help="Span resolution: minimum duplicated run length in tokens")
+@click.option("--min-count", default=2, show_default=True,
+              help="A gram is duplicated when it occurs this often corpus-wide")
+@click.option("--strip/--no-strip", default=False, show_default=True,
+              help="Also write the corpus with duplicated spans removed")
+def dedup_spans_cmd(docs_path, output_path, n, min_count, strip) -> None:
+    """Find (and optionally strip) duplicated substring spans —
+    span-level ExactSubstr dedup over the corpus."""
+    from lotad_spark.pipeline.spandedup import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_dedup_spans")
+    docs = read_table(spark, docs_path)
+    spans = duplicate_spans(docs, n=n, min_count=min_count)
+    spans.write.mode("overwrite").parquet(f"{output_path}/spans")
+    n_spans = spark.read.parquet(f"{output_path}/spans").count()
+    msg = f"dedup-spans: wrote {n_spans} spans to {output_path}/spans"
+    if strip:
+        stripped = strip_duplicate_spans(docs, n=n, min_count=min_count)
+        stripped.write.mode("overwrite").parquet(f"{output_path}/stripped")
+        n_hit = (
+            spark.read.parquet(f"{output_path}/stripped")
+            .filter("n_tokens_removed > 0")
+            .count()
+        )
+        msg += f"; stripped corpus ({n_hit} docs touched)"
+    click.echo(msg)
+
+
+@cli.command("bpe-train")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (doc_id, text, ...) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes the merge table parquet (rank, left, right, pair_count)")
+@click.option("--merges", "num_merges", default=1000, show_default=True)
+def bpe_train_cmd(docs_path, output_path, num_merges) -> None:
+    """Learn a BPE merge table from the corpus (distributed: one
+    raw-text pass, then merge rounds over the compact vocabulary)."""
+    from lotad_spark.pipeline.bpe import train_bpe
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_bpe")
+    docs = read_table(spark, docs_path)
+    merges = train_bpe(docs, num_merges=num_merges)
+    merges.write.mode("overwrite").parquet(output_path)
+    n = spark.read.parquet(output_path).count()
+    click.echo(f"bpe-train: learned {n} merges to {output_path}")
+
+
 if __name__ == "__main__":
     cli()

@@ -170,3 +170,50 @@ class TestStripDuplicateSpans:
         )
         for r in joined:
             assert r.n0 == r.n1 + r.n_tokens_removed
+
+
+class TestSpanCli:
+    def test_dedup_spans_command(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(
+            CORPUS, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(src)
+        out = str(tmp_path / "out")
+        result = CliRunner().invoke(
+            cli,
+            ["dedup-spans", "--docs", src, "--output", out, "--strip"],
+            catch_exceptions=False,
+        )
+        assert result.exit_code == 0, result.output
+        assert "wrote 3 spans" in result.output
+        assert "3 docs touched" in result.output
+        stripped = {
+            r.doc_id: r.n_tokens_removed
+            for r in spark.read.parquet(f"{out}/stripped").collect()
+        }
+        assert stripped[6] == 12
+
+    def test_bpe_train_command(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        src = str(tmp_path / "docs_bpe")
+        spark.createDataFrame(
+            [(1, "low low lower lowest")], "doc_id long, text string"
+        ).write.mode("overwrite").parquet(src)
+        out = str(tmp_path / "merges")
+        result = CliRunner().invoke(
+            cli,
+            ["bpe-train", "--docs", src, "--output", out, "--merges", "4"],
+            catch_exceptions=False,
+        )
+        assert result.exit_code == 0, result.output
+        assert "learned 4 merges" in result.output
+        rows = spark.read.parquet(out).orderBy("rank").collect()
+        assert [r.rank for r in rows] == [0, 1, 2, 3]
+        assert rows[0].left == "l" and rows[0].right == "o"  # 'lo' ×4
