@@ -496,6 +496,28 @@ def q_dup_spans(spark, sf_dir):
     return duplicate_spans(_near_dup_corpus(spark, sf_dir), n=6)
 
 
+def q_span_index_probe(spark, sf_dir):
+    """Ingestion-time span dedup: persist the base corpus's gram counts
+    once (write_span_index — 16-byte keys, no text), then find the new
+    batch's duplicated spans against corpus ∪ batch without re-reading
+    the corpus. Oracle: the batch operator over the union, restricted
+    to batch documents — the incremental path must be bit-equal."""
+    from lotad_spark.pipeline.spandedup import (
+        duplicate_spans_against_index,
+        write_span_index,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="lotad_spanidx_") + "/index"
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    write_span_index(base, idx_dir, n=6)
+    batch = (
+        base.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz tail words")))
+    )
+    return duplicate_spans_against_index(batch, idx_dir, n=6)
+
+
 def q_strip_dup_spans(spark, sf_dir):
     """Span-stripped rewrite of the near-dup corpus: duplicated passages
     removed, untouched documents byte-identical. The oracle rebuilds the
@@ -1572,6 +1594,13 @@ SELECT doc_id, CAST(s AS BIGINT) AS span_start, CAST(e AS BIGINT) AS span_end,
 FROM spans
 """
 
+# Incremental probe == batch spans over the union, batch docs only.
+_SPAN_INDEX_PROBE_SQL = f"""{_SPAN_CTES_SQL}
+SELECT doc_id, CAST(s AS BIGINT) AS span_start, CAST(e AS BIGINT) AS span_end,
+       CAST(ng AS BIGINT) AS n_dup_grams
+FROM spans WHERE doc_id >= 100000
+"""
+
 _STRIP_SPANS_SQL = f"""{_SPAN_CTES_SQL},
 cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
 tp0 AS (
@@ -2117,25 +2146,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-green round, (c) multi-round-green reference-parity core.
     Layout this round:
 
-    * 1-13: the thirteen rows new this round (span dedup ×2, journey
+    * 1-14: the fourteen rows new this round (span dedup ×2, journey
       paths ×2, rolling z-score anomaly + its online face, sliding
       windows, BPE ×2, temperature rates, multi-grain cube, the
-      conversion-window funnel, quantile bucketing);
-    * 14-34: the twenty-one rows that had never been driver-verified
+      conversion-window funnel, quantile bucketing, the incremental
+      span index probe);
+    * 15-35: the twenty-one rows that had never been driver-verified
       as of r6's file (r6's seven analytics oracles, the snapshot /
       index-probe / sqlite rows, and the eleven temporal/quantile rows
       added after r6's snapshot);
-    * 35-44: rows green in r5 only (pushed out by r6's window
+    * 36-45: rows green in r5 only (pushed out by r6's window
       overflow), plus the repaired quantize_embeddings;
-    * 45-50: multi-round-green core representatives (diff family core,
-      schema drift, summary);
+    * 46-50: multi-round-green core representatives (diff family core,
+      schema drift);
     * 51+: rotated out — every row here has at least one driver-green
       round with unchanged code since, and the full registry stays
       enforced by scripts/check_oracle.py and the pytest suite. See
       COVERAGE.md "Driver-window rotation".
     """
     return {
-        # --- 1-13: new this round (no driver row yet) ---
+        # --- 1-14: new this round (no driver row yet) ---
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "event_transitions": q_event_transitions,
@@ -2149,7 +2179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_online": q_anomaly_online,
         "events_funnel_windowed": q_events_funnel_windowed,
         "value_deciles": q_value_deciles,
-        # --- 14-34: never driver-verified in any prior round ---
+        "span_index_probe": q_span_index_probe,
+        # --- 15-35: never driver-verified in any prior round ---
         "events_funnel": q_events_funnel,
         "profile_drift": q_profile_drift,
         "events_retention": q_events_retention,
@@ -2171,7 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_online": q_quantiles_online,
         "weighted_sample": q_weighted_sample,
         "psi_online": q_psi_online,
-        # --- 35-44: one driver-green round (r5) only ---
+        # --- 36-45: one driver-green round (r5) only ---
         "quantize_embeddings": q_quantize_embeddings,
         "custom_query_diff": q_custom_query_diff,
         "dedup_embedding": q_dedup_embedding,
@@ -2182,14 +2213,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "skew_salted_join": q_skew_salted_join,
         "skew_two_phase_agg": q_skew_two_phase_agg,
-        # --- 45-50: multi-round-green reference-parity core ---
+        # --- 46-50: multi-round-green reference-parity core ---
         "diff_deleted_rows": q_diff_deleted_rows,
         "diff_deleted_rows_groupby": q_diff_deleted_rows_groupby,
         "diff_value_change": q_diff_value_change,
         "diff_counts": q_diff_counts,
         "schema_drift_records": q_schema_drift_records,
-        "drift_summary": q_drift_summary,
         # --- 51+: rotated out (multi-round driver-green, local gate) ---
+        "drift_summary": q_drift_summary,
         "diff_dup_collapse": q_diff_dup_collapse,
         "missing_table_records": q_missing_table_records,
         "wizard_overlap_probe": q_wizard_overlap_probe,
@@ -2480,6 +2511,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_near_minhash": _NEAR_DUP_SQL,
         "dup_spans": _DUP_SPANS_SQL,
+        "span_index_probe": _SPAN_INDEX_PROBE_SQL,
         "strip_dup_spans": _STRIP_SPANS_SQL,
         # GROUPING() packs bits first-column-most-significant in both
         # engines, so grain ids align without translation.

@@ -112,6 +112,76 @@ def duplicate_spans(
     )
 
 
+def write_span_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_N,
+) -> None:
+    """Persist the corpus's gram-occurrence counts — (gh, n_occurrences)
+    parquet, 16-byte keys and a count, never text. The nightly-ingest
+    face of span dedup: tomorrow's batch probes this index instead of
+    re-reading the corpus."""
+    (
+        positional_ngrams(df, id_col, text_col, n)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def duplicate_spans_against_index(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_N,
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicated spans of a NEW batch against corpus ∪ batch, without
+    re-reading the corpus: a gram is duplicated when its stored corpus
+    count plus its batch count reaches ``min_count`` — exactly the
+    count the batch operator would see over the union, so results are
+    bit-equal to ``duplicate_spans(corpus ∪ batch)`` restricted to
+    batch documents (the oracle contract). One equi-join on the 16-byte
+    gram key; index rows never fan out (grouped to one count per key)."""
+    spark = new_docs.sparkSession
+    grams = positional_ngrams(new_docs, id_col, text_col, n)
+    batch_counts = grams.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("_bc")
+    )
+    idx = spark.read.parquet(index_path)
+    total = (
+        batch_counts.join(idx, "gh", "left")
+        .select(
+            "gh",
+            (F.col("_bc") + F.coalesce("n_occurrences", F.lit(0))).alias("_tc"),
+        )
+        .filter(F.col("_tc") >= min_count)
+        .select("gh")
+    )
+    marked = grams.join(total, "gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        marked.withColumn(
+            "_new",
+            F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w))
+    )
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_dup_grams")
+    )
+
+
 def strip_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

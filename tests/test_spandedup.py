@@ -138,6 +138,46 @@ class TestRandomizedVsBruteForce:
         assert got == expected
 
 
+class TestSpanIndex:
+    def test_incremental_equals_batch_over_union(self, spark, corpus, tmp_path):
+        """Probe against the stored index == batch spans over
+        corpus ∪ batch, restricted to batch docs — the oracle contract,
+        here on a corpus with cross-batch AND within-batch repeats."""
+        from lotad_spark.pipeline.spandedup import (
+            duplicate_spans_against_index,
+            write_span_index,
+        )
+
+        idx = str(tmp_path / "span_index")
+        write_span_index(corpus, idx, n=6)
+        batch = spark.createDataFrame(
+            [
+                # shares the doc-1 passage with the corpus
+                (100, "prefix the quick brown fox jumps over the lazy dog"),
+                # repeats only within the batch itself
+                (101, "x1 x2 x3 x4 x5 x6 end"),
+                (102, "x1 x2 x3 x4 x5 x6 other"),
+                (103, "nothing shared here at all with anyone truly"),
+            ],
+            "doc_id long, text string",
+        )
+        inc = {
+            (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+            for r in duplicate_spans_against_index(batch, idx, n=6).collect()
+        }
+        union_spans = {
+            (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+            for r in duplicate_spans(
+                corpus.unionByName(batch), n=6
+            ).collect()
+            if r.doc_id >= 100
+        }
+        assert inc == union_spans
+        assert any(d == 100 for d, *_ in inc)  # cross-batch repeat found
+        assert any(d == 101 for d, *_ in inc)  # within-batch repeat found
+        assert not any(d == 103 for d, *_ in inc)
+
+
 class TestStripDuplicateSpans:
     def test_strip(self, spark, corpus):
         out = {
