@@ -277,7 +277,12 @@ def dedup_spans_cmd(docs_path, output_path, n, min_count, strip) -> None:
     n_spans = spark.read.parquet(f"{output_path}/spans").count()
     msg = f"dedup-spans: wrote {n_spans} spans to {output_path}/spans"
     if strip:
-        stripped = strip_duplicate_spans(docs, n=n, min_count=min_count)
+        # Reuse the spans just written — the detection pipeline (the
+        # expensive part) runs once, not once per output.
+        stripped = strip_duplicate_spans(
+            docs, n=n, min_count=min_count,
+            spans=spark.read.parquet(f"{output_path}/spans"),
+        )
         stripped.write.mode("overwrite").parquet(f"{output_path}/stripped")
         n_hit = (
             spark.read.parquet(f"{output_path}/stripped")

@@ -1,14 +1,17 @@
 """Relational + pipeline operators of the lotad_spark engine."""
 
+from lotad_spark.operators.anomaly import rolling_zscore
 from lotad_spark.operators.asof import asof_join
 from lotad_spark.operators.diff import DiffResult, diff_tables, normalize_for_diff
 from lotad_spark.operators.funnel import funnel_counts, retention_cohorts
+from lotad_spark.operators.paths import event_transitions, path_signatures
 from lotad_spark.operators.range_join import range_join
 from lotad_spark.operators.rollup import (
     distinct_report,
     gapfill_rollup,
     merge_distinct_rollup,
     merge_rollup,
+    multi_grain_report,
     read_rollup,
     rollup_distinct,
     rollup_report,
@@ -25,11 +28,17 @@ from lotad_spark.operators.profile import (
     profile_table,
     psi_drift,
     psi_from_counts,
+    quantile_buckets,
     quantiles_from_counts,
 )
 
 __all__ = [
     "DiffResult",
+    "rolling_zscore",
+    "event_transitions",
+    "path_signatures",
+    "multi_grain_report",
+    "quantile_buckets",
     "asof_join",
     "column_histogram",
     "diff_tables",

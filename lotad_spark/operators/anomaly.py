@@ -39,8 +39,11 @@ def rolling_zscore(
     min_periods: int = 8,
     threshold: float = 3.0,
 ) -> DataFrame:
-    """Input columns + (z, is_anomaly) per bucket. ``value_col`` must be
-    integral (counts/sums from a rollup) so trailing sums are exact."""
+    """(key_cols…, ts_col, value_col, z, is_anomaly) per bucket — other
+    input columns are dropped (join back on the keys + ts to re-attach
+    them). ``value_col`` must be integral (counts/sums from a rollup)
+    so trailing sums are exact, and (key, ts) must be unique — the
+    grouped-rollup shape — so the trailing ROWS frame is deterministic."""
     keys = list(key_cols)
     w = (
         Window.partitionBy(*keys)

@@ -301,20 +301,23 @@ def multi_grain_report(
         *[F.col(f"`{d}`") for d in dims],
         F.col(value_col).cast("decimal(18,2)").alias("_v"),
     )
-    grouped = (
-        base.cube("bucket", *dims)
-        if grain == "cube"
-        else base.rollup("bucket", *dims)
-    )
     if grain not in ("cube", "rollup"):
         raise ValueError(f"multi_grain_report: unknown grain {grain!r}")
+    # Backtick-quoted Column refs throughout so dims with dots/spaces
+    # resolve as column names, not struct access.
+    dim_cols = [F.col(f"`{d}`") for d in dims]
+    grouped = (
+        base.cube(F.col("bucket"), *dim_cols)
+        if grain == "cube"
+        else base.rollup(F.col("bucket"), *dim_cols)
+    )
     return grouped.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.round(F.sum("_v").cast("double"), 2).alias("sum_value"),
         F.grouping_id().cast("bigint").alias("grain_id"),
     ).select(
         F.col("bucket").cast("string").alias("bucket"),
-        *dims,
+        *[F.col(f"`{d}`") for d in dims],
         "n_events",
         "sum_value",
         "grain_id",

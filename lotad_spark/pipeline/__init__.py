@@ -49,7 +49,14 @@ from lotad_spark.pipeline.multimodal import (
     resize_images,
     with_decoded_metadata,
 )
+from lotad_spark.pipeline.bpe import apply_bpe, train_bpe
 from lotad_spark.pipeline.dedup import exact_dedup_rows, ngram_jaccard
+from lotad_spark.pipeline.spandedup import (
+    duplicate_spans,
+    duplicate_spans_against_index,
+    strip_duplicate_spans,
+    write_span_index,
+)
 from lotad_spark.pipeline.text import winnow_fingerprint
 from lotad_spark.pipeline.sampling import (
     chunk_manifest,
@@ -108,6 +115,12 @@ __all__ = [
     "shuffle_batches",
     "stratified_cap",
     "temperature_rates",
+    "train_bpe",
+    "apply_bpe",
+    "duplicate_spans",
+    "strip_duplicate_spans",
+    "write_span_index",
+    "duplicate_spans_against_index",
     "tfidf_top_terms",
     "token_chunk_plan",
     "train_eval_split",

@@ -209,8 +209,9 @@ def temperature_rates(
     the head so low-resource sources aren't drowned): per source,
     (source, n_docs, p_raw, p_temp, keep_rate), where keep_rate is the
     largest Bernoulli rate realizing the p_temp mix WITHOUT upsampling
-    (the binding source keeps rate 1.0; feed the column straight into
-    ``mixture_sample``).
+    (the binding source keeps rate 1.0). ``mixture_sample`` takes the
+    rates as a dict — collect this |sources|-row relation first:
+    ``rates = {r[source_col]: r.keep_rate for r in out.collect()}``.
 
     Scale: one count aggregation over the corpus; every subsequent step
     is arithmetic on the |sources|-row relation against broadcast

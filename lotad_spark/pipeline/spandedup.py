@@ -71,28 +71,12 @@ def positional_ngrams(
     )
 
 
-def duplicate_spans(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = DEFAULT_N,
-    min_count: int = 2,
-) -> DataFrame:
-    """Maximal duplicated token spans per document:
-    (id, span_start, span_end, n_dup_grams) — token indices inclusive,
-    0-based; a span covers tokens [span_start, span_end] and every
-    n-gram inside it occurs >= min_count times corpus-wide.
-
-    Two covered intervals [p, p+n−1], [q, q+n−1] (p < q) merge iff
-    q <= p + n (overlapping or exactly adjacent)."""
-    grams = positional_ngrams(df, id_col, text_col, n)
-    dup_keys = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= min_count)
-        .select("gh")
-    )
-    marked = grams.join(dup_keys, "gh").select(id_col, "pos")
+def _spans_from_marked(marked: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated gram positions into maximal
+    spans — the ONE definition both the batch operator and the
+    incremental index probe assemble spans with (their bit-equality
+    contract depends on sharing it). Two covered intervals [p, p+n−1],
+    [q, q+n−1] (p < q) merge iff q <= p + n."""
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         marked.withColumn(
@@ -112,6 +96,28 @@ def duplicate_spans(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_N,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document:
+    (id, span_start, span_end, n_dup_grams) — token indices inclusive,
+    0-based; a span covers tokens [span_start, span_end] and every
+    n-gram inside it occurs >= min_count times corpus-wide."""
+    grams = positional_ngrams(df, id_col, text_col, n)
+    dup_keys = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("gh")
+    )
+    marked = grams.join(dup_keys, "gh").select(id_col, "pos")
+    return _spans_from_marked(marked, id_col, n)
+
+
 def write_span_index(
     df: DataFrame,
     path: str,
@@ -119,17 +125,24 @@ def write_span_index(
     text_col: str = "text",
     n: int = DEFAULT_N,
 ) -> None:
-    """Persist the corpus's gram-occurrence counts — (gh, n_occurrences)
-    parquet, 16-byte keys and a count, never text. The nightly-ingest
-    face of span dedup: tomorrow's batch probes this index instead of
-    re-reading the corpus."""
+    """Persist the corpus's gram-occurrence counts — ``path/grams``
+    parquet of (gh, n_occurrences): 16-byte keys and a count, never
+    text — plus ``path/params`` recording the gram length, so a probe
+    with a mismatched ``n`` fails loudly instead of silently
+    under-detecting (hashes of different-length grams never match).
+    The nightly-ingest face of span dedup: tomorrow's batch probes this
+    index instead of re-reading the corpus."""
+    spark = df.sparkSession
     (
         positional_ngrams(df, id_col, text_col, n)
         .groupBy("gh")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
         .write.mode("overwrite")
-        .parquet(path)
+        .parquet(f"{path}/grams")
     )
+    spark.createDataFrame([(int(n),)], "n int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/params")
 
 
 def duplicate_spans_against_index(
@@ -146,13 +159,20 @@ def duplicate_spans_against_index(
     count the batch operator would see over the union, so results are
     bit-equal to ``duplicate_spans(corpus ∪ batch)`` restricted to
     batch documents (the oracle contract). One equi-join on the 16-byte
-    gram key; index rows never fan out (grouped to one count per key)."""
+    gram key; index rows never fan out (grouped to one count per key).
+    Raises if ``n`` differs from the index's stored gram length."""
     spark = new_docs.sparkSession
+    stored_n = spark.read.parquet(f"{index_path}/params").collect()[0].n
+    if stored_n != n:
+        raise ValueError(
+            f"span index at {index_path} was built with n={stored_n}; "
+            f"probing with n={n} would silently miss every stored gram"
+        )
     grams = positional_ngrams(new_docs, id_col, text_col, n)
     batch_counts = grams.groupBy("gh").agg(
         F.count(F.lit(1)).alias("_bc")
     )
-    idx = spark.read.parquet(index_path)
+    idx = spark.read.parquet(f"{index_path}/grams")
     total = (
         batch_counts.join(idx, "gh", "left")
         .select(
@@ -163,23 +183,7 @@ def duplicate_spans_against_index(
         .select("gh")
     )
     marked = grams.join(total, "gh").select(id_col, "pos")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    islands = (
-        marked.withColumn(
-            "_new",
-            F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0),
-        )
-        .withColumn("_isl", F.sum("_new").over(w))
-    )
-    return (
-        islands.groupBy(id_col, "_isl")
-        .agg(
-            F.min("pos").cast("bigint").alias("span_start"),
-            (F.max("pos") + F.lit(n - 1)).cast("bigint").alias("span_end"),
-            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
-        )
-        .select(id_col, "span_start", "span_end", "n_dup_grams")
-    )
+    return _spans_from_marked(marked, id_col, n)
 
 
 def strip_duplicate_spans(
@@ -188,16 +192,23 @@ def strip_duplicate_spans(
     text_col: str = "text",
     n: int = DEFAULT_N,
     min_count: int = 2,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Rewrite each document with its duplicated spans removed:
     (id, text, n_tokens_removed). Documents with no duplicated span pass
     through unchanged with n_tokens_removed = 0.
 
+    Pass ``spans`` (a ``duplicate_spans``-shaped relation, e.g. one
+    already computed and written out) to skip re-running the detection
+    pipeline; ``n`` must then match the grams the spans were built with.
+
     The span relation re-joins to the corpus on id (one shuffle of
     span metadata — 3 ints per span, never text); removal itself is a
     pure filter over token positions, no Python in the loop."""
+    if spans is None:
+        spans = duplicate_spans(df, id_col, text_col, n, min_count)
     spans = (
-        duplicate_spans(df, id_col, text_col, n, min_count)
+        spans
         .groupBy(id_col)
         .agg(
             F.collect_list(

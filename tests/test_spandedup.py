@@ -177,6 +177,11 @@ class TestSpanIndex:
         assert any(d == 101 for d, *_ in inc)  # within-batch repeat found
         assert not any(d == 103 for d, *_ in inc)
 
+        # mismatched gram length fails loudly instead of silently
+        # missing every stored gram
+        with pytest.raises(ValueError, match="n=6"):
+            duplicate_spans_against_index(batch, idx, n=8)
+
 
 class TestStripDuplicateSpans:
     def test_strip(self, spark, corpus):

@@ -885,6 +885,18 @@ def test_multi_grain_rollup_is_prefix_subset(spark):
 
     with pytest.raises(ValueError):
         multi_grain_report(ev, grain="nope")
+    with pytest.raises(ValueError, match="bucket"):
+        multi_grain_report(
+            ev.withColumnRenamed("event_type", "bucket"), dims=("bucket",)
+        )
+
+    # dims with dots resolve as column names, not struct access
+    dotted = ev.withColumnRenamed("event_type", "event.type")
+    got = {
+        r.grain_id
+        for r in multi_grain_report(dotted, dims=("event.type",)).collect()
+    }
+    assert got == {0, 1, 2, 3}
 
 
 def test_multi_grain_single_exchange(spark):
