@@ -496,6 +496,13 @@ def write_dedup_index(
     hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz")).write.mode(
         "overwrite"
     ).parquet(f"{path}/sizes")
+    # Record the build parameters: probing with different shingle/
+    # signature parameters never matches the stored bands, so a
+    # mismatch must fail loudly, not return an empty result.
+    docs.sparkSession.createDataFrame(
+        [(int(n), int(num_perms), int(bands))],
+        "n int, num_perms int, bands int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def near_dup_against_index(
@@ -514,9 +521,23 @@ def near_dup_against_index(
     half of dedup. The batch is shingled/banded fresh (it's the small
     side); candidates come from a band-bucket join against the stored
     band rows, and exact Jaccard verifies against the stored shingle
-    hashes — the corpus text is never touched. Same parameters must be
-    passed as at index time."""
+    hashes — the corpus text is never touched. Raises when the
+    parameters differ from those recorded at index-build time (indexes
+    written before parameter recording probe as before)."""
     spark = new_docs.sparkSession
+    try:
+        stored = spark.read.parquet(f"{index_path}/params").collect()[0]
+    except Exception:  # pre-params index layout: no recorded build args
+        stored = None
+    if stored is not None and (
+        (stored.n, stored.num_perms, stored.bands) != (n, num_perms, bands)
+    ):
+        raise ValueError(
+            f"dedup index at {index_path} was built with n={stored.n}, "
+            f"num_perms={stored.num_perms}, bands={stored.bands}; probing "
+            f"with n={n}, num_perms={num_perms}, bands={bands} would "
+            "silently match nothing"
+        )
     sh_new = shingles(new_docs, id_col, text_col, n)
     sigs = minhash_signatures(sh_new, id_col, num_perms)
     rows = num_perms // bands

@@ -495,3 +495,19 @@ class TestIncrementalDedupIndex:
         # the index relations (bands/shingles/sizes) read ids+hashes only
         assert text_scans and all(">= 100" in l for l in text_scans)
         assert len(scans) > len(text_scans)  # index scans exist, text-free
+
+    def test_param_mismatch_fails_loudly(self, spark, sf_dir, tmp_path):
+        import pytest as _pytest
+
+        from lotad_spark.pipeline import near_dup_against_index, write_dedup_index
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        docs = ParquetDatabase(spark, sf_dir, "db").table("documents").select(
+            "doc_id", "text"
+        )
+        idx = str(tmp_path / "idx3")
+        write_dedup_index(docs.filter("doc_id < 50"), idx, num_perms=8, bands=4)
+        with _pytest.raises(ValueError, match="num_perms=8"):
+            near_dup_against_index(
+                docs.filter("doc_id >= 50"), idx, num_perms=16, bands=8
+            )
