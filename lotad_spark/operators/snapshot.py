@@ -39,6 +39,17 @@ def write_hash_snapshot(
         .write.mode("overwrite")
         .parquet(path)
     )
+    # Record the hashed-column set beside the snapshot (sibling dir —
+    # the snapshot itself stays a plain one-column parquet): diffing
+    # with a different column set hashes differently, so EVERY row
+    # would read as changed; that must fail loudly, not plausibly.
+    df.sparkSession.createDataFrame(
+        [(",".join(cols), bool(json_strings))], "cols string, js boolean"
+    ).write.mode("overwrite").parquet(_params_path(path))
+
+
+def _params_path(path: str) -> str:
+    return f"{path.rstrip('/')}_params"
 
 
 def diff_against_snapshot(
@@ -61,6 +72,21 @@ def diff_against_snapshot(
     on the uniform 64-bit hash."""
     spark: SparkSession = df.sparkSession
     cols = sorted(columns) if columns is not None else sorted(df.columns)
+    try:
+        stored = spark.read.parquet(
+            _params_path(snapshot_path)
+        ).collect()[0]
+    except Exception:  # snapshot written before parameter recording
+        stored = None
+    if stored is not None and (
+        stored.cols != ",".join(cols) or stored.js != bool(json_strings)
+    ):
+        raise ValueError(
+            f"snapshot at {snapshot_path} hashed columns "
+            f"[{stored.cols}] (json_strings={stored.js}); diffing with "
+            f"[{','.join(cols)}] (json_strings={json_strings}) would "
+            "report every row as changed"
+        )
     snap = spark.read.parquet(snapshot_path).select(HASH_COL)
     cur = df.withColumn(
         HASH_COL, canonical_row_hash(df, cols, json_strings=json_strings)

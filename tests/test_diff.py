@@ -240,6 +240,26 @@ class TestKeyedDiff:
 
 
 class TestHashSnapshot:
+    def test_column_set_mismatch_fails_loudly(self, spark, customer, tmp_path):
+        """A snapshot hashed over different columns would report every
+        row as changed — the recorded column set rejects the diff."""
+        import pytest as _pytest
+
+        from lotad_spark.operators import (
+            diff_against_snapshot,
+            write_hash_snapshot,
+        )
+
+        snap = str(tmp_path / "snap_params")
+        write_hash_snapshot(customer, snap, columns=["c_custkey", "c_name"])
+        with _pytest.raises(ValueError, match="c_custkey,c_name"):
+            diff_against_snapshot(customer, snap)  # all columns
+        # matching columns still work
+        n = diff_against_snapshot(
+            customer, snap, columns=["c_custkey", "c_name"]
+        ).count()
+        assert n == 0
+
     def test_incremental_drift_matches_full_diff(self, spark, customer, tmp_path):
         """Snapshot drift must agree with the full row diff on what a
         fingerprint can know: same added rows (full columns), and one
