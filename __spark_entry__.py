@@ -549,6 +549,22 @@ def q_temperature_rates(spark, sf_dir):
     )
 
 
+def q_canonical_keep(spark, sf_dir):
+    """Merit-based survivor per duplicate cluster: the LONGEST member
+    wins (ties to smallest id) instead of dedup_components' arbitrary
+    min-id — the keep-list a production pipeline actually ships. One
+    join + one per-component rank window over the components relation."""
+    from lotad_spark.pipeline import dedup_components, near_dup_pairs
+    from lotad_spark.pipeline.dedup import canonical_docs
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    comps = dedup_components(near_dup_pairs(corpus, threshold=0.6))
+    scores = corpus.select(
+        "doc_id", F.length("text").cast("bigint").alias("text_len")
+    )
+    return canonical_docs(comps, scores, "text_len")
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """Round-0 BPE statistics: adjacent-symbol pair counts weighted by
     word frequency over the corpus word histogram — the one
@@ -2146,18 +2162,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-green round, (c) multi-round-green reference-parity core.
     Layout this round:
 
-    * 1-14: the fourteen rows new this round (span dedup ×2, journey
+    * 1-15: the fifteen rows new this round (span dedup ×2, journey
       paths ×2, rolling z-score anomaly + its online face, sliding
       windows, BPE ×2, temperature rates, multi-grain cube, the
       conversion-window funnel, quantile bucketing, the incremental
-      span index probe);
-    * 15-35: the twenty-one rows that had never been driver-verified
+      span index probe, merit-based canonical selection);
+    * 16-36: the twenty-one rows that had never been driver-verified
       as of r6's file (r6's seven analytics oracles, the snapshot /
       index-probe / sqlite rows, and the eleven temporal/quantile rows
       added after r6's snapshot);
-    * 36-45: rows green in r5 only (pushed out by r6's window
+    * 37-46: rows green in r5 only (pushed out by r6's window
       overflow), plus the repaired quantize_embeddings;
-    * 46-50: multi-round-green core representatives (diff family core,
+    * 47-50: multi-round-green core representatives (diff family core,
       schema drift);
     * 51+: rotated out — every row here has at least one driver-green
       round with unchanged code since, and the full registry stays
@@ -2165,7 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       COVERAGE.md "Driver-window rotation".
     """
     return {
-        # --- 1-14: new this round (no driver row yet) ---
+        # --- 1-15: new this round (no driver row yet) ---
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "event_transitions": q_event_transitions,
@@ -2180,7 +2196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_windowed": q_events_funnel_windowed,
         "value_deciles": q_value_deciles,
         "span_index_probe": q_span_index_probe,
-        # --- 15-35: never driver-verified in any prior round ---
+        "canonical_keep": q_canonical_keep,
+        # --- 16-36: never driver-verified in any prior round ---
         "events_funnel": q_events_funnel,
         "profile_drift": q_profile_drift,
         "events_retention": q_events_retention,
@@ -2202,7 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_online": q_quantiles_online,
         "weighted_sample": q_weighted_sample,
         "psi_online": q_psi_online,
-        # --- 36-45: one driver-green round (r5) only ---
+        # --- 37-46: one driver-green round (r5) only ---
         "quantize_embeddings": q_quantize_embeddings,
         "custom_query_diff": q_custom_query_diff,
         "dedup_embedding": q_dedup_embedding,
@@ -2213,13 +2230,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "skew_salted_join": q_skew_salted_join,
         "skew_two_phase_agg": q_skew_two_phase_agg,
-        # --- 46-50: multi-round-green reference-parity core ---
+        # --- 47-50: multi-round-green reference-parity core ---
         "diff_deleted_rows": q_diff_deleted_rows,
         "diff_deleted_rows_groupby": q_diff_deleted_rows_groupby,
         "diff_value_change": q_diff_value_change,
-        "diff_counts": q_diff_counts,
         "schema_drift_records": q_schema_drift_records,
         # --- 51+: rotated out (multi-round driver-green, local gate) ---
+        "diff_counts": q_diff_counts,
         "drift_summary": q_drift_summary,
         "diff_dup_collapse": q_diff_dup_collapse,
         "missing_table_records": q_missing_table_records,
@@ -2566,6 +2583,28 @@ def oracle_sql() -> dict[str, str]:
             "JOIN edges e ON e.src = r.dst) "
             "SELECT src AS doc_id, least(src, min(dst)) AS component_id "
             "FROM reach GROUP BY src"
+        ),
+        # Same recursive components, then the longest member (tie ->
+        # min id) per component via a rank window.
+        "canonical_keep": (
+            "WITH RECURSIVE corpus AS "
+            f"({_NEAR_DUP_CORPUS_SQL}), "
+            "pairs AS (SELECT id_a, id_b FROM "
+            f"({_NEAR_DUP_SQL})), "
+            "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT src, dst FROM edges "
+            "UNION SELECT r.src, e.dst FROM reach r "
+            "JOIN edges e ON e.src = r.dst), "
+            "comp AS (SELECT src AS doc_id, "
+            "least(src, min(dst)) AS component_id FROM reach GROUP BY src), "
+            "scored AS (SELECT c.component_id, c.doc_id, "
+            "CAST(length(co.text) AS BIGINT) AS text_len, "
+            "row_number() OVER (PARTITION BY c.component_id "
+            "ORDER BY length(co.text) DESC, c.doc_id) AS rn "
+            "FROM comp c JOIN corpus co USING (doc_id)) "
+            "SELECT component_id, doc_id AS keep_id, text_len "
+            "FROM scored WHERE rn = 1"
         ),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _SIMHASH_SQL,

@@ -22,7 +22,7 @@ swap for ``F.xxhash64`` — shapes unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -338,6 +338,40 @@ def dedup_components(
         edges.unpersist()
     return labels.select(
         F.col("id").alias(id_out), F.col("label").alias("component_id")
+    )
+
+
+def canonical_docs(
+    components: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick each duplicate cluster's canonical survivor BY MERIT:
+    (component_id, keep_id, <score_col>) — the highest-``score_col``
+    member wins (ties break to the smallest id, so selection is
+    deterministic). ``dedup_components`` keeps the minimum id, which is
+    arbitrary; production pipelines keep the longest / highest-quality
+    copy and drop the rest.
+
+    ``components`` is the (id, component_id) relation from
+    ``dedup_components``; ``scores`` any (id, score) relation (e.g.
+    ``quality_score`` output). One equi-join on id plus one per-
+    component rank window — WindowGroupLimit pushes the keep-1 filter
+    into the sort, so per-component state is one row, and singleton
+    components pass through (their only member is canonical)."""
+    w = Window.partitionBy("component_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        components.join(scores.select(id_col, score_col), id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component_id",
+            F.col(id_col).alias("keep_id"),
+            F.col(score_col),
+        )
     )
 
 

@@ -226,6 +226,39 @@ class TestDedupComponents:
         assert keep == {5, 20}
 
 
+class TestCanonicalDocs:
+    def test_highest_score_wins_ties_to_min_id(self, spark):
+        from lotad_spark.pipeline import dedup_components
+        from lotad_spark.pipeline.dedup import canonical_docs
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        comps = dedup_components(pairs)
+        scores = spark.createDataFrame(
+            [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)],
+            "doc_id long, q long",
+        )
+        got = {
+            r.component_id: (r.keep_id, r.q)
+            for r in canonical_docs(comps, scores, "q").collect()
+        }
+        # component 1: docs 2 and 3 tie at 9 -> min id 2 wins (not min-id 1)
+        assert got == {1: (2, 9), 10: (10, 4)}
+
+    def test_singletons_pass_through(self, spark):
+        from lotad_spark.pipeline import dedup_components
+        from lotad_spark.pipeline.dedup import canonical_docs
+
+        pairs = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+        comps = dedup_components(pairs)
+        scores = spark.createDataFrame(
+            [(7, 1), (8, 2)], "doc_id long, q long"
+        )
+        got = canonical_docs(comps, scores, "q").collect()
+        assert len(got) == 1 and got[0].keep_id == 8
+
+
 class TestLshSkewGuard:
     def test_max_bucket_drops_degenerate_buckets(self, spark):
         # 6 identical docs land in one bucket per band; max_bucket below 6
