@@ -518,6 +518,21 @@ def q_span_index_probe(spark, sf_dir):
     return duplicate_spans_against_index(batch, idx_dir, n=6)
 
 
+def q_contamination_spans(spark, sf_dir):
+    """Span-level decontamination: WHERE eval-set n-grams appear inside
+    training docs (not just which docs overlap) — eval gram keys
+    broadcast against the train-side positional grams, shared islands
+    merge. The output feeds strip_duplicate_spans(spans=...) for
+    surgical removal."""
+    from lotad_spark.pipeline.spandedup import contamination_spans
+
+    return contamination_spans(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        _eval_snippets(spark, sf_dir),
+        n=6,
+    )
+
+
 def q_strip_dup_spans(spark, sf_dir):
     """Span-stripped rewrite of the near-dup corpus: duplicated passages
     removed, untouched documents byte-identical. The oracle rebuilds the
@@ -884,6 +899,15 @@ def q_events_funnel_windowed(spark, sf_dir):
         ["view", "click", "purchase"],
         within_seconds=21600,
     )
+
+
+def q_rolling_active_users(spark, sf_dir):
+    """Exact rolling 7-day active users per day — distinct-over-a-
+    sliding-frame via contribution explosion of the per-user-DAY
+    relation (never raw events), one distinct + one count."""
+    from lotad_spark.operators.funnel import rolling_active_users
+
+    return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
 
 
 def q_events_retention(spark, sf_dir):
@@ -1610,6 +1634,47 @@ SELECT doc_id, CAST(s AS BIGINT) AS span_start, CAST(e AS BIGINT) AS span_end,
 FROM spans
 """
 
+# Span-level decontamination: train positions whose 6-gram is in the
+# eval key set, merged by the same gaps-and-islands rule.
+_CONTAM_SPANS_SQL = f"""
+WITH ev AS (
+    SELECT doc_id, array_to_string(list_slice({_TOKS}, 1, 30), ' ') AS text
+    FROM documents WHERE doc_id % 25 = 0
+),
+etoks AS (SELECT doc_id, {_TOKS} AS tk FROM ev),
+ek AS (
+    SELECT DISTINCT unnest(list_transform(range(1, len(tk) - 6 + 2),
+        i -> substr(md5(array_to_string(tk[i:i+5], ' ')), 1, 16))) AS gh
+    FROM etoks WHERE len(tk) >= 6
+),
+ttoks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+pg0 AS (
+    SELECT doc_id,
+        unnest(list_transform(range(1, len(tk) - 6 + 2),
+            i -> {{'pos': i - 1,
+                   'gh': substr(md5(array_to_string(tk[i:i+5], ' ')), 1, 16)}}
+        )) AS u
+    FROM ttoks WHERE len(tk) >= 6
+),
+pg AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM pg0),
+m AS (SELECT p.doc_id, p.pos FROM pg p JOIN ek USING (gh)),
+fl AS (
+    SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 6
+             THEN 1 ELSE 0 END AS nw
+    FROM m
+),
+isl AS (
+    SELECT doc_id, pos,
+        sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM fl
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 5 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM isl GROUP BY doc_id, g
+"""
+
 # Incremental probe == batch spans over the union, batch docs only.
 _SPAN_INDEX_PROBE_SQL = f"""{_SPAN_CTES_SQL}
 SELECT doc_id, CAST(s AS BIGINT) AS span_start, CAST(e AS BIGINT) AS span_end,
@@ -2162,26 +2227,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-green round, (c) multi-round-green reference-parity core.
     Layout this round:
 
-    * 1-15: the fifteen rows new this round (span dedup ×2, journey
+    * 1-17: the seventeen rows new this round (span dedup ×2, journey
       paths ×2, rolling z-score anomaly + its online face, sliding
       windows, BPE ×2, temperature rates, multi-grain cube, the
       conversion-window funnel, quantile bucketing, the incremental
-      span index probe, merit-based canonical selection);
-    * 16-36: the twenty-one rows that had never been driver-verified
+      span index probe, merit-based canonical selection, span-level
+      decontamination, rolling active users);
+    * 18-38: the twenty-one rows that had never been driver-verified
       as of r6's file (r6's seven analytics oracles, the snapshot /
       index-probe / sqlite rows, and the eleven temporal/quantile rows
       added after r6's snapshot);
-    * 37-46: rows green in r5 only (pushed out by r6's window
+    * 39-48: rows green in r5 only (pushed out by r6's window
       overflow), plus the repaired quantize_embeddings;
-    * 47-50: multi-round-green core representatives (diff family core,
-      schema drift);
+    * 49-50: multi-round-green core representatives (diff_deleted_rows,
+      schema_drift_records);
     * 51+: rotated out — every row here has at least one driver-green
       round with unchanged code since, and the full registry stays
       enforced by scripts/check_oracle.py and the pytest suite. See
       COVERAGE.md "Driver-window rotation".
     """
     return {
-        # --- 1-15: new this round (no driver row yet) ---
+        # --- 1-17: new this round (no driver row yet) ---
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "event_transitions": q_event_transitions,
@@ -2197,7 +2263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_deciles": q_value_deciles,
         "span_index_probe": q_span_index_probe,
         "canonical_keep": q_canonical_keep,
-        # --- 16-36: never driver-verified in any prior round ---
+        "contamination_spans": q_contamination_spans,
+        "rolling_active_users": q_rolling_active_users,
+        # --- 18-38: never driver-verified in any prior round ---
         "events_funnel": q_events_funnel,
         "profile_drift": q_profile_drift,
         "events_retention": q_events_retention,
@@ -2219,7 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_online": q_quantiles_online,
         "weighted_sample": q_weighted_sample,
         "psi_online": q_psi_online,
-        # --- 37-46: one driver-green round (r5) only ---
+        # --- 39-48: one driver-green round (r5) only ---
         "quantize_embeddings": q_quantize_embeddings,
         "custom_query_diff": q_custom_query_diff,
         "dedup_embedding": q_dedup_embedding,
@@ -2230,12 +2298,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "skew_salted_join": q_skew_salted_join,
         "skew_two_phase_agg": q_skew_two_phase_agg,
-        # --- 47-50: multi-round-green reference-parity core ---
+        # --- 49-50: multi-round-green reference-parity core ---
         "diff_deleted_rows": q_diff_deleted_rows,
-        "diff_deleted_rows_groupby": q_diff_deleted_rows_groupby,
-        "diff_value_change": q_diff_value_change,
         "schema_drift_records": q_schema_drift_records,
         # --- 51+: rotated out (multi-round driver-green, local gate) ---
+        "diff_deleted_rows_groupby": q_diff_deleted_rows_groupby,
+        "diff_value_change": q_diff_value_change,
         "diff_counts": q_diff_counts,
         "drift_summary": q_drift_summary,
         "diff_dup_collapse": q_diff_dup_collapse,
@@ -2529,6 +2597,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_minhash": _NEAR_DUP_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "span_index_probe": _SPAN_INDEX_PROBE_SQL,
+        "contamination_spans": _CONTAM_SPANS_SQL,
         "strip_dup_spans": _STRIP_SPANS_SQL,
         # GROUPING() packs bits first-column-most-significant in both
         # engines, so grain ids align without translation.
@@ -2844,6 +2913,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(DISTINCT user_id) AS BIGINT) FROM s1 "
             "UNION ALL SELECT 2, 'purchase', "
             "CAST(count(DISTINCT user_id) AS BIGINT) FROM s2"
+        ),
+        "rolling_active_users": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "CAST(date_trunc('day', ts) AS DATE) AS d FROM events), "
+            "mx AS (SELECT max(d) AS mx FROM ud), "
+            "exp AS (SELECT user_id, d + CAST(k AS INTEGER) AS day "
+            "FROM ud, unnest(range(0, 7)) AS u(k)), "
+            "cov AS (SELECT DISTINCT user_id, day FROM exp, mx "
+            "WHERE day <= mx) "
+            "SELECT CAST(day AS VARCHAR) AS day, "
+            "CAST(count(*) AS BIGINT) AS n_active FROM cov GROUP BY 1"
         ),
         "events_retention": """WITH act AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events GROUP BY 1, 2), firstd AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY 1), sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM firstd GROUP BY 1), ret AS (SELECT f.cohort, CAST(a.d - f.cohort AS BIGINT) AS offset_days, CAST(count(*) AS BIGINT) AS n_active FROM act a JOIN firstd f USING (user_id) GROUP BY 1, 2) SELECT CAST(r.cohort AS VARCHAR) AS cohort_day, offset_days, n_active, cohort_size FROM ret r JOIN sizes USING (cohort)""",
         "profile_drift": """WITH db2 AS (SELECT * FROM customer WHERE c_custkey % 97 != 0), p1 AS (SELECT * FROM (VALUES ('c_custkey', (SELECT CAST(count(c_custkey) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_custkey) AS BIGINT) FROM customer), (SELECT CAST(min(c_custkey) AS DOUBLE) FROM customer), (SELECT CAST(max(c_custkey) AS DOUBLE) FROM customer)), ('c_name', (SELECT CAST(count(c_name) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_name) AS BIGINT) FROM customer), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)), ('c_nationkey', (SELECT CAST(count(c_nationkey) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_nationkey) AS BIGINT) FROM customer), (SELECT CAST(min(c_nationkey) AS DOUBLE) FROM customer), (SELECT CAST(max(c_nationkey) AS DOUBLE) FROM customer)), ('c_acctbal', (SELECT CAST(count(c_acctbal) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_acctbal) AS BIGINT) FROM customer), (SELECT CAST(min(c_acctbal) AS DOUBLE) FROM customer), (SELECT CAST(max(c_acctbal) AS DOUBLE) FROM customer)), ('c_mktsegment', (SELECT CAST(count(c_mktsegment) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_mktsegment) AS BIGINT) FROM customer), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))) v(column_name, n_nonnull_1, n_null_1, min_val_1, max_val_1)), p2 AS (SELECT * FROM (VALUES ('c_custkey', (SELECT CAST(count(c_custkey) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_custkey) AS BIGINT) FROM db2), (SELECT CAST(min(c_custkey) AS DOUBLE) FROM db2), (SELECT CAST(max(c_custkey) AS DOUBLE) FROM db2)), ('c_name', (SELECT CAST(count(c_name) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_name) AS BIGINT) FROM db2), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)), ('c_nationkey', (SELECT CAST(count(c_nationkey) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_nationkey) AS BIGINT) FROM db2), (SELECT CAST(min(c_nationkey) AS DOUBLE) FROM db2), (SELECT CAST(max(c_nationkey) AS DOUBLE) FROM db2)), ('c_acctbal', (SELECT CAST(count(c_acctbal) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_acctbal) AS BIGINT) FROM db2), (SELECT CAST(min(c_acctbal) AS DOUBLE) FROM db2), (SELECT CAST(max(c_acctbal) AS DOUBLE) FROM db2)), ('c_mktsegment', (SELECT CAST(count(c_mktsegment) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_mktsegment) AS BIGINT) FROM db2), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))) v(column_name, n_nonnull_2, n_null_2, min_val_2, max_val_2)) SELECT p1.column_name, n_nonnull_1, n_null_1, min_val_1, max_val_1, n_nonnull_2, n_null_2, min_val_2, max_val_2 FROM p1 JOIN p2 USING (column_name) WHERE n_nonnull_1 IS DISTINCT FROM n_nonnull_2 OR n_null_1 IS DISTINCT FROM n_null_2 OR min_val_1 IS DISTINCT FROM min_val_2 OR max_val_1 IS DISTINCT FROM max_val_2""",

@@ -155,6 +155,48 @@ def _windowed_funnel(
     return out
 
 
+def rolling_active_users(
+    events: DataFrame,
+    *,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(day, n_active): EXACT distinct users active in the trailing
+    ``window_days`` ending at each day — rolling WAU/MAU. Distinct-over-
+    a-sliding-frame has no direct window-function form; the exact
+    distributed shape is contribution explosion: each (user, day)
+    activity row covers the ``window_days`` window-ends it counts
+    toward, then one distinct + one count.
+
+    Scale: the explode fans out the per-user-DAY relation (already
+    collapsed from raw events by the first distinct), not events — 7×
+    or 30× of a relation bounded by users × days. Days after the data's
+    last day are clipped so the tail doesn't report phantom windows.
+    For approximate-at-huge-scale, swap the final distinct count for
+    HLL sketches per day (operators/rollup.py machinery)."""
+    d = F.to_date(F.col(ts_col))
+    ud = events.select(F.col(user_col).alias("_u"), d.alias("_d")).distinct()
+    mx = ud.agg(F.max("_d").alias("_mx"))
+    cov = (
+        ud.select(
+            "_u",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(window_days - 1))
+            ).alias("_k"),
+            "_d",
+        )
+        .select("_u", F.date_add(F.col("_d"), F.col("_k")).alias("_day"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("_day") <= F.col("_mx"))
+        .select("_u", "_day")
+        .distinct()
+    )
+    return cov.groupBy(
+        F.col("_day").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+
+
 def retention_cohorts(
     events: DataFrame,
     *,

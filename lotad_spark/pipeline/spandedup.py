@@ -186,6 +186,35 @@ def duplicate_spans_against_index(
     return _spans_from_marked(marked, id_col, n)
 
 
+def contamination_spans(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_N,
+) -> DataFrame:
+    """Span-level benchmark decontamination: the maximal token ranges of
+    TRAINING documents whose n-grams appear anywhere in the eval set —
+    (train id, span_start, span_end, n_dup_grams). Document-level
+    contamination checks (pipeline/contamination.py) say WHICH docs
+    overlap; this says WHERE, so the remedy can be span removal (feed
+    the output to ``strip_duplicate_spans(spans=...)``) instead of
+    dropping whole documents.
+
+    Scale: eval benchmarks are tiny next to a training corpus — the
+    distinct eval gram keys broadcast (AQE's call via the equi-join),
+    and the train side is one positional-gram explode + the shared
+    per-doc islands window. The eval TEXT never joins anything."""
+    eval_keys = (
+        positional_ngrams(eval_docs, id_col, text_col, n)
+        .select("gh")
+        .distinct()
+    )
+    grams = positional_ngrams(train, id_col, text_col, n)
+    marked = grams.join(eval_keys, "gh").select(id_col, "pos")
+    return _spans_from_marked(marked, id_col, n)
+
+
 def strip_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -174,3 +174,53 @@ class TestWindowedFunnel:
             ).collect()
         }
         assert huge == unbounded
+
+
+class TestRollingActiveUsers:
+    def test_trailing_window_counts(self, spark):
+        from datetime import datetime
+
+        from lotad_spark.operators.funnel import rolling_active_users
+
+        rows = [
+            (1, datetime(2024, 1, 1)),
+            (2, datetime(2024, 1, 1)),
+            (1, datetime(2024, 1, 5)),
+            (3, datetime(2024, 1, 9)),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            r.day: r.n_active
+            for r in rolling_active_users(ev, window_days=7).collect()
+        }
+        # day 1: users 1,2; day 5: 1,2 (still in window) +1's new activity
+        assert got["2024-01-01"] == 2
+        assert got["2024-01-05"] == 2
+        # day 8: jan-1 activity aged out (window = day 2..8), user 1's
+        # jan-5 remains
+        assert got["2024-01-08"] == 1
+        # day 9: user 3 joins user 1
+        assert got["2024-01-09"] == 2
+        # no phantom days past the data's last day
+        assert max(got) == "2024-01-09"
+
+    def test_window_one_is_daily_active(self, spark, sf_dir):
+        from lotad_spark.operators.funnel import rolling_active_users
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        ev = ParquetDatabase(spark, sf_dir, "db").table("events")
+        dau = {
+            r.day: r.n_active
+            for r in rolling_active_users(ev, window_days=1).collect()
+        }
+        from pyspark.sql import functions as F
+
+        direct = {
+            str(r.d): r.n
+            for r in ev.selectExpr("to_date(ts) AS d", "user_id")
+            .distinct()
+            .groupBy("d")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert dau == direct

@@ -262,3 +262,34 @@ class TestSpanCli:
         rows = spark.read.parquet(out).orderBy("rank").collect()
         assert [r.rank for r in rows] == [0, 1, 2, 3]
         assert rows[0].left == "l" and rows[0].right == "o"  # 'lo' ×4
+
+
+class TestContaminationSpans:
+    def test_eval_grams_located_and_strippable(self, spark, corpus):
+        from lotad_spark.pipeline.spandedup import (
+            contamination_spans,
+            strip_duplicate_spans,
+        )
+
+        # "benchmark" = the shared passage from doc 1
+        ev = spark.createDataFrame(
+            [(900, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        spans = contamination_spans(corpus, ev, n=6)
+        got = {
+            r.doc_id: (r.span_start, r.span_end)
+            for r in spans.collect()
+        }
+        # located in BOTH docs carrying the passage, nowhere else
+        assert got[1] == (0, 8)
+        assert got[2] == (3, 11)
+        assert set(got) == {1, 2}
+
+        # surgical removal via the spans= hook
+        stripped = {
+            r.doc_id: r.n_tokens_removed
+            for r in strip_duplicate_spans(corpus, n=6, spans=spans).collect()
+        }
+        assert stripped[1] == 9 and stripped[2] == 9
+        assert stripped[3] == 0 and stripped[6] == 0  # dup-but-not-contaminated untouched
