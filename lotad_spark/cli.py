@@ -261,10 +261,17 @@ def rollup(events_path, store_path, ts_col, value_col, unit, dims,
               help="A gram is duplicated when it occurs this often corpus-wide")
 @click.option("--strip/--no-strip", default=False, show_default=True,
               help="Also write the corpus with duplicated spans removed")
-def dedup_spans_cmd(docs_path, output_path, n, min_count, strip) -> None:
+@click.option("--eval-set", "eval_path", type=click.Path(exists=True),
+              default=None,
+              help="Decontamination mode: span out THIS benchmark "
+                   "corpus's n-grams instead of corpus-internal repeats")
+def dedup_spans_cmd(docs_path, output_path, n, min_count, strip,
+                    eval_path) -> None:
     """Find (and optionally strip) duplicated substring spans —
-    span-level ExactSubstr dedup over the corpus."""
+    span-level ExactSubstr dedup over the corpus, or span-level
+    benchmark decontamination with --eval-set."""
     from lotad_spark.pipeline.spandedup import (
+        contamination_spans,
         duplicate_spans,
         strip_duplicate_spans,
     )
@@ -272,7 +279,10 @@ def dedup_spans_cmd(docs_path, output_path, n, min_count, strip) -> None:
 
     spark = get_spark("lotad_spark_dedup_spans")
     docs = read_table(spark, docs_path)
-    spans = duplicate_spans(docs, n=n, min_count=min_count)
+    if eval_path is not None:
+        spans = contamination_spans(docs, read_table(spark, eval_path), n=n)
+    else:
+        spans = duplicate_spans(docs, n=n, min_count=min_count)
     spans.write.mode("overwrite").parquet(f"{output_path}/spans")
     n_spans = spark.read.parquet(f"{output_path}/spans").count()
     msg = f"dedup-spans: wrote {n_spans} spans to {output_path}/spans"

@@ -242,6 +242,38 @@ class TestSpanCli:
         }
         assert stripped[6] == 12
 
+    def test_dedup_spans_eval_set_mode(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        src = str(tmp_path / "docs_decon")
+        spark.createDataFrame(
+            CORPUS, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(src)
+        ev = str(tmp_path / "evalset")
+        spark.createDataFrame(
+            [(900, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        ).write.mode("overwrite").parquet(ev)
+        out = str(tmp_path / "out_decon")
+        result = CliRunner().invoke(
+            cli,
+            ["dedup-spans", "--docs", src, "--output", out,
+             "--eval-set", ev, "--strip"],
+            catch_exceptions=False,
+        )
+        assert result.exit_code == 0, result.output
+        # only the two docs carrying the benchmark passage are touched;
+        # the within-corpus repeat (doc 6) is NOT contamination
+        touched = {
+            r.doc_id
+            for r in spark.read.parquet(f"{out}/stripped")
+            .filter("n_tokens_removed > 0")
+            .collect()
+        }
+        assert touched == {1, 2}
+
     def test_bpe_train_command(self, spark, tmp_path):
         from click.testing import CliRunner
 
