@@ -224,3 +224,105 @@ class TestRollingActiveUsers:
             .collect()
         }
         assert dau == direct
+
+
+class TestWindowedFunnelRandomized:
+    def test_random_event_sets_match_bruteforce(self, spark):
+        """Seeded random event streams vs an O(n²) reference DP: the
+        reachable-set semantics (EXISTS some previous reachable event
+        strictly before, within w) must agree — ties, repeats, and
+        multi-attempt chains included."""
+        import random
+        from datetime import datetime, timedelta
+
+        rng = random.Random(7)
+        steps = ["a", "b", "c"]
+        w = 600  # seconds
+        rows = []
+        t0 = datetime(2024, 1, 1)
+        for uid in range(60):
+            for _ in range(rng.randint(0, 12)):
+                rows.append((
+                    uid,
+                    rng.choice(steps + ["x"]),
+                    t0 + timedelta(seconds=rng.randint(0, 3000)),
+                ))
+        if not rows:
+            rows = [(0, "a", t0)]
+
+        # reference: per-user reachable event sets, brute force
+        by_user = {}
+        for uid, et, ts in rows:
+            by_user.setdefault(uid, []).append((et, ts))
+        expected = []
+        reach = {
+            uid: {ts for et, ts in evs if et == steps[0]}
+            for uid, evs in by_user.items()
+        }
+        expected.append(sum(1 for s in reach.values() if s))
+        for step in steps[1:]:
+            nxt = {}
+            for uid, evs in by_user.items():
+                prev = reach.get(uid, set())
+                nxt[uid] = {
+                    ts
+                    for et, ts in evs
+                    if et == step
+                    and any(
+                        p < ts and (ts - p).total_seconds() <= w
+                        for p in prev
+                    )
+                }
+            reach = nxt
+            expected.append(sum(1 for s in reach.values() if s))
+
+        ev = spark.createDataFrame(
+            [(i, u, e, t) for i, (u, e, t) in enumerate(rows)],
+            "event_id long, user_id long, event_type string, ts timestamp",
+        )
+        got = [
+            r.n_users
+            for r in funnel_counts(ev, steps, within_seconds=w)
+            .orderBy("step_index")
+            .collect()
+        ]
+        assert got == expected
+
+
+class TestRollingActiveRandomized:
+    def test_random_activity_matches_bruteforce(self, spark):
+        import random
+        from datetime import date, datetime, timedelta
+
+        from lotad_spark.operators.funnel import rolling_active_users
+
+        rng = random.Random(11)
+        w = 5
+        rows = []
+        for uid in range(30):
+            for _ in range(rng.randint(0, 8)):
+                rows.append(
+                    (uid, datetime(2024, 1, 1 + rng.randint(0, 25)))
+                )
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+        days = {(u, t.date()) for u, t in rows}
+        mx = max(d for _, d in days)
+        expected = {}
+        d0 = min(d for _, d in days)
+        cur = d0
+        while cur <= mx:
+            n = len({
+                u
+                for u, d in days
+                if cur - timedelta(days=w - 1) <= d <= cur
+            })
+            if n:
+                expected[str(cur)] = n
+            cur += timedelta(days=1)
+
+        got = {
+            r.day: r.n_active
+            for r in rolling_active_users(ev, window_days=w).collect()
+        }
+        assert got == expected
