@@ -356,10 +356,13 @@ def canonical_docs(
 
     ``components`` is the (id, component_id) relation from
     ``dedup_components``; ``scores`` any (id, score) relation (e.g.
-    ``quality_score`` output). One equi-join on id plus one per-
-    component rank window — WindowGroupLimit pushes the keep-1 filter
-    into the sort, so per-component state is one row, and singleton
-    components pass through (their only member is canonical)."""
+    ``quality_score`` output). The join is INNER: a member absent from
+    ``scores`` cannot win (and a component with no scored member emits
+    no row) — score every candidate, or left-join a default first.
+    One equi-join on id plus one per-component rank window —
+    WindowGroupLimit pushes the keep-1 filter into the sort, so
+    per-component state is one row, and singleton components pass
+    through (their only member is canonical)."""
     w = Window.partitionBy("component_id").orderBy(
         F.col(score_col).desc(), F.col(id_col)
     )
