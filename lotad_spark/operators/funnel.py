@@ -197,6 +197,51 @@ def rolling_active_users(
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
 
 
+def rolling_active_users_approx(
+    events: DataFrame,
+    *,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """(day, n_active_est): APPROXIMATE trailing-window active users via
+    HLL sketches — the 100 TB face of :func:`rolling_active_users`.
+    One sketch per day (2^lg_config_k registers, independent of
+    volume), each day's sketch contributes to the ``window_days``
+    window-ends it covers, and per-day sketch UNIONS (lossless register
+    max-combine) replace the exact distinct — so the explode fans out
+    |days| sketch rows instead of the users × days relation, and no
+    distinct shuffle of user ids ever happens past the first per-day
+    aggregation. Standard HLL error (~1.6% at lgK=12)."""
+    d = F.to_date(F.col(ts_col))
+    daily = events.groupBy(d.alias("_d")).agg(
+        F.hll_sketch_agg(F.col(f"`{user_col}`"), F.lit(lg_config_k)).alias(
+            "_sk"
+        )
+    )
+    mx = daily.agg(F.max("_d").alias("_mx"))
+    contrib = (
+        daily.select(
+            "_sk",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(window_days - 1))
+            ).alias("_k"),
+            "_d",
+        )
+        .select("_sk", F.date_add(F.col("_d"), F.col("_k")).alias("_day"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("_day") <= F.col("_mx"))
+    )
+    return contrib.groupBy(
+        F.col("_day").cast("string").alias("day")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk")))
+        .cast("bigint")
+        .alias("n_active_est")
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     *,

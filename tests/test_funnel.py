@@ -326,3 +326,41 @@ class TestRollingActiveRandomized:
             for r in rolling_active_users(ev, window_days=w).collect()
         }
         assert got == expected
+
+
+class TestRollingActiveApprox:
+    def test_tracks_exact_within_hll_error(self, spark, sf_dir):
+        from lotad_spark.operators.funnel import (
+            rolling_active_users,
+            rolling_active_users_approx,
+        )
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        ev = ParquetDatabase(spark, sf_dir, "db").table("events")
+        exact = {
+            r.day: r.n_active
+            for r in rolling_active_users(ev, window_days=7).collect()
+        }
+        approx = {
+            r.day: r.n_active_est
+            for r in rolling_active_users_approx(ev, window_days=7).collect()
+        }
+        assert set(approx) == set(exact)  # same day spine
+        for day, n in exact.items():
+            assert abs(approx[day] - n) <= max(3, 0.05 * n), (day, n, approx[day])
+
+    def test_sketch_union_never_underestimates_a_single_day(self, spark):
+        """A window's estimate must be >= (approximately) the max of the
+        single days it unions — sketch union is monotone."""
+        from datetime import datetime
+
+        from lotad_spark.operators.funnel import rolling_active_users_approx
+
+        rows = [(u, datetime(2024, 1, 1 + (u % 3))) for u in range(300)]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = {
+            r.day: r.n_active_est
+            for r in rolling_active_users_approx(ev, window_days=3).collect()
+        }
+        # day 3 unions all three activity days -> roughly all 300 users
+        assert abs(out["2024-01-03"] - 300) <= 15
