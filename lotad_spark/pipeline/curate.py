@@ -144,6 +144,8 @@ def plan_training_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    strip_eval_spans: bool = False,
+    span_ngram: int = 6,
     **curate_kwargs,
 ) -> DataFrame:
     """The full raw-crawl → training-blocks plan, lazily composed:
@@ -152,6 +154,14 @@ def plan_training_corpus(
         → mixture_sample (per-source target rates)
         → upsample_by_weight (epoch repetition)
         → token_chunk_plan (deterministic shuffle, concat, fixed blocks)
+
+    ``strip_eval_spans=True`` additionally EXCISES eval-set passages
+    from surviving documents (span-level decontamination —
+    pipeline/spandedup.py) before packing: curate's document-level
+    check drops documents that substantially CONTAIN an eval item,
+    while span stripping removes shorter verbatim overlaps from the
+    documents that stay. Off by default (the decontamination contract
+    of the oracle-checked default plan is doc-level only).
 
     Each copy of an upsampled document packs under its own
     ``pack_id`` = ``id '#' epoch``, so repeated epochs land at distinct
@@ -178,6 +188,28 @@ def plan_training_corpus(
         keep_text=True,
         **curate_kwargs,
     )
+    if strip_eval_spans:
+        if eval_df is None:
+            raise ValueError(
+                "plan_training_corpus: strip_eval_spans needs eval_df"
+            )
+        from lotad_spark.pipeline.spandedup import (
+            contamination_spans,
+            strip_duplicate_spans,
+        )
+
+        spans = contamination_spans(
+            curated, eval_df, id_col=id_col, text_col=text_col, n=span_ngram
+        )
+        stripped = strip_duplicate_spans(
+            curated, id_col=id_col, text_col=text_col,
+            n=span_ngram, spans=spans,
+        ).select(id_col, text_col)
+        # swap the text column; every other curated column rides along
+        curated = (
+            curated.drop(text_col)
+            .join(stripped, id_col)
+        )
     if mixture_rates is not None:
         curated = mixture_sample(
             curated,

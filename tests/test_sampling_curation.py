@@ -573,3 +573,57 @@ class TestWeightedSample:
         )
         got = weighted_sample(df, 2).collect()
         assert sorted(r["doc_id"] for r in got) == [1, 3]
+
+
+class TestSpanStrippedTrainingPlan:
+    def test_eval_passages_excised_from_survivors(self, spark):
+        """strip_eval_spans removes eval text from documents that
+        survive doc-level decontamination; total planned tokens drop
+        and the default plan is unchanged when off."""
+        from lotad_spark.pipeline.curate import plan_training_corpus
+
+        # english filler so the lang-id gate keeps the docs
+        filler_a = " ".join(
+            f"the quick word{i} of a story and it is here" for i in range(5)
+        )
+        filler_b = " ".join(
+            f"a calm tale{i} of the sea and it is old" for i in range(5)
+        )
+        eval_text = (
+            "alpha beta gamma delta epsilon zeta eta theta "
+            "iota kappa lam mu nu xi omicron pi"
+        )
+        # embed only the first 7 eval tokens: containment stays under
+        # the 0.5 doc-level threshold, so the doc SURVIVES doc-level
+        # decontamination and span stripping must excise the fragment
+        fragment = " ".join(eval_text.split()[:7])
+        docs = spark.createDataFrame(
+            [
+                (1, f"{filler_a} {fragment} {filler_b}", "en", "web"),
+                (2, f"{filler_b} clean text only here {filler_a}", "en", "web"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        ev = spark.createDataFrame(
+            [(900, eval_text)], "doc_id long, text string"
+        )
+
+        def total_tokens(plan):
+            return sum(r.n_tokens for r in plan.select("n_tokens").collect())
+
+        base = plan_training_corpus(
+            docs, ev, min_quality=0.0, sample_rate=1.0, cap_per_source=10,
+        )
+        stripped = plan_training_corpus(
+            docs, ev, min_quality=0.0, sample_rate=1.0, cap_per_source=10,
+            strip_eval_spans=True,
+        )
+        n_base, n_stripped = total_tokens(base), total_tokens(stripped)
+        # the 7-token eval fragment vanishes from doc 1; doc 2 untouched
+        assert n_base > 0
+        assert n_base - n_stripped == 7
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="eval_df"):
+            plan_training_corpus(docs, None, strip_eval_spans=True)
