@@ -782,6 +782,16 @@ def q_contamination_check(spark, sf_dir):
     )
 
 
+def q_json_key_stats(spark, sf_dir):
+    """Schema-on-read profile of the semi-structured `props` column:
+    key vocabulary + value-space width in one scan. Tail-placed (the
+    driver window is saturated with higher-verification-debt rows);
+    the full-registry local gate value-checks it."""
+    from lotad_spark.operators.profile import json_key_stats
+
+    return json_key_stats(_t(spark, sf_dir, "events"), "props")
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact per-language length quantiles (linear interpolation — same
     definition as DuckDB quantile_cont): the corpus length profile that
@@ -2349,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": q_train_eval_split,
         "stratified_cap": q_stratified_cap,
         "length_quantiles": q_length_quantiles,
+        "json_key_stats": q_json_key_stats,
     }
 
 
@@ -2913,6 +2924,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(DISTINCT user_id) AS BIGINT) FROM s1 "
             "UNION ALL SELECT 2, 'purchase', "
             "CAST(count(DISTINCT user_id) AS BIGINT) FROM s2"
+        ),
+        "json_key_stats": (
+            "WITH ks AS (SELECT props, "
+            "unnest(json_keys(CAST(props AS JSON))) AS key FROM events), "
+            "kv AS (SELECT key, "
+            "json_extract(CAST(props AS JSON), '$.' || key) AS v FROM ks) "
+            "SELECT key, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(*) FILTER (WHERE json_type(v) = 'NULL') AS BIGINT) "
+            "AS n_nulls, "
+            "CAST(count(DISTINCT v) FILTER (WHERE json_type(v) != 'NULL') "
+            "AS BIGINT) AS n_distinct_values FROM kv GROUP BY key"
         ),
         "rolling_active_users": (
             "WITH ud AS (SELECT DISTINCT user_id, "

@@ -209,6 +209,36 @@ def psi_from_counts(
     )
 
 
+def json_key_stats(
+    df: DataFrame,
+    json_col: str,
+) -> DataFrame:
+    """Profile a semi-structured JSON-string column: one row per
+    top-level object key — (key, n_rows, n_nulls, n_distinct_values).
+    The schema-on-read reality check for event ``props``-style columns:
+    which keys exist, how often, how wide their value space is.
+
+    Values are compared in their string coercion (``map<string,string>``
+    parse), so a JSON string ``"1"`` and number ``1`` collide in the
+    distinct count — fine for profiling, not for typed extraction.
+    Invalid-JSON and non-object rows contribute nothing.
+
+    Scale: one scan, one explode of (row × keys), one groupBy on the
+    key — output is bounded by the distinct key vocabulary. The
+    distinct count is exact; at pathological cardinalities swap for
+    ``approx_count_distinct``."""
+    kv = df.select(
+        F.explode(
+            F.from_json(F.col(f"`{json_col}`"), "map<string,string>")
+        ).alias("key", "_v")
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_if(F.isnull("_v")).cast("bigint").alias("n_nulls"),
+        F.count_distinct("_v").cast("bigint").alias("n_distinct_values"),
+    )
+
+
 def quantile_buckets(
     df: DataFrame,
     value_col: str,

@@ -379,3 +379,37 @@ class TestQuantileBuckets:
         assert out[4] == 0             # below range -> bottom bucket
         with _pytest.raises(ValueError):
             quantile_buckets(df, "v", lo=0.0, hi=1.0, n_buckets=1)
+
+
+class TestJsonKeyStats:
+    def test_key_vocabulary_and_counts(self, spark):
+        from lotad_spark.operators.profile import json_key_stats
+
+        rows = [
+            (1, '{"a": 1, "b": "x"}'),
+            (2, '{"a": 2, "b": "x", "c": null}'),
+            (3, '{"a": 1}'),
+            (4, 'not json at all'),
+            (5, None),
+            (6, '[1, 2, 3]'),  # non-object: contributes nothing
+        ]
+        df = spark.createDataFrame(rows, "id long, props string")
+        got = {
+            r.key: (r.n_rows, r.n_nulls, r.n_distinct_values)
+            for r in json_key_stats(df, "props").collect()
+        }
+        assert got == {
+            "a": (3, 0, 2),   # values 1, 2, 1
+            "b": (2, 0, 1),   # "x" twice
+            "c": (1, 1, 0),   # json null -> counted null, no distinct
+        }
+
+    def test_real_events_props(self, spark, sf_dir):
+        from lotad_spark.operators.profile import json_key_stats
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        ev = ParquetDatabase(spark, sf_dir, "db").table("events")
+        rows = json_key_stats(ev, "props").collect()
+        assert len(rows) >= 1
+        total = ev.filter("props IS NOT NULL").count()
+        assert all(r.n_rows <= total for r in rows)
