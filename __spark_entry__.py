@@ -2925,16 +2925,21 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 2, 'purchase', "
             "CAST(count(DISTINCT user_id) AS BIGINT) FROM s2"
         ),
+        # Mirrors the operator's tolerance exactly: invalid-JSON / NULL /
+        # non-object rows contribute nothing; dotted keys use a quoted
+        # path; json_extract_string reproduces the map<string,string>
+        # value coercion (number 1 ≡ string "1", json null → SQL NULL).
         "json_key_stats": (
             "WITH ks AS (SELECT props, "
-            "unnest(json_keys(CAST(props AS JSON))) AS key FROM events), "
-            "kv AS (SELECT key, "
-            "json_extract(CAST(props AS JSON), '$.' || key) AS v FROM ks) "
+            "unnest(json_keys(CAST(props AS JSON))) AS key FROM events "
+            "WHERE props IS NOT NULL AND json_valid(props) "
+            "AND json_type(CAST(props AS JSON)) = 'OBJECT'), "
+            "kv AS (SELECT key, json_extract_string(CAST(props AS JSON), "
+            "'$.\"' || key || '\"') AS v FROM ks) "
             "SELECT key, CAST(count(*) AS BIGINT) AS n_rows, "
-            "CAST(count(*) FILTER (WHERE json_type(v) = 'NULL') AS BIGINT) "
-            "AS n_nulls, "
-            "CAST(count(DISTINCT v) FILTER (WHERE json_type(v) != 'NULL') "
-            "AS BIGINT) AS n_distinct_values FROM kv GROUP BY key"
+            "CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_nulls, "
+            "CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_values "
+            "FROM kv GROUP BY key"
         ),
         "rolling_active_users": (
             "WITH ud AS (SELECT DISTINCT user_id, "

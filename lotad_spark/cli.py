@@ -257,8 +257,9 @@ def rollup(events_path, store_path, ts_col, value_col, unit, dims,
               help="Writes OUTPUT/spans and (with --strip) OUTPUT/stripped")
 @click.option("--ngram", "n", default=6, show_default=True,
               help="Span resolution: minimum duplicated run length in tokens")
-@click.option("--min-count", default=2, show_default=True,
-              help="A gram is duplicated when it occurs this often corpus-wide")
+@click.option("--min-count", default=None, type=int,
+              help="A gram is duplicated when it occurs this often "
+                   "corpus-wide [default: 2; not applicable with --eval-set]")
 @click.option("--strip/--no-strip", default=False, show_default=True,
               help="Also write the corpus with duplicated spans removed")
 @click.option("--eval-set", "eval_path", type=click.Path(exists=True),
@@ -277,6 +278,12 @@ def dedup_spans_cmd(docs_path, output_path, n, min_count, strip,
     )
     from lotad_spark.sources.parquet import read_table
 
+    if eval_path is not None and min_count is not None:
+        raise click.UsageError(
+            "--min-count has no effect in --eval-set mode (a gram is "
+            "contaminated if it appears in the eval set at all)"
+        )
+    min_count = 2 if min_count is None else min_count
     spark = get_spark("lotad_spark_dedup_spans")
     docs = read_table(spark, docs_path)
     if eval_path is not None:

@@ -175,6 +175,10 @@ def rolling_active_users(
     last day are clipped so the tail doesn't report phantom windows.
     For approximate-at-huge-scale, swap the final distinct count for
     HLL sketches per day (operators/rollup.py machinery)."""
+    if window_days < 1:
+        raise ValueError(
+            f"rolling_active_users: need window_days >= 1, got {window_days}"
+        )
     d = F.to_date(F.col(ts_col))
     ud = events.select(F.col(user_col).alias("_u"), d.alias("_d")).distinct()
     mx = ud.agg(F.max("_d").alias("_mx"))
@@ -214,6 +218,11 @@ def rolling_active_users_approx(
     |days| sketch rows instead of the users × days relation, and no
     distinct shuffle of user ids ever happens past the first per-day
     aggregation. Standard HLL error (~1.6% at lgK=12)."""
+    if window_days < 1:
+        raise ValueError(
+            "rolling_active_users_approx: need window_days >= 1, "
+            f"got {window_days}"
+        )
     d = F.to_date(F.col(ts_col))
     daily = events.groupBy(d.alias("_d")).agg(
         F.hll_sketch_agg(F.col(f"`{user_col}`"), F.lit(lg_config_k)).alias(

@@ -43,9 +43,14 @@ def write_hash_snapshot(
     # the snapshot itself stays a plain one-column parquet): diffing
     # with a different column set hashes differently, so EVERY row
     # would read as changed; that must fail loudly, not plausibly.
-    df.sparkSession.createDataFrame(
-        [(",".join(cols), bool(json_strings))], "cols string, js boolean"
-    ).write.mode("overwrite").parquet(_params_path(path))
+    from lotad_spark.storeparams import write_params
+
+    write_params(
+        df.sparkSession,
+        _params_path(path),
+        "cols string, js boolean",
+        (",".join(cols), bool(json_strings)),
+    )
 
 
 def _params_path(path: str) -> str:
@@ -70,14 +75,14 @@ def diff_against_snapshot(
     Scale: the snapshot side is hash-only (no data columns ever read or
     shuffled for it); today's side is scanned once. Both anti-joins key
     on the uniform 64-bit hash."""
+    from lotad_spark.storeparams import read_params
+
     spark: SparkSession = df.sparkSession
     cols = sorted(columns) if columns is not None else sorted(df.columns)
-    try:
-        stored = spark.read.parquet(
-            _params_path(snapshot_path)
-        ).collect()[0]
-    except Exception:  # snapshot written before parameter recording
-        stored = None
+    # None only when the params path is ABSENT (pre-recording snapshot);
+    # a corrupt/unreadable params file propagates instead of silently
+    # disabling the guard.
+    stored = read_params(spark, _params_path(snapshot_path))
     if stored is not None and (
         stored.cols != ",".join(cols) or stored.js != bool(json_strings)
     ):

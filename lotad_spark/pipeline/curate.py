@@ -193,11 +193,17 @@ def plan_training_corpus(
             raise ValueError(
                 "plan_training_corpus: strip_eval_spans needs eval_df"
             )
+        from pyspark.storagelevel import StorageLevel
+
         from lotad_spark.pipeline.spandedup import (
             contamination_spans,
             strip_duplicate_spans,
         )
 
+        # The curated relation (incl. the shuffle-heavy near-dup stage)
+        # feeds the span detection, the strip rewrite, AND the join back
+        # — persist it so the strip branch costs one curation, not three.
+        curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
         spans = contamination_spans(
             curated, eval_df, id_col=id_col, text_col=text_col, n=span_ngram
         )

@@ -536,10 +536,14 @@ def write_dedup_index(
     # Record the build parameters: probing with different shingle/
     # signature parameters never matches the stored bands, so a
     # mismatch must fail loudly, not return an empty result.
-    docs.sparkSession.createDataFrame(
-        [(int(n), int(num_perms), int(bands))],
+    from lotad_spark.storeparams import write_params
+
+    write_params(
+        docs.sparkSession,
+        f"{path}/params",
         "n int, num_perms int, bands int",
-    ).write.mode("overwrite").parquet(f"{path}/params")
+        (int(n), int(num_perms), int(bands)),
+    )
 
 
 def near_dup_against_index(
@@ -561,11 +565,12 @@ def near_dup_against_index(
     hashes — the corpus text is never touched. Raises when the
     parameters differ from those recorded at index-build time (indexes
     written before parameter recording probe as before)."""
+    from lotad_spark.storeparams import read_params
+
     spark = new_docs.sparkSession
-    try:
-        stored = spark.read.parquet(f"{index_path}/params").collect()[0]
-    except Exception:  # pre-params index layout: no recorded build args
-        stored = None
+    # None only for the pre-params index layout (absent path); corrupt
+    # params propagate rather than silently skipping the guard.
+    stored = read_params(spark, f"{index_path}/params")
     if stored is not None and (
         (stored.n, stored.num_perms, stored.bands) != (n, num_perms, bands)
     ):

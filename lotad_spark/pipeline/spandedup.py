@@ -132,7 +132,8 @@ def write_span_index(
     under-detecting (hashes of different-length grams never match).
     The nightly-ingest face of span dedup: tomorrow's batch probes this
     index instead of re-reading the corpus."""
-    spark = df.sparkSession
+    from lotad_spark.storeparams import write_params
+
     (
         positional_ngrams(df, id_col, text_col, n)
         .groupBy("gh")
@@ -140,9 +141,7 @@ def write_span_index(
         .write.mode("overwrite")
         .parquet(f"{path}/grams")
     )
-    spark.createDataFrame([(int(n),)], "n int").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/params")
+    write_params(df.sparkSession, f"{path}/params", "n int", (int(n),))
 
 
 def duplicate_spans_against_index(
@@ -161,8 +160,18 @@ def duplicate_spans_against_index(
     batch documents (the oracle contract). One equi-join on the 16-byte
     gram key; index rows never fan out (grouped to one count per key).
     Raises if ``n`` differs from the index's stored gram length."""
+    from lotad_spark.storeparams import read_params
+
     spark = new_docs.sparkSession
-    stored_n = spark.read.parquet(f"{index_path}/params").collect()[0].n
+    stored = read_params(spark, f"{index_path}/params")
+    if stored is None:
+        # span indexes have recorded params from birth — absence means
+        # this is not a span index at all
+        raise ValueError(
+            f"no span index params at {index_path}/params — is this a "
+            "write_span_index output?"
+        )
+    stored_n = stored.n
     if stored_n != n:
         raise ValueError(
             f"span index at {index_path} was built with n={stored_n}; "
