@@ -240,14 +240,30 @@ def main() -> None:
         shutil.rmtree(ckpt, ignore_errors=True)
     spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
+    # The driver captures only the last ~2000 chars of output and parses
+    # the FINAL line as JSON, so the full per-query map (78+ rows, far
+    # over the window) goes to a file and to an EARLIER stdout line; the
+    # final line is a short headline dict that always fits.
+    full = {
+        "metric": "full_db_drift_diff_wall_sec",
+        "value": round(diff_total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(json.dumps(full))
     print(
         json.dumps(
             {
                 "metric": "full_db_drift_diff_wall_sec",
                 "value": round(diff_total, 3),
                 "unit": "sec",
-                "queries": queries,
                 "sf": sf,
+                "n_queries": len(queries),
+                "queries_file": "BENCH_FULL.json",
             }
         )
     )

@@ -295,10 +295,10 @@ def dedup_spans_cmd(docs_path, output_path, n, min_count, strip,
     msg = f"dedup-spans: wrote {n_spans} spans to {output_path}/spans"
     if strip:
         # Reuse the spans just written — the detection pipeline (the
-        # expensive part) runs once, not once per output.
+        # expensive part) runs once, not once per output. With spans=
+        # provided, n/min_count are not used by the strip.
         stripped = strip_duplicate_spans(
-            docs, n=n, min_count=min_count,
-            spans=spark.read.parquet(f"{output_path}/spans"),
+            docs, spans=spark.read.parquet(f"{output_path}/spans"),
         )
         stripped.write.mode("overwrite").parquet(f"{output_path}/stripped")
         n_hit = (

@@ -51,13 +51,27 @@ def rolling_zscore(
         .rowsBetween(-window, -1)
     )
     x = F.col(value_col).cast("bigint")
-    s = F.sum(x).over(w)
-    ss = F.sum(x * x).over(w)
+    # Exact trailing sums in DECIMAL, not bigint: x*x overflows int64
+    # silently above ~3.04e9 (plausible for rollup sums) in non-ANSI
+    # Spark, while DuckDB promotes to int128 — garbage z on one side
+    # only. decimal(19,0)² → decimal(38,0) holds x² for any bigint x.
+    # The variance uses the rearranged EXACT-integer numerator
+    # ss·n − s² (still decimal) and converts to double ONCE: the
+    # textbook ss − s²/n form cancels catastrophically in doubles for
+    # mean ≫ stddev (e.g. a tiny spread around 4e9 computes var = 0 and
+    # silently never flags). Values up to ~4e17 keep ss·n inside
+    # decimal(38,0); a genuinely unrepresentable series yields NULL →
+    # NULL z → no spurious flag, never a wrapped value. The oracle
+    # replays the identical algebra over DuckDB's int128 sums, so
+    # cross-engine doubles agree bit-for-bit.
+    xd = F.col(value_col).cast("decimal(19,0)")
+    s = F.sum(xd).over(w)
+    ss = F.sum(xd * xd).over(w)
     n = F.count(x).over(w)
-    var = (ss - s * s / n) / (n - F.lit(1))
+    var = (ss * n - s * s).cast("double") / (n * (n - F.lit(1)))
     z = F.when(
         (n >= min_periods) & (var > 0),
-        F.round((x - s / n) / F.sqrt(var), 6),
+        F.round((x - s.cast("double") / n) / F.sqrt(var), 6),
     )
     return buckets.select(
         *keys,

@@ -105,8 +105,11 @@ def duplicate_spans(
 ) -> DataFrame:
     """Maximal duplicated token spans per document:
     (id, span_start, span_end, n_dup_grams) — token indices inclusive,
-    0-based; a span covers tokens [span_start, span_end] and every
-    n-gram inside it occurs >= min_count times corpus-wide."""
+    0-based. Guarantee: every TOKEN in [span_start, span_end] lies
+    inside at least one n-gram that occurs >= min_count times
+    corpus-wide. (Islands merge across position gaps of up to n, so an
+    interior n-gram starting at an unmarked position need not itself be
+    duplicated — the coverage guarantee is per token, not per gram.)"""
     grams = positional_ngrams(df, id_col, text_col, n)
     dup_keys = (
         grams.groupBy("gh")
@@ -238,11 +241,18 @@ def strip_duplicate_spans(
 
     Pass ``spans`` (a ``duplicate_spans``-shaped relation, e.g. one
     already computed and written out) to skip re-running the detection
-    pipeline; ``n`` must then match the grams the spans were built with.
+    pipeline. When ``spans`` is given, ``n`` and ``min_count`` are NOT
+    used — the spans are taken as-is, so they must come from the SAME
+    corpus snapshot and tokenization. A span whose positions fall
+    outside the document's token range raises at execution time (stale
+    spans silently removing the wrong tokens is the failure mode this
+    guards against); spans for ids absent from ``df`` are ignored by
+    the join.
 
     The span relation re-joins to the corpus on id (one shuffle of
     span metadata — 3 ints per span, never text); removal itself is a
     pure filter over token positions, no Python in the loop."""
+    validate_bounds = spans is not None
     if spans is None:
         spans = duplicate_spans(df, id_col, text_col, n, min_count)
     spans = (
@@ -276,13 +286,33 @@ def strip_duplicate_spans(
     # Documents with no duplicated span pass through BYTE-IDENTICAL —
     # the token-rebuild (single-space array_join) only runs when a span
     # was actually removed, so untouched text keeps its whitespace.
+    new_text = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+    )
+    if validate_bounds:
+        # User-supplied spans: positions outside [0, n_tokens-1] mean
+        # the spans were built against a different corpus snapshot or
+        # tokenization — fail loudly instead of removing wrong tokens.
+        # (Internally-computed spans are in-bounds by construction.)
+        bad = ~F.col("_spans").isNull() & F.exists(
+            F.col("_spans"),
+            lambda sp: (sp["s"] < 0) | (sp["s"] > sp["e"]) | (sp["e"] >= n_toks),
+        )
+        new_text = F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "strip_duplicate_spans: span outside the document's"
+                        " token range (stale or mismatched spans?) for id="
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+        ).otherwise(new_text)
     return joined.select(
         F.col(id_col),
-        F.when(F.col("_spans").isNull(), F.col(text_col))
-        .otherwise(
-            F.array_join(F.transform(kept, lambda s: s["t"]), " ")
-        )
-        .alias(text_col),
+        new_text.alias(text_col),
         F.when(F.col("_spans").isNull(), F.lit(0))
         .otherwise(n_toks - F.size(kept))
         .cast("bigint")

@@ -96,6 +96,31 @@ class TestRollingZscore:
         # hour 9 (value 11, trailing mean ~10) is unremarkable
         assert out[9].is_anomaly is False
 
+    def test_large_magnitudes_no_int64_overflow(self, spark):
+        # x*x for x ~ 4e9 overflows int64 (~9.2e18); the sums must route
+        # through decimal so the score stays exact, not wrapped garbage.
+        t0 = datetime(2024, 1, 1)
+        base = 4_000_000_000  # base^2 = 1.6e19 > int64 max
+        rows = [
+            ("k", t0 + timedelta(hours=i), base + (i % 2)) for i in range(12)
+        ]
+        rows.append(("k", t0 + timedelta(hours=12), base + 1000))
+        df = spark.createDataFrame(rows, "key string, ts timestamp, n long")
+        out = {
+            r.ts.hour: r
+            for r in rolling_zscore(
+                df, ["key"], "ts", "n", window=24, min_periods=8, threshold=3.0
+            ).collect()
+        }
+        # trailing window alternates base, base+1 -> mean base+0.5,
+        # sample stddev ~0.522; the +1000 spike is a huge z.
+        assert out[12].is_anomaly is True
+        assert out[12].z > 100
+        # an in-distribution bucket scores small and FINITE (a wrapped
+        # int64 sum would produce a wild or null z here)
+        assert out[11].z is not None
+        assert abs(out[11].z) < 2
+
     def test_window_is_keyed_not_global(self, series):
         plan = (
             rolling_zscore(series, ["key"], "ts", "n")

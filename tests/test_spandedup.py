@@ -196,6 +196,30 @@ class TestStripDuplicateSpans:
         assert out[5] == ("short doc", 0)
         assert out[6] == ("tail", 12)
 
+    def test_supplied_spans_out_of_bounds_raise(self, spark, corpus):
+        # Stale spans (built against another corpus snapshot) must fail
+        # loudly, not silently remove the wrong tokens.
+        bad = spark.createDataFrame(
+            [(5, 0, 999, 1)],
+            "doc_id long, span_start long, span_end long, n_dup_grams long",
+        )
+        with pytest.raises(Exception, match="token range"):
+            strip_duplicate_spans(corpus, spans=bad).collect()
+
+    def test_supplied_spans_in_bounds_match_internal(self, spark, corpus):
+        # Supplying the spans the detector would compute is identical to
+        # letting the strip compute them.
+        spans = duplicate_spans(corpus, n=6)
+        a = sorted(
+            (r.doc_id, r.text, r.n_tokens_removed)
+            for r in strip_duplicate_spans(corpus, spans=spans).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.text, r.n_tokens_removed)
+            for r in strip_duplicate_spans(corpus, n=6).collect()
+        )
+        assert a == b
+
     def test_token_conservation(self, spark, corpus):
         # kept tokens + removed tokens == original tokens, per doc
         stripped = strip_duplicate_spans(corpus, n=6)
