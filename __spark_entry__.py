@@ -2212,6 +2212,46 @@ def q_psi_online(spark, sf_dir):
     return psi_from_counts(hist, ref)
 
 
+def q_sql_row_hash_diff(spark, sf_dir):
+    """SQL-registered canonical hash driven end-to-end (§2.9): the
+    reference registers get_row_hash into every connection so custom
+    queries can call it in SQL (lotad/connection.py:133,247 — queries use
+    ``get_row_hash(TO_JSON(t)::VARCHAR)``). Both compare sides compute
+    their digest IN SQL through the registered UDF; a whitespace-only
+    JSON reformat hashes identically (zero drift) while a genuine value
+    change (k+1 where event_id % 263 == 0) surfaces from both sides of
+    the hash anti-join."""
+    from lotad_spark.hashing import register_sql_functions
+
+    register_sql_functions(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    changed = F.col("event_id") % 263 == 0
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    side2 = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{ "k" : '),
+            F.when(changed, k + 1).otherwise(k).cast("string"),
+            F.lit(" }"),
+        ).alias("props"),
+    )
+    ev.createOrReplaceTempView("_rh_side1")
+    side2.createOrReplaceTempView("_rh_side2")
+    h1 = spark.sql(
+        "SELECT event_id, get_row_hash(props) AS ph FROM _rh_side1"
+    )
+    h2 = spark.sql(
+        "SELECT event_id, get_row_hash(props) AS ph FROM _rh_side2"
+    )
+    only1 = h1.join(h2, ["event_id", "ph"], "left_anti").select(
+        "event_id", F.lit("db1").alias("observed_in")
+    )
+    only2 = h2.join(h1, ["event_id", "ph"], "left_anti").select(
+        "event_id", F.lit("db2").alias("observed_in")
+    )
+    return only1.unionByName(only2)
+
+
 def q_sqlite_scan_diff(spark, sf_dir):
     """Live SQLite file as a compare side through the native stdlib-sqlite3
     source (sources/sqlite_native.py — the reference attaches live SQLite
@@ -2277,10 +2317,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * 7: psi_online — fixture hardened this round (reference now
       excludes value >= 150, so current-only new-mode bins are
       exercised at the driver);
-    * 8-50: the forty-three longest-unverified rotated rows (all last
+    * 8: sql_row_hash_diff — NEW this round, the SQL-registered
+      get_row_hash surface (§2.9) driven at the driver for the first
+      time;
+    * 9-50: the forty-two longest-unverified rotated rows (all last
       green r6; the four deepest-green diff/summary rows
       diff_deleted_rows_groupby / diff_value_change / diff_counts /
-      drift_summary — 4 green rounds each — stay out to make room);
+      drift_summary — 4 green rounds each — stay out to make room, and
+      length_quantiles (r5+r6 green) moved just past the boundary when
+      slot 8 was taken);
     * 51+: rotated out — every row has at least one driver-green round
       (the whole r7 window went green except the four rows now in
       slots 1-4) with unchanged code since; rollup_distinct_users is
@@ -2299,7 +2344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_key_stats": q_json_key_stats,
         "bpe_merges": q_bpe_merges,
         "psi_online": q_psi_online,
-        # --- 8-50: longest-unverified rotated rows (last green r6) ---
+        # --- 8: new this round (SQL-registered UDF surface, §2.9) ---
+        "sql_row_hash_diff": q_sql_row_hash_diff,
+        # --- 9-50: longest-unverified rotated rows (last green r6) ---
         "diff_dup_collapse": q_diff_dup_collapse,
         "missing_table_records": q_missing_table_records,
         "wizard_overlap_probe": q_wizard_overlap_probe,
@@ -2342,8 +2389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_batches": q_shuffle_batches,
         "train_eval_split": q_train_eval_split,
         "stratified_cap": q_stratified_cap,
-        "length_quantiles": q_length_quantiles,
         # --- 51+: rotated out (driver-green r7 or multi-round green) ---
+        "length_quantiles": q_length_quantiles,
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "event_transitions": q_event_transitions,
@@ -3280,6 +3327,14 @@ def oracle_sql() -> dict[str, str]:
         "FROM s GROUP BY 1"
     )
     oracles["bpe_merges"] = _bpe_merges_oracle(8)
+    # The SQL-UDF diff surfaces exactly the value-changed ids from both
+    # sides; the whitespace-only reformat of every other row must hash
+    # identically and contribute nothing.
+    oracles["sql_row_hash_diff"] = (
+        "WITH ch AS (SELECT event_id FROM events WHERE event_id % 263 = 0) "
+        "SELECT event_id, 'db1' AS observed_in FROM ch "
+        "UNION ALL SELECT event_id, 'db2' AS observed_in FROM ch"
+    )
     return oracles
 
 

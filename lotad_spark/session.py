@@ -34,6 +34,17 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cores}]")
+        # Local mode puts every executor thread inside the driver JVM, so
+        # the 1g spark.driver.memory default is the binding constraint on
+        # a many-core box (observed: GCLocker thrash → job death at ~6M-row
+        # diffs with 32 threads). Size the heap to the workload, not the
+        # default; on a cluster this conf is owned by spark-submit and the
+        # env override keeps CI/driver boxes in control. Takes effect only
+        # at JVM launch — a pre-existing session keeps its heap.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cores, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,6 +1,6 @@
-"""Sources: Parquet table directories (primary), CSV/JSONL exports, JDBC."""
+"""Sources: Parquet table directories (primary), CSV/JSONL/ORC exports, JDBC."""
 
-from lotad_spark.sources.files import CsvDatabase, JsonlDatabase
+from lotad_spark.sources.files import CsvDatabase, JsonlDatabase, OrcDatabase
 from lotad_spark.sources.parquet import ParquetDatabase, read_table
 from lotad_spark.sources.sqlite_native import SqliteNativeDatabase, write_sqlite
 from lotad_spark.sources.zorder import write_zordered, zvalue
@@ -8,6 +8,7 @@ from lotad_spark.sources.zorder import write_zordered, zvalue
 __all__ = [
     "CsvDatabase",
     "JsonlDatabase",
+    "OrcDatabase",
     "ParquetDatabase",
     "SqliteNativeDatabase",
     "read_table",

@@ -83,3 +83,19 @@ class JsonlDatabase(_TextFormatDatabase):
 
     EXT = ".jsonl"
     FORMAT = "json"
+
+
+class OrcDatabase(_TextFormatDatabase):
+    """Directory of ``<table>.orc`` files (or ``<table>``/``<table>.orc``
+    directories of part files) as a database.
+
+    Unlike the text formats above, ORC is self-describing and columnar:
+    there is NO inference pass (the reader takes the schema from the file
+    footer), and predicate pushdown + column pruning reach the ORC scan
+    natively — so this source carries full type fidelity at scale, the
+    interchange path when the other side of a diff isn't parquet.
+    ``schemas=`` stays available to override footers (e.g. widening a
+    column to match the compare side)."""
+
+    EXT = ".orc"
+    FORMAT = "orc"

@@ -103,7 +103,13 @@ class ParquetDatabase:
             if status.isDirectory():
                 for sub in fs.listStatus(status.getPath()):
                     if sub.getPath().getName().endswith(self.EXT):
-                        names.add(entry)
+                        # a directory table may itself carry the
+                        # extension (df.write targets like customer.orc)
+                        names.add(
+                            entry[: -len(self.EXT)]
+                            if entry.endswith(self.EXT)
+                            else entry
+                        )
                         break
             elif entry.endswith(self.EXT):
                 names.add(entry[: -len(self.EXT)])

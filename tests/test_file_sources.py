@@ -5,7 +5,12 @@ import duckdb
 import pytest
 
 from lotad_spark.operators.diff import diff_tables
-from lotad_spark.sources import CsvDatabase, JsonlDatabase, ParquetDatabase
+from lotad_spark.sources import (
+    CsvDatabase,
+    JsonlDatabase,
+    OrcDatabase,
+    ParquetDatabase,
+)
 
 
 @pytest.fixture(scope="module")
@@ -86,3 +91,79 @@ class TestFileDatabases:
             "string",
             "bigint",
         ]
+
+
+@pytest.fixture(scope="module")
+def orc_exports(spark, sf_dir, tmp_path_factory):
+    """customer + nation written as ORC (Spark-side export: DuckDB can't
+    COPY TO orc), with the same delete/value-change mutations the text
+    fixtures use."""
+    from pyspark.sql import functions as F
+
+    root = tmp_path_factory.mktemp("orc_db")
+    pdb = ParquetDatabase(spark, sf_dir, "truth")
+    cust = (
+        pdb.table("customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                "c_mktsegment")
+        .filter("c_custkey <> 13")
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") == 7, F.col("c_acctbal") + 1)
+            .otherwise(F.col("c_acctbal")),
+        )
+    )
+    cust.write.mode("overwrite").orc(str(root / "customer.orc"))
+    pdb.table("nation").write.mode("overwrite").orc(str(root / "nation.orc"))
+    return root
+
+
+class TestOrcDatabase:
+    def test_catalog_strips_extension_from_dir_tables(self, spark, orc_exports):
+        assert OrcDatabase(spark, str(orc_exports)).list_tables() == [
+            "customer",
+            "nation",
+        ]
+
+    def test_diff_against_parquet_side(self, spark, sf_dir, orc_exports):
+        odb = OrcDatabase(spark, str(orc_exports), "export")
+        pdb = ParquetDatabase(spark, sf_dir, "truth")
+        res = diff_tables(
+            pdb.table("customer").select(
+                "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                "c_mktsegment"
+            ),
+            odb.table("customer"),
+            db1_id="truth",
+            db2_id="export",
+        )
+        by_key = {}
+        for r in res.diff.collect():
+            by_key.setdefault(int(r.c_custkey), []).append(r.observed_in)
+        assert by_key[13] == ["truth"]
+        assert sorted(by_key[7]) == ["export", "truth"]
+        assert set(by_key) == {7, 13}
+        assert diff_tables(
+            pdb.table("nation"), odb.table("nation")
+        ).diff.isEmpty()
+
+    def test_no_inference_and_pushdown_reaches_orc_scan(
+        self, spark, orc_exports
+    ):
+        # self-describing footer: schema available without any job, typed
+        db = OrcDatabase(spark, str(orc_exports))
+        t = db.table("customer")
+        assert t.schema["c_custkey"].dataType.simpleString() == "bigint"
+        # predicate pushdown + column pruning reach the ORC scan
+        plan = (
+            t.filter("c_custkey = 7")
+            .select("c_custkey", "c_acctbal")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        scan = [l for l in plan.splitlines() if "FileScan orc" in l]
+        assert scan, plan
+        assert "PushedFilters: [" in plan and "c_custkey" in plan.split(
+            "PushedFilters:"
+        )[1]
