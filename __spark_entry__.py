@@ -2252,6 +2252,62 @@ def q_sql_row_hash_diff(spark, sf_dir):
     return only1.unionByName(only2)
 
 
+def q_strip_dup_lines(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal
+    (pipeline/text.py strip_duplicate_lines): the testdata documents
+    carry no newlines, so the fixture first folds each document into
+    deterministic 10-token lines (replayed identically in the oracle);
+    lines occurring >= 2 times corpus-wide are then stripped, untouched
+    documents pass through byte-identical."""
+    from lotad_spark.pipeline import strip_duplicate_lines
+    from lotad_spark.pipeline.text import tokens
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunked = F.transform(
+        F.array(tokens(F.col("text"))),
+        lambda tk: F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        (F.ceil(F.size(tk) / F.lit(10)) - 1).cast("int"),
+                        F.lit(0),
+                    ),
+                ),
+                lambda i: F.array_join(
+                    F.slice(tk, i * F.lit(10) + 1, F.lit(10)), " "
+                ),
+            ),
+            "\n",
+        ),
+    )[0]
+    corpus = d.select("doc_id", chunked.alias("text"))
+    return strip_duplicate_lines(corpus, min_count=2)
+
+
+def q_json_schema_drift(spark, sf_dir):
+    """Schema-on-read drift (operators/profile.py json_schema_drift):
+    the reference's schema set-ops (SO3) extended INSIDE a JSON column.
+    db2 adds key "extra" where event_id % 151 == 0 and empties the
+    object where event_id % 157 == 0 (when-order ties go to the first
+    branch, mirrored in the oracle) — so key k loses rows and key extra
+    appears only on side 2; keys with identical stats emit nothing."""
+    from lotad_spark.operators import json_schema_drift
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    k = F.get_json_object("props", "$.k")
+    side2 = ev.select(
+        F.when(
+            F.col("event_id") % 151 == 0,
+            F.concat(F.lit('{"k": '), k, F.lit(', "extra": 1}')),
+        )
+        .when(F.col("event_id") % 157 == 0, F.lit("{}"))
+        .otherwise(F.col("props"))
+        .alias("props")
+    )
+    return json_schema_drift(ev, side2, "props")
+
+
 def q_sqlite_scan_diff(spark, sf_dir):
     """Live SQLite file as a compare side through the native stdlib-sqlite3
     source (sources/sqlite_native.py — the reference attaches live SQLite
@@ -2317,15 +2373,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * 7: psi_online — fixture hardened this round (reference now
       excludes value >= 150, so current-only new-mode bins are
       exercised at the driver);
-    * 8: sql_row_hash_diff — NEW this round, the SQL-registered
-      get_row_hash surface (§2.9) driven at the driver for the first
-      time;
-    * 9-50: the forty-two longest-unverified rotated rows (all last
-      green r6; the four deepest-green diff/summary rows
+    * 8-10: the three rows NEW this round — sql_row_hash_diff (the
+      SQL-registered get_row_hash surface, §2.9, driven at the driver
+      for the first time), json_schema_drift (SO3 schema set-ops
+      extended inside a JSON column), strip_dup_lines (CCNet-style
+      line-level boilerplate removal);
+    * 11-50: the forty longest-unverified rotated rows (all last green
+      r6; the four deepest-green diff/summary rows
       diff_deleted_rows_groupby / diff_value_change / diff_counts /
       drift_summary — 4 green rounds each — stay out to make room, and
-      length_quantiles (r5+r6 green) moved just past the boundary when
-      slot 8 was taken);
+      length_quantiles / stratified_cap / train_eval_split (r5+r6
+      green) moved just past the boundary as slots 8-10 were taken);
     * 51+: rotated out — every row has at least one driver-green round
       (the whole r7 window went green except the four rows now in
       slots 1-4) with unchanged code since; rollup_distinct_users is
@@ -2344,9 +2402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_key_stats": q_json_key_stats,
         "bpe_merges": q_bpe_merges,
         "psi_online": q_psi_online,
-        # --- 8: new this round (SQL-registered UDF surface, §2.9) ---
+        # --- 8-10: new this round ---
         "sql_row_hash_diff": q_sql_row_hash_diff,
-        # --- 9-50: longest-unverified rotated rows (last green r6) ---
+        "json_schema_drift": q_json_schema_drift,
+        "strip_dup_lines": q_strip_dup_lines,
+        # --- 11-50: longest-unverified rotated rows (last green r6) ---
         "diff_dup_collapse": q_diff_dup_collapse,
         "missing_table_records": q_missing_table_records,
         "wizard_overlap_probe": q_wizard_overlap_probe,
@@ -2387,9 +2447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "upsample_weights": q_upsample_weights,
         "shuffle_batches": q_shuffle_batches,
+        # --- 51+: rotated out (driver-green r7 or multi-round green) ---
         "train_eval_split": q_train_eval_split,
         "stratified_cap": q_stratified_cap,
-        # --- 51+: rotated out (driver-green r7 or multi-round green) ---
         "length_quantiles": q_length_quantiles,
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
@@ -3334,6 +3394,67 @@ def oracle_sql() -> dict[str, str]:
         "WITH ch AS (SELECT event_id FROM events WHERE event_id % 263 = 0) "
         "SELECT event_id, 'db1' AS observed_in FROM ch "
         "UNION ALL SELECT event_id, 'db2' AS observed_in FROM ch"
+    )
+    # Per-side json_key_stats replay (same extraction contract as the
+    # json_key_stats oracle), full outer join on the key vocabulary,
+    # keys with identical stats filtered out.
+    _ks = (
+        "SELECT key, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_nulls, "
+        "CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_values FROM ("
+        "SELECT key, json_extract_string(CAST(props AS JSON), "
+        "'$.\"' || key || '\"') AS v FROM ("
+        "SELECT props, unnest(json_keys(CAST(props AS JSON))) AS key "
+        "FROM {side} WHERE props IS NOT NULL AND json_valid(props) "
+        "AND json_type(CAST(props AS JSON)) = 'OBJECT')) GROUP BY key"
+    )
+    # Full replay of the 10-token line folding + corpus-wide line
+    # dedup: chunk boundaries, the >=2 duplicate threshold, position-
+    # filtered rebuild, and untouched-document passthrough must all
+    # agree string-for-string.
+    oracles["strip_dup_lines"] = (
+        "WITH tk AS (SELECT doc_id, "
+        f"list_filter({_TOKS}, t -> t <> '') AS tk FROM documents), "
+        "ch AS (SELECT doc_id, i AS p, "
+        "array_to_string(tk[(i*10+1):(i*10+10)], ' ') AS line "
+        "FROM tk, unnest(range(0, CAST(ceil(len(tk)/10.0) AS BIGINT))) "
+        "AS u(i)), "
+        "dup AS (SELECT line FROM ch WHERE length(trim(line)) > 0 "
+        "GROUP BY line HAVING count(*) >= 2), "
+        "mk AS (SELECT ch.doc_id, ch.p, ch.line, "
+        "(dup.line IS NOT NULL) AS rm "
+        "FROM ch LEFT JOIN dup USING (line)), "
+        "built AS (SELECT doc_id, "
+        "coalesce(array_to_string(list(line ORDER BY p) "
+        "FILTER (WHERE NOT rm), chr(10)), '') AS text, "
+        "CAST(count(*) FILTER (WHERE rm) AS BIGINT) AS n_lines_removed "
+        "FROM mk GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(b.text, '') AS text, "
+        "coalesce(b.n_lines_removed, 0) AS n_lines_removed "
+        "FROM documents d LEFT JOIN built b USING (doc_id)"
+    )
+    oracles["json_schema_drift"] = (
+        "WITH s2 AS (SELECT CASE "
+        "WHEN event_id % 151 = 0 THEN '{\"k\": ' || "
+        "json_extract_string(props, '$.k') || ', \"extra\": 1}' "
+        "WHEN event_id % 157 = 0 THEN '{}' "
+        "ELSE props END AS props FROM events), "
+        f"ks1 AS ({_ks.format(side='events')}), "
+        f"ks2 AS ({_ks.format(side='s2')}) "
+        "SELECT coalesce(ks1.key, ks2.key) AS key, "
+        "CAST(coalesce(ks1.n_rows, 0) AS BIGINT) AS n_rows_1, "
+        "CAST(coalesce(ks1.n_nulls, 0) AS BIGINT) AS n_nulls_1, "
+        "CAST(coalesce(ks1.n_distinct_values, 0) AS BIGINT) "
+        "AS n_distinct_values_1, "
+        "CAST(coalesce(ks2.n_rows, 0) AS BIGINT) AS n_rows_2, "
+        "CAST(coalesce(ks2.n_nulls, 0) AS BIGINT) AS n_nulls_2, "
+        "CAST(coalesce(ks2.n_distinct_values, 0) AS BIGINT) "
+        "AS n_distinct_values_2 "
+        "FROM ks1 FULL OUTER JOIN ks2 ON ks1.key = ks2.key "
+        "WHERE coalesce(ks1.n_rows, 0) != coalesce(ks2.n_rows, 0) "
+        "OR coalesce(ks1.n_nulls, 0) != coalesce(ks2.n_nulls, 0) "
+        "OR coalesce(ks1.n_distinct_values, 0) != "
+        "coalesce(ks2.n_distinct_values, 0)"
     )
     return oracles
 

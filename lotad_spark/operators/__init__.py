@@ -24,6 +24,8 @@ from lotad_spark.operators.keyed_diff import keyed_diff
 from lotad_spark.operators.snapshot import diff_against_snapshot, write_hash_snapshot
 from lotad_spark.operators.profile import (
     column_histogram,
+    json_key_stats,
+    json_schema_drift,
     profile_drift,
     profile_table,
     psi_drift,
@@ -61,6 +63,8 @@ __all__ = [
     "normalize_for_diff",
     "retention_cohorts",
     "write_hash_snapshot",
+    "json_key_stats",
+    "json_schema_drift",
     "profile_drift",
     "profile_table",
     "psi_drift",

@@ -239,6 +239,53 @@ def json_key_stats(
     )
 
 
+_JSON_KEY_STATS_COLS = ("n_rows", "n_nulls", "n_distinct_values")
+
+
+def json_schema_drift(
+    df1: DataFrame,
+    df2: DataFrame,
+    json_col: str,
+) -> DataFrame:
+    """Schema-on-read drift between two sides of a semi-structured JSON
+    column: the reference's schema set-ops (SO3) stop at the relational
+    information schema — this extends them to the keys INSIDE a JSON
+    column, where producer changes actually land first. One row per key
+    whose presence or shape moved between the sides:
+    (key, n_rows_1, n_nulls_1, n_distinct_values_1, …_2); a key absent
+    from a side reports zeros. Keys whose three stats all match are
+    filtered out — no drift, no row.
+
+    Scale: one :func:`json_key_stats` pass per side (each a single scan
+    + key-vocabulary-bounded groupBy), then a full outer join of two
+    |keys|-row relations — the join input is negligible regardless of
+    data volume, and the raw JSON is never shuffled."""
+
+    def side(df: DataFrame, suf: str) -> DataFrame:
+        return json_key_stats(df, json_col).select(
+            "key",
+            *[F.col(c).alias(f"{c}_{suf}") for c in _JSON_KEY_STATS_COLS],
+        )
+
+    j = side(df1, "1").join(side(df2, "2"), "key", "full_outer").select(
+        "key",
+        *[
+            F.coalesce(F.col(f"{c}_{s}"), F.lit(0))
+            .cast("bigint")
+            .alias(f"{c}_{s}")
+            for s in ("1", "2")
+            for c in _JSON_KEY_STATS_COLS
+        ],
+    )
+    drifted = [
+        F.col(f"{c}_1") != F.col(f"{c}_2") for c in _JSON_KEY_STATS_COLS
+    ]
+    cond = drifted[0]
+    for d in drifted[1:]:
+        cond = cond | d
+    return j.filter(cond)
+
+
 def quantile_buckets(
     df: DataFrame,
     value_col: str,

@@ -13,11 +13,13 @@ operator shapes don't change.
 
 from lotad_spark.pipeline.text import (
     bow_fingerprint,
+    duplicate_lines,
     lang_id,
     normalized_fingerprint,
     pii_scrub,
     quality_score,
     repetition_stats,
+    strip_duplicate_lines,
     text_stats,
     tfidf_top_terms,
     tokens,
@@ -80,6 +82,8 @@ from lotad_spark.pipeline.curate import curate_corpus, plan_training_corpus
 __all__ = [
     "tokens",
     "text_stats",
+    "duplicate_lines",
+    "strip_duplicate_lines",
     "quality_score",
     "lang_id",
     "normalized_fingerprint",

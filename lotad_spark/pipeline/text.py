@@ -12,6 +12,8 @@ a fixed operation order.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -453,4 +455,86 @@ def unigram_logprob(
                 F.col("_sum_lp").cast("double") / F.col("n_tokens"), 6
             ).alias("avg_logprob"),
         )
+    )
+
+
+def duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    delim: str = "\n",
+) -> DataFrame:
+    """Corpus-wide duplicated lines per document (the CCNet-style
+    boilerplate signal: headers, cookie banners, navigation chrome
+    repeat VERBATIM across pages): one row per (id, line_pos) whose
+    trimmed line occurs >= min_count times across the whole corpus,
+    with the occurrence count. Blank lines are ignored. ``delim`` is
+    a LITERAL separator (regex-escaped before the split).
+
+    Scale: lines explode once; the shuffle key is a 16-hex-char md5 of
+    the trimmed line (fixed width, never text — same discipline as
+    spandedup's positional grams); the duplicate-key relation is
+    bounded by the distinct-line vocabulary and joins back to the
+    positional relation by hash only."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(delim))
+        ).alias("line_pos", "_line"),
+    ).select(
+        id_col,
+        "line_pos",
+        F.substring(F.md5(F.trim("_line")), 1, 16).alias("_lh"),
+        (F.length(F.trim("_line")) > 0).alias("_nonblank"),
+    ).filter("_nonblank")
+    dup = (
+        lines.groupBy("_lh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    return lines.join(dup, "_lh").select(
+        id_col, "line_pos", "n_occurrences"
+    )
+
+
+def strip_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    delim: str = "\n",
+) -> DataFrame:
+    """Rewrite each document with its corpus-duplicated lines removed:
+    (id, text, n_lines_removed). Documents with no duplicated line pass
+    through BYTE-IDENTICAL (the rebuild only runs when a line is
+    actually removed).
+
+    Only line POSITIONS travel back to the corpus (one shuffle of
+    (id, int) pairs, never line text); removal is a position filter
+    over the split array, so the raw text is read exactly once on the
+    rebuild side."""
+    removed = (
+        duplicate_lines(df, id_col, text_col, min_count, delim)
+        .groupBy(id_col)
+        .agg(F.collect_list("line_pos").alias("_rm"))
+    )
+    joined = df.join(removed, id_col, "left")
+    parts = F.split(F.col(text_col), re.escape(delim))
+    kept = F.filter(
+        F.transform(
+            parts,
+            lambda line, i: F.struct(line.alias("t"), i.alias("p")),
+        ),
+        lambda s: ~F.array_contains(F.col("_rm"), s["p"]),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("_rm").isNull(), F.col(text_col))
+        .otherwise(F.array_join(F.transform(kept, lambda s: s["t"]), delim))
+        .alias(text_col),
+        F.when(F.col("_rm").isNull(), F.lit(0))
+        .otherwise(F.size("_rm"))
+        .cast("bigint")
+        .alias("n_lines_removed"),
     )

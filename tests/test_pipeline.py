@@ -544,3 +544,71 @@ class TestIncrementalDedupIndex:
             near_dup_against_index(
                 docs.filter("doc_id >= 50"), idx, num_perms=16, bands=8
             )
+
+
+class TestLineDedup:
+    @pytest.fixture(scope="class")
+    def lined(self, spark):
+        boiler = "accept cookies to continue"
+        nav = "home products about contact"
+        rows = [
+            (1, f"{boiler}\nunique article one\n{nav}"),
+            (2, f"{boiler}\nanother unique piece\n{nav}"),
+            (3, f"{boiler}\ntotally original text here"),
+            (4, "standalone document no boilerplate"),
+            (5, ""),
+            (6, f"  {boiler}  \npadded dup trims to the same line"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_duplicate_lines_counts(self, lined):
+        from lotad_spark.pipeline import duplicate_lines
+
+        got = {
+            (r.doc_id, r.line_pos): r.n_occurrences
+            for r in duplicate_lines(lined, min_count=2).collect()
+        }
+        # boiler occurs 4x (docs 1,2,3,6 — doc 6 via trim), nav 2x
+        assert got[(1, 0)] == 4 and got[(2, 0)] == 4
+        assert got[(3, 0)] == 4 and got[(6, 0)] == 4
+        assert got[(1, 2)] == 2 and got[(2, 2)] == 2
+        assert set(got) == {(1, 0), (2, 0), (3, 0), (6, 0), (1, 2), (2, 2)}
+
+    def test_strip_removes_only_dup_lines(self, lined):
+        from lotad_spark.pipeline import strip_duplicate_lines
+
+        out = {
+            r.doc_id: (r.text, r.n_lines_removed)
+            for r in strip_duplicate_lines(lined, min_count=2).collect()
+        }
+        assert out[1] == ("unique article one", 2)
+        assert out[2] == ("another unique piece", 2)
+        assert out[3] == ("totally original text here", 1)
+        # untouched doc passes through byte-identical
+        assert out[4] == ("standalone document no boilerplate", 0)
+        assert out[5] == ("", 0)
+        # doc 6: padded first line trims equal -> removed; rest kept
+        assert out[6] == ("padded dup trims to the same line", 1)
+
+    def test_higher_threshold_spares_rarer_lines(self, lined):
+        from lotad_spark.pipeline import strip_duplicate_lines
+
+        out = {
+            r.doc_id: r.n_lines_removed
+            for r in strip_duplicate_lines(lined, min_count=3).collect()
+        }
+        # nav (2x) survives at min_count=3; boiler (4x) still goes
+        assert out[1] == 1 and out[2] == 1 and out[3] == 1 and out[6] == 1
+
+    def test_hash_only_shuffle(self, lined):
+        from lotad_spark.pipeline import duplicate_lines
+
+        plan = (
+            duplicate_lines(lined)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # every shuffle partitions on the 16-char line hash, never text
+        import re
+
+        keys = re.findall(r"hashpartitioning\((\w+)", plan)
+        assert keys and all(k.startswith("_lh") for k in keys), plan

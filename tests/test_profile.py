@@ -413,3 +413,44 @@ class TestJsonKeyStats:
         assert len(rows) >= 1
         total = ev.filter("props IS NOT NULL").count()
         assert all(r.n_rows <= total for r in rows)
+
+
+class TestJsonSchemaDrift:
+    def test_key_add_drop_and_value_shift(self, spark):
+        from lotad_spark.operators.profile import json_schema_drift
+
+        s1 = spark.createDataFrame(
+            [(1, '{"a": 1, "b": "x"}'), (2, '{"a": 2, "b": "x"}'),
+             (3, '{"a": 1}')],
+            "id long, props string",
+        )
+        # key b dropped from one row, key c introduced, a's values shift
+        s2 = spark.createDataFrame(
+            [(1, '{"a": 1, "b": "x"}'), (2, '{"a": 3, "c": null}'),
+             (3, '{"a": 1}')],
+            "id long, props string",
+        )
+        got = {
+            r.key: (
+                r.n_rows_1, r.n_nulls_1, r.n_distinct_values_1,
+                r.n_rows_2, r.n_nulls_2, r.n_distinct_values_2,
+            )
+            for r in json_schema_drift(s1, s2, "props").collect()
+        }
+        assert got == {
+            "b": (2, 0, 1, 1, 0, 1),
+            "c": (0, 0, 0, 1, 1, 0),
+        }
+        # a: n_rows 3==3, n_nulls 0==0, distinct {1,2} vs {1,3} -> 2==2
+        # => identical stats, filtered out (value drift below the stat
+        # granularity is keyed_diff's job, not schema drift's)
+        assert "a" not in got
+
+    def test_identical_sides_emit_nothing(self, spark):
+        from lotad_spark.operators.profile import json_schema_drift
+
+        s = spark.createDataFrame(
+            [(1, '{"a": 1}'), (2, "bad json"), (3, None)],
+            "id long, props string",
+        )
+        assert json_schema_drift(s, s, "props").isEmpty()
