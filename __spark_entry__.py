@@ -2238,18 +2238,22 @@ def q_sql_row_hash_diff(spark, sf_dir):
     ev.createOrReplaceTempView("_rh_side1")
     side2.createOrReplaceTempView("_rh_side2")
     h1 = spark.sql(
-        "SELECT event_id, get_row_hash(props) AS ph FROM _rh_side1"
+        "SELECT event_id, get_row_hash(props) AS ph, "
+        "'db1' AS observed_in FROM _rh_side1"
     )
     h2 = spark.sql(
-        "SELECT event_id, get_row_hash(props) AS ph FROM _rh_side2"
+        "SELECT event_id, get_row_hash(props) AS ph, "
+        "'db2' AS observed_in FROM _rh_side2"
     )
-    only1 = h1.join(h2, ["event_id", "ph"], "left_anti").select(
-        "event_id", F.lit("db1").alias("observed_in")
+    # Symmetric difference via ONE grouped pass over the tagged union —
+    # two anti-joins would re-execute each side's Arrow UDF hash scan
+    # (4 UDF passes instead of 2).
+    sides = h1.unionByName(h2).groupBy("event_id", "ph").agg(
+        F.collect_set("observed_in").alias("_s")
     )
-    only2 = h2.join(h1, ["event_id", "ph"], "left_anti").select(
-        "event_id", F.lit("db2").alias("observed_in")
+    return sides.filter(F.size("_s") == 1).select(
+        "event_id", F.element_at("_s", 1).alias("observed_in")
     )
-    return only1.unionByName(only2)
 
 
 def q_strip_dup_lines(spark, sf_dir):

@@ -244,7 +244,9 @@ def strip_duplicate_spans(
     pipeline. When ``spans`` is given, ``n`` and ``min_count`` are NOT
     used — the spans are taken as-is, so they must come from the SAME
     corpus snapshot and tokenization. A span whose positions fall
-    outside the document's token range raises at execution time (stale
+    outside the document's token range raises at execution time — the
+    guard is attached to BOTH output columns, so it fires whenever the
+    rewritten text or the removal count is actually computed (stale
     spans silently removing the wrong tokens is the failure mode this
     guards against); spans for ids absent from ``df`` are ignored by
     the join.
@@ -289,32 +291,48 @@ def strip_duplicate_spans(
     new_text = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
         F.array_join(F.transform(kept, lambda s: s["t"]), " ")
     )
+    new_count = (
+        F.when(F.col("_spans").isNull(), F.lit(0))
+        .otherwise(n_toks - F.size(kept))
+        .cast("bigint")
+    )
     if validate_bounds:
         # User-supplied spans: positions outside [0, n_tokens-1] mean
         # the spans were built against a different corpus snapshot or
         # tokenization — fail loudly instead of removing wrong tokens.
         # (Internally-computed spans are in-bounds by construction.)
+        # The guard wraps BOTH output columns — Spark prunes expressions
+        # of unreferenced columns, so a guard on text alone would never
+        # run for a consumer selecting only the removal counts — and the
+        # predicate is MATERIALIZED as its own boolean column first:
+        # sharing the lambda-bearing predicate tree across two sibling
+        # outputs made Spark 4's common-expression rewrite resolve the
+        # count guard's token count against the REBUILT text sibling,
+        # firing the raise on perfectly valid spans (observed; the
+        # non-cheap exists() keeps CollapseProject from re-inlining).
         bad = ~F.col("_spans").isNull() & F.exists(
             F.col("_spans"),
             lambda sp: (sp["s"] < 0) | (sp["s"] > sp["e"]) | (sp["e"] >= n_toks),
         )
-        new_text = F.when(
-            bad,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "strip_duplicate_spans: span outside the document's"
-                        " token range (stale or mismatched spans?) for id="
-                    ),
-                    F.col(id_col).cast("string"),
-                )
-            ),
-        ).otherwise(new_text)
+        flagged = joined.withColumn("_bad", bad)
+        err = F.raise_error(
+            F.concat(
+                F.lit(
+                    "strip_duplicate_spans: span outside the document's"
+                    " token range (stale or mismatched spans?) for id="
+                ),
+                F.col(id_col).cast("string"),
+            )
+        )
+        return flagged.select(
+            F.col(id_col),
+            F.when(F.col("_bad"), err).otherwise(new_text).alias(text_col),
+            F.when(F.col("_bad"), err.cast("bigint"))
+            .otherwise(new_count)
+            .alias("n_tokens_removed"),
+        )
     return joined.select(
         F.col(id_col),
         new_text.alias(text_col),
-        F.when(F.col("_spans").isNull(), F.lit(0))
-        .otherwise(n_toks - F.size(kept))
-        .cast("bigint")
-        .alias("n_tokens_removed"),
+        new_count.alias("n_tokens_removed"),
     )

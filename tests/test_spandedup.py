@@ -205,6 +205,12 @@ class TestStripDuplicateSpans:
         )
         with pytest.raises(Exception, match="token range"):
             strip_duplicate_spans(corpus, spans=bad).collect()
+        # the guard survives column pruning: a consumer reading ONLY the
+        # removal counts (text column pruned away) must still raise
+        with pytest.raises(Exception, match="token range"):
+            strip_duplicate_spans(corpus, spans=bad).select(
+                "doc_id", "n_tokens_removed"
+            ).collect()
 
     def test_supplied_spans_in_bounds_match_internal(self, spark, corpus):
         # Supplying the spans the detector would compute is identical to
