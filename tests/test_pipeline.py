@@ -600,6 +600,58 @@ class TestLineDedup:
         # nav (2x) survives at min_count=3; boiler (4x) still goes
         assert out[1] == 1 and out[2] == 1 and out[3] == 1 and out[6] == 1
 
+    def test_random_corpora_match_reference(self, spark):
+        """Seeded random line corpora vs an independent in-memory
+        reference: same trim-keyed corpus counts, same removal set,
+        byte-identical rebuilds."""
+        import random
+        from collections import Counter
+
+        from lotad_spark.pipeline import strip_duplicate_lines
+
+        rng = random.Random(20260814)
+        # small line vocabulary -> guaranteed cross-doc duplicates
+        pool = [f"line {i} of shared text" for i in range(8)]
+        docs = []
+        for doc_id in range(40):
+            n_lines = rng.randint(0, 6)
+            lines = []
+            for _ in range(n_lines):
+                if rng.random() < 0.6:
+                    line = rng.choice(pool)
+                    if rng.random() < 0.3:
+                        line = f"  {line} "  # trims to the same key
+                else:
+                    line = f"unique {doc_id} {rng.randint(0, 10**9)}"
+                lines.append(line)
+            docs.append((doc_id, "\n".join(lines)))
+
+        min_count = 2
+        counts = Counter()
+        for _, text in docs:
+            for line in text.split("\n"):
+                if line.strip():
+                    counts[line.strip()] += 1
+        expected = {}
+        for doc_id, text in docs:
+            parts = text.split("\n")
+            keep = [
+                p for p in parts
+                if not (p.strip() and counts[p.strip()] >= min_count)
+            ]
+            removed = len(parts) - len(keep)
+            expected[doc_id] = (
+                text if removed == 0 else "\n".join(keep),
+                removed,
+            )
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_lines_removed)
+            for r in strip_duplicate_lines(df, min_count=min_count).collect()
+        }
+        assert got == expected
+
     def test_hash_only_shuffle(self, lined):
         from lotad_spark.pipeline import duplicate_lines
 

@@ -454,3 +454,70 @@ class TestJsonSchemaDrift:
             "id long, props string",
         )
         assert json_schema_drift(s, s, "props").isEmpty()
+
+    def test_random_sides_match_reference(self, spark):
+        """Seeded random JSON sides vs an independent in-memory
+        reference computing the same per-key stats and drift filter."""
+        import json as jsonlib
+        import random
+        from collections import defaultdict
+
+        from lotad_spark.operators.profile import json_schema_drift
+
+        rng = random.Random(20260814)
+        keys = ["a", "b", "c", "d"]
+
+        def mk_side(mutate):
+            rows = []
+            for i in range(120):
+                if rng.random() < 0.05:
+                    rows.append((i, None))
+                    continue
+                obj = {
+                    k: rng.choice([1, 2, "x", None])
+                    for k in keys
+                    if rng.random() < 0.6
+                }
+                if mutate and rng.random() < 0.2:
+                    obj["extra"] = i % 3
+                rows.append((i, jsonlib.dumps(obj)))
+            return rows
+
+        s1_rows, s2_rows = mk_side(False), mk_side(True)
+
+        def stats(rows):
+            st = defaultdict(lambda: [0, 0, set()])
+            for _, props in rows:
+                if props is None:
+                    continue
+                obj = jsonlib.loads(props)
+                for k, v in obj.items():
+                    st[k][0] += 1
+                    if v is None:
+                        st[k][1] += 1
+                    else:
+                        # map<string,string> coercion: numbers land as
+                        # their JSON text
+                        st[k][2].add(str(v))
+            return {
+                k: (n, nn, len(vals)) for k, (n, nn, vals) in st.items()
+            }
+
+        st1, st2 = stats(s1_rows), stats(s2_rows)
+        expected = {}
+        for k in set(st1) | set(st2):
+            a = st1.get(k, (0, 0, 0))
+            b = st2.get(k, (0, 0, 0))
+            if a != b:
+                expected[k] = a + b
+
+        d1 = spark.createDataFrame(s1_rows, "id long, props string")
+        d2 = spark.createDataFrame(s2_rows, "id long, props string")
+        got = {
+            r.key: (
+                r.n_rows_1, r.n_nulls_1, r.n_distinct_values_1,
+                r.n_rows_2, r.n_nulls_2, r.n_distinct_values_2,
+            )
+            for r in json_schema_drift(d1, d2, "props").collect()
+        }
+        assert got == expected
