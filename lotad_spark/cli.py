@@ -249,6 +249,43 @@ def rollup(events_path, store_path, ts_col, value_col, unit, dims,
         )
 
 
+@cli.command("dedup-lines")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (doc_id, text, ...) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes the stripped corpus to OUTPUT/stripped")
+@click.option("--min-count", default=2, show_default=True,
+              help="A line is boilerplate when its trimmed form occurs "
+                   "this often corpus-wide")
+@click.option("--delim", default="\n",
+              help=r"Literal line separator [default: newline]")
+def dedup_lines_cmd(docs_path, output_path, min_count, delim) -> None:
+    """Strip CCNet-style boilerplate: lines repeating verbatim across
+    the corpus (cookie banners, navigation chrome) are removed per
+    document; untouched documents pass through byte-identical."""
+    from pyspark.sql import functions as F
+
+    from lotad_spark.pipeline.text import strip_duplicate_lines
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_dedup_lines")
+    docs = read_table(spark, docs_path)
+    stripped = strip_duplicate_lines(
+        docs, min_count=min_count, delim=delim
+    )
+    stripped.write.mode("overwrite").parquet(f"{output_path}/stripped")
+    landed = spark.read.parquet(f"{output_path}/stripped")
+    n_hit = landed.filter("n_lines_removed > 0").count()
+    n_lines = (
+        landed.agg(F.sum("n_lines_removed")).collect()[0][0] or 0
+    )
+    click.echo(
+        f"dedup-lines: removed {n_lines} duplicated lines across "
+        f"{n_hit} docs -> {output_path}/stripped"
+    )
+
+
 @cli.command("dedup-spans")
 @click.option("--docs", "docs_path", type=click.Path(exists=True),
               required=True,

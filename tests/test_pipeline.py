@@ -652,6 +652,43 @@ class TestLineDedup:
         }
         assert got == expected
 
+    def test_strip_is_idempotent(self, lined):
+        # Removing every copy of a duplicated line leaves survivors'
+        # corpus counts unchanged, so a second strip is a no-op.
+        from lotad_spark.pipeline import strip_duplicate_lines
+
+        once = strip_duplicate_lines(lined, min_count=2).select(
+            "doc_id", "text"
+        )
+        twice = strip_duplicate_lines(once, min_count=2)
+        assert twice.filter("n_lines_removed > 0").isEmpty()
+        a = sorted((r.doc_id, r.text) for r in once.collect())
+        b = sorted((r.doc_id, r.text) for r in twice.select(
+            "doc_id", "text").collect())
+        assert a == b
+
+    def test_cli_command(self, spark, lined, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        src = str(tmp_path / "docs")
+        lined.write.mode("overwrite").parquet(src)
+        out = str(tmp_path / "out")
+        result = CliRunner().invoke(
+            cli,
+            ["dedup-lines", "--docs", src, "--output", out],
+            catch_exceptions=False,
+        )
+        assert result.exit_code == 0, result.output
+        # 6 dup-line removals across 4 docs (boiler x4, nav x2)
+        assert "removed 6 duplicated lines across 4 docs" in result.output
+        landed = {
+            r.doc_id: r.n_lines_removed
+            for r in spark.read.parquet(f"{out}/stripped").collect()
+        }
+        assert landed[1] == 2 and landed[4] == 0
+
     def test_hash_only_shuffle(self, lined):
         from lotad_spark.pipeline import duplicate_lines
 
