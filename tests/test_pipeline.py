@@ -652,6 +652,22 @@ class TestLineDedup:
         }
         assert got == expected
 
+    def test_delim_is_literal_not_regex(self, spark):
+        # "." would split between every character if passed raw to the
+        # regex-based split; the API promises a LITERAL separator.
+        from lotad_spark.pipeline import strip_duplicate_lines
+
+        df = spark.createDataFrame(
+            [(1, "same part.unique one"), (2, "same part.unique two")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: (r.text, r.n_lines_removed)
+            for r in strip_duplicate_lines(df, delim=".").collect()
+        }
+        assert out[1] == ("unique one", 1)
+        assert out[2] == ("unique two", 1)
+
     def test_strip_is_idempotent(self, lined):
         # Removing every copy of a duplicated line leaves survivors'
         # corpus counts unchanged, so a second strip is a no-op.
