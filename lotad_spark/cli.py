@@ -269,6 +269,12 @@ def dedup_lines_cmd(docs_path, output_path, min_count, delim) -> None:
     from lotad_spark.pipeline.text import strip_duplicate_lines
     from lotad_spark.sources.parquet import read_table
 
+    if delim == "":
+        raise click.UsageError(
+            "--delim must be a non-empty literal separator (an empty "
+            "delimiter would split every document into single characters "
+            "and strip nearly everything)"
+        )
     spark = get_spark("lotad_spark_dedup_lines")
     docs = read_table(spark, docs_path)
     stripped = strip_duplicate_lines(
@@ -276,10 +282,10 @@ def dedup_lines_cmd(docs_path, output_path, min_count, delim) -> None:
     )
     stripped.write.mode("overwrite").parquet(f"{output_path}/stripped")
     landed = spark.read.parquet(f"{output_path}/stripped")
-    n_hit = landed.filter("n_lines_removed > 0").count()
-    n_lines = (
-        landed.agg(F.sum("n_lines_removed")).collect()[0][0] or 0
-    )
+    n_lines, n_hit = landed.agg(
+        F.coalesce(F.sum("n_lines_removed"), F.lit(0)),
+        F.count_if(F.col("n_lines_removed") > 0),
+    ).collect()[0]
     click.echo(
         f"dedup-lines: removed {n_lines} duplicated lines across "
         f"{n_hit} docs -> {output_path}/stripped"
