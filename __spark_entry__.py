@@ -2262,11 +2262,20 @@ def q_strip_dup_lines(spark, sf_dir):
     carry no newlines, so the fixture first folds each document into
     deterministic 10-token lines (replayed identically in the oracle);
     lines occurring >= 2 times corpus-wide are then stripped, untouched
-    documents pass through byte-identical."""
+    documents pass through byte-identical.
+
+    NULL-text contract: the oracle coalesces absent docs to text '',
+    while the library's strip_duplicate_lines passes NULL through as
+    NULL — so the fixture coalesces text to '' up front, making a
+    NULL/empty doc land as ('', 0) on BOTH engines regardless of how
+    the testdata fixture is regenerated (same contract note style as
+    json_key_stats)."""
     from lotad_spark.pipeline import strip_duplicate_lines
     from lotad_spark.pipeline.text import tokens
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
     chunked = F.transform(
         F.array(tokens(F.col("text"))),
         lambda tk: F.array_join(

@@ -472,9 +472,11 @@ def duplicate_lines(
     with the occurrence count. Blank lines are ignored. ``delim`` is
     a LITERAL separator (regex-escaped before the split).
 
-    Scale: lines explode once; the shuffle key is a 16-hex-char md5 of
-    the trimmed line (fixed width, never text — same discipline as
-    spandedup's positional grams); the duplicate-key relation is
+    Scale: lines explode once; the shuffle key is the FULL 128-bit md5
+    of the trimmed line (fixed width, never text — same discipline as
+    spandedup's 16-byte positional grams; a truncated 64-bit key would
+    see birthday collisions at web-corpus line cardinalities and
+    silently delete non-duplicate lines); the duplicate-key relation is
     bounded by the distinct-line vocabulary and joins back to the
     positional relation by hash only."""
     lines = df.select(
@@ -485,7 +487,7 @@ def duplicate_lines(
     ).select(
         id_col,
         "line_pos",
-        F.substring(F.md5(F.trim("_line")), 1, 16).alias("_lh"),
+        F.md5(F.trim("_line")).alias("_lh"),
         (F.length(F.trim("_line")) > 0).alias("_nonblank"),
     ).filter("_nonblank")
     dup = (

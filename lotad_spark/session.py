@@ -18,6 +18,26 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _default_driver_mem() -> str:
+    """Driver-heap default derived from the machine, not a constant.
+
+    Local mode puts every executor thread inside the driver JVM, so the
+    heap must scale with the box: half of MemAvailable, clamped to
+    [2g, 16g]. A flat 16g would let the JVM grow into a memory-cgroup
+    limit and get OOM-killed mid-job on constrained containers (where
+    the old 1g default at least failed fast); 1g GC-thrashes a 32-thread
+    local run at sf1. ``SPARK_GRAFT_DRIVER_MEM`` overrides outright."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(16, avail_gb // 2))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(
     app_name: str = "lotad_spark",
     *,
@@ -37,13 +57,14 @@ def get_spark(
         # Local mode puts every executor thread inside the driver JVM, so
         # the 1g spark.driver.memory default is the binding constraint on
         # a many-core box (observed: GCLocker thrash → job death at ~6M-row
-        # diffs with 32 threads). Size the heap to the workload, not the
-        # default; on a cluster this conf is owned by spark-submit and the
-        # env override keeps CI/driver boxes in control. Takes effect only
-        # at JVM launch — a pre-existing session keeps its heap.
+        # diffs with 32 threads). Size the heap to the box (see
+        # _default_driver_mem); on a cluster this conf is owned by
+        # spark-submit and the env override keeps CI/driver boxes in
+        # control. Takes effect only at JVM launch — a pre-existing
+        # session keeps its heap.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cores, 4)))
         .config("spark.sql.adaptive.enabled", "true")

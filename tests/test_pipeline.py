@@ -712,7 +712,7 @@ class TestLineDedup:
             duplicate_lines(lined)
             ._jdf.queryExecution().executedPlan().toString()
         )
-        # every shuffle partitions on the 16-char line hash, never text
+        # every shuffle partitions on the 128-bit line hash, never text
         import re
 
         keys = re.findall(r"hashpartitioning\((\w+)", plan)
