@@ -2356,6 +2356,142 @@ def q_sqlite_scan_diff(spark, sf_dir):
     return res.diff.select("c_custkey", "c_name", "observed_in")
 
 
+def q_orc_scan_diff(spark, sf_dir):
+    """ORC export as a compare side (sources/files.py OrcDatabase — the
+    self-describing columnar interchange path, with native footer
+    schema + predicate pushdown; no inference pass). Lands a
+    deterministically mutated customer copy as .orc (drop keys %107==0,
+    rename keys %109==0), scans it back through the catalog surface and
+    runs the core hash diff against the parquet truth. Includes the
+    DOUBLE column c_acctbal: ORC round-trips binary doubles losslessly,
+    the type-fidelity claim the text formats can't make."""
+    from lotad_spark.sources.files import OrcDatabase
+
+    root = _scratch("lotad_orc_")
+    truth = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    mutated = truth.filter(F.col("c_custkey") % 107 != 0).withColumn(
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 109 == 0,
+            F.concat(F.lit("ORC#"), F.col("c_custkey").cast("string")),
+        ).otherwise(F.col("c_name")),
+    )
+    mutated.write.mode("overwrite").orc(f"{root}/customer.orc")
+    odb = OrcDatabase(spark, root, "export")
+    res = diff_tables(
+        truth,
+        odb.table("customer"),
+        db1_id="truth",
+        db2_id="export",
+        json_strings=False,
+    )
+    return res.diff.select("c_custkey", "c_name", "observed_in")
+
+
+def q_csv_scan_diff(spark, sf_dir):
+    """CSV export as a compare side (sources/files.py CsvDatabase):
+    lands a mutated customer copy as headered CSV (drop keys %113==0,
+    rename keys %127==0), scans it back with an EXPLICIT DDL schema (the
+    at-scale path — no inference pass; the reader streams straight into
+    the plan) and hash-diffs against the parquet truth. int/string
+    columns only: CSV carries no binary float fidelity — the
+    double-vs-text reconciliation is the P4 string-cast normalization's
+    job, pinned in tests/test_file_sources.py."""
+    from lotad_spark.sources.files import CsvDatabase
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    root = _scratch("lotad_csv_")
+    truth = _t(spark, sf_dir, "customer").select(*cols)
+    mutated = truth.filter(F.col("c_custkey") % 113 != 0).withColumn(
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 127 == 0,
+            F.concat(F.lit("CSV#"), F.col("c_custkey").cast("string")),
+        ).otherwise(F.col("c_name")),
+    )
+    mutated.write.mode("overwrite").option("header", "true").csv(
+        f"{root}/customer.csv"
+    )
+    cdb = CsvDatabase(
+        spark,
+        root,
+        "export",
+        schemas={
+            "customer": (
+                "c_custkey BIGINT, c_name STRING, "
+                "c_nationkey INT, c_mktsegment STRING"
+            )
+        },
+    )
+    res = diff_tables(
+        truth,
+        cdb.table("customer"),
+        db1_id="truth",
+        db2_id="export",
+        json_strings=False,
+    )
+    return res.diff.select("c_custkey", "c_name", "observed_in")
+
+
+def q_apply_bpe(spark, sf_dir):
+    """Tokenize the corpus with the 8-merge table learned by train_bpe
+    (pipeline/bpe.py apply_bpe — the greedy rank-order fold as pure
+    expressions). The oracle replays training via the same fixed-depth
+    CTE unroll as bpe_merges, then applies each merge with the
+    delimiter-wrapped string-replace equivalent of the greedy fold
+    (left-to-right non-overlapping — replace() semantics — with every
+    symbol wrapped in chr(31) so runs of l==r take every other match
+    exactly like the fold). Tokens emit space-joined (symbols are
+    chars of whitespace-split words + '</w>', so the join is
+    unambiguous); the fixture documents contain no chr(31) (verified
+    for sf0.01/sf0.1 — same contract-note style as strip_dup_lines)."""
+    from lotad_spark.pipeline.bpe import apply_bpe, train_bpe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merge_rows = train_bpe(d, num_merges=8).orderBy("rank").collect()
+    merges = [(r.left, r.right) for r in merge_rows]
+    out = apply_bpe(d, merges)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("tokens", " ").alias("tokens_str"),
+    )
+
+
+def q_interval_join_batch(spark, sf_dir):
+    """Batch face of streaming/windowed.py stream_interval_join: the
+    IDENTICAL join definition (key equality + point_ts in
+    [interval_ts - max_delay, interval_ts)) run on bounded inputs — the
+    same pairing the watermarked stream-stream join produces live
+    (stream ≡ batch pinned over two real readStreams in
+    tests/test_streaming_multimodal.py). Same semantics as
+    range_join_views, so the same inequality-join oracle shape."""
+    from lotad_spark.streaming import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return stream_interval_join(
+        views,
+        purchases,
+        point_key="v_user",
+        interval_key="p_user",
+        point_ts="v_ts",
+        interval_ts="p_ts",
+        max_delay="1 hour",
+    ).select("v_id", "p_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: row-level drift on the customer table (sf0.001) against a
     deleted-rows variant. Deterministic non-empty result."""
@@ -2375,51 +2511,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r6 — 66 declared, exactly the first 50 checked). Priority for the
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
-    green stable rows rotate out. Layout this round (r8):
+    green stable rows rotate out. Layout this round (r9):
 
-    * 1-4: the four rows repaired this round — the r7 hash-fail cluster
-      (raw DECIMAL serialization, now canonicalized to fixed-scale
-      strings on both sides);
-    * 5: json_key_stats — landed post-r7-sweep, never driver-checked;
-    * 6: bpe_merges — flipped from rows-only to a full value oracle
-      this round (fixed-depth CTE unroll), needs driver verification;
-    * 7: psi_online — fixture hardened this round (reference now
-      excludes value >= 150, so current-only new-mode bins are
-      exercised at the driver);
-    * 8-10: the three rows NEW this round — sql_row_hash_diff (the
-      SQL-registered get_row_hash surface, §2.9, driven at the driver
-      for the first time), json_schema_drift (SO3 schema set-ops
-      extended inside a JSON column), strip_dup_lines (CCNet-style
-      line-level boilerplate removal);
-    * 11-50: the forty longest-unverified rotated rows (all last green
-      r6; the four deepest-green diff/summary rows
-      diff_deleted_rows_groupby / diff_value_change / diff_counts /
-      drift_summary — 4 green rounds each — stay out to make room, and
-      length_quantiles / stratified_cap / train_eval_split (r5+r6
-      green) moved just past the boundary as slots 8-10 were taken);
+    * 1: strip_dup_lines — operator changed this round (line-hash key
+      widened from a truncated 64-bit md5 prefix to the full 128-bit
+      digest; fixture made NULL-text-safe), needs re-verification;
+    * 2-5: the four rows NEW this round — orc_scan_diff / csv_scan_diff
+      (first driver-driven rows for the file-format scan family,
+      mirroring sqlite_scan_diff's land-mutate-scan-back shape),
+      apply_bpe (flipped from library-only to a full value oracle: the
+      training unroll feeds a delimiter-wrapped replace() replay of the
+      greedy fold), interval_join_batch (the batch face of
+      stream_interval_join, previously argued only via
+      range_join_views);
+    * 6: sqlite_scan_diff — rotated back alongside the new ORC/CSV rows
+      so every live-scan path re-verifies in the same round;
+    * 7-48: the forty-two longest-unverified rotated rows (all last
+      green r7, code unchanged since);
+    * 49-50: diff_deleted_rows_groupby / diff_value_change — the two
+      deepest-green core-diff rows cycle back in (last green r6);
     * 51+: rotated out — every row has at least one driver-green round
-      (the whole r7 window went green except the four rows now in
-      slots 1-4) with unchanged code since; rollup_distinct_users is
-      rows-only BY DESIGN (HLL registers are engine-specific) and its
-      shape is on record in r7, so it stops burning a window slot. The
-      full registry stays enforced by scripts/check_oracle.py and the
-      pytest suite. See COVERAGE.md "Driver-window rotation".
+      with unchanged code since (the whole r8 window went green);
+      rollup_distinct_users is rows-only BY DESIGN (HLL registers are
+      engine-specific; its shape is on record in r7) and does not burn
+      a window slot. The full registry stays enforced by
+      scripts/check_oracle.py and the pytest suite. See COVERAGE.md
+      "Driver-window rotation".
     """
     return {
-        # --- 1-4: repaired this round (r7 decimal hash-fail cluster) ---
+        # --- 1: operator changed this round (128-bit line-hash key) ---
+        "strip_dup_lines": q_strip_dup_lines,
+        # --- 2-5: new this round ---
+        "orc_scan_diff": q_orc_scan_diff,
+        "csv_scan_diff": q_csv_scan_diff,
+        "apply_bpe": q_apply_bpe,
+        "interval_join_batch": q_interval_join_batch,
+        # --- 6: live-scan sibling re-verifies with the new ORC/CSV rows ---
+        "sqlite_scan_diff": q_sqlite_scan_diff,
+        # --- 7-48: longest-unverified rotated rows (last green r7) ---
+        "dup_spans": q_dup_spans,
+        "strip_dup_spans": q_strip_dup_spans,
+        "event_transitions": q_event_transitions,
+        "path_signatures": q_path_signatures,
+        "rollup_anomaly": q_rollup_anomaly,
+        "events_sliding_agg": q_events_sliding_agg,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "temperature_rates": q_temperature_rates,
+        "multi_grain_cube": q_multi_grain_cube,
+        "anomaly_online": q_anomaly_online,
+        "events_funnel_windowed": q_events_funnel_windowed,
+        "value_deciles": q_value_deciles,
+        "span_index_probe": q_span_index_probe,
+        "canonical_keep": q_canonical_keep,
+        "contamination_spans": q_contamination_spans,
+        "rolling_active_users": q_rolling_active_users,
+        "events_funnel": q_events_funnel,
+        "profile_drift": q_profile_drift,
+        "events_retention": q_events_retention,
+        "psi_drift": q_psi_drift,
+        "keyed_diff": q_keyed_diff,
+        "events_value_hist": q_events_value_hist,
+        "zorder_codes": q_zorder_codes,
+        "snapshot_diff": q_snapshot_diff,
+        "dedup_index_probe": q_dedup_index_probe,
+        "asof_latest_order": q_asof_latest_order,
+        "range_join_views": q_range_join_views,
+        "quantile_estimates": q_quantile_estimates,
+        "quantiles_online": q_quantiles_online,
+        "weighted_sample": q_weighted_sample,
+        "quantize_embeddings": q_quantize_embeddings,
+        "custom_query_diff": q_custom_query_diff,
+        "dedup_embedding": q_dedup_embedding,
+        "drift_static_batch": q_drift_static_batch,
+        "events_key_stats": q_events_key_stats,
+        "events_session_agg": q_events_session_agg,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
+        "skew_salted_join": q_skew_salted_join,
+        "skew_two_phase_agg": q_skew_two_phase_agg,
+        "diff_deleted_rows": q_diff_deleted_rows,
+        "schema_drift_records": q_schema_drift_records,
+        # --- 49-50: deepest-green core-diff rows cycle back in ---
+        "diff_deleted_rows_groupby": q_diff_deleted_rows_groupby,
+        "diff_value_change": q_diff_value_change,
+        # --- 51+: rotated out (driver-green r8 or multi-round green) ---
         "rollup_hourly": q_rollup_hourly,
         "rollup_incremental": q_rollup_incremental,
         "rollup_gapfill": q_rollup_gapfill,
         "twa_by_user": q_twa_by_user,
-        # --- 5-7: never driver-green / oracle changed this round ---
         "json_key_stats": q_json_key_stats,
         "bpe_merges": q_bpe_merges,
         "psi_online": q_psi_online,
-        # --- 8-10: new this round ---
         "sql_row_hash_diff": q_sql_row_hash_diff,
         "json_schema_drift": q_json_schema_drift,
-        "strip_dup_lines": q_strip_dup_lines,
-        # --- 11-50: longest-unverified rotated rows (last green r6) ---
         "diff_dup_collapse": q_diff_dup_collapse,
         "missing_table_records": q_missing_table_records,
         "wizard_overlap_probe": q_wizard_overlap_probe,
@@ -2460,58 +2644,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "upsample_weights": q_upsample_weights,
         "shuffle_batches": q_shuffle_batches,
-        # --- 51+: rotated out (driver-green r7 or multi-round green) ---
         "train_eval_split": q_train_eval_split,
         "stratified_cap": q_stratified_cap,
         "length_quantiles": q_length_quantiles,
-        "dup_spans": q_dup_spans,
-        "strip_dup_spans": q_strip_dup_spans,
-        "event_transitions": q_event_transitions,
-        "path_signatures": q_path_signatures,
-        "rollup_anomaly": q_rollup_anomaly,
-        "events_sliding_agg": q_events_sliding_agg,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "temperature_rates": q_temperature_rates,
-        "multi_grain_cube": q_multi_grain_cube,
-        "anomaly_online": q_anomaly_online,
-        "events_funnel_windowed": q_events_funnel_windowed,
-        "value_deciles": q_value_deciles,
-        "span_index_probe": q_span_index_probe,
-        "canonical_keep": q_canonical_keep,
-        "contamination_spans": q_contamination_spans,
-        "rolling_active_users": q_rolling_active_users,
-        "events_funnel": q_events_funnel,
-        "profile_drift": q_profile_drift,
-        "events_retention": q_events_retention,
-        "psi_drift": q_psi_drift,
-        "keyed_diff": q_keyed_diff,
-        "events_value_hist": q_events_value_hist,
-        "zorder_codes": q_zorder_codes,
-        "snapshot_diff": q_snapshot_diff,
-        "dedup_index_probe": q_dedup_index_probe,
-        "sqlite_scan_diff": q_sqlite_scan_diff,
-        "asof_latest_order": q_asof_latest_order,
-        "range_join_views": q_range_join_views,
-        "rollup_distinct_users": q_rollup_distinct_users,
-        "quantile_estimates": q_quantile_estimates,
-        "quantiles_online": q_quantiles_online,
-        "weighted_sample": q_weighted_sample,
-        "quantize_embeddings": q_quantize_embeddings,
-        "custom_query_diff": q_custom_query_diff,
-        "dedup_embedding": q_dedup_embedding,
-        "drift_static_batch": q_drift_static_batch,
-        "events_key_stats": q_events_key_stats,
-        "events_session_agg": q_events_session_agg,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_features": q_multimodal_features,
-        "skew_salted_join": q_skew_salted_join,
-        "skew_two_phase_agg": q_skew_two_phase_agg,
-        "diff_deleted_rows": q_diff_deleted_rows,
-        "schema_drift_records": q_schema_drift_records,
-        "diff_deleted_rows_groupby": q_diff_deleted_rows_groupby,
-        "diff_value_change": q_diff_value_change,
         "diff_counts": q_diff_counts,
         "drift_summary": q_drift_summary,
+        "rollup_distinct_users": q_rollup_distinct_users,
     }
 
 
@@ -3469,6 +3607,48 @@ def oracle_sql() -> dict[str, str]:
         "OR coalesce(ks1.n_distinct_values, 0) != "
         "coalesce(ks2.n_distinct_values, 0)"
     )
+    # The ORC/CSV sides are deterministic relational mutations of
+    # customer, so each oracle recomputes the export and takes the
+    # symmetric set difference — the rows the engine's hash diff must
+    # surface after the land-and-scan-back round trip.
+    oracles["orc_scan_diff"] = (
+        "WITH export AS (SELECT c_custkey, "
+        "CASE WHEN c_custkey % 109 = 0 THEN 'ORC#' || "
+        "CAST(c_custkey AS VARCHAR) ELSE c_name END AS c_name, "
+        "c_nationkey, c_acctbal, c_mktsegment FROM customer "
+        "WHERE c_custkey % 107 != 0), "
+        "truth AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+        "c_mktsegment FROM customer) "
+        "SELECT c_custkey, c_name, 'truth' AS observed_in FROM "
+        "(SELECT * FROM truth EXCEPT SELECT * FROM export) "
+        "UNION ALL "
+        "SELECT c_custkey, c_name, 'export' AS observed_in FROM "
+        "(SELECT * FROM export EXCEPT SELECT * FROM truth)"
+    )
+    oracles["csv_scan_diff"] = (
+        "WITH export AS (SELECT c_custkey, "
+        "CASE WHEN c_custkey % 127 = 0 THEN 'CSV#' || "
+        "CAST(c_custkey AS VARCHAR) ELSE c_name END AS c_name, "
+        "c_nationkey, c_mktsegment FROM customer "
+        "WHERE c_custkey % 113 != 0), "
+        "truth AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment "
+        "FROM customer) "
+        "SELECT c_custkey, c_name, 'truth' AS observed_in FROM "
+        "(SELECT * FROM truth EXCEPT SELECT * FROM export) "
+        "UNION ALL "
+        "SELECT c_custkey, c_name, 'export' AS observed_in FROM "
+        "(SELECT * FROM export EXCEPT SELECT * FROM truth)"
+    )
+    oracles["apply_bpe"] = _apply_bpe_oracle(8)
+    # Identical pairing semantics to range_join_views — the batch face
+    # of the stream-stream interval join runs the same inequality join.
+    oracles["interval_join_batch"] = (
+        "SELECT v.event_id AS v_id, p.event_id AS p_id "
+        "FROM events v JOIN events p "
+        "ON v.user_id = p.user_id "
+        "AND v.event_type = 'view' AND p.event_type = 'purchase' "
+        "AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts"
+    )
     return oracles
 
 
@@ -3482,6 +3662,17 @@ def _bpe_merges_oracle(num_merges: int) -> str:
     every other match fires — gaps-and-islands on consecutive match
     positions; a merged output never re-matches within the pass because
     ``l || r != l``)."""
+    parts = _bpe_training_ctes(num_merges)
+    union = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(num_merges))
+    parts.append(f" SELECT * FROM ({union}) ORDER BY rank")
+    return "".join(parts)
+
+
+def _bpe_training_ctes(num_merges: int) -> list[str]:
+    """The shared CTE chain replaying train_bpe: word histogram → per-round
+    (pair histogram → argmax m{k}/am{k} → greedy fold rewrite v{k+1}).
+    ``_bpe_merges_oracle`` selects the merge rows; ``_apply_bpe_oracle``
+    extends the chain to tokenize documents with the learned merges."""
     parts = [
         # v0: word histogram symbolized to chars + '</w>' (identical to
         # the bpe_pair_counts oracle's symbolization).
@@ -3526,6 +3717,49 @@ def _bpe_merges_oracle(num_merges: int) -> str:
             f"PARTITION BY word ORDER BY i), false) AS consumed "
             f"FROM kp{k}) WHERE NOT consumed GROUP BY word, freq)"
         )
-    union = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(num_merges))
-    parts.append(f" SELECT * FROM ({union}) ORDER BY rank")
+    return parts
+
+
+def _apply_bpe_oracle(num_merges: int) -> str:
+    """Value oracle for apply_bpe: replay training (the shared CTE chain
+    above), then tokenize each document word by applying the learned
+    merges in rank order. Each round's greedy fold is equivalent to a
+    single left-to-right non-overlapping string replace over the
+    symbol sequence rendered with every symbol WRAPPED in chr(31)
+    (``␟l␟␟r␟ → ␟lr␟``): wrapping makes an ``l == r`` run take every
+    other match exactly like the fold (the consumed middle delimiter
+    blocks overlap), a replacement never re-matches within the pass
+    (``lr`` contains no delimiter), and symbols can't collide across
+    boundaries. Precondition (verified for the sf0.01/sf0.1 fixtures,
+    same contract-note style as strip_dup_lines): document text
+    contains no chr(31)."""
+    parts = _bpe_training_ctes(num_merges)
+    parts.append(
+        # documents → (doc_id, word position, word), empties dropped —
+        # positions keep posexplode's original indices, matching the
+        # Spark side's order-only use of _wp.
+        ", docw AS (SELECT doc_id, i AS wp, tk[i] AS w FROM ("
+        f"SELECT doc_id, {_TOKS} AS tk FROM documents), "
+        "unnest(range(1, len(tk) + 1)) AS u(i) WHERE tk[i] <> '')"
+        # s0: chars + '</w>', each symbol wrapped: ␟c1␟␟c2␟...␟</w>␟
+        ", s0 AS (SELECT doc_id, wp, chr(31) || array_to_string("
+        "list_append(list_transform(range(1, len(w) + 1), j -> w[j]), "
+        "'</w>'), chr(31) || chr(31)) || chr(31) AS s FROM docw)"
+    )
+    for k in range(num_merges):
+        parts.append(
+            f", s{k + 1} AS (SELECT doc_id, wp, replace(s, "
+            f"chr(31) || (SELECT \"left\" FROM m{k}) || chr(31) || "
+            f"chr(31) || (SELECT \"right\" FROM m{k}) || chr(31), "
+            f"chr(31) || (SELECT \"left\" || \"right\" FROM m{k}) || "
+            f"chr(31)) AS s FROM s{k})"
+        )
+    parts.append(
+        f", wt AS (SELECT doc_id, wp, string_split("
+        f"substr(s, 2, len(s) - 2), chr(31) || chr(31)) AS tk "
+        f"FROM s{num_merges}) "
+        "SELECT doc_id, CAST(sum(len(tk)) AS BIGINT) AS n_tokens, "
+        "array_to_string(flatten(list(tk ORDER BY wp)), ' ') "
+        "AS tokens_str FROM wt GROUP BY doc_id"
+    )
     return "".join(parts)

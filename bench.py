@@ -127,10 +127,46 @@ def main() -> None:
     )
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    # Duplicate-key skew stress: one constant row replicated to ~25% of
+    # lineitem on BOTH sides (all copies share ONE content hash and
+    # cancel in the diff; drift stays the standard mutation set). The
+    # window strategy lands every copy in one row-count-bound window
+    # partition — invisible to AQE's byte-based skew detection because
+    # identical rows compress to ~nothing in the shuffle — while the
+    # groupby strategy collapses them map-side before the exchange
+    # (tests/test_plans.py::TestSkewedDiffPlans pins both claims).
+    skew_dir = os.path.join(work, "skew")
+    li1, li2 = db1.table("lineitem"), db2.table("lineitem")
+    if not os.path.exists(skew_dir):
+        n_copies = li1.count() // 4
+        const = li1.limit(1)
+        copies = (
+            spark.range(n_copies)
+            .crossJoin(F.broadcast(const))
+            .drop("id")
+            .select(*li1.columns)
+        )
+        li1.unionByName(copies).write.parquet(f"{skew_dir}/db1")
+        li2.unionByName(copies).write.parquet(f"{skew_dir}/db2")
+    from lotad_spark.sources.parquet import read_table as _read_table
+
+    sk1 = _read_table(spark, f"{skew_dir}/db1")
+    sk2 = _read_table(spark, f"{skew_dir}/db2")
+    for strat in ("window", "groupby"):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            diff_tables(
+                sk1, sk2, db1_id="db1", db2_id="db2", strategy=strat
+            ).diff.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        queries[f"diff_skewed_{strat}"] = round(best, 3)
+
     # Headline analytics queries from the driver contract.
     import __spark_entry__ as entry_mod
 
-    for name in ("q1_lineitem_agg", "topk_orders", "events_window_agg", "events_funnel", "profile_drift", "events_retention", "psi_drift", "asof_latest_order", "range_join_views", "rollup_hourly", "rollup_incremental", "rollup_gapfill", "twa_by_user", "rollup_distinct_users", "quantile_estimates", "quantiles_online", "events_sliding_agg", "rollup_anomaly", "multi_grain_cube", "event_transitions", "path_signatures", "dup_spans", "strip_dup_spans", "bpe_pair_counts", "bpe_merges", "temperature_rates", "anomaly_online", "events_funnel_windowed", "value_deciles", "span_index_probe", "canonical_keep", "contamination_spans", "rolling_active_users", "strip_dup_lines", "json_schema_drift", "sql_row_hash_diff", "json_key_stats"):
+    for name in ("q1_lineitem_agg", "topk_orders", "events_window_agg", "events_funnel", "profile_drift", "events_retention", "psi_drift", "asof_latest_order", "range_join_views", "rollup_hourly", "rollup_incremental", "rollup_gapfill", "twa_by_user", "rollup_distinct_users", "quantile_estimates", "quantiles_online", "events_sliding_agg", "rollup_anomaly", "multi_grain_cube", "event_transitions", "path_signatures", "dup_spans", "strip_dup_spans", "bpe_pair_counts", "bpe_merges", "temperature_rates", "anomaly_online", "events_funnel_windowed", "value_deciles", "span_index_probe", "canonical_keep", "contamination_spans", "rolling_active_users", "strip_dup_lines", "json_schema_drift", "sql_row_hash_diff", "json_key_stats", "apply_bpe", "interval_join_batch", "orc_scan_diff", "csv_scan_diff"):
         fn = entry_mod.queries()[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

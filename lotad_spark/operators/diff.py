@@ -180,6 +180,19 @@ def diff_tables(
     ``json_strings=False`` keeps string columns out of the Python
     canonicalization path (pure-JVM hash) when the source is known not to
     embed JSON in strings.
+
+    Skew: the shuffle key is the content hash, so a dominant key means
+    IDENTICAL duplicate rows. Identical rows compress to ~nothing in the
+    shuffle, so AQE's byte-based skew-join detection cannot see them
+    (verified in tests/test_plans.py::TestSkewedDiffPlans) and the
+    ``window`` strategy lands every copy in one row-count-bound window
+    partition. For dup-heavy tables use ``strategy="groupby"``: its
+    phase-1 partial aggregation collapses duplicates MAP-SIDE — each map
+    task emits one (hash, side-set) partial — so the exchange never
+    carries the duplicate stream at all. Genuinely byte-skewed joins
+    (heterogeneous rows, e.g. the phase-2 semi-join back or custom-query
+    joins) are covered by the session's AQE skew-join config, proven
+    live in the same test class.
     """
     n1, n2, cols = normalize_for_diff(
         df1, df2, ignore_columns=ignore_columns, ignore_dates=ignore_dates

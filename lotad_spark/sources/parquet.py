@@ -67,7 +67,13 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
-        df = df.withColumn(c, F.timestamp_micros(_floor_div_1000(c)))
+        # The rebuild applies only when the column actually surfaced as
+        # LONG. Spark-written INT96 timestamps probe as timestamp[ns]
+        # through pyarrow but Spark reads them back as TIMESTAMP directly
+        # (nanosAsLong covers only TIMESTAMP(NANOS)-annotated columns) —
+        # re-ingesting Spark output must not DIV-1000 a real timestamp.
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(_floor_div_1000(c)))
     for field in df.schema.fields:
         if isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))

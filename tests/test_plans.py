@@ -230,3 +230,91 @@ class TestRollupPlans:
         # user_id partitioning instead of shuffling again
         assert plan.count("Exchange hashpartitioning(user_id") == 1
         assert "Join" not in plan
+
+
+class TestSkewedDiffPlans:
+    """Duplicate-key skew on the diff path. The diff's shuffle key is the
+    content hash, so a dominant key MEANS identical duplicate rows — which
+    compress to ~nothing in the shuffle, making them INVISIBLE to AQE's
+    byte-based skew-join detection (verified empirically: 50k constant
+    copies never trip skewedPartitionThresholdInBytes). The engineered
+    mitigation is therefore the groupby strategy's map-side partial
+    aggregation, which collapses every duplicate before the exchange —
+    pinned here — while the AQE skew-join config is proven live for the
+    genuinely byte-skewed joins it CAN see."""
+
+    def _skewed(self, spark, customer, n=5000):
+        const = customer.limit(1)
+        copies = (
+            spark.range(n)
+            .crossJoin(F.broadcast(const))
+            .drop("id")
+            .select(*customer.columns)
+        )
+        return customer.unionByName(copies)
+
+    def test_groupby_partial_agg_absorbs_duplicate_skew(self, spark, customer):
+        """With one row duplicated thousands of times on both sides, the
+        groupby strategy's phase-1 shuffle must carry map-side-combined
+        partials (one (hash, side-set) per map task), never the raw
+        duplicate stream — and the duplicates must cancel exactly."""
+        skew1 = self._skewed(spark, customer)
+        skew2 = self._skewed(spark, customer.filter("c_custkey != 5"))
+        r = diff_tables(skew1, skew2, strategy="groupby", json_strings=False)
+        plan = _plan(r.diff)
+        # partial aggregation below the exchange = map-side combine
+        assert "partial_collect_set" in plan, plan
+        rows = r.diff.collect()
+        assert len(rows) == 1 and rows[0]["c_custkey"] == 5
+
+    def test_window_strategy_correct_under_duplicate_skew(self, spark, customer):
+        """The window strategy stays CORRECT under duplicate skew (all
+        copies land in one window partition and cancel); the groupby
+        strategy is the scale path for dup-heavy tables (see diff.py)."""
+        skew1 = self._skewed(spark, customer)
+        skew2 = self._skewed(spark, customer.filter("c_custkey != 5"))
+        r = diff_tables(skew1, skew2, strategy="window", json_strings=False)
+        rows = r.diff.collect()
+        assert len(rows) == 1 and rows[0]["c_custkey"] == 5
+
+    def test_aqe_skew_join_fires_under_session_config(self, spark):
+        """The session's AQE skew-join machinery must actually engage when
+        a join-side partition is byte-skewed (incompressible payload under
+        one key): the finalized plan carries SortMergeJoin(skew=true).
+        Thresholds are lowered to make fixture-scale bytes trip the same
+        detection that fires at production partition sizes."""
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            left = spark.range(50000).select(
+                F.lit(0).alias("k"),
+                F.md5(F.col("id").cast("string")).alias("payload"),
+            ).unionByName(
+                spark.range(1000).select(
+                    (F.col("id") % 7 + 1).cast("int").alias("k"),
+                    F.lit("x").alias("payload"),
+                )
+            )
+            right = spark.range(8).select(
+                F.col("id").cast("int").alias("k"), F.lit("r").alias("rv")
+            )
+            j = left.join(right, "k", "inner")
+            assert len(j.collect()) == 51000
+            plan = _plan(j)
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan, plan
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
