@@ -2435,6 +2435,47 @@ def q_csv_scan_diff(spark, sf_dir):
     return res.diff.select("c_custkey", "c_name", "observed_in")
 
 
+def q_jsonl_scan_diff(spark, sf_dir):
+    """JSON-lines export as a compare side (sources/files.py
+    JsonlDatabase) — completes the file-format scan family's driver
+    coverage (parquet/orc/csv/sqlite rows exist): lands a mutated
+    customer copy as .jsonl (drop keys %131==0, rename keys %137==0),
+    scans it back with an explicit DDL schema (no inference pass) and
+    hash-diffs against the parquet truth."""
+    from lotad_spark.sources.files import JsonlDatabase
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    root = _scratch("lotad_jsonl_")
+    truth = _t(spark, sf_dir, "customer").select(*cols)
+    mutated = truth.filter(F.col("c_custkey") % 131 != 0).withColumn(
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 137 == 0,
+            F.concat(F.lit("JSONL#"), F.col("c_custkey").cast("string")),
+        ).otherwise(F.col("c_name")),
+    )
+    mutated.write.mode("overwrite").json(f"{root}/customer.jsonl")
+    jdb = JsonlDatabase(
+        spark,
+        root,
+        "export",
+        schemas={
+            "customer": (
+                "c_custkey BIGINT, c_name STRING, "
+                "c_nationkey INT, c_mktsegment STRING"
+            )
+        },
+    )
+    res = diff_tables(
+        truth,
+        jdb.table("customer"),
+        db1_id="truth",
+        db2_id="export",
+        json_strings=False,
+    )
+    return res.diff.select("c_custkey", "c_name", "observed_in")
+
+
 def q_apply_bpe(spark, sf_dir):
     """Tokenize the corpus with the 8-merge table learned by train_bpe
     (pipeline/bpe.py apply_bpe — the greedy rank-order fold as pure
@@ -2650,6 +2691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_counts": q_diff_counts,
         "drift_summary": q_drift_summary,
         "rollup_distinct_users": q_rollup_distinct_users,
+        # new at 51+ this round: enforced by the local gate now, cycles
+        # into the driver window at the next rotation
+        "jsonl_scan_diff": q_jsonl_scan_diff,
     }
 
 
@@ -3631,6 +3675,20 @@ def oracle_sql() -> dict[str, str]:
         "CAST(c_custkey AS VARCHAR) ELSE c_name END AS c_name, "
         "c_nationkey, c_mktsegment FROM customer "
         "WHERE c_custkey % 113 != 0), "
+        "truth AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment "
+        "FROM customer) "
+        "SELECT c_custkey, c_name, 'truth' AS observed_in FROM "
+        "(SELECT * FROM truth EXCEPT SELECT * FROM export) "
+        "UNION ALL "
+        "SELECT c_custkey, c_name, 'export' AS observed_in FROM "
+        "(SELECT * FROM export EXCEPT SELECT * FROM truth)"
+    )
+    oracles["jsonl_scan_diff"] = (
+        "WITH export AS (SELECT c_custkey, "
+        "CASE WHEN c_custkey % 137 = 0 THEN 'JSONL#' || "
+        "CAST(c_custkey AS VARCHAR) ELSE c_name END AS c_name, "
+        "c_nationkey, c_mktsegment FROM customer "
+        "WHERE c_custkey % 131 != 0), "
         "truth AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment "
         "FROM customer) "
         "SELECT c_custkey, c_name, 'truth' AS observed_in FROM "
