@@ -1419,6 +1419,82 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup (pipeline/similarity.py
+    semantic_dedup_corpus): deterministic spherical k-means clusters the
+    shared scaled-copy corpus, then within-cluster cosine >= 0.99 marks
+    the planted copies (the min id of each similar set survives). The
+    oracle retrains the RNG-free k-means on the same id-ordered sample
+    and embeds the centroids as literals (the _ann_ivf_sql pattern)."""
+    from lotad_spark.pipeline.similarity import semantic_dedup_corpus
+
+    return semantic_dedup_corpus(
+        _embedding_dup_corpus(spark, sf_dir), n_clusters=8, threshold=0.99
+    )
+
+
+_EMB_DUP_CORPUS_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 200000,
+        list_transform(embedding::DOUBLE[],
+                       x -> CAST(CAST(x * 1.0001 AS FLOAT) AS DOUBLE))
+    FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
+def _dedup_semantic_sql() -> str:
+    """Generated oracle for dedup_semantic: retrain the deterministic
+    k-means (pipeline/kmeans.py — RNG-free init + fixed Lloyd rounds) on
+    the SAME id-ordered 512-row sample of the scaled-copy corpus, read
+    via DuckDB, and embed the bit-identical centroids as SQL literals;
+    assignment / pairwise CTEs mirror semantic_dedup exactly (round-6
+    cosine, cent_id-asc tie-break, smaller-id neighbor max)."""
+    import duckdb
+
+    from lotad_spark.pipeline import kmeans
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    corpus_sql = _EMB_DUP_CORPUS_SQL.replace(
+        "FROM embeddings",
+        f"FROM '{sf_dir}/embeddings.parquet'",
+    )
+    sample = duckdb.connect().execute(
+        f"SELECT v FROM ({corpus_sql}) ORDER BY vec_id ASC "
+        f"LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
+    ).fetchall()
+    cents = kmeans.train_centroids([list(r[0]) for r in sample], 8)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH corpus AS ({_EMB_DUP_CORPUS_SQL}),
+cent(cent_id, cv) AS (VALUES {values}),
+assigned AS (
+    SELECT vec_id, v, cent_id FROM (
+        SELECT c.vec_id, c.v, k.cent_id,
+            row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                round(list_cosine_similarity(c.v, k.cv), 6) DESC,
+                k.cent_id ASC) AS r
+        FROM corpus c, cent k
+    ) WHERE r = 1
+),
+nn AS (
+    SELECT a.vec_id,
+        max(round(list_cosine_similarity(a.v, b.v), 6)) AS nn_sim
+    FROM assigned a JOIN assigned b USING (cent_id)
+    WHERE b.vec_id < a.vec_id
+    GROUP BY a.vec_id
+)
+SELECT a.vec_id, a.cent_id, nn.nn_sim,
+    coalesce(nn.nn_sim >= 0.99, false) AS is_dup
+FROM assigned a LEFT JOIN nn ON nn.vec_id = a.vec_id
+"""
+
+
 def q_custom_query_diff(spark, sf_dir):
     """Custom query replaces the scan on both sides (Q1-Q3): project two
     columns, diff the projections."""
@@ -2582,14 +2658,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- 1: operator changed this round (128-bit line-hash key) ---
         "strip_dup_lines": q_strip_dup_lines,
-        # --- 2-5: new this round ---
+        # --- 2-6: new this round ---
         "orc_scan_diff": q_orc_scan_diff,
         "csv_scan_diff": q_csv_scan_diff,
         "apply_bpe": q_apply_bpe,
         "interval_join_batch": q_interval_join_batch,
-        # --- 6: live-scan sibling re-verifies with the new ORC/CSV rows ---
+        "jsonl_scan_diff": q_jsonl_scan_diff,
+        # --- 7: live-scan sibling re-verifies with the new ORC/CSV/JSONL rows ---
         "sqlite_scan_diff": q_sqlite_scan_diff,
-        # --- 7-48: longest-unverified rotated rows (last green r7) ---
+        # --- 8-48: longest-unverified rotated rows (last green r7) ---
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "event_transitions": q_event_transitions,
@@ -2629,7 +2706,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "skew_salted_join": q_skew_salted_join,
-        "skew_two_phase_agg": q_skew_two_phase_agg,
         "diff_deleted_rows": q_diff_deleted_rows,
         "schema_drift_records": q_schema_drift_records,
         # --- 49-50: deepest-green core-diff rows cycle back in ---
@@ -2691,9 +2767,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_counts": q_diff_counts,
         "drift_summary": q_drift_summary,
         "rollup_distinct_users": q_rollup_distinct_users,
-        # new at 51+ this round: enforced by the local gate now, cycles
-        # into the driver window at the next rotation
-        "jsonl_scan_diff": q_jsonl_scan_diff,
+        # rotated out at 51+: double driver-green (r5+r7), code
+        # unchanged; displaced by the new jsonl_scan_diff row per the
+        # new-rows-enter-the-window policy
+        "skew_two_phase_agg": q_skew_two_phase_agg,
+        # landed after the r9 window was laid out (the round's new-row
+        # budget was spent): enforced by the local full-registry gate
+        # now, cycles into the driver window at the r10 rotation
+        "dedup_semantic": q_dedup_semantic,
     }
 
 
@@ -3421,6 +3502,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "dedup_embedding": _embedding_lsh_sql(),
+        "dedup_semantic": _dedup_semantic_sql(),
         "custom_query_diff": _sym_except(
             "c_custkey, c_acctbal",
             "(SELECT c_custkey, c_acctbal FROM customer)",

@@ -236,3 +236,89 @@ class TestQuantizeEmbeddings:
             .toString()
         )
         assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestSemanticDedup:
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        # Two tight directions (x-axis, y-axis) plus an orthogonal
+        # singleton; ids 1 and 4 are scaled copies (cosine exactly 1).
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [2.0, 0.0, 0.0, 0.0]),
+            (2, [0.8, 0.2, 0.0, 0.0]),   # cos to 0 = 0.970143 < 0.99
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.0, 0.5, 0.0, 0.0]),
+            (5, [0.0, 0.0, 1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+            "cent_id int, cent_vec array<double>",
+        )
+        return df, cents
+
+    def test_copies_flagged_min_id_survives(self, clustered):
+        from lotad_spark.pipeline.similarity import semantic_dedup
+
+        df, cents = clustered
+        got = {r.vec_id: r for r in semantic_dedup(
+            df, cents, threshold=0.99
+        ).collect()}
+        assert len(got) == 6
+        assert [got[i].is_dup for i in range(6)] == [
+            False, True, False, False, True, False
+        ]
+        # min id of each similar set survives; near-but-below stays.
+        assert got[1].nn_sim == 1.0 and got[4].nn_sim == 1.0
+        assert got[2].nn_sim == pytest.approx(0.970143)
+
+    def test_singletons_null_nn_sim(self, clustered):
+        from lotad_spark.pipeline.similarity import semantic_dedup
+
+        df, cents = clustered
+        got = {r.vec_id: r for r in semantic_dedup(
+            df, cents, threshold=0.99
+        ).collect()}
+        # 0 and 3 have no smaller-id cluster neighbor → NULL, kept; the
+        # orthogonal 5 ties to cent 0 (cos 0 to both, asc tie-break) and
+        # its best smaller-id neighbor similarity is 0.
+        assert got[0].nn_sim is None and not got[0].is_dup
+        assert got[3].nn_sim is None and not got[3].is_dup
+        assert got[5].cent_id == 0 and got[5].nn_sim == 0.0
+
+    def test_corpus_end_to_end_deterministic(self, spark):
+        from lotad_spark.pipeline.similarity import semantic_dedup_corpus
+
+        import hashlib
+
+        def vec(i):
+            h = hashlib.md5(f"v{i}".encode()).digest()
+            return [h[d] / 255.0 * 2 - 1 for d in range(8)]
+
+        base = [(i, vec(i)) for i in range(40)]
+        copies = [(100 + i, [x * 3.0 for x in v]) for i, v in base[::5]]
+        df = spark.createDataFrame(
+            base + copies, "vec_id long, embedding array<float>"
+        )
+        a = semantic_dedup_corpus(df, n_clusters=4, threshold=0.99)
+        flagged = sorted(r.vec_id for r in a.filter("is_dup").collect())
+        assert flagged == [100 + i for i, _ in base[::5]]
+        b = semantic_dedup_corpus(df, n_clusters=4, threshold=0.99)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+
+    def test_no_cartesian_in_plan(self, clustered):
+        from lotad_spark.pipeline.similarity import semantic_dedup
+
+        df, cents = clustered
+        plan = (
+            semantic_dedup(df, cents, threshold=0.99)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # The only cross join is the broadcast centroid assignment; the
+        # pairwise stage must be an equi-join on cent_id.
+        assert "CartesianProduct" not in plan
