@@ -1433,6 +1433,42 @@ def q_dedup_semantic(spark, sf_dir):
     )
 
 
+def q_streaming_dedup_batch(spark, sf_dir):
+    """Batch face of streaming_dedup (streaming/windowed.py) — the SAME
+    call `readStream` runs (watermarked dropDuplicates; stream≡batch is
+    pytest-pinned with real readStream soaks in
+    test_streaming_multimodal). Fixture models at-least-once delivery:
+    every event arrives twice, byte-identical, so first-occurrence-wins
+    is deterministic and each event must come back exactly once."""
+    from lotad_spark.streaming import streaming_dedup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return streaming_dedup(ev.unionByName(ev), ["event_id"], ts_col="ts")
+
+
+def q_frame_sample_plan(spark, sf_dir):
+    """Video frame-sampling plumbing (pipeline/multimodal.py
+    frame_sample_plan): every doc becomes an opaque binary payload of
+    deterministic length (doc_id-derived), the stub frame counter
+    derives one frame per 100 bytes, and the plan explodes every 10th
+    frame index — the real decoder swaps into the kernel; the explode
+    shape, schema, and stride are the oracle-checked contract."""
+    from lotad_spark.pipeline.multimodal import frame_sample_plan
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.repeat(
+                F.lit("x"), (F.col("doc_id") % 97 * 37 + 50).cast("int")
+            ),
+            "utf-8",
+        ).alias("content"),
+    )
+    return frame_sample_plan(media, every_nth=10)
+
+
 _EMB_DUP_CORPUS_SQL = """
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     UNION ALL
@@ -2775,6 +2811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # budget was spent): enforced by the local full-registry gate
         # now, cycles into the driver window at the r10 rotation
         "dedup_semantic": q_dedup_semantic,
+        "streaming_dedup_batch": q_streaming_dedup_batch,
+        "frame_sample_plan": q_frame_sample_plan,
     }
 
 
@@ -3503,6 +3541,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_embedding": _embedding_lsh_sql(),
         "dedup_semantic": _dedup_semantic_sql(),
+        # each delivered-twice event comes back exactly once
+        "streaming_dedup_batch": (
+            "SELECT event_id, ts, user_id, event_type, value FROM events"
+        ),
+        "frame_sample_plan": (
+            "WITH f AS (SELECT doc_id AS media_id, CAST(floor("
+            "((doc_id % 97) * 37 + 50) / 100.0) + 1 AS INTEGER) AS n "
+            "FROM documents) "
+            "SELECT media_id, unnest(generate_series(0, n - 1, 10)) "
+            "AS frame_idx FROM f"
+        ),
         "custom_query_diff": _sym_except(
             "c_custkey, c_acctbal",
             "(SELECT c_custkey, c_acctbal FROM customer)",
