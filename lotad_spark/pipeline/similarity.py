@@ -9,7 +9,8 @@ Two operators:
   shuffle carries at most ``partitions × k`` rows per query instead of the
   whole corpus.
 * ``ivf_topk`` — IVF-bucketed scale path: corpus vectors are assigned to
-  their nearest centroid once (broadcast centroids, no shuffle), queries
+  their nearest centroid once (centroid literals folded into a pure
+  projection — zero exchange), queries
   probe only the ``nprobe`` nearest buckets. Centroids come from
   deterministic spherical k-means (``pipeline.kmeans``: max-min
   farthest-point init + fixed Lloyd iterations on a bounded id-ordered
@@ -190,15 +191,43 @@ def assign_to_centroids(
     cent_vec_col: str = "cent_vec",
 ) -> DataFrame:
     """Nearest-centroid (max cosine) assignment: corpus columns +
-    ``cent_id``. Broadcast centroids → no shuffle of the corpus."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
-        "_csim", F.round(cosine(F.col(vec_col), F.col(cent_vec_col)), 6)
+    ``cent_id`` — as a PURE PROJECTION, zero exchange.
+
+    The centroid relation is bounded (k rows), so it is collected and
+    folded into the row expression as a literal struct array; the
+    per-row argmax (round-6 cosine, ties to the lowest cent_id — the
+    struct-max carries ``-cent_id`` so equal similarities resolve to
+    the smallest id) runs inside whole-stage codegen. The previous
+    shape — broadcast crossJoin + row_number window — hash-partitioned
+    the WHOLE corpus by id just to rank k rows per key: a hidden full
+    corpus shuffle (plus sort) that would dominate ``build_ivf_index``
+    and ``semantic_dedup`` at 100 TB. Plan pinned shuffle-free by
+    tests/test_similarity.py."""
+    rows = sorted(
+        centroids.select(cent_id_col, cent_vec_col).collect(),
+        key=lambda r: r[0],
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc(cent_id_col))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select(*corpus.columns, cent_id_col)
+    if not rows:
+        raise ValueError("assign_to_centroids: empty centroid relation")
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r[0])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r[1]]).alias("cv"),
+            )
+            for r in rows
+        ]
+    )
+    v = F.col(vec_col)
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            F.round(cosine(v, c["cv"]), 6).alias("sim"),
+            (-c["cid"]).alias("negid"),
+        ),
+    )
+    return corpus.withColumn(
+        cent_id_col, (-F.array_max(scored)["negid"]).cast("int")
     )
 
 
@@ -419,9 +448,9 @@ def semantic_dedup(
     ``cent_id``, and the quadratic pairwise term is bounded per cluster
     — choose ``n_centroids ∝ corpus_size / target_cluster_size`` (the
     paper uses 11k clusters for 100M docs) so each cluster's pair count
-    stays flat as the corpus grows. Centroids broadcast (bounded);
-    corpus text/payload columns never enter the join — only
-    (id, cent_id, vector). A runaway hot cluster is the skew hazard:
+    stays flat as the corpus grows. Centroids fold into the assignment
+    projection as literals (bounded); corpus text/payload columns never
+    enter the join — only (id, cent_id, vector). A runaway hot cluster is the skew hazard:
     raise ``n_centroids`` (splitting dense regions) the same way
     ``embedding_near_dup_pairs`` caps LSH buckets with ``max_bucket``.
     """

@@ -322,3 +322,52 @@ class TestSemanticDedup:
         # The only cross join is the broadcast centroid assignment; the
         # pairwise stage must be an equi-join on cent_id.
         assert "CartesianProduct" not in plan
+
+
+class TestCentroidAssignment:
+    def test_assignment_is_shuffle_free(self, spark):
+        from lotad_spark.pipeline.similarity import assign_to_centroids
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(10)],
+            "vec_id long, embedding array<float>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "cent_id int, cent_vec array<double>",
+        )
+        out = assign_to_centroids(df, cents)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # Pure projection: no exchange, no join, no window anywhere.
+        assert "Exchange" not in plan
+        assert "Join" not in plan and "Window" not in plan
+
+    def test_tie_breaks_to_lowest_cent_id(self, spark):
+        from lotad_spark.pipeline.similarity import assign_to_centroids
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 1.0]), (1, [1.0, 0.0]), (2, [0.0, 2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "cent_id int, cent_vec array<double>",
+        )
+        got = {
+            r.vec_id: r.cent_id
+            for r in assign_to_centroids(df, cents).collect()
+        }
+        # [1,1] is equidistant → lowest cent_id wins the tie.
+        assert got == {0: 0, 1: 0, 2: 1}
+
+    def test_empty_centroids_raises(self, spark):
+        from lotad_spark.pipeline.similarity import assign_to_centroids
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        cents = spark.createDataFrame(
+            [], "cent_id int, cent_vec array<double>"
+        )
+        with pytest.raises(ValueError):
+            assign_to_centroids(df, cents)
