@@ -154,36 +154,45 @@ def apply_bpe(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Tokenize documents with a learned merge list: (id, n_tokens,
-    tokens). Merges apply in rank order, each as the same greedy fold
-    used during training — a chain of pure expressions, no Python.
+    tokens). Merges apply in rank order, each as one left-to-right
+    non-overlapping string ``replace`` over the symbol sequence
+    rendered with every symbol WRAPPED in chr(31)
+    (``␟l␟␟r␟ → ␟lr␟``) — provably the same answer as the training
+    fold's greedy pass: wrapping makes an ``l == r`` run take every
+    other match exactly like the fold (the consumed middle delimiter
+    blocks overlap), a replacement never re-matches within the pass
+    (``lr`` contains no delimiter), and symbols can't collide across
+    boundaries. One JVM memchr-speed pass per merge per word replaces
+    the earlier per-element array fold, whose acc-rebuild made each
+    merge O(len²) per word (train+apply row measured 16.0 → 5.5 s at
+    sf0.1; the apply stage itself ~13 → ~2.5 s).
+    Precondition (shared with the DuckDB oracle, which replays the
+    identical replace chain): text contains no chr(31).
 
     The expression tree grows linearly with len(merges); fine for the
     tens of merges this surface targets. A production-size table
     (10k+ merges) belongs in an Arrow-batched pandas UDF with the
     merge list broadcast — same semantics, flat plan."""
+    sep = "\x1f"
     chars = F.transform(
         F.sequence(F.lit(1), F.length("_w")), lambda i: F.substring("_w", i, 1)
     )
-    syms = F.concat(chars, F.array(F.lit(END_MARK)))
-    def _fold_step(left: str, right: str):
-        # closure factory: PySpark introspects lambda arity, so the
-        # merge literals can't ride in as default arguments
-        l_lit, r_lit, m_lit = F.lit(left), F.lit(right), F.lit(left + right)
-
-        def step(acc, x):
-            return F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == l_lit)
-                & (x == r_lit),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(m_lit)),
-            ).otherwise(F.concat(acc, F.array(x)))
-
-        return step
-
+    s = F.concat(
+        F.lit(sep),
+        F.array_join(
+            F.concat(chars, F.array(F.lit(END_MARK))), sep + sep
+        ),
+        F.lit(sep),
+    )
     for left, right in merges:
-        syms = F.aggregate(
-            syms, F.array().cast("array<string>"), _fold_step(left, right)
+        s = F.replace(
+            s,
+            F.lit(f"{sep}{left}{sep}{sep}{right}{sep}"),
+            F.lit(f"{sep}{left}{right}{sep}"),
         )
+    syms = F.split(
+        F.substring(s, F.lit(2), F.length(s) - 2), sep + sep
+    )
     per_word = (
         df.select(
             F.col(id_col),
