@@ -181,6 +181,54 @@ def embedding_near_dup_pairs(
     )
 
 
+def _assign_arrow(
+    corpus: DataFrame,
+    cent_rows,
+    vec_col: str,
+    cent_id_col: str,
+) -> DataFrame:
+    """Vectorized Arrow assignment kernel: one numpy matmul per batch.
+
+    The scale path for production-size centroid sets (SemDeDup runs
+    thousands of clusters): per-batch cost is a (batch × dim) @
+    (dim × k) BLAS call instead of k interpreted folds per row —
+    measured 22 s → 1.7 s at k=80 × 21k rows × dim 64, and the gap
+    widens with k. Caveat, why the expression kernel stays the
+    default: numpy's blocked summation can differ from the sequential
+    fold in the last ulp, so a similarity sitting EXACTLY on a
+    round-6 boundary could round differently than cosine() / the SQL
+    oracles — argmax ties still resolve to the lowest cent_id
+    (centroid rows are argmax'd in ascending-cid order)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    cids = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
+    dcc = (C * C).sum(axis=1)
+    out_schema = StructType(
+        list(corpus.schema.fields)
+        + [StructField(cent_id_col, IntegerType())]
+    )
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            sims = np.round(
+                (V @ C.T)
+                / np.sqrt((V * V).sum(axis=1)[:, None] * dcc[None, :]),
+                6,
+            )
+            out = pdf.copy()
+            out[cent_id_col] = cids[sims.argmax(axis=1)].astype("int32")
+            yield out
+
+    return corpus.mapInPandas(kern, schema=out_schema)
+
+
 def assign_to_centroids(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -189,6 +237,7 @@ def assign_to_centroids(
     vec_col: str = "embedding",
     cent_id_col: str = "cent_id",
     cent_vec_col: str = "cent_vec",
+    kernel: str = "expr",
 ) -> DataFrame:
     """Nearest-centroid (max cosine) assignment: corpus columns +
     ``cent_id`` — as a PURE PROJECTION, zero exchange.
@@ -209,20 +258,52 @@ def assign_to_centroids(
     )
     if not rows:
         raise ValueError("assign_to_centroids: empty centroid relation")
+
+    def _self_dot(vec) -> float:
+        # Same sequential left fold (in float64) as the cosine()
+        # aggregate — bit-identical to computing dot(cv, cv) in-plan.
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return acc
+
     cent_lit = F.array(
         *[
             F.struct(
                 F.lit(int(r[0])).alias("cid"),
                 F.array(*[F.lit(float(x)) for x in r[1]]).alias("cv"),
+                F.lit(_self_dot(r[1])).alias("dcc"),
             )
             for r in rows
         ]
     )
-    v = F.col(vec_col)
+    if kernel == "arrow":
+        return _assign_arrow(corpus, rows, vec_col, cent_id_col)
+    # Expression kernel (default): k+1 interpreted HOF folds per row —
+    # the row self-dot is hoisted out of the transform and each
+    # centroid's self-dot rides in as the dcc literal (3k → k+1 folds;
+    # HOFs are CodegenFallback, so fold count is the cost driver — an
+    # experiment unrolling the literal dots into plain multiply-add
+    # chains for codegen measured SLOWER at every k; the tree gets too
+    # large). Deterministic: bit-identical to cosine() and the
+    # cross-engine oracles. For production-size k (SemDeDup uses
+    # thousands of clusters) pass kernel="arrow".
+    v = F.col(vec_col).cast("array<double>")
+
+    def _dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dvv = _dot(v, v)
     scored = F.transform(
         cent_lit,
         lambda c: F.struct(
-            F.round(cosine(v, c["cv"]), 6).alias("sim"),
+            F.round(
+                _dot(v, c["cv"]) / F.sqrt(dvv * c["dcc"]), 6
+            ).alias("sim"),
             (-c["cid"]).alias("negid"),
         ),
     )
@@ -426,6 +507,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     cent_id_col: str = "cent_id",
     cent_vec_col: str = "cent_vec",
+    pair_blocks: int = 8,
+    kernel: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus by embedding, then mark as
@@ -444,16 +527,32 @@ def semantic_dedup(
     pure self-join expressible in any engine.
 
     Scale shape (the reason SemDeDup beats all-pairs at 100 TB): the
-    only corpus shuffle is the self-join's hash-partition on
-    ``cent_id``, and the quadratic pairwise term is bounded per cluster
-    — choose ``n_centroids ∝ corpus_size / target_cluster_size`` (the
-    paper uses 11k clusters for 100M docs) so each cluster's pair count
-    stays flat as the corpus grows. Centroids fold into the assignment
-    projection as literals (bounded); corpus text/payload columns never
-    enter the join — only (id, cent_id, vector). A runaway hot cluster is the skew hazard:
-    raise ``n_centroids`` (splitting dense regions) the same way
-    ``embedding_near_dup_pairs`` caps LSH buckets with ``max_bucket``.
+    only corpus shuffle is the pairwise self-join, and the quadratic
+    pair count is bounded per cluster — choose
+    ``n_centroids ∝ corpus_size / target_cluster_size`` (the paper uses
+    11k clusters for 100M docs) so pair volume grows linearly with the
+    corpus. Centroids fold into the assignment projection as literals
+    (bounded); corpus text/payload columns never enter the join — only
+    (id, cent_id, vector).
+
+    The self-join is TRIANGULAR-BLOCKED on ``pair_blocks``: members
+    hash into B buckets, every unordered bucket pair (i ≤ j) is a join
+    cell, and the join key is (cent_id, i, j) — k·B(B+1)/2 keys instead
+    of k. Joining raw on cent_id caps parallelism at k tasks and — the
+    sharper failure, observed at the sf1 spot-check — AQE's byte-based
+    coalescing sees only the tiny (id, vector) shuffle and packs
+    everything into ONE task while the join *output* explodes
+    quadratically (the same blind spot SCALING.md documents for
+    duplicate-key diff skew). Blocking restores parallelism regardless
+    of k, bounds any hot cluster's largest task at ~(cluster/B)², and
+    costs a ×(B+1)/2 replication of the id+vector relation in the
+    shuffle. Results are independent of B (parity pytest-pinned):
+    cross-bucket cells see each unordered pair once in arbitrary
+    orientation, same-bucket cells see both orientations, and the
+    max-aggregation to the larger id is orientation- and
+    duplicate-insensitive.
     """
+    spark = corpus.sparkSession
     assigned = assign_to_centroids(
         corpus.select(id_col, vec_col),
         centroids,
@@ -461,26 +560,45 @@ def semantic_dedup(
         vec_col=vec_col,
         cent_id_col=cent_id_col,
         cent_vec_col=cent_vec_col,
+        kernel=kernel,
     )
-    a = assigned.select(
+    B = max(1, int(pair_blocks))
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
+    withblk = assigned.withColumn("_blk", blk)
+    cells = spark.createDataFrame(
+        [(i, j) for i in range(B) for j in range(i, B)], "bi int, bj int"
+    )
+    a = withblk.join(
+        F.broadcast(cells), withblk["_blk"] == cells["bi"]
+    ).select(
         F.col(id_col).alias("_aid"),
         F.col(vec_col).alias("_avec"),
         cent_id_col,
+        "bi",
+        "bj",
     )
-    b = assigned.select(
+    b = withblk.join(
+        F.broadcast(cells), withblk["_blk"] == cells["bj"]
+    ).select(
         F.col(id_col).alias("_bid"),
         F.col(vec_col).alias("_bvec"),
-        cent_id_col,
+        F.col(cent_id_col).alias("_bcent"),
+        F.col("bi").alias("_bbi"),
+        F.col("bj").alias("_bbj"),
     )
+    pairs = a.join(
+        b,
+        (F.col(cent_id_col) == F.col("_bcent"))
+        & (F.col("bi") == F.col("_bbi"))
+        & (F.col("bj") == F.col("_bbj")),
+    ).filter(F.col("_aid") != F.col("_bid"))
     nn = (
-        a.join(b, on=cent_id_col)
-        .filter(F.col("_bid") < F.col("_aid"))
-        .groupBy("_aid")
-        .agg(
-            F.max(
-                F.round(cosine(F.col("_avec"), F.col("_bvec")), 6)
-            ).alias("nn_sim")
+        pairs.select(
+            F.greatest("_aid", "_bid").alias("_aid"),
+            F.round(cosine(F.col("_avec"), F.col("_bvec")), 6).alias("_sim"),
         )
+        .groupBy("_aid")
+        .agg(F.max("_sim").alias("nn_sim"))
     )
     return (
         assigned.join(nn, assigned[id_col] == nn["_aid"], "left")
@@ -504,6 +622,8 @@ def semantic_dedup_corpus(
     vec_col: str = "embedding",
     sample_size: int | None = None,
     train_iters: int | None = None,
+    pair_blocks: int = 8,
+    kernel: str = "expr",
 ) -> DataFrame:
     """End-to-end :func:`semantic_dedup`: trains the deterministic
     spherical k-means centroids (``pipeline.kmeans`` — RNG-free, bounded
@@ -530,4 +650,6 @@ def semantic_dedup_corpus(
         threshold=threshold,
         id_col=id_col,
         vec_col=vec_col,
+        pair_blocks=pair_blocks,
+        kernel=kernel,
     )

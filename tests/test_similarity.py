@@ -371,3 +371,104 @@ class TestCentroidAssignment:
         )
         with pytest.raises(ValueError):
             assign_to_centroids(df, cents)
+
+
+class TestSemanticDedupBlocking:
+    def test_results_independent_of_pair_blocks(self, spark):
+        from lotad_spark.pipeline.similarity import semantic_dedup
+
+        import hashlib
+
+        def vec(i):
+            h = hashlib.md5(f"b{i}".encode()).digest()
+            return [h[d] / 255.0 * 2 - 1 for d in range(8)]
+
+        base = [(i, vec(i)) for i in range(30)]
+        copies = [(200 + i, [x * 2.0 for x in v]) for i, v in base[::4]]
+        df = spark.createDataFrame(
+            base + copies, "vec_id long, embedding array<float>"
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6)],
+            "cent_id int, cent_vec array<double>",
+        )
+        ref = sorted(
+            map(tuple, semantic_dedup(
+                df, cents, threshold=0.99, pair_blocks=1
+            ).collect())
+        )
+        for B in (2, 3, 8):
+            got = sorted(
+                map(tuple, semantic_dedup(
+                    df, cents, threshold=0.99, pair_blocks=B
+                ).collect())
+            )
+            assert got == ref, f"pair_blocks={B} diverged"
+
+    def test_blocking_widens_join_key(self, spark):
+        from lotad_spark.pipeline.similarity import semantic_dedup
+
+        df = spark.createDataFrame(
+            [(i, [float(i % 3), 1.0]) for i in range(12)],
+            "vec_id long, embedding array<float>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "cent_id int, cent_vec array<double>"
+        )
+        plan = (
+            semantic_dedup(df, cents, pair_blocks=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # The pairwise join keys on (cent_id, bi, bj), not cent_id alone,
+        # and never degenerates to a cartesian.
+        assert "CartesianProduct" not in plan
+        assert "bi" in plan and "bj" in plan
+
+
+class TestArrowAssignmentKernel:
+    def test_arrow_matches_expr(self, spark, sf_dir):
+        from lotad_spark.pipeline import kmeans
+        from lotad_spark.pipeline.similarity import assign_to_centroids
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        e = ParquetDatabase(spark, sf_dir, "db").table("embeddings")
+        cents = kmeans.train_centroids(kmeans.sample_vectors(e), 8)
+        centroids = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cent_id int, cent_vec array<double>",
+        )
+        expr = {
+            r.vec_id: r.cent_id
+            for r in assign_to_centroids(e, centroids).collect()
+        }
+        arrow = {
+            r.vec_id: r.cent_id
+            for r in assign_to_centroids(
+                e, centroids, kernel="arrow"
+            ).collect()
+        }
+        assert arrow == expr and len(expr) > 0
+
+    def test_semantic_dedup_arrow_kernel(self, spark):
+        from lotad_spark.pipeline.similarity import semantic_dedup_corpus
+
+        import hashlib
+
+        def vec(i):
+            h = hashlib.md5(f"a{i}".encode()).digest()
+            return [h[d] / 255.0 * 2 - 1 for d in range(8)]
+
+        base = [(i, vec(i)) for i in range(30)]
+        copies = [(300 + i, [x * 2.0 for x in v]) for i, v in base[::6]]
+        df = spark.createDataFrame(
+            base + copies, "vec_id long, embedding array<float>"
+        )
+        a = sorted(map(tuple, semantic_dedup_corpus(
+            df, n_clusters=4, threshold=0.99
+        ).collect()))
+        b = sorted(map(tuple, semantic_dedup_corpus(
+            df, n_clusters=4, threshold=0.99, kernel="arrow"
+        ).collect()))
+        assert a == b
