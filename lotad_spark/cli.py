@@ -292,6 +292,48 @@ def dedup_lines_cmd(docs_path, output_path, min_count, delim) -> None:
     )
 
 
+@cli.command("dedup-semantic")
+@click.option("--embeddings", "emb_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (vec_id, embedding, ...) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes (vec_id, cent_id, nn_sim, is_dup) to "
+                   "OUTPUT/semantic")
+@click.option("--clusters", default=64, show_default=True,
+              help="k-means clusters; scale as corpus/target_cluster_size")
+@click.option("--threshold", default=0.92, show_default=True,
+              help="Within-cluster cosine at/above which a member is a "
+                   "duplicate of a smaller-id member")
+@click.option("--kernel", default="arrow", show_default=True,
+              type=click.Choice(["expr", "arrow"]),
+              help="Assignment kernel: arrow (vectorized, production) "
+                   "or expr (bit-deterministic)")
+def dedup_semantic_cmd(emb_path, output_path, clusters, threshold,
+                       kernel) -> None:
+    """SemDeDup semantic dedup: cluster by embedding, flag members
+    whose within-cluster cosine to a smaller-id member reaches the
+    threshold; the minimum id of each similar set survives."""
+    from pyspark.sql import functions as F
+
+    from lotad_spark.pipeline.similarity import semantic_dedup_corpus
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_dedup_semantic")
+    emb = read_table(spark, emb_path)
+    res = semantic_dedup_corpus(
+        emb, n_clusters=clusters, threshold=threshold, kernel=kernel
+    )
+    res.write.mode("overwrite").parquet(f"{output_path}/semantic")
+    landed = spark.read.parquet(f"{output_path}/semantic")
+    n_dup, n_all = landed.agg(
+        F.count_if(F.col("is_dup")), F.count("*")
+    ).collect()[0]
+    click.echo(
+        f"dedup-semantic: {n_dup} of {n_all} vectors flagged as "
+        f"semantic duplicates -> {output_path}/semantic"
+    )
+
+
 @cli.command("dedup-spans")
 @click.option("--docs", "docs_path", type=click.Path(exists=True),
               required=True,

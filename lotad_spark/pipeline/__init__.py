@@ -43,6 +43,8 @@ from lotad_spark.pipeline.similarity import (
     embedding_near_dup_pairs,
     ivf_topk,
     quantize_embeddings,
+    semantic_dedup,
+    semantic_dedup_corpus,
 )
 from lotad_spark.pipeline.multimodal import (
     extract_feature_counts,
@@ -103,6 +105,8 @@ __all__ = [
     "ivf_topk_indexed",
     "quantize_embeddings",
     "embedding_near_dup_pairs",
+    "semantic_dedup",
+    "semantic_dedup_corpus",
     "ngram_jaccard",
     "winnow_fingerprint",
     "extract_feature_counts",

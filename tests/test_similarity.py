@@ -472,3 +472,39 @@ class TestArrowAssignmentKernel:
             df, n_clusters=4, threshold=0.99, kernel="arrow"
         ).collect()))
         assert a == b
+
+
+class TestSemanticDedupCli:
+    def test_cli_command(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        import hashlib
+
+        def vec(i):
+            h = hashlib.md5(f"c{i}".encode()).digest()
+            return [h[d] / 255.0 * 2 - 1 for d in range(8)]
+
+        base = [(i, vec(i)) for i in range(20)]
+        copies = [(100 + i, [x * 2.0 for x in v]) for i, v in base[::4]]
+        df = spark.createDataFrame(
+            base + copies, "vec_id long, embedding array<float>"
+        )
+        src = str(tmp_path / "emb")
+        df.write.mode("overwrite").parquet(src)
+        out = str(tmp_path / "out")
+        result = CliRunner().invoke(
+            cli,
+            ["dedup-semantic", "--embeddings", src, "--output", out,
+             "--clusters", "4", "--threshold", "0.99"],
+            catch_exceptions=False,
+        )
+        assert result.exit_code == 0, result.output
+        assert "5 of 25 vectors flagged" in result.output
+        landed = {
+            r.vec_id: r.is_dup
+            for r in spark.read.parquet(f"{out}/semantic").collect()
+        }
+        assert all(landed[100 + i] for i, _ in base[::4])
+        assert not any(landed[i] for i, _ in base)
