@@ -2700,7 +2700,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_bpe": q_apply_bpe,
         "interval_join_batch": q_interval_join_batch,
         "jsonl_scan_diff": q_jsonl_scan_diff,
-        # --- 7: live-scan sibling re-verifies with the new ORC/CSV/JSONL rows ---
+        # --- 7-9: the round's last three new rows (SemDeDup, the
+        # streaming-dedup batch face, the frame-sample plan) — zero
+        # driver-green rounds yet, so they take window slots over
+        # rotated rows that already have one; the displaced rows
+        # (diff_deleted_rows_groupby / diff_value_change: 4 green
+        # rounds each; asof_latest_order: green r7 + pinned vs DuckDB
+        # native ASOF in pytest) were all three independently re-run
+        # against the oracle in the r8 judging session ---
+        "dedup_semantic": q_dedup_semantic,
+        "streaming_dedup_batch": q_streaming_dedup_batch,
+        "frame_sample_plan": q_frame_sample_plan,
+        # --- 10: live-scan sibling re-verifies with the new ORC/CSV/JSONL rows ---
         "sqlite_scan_diff": q_sqlite_scan_diff,
         # --- 8-48: longest-unverified rotated rows (last green r7) ---
         "dup_spans": q_dup_spans,
@@ -2728,7 +2739,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_codes": q_zorder_codes,
         "snapshot_diff": q_snapshot_diff,
         "dedup_index_probe": q_dedup_index_probe,
-        "asof_latest_order": q_asof_latest_order,
         "range_join_views": q_range_join_views,
         "quantile_estimates": q_quantile_estimates,
         "quantiles_online": q_quantiles_online,
@@ -2744,10 +2754,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "diff_deleted_rows": q_diff_deleted_rows,
         "schema_drift_records": q_schema_drift_records,
-        # --- 49-50: deepest-green core-diff rows cycle back in ---
+        # --- 51+: rotated out (driver-green r8 or multi-round green) ---
+        # displaced to make room for the three newest rows: 4 driver-green
+        # rounds each (r5-r6 + earlier) AND independently re-run against
+        # the oracle in the r8 judging session, code unchanged since
         "diff_deleted_rows_groupby": q_diff_deleted_rows_groupby,
         "diff_value_change": q_diff_value_change,
-        # --- 51+: rotated out (driver-green r8 or multi-round green) ---
+        # displaced likewise: green r7, judge-re-verified at r8, and the
+        # as-of operator is additionally pinned vs DuckDB native ASOF in
+        # tests/test_temporal.py
+        "asof_latest_order": q_asof_latest_order,
         "rollup_hourly": q_rollup_hourly,
         "rollup_incremental": q_rollup_incremental,
         "rollup_gapfill": q_rollup_gapfill,
@@ -2807,12 +2823,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged; displaced by the new jsonl_scan_diff row per the
         # new-rows-enter-the-window policy
         "skew_two_phase_agg": q_skew_two_phase_agg,
-        # landed after the r9 window was laid out (the round's new-row
-        # budget was spent): enforced by the local full-registry gate
-        # now, cycles into the driver window at the r10 rotation
-        "dedup_semantic": q_dedup_semantic,
-        "streaming_dedup_batch": q_streaming_dedup_batch,
-        "frame_sample_plan": q_frame_sample_plan,
     }
 
 
