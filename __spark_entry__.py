@@ -2468,6 +2468,91 @@ def q_sqlite_scan_diff(spark, sf_dir):
     return res.diff.select("c_custkey", "c_name", "observed_in")
 
 
+# One land-mutate-scan-back shape shared by the ORC/CSV/JSONL rows
+# (sqlite_scan_diff predates it and keeps its pandas-side landing): a
+# fix to the shape lands once, and the Spark query and its DuckDB
+# oracle are generated from the SAME spec so the pair can't drift.
+_FILE_SCAN_SPECS = {
+    "orc": {"drop_mod": 107, "ren_mod": 109, "prefix": "ORC#",
+            "double": True},
+    "csv": {"drop_mod": 113, "ren_mod": 127, "prefix": "CSV#",
+            "double": False},
+    "jsonl": {"drop_mod": 131, "ren_mod": 137, "prefix": "JSONL#",
+              "double": False},
+}
+
+
+def _file_scan_cols(spec) -> list[str]:
+    cols = ["c_custkey", "c_name", "c_nationkey"]
+    if spec["double"]:
+        cols.append("c_acctbal")
+    return cols + ["c_mktsegment"]
+
+
+def _file_scan_diff(spark, sf_dir, fmt: str):
+    from lotad_spark.sources.files import (
+        CsvDatabase,
+        JsonlDatabase,
+        OrcDatabase,
+    )
+
+    spec = _FILE_SCAN_SPECS[fmt]
+    root = _scratch(f"lotad_{fmt}_")
+    truth = _t(spark, sf_dir, "customer").select(*_file_scan_cols(spec))
+    mutated = truth.filter(
+        F.col("c_custkey") % spec["drop_mod"] != 0
+    ).withColumn(
+        "c_name",
+        F.when(
+            F.col("c_custkey") % spec["ren_mod"] == 0,
+            F.concat(
+                F.lit(spec["prefix"]), F.col("c_custkey").cast("string")
+            ),
+        ).otherwise(F.col("c_name")),
+    )
+    writer = mutated.write.mode("overwrite")
+    ddl = (
+        "c_custkey BIGINT, c_name STRING, "
+        "c_nationkey INT, c_mktsegment STRING"
+    )
+    if fmt == "orc":
+        writer.orc(f"{root}/customer.orc")
+        db = OrcDatabase(spark, root, "export")
+    elif fmt == "csv":
+        writer.option("header", "true").csv(f"{root}/customer.csv")
+        db = CsvDatabase(spark, root, "export", schemas={"customer": ddl})
+    else:
+        writer.json(f"{root}/customer.jsonl")
+        db = JsonlDatabase(spark, root, "export", schemas={"customer": ddl})
+    res = diff_tables(
+        truth,
+        db.table("customer"),
+        db1_id="truth",
+        db2_id="export",
+        json_strings=False,
+    )
+    return res.diff.select("c_custkey", "c_name", "observed_in")
+
+
+def _file_scan_oracle(fmt: str) -> str:
+    spec = _FILE_SCAN_SPECS[fmt]
+    cols = ", ".join(_file_scan_cols(spec))
+    rest = ", ".join(_file_scan_cols(spec)[2:])
+    return (
+        f"WITH export AS (SELECT c_custkey, "
+        f"CASE WHEN c_custkey % {spec['ren_mod']} = 0 "
+        f"THEN '{spec['prefix']}' || CAST(c_custkey AS VARCHAR) "
+        f"ELSE c_name END AS c_name, {rest} FROM customer "
+        f"WHERE c_custkey % {spec['drop_mod']} != 0), "
+        f"truth AS (SELECT {cols} FROM customer) "
+        "SELECT c_custkey, c_name, 'truth' AS observed_in FROM "
+        "(SELECT * FROM truth EXCEPT SELECT * FROM export) "
+        "UNION ALL "
+        "SELECT c_custkey, c_name, 'export' AS observed_in FROM "
+        "(SELECT * FROM export EXCEPT SELECT * FROM truth)"
+    )
+
+
 def q_orc_scan_diff(spark, sf_dir):
     """ORC export as a compare side (sources/files.py OrcDatabase — the
     self-describing columnar interchange path, with native footer
@@ -2477,29 +2562,7 @@ def q_orc_scan_diff(spark, sf_dir):
     runs the core hash diff against the parquet truth. Includes the
     DOUBLE column c_acctbal: ORC round-trips binary doubles losslessly,
     the type-fidelity claim the text formats can't make."""
-    from lotad_spark.sources.files import OrcDatabase
-
-    root = _scratch("lotad_orc_")
-    truth = _t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
-    )
-    mutated = truth.filter(F.col("c_custkey") % 107 != 0).withColumn(
-        "c_name",
-        F.when(
-            F.col("c_custkey") % 109 == 0,
-            F.concat(F.lit("ORC#"), F.col("c_custkey").cast("string")),
-        ).otherwise(F.col("c_name")),
-    )
-    mutated.write.mode("overwrite").orc(f"{root}/customer.orc")
-    odb = OrcDatabase(spark, root, "export")
-    res = diff_tables(
-        truth,
-        odb.table("customer"),
-        db1_id="truth",
-        db2_id="export",
-        json_strings=False,
-    )
-    return res.diff.select("c_custkey", "c_name", "observed_in")
+    return _file_scan_diff(spark, sf_dir, "orc")
 
 
 def q_csv_scan_diff(spark, sf_dir):
@@ -2511,40 +2574,7 @@ def q_csv_scan_diff(spark, sf_dir):
     columns only: CSV carries no binary float fidelity — the
     double-vs-text reconciliation is the P4 string-cast normalization's
     job, pinned in tests/test_file_sources.py."""
-    from lotad_spark.sources.files import CsvDatabase
-
-    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
-    root = _scratch("lotad_csv_")
-    truth = _t(spark, sf_dir, "customer").select(*cols)
-    mutated = truth.filter(F.col("c_custkey") % 113 != 0).withColumn(
-        "c_name",
-        F.when(
-            F.col("c_custkey") % 127 == 0,
-            F.concat(F.lit("CSV#"), F.col("c_custkey").cast("string")),
-        ).otherwise(F.col("c_name")),
-    )
-    mutated.write.mode("overwrite").option("header", "true").csv(
-        f"{root}/customer.csv"
-    )
-    cdb = CsvDatabase(
-        spark,
-        root,
-        "export",
-        schemas={
-            "customer": (
-                "c_custkey BIGINT, c_name STRING, "
-                "c_nationkey INT, c_mktsegment STRING"
-            )
-        },
-    )
-    res = diff_tables(
-        truth,
-        cdb.table("customer"),
-        db1_id="truth",
-        db2_id="export",
-        json_strings=False,
-    )
-    return res.diff.select("c_custkey", "c_name", "observed_in")
+    return _file_scan_diff(spark, sf_dir, "csv")
 
 
 def q_jsonl_scan_diff(spark, sf_dir):
@@ -2554,38 +2584,7 @@ def q_jsonl_scan_diff(spark, sf_dir):
     customer copy as .jsonl (drop keys %131==0, rename keys %137==0),
     scans it back with an explicit DDL schema (no inference pass) and
     hash-diffs against the parquet truth."""
-    from lotad_spark.sources.files import JsonlDatabase
-
-    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
-    root = _scratch("lotad_jsonl_")
-    truth = _t(spark, sf_dir, "customer").select(*cols)
-    mutated = truth.filter(F.col("c_custkey") % 131 != 0).withColumn(
-        "c_name",
-        F.when(
-            F.col("c_custkey") % 137 == 0,
-            F.concat(F.lit("JSONL#"), F.col("c_custkey").cast("string")),
-        ).otherwise(F.col("c_name")),
-    )
-    mutated.write.mode("overwrite").json(f"{root}/customer.jsonl")
-    jdb = JsonlDatabase(
-        spark,
-        root,
-        "export",
-        schemas={
-            "customer": (
-                "c_custkey BIGINT, c_name STRING, "
-                "c_nationkey INT, c_mktsegment STRING"
-            )
-        },
-    )
-    res = diff_tables(
-        truth,
-        jdb.table("customer"),
-        db1_id="truth",
-        db2_id="export",
-        json_strings=False,
-    )
-    return res.diff.select("c_custkey", "c_name", "observed_in")
+    return _file_scan_diff(spark, sf_dir, "jsonl")
 
 
 def q_apply_bpe(spark, sf_dir):
@@ -2669,22 +2668,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * 1: strip_dup_lines — operator changed this round (line-hash key
       widened from a truncated 64-bit md5 prefix to the full 128-bit
       digest; fixture made NULL-text-safe), needs re-verification;
-    * 2-5: the four rows NEW this round — orc_scan_diff / csv_scan_diff
-      (first driver-driven rows for the file-format scan family,
-      mirroring sqlite_scan_diff's land-mutate-scan-back shape),
-      apply_bpe (flipped from library-only to a full value oracle: the
-      training unroll feeds a delimiter-wrapped replace() replay of the
-      greedy fold), interval_join_batch (the batch face of
-      stream_interval_join, previously argued only via
-      range_join_views);
-    * 6: sqlite_scan_diff — rotated back alongside the new ORC/CSV rows
-      so every live-scan path re-verifies in the same round;
-    * 7-48: the forty-two longest-unverified rotated rows (all last
-      green r7, code unchanged since);
-    * 49-50: diff_deleted_rows_groupby / diff_value_change — the two
-      deepest-green core-diff rows cycle back in (last green r6);
+    * 2-9: the eight rows NEW this round — orc_scan_diff /
+      csv_scan_diff / jsonl_scan_diff (first driver-driven rows for
+      the file-format scan family, mirroring sqlite_scan_diff's
+      land-mutate-scan-back shape), apply_bpe (flipped from
+      library-only to a full value oracle: the training unroll feeds a
+      delimiter-wrapped replace() replay of the greedy fold),
+      interval_join_batch (the batch face of stream_interval_join,
+      previously argued only via range_join_views), dedup_semantic
+      (SemDeDup over deterministic k-means clusters),
+      streaming_dedup_batch and frame_sample_plan (batch faces closing
+      r8 "library-only" gaps);
+    * 10: sqlite_scan_diff — rotated back alongside the new
+      ORC/CSV/JSONL rows so every live-scan path re-verifies in the
+      same round;
+    * 11-48: the longest-unverified rotated rows (all last green r7,
+      code unchanged since);
+    * 49: ann_ivf_topk — green in r8 but its centroid-assignment
+      operator was rewritten after that run (literal-argmax projection
+      + arrow kernel), so the changed-code rule pulls it back in;
+    * 50: schema_drift_records (last green r7);
     * 51+: rotated out — every row has at least one driver-green round
-      with unchanged code since (the whole r8 window went green);
+      with unchanged code since (the whole r8 window went green;
+      diff_deleted_rows_groupby / diff_value_change / asof_latest_order
+      were additionally re-run against the oracle in the r8 judging
+      session, and diff_deleted_rows rotates out at 5 green rounds);
       rollup_distinct_users is rows-only BY DESIGN (HLL registers are
       engine-specific; its shape is on record in r7) and does not burn
       a window slot. The full registry stays enforced by
@@ -2713,7 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_plan": q_frame_sample_plan,
         # --- 10: live-scan sibling re-verifies with the new ORC/CSV/JSONL rows ---
         "sqlite_scan_diff": q_sqlite_scan_diff,
-        # --- 8-48: longest-unverified rotated rows (last green r7) ---
+        # --- 11-48: longest-unverified rotated rows (last green r7) ---
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "event_transitions": q_event_transitions,
@@ -2752,9 +2760,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "skew_salted_join": q_skew_salted_join,
-        "diff_deleted_rows": q_diff_deleted_rows,
+        # --- 49: assign_to_centroids was rewritten this round
+        # (literal-argmax projection + arrow kernel), so the IVF probe
+        # path re-enters the window even though it was green in r8;
+        # dedup_semantic (slot 7) covers the other caller ---
+        "ann_ivf_topk": q_ann_ivf_topk,
         "schema_drift_records": q_schema_drift_records,
         # --- 51+: rotated out (driver-green r8 or multi-round green) ---
+        # displaced by ann_ivf_topk (changed-code rows take priority):
+        # 5 driver-green rounds (r3-r7), core diff logic unchanged and
+        # freshly re-verified in r8 via the rest of the diff family
+        "diff_deleted_rows": q_diff_deleted_rows,
         # displaced to make room for the three newest rows: 4 driver-green
         # rounds each (r5-r6 + earlier) AND independently re-run against
         # the oracle in the r8 judging session, code unchanged since
@@ -2785,7 +2801,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "training_plan": q_training_plan,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "wizard_distinct_sample": q_wizard_distinct_sample,
         "chunk_manifest": q_chunk_manifest,
         "topk_orders": q_topk_orders,
@@ -3796,48 +3811,11 @@ def oracle_sql() -> dict[str, str]:
     # customer, so each oracle recomputes the export and takes the
     # symmetric set difference — the rows the engine's hash diff must
     # surface after the land-and-scan-back round trip.
-    oracles["orc_scan_diff"] = (
-        "WITH export AS (SELECT c_custkey, "
-        "CASE WHEN c_custkey % 109 = 0 THEN 'ORC#' || "
-        "CAST(c_custkey AS VARCHAR) ELSE c_name END AS c_name, "
-        "c_nationkey, c_acctbal, c_mktsegment FROM customer "
-        "WHERE c_custkey % 107 != 0), "
-        "truth AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
-        "c_mktsegment FROM customer) "
-        "SELECT c_custkey, c_name, 'truth' AS observed_in FROM "
-        "(SELECT * FROM truth EXCEPT SELECT * FROM export) "
-        "UNION ALL "
-        "SELECT c_custkey, c_name, 'export' AS observed_in FROM "
-        "(SELECT * FROM export EXCEPT SELECT * FROM truth)"
-    )
-    oracles["csv_scan_diff"] = (
-        "WITH export AS (SELECT c_custkey, "
-        "CASE WHEN c_custkey % 127 = 0 THEN 'CSV#' || "
-        "CAST(c_custkey AS VARCHAR) ELSE c_name END AS c_name, "
-        "c_nationkey, c_mktsegment FROM customer "
-        "WHERE c_custkey % 113 != 0), "
-        "truth AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment "
-        "FROM customer) "
-        "SELECT c_custkey, c_name, 'truth' AS observed_in FROM "
-        "(SELECT * FROM truth EXCEPT SELECT * FROM export) "
-        "UNION ALL "
-        "SELECT c_custkey, c_name, 'export' AS observed_in FROM "
-        "(SELECT * FROM export EXCEPT SELECT * FROM truth)"
-    )
-    oracles["jsonl_scan_diff"] = (
-        "WITH export AS (SELECT c_custkey, "
-        "CASE WHEN c_custkey % 137 = 0 THEN 'JSONL#' || "
-        "CAST(c_custkey AS VARCHAR) ELSE c_name END AS c_name, "
-        "c_nationkey, c_mktsegment FROM customer "
-        "WHERE c_custkey % 131 != 0), "
-        "truth AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment "
-        "FROM customer) "
-        "SELECT c_custkey, c_name, 'truth' AS observed_in FROM "
-        "(SELECT * FROM truth EXCEPT SELECT * FROM export) "
-        "UNION ALL "
-        "SELECT c_custkey, c_name, 'export' AS observed_in FROM "
-        "(SELECT * FROM export EXCEPT SELECT * FROM truth)"
-    )
+    # Generated from _FILE_SCAN_SPECS — same spec object as the Spark
+    # side, so mutation moduli/columns cannot drift between the pair.
+    oracles["orc_scan_diff"] = _file_scan_oracle("orc")
+    oracles["csv_scan_diff"] = _file_scan_oracle("csv")
+    oracles["jsonl_scan_diff"] = _file_scan_oracle("jsonl")
     oracles["apply_bpe"] = _apply_bpe_oracle(8)
     # Identical pairing semantics to range_join_views — the batch face
     # of the stream-stream interval join runs the same inequality join.
@@ -3946,12 +3924,16 @@ def _apply_bpe_oracle(num_merges: int) -> str:
         "'</w>'), chr(31) || chr(31)) || chr(31) AS s FROM docw)"
     )
     for k in range(num_merges):
+        # COALESCE: when training stops early (m{k} empty), the scalar
+        # subqueries are NULL and replace() returns NULL — pass s
+        # through unchanged instead, matching the Spark side applying
+        # only the merges actually learned. s itself is never NULL.
         parts.append(
-            f", s{k + 1} AS (SELECT doc_id, wp, replace(s, "
+            f", s{k + 1} AS (SELECT doc_id, wp, COALESCE(replace(s, "
             f"chr(31) || (SELECT \"left\" FROM m{k}) || chr(31) || "
             f"chr(31) || (SELECT \"right\" FROM m{k}) || chr(31), "
             f"chr(31) || (SELECT \"left\" || \"right\" FROM m{k}) || "
-            f"chr(31)) AS s FROM s{k})"
+            f"chr(31)), s) AS s FROM s{k})"
         )
     parts.append(
         f", wt AS (SELECT doc_id, wp, string_split("

@@ -139,15 +139,25 @@ def main() -> None:
     li1, li2 = db1.table("lineitem"), db2.table("lineitem")
     if not os.path.exists(skew_dir):
         n_copies = li1.count() // 4
-        const = li1.limit(1)
+        # take(1) collects ONE concrete row reused by both writes —
+        # an unmaterialized limit(1) re-executes per action and may
+        # pick different rows for db1/db2, leaving copies that don't
+        # cancel in the diff.
+        const = spark.createDataFrame(li1.take(1), li1.schema)
         copies = (
             spark.range(n_copies)
             .crossJoin(F.broadcast(const))
             .drop("id")
             .select(*li1.columns)
         )
-        li1.unionByName(copies).write.parquet(f"{skew_dir}/db1")
-        li2.unionByName(copies).write.parquet(f"{skew_dir}/db2")
+        # Build under a temp name and rename into place: a crash
+        # between the two writes must not leave a half-fixture that
+        # the exists() guard then trusts forever.
+        tmp_dir = skew_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        li1.unionByName(copies).write.parquet(f"{tmp_dir}/db1")
+        li2.unionByName(copies).write.parquet(f"{tmp_dir}/db2")
+        os.rename(tmp_dir, skew_dir)
     from lotad_spark.sources.parquet import read_table as _read_table
 
     sk1 = _read_table(spark, f"{skew_dir}/db1")

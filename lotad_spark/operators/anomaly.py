@@ -50,7 +50,6 @@ def rolling_zscore(
         .orderBy(ts_col)
         .rowsBetween(-window, -1)
     )
-    x = F.col(value_col).cast("bigint")
     # Exact trailing sums in DECIMAL, not bigint: x*x overflows int64
     # silently above ~3.04e9 (plausible for rollup sums) in non-ANSI
     # Spark, while DuckDB promotes to int128 — garbage z on one side
@@ -65,6 +64,10 @@ def rolling_zscore(
     # replays the identical algebra over DuckDB's int128 sums, so
     # cross-engine doubles agree bit-for-bit.
     xd = F.col(value_col).cast("decimal(19,0)")
+    # x derives from xd (not a separate bigint cast): a fractional
+    # value_col would otherwise HALF_UP-round into the sums but
+    # truncate in the z numerator — one integerization everywhere.
+    x = xd.cast("bigint")
     s = F.sum(xd).over(w)
     ss = F.sum(xd * xd).over(w)
     n = F.count(x).over(w)

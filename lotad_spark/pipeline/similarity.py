@@ -259,6 +259,18 @@ def assign_to_centroids(
     if not rows:
         raise ValueError("assign_to_centroids: empty centroid relation")
 
+    if kernel == "arrow":
+        # Early, BEFORE building cent_lit: the literal struct array
+        # costs k×(dim+2) py4j Column constructions — minutes of
+        # driver time at production k, and exactly what the arrow
+        # kernel exists to avoid.
+        return _assign_arrow(corpus, rows, vec_col, cent_id_col)
+    if kernel != "expr":
+        raise ValueError(
+            f"assign_to_centroids: unknown kernel {kernel!r} "
+            "(expected 'expr' or 'arrow')"
+        )
+
     def _self_dot(vec) -> float:
         # Same sequential left fold (in float64) as the cosine()
         # aggregate — bit-identical to computing dot(cv, cv) in-plan.
@@ -277,8 +289,6 @@ def assign_to_centroids(
             for r in rows
         ]
     )
-    if kernel == "arrow":
-        return _assign_arrow(corpus, rows, vec_col, cent_id_col)
     # Expression kernel (default): k+1 interpreted HOF folds per row —
     # the row self-dot is hoisted out of the transform and each
     # centroid's self-dot rides in as the dcc literal (3k → k+1 folds;
