@@ -27,15 +27,37 @@ def _default_driver_mem() -> str:
     limit and get OOM-killed mid-job on constrained containers (where
     the old 1g default at least failed fast); 1g GC-thrashes a 32-thread
     local run at sf1. ``SPARK_GRAFT_DRIVER_MEM`` overrides outright."""
+    avail_gb = None
     try:
         with open("/proc/meminfo") as fh:
             for line in fh:
                 if line.startswith("MemAvailable:"):
                     avail_gb = int(line.split()[1]) // (1024 * 1024)
-                    return f"{max(2, min(16, avail_gb // 2))}g"
+                    break
     except OSError:
         pass
-    return "4g"
+    # /proc/meminfo reports the HOST inside a memory-cgroup-limited
+    # container; sizing to the host would let the JVM grow past the
+    # cgroup and get OOM-killed mid-job. Cap by the cgroup limit (v2
+    # memory.max, v1 limit_in_bytes; "max"/huge sentinel = unlimited).
+    for cg in ("/sys/fs/cgroup/memory.max",
+               "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            with open(cg) as fh:
+                raw = fh.read().strip()
+            if raw != "max":
+                limit_gb = int(raw) // (1024 ** 3)
+                if limit_gb < 1 << 20:  # ignore the v1 "unlimited" sentinel
+                    avail_gb = (
+                        limit_gb if avail_gb is None
+                        else min(avail_gb, limit_gb)
+                    )
+            break
+        except (OSError, ValueError):
+            continue
+    if avail_gb is None:
+        return "4g"
+    return f"{max(2, min(16, avail_gb // 2))}g"
 
 
 def get_spark(
