@@ -1,0 +1,71 @@
+"""Pure-DuckDB pins for the driver-contract oracle builders in
+__spark_entry__.py — no Spark session needed. These guard the ORACLE
+side of a driver row: the Spark side is pinned by the operator tests,
+and scripts/check_oracle.py compares the two end-to-end at sf0.01."""
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry  # noqa: E402
+
+from tests.test_bpe import ref_bpe  # noqa: E402
+
+
+def _docs_con(corpus):
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, '{t}')" for i, t in corpus
+    )
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+    )
+    return con
+
+
+class TestApplyBpeOracle:
+    def test_matches_reference_on_rich_corpus(self):
+        corpus = [
+            (1, "low low low low low"),
+            (2, "lower lower newest newest"),
+            (3, "newest newest newest newest widest widest"),
+            (4, "widest newest low"),
+        ]
+        _, vocab, _ = ref_bpe([t for _, t in corpus], 8)
+        rows = _docs_con(corpus).execute(
+            entry._apply_bpe_oracle(8)
+        ).fetchall()
+        got = {doc_id: (n, s) for doc_id, n, s in rows}
+        for doc_id, text in corpus:
+            expected = [s for w in text.split() for s in vocab[w]]
+            assert got[doc_id] == (len(expected), " ".join(expected))
+
+    def test_early_stop_passes_symbols_through(self):
+        # A corpus with fewer learnable merges than the unroll depth:
+        # the empty-round replace() must pass the symbol string through
+        # (COALESCE), never NULL every document.
+        corpus = [(1, "ab ab"), (2, "ab")]
+        rows = _docs_con(corpus).execute(
+            entry._apply_bpe_oracle(8)
+        ).fetchall()
+        got = {doc_id: (n, s) for doc_id, n, s in rows}
+        assert got[1] == (2, "ab</w> ab</w>")
+        assert got[2] == (1, "ab</w>")
+
+
+class TestFileScanOracle:
+    @pytest.mark.parametrize("fmt", ["orc", "csv", "jsonl"])
+    def test_generated_from_shared_spec(self, fmt):
+        # The oracle string must embed the same moduli/prefix as the
+        # Spark side's spec — both read _FILE_SCAN_SPECS, so a spec
+        # edit reaches both; this pins the generator wiring.
+        spec = entry._FILE_SCAN_SPECS[fmt]
+        sql = entry._file_scan_oracle(fmt)
+        assert f"% {spec['ren_mod']} = 0" in sql
+        assert f"% {spec['drop_mod']} != 0" in sql
+        assert spec["prefix"] in sql
+        assert ("c_acctbal" in sql) == spec["double"]
