@@ -139,11 +139,22 @@ def main() -> None:
     li1, li2 = db1.table("lineitem"), db2.table("lineitem")
     if not os.path.exists(skew_dir):
         n_copies = li1.count() // 4
-        # take(1) collects ONE concrete row reused by both writes —
-        # an unmaterialized limit(1) re-executes per action and may
-        # pick different rows for db1/db2, leaving copies that don't
-        # cancel in the diff.
-        const = spark.createDataFrame(li1.take(1), li1.schema)
+        # Collect ONE concrete row reused by both writes — an
+        # unmaterialized limit(1) re-executes per action and may pick
+        # different rows for db1/db2, leaving copies that don't cancel
+        # in the diff. Ordered so a fixture rebuild duplicates the SAME
+        # row and bench numbers stay comparable across rounds, and
+        # filtered off the mutation set: duplicating a quantity-shifted
+        # key's db1 version onto both sides would cancel one side of
+        # that drift pair and shrink the expected drift by one.
+        from lotad_spark.benchmarks.fixtures import LINEITEM_MUTATION_MOD
+
+        const = spark.createDataFrame(
+            li1.filter(
+                F.col("l_orderkey") % LINEITEM_MUTATION_MOD != 0
+            ).orderBy("l_orderkey", "l_linenumber").take(1),
+            li1.schema,
+        )
         copies = (
             spark.range(n_copies)
             .crossJoin(F.broadcast(const))

@@ -18,6 +18,11 @@ RELATIONAL_TABLES = [
     "orders", "lineitem", "events",
 ]
 
+# Every l_orderkey divisible by this gets a quantity shift in db2;
+# bench.py's skew fixture must duplicate a row NOT in this set so the
+# copies cancel without masking one side of a drift pair.
+LINEITEM_MUTATION_MOD = 211
+
 # db2 = SELECT applied to the db1 table ({src} is the parquet path).
 MUTATIONS = {
     "customer": (
@@ -28,7 +33,8 @@ MUTATIONS = {
     "orders": "SELECT * FROM {src} WHERE o_orderkey % 89 != 0",
     "lineitem": (
         "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
-        "CASE WHEN l_orderkey % 211 = 0 THEN l_quantity + 1 ELSE l_quantity END "
+        f"CASE WHEN l_orderkey % {LINEITEM_MUTATION_MOD} = 0 "
+        "THEN l_quantity + 1 ELSE l_quantity END "
         "AS l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, "
         "l_linestatus, l_shipdate FROM {src}"
     ),
