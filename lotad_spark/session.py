@@ -18,15 +18,71 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _read_int_file(path: str) -> int | None:
+    try:
+        with open(path) as fh:
+            raw = fh.read().strip()
+        return None if raw == "max" else int(raw)
+    except (OSError, ValueError):
+        return None
+
+
+def _cgroup_limit_bytes() -> int | None:
+    """Effective memory limit of THIS process's cgroup, or None.
+
+    Resolves the process's own cgroup from /proc/self/cgroup and takes
+    the min of memory.max over the ancestor chain (a limit can sit on
+    any ancestor, e.g. a systemd slice); falls back to the mount-root
+    files for containers with a private cgroup namespace where the
+    relative path is '/'. v1 uses memory.limit_in_bytes. Unlimited
+    sentinels ("max", >=2^60) are ignored."""
+    v2_rel = v1_rel = None
+    try:
+        with open("/proc/self/cgroup") as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split(":", 2)
+                if len(parts) != 3:
+                    continue
+                if parts[0] == "0":
+                    v2_rel = parts[2]
+                elif "memory" in parts[1].split(","):
+                    v1_rel = parts[2]
+    except OSError:
+        pass
+    limits = []
+    if v2_rel is not None:
+        rel = v2_rel.strip("/")
+        segs = rel.split("/") if rel else []
+        for depth in range(len(segs) + 1):
+            base = "/".join(["/sys/fs/cgroup"] + segs[:depth])
+            v = _read_int_file(f"{base}/memory.max")
+            if v is not None:
+                limits.append(v)
+    if v1_rel is not None:
+        rel = v1_rel.strip("/")
+        for base in ({f"/sys/fs/cgroup/memory/{rel}"} if rel else set()) | {
+            "/sys/fs/cgroup/memory"
+        }:
+            v = _read_int_file(f"{base}/memory.limit_in_bytes")
+            if v is not None:
+                limits.append(v)
+    limits = [v for v in limits if v < 1 << 60]  # drop unlimited sentinels
+    return min(limits) if limits else None
+
+
 def _default_driver_mem() -> str:
     """Driver-heap default derived from the machine, not a constant.
 
     Local mode puts every executor thread inside the driver JVM, so the
-    heap must scale with the box: half of MemAvailable, clamped to
-    [2g, 16g]. A flat 16g would let the JVM grow into a memory-cgroup
-    limit and get OOM-killed mid-job on constrained containers (where
-    the old 1g default at least failed fast); 1g GC-thrashes a 32-thread
-    local run at sf1. ``SPARK_GRAFT_DRIVER_MEM`` overrides outright."""
+    heap must scale with the box: half of the effective available
+    memory — MemAvailable capped by this process's cgroup limit (the
+    host number is a lie inside a memory-limited container, and a heap
+    sized past the cgroup gets OOM-killed mid-job) — clamped to at most
+    16g. The floor is 2g only when the budget allows it: in a 1-2 GB
+    cgroup a forced 2g heap plus JVM off-heap would exceed the limit,
+    so constrained environments get 1g (slow but alive; GC pressure
+    beats a kernel OOM kill). ``SPARK_GRAFT_DRIVER_MEM`` overrides
+    outright."""
     avail_gb = None
     try:
         with open("/proc/meminfo") as fh:
@@ -36,28 +92,13 @@ def _default_driver_mem() -> str:
                     break
     except OSError:
         pass
-    # /proc/meminfo reports the HOST inside a memory-cgroup-limited
-    # container; sizing to the host would let the JVM grow past the
-    # cgroup and get OOM-killed mid-job. Cap by the cgroup limit (v2
-    # memory.max, v1 limit_in_bytes; "max"/huge sentinel = unlimited).
-    for cg in ("/sys/fs/cgroup/memory.max",
-               "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
-        try:
-            with open(cg) as fh:
-                raw = fh.read().strip()
-            if raw != "max":
-                limit_gb = int(raw) // (1024 ** 3)
-                if limit_gb < 1 << 20:  # ignore the v1 "unlimited" sentinel
-                    avail_gb = (
-                        limit_gb if avail_gb is None
-                        else min(avail_gb, limit_gb)
-                    )
-            break
-        except (OSError, ValueError):
-            continue
+    limit = _cgroup_limit_bytes()
+    if limit is not None:
+        limit_gb = limit // (1024 ** 3)
+        avail_gb = limit_gb if avail_gb is None else min(avail_gb, limit_gb)
     if avail_gb is None:
         return "4g"
-    return f"{max(2, min(16, avail_gb // 2))}g"
+    return f"{max(1, min(16, avail_gb // 2))}g"
 
 
 def get_spark(

@@ -3,12 +3,13 @@ __spark_entry__.py — no Spark session needed. These guard the ORACLE
 side of a driver row: the Spark side is pinned by the operator tests,
 and scripts/check_oracle.py compares the two end-to-end at sf0.01."""
 
+import os
 import sys
 
 import duckdb
 import pytest
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry  # noqa: E402
 
