@@ -135,7 +135,11 @@ def main() -> None:
     # identical rows compress to ~nothing in the shuffle — while the
     # groupby strategy collapses them map-side before the exchange
     # (tests/test_plans.py::TestSkewedDiffPlans pins both claims).
-    skew_dir = os.path.join(work, "skew")
+    # Versioned fixture path: the spec changed in r9 (deterministic
+    # off-mutation-set row). A bare exists() guard would trust a stale
+    # pre-change fixture forever, silently making diff_skewed_* numbers
+    # non-comparable across work dirs — bump the suffix on any spec change.
+    skew_dir = os.path.join(work, "skew_v2")
     li1, li2 = db1.table("lineitem"), db2.table("lineitem")
     if not os.path.exists(skew_dir):
         n_copies = li1.count() // 4
@@ -173,7 +177,7 @@ def main() -> None:
 
     sk1 = _read_table(spark, f"{skew_dir}/db1")
     sk2 = _read_table(spark, f"{skew_dir}/db2")
-    for strat in ("window", "groupby"):
+    for strat in ("window", "groupby", "auto"):
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
@@ -183,6 +187,12 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         queries[f"diff_skewed_{strat}"] = round(best, 3)
+    # the default must route the dup-heavy fixture to the map-side-combine
+    # plan (probe cost included in diff_skewed_auto above)
+    routed = diff_tables(sk1, sk2, db1_id="db1", db2_id="db2").strategy_used
+    if routed != "groupby":
+        print(f"AUTO ROUTE MISMATCH on skew fixture: {routed}", file=sys.stderr)
+        sys.exit(1)
 
     # Headline analytics queries from the driver contract.
     import __spark_entry__ as entry_mod

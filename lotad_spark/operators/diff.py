@@ -13,9 +13,10 @@ lotad/db_compare.py:266-302):
    entirely;
 5. deduplicating UNION of the two branches.
 
-Spark-first execution strategies (selectable, ``auto`` = ``window``):
+Spark-first execution strategies (selectable; ``auto`` ROUTES between
+``window`` and ``groupby`` with a duplicate-density probe, see below):
 
-* ``window`` (default) — ONE shuffle of the unioned, tagged rows by hash;
+* ``window`` — ONE shuffle of the unioned, tagged rows by hash;
   a hash-partitioned window computes ``min(side) == max(side)`` per hash
   (true exactly when the hash was observed on one side only), and the
   trailing exact-duplicate collapse is a hash aggregate that REUSES the
@@ -56,6 +57,40 @@ Spark-first execution strategies (selectable, ``auto`` = ``window``):
   aggregate measured 3.8× slower than antijoin at sf0.1 (BENCH_r03).
   The hash-only + semi-join-back shape restores the scale advantage.
 
+``auto`` (default) — routes between the two with a duplicate-density
+probe. The hazard it guards against: a dominant content hash means
+IDENTICAL duplicate rows, which compress to ~nothing in the shuffle, so
+AQE's *byte-based* skew detection provably cannot fire
+(tests/test_plans.py::TestSkewedDiffPlans) and the ``window`` strategy
+lands every copy in ONE row-count-bound partition — a straggler/OOM at
+production scale even though at bench scale (~350k rows in the skewed
+task) local wall-clock still favors ``window`` (BASELINE.md r10 sweep:
+the r9 6.79 s skew number was load; idle it is 1.61 s vs groupby's
+2.48 s). Local timing therefore CANNOT rank the strategies for scale;
+the router keys on the plan-shape hazard instead:
+
+1. if the combined optimizer-estimated input size is under
+   ``AUTO_PROBE_MIN_BYTES`` (driver-side stat, no job), any plan is
+   safe — pick ``window`` (single exchange, fastest small-case);
+2. otherwise run a one-job probe: Bernoulli-sample
+   ``AUTO_PROBE_FRACTION`` of each (normalized) side BEFORE hashing,
+   xxhash64 only the sample (pure JVM — density needs row identity,
+   not the canonical hash), and measure duplicate density
+   ``1 - approx_distinct/count`` over the sampled hashes PER SIDE
+   (union-level density would count every cross-side matched pair as
+   a duplicate — +f/2 bias on uniform data). Row-level sampling makes
+   the estimator blind to small duplicate groups (a pair survives
+   sampling with p=f²) but sharp for heavy keys (a key with ≥ ~1/f
+   copies contributes its full row share) — exactly the keys that
+   break the window plan. Max side density above
+   ``AUTO_DUP_DENSITY_THRESHOLD`` routes to ``groupby`` (map-side
+   combine absorbs duplicates before the exchange), else ``window``.
+
+The probe costs one scan-only job (no shuffle; hashes computed for the
+sampled fraction only) — bounded overhead against an unbounded
+straggler. Callers that know their data (or need a fully lazy plan —
+the probe runs a job at diff_tables() call time) pass an explicit
+strategy.
 """
 
 from __future__ import annotations
@@ -77,6 +112,85 @@ from lotad_spark.hashing import (
 
 def _quoted(c: str) -> F.Column:
     return F.col(f"`{c}`")
+
+
+# --- auto-strategy routing (duplicate-density probe) ---------------------
+# Below this combined (both sides) optimizer-estimated input size, skip the
+# probe entirely: a skewed window partition is row-count-bound, and at this
+# size even a fully-duplicated table fits one task comfortably. (The
+# optimizer stat runs ~0.6× the on-disk parquet size after column-pruning
+# scaling — the floor is calibrated against the stat, not `du`.)
+AUTO_PROBE_MIN_BYTES = 16 << 20
+# Row-level Bernoulli sample fraction for the probe. Detection threshold
+# scales as ~1/fraction copies per key: 0.02 → keys with ≳50 copies are
+# seen at their true row share, smaller duplicate groups are invisible
+# (and harmless to the window plan).
+AUTO_PROBE_FRACTION = 0.02
+# Sampled duplicate density above which auto routes to groupby.
+AUTO_DUP_DENSITY_THRESHOLD = 0.10
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer-estimated relation size (driver-side, runs NO job).
+
+    For file sources this is the sum of file sizes; for local relations an
+    estimate from row count × row width. None when the JVM stat is
+    unavailable (unexpected — treated as "large" by the router so the
+    probe still runs)."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return None
+
+
+def _route_strategy(n1: DataFrame, n2: DataFrame, cols: list[str]) -> str:
+    """Pick window vs groupby for ``strategy="auto"`` (see module docs)."""
+    sizes = [_plan_size_bytes(n1), _plan_size_bytes(n2)]
+    if all(s is not None for s in sizes) and sum(sizes) < AUTO_PROBE_MIN_BYTES:
+        return "window"
+    # One scan-only job (the per-side agg groups on a 2-value side tag —
+    # a 2-row exchange). The probe key is xxhash64 over the normalized
+    # columns, NOT the canonical row hash: duplicate-density only needs
+    # row identity, and heavy duplicate keys are byte-identical rows, so
+    # the pure-JVM codegen hash suffices — no JSON canonicalization, no
+    # Arrow/pandas UDF stage (measured ~2× the probe cost at sf0.1).
+    # Rows that differ only in JSON formatting hash apart here and
+    # UNDER-count density — a bias toward `window`, i.e. toward the
+    # status-quo plan, never toward a wrong answer. Density is measured
+    # PER SIDE: in a no-drift table every hash appears once per side, so
+    # a union-level density would count each cross-side matched pair as
+    # a duplicate (+f/2 bias on uniform data); within one side only
+    # genuine duplicate rows register. Sampling sits below the hash in
+    # the plan, so only the sampled fraction is hashed.
+    _pk = "_probe_hash"
+    _ps = "_probe_side"
+    probe = (
+        n1.sample(AUTO_PROBE_FRACTION, seed=7)
+        .select(
+            F.xxhash64(*[_quoted(c) for c in cols]).alias(_pk),
+            F.lit("1").alias(_ps),
+        )
+        .unionByName(
+            n2.sample(AUTO_PROBE_FRACTION, seed=7).select(
+                F.xxhash64(*[_quoted(c) for c in cols]).alias(_pk),
+                F.lit("2").alias(_ps),
+            )
+        )
+    )
+    rows = (
+        probe.groupBy(_ps)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(_pk, 0.02).alias("d"),
+        )
+        .collect()
+    )
+    density = max(
+        (1.0 - r["d"] / r["n"] for r in rows if r["n"]), default=0.0
+    )
+    return "groupby" if density > AUTO_DUP_DENSITY_THRESHOLD else "window"
 
 
 def normalize_for_diff(
@@ -132,6 +246,7 @@ class DiffResult:
     db1_id: str
     db2_id: str
     table_name: str | None = None
+    strategy_used: str | None = None  # resolved strategy ("auto" routing visible here)
     _counts: dict | None = field(default=None, repr=False)
 
     def is_empty(self) -> bool:
@@ -186,10 +301,14 @@ def diff_tables(
     shuffle, so AQE's byte-based skew-join detection cannot see them
     (verified in tests/test_plans.py::TestSkewedDiffPlans) and the
     ``window`` strategy lands every copy in one row-count-bound window
-    partition. For dup-heavy tables use ``strategy="groupby"``: its
-    phase-1 partial aggregation collapses duplicates MAP-SIDE — each map
-    task emits one (hash, side-set) partial — so the exchange never
-    carries the duplicate stream at all. Genuinely byte-skewed joins
+    partition. The default ``strategy="auto"`` guards this automatically:
+    above ``AUTO_PROBE_MIN_BYTES`` of input it runs a one-job
+    duplicate-density probe (sampled before hashing) and routes dup-heavy
+    inputs to ``groupby``, whose phase-1 partial aggregation collapses
+    duplicates MAP-SIDE — each map task emits one (hash, min/max-side)
+    partial — so the exchange never carries the duplicate stream at all.
+    The probe executes at call time (auto is not fully lazy); pass an
+    explicit strategy to skip it. Genuinely byte-skewed joins
     (heterogeneous rows, e.g. the phase-2 semi-join back or custom-query
     joins) are covered by the session's AQE skew-join config, proven
     live in the same test class.
@@ -212,9 +331,7 @@ def diff_tables(
     t2 = _tag(n2, db2_id, cols, json_strings)
 
     if strategy == "auto":
-        # Single-exchange symmetric difference; identical output to
-        # `antijoin`. `groupby` stays opt-in for 100 TB scale.
-        strategy = "window"
+        strategy = _route_strategy(n1, n2, cols)
 
     if strategy == "window":
         from pyspark.sql import Window
@@ -236,12 +353,20 @@ def diff_tables(
     elif strategy == "groupby":
         # Phase 1: survivor hashes from a metadata-only aggregation. The
         # shuffle carries (hash, provenance) — ~40 B/row — never full rows.
+        # min==max over the two provenance literals is true exactly when
+        # the hash was seen on one side only (same predicate as the window
+        # strategy); unlike the earlier collect_set formulation it keeps
+        # the aggregate in codegen HashAggregate (primitive buffers)
+        # instead of ObjectHashAggregate.
         survivors = (
             t1.select(HASH_COL, PROVENANCE_COL)
             .unionByName(t2.select(HASH_COL, PROVENANCE_COL))
             .groupBy(HASH_COL)
-            .agg(F.collect_set(PROVENANCE_COL).alias("_sides"))
-            .filter(F.size("_sides") == 1)
+            .agg(
+                F.min(PROVENANCE_COL).alias("_mn"),
+                F.max(PROVENANCE_COL).alias("_mx"),
+            )
+            .filter(F.col("_mn") == F.col("_mx"))
             .select(HASH_COL)
         )
         # Phase 2: pull the full rows for surviving hashes. Drift is small
@@ -265,5 +390,10 @@ def diff_tables(
         raise ValueError(f"unknown diff strategy: {strategy!r}")
 
     return DiffResult(
-        diff=diff, columns=cols, db1_id=db1_id, db2_id=db2_id, table_name=table_name
+        diff=diff,
+        columns=cols,
+        db1_id=db1_id,
+        db2_id=db2_id,
+        table_name=table_name,
+        strategy_used=strategy,
     )

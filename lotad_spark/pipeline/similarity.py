@@ -195,10 +195,12 @@ def _assign_arrow(
     measured 22 s → 1.7 s at k=80 × 21k rows × dim 64, and the gap
     widens with k. Caveat, why the expression kernel stays the
     default: numpy's blocked summation can differ from the sequential
-    fold in the last ulp, so a similarity sitting EXACTLY on a
-    round-6 boundary could round differently than cosine() / the SQL
-    oracles — argmax ties still resolve to the lowest cent_id
-    (centroid rows are argmax'd in ascending-cid order)."""
+    fold in the last ulp, and additionally np.round rounds
+    half-to-even while Spark's F.round is HALF_UP, so a similarity
+    sitting EXACTLY on a round-6 half boundary (…x5e-7) rounds
+    differently by rule, not just by ulp — argmax ties still resolve
+    to the lowest cent_id (centroid rows are argmax'd in
+    ascending-cid order)."""
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
 

@@ -263,7 +263,9 @@ class TestSkewedDiffPlans:
         r = diff_tables(skew1, skew2, strategy="groupby", json_strings=False)
         plan = _plan(r.diff)
         # partial aggregation below the exchange = map-side combine
-        assert "partial_collect_set" in plan, plan
+        # (min/max over provenance: primitive buffers keep phase 1 in
+        # codegen HashAggregate rather than ObjectHashAggregate)
+        assert "partial_min" in plan and "partial_max" in plan, plan
         rows = r.diff.collect()
         assert len(rows) == 1 and rows[0]["c_custkey"] == 5
 
@@ -276,6 +278,52 @@ class TestSkewedDiffPlans:
         r = diff_tables(skew1, skew2, strategy="window", json_strings=False)
         rows = r.diff.collect()
         assert len(rows) == 1 and rows[0]["c_custkey"] == 5
+
+    def test_auto_routes_skewed_input_to_groupby(self, spark, customer, monkeypatch):
+        """The auto router's duplicate-density probe must send dup-heavy
+        inputs to the map-side-combine plan (the scale-safe choice: AQE
+        provably cannot split the window plan's row-count-bound skewed
+        partition). Size floor dropped and probe fraction raised so the
+        small in-memory fixture both crosses the probe threshold and
+        yields a stable density estimate."""
+        from lotad_spark.operators import diff as diff_mod
+
+        monkeypatch.setattr(diff_mod, "AUTO_PROBE_MIN_BYTES", 0)
+        monkeypatch.setattr(diff_mod, "AUTO_PROBE_FRACTION", 0.5)
+        skew1 = self._skewed(spark, customer)
+        skew2 = self._skewed(spark, customer.filter("c_custkey != 5"))
+        r = diff_tables(skew1, skew2, strategy="auto", json_strings=False)
+        assert r.strategy_used == "groupby"
+        rows = r.diff.collect()
+        assert len(rows) == 1 and rows[0]["c_custkey"] == 5
+
+    def test_auto_routes_uniform_input_to_window(self, spark, customer, monkeypatch):
+        """Near-unique hashes must route to the single-exchange window
+        plan — including the no-drift case where every hash appears once
+        per side (the per-side density measurement must not count
+        cross-side matched pairs as duplicates)."""
+        from lotad_spark.operators import diff as diff_mod
+
+        monkeypatch.setattr(diff_mod, "AUTO_PROBE_MIN_BYTES", 0)
+        monkeypatch.setattr(diff_mod, "AUTO_PROBE_FRACTION", 0.5)
+        r = diff_tables(
+            customer,
+            customer.filter("c_custkey != 5"),
+            strategy="auto",
+            json_strings=False,
+        )
+        assert r.strategy_used == "window"
+        rows = r.diff.collect()
+        assert len(rows) == 1 and rows[0]["c_custkey"] == 5
+
+    def test_auto_small_input_skips_probe(self, spark, customer):
+        """Below AUTO_PROBE_MIN_BYTES the router picks window from the
+        driver-side size stat alone — no probe job, diff stays lazy."""
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        r = diff_tables(customer, customer, strategy="auto", json_strings=False)
+        assert r.strategy_used == "window"
+        assert tracker.getJobIdsForGroup(None) == before  # nothing executed
 
     def test_aqe_skew_join_fires_under_session_config(self, spark):
         """The session's AQE skew-join machinery must actually engage when
