@@ -931,6 +931,36 @@ def q_rolling_active_users(spark, sf_dir):
     return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
 
 
+def q_rolling_active_users_bound(spark, sf_dir):
+    """Driver-checkable face of the HLL approx rolling actives
+    (operators/funnel.py rolling_active_users_approx): the sketch
+    ESTIMATES are engine-specific (rows-only by nature), but the
+    accuracy CLAIM — every day's estimate within 5% of exact — is a
+    boolean the oracle can value-check. Emits (day, n_active,
+    within_bound) where n_active is the exact count (replayed by the
+    DuckDB oracle) and within_bound must be uniformly TRUE: the oracle
+    emits literal TRUE, so any day whose estimate drifts past the bound
+    hash-mismatches. Upgrades the last pytest-only accuracy claim
+    (≤5% vs exact) to a driver row."""
+    from lotad_spark.operators.funnel import (
+        rolling_active_users,
+        rolling_active_users_approx,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    exact = rolling_active_users(ev, window_days=7)
+    approx = rolling_active_users_approx(ev, window_days=7)
+    return exact.join(approx, "day").select(
+        "day",
+        "n_active",
+        (
+            F.abs(F.col("n_active_est") - F.col("n_active"))
+            / F.col("n_active")
+            <= 0.05
+        ).alias("within_bound"),
+    )
+
+
 def q_events_retention(spark, sf_dir):
     """Daily cohort retention — one groupBy(user) carrying (min day,
     distinct day set); day sets are bounded by the window, not events."""
@@ -2663,65 +2693,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r6 — 66 declared, exactly the first 50 checked). Priority for the
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
-    green stable rows rotate out. Layout this round (r9):
+    green stable rows rotate out. Layout this round (r10):
 
-    * 1: strip_dup_lines — operator changed this round (line-hash key
-      widened from a truncated 64-bit md5 prefix to the full 128-bit
-      digest; fixture made NULL-text-safe), needs re-verification;
-    * 2-9: the eight rows NEW this round — orc_scan_diff /
-      csv_scan_diff / jsonl_scan_diff (first driver-driven rows for
-      the file-format scan family, mirroring sqlite_scan_diff's
-      land-mutate-scan-back shape), apply_bpe (flipped from
-      library-only to a full value oracle: the training unroll feeds a
-      delimiter-wrapped replace() replay of the greedy fold),
-      interval_join_batch (the batch face of stream_interval_join,
-      previously argued only via range_join_views), dedup_semantic
-      (SemDeDup over deterministic k-means clusters),
-      streaming_dedup_batch and frame_sample_plan (batch faces closing
-      r8 "library-only" gaps);
-    * 10: sqlite_scan_diff — rotated back alongside the new
-      ORC/CSV/JSONL rows so every live-scan path re-verifies in the
-      same round;
-    * 11-48: the longest-unverified rotated rows (all last green r7,
-      code unchanged since);
-    * 49: ann_ivf_topk — green in r8 but its centroid-assignment
-      operator was rewritten after that run (literal-argmax projection
-      + arrow kernel), so the changed-code rule pulls it back in;
-    * 50: schema_drift_records (last green r7);
-    * 51+: rotated out — every row has at least one driver-green round
-      with unchanged code since (the whole r8 window went green;
-      diff_deleted_rows_groupby / diff_value_change / asof_latest_order
-      were additionally re-run against the oracle in the r8 judging
-      session, and diff_deleted_rows rotates out at 5 green rounds);
-      rollup_distinct_users is rows-only BY DESIGN (HLL registers are
-      engine-specific; its shape is on record in r7) and does not burn
-      a window slot. The full registry stays enforced by
-      scripts/check_oracle.py and the pytest suite. See COVERAGE.md
-      "Driver-window rotation".
+    * 1-12: the diff family — core diff.py changed this round (the
+      default strategy="auto" now routes through a duplicate-density
+      probe, and the groupby strategy's phase-1 aggregate moved from
+      collect_set to min/max provenance), so every row riding
+      diff_tables/compare_all re-enters per the changed-code rule.
+      diff_deleted_rows_groupby leads: it explicitly exercises the
+      rewritten phase-1 plan. (At driver scale the router stays below
+      the probe size floor and picks window, so these rows also pin
+      that the default path is output-identical to r8/r9.)
+    * 13: ann_ivf_topk — ivf_topk/build_ivf_index now DEFAULT to the
+      arrow assignment kernel (the r9 regression reproduced on an idle
+      box: 3.63 s vs r8's 2.27 s; arrow measures 1.75 s — BASELINE.md
+      r10 A/B), so the IVF path re-enters with the new kernel live.
+    * 14: rolling_active_users_bound — NEW: the HLL approx face's ≤5%
+      accuracy claim as a value-checkable boolean (oracle emits
+      literal TRUE; estimates themselves stay engine-specific).
+    * 15-50: the longest-unverified rows, all last driver-green r8
+      with code unchanged since: sql_row_hash_diff, json_schema_drift,
+      missing_table_records, the wizard family, q1/topk/window-agg
+      headliners, the exact/minhash/simhash/jaccard dedup family,
+      ann_cosine_topk, contamination_check, the text family, and the
+      sampling/curation family.
+    * 51+: rotated out, led by the next-due rows (bpe_merges,
+      token_chunk_plan, training_plan, psi_online, the rollup family,
+      json_key_stats, asof_latest_order — all last green r8 and first
+      in line for r11), then the rows green in r9 (code unchanged).
+      The four file-format scan rows (sqlite/orc/csv/jsonl) were green
+      r9 and their shared diff engine is re-verified this round via
+      rows 1-12, so they rotate out per policy. The full registry
+      stays enforced by scripts/check_oracle.py and the pytest suite.
+      See COVERAGE.md "Driver-window rotation".
     """
     return {
-        # --- 1: operator changed this round (128-bit line-hash key) ---
+        # --- 1-12: diff family re-enters (core diff.py changed: auto
+        # routing probe + groupby min/max phase 1) ---
+        "diff_deleted_rows_groupby": q_diff_deleted_rows_groupby,
+        "diff_deleted_rows": q_diff_deleted_rows,
+        "diff_value_change": q_diff_value_change,
+        "diff_counts": q_diff_counts,
+        "diff_ignore_column": q_diff_ignore_column,
+        "diff_ignore_dates": q_diff_ignore_dates,
+        "diff_type_mismatch": q_diff_type_mismatch,
+        "diff_json_reorder": q_diff_json_reorder,
+        "diff_array_reorder": q_diff_array_reorder,
+        "diff_dup_collapse": q_diff_dup_collapse,
+        "drift_summary": q_drift_summary,
+        "custom_query_diff": q_custom_query_diff,
+        # --- 13: IVF assignment kernel default flipped to arrow ---
+        "ann_ivf_topk": q_ann_ivf_topk,
+        # --- 14: NEW this round ---
+        "rolling_active_users_bound": q_rolling_active_users_bound,
+        # --- 15-50: longest-unverified (last driver-green r8) ---
+        "sql_row_hash_diff": q_sql_row_hash_diff,
+        "json_schema_drift": q_json_schema_drift,
+        "missing_table_records": q_missing_table_records,
+        "wizard_overlap_probe": q_wizard_overlap_probe,
+        "wizard_distinct_sample": q_wizard_distinct_sample,
+        "suggest_ignore_columns": q_suggest_ignore_columns,
+        "q1_lineitem_agg": q_q1_lineitem_agg,
+        "topk_orders": q_topk_orders,
+        "events_window_agg": q_events_window_agg,
+        "dedup_exact": q_dedup_exact,
+        "dedup_components": q_dedup_components,
+        "dedup_near_minhash": q_dedup_near_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "contamination_check": q_contamination_check,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "corpus_filter": q_corpus_filter,
+        "text_fingerprints": q_text_fingerprints,
+        "text_winnow_fp": q_text_winnow_fp,
+        "text_repetition": q_text_repetition,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_unigram_lm": q_text_unigram_lm,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "sample_hash": q_sample_hash,
+        "upsample_weights": q_upsample_weights,
+        "shuffle_batches": q_shuffle_batches,
+        "train_eval_split": q_train_eval_split,
+        "stratified_cap": q_stratified_cap,
+        "length_quantiles": q_length_quantiles,
+        "mixture_sample": q_mixture_sample,
+        "curate_corpus": q_curate_corpus,
+        "chunk_manifest": q_chunk_manifest,
+        # --- 51+: rotated out; ordered by verification debt for r11 ---
+        "bpe_merges": q_bpe_merges,
+        "token_chunk_plan": q_token_chunk_plan,
+        "training_plan": q_training_plan,
+        "psi_online": q_psi_online,
+        "rollup_hourly": q_rollup_hourly,
+        "rollup_incremental": q_rollup_incremental,
+        "rollup_gapfill": q_rollup_gapfill,
+        "twa_by_user": q_twa_by_user,
+        "json_key_stats": q_json_key_stats,
+        "asof_latest_order": q_asof_latest_order,
         "strip_dup_lines": q_strip_dup_lines,
-        # --- 2-6: new this round ---
         "orc_scan_diff": q_orc_scan_diff,
         "csv_scan_diff": q_csv_scan_diff,
         "apply_bpe": q_apply_bpe,
         "interval_join_batch": q_interval_join_batch,
         "jsonl_scan_diff": q_jsonl_scan_diff,
-        # --- 7-9: the round's last three new rows (SemDeDup, the
-        # streaming-dedup batch face, the frame-sample plan) — zero
-        # driver-green rounds yet, so they take window slots over
-        # rotated rows that already have one; the displaced rows
-        # (diff_deleted_rows_groupby / diff_value_change: 4 green
-        # rounds each; asof_latest_order: green r7 + pinned vs DuckDB
-        # native ASOF in pytest) were all three independently re-run
-        # against the oracle in the r8 judging session ---
         "dedup_semantic": q_dedup_semantic,
         "streaming_dedup_batch": q_streaming_dedup_batch,
         "frame_sample_plan": q_frame_sample_plan,
-        # --- 10: live-scan sibling re-verifies with the new ORC/CSV/JSONL rows ---
         "sqlite_scan_diff": q_sqlite_scan_diff,
-        # --- 11-48: longest-unverified rotated rows (last green r7) ---
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "event_transitions": q_event_transitions,
@@ -2752,7 +2834,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_online": q_quantiles_online,
         "weighted_sample": q_weighted_sample,
         "quantize_embeddings": q_quantize_embeddings,
-        "custom_query_diff": q_custom_query_diff,
         "dedup_embedding": q_dedup_embedding,
         "drift_static_batch": q_drift_static_batch,
         "events_key_stats": q_events_key_stats,
@@ -2760,83 +2841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "skew_salted_join": q_skew_salted_join,
-        # --- 49: assign_to_centroids was rewritten this round
-        # (literal-argmax projection + arrow kernel), so the IVF probe
-        # path re-enters the window even though it was green in r8;
-        # dedup_semantic (slot 7) covers the other caller ---
-        "ann_ivf_topk": q_ann_ivf_topk,
         "schema_drift_records": q_schema_drift_records,
-        # --- 51+: rotated out (driver-green r8 or multi-round green) ---
-        # displaced by ann_ivf_topk (changed-code rows take priority):
-        # 5 driver-green rounds (r3-r7), core diff logic unchanged and
-        # freshly re-verified in r8 via the rest of the diff family
-        "diff_deleted_rows": q_diff_deleted_rows,
-        # displaced to make room for the three newest rows: 4 driver-green
-        # rounds each (r5-r6 + earlier) AND independently re-run against
-        # the oracle in the r8 judging session, code unchanged since
-        "diff_deleted_rows_groupby": q_diff_deleted_rows_groupby,
-        "diff_value_change": q_diff_value_change,
-        # displaced likewise: green r7, judge-re-verified at r8, and the
-        # as-of operator is additionally pinned vs DuckDB native ASOF in
-        # tests/test_temporal.py
-        "asof_latest_order": q_asof_latest_order,
-        "rollup_hourly": q_rollup_hourly,
-        "rollup_incremental": q_rollup_incremental,
-        "rollup_gapfill": q_rollup_gapfill,
-        "twa_by_user": q_twa_by_user,
-        "json_key_stats": q_json_key_stats,
-        "bpe_merges": q_bpe_merges,
-        "psi_online": q_psi_online,
-        "sql_row_hash_diff": q_sql_row_hash_diff,
-        "json_schema_drift": q_json_schema_drift,
-        "diff_dup_collapse": q_diff_dup_collapse,
-        "missing_table_records": q_missing_table_records,
-        "wizard_overlap_probe": q_wizard_overlap_probe,
-        "q1_lineitem_agg": q_q1_lineitem_agg,
-        "diff_ignore_column": q_diff_ignore_column,
-        "diff_ignore_dates": q_diff_ignore_dates,
-        "diff_type_mismatch": q_diff_type_mismatch,
-        "diff_json_reorder": q_diff_json_reorder,
-        "diff_array_reorder": q_diff_array_reorder,
-        "dedup_exact": q_dedup_exact,
-        "dedup_components": q_dedup_components,
-        "training_plan": q_training_plan,
-        "wizard_distinct_sample": q_wizard_distinct_sample,
-        "chunk_manifest": q_chunk_manifest,
-        "topk_orders": q_topk_orders,
-        "contamination_check": q_contamination_check,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "events_window_agg": q_events_window_agg,
-        "token_chunk_plan": q_token_chunk_plan,
-        "mixture_sample": q_mixture_sample,
-        "dedup_near_minhash": q_dedup_near_minhash,
-        "curate_corpus": q_curate_corpus,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "suggest_ignore_columns": q_suggest_ignore_columns,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "corpus_filter": q_corpus_filter,
-        "text_fingerprints": q_text_fingerprints,
-        "text_winnow_fp": q_text_winnow_fp,
-        "text_repetition": q_text_repetition,
-        "text_pii_scrub": q_text_pii_scrub,
-        "text_unigram_lm": q_text_unigram_lm,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "sample_hash": q_sample_hash,
-        "upsample_weights": q_upsample_weights,
-        "shuffle_batches": q_shuffle_batches,
-        "train_eval_split": q_train_eval_split,
-        "stratified_cap": q_stratified_cap,
-        "length_quantiles": q_length_quantiles,
-        "diff_counts": q_diff_counts,
-        "drift_summary": q_drift_summary,
         "rollup_distinct_users": q_rollup_distinct_users,
-        # rotated out at 51+: double driver-green (r5+r7), code
-        # unchanged; displaced by the new jsonl_scan_diff row per the
-        # new-rows-enter-the-window policy
         "skew_two_phase_agg": q_skew_two_phase_agg,
     }
 
@@ -3442,6 +3448,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE day <= mx) "
             "SELECT CAST(day AS VARCHAR) AS day, "
             "CAST(count(*) AS BIGINT) AS n_active FROM cov GROUP BY 1"
+        ),
+        # The approx face's accuracy contract: exact replay + literal
+        # TRUE — the Spark side computes within_bound from the HLL
+        # estimate, so a >5% drift on any day hash-mismatches.
+        "rolling_active_users_bound": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "CAST(date_trunc('day', ts) AS DATE) AS d FROM events), "
+            "mx AS (SELECT max(d) AS mx FROM ud), "
+            "exp AS (SELECT user_id, d + CAST(k AS INTEGER) AS day "
+            "FROM ud, unnest(range(0, 7)) AS u(k)), "
+            "cov AS (SELECT DISTINCT user_id, day FROM exp, mx "
+            "WHERE day <= mx) "
+            "SELECT CAST(day AS VARCHAR) AS day, "
+            "CAST(count(*) AS BIGINT) AS n_active, "
+            "TRUE AS within_bound FROM cov GROUP BY 1"
         ),
         "events_retention": """WITH act AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events GROUP BY 1, 2), firstd AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY 1), sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM firstd GROUP BY 1), ret AS (SELECT f.cohort, CAST(a.d - f.cohort AS BIGINT) AS offset_days, CAST(count(*) AS BIGINT) AS n_active FROM act a JOIN firstd f USING (user_id) GROUP BY 1, 2) SELECT CAST(r.cohort AS VARCHAR) AS cohort_day, offset_days, n_active, cohort_size FROM ret r JOIN sizes USING (cohort)""",
         "profile_drift": """WITH db2 AS (SELECT * FROM customer WHERE c_custkey % 97 != 0), p1 AS (SELECT * FROM (VALUES ('c_custkey', (SELECT CAST(count(c_custkey) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_custkey) AS BIGINT) FROM customer), (SELECT CAST(min(c_custkey) AS DOUBLE) FROM customer), (SELECT CAST(max(c_custkey) AS DOUBLE) FROM customer)), ('c_name', (SELECT CAST(count(c_name) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_name) AS BIGINT) FROM customer), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)), ('c_nationkey', (SELECT CAST(count(c_nationkey) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_nationkey) AS BIGINT) FROM customer), (SELECT CAST(min(c_nationkey) AS DOUBLE) FROM customer), (SELECT CAST(max(c_nationkey) AS DOUBLE) FROM customer)), ('c_acctbal', (SELECT CAST(count(c_acctbal) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_acctbal) AS BIGINT) FROM customer), (SELECT CAST(min(c_acctbal) AS DOUBLE) FROM customer), (SELECT CAST(max(c_acctbal) AS DOUBLE) FROM customer)), ('c_mktsegment', (SELECT CAST(count(c_mktsegment) AS BIGINT) FROM customer), (SELECT CAST(count(*) - count(c_mktsegment) AS BIGINT) FROM customer), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))) v(column_name, n_nonnull_1, n_null_1, min_val_1, max_val_1)), p2 AS (SELECT * FROM (VALUES ('c_custkey', (SELECT CAST(count(c_custkey) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_custkey) AS BIGINT) FROM db2), (SELECT CAST(min(c_custkey) AS DOUBLE) FROM db2), (SELECT CAST(max(c_custkey) AS DOUBLE) FROM db2)), ('c_name', (SELECT CAST(count(c_name) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_name) AS BIGINT) FROM db2), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)), ('c_nationkey', (SELECT CAST(count(c_nationkey) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_nationkey) AS BIGINT) FROM db2), (SELECT CAST(min(c_nationkey) AS DOUBLE) FROM db2), (SELECT CAST(max(c_nationkey) AS DOUBLE) FROM db2)), ('c_acctbal', (SELECT CAST(count(c_acctbal) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_acctbal) AS BIGINT) FROM db2), (SELECT CAST(min(c_acctbal) AS DOUBLE) FROM db2), (SELECT CAST(max(c_acctbal) AS DOUBLE) FROM db2)), ('c_mktsegment', (SELECT CAST(count(c_mktsegment) AS BIGINT) FROM db2), (SELECT CAST(count(*) - count(c_mktsegment) AS BIGINT) FROM db2), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))) v(column_name, n_nonnull_2, n_null_2, min_val_2, max_val_2)) SELECT p1.column_name, n_nonnull_1, n_null_1, min_val_1, max_val_1, n_nonnull_2, n_null_2, min_val_2, max_val_2 FROM p1 JOIN p2 USING (column_name) WHERE n_nonnull_1 IS DISTINCT FROM n_nonnull_2 OR n_null_1 IS DISTINCT FROM n_null_2 OR min_val_1 IS DISTINCT FROM min_val_2 OR max_val_1 IS DISTINCT FROM max_val_2""",

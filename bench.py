@@ -238,6 +238,22 @@ def main() -> None:
     queries["ann_ivf_probe_indexed"] = round(best, 3)
     shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # SemDeDup at the production configuration (r10): the dedup_semantic
+    # entry row above measures the DEMO config (k=8, expr kernel — the
+    # deterministic shape the DuckDB oracle replays). Production uses the
+    # cluster-size rule (n_clusters ≈ corpus/250, the sf1-measured lever
+    # that cut pair volume) and the Arrow assignment kernel (39.2 → 9.0 s
+    # at sf1) — this row prices that path on the same corpus.
+    from lotad_spark.pipeline.similarity import semantic_dedup_corpus
+
+    sem_corpus = entry_mod._embedding_dup_corpus(spark, sf_dir)
+    sem_k = max(8, sem_corpus.count() // 250)
+    t0 = time.perf_counter()
+    semantic_dedup_corpus(
+        sem_corpus, n_clusters=sem_k, threshold=0.99, kernel="arrow"
+    ).foreach(lambda _: None)
+    queries["dedup_semantic_scaled"] = round(time.perf_counter() - t0, 3)
+
     # MinHash at production parameters (K=128 permutations, 16 bands × 8
     # rows) on the same corpus as the K=8 demo row — the measured cost of
     # the scale-grade configuration, not just the oracle-sized one.

@@ -333,6 +333,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     sample_size: int | None = None,
     train_iters: int | None = None,
+    kernel: str = "arrow",
 ) -> None:
     """Materialize the write-once IVF layout: corpus assigned to trained
     centroids and written as parquet PARTITIONED BY cent_id, centroids
@@ -356,7 +357,7 @@ def build_ivf_index(
         "cent_id int, cent_vec array<double>",
     )
     assigned = assign_to_centroids(
-        corpus, centroids, id_col=id_col, vec_col=vec_col
+        corpus, centroids, id_col=id_col, vec_col=vec_col, kernel=kernel
     )
     assigned.write.mode("overwrite").partitionBy("cent_id").parquet(
         f"{path}/data"
@@ -418,8 +419,17 @@ def ivf_topk(
     centroids: DataFrame | None = None,
     sample_size: int | None = None,
     train_iters: int | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k via IVF buckets: (query_id, vec_id, sim).
+
+    Assignment defaults to the Arrow matmul kernel (r10): the expr
+    literal-argmax at IVF centroid count regressed the bench row
+    2.27 → 3.63 s, and the interleaved idle A/B measured arrow at
+    1.75 s vs expr 2.99 s (BASELINE.md r10). Kernel divergence is
+    bounded to exact round-6 tie boundaries — pinned tolerance-banded
+    in tests/test_similarity.py; pass ``kernel="expr"`` for
+    bit-identical parity with the SQL oracles' sequential fold.
 
     Centroids are trained with deterministic spherical k-means
     (``pipeline.kmeans``: farthest-point init + fixed Lloyd iterations
@@ -445,7 +455,7 @@ def ivf_topk(
             "cent_id int, cent_vec array<double>",
         )
     assigned = assign_to_centroids(
-        corpus, centroids, id_col=id_col, vec_col=vec_col
+        corpus, centroids, id_col=id_col, vec_col=vec_col, kernel=kernel
     )
 
     q = queries.select(

@@ -451,6 +451,59 @@ class TestArrowAssignmentKernel:
         }
         assert arrow == expr and len(expr) > 0
 
+    def test_ivf_default_kernel_banded_parity(self, spark, sf_dir):
+        """ivf_topk/build_ivf_index default to the arrow assignment
+        kernel since r10 (expr literal-argmax at IVF centroid count
+        regressed ann_ivf_topk 2.27→3.63 s; interleaved idle A/B:
+        arrow 1.75 s vs expr 2.99 s — BASELINE.md r10). The kernels
+        may legitimately disagree ONLY at an exact round-6 tie/boundary:
+        for every row they disagree on, the row's round-6 cosine to the
+        two chosen centroids must differ by ≤ 1e-6 (one rounding ulp at
+        the documented np.round half-to-even vs F.round HALF_UP
+        divergence). On this fixture the disagreement set is empty, but
+        the pin is the band, not exact equality."""
+        from lotad_spark.pipeline import kmeans
+        from lotad_spark.pipeline.similarity import (
+            assign_to_centroids,
+            cosine,
+        )
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        e = ParquetDatabase(spark, sf_dir, "db").table("embeddings")
+        cents = kmeans.train_centroids(kmeans.sample_vectors(e), 16)
+        centroids = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cent_id int, cent_vec array<double>",
+        )
+        expr = {
+            r.vec_id: r.cent_id
+            for r in assign_to_centroids(e, centroids).collect()
+        }
+        arrow = {
+            r.vec_id: r.cent_id
+            for r in assign_to_centroids(
+                e, centroids, kernel="arrow"
+            ).collect()
+        }
+        assert set(expr) == set(arrow)
+        differing = {v for v in expr if expr[v] != arrow[v]}
+        if differing:
+            cmap = {i: c for i, c in enumerate(cents)}
+            rows = e.filter(F.col("vec_id").isin(list(differing))).collect()
+            sims = {
+                (r.vec_id, cid): spark.createDataFrame(
+                    [(list(map(float, r.embedding)), cmap[cid])],
+                    "a array<double>, b array<double>",
+                )
+                .select(F.round(cosine(F.col("a"), F.col("b")), 6).alias("s"))
+                .first()["s"]
+                for r in rows
+                for cid in (expr[r.vec_id], arrow[r.vec_id])
+            }
+            for v in differing:
+                gap = abs(sims[(v, expr[v])] - sims[(v, arrow[v])])
+                assert gap <= 1e-6, (v, expr[v], arrow[v], gap)
+
     def test_semantic_dedup_arrow_kernel(self, spark):
         from lotad_spark.pipeline.similarity import semantic_dedup_corpus
 
