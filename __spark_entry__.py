@@ -1592,6 +1592,41 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5)
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode (pipeline/pq.py, Jegou et al. 2011):
+    M per-subspace codebooks trained by a deterministic L2 Lloyd's on
+    the bounded id-ordered sample; each vector becomes M small codes —
+    a pure projection, zero exchange, codebooks as literals. Codes emit
+    space-joined so the array compares as one string cross-engine. The
+    oracle retrains the RNG-free trainer on the same sample (the
+    _ann_ivf_sql pattern) and replays the argmax (2.<v_sub,c> - |c|²,
+    round-6, ties to the lowest code) in SQL."""
+    from lotad_spark.pipeline.pq import pq_encode, train_pq_codebooks
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(e)
+    return pq_encode(e, books).select(
+        "vec_id",
+        F.array_join(F.col("pq_code").cast("array<string>"), " ").alias(
+            "codes"
+        ),
+    )
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """ADC top-k over the PQ-encoded corpus: sim is the round-6 cosine
+    between the query and each vector's PQ reconstruction, computed
+    entirely from INTEGER-quantized lookup tables (round(10⁶·x) as
+    int64 — order-independent exact sums, so the one cross-engine
+    floating-point hazard, summation order, is designed out; the oracle
+    sums the identical integer literals in SQL)."""
+    from lotad_spark.pipeline.pq import pq_topk, train_pq_codebooks
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(e)
+    return pq_topk(e.filter(F.col("vec_id") < 5), e, books, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL fragments for the pipeline queries (DuckDB dialect)
 # ---------------------------------------------------------------------------
@@ -1639,6 +1674,113 @@ def _ann_ivf_sql() -> str:
         for i, c in enumerate(cents)
     )
     return _ANN_IVF_SQL_TEMPLATE.replace("__CENTROID_VALUES__", values)
+
+
+def _pq_oracle_parts() -> tuple[str, "object"]:
+    """Shared PQ oracle scaffolding: the codebook VALUES + encode CTE
+    (replaying pq_encode's round-6 argmax with ties to the lowest code)
+    and the trained codebooks. Trains the SAME deterministic L2 Lloyd's
+    (`pipeline.pq.train_pq_codebooks`) on the sample read via DuckDB —
+    RNG-free, so the literals match the Spark side bit-for-bit."""
+    import duckdb
+
+    from lotad_spark.pipeline import kmeans, pq
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    sample = duckdb.connect().execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
+    ).fetchall()
+    dim = len(sample[0][0])
+    m, sub = pq.DEFAULT_M, dim // pq.DEFAULT_M
+    books = [
+        pq._train_l2(
+            [list(r[0])[j * sub : (j + 1) * sub] for r in sample],
+            pq.DEFAULT_CODES,
+            kmeans.DEFAULT_ITERS,
+        )
+        for j in range(m)
+    ]
+    cb_values = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[], "
+        f"{pq.self_dot(cv)!r})"
+        for j, book in enumerate(books)
+        for c, cv in enumerate(book)
+    )
+    encode_cte = (
+        f"cb(m, code, cv, dcc) AS (VALUES {cb_values}), "
+        "scored AS (SELECT e.vec_id, cb.m, cb.code, "
+        "round(2*list_inner_product((e.embedding::DOUBLE[])"
+        f"[(cb.m*{sub}+1):((cb.m+1)*{sub})], cb.cv) - cb.dcc, 6) AS s "
+        "FROM embeddings e, cb), "
+        "enc AS (SELECT vec_id, m, code FROM ("
+        "SELECT vec_id, m, code, row_number() OVER ("
+        "PARTITION BY vec_id, m ORDER BY s DESC, code ASC) AS r "
+        "FROM scored) WHERE r = 1)"
+    )
+    return encode_cte, books
+
+
+def _pq_codes_sql() -> str:
+    encode_cte, _ = _pq_oracle_parts()
+    return (
+        f"WITH {encode_cte} "
+        "SELECT vec_id, string_agg(CAST(code AS VARCHAR), ' ' "
+        "ORDER BY m) AS codes FROM enc GROUP BY vec_id"
+    )
+
+
+def _ann_pq_sql() -> str:
+    """ADC top-k oracle: the integer lookup tables embed as list
+    literals (one row per (query, subspace)), so both engines sum the
+    IDENTICAL int64 constants — order-independent, exact — then apply
+    the same cosine-to-reconstruction formula and round-6."""
+    import duckdb
+
+    from lotad_spark.pipeline import pq
+
+    encode_cte, books = _pq_oracle_parts()
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    qrows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    lut_rows, q2_rows = [], []
+    for qid, emb in qrows:
+        luts, q2 = pq._quantized_luts(list(emb), books)
+        q2_rows.append(f"({qid}, {q2!r})")
+        for j, row in enumerate(luts):
+            lut_rows.append(
+                f"({qid}, {j}, [{', '.join(str(x) for x in row)}])"
+            )
+    dcc_rows = [
+        f"({j}, [{', '.join(str(x) for x in row)}])"
+        for j, row in enumerate(pq.pq_dcc_lut(books))
+    ]
+    scale = float(pq.LUT_SCALE)
+    return (
+        f"WITH {encode_cte}, "
+        f"lut(query_id, m, lr) AS (VALUES {', '.join(lut_rows)}), "
+        f"dccq(m, vr) AS (VALUES {', '.join(dcc_rows)}), "
+        f"q2(query_id, q2) AS (VALUES {', '.join(q2_rows)}), "
+        "sums AS (SELECT l.query_id, e.vec_id, "
+        "SUM(l.lr[e.code + 1]) AS ip, SUM(d.vr[e.code + 1]) AS vn "
+        "FROM enc e JOIN lut l ON l.m = e.m "
+        "JOIN dccq d ON d.m = e.m GROUP BY 1, 2), "
+        "sims AS (SELECT s.query_id, s.vec_id, "
+        f"round((CAST(ip AS DOUBLE)/{scale!r})"
+        f"/sqrt(q.q2*(CAST(vn AS DOUBLE)/{scale!r})), 6) AS sim "
+        "FROM sums s JOIN q2 q USING (query_id) "
+        "WHERE s.vec_id != s.query_id) "
+        "SELECT query_id, vec_id, sim FROM ("
+        "SELECT query_id, vec_id, sim, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS r "
+        "FROM sims) WHERE r <= 5"
+    )
 
 
 _ANN_IVF_SQL_TEMPLATE = """
@@ -2708,16 +2850,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       arrow assignment kernel (the r9 regression reproduced on an idle
       box: 3.63 s vs r8's 2.27 s; arrow measures 1.75 s — BASELINE.md
       r10 A/B), so the IVF path re-enters with the new kernel live.
-    * 14: rolling_active_users_bound — NEW: the HLL approx face's ≤5%
-      accuracy claim as a value-checkable boolean (oracle emits
-      literal TRUE; estimates themselves stay engine-specific).
-    * 15-50: the longest-unverified rows, all last driver-green r8
+    * 14-16: the rows NEW this round — rolling_active_users_bound
+      (the HLL approx face's ≤5% accuracy claim as a value-checkable
+      boolean; oracle emits literal TRUE, estimates themselves stay
+      engine-specific), pq_codes and ann_pq_topk (product-quantization
+      encode + ADC top-k, pipeline/pq.py — integer-quantized lookup
+      tables make the scoring sums order-independent and exactly
+      replayable in SQL). The PQ rows displace chunk_manifest and
+      curate_corpus to 51+ (both hold an r8 green round).
+    * 17-50: the longest-unverified rows, all last driver-green r8
       with code unchanged since: sql_row_hash_diff, json_schema_drift,
       missing_table_records, the wizard family, q1/topk/window-agg
       headliners, the exact/minhash/simhash/jaccard dedup family,
       ann_cosine_topk, contamination_check, the text family, and the
-      sampling/curation family.
-    * 51+: rotated out, led by the next-due rows (bpe_merges,
+      sampling/curation family (minus chunk_manifest/curate_corpus,
+      displaced by the PQ rows).
+    * 51+: rotated out, led by chunk_manifest and curate_corpus (r8
+      green, displaced above) and the next-due rows (bpe_merges,
       token_chunk_plan, training_plan, psi_online, the rollup family,
       json_key_stats, asof_latest_order — all last green r8 and first
       in line for r11), then the rows green in r9 (code unchanged).
@@ -2744,9 +2893,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_query_diff": q_custom_query_diff,
         # --- 13: IVF assignment kernel default flipped to arrow ---
         "ann_ivf_topk": q_ann_ivf_topk,
-        # --- 14: NEW this round ---
+        # --- 14-16: NEW this round (the PQ rows displace chunk_manifest
+        # and curate_corpus to 51+; both hold an r8 green round) ---
         "rolling_active_users_bound": q_rolling_active_users_bound,
-        # --- 15-50: longest-unverified (last driver-green r8) ---
+        "pq_codes": q_pq_codes,
+        "ann_pq_topk": q_ann_pq_topk,
+        # --- 17-50: longest-unverified (last driver-green r8) ---
         "sql_row_hash_diff": q_sql_row_hash_diff,
         "json_schema_drift": q_json_schema_drift,
         "missing_table_records": q_missing_table_records,
@@ -3394,6 +3546,8 @@ def oracle_sql() -> dict[str, str]:
         "training_plan": _TRAINING_PLAN_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ann_ivf_sql(),
+        "pq_codes": _pq_codes_sql(),
+        "ann_pq_topk": _ann_pq_sql(),
         "events_funnel": """WITH s0 AS (SELECT user_id, min(ts) AS rts FROM events WHERE event_type = 'view' GROUP BY user_id), s1 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s0 USING (user_id) WHERE e.event_type = 'click' AND e.ts > s0.rts GROUP BY e.user_id), s2 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s1 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > s1.rts GROUP BY e.user_id) SELECT 0 AS step_index, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s0 UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1 UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2""",
         # Independent formulation: EXISTS-chain over per-step distinct
         # event sets vs the union+running-max DP — same reachable sets.

@@ -207,7 +207,7 @@ def main() -> None:
     # LLM-pipeline headliners (added as they land in entry queries()).
     for name in entry_mod.queries():
         if name.startswith(
-            ("dedup_", "ann_", "text_", "tfidf_", "mixture_", "upsample_", "shuffle_", "token_", "quantize_", "chunk_", "training_", "weighted_")
+            ("dedup_", "ann_", "pq_", "text_", "tfidf_", "mixture_", "upsample_", "shuffle_", "token_", "quantize_", "chunk_", "training_", "weighted_")
         ):
             fn = entry_mod.queries()[name]
             t0 = time.perf_counter()

@@ -1,0 +1,296 @@
+"""Product quantization (PQ) for billion-scale ANN over embeddings.
+
+Jegou, Douze, Schmid — "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011, public): split the D-dim space into M orthogonal
+subspaces, vector-quantize each with its own K-code codebook, and
+approximate a vector by the concatenation of its M sub-centroids. A
+vector then costs M small ints (codes) instead of D floats — at
+(M=4, K=16) over dim-64 float32 that is 64× less state — and query
+scoring becomes table lookups (ADC: asymmetric distance computation)
+instead of D-dim arithmetic.
+
+Why this matters at 100 TB: the encoded corpus is the ONLY thing the
+top-k scan touches — a few bytes per row, column-pruned straight off
+parquet — while the raw embedding column never enters the plan. The
+lookup tables are per-query constants (M×K entries), broadcast as
+literals; scoring is pure-JVM array indexing inside whole-stage
+codegen, two-phase top-k keeps the wide shuffle at O(partitions × k)
+rows (the `_ranked_topk` shape shared with the other ANN paths).
+
+Cross-engine determinism (the repo's oracle contract):
+
+* codebooks train driver-side with a deterministic L2 Lloyd's
+  (farthest-point init from the id-ordered first sample vector, ties
+  to the lowest index, empty clusters keep their centroid) over the
+  same bounded id-ordered sample `pipeline.kmeans` uses — an oracle
+  retraining on the same rows derives bit-identical constants;
+* encoding picks argmin_c ||v_sub − c||² via the equivalent
+  argmax_c (2⟨v_sub,c⟩ − |c|²) — no row self-dot needed — with the
+  score rounded to 6 decimals and ties to the LOWEST code id;
+* ADC lookup tables are INTEGER-quantized (round(x·10⁶) as int64):
+  summing M int64 terms is order-independent and exact, so Spark's
+  fold and a SQL SUM produce identical integers no matter the
+  evaluation order — the one floating-point hazard (summation order)
+  is designed out. The final cosine-to-reconstruction divides two
+  exact integer sums under identical literals, so both engines see
+  identical doubles before the final round-6.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lotad_spark.pipeline import kmeans
+
+# Defaults sized on the sf fixtures (near-uniform random 64-dim vectors —
+# PQ's adversarial case, tiny cosine gaps vs quantization distortion):
+# recall@5 vs exact measured 0.16 at (M=4,K=16), 0.28 at (8,32), 0.56 at
+# (16,32). Real embedding corpora have much lower intrinsic dimension and
+# fare far better at the same bit budget. M must divide the embedding dim
+# (16 divides the common 64/256/768/1024/1536 dims).
+DEFAULT_M = 16  # subspaces
+DEFAULT_CODES = 32  # codes per subspace (one byte would allow 256)
+LUT_SCALE = 10**6  # integer quantization for order-independent sums
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    m: int = DEFAULT_M,
+    n_codes: int = DEFAULT_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int | None = None,
+    iters: int | None = None,
+) -> list[list[list[float]]]:
+    """Train M per-subspace codebooks (each ``n_codes × dim/m``) on the
+    bounded id-ordered sample. Returns plain float lists so the values
+    embed as literals on both engines."""
+    sample = kmeans.sample_vectors(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_size=sample_size or kmeans.DEFAULT_SAMPLE_SIZE,
+    )
+    if not sample:
+        raise ValueError("train_pq_codebooks: empty sample")
+    dim = len(sample[0])
+    if dim % m != 0:
+        raise ValueError(
+            f"train_pq_codebooks: dim {dim} not divisible by m={m}"
+        )
+    sub = dim // m
+    return [
+        _train_l2(
+            [list(v[j * sub : (j + 1) * sub]) for v in sample],
+            n_codes,
+            iters or kmeans.DEFAULT_ITERS,
+        )
+        for j in range(m)
+    ]
+
+
+def _train_l2(
+    vectors: list[list[float]], k: int, iters: int
+) -> list[list[float]]:
+    """Deterministic L2 Lloyd's for one subspace (mirrors
+    ``kmeans.train_centroids``'s determinism rules, without the
+    spherical normalization — PQ quantizes raw sub-vectors)."""
+    X = np.asarray(vectors, dtype=np.float64)
+    k = min(k, len(X))
+    # farthest-point init from sample index 0; ties to the lowest index
+    # (np.argmax returns the first maximum)
+    chosen = [0]
+    best_d = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(best_d))
+        chosen.append(nxt)
+        best_d = np.minimum(best_d, ((X - X[nxt]) ** 2).sum(axis=1))
+    C = X[chosen].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)  # first minimum = lowest code
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [[float(x) for x in row] for row in C]
+
+
+def self_dot(cv) -> float:
+    """Sequential left-fold self-dot in float64 — the ONE definition both
+    the Spark literals and the SQL-oracle literals derive from, so the
+    embedded constants are bit-identical."""
+    acc = 0.0
+    for x in cv:
+        acc += float(x) * float(x)
+    return acc
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Corpus columns + ``pq_code array<int>`` (M entries) — a PURE
+    PROJECTION, zero exchange, codebooks folded in as literals.
+
+    Per subspace: argmax over codes of round(2⟨v_sub,c⟩ − |c|², 6)
+    (≡ L2 argmin; the row self-dot cancels), ties to the lowest code
+    via the negated-id struct-max trick shared with
+    ``similarity.assign_to_centroids``."""
+    if not codebooks:
+        raise ValueError("pq_encode: empty codebooks")
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for j, book in enumerate(codebooks):
+        book_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("code"),
+                    F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                    F.lit(self_dot(cv)).alias("dcc"),
+                )
+                for c, cv in enumerate(book)
+            ]
+        )
+        sub_v = F.slice(v, j * sub + 1, sub)
+
+        # factory binds sub_v per subspace; a two-arg lambda would be
+        # misread by PySpark as the (element, index) transform variant
+        def _scored(sv):
+            return F.transform(
+                book_lit,
+                lambda c: F.struct(
+                    F.round(2.0 * _dot(sv, c["cv"]) - c["dcc"], 6).alias(
+                        "s"
+                    ),
+                    (-c["code"]).alias("negc"),
+                ),
+            )
+
+        codes.append((-F.array_max(_scored(sub_v))["negc"]).cast("int"))
+    return corpus.withColumn(code_col, F.array(*codes))
+
+
+def _quantized_luts(
+    qvec: list[float], codebooks: list[list[list[float]]]
+) -> tuple[list[list[int]], float]:
+    """Per-query ADC lookup tables: ``lut[m][code] = round(10⁶·⟨q_sub,c⟩)``
+    as exact ints, plus the query self-dot (both embed as literals in the
+    SQL oracle, so each engine sums identical integers)."""
+    q = [float(x) for x in qvec]
+    sub = len(codebooks[0][0])
+    luts = []
+    for j, book in enumerate(codebooks):
+        qs = q[j * sub : (j + 1) * sub]
+        row = []
+        for cv in book:
+            acc = 0.0
+            for a, b in zip(qs, cv):
+                acc += a * float(b)
+            row.append(int(np.round(acc * LUT_SCALE)))
+        luts.append(row)
+    return luts, self_dot(q)
+
+
+def pq_dcc_lut(codebooks: list[list[list[float]]]) -> list[list[int]]:
+    """Query-independent reconstruction-norm table:
+    ``dcc[m][code] = round(10⁶·|c|²)`` — subspaces are orthogonal, so
+    |reconstruction|² is EXACTLY the sum of the M sub-centroid
+    self-dots (no cross terms)."""
+    return [
+        [int(np.round(self_dot(cv) * LUT_SCALE)) for cv in book]
+        for book in codebooks
+    ]
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encoded: DataFrame | None = None,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ADC top-k per query: (query_id, vec_id, sim) where sim is the
+    round-6 cosine between the query and the PQ RECONSTRUCTION of each
+    corpus vector.
+
+    The query set is bounded (the serving pattern broadcasts it), so it
+    is collected and its integer lookup tables ride in as a broadcast
+    relation; scoring per corpus row is M array lookups + an integer
+    fold — no embedding arithmetic, and with a pre-``encoded`` corpus
+    (the write-once index shape, cf. ``build_ivf_index``) the raw
+    embedding column is never read at all. Self-matches are excluded,
+    ranking reuses the shared two-phase top-k."""
+    from lotad_spark.pipeline.similarity import _ranked_topk
+
+    enc = (
+        encoded
+        if encoded is not None
+        else pq_encode(corpus, codebooks, vec_col=vec_col, code_col=code_col)
+    ).select(id_col, code_col)
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("pq_topk: empty query relation")
+    spark = corpus.sparkSession
+    lut_rows = []
+    for r in qrows:
+        luts, q2 = _quantized_luts(list(r[1]), codebooks)
+        lut_rows.append((int(r[0]), luts, q2))
+    lutdf = spark.createDataFrame(
+        lut_rows,
+        "query_id bigint, _lut array<array<bigint>>, _q2 double",
+    )
+    dcc_lit = F.array(
+        *[
+            F.array(*[F.lit(x) for x in row])
+            for row in pq_dcc_lut(codebooks)
+        ]
+    )
+    codes = F.col(code_col)
+    ip_sum = F.aggregate(
+        F.zip_with(codes, F.col("_lut"), lambda c, row: F.get(row, c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    vnorm_sum = F.aggregate(
+        F.zip_with(codes, dcc_lit, lambda c, row: F.get(row, c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(lutdf))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                (ip_sum.cast("double") / F.lit(float(LUT_SCALE)))
+                / F.sqrt(
+                    F.col("_q2")
+                    * (vnorm_sum.cast("double") / F.lit(float(LUT_SCALE)))
+                ),
+                6,
+            ),
+        )
+    )
+    return _ranked_topk(scored, k, id_col=id_col).select(
+        "query_id", id_col, "sim"
+    )

@@ -1,0 +1,133 @@
+"""Product-quantization ANN (pipeline/pq.py): determinism, plan shape,
+reconstruction accuracy, and the encoded-index scan contract."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from lotad_spark.pipeline.pq import (
+    LUT_SCALE,
+    pq_dcc_lut,
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
+
+
+def _vec(i, dim=8):
+    h = hashlib.md5(f"v{i}".encode()).digest()
+    return [h[d % 16] / 255.0 * 2 - 1 + 0.01 * i * (d % 3) for d in range(dim)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPqTraining:
+    def test_deterministic_and_shaped(self, corpus):
+        b1 = train_pq_codebooks(corpus, m=4, n_codes=8)
+        b2 = train_pq_codebooks(corpus, m=4, n_codes=8)
+        assert b1 == b2
+        assert len(b1) == 4
+        assert all(len(book) == 8 for book in b1)
+        assert all(len(cv) == 2 for book in b1 for cv in book)
+
+    def test_dim_not_divisible_raises(self, corpus):
+        with pytest.raises(ValueError, match="divisible"):
+            train_pq_codebooks(corpus, m=3)
+
+
+class TestPqEncode:
+    def test_projection_is_shuffle_free(self, corpus):
+        books = train_pq_codebooks(corpus, m=4, n_codes=8)
+        plan = _plan(pq_encode(corpus, books))
+        assert "Exchange" not in plan
+
+    def test_codes_in_range(self, corpus):
+        books = train_pq_codebooks(corpus, m=4, n_codes=8)
+        rows = pq_encode(corpus, books).select("pq_code").collect()
+        assert len(rows) == 40
+        for r in rows:
+            assert len(r.pq_code) == 4
+            assert all(0 <= c < 8 for c in r.pq_code)
+
+
+class TestPqTopk:
+    def test_exact_when_reconstruction_is_lossless(self, spark, corpus):
+        """With n_codes >= sample size every sample point becomes its own
+        sub-centroid (farthest-point init enumerates all points; Lloyd's
+        keeps singleton means), so the PQ reconstruction is EXACT and
+        sim must equal the true round-6 cosine up to the 10^-6 integer
+        quantization of the lookup tables."""
+        from lotad_spark.pipeline.similarity import cosine_topk
+
+        books = train_pq_codebooks(corpus, m=4, n_codes=64)
+        q = corpus.filter(F.col("vec_id") < 3)
+        got = {
+            (r.query_id, r.vec_id): r.sim
+            for r in pq_topk(q, corpus, books, k=5).collect()
+        }
+        exact = {
+            (r.query_id, r.vec_id): r.sim
+            for r in cosine_topk(q, corpus, k=5).collect()
+        }
+        assert set(got) == set(exact)
+        for key, sim in got.items():
+            assert abs(sim - exact[key]) <= 2e-6, (key, sim, exact[key])
+
+    def test_excludes_self_and_shapes(self, corpus):
+        books = train_pq_codebooks(corpus, m=4, n_codes=8)
+        q = corpus.filter(F.col("vec_id") < 2)
+        out = pq_topk(q, corpus, books, k=3)
+        assert out.columns == ["query_id", "vec_id", "sim"]
+        rows = out.collect()
+        assert len(rows) == 6
+        assert all(r.query_id != r.vec_id for r in rows)
+
+    def test_deterministic_across_runs(self, corpus):
+        books = train_pq_codebooks(corpus, m=4, n_codes=8)
+        q = corpus.filter(F.col("vec_id") < 3)
+        a = sorted(map(tuple, pq_topk(q, corpus, books, k=4).collect()))
+        b = sorted(map(tuple, pq_topk(q, corpus, books, k=4).collect()))
+        assert a == b
+
+    def test_encoded_index_never_reads_embeddings(
+        self, spark, corpus, tmp_path
+    ):
+        """The serving shape: scoring a pre-encoded corpus must scan
+        ONLY (vec_id, pq_code) — the embedding column stays out of the
+        parquet ReadSchema entirely (at 100 TB that is the difference
+        between scanning a few bytes/row of codes and the full vector
+        column)."""
+        books = train_pq_codebooks(corpus, m=4, n_codes=8)
+        path = str(tmp_path / "pq_index")
+        pq_encode(corpus, books).write.parquet(path)
+        enc = spark.read.parquet(path)
+        q = corpus.filter(F.col("vec_id") < 2)
+        out = pq_topk(q, corpus, books, k=3, encoded=enc)
+        # the only file scan in the plan is the encoded index (the query
+        # side is an in-memory relation), so every ReadSchema is its
+        scans = [
+            line
+            for line in _plan(out).splitlines()
+            if "ReadSchema" in line
+        ]
+        assert scans
+        for scan in scans:
+            assert "pq_code" in scan and "embedding" not in scan, scan
+        assert out.count() == 6
+
+    def test_dcc_lut_matches_scale(self):
+        books = [[[1.0, 2.0], [0.5, 0.0]]]
+        assert pq_dcc_lut(books) == [
+            [int(5.0 * LUT_SCALE), int(0.25 * LUT_SCALE)]
+        ]
