@@ -238,6 +238,26 @@ def main() -> None:
     queries["ann_ivf_probe_indexed"] = round(best, 3)
     shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # IVF-PQ serving shape (r10): coarse partitioning + PQ codes — the
+    # probe scan touches nprobe/n_centroids of an index holding a few
+    # bytes/row (codes only; embedding column absent from the layout).
+    from lotad_spark.pipeline.pq import build_ivf_pq_index, ivf_pq_topk
+
+    idx_dir = tempfile.mkdtemp(prefix="lotad_bench_ivfpq_")
+    t0 = time.perf_counter()
+    build_ivf_pq_index(emb, idx_dir)
+    queries["ann_ivfpq_build_once"] = round(time.perf_counter() - t0, 3)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ivf_pq_topk(
+            spark, idx_dir, emb.filter(F.col("vec_id") < 5), k=5
+        ).foreach(lambda _: None)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    queries["ann_ivfpq_probe"] = round(best, 3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
     # SemDeDup at the production configuration (r10): the dedup_semantic
     # entry row above measures the DEMO config (k=8, expr kernel — the
     # deterministic shape the DuckDB oracle replays). Production uses the

@@ -334,6 +334,59 @@ def dedup_semantic_cmd(emb_path, output_path, clusters, threshold,
     )
 
 
+@cli.command("pq-index")
+@click.option("--embeddings", "emb_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (vec_id, embedding, ...) rows")
+@click.option("--output", "output_path", required=True,
+              help="IVF-PQ index root (data/ centroids/ codebooks/)")
+@click.option("--centroids", "n_centroids", default=16, show_default=True,
+              help="Coarse IVF partitions")
+@click.option("--subspaces", "m", default=16, show_default=True,
+              help="PQ subspaces (must divide the embedding dim)")
+@click.option("--codes", "n_codes", default=32, show_default=True,
+              help="PQ codes per subspace")
+def pq_index_cmd(emb_path, output_path, n_centroids, m, n_codes) -> None:
+    """Build the write-once IVF-PQ serving index: corpus assigned to
+    coarse centroids and PQ-encoded; the index stores codes only
+    (a few bytes per vector), partitioned by centroid."""
+    from lotad_spark.pipeline.pq import build_ivf_pq_index
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_pq_index")
+    emb = read_table(spark, emb_path)
+    build_ivf_pq_index(
+        emb, output_path, n_centroids=n_centroids, m=m, n_codes=n_codes
+    )
+    n = spark.read.parquet(f"{output_path}/data").count()
+    click.echo(f"pq-index: {n} vectors encoded -> {output_path}")
+
+
+@cli.command("pq-topk")
+@click.option("--index", "index_path", type=click.Path(exists=True),
+              required=True, help="IVF-PQ index root from pq-index")
+@click.option("--queries", "query_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (vec_id, embedding) query rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes (query_id, vec_id, sim) to OUTPUT/topk")
+@click.option("--k", default=5, show_default=True)
+@click.option("--nprobe", default=2, show_default=True,
+              help="Probed coarse partitions per query")
+def pq_topk_cmd(index_path, query_path, output_path, k, nprobe) -> None:
+    """ADC top-k against an IVF-PQ index: reads only the probed
+    codes-only partitions (static partition filter)."""
+    from lotad_spark.pipeline.pq import ivf_pq_topk
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_pq_topk")
+    q = read_table(spark, query_path)
+    res = ivf_pq_topk(spark, index_path, q, k=k, nprobe=nprobe)
+    res.write.mode("overwrite").parquet(f"{output_path}/topk")
+    n = spark.read.parquet(f"{output_path}/topk").count()
+    click.echo(f"pq-topk: {n} result rows -> {output_path}/topk")
+
+
 @cli.command("dedup-spans")
 @click.option("--docs", "docs_path", type=click.Path(exists=True),
               required=True,

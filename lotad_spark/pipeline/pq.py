@@ -137,12 +137,61 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _encode_arrow(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    code_col: str,
+) -> DataFrame:
+    """Vectorized Arrow encode kernel: one matmul per subspace per batch
+    (the production path for M×K in the hundreds — the expr kernel's
+    M·K interpreted HOF folds measured 22 s vs 3 s at (16,32) × 500
+    rows, and the gap scales with corpus size). Same divergence caveat
+    as similarity._assign_arrow: numpy's blocked summation can differ
+    in the last ulp and np.round is half-to-even vs F.round's HALF_UP,
+    so a score EXACTLY on a round-6 half boundary may pick a different
+    code — ties still resolve to the lowest code (argmax takes the
+    first maximum). Not bit-deterministic vs the expr kernel/SQL
+    oracles; parity is pinned empirically in tests."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    C = [np.asarray(book, dtype=np.float64) for book in codebooks]
+    dccs = [np.array([self_dot(cv) for cv in book]) for book in codebooks]
+    sub = C[0].shape[1]
+    out_schema = StructType(
+        list(corpus.schema.fields)
+        + [StructField(code_col, ArrayType(IntegerType()))]
+    )
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            codes = np.empty((len(pdf), len(C)), dtype=np.int32)
+            for j, B in enumerate(C):
+                S = np.round(
+                    2.0 * (V[:, j * sub : (j + 1) * sub] @ B.T)
+                    - dccs[j][None, :],
+                    6,
+                )
+                codes[:, j] = S.argmax(axis=1)
+            out = pdf.copy()
+            out[code_col] = [[int(c) for c in row] for row in codes]
+            yield out
+
+    return corpus.mapInPandas(kern, out_schema)
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
     *,
     vec_col: str = "embedding",
     code_col: str = "pq_code",
+    kernel: str = "expr",
 ) -> DataFrame:
     """Corpus columns + ``pq_code array<int>`` (M entries) — a PURE
     PROJECTION, zero exchange, codebooks folded in as literals.
@@ -153,6 +202,12 @@ def pq_encode(
     ``similarity.assign_to_centroids``."""
     if not codebooks:
         raise ValueError("pq_encode: empty codebooks")
+    if kernel == "arrow":
+        return _encode_arrow(corpus, codebooks, vec_col, code_col)
+    if kernel != "expr":
+        raise ValueError(
+            f"pq_encode: unknown kernel {kernel!r} (expected 'expr' or 'arrow')"
+        )
     sub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
     codes = []
@@ -246,7 +301,14 @@ def pq_topk(
         encoded
         if encoded is not None
         else pq_encode(corpus, codebooks, vec_col=vec_col, code_col=code_col)
-    ).select(id_col, code_col)
+    )
+    # an encoded relation may carry a query_id column (IVF-PQ: each row
+    # already restricted to the queries probing its bucket) — keep it and
+    # join the lookup tables on it instead of cross-joining
+    per_query = "query_id" in enc.columns
+    enc = enc.select(
+        *([id_col, code_col] + (["query_id"] if per_query else []))
+    )
     qrows = queries.select(id_col, vec_col).collect()
     if not qrows:
         raise ValueError("pq_topk: empty query relation")
@@ -277,7 +339,11 @@ def pq_topk(
         lambda acc, x: acc + x,
     )
     scored = (
-        enc.crossJoin(F.broadcast(lutdf))
+        (
+            enc.join(F.broadcast(lutdf), "query_id")
+            if per_query
+            else enc.crossJoin(F.broadcast(lutdf))
+        )
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "sim",
@@ -293,4 +359,134 @@ def pq_topk(
     )
     return _ranked_topk(scored, k, id_col=id_col).select(
         "query_id", id_col, "sim"
+    )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    m: int = DEFAULT_M,
+    n_codes: int = DEFAULT_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int | None = None,
+    train_iters: int | None = None,
+) -> None:
+    """The classic IVF-PQ serving layout (the 100 TB ANN shape): corpus
+    assigned to coarse centroids (arrow kernel), PQ-encoded, and written
+    as parquet PARTITIONED BY cent_id carrying ONLY (id, pq_code) — a
+    few bytes per row. Centroids and codebooks land alongside. Train +
+    assign + encode runs once; every later query reads
+    ``nprobe/n_centroids`` of an index that is itself ~2 orders of
+    magnitude smaller than the raw embedding column."""
+    from lotad_spark.pipeline import kmeans
+    from lotad_spark.pipeline.similarity import assign_to_centroids
+
+    sample = kmeans.sample_vectors(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_size=sample_size or kmeans.DEFAULT_SAMPLE_SIZE,
+    )
+    cents = kmeans.train_centroids(
+        sample, n_centroids, iters=train_iters or kmeans.DEFAULT_ITERS
+    )
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cent_id int, cent_vec array<double>",
+    )
+    dim = len(sample[0])
+    if dim % m != 0:
+        raise ValueError(f"build_ivf_pq_index: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = [
+        _train_l2(
+            [list(v[j * sub : (j + 1) * sub]) for v in sample],
+            n_codes,
+            train_iters or kmeans.DEFAULT_ITERS,
+        )
+        for j in range(m)
+    ]
+    assigned = assign_to_centroids(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, kernel="arrow"
+    )
+    encoded = pq_encode(assigned, books, vec_col=vec_col, kernel="arrow")
+    encoded.select(id_col, "pq_code", "cent_id").write.mode(
+        "overwrite"
+    ).partitionBy("cent_id").parquet(f"{path}/data")
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in cv])
+            for j, book in enumerate(books)
+            for c, cv in enumerate(book)
+        ],
+        "m int, code int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivf_pq_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a :func:`build_ivf_pq_index` layout.
+
+    Probed cent_ids are collected (bounded: |queries| × nprobe ints) and
+    applied as a STATIC partition filter — the scan provably touches
+    only the probed partitions, and each partition holds codes, not
+    vectors. Scoring is the same integer-LUT ADC as :func:`pq_topk`."""
+    from pyspark.sql import Window
+
+    from lotad_spark.pipeline.similarity import cosine
+
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    cb_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
+    n_m = 1 + max(r["m"] for r in cb_rows)
+    books: list[list[list[float]]] = [[] for _ in range(n_m)]
+    for r in sorted(cb_rows, key=lambda r: (r["m"], r["code"])):
+        books[r["m"]].append([float(x) for x in r["cv"]])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    probe_scored = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "_psim", F.round(cosine(F.col("_qvec"), F.col("cent_vec")), 6)
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("_psim"), F.asc("cent_id")
+    )
+    probes = (
+        probe_scored.withColumn("_r", F.row_number().over(pw))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "cent_id")
+    )
+    probe_pairs = probes.collect()
+    probed_ids = sorted({r.cent_id for r in probe_pairs})
+    data = spark.read.parquet(f"{index_path}/data").filter(
+        F.col("cent_id").isin(probed_ids)
+    )
+    # restrict each query to ITS probed buckets via a broadcast pair list
+    pairdf = spark.createDataFrame(
+        [(int(r.query_id), int(r.cent_id)) for r in probe_pairs],
+        "query_id bigint, cent_id int",
+    )
+    return pq_topk(
+        queries,
+        data,  # only for the session handle; encoded passes the codes
+        books,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        encoded=data.join(F.broadcast(pairdf), "cent_id").select(
+            id_col, "pq_code", "query_id"
+        ),
     )

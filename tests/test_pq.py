@@ -131,3 +131,112 @@ class TestPqTopk:
         assert pq_dcc_lut(books) == [
             [int(5.0 * LUT_SCALE), int(0.25 * LUT_SCALE)]
         ]
+
+
+class TestArrowEncodeKernel:
+    def test_arrow_matches_expr(self, corpus):
+        """The vectorized encode kernel must produce the same codes as
+        the deterministic expression kernel (divergence is bounded to
+        exact round-6 half boundaries — empirically empty here, as for
+        the assignment kernels)."""
+        books = train_pq_codebooks(corpus, m=4, n_codes=8)
+        expr = {
+            r.vec_id: list(r.pq_code)
+            for r in pq_encode(corpus, books).collect()
+        }
+        arrow = {
+            r.vec_id: list(r.pq_code)
+            for r in pq_encode(corpus, books, kernel="arrow").collect()
+        }
+        assert expr == arrow and len(expr) == 40
+
+    def test_unknown_kernel_raises(self, corpus):
+        books = train_pq_codebooks(corpus, m=4, n_codes=8)
+        with pytest.raises(ValueError, match="kernel"):
+            pq_encode(corpus, books, kernel="bogus")
+
+
+class TestPqCli:
+    def test_index_and_topk_commands(self, spark, corpus, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        src = str(tmp_path / "emb")
+        corpus.write.mode("overwrite").parquet(src)
+        idx = str(tmp_path / "idx")
+        r1 = CliRunner().invoke(
+            cli,
+            [
+                "pq-index", "--embeddings", src, "--output", idx,
+                "--centroids", "4", "--subspaces", "4", "--codes", "8",
+            ],
+        )
+        assert r1.exit_code == 0, r1.output
+        assert "40 vectors encoded" in r1.output
+        out = str(tmp_path / "out")
+        r2 = CliRunner().invoke(
+            cli,
+            [
+                "pq-topk", "--index", idx, "--queries", src,
+                "--output", out, "--k", "3", "--nprobe", "2",
+            ],
+        )
+        assert r2.exit_code == 0, r2.output
+        landed = spark.read.parquet(f"{out}/topk")
+        assert landed.columns == ["query_id", "vec_id", "sim"]
+        assert landed.count() == 40 * 3
+
+
+class TestIvfPq:
+    def test_build_probe_prunes_and_scans_codes_only(
+        self, spark, corpus, tmp_path
+    ):
+        """The IVF-PQ layout must serve probes off a STATIC
+        partition-filtered scan of (id, codes): only the probed
+        cent_id partitions are touched and the embedding column never
+        appears in the index ReadSchema."""
+        from lotad_spark.pipeline.pq import build_ivf_pq_index, ivf_pq_topk
+
+        path = str(tmp_path / "ivfpq")
+        build_ivf_pq_index(
+            corpus, path, n_centroids=4, m=4, n_codes=8
+        )
+        q = corpus.filter(F.col("vec_id") < 2)
+        out = ivf_pq_topk(spark, path, q, k=3, nprobe=1)
+        rows = out.collect()
+        assert len(rows) == 6
+        assert all(r.query_id != r.vec_id for r in rows)
+        plan = _plan(out)
+        # the only file scan in the output plan is the index data dir
+        # (centroids/codebooks were collected during planning)
+        data_scans = [
+            line for line in plan.splitlines() if "ReadSchema" in line
+        ]
+        assert data_scans
+        for line in data_scans:
+            assert "pq_code" in line and "embedding" not in line, line
+            assert "PartitionFilters" in line and "cent_id" in line, line
+
+    def test_probe_matches_full_pq_when_probing_everything(
+        self, spark, corpus, tmp_path
+    ):
+        """nprobe == n_centroids must reduce IVF-PQ to plain PQ over the
+        whole corpus (same codebooks, same scoring) — the recall knob
+        only drops buckets, never changes arithmetic."""
+        from lotad_spark.pipeline.pq import build_ivf_pq_index, ivf_pq_topk
+
+        path = str(tmp_path / "ivfpq_all")
+        build_ivf_pq_index(corpus, path, n_centroids=4, m=4, n_codes=8)
+        cb = spark.read.parquet(f"{path}/codebooks").collect()
+        books = [[], [], [], []]
+        for r in sorted(cb, key=lambda r: (r["m"], r["code"])):
+            books[r["m"]].append(list(r["cv"]))
+        q = corpus.filter(F.col("vec_id") < 3)
+        via_ivf = sorted(
+            map(tuple, ivf_pq_topk(spark, path, q, k=4, nprobe=4).collect())
+        )
+        via_pq = sorted(
+            map(tuple, pq_topk(q, corpus, books, k=4).collect())
+        )
+        assert via_ivf == via_pq
