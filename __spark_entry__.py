@@ -1613,6 +1613,27 @@ def q_pq_codes(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """The full IVF-PQ serving path driver-checked end-to-end: build the
+    write-once index (coarse spherical-k-means partitions + per-subspace
+    PQ codes — codes-only parquet partitioned by cent_id), then ADC
+    top-k with a STATIC partition filter over the probed buckets. The
+    deterministic expr kernels run here so the oracle can replay every
+    stage (coarse assignment, encode argmax, probe ranking, integer-LUT
+    scoring) from retrained bit-identical literals; production uses the
+    arrow kernels (default), parity pinned in tests/test_pq.py."""
+    from lotad_spark.pipeline.pq import build_ivf_pq_index, ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    root = _scratch("lotad_ivfpq_")
+    build_ivf_pq_index(
+        e, root, assign_kernel="expr", encode_kernel="expr"
+    )
+    return ivf_pq_topk(
+        spark, root, e.filter(F.col("vec_id") < 5), k=5, nprobe=2
+    )
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """ADC top-k over the PQ-encoded corpus: sim is the round-6 cosine
     between the query and each vector's PQ reconstruction, computed
@@ -1732,16 +1753,15 @@ def _pq_codes_sql() -> str:
     )
 
 
-def _ann_pq_sql() -> str:
-    """ADC top-k oracle: the integer lookup tables embed as list
-    literals (one row per (query, subspace)), so both engines sum the
-    IDENTICAL int64 constants — order-independent, exact — then apply
-    the same cosine-to-reconstruction formula and round-6."""
+def _pq_lut_cte(books) -> str:
+    """The ADC lookup-table CTEs shared by the PQ oracles: integer
+    lookup tables as list literals (one row per (query, subspace)), so
+    both engines sum the IDENTICAL int64 constants — order-independent,
+    exact — plus the query self-dots."""
     import duckdb
 
     from lotad_spark.pipeline import pq
 
-    encode_cte, books = _pq_oracle_parts()
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
@@ -1761,16 +1781,18 @@ def _ann_pq_sql() -> str:
         f"({j}, [{', '.join(str(x) for x in row)}])"
         for j, row in enumerate(pq.pq_dcc_lut(books))
     ]
-    scale = float(pq.LUT_SCALE)
     return (
-        f"WITH {encode_cte}, "
         f"lut(query_id, m, lr) AS (VALUES {', '.join(lut_rows)}), "
         f"dccq(m, vr) AS (VALUES {', '.join(dcc_rows)}), "
-        f"q2(query_id, q2) AS (VALUES {', '.join(q2_rows)}), "
-        "sums AS (SELECT l.query_id, e.vec_id, "
-        "SUM(l.lr[e.code + 1]) AS ip, SUM(d.vr[e.code + 1]) AS vn "
-        "FROM enc e JOIN lut l ON l.m = e.m "
-        "JOIN dccq d ON d.m = e.m GROUP BY 1, 2), "
+        f"q2(query_id, q2) AS (VALUES {', '.join(q2_rows)})"
+    )
+
+
+def _pq_sims_select(scale: float) -> str:
+    """The shared ADC scoring tail: integer sums → cosine to the
+    reconstruction → round-6 → per-query top-5 (ties to the lowest
+    vec_id, mirroring _ranked_topk)."""
+    return (
         "sims AS (SELECT s.query_id, s.vec_id, "
         f"round((CAST(ip AS DOUBLE)/{scale!r})"
         f"/sqrt(q.q2*(CAST(vn AS DOUBLE)/{scale!r})), 6) AS sim "
@@ -1780,6 +1802,74 @@ def _ann_pq_sql() -> str:
         "SELECT query_id, vec_id, sim, row_number() OVER ("
         "PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS r "
         "FROM sims) WHERE r <= 5"
+    )
+
+
+def _ann_pq_sql() -> str:
+    """ADC top-k oracle over the full corpus (see _pq_lut_cte for the
+    exact-integer design)."""
+    from lotad_spark.pipeline import pq
+
+    encode_cte, books = _pq_oracle_parts()
+    scale = float(pq.LUT_SCALE)
+    return (
+        f"WITH {encode_cte}, "
+        f"{_pq_lut_cte(books)}, "
+        "sums AS (SELECT l.query_id, e.vec_id, "
+        "SUM(l.lr[e.code + 1]) AS ip, SUM(d.vr[e.code + 1]) AS vn "
+        "FROM enc e JOIN lut l ON l.m = e.m "
+        "JOIN dccq d ON d.m = e.m GROUP BY 1, 2), "
+        + _pq_sims_select(scale)
+    )
+
+
+def _ann_ivfpq_sql() -> str:
+    """Full IVF-PQ oracle: coarse spherical-k-means assignment (the
+    _ann_ivf_sql trainer, bit-identical literals), per-query top-nprobe
+    probe ranking, PQ encode replay, and integer-LUT ADC scoring
+    restricted to each query's probed buckets — every stage of
+    q_ann_ivfpq_topk's expr-kernel path replayed in SQL."""
+    import duckdb
+
+    from lotad_spark.pipeline import kmeans, pq
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    sample = duckdb.connect().execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
+    ).fetchall()
+    cents = kmeans.train_centroids([list(r[0]) for r in sample], 16)
+    cent_values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    encode_cte, books = _pq_oracle_parts()
+    scale = float(pq.LUT_SCALE)
+    return (
+        f"WITH cent(cent_id, ccv) AS (VALUES {cent_values}), "
+        "assigned AS (SELECT vec_id, cent_id FROM ("
+        "SELECT e.vec_id, c.cent_id, row_number() OVER ("
+        "PARTITION BY e.vec_id ORDER BY "
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], c.ccv), 6) "
+        "DESC, c.cent_id ASC) AS r FROM embeddings e, cent c) "
+        "WHERE r = 1), "
+        "probes AS (SELECT query_id, cent_id FROM ("
+        "SELECT qe.vec_id AS query_id, c.cent_id, row_number() OVER ("
+        "PARTITION BY qe.vec_id ORDER BY "
+        "round(list_cosine_similarity(qe.embedding::DOUBLE[], c.ccv), 6) "
+        "DESC, c.cent_id ASC) AS r FROM embeddings qe, cent c "
+        "WHERE qe.vec_id < 5) WHERE r <= 2), "
+        f"{encode_cte}, "
+        f"{_pq_lut_cte(books)}, "
+        "sums AS (SELECT p.query_id, a.vec_id, "
+        "SUM(l.lr[e2.code + 1]) AS ip, SUM(d.vr[e2.code + 1]) AS vn "
+        "FROM probes p JOIN assigned a ON a.cent_id = p.cent_id "
+        "JOIN enc e2 ON e2.vec_id = a.vec_id "
+        "JOIN lut l ON l.query_id = p.query_id AND l.m = e2.m "
+        "JOIN dccq d ON d.m = e2.m GROUP BY 1, 2), "
+        + _pq_sims_select(scale)
     )
 
 
@@ -2850,23 +2940,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       arrow assignment kernel (the r9 regression reproduced on an idle
       box: 3.63 s vs r8's 2.27 s; arrow measures 1.75 s — BASELINE.md
       r10 A/B), so the IVF path re-enters with the new kernel live.
-    * 14-16: the rows NEW this round — rolling_active_users_bound
+    * 14-17: the rows NEW this round — rolling_active_users_bound
       (the HLL approx face's ≤5% accuracy claim as a value-checkable
       boolean; oracle emits literal TRUE, estimates themselves stay
       engine-specific), pq_codes and ann_pq_topk (product-quantization
       encode + ADC top-k, pipeline/pq.py — integer-quantized lookup
       tables make the scoring sums order-independent and exactly
-      replayable in SQL). The PQ rows displace chunk_manifest and
-      curate_corpus to 51+ (both hold an r8 green round).
-    * 17-50: the longest-unverified rows, all last driver-green r8
+      replayable in SQL), and ann_ivfpq_topk (the full IVF-PQ serving
+      path: build the codes-only partitioned index with expr kernels,
+      probe with a static partition filter; the oracle replays coarse
+      assignment, probe ranking, encode, and scoring). The three PQ
+      rows displace chunk_manifest, curate_corpus, and mixture_sample
+      to 51+ (all r8-green).
+    * 18-50: the longest-unverified rows, all last driver-green r8
       with code unchanged since: sql_row_hash_diff, json_schema_drift,
       missing_table_records, the wizard family, q1/topk/window-agg
       headliners, the exact/minhash/simhash/jaccard dedup family,
       ann_cosine_topk, contamination_check, the text family, and the
-      sampling/curation family (minus chunk_manifest/curate_corpus,
-      displaced by the PQ rows).
-    * 51+: rotated out, led by chunk_manifest and curate_corpus (r8
-      green, displaced above) and the next-due rows (bpe_merges,
+      sampling/curation family (minus the three rows displaced by the
+      PQ family).
+    * 51+: rotated out, led by mixture_sample, curate_corpus, and
+      chunk_manifest (r8 green, displaced above) and the next-due rows
+      (bpe_merges,
       token_chunk_plan, training_plan, psi_online, the rollup family,
       json_key_stats, asof_latest_order — all last green r8 and first
       in line for r11), then the rows green in r9 (code unchanged).
@@ -2898,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users_bound": q_rolling_active_users_bound,
         "pq_codes": q_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         # --- 17-50: longest-unverified (last driver-green r8) ---
         "sql_row_hash_diff": q_sql_row_hash_diff,
         "json_schema_drift": q_json_schema_drift,
@@ -3548,6 +3644,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_sql(),
         "pq_codes": _pq_codes_sql(),
         "ann_pq_topk": _ann_pq_sql(),
+        "ann_ivfpq_topk": _ann_ivfpq_sql(),
         "events_funnel": """WITH s0 AS (SELECT user_id, min(ts) AS rts FROM events WHERE event_type = 'view' GROUP BY user_id), s1 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s0 USING (user_id) WHERE e.event_type = 'click' AND e.ts > s0.rts GROUP BY e.user_id), s2 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s1 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > s1.rts GROUP BY e.user_id) SELECT 0 AS step_index, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s0 UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1 UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2""",
         # Independent formulation: EXISTS-chain over per-step distinct
         # event sets vs the union+running-max DP — same reachable sets.

@@ -373,6 +373,8 @@ def build_ivf_pq_index(
     vec_col: str = "embedding",
     sample_size: int | None = None,
     train_iters: int | None = None,
+    assign_kernel: str = "arrow",
+    encode_kernel: str = "arrow",
 ) -> None:
     """The classic IVF-PQ serving layout (the 100 TB ANN shape): corpus
     assigned to coarse centroids (arrow kernel), PQ-encoded, and written
@@ -411,9 +413,12 @@ def build_ivf_pq_index(
         for j in range(m)
     ]
     assigned = assign_to_centroids(
-        corpus, centroids, id_col=id_col, vec_col=vec_col, kernel="arrow"
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        kernel=assign_kernel,
     )
-    encoded = pq_encode(assigned, books, vec_col=vec_col, kernel="arrow")
+    encoded = pq_encode(
+        assigned, books, vec_col=vec_col, kernel=encode_kernel
+    )
     encoded.select(id_col, "pq_code", "cent_id").write.mode(
         "overwrite"
     ).partitionBy("cent_id").parquet(f"{path}/data")
