@@ -187,10 +187,16 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         queries[f"diff_skewed_{strat}"] = round(best, 3)
-    # the default must route the dup-heavy fixture to the map-side-combine
-    # plan (probe cost included in diff_skewed_auto above)
+    # The default must route the dup-heavy fixture to the map-side-combine
+    # plan (probe cost included in diff_skewed_auto above) — but only when
+    # the fixture clears the router's size floor (AUTO_PROBE_MIN_BYTES):
+    # below it `auto` deliberately skips the probe and picks window, so
+    # at tiny smoke SFs (sf0.001/0.01) the gate would fail on the
+    # router's CORRECT small-input behavior. 200k rows/side is well past
+    # the floor for this 16-column fixture (the driver's sf0.1 fixture is
+    # ~750k/side and routed groupby, BASELINE.md r10 post-change bench).
     routed = diff_tables(sk1, sk2, db1_id="db1", db2_id="db2").strategy_used
-    if routed != "groupby":
+    if sk1.count() >= 200_000 and routed != "groupby":
         print(f"AUTO ROUTE MISMATCH on skew fixture: {routed}", file=sys.stderr)
         sys.exit(1)
 
@@ -205,7 +211,13 @@ def main() -> None:
         queries[name] = round(time.perf_counter() - t0, 3)
 
     # LLM-pipeline headliners (added as they land in entry queries()).
+    # ann_ivfpq_topk is excluded: that row runs the ORACLE config (expr
+    # kernels, bit-deterministic for the driver's value check); the
+    # production arrow path is priced by ann_ivfpq_build_once /
+    # ann_ivfpq_probe above — the dedup_semantic lesson from r9.
     for name in entry_mod.queries():
+        if name == "ann_ivfpq_topk":
+            continue
         if name.startswith(
             ("dedup_", "ann_", "pq_", "text_", "tfidf_", "mixture_", "upsample_", "shuffle_", "token_", "quantize_", "chunk_", "training_", "weighted_")
         ):
