@@ -651,6 +651,32 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance resampling (hashed-ngram log-ratio weights +
+    Gumbel top-k selection) with the English subset as the in-domain
+    target: (doc_id, n_grams, weight, selected). Bucket models are
+    bounded at 4096 rows and broadcast; per-document sums are decimal-
+    exact; the top-100 flag joins back via a broadcast semi of the
+    TakeOrderedAndProject result — the corpus never globally sorts."""
+    from pyspark.sql import functions as F
+
+    from lotad_spark.pipeline import dsir_resample, dsir_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    w = dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    sel = (
+        dsir_resample(w, 100)
+        .select("doc_id")
+        .withColumn("selected", F.lit(True))
+    )
+    return w.join(F.broadcast(sel), "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        "weight",
+        F.coalesce("selected", F.lit(False)).alias("selected"),
+    )
+
+
 def q_train_eval_split(spark, sf_dir):
     """Hash-keyed train/eval split: a doc keeps its split forever (across
     runs and corpus growth) — the property that prevents eval leakage."""
@@ -2940,7 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       arrow assignment kernel (the r9 regression reproduced on an idle
       box: 3.63 s vs r8's 2.27 s; arrow measures 1.75 s — BASELINE.md
       r10 A/B), so the IVF path re-enters with the new kernel live.
-    * 14-17: the rows NEW this round — rolling_active_users_bound
+    * 14-18: the rows NEW this round — rolling_active_users_bound
       (the HLL approx face's ≤5% accuracy claim as a value-checkable
       boolean; oracle emits literal TRUE, estimates themselves stay
       engine-specific), pq_codes and ann_pq_topk (product-quantization
@@ -2949,17 +2975,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       replayable in SQL), and ann_ivfpq_topk (the full IVF-PQ serving
       path: build the codes-only partitioned index with expr kernels,
       probe with a static partition filter; the oracle replays coarse
-      assignment, probe ranking, encode, and scoring). The three PQ
-      rows displace chunk_manifest, curate_corpus, and mixture_sample
-      to 51+ (all r8-green).
-    * 18-50: the longest-unverified rows, all last driver-green r8
+      assignment, probe ranking, encode, and scoring), and dsir_weights
+      (DSIR hashed-ngram importance weights + Gumbel top-k selection,
+      pipeline/dsir.py — decimal-exact log-ratio sums, full value
+      oracle including the selected flag). The three PQ rows displace
+      chunk_manifest, curate_corpus, and mixture_sample to 51+;
+      dsir_weights displaces length_quantiles (all r8-green).
+    * 19-50: the longest-unverified rows, all last driver-green r8
       with code unchanged since: sql_row_hash_diff, json_schema_drift,
       missing_table_records, the wizard family, q1/topk/window-agg
       headliners, the exact/minhash/simhash/jaccard dedup family,
       ann_cosine_topk, contamination_check, the text family, and the
       sampling/curation family (minus the three rows displaced by the
       PQ family).
-    * 51+: rotated out, led by mixture_sample, curate_corpus, and
+    * 51+: rotated out, led by length_quantiles, mixture_sample,
+      curate_corpus, and
       chunk_manifest (r8 green, displaced above) and the next-due rows
       (bpe_merges,
       token_chunk_plan, training_plan, psi_online, the rollup family,
@@ -2994,7 +3024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        # --- 17-50: longest-unverified (last driver-green r8) ---
+        "dsir_weights": q_dsir_weights,
+        # --- 18-50: longest-unverified (last driver-green r8) ---
         "sql_row_hash_diff": q_sql_row_hash_diff,
         "json_schema_drift": q_json_schema_drift,
         "missing_table_records": q_missing_table_records,
@@ -3027,7 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_batches": q_shuffle_batches,
         "train_eval_split": q_train_eval_split,
         "stratified_cap": q_stratified_cap,
-        "length_quantiles": q_length_quantiles,
+        "length_quantiles": q_length_quantiles,  # 51 — displaced by dsir_weights
         "mixture_sample": q_mixture_sample,
         "curate_corpus": q_curate_corpus,
         "chunk_manifest": q_chunk_manifest,
@@ -3616,6 +3647,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, term, tf, df, score FROM scored "
             "QUALIFY row_number() OVER (PARTITION BY doc_id "
             "ORDER BY score DESC, term ASC) <= 3"
+        ),
+        "dsir_weights": (
+            # Replays the full DSIR chain: hashed unigram+bigram
+            # featurization, add-lambda bucket models (target = lang
+            # 'en'), decimal-exact per-doc log-ratio sums, and the
+            # Gumbel top-k selected flag (same md5-uniform idiom as
+            # weighted_sample).
+            "WITH base AS (SELECT doc_id, lang, "
+            "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            "x -> x <> '') AS w FROM documents WHERE text IS NOT NULL), "
+            "grams AS (SELECT doc_id, lang, "
+            "unnest(list_concat(w, list_transform(range(1, len(w)), "
+            "i -> w[i] || ' ' || w[i + 1]))) AS g FROM base), "
+            "feat AS (SELECT doc_id, lang, "
+            "CAST(CAST('0x' || substr(md5(g), 1, 8) AS UBIGINT) % 4096 "
+            "AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS tf "
+            "FROM grams GROUP BY ALL), "
+            "raw_c AS (SELECT bucket, sum(tf) AS rc FROM feat "
+            "GROUP BY bucket), "
+            "tgt_c AS (SELECT bucket, sum(tf) AS tc FROM feat "
+            "WHERE lang = 'en' GROUP BY bucket), "
+            "raw_t AS (SELECT CAST(sum(rc) AS DOUBLE) AS rt FROM raw_c), "
+            "tgt_t AS (SELECT CAST(sum(tc) AS DOUBLE) AS tt FROM tgt_c), "
+            "ratio AS (SELECT r.bucket, CAST(round("
+            "ln((COALESCE(tg.tc, 0) + 0.5) / (tgt_t.tt + 0.5 * 4096)) - "
+            "ln((r.rc + 0.5) / (raw_t.rt + 0.5 * 4096)), 6) "
+            "AS DECIMAL(18,6)) AS lr FROM raw_c r "
+            "LEFT JOIN tgt_c tg USING (bucket) "
+            "CROSS JOIN raw_t CROSS JOIN tgt_t), "
+            "wts AS (SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_grams, "
+            "round(CAST(sum(f.tf * ratio.lr) AS DOUBLE), 6) AS weight "
+            "FROM feat f JOIN ratio USING (bucket) GROUP BY f.doc_id), "
+            "sel AS (SELECT doc_id FROM (SELECT doc_id, round(weight + "
+            "(-ln(-ln((CAST('0x' || substr(md5('dsir:' || "
+            "CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) + 1) "
+            "/ 4294967297.0))), 6) AS key FROM wts) "
+            "ORDER BY key DESC, doc_id ASC LIMIT 100) "
+            "SELECT w.doc_id, w.n_grams, w.weight, "
+            "(s.doc_id IS NOT NULL) AS selected "
+            "FROM wts w LEFT JOIN sel s USING (doc_id)"
         ),
         "train_eval_split": (
             "SELECT doc_id, CASE WHEN "

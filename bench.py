@@ -219,7 +219,7 @@ def main() -> None:
         if name == "ann_ivfpq_topk":
             continue
         if name.startswith(
-            ("dedup_", "ann_", "pq_", "text_", "tfidf_", "mixture_", "upsample_", "shuffle_", "token_", "quantize_", "chunk_", "training_", "weighted_")
+            ("dedup_", "ann_", "pq_", "text_", "tfidf_", "mixture_", "upsample_", "shuffle_", "token_", "quantize_", "chunk_", "training_", "weighted_", "dsir_")
         ):
             fn = entry_mod.queries()[name]
             t0 = time.perf_counter()

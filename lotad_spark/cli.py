@@ -334,6 +334,42 @@ def dedup_semantic_cmd(emb_path, output_path, clusters, threshold,
     )
 
 
+@cli.command("dsir-select")
+@click.option("--documents", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (doc_id, text, ...) rows")
+@click.option("--target-filter", "target_filter", required=True,
+              help="SQL predicate selecting the in-domain target subset "
+                   "(e.g. \"lang = 'en'\")")
+@click.option("--output", "output_path", required=True,
+              help="Writes (doc_id, n_grams, weight) to OUTPUT/weights "
+                   "and the k resampled rows to OUTPUT/selected")
+@click.option("--k", default=1000, show_default=True,
+              help="Number of documents to resample (Gumbel top-k)")
+@click.option("--buckets", default=4096, show_default=True,
+              help="Hashed-ngram feature buckets")
+def dsir_select_cmd(docs_path, target_filter, output_path, k, buckets):
+    """DSIR importance resampling: weight every document by how
+    target-like its hashed unigram+bigram distribution is, then
+    resample k documents with probability proportional to exp(weight)."""
+    from lotad_spark.pipeline.dsir import dsir_resample, dsir_weights
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_dsir")
+    docs = read_table(spark, docs_path)
+    w = dsir_weights(docs, docs.filter(target_filter), buckets=buckets)
+    w.write.mode("overwrite").parquet(f"{output_path}/weights")
+    landed = spark.read.parquet(f"{output_path}/weights")
+    dsir_resample(landed, k).write.mode("overwrite").parquet(
+        f"{output_path}/selected"
+    )
+    n_sel = spark.read.parquet(f"{output_path}/selected").count()
+    click.echo(
+        f"dsir-select: weighted {landed.count()} docs, resampled "
+        f"{n_sel} -> {output_path}/selected"
+    )
+
+
 @cli.command("pq-index")
 @click.option("--embeddings", "emb_path", type=click.Path(exists=True),
               required=True,

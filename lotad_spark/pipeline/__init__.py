@@ -80,9 +80,19 @@ from lotad_spark.pipeline.contamination import (
     contamination_pairs,
 )
 from lotad_spark.pipeline.curate import curate_corpus, plan_training_corpus
+from lotad_spark.pipeline.dsir import (
+    bucket_logratios,
+    dsir_resample,
+    dsir_weights,
+    ngram_features,
+)
 
 __all__ = [
     "tokens",
+    "ngram_features",
+    "bucket_logratios",
+    "dsir_weights",
+    "dsir_resample",
     "text_stats",
     "duplicate_lines",
     "strip_duplicate_lines",
