@@ -382,7 +382,11 @@ def dsir_select_cmd(docs_path, target_filter, output_path, k, buckets):
               help="PQ subspaces (must divide the embedding dim)")
 @click.option("--codes", "n_codes", default=32, show_default=True,
               help="PQ codes per subspace")
-def pq_index_cmd(emb_path, output_path, n_centroids, m, n_codes) -> None:
+@click.option("--residual/--no-residual", default=False, show_default=True,
+              help="IVFADC: PQ-encode residuals against cluster-mean "
+                   "anchors (higher recall at identical index size)")
+def pq_index_cmd(emb_path, output_path, n_centroids, m, n_codes,
+                 residual) -> None:
     """Build the write-once IVF-PQ serving index: corpus assigned to
     coarse centroids and PQ-encoded; the index stores codes only
     (a few bytes per vector), partitioned by centroid."""
@@ -392,7 +396,8 @@ def pq_index_cmd(emb_path, output_path, n_centroids, m, n_codes) -> None:
     spark = get_spark("lotad_spark_pq_index")
     emb = read_table(spark, emb_path)
     build_ivf_pq_index(
-        emb, output_path, n_centroids=n_centroids, m=m, n_codes=n_codes
+        emb, output_path, n_centroids=n_centroids, m=m, n_codes=n_codes,
+        residual=residual,
     )
     n = spark.read.parquet(f"{output_path}/data").count()
     click.echo(f"pq-index: {n} vectors encoded -> {output_path}")

@@ -137,6 +137,16 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def fold_dot(a, b) -> float:
+    """Sequential left-fold dot product in float64 — same accumulation
+    order as :func:`self_dot`, so scalar literals derived from it are
+    bit-identical wherever they embed."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
 def _encode_arrow(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
@@ -375,14 +385,33 @@ def build_ivf_pq_index(
     train_iters: int | None = None,
     assign_kernel: str = "arrow",
     encode_kernel: str = "arrow",
+    residual: bool = False,
 ) -> None:
     """The classic IVF-PQ serving layout (the 100 TB ANN shape): corpus
     assigned to coarse centroids (arrow kernel), PQ-encoded, and written
     as parquet PARTITIONED BY cent_id carrying ONLY (id, pq_code) — a
-    few bytes per row. Centroids and codebooks land alongside. Train +
+    few bytes per row. Centroids and codebooks land alongside (plus a
+    one-row ``meta`` parquet recording the layout parameters). Train +
     assign + encode runs once; every later query reads
     ``nprobe/n_centroids`` of an index that is itself ~2 orders of
-    magnitude smaller than the raw embedding column."""
+    magnitude smaller than the raw embedding column.
+
+    ``residual=True`` builds the IVFADC layout (Jegou et al. 2011
+    §III): each vector's PQ code quantizes the RESIDUAL ``v - a(v)``
+    where ``a`` is its cluster's MEAN anchor (assignment stays
+    cosine-against-unit-centroids; the mean — stored in ``anchors/`` —
+    is the base that minimizes residual variance for magnitude-carrying
+    vectors). Residuals concentrate near zero on clustered corpora, so
+    the same (m, n_codes) bits quantize a much smaller cell — higher
+    recall at identical index size; the query side reconstructs through
+    the anchor (``ivf_pq_topk`` reads the flag from ``meta``). The
+    residual column is a zip_with projection after a broadcast join of
+    the k-row anchor relation — no extra exchange over the plain
+    path. Sample-residual training assigns driver-side with numpy
+    (first-max argmax == lowest cent_id, mirroring
+    ``assign_to_centroids``; a last-ulp rounding divergence vs the
+    Spark assignment can only re-route a training sample, never a
+    corpus row — codebook quality, not correctness)."""
     from lotad_spark.pipeline import kmeans
     from lotad_spark.pipeline.similarity import assign_to_centroids
 
@@ -404,9 +433,37 @@ def build_ivf_pq_index(
     if dim % m != 0:
         raise ValueError(f"build_ivf_pq_index: dim {dim} not divisible by m={m}")
     sub = dim // m
+    anchors = None
+    if residual:
+        # Mirror assign_to_centroids on the sample: round-6 cosine,
+        # first maximum == lowest cent_id (C is id-ordered).
+        X = np.asarray(sample, dtype=np.float64)
+        C = np.asarray(cents, dtype=np.float64)
+        xn = np.linalg.norm(X, axis=1)
+        xn[xn == 0] = 1.0
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0] = 1.0
+        sims = np.round((X @ C.T) / (xn[:, None] * cn[None, :]), 6)
+        assign = np.argmax(sims, axis=1)
+        # Residuals anchor at the CLUSTER MEAN, not the unit-norm
+        # spherical centroid: assignment is directional (cosine), but
+        # vectors carry magnitude, and the mean is the anchor that
+        # minimizes residual variance — anchoring at the unit centroid
+        # measurably LOST recall on the uniform fixture (BASELINE.md
+        # r10 residual table). Empty clusters fall back to the unit
+        # centroid.
+        A = C.copy()
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                A[j] = members.mean(axis=0)
+        anchors = [[float(x) for x in row] for row in A]
+        train_vecs = X - A[assign]
+    else:
+        train_vecs = np.asarray(sample, dtype=np.float64)
     books = [
         _train_l2(
-            [list(v[j * sub : (j + 1) * sub]) for v in sample],
+            [list(v[j * sub : (j + 1) * sub]) for v in train_vecs],
             n_codes,
             train_iters or kmeans.DEFAULT_ITERS,
         )
@@ -416,13 +473,37 @@ def build_ivf_pq_index(
         corpus, centroids, id_col=id_col, vec_col=vec_col,
         kernel=assign_kernel,
     )
+    enc_col = vec_col
+    if residual:
+        enc_col = "_resid"
+        anchordf = spark.createDataFrame(
+            [(i, a) for i, a in enumerate(anchors)],
+            "cent_id int, anchor_vec array<double>",
+        )
+        assigned = assigned.join(
+            F.broadcast(anchordf), "cent_id"
+        ).withColumn(
+            enc_col,
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("anchor_vec"),
+                lambda a, b: a - b,
+            ),
+        )
+        anchordf.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/anchors"
+        )
     encoded = pq_encode(
-        assigned, books, vec_col=vec_col, kernel=encode_kernel
+        assigned, books, vec_col=enc_col, kernel=encode_kernel
     )
     encoded.select(id_col, "pq_code", "cent_id").write.mode(
         "overwrite"
     ).partitionBy("cent_id").parquet(f"{path}/data")
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(m, n_codes, n_centroids, bool(residual))],
+        "m int, n_codes int, n_centroids int, residual boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     spark.createDataFrame(
         [
             (j, c, [float(x) for x in cv])
@@ -448,10 +529,23 @@ def ivf_pq_topk(
     Probed cent_ids are collected (bounded: |queries| × nprobe ints) and
     applied as a STATIC partition filter — the scan provably touches
     only the probed partitions, and each partition holds codes, not
-    vectors. Scoring is the same integer-LUT ADC as :func:`pq_topk`."""
+    vectors. Scoring is the same integer-LUT ADC as :func:`pq_topk`.
+
+    A ``residual=True`` index (IVFADC) reconstructs through its
+    cluster-mean anchor: ``v̂ = a + r̂``, so ``⟨q,v̂⟩`` adds the
+    per-(query, probed cluster) scalar ``⟨q,a⟩`` and ``|v̂|²`` adds the
+    per-cluster cross term ``2⟨a,r̂⟩`` — both ride in as scaled-integer
+    literals (the probed set is nprobe-bounded), keeping every sum
+    exact and order-independent like the plain path."""
     from pyspark.sql import Window
 
     from lotad_spark.pipeline.similarity import cosine
+
+    try:
+        meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+        residual = bool(meta["residual"])
+    except Exception:
+        residual = False  # pre-meta layout: plain (non-residual) IVF-PQ
 
     centroids = spark.read.parquet(f"{index_path}/centroids")
     cb_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
@@ -479,19 +573,118 @@ def ivf_pq_topk(
     data = spark.read.parquet(f"{index_path}/data").filter(
         F.col("cent_id").isin(probed_ids)
     )
-    # restrict each query to ITS probed buckets via a broadcast pair list
-    pairdf = spark.createDataFrame(
-        [(int(r.query_id), int(r.cent_id)) for r in probe_pairs],
-        "query_id bigint, cent_id int",
+    if not residual:
+        # restrict each query to ITS probed buckets via a broadcast
+        # pair list
+        pairdf = spark.createDataFrame(
+            [(int(r.query_id), int(r.cent_id)) for r in probe_pairs],
+            "query_id bigint, cent_id int",
+        )
+        return pq_topk(
+            queries,
+            data,  # only for the session handle; encoded passes the codes
+            books,
+            k,
+            id_col=id_col,
+            vec_col=vec_col,
+            encoded=data.join(F.broadcast(pairdf), "cent_id").select(
+                id_col, "pq_code", "query_id"
+            ),
+        )
+
+    from lotad_spark.pipeline.similarity import _ranked_topk
+
+    # reconstruction anchors (cluster means) — the residual base
+    cent_vecs = {
+        int(r["cent_id"]): [float(x) for x in r["anchor_vec"]]
+        for r in spark.read.parquet(f"{index_path}/anchors").collect()
+    }
+    qvecs = {
+        int(r[0]): [float(x) for x in r[1]]
+        for r in queries.select(id_col, vec_col).collect()
+    }
+    if not qvecs:
+        raise ValueError("ivf_pq_topk: empty query relation")
+    sub = len(books[0][0])
+    # per-query residual LUTs + self-dot (q is NOT residualized:
+    # ⟨q, r̂⟩ uses the full query sub-slices)
+    lut_rows = []
+    for qid, qv in qvecs.items():
+        luts, q2 = _quantized_luts(qv, books)
+        lut_rows.append((qid, luts, q2))
+    lutdf = spark.createDataFrame(
+        lut_rows, "query_id bigint, _lut array<array<bigint>>, _q2 double"
     )
-    return pq_topk(
-        queries,
-        data,  # only for the session handle; encoded passes the codes
-        books,
-        k,
-        id_col=id_col,
-        vec_col=vec_col,
-        encoded=data.join(F.broadcast(pairdf), "cent_id").select(
-            id_col, "pq_code", "query_id"
-        ),
+    # per-(query, probed centroid): ⟨q,c⟩ scaled to the LUT grid
+    pairdf = spark.createDataFrame(
+        [
+            (
+                int(r.query_id),
+                int(r.cent_id),
+                int(np.round(fold_dot(qvecs[int(r.query_id)],
+                                      cent_vecs[int(r.cent_id)])
+                             * LUT_SCALE)),
+            )
+            for r in probe_pairs
+        ],
+        "query_id bigint, cent_id int, _qc bigint",
+    )
+    # per probed centroid: |c|² and the cross-term table
+    # cdot[m][code] = ⟨c_sub_m, book_m[code]⟩ (subspaces partition the
+    # dims, so ⟨c, r̂⟩ is exactly the per-subspace sum)
+    cent_rows = []
+    for cid in probed_ids:
+        cv = cent_vecs[cid]
+        cdot = [
+            [
+                int(np.round(fold_dot(cv[j * sub : (j + 1) * sub], code_vec)
+                             * LUT_SCALE))
+                for code_vec in book
+            ]
+            for j, book in enumerate(books)
+        ]
+        cent_rows.append((cid, cdot, int(np.round(self_dot(cv) * LUT_SCALE))))
+    centdf = spark.createDataFrame(
+        cent_rows, "cent_id int, _cdot array<array<bigint>>, _c2 bigint"
+    )
+    dcc_lit = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in pq_dcc_lut(books)]
+    )
+    codes = F.col("pq_code")
+    lut_sum = F.aggregate(
+        F.zip_with(codes, F.col("_lut"), lambda c, row: F.get(row, c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cdot_sum = F.aggregate(
+        F.zip_with(codes, F.col("_cdot"), lambda c, row: F.get(row, c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dcc_sum = F.aggregate(
+        F.zip_with(codes, dcc_lit, lambda c, row: F.get(row, c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    ip_sum = F.col("_qc") + lut_sum
+    vnorm_sum = F.col("_c2") + 2 * cdot_sum + dcc_sum
+    scored = (
+        data.join(F.broadcast(pairdf), "cent_id")
+        .join(F.broadcast(lutdf), "query_id")
+        .join(F.broadcast(centdf), "cent_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                (ip_sum.cast("double") / F.lit(float(LUT_SCALE)))
+                / F.sqrt(
+                    F.col("_q2")
+                    * (vnorm_sum.cast("double") / F.lit(float(LUT_SCALE)))
+                ),
+                6,
+            ),
+        )
+    )
+    return _ranked_topk(scored, k, id_col=id_col).select(
+        "query_id", id_col, "sim"
     )
