@@ -403,6 +403,29 @@ def pq_index_cmd(emb_path, output_path, n_centroids, m, n_codes,
     click.echo(f"pq-index: {n} vectors encoded -> {output_path}")
 
 
+@cli.command("pq-append")
+@click.option("--embeddings", "emb_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with NEW (vec_id, embedding) rows")
+@click.option("--index", "index_path", type=click.Path(exists=True),
+              required=True, help="Existing IVF-PQ index root")
+def pq_append_cmd(emb_path, index_path) -> None:
+    """Append new vectors to an existing IVF-PQ index: encode with the
+    stored centroids/codebooks and parquet-append — no retraining, no
+    rewrite, previously-served scores stay byte-identical."""
+    from lotad_spark.pipeline.pq import append_to_ivf_pq_index
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_pq_append")
+    before = spark.read.parquet(f"{index_path}/data").count()
+    append_to_ivf_pq_index(read_table(spark, emb_path), index_path)
+    after = spark.read.parquet(f"{index_path}/data").count()
+    click.echo(
+        f"pq-append: {after - before} vectors appended "
+        f"({before} -> {after}) -> {index_path}"
+    )
+
+
 @cli.command("pq-topk")
 @click.option("--index", "index_path", type=click.Path(exists=True),
               required=True, help="IVF-PQ index root from pq-index")

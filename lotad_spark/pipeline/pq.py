@@ -514,6 +514,71 @@ def build_ivf_pq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
+def read_codebooks(spark, index_path: str) -> list[list[list[float]]]:
+    """The per-subspace codebooks of a :func:`build_ivf_pq_index`
+    layout, as the plain nested lists the encode/score kernels take."""
+    cb_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
+    n_m = 1 + max(r["m"] for r in cb_rows)
+    books: list[list[list[float]]] = [[] for _ in range(n_m)]
+    for r in sorted(cb_rows, key=lambda r: (r["m"], r["code"])):
+        books[r["m"]].append([float(x) for x in r["cv"]])
+    return books
+
+
+def append_to_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_kernel: str = "arrow",
+    encode_kernel: str = "arrow",
+) -> None:
+    """Append new vectors to an existing :func:`build_ivf_pq_index`
+    layout WITHOUT retraining or rewriting: assign against the stored
+    centroids, encode with the stored codebooks (residual layouts
+    subtract the stored anchors), and parquet-append the codes into
+    the partitioned data dir. Existing files are never touched, stored
+    models never change, so every previously-served score is
+    byte-identical after the append — the daily-increment pattern for
+    a 100 TB corpus (standard IVF practice: quantizer drift is handled
+    by periodic REBUILD, not by mutating a live index)."""
+    from lotad_spark.pipeline.similarity import assign_to_centroids
+
+    spark = corpus.sparkSession
+    try:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        residual = bool(meta["residual"])
+    except Exception:
+        residual = False  # pre-meta layout: plain
+    centroids = spark.read.parquet(f"{path}/centroids")
+    books = read_codebooks(spark, path)
+    assigned = assign_to_centroids(
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        kernel=assign_kernel,
+    )
+    enc_col = vec_col
+    if residual:
+        enc_col = "_resid"
+        anchordf = spark.read.parquet(f"{path}/anchors")
+        assigned = assigned.join(
+            F.broadcast(anchordf), "cent_id"
+        ).withColumn(
+            enc_col,
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("anchor_vec"),
+                lambda a, b: a - b,
+            ),
+        )
+    encoded = pq_encode(
+        assigned, books, vec_col=enc_col, kernel=encode_kernel
+    )
+    encoded.select(id_col, "pq_code", "cent_id").write.mode(
+        "append"
+    ).partitionBy("cent_id").parquet(f"{path}/data")
+
+
 def ivf_pq_topk(
     spark,
     index_path: str,
@@ -548,11 +613,7 @@ def ivf_pq_topk(
         residual = False  # pre-meta layout: plain (non-residual) IVF-PQ
 
     centroids = spark.read.parquet(f"{index_path}/centroids")
-    cb_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
-    n_m = 1 + max(r["m"] for r in cb_rows)
-    books: list[list[list[float]]] = [[] for _ in range(n_m)]
-    for r in sorted(cb_rows, key=lambda r: (r["m"], r["code"])):
-        books[r["m"]].append([float(x) for x in r["cv"]])
+    books = read_codebooks(spark, index_path)
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")

@@ -379,6 +379,54 @@ class TestIvfPq:
         )
         assert with_meta == without_meta
 
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_append_serves_new_vectors_and_freezes_old_scores(
+        self, spark, corpus, tmp_path, residual
+    ):
+        """Appending must (a) leave every existing data file untouched,
+        (b) make the new vectors retrievable, and (c) keep every
+        previously-served (query, old-vector) score byte-identical —
+        stored centroids/anchors/codebooks never change."""
+        import glob
+        import os
+
+        from lotad_spark.pipeline.pq import (
+            append_to_ivf_pq_index,
+            build_ivf_pq_index,
+            ivf_pq_topk,
+        )
+
+        path = str(tmp_path / f"ivfpq_app_{residual}")
+        build_ivf_pq_index(
+            corpus, path, n_centroids=4, m=4, n_codes=8, residual=residual
+        )
+        files_before = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/data/**/*.parquet", recursive=True)
+        }
+        q = corpus.filter(F.col("vec_id") < 2)
+        before = {
+            (r.query_id, r.vec_id): r.sim
+            for r in ivf_pq_topk(spark, path, q, k=30, nprobe=4).collect()
+        }
+        # duplicates of existing vectors under new ids: their codes are
+        # forced identical, so they MUST surface as reconstruction ties
+        dup = corpus.filter(F.col("vec_id") >= 35).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        )
+        append_to_ivf_pq_index(dup, path)
+        for f, mtime in files_before.items():
+            assert os.path.getmtime(f) == mtime, f"rewrote {f}"
+        after_rows = ivf_pq_topk(spark, path, q, k=35, nprobe=4).collect()
+        after = {(r.query_id, r.vec_id): r.sim for r in after_rows}
+        for key, sim in before.items():
+            assert after[key] == sim, key
+        new_ids = {vid for (_, vid) in after if vid >= 1000}
+        assert new_ids == {1035, 1036, 1037, 1038, 1039}
+        for (qid, vid), sim in after.items():
+            if vid >= 1000:
+                assert sim == after[(qid, vid - 1000)]
+
     def test_probe_matches_full_pq_when_probing_everything(
         self, spark, corpus, tmp_path
     ):
