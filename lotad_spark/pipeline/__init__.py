@@ -38,7 +38,9 @@ from lotad_spark.pipeline.dedup import (
 )
 from lotad_spark.pipeline.similarity import (
     build_ivf_index,
+    build_ivf_sq8_index,
     cosine_topk,
+    ivf_sq8_topk,
     ivf_topk_indexed,
     embedding_near_dup_pairs,
     ivf_topk,
@@ -110,6 +112,8 @@ __all__ = [
     "simhash32",
     "simhash_near_dup_pairs",
     "build_ivf_index",
+    "build_ivf_sq8_index",
+    "ivf_sq8_topk",
     "cosine_topk",
     "ivf_topk",
     "ivf_topk_indexed",

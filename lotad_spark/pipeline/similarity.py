@@ -407,6 +407,141 @@ def ivf_topk_indexed(
     return _ranked_topk(scored, k, id_col=id_col).select("query_id", id_col, "sim")
 
 
+def build_ivf_sq8_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int | None = None,
+    train_iters: int | None = None,
+    kernel: str = "arrow",
+) -> None:
+    """The IVF-SQ8 serving layout: corpus assigned to coarse centroids
+    and stored as per-vector int8 scalar quantization (the
+    :func:`quantize_embeddings` scheme — ``v ≈ zero_point + q·scale``),
+    partitioned by cent_id. The middle rung of the ANN ladder: ~recall
+    of raw-vector IVF at 4× less storage than float32 (8× vs the
+    float64 compute form), vs IVF-PQ's ~17× compression at lower
+    recall. Each row also stores ``Σq`` and ``Σq²`` so the probe
+    reconstructs ``|v̂|²`` from two ints + two scalars — the scoring
+    fold touches the int8 array exactly once per (query, row)."""
+    from lotad_spark.pipeline import kmeans
+
+    sample = kmeans.sample_vectors(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_size=sample_size or kmeans.DEFAULT_SAMPLE_SIZE,
+    )
+    cents = kmeans.train_centroids(
+        sample, n_centroids, iters=train_iters or kmeans.DEFAULT_ITERS
+    )
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cent_id int, cent_vec array<double>",
+    )
+    assigned = assign_to_centroids(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, kernel=kernel
+    )
+    quant = quantize_embeddings(
+        assigned.select(id_col, vec_col, "cent_id"),
+        id_col=id_col,
+        vec_col=vec_col,
+    ).join(assigned.select(id_col, "cent_id"), id_col)
+    qv = F.col("qvec")
+    acc0 = F.lit(0).cast("bigint")
+    quant.select(
+        id_col,
+        "scale",
+        "zero_point",
+        "qvec",
+        F.aggregate(qv, acc0, lambda a, x: a + x).alias("sum_q"),
+        F.aggregate(qv, acc0, lambda a, x: a + x * x).alias("sum_q2"),
+        "cent_id",
+    ).write.mode("overwrite").partitionBy("cent_id").parquet(f"{path}/data")
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_sq8_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a :func:`build_ivf_sq8_index` layout:
+    (query_id, vec_id, sim) with sim the round-6 cosine between the
+    query and the DEQUANTIZED row ``v̂ = zero_point + q·scale``.
+
+    Same serving contract as the other indexed probes: probed cent_ids
+    collect to the driver (bounded) and apply as a STATIC partition
+    filter. Scoring expands algebraically so the int8 array is touched
+    once: ``⟨q,v̂⟩ = zero·Σqᵤ + scale·⟨qᵤ,qv⟩`` (``qᵤ`` the query) and
+    ``|v̂|² = d·zero² + 2·zero·scale·Σq + scale²·Σq²`` from the stored
+    row sums — per-row cost is one zip_with fold plus scalars, all
+    inside whole-stage codegen."""
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qvec")
+    )
+    probe_scored = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "_psim", F.round(cosine(F.col("_qvec"), F.col("cent_vec")), 6)
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("_psim"), F.asc("cent_id")
+    )
+    acc0 = F.lit(0.0)
+    probes = (
+        probe_scored.withColumn("_r", F.row_number().over(pw))
+        .filter(F.col("_r") <= nprobe)
+        .select(
+            "query_id",
+            "_qvec",
+            F.aggregate(F.col("_qvec"), acc0, lambda a, x: a + x).alias(
+                "_qsum"
+            ),
+            F.aggregate(
+                F.col("_qvec"), acc0, lambda a, x: a + x * x
+            ).alias("_q2"),
+            "cent_id",
+        )
+    )
+    probed_ids = sorted(
+        {r.cent_id for r in probes.select("cent_id").collect()}
+    )
+    data = spark.read.parquet(f"{index_path}/data").filter(
+        F.col("cent_id").isin(probed_ids)
+    )
+    dotqq = F.aggregate(
+        F.zip_with(F.col("_qvec"), F.col("qvec"), lambda a, b: a * b),
+        acc0,
+        lambda a, x: a + x,
+    )
+    zero, scale = F.col("zero_point"), F.col("scale")
+    ip = zero * F.col("_qsum") + scale * dotqq
+    d = F.size("qvec").cast("double")
+    vnorm2 = (
+        d * zero * zero
+        + F.lit(2.0) * zero * scale * F.col("sum_q").cast("double")
+        + scale * scale * F.col("sum_q2").cast("double")
+    )
+    scored = (
+        data.join(F.broadcast(probes), "cent_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "sim", F.round(ip / F.sqrt(F.col("_q2") * vnorm2), 6)
+        )
+    )
+    return _ranked_topk(scored, k, id_col=id_col).select(
+        "query_id", id_col, "sim"
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

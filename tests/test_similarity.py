@@ -238,6 +238,106 @@ class TestQuantizeEmbeddings:
         assert "Exchange" not in plan and "Join" not in plan
 
 
+class TestIvfSq8:
+    @pytest.fixture(scope="class")
+    def sq8_index(self, spark, sf_dir, tmp_path_factory):
+        from lotad_spark.pipeline.similarity import build_ivf_sq8_index
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        emb = ParquetDatabase(spark, sf_dir, "db").table("embeddings")
+        path = str(tmp_path_factory.mktemp("sq8") / "idx")
+        build_ivf_sq8_index(emb, path, n_centroids=4)
+        return emb, path
+
+    def test_near_exact_at_full_probe(self, spark, sq8_index):
+        """nprobe=all leaves only int8 distortion: the returned sims
+        must match the dequantized-cosine replay to round-6 noise, and
+        top-1 must agree with exact brute force for nearly all
+        queries."""
+        import numpy as np
+
+        from lotad_spark.pipeline.similarity import ivf_sq8_topk
+
+        emb, path = sq8_index
+        from pyspark.sql import functions as F
+
+        q = emb.filter(F.col("vec_id") < 20)
+        out = ivf_sq8_topk(spark, path, q, k=1, nprobe=4).collect()
+        assert len(out) == 20
+        rows = {
+            int(r["vec_id"]): (
+                float(r["zero_point"]),
+                float(r["scale"]),
+                list(r["qvec"]),
+            )
+            for r in spark.read.parquet(f"{path}/data").collect()
+        }
+        V = {
+            int(r[0]): np.array(r[1], dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()
+        }
+        hits = 0
+        for r in out:
+            qid, vid = int(r["query_id"]), int(r["vec_id"])
+            zero, scale, qv = rows[vid]
+            deq = zero + np.array(qv, dtype=np.float64) * scale
+            qvec = V[qid]
+            expect = float(
+                (qvec @ deq)
+                / (np.linalg.norm(qvec) * np.linalg.norm(deq))
+            )
+            assert r["sim"] == pytest.approx(expect, abs=2e-6)
+            # exact top-1 (excluding self)
+            best, best_s = None, -2.0
+            for vid2, v2 in V.items():
+                if vid2 == qid:
+                    continue
+                s = float(
+                    (qvec @ v2)
+                    / (np.linalg.norm(qvec) * np.linalg.norm(v2))
+                )
+                if s > best_s:
+                    best, best_s = vid2, s
+            hits += vid == best
+        assert hits >= 18, hits  # int8 may flip a rare near-tie
+
+    def test_probe_prunes_and_never_reads_raw_vectors(
+        self, spark, sq8_index
+    ):
+        from pyspark.sql import functions as F
+
+        from lotad_spark.pipeline.similarity import ivf_sq8_topk
+
+        emb, path = sq8_index
+        out = ivf_sq8_topk(
+            spark, path, emb.filter(F.col("vec_id") < 2), k=3, nprobe=1
+        )
+        assert len(out.collect()) == 6
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # two scans are expected: the query relation (reads its own
+        # embeddings) and the index data dir — the INDEX scan must be
+        # partition-pruned and must carry codes, not vectors
+        idx_scans = [
+            line
+            for line in plan.splitlines()
+            if "ReadSchema" in line and f"{path}/data" in line
+        ]
+        assert idx_scans, plan
+        for line in idx_scans:
+            assert "qvec" in line and "embedding" not in line, line
+            assert "PartitionFilters" in line and "cent_id" in line, line
+
+    def test_row_sums_match_codes(self, spark, sq8_index):
+        """The stored Σq/Σq² must equal the code array's sums — the
+        |v̂|² reconstruction depends on it."""
+        _, path = sq8_index
+        rows = spark.read.parquet(f"{path}/data").limit(100).collect()
+        assert rows
+        for r in rows:
+            assert r["sum_q"] == sum(r["qvec"])
+            assert r["sum_q2"] == sum(x * x for x in r["qvec"])
+
+
 class TestSemanticDedup:
     @pytest.fixture(scope="class")
     def clustered(self, spark):
