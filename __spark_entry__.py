@@ -1660,6 +1660,51 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_residual_topk(spark, sf_dir):
+    """The IVFADC serving path (residual=True IVF-PQ, Jegou et al. 2011
+    §III) driver-checked end-to-end: PQ codes quantize the residual
+    v − a(v) against the cluster-MEAN anchor; the probe reconstructs
+    through the anchor with scaled-integer per-(query,cluster) and
+    per-cluster terms, so every sum stays exact and order-independent.
+    The expr kernels run here so the oracle can replay each stage
+    (coarse assignment, residual projection, encode argmax, probe
+    ranking, integer-LUT scoring with the anchor cross-terms) from
+    retrained bit-identical literals; production defaults to the arrow
+    kernels, parity pinned in tests/test_pq.py."""
+    from lotad_spark.pipeline.pq import build_ivf_pq_index, ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    root = _scratch("lotad_ivfpq_res_")
+    build_ivf_pq_index(
+        e, root, assign_kernel="expr", encode_kernel="expr", residual=True
+    )
+    return ivf_pq_topk(
+        spark, root, e.filter(F.col("vec_id") < 5), k=5, nprobe=2
+    )
+
+
+def q_ann_sq8_topk(spark, sf_dir):
+    """The IVF-SQ8 serving path (int8 scalar quantization — the middle
+    rung of the ANN ladder between raw-vector IVF and IVF-PQ): build the
+    partitioned index of per-vector (scale, zero_point, qvec, Σq, Σq²)
+    rows, then probe with the algebraically-expanded dequantized cosine
+    ⟨q,v̂⟩ = zero·Σqᵤ + scale·⟨qᵤ,qv⟩ under a STATIC partition filter.
+    Quantization is already value-oracled via quantize_embeddings; this
+    row drives the full index build + scoring chain. The expr assignment
+    kernel runs here for oracle parity; production defaults to arrow."""
+    from lotad_spark.pipeline.similarity import (
+        build_ivf_sq8_index,
+        ivf_sq8_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    root = _scratch("lotad_sq8_")
+    build_ivf_sq8_index(e, root, kernel="expr")
+    return ivf_sq8_topk(
+        spark, root, e.filter(F.col("vec_id") < 5), k=5, nprobe=2
+    )
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """ADC top-k over the PQ-encoded corpus: sim is the round-6 cosine
     between the query and each vector's PQ reconstruction, computed
@@ -1896,6 +1941,207 @@ def _ann_ivfpq_sql() -> str:
         "JOIN lut l ON l.query_id = p.query_id AND l.m = e2.m "
         "JOIN dccq d ON d.m = e2.m GROUP BY 1, 2), "
         + _pq_sims_select(scale)
+    )
+
+
+def _ann_ivfpq_residual_sql() -> str:
+    """IVFADC oracle: the residual IVF-PQ path replayed stage by stage.
+    Coarse assignment and probe ranking reuse the _ann_ivfpq_sql shapes;
+    the residual projection (v − anchor) is an element-wise indexed
+    list_transform against the anchor literals (bit-exact — both engines
+    subtract identical doubles); the encode argmax runs over the
+    RESIDUAL codebooks retrained by the shared
+    ``pq.train_residual_models`` (bit-identical literals by
+    construction); and the ADC scoring adds the anchor terms — ⟨q,a⟩
+    per (query, probed cluster), |a|² and the ⟨a, book⟩ cross-term
+    table per cluster — as the same scaled-integer literals the Spark
+    side broadcasts, so every sum is exact and order-independent."""
+    import duckdb
+    import numpy as np
+
+    from lotad_spark.pipeline import kmeans, pq
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    sample = [
+        list(r[0])
+        for r in duckdb.connect().execute(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+            f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
+        ).fetchall()
+    ]
+    cents = kmeans.train_centroids(sample, 16)
+    anchors, books = pq.train_residual_models(sample, cents)
+    sub = len(books[0][0])
+    scale = float(pq.LUT_SCALE)
+    cent_values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    anchor_values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in a)}]::DOUBLE[])"
+        for i, a in enumerate(anchors)
+    )
+    cb_values = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[], "
+        f"{pq.self_dot(cv)!r})"
+        for j, book in enumerate(books)
+        for c, cv in enumerate(book)
+    )
+    qrows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    qc_values = ", ".join(
+        f"({qid}, {cid}, "
+        f"{int(np.round(pq.fold_dot(list(emb), a) * pq.LUT_SCALE))})"
+        for qid, emb in qrows
+        for cid, a in enumerate(anchors)
+    )
+    csd_values = ", ".join(
+        f"({cid}, {j}, [{', '.join(str(int(np.round(pq.fold_dot(a[j * sub:(j + 1) * sub], cv) * pq.LUT_SCALE))) for cv in book)}])"
+        for cid, a in enumerate(anchors)
+        for j, book in enumerate(books)
+    )
+    c2_values = ", ".join(
+        f"({cid}, {int(np.round(pq.self_dot(a) * pq.LUT_SCALE))})"
+        for cid, a in enumerate(anchors)
+    )
+    return (
+        f"WITH cent(cent_id, ccv) AS (VALUES {cent_values}), "
+        f"anch(cent_id, av) AS (VALUES {anchor_values}), "
+        "assigned AS (SELECT vec_id, cent_id FROM ("
+        "SELECT e.vec_id, c.cent_id, row_number() OVER ("
+        "PARTITION BY e.vec_id ORDER BY "
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], c.ccv), 6) "
+        "DESC, c.cent_id ASC) AS r FROM embeddings e, cent c) "
+        "WHERE r = 1), "
+        "probes AS (SELECT query_id, cent_id FROM ("
+        "SELECT qe.vec_id AS query_id, c.cent_id, row_number() OVER ("
+        "PARTITION BY qe.vec_id ORDER BY "
+        "round(list_cosine_similarity(qe.embedding::DOUBLE[], c.ccv), 6) "
+        "DESC, c.cent_id ASC) AS r FROM embeddings qe, cent c "
+        "WHERE qe.vec_id < 5) WHERE r <= 2), "
+        "resid AS (SELECT e.vec_id, a.cent_id, "
+        "list_transform(e.embedding::DOUBLE[], (x, i) -> x - an.av[i]) "
+        "AS rv FROM embeddings e JOIN assigned a USING (vec_id) "
+        "JOIN anch an USING (cent_id)), "
+        f"cb(m, code, cv, dcc) AS (VALUES {cb_values}), "
+        "scored_enc AS (SELECT r.vec_id, cb.m, cb.code, "
+        f"round(2*list_inner_product(r.rv[(cb.m*{sub}+1):((cb.m+1)*{sub})], "
+        "cb.cv) - cb.dcc, 6) AS s FROM resid r, cb), "
+        "enc AS (SELECT vec_id, m, code FROM ("
+        "SELECT vec_id, m, code, row_number() OVER ("
+        "PARTITION BY vec_id, m ORDER BY s DESC, code ASC) AS r "
+        "FROM scored_enc) WHERE r = 1), "
+        f"{_pq_lut_cte(books)}, "
+        f"qc(query_id, cent_id, qc) AS (VALUES {qc_values}), "
+        f"csd(cent_id, m, cr) AS (VALUES {csd_values}), "
+        f"c2t(cent_id, c2) AS (VALUES {c2_values}), "
+        "sums AS (SELECT p.query_id, a.vec_id, "
+        "MAX(qcv.qc) + SUM(l.lr[e2.code + 1]) AS ip, "
+        "MAX(c2t.c2) + 2*SUM(cs.cr[e2.code + 1]) "
+        "+ SUM(d.vr[e2.code + 1]) AS vn "
+        "FROM probes p JOIN assigned a ON a.cent_id = p.cent_id "
+        "JOIN enc e2 ON e2.vec_id = a.vec_id "
+        "JOIN lut l ON l.query_id = p.query_id AND l.m = e2.m "
+        "JOIN csd cs ON cs.cent_id = p.cent_id AND cs.m = e2.m "
+        "JOIN dccq d ON d.m = e2.m "
+        "JOIN qc qcv ON qcv.query_id = p.query_id "
+        "AND qcv.cent_id = p.cent_id "
+        "JOIN c2t ON c2t.cent_id = p.cent_id "
+        "GROUP BY 1, 2), "
+        + _pq_sims_select(scale)
+    )
+
+
+def _ann_sq8_sql() -> str:
+    """IVF-SQ8 oracle: coarse assignment over the centroid literals
+    (the _ann_ivf_sql trainer), per-vector int8 quantization replayed
+    with the quantize_embeddings oracle's canonical expression shape,
+    integer row sums (Σq, Σq² — exact in any order), probe ranking, and
+    the algebraically-expanded dequantized-cosine scoring. The query
+    constants (vector, Σqᵤ, Σqᵤ²) embed as literals derived by the same
+    sequential left fold Spark's F.aggregate runs, so the only
+    cross-engine float hazard left is the round-6-masked inner-product
+    summation order — the same accepted hazard as ann_cosine_topk."""
+    import duckdb
+
+    from lotad_spark.pipeline import kmeans, pq
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    sample = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
+    ).fetchall()
+    cents = kmeans.train_centroids([list(r[0]) for r in sample], 16)
+    cent_values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    qrows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+
+    def _fold_sum(v):
+        acc = 0.0
+        for x in v:
+            acc += float(x)
+        return acc
+
+    qm_values = ", ".join(
+        f"({qid}, [{', '.join(repr(float(x)) for x in emb)}]::DOUBLE[], "
+        f"{_fold_sum(emb)!r}, {pq.self_dot(emb)!r})"
+        for qid, emb in qrows
+    )
+    return (
+        f"WITH cent(cent_id, ccv) AS (VALUES {cent_values}), "
+        "assigned AS (SELECT vec_id, cent_id FROM ("
+        "SELECT e.vec_id, c.cent_id, row_number() OVER ("
+        "PARTITION BY e.vec_id ORDER BY "
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], c.ccv), 6) "
+        "DESC, c.cent_id ASC) AS r FROM embeddings e, cent c) "
+        "WHERE r = 1), "
+        "quant AS (SELECT vec_id, round((mx - mn) / 255.0, 6) AS scale, "
+        "round(mn, 6) AS zero_point, "
+        "CASE WHEN mx = mn THEN list_transform(emb, x -> 0) "
+        "ELSE list_transform(emb, x -> "
+        "CAST(round((x - mn) * 255.0 / (mx - mn)) AS INT)) END AS qvec "
+        "FROM (SELECT vec_id, emb, "
+        "list_aggregate(emb, 'min') AS mn, "
+        "list_aggregate(emb, 'max') AS mx FROM ("
+        "SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS emb FROM embeddings))), "
+        "sq AS (SELECT q.vec_id, a.cent_id, q.scale, q.zero_point, "
+        "q.qvec, CAST(list_sum(q.qvec) AS BIGINT) AS sum_q, "
+        "CAST(list_sum(list_transform(q.qvec, "
+        "x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS sum_q2 "
+        "FROM quant q JOIN assigned a USING (vec_id)), "
+        f"qm(query_id, qv, qsum, q2) AS (VALUES {qm_values}), "
+        "probes AS (SELECT query_id, cent_id FROM ("
+        "SELECT m.query_id, c.cent_id, row_number() OVER ("
+        "PARTITION BY m.query_id ORDER BY "
+        "round(list_cosine_similarity(m.qv, c.ccv), 6) "
+        "DESC, c.cent_id ASC) AS r FROM qm m, cent c) WHERE r <= 2), "
+        "scored AS (SELECT p.query_id, s.vec_id, "
+        "round((s.zero_point * m.qsum + s.scale * "
+        "list_inner_product(m.qv, list_transform(s.qvec, "
+        "x -> CAST(x AS DOUBLE)))) / sqrt(m.q2 * ("
+        "CAST(len(s.qvec) AS DOUBLE) * s.zero_point * s.zero_point "
+        "+ 2.0 * s.zero_point * s.scale * CAST(s.sum_q AS DOUBLE) "
+        "+ s.scale * s.scale * CAST(s.sum_q2 AS DOUBLE))), 6) AS sim "
+        "FROM probes p JOIN sq s USING (cent_id) "
+        "JOIN qm m ON m.query_id = p.query_id "
+        "WHERE s.vec_id != p.query_id) "
+        "SELECT query_id, vec_id, sim FROM ("
+        "SELECT query_id, vec_id, sim, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS r "
+        "FROM scored) WHERE r <= 5"
     )
 
 
@@ -2981,7 +3227,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       oracle including the selected flag). The three PQ rows displace
       chunk_manifest, curate_corpus, and mixture_sample to 51+;
       dsir_weights displaces length_quantiles (all r8-green).
-    * 19-50: the longest-unverified rows, all last driver-green r8
+    * 19-20: ann_ivfpq_residual_topk and ann_sq8_topk — the r11-queue
+      candidates landed late in r10 with full value oracles (IVFADC
+      scaled-integer scoring; SQ8 dequantized-cosine replay). Priority
+      class (b) — no driver-green round yet — so they enter the window
+      immediately, displacing train_eval_split and stratified_cap
+      (r8-green) to 51-52.
+    * 21-50: the longest-unverified rows, all last driver-green r8
       with code unchanged since: sql_row_hash_diff, json_schema_drift,
       missing_table_records, the wizard family, q1/topk/window-agg
       headliners, the exact/minhash/simhash/jaccard dedup family,
@@ -3025,7 +3277,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "dsir_weights": q_dsir_weights,
-        # --- 18-50: longest-unverified (last driver-green r8) ---
+        # --- 19-20: NEW (added late in r10) — the r11-queue candidates
+        # landed early: priority class (b) (no driver-green round yet)
+        # outranks the longest-out class, so they enter the window now;
+        # they displace train_eval_split and stratified_cap (r8-green)
+        # to 51-52 ---
+        "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
+        "ann_sq8_topk": q_ann_sq8_topk,
+        # --- 21-50: longest-unverified (last driver-green r8) ---
         "sql_row_hash_diff": q_sql_row_hash_diff,
         "json_schema_drift": q_json_schema_drift,
         "missing_table_records": q_missing_table_records,
@@ -3056,9 +3315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "upsample_weights": q_upsample_weights,
         "shuffle_batches": q_shuffle_batches,
-        "train_eval_split": q_train_eval_split,
+        "train_eval_split": q_train_eval_split,  # 51 — displaced by the late-r10 ANN rows
         "stratified_cap": q_stratified_cap,
-        "length_quantiles": q_length_quantiles,  # 51 — displaced by dsir_weights
+        "length_quantiles": q_length_quantiles,  # displaced by dsir_weights
         "mixture_sample": q_mixture_sample,
         "curate_corpus": q_curate_corpus,
         "chunk_manifest": q_chunk_manifest,
@@ -3716,6 +3975,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": _pq_codes_sql(),
         "ann_pq_topk": _ann_pq_sql(),
         "ann_ivfpq_topk": _ann_ivfpq_sql(),
+        "ann_ivfpq_residual_topk": _ann_ivfpq_residual_sql(),
+        "ann_sq8_topk": _ann_sq8_sql(),
         "events_funnel": """WITH s0 AS (SELECT user_id, min(ts) AS rts FROM events WHERE event_type = 'view' GROUP BY user_id), s1 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s0 USING (user_id) WHERE e.event_type = 'click' AND e.ts > s0.rts GROUP BY e.user_id), s2 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s1 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > s1.rts GROUP BY e.user_id) SELECT 0 AS step_index, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s0 UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1 UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2""",
         # Independent formulation: EXISTS-chain over per-step distinct
         # event sets vs the union+running-max DP — same reachable sets.

@@ -211,12 +211,15 @@ def main() -> None:
         queries[name] = round(time.perf_counter() - t0, 3)
 
     # LLM-pipeline headliners (added as they land in entry queries()).
-    # ann_ivfpq_topk is excluded: that row runs the ORACLE config (expr
-    # kernels, bit-deterministic for the driver's value check); the
-    # production arrow path is priced by ann_ivfpq_build_once /
-    # ann_ivfpq_probe above — the dedup_semantic lesson from r9.
+    # ann_ivfpq_topk, ann_ivfpq_residual_topk, and ann_sq8_topk are
+    # excluded: those rows run the ORACLE config (expr kernels,
+    # bit-deterministic for the driver's value check); the production
+    # arrow paths are priced by the *_build_once / *_probe rows below —
+    # the dedup_semantic lesson from r9.
     for name in entry_mod.queries():
-        if name == "ann_ivfpq_topk":
+        if name in (
+            "ann_ivfpq_topk", "ann_ivfpq_residual_topk", "ann_sq8_topk"
+        ):
             continue
         if name.startswith(
             ("dedup_", "ann_", "pq_", "text_", "tfidf_", "mixture_", "upsample_", "shuffle_", "token_", "quantize_", "chunk_", "training_", "weighted_", "dsir_")
@@ -268,6 +271,48 @@ def main() -> None:
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     queries["ann_ivfpq_probe"] = round(best, 3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # IVFADC (residual IVF-PQ) serving shape (late r10): same layout,
+    # codes quantize v − anchor; probe adds the anchor terms as
+    # broadcast scaled-integer literals — priced on the arrow path.
+    idx_dir = tempfile.mkdtemp(prefix="lotad_bench_ivfpq_res_")
+    t0 = time.perf_counter()
+    build_ivf_pq_index(emb, idx_dir, residual=True)
+    queries["ann_ivfpq_residual_build_once"] = round(
+        time.perf_counter() - t0, 3
+    )
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ivf_pq_topk(
+            spark, idx_dir, emb.filter(F.col("vec_id") < 5), k=5
+        ).foreach(lambda _: None)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    queries["ann_ivfpq_residual_probe"] = round(best, 3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # IVF-SQ8 serving shape (late r10): int8 rows + stored Σq/Σq² —
+    # the middle rung between raw-vector IVF and IVF-PQ.
+    from lotad_spark.pipeline.similarity import (
+        build_ivf_sq8_index,
+        ivf_sq8_topk,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="lotad_bench_sq8_")
+    t0 = time.perf_counter()
+    build_ivf_sq8_index(emb, idx_dir)
+    queries["ann_sq8_build_once"] = round(time.perf_counter() - t0, 3)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ivf_sq8_topk(
+            spark, idx_dir, emb.filter(F.col("vec_id") < 5), k=5
+        ).foreach(lambda _: None)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    queries["ann_sq8_probe"] = round(best, 3)
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     # SemDeDup at the production configuration (r10): the dedup_semantic

@@ -129,6 +129,57 @@ def self_dot(cv) -> float:
     return acc
 
 
+def train_residual_models(
+    sample: list[list[float]],
+    cents: list[list[float]],
+    *,
+    m: int = DEFAULT_M,
+    n_codes: int = DEFAULT_CODES,
+    iters: int | None = None,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """The IVFADC training step shared by :func:`build_ivf_pq_index`
+    (``residual=True``) and the SQL-oracle builder, so both derive
+    bit-identical anchor/codebook literals from the same sample.
+
+    Assigns the sample to ``cents`` with numpy round-6 cosine (first
+    maximum == lowest cent_id, mirroring ``assign_to_centroids``),
+    anchors each cluster at its member MEAN (empty clusters fall back
+    to the unit centroid — see the design note in
+    :func:`build_ivf_pq_index`), and trains the per-subspace residual
+    codebooks on ``sample − anchor``. Returns ``(anchors, books)`` as
+    plain float lists ready to embed as literals."""
+    X = np.asarray(sample, dtype=np.float64)
+    C = np.asarray(cents, dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(
+            f"train_residual_models: dim {dim} not divisible by m={m}"
+        )
+    sub = dim // m
+    xn = np.linalg.norm(X, axis=1)
+    xn[xn == 0] = 1.0
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    sims = np.round((X @ C.T) / (xn[:, None] * cn[None, :]), 6)
+    assign = np.argmax(sims, axis=1)
+    A = C.copy()
+    for j in range(len(C)):
+        members = X[assign == j]
+        if len(members):
+            A[j] = members.mean(axis=0)
+    anchors = [[float(x) for x in row] for row in A]
+    train_vecs = X - A[assign]
+    books = [
+        _train_l2(
+            [list(v[j * sub : (j + 1) * sub]) for v in train_vecs],
+            n_codes,
+            iters or kmeans.DEFAULT_ITERS,
+        )
+        for j in range(m)
+    ]
+    return anchors, books
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda p, q: p * q),
@@ -435,40 +486,25 @@ def build_ivf_pq_index(
     sub = dim // m
     anchors = None
     if residual:
-        # Mirror assign_to_centroids on the sample: round-6 cosine,
-        # first maximum == lowest cent_id (C is id-ordered).
-        X = np.asarray(sample, dtype=np.float64)
-        C = np.asarray(cents, dtype=np.float64)
-        xn = np.linalg.norm(X, axis=1)
-        xn[xn == 0] = 1.0
-        cn = np.linalg.norm(C, axis=1)
-        cn[cn == 0] = 1.0
-        sims = np.round((X @ C.T) / (xn[:, None] * cn[None, :]), 6)
-        assign = np.argmax(sims, axis=1)
         # Residuals anchor at the CLUSTER MEAN, not the unit-norm
         # spherical centroid: assignment is directional (cosine), but
         # vectors carry magnitude, and the mean is the anchor that
         # minimizes residual variance — anchoring at the unit centroid
         # measurably LOST recall on the uniform fixture (BASELINE.md
-        # r10 residual table). Empty clusters fall back to the unit
-        # centroid.
-        A = C.copy()
-        for j in range(len(C)):
-            members = X[assign == j]
-            if len(members):
-                A[j] = members.mean(axis=0)
-        anchors = [[float(x) for x in row] for row in A]
-        train_vecs = X - A[assign]
-    else:
-        train_vecs = np.asarray(sample, dtype=np.float64)
-    books = [
-        _train_l2(
-            [list(v[j * sub : (j + 1) * sub]) for v in train_vecs],
-            n_codes,
-            train_iters or kmeans.DEFAULT_ITERS,
+        # r10 residual table). Shared with the SQL-oracle builder so
+        # both sides embed bit-identical literals.
+        anchors, books = train_residual_models(
+            sample, cents, m=m, n_codes=n_codes, iters=train_iters
         )
-        for j in range(m)
-    ]
+    else:
+        books = [
+            _train_l2(
+                [list(v[j * sub : (j + 1) * sub]) for v in sample],
+                n_codes,
+                train_iters or kmeans.DEFAULT_ITERS,
+            )
+            for j in range(m)
+        ]
     assigned = assign_to_centroids(
         corpus, centroids, id_col=id_col, vec_col=vec_col,
         kernel=assign_kernel,

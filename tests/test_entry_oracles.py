@@ -58,6 +58,62 @@ class TestApplyBpeOracle:
         assert got[2] == (1, "ab</w>")
 
 
+class TestAnnIndexOracles:
+    """Pure-DuckDB execution pins for the late-r10 ANN oracle builders
+    (the Spark≡oracle value check runs in scripts/check_oracle.py)."""
+
+    @pytest.fixture(autouse=True)
+    def _sf(self, monkeypatch):
+        monkeypatch.setenv(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001"
+        )
+
+    def _run(self, sql):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            "'/root/testdata/sf0.001/embeddings.parquet'"
+        )
+        return con.execute(sql).fetchall()
+
+    @pytest.mark.parametrize(
+        "builder", ["_ann_ivfpq_residual_sql", "_ann_sq8_sql"]
+    )
+    def test_topk_shape(self, builder):
+        rows = self._run(getattr(entry, builder)())
+        # 5 queries × top-5, no self-matches, unique pairs, sims in [-1,1]
+        assert len(rows) == 25
+        assert len({(q, v) for q, v, _ in rows}) == 25
+        assert all(q != v for q, v, _ in rows)
+        assert all(-1.0 <= s <= 1.0 for _, _, s in rows)
+        per_q = {}
+        for q, _, _ in rows:
+            per_q[q] = per_q.get(q, 0) + 1
+        assert per_q == {q: 5 for q in range(5)}
+
+    def test_residual_embeds_shared_anchor_literals(self):
+        # The anchors in the SQL must come from the SAME helper the
+        # Spark index build uses (pq.train_residual_models) — a drift
+        # in either side breaks the literal match.
+        import duckdb as d
+
+        from lotad_spark.pipeline import kmeans, pq
+
+        sample = [
+            list(r[0])
+            for r in d.connect().execute(
+                "SELECT embedding FROM "
+                "'/root/testdata/sf0.001/embeddings.parquet' "
+                f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
+            ).fetchall()
+        ]
+        cents = kmeans.train_centroids(sample, 16)
+        anchors, _ = pq.train_residual_models(sample, cents)
+        sql = entry._ann_ivfpq_residual_sql()
+        assert repr(anchors[0][0]) in sql
+        assert repr(anchors[-1][-1]) in sql
+
+
 class TestFileScanOracle:
     @pytest.mark.parametrize("fmt", ["orc", "csv", "jsonl"])
     def test_generated_from_shared_spec(self, fmt):
