@@ -787,6 +787,78 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+# Fixed serving batch for the BM25 row: terms drawn from the documents
+# fixture's vocabulary so every query matches; shared verbatim by the
+# Spark side and the SQL oracle.
+_BM25_QUERIES = [
+    (0, "hash join strategy"),
+    (1, "window agg batch"),
+    (2, "parquet scan filter"),
+    (3, "stream sort customer"),
+    (4, "vector row group"),
+]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (Okapi BM25, Lucene idf variant) over the
+    documents table for a fixed 5-query serving batch: top-5 docs per
+    query. Per-term contributions round to 6 decimals and sum as
+    DECIMAL(18,6) — exact, order-independent, bit-replayable in SQL;
+    ties break by doc_id. The corpus tokenizes once into a (doc, term,
+    tf) postings relation; query terms broadcast and semi-join-reduce
+    the postings before any per-query work."""
+    from lotad_spark.pipeline.retrieval import bm25_topk
+
+    q = spark.createDataFrame(
+        _BM25_QUERIES, "query_id bigint, query string"
+    )
+    return bm25_topk(_t(spark, sf_dir, "documents"), q, k=5)
+
+
+def _bm25_sql() -> str:
+    """BM25 oracle: the identical postings/df/dl/avgdl relations and the
+    identical per-term expression (Lucene idf, k1/b literals emitted
+    with repr so both engines parse the same doubles), decimal-exact
+    contribution sums, top-5 with ties to the lowest doc_id."""
+    from lotad_spark.pipeline import retrieval
+
+    k1, b = retrieval.DEFAULT_K1, retrieval.DEFAULT_B
+    qvals = ", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)
+    return (
+        f"WITH q(query_id, query) AS (VALUES {qvals}), "
+        "toks AS (SELECT doc_id, "
+        "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term "
+        "FROM documents), "
+        "postings AS (SELECT doc_id, term, "
+        "CAST(count(*) AS BIGINT) AS tf "
+        "FROM toks WHERE term <> '' GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings "
+        "GROUP BY doc_id), "
+        "dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df "
+        "FROM postings GROUP BY term), "
+        "scal AS (SELECT CAST((SELECT count(*) FROM documents) "
+        "AS DOUBLE) AS n, "
+        "CAST((SELECT SUM(tf) FROM postings) AS DOUBLE) "
+        "/ CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl), "
+        "qt AS (SELECT DISTINCT query_id, term FROM (SELECT query_id, "
+        "unnest(string_split_regex(trim(lower(query)), '\\s+')) AS term "
+        "FROM q) WHERE term <> ''), "
+        "contrib AS (SELECT qt.query_id, p.doc_id, "
+        "CAST(round(ln(1.0 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5)) "
+        f"* CAST(p.tf AS DOUBLE) * {k1 + 1.0!r} "
+        f"/ (CAST(p.tf AS DOUBLE) + {k1!r} * ({1.0 - b!r} "
+        f"+ {b!r} * dl.dl / s.avgdl)), 6) AS DECIMAL(18,6)) AS c "
+        "FROM postings p JOIN qt USING (term) JOIN dfr USING (term) "
+        "JOIN dl USING (doc_id), scal s), "
+        "scored AS (SELECT query_id, doc_id, "
+        "CAST(SUM(c) AS DOUBLE) AS score FROM contrib GROUP BY 1, 2) "
+        "SELECT query_id, doc_id, score FROM ("
+        "SELECT query_id, doc_id, score, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS r "
+        "FROM scored) WHERE r <= 5"
+    )
+
+
 def _eval_snippets(spark, sf_dir):
     """Deterministic benchmark stand-in: every 25th doc's first 30 tokens
     — guaranteed to be CONTAINED in its source doc, so the contamination
@@ -3284,7 +3356,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to 51-52 ---
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
         "ann_sq8_topk": q_ann_sq8_topk,
-        # --- 21-50: longest-unverified (last driver-green r8) ---
+        # --- 21: NEW (late r10) — BM25 lexical retrieval (decimal-exact
+        # scoring, full SQL replay); displaces shuffle_batches (r8-green)
+        # to 51 ---
+        "bm25_topk": q_bm25_topk,
+        # --- 22-50: longest-unverified (last driver-green r8) ---
         "sql_row_hash_diff": q_sql_row_hash_diff,
         "json_schema_drift": q_json_schema_drift,
         "missing_table_records": q_missing_table_records,
@@ -3314,8 +3390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "sample_hash": q_sample_hash,
         "upsample_weights": q_upsample_weights,
-        "shuffle_batches": q_shuffle_batches,
-        "train_eval_split": q_train_eval_split,  # 51 — displaced by the late-r10 ANN rows
+        "shuffle_batches": q_shuffle_batches,  # 51 — displaced by bm25_topk
+        "train_eval_split": q_train_eval_split,  # displaced by the late-r10 ANN rows
         "stratified_cap": q_stratified_cap,
         "length_quantiles": q_length_quantiles,  # displaced by dsir_weights
         "mixture_sample": q_mixture_sample,
@@ -3977,6 +4053,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": _ann_ivfpq_sql(),
         "ann_ivfpq_residual_topk": _ann_ivfpq_residual_sql(),
         "ann_sq8_topk": _ann_sq8_sql(),
+        "bm25_topk": _bm25_sql(),
         "events_funnel": """WITH s0 AS (SELECT user_id, min(ts) AS rts FROM events WHERE event_type = 'view' GROUP BY user_id), s1 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s0 USING (user_id) WHERE e.event_type = 'click' AND e.ts > s0.rts GROUP BY e.user_id), s2 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s1 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > s1.rts GROUP BY e.user_id) SELECT 0 AS step_index, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s0 UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1 UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2""",
         # Independent formulation: EXISTS-chain over per-step distinct
         # event sets vs the union+running-max DP — same reachable sets.

@@ -222,7 +222,7 @@ def main() -> None:
         ):
             continue
         if name.startswith(
-            ("dedup_", "ann_", "pq_", "text_", "tfidf_", "mixture_", "upsample_", "shuffle_", "token_", "quantize_", "chunk_", "training_", "weighted_", "dsir_")
+            ("dedup_", "ann_", "pq_", "text_", "tfidf_", "mixture_", "upsample_", "shuffle_", "token_", "quantize_", "chunk_", "training_", "weighted_", "dsir_", "bm25_")
         ):
             fn = entry_mod.queries()[name]
             t0 = time.perf_counter()
@@ -313,6 +313,33 @@ def main() -> None:
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     queries["ann_sq8_probe"] = round(best, 3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # BM25 serving shape (late r10): tokenize the corpus ONCE into the
+    # stored postings relation; probes broadcast the query terms and
+    # never re-read document text.
+    from lotad_spark.pipeline.retrieval import (
+        bm25_against_index,
+        write_bm25_index,
+    )
+
+    bm25_queries = spark.createDataFrame(
+        entry_mod._BM25_QUERIES, "query_id bigint, query string"
+    )
+    bm25_docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    idx_dir = tempfile.mkdtemp(prefix="lotad_bench_bm25_")
+    t0 = time.perf_counter()
+    write_bm25_index(bm25_docs, idx_dir)
+    queries["bm25_build_once"] = round(time.perf_counter() - t0, 3)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        bm25_against_index(
+            spark, idx_dir, bm25_queries, k=5
+        ).foreach(lambda _: None)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    queries["bm25_probe"] = round(best, 3)
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     # SemDeDup at the production configuration (r10): the dedup_semantic

@@ -499,6 +499,52 @@ def sq8_topk_cmd(index_path, query_path, output_path, k, nprobe) -> None:
     click.echo(f"sq8-topk: {n} result rows -> {output_path}/topk")
 
 
+@cli.command("bm25-index")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (doc_id, text, ...) rows")
+@click.option("--output", "output_path", required=True,
+              help="BM25 index root (postings/ meta/)")
+def bm25_index_cmd(docs_path, output_path) -> None:
+    """Build the BM25 serving index: the corpus tokenizes ONCE into a
+    (doc, term, tf, dl, df) postings relation plus corpus scalars —
+    probes never re-read document text."""
+    from lotad_spark.pipeline.retrieval import write_bm25_index
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_bm25_index")
+    write_bm25_index(read_table(spark, docs_path), output_path)
+    n = spark.read.parquet(f"{output_path}/postings").count()
+    click.echo(f"bm25-index: {n} postings -> {output_path}")
+
+
+@cli.command("bm25-topk")
+@click.option("--index", "index_path", type=click.Path(exists=True),
+              required=True, help="BM25 index root from bm25-index")
+@click.option("--queries", "query_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (query_id, query) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes (query_id, doc_id, score) to OUTPUT/topk")
+@click.option("--k", default=5, show_default=True)
+@click.option("--k1", default=1.2, show_default=True,
+              help="BM25 term-frequency saturation")
+@click.option("--b", default=0.75, show_default=True,
+              help="BM25 length normalization")
+def bm25_topk_cmd(index_path, query_path, output_path, k, k1, b) -> None:
+    """BM25 top-k against a bm25-index layout: query terms broadcast
+    and semi-join-reduce the stored postings; scores sum decimal-exact."""
+    from lotad_spark.pipeline.retrieval import bm25_against_index
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_bm25_topk")
+    q = read_table(spark, query_path)
+    res = bm25_against_index(spark, index_path, q, k=k, k1=k1, b=b)
+    res.write.mode("overwrite").parquet(f"{output_path}/topk")
+    n = spark.read.parquet(f"{output_path}/topk").count()
+    click.echo(f"bm25-topk: {n} result rows -> {output_path}/topk")
+
+
 @cli.command("dedup-spans")
 @click.option("--docs", "docs_path", type=click.Path(exists=True),
               required=True,

@@ -56,6 +56,11 @@ from lotad_spark.pipeline.multimodal import (
     with_decoded_metadata,
 )
 from lotad_spark.pipeline.bpe import apply_bpe, train_bpe
+from lotad_spark.pipeline.retrieval import (
+    bm25_against_index,
+    bm25_topk,
+    write_bm25_index,
+)
 from lotad_spark.pipeline.dedup import exact_dedup_rows, ngram_jaccard
 from lotad_spark.pipeline.spandedup import (
     duplicate_spans,
@@ -139,6 +144,9 @@ __all__ = [
     "temperature_rates",
     "train_bpe",
     "apply_bpe",
+    "bm25_against_index",
+    "bm25_topk",
+    "write_bm25_index",
     "duplicate_spans",
     "strip_duplicate_spans",
     "write_span_index",

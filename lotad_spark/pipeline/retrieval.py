@@ -1,0 +1,244 @@
+"""BM25 lexical retrieval over a document corpus.
+
+Robertson et al.'s Okapi BM25 (public: "Okapi at TREC-3", 1994; the
+idf form below is the Lucene variant, ``ln(1 + (N − df + 0.5) /
+(df + 0.5))``, which is non-negative for every df). The operator a
+training-data pipeline reaches for when it needs *lexical* retrieval —
+benchmark decontamination by retrieval instead of exact shingles,
+nearest-document audits, quality probes ("which docs answer this
+query"), and hard-negative mining for embedding training — complementing
+the embedding-space ANN ladder (`pipeline.similarity` / `pipeline.pq`).
+
+Scale shape (the 100 TB contract):
+
+* the corpus touches ONE tokenize+explode pass → a (doc, term, tf)
+  postings relation with map-side partial aggregation; document text
+  never shuffles;
+* document length and document frequency aggregate the already-reduced
+  postings relation — no second scan of the raw text;
+* the query relation is bounded (a serving batch), so its distinct
+  terms broadcast: the postings relation is semi-join-reduced to
+  query-vocabulary terms BEFORE any per-query work — at 100 TB the
+  matched postings are a vanishing fraction of the corpus;
+* corpus scalars (N, avgdl) ride in as a broadcast 1-row relation;
+* the per-(query, doc) score is a sum of per-term contributions, each
+  rounded to 6 decimals and cast to DECIMAL(18,6) FIRST, so the sum is
+  exact integer arithmetic — associative, partitioning-proof, and
+  bit-equal in any engine (the repo-wide decimal-sum convention);
+* top-k is the shared rank-window shape: WindowGroupLimit prunes to k
+  rows per query map-side before the final exchange.
+
+The write-once index face (:func:`write_bm25_index` /
+:func:`bm25_against_index`) materializes the postings + stats so a
+serving probe never re-tokenizes the corpus — the same
+build-once/probe-many pattern as ``build_ivf_index`` and
+``write_dedup_index``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lotad_spark.pipeline.text import tokens
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def _postings(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, term, tf) — one tokenize+explode pass, map-side combined."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _bm25_contribution(k1: float, b: float) -> Column:
+    """The per-(query-term, doc) BM25 term, rounded then decimal-cast so
+    per-document sums are exact. Expects columns tf, df, dl and the
+    broadcast scalars _n (docs) and _avgdl."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl")
+    )
+    return (
+        F.round(idf * tf * F.lit(k1 + 1.0) / norm, 6)
+        .cast("decimal(18,6)")
+        .alias("_c")
+    )
+
+
+def _score_and_rank(
+    matched: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    scored = (
+        matched.select(
+            query_id_col, id_col, _bm25_contribution(k1, b)
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_c").alias("_s"))
+        .select(
+            query_id_col,
+            id_col,
+            F.col("_s").cast("double").alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "score")
+    )
+
+
+def _query_terms(
+    queries: DataFrame, query_id_col: str, query_col: str
+) -> DataFrame:
+    """DISTINCT (query_id, term): classic BM25 ignores query-side term
+    frequency (queries are short; repeating a word in the query is not a
+    relevance signal)."""
+    return (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(tokens(F.lower(F.col(query_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25: (query_id, doc_id,
+    score), ties broken by doc_id ascending (total order → reproducible
+    across engines; score is the exact decimal sum read back as double).
+
+    ``avgdl`` counts EVERY corpus document (a zero-token document
+    contributes dl=0 to the average and can never match), matching the
+    textbook definition.
+
+    The postings relation feeds FOUR consumers (match, df, dl, total
+    tokens); Catalyst does not share common subplans, so without a
+    checkpoint the corpus would tokenize four times. A lazy
+    localCheckpoint (the dsir/dedup pattern) materializes the reduced
+    (doc, term, tf) relation once — document text is read exactly once.
+    The true serving path at 100 TB is :func:`write_bm25_index` +
+    :func:`bm25_against_index`, which persists that relation instead."""
+    postings = _postings(docs, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    df_rel = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scalars = docs.select(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    ).crossJoin(
+        postings.select(F.sum("tf").alias("_tot"))
+    ).select(
+        "_n", (F.col("_tot").cast("double") / F.col("_n")).alias("_avgdl")
+    )
+    qt = _query_terms(queries, query_id_col, query_col)
+    matched = (
+        postings.join(F.broadcast(qt), "term")
+        .join(df_rel, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scalars))
+    )
+    return _score_and_rank(matched, k, k1, b, id_col, query_id_col)
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the BM25 serving state: the postings relation with dl
+    and df already joined in (``postings/``: doc, term, tf, dl, df) and
+    the corpus scalars (``meta/``: n_docs, total_tokens). The corpus is
+    tokenized ONCE at build; every later probe reads back a few columns
+    of the reduced relation — document text never again enters a plan.
+    (The build itself lazily checkpoints the postings so its four
+    consumers — the stored join, df, dl, and the meta total — share one
+    tokenize pass, same as :func:`bm25_topk`.)"""
+    postings = _postings(docs, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    df_rel = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    postings.join(df_rel, "term").join(dl, id_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/postings")
+    docs.select(
+        F.count(F.lit(1)).alias("n_docs")
+    ).crossJoin(
+        postings.select(F.sum("tf").alias("total_tokens"))
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bm25_against_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Serve BM25 top-k off a :func:`write_bm25_index` layout —
+    bit-identical to :func:`bm25_topk` on the same corpus (pinned in
+    tests): the stored relation carries the same (tf, df, dl) integers
+    and the same scalar meta, and scoring reuses the identical
+    decimal-exact expression."""
+    postings = spark.read.parquet(f"{index_path}/postings")
+    meta = spark.read.parquet(f"{index_path}/meta")
+    scalars = meta.select(
+        F.col("n_docs").cast("double").alias("_n"),
+        (
+            F.col("total_tokens").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("_avgdl"),
+    )
+    qt = _query_terms(queries, query_id_col, query_col)
+    matched = postings.join(F.broadcast(qt), "term").crossJoin(
+        F.broadcast(scalars)
+    )
+    return _score_and_rank(matched, k, k1, b, id_col, query_id_col)
