@@ -787,6 +787,51 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_text_bigram_lm(spark, sf_dir):
+    """Interpolated bigram-LM perplexity proxy (absolute discounting,
+    Ney et al. 1994): per-doc average log-prob conditioning on the
+    previous token — separates shuffled word salad from coherent text,
+    which the unigram row cannot. Decimal-exact per-term sums keep the
+    score reduction-order- and engine-independent."""
+    from lotad_spark.pipeline import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_BIGRAM_LM_SQL = (
+    "WITH base1 AS (SELECT doc_id, w, len(w) AS n, w[1] AS w1first "
+    "FROM (SELECT doc_id, "
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    "x -> x <> '') AS w FROM documents) WHERE len(w) >= 1), "
+    "dp AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2, "
+    "CAST(count(*) AS BIGINT) AS tf FROM (SELECT doc_id, "
+    "unnest(list_transform(range(1, len(w)), "
+    "i -> {'w1': w[i], 'w2': w[i + 1]})) AS p FROM base1) "
+    "GROUP BY ALL), "
+    "uni AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS c FROM ("
+    "SELECT unnest(w) AS t FROM base1) GROUP BY t), "
+    "total AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uni), "
+    "big AS (SELECT w1, w2, SUM(tf) AS c12 FROM dp GROUP BY w1, w2), "
+    "hist AS (SELECT w1, SUM(c12) AS chist, "
+    "CAST(count(*) AS BIGINT) AS n1plus FROM big GROUP BY w1), "
+    "trans AS (SELECT dp.doc_id, dp.tf * CAST(round(ln("
+    "greatest(big.c12 - 0.75, 0.0) / hist.chist "
+    "+ (0.75 * hist.n1plus / hist.chist) * (u.c / tt.t)"
+    "), 6) AS DECIMAL(18,6)) AS lp "
+    "FROM dp JOIN big USING (w1, w2) JOIN hist USING (w1) "
+    "JOIN uni u ON u.w = dp.w2, total tt), "
+    "frst AS (SELECT b.doc_id, b.n, CAST(round(ln(u.c / tt.t), 6) "
+    "AS DECIMAL(18,6)) AS lp FROM base1 b "
+    "JOIN uni u ON u.w = b.w1first, total tt), "
+    "sums AS (SELECT doc_id, SUM(lp) AS slp FROM ("
+    "SELECT doc_id, lp FROM trans "
+    "UNION ALL SELECT doc_id, lp FROM frst) GROUP BY doc_id) "
+    "SELECT f.doc_id, CAST(f.n AS BIGINT) AS n_tokens, "
+    "round(CAST(s.slp AS DOUBLE) / f.n, 6) AS avg_logprob "
+    "FROM frst f JOIN sums s USING (doc_id)"
+)
+
+
 # Fixed serving batch for the BM25 row: terms drawn from the documents
 # fixture's vocabulary so every query matches; shared verbatim by the
 # Spark side and the SQL oracle.
@@ -3299,13 +3344,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       oracle including the selected flag). The three PQ rows displace
       chunk_manifest, curate_corpus, and mixture_sample to 51+;
       dsir_weights displaces length_quantiles (all r8-green).
-    * 19-20: ann_ivfpq_residual_topk and ann_sq8_topk — the r11-queue
-      candidates landed late in r10 with full value oracles (IVFADC
-      scaled-integer scoring; SQ8 dequantized-cosine replay). Priority
-      class (b) — no driver-green round yet — so they enter the window
-      immediately, displacing train_eval_split and stratified_cap
-      (r8-green) to 51-52.
-    * 21-50: the longest-unverified rows, all last driver-green r8
+    * 19-22: the rows landed LATE in r10 with full value oracles —
+      ann_ivfpq_residual_topk and ann_sq8_topk (the r11-queue ANN
+      candidates: IVFADC scaled-integer scoring; SQ8 dequantized-cosine
+      replay), bm25_topk (BM25 lexical retrieval, decimal-exact
+      contribution sums), and text_bigram_lm (interpolated bigram-LM
+      quality score, decimal-exact sums). Priority class (b) — no
+      driver-green round yet — so they enter the window immediately,
+      displacing upsample_weights, shuffle_batches, train_eval_split,
+      and stratified_cap (all r8-green) to 51-54.
+    * 23-50: the longest-unverified rows, all last driver-green r8
       with code unchanged since: sql_row_hash_diff, json_schema_drift,
       missing_table_records, the wizard family, q1/topk/window-agg
       headliners, the exact/minhash/simhash/jaccard dedup family,
@@ -3360,7 +3408,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scoring, full SQL replay); displaces shuffle_batches (r8-green)
         # to 51 ---
         "bm25_topk": q_bm25_topk,
-        # --- 22-50: longest-unverified (last driver-green r8) ---
+        # --- 22: NEW (late r10) — interpolated bigram-LM quality score
+        # (decimal-exact, full SQL replay); displaces upsample_weights
+        # (r8-green) to 51 ---
+        "text_bigram_lm": q_text_bigram_lm,
+        # --- 23-50: longest-unverified (last driver-green r8) ---
         "sql_row_hash_diff": q_sql_row_hash_diff,
         "json_schema_drift": q_json_schema_drift,
         "missing_table_records": q_missing_table_records,
@@ -3389,8 +3441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lm": q_text_unigram_lm,
         "tfidf_top_terms": q_tfidf_top_terms,
         "sample_hash": q_sample_hash,
-        "upsample_weights": q_upsample_weights,
-        "shuffle_batches": q_shuffle_batches,  # 51 — displaced by bm25_topk
+        "upsample_weights": q_upsample_weights,  # 51 — displaced by text_bigram_lm
+        "shuffle_batches": q_shuffle_batches,  # displaced by bm25_topk
         "train_eval_split": q_train_eval_split,  # displaced by the late-r10 ANN rows
         "stratified_cap": q_stratified_cap,
         "length_quantiles": q_length_quantiles,  # displaced by dsir_weights
@@ -4054,6 +4106,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_residual_topk": _ann_ivfpq_residual_sql(),
         "ann_sq8_topk": _ann_sq8_sql(),
         "bm25_topk": _bm25_sql(),
+        "text_bigram_lm": _TEXT_BIGRAM_LM_SQL,
         "events_funnel": """WITH s0 AS (SELECT user_id, min(ts) AS rts FROM events WHERE event_type = 'view' GROUP BY user_id), s1 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s0 USING (user_id) WHERE e.event_type = 'click' AND e.ts > s0.rts GROUP BY e.user_id), s2 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s1 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > s1.rts GROUP BY e.user_id) SELECT 0 AS step_index, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s0 UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1 UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2""",
         # Independent formulation: EXISTS-chain over per-step distinct
         # event sets vs the union+running-max DP — same reachable sets.

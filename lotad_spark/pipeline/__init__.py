@@ -12,6 +12,7 @@ operator shapes don't change.
 """
 
 from lotad_spark.pipeline.text import (
+    bigram_logprob,
     bow_fingerprint,
     duplicate_lines,
     lang_id,
@@ -106,6 +107,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "normalized_fingerprint",
+    "bigram_logprob",
     "bow_fingerprint",
     "pii_scrub",
     "repetition_stats",

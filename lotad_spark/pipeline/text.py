@@ -458,6 +458,147 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document average log-probability under the corpus's own
+    INTERPOLATED BIGRAM LM: (id, n_tokens, avg_logprob) — the contextual
+    upgrade of :func:`unigram_logprob`'s perplexity proxy (CCNet filters
+    with a 5-gram KenLM; a bigram model with absolute discounting is the
+    honest distributed version — it already separates shuffled-word-salad
+    from coherent text, which a unigram model by construction cannot).
+
+    Model (absolute discounting interpolated with the unigram, Ney et
+    al. 1994, public):
+
+        P(w₂|w₁) = max(c(w₁,w₂) − D, 0)/c(w₁·)
+                   + (D · N₁₊(w₁)/c(w₁·)) · P_uni(w₂)
+
+    with ``c(w₁·) = Σ_w c(w₁,w)`` (the history count, derived from the
+    bigram relation itself so the model is self-consistent), ``N₁₊(w₁)``
+    the number of distinct continuations of w₁, and
+    ``P_uni(w) = c(w)/T``. A document scores ``ln P_uni(w₁)`` for its
+    first token plus ``ln P(wᵢ|wᵢ₋₁)`` per transition, averaged over its
+    n tokens. Trained and applied on the same corpus in one plan, so
+    every scored bigram exists in the model — no unseen-event branch.
+
+    Determinism: each term is rounded to 6 decimals and cast to
+    DECIMAL(18,6) FIRST, so per-document sums are exact integer
+    arithmetic (the repo-wide decimal-sum convention); all the model's
+    inputs are integer counts, and the per-term double expression has a
+    fixed operation order mirrored by the SQL oracle.
+
+    Scale shape: bigrams explode once from a zip of two token-array
+    slices — the raw text is scanned once and never shuffles; the
+    (doc, w₁, w₂) relation gets map-side combine before its one
+    exchange; the model relations (bigram counts, history stats,
+    unigram) aggregate that already-reduced relation; scoring joins the
+    doc-bigram relation against the model by (w₁, w₂) — a term-keyed
+    shuffle of reduced rows, the :func:`unigram_logprob` shape. The
+    multi-consumer feature relation is lazily checkpointed (the
+    dsir/retrieval pattern) so the corpus tokenizes exactly once."""
+    toks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda t: t != ""
+    )
+    n = F.size(toks)
+    base = (
+        df.select(
+            F.col(id_col),
+            toks.alias("_w"),
+            n.alias("_n"),
+            F.element_at(toks, 1).alias("_w1first"),
+        )
+        .filter(F.col("_n") >= 1)
+        # three consumers (pairs, unigram counts, first-token rows):
+        # checkpoint the tokenized relation so raw text scans ONCE
+        .localCheckpoint(eager=False)
+    )
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_w"), 1, F.col("_n") - 1).alias("w1"),
+                F.slice(F.col("_w"), 2, F.col("_n") - 1).alias("w2"),
+            )
+        ).alias("_p"),
+    ).select(
+        id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+    doc_pairs = (
+        pairs.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        base.select(id_col, F.explode("_w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    total = uni.select(F.sum("c").cast("double").alias("_t"))
+    big = doc_pairs.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    hist = big.groupBy("w1").agg(
+        F.sum("c12").alias("chist"),
+        F.count(F.lit(1)).alias("n1plus"),
+    )
+    d = F.lit(discount)
+    # ln( max(c12−D,0)/chist + ((D·n1plus)/chist) · (c2/T) ) — fixed
+    # operation order, mirrored verbatim by the SQL oracle.
+    p_bi = F.greatest(
+        F.col("c12") - d, F.lit(0.0)
+    ) / F.col("chist") + (
+        d * F.col("n1plus") / F.col("chist")
+    ) * (F.col("_c2") / F.col("_t"))
+    trans = (
+        doc_pairs.join(big, ["w1", "w2"])
+        .join(hist, "w1")
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("_c2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (
+                F.col("tf")
+                * F.round(F.log(p_bi), 6).cast("decimal(18,6)")
+            ).alias("_lp"),
+        )
+    )
+    first = (
+        base.select(id_col, F.col("_w1first").alias("w"), "_n")
+        .join(uni, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("_n"),
+            F.round(F.log(F.col("c") / F.col("_t")), 6)
+            .cast("decimal(18,6)")
+            .alias("_lp"),
+        )
+    )
+    sums = (
+        trans.select(id_col, "_lp")
+        .unionByName(first.select(id_col, "_lp"))
+        .groupBy(id_col)
+        .agg(F.sum("_lp").alias("_sum_lp"))
+    )
+    return (
+        first.select(id_col, "_n")
+        .join(sums, id_col)
+        .select(
+            F.col(id_col),
+            F.col("_n").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.col("_sum_lp").cast("double") / F.col("_n"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def duplicate_lines(
     df: DataFrame,
     id_col: str = "doc_id",

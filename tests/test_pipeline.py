@@ -469,6 +469,99 @@ class TestUnigramLogprob:
         assert a == b  # decimal-exact sums: no reduction-order drift
 
 
+class TestBigramLogprob:
+    @staticmethod
+    def ref_bigram(corpus, discount=0.75):
+        """Independent plain-Python replay of the interpolated
+        absolute-discounting bigram LM with the operator's decimal-sum
+        contract."""
+        import math
+        from decimal import Decimal
+
+        toks = {
+            d: [w for w in t.lower().split() if w] for d, t in corpus
+        }
+        toks = {d: ws for d, ws in toks.items() if ws}
+        uni, big = {}, {}
+        for ws in toks.values():
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+        total = float(sum(uni.values()))
+        chist, n1plus = {}, {}
+        for (a, _), c in big.items():
+            chist[a] = chist.get(a, 0) + c
+            n1plus[a] = n1plus.get(a, 0) + 1
+        out = {}
+        for d, ws in toks.items():
+            s = Decimal(f"{round(math.log(uni[ws[0]] / total), 6):.6f}")
+            for a, b in zip(ws, ws[1:]):
+                p = max(big[(a, b)] - discount, 0.0) / chist[a] + (
+                    discount * n1plus[a] / chist[a]
+                ) * (uni[b] / total)
+                s += Decimal(f"{round(math.log(p), 6):.6f}")
+            out[d] = (len(ws), round(float(s) / len(ws), 6))
+        return out
+
+    CORPUS = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the cat"),
+        (3, "mat on sat cat the the"),  # shuffled word salad
+        (4, "qzxv"),                    # single rare token
+        (5, ""),                        # no tokens: absent from output
+        (6, "the cat sat on the mat again and again"),
+    ]
+
+    def test_matches_reference(self, spark):
+        from lotad_spark.pipeline import bigram_logprob
+
+        docs = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.n_tokens, r.avg_logprob)
+            for r in bigram_logprob(docs).collect()
+        }
+        assert got == self.ref_bigram(self.CORPUS)
+
+    def test_word_salad_scores_below_coherent(self, spark):
+        # Same unigram bag, different order: the bigram model separates
+        # them — the signal a unigram LM cannot express.
+        from lotad_spark.pipeline import bigram_logprob, unigram_logprob
+
+        docs = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        bi = {r.doc_id: r.avg_logprob for r in bigram_logprob(docs).collect()}
+        assert bi[1] > bi[3]
+        un = {
+            r.doc_id: r.avg_logprob for r in unigram_logprob(docs).collect()
+        }
+        assert un[1] == un[3]
+
+    def test_partitioning_invariant_scores(self, spark, sf_dir):
+        from lotad_spark.pipeline import bigram_logprob
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        docs = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        a = {r.doc_id: r.avg_logprob for r in bigram_logprob(docs).collect()}
+        b = {
+            r.doc_id: r.avg_logprob
+            for r in bigram_logprob(docs.repartition(17)).collect()
+        }
+        assert a == b  # decimal-exact sums: no reduction-order drift
+
+    def test_single_scan_of_text(self, spark, sf_dir):
+        from lotad_spark.pipeline import bigram_logprob
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        docs = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        plan = (
+            bigram_logprob(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Scan parquet") <= 1
+
+
 class TestIncrementalDedupIndex:
     def test_ingestion_batch_matches_batch_dedup(self, spark, sf_dir, tmp_path):
         """Index docs 0..N/2, probe with the rest: pairs found against
