@@ -787,6 +787,51 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_gopher_rules(spark, sf_dir):
+    """The Gopher quality-rule stack (Rae et al. 2021, Appendix A.1.1):
+    per-doc word/line metrics plus the combined passes flag, all from
+    ONE shuffle-free projection; ratios round to 6 before thresholding
+    so both engines branch identically at boundaries."""
+    from lotad_spark.pipeline import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+_GOPHER_RULES_SQL = (
+    "WITH staged AS (SELECT doc_id, "
+    "list_filter(string_split_regex(trim(lower(coalesce(text, ''))), "
+    "'\\s+'), x -> x <> '') AS w, "
+    "list_filter(list_transform(string_split_regex(coalesce(text, ''), "
+    "'\\n'), x -> trim(x)), x -> x <> '') AS l, "
+    "len(regexp_extract_all(coalesce(text, ''), '#|\\.\\.\\.|…')) "
+    "AS nsym FROM documents), "
+    "m AS (SELECT doc_id, "
+    "CAST(len(w) AS BIGINT) AS n_words, "
+    "round(CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) "
+    "AS DOUBLE) "
+    "/ CAST(greatest(len(w), 1) AS DOUBLE), 6) AS mean_word_len, "
+    "round(CAST(nsym AS DOUBLE) "
+    "/ CAST(greatest(len(w), 1) AS DOUBLE), 6) AS symbol_ratio, "
+    "round(CAST(len(list_filter(l, x -> starts_with(x, '•') "
+    "OR starts_with(x, '-') OR starts_with(x, '*'))) AS DOUBLE) "
+    "/ CAST(greatest(len(l), 1) AS DOUBLE), 6) AS bullet_ratio, "
+    "round(CAST(len(list_filter(l, x -> ends_with(x, '...') "
+    "OR ends_with(x, '…'))) AS DOUBLE) "
+    "/ CAST(greatest(len(l), 1) AS DOUBLE), 6) AS ellipsis_ratio, "
+    "round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) "
+    "AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE), 6) "
+    "AS alpha_ratio, "
+    "CAST(len(list_filter(w, x -> list_contains(['the', 'be', 'to', "
+    "'of', 'and', 'that', 'have', 'with'], x))) AS BIGINT) "
+    "AS n_stopwords FROM staged) "
+    "SELECT *, (n_words BETWEEN 50 AND 100000) "
+    "AND (mean_word_len BETWEEN 3.0 AND 10.0) "
+    "AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 "
+    "AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8 "
+    "AND n_stopwords >= 2 AS passes FROM m"
+)
+
+
 def q_text_bigram_lm(spark, sf_dir):
     """Interpolated bigram-LM perplexity proxy (absolute discounting,
     Ney et al. 1994): per-doc average log-prob conditioning on the
@@ -3344,16 +3389,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       oracle including the selected flag). The three PQ rows displace
       chunk_manifest, curate_corpus, and mixture_sample to 51+;
       dsir_weights displaces length_quantiles (all r8-green).
-    * 19-22: the rows landed LATE in r10 with full value oracles —
+    * 19-23: the rows landed LATE in r10 with full value oracles —
       ann_ivfpq_residual_topk and ann_sq8_topk (the r11-queue ANN
       candidates: IVFADC scaled-integer scoring; SQ8 dequantized-cosine
       replay), bm25_topk (BM25 lexical retrieval, decimal-exact
-      contribution sums), and text_bigram_lm (interpolated bigram-LM
-      quality score, decimal-exact sums). Priority class (b) — no
-      driver-green round yet — so they enter the window immediately,
-      displacing upsample_weights, shuffle_batches, train_eval_split,
-      and stratified_cap (all r8-green) to 51-54.
-    * 23-50: the longest-unverified rows, all last driver-green r8
+      contribution sums), text_bigram_lm (interpolated bigram-LM
+      quality score, decimal-exact sums), and gopher_rules (the Gopher
+      quality stack, shuffle-free projection, round-6-then-threshold).
+      Priority class (b) — no driver-green round yet — so they enter
+      the window immediately, displacing sample_hash,
+      upsample_weights, shuffle_batches, train_eval_split, and
+      stratified_cap (all r8-green) to 51-55.
+    * 24-50: the longest-unverified rows, all last driver-green r8
       with code unchanged since: sql_row_hash_diff, json_schema_drift,
       missing_table_records, the wizard family, q1/topk/window-agg
       headliners, the exact/minhash/simhash/jaccard dedup family,
@@ -3412,7 +3459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (decimal-exact, full SQL replay); displaces upsample_weights
         # (r8-green) to 51 ---
         "text_bigram_lm": q_text_bigram_lm,
-        # --- 23-50: longest-unverified (last driver-green r8) ---
+        # --- 23: NEW (late r10) — Gopher quality-rule stack (Rae et al.
+        # 2021, shuffle-free projection, full SQL replay); displaces
+        # sample_hash (r8-green) to 51 ---
+        "gopher_rules": q_gopher_rules,
+        # --- 24-50: longest-unverified (last driver-green r8) ---
         "sql_row_hash_diff": q_sql_row_hash_diff,
         "json_schema_drift": q_json_schema_drift,
         "missing_table_records": q_missing_table_records,
@@ -3440,8 +3491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_unigram_lm": q_text_unigram_lm,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "sample_hash": q_sample_hash,
-        "upsample_weights": q_upsample_weights,  # 51 — displaced by text_bigram_lm
+        "sample_hash": q_sample_hash,  # 51 — displaced by gopher_rules
+        "upsample_weights": q_upsample_weights,  # displaced by text_bigram_lm
         "shuffle_batches": q_shuffle_batches,  # displaced by bm25_topk
         "train_eval_split": q_train_eval_split,  # displaced by the late-r10 ANN rows
         "stratified_cap": q_stratified_cap,
@@ -4107,6 +4158,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_sq8_topk": _ann_sq8_sql(),
         "bm25_topk": _bm25_sql(),
         "text_bigram_lm": _TEXT_BIGRAM_LM_SQL,
+        "gopher_rules": _GOPHER_RULES_SQL,
         "events_funnel": """WITH s0 AS (SELECT user_id, min(ts) AS rts FROM events WHERE event_type = 'view' GROUP BY user_id), s1 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s0 USING (user_id) WHERE e.event_type = 'click' AND e.ts > s0.rts GROUP BY e.user_id), s2 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s1 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > s1.rts GROUP BY e.user_id) SELECT 0 AS step_index, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s0 UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1 UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2""",
         # Independent formulation: EXISTS-chain over per-step distinct
         # event sets vs the union+running-max DP — same reachable sets.

@@ -15,6 +15,7 @@ from lotad_spark.pipeline.text import (
     bigram_logprob,
     bow_fingerprint,
     duplicate_lines,
+    gopher_rules,
     lang_id,
     normalized_fingerprint,
     pii_scrub,
@@ -103,6 +104,7 @@ __all__ = [
     "dsir_resample",
     "text_stats",
     "duplicate_lines",
+    "gopher_rules",
     "strip_duplicate_lines",
     "quality_score",
     "lang_id",

@@ -458,6 +458,131 @@ def unigram_logprob(
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training Gopher",
+    Appendix A.1.1 — public), the standard pre-filter stack every
+    web-scale corpus runs before dedup: per document,
+
+    * word count within [min_words, max_words];
+    * mean word length within [min_mean_word_len, max_mean_word_len];
+    * symbol-to-word ratio (``#`` or ``...``/``…``) ≤ max_symbol_ratio;
+    * ≤ max_bullet_ratio of lines starting with a bullet
+      (``•``/``-``/``*``);
+    * ≤ max_ellipsis_ratio of lines ending with an ellipsis;
+    * ≥ min_alpha_ratio of words containing an alphabetic character;
+    * ≥ min_stopwords distinct-occurrence hits from the small English
+      stopword list (the paper uses {the, be, to, of, and, that, have,
+      with}).
+
+    Returns every metric plus the combined ``passes`` flag so callers
+    can audit WHICH rule fired (the operational need at 100 TB is "why
+    did my corpus shrink 40%", not just the surviving rows).
+
+    Scale/determinism shape: one projection over one scan — no joins, no
+    aggregation, no shuffle; every metric is integer counting over the
+    token/line arrays except the two ratios and the mean, which are
+    single double divisions rounded to 6 decimals (the SQL oracle
+    replays the identical expression; threshold comparisons run on the
+    ROUNDED values so both engines branch identically at boundaries).
+    NULL text coalesces to '' (scores as an empty document and fails
+    the word-count rule, never poisons size() with -1). "Alphabetic"
+    means ASCII [a-z] after lowercasing — swap the class for \\p{L}
+    when filtering multilingual corpora."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # Two-stage projection: the lambda-bearing token/line arrays land as
+    # their own columns first, and every metric references the PLAIN
+    # columns — sharing one HOF tree across sibling select outputs hits
+    # a Spark 4 common-expression-rewrite hazard (sub-references can
+    # resolve against the sibling output; see strip_duplicate_spans).
+    staged = df.select(
+        F.col(id_col),
+        F.filter(tokens(F.lower(t)), lambda w: w != "").alias("_w"),
+        F.filter(
+            F.transform(F.split(t, r"\n"), lambda line: F.trim(line)),
+            lambda line: line != "",
+        ).alias("_l"),
+        F.size(
+            F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), F.lit(0))
+        ).alias("_nsym"),
+    )
+    words, lines = F.col("_w"), F.col("_l")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    sum_word_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = F.col("_nsym")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda line: line.startswith("•")
+            | line.startswith("-")
+            | line.startswith("*"),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda line: line.endswith("...") | line.endswith("…"),
+        )
+    )
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-z]"))
+    )
+    stop = F.array(
+        *[
+            F.lit(w)
+            for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+        ]
+    )
+    n_stop = F.size(
+        F.filter(words, lambda w: F.array_contains(stop, w))
+    )
+    d1 = F.greatest(n_words, F.lit(1)).cast("double")
+    dl = F.greatest(n_lines, F.lit(1)).cast("double")
+    metrics = staged.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(sum_word_len.cast("double") / d1, 6).alias(
+            "mean_word_len"
+        ),
+        F.round(n_symbols.cast("double") / d1, 6).alias("symbol_ratio"),
+        F.round(n_bullet.cast("double") / dl, 6).alias("bullet_ratio"),
+        F.round(n_ellipsis.cast("double") / dl, 6).alias(
+            "ellipsis_ratio"
+        ),
+        F.round(n_alpha.cast("double") / d1, 6).alias("alpha_ratio"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+    )
+    return metrics.withColumn(
+        "passes",
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len
+        )
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_ratio") <= max_bullet_ratio)
+        & (F.col("ellipsis_ratio") <= max_ellipsis_ratio)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("n_stopwords") >= min_stopwords),
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -469,6 +469,106 @@ class TestUnigramLogprob:
         assert a == b  # decimal-exact sums: no reduction-order drift
 
 
+class TestGopherRules:
+    @staticmethod
+    def ref_gopher(corpus):
+        import re
+
+        out = {}
+        stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+        for d, t in corpus:
+            t = t or ""
+            words = [w for w in t.lower().split() if w]
+            lines = [ln.strip() for ln in t.split("\n") if ln.strip()]
+            nw, nl = max(len(words), 1), max(len(lines), 1)
+            m = {
+                "n_words": len(words),
+                "mean_word_len": round(sum(map(len, words)) / nw, 6),
+                "symbol_ratio": round(
+                    len(re.findall(r"#|\.\.\.|…", t)) / nw, 6
+                ),
+                "bullet_ratio": round(
+                    sum(ln.startswith(("•", "-", "*")) for ln in lines)
+                    / nl,
+                    6,
+                ),
+                "ellipsis_ratio": round(
+                    sum(ln.endswith(("...", "…")) for ln in lines) / nl,
+                    6,
+                ),
+                "alpha_ratio": round(
+                    sum(bool(re.search("[a-z]", w)) for w in words) / nw,
+                    6,
+                ),
+                "n_stopwords": sum(w in stop for w in words),
+            }
+            m["passes"] = (
+                50 <= m["n_words"] <= 100_000
+                and 3.0 <= m["mean_word_len"] <= 10.0
+                and m["symbol_ratio"] <= 0.1
+                and m["bullet_ratio"] <= 0.9
+                and m["ellipsis_ratio"] <= 0.3
+                and m["alpha_ratio"] >= 0.8
+                and m["n_stopwords"] >= 2
+            )
+            out[d] = m
+        return out
+
+    CORPUS = [
+        (1, "the cat sat on the mat and that dog went to the park "
+            "with a ball of yarn to have fun " * 3),   # long, clean: passes
+        (2, "the cat"),                                 # too short
+        (3, "### #### ##### " + "the of and that be to have with " * 10),  # symbols
+        (4, "- one\n- two\n- three\n- four"),           # all bullets
+        (5, "12 34 56 78 " * 20),                       # numeric: alpha fails
+        (6, None),                                      # NULL text
+        (7, "word... more...\nagain...\nthe of and " * 8),  # ellipsis lines
+    ]
+
+    def test_matches_reference(self, spark):
+        from lotad_spark.pipeline import gopher_rules
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id bigint, text string")
+        got = {
+            r.doc_id: {
+                k: getattr(r, k)
+                for k in (
+                    "n_words mean_word_len symbol_ratio bullet_ratio "
+                    "ellipsis_ratio alpha_ratio n_stopwords passes"
+                ).split()
+            }
+            for r in gopher_rules(docs).collect()
+        }
+        assert got == self.ref_gopher(self.CORPUS)
+
+    def test_expected_verdicts(self, spark):
+        from lotad_spark.pipeline import gopher_rules
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id bigint, text string")
+        passes = {r.doc_id: r.passes for r in gopher_rules(docs).collect()}
+        assert passes[1] is True
+        assert passes[2] is False          # word count
+        assert passes[3] is False          # symbol ratio
+        assert passes[4] is False          # bullet ratio (and length)
+        assert passes[5] is False          # alphabetic ratio
+        assert passes[6] is False          # NULL text = empty doc
+        assert passes[7] is False          # ellipsis line ratio
+
+    def test_no_shuffle_single_projection(self, spark, sf_dir):
+        from lotad_spark.pipeline import gopher_rules
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        docs = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        plan = (
+            gopher_rules(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert plan.count("Scan parquet") == 1
+
+
 class TestBigramLogprob:
     @staticmethod
     def ref_bigram(corpus, discount=0.75):
