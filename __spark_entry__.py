@@ -787,6 +787,39 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_token_windows(spark, sf_dir):
+    """Overlapping per-document token windows (RAG / long-context chunk
+    prep): size=64, stride=48 over the documents table — start sequence
+    plus a tail-covering final start, every window exactly
+    min(size, n) tokens. Pure projection + explode, zero shuffles."""
+    from lotad_spark.pipeline import sliding_token_windows
+
+    return sliding_token_windows(_t(spark, sf_dir, "documents"), 64, 48)
+
+
+_TOKEN_WINDOWS_SQL = (
+    # Start list: 1, 1+48, … ≤ last, plus last itself when not aligned
+    # ((last−1) % 48 == 0 ⇔ already in the sequence — replayed without
+    # list_distinct, whose ordering DuckDB does not pin).
+    "WITH b1 AS (SELECT doc_id, w, len(w) AS n, "
+    "greatest(len(w) - 64 + 1, 1) AS lst FROM ("
+    "SELECT doc_id, list_filter(string_split_regex(trim(text), "
+    "'\\s+'), x -> x <> '') AS w FROM documents) WHERE len(w) > 0), "
+    "b2 AS (SELECT doc_id, w, CASE WHEN (lst - 1) % 48 = 0 "
+    "THEN range(1, lst + 1, 48) "
+    "ELSE list_append(range(1, lst + 1, 48), lst) END AS starts "
+    "FROM b1), "
+    "wins AS (SELECT doc_id, w, i - 1 AS window_id, starts[i] "
+    "AS start_pos FROM (SELECT doc_id, w, starts, "
+    "unnest(range(1, len(starts) + 1)) AS i FROM b2)) "
+    "SELECT doc_id, CAST(window_id AS BIGINT) AS window_id, "
+    "CAST(start_pos AS BIGINT) AS start_pos, "
+    "CAST(len(chunk) AS BIGINT) AS n_window_tokens, "
+    "array_to_string(chunk, ' ') AS window_text FROM ("
+    "SELECT *, w[start_pos:(start_pos + 63)] AS chunk FROM wins)"
+)
+
+
 def q_gopher_rules(spark, sf_dir):
     """The Gopher quality-rule stack (Rae et al. 2021, Appendix A.1.1):
     per-doc word/line metrics plus the combined passes flag, all from
@@ -3389,18 +3422,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       oracle including the selected flag). The three PQ rows displace
       chunk_manifest, curate_corpus, and mixture_sample to 51+;
       dsir_weights displaces length_quantiles (all r8-green).
-    * 19-23: the rows landed LATE in r10 with full value oracles —
+    * 19-24: the rows landed LATE in r10 with full value oracles —
       ann_ivfpq_residual_topk and ann_sq8_topk (the r11-queue ANN
       candidates: IVFADC scaled-integer scoring; SQ8 dequantized-cosine
       replay), bm25_topk (BM25 lexical retrieval, decimal-exact
       contribution sums), text_bigram_lm (interpolated bigram-LM
-      quality score, decimal-exact sums), and gopher_rules (the Gopher
-      quality stack, shuffle-free projection, round-6-then-threshold).
+      quality score, decimal-exact sums), gopher_rules (the Gopher
+      quality stack, shuffle-free projection, round-6-then-threshold),
+      and token_windows (overlapping RAG chunk windows, zero-shuffle).
       Priority class (b) — no driver-green round yet — so they enter
-      the window immediately, displacing sample_hash,
+      the window immediately, displacing tfidf_top_terms, sample_hash,
       upsample_weights, shuffle_batches, train_eval_split, and
-      stratified_cap (all r8-green) to 51-55.
-    * 24-50: the longest-unverified rows, all last driver-green r8
+      stratified_cap (all r8-green) to 51-56.
+    * 25-50: the longest-unverified rows, all last driver-green r8
       with code unchanged since: sql_row_hash_diff, json_schema_drift,
       missing_table_records, the wizard family, q1/topk/window-agg
       headliners, the exact/minhash/simhash/jaccard dedup family,
@@ -3463,7 +3497,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2021, shuffle-free projection, full SQL replay); displaces
         # sample_hash (r8-green) to 51 ---
         "gopher_rules": q_gopher_rules,
-        # --- 24-50: longest-unverified (last driver-green r8) ---
+        # --- 24: NEW (late r10) — overlapping token windows (RAG chunk
+        # prep, zero-shuffle projection, full SQL replay); displaces
+        # tfidf_top_terms (r8-green) to 51 ---
+        "token_windows": q_token_windows,
+        # --- 25-50: longest-unverified (last driver-green r8) ---
         "sql_row_hash_diff": q_sql_row_hash_diff,
         "json_schema_drift": q_json_schema_drift,
         "missing_table_records": q_missing_table_records,
@@ -3490,8 +3528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "text_unigram_lm": q_text_unigram_lm,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "sample_hash": q_sample_hash,  # 51 — displaced by gopher_rules
+        "tfidf_top_terms": q_tfidf_top_terms,  # 51 — displaced by token_windows
+        "sample_hash": q_sample_hash,  # displaced by gopher_rules
         "upsample_weights": q_upsample_weights,  # displaced by text_bigram_lm
         "shuffle_batches": q_shuffle_batches,  # displaced by bm25_topk
         "train_eval_split": q_train_eval_split,  # displaced by the late-r10 ANN rows
@@ -4159,6 +4197,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "text_bigram_lm": _TEXT_BIGRAM_LM_SQL,
         "gopher_rules": _GOPHER_RULES_SQL,
+        "token_windows": _TOKEN_WINDOWS_SQL,
         "events_funnel": """WITH s0 AS (SELECT user_id, min(ts) AS rts FROM events WHERE event_type = 'view' GROUP BY user_id), s1 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s0 USING (user_id) WHERE e.event_type = 'click' AND e.ts > s0.rts GROUP BY e.user_id), s2 AS (SELECT e.user_id, min(e.ts) AS rts FROM events e JOIN s1 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > s1.rts GROUP BY e.user_id) SELECT 0 AS step_index, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s0 UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1 UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2""",
         # Independent formulation: EXISTS-chain over per-step distinct
         # event sets vs the union+running-max DP — same reachable sets.

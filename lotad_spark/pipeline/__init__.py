@@ -79,6 +79,7 @@ from lotad_spark.pipeline.sampling import (
     shuffle_batches,
     stratified_cap,
     temperature_rates,
+    sliding_token_windows,
     token_chunk_plan,
     train_eval_split,
     upsample_by_weight,
@@ -156,6 +157,7 @@ __all__ = [
     "write_span_index",
     "duplicate_spans_against_index",
     "tfidf_top_terms",
+    "sliding_token_windows",
     "token_chunk_plan",
     "train_eval_split",
     "weighted_sample",

@@ -339,6 +339,68 @@ def shuffle_batches(
     )
 
 
+def sliding_token_windows(
+    df: DataFrame,
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping per-document token windows — the RAG / long-context
+    chunk-prep step (split every document into ``size``-token chunks
+    every ``stride`` tokens, overlap = size − stride): one row per
+    window, ``(id, window_id, start_pos, n_window_tokens, window_text)``.
+    Distinct from :func:`token_chunk_plan`, which packs the WHOLE corpus
+    end-to-end into fixed training blocks with no overlap and documents
+    spanning blocks; here windows never cross documents and overlap by
+    design.
+
+    Coverage rule (deterministic, engine-free): window starts are
+    1, 1+stride, 1+2·stride, … up to ``max(n − size + 1, 1)``, plus the
+    final start ``max(n − size + 1, 1)`` itself (so the document tail is
+    always covered even when ``n − 1`` is not a multiple of stride);
+    duplicate starts collapse. Every window therefore has exactly
+    ``min(size, n)`` tokens — no ragged tail chunks, the shape
+    long-context training wants. Zero-token documents yield no rows.
+
+    Scale shape: a pure projection + explode over one scan — the window
+    starts generate per row from a ``sequence()``, the token array binds
+    once, and no shuffle exists anywhere in the plan (callers aggregate
+    or write as they choose). Window text re-joins with single spaces
+    (the tokenizer's whitespace equivalence class)."""
+    if size <= 0 or stride <= 0:
+        raise ValueError(
+            f"sliding_token_windows: size={size} and stride={stride} "
+            "must be positive"
+        )
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("_w"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") > 0)
+    last_start = F.greatest(F.col("_n") - F.lit(size) + 1, F.lit(1))
+    starts = F.array_distinct(
+        F.concat(
+            F.sequence(F.lit(1), last_start, F.lit(stride)),
+            F.array(last_start),
+        )
+    )
+    win = base.select(
+        id_col,
+        "_w",
+        F.posexplode(starts).alias("window_id", "start_pos"),
+    )
+    chunk = F.slice(F.col("_w"), F.col("start_pos"), size)
+    return win.select(
+        F.col(id_col),
+        F.col("window_id").cast("bigint").alias("window_id"),
+        F.col("start_pos").cast("bigint").alias("start_pos"),
+        F.size(chunk).cast("bigint").alias("n_window_tokens"),
+        F.array_join(chunk, " ").alias("window_text"),
+    )
+
+
 def token_chunk_plan(
     df: DataFrame,
     block_size: int,

@@ -156,6 +156,24 @@ class TestBm25:
         finally:
             shutil.rmtree(path, ignore_errors=True)
 
+    def test_partitioning_invariant_scores(self, spark, sf_dir):
+        # Decimal-exact contribution sums: no reduction-order drift.
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        docs = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        queries = docs.sparkSession.createDataFrame(
+            [(0, "hash join"), (1, "window scan")],
+            "query_id bigint, query string",
+        )
+        a = sorted(map(tuple, bm25_topk(docs, queries, k=10).collect()))
+        b = sorted(
+            map(
+                tuple,
+                bm25_topk(docs.repartition(17), queries, k=10).collect(),
+            )
+        )
+        assert a == b
+
     def test_cli_index_and_topk(self, spark, sf_dir, tmp_path):
         from click.testing import CliRunner
 

@@ -322,6 +322,87 @@ class TestUpsampleByWeight:
             upsample_by_weight(docs, {"src0": -1.0})
 
 
+class TestSlidingTokenWindows:
+    @staticmethod
+    def ref_windows(corpus, size, stride):
+        out = []
+        for d, t in corpus:
+            w = [x for x in t.split() if x]
+            n = len(w)
+            if n == 0:
+                continue
+            last = max(n - size + 1, 1)
+            starts = list(range(1, last + 1, stride))
+            if starts[-1] != last:
+                starts.append(last)
+            for i, s in enumerate(starts):
+                chunk = w[s - 1 : s - 1 + size]
+                out.append((d, i, s, len(chunk), " ".join(chunk)))
+        return sorted(out)
+
+    CORPUS = [
+        (1, "a b c d e f g h i j"),   # n=10
+        (2, "a b c"),                 # shorter than size
+        (3, ""),                      # no rows
+        (4, "a b c d e f g"),         # tail not stride-aligned
+    ]
+
+    def test_matches_reference(self, spark):
+        from lotad_spark.pipeline import sliding_token_windows
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id bigint, text string")
+        got = sorted(
+            map(tuple, sliding_token_windows(docs, 4, 3).collect())
+        )
+        assert got == self.ref_windows(self.CORPUS, 4, 3)
+
+    def test_full_coverage_and_overlap(self, spark):
+        from lotad_spark.pipeline import sliding_token_windows
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id bigint, text string")
+        rows = sliding_token_windows(docs, 4, 3).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # every token position covered; every window full-size (or doc len)
+        for d, t in self.CORPUS:
+            n = len(t.split())
+            if n == 0:
+                assert d not in by_doc
+                continue
+            covered = set()
+            for r in by_doc[d]:
+                assert r.n_window_tokens == min(4, n)
+                covered.update(
+                    range(r.start_pos, r.start_pos + r.n_window_tokens)
+                )
+            assert covered == set(range(1, n + 1))
+
+    def test_rejects_nonpositive_params(self, spark):
+        import pytest as _pt
+
+        from lotad_spark.pipeline import sliding_token_windows
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id bigint, text string")
+        with _pt.raises(ValueError):
+            sliding_token_windows(docs, 0, 1)
+        with _pt.raises(ValueError):
+            sliding_token_windows(docs, 4, 0)
+
+    def test_no_shuffle(self, spark, sf_dir):
+        from lotad_spark.pipeline import sliding_token_windows
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        docs = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        plan = (
+            sliding_token_windows(docs, 64, 48)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
 class TestShuffleBatches:
     def test_positions_contiguous_and_batches_full(self, docs):
         from lotad_spark.pipeline import shuffle_batches
