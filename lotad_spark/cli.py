@@ -518,6 +518,28 @@ def bm25_index_cmd(docs_path, output_path) -> None:
     click.echo(f"bm25-index: {n} postings -> {output_path}")
 
 
+@cli.command("bm25-append")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with the NEW (doc_id, text) batch")
+@click.option("--index", "index_path", type=click.Path(exists=True),
+              required=True, help="Live BM25 index root from bm25-index")
+def bm25_append_cmd(docs_path, index_path) -> None:
+    """Append a document batch to a live BM25 index: the batch
+    tokenizes once and parquet-appends; existing files are never
+    touched and df stays fresh by construction (derived at probe)."""
+    from lotad_spark.pipeline.retrieval import append_to_bm25_index
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_bm25_append")
+    append_to_bm25_index(read_table(spark, docs_path), index_path)
+    m = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    click.echo(
+        f"bm25-append: index now {m['n_docs']} docs / "
+        f"{m['total_tokens']} tokens"
+    )
+
+
 @cli.command("bm25-topk")
 @click.option("--index", "index_path", type=click.Path(exists=True),
               required=True, help="BM25 index root from bm25-index")

@@ -59,6 +59,7 @@ from lotad_spark.pipeline.multimodal import (
 )
 from lotad_spark.pipeline.bpe import apply_bpe, train_bpe
 from lotad_spark.pipeline.retrieval import (
+    append_to_bm25_index,
     bm25_against_index,
     bm25_topk,
     write_bm25_index,
@@ -149,6 +150,7 @@ __all__ = [
     "temperature_rates",
     "train_bpe",
     "apply_bpe",
+    "append_to_bm25_index",
     "bm25_against_index",
     "bm25_topk",
     "write_bm25_index",

@@ -179,6 +179,27 @@ def bm25_topk(
     return _score_and_rank(matched, k, k1, b, id_col, query_id_col)
 
 
+def _index_postings(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(postings-with-dl, meta) for one document batch — shared by the
+    index build and the incremental append so both write the identical
+    layout."""
+    postings = _postings(docs, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stored = postings.join(dl, id_col)
+    meta = docs.select(
+        F.count(F.lit(1)).alias("n_docs")
+    ).crossJoin(
+        postings.select(
+            F.coalesce(F.sum("tf"), F.lit(0)).alias("total_tokens")
+        )
+    )
+    return stored, meta
+
+
 def write_bm25_index(
     docs: DataFrame,
     path: str,
@@ -187,27 +208,55 @@ def write_bm25_index(
     text_col: str = "text",
 ) -> None:
     """Materialize the BM25 serving state: the postings relation with dl
-    and df already joined in (``postings/``: doc, term, tf, dl, df) and
-    the corpus scalars (``meta/``: n_docs, total_tokens). The corpus is
-    tokenized ONCE at build; every later probe reads back a few columns
-    of the reduced relation — document text never again enters a plan.
-    (The build itself lazily checkpoints the postings so its four
-    consumers — the stored join, df, dl, and the meta total — share one
-    tokenize pass, same as :func:`bm25_topk`.)"""
-    postings = _postings(docs, id_col, text_col).localCheckpoint(
-        eager=False
-    )
-    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    df_rel = postings.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    postings.join(df_rel, "term").join(dl, id_col).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/postings")
-    docs.select(
-        F.count(F.lit(1)).alias("n_docs")
-    ).crossJoin(
-        postings.select(F.sum("tf").alias("total_tokens"))
+    joined in (``postings/``: doc, term, tf, dl) and the corpus scalars
+    (``meta/``: n_docs, total_tokens). The corpus is tokenized ONCE at
+    build; every later probe reads back a few columns of the reduced
+    relation — document text never again enters a plan. (The build
+    lazily checkpoints the postings so its three consumers — the stored
+    join, dl, and the meta total — share one tokenize pass, same as
+    :func:`bm25_topk`.)
+
+    Document frequency is deliberately NOT stored: df is a corpus-GLOBAL
+    statistic, so a baked-in copy goes stale the moment documents are
+    appended. The probe derives df from the matched postings instead
+    (for a query term t, the matched postings ARE all of t's postings —
+    one count over the already-semi-reduced relation), so df is fresh by
+    construction and :func:`append_to_bm25_index` is a pure
+    parquet-append plus a meta rewrite."""
+    stored, meta = _index_postings(docs, id_col, text_col)
+    stored.write.mode("overwrite").parquet(f"{path}/postings")
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_to_bm25_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a new document batch to a live :func:`write_bm25_index`
+    layout WITHOUT re-reading the existing corpus: the batch tokenizes
+    once, its (doc, term, tf, dl) rows parquet-append into ``postings/``
+    (existing files untouched), and ``meta/`` rewrites as the sum of
+    the old scalars and the batch's — two integers, no corpus scan.
+    Because df derives at probe time from the (now larger) postings and
+    dl is a per-document constant, a probe after the append is
+    bit-identical to a fresh build over the union (pinned in tests) —
+    the daily-increment loop for a growing corpus."""
+    spark = docs.sparkSession
+    old = spark.read.parquet(f"{path}/meta").collect()[0]
+    stored, meta = _index_postings(docs, id_col, text_col)
+    stored.write.mode("append").parquet(f"{path}/postings")
+    new = meta.collect()[0]
+    spark.createDataFrame(
+        [
+            (
+                int(old["n_docs"]) + int(new["n_docs"]),
+                int(old["total_tokens"]) + int(new["total_tokens"]),
+            )
+        ],
+        "n_docs bigint, total_tokens bigint",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -224,10 +273,15 @@ def bm25_against_index(
     query_col: str = "query",
 ) -> DataFrame:
     """Serve BM25 top-k off a :func:`write_bm25_index` layout —
-    bit-identical to :func:`bm25_topk` on the same corpus (pinned in
-    tests): the stored relation carries the same (tf, df, dl) integers
-    and the same scalar meta, and scoring reuses the identical
-    decimal-exact expression."""
+    bit-identical to :func:`bm25_topk` on the same corpus, including
+    after :func:`append_to_bm25_index` (both pinned in tests): the
+    stored relation carries the same (tf, dl) integers and the same
+    scalar meta, df derives from the matched postings (for a query term
+    the matched postings ARE all of its postings, so the count equals
+    the full-corpus df), and scoring reuses the identical decimal-exact
+    expression. The postings scan semi-reduces on the DISTINCT query
+    terms first and checkpoints, so the stored relation is read once
+    and df never double-counts terms shared between queries."""
     postings = spark.read.parquet(f"{index_path}/postings")
     meta = spark.read.parquet(f"{index_path}/meta")
     scalars = meta.select(
@@ -238,7 +292,16 @@ def bm25_against_index(
         ).alias("_avgdl"),
     )
     qt = _query_terms(queries, query_id_col, query_col)
-    matched = postings.join(F.broadcast(qt), "term").crossJoin(
-        F.broadcast(scalars)
+    qterms = qt.select("term").distinct()
+    tpost = postings.join(
+        F.broadcast(qterms), "term"
+    ).localCheckpoint(eager=False)
+    df_rel = tpost.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    matched = (
+        tpost.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(scalars))
     )
     return _score_and_rank(matched, k, k1, b, id_col, query_id_col)

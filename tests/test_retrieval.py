@@ -8,6 +8,7 @@ from decimal import Decimal
 import pytest
 
 from lotad_spark.pipeline.retrieval import (
+    append_to_bm25_index,
     bm25_against_index,
     bm25_topk,
     write_bm25_index,
@@ -155,6 +156,55 @@ class TestBm25:
             assert probed == direct
         finally:
             shutil.rmtree(path, ignore_errors=True)
+
+    def test_append_probe_equals_union_rebuild(self, spark, frames, tmp_path):
+        """Probe after append ≡ direct BM25 over the union corpus: df
+        derives at probe time, so appended docs shift every score
+        exactly as a rebuild would."""
+        import os
+
+        _, queries = frames
+        first = [d for d in DOCS if d[0] <= 4]
+        rest = [d for d in DOCS if d[0] > 4]
+        docs1 = spark.createDataFrame(first, "doc_id bigint, text string")
+        docs2 = spark.createDataFrame(rest, "doc_id bigint, text string")
+        path = str(tmp_path / "bm25_inc")
+        write_bm25_index(docs1, path)
+        pre = {
+            f: os.path.getmtime(os.path.join(f"{path}/postings", f))
+            for f in os.listdir(f"{path}/postings")
+            if f.endswith(".parquet")
+        }
+        append_to_bm25_index(docs2, path)
+        # existing posting files untouched
+        for f, mt in pre.items():
+            assert os.path.getmtime(os.path.join(f"{path}/postings", f)) == mt
+        union = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+        direct = sorted(map(tuple, bm25_topk(union, queries, k=5).collect()))
+        probed = sorted(
+            map(
+                tuple,
+                bm25_against_index(spark, path, queries, k=5).collect(),
+            )
+        )
+        assert probed == direct
+        m = spark.read.parquet(f"{path}/meta").collect()[0]
+        assert m["n_docs"] == len(DOCS)
+
+    def test_shared_query_terms_df_not_doubled(self, spark, frames, tmp_path):
+        # Two queries sharing a term must not double its derived df.
+        docs, _ = frames
+        path = str(tmp_path / "bm25_shared")
+        write_bm25_index(docs, path)
+        q = spark.createDataFrame(
+            [(1, "join"), (2, "join shuffle")],
+            "query_id bigint, query string",
+        )
+        direct = sorted(map(tuple, bm25_topk(docs, q, k=5).collect()))
+        probed = sorted(
+            map(tuple, bm25_against_index(spark, path, q, k=5).collect())
+        )
+        assert probed == direct
 
     def test_partitioning_invariant_scores(self, spark, sf_dir):
         # Decimal-exact contribution sums: no reduction-order drift.
