@@ -46,6 +46,30 @@ from lotad_spark.pipeline.text import tokens
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
 
+# Postings partition count for the index layout: probes read only the
+# buckets their query terms hash into (a static partition filter, the
+# IVF-index contract applied to the inverted index).
+N_TERM_BUCKETS = 64
+
+
+def _term_bucket(col: Column) -> Column:
+    """uint32(md5(term)[:8]) % N_TERM_BUCKETS — the repo's cross-engine
+    bucket idiom (dsir.ngram_features); :func:`_term_bucket_py` is the
+    bit-identical driver-side twin used to pick probe partitions."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+        % N_TERM_BUCKETS
+    )
+
+
+def _term_bucket_py(term: str) -> int:
+    import hashlib
+
+    return (
+        int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16)
+        % N_TERM_BUCKETS
+    )
+
 
 def _postings(
     docs: DataFrame, id_col: str, text_col: str
@@ -189,7 +213,9 @@ def _index_postings(
         eager=False
     )
     dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stored = postings.join(dl, id_col)
+    stored = postings.join(dl, id_col).withColumn(
+        "term_bucket", _term_bucket(F.col("term"))
+    )
     meta = docs.select(
         F.count(F.lit(1)).alias("n_docs")
     ).crossJoin(
@@ -224,7 +250,9 @@ def write_bm25_index(
     construction and :func:`append_to_bm25_index` is a pure
     parquet-append plus a meta rewrite."""
     stored, meta = _index_postings(docs, id_col, text_col)
-    stored.write.mode("overwrite").parquet(f"{path}/postings")
+    stored.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -247,7 +275,9 @@ def append_to_bm25_index(
     spark = docs.sparkSession
     old = spark.read.parquet(f"{path}/meta").collect()[0]
     stored, meta = _index_postings(docs, id_col, text_col)
-    stored.write.mode("append").parquet(f"{path}/postings")
+    stored.write.mode("append").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
     new = meta.collect()[0]
     spark.createDataFrame(
         [
@@ -281,7 +311,13 @@ def bm25_against_index(
     the full-corpus df), and scoring reuses the identical decimal-exact
     expression. The postings scan semi-reduces on the DISTINCT query
     terms first and checkpoints, so the stored relation is read once
-    and df never double-counts terms shared between queries."""
+    and df never double-counts terms shared between queries.
+
+    The layout partitions by ``term_bucket = md5-hash(term) % 64``;
+    the bounded query terms collect (a serving batch by contract) and
+    their buckets apply as a STATIC partition filter, so a probe
+    provably reads only the partitions its terms hash into — the same
+    contract as the IVF/PQ/SQ8 index probes (plan-pinned)."""
     postings = spark.read.parquet(f"{index_path}/postings")
     meta = spark.read.parquet(f"{index_path}/meta")
     scalars = meta.select(
@@ -293,9 +329,15 @@ def bm25_against_index(
     )
     qt = _query_terms(queries, query_id_col, query_col)
     qterms = qt.select("term").distinct()
-    tpost = postings.join(
-        F.broadcast(qterms), "term"
-    ).localCheckpoint(eager=False)
+    probed_buckets = sorted(
+        {_term_bucket_py(r["term"]) for r in qterms.collect()}
+    )
+    tpost = (
+        postings.filter(F.col("term_bucket").isin(probed_buckets))
+        .drop("term_bucket")
+        .join(F.broadcast(qterms), "term")
+        .localCheckpoint(eager=False)
+    )
     df_rel = tpost.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )

@@ -170,15 +170,17 @@ class TestBm25:
         docs2 = spark.createDataFrame(rest, "doc_id bigint, text string")
         path = str(tmp_path / "bm25_inc")
         write_bm25_index(docs1, path)
-        pre = {
-            f: os.path.getmtime(os.path.join(f"{path}/postings", f))
-            for f in os.listdir(f"{path}/postings")
-            if f.endswith(".parquet")
-        }
+        pre = {}
+        for root, _dirs, files in os.walk(f"{path}/postings"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    pre[p] = os.path.getmtime(p)
+        assert pre  # partitioned layout produced parquet files
         append_to_bm25_index(docs2, path)
         # existing posting files untouched
-        for f, mt in pre.items():
-            assert os.path.getmtime(os.path.join(f"{path}/postings", f)) == mt
+        for p, mt in pre.items():
+            assert os.path.getmtime(p) == mt
         union = spark.createDataFrame(DOCS, "doc_id bigint, text string")
         direct = sorted(map(tuple, bm25_topk(union, queries, k=5).collect()))
         probed = sorted(
@@ -190,6 +192,53 @@ class TestBm25:
         assert probed == direct
         m = spark.read.parquet(f"{path}/meta").collect()[0]
         assert m["n_docs"] == len(DOCS)
+
+    def test_probe_partition_prunes(self, spark, frames, tmp_path):
+        """Two pins on the static bucket filter. (a) The layout + filter
+        shape partition-prunes (PartitionFilters on term_bucket in the
+        scan plan — asserted on the pre-checkpoint scan, because the
+        probe's localCheckpoint hides its upstream plan). (b) The probe
+        BEHAVIORALLY touches only the probed buckets: with every other
+        partition deleted from disk, results are unchanged."""
+        import shutil as _sh
+        import os
+
+        import pyspark.sql.functions as F
+
+        from lotad_spark.pipeline.retrieval import _term_bucket_py
+
+        docs, _ = frames
+        path = str(tmp_path / "bm25_prune")
+        write_bm25_index(docs, path)
+        q = spark.createDataFrame(
+            [(1, "hash join")], "query_id bigint, query string"
+        )
+        want = sorted({_term_bucket_py("hash"), _term_bucket_py("join")})
+        scan_plan = (
+            spark.read.parquet(f"{path}/postings")
+            .filter(F.col("term_bucket").isin(want))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in scan_plan
+        assert "term_bucket" in scan_plan.split("PartitionFilters", 1)[1]
+        before = sorted(
+            map(tuple, bm25_against_index(spark, path, q, k=5).collect())
+        )
+        assert before
+        removed = 0
+        for d in os.listdir(f"{path}/postings"):
+            if d.startswith("term_bucket="):
+                b = int(d.split("=", 1)[1])
+                if b not in want:
+                    _sh.rmtree(os.path.join(f"{path}/postings", d))
+                    removed += 1
+        assert removed  # the fixture populates other buckets
+        after = sorted(
+            map(tuple, bm25_against_index(spark, path, q, k=5).collect())
+        )
+        assert after == before
 
     def test_shared_query_terms_df_not_doubled(self, spark, frames, tmp_path):
         # Two queries sharing a term must not double its derived df.
