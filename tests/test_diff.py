@@ -349,8 +349,15 @@ class TestHashSnapshot:
             .executedPlan()
             .toString()
         )
+        # Identify the snapshot-side scans by their projected column
+        # list, NOT the path: the Location string truncates at
+        # spark.sql.maxMetadataStringLength (100), and once the pytest
+        # tmp counter reached three digits the path grew past it and
+        # "snap3" vanished from the rendered plan.
         snap_scans = [
-            l for l in plan.splitlines() if "FileScan" in l and "snap3" in l
+            l
+            for l in plan.splitlines()
+            if "FileScan" in l and "hashed_row#" in l.split("]")[0]
         ]
         assert snap_scans and all(
             "c_name" not in l and "c_acctbal" not in l for l in snap_scans

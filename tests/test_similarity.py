@@ -317,10 +317,14 @@ class TestIvfSq8:
         # two scans are expected: the query relation (reads its own
         # embeddings) and the index data dir — the INDEX scan must be
         # partition-pruned and must carry codes, not vectors
+        # match the index scan by its column signature (sum_q is unique
+        # to the SQ8 layout), not the path — rendered Location strings
+        # truncate at spark.sql.maxMetadataStringLength and long pytest
+        # tmp dirs can push the path fragment past it
         idx_scans = [
             line
             for line in plan.splitlines()
-            if "ReadSchema" in line and f"{path}/data" in line
+            if "ReadSchema" in line and "sum_q" in line
         ]
         assert idx_scans, plan
         for line in idx_scans:
