@@ -903,10 +903,18 @@ _TEXT_BIGRAM_LM_SQL = (
     "JOIN uni u ON u.w = b.w1first, total tt), "
     "sums AS (SELECT doc_id, SUM(lp) AS slp FROM ("
     "SELECT doc_id, lp FROM trans "
-    "UNION ALL SELECT doc_id, lp FROM frst) GROUP BY doc_id) "
-    "SELECT f.doc_id, CAST(f.n AS BIGINT) AS n_tokens, "
-    "round(CAST(s.slp AS DOUBLE) / f.n, 6) AS avg_logprob "
-    "FROM frst f JOIN sums s USING (doc_id)"
+    "UNION ALL SELECT doc_id, lp FROM frst) GROUP BY doc_id), "
+    # avg replayed in exact integer micro-units (HALF_UP away from
+    # zero via (2|s|+n)//(2n)) — round(double/n, 6) is not engine-
+    # reproducible on exact .5e-6 boundaries (observed at sf0.1,
+    # doc 1185: -88.754679/26 = exactly -3.4136415).
+    "s2 AS (SELECT f.doc_id, CAST(f.n AS BIGINT) AS n, "
+    "CAST(s.slp * 1000000 AS BIGINT) AS sm "
+    "FROM frst f JOIN sums s USING (doc_id)) "
+    "SELECT doc_id, n AS n_tokens, "
+    "CAST(CASE WHEN sm < 0 THEN -((2*abs(sm) + n) // (2*n)) "
+    "ELSE (2*abs(sm) + n) // (2*n) END AS DOUBLE) / 1000000.0 "
+    "AS avg_logprob FROM s2"
 )
 
 
@@ -4080,11 +4088,17 @@ def oracle_sql() -> dict[str, str]:
             "lm AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term), "
             "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM lm), "
             "lp AS (SELECT term, CAST(round(ln(c / tot.t), 6) "
-            "AS DECIMAL(18,6)) AS lp FROM lm CROSS JOIN tot) "
-            "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens, "
-            "round(CAST(sum(tf.tf * lp.lp) AS DOUBLE) / sum(tf.tf), 6) "
-            "AS avg_logprob FROM tf JOIN lp USING (term) "
-            "GROUP BY tf.doc_id"
+            "AS DECIMAL(18,6)) AS lp FROM lm CROSS JOIN tot), "
+            # avg replayed in exact integer micro-units (HALF_UP away
+            # from zero via (2|s|+n)//(2n)) — round(double/n, 6) is not
+            # engine-reproducible on exact .5e-6 boundaries.
+            "s AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n, "
+            "CAST(sum(tf.tf * lp.lp) * 1000000 AS BIGINT) AS sm "
+            "FROM tf JOIN lp USING (term) GROUP BY tf.doc_id) "
+            "SELECT doc_id, n AS n_tokens, "
+            "CAST(CASE WHEN sm < 0 THEN -((2*abs(sm) + n) // (2*n)) "
+            "ELSE (2*abs(sm) + n) // (2*n) END AS DOUBLE) / 1000000.0 "
+            "AS avg_logprob FROM s"
         ),
         "chunk_manifest": (
             "WITH toks AS (SELECT doc_id, "

@@ -449,13 +449,34 @@ def unigram_logprob(
             F.sum(F.col("tf") * F.col("_lp")).alias("_sum_lp"),
         )
         .select(
-            id_col,
-            "n_tokens",
-            F.round(
-                F.col("_sum_lp").cast("double") / F.col("n_tokens"), 6
-            ).alias("avg_logprob"),
+            F.col(id_col),
+            F.col("n_tokens"),
+            _avg_micros_6dp("_sum_lp", "n_tokens").alias("avg_logprob"),
         )
     )
+
+
+def _avg_micros_6dp(sum_col: str, n_col: str) -> Column:
+    """round(sum/n, 6) for a DECIMAL(·,6) sum — computed ENTIRELY in
+    exact integer arithmetic (micro-units, HALF_UP away from zero via
+    ``(2·|s| + n) div (2·n)``), then ONE IEEE division by 10⁶ of an
+    exactly-representable integer for display. round(double, 6) on the
+    quotient is NOT engine-reproducible when the true average lands
+    exactly on a .5e-6 boundary: the nearest double sits a hair off the
+    boundary and Java's BigDecimal-of-double HALF_UP reads its full
+    binary expansion while DuckDB rounds the other way — observed at
+    sf0.1 (doc 1185: −88.754679/26 = exactly −3.4136415). Integer
+    division has no such boundary; the SQL oracles replay it with
+    ``//`` on the same integers."""
+    sm = (F.col(sum_col) * F.lit(1_000_000)).cast("bigint")
+    n = F.col(n_col).cast("bigint")
+    # Column API has no integer-div operator; (x − x % d) / d is an
+    # exact multiple, so the IEEE division returns the integer exactly.
+    x = F.lit(2) * F.abs(sm) + n
+    d = F.lit(2) * n
+    q = ((x - x % d) / d).cast("bigint")
+    signed = F.when(sm < F.lit(0), -q).otherwise(q)
+    return signed.cast("double") / F.lit(1_000_000.0)
 
 
 def gopher_rules(
@@ -717,9 +738,7 @@ def bigram_logprob(
         .select(
             F.col(id_col),
             F.col("_n").cast("bigint").alias("n_tokens"),
-            F.round(
-                F.col("_sum_lp").cast("double") / F.col("_n"), 6
-            ).alias("avg_logprob"),
+            _avg_micros_6dp("_sum_lp", "_n").alias("avg_logprob"),
         )
     )
 

@@ -601,7 +601,13 @@ class TestBigramLogprob:
                     discount * n1plus[a] / chist[a]
                 ) * (uni[b] / total)
                 s += Decimal(f"{round(math.log(p), 6):.6f}")
-            out[d] = (len(ws), round(float(s) / len(ws), 6))
+            # exact integer micro-unit average, HALF_UP away from zero
+            # (the operator's engine-proof replacement for
+            # round(float/n, 6) — see _avg_micros_6dp)
+            sm = int(s * 1_000_000)
+            n = len(ws)
+            q = (2 * abs(sm) + n) // (2 * n)
+            out[d] = (n, (-q if sm < 0 else q) / 1_000_000)
         return out
 
     CORPUS = [
