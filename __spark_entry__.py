@@ -838,25 +838,36 @@ _GOPHER_RULES_SQL = (
     "'\\n'), x -> trim(x)), x -> x <> '') AS l, "
     "len(regexp_extract_all(coalesce(text, ''), '#|\\.\\.\\.|…')) "
     "AS nsym FROM documents), "
-    "m AS (SELECT doc_id, "
-    "CAST(len(w) AS BIGINT) AS n_words, "
-    "round(CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) "
-    "AS DOUBLE) "
-    "/ CAST(greatest(len(w), 1) AS DOUBLE), 6) AS mean_word_len, "
-    "round(CAST(nsym AS DOUBLE) "
-    "/ CAST(greatest(len(w), 1) AS DOUBLE), 6) AS symbol_ratio, "
-    "round(CAST(len(list_filter(l, x -> starts_with(x, '•') "
-    "OR starts_with(x, '-') OR starts_with(x, '*'))) AS DOUBLE) "
-    "/ CAST(greatest(len(l), 1) AS DOUBLE), 6) AS bullet_ratio, "
-    "round(CAST(len(list_filter(l, x -> ends_with(x, '...') "
-    "OR ends_with(x, '…'))) AS DOUBLE) "
-    "/ CAST(greatest(len(l), 1) AS DOUBLE), 6) AS ellipsis_ratio, "
-    "round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) "
-    "AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE), 6) "
-    "AS alpha_ratio, "
+    # ratios replayed as exact integer micro-unit divisions (HALF_UP
+    # via (2·a·10⁶ + b) // (2·b)) — round(double, 6) is not
+    # engine-reproducible on exact .5e-6 boundaries (_ratio_6dp)
+    "c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nw, "
+    "CAST(greatest(len(w), 1) AS BIGINT) AS d1, "
+    "CAST(greatest(len(l), 1) AS BIGINT) AS dl, "
+    "CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) "
+    "AS BIGINT) AS swl, CAST(nsym AS BIGINT) AS nsym, "
+    "CAST(len(list_filter(l, x -> starts_with(x, '•') "
+    "OR starts_with(x, '-') OR starts_with(x, '*'))) AS BIGINT) "
+    "AS nbul, "
+    "CAST(len(list_filter(l, x -> ends_with(x, '...') "
+    "OR ends_with(x, '…'))) AS BIGINT) AS nell, "
+    "CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) "
+    "AS BIGINT) AS nalp, "
     "CAST(len(list_filter(w, x -> list_contains(['the', 'be', 'to', "
     "'of', 'and', 'that', 'have', 'with'], x))) AS BIGINT) "
-    "AS n_stopwords FROM staged) "
+    "AS nstop FROM staged), "
+    "m AS (SELECT doc_id, nw AS n_words, "
+    "CAST((2*swl*1000000 + d1) // (2*d1) AS DOUBLE) / 1000000.0 "
+    "AS mean_word_len, "
+    "CAST((2*nsym*1000000 + d1) // (2*d1) AS DOUBLE) / 1000000.0 "
+    "AS symbol_ratio, "
+    "CAST((2*nbul*1000000 + dl) // (2*dl) AS DOUBLE) / 1000000.0 "
+    "AS bullet_ratio, "
+    "CAST((2*nell*1000000 + dl) // (2*dl) AS DOUBLE) / 1000000.0 "
+    "AS ellipsis_ratio, "
+    "CAST((2*nalp*1000000 + d1) // (2*d1) AS DOUBLE) / 1000000.0 "
+    "AS alpha_ratio, "
+    "nstop AS n_stopwords FROM c) "
     "SELECT *, (n_words BETWEEN 50 AND 100000) "
     "AND (mean_word_len BETWEEN 3.0 AND 10.0) "
     "AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 "

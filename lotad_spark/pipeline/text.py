@@ -479,6 +479,22 @@ def _avg_micros_6dp(sum_col: str, n_col: str) -> Column:
     return signed.cast("double") / F.lit(1_000_000.0)
 
 
+def _ratio_6dp(num: Column, den: Column) -> Column:
+    """round(num/den, 6) for NON-NEGATIVE integer counts, computed in
+    exact integer micro-units (HALF_UP via ``(2·num·10⁶ + den) div
+    (2·den)``) and finished with one exact IEEE division by 10⁶ — the
+    same engine-boundary-proof shape as :func:`_avg_micros_6dp`:
+    ``round(double, 6)`` flips engines when the true ratio lands
+    exactly on a .5e-6 half boundary that no double represents (e.g. a
+    78125-word document's 1-symbol ratio)."""
+    a = num.cast("bigint") * F.lit(1_000_000)
+    b = den.cast("bigint")
+    x = F.lit(2) * a + b
+    d = F.lit(2) * b
+    q = ((x - x % d) / d).cast("bigint")
+    return q.cast("double") / F.lit(1_000_000.0)
+
+
 def gopher_rules(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -516,10 +532,11 @@ def gopher_rules(
 
     Scale/determinism shape: one projection over one scan — no joins, no
     aggregation, no shuffle; every metric is integer counting over the
-    token/line arrays except the two ratios and the mean, which are
-    single double divisions rounded to 6 decimals (the SQL oracle
-    replays the identical expression; threshold comparisons run on the
-    ROUNDED values so both engines branch identically at boundaries).
+    token/line arrays, and the ratios/mean round via exact
+    integer-micro-unit division (:func:`_ratio_6dp` — engine-boundary
+    proof; the SQL oracle replays the identical integer arithmetic, and
+    threshold comparisons run on the ROUNDED values so both engines
+    branch identically).
     NULL text coalesces to '' (scores as an empty document and fails
     the word-count rule, never poisons size() with -1). "Alphabetic"
     means ASCII [a-z] after lowercasing — swap the class for \\p{L}
@@ -574,20 +591,16 @@ def gopher_rules(
     n_stop = F.size(
         F.filter(words, lambda w: F.array_contains(stop, w))
     )
-    d1 = F.greatest(n_words, F.lit(1)).cast("double")
-    dl = F.greatest(n_lines, F.lit(1)).cast("double")
+    d1 = F.greatest(n_words, F.lit(1)).cast("bigint")
+    dl = F.greatest(n_lines, F.lit(1)).cast("bigint")
     metrics = staged.select(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
-        F.round(sum_word_len.cast("double") / d1, 6).alias(
-            "mean_word_len"
-        ),
-        F.round(n_symbols.cast("double") / d1, 6).alias("symbol_ratio"),
-        F.round(n_bullet.cast("double") / dl, 6).alias("bullet_ratio"),
-        F.round(n_ellipsis.cast("double") / dl, 6).alias(
-            "ellipsis_ratio"
-        ),
-        F.round(n_alpha.cast("double") / d1, 6).alias("alpha_ratio"),
+        _ratio_6dp(sum_word_len, d1).alias("mean_word_len"),
+        _ratio_6dp(n_symbols, d1).alias("symbol_ratio"),
+        _ratio_6dp(n_bullet, dl).alias("bullet_ratio"),
+        _ratio_6dp(n_ellipsis, dl).alias("ellipsis_ratio"),
+        _ratio_6dp(n_alpha, d1).alias("alpha_ratio"),
         n_stop.cast("bigint").alias("n_stopwords"),
     )
     return metrics.withColumn(

@@ -474,6 +474,10 @@ class TestGopherRules:
     def ref_gopher(corpus):
         import re
 
+        def r6(a, b):
+            # the operator's exact integer micro-unit HALF_UP ratio
+            return ((2 * a * 1_000_000 + b) // (2 * b)) / 1_000_000
+
         out = {}
         stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
         for d, t in corpus:
@@ -483,22 +487,19 @@ class TestGopherRules:
             nw, nl = max(len(words), 1), max(len(lines), 1)
             m = {
                 "n_words": len(words),
-                "mean_word_len": round(sum(map(len, words)) / nw, 6),
-                "symbol_ratio": round(
-                    len(re.findall(r"#|\.\.\.|…", t)) / nw, 6
+                "mean_word_len": r6(sum(map(len, words)), nw),
+                "symbol_ratio": r6(
+                    len(re.findall(r"#|\.\.\.|…", t)), nw
                 ),
-                "bullet_ratio": round(
-                    sum(ln.startswith(("•", "-", "*")) for ln in lines)
-                    / nl,
-                    6,
+                "bullet_ratio": r6(
+                    sum(ln.startswith(("•", "-", "*")) for ln in lines),
+                    nl,
                 ),
-                "ellipsis_ratio": round(
-                    sum(ln.endswith(("...", "…")) for ln in lines) / nl,
-                    6,
+                "ellipsis_ratio": r6(
+                    sum(ln.endswith(("...", "…")) for ln in lines), nl
                 ),
-                "alpha_ratio": round(
-                    sum(bool(re.search("[a-z]", w)) for w in words) / nw,
-                    6,
+                "alpha_ratio": r6(
+                    sum(bool(re.search("[a-z]", w)) for w in words), nw
                 ),
                 "n_stopwords": sum(w in stop for w in words),
             }
