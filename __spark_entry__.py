@@ -853,8 +853,8 @@ _GOPHER_RULES_SQL = (
     "OR ends_with(x, '…'))) AS BIGINT) AS nell, "
     "CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) "
     "AS BIGINT) AS nalp, "
-    "CAST(len(list_filter(w, x -> list_contains(['the', 'be', 'to', "
-    "'of', 'and', 'that', 'have', 'with'], x))) AS BIGINT) "
+    "CAST(len(list_intersect(w, ['the', 'be', 'to', "
+    "'of', 'and', 'that', 'have', 'with'])) AS BIGINT) "
     "AS nstop FROM staged), "
     "m AS (SELECT doc_id, nw AS n_words, "
     "CAST((2*swl*1000000 + d1) // (2*d1) AS DOUBLE) / 1000000.0 "

@@ -507,8 +507,9 @@ def sq8_topk_cmd(index_path, query_path, output_path, k, nprobe) -> None:
               help="BM25 index root (postings/ meta/)")
 def bm25_index_cmd(docs_path, output_path) -> None:
     """Build the BM25 serving index: the corpus tokenizes ONCE into a
-    (doc, term, tf, dl, df) postings relation plus corpus scalars —
-    probes never re-read document text."""
+    (doc, term, tf, dl) postings relation plus corpus scalars — df is
+    deliberately NOT stored (it derives at probe time so appends never
+    stale it), and probes never re-read document text."""
     from lotad_spark.pipeline.retrieval import write_bm25_index
     from lotad_spark.sources.parquet import read_table
 

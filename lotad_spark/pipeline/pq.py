@@ -44,6 +44,26 @@ from pyspark.sql import functions as F
 
 from lotad_spark.pipeline import kmeans
 
+
+def _qid_schema(queries: DataFrame, id_col: str, tail: str):
+    """Schema for a query-keyed serving relation (LUTs, probe pairs):
+    ``query_id`` inherits the EXACT DataType of the caller's id column
+    instead of assuming bigint — string/uuid ids are common in
+    production, and a hard-coded ``query_id bigint`` would raise at
+    createDataFrame time for them (r10 advice). ``tail`` is the DDL for
+    the non-key columns."""
+    from pyspark.sql.types import (
+        StructField,
+        StructType,
+        _parse_datatype_string,
+    )
+
+    rest = _parse_datatype_string(f"struct<{tail}>")
+    return StructType(
+        [StructField("query_id", queries.schema[id_col].dataType)]
+        + list(rest.fields)
+    )
+
 # Defaults sized on the sf fixtures (near-uniform random 64-dim vectors —
 # PQ's adversarial case, tiny cosine gaps vs quantization distortion):
 # recall@5 vs exact measured 0.16 at (M=4,K=16), 0.28 at (8,32), 0.56 at
@@ -377,10 +397,12 @@ def pq_topk(
     lut_rows = []
     for r in qrows:
         luts, q2 = _quantized_luts(list(r[1]), codebooks)
-        lut_rows.append((int(r[0]), luts, q2))
+        lut_rows.append((r[0], luts, q2))
     lutdf = spark.createDataFrame(
         lut_rows,
-        "query_id bigint, _lut array<array<bigint>>, _q2 double",
+        _qid_schema(
+            queries, id_col, "_lut: array<array<bigint>>, _q2: double"
+        ),
     )
     dcc_lit = F.array(
         *[
@@ -674,8 +696,8 @@ def ivf_pq_topk(
         # restrict each query to ITS probed buckets via a broadcast
         # pair list
         pairdf = spark.createDataFrame(
-            [(int(r.query_id), int(r.cent_id)) for r in probe_pairs],
-            "query_id bigint, cent_id int",
+            [(r.query_id, int(r.cent_id)) for r in probe_pairs],
+            _qid_schema(queries, id_col, "cent_id: int"),
         )
         return pq_topk(
             queries,
@@ -697,7 +719,7 @@ def ivf_pq_topk(
         for r in spark.read.parquet(f"{index_path}/anchors").collect()
     }
     qvecs = {
-        int(r[0]): [float(x) for x in r[1]]
+        r[0]: [float(x) for x in r[1]]
         for r in queries.select(id_col, vec_col).collect()
     }
     if not qvecs:
@@ -710,21 +732,24 @@ def ivf_pq_topk(
         luts, q2 = _quantized_luts(qv, books)
         lut_rows.append((qid, luts, q2))
     lutdf = spark.createDataFrame(
-        lut_rows, "query_id bigint, _lut array<array<bigint>>, _q2 double"
+        lut_rows,
+        _qid_schema(
+            queries, id_col, "_lut: array<array<bigint>>, _q2: double"
+        ),
     )
     # per-(query, probed centroid): ⟨q,c⟩ scaled to the LUT grid
     pairdf = spark.createDataFrame(
         [
             (
-                int(r.query_id),
+                r.query_id,
                 int(r.cent_id),
-                int(np.round(fold_dot(qvecs[int(r.query_id)],
+                int(np.round(fold_dot(qvecs[r.query_id],
                                       cent_vecs[int(r.cent_id)])
                              * LUT_SCALE)),
             )
             for r in probe_pairs
         ],
-        "query_id bigint, cent_id int, _qc bigint",
+        _qid_schema(queries, id_col, "cent_id: int, _qc: bigint"),
     )
     # per probed centroid: |c|² and the cross-term table
     # cdot[m][code] = ⟨c_sub_m, book_m[code]⟩ (subspaces partition the

@@ -256,6 +256,26 @@ def write_bm25_index(
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def _replace_dir(spark, tmp: str, dst: str) -> None:
+    """Swap a staged directory into place with two Hadoop-FS renames
+    (local FS and HDFS: metadata-only, near-atomic; object stores:
+    copy-rename, still a far narrower window than a delete-then-write
+    overwrite). A reader never observes a half-written ``dst``."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = dst_p.getFileSystem(conf)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    old_p = jvm.org.apache.hadoop.fs.Path(dst + ".old")
+    if fs.exists(old_p):
+        fs.delete(old_p, True)
+    if fs.exists(dst_p):
+        fs.rename(dst_p, old_p)
+    fs.rename(tmp_p, dst_p)
+    if fs.exists(old_p):
+        fs.delete(old_p, True)
+
+
 def append_to_bm25_index(
     docs: DataFrame,
     path: str,
@@ -271,13 +291,21 @@ def append_to_bm25_index(
     Because df derives at probe time from the (now larger) postings and
     dl is a per-document constant, a probe after the append is
     bit-identical to a fresh build over the union (pinned in tests) —
-    the daily-increment loop for a growing corpus."""
+    the daily-increment loop for a growing corpus.
+
+    Crash-consistency ordering: the summed meta is STAGED to
+    ``meta.tmp`` first, then the postings append, then a rename-swap of
+    ``meta`` (:func:`_replace_dir`) — so a concurrent probe always reads
+    a complete meta (never a transiently-missing one), and a failure
+    between the postings append and the swap leaves ``meta.tmp`` holding
+    the CORRECT post-append totals: recovery is re-running the append's
+    final swap, not a rebuild. The one unrecoverable window is a crash
+    mid-postings-append (partial part-files): that batch's files must be
+    removed or the index rebuilt before serving — parquet appends are
+    not transactional on any filesystem."""
     spark = docs.sparkSession
     old = spark.read.parquet(f"{path}/meta").collect()[0]
     stored, meta = _index_postings(docs, id_col, text_col)
-    stored.write.mode("append").partitionBy("term_bucket").parquet(
-        f"{path}/postings"
-    )
     new = meta.collect()[0]
     spark.createDataFrame(
         [
@@ -287,7 +315,11 @@ def append_to_bm25_index(
             )
         ],
         "n_docs bigint, total_tokens bigint",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.tmp")
+    stored.write.mode("append").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+    _replace_dir(spark, f"{path}/meta.tmp", f"{path}/meta")
 
 
 def bm25_against_index(

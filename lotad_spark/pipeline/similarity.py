@@ -449,7 +449,8 @@ def build_ivf_sq8_index(
         assigned.select(id_col, vec_col, "cent_id"),
         id_col=id_col,
         vec_col=vec_col,
-    ).join(assigned.select(id_col, "cent_id"), id_col)
+        keep_cols=("cent_id",),
+    )
     qv = F.col("qvec")
     acc0 = F.lit(0).cast("bigint")
     quant.select(
@@ -618,6 +619,7 @@ def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-vector int8 scalar quantization: (id, scale, zero_point, qvec)
     with ``v ≈ zero_point + q · scale`` and ``q ∈ [0, 255]`` — 4× smaller
@@ -647,11 +649,16 @@ def quantize_embeddings(
             ).cast("int"),
         )
     )
+    # keep_cols ride through the projection so callers needing extra
+    # columns (build_ivf_sq8_index threads cent_id) don't self-join the
+    # quantized relation back onto its own input — that join duplicated
+    # the whole upstream subtree (coarse assignment ran TWICE at build).
     return df.select(
         F.col(id_col),
         F.round(scale, 6).alias("scale"),
         F.round(mn, 6).alias("zero_point"),
         q.alias("qvec"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

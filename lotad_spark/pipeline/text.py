@@ -522,9 +522,11 @@ def gopher_rules(
       (``•``/``-``/``*``);
     * ≤ max_ellipsis_ratio of lines ending with an ellipsis;
     * ≥ min_alpha_ratio of words containing an alphabetic character;
-    * ≥ min_stopwords distinct-occurrence hits from the small English
-      stopword list (the paper uses {the, be, to, of, and, that, have,
-      with}).
+    * ≥ min_stopwords DISTINCT words from the small English stopword
+      list present in the document (the paper requires the document to
+      "contain at least two of" {the, be, to, of, and, that, have,
+      with} — distinct membership, so a doc repeating one stopword
+      twice does NOT pass; ``array_intersect`` dedupes in both engines).
 
     Returns every metric plus the combined ``passes`` flag so callers
     can audit WHICH rule fired (the operational need at 100 TB is "why
@@ -588,9 +590,7 @@ def gopher_rules(
             for w in ("the", "be", "to", "of", "and", "that", "have", "with")
         ]
     )
-    n_stop = F.size(
-        F.filter(words, lambda w: F.array_contains(stop, w))
-    )
+    n_stop = F.size(F.array_intersect(words, stop))
     d1 = F.greatest(n_words, F.lit(1)).cast("bigint")
     dl = F.greatest(n_lines, F.lit(1)).cast("bigint")
     metrics = staged.select(

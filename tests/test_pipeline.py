@@ -501,7 +501,7 @@ class TestGopherRules:
                 "alpha_ratio": r6(
                     sum(bool(re.search("[a-z]", w)) for w in words), nw
                 ),
-                "n_stopwords": sum(w in stop for w in words),
+                "n_stopwords": len(stop & set(words)),
             }
             m["passes"] = (
                 50 <= m["n_words"] <= 100_000
@@ -524,6 +524,10 @@ class TestGopherRules:
         (5, "12 34 56 78 " * 20),                       # numeric: alpha fails
         (6, None),                                      # NULL text
         (7, "word... more...\nagain...\nthe of and " * 8),  # ellipsis lines
+        # clean length/ratios but ONE distinct stopword repeated — the
+        # Gopher rule wants >=2 DISTINCT list words, so this must fail
+        # (occurrence counting would wrongly pass it)
+        (8, "the cat ran far home today " * 12),
     ]
 
     def test_matches_reference(self, spark):
@@ -554,6 +558,7 @@ class TestGopherRules:
         assert passes[5] is False          # alphabetic ratio
         assert passes[6] is False          # NULL text = empty doc
         assert passes[7] is False          # ellipsis line ratio
+        assert passes[8] is False          # 12x "the" = 1 DISTINCT stopword
 
     def test_no_shuffle_single_projection(self, spark, sf_dir):
         from lotad_spark.pipeline import gopher_rules

@@ -126,6 +126,24 @@ class TestPqTopk:
             assert "pq_code" in scan and "embedding" not in scan, scan
         assert out.count() == 6
 
+    def test_string_query_ids(self, spark, corpus):
+        """The serving relations key on the CALLER'S id type — a string
+        (uuid-style) query id must flow through the LUT relation and the
+        output unchanged, not raise at createDataFrame (r10 advice)."""
+        books = train_pq_codebooks(corpus, m=4, n_codes=8)
+        q = corpus.filter(F.col("vec_id") < 2).select(
+            F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+            "embedding",
+        )
+        # corpus keeps bigint ids; self-exclusion compares query_id to
+        # the corpus id, so cast the corpus side to match
+        c = corpus.select(
+            F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+        )
+        rows = pq_topk(q, c, books, k=3).collect()
+        assert len(rows) == 6
+        assert {r.query_id for r in rows} == {"doc-0", "doc-1"}
+
     def test_dcc_lut_matches_scale(self):
         books = [[[1.0, 2.0], [0.5, 0.0]]]
         assert pq_dcc_lut(books) == [

@@ -237,6 +237,30 @@ class TestQuantizeEmbeddings:
         )
         assert "Exchange" not in plan and "Join" not in plan
 
+    def test_keep_cols_ride_through_without_join(self, spark, sf_dir):
+        """keep_cols passes extra columns through the projection so
+        callers (build_ivf_sq8_index threading cent_id) never self-join
+        the quantized relation back onto its input — which duplicated
+        the whole upstream subtree at index-build time (r10 advice)."""
+        from lotad_spark.pipeline import quantize_embeddings
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        emb = ParquetDatabase(spark, sf_dir, "db").table("embeddings")
+        out = quantize_embeddings(emb, keep_cols=("label",))
+        assert out.columns == [
+            "vec_id", "scale", "zero_point", "qvec", "label",
+        ]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+        got = {r.vec_id: r.label for r in out.limit(20).collect()}
+        ref = {
+            r.vec_id: r.label
+            for r in emb.select("vec_id", "label").limit(20).collect()
+        }
+        assert list(got.items())  # non-empty
+        for vid, lab in got.items():
+            assert lab == ref.get(vid, lab)
+
 
 class TestIvfSq8:
     @pytest.fixture(scope="class")
