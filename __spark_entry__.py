@@ -1661,6 +1661,76 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def _doc_ppm_media(spark, sf_dir):
+    """Each doc as a VALID binary P6 PPM whose pixel section is the doc's
+    own text, rpad/truncated to exactly w*h*3 bytes (w, h derived from
+    doc_id; corpus is ASCII so byte == codepoint and the SQL oracle can
+    index the same pixels with substr/ord)."""
+    w = (F.col("doc_id") % 5 + 2).cast("int")
+    h = (F.col("doc_id") % 3 + 1).cast("int")
+    px = F.expr(
+        "rpad(coalesce(text, ''), "
+        "CAST((doc_id % 5 + 2) * (doc_id % 3 + 1) * 3 AS INT), 'x')"
+    )
+    ppm = F.concat(
+        F.lit("P6\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+        px,
+    )
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(ppm, "utf-8").alias("content"),
+    )
+
+
+def q_multimodal_luma_hist(spark, sf_dir):
+    """REAL pixel-feature extraction (pipeline/multimodal.py
+    extract_feature_counts kind='luma'): the kernel decodes the P6
+    payload's ACTUAL pixels (pure numpy, no imaging library) and
+    histograms the integer BT.601 luma — (299R + 587G + 114B) // 1000,
+    binned luma*16//256 — into 16 bins. All-integer arithmetic, so the
+    oracle replays byte indexing, luma, and binning exactly in SQL; the
+    constant kind='luma' column pins that the REAL pixel path ran for
+    every row (a fallback row would read 'bytes' and hash-mismatch)."""
+    from lotad_spark.pipeline.multimodal import extract_feature_counts
+
+    return extract_feature_counts(
+        _doc_ppm_media(spark, sf_dir), kind="luma"
+    ).select(
+        "media_id",
+        "kind",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias(
+            "hist"
+        ),
+    )
+
+
+def q_multimodal_resize_hist(spark, sf_dir):
+    """REAL image resize (pipeline/multimodal.py resize_images): decode
+    the P6 pixels, nearest-neighbor resample to 4x2 (source index
+    x*src_w // 4, y*src_h // 2 — pure integer arithmetic), re-encode as
+    P6, then luma-histogram the RESIZED image. The oracle replays the
+    sampling index math, byte lookups, luma, and binning in SQL — a
+    value-check of the whole decode → resample → re-encode → feature
+    chain."""
+    from lotad_spark.pipeline.multimodal import (
+        extract_feature_counts,
+        resize_images,
+    )
+
+    resized = resize_images(_doc_ppm_media(spark, sf_dir), width=4, height=2)
+    return extract_feature_counts(resized, kind="luma").select(
+        "media_id",
+        "kind",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias(
+            "hist"
+        ),
+    )
+
+
 def _embedding_dup_corpus(spark, sf_dir):
     """embeddings ∪ scaled copies (x1.0001, cosine exactly 1) of every
     20th vector."""
@@ -3614,6 +3684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_agg": q_events_session_agg,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
+        "multimodal_luma_hist": q_multimodal_luma_hist,
+        "multimodal_resize_hist": q_multimodal_resize_hist,
         "skew_salted_join": q_skew_salted_join,
         "schema_drift_records": q_schema_drift_records,
         "rollup_distinct_users": q_rollup_distinct_users,
@@ -4383,6 +4455,54 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(list_transform(split(text, ''), c -> ord(c)), "
             "c -> c % 16 = b))), ',') AS hist "
             "FROM documents"
+        ),
+        # REAL pixel decode: the pixel section is the doc's own text
+        # (rpad/truncated to w*h*3 ASCII bytes), so the oracle indexes the
+        # same bytes with substr/ord, replays the integer BT.601 luma
+        # ((299R+587G+114B)//1000) and the luma*16//256 binning, and
+        # emits the literal kind='luma' — a fallback (bytes) row on the
+        # Spark side would hash-mismatch.
+        "multimodal_luma_hist": (
+            "WITH base AS (SELECT doc_id AS media_id, "
+            "CAST(doc_id % 5 + 2 AS INT) AS w, "
+            "CAST(doc_id % 3 + 1 AS INT) AS h, "
+            "rpad(coalesce(text, ''), "
+            "CAST((doc_id % 5 + 2) * (doc_id % 3 + 1) * 3 AS INT), 'x') "
+            "AS px FROM documents), "
+            "lum AS (SELECT media_id, list_transform(range(0, w * h), "
+            "i -> (299 * ord(substr(px, 3 * i + 1, 1)) "
+            "+ 587 * ord(substr(px, 3 * i + 2, 1)) "
+            "+ 114 * ord(substr(px, 3 * i + 3, 1))) // 1000) AS lumas "
+            "FROM base) "
+            "SELECT media_id, 'luma' AS kind, "
+            "array_to_string(list_transform(range(0, 16), b -> "
+            "CAST(len(list_filter(lumas, l -> l * 16 // 256 = b)) "
+            "AS VARCHAR)), ',') AS hist FROM lum"
+        ),
+        # Resize replay: target pixel (x, y) of the 4x2 output samples
+        # source pixel (x*w//4, y*h//2); t in 0..7 linearizes (y, x) as
+        # (t//4, t%4). Same byte indexing/luma/binning as above on the
+        # SAMPLED pixels — value-checks decode → nearest-neighbor
+        # resample → re-encode → feature end-to-end.
+        "multimodal_resize_hist": (
+            "WITH base AS (SELECT doc_id AS media_id, "
+            "CAST(doc_id % 5 + 2 AS INT) AS w, "
+            "CAST(doc_id % 3 + 1 AS INT) AS h, "
+            "rpad(coalesce(text, ''), "
+            "CAST((doc_id % 5 + 2) * (doc_id % 3 + 1) * 3 AS INT), 'x') "
+            "AS px FROM documents), "
+            "lum AS (SELECT media_id, list_transform(range(0, 8), "
+            "t -> (299 * ord(substr(px, "
+            "3 * (((t // 4) * h // 2) * w + ((t % 4) * w // 4)) + 1, 1)) "
+            "+ 587 * ord(substr(px, "
+            "3 * (((t // 4) * h // 2) * w + ((t % 4) * w // 4)) + 2, 1)) "
+            "+ 114 * ord(substr(px, "
+            "3 * (((t // 4) * h // 2) * w + ((t % 4) * w // 4)) + 3, 1))"
+            ") // 1000) AS lumas FROM base) "
+            "SELECT media_id, 'luma' AS kind, "
+            "array_to_string(list_transform(range(0, 16), b -> "
+            "CAST(len(list_filter(lumas, l -> l * 16 // 256 = b)) "
+            "AS VARCHAR)), ',') AS hist FROM lum"
         ),
         "text_winnow_fp": _WINNOW_SQL,
         "text_repetition": (

@@ -51,6 +51,7 @@ from lotad_spark.pipeline.similarity import (
     semantic_dedup_corpus,
 )
 from lotad_spark.pipeline.multimodal import (
+    decode_pixels,
     extract_feature_counts,
     extract_features,
     frame_sample_plan,
@@ -134,6 +135,7 @@ __all__ = [
     "semantic_dedup_corpus",
     "ngram_jaccard",
     "winnow_fingerprint",
+    "decode_pixels",
     "extract_feature_counts",
     "extract_features",
     "resize_images",

@@ -15,6 +15,14 @@ Spark-side plumbing — output schema, batch iteration, partition
 preservation — is identical across tiers; swapping in libvips/ffmpeg
 changes only the inner function.
 
+Beyond headers, :func:`decode_pixels` decodes ACTUAL PIXELS — pure
+numpy, zero deps — for netpbm P2/P3/P5/P6 and uncompressed 24/32-bpp
+BMP: the feature kernel (``kind="luma"``: integer BT.601 luma
+histogram) and the resize kernel (nearest-neighbor resample, re-encoded
+as P6) are therefore REAL image operators for those formats, with the
+byte-level fallback clearly labeled per row (``kind``/``resize_kind``
+columns) for payloads only a full imaging library could decode.
+
 Scale notes: ``mapInPandas`` streams Arrow batches — no row-at-a-time
 Python, no driver collect; binary payloads never shuffle (decode before
 any wide stage and project the bytes away).
@@ -104,6 +112,140 @@ def _parse_pnm(payload: bytes) -> tuple[int, int, str] | None:
     return (dims[0], dims[1], _PNM_MODE[magic])
 
 
+def _pnm_header(
+    payload: bytes,
+) -> tuple[str, int, int, int, int] | None:
+    """Full netpbm header parse: (magic, width, height, maxval,
+    data_offset). Comments (``#`` to end of line) are legal anywhere in
+    the header; for the binary formats (P4/P5/P6) exactly ONE whitespace
+    byte separates the header from the pixel section (the spec), so
+    ``data_offset`` points at the first pixel byte. P1/P4 bitmaps carry
+    no maxval (reported as 1). Returns None when not netpbm."""
+    magic = payload[:2].decode("ascii", "replace")
+    if magic not in _PNM_MODE or (len(payload) > 2 and payload[2:3].isdigit()):
+        return None
+    need = 2 if magic in ("P1", "P4") else 3
+    vals: list[int] = []
+    i, n = 2, len(payload)
+    while len(vals) < need and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < need or vals[0] <= 0 or vals[1] <= 0:
+        return None
+    if magic in ("P4", "P5", "P6"):
+        if i >= n or not payload[i : i + 1].isspace():
+            return None
+        i += 1
+    return (magic, vals[0], vals[1], vals[2] if need == 3 else 1, i)
+
+
+def decode_pixels(payload: bytes):
+    """REAL pixel decode for the public zero-dependency formats:
+    (width, height, ndarray[h, w, 3] uint8 RGB) — or None when the
+    payload isn't one of them (the caller falls back and SAYS so via a
+    ``kind`` column; nothing silently fakes pixels).
+
+    Covered: netpbm P5/P6 (binary gray/RGB, maxval 255), P2/P3 (their
+    ASCII twins), and uncompressed 24/32-bpp BMP (bottom-up or top-down,
+    4-byte row stride, BGR(A) channel order — all per the public specs).
+    Grayscale replicates to RGB so downstream kernels see one shape.
+    Anything truncated, palette-mapped, compressed, or with a non-255
+    maxval returns None rather than guessing."""
+    import numpy as np
+
+    hdr = _pnm_header(payload)
+    if hdr is not None:
+        magic, w, h, maxval, off = hdr
+        if magic in ("P1", "P4") or maxval != 255:
+            return None
+        npx = w * h
+        if magic == "P6":
+            if len(payload) - off < npx * 3:
+                return None
+            arr = np.frombuffer(payload, np.uint8, npx * 3, off).reshape(
+                h, w, 3
+            )
+            return (w, h, arr)
+        if magic == "P5":
+            if len(payload) - off < npx:
+                return None
+            g = np.frombuffer(payload, np.uint8, npx, off).reshape(h, w)
+            return (w, h, np.stack([g, g, g], axis=-1))
+        # P2 / P3: ASCII sample values, whitespace-separated
+        toks = payload[off:].split()
+        k = npx * (3 if magic == "P3" else 1)
+        if len(toks) < k:
+            return None
+        try:
+            vals = np.array([int(t) for t in toks[:k]], dtype=np.int32)
+        except ValueError:
+            return None
+        if vals.min() < 0 or vals.max() > 255:
+            return None
+        if magic == "P3":
+            return (w, h, vals.astype(np.uint8).reshape(h, w, 3))
+        g = vals.astype(np.uint8).reshape(h, w)
+        return (w, h, np.stack([g, g, g], axis=-1))
+    return _bmp_pixels(payload)
+
+
+def _bmp_pixels(payload: bytes):
+    """Pixel section of an uncompressed 24/32-bpp BITMAPINFOHEADER BMP:
+    rows are 4-byte aligned, stored bottom-up when height is positive
+    (flipped here to top-down), channels are BGR(A) on disk (reordered
+    to RGB). None for anything else — palette/compressed BMPs need a
+    real imaging library."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    if struct.unpack_from("<I", payload, 14)[0] < 40:
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if width <= 0 or height == 0 or compression != 0 or bpp not in (24, 32):
+        return None
+    h = abs(height)
+    bytes_pp = bpp // 8
+    stride = ((width * bytes_pp + 3) // 4) * 4
+    if data_off < 54 or len(payload) < data_off + stride * h:
+        return None
+    rows = np.frombuffer(payload, np.uint8, stride * h, data_off).reshape(
+        h, stride
+    )
+    px = rows[:, : width * bytes_pp].reshape(h, width, bytes_pp)
+    if height > 0:
+        px = px[::-1]
+    return (width, h, px[:, :, [2, 1, 0]].copy())
+
+
+# ITU-R BT.601 luma, integer micro-form: (299R + 587G + 114B) // 1000 —
+# exact integer arithmetic, so the histogram is bit-reproducible in any
+# engine that can index the same bytes (the DuckDB oracle replays it).
+def _luma(arr):
+    import numpy as np
+
+    a = arr.astype(np.int32)
+    return (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+
+
 def _headers_decode(payload: bytes) -> tuple[int, int, str]:
     """No-PIL kernel: real header parse for BMP/netpbm payloads, byte-
     length fake (mode='STUB') for anything else."""
@@ -187,28 +329,63 @@ def extract_feature_counts(
     *,
     id_col: str = "media_id",
     dim: int = FEATURE_DIM,
+    kind: str = "bytes",
 ) -> DataFrame:
-    """(id, hist array<int>) per media row via Arrow-batched mapInPandas.
+    """(id, kind, hist array<int>) per media row via Arrow-batched
+    mapInPandas — INTEGER counts, so the kernel output is exactly
+    comparable across engines (the DuckDB oracle recomputes the same
+    counts; no float-rendering slack).
 
-    STUB kernel: a ``dim``-bin raw byte histogram — INTEGER counts, so the
-    kernel output is exactly comparable across engines (the DuckDB oracle
-    recomputes the same counts; no float-rendering slack). A real
-    deployment swaps in a vision/audio encoder emitting raw activations;
-    the batch iteration and output schema are the contract."""
-    out_schema = f"`{id_col}` bigint, hist array<int>"
+    Two kernels, both real:
+
+    * ``kind="luma"`` — a REAL image feature: decode the pixels
+      (:func:`decode_pixels` — netpbm P2/P3/P5/P6 and uncompressed
+      24/32-bpp BMP, no imaging library needed), compute the integer
+      BT.601 luma per pixel, histogram into ``dim`` even bins
+      (``luma * dim // 256``). Payloads the pure-Python decoder can't
+      handle fall back to the byte histogram and SAY so — the output's
+      ``kind`` column reads ``luma`` or ``bytes`` per row, never a
+      silent fake.
+    * ``kind="bytes"`` (default, the pre-r11 behavior) — a ``dim``-bin
+      raw byte histogram: format-agnostic, zero decode cost, the right
+      cheap fingerprint for exact-dup grouping of opaque payloads.
+
+    A production deployment swaps in a vision/audio encoder emitting raw
+    activations; the batch iteration and output schema stay the
+    contract. NULL payloads emit kind='null' with a zero histogram."""
+    out_schema = f"`{id_col}` bigint, kind string, hist array<int>"
 
     def feat_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def byte_hist(raw: bytes) -> list[int]:
+            arr = np.frombuffer(raw, dtype=np.uint8) % dim
+            return np.bincount(arr, minlength=dim).tolist()
+
         for pdf in batches:
-            feats = []
+            feats, kinds = [], []
             for b in pdf[content_col]:
                 if b is None:
                     feats.append([0] * dim)
-                else:
-                    arr = np.frombuffer(bytes(b), dtype=np.uint8) % dim
-                    feats.append(np.bincount(arr, minlength=dim).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "hist": feats})
+                    kinds.append("null")
+                    continue
+                raw = bytes(b)
+                if kind == "luma":
+                    dec = decode_pixels(raw)
+                    if dec is not None:
+                        bins = (_luma(dec[2]) * dim) // 256
+                        feats.append(
+                            np.bincount(
+                                bins.ravel(), minlength=dim
+                            ).tolist()
+                        )
+                        kinds.append("luma")
+                        continue
+                feats.append(byte_hist(raw))
+                kinds.append("bytes")
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "kind": kinds, "hist": feats}
+            )
 
     return df.mapInPandas(feat_batches, schema=out_schema)
 
@@ -222,15 +399,19 @@ def extract_features(
 ) -> DataFrame:
     """(id, features array<float>) — the normalized embedding face that
     feeds the similarity/ANN operators (``cosine_topk`` /
-    ``embedding_near_dup_pairs``).
+    ``embedding_near_dup_pairs``): the REAL luma histogram for decodable
+    images (a classic retrieval baseline), byte histogram otherwise.
 
     The Python kernel emits raw integer counts
-    (:func:`extract_feature_counts`); L1 normalization is a pure JVM
-    expression on top — the UDF stays minimal and the float math happens
-    in whole-stage codegen, not in Python."""
+    (:func:`extract_feature_counts` with ``kind="luma"``); L1
+    normalization is a pure JVM expression on top — the UDF stays
+    minimal and the float math happens in whole-stage codegen, not in
+    Python."""
     from pyspark.sql import functions as F
 
-    counts = extract_feature_counts(df, content_col, id_col=id_col, dim=dim)
+    counts = extract_feature_counts(
+        df, content_col, id_col=id_col, dim=dim, kind="luma"
+    )
     total = F.greatest(
         F.aggregate("hist", F.lit(0), lambda a, x: a + x), F.lit(1)
     ).cast("double")
@@ -250,28 +431,50 @@ def resize_images(
     height: int = 64,
 ) -> DataFrame:
     """Binary→binary resize stage: same schema out as in, plus
-    ``resized_width``/``resized_height`` metadata.
+    ``resized_width``/``resized_height``/``resize_kind`` metadata.
 
-    STUB kernel: deterministic byte truncate/pad to ``width*height`` (a
-    real deployment decodes, resamples, re-encodes). Payload stays binary
-    through the stage — resize BEFORE any wide transform so the big bytes
-    never shuffle."""
+    REAL kernel for decodable payloads (:func:`decode_pixels` — netpbm
+    and uncompressed BMP): nearest-neighbor resample to width×height
+    (source index ``x*src_w // width`` — the same integer arithmetic any
+    engine can replay) and re-encode as binary P6 PPM, marked
+    ``resize_kind='pixel'``. Payloads the pure-Python decoder can't
+    handle keep the pre-r11 deterministic byte truncate/pad (marked
+    ``'bytes'`` — plumbing-only, swap in libvips for real decode of
+    compressed formats). Payload stays binary through the stage — resize
+    BEFORE any wide transform so the big bytes never shuffle."""
     fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )
-    out_schema = f"{fields}, resized_width int, resized_height int"
+    out_schema = (
+        f"{fields}, resized_width int, resized_height int, "
+        "resize_kind string"
+    )
     target = width * height
+
+    def resize_one(b) -> tuple[bytes | None, str]:
+        import numpy as np
+
+        if b is None:
+            return (None, "null")
+        raw = bytes(b)
+        dec = decode_pixels(raw)
+        if dec is None:
+            return ((raw[:target]).ljust(target, b"\0"), "bytes")
+        sw, sh, arr = dec
+        iy = (np.arange(height) * sh) // height
+        ix = (np.arange(width) * sw) // width
+        sampled = arr[iy][:, ix]
+        header = f"P6\n{width} {height}\n255\n".encode("ascii")
+        return (header + sampled.astype(np.uint8).tobytes(), "pixel")
 
     def resize_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            out[content_col] = pdf[content_col].map(
-                lambda b: None
-                if b is None
-                else (bytes(b)[:target]).ljust(target, b"\0")
-            )
+            resized = pdf[content_col].map(resize_one)
+            out[content_col] = resized.map(lambda t: t[0])
             out["resized_width"] = width
             out["resized_height"] = height
+            out["resize_kind"] = resized.map(lambda t: t[1])
             yield out
 
     return df.mapInPandas(resize_batches, schema=out_schema)

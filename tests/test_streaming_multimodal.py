@@ -201,6 +201,88 @@ class TestMultimodal:
         )
         assert _parse_bmp(info) == (64, 32, "RGB")
 
+    def test_decode_pixels_formats(self):
+        """Pixel-level decode is REAL for every zero-dep format: exact
+        arrays back out, BGR→RGB reorder, bottom-up flip, stride pad."""
+        import struct
+
+        import numpy as np
+
+        from lotad_spark.pipeline.multimodal import decode_pixels
+
+        rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        w, h, arr = decode_pixels(b"P6\n3 2\n255\n" + rgb.tobytes())
+        assert (w, h) == (3, 2) and (arr == rgb).all()
+
+        gray = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+        w, h, arr = decode_pixels(b"P5\n2 2\n255\n" + gray.tobytes())
+        assert (w, h) == (2, 2)
+        assert (arr == np.stack([gray] * 3, axis=-1)).all()
+
+        # ASCII twins
+        w, h, arr = decode_pixels(b"P3\n2 1\n255\n1 2 3 4 5 6")
+        assert (w, h) == (2, 1)
+        assert arr.tolist() == [[[1, 2, 3], [4, 5, 6]]]
+        w, h, arr = decode_pixels(b"P2\n1 2\n255\n7 9")
+        assert arr[:, :, 0].ravel().tolist() == [7, 9]
+
+        # 24-bpp BMP, 2x2, bottom-up, BGR, stride 8 (2 pad bytes/row)
+        top = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+        rows = b""
+        for r in reversed(top):  # bottom-up storage
+            for (rr, gg, bb) in r:
+                rows += bytes([bb, gg, rr])  # BGR on disk
+            rows += b"\0\0"  # stride pad to 8
+        bmp = (
+            b"BM"
+            + struct.pack("<IHHI", 0, 0, 0, 54)
+            + struct.pack("<IiiHH", 40, 2, 2, 1, 24)
+            + struct.pack("<II", 0, 0)  # compression=0, image size
+            + b"\0" * 16
+            + rows
+        )
+        w, h, arr = decode_pixels(bmp)
+        assert (w, h) == (2, 2) and arr.tolist() == [
+            [list(p) for p in r] for r in top
+        ]
+
+        # honest Nones: truncated pixels, non-255 maxval, exotic formats
+        assert decode_pixels(b"P6\n3 2\n255\nshort") is None
+        assert decode_pixels(b"P6\n1 1\n65535\n\0\0\0") is None
+        assert decode_pixels(b"\x89PNG\r\n...") is None
+
+    def test_luma_feature_kernel(self, spark):
+        """kind='luma' histograms ACTUAL pixel luma for decodable
+        payloads (hand-computed BT.601 integer bins) and labels the
+        byte-histogram fallback per row."""
+        import numpy as np
+
+        from lotad_spark.pipeline.multimodal import extract_feature_counts
+
+        px = np.array(
+            [[[255, 255, 255], [0, 0, 0]], [[100, 150, 50], [255, 0, 0]]],
+            dtype=np.uint8,
+        )
+        payload = b"P6\n2 2\n255\n" + px.tobytes()
+        df = spark.createDataFrame(
+            [(1, payload), (2, b"opaque bytes"), (3, None)],
+            "media_id long, content binary",
+        )
+        got = {
+            r.media_id: r
+            for r in extract_feature_counts(df, kind="luma").collect()
+        }
+        lumas = [
+            (299 * int(r) + 587 * int(g) + 114 * int(b)) // 1000
+            for (r, g, b) in px.reshape(-1, 3)
+        ]
+        expect = [0] * 16
+        for l in lumas:
+            expect[l * 16 // 256] += 1
+        assert got[1].kind == "luma" and list(got[1].hist) == expect
+        assert got[2].kind == "bytes" and sum(got[2].hist) == 12
+        assert got[3].kind == "null" and sum(got[3].hist) == 0
+
     def test_decode_keeps_partitioning_columns(self, spark):
         df = spark.createDataFrame(
             [(1, "img/png", b"abc")], "media_id long, media_type string, content binary"
@@ -244,13 +326,41 @@ class TestMultimodal:
         )
         out = resize_images(df, width=8, height=8)
         assert out.columns == [
-            "media_id", "media_type", "content", "resized_width", "resized_height",
+            "media_id", "media_type", "content",
+            "resized_width", "resized_height", "resize_kind",
         ]
         got = {r.media_id: r for r in out.collect()}
+        # non-decodable payloads keep the byte truncate/pad fallback,
+        # labeled as such
         assert len(got[1].content) == 64 and len(got[2].content) == 64
         assert bytes(got[1].content[:10]) == b"x" * 10  # pad, keep prefix
-        assert got[3].content is None
+        assert got[1].resize_kind == "bytes"
+        assert got[3].content is None and got[3].resize_kind == "null"
         assert got[1].resized_width == 8
+
+    def test_resize_real_pixels_nearest_neighbor(self, spark):
+        """A decodable P6 resizes by ACTUAL pixel resampling: each target
+        pixel (x, y) is source pixel (x*sw//tw, y*sh//th), and the output
+        re-encodes as P6 — decode_pixels round-trips it."""
+        import numpy as np
+
+        from lotad_spark.pipeline.multimodal import (
+            decode_pixels,
+            resize_images,
+        )
+
+        src = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+        payload = b"P6\n4 2\n255\n" + src.tobytes()
+        df = spark.createDataFrame(
+            [(1, payload)], "media_id long, content binary"
+        )
+        r = resize_images(df, width=2, height=2).collect()[0]
+        assert r.resize_kind == "pixel"
+        w, h, arr = decode_pixels(bytes(r.content))
+        assert (w, h) == (2, 2)
+        iy = (np.arange(2) * 2) // 2
+        ix = (np.arange(2) * 4) // 2
+        assert (arr == src[iy][:, ix]).all()
 
 
 class TestStreamingDedup:
