@@ -1731,6 +1731,75 @@ def q_multimodal_resize_hist(spark, sf_dir):
     )
 
 
+_BLOCKLIST_TERMS = ("casino", "dup", "slow", "spam")
+# the same list as a DuckDB array literal, shared by the oracle
+_BL_SQL = "[" + ", ".join(f"'{t}'" for t in _BLOCKLIST_TERMS) + "]"
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """Blocklist screening (pipeline/text.py blocklist_filter — the
+    C4-style banned-words gate): exact token matches against a small
+    term list ('dup'/'slow' occur in the corpus, 'casino'/'spam' do
+    not), emitting occurrence count, sorted distinct hit terms, and the
+    blocked flag. Literal strategy: one scan, zero exchanges."""
+    from lotad_spark.pipeline import blocklist_filter
+
+    return blocklist_filter(
+        _t(spark, sf_dir, "documents"), list(_BLOCKLIST_TERMS)
+    )
+
+
+def q_prototypicality_prune(spark, sf_dir):
+    """SSL-prototypes pruning (pipeline/similarity.py
+    prototypicality_prune, Sorscher et al. 2022): deterministic k-means
+    clusters the embeddings, each vector scores round-6 cosine to its
+    centroid, and the most prototypical half of each cluster is marked
+    for pruning (exact integer micro-unit drop count, ties proto DESC
+    id ASC). The oracle retrains the RNG-free k-means and embeds the
+    centroids as literals (the _ann_ivf_sql pattern), then replays
+    assignment, ranking, and the cut line."""
+    from lotad_spark.pipeline import prototypicality_prune_corpus
+
+    return prototypicality_prune_corpus(
+        _t(spark, sf_dir, "embeddings"), n_clusters=16, prune_frac=0.5
+    )
+
+
+def q_cms_term_counts(spark, sf_dir):
+    """Count-min sketch (pipeline/sketch.py, Cormode & Muthukrishnan
+    2005): sketch the corpus token stream into the 4x1024 counter grid,
+    then estimate the exact top-20 terms and emit (term, exact_cnt,
+    est, no_undercount). The md5 bucket hashing and integer counters
+    replay exactly in SQL, so the driver value-checks the ENTIRE sketch
+    — build, probe, and the never-undercount guarantee — not just a
+    bound."""
+    from lotad_spark.pipeline import cms_build, cms_estimate
+    from lotad_spark.pipeline.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                lambda w: w != "",
+            )
+        ).alias("term")
+    )
+    cand = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("term"))
+        .limit(20)
+    )
+    est = cms_estimate(cms_build(docs), cand.select("term"))
+    return cand.join(est, "term").select(
+        "term",
+        "exact_cnt",
+        "est",
+        (F.col("est") >= F.col("exact_cnt")).alias("no_undercount"),
+    )
+
+
 def _embedding_dup_corpus(spark, sf_dir):
     """embeddings ∪ scaled copies (x1.0001, cosine exactly 1) of every
     20th vector."""
@@ -2050,6 +2119,46 @@ def _ann_ivf_sql() -> str:
         for i, c in enumerate(cents)
     )
     return _ANN_IVF_SQL_TEMPLATE.replace("__CENTROID_VALUES__", values)
+
+
+def _proto_prune_sql() -> str:
+    """SSL-prototypes oracle: the SAME deterministic k-means trainer as
+    the Spark side (RNG-free — bit-identical centroid literals), then
+    assignment (round-6 cosine argmax, ties to the lowest cent_id),
+    per-cluster prototypicality rank (proto DESC, vec_id ASC), and the
+    exact integer micro-unit cut line n * 500000 // 10⁶."""
+    import duckdb
+
+    from lotad_spark.pipeline import kmeans
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    sample = duckdb.connect().execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
+    ).fetchall()
+    cents = kmeans.train_centroids([list(r[0]) for r in sample], 16)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return (
+        f"WITH cent(cent_id, cv) AS (VALUES {values}), "
+        "assigned AS (SELECT vec_id, cent_id, s AS proto FROM ("
+        "SELECT e.vec_id, c.cent_id, "
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) "
+        "AS s, row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) "
+        "DESC, c.cent_id ASC) AS r FROM embeddings e, cent c) "
+        "WHERE r = 1), "
+        "ranked AS (SELECT vec_id, cent_id, proto, "
+        "row_number() OVER (PARTITION BY cent_id ORDER BY proto DESC, "
+        "vec_id ASC) AS rr, "
+        "count(*) OVER (PARTITION BY cent_id) AS n FROM assigned) "
+        "SELECT vec_id, CAST(cent_id AS INT) AS cent_id, proto, "
+        "rr > (n * 500000) // 1000000 AS keep FROM ranked"
+    )
 
 
 def _pq_oracle_parts() -> tuple[str, "object"]:
@@ -3686,6 +3795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_luma_hist": q_multimodal_luma_hist,
         "multimodal_resize_hist": q_multimodal_resize_hist,
+        "blocklist_filter": q_blocklist_filter,
+        "prototypicality_prune": q_prototypicality_prune,
+        "cms_term_counts": q_cms_term_counts,
         "skew_salted_join": q_skew_salted_join,
         "schema_drift_records": q_schema_drift_records,
         "rollup_distinct_users": q_rollup_distinct_users,
@@ -4503,6 +4615,50 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(list_transform(range(0, 16), b -> "
             "CAST(len(list_filter(lumas, l -> l * 16 // 256 = b)) "
             "AS VARCHAR)), ',') AS hist FROM lum"
+        ),
+        # Exact token matching against the shared term tuple; DuckDB's
+        # list_intersect dedupes and list_sort is ascending — the same
+        # semantics as Spark's array_intersect/array_sort.
+        "blocklist_filter": (
+            "WITH w AS (SELECT doc_id, "
+            "list_filter(string_split_regex(trim(lower(coalesce(text, "
+            "''))), '\\s+'), x -> x <> '') AS w FROM documents) "
+            "SELECT doc_id, "
+            f"CAST(len(list_filter(w, x -> list_contains({_BL_SQL}, x))) "
+            "AS BIGINT) AS n_hits, "
+            # array_to_string([]) is NULL in DuckDB (Spark: ''), coalesce
+            f"coalesce(array_to_string(list_sort(list_intersect(w, "
+            f"{_BL_SQL})), ','), '') AS hit_terms, "
+            f"len(list_filter(w, x -> list_contains({_BL_SQL}, x))) > 0 "
+            "AS blocked FROM w"
+        ),
+        "prototypicality_prune": _proto_prune_sql(),
+        # Full sketch replay: same md5 bucket hash (first-8-hex idiom),
+        # same integer counters, same min-estimate — the no_undercount
+        # flag is computed, not asserted.
+        "cms_term_counts": (
+            "WITH tok AS (SELECT unnest(list_filter(string_split_regex("
+            "trim(lower(coalesce(text, ''))), '\\s+'), x -> x <> '')) "
+            "AS term FROM documents), "
+            "rows(row) AS (VALUES (0), (1), (2), (3)), "
+            "cells AS (SELECT r.row, CAST('0x' || substr(md5("
+            "CAST(r.row AS VARCHAR) || ':' || t.term), 1, 8) AS BIGINT) "
+            "% 1024 AS bucket FROM tok t, rows r), "
+            "sk AS (SELECT row, bucket, count(*) AS cnt FROM cells "
+            "GROUP BY row, bucket), "
+            "cand AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt "
+            "FROM tok GROUP BY term "
+            "ORDER BY count(*) DESC, term ASC LIMIT 20), "
+            "probes AS (SELECT c.term, c.exact_cnt, r.row, "
+            "CAST('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || "
+            "c.term), 1, 8) AS BIGINT) % 1024 AS bucket "
+            "FROM cand c, rows r), "
+            "est AS (SELECT term, exact_cnt, "
+            "CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est "
+            "FROM probes LEFT JOIN sk USING (row, bucket) "
+            "GROUP BY term, exact_cnt) "
+            "SELECT term, exact_cnt, est, est >= exact_cnt "
+            "AS no_undercount FROM est"
         ),
         "text_winnow_fp": _WINNOW_SQL,
         "text_repetition": (

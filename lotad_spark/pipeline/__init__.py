@@ -23,6 +23,7 @@ from lotad_spark.pipeline.text import (
     repetition_stats,
     strip_duplicate_lines,
     text_stats,
+    blocklist_filter,
     tfidf_top_terms,
     tokens,
     unigram_logprob,
@@ -48,6 +49,8 @@ from lotad_spark.pipeline.similarity import (
     ivf_topk,
     quantize_embeddings,
     semantic_dedup,
+    prototypicality_prune,
+    prototypicality_prune_corpus,
     semantic_dedup_corpus,
 )
 from lotad_spark.pipeline.multimodal import (
@@ -59,6 +62,11 @@ from lotad_spark.pipeline.multimodal import (
     with_decoded_metadata,
 )
 from lotad_spark.pipeline.bpe import apply_bpe, train_bpe
+from lotad_spark.pipeline.sketch import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
 from lotad_spark.pipeline.retrieval import (
     append_to_bm25_index,
     bm25_against_index,
@@ -132,6 +140,8 @@ __all__ = [
     "quantize_embeddings",
     "embedding_near_dup_pairs",
     "semantic_dedup",
+    "prototypicality_prune",
+    "prototypicality_prune_corpus",
     "semantic_dedup_corpus",
     "ngram_jaccard",
     "winnow_fingerprint",
@@ -160,6 +170,10 @@ __all__ = [
     "strip_duplicate_spans",
     "write_span_index",
     "duplicate_spans_against_index",
+    "blocklist_filter",
+    "cms_build",
+    "cms_estimate",
+    "cms_merge",
     "tfidf_top_terms",
     "sliding_token_windows",
     "token_chunk_plan",

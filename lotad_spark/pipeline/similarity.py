@@ -777,6 +777,133 @@ def semantic_dedup(
     )
 
 
+def prototypicality_prune(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    prune_frac: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cent_vec",
+    kernel: str = "expr",
+) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws: beating power law scaling via data pruning",
+    arXiv:2206.14486 — public): score every example by its cosine to its
+    assigned cluster centroid ("prototypicality") and DROP the most
+    prototypical ``prune_frac`` of each cluster — the easy, redundant
+    core the paper shows you can discard at large data scale with little
+    or no loss — keeping the hard, informative tail. The standard
+    embedding-space curation step AFTER dedup: SemDeDup removes copies,
+    prototype pruning removes redundancy.
+
+    Returns (id, cent_id, proto, keep) for every corpus row so callers
+    can audit the per-cluster cut line, not just the survivors.
+
+    Determinism (oracle contract): ``proto`` is the round-6 cosine; the
+    per-cluster drop count is EXACT integer arithmetic
+    ``n * round(prune_frac·10⁶) div 10⁶`` with the micro-unit factor
+    computed driver-side (the repo convention — no double
+    multiplication whose rounding could flip an engine on a boundary);
+    rank ties resolve proto DESC, id ASC.
+
+    Scale: assignment is the shuffle-free literal/arrow kernel
+    (:func:`assign_to_centroids`); the only exchange is the per-cluster
+    rank window keyed by cent_id — cluster-sized sorts, the
+    :func:`semantic_dedup` shape. At corpus sizes where even
+    cluster-sized sorts hurt, trade exactness for a scan: filter by an
+    approx-percentile proto threshold per cluster instead of the exact
+    rank."""
+    from pyspark.sql import Window
+
+    assigned = assign_to_centroids(
+        corpus,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        cent_id_col=cent_id_col,
+        cent_vec_col=cent_vec_col,
+        kernel=kernel,
+    )
+    withc = assigned.join(
+        F.broadcast(centroids.select(cent_id_col, cent_vec_col)),
+        cent_id_col,
+    )
+    scored = withc.select(
+        F.col(id_col),
+        F.col(cent_id_col),
+        F.round(
+            cosine(
+                F.col(vec_col).cast("array<double>"),
+                F.col(cent_vec_col).cast("array<double>"),
+            ),
+            6,
+        ).alias("proto"),
+    )
+    micro = int(round(prune_frac * 1_000_000))
+    w = Window.partitionBy(cent_id_col).orderBy(
+        F.desc("proto"), F.asc(id_col)
+    )
+    ranked = scored.select(
+        id_col,
+        cent_id_col,
+        "proto",
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(cent_id_col))
+        .alias("_n"),
+    )
+    return ranked.select(
+        id_col,
+        cent_id_col,
+        "proto",
+        (
+            F.col("_r") > F.expr(f"(_n * {micro}) div 1000000")
+        ).alias("keep"),
+    )
+
+
+def prototypicality_prune_corpus(
+    corpus: DataFrame,
+    *,
+    n_clusters: int = 16,
+    prune_frac: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int | None = None,
+    train_iters: int | None = None,
+    kernel: str = "expr",
+) -> DataFrame:
+    """End-to-end :func:`prototypicality_prune`: trains the deterministic
+    spherical k-means centroids (``pipeline.kmeans`` — RNG-free, bounded
+    id-ordered sample, so an oracle retraining on the same rows embeds
+    bit-identical constants) and prunes against them."""
+    from lotad_spark.pipeline import kmeans
+
+    sample = kmeans.sample_vectors(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_size=sample_size or kmeans.DEFAULT_SAMPLE_SIZE,
+    )
+    cents = kmeans.train_centroids(
+        sample, n_clusters, iters=train_iters or kmeans.DEFAULT_ITERS
+    )
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cent_id int, cent_vec array<double>",
+    )
+    return prototypicality_prune(
+        corpus,
+        centroids,
+        prune_frac=prune_frac,
+        id_col=id_col,
+        vec_col=vec_col,
+        kernel=kernel,
+    )
+
+
 def semantic_dedup_corpus(
     corpus: DataFrame,
     *,

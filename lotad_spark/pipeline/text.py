@@ -339,6 +339,104 @@ def corpus_filter(
     )
 
 
+def blocklist_filter(
+    df: DataFrame,
+    terms: list[str] | tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    strategy: str = "literal",
+) -> DataFrame:
+    """Blocklist screening — the C4/FineWeb "banned words" gate (public;
+    C4 dropped any page containing a word from the "List of Dirty,
+    Naughty, Obscene..." list): per document, match the lowercased
+    whitespace tokens against ``terms`` and emit
+    (id, n_hits, hit_terms, blocked). Matching is EXACT token equality
+    (no substring surprises — 'classic' never trips 'ass'); ``n_hits``
+    counts total occurrences, ``hit_terms`` is the sorted DISTINCT
+    matched terms joined with ',' (a deterministic audit trail), and
+    ``blocked`` is n_hits > 0.
+
+    Every row comes back flagged rather than silently dropped: at 100 TB
+    the operational question is "what did the gate remove and why" —
+    the kept corpus is one ``filter(~blocked)`` away.
+
+    strategy='literal' (default): the term list rides into the
+    projection as an array literal — ONE scan, zero joins, zero
+    exchanges; right for the typical curated lists (hundreds to a few
+    thousand terms). strategy='join': tokens explode into a broadcast
+    join against the term relation and re-aggregate per doc — the shape
+    for 100k+-term lists where a literal array bloats the plan; only
+    MATCHED (doc, term) rows reach the aggregation exchange, so the
+    shuffle is hit-sparse, never corpus-sized. Output-identical
+    (pinned in tests)."""
+    tl = sorted({t.lower() for t in terms})
+    if not tl:
+        raise ValueError("blocklist_filter: empty term list")
+    if strategy == "literal":
+        # Stage the token array as its own column first (the Spark 4
+        # shared-lambda-tree hazard; see gopher_rules).
+        staged = df.select(
+            F.col(id_col),
+            F.filter(
+                tokens(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                lambda w: w != "",
+            ).alias("_w"),
+        )
+        lit = F.array(*[F.lit(t) for t in tl])
+        n_hits = F.size(
+            F.filter(F.col("_w"), lambda w: F.array_contains(lit, w))
+        ).cast("bigint")
+        return staged.select(
+            F.col(id_col),
+            n_hits.alias("n_hits"),
+            F.array_join(
+                F.array_sort(F.array_intersect(F.col("_w"), lit)), ","
+            ).alias("hit_terms"),
+            (n_hits > 0).alias("blocked"),
+        )
+    if strategy != "join":
+        raise ValueError(
+            f"blocklist_filter: unknown strategy {strategy!r} "
+            "(expected 'literal' or 'join')"
+        )
+    spark = df.sparkSession
+    termdf = spark.createDataFrame([(t,) for t in tl], "_tok string")
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                tokens(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                lambda w: w != "",
+            )
+        ).alias("_tok"),
+    )
+    hits = (
+        exploded.join(F.broadcast(termdf), "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.array_join(
+                F.array_sort(F.collect_set("_tok")), ","
+            ).alias("hit_terms"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias(
+                "n_hits"
+            ),
+            F.coalesce(F.col("hit_terms"), F.lit("")).alias("hit_terms"),
+            F.coalesce(F.col("n_hits") > 0, F.lit(False)).alias(
+                "blocked"
+            ),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 5,

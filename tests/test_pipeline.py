@@ -922,3 +922,81 @@ class TestLineDedup:
 
         keys = re.findall(r"hashpartitioning\((\w+)", plan)
         assert keys and all(k.startswith("_lh") for k in keys), plan
+
+
+class TestBlocklistFilter:
+    CORPUS = [
+        (1, "the casino opened a casino near the spam farm"),
+        (2, "clean prose about classic classification"),  # substring traps
+        (3, None),
+        (4, "SPAM Casino"),  # case folding
+        (5, ""),
+    ]
+    TERMS = ["casino", "spam", "ass"]
+
+    @staticmethod
+    def ref(corpus, terms):
+        out = {}
+        ts = set(terms)
+        for d, t in corpus:
+            words = [w for w in (t or "").lower().split() if w]
+            hits = [w for w in words if w in ts]
+            out[d] = (
+                len(hits),
+                ",".join(sorted(set(hits))),
+                len(hits) > 0,
+            )
+        return out
+
+    def test_matches_reference_and_token_exactness(self, spark):
+        from lotad_spark.pipeline import blocklist_filter
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id bigint, text string")
+        got = {
+            r.doc_id: (r.n_hits, r.hit_terms, r.blocked)
+            for r in blocklist_filter(df, self.TERMS).collect()
+        }
+        assert got == self.ref(self.CORPUS, self.TERMS)
+        # token-exact: 'classic'/'classification' never trip 'ass'
+        assert got[2] == (0, "", False)
+        assert got[1] == (3, "casino,spam", True)
+        assert got[4] == (2, "casino,spam", True)
+
+    def test_join_strategy_output_identical(self, spark):
+        from lotad_spark.pipeline import blocklist_filter
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id bigint, text string")
+        lit = sorted(
+            map(tuple, blocklist_filter(df, self.TERMS).collect())
+        )
+        join = sorted(
+            map(
+                tuple,
+                blocklist_filter(df, self.TERMS, strategy="join").collect(),
+            )
+        )
+        assert lit == join
+
+    def test_literal_strategy_is_shuffle_free(self, spark, sf_dir):
+        from lotad_spark.pipeline import blocklist_filter
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        docs = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        plan = (
+            blocklist_filter(docs, self.TERMS)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "Join" not in plan
+
+    def test_empty_terms_raise(self, spark):
+        from lotad_spark.pipeline import blocklist_filter
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id bigint, text string")
+        import pytest
+
+        with pytest.raises(ValueError):
+            blocklist_filter(df, [])
+        with pytest.raises(ValueError):
+            blocklist_filter(df, self.TERMS, strategy="nope")

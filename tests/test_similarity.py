@@ -689,3 +689,85 @@ class TestSemanticDedupCli:
         }
         assert all(landed[100 + i] for i, _ in base[::4])
         assert not any(landed[i] for i, _ in base)
+
+
+class TestPrototypicalityPrune:
+    def test_matches_python_replay(self, spark):
+        """keep flags match a plain replay: rank round-6 cosine to the
+        assigned centroid desc (ties id asc), drop the top
+        n*micro//1e6 per cluster."""
+        import math
+
+        from lotad_spark.pipeline import prototypicality_prune
+
+        cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        vecs = [
+            (1, [10.0, 1.0]), (2, [10.0, 2.0]), (3, [10.0, 5.0]),
+            (4, [1.0, 10.0]), (5, [2.0, 10.0]), (6, [5.0, 10.0]),
+            (7, [0.5, 10.0]),
+        ]
+        corpus = spark.createDataFrame(
+            vecs, "vec_id bigint, embedding array<double>"
+        )
+        centroids = spark.createDataFrame(
+            cents, "cent_id int, cent_vec array<double>"
+        )
+        got = {
+            r.vec_id: (r.cent_id, r.proto, r.keep)
+            for r in prototypicality_prune(
+                corpus, centroids, prune_frac=0.5
+            ).collect()
+        }
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            return round(
+                num / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b)),
+                6,
+            )
+
+        by_cluster = {}
+        for vid, v in vecs:
+            sims = [(cos(v, c), -cid) for cid, c in cents]
+            best = max(sims)
+            cid = -best[1]
+            by_cluster.setdefault(cid, []).append((vid, best[0]))
+        expect = {}
+        for cid, members in by_cluster.items():
+            members.sort(key=lambda t: (-t[1], t[0]))
+            n_drop = (len(members) * 500000) // 1000000
+            for r, (vid, proto) in enumerate(members, 1):
+                expect[vid] = (cid, proto, r > n_drop)
+        assert got == expect
+        # sanity: the most axis-aligned (most prototypical) are dropped
+        assert got[1][2] is False and got[3][2] is True
+        assert got[7][2] is False and got[6][2] is True
+
+    def test_prune_frac_extremes(self, spark):
+        from lotad_spark.pipeline import prototypicality_prune
+
+        corpus = spark.createDataFrame(
+            [(i, [float(i + 1), 1.0]) for i in range(6)],
+            "vec_id bigint, embedding array<double>",
+        )
+        centroids = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "cent_id int, cent_vec array<double>"
+        )
+        keep0 = prototypicality_prune(corpus, centroids, prune_frac=0.0)
+        assert all(r.keep for r in keep0.collect())
+        keep1 = prototypicality_prune(corpus, centroids, prune_frac=1.0)
+        assert not any(r.keep for r in keep1.collect())
+
+    def test_corpus_face_runs_on_embeddings(self, spark, sf_dir):
+        from lotad_spark.pipeline import prototypicality_prune_corpus
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        emb = ParquetDatabase(spark, sf_dir, "db").table("embeddings")
+        out = prototypicality_prune_corpus(
+            emb, n_clusters=4, prune_frac=0.25
+        )
+        rows = out.collect()
+        assert len(rows) == emb.count()  # every row audited, none dropped
+        kept = sum(r.keep for r in rows)
+        # 25% of each cluster pruned -> within a few rows of 75% overall
+        assert abs(kept - 0.75 * len(rows)) <= 4
