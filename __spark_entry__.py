@@ -99,16 +99,12 @@ def _sym_except(cols: str, t1: str, t2: str) -> str:
 # ---------------------------------------------------------------------------
 
 def q_diff_deleted_rows(spark, sf_dir):
-    r = diff_tables(
-        _t(spark, sf_dir, "customer"), _customer_deleted(spark, sf_dir),
-        db1_id="db1", db2_id="db2",
-    )
-    return r.diff.drop(HASH_COL)
-
-
-def q_diff_deleted_rows_groupby(spark, sf_dir):
-    """Scale-path strategy (single-shuffle groupby) must produce the same
-    rows as the parity default on canonical inputs."""
+    """Runs the GROUPBY strategy (the single-shuffle scale path) — the
+    r10 registry consolidation merged the old diff_deleted_rows /
+    diff_deleted_rows_groupby pair into this one row: every OTHER diff
+    row rides the window/default face (the auto router stays below the
+    probe floor at driver scale), so this row keeps the groupby plan
+    driver-checked without spending a second slot on the same query."""
     r = diff_tables(
         _t(spark, sf_dir, "customer"), _customer_deleted(spark, sf_dir),
         db1_id="db1", db2_id="db2", strategy="groupby",
@@ -601,16 +597,10 @@ def q_bpe_pair_counts(spark, sf_dir):
     )
 
 
-def q_bpe_merges(spark, sf_dir):
-    """First 8 learned BPE merges (rank, left, right, pair_count).
-    Iterative — but 8 merges is a FIXED depth, so the oracle unrolls the
-    loop into 8 chained CTE rounds (pair histogram → argmax with the
-    same lexicographic tie-break → greedy fold rewrite) and the row is
-    fully value-checked; the merge table is additionally pinned against
-    an independent reference implementation in tests/test_bpe.py."""
-    from lotad_spark.pipeline.bpe import train_bpe
-
-    return train_bpe(_t(spark, sf_dir, "documents"), num_merges=8)
+# (the former bpe_merges registry row was consolidated into apply_bpe
+# per the r10 plan: apply_bpe's oracle replays the identical fixed-depth
+# merge-training CTE unroll — _bpe_training_ctes — and tests/test_bpe.py
+# pins the merge table against an independent reference implementation)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -3590,73 +3580,155 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r6 — 66 declared, exactly the first 50 checked). Priority for the
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
-    green stable rows rotate out. Layout this round (r10):
+    green stable rows rotate out. Layout this round (r11):
 
-    * 1-12: the diff family — core diff.py changed this round (the
-      default strategy="auto" now routes through a duplicate-density
-      probe, and the groupby strategy's phase-1 aggregate moved from
-      collect_set to min/max provenance), so every row riding
-      diff_tables/compare_all re-enters per the changed-code rule.
-      diff_deleted_rows_groupby leads: it explicitly exercises the
-      rewritten phase-1 plan. (At driver scale the router stays below
-      the probe size floor and picks window, so these rows also pin
-      that the default path is output-identical to r8/r9.)
-    * 13: ann_ivf_topk — ivf_topk/build_ivf_index now DEFAULT to the
-      arrow assignment kernel (the r9 regression reproduced on an idle
-      box: 3.63 s vs r8's 2.27 s; arrow measures 1.75 s — BASELINE.md
-      r10 A/B), so the IVF path re-enters with the new kernel live.
-    * 14-18: the rows NEW this round — rolling_active_users_bound
-      (the HLL approx face's ≤5% accuracy claim as a value-checkable
-      boolean; oracle emits literal TRUE, estimates themselves stay
-      engine-specific), pq_codes and ann_pq_topk (product-quantization
-      encode + ADC top-k, pipeline/pq.py — integer-quantized lookup
-      tables make the scoring sums order-independent and exactly
-      replayable in SQL), and ann_ivfpq_topk (the full IVF-PQ serving
-      path: build the codes-only partitioned index with expr kernels,
-      probe with a static partition filter; the oracle replays coarse
-      assignment, probe ranking, encode, and scoring), and dsir_weights
-      (DSIR hashed-ngram importance weights + Gumbel top-k selection,
-      pipeline/dsir.py — decimal-exact log-ratio sums, full value
-      oracle including the selected flag). The three PQ rows displace
-      chunk_manifest, curate_corpus, and mixture_sample to 51+;
-      dsir_weights displaces length_quantiles (all r8-green).
-    * 19-24: the rows landed LATE in r10 with full value oracles —
-      ann_ivfpq_residual_topk and ann_sq8_topk (the r11-queue ANN
-      candidates: IVFADC scaled-integer scoring; SQ8 dequantized-cosine
-      replay), bm25_topk (BM25 lexical retrieval, decimal-exact
-      contribution sums), text_bigram_lm (interpolated bigram-LM
-      quality score, decimal-exact sums), gopher_rules (the Gopher
-      quality stack, shuffle-free projection, round-6-then-threshold),
-      and token_windows (overlapping RAG chunk windows, zero-shuffle).
-      Priority class (b) — no driver-green round yet — so they enter
-      the window immediately, displacing tfidf_top_terms, sample_hash,
-      upsample_weights, shuffle_batches, train_eval_split, and
-      stratified_cap (all r8-green) to 51-56.
-    * 25-50: the longest-unverified rows, all last driver-green r8
-      with code unchanged since: sql_row_hash_diff, json_schema_drift,
-      missing_table_records, the wizard family, q1/topk/window-agg
-      headliners, the exact/minhash/simhash/jaccard dedup family,
-      ann_cosine_topk, contamination_check, the text family, and the
-      sampling/curation family (minus the three rows displaced by the
-      PQ family).
-    * 51+: rotated out, led by length_quantiles, mixture_sample,
-      curate_corpus, and
-      chunk_manifest (r8 green, displaced above) and the next-due rows
-      (bpe_merges,
-      token_chunk_plan, training_plan, psi_online, the rollup family,
-      json_key_stats, asof_latest_order — all last green r8 and first
-      in line for r11), then the rows green in r9 (code unchanged).
-      The four file-format scan rows (sqlite/orc/csv/jsonl) were green
-      r9 and their shared diff engine is re-verified this round via
-      rows 1-12, so they rotate out per policy. The full registry
-      stays enforced by scripts/check_oracle.py and the pytest suite.
-      See COVERAGE.md "Driver-window rotation".
+    * 1-8: changed-code re-entries. diff_deleted_rows is the r10-plan
+      CONSOLIDATION of the old diff_deleted_rows +
+      diff_deleted_rows_groupby pair — the merged row runs the groupby
+      (scale-path) strategy while every other diff row pins the
+      window/default face; gopher_rules now counts DISTINCT stopwords
+      (the r10-advice paper-fidelity fix); multimodal_features rides
+      the rewritten extract_feature_counts (kind column, real luma
+      kernel); ann_pq_topk / ann_ivfpq_topk / ann_ivfpq_residual_topk
+      ride pq_topk/ivf_pq_topk whose query-id schema is now DERIVED
+      from the caller's id type instead of hard-coded bigint;
+      ann_sq8_topk rides build_ivf_sq8_index (cent_id threaded through
+      quantize — build-time self-join removed); quantize_embeddings
+      rides the keep_cols projection change.
+    * 9-13: NEW this round, no driver-green run yet —
+      multimodal_luma_hist and multimodal_resize_hist (REAL pixel
+      decode: integer BT.601 luma histogram; nearest-neighbor resample
+      re-encoded as P6 — both replayed byte-for-byte in SQL),
+      blocklist_filter (C4-style banned-words gate, exact token
+      matching, shuffle-free literal strategy), prototypicality_prune
+      (SSL-prototypes pruning, Sorscher et al. 2022 — centroid-literal
+      oracle), and cms_term_counts (count-min sketch, Cormode &
+      Muthukrishnan 2005 — the ENTIRE sketch replayed in SQL including
+      the never-undercount guarantee).
+    * 14-32: the longest-unverified rows, all last driver-green r8 with
+      code unchanged since (sampling/curation family, token packing,
+      training_plan, psi_online, the rollup family, json_key_stats,
+      asof_latest_order). The former bpe_merges row is RETIRED per the
+      r10 consolidation plan — apply_bpe's oracle replays the identical
+      merge-training CTE unroll, so the coverage is unchanged.
+    * 33-50: next-longest out, last driver-green r9 with code unchanged
+      since: line dedup, the file-format scan rows (orc/csv/jsonl/
+      sqlite), apply_bpe, interval join, dedup_semantic, streaming
+      batch faces, frame_sample_plan, span dedup, paths/anomaly,
+      sliding agg, bpe_pair_counts, temperature_rates.
+    * 51+: rotated out, ordered by verification debt for r12 — first
+      the remaining r9-green rows, then everything driver-green in
+      r10/r11 with code unchanged, newest last. Every rotated row has
+      at least one driver-green round; the FULL registry stays enforced
+      by scripts/check_oracle.py (122 value-checked + 1 rows-only at
+      sf0.01) and the pytest suite. See COVERAGE.md "Driver-window
+      rotation".
     """
     return {
-        # --- 1-12: diff family re-enters (core diff.py changed: auto
-        # routing probe + groupby min/max phase 1) ---
-        "diff_deleted_rows_groupby": q_diff_deleted_rows_groupby,
+        # --- 1-8: changed-code re-entries (r11). 1 is the merged
+        # diff_deleted_rows row (the r10 consolidation: it now RUNS
+        # strategy='groupby' — the scale path — while every other
+        # diff row pins the window/default face); 2 counts DISTINCT
+        # stopwords (the r10-advice Gopher fidelity fix); 3 rides the
+        # rewritten extract_feature_counts (kind column, luma kernel);
+        # 4-6 ride pq_topk/ivf_pq_topk (query-id schema now derived,
+        # not hard-coded bigint); 7 rides build_ivf_sq8_index (cent_id
+        # threaded through quantize, self-join removed); 8 rides the
+        # quantize_embeddings keep_cols projection change. ---
         "diff_deleted_rows": q_diff_deleted_rows,
+        "gopher_rules": q_gopher_rules,
+        "multimodal_features": q_multimodal_features,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
+        "ann_sq8_topk": q_ann_sq8_topk,
+        "quantize_embeddings": q_quantize_embeddings,
+        # --- 9-13: NEW this round, no driver-green run yet:
+        # real-pixel multimodal rows (luma histogram; nearest-neighbor
+        # resize), the C4-style blocklist gate, SSL-prototypes
+        # pruning (Sorscher et al. 2022), and the count-min sketch
+        # with its full SQL replay (Cormode & Muthukrishnan 2005). ---
+        "multimodal_luma_hist": q_multimodal_luma_hist,
+        "multimodal_resize_hist": q_multimodal_resize_hist,
+        "blocklist_filter": q_blocklist_filter,
+        "prototypicality_prune": q_prototypicality_prune,
+        "cms_term_counts": q_cms_term_counts,
+        # --- 14-32: the longest-unverified rows, all last
+        # driver-green r8 with code unchanged since. ---
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "sample_hash": q_sample_hash,
+        "upsample_weights": q_upsample_weights,
+        "shuffle_batches": q_shuffle_batches,
+        "train_eval_split": q_train_eval_split,
+        "stratified_cap": q_stratified_cap,
+        "length_quantiles": q_length_quantiles,
+        "mixture_sample": q_mixture_sample,
+        "curate_corpus": q_curate_corpus,
+        "chunk_manifest": q_chunk_manifest,
+        "token_chunk_plan": q_token_chunk_plan,
+        "training_plan": q_training_plan,
+        "psi_online": q_psi_online,
+        "rollup_hourly": q_rollup_hourly,
+        "rollup_incremental": q_rollup_incremental,
+        "rollup_gapfill": q_rollup_gapfill,
+        "twa_by_user": q_twa_by_user,
+        "json_key_stats": q_json_key_stats,
+        "asof_latest_order": q_asof_latest_order,
+        # --- 33-50: next-longest out, last driver-green r9 with
+        # code unchanged since (file-format scans, span dedup,
+        # paths/anomaly, streaming batch faces, BPE smoke). ---
+        "strip_dup_lines": q_strip_dup_lines,
+        "orc_scan_diff": q_orc_scan_diff,
+        "csv_scan_diff": q_csv_scan_diff,
+        "apply_bpe": q_apply_bpe,
+        "interval_join_batch": q_interval_join_batch,
+        "jsonl_scan_diff": q_jsonl_scan_diff,
+        "dedup_semantic": q_dedup_semantic,
+        "streaming_dedup_batch": q_streaming_dedup_batch,
+        "frame_sample_plan": q_frame_sample_plan,
+        "sqlite_scan_diff": q_sqlite_scan_diff,
+        "dup_spans": q_dup_spans,
+        "strip_dup_spans": q_strip_dup_spans,
+        "event_transitions": q_event_transitions,
+        "path_signatures": q_path_signatures,
+        "rollup_anomaly": q_rollup_anomaly,
+        "events_sliding_agg": q_events_sliding_agg,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "temperature_rates": q_temperature_rates,
+        # --- 51+: rotated out, ordered by verification debt for
+        # r12: first the remaining r9-green rows, then everything
+        # driver-green in r10/r11 (code unchanged), newest last.
+        # See COVERAGE.md 'Driver-window rotation'. ---
+        "multi_grain_cube": q_multi_grain_cube,
+        "anomaly_online": q_anomaly_online,
+        "events_funnel_windowed": q_events_funnel_windowed,
+        "value_deciles": q_value_deciles,
+        "span_index_probe": q_span_index_probe,
+        "canonical_keep": q_canonical_keep,
+        "contamination_spans": q_contamination_spans,
+        "rolling_active_users": q_rolling_active_users,
+        "events_funnel": q_events_funnel,
+        "profile_drift": q_profile_drift,
+        "events_retention": q_events_retention,
+        "psi_drift": q_psi_drift,
+        "keyed_diff": q_keyed_diff,
+        "events_value_hist": q_events_value_hist,
+        "zorder_codes": q_zorder_codes,
+        "snapshot_diff": q_snapshot_diff,
+        "dedup_index_probe": q_dedup_index_probe,
+        "range_join_views": q_range_join_views,
+        "quantile_estimates": q_quantile_estimates,
+        "quantiles_online": q_quantiles_online,
+        "weighted_sample": q_weighted_sample,
+        "dedup_embedding": q_dedup_embedding,
+        "drift_static_batch": q_drift_static_batch,
+        "events_key_stats": q_events_key_stats,
+        "events_session_agg": q_events_session_agg,
+        "multimodal_decode": q_multimodal_decode,
+        "skew_salted_join": q_skew_salted_join,
+        "schema_drift_records": q_schema_drift_records,
+        "rollup_distinct_users": q_rollup_distinct_users,
+        "skew_two_phase_agg": q_skew_two_phase_agg,
         "diff_value_change": q_diff_value_change,
         "diff_counts": q_diff_counts,
         "diff_ignore_column": q_diff_ignore_column,
@@ -3667,39 +3739,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_dup_collapse": q_diff_dup_collapse,
         "drift_summary": q_drift_summary,
         "custom_query_diff": q_custom_query_diff,
-        # --- 13: IVF assignment kernel default flipped to arrow ---
         "ann_ivf_topk": q_ann_ivf_topk,
-        # --- 14-16: NEW this round (the PQ rows displace chunk_manifest
-        # and curate_corpus to 51+; both hold an r8 green round) ---
         "rolling_active_users_bound": q_rolling_active_users_bound,
         "pq_codes": q_pq_codes,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "dsir_weights": q_dsir_weights,
-        # --- 19-20: NEW (added late in r10) — the r11-queue candidates
-        # landed early: priority class (b) (no driver-green round yet)
-        # outranks the longest-out class, so they enter the window now;
-        # they displace train_eval_split and stratified_cap (r8-green)
-        # to 51-52 ---
-        "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
-        "ann_sq8_topk": q_ann_sq8_topk,
-        # --- 21: NEW (late r10) — BM25 lexical retrieval (decimal-exact
-        # scoring, full SQL replay); displaces shuffle_batches (r8-green)
-        # to 51 ---
         "bm25_topk": q_bm25_topk,
-        # --- 22: NEW (late r10) — interpolated bigram-LM quality score
-        # (decimal-exact, full SQL replay); displaces upsample_weights
-        # (r8-green) to 51 ---
         "text_bigram_lm": q_text_bigram_lm,
-        # --- 23: NEW (late r10) — Gopher quality-rule stack (Rae et al.
-        # 2021, shuffle-free projection, full SQL replay); displaces
-        # sample_hash (r8-green) to 51 ---
-        "gopher_rules": q_gopher_rules,
-        # --- 24: NEW (late r10) — overlapping token windows (RAG chunk
-        # prep, zero-shuffle projection, full SQL replay); displaces
-        # tfidf_top_terms (r8-green) to 51 ---
         "token_windows": q_token_windows,
-        # --- 25-50: longest-unverified (last driver-green r8) ---
         "sql_row_hash_diff": q_sql_row_hash_diff,
         "json_schema_drift": q_json_schema_drift,
         "missing_table_records": q_missing_table_records,
@@ -3726,82 +3772,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "text_unigram_lm": q_text_unigram_lm,
-        "tfidf_top_terms": q_tfidf_top_terms,  # 51 — displaced by token_windows
-        "sample_hash": q_sample_hash,  # displaced by gopher_rules
-        "upsample_weights": q_upsample_weights,  # displaced by text_bigram_lm
-        "shuffle_batches": q_shuffle_batches,  # displaced by bm25_topk
-        "train_eval_split": q_train_eval_split,  # displaced by the late-r10 ANN rows
-        "stratified_cap": q_stratified_cap,
-        "length_quantiles": q_length_quantiles,  # displaced by dsir_weights
-        "mixture_sample": q_mixture_sample,
-        "curate_corpus": q_curate_corpus,
-        "chunk_manifest": q_chunk_manifest,
-        # --- 51+: rotated out; ordered by verification debt for r11 ---
-        "bpe_merges": q_bpe_merges,
-        "token_chunk_plan": q_token_chunk_plan,
-        "training_plan": q_training_plan,
-        "psi_online": q_psi_online,
-        "rollup_hourly": q_rollup_hourly,
-        "rollup_incremental": q_rollup_incremental,
-        "rollup_gapfill": q_rollup_gapfill,
-        "twa_by_user": q_twa_by_user,
-        "json_key_stats": q_json_key_stats,
-        "asof_latest_order": q_asof_latest_order,
-        "strip_dup_lines": q_strip_dup_lines,
-        "orc_scan_diff": q_orc_scan_diff,
-        "csv_scan_diff": q_csv_scan_diff,
-        "apply_bpe": q_apply_bpe,
-        "interval_join_batch": q_interval_join_batch,
-        "jsonl_scan_diff": q_jsonl_scan_diff,
-        "dedup_semantic": q_dedup_semantic,
-        "streaming_dedup_batch": q_streaming_dedup_batch,
-        "frame_sample_plan": q_frame_sample_plan,
-        "sqlite_scan_diff": q_sqlite_scan_diff,
-        "dup_spans": q_dup_spans,
-        "strip_dup_spans": q_strip_dup_spans,
-        "event_transitions": q_event_transitions,
-        "path_signatures": q_path_signatures,
-        "rollup_anomaly": q_rollup_anomaly,
-        "events_sliding_agg": q_events_sliding_agg,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "temperature_rates": q_temperature_rates,
-        "multi_grain_cube": q_multi_grain_cube,
-        "anomaly_online": q_anomaly_online,
-        "events_funnel_windowed": q_events_funnel_windowed,
-        "value_deciles": q_value_deciles,
-        "span_index_probe": q_span_index_probe,
-        "canonical_keep": q_canonical_keep,
-        "contamination_spans": q_contamination_spans,
-        "rolling_active_users": q_rolling_active_users,
-        "events_funnel": q_events_funnel,
-        "profile_drift": q_profile_drift,
-        "events_retention": q_events_retention,
-        "psi_drift": q_psi_drift,
-        "keyed_diff": q_keyed_diff,
-        "events_value_hist": q_events_value_hist,
-        "zorder_codes": q_zorder_codes,
-        "snapshot_diff": q_snapshot_diff,
-        "dedup_index_probe": q_dedup_index_probe,
-        "range_join_views": q_range_join_views,
-        "quantile_estimates": q_quantile_estimates,
-        "quantiles_online": q_quantiles_online,
-        "weighted_sample": q_weighted_sample,
-        "quantize_embeddings": q_quantize_embeddings,
-        "dedup_embedding": q_dedup_embedding,
-        "drift_static_batch": q_drift_static_batch,
-        "events_key_stats": q_events_key_stats,
-        "events_session_agg": q_events_session_agg,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_luma_hist": q_multimodal_luma_hist,
-        "multimodal_resize_hist": q_multimodal_resize_hist,
-        "blocklist_filter": q_blocklist_filter,
-        "prototypicality_prune": q_prototypicality_prune,
-        "cms_term_counts": q_cms_term_counts,
-        "skew_salted_join": q_skew_salted_join,
-        "schema_drift_records": q_schema_drift_records,
-        "rollup_distinct_users": q_rollup_distinct_users,
-        "skew_two_phase_agg": q_skew_two_phase_agg,
     }
 
 
@@ -3858,9 +3828,6 @@ def oracle_sql() -> dict[str, str]:
 
     oracles = {
         "diff_deleted_rows": _sym_except(
-            _CUSTOMER_COLS, "customer", f"({deleted})"
-        ),
-        "diff_deleted_rows_groupby": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"
         ),
         "diff_value_change": _sym_except(
@@ -4863,7 +4830,6 @@ def oracle_sql() -> dict[str, str]:
         " CAST(count(*) AS BIGINT) AS n_samples "
         "FROM s GROUP BY 1"
     )
-    oracles["bpe_merges"] = _bpe_merges_oracle(8)
     # The SQL-UDF diff surfaces exactly the value-changed ids from both
     # sides; the whitespace-only reformat of every other row must hash
     # identically and contribute nothing.
@@ -4955,27 +4921,15 @@ def oracle_sql() -> dict[str, str]:
     return oracles
 
 
-def _bpe_merges_oracle(num_merges: int) -> str:
-    """Full-value oracle for iterative BPE training: ``num_merges`` is a
-    FIXED depth, so the loop unrolls into a chain of CTEs — one
-    (pair-count → argmax → greedy fold rewrite) block per round,
-    replaying ``pipeline/bpe.py:train_bpe`` exactly (same lexicographic
-    tie-break, same greedy non-overlapping left-to-right merge: a kept
-    merge consumes its right symbol, and inside an ``l == r`` run only
-    every other match fires — gaps-and-islands on consecutive match
-    positions; a merged output never re-matches within the pass because
-    ``l || r != l``)."""
-    parts = _bpe_training_ctes(num_merges)
-    union = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(num_merges))
-    parts.append(f" SELECT * FROM ({union}) ORDER BY rank")
-    return "".join(parts)
-
-
 def _bpe_training_ctes(num_merges: int) -> list[str]:
     """The shared CTE chain replaying train_bpe: word histogram → per-round
-    (pair histogram → argmax m{k}/am{k} → greedy fold rewrite v{k+1}).
-    ``_bpe_merges_oracle`` selects the merge rows; ``_apply_bpe_oracle``
-    extends the chain to tokenize documents with the learned merges."""
+    (pair histogram → argmax m{k}/am{k} → greedy fold rewrite v{k+1}) —
+    ``num_merges`` is a FIXED depth, so the training loop unrolls into a
+    chain of CTEs with the same lexicographic tie-break and the same
+    greedy non-overlapping left-to-right fold as the operator.
+    ``_apply_bpe_oracle`` extends the chain to tokenize documents with
+    the learned merges (this replay carried the retired bpe_merges row's
+    oracle verbatim, which is why that row could be consolidated)."""
     parts = [
         # v0: word histogram symbolized to chars + '</w>' (identical to
         # the bpe_pair_counts oracle's symbolization).
