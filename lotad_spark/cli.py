@@ -650,5 +650,146 @@ def bpe_train_cmd(docs_path, output_path, num_merges) -> None:
     click.echo(f"bpe-train: learned {n} merges to {output_path}")
 
 
+@cli.command("blocklist")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (doc_id, text, ...) rows")
+@click.option("--terms", "terms_csv", default=None,
+              help="Comma-separated banned terms (exact token match, "
+                   "case-insensitive)")
+@click.option("--terms-file", "terms_file", type=click.Path(exists=True),
+              default=None,
+              help="File with one banned term per line (overrides --terms)")
+@click.option("--output", "output_path", required=True,
+              help="Writes per-doc flags to OUTPUT/flags and the "
+                   "surviving corpus to OUTPUT/kept")
+@click.option("--strategy", default="literal", show_default=True,
+              type=click.Choice(["literal", "join"]),
+              help="literal = shuffle-free array literal (typical "
+                   "lists); join = broadcast join for 100k+-term lists")
+def blocklist_cmd(docs_path, terms_csv, terms_file, output_path,
+                  strategy) -> None:
+    """C4-style banned-words gate: flag every document (n_hits, sorted
+    distinct hit terms, blocked) and land the kept corpus alongside —
+    the audit trail and the output in one pass."""
+    from pyspark.sql import functions as F
+
+    from lotad_spark.pipeline.text import blocklist_filter
+    from lotad_spark.sources.parquet import read_table
+
+    if terms_file:
+        with open(terms_file) as fh:
+            terms = [ln.strip() for ln in fh if ln.strip()]
+    elif terms_csv:
+        terms = [t.strip() for t in terms_csv.split(",") if t.strip()]
+    else:
+        raise click.UsageError("provide --terms or --terms-file")
+    spark = get_spark("lotad_spark_blocklist")
+    docs = read_table(spark, docs_path)
+    flags = blocklist_filter(docs, terms, strategy=strategy)
+    flags.write.mode("overwrite").parquet(f"{output_path}/flags")
+    landed = spark.read.parquet(f"{output_path}/flags")
+    docs.join(
+        landed.filter(~F.col("blocked")).select("doc_id"), "doc_id"
+    ).write.mode("overwrite").parquet(f"{output_path}/kept")
+    n_total, n_blocked = landed.agg(
+        F.count(F.lit(1)), F.count_if(F.col("blocked"))
+    ).collect()[0]
+    click.echo(
+        f"blocklist: {n_blocked}/{n_total} docs blocked "
+        f"({len(terms)} terms) -> {output_path}/kept"
+    )
+
+
+@cli.command("prune-prototypes")
+@click.option("--embeddings", "emb_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (vec_id, embedding, ...) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes (vec_id, cent_id, proto, keep) to "
+                   "OUTPUT/pruned")
+@click.option("--clusters", "n_clusters", default=16, show_default=True)
+@click.option("--prune-frac", "prune_frac", default=0.5,
+              show_default=True,
+              help="Fraction of each cluster to drop, MOST prototypical "
+                   "first (Sorscher et al. 2022)")
+@click.option("--kernel", default="arrow", show_default=True,
+              type=click.Choice(["expr", "arrow"]),
+              help="Centroid-assignment kernel (arrow = production "
+                   "BLAS path)")
+def prune_prototypes_cmd(emb_path, output_path, n_clusters, prune_frac,
+                         kernel) -> None:
+    """SSL-prototypes data pruning: drop the most redundant (most
+    prototypical) fraction of every embedding cluster, keep the hard
+    tail; every row lands with its score and keep flag for audit."""
+    from pyspark.sql import functions as F
+
+    from lotad_spark.pipeline.similarity import prototypicality_prune_corpus
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_prune_prototypes")
+    emb = read_table(spark, emb_path)
+    out = prototypicality_prune_corpus(
+        emb, n_clusters=n_clusters, prune_frac=prune_frac, kernel=kernel
+    )
+    out.write.mode("overwrite").parquet(f"{output_path}/pruned")
+    landed = spark.read.parquet(f"{output_path}/pruned")
+    n_total, n_keep = landed.agg(
+        F.count(F.lit(1)), F.count_if(F.col("keep"))
+    ).collect()[0]
+    click.echo(
+        f"prune-prototypes: kept {n_keep}/{n_total} "
+        f"({n_clusters} clusters, prune_frac={prune_frac}) "
+        f"-> {output_path}/pruned"
+    )
+
+
+@cli.command("term-sketch")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (doc_id, text, ...) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes the (row, bucket, cnt) sketch parquet")
+@click.option("--depth", default=4, show_default=True)
+@click.option("--width", default=1024, show_default=True)
+@click.option("--merge-into", "merge_into", type=click.Path(exists=True),
+              default=None,
+              help="Existing sketch to merge with (cell-wise sum — the "
+                   "daily-increment loop; depth/width must match)")
+@click.option("--estimate", "estimate_csv", default=None,
+              help="Comma-separated terms to estimate after building")
+def term_sketch_cmd(docs_path, output_path, depth, width, merge_into,
+                    estimate_csv) -> None:
+    """Count-min sketch of the corpus token stream: grid-bounded state
+    no matter the vocabulary; optionally merge into an existing sketch
+    and/or print estimates for a query vocabulary."""
+    from lotad_spark.pipeline.sketch import cms_build, cms_estimate, cms_merge
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_term_sketch")
+    sk = cms_build(read_table(spark, docs_path), depth=depth, width=width)
+    if merge_into:
+        sk = cms_merge(spark.read.parquet(merge_into), sk)
+    # stage-then-swap so --merge-into can point AT output_path
+    sk.write.mode("overwrite").parquet(f"{output_path}.tmp")
+    from lotad_spark.pipeline.retrieval import _replace_dir
+
+    _replace_dir(spark, f"{output_path}.tmp", output_path)
+    landed = spark.read.parquet(output_path)
+    click.echo(
+        f"term-sketch: {landed.count()} cells "
+        f"(depth={depth}, width={width}) -> {output_path}"
+    )
+    if estimate_csv:
+        terms = spark.createDataFrame(
+            [(t.strip(),) for t in estimate_csv.split(",") if t.strip()],
+            "term string",
+        )
+        for r in cms_estimate(
+            landed, terms, depth=depth, width=width
+        ).orderBy("term").collect():
+            click.echo(f"  {r.term}: ~{r.est}")
+
+
 if __name__ == "__main__":
     cli()

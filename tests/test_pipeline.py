@@ -1000,3 +1000,84 @@ class TestBlocklistFilter:
             blocklist_filter(df, [])
         with pytest.raises(ValueError):
             blocklist_filter(df, self.TERMS, strategy="nope")
+
+
+class TestNewCliCommands:
+    def test_blocklist_cli(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        docs = spark.createDataFrame(
+            TestBlocklistFilter.CORPUS, "doc_id bigint, text string"
+        )
+        src = str(tmp_path / "docs")
+        docs.write.mode("overwrite").parquet(src)
+        out = str(tmp_path / "out")
+        result = CliRunner().invoke(
+            cli,
+            ["blocklist", "--docs", src, "--terms", "casino, spam,ass",
+             "--output", out],
+            catch_exceptions=False,
+        )
+        assert result.exit_code == 0, result.output
+        assert "2/5 docs blocked (3 terms)" in result.output
+        kept = {r.doc_id for r in spark.read.parquet(f"{out}/kept").collect()}
+        assert kept == {2, 3, 5}
+
+    def test_blocklist_cli_terms_file(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        docs = spark.createDataFrame(
+            TestBlocklistFilter.CORPUS, "doc_id bigint, text string"
+        )
+        src = str(tmp_path / "docs")
+        docs.write.mode("overwrite").parquet(src)
+        tf = tmp_path / "terms.txt"
+        tf.write_text("casino\n\nspam\n")
+        out = str(tmp_path / "out")
+        result = CliRunner().invoke(
+            cli,
+            ["blocklist", "--docs", src, "--terms-file", str(tf),
+             "--output", out, "--strategy", "join"],
+            catch_exceptions=False,
+        )
+        assert result.exit_code == 0, result.output
+        assert "2/5 docs blocked (2 terms)" in result.output
+
+    def test_term_sketch_cli_build_merge_estimate(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        a = spark.createDataFrame(
+            [(1, "x y z x")], "doc_id bigint, text string"
+        )
+        b = spark.createDataFrame(
+            [(2, "x q")], "doc_id bigint, text string"
+        )
+        src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+        a.write.parquet(src_a)
+        b.write.parquet(src_b)
+        sk = str(tmp_path / "sketch")
+        r1 = CliRunner().invoke(
+            cli,
+            ["term-sketch", "--docs", src_a, "--output", sk,
+             "--depth", "3", "--width", "64"],
+            catch_exceptions=False,
+        )
+        assert r1.exit_code == 0, r1.output
+        # merge the second shard INTO the same path, then estimate
+        r2 = CliRunner().invoke(
+            cli,
+            ["term-sketch", "--docs", src_b, "--output", sk,
+             "--depth", "3", "--width", "64", "--merge-into", sk,
+             "--estimate", "x,q,absent"],
+            catch_exceptions=False,
+        )
+        assert r2.exit_code == 0, r2.output
+        assert "  x: ~3" in r2.output
+        assert "  q: ~1" in r2.output
+        assert "  absent: ~0" in r2.output

@@ -771,3 +771,29 @@ class TestPrototypicalityPrune:
         kept = sum(r.keep for r in rows)
         # 25% of each cluster pruned -> within a few rows of 75% overall
         assert abs(kept - 0.75 * len(rows)) <= 4
+
+
+class TestPrunePrototypesCli:
+    def test_cli_lands_audit_relation(self, spark, sf_dir, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        emb = ParquetDatabase(spark, sf_dir, "db").table("embeddings")
+        src = str(tmp_path / "emb")
+        emb.write.mode("overwrite").parquet(src)
+        out = str(tmp_path / "out")
+        result = CliRunner().invoke(
+            cli,
+            ["prune-prototypes", "--embeddings", src, "--output", out,
+             "--clusters", "4", "--prune-frac", "0.25"],
+            catch_exceptions=False,
+        )
+        assert result.exit_code == 0, result.output
+        landed = spark.read.parquet(f"{out}/pruned")
+        n = emb.count()
+        assert landed.count() == n  # audit relation: every row present
+        kept = landed.filter("keep").count()
+        assert abs(kept - 0.75 * n) <= 4
+        assert f"kept {kept}/{n}" in result.output
