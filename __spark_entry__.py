@@ -1790,6 +1790,50 @@ def q_cms_term_counts(spark, sf_dir):
     )
 
 
+def q_bloom_membership(spark, sf_dir):
+    """Bloom filter (pipeline/sketch.py, Bloom 1970): build the 8192-bit
+    token-membership filter, probe the exact top-10 corpus terms (all
+    in-stream) plus 10 constructed absent terms, and emit (term,
+    present, in_stream, no_false_negative). The bit packing (32 bits
+    per bigint word, bit_or aggregation) and the all-positions-set
+    check replay exactly in SQL, so the driver value-checks the whole
+    filter INCLUDING the no-false-negative guarantee; the absent terms'
+    present flags are the deterministic collision pattern, also
+    replayed exactly."""
+    from lotad_spark.pipeline import bloom_build, bloom_contains
+    from lotad_spark.pipeline.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                lambda w: w != "",
+            )
+        ).alias("term")
+    )
+    present = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("term"))
+        .limit(10)
+        .select("term", F.lit(True).alias("in_stream"))
+    )
+    absent = spark.createDataFrame(
+        [(f"notaword{i}",) for i in range(10)], "term string"
+    ).select("term", F.lit(False).alias("in_stream"))
+    probe = present.unionByName(absent)
+    out = bloom_contains(bloom_build(docs), probe.select("term"))
+    return probe.join(out, "term").select(
+        "term",
+        "present",
+        "in_stream",
+        (~F.col("in_stream") | F.col("present")).alias(
+            "no_false_negative"
+        ),
+    )
+
+
 def _embedding_dup_corpus(spark, sf_dir):
     """embeddings ∪ scaled copies (x1.0001, cosine exactly 1) of every
     20th vector."""
@@ -3611,7 +3655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       asof_latest_order). The former bpe_merges row is RETIRED per the
       r10 consolidation plan — apply_bpe's oracle replays the identical
       merge-training CTE unroll, so the coverage is unchanged.
-    * 33-50: next-longest out, last driver-green r9 with code unchanged
+    * 34-50: next-longest out, last driver-green r9 with code unchanged
       since: line dedup, the file-format scan rows (orc/csv/jsonl/
       sqlite), apply_bpe, interval join, dedup_semantic, streaming
       batch faces, frame_sample_plan, span dedup, paths/anomaly,
@@ -3620,7 +3664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       the remaining r9-green rows, then everything driver-green in
       r10/r11 with code unchanged, newest last. Every rotated row has
       at least one driver-green round; the FULL registry stays enforced
-      by scripts/check_oracle.py (122 value-checked + 1 rows-only at
+      by scripts/check_oracle.py (123 value-checked + 1 rows-only at
       sf0.01) and the pytest suite. See COVERAGE.md "Driver-window
       rotation".
     """
@@ -3653,7 +3697,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "prototypicality_prune": q_prototypicality_prune,
         "cms_term_counts": q_cms_term_counts,
-        # --- 14-32: the longest-unverified rows, all last
+        # --- 14: NEW (added after the first r11 rotation): Bloom-filter
+        # membership with the full bit-level SQL replay incl. the
+        # no-false-negative guarantee; displaces temperature_rates
+        # (r9-green) from position 50 per policy. ---
+        "bloom_membership": q_bloom_membership,
+        # --- 15-33: the longest-unverified rows, all last
         # driver-green r8 with code unchanged since. ---
         "tfidf_top_terms": q_tfidf_top_terms,
         "sample_hash": q_sample_hash,
@@ -3674,7 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_by_user": q_twa_by_user,
         "json_key_stats": q_json_key_stats,
         "asof_latest_order": q_asof_latest_order,
-        # --- 33-50: next-longest out, last driver-green r9 with
+        # --- 34-50: next-longest out, last driver-green r9 with
         # code unchanged since (file-format scans, span dedup,
         # paths/anomaly, streaming batch faces, BPE smoke). ---
         "strip_dup_lines": q_strip_dup_lines,
@@ -4626,6 +4675,42 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY term, exact_cnt) "
             "SELECT term, exact_cnt, est, est >= exact_cnt "
             "AS no_undercount FROM est"
+        ),
+        # Full Bloom replay: same md5 bit positions, same 32-bit word
+        # packing (bit_or of 1 << pos%32), same all-bits-set membership
+        # check — present is computed per term in BOTH engines, so the
+        # collision pattern and the guarantee are value-checked.
+        "bloom_membership": (
+            "WITH tok AS (SELECT unnest(list_filter(string_split_regex("
+            "trim(lower(coalesce(text, ''))), '\\s+'), x -> x <> '')) "
+            "AS term FROM documents), "
+            "hashes(d) AS (VALUES (0), (1), (2), (3)), "
+            "pos AS (SELECT CAST('0x' || substr(md5("
+            "CAST(h.d AS VARCHAR) || ':' || t.term), 1, 8) AS BIGINT) "
+            "% 8192 AS pos FROM tok t, hashes h), "
+            "bloom AS (SELECT pos // 32 AS word, "
+            "bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits "
+            "FROM pos GROUP BY pos // 32), "
+            "present_terms AS (SELECT term, true AS in_stream "
+            "FROM (SELECT term, count(*) AS c FROM tok GROUP BY term "
+            "ORDER BY c DESC, term ASC LIMIT 10)), "
+            "absent_terms AS (SELECT 'notaword' || CAST(i AS VARCHAR) "
+            "AS term, false AS in_stream FROM range(10) t(i)), "
+            "probe AS (SELECT * FROM present_terms "
+            "UNION ALL SELECT * FROM absent_terms), "
+            "ppos AS (SELECT p.term, p.in_stream, "
+            "CAST('0x' || substr(md5(CAST(h.d AS VARCHAR) || ':' || "
+            "p.term), 1, 8) AS BIGINT) % 8192 AS pos "
+            "FROM probe p, hashes h), "
+            "checked AS (SELECT term, in_stream, "
+            "min(CASE WHEN coalesce(b.bits, 0) & "
+            "(1::BIGINT << CAST(pos % 32 AS INT)) <> 0 "
+            "THEN 1 ELSE 0 END) = 1 AS present "
+            "FROM ppos LEFT JOIN bloom b ON pos // 32 = b.word "
+            "GROUP BY term, in_stream) "
+            "SELECT term, present, in_stream, "
+            "(NOT in_stream) OR present AS no_false_negative "
+            "FROM checked"
         ),
         "text_winnow_fp": _WINNOW_SQL,
         "text_repetition": (

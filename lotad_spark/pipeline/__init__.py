@@ -63,6 +63,9 @@ from lotad_spark.pipeline.multimodal import (
 )
 from lotad_spark.pipeline.bpe import apply_bpe, train_bpe
 from lotad_spark.pipeline.sketch import (
+    bloom_build,
+    bloom_contains,
+    bloom_merge,
     cms_build,
     cms_estimate,
     cms_merge,
@@ -171,6 +174,9 @@ __all__ = [
     "write_span_index",
     "duplicate_spans_against_index",
     "blocklist_filter",
+    "bloom_build",
+    "bloom_contains",
+    "bloom_merge",
     "cms_build",
     "cms_estimate",
     "cms_merge",

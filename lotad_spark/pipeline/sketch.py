@@ -1,4 +1,4 @@
-"""Count-min sketch: sublinear-state term-frequency estimation.
+"""Sublinear-state sketches: count-min (frequency) + Bloom (membership).
 
 Cormode & Muthukrishnan 2005, "An improved data stream summary: the
 count-min sketch and its applications" (J. Algorithms — public): a
@@ -22,6 +22,17 @@ Determinism (the repo's oracle contract): ``hash_d(tok)`` is the first
 the MinHash/LSH family, bit-identical in any engine — and every counter
 is an exact integer sum, so build, merge, and estimate all replay
 exactly in SQL.
+
+The Bloom filter (Bloom 1970, CACM — public) is the membership sibling:
+n_bits bits, k=n_hashes positions per item, ``contains`` = all k bits
+set — NO false negatives ever (every inserted item's bits are set),
+false-positive rate ≈ (1 − e^{−kn/m})^k tunable by sizing n_bits. The
+100 TB use is ingest-time membership at state ≪ the key set: "is this
+URL/doc hash/benchmark n-gram already in the corpus" as a broadcast
+bitmap instead of a join against billions of keys. Same md5 idiom, same
+exact-integer replayability (bits pack into 32-bits-per-bigint words
+OR-aggregated — bit_or is associative/commutative, so the build is
+partitioning-proof and shard filters merge by cell-wise OR).
 
 Tokenization matches ``pipeline.text``: lowercased whitespace tokens.
 """
@@ -159,4 +170,107 @@ def cms_estimate(
             .cast("bigint")
             .alias("est")
         )
+    )
+
+
+BLOOM_BITS = 8192
+BLOOM_HASHES = 4
+
+
+def bloom_build(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Bloom filter of the corpus token stream as a (word, bits)
+    relation: bit position ``hash_d(tok) = md5('d:tok')[:8] mod n_bits``
+    packs into 32-bits-per-bigint words (word = pos div 32), so the
+    whole filter is ≤ n_bits/32 rows regardless of corpus size.
+
+    Plan shape mirrors :func:`cms_build`: scan → explode tokens →
+    explode the n_hashes positions → ONE bit_or aggregation whose key
+    space is the word grid — map-side combine collapses each partition
+    to ≤ n_bits/32 rows before the exchange. 32-bit packing (not 64)
+    keeps every mask positive in a signed bigint in BOTH engines, so
+    the SQL replay needs no sign gymnastics."""
+    positions = _token_stream(df, text_col).select(
+        F.explode(
+            F.array(
+                *[
+                    _bucket(F.col("_tok"), d, n_bits)
+                    for d in range(n_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        positions.select(
+            F.expr("pos div 32").cast("bigint").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+            ).alias("_m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_m").cast("bigint").alias("bits"))
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Cell-wise OR of independently-built filters (same n_bits /
+    n_hashes): bloom(A) ∪ bloom(B) ≡ bloom(A ∪ B) exactly (OR is
+    associative/commutative/idempotent), pinned in tests — shard/day
+    filters merge without re-reading old text."""
+    if not filters:
+        raise ValueError("bloom_merge: no filters")
+    merged = filters[0]
+    for f in filters[1:]:
+        merged = merged.unionByName(f)
+    return merged.groupBy("word").agg(
+        F.bit_or("bits").cast("bigint").alias("bits")
+    )
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    terms: DataFrame,
+    term_col: str = "term",
+    *,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """(term, present) for a bounded query vocabulary: present ⇔ ALL
+    n_hashes bit positions are set. An inserted term is ALWAYS present
+    (no false negatives — the Bloom guarantee, driver-value-checked);
+    an absent term is a deterministic function of the collision pattern
+    (false positives possible, rate set by n_bits sizing).
+
+    The probe relation is |terms|·n_hashes rows against the ≤ n_bits/32
+    word relation — the filter broadcasts, the final all-bits-set check
+    groups a tiny relation, corpus text is never touched."""
+    probes = terms.select(
+        F.col(term_col),
+        F.explode(
+            F.array(
+                *[
+                    _bucket(F.col(term_col), d, n_bits)
+                    for d in range(n_hashes)
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        term_col,
+        F.expr("pos div 32").cast("bigint").alias("word"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+        ).alias("_m"),
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_m")) != 0
+    ).cast("int")
+    return (
+        probes.join(F.broadcast(bloom), ["word"], "left")
+        .groupBy(term_col)
+        .agg((F.min(hit) == 1).alias("present"))
     )

@@ -1,11 +1,17 @@
-"""Count-min sketch: hand-replay, guarantees, mergeability, plan shape."""
+"""Sketches (count-min, Bloom): hand-replay, guarantees, merge laws."""
 
 import hashlib
 
 import pytest
 from pyspark.sql import functions as F
 
-from lotad_spark.pipeline import cms_build, cms_estimate, cms_merge
+from lotad_spark.pipeline import (
+    bloom_build,
+    bloom_contains,
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
 
 
 def ref_bucket(tok: str, row: int, width: int) -> int:
@@ -112,3 +118,98 @@ class TestCmsMerge:
     def test_merge_empty_raises(self):
         with pytest.raises(ValueError):
             cms_merge()
+
+
+def ref_bloom(tokens, n_bits, n_hashes):
+    words = {}
+    for t in tokens:
+        for d in range(n_hashes):
+            pos = ref_bucket(t, d, n_bits)
+            w, b = pos // 32, pos % 32
+            words[w] = words.get(w, 0) | (1 << b)
+    return words
+
+
+class TestBloom:
+    def test_matches_reference_words(self, spark):
+        df = spark.createDataFrame(
+            TestCmsBuild.CORPUS, "doc_id bigint, text string"
+        )
+        got = {
+            r.word: r.bits
+            for r in bloom_build(df, n_bits=256, n_hashes=3).collect()
+        }
+        assert got == ref_bloom(TestCmsBuild.TOKENS, 256, 3)
+
+    def test_no_false_negatives_ever(self, spark, sf_dir):
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        docs = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        bloom = bloom_build(docs)
+        # every distinct token actually in the stream must test present
+        from lotad_spark.pipeline.sketch import _token_stream
+
+        vocab = _token_stream(docs, "text").distinct().select(
+            F.col("_tok").alias("term")
+        )
+        out = bloom_contains(bloom, vocab)
+        assert out.filter(~F.col("present")).isEmpty()
+        assert bloom.count() <= 8192 // 32
+
+    def test_absent_and_forced_false_positive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta")], "doc_id bigint, text string"
+        )
+        # roomy filter: an absent term is (with these sizes) not present
+        bloom = bloom_build(df, n_bits=4096, n_hashes=4)
+        terms = spark.createDataFrame(
+            [("alpha",), ("gamma-not-in-stream",)], "term string"
+        )
+        got = {
+            r.term: r.present
+            for r in bloom_contains(
+                bloom, terms, n_bits=4096, n_hashes=4
+            ).collect()
+        }
+        assert got["alpha"] is True
+        assert got["gamma-not-in-stream"] is False
+        # n_bits=32 → one word saturates → EVERYTHING reads present:
+        # the false-positive face, deterministic given the hashes
+        tiny = bloom_build(df, n_bits=32, n_hashes=4)
+        got2 = {
+            r.term: r.present
+            for r in bloom_contains(
+                tiny, terms, n_bits=32, n_hashes=4
+            ).collect()
+        }
+        assert got2["alpha"] is True  # guarantee holds even saturated
+
+    def test_merge_equals_bloom_of_union(self, spark):
+        a = spark.createDataFrame(
+            [(1, "x y z")], "doc_id bigint, text string"
+        )
+        b = spark.createDataFrame(
+            [(2, "z q")], "doc_id bigint, text string"
+        )
+        from lotad_spark.pipeline.sketch import bloom_merge
+
+        merged = {
+            r.word: r.bits
+            for r in bloom_merge(
+                bloom_build(a, n_bits=256), bloom_build(b, n_bits=256)
+            ).collect()
+        }
+        whole = {
+            r.word: r.bits
+            for r in bloom_build(a.unionByName(b), n_bits=256).collect()
+        }
+        assert merged == whole
+
+    def test_partial_aggregation_before_exchange(self, spark):
+        df = spark.createDataFrame(
+            TestCmsBuild.CORPUS, "doc_id bigint, text string"
+        )
+        plan = (
+            bloom_build(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.index("HashAggregate") < plan.index("Exchange")
