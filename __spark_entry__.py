@@ -1834,6 +1834,29 @@ def q_bloom_membership(spark, sf_dir):
     )
 
 
+def q_text_normalize(spark, sf_dir):
+    """CCNet-style normalization (pipeline/text.py normalize_text):
+    the synthetic corpus is already clean ASCII, so the fixture INJECTS
+    deterministic byte noise first — doubled spaces, leading pad, a
+    trailing tab + CRLF + BEL + 'x' — and the operator must undo it
+    (CR folding, control strip, whitespace collapse, blank-line cap,
+    trim). The oracle builds the identical noisy input with chr() and
+    replays the five regexp_replace steps with the 'g' flag, so text
+    and n_chars_removed are value-checked byte-for-byte."""
+    from lotad_spark.pipeline import normalize_text
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    noisy = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("  "),
+            F.regexp_replace(t, " ", "  "),
+            F.lit("\t\r\nx"),
+        ).alias("text"),
+    )
+    return normalize_text(noisy)
+
+
 def _embedding_dup_corpus(spark, sf_dir):
     """embeddings ∪ scaled copies (x1.0001, cosine exactly 1) of every
     20th vector."""
@@ -3655,7 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       asof_latest_order). The former bpe_merges row is RETIRED per the
       r10 consolidation plan — apply_bpe's oracle replays the identical
       merge-training CTE unroll, so the coverage is unchanged.
-    * 34-50: next-longest out, last driver-green r9 with code unchanged
+    * 35-50: next-longest out, last driver-green r9 with code unchanged
       since: line dedup, the file-format scan rows (orc/csv/jsonl/
       sqlite), apply_bpe, interval join, dedup_semantic, streaming
       batch faces, frame_sample_plan, span dedup, paths/anomaly,
@@ -3664,7 +3687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       the remaining r9-green rows, then everything driver-green in
       r10/r11 with code unchanged, newest last. Every rotated row has
       at least one driver-green round; the FULL registry stays enforced
-      by scripts/check_oracle.py (123 value-checked + 1 rows-only at
+      by scripts/check_oracle.py (124 value-checked + 1 rows-only at
       sf0.01) and the pytest suite. See COVERAGE.md "Driver-window
       rotation".
     """
@@ -3702,7 +3725,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no-false-negative guarantee; displaces temperature_rates
         # (r9-green) from position 50 per policy. ---
         "bloom_membership": q_bloom_membership,
-        # --- 15-33: the longest-unverified rows, all last
+        # --- 15: NEW: CCNet-style normalization over a deterministically
+        # noised fixture, five-regex replay in SQL; displaces
+        # bpe_pair_counts (r9-green) from the window per policy. ---
+        "text_normalize": q_text_normalize,
+        # --- 16-34: the longest-unverified rows, all last
         # driver-green r8 with code unchanged since. ---
         "tfidf_top_terms": q_tfidf_top_terms,
         "sample_hash": q_sample_hash,
@@ -3723,7 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_by_user": q_twa_by_user,
         "json_key_stats": q_json_key_stats,
         "asof_latest_order": q_asof_latest_order,
-        # --- 34-50: next-longest out, last driver-green r9 with
+        # --- 35-50: next-longest out, last driver-green r9 with
         # code unchanged since (file-format scans, span dedup,
         # paths/anomaly, streaming batch faces, BPE smoke). ---
         "strip_dup_lines": q_strip_dup_lines,
@@ -4675,6 +4702,24 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY term, exact_cnt) "
             "SELECT term, exact_cnt, est, est >= exact_cnt "
             "AS no_undercount FROM est"
+        ),
+        # The noisy fixture rebuilt with chr(); the five normalization
+        # regexes replayed with the 'g' flag (DuckDB replaces only the
+        # first match by default).
+        "text_normalize": (
+            "WITH noisy AS (SELECT doc_id, '  ' || "
+            "replace(coalesce(text, ''), ' ', '  ') || chr(9) || "
+            "chr(13) || chr(10) || chr(7) || 'x' AS text "
+            "FROM documents), "
+            "n AS (SELECT doc_id, text, trim(regexp_replace("
+            "regexp_replace(regexp_replace(regexp_replace(text, "
+            "'\\r\\n?', chr(10), 'g'), "
+            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
+            "'[ \\t]+', ' ', 'g'), "
+            "'\\n{3,}', chr(10) || chr(10), 'g')) AS norm FROM noisy) "
+            "SELECT doc_id, norm AS text, "
+            "CAST(len(text) - len(norm) AS BIGINT) AS n_chars_removed "
+            "FROM n"
         ),
         # Full Bloom replay: same md5 bit positions, same 32-bit word
         # packing (bit_or of 1 << pos%32), same all-bits-set membership

@@ -24,6 +24,7 @@ from lotad_spark.pipeline.text import (
     strip_duplicate_lines,
     text_stats,
     blocklist_filter,
+    normalize_text,
     tfidf_top_terms,
     tokens,
     unigram_logprob,
@@ -180,6 +181,7 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "cms_merge",
+    "normalize_text",
     "tfidf_top_terms",
     "sliding_token_windows",
     "token_chunk_plan",

@@ -339,6 +339,82 @@ def corpus_filter(
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    nfc: bool = False,
+) -> DataFrame:
+    """CCNet/FineWeb-style text normalization — the cleanup pass every
+    web-scale pipeline runs BEFORE hashing/dedup so that byte-level
+    noise (CRLF, control chars, run-on whitespace) doesn't splinter
+    otherwise-identical documents into distinct hash buckets. Steps, in
+    a fixed documented order:
+
+    1. CRLF / bare CR → LF;
+    2. strip control characters (C0 except tab/newline, plus DEL);
+    3. collapse runs of spaces/tabs to one space;
+    4. cap blank-line runs at one empty line (``\\n{3,}`` → two);
+    5. trim leading/trailing whitespace.
+
+    All five are chained ``regexp_replace`` in ONE JVM projection —
+    zero shuffles, whole-stage codegen, streaming-safe. With
+    ``nfc=True`` a Unicode NFC pass (stdlib ``unicodedata``, no deps)
+    runs FIRST as an Arrow-batched mapInPandas stage — off by default
+    so the default path stays pure-JVM; turn it on for multilingual
+    corpora where composed/decomposed forms must hash identically.
+    NULL text stays NULL (a missing document is not an empty one).
+
+    Returns df with ``text_col`` replaced and ``n_chars_removed``
+    (original minus normalized length, 0 for NULL) — the audit signal:
+    a corpus where normalization removes 30% of bytes has an ingest
+    problem worth seeing."""
+    if nfc:
+        import pandas as pd  # noqa: F401 — mapInPandas contract
+
+        fields = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        )
+
+        def nfc_batches(batches):
+            import unicodedata
+
+            for pdf in batches:
+                out = pdf.copy()
+                out[text_col] = pdf[text_col].map(
+                    lambda t: None
+                    if t is None
+                    else unicodedata.normalize("NFC", t)
+                )
+                yield out
+
+        df = df.mapInPandas(nfc_batches, schema=fields)
+    t = F.col(text_col)
+    orig_len = F.length(t)
+    norm = F.regexp_replace(t, r"\r\n?", "\n")
+    norm = F.regexp_replace(
+        norm, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""
+    )
+    norm = F.regexp_replace(norm, r"[ \t]+", " ")
+    norm = F.regexp_replace(norm, r"\n{3,}", "\n\n")
+    norm = F.trim(norm)
+    passthrough = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if f.name not in (id_col, text_col)
+    ]
+    return df.select(
+        F.col(id_col),
+        norm.alias(text_col),
+        *passthrough,
+        F.coalesce(orig_len - F.length(norm), F.lit(0))
+        .cast("bigint")
+        .alias("n_chars_removed"),
+    )
+
+
 def blocklist_filter(
     df: DataFrame,
     terms: list[str] | tuple[str, ...],

@@ -1081,3 +1081,82 @@ class TestNewCliCommands:
         assert "  x: ~3" in r2.output
         assert "  q: ~1" in r2.output
         assert "  absent: ~0" in r2.output
+
+
+class TestNormalizeText:
+    def test_matches_reference(self, spark):
+        from lotad_spark.pipeline import normalize_text
+
+        corpus = [
+            (1, "a  b\tc"),                       # space/tab runs
+            (2, "x\r\ny\rz"),                     # CRLF + bare CR
+            (3, "p\x00\x07q\x1fr"),               # control chars
+            (4, "a\n\n\n\n\nb"),                  # blank-line cap
+            (5, "  padded  "),                    # trim
+            (6, None),                            # NULL stays NULL
+            (7, "keep\ttab\nnewline\x7fdel"),
+        ]
+
+        def ref(t):
+            import re
+
+            if t is None:
+                return None
+            t = re.sub(r"\r\n?", "\n", t)
+            t = re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", t)
+            t = re.sub(r"[ \t]+", " ", t)
+            t = re.sub(r"\n{3,}", "\n\n", t)
+            return t.strip()
+
+        df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+        got = {
+            r.doc_id: (r.text, r.n_chars_removed)
+            for r in normalize_text(df).collect()
+        }
+        for d, t in corpus:
+            want = ref(t)
+            assert got[d][0] == want, (d, got[d][0], want)
+            assert got[d][1] == (0 if t is None else len(t) - len(want))
+        assert got[2][0] == "x\ny\nz"
+        assert got[4][0] == "a\n\nb"
+
+    def test_nfc_unifies_composed_forms(self, spark):
+        from lotad_spark.pipeline import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "café"), (2, "café")],  # é vs e + combining
+            "doc_id bigint, text string",
+        )
+        got = {
+            r.doc_id: r.text for r in normalize_text(df, nfc=True).collect()
+        }
+        assert got[1] == got[2] == "café"
+        # default path leaves them distinct (and stays pure-JVM)
+        raw = {
+            r.doc_id: r.text for r in normalize_text(df).collect()
+        }
+        assert raw[1] != raw[2]
+
+    def test_default_path_is_one_jvm_projection(self, spark, sf_dir):
+        from lotad_spark.pipeline import normalize_text
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        docs = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        plan = (
+            normalize_text(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+    def test_idempotent(self, spark):
+        from lotad_spark.pipeline import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "a  b\r\n\n\n\nc\x07  d ")], "doc_id bigint, text string"
+        )
+        once = normalize_text(df).select("doc_id", "text")
+        twice = normalize_text(once).select("doc_id", "text")
+        assert once.collect() == twice.collect()
