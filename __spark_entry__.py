@@ -1857,6 +1857,31 @@ def q_text_normalize(spark, sf_dir):
     return normalize_text(noisy)
 
 
+def q_contamination_bloom(spark, sf_dir):
+    """The Bloom-PREFILTERED decontamination path (pipeline/sketch.py
+    bloom_prefilter composed by contamination_pairs): the eval shingle
+    set packs into a broadcast bitmap, corpus shingles that cannot
+    match drop inside the scan stage, and the exact containment join
+    runs on the survivors. A Bloom filter has no false negatives, so
+    the output is IDENTICAL to the exact path BY CONSTRUCTION — the
+    oracle is therefore the same exact containment SQL as
+    contamination_check, and a hash match proves the scale path loses
+    nothing. prefilter_bits=4096 is deliberately tight at this scale
+    to force real false positives through the exact join."""
+    from lotad_spark.pipeline import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return contamination_pairs(
+        docs,
+        _eval_snippets(spark, sf_dir),
+        threshold=0.5,
+        prefilter="bloom",
+        prefilter_bits=4096,
+    ).select(
+        "train_id", "eval_id", F.round("containment", 6).alias("containment")
+    )
+
+
 def _embedding_dup_corpus(spark, sf_dir):
     """embeddings ∪ scaled copies (x1.0001, cosine exactly 1) of every
     20th vector."""
@@ -3678,7 +3703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       asof_latest_order). The former bpe_merges row is RETIRED per the
       r10 consolidation plan — apply_bpe's oracle replays the identical
       merge-training CTE unroll, so the coverage is unchanged.
-    * 35-50: next-longest out, last driver-green r9 with code unchanged
+    * 36-50: next-longest out, last driver-green r9 with code unchanged
       since: line dedup, the file-format scan rows (orc/csv/jsonl/
       sqlite), apply_bpe, interval join, dedup_semantic, streaming
       batch faces, frame_sample_plan, span dedup, paths/anomaly,
@@ -3687,7 +3712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       the remaining r9-green rows, then everything driver-green in
       r10/r11 with code unchanged, newest last. Every rotated row has
       at least one driver-green round; the FULL registry stays enforced
-      by scripts/check_oracle.py (124 value-checked + 1 rows-only at
+      by scripts/check_oracle.py (125 value-checked + 1 rows-only at
       sf0.01) and the pytest suite. See COVERAGE.md "Driver-window
       rotation".
     """
@@ -3729,7 +3754,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # noised fixture, five-regex replay in SQL; displaces
         # bpe_pair_counts (r9-green) from the window per policy. ---
         "text_normalize": q_text_normalize,
-        # --- 16-34: the longest-unverified rows, all last
+        # --- 16: NEW: the Bloom-prefiltered decontamination path,
+        # output-identical to exact (shares the exact oracle; tight
+        # 4096-bit filter forces false positives through the join);
+        # displaces events_sliding_agg (r9-green) per policy. ---
+        "contamination_bloom": q_contamination_bloom,
+        # --- 17-35: the longest-unverified rows, all last
         # driver-green r8 with code unchanged since. ---
         "tfidf_top_terms": q_tfidf_top_terms,
         "sample_hash": q_sample_hash,
@@ -3750,7 +3780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_by_user": q_twa_by_user,
         "json_key_stats": q_json_key_stats,
         "asof_latest_order": q_asof_latest_order,
-        # --- 35-50: next-longest out, last driver-green r9 with
+        # --- 36-50: next-longest out, last driver-green r9 with
         # code unchanged since (file-format scans, span dedup,
         # paths/anomaly, streaming batch faces, BPE smoke). ---
         "strip_dup_lines": q_strip_dup_lines,
@@ -4429,6 +4459,10 @@ def oracle_sql() -> dict[str, str]:
             "<= 50"
         ),
         "contamination_check": _CONTAM_SQL,
+        # The bloom-prefiltered path must be output-identical to the
+        # exact path (no false negatives), so it shares the exact
+        # containment oracle — the hash match IS the claim.
+        "contamination_bloom": _CONTAM_SQL,
         "length_quantiles": (
             "SELECT lang, "
             "round(quantile_cont(n_chars, 0.25), 6) AS p25, "

@@ -65,7 +65,9 @@ from lotad_spark.pipeline.multimodal import (
 from lotad_spark.pipeline.bpe import apply_bpe, train_bpe
 from lotad_spark.pipeline.sketch import (
     bloom_build,
+    bloom_build_terms,
     bloom_contains,
+    bloom_prefilter,
     bloom_merge,
     cms_build,
     cms_estimate,
@@ -176,7 +178,9 @@ __all__ = [
     "duplicate_spans_against_index",
     "blocklist_filter",
     "bloom_build",
+    "bloom_build_terms",
     "bloom_contains",
+    "bloom_prefilter",
     "bloom_merge",
     "cms_build",
     "cms_estimate",

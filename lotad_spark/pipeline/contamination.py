@@ -42,6 +42,9 @@ def contamination_pairs(
     threshold: float = 0.5,
     train_id: str = "doc_id",
     eval_id: str = "doc_id",
+    prefilter: str | None = None,
+    prefilter_bits: int = 1 << 17,
+    prefilter_hashes: int = 4,
 ) -> DataFrame:
     """(train_id, eval_id, containment) for every train×eval pair whose
     n-gram containment of the EVAL item reaches ``threshold``.
@@ -49,13 +52,49 @@ def contamination_pairs(
     ``containment = |T ∩ E| / |E|`` over distinct word n-grams.
     Eval shingles and sizes are broadcast; the train corpus is scanned
     once and never shuffled by shingle.
-    """
+
+    ``prefilter="bloom"`` inserts a Bloom membership test
+    (:func:`pipeline.sketch.bloom_prefilter`) in front of the exact
+    join: the eval shingle set packs into a ~n_bits/8-byte bitmap that
+    broadcasts as ONE map row, and train shingles that cannot be in the
+    eval set drop inside the scan stage — so what reaches the hash join
+    is true matches plus the false-positive trickle instead of every
+    shingle of the 100 TB corpus. Output is IDENTICAL by construction
+    (a Bloom filter has no false negatives; survivors still pass the
+    exact join — pinned in tests), which is also why this kicks in when
+    the eval set outgrows a comfortable broadcast of the full shingle
+    strings: the bitmap stays KBs-to-MBs while the string set grows
+    into GBs. Size prefilter_bits ≈ 10× the eval shingle count."""
     t_sh = shingles(train, train_id, "text", n).select(
         F.col(train_id).alias("train_id"), "shingle"
     )
     e_sh = shingles(eval_df, eval_id, "text", n).select(
         F.col(eval_id).alias("eval_id"), "shingle"
     )
+    if prefilter == "bloom":
+        from lotad_spark.pipeline.sketch import (
+            bloom_build_terms,
+            bloom_prefilter,
+        )
+
+        bloom = bloom_build_terms(
+            e_sh.select("shingle"),
+            "shingle",
+            n_bits=prefilter_bits,
+            n_hashes=prefilter_hashes,
+        )
+        t_sh = bloom_prefilter(
+            t_sh,
+            bloom,
+            "shingle",
+            n_bits=prefilter_bits,
+            n_hashes=prefilter_hashes,
+        )
+    elif prefilter is not None:
+        raise ValueError(
+            f"contamination_pairs: unknown prefilter {prefilter!r} "
+            "(expected None or 'bloom')"
+        )
     e_sz = e_sh.groupBy("eval_id").agg(F.count(F.lit(1)).alias("e_sz"))
     inter = (
         t_sh.join(F.broadcast(e_sh), "shingle")

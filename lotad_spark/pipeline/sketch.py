@@ -177,6 +177,38 @@ BLOOM_BITS = 8192
 BLOOM_HASHES = 4
 
 
+def bloom_build_terms(
+    terms: DataFrame,
+    term_col: str = "term",
+    *,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Bloom filter of an arbitrary string column (already-tokenized
+    terms, shingles, URLs, doc hashes) as a (word, bits) relation —
+    the building block :func:`bloom_build` wraps with tokenization."""
+    positions = terms.select(
+        F.explode(
+            F.array(
+                *[
+                    _bucket(F.col(term_col), d, n_bits)
+                    for d in range(n_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        positions.select(
+            F.expr("pos div 32").cast("bigint").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+            ).alias("_m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_m").cast("bigint").alias("bits"))
+    )
+
+
 def bloom_build(
     df: DataFrame,
     text_col: str = "text",
@@ -195,26 +227,57 @@ def bloom_build(
     to ≤ n_bits/32 rows before the exchange. 32-bit packing (not 64)
     keeps every mask positive in a signed bigint in BOTH engines, so
     the SQL replay needs no sign gymnastics."""
-    positions = _token_stream(df, text_col).select(
-        F.explode(
-            F.array(
-                *[
-                    _bucket(F.col("_tok"), d, n_bits)
-                    for d in range(n_hashes)
-                ]
-            )
-        ).alias("pos")
+    return bloom_build_terms(
+        _token_stream(df, text_col),
+        "_tok",
+        n_bits=n_bits,
+        n_hashes=n_hashes,
     )
-    return (
-        positions.select(
-            F.expr("pos div 32").cast("bigint").alias("word"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
-            ).alias("_m"),
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    *,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Keep only the rows of a CORPUS-SIZED relation whose ``col``
+    MIGHT be in the filter — the Bloom use case at 100 TB: the filter
+    packs into ONE map row (word → bits, built in-plan with
+    map_from_entries) that broadcasts to every task, and membership is
+    element_at + bitwise tests — pure JVM expressions inside the scan
+    stage, no join keyed by the probed column, no shuffle of ``df``.
+
+    No false negatives ⇒ composing this in front of an EXACT operator
+    never changes its output (pinned in tests); false positives only
+    cost the downstream operator wasted rows, never correctness. Size
+    n_bits ≈ 10× the filter's item count for ~1% waste."""
+    from functools import reduce
+    from operator import and_
+
+    packed = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "bits"))
+        ).alias("_bloom")
+    )
+    probed = df.crossJoin(F.broadcast(packed))
+    checks = []
+    for d in range(n_hashes):
+        pos = _bucket(F.col(col), d, n_bits)
+        # pos < 2^32, so the double-division word index is exact
+        word = ((pos - pos % 32) / 32).cast("bigint")
+        mask = F.pow(F.lit(2.0), (pos % 32).cast("double")).cast(
+            "bigint"
+        )  # 2^(pos%32) ≤ 2^31: exact in double
+        checks.append(
+            F.coalesce(
+                F.element_at(F.col("_bloom"), word), F.lit(0)
+            ).bitwiseAND(mask)
+            != 0
         )
-        .groupBy("word")
-        .agg(F.bit_or("_m").cast("bigint").alias("bits"))
-    )
+    return probed.filter(reduce(and_, checks)).drop("_bloom")
 
 
 def bloom_merge(*filters: DataFrame) -> DataFrame:

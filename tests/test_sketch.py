@@ -213,3 +213,81 @@ class TestBloom:
             bloom_build(df)._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+class TestBloomPrefilter:
+    def test_output_identical_even_with_forced_false_positives(self, spark):
+        """Composed in front of the exact containment check, the
+        prefilter must NEVER change the output — even with a tiny,
+        saturated filter (worst-case false positives)."""
+        from lotad_spark.pipeline import contamination_pairs
+
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "unrelated text about spark physical plans here"),
+                (3, "quick brown fox jumps over something else today"),
+            ],
+            "doc_id bigint, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "quick brown fox jumps over")],
+            "doc_id bigint, text string",
+        )
+        exact = sorted(
+            map(tuple, contamination_pairs(train, ev, threshold=0.4).collect())
+        )
+        for bits in (64, 4096):  # saturated and roomy
+            pre = sorted(
+                map(
+                    tuple,
+                    contamination_pairs(
+                        train, ev, threshold=0.4,
+                        prefilter="bloom", prefilter_bits=bits,
+                    ).collect(),
+                )
+            )
+            assert pre == exact, bits
+        assert exact  # the fixture really contains a contaminated pair
+
+    def test_prefilter_keeps_might_members_only(self, spark):
+        from lotad_spark.pipeline import bloom_build_terms, bloom_prefilter
+
+        ev = spark.createDataFrame(
+            [("a b c",), ("d e f",)], "shingle string"
+        )
+        corpus = spark.createDataFrame(
+            [(1, "a b c"), (2, "x y z"), (3, "d e f")],
+            "doc_id bigint, shingle string",
+        )
+        bloom = bloom_build_terms(ev, "shingle", n_bits=4096)
+        kept = {
+            r.doc_id
+            for r in bloom_prefilter(
+                corpus, bloom, "shingle", n_bits=4096
+            ).collect()
+        }
+        assert kept == {1, 3}
+
+    def test_prefilter_adds_no_shuffle_on_the_corpus_side(self, spark):
+        """The membership test must live INSIDE the corpus scan stage:
+        the only exchanges in the prefiltered plan are the ones the
+        bloom AGGREGATION itself needs (grid-bounded), never a shuffle
+        keyed by the probed column."""
+        from lotad_spark.pipeline import bloom_build_terms, bloom_prefilter
+
+        ev = spark.createDataFrame([("a b c",)], "shingle string")
+        corpus = spark.createDataFrame(
+            [(1, "a b c")], "doc_id bigint, shingle string"
+        )
+        bloom = bloom_build_terms(ev, "shingle")
+        plan = (
+            bloom_prefilter(corpus, bloom, "shingle")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re
+
+        keys = re.findall(r"hashpartitioning\((\w+)", plan)
+        assert all(k.startswith("word") for k in keys), keys
