@@ -4745,12 +4745,13 @@ def oracle_sql() -> dict[str, str]:
             "replace(coalesce(text, ''), ' ', '  ') || chr(9) || "
             "chr(13) || chr(10) || chr(7) || 'x' AS text "
             "FROM documents), "
-            "n AS (SELECT doc_id, text, trim(regexp_replace("
+            "n AS (SELECT doc_id, text, regexp_replace(regexp_replace("
             "regexp_replace(regexp_replace(regexp_replace(text, "
             "'\\r\\n?', chr(10), 'g'), "
             "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
             "'[ \\t]+', ' ', 'g'), "
-            "'\\n{3,}', chr(10) || chr(10), 'g')) AS norm FROM noisy) "
+            "'\\n{3,}', chr(10) || chr(10), 'g'), "
+            "'^[ \\t\\n]+|[ \\t\\n]+$', '', 'g') AS norm FROM noisy) "
             "SELECT doc_id, norm AS text, "
             "CAST(len(text) - len(norm) AS BIGINT) AS n_chars_removed "
             "FROM n"

@@ -399,7 +399,12 @@ def normalize_text(
     )
     norm = F.regexp_replace(norm, r"[ \t]+", " ")
     norm = F.regexp_replace(norm, r"\n{3,}", "\n\n")
-    norm = F.trim(norm)
+    # NOT F.trim: Spark's trim strips ONLY ASCII spaces, so a doc ending
+    # in "\n" would keep it (caught by the randomized parity test —
+    # DuckDB's trim shares the space-only behavior, so the oracle alone
+    # could never have seen it). After steps 1-3 the only whitespace
+    # left is space/tab/newline; strip those explicitly.
+    norm = F.regexp_replace(norm, r"^[ \t\n]+|[ \t\n]+$", "")
     passthrough = [
         F.col(f.name)
         for f in df.schema.fields

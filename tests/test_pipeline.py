@@ -1160,3 +1160,82 @@ class TestNormalizeText:
         once = normalize_text(df).select("doc_id", "text")
         twice = normalize_text(once).select("doc_id", "text")
         assert once.collect() == twice.collect()
+
+
+class TestTextOpRandomizedParity:
+    """Seeded random-corpus replays: one Spark job over 300 adversarial
+    strings (controls, unicode, CR/LF soup, token salad) compared
+    against independent pure-Python references — the property-test
+    posture without a Spark job per example."""
+
+    @staticmethod
+    def _gnarly_corpus(n=300, seed=42):
+        import random
+
+        rng = random.Random(seed)
+        alphabet = (
+            list("abcdefghij XYZ09.,!")
+            + ["\t", "\n", "\r", "\x00", "\x07", "\x1f", "\x7f",
+               "é", "ü", "…", "  ", "\r\n", "casino", "spam", " the "]
+        )
+        rows = []
+        for i in range(n):
+            k = rng.randrange(0, 40)
+            rows.append((i, "".join(rng.choice(alphabet) for _ in range(k))))
+        rows.append((n, None))
+        rows.append((n + 1, ""))
+        return rows
+
+    def test_normalize_text_matches_python_reference(self, spark):
+        import re
+
+        from lotad_spark.pipeline import normalize_text
+
+        corpus = self._gnarly_corpus()
+
+        def ref(t):
+            if t is None:
+                return None
+            t = re.sub(r"\r\n?", "\n", t)
+            t = re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", t)
+            t = re.sub(r"[ \t]+", " ", t)
+            t = re.sub(r"\n{3,}", "\n\n", t)
+            return t.strip()
+
+        df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+        got = {r.doc_id: r.text for r in normalize_text(df).collect()}
+        for d, t in corpus:
+            assert got[d] == ref(t), (d, repr(t), repr(got[d]))
+        # idempotence over the whole random corpus in one pass
+        once = normalize_text(df).select("doc_id", "text")
+        twice = {
+            r.doc_id: r.text
+            for r in normalize_text(once).collect()
+        }
+        assert twice == got
+
+    def test_blocklist_matches_python_reference(self, spark):
+        from lotad_spark.pipeline import blocklist_filter
+
+        corpus = self._gnarly_corpus()
+        terms = ["casino", "spam", "the", "x"]
+        df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+        got = {
+            r.doc_id: (r.n_hits, r.hit_terms, r.blocked)
+            for r in blocklist_filter(df, terms).collect()
+        }
+        import re
+
+        ts = set(terms)
+        for d, t in corpus:
+            # repo tokenization is Java \s+ = ASCII [ \t\n\v\f\r] ONLY;
+            # python's \s (and str.split) additionally treat \x1c-\x1f
+            # and \x85 as whitespace — spell the Java class out
+            words = [
+                w
+                for w in re.split(r"[ \t\n\v\f\r]+", (t or "").lower())
+                if w
+            ]
+            hits = [w for w in words if w in ts]
+            want = (len(hits), ",".join(sorted(set(hits))), bool(hits))
+            assert got[d] == want, (d, repr(t), got[d], want)
