@@ -1857,6 +1857,27 @@ def q_text_normalize(spark, sf_dir):
     return normalize_text(noisy)
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (pipeline/bpe.py bpe_fertility):
+    train the 8-merge table, tokenize every word with the shared
+    replace chain, and aggregate tokens-per-word / chars-per-token per
+    language — the standard tokenizer-evaluation stat a multilingual
+    pipeline checks before committing to a vocab. Counts are exact
+    integers; ratios use the micro-unit convention; the oracle replays
+    training + the per-word replace chain + the aggregation."""
+    from lotad_spark.pipeline import bpe_fertility
+    from lotad_spark.pipeline.bpe import train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merge_rows = (
+        train_bpe(d.select("doc_id", "text"), num_merges=8)
+        .orderBy("rank")
+        .collect()
+    )
+    merges = [(r.left, r.right) for r in merge_rows]
+    return bpe_fertility(d, merges)
+
+
 def q_contamination_bloom(spark, sf_dir):
     """The Bloom-PREFILTERED decontamination path (pipeline/sketch.py
     bloom_prefilter composed by contamination_pairs): the eval shingle
@@ -3703,7 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       asof_latest_order). The former bpe_merges row is RETIRED per the
       r10 consolidation plan — apply_bpe's oracle replays the identical
       merge-training CTE unroll, so the coverage is unchanged.
-    * 36-50: next-longest out, last driver-green r9 with code unchanged
+    * 37-50: next-longest out, last driver-green r9 with code unchanged
       since: line dedup, the file-format scan rows (orc/csv/jsonl/
       sqlite), apply_bpe, interval join, dedup_semantic, streaming
       batch faces, frame_sample_plan, span dedup, paths/anomaly,
@@ -3712,7 +3733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       the remaining r9-green rows, then everything driver-green in
       r10/r11 with code unchanged, newest last. Every rotated row has
       at least one driver-green round; the FULL registry stays enforced
-      by scripts/check_oracle.py (125 value-checked + 1 rows-only at
+      by scripts/check_oracle.py (126 value-checked + 1 rows-only at
       sf0.01) and the pytest suite. See COVERAGE.md "Driver-window
       rotation".
     """
@@ -3759,7 +3780,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 4096-bit filter forces false positives through the join);
         # displaces events_sliding_agg (r9-green) per policy. ---
         "contamination_bloom": q_contamination_bloom,
-        # --- 17-35: the longest-unverified rows, all last
+        # --- 17: NEW: per-language tokenizer fertility after BPE
+        # (train + per-word replace chain + micro-unit ratios, fully
+        # replayed in SQL); displaces rollup_anomaly (r9-green). ---
+        "bpe_fertility": q_bpe_fertility,
+        # --- 18-36: the longest-unverified rows, all last
         # driver-green r8 with code unchanged since. ---
         "tfidf_top_terms": q_tfidf_top_terms,
         "sample_hash": q_sample_hash,
@@ -3780,7 +3805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_by_user": q_twa_by_user,
         "json_key_stats": q_json_key_stats,
         "asof_latest_order": q_asof_latest_order,
-        # --- 36-50: next-longest out, last driver-green r9 with
+        # --- 37-50: next-longest out, last driver-green r9 with
         # code unchanged since (file-format scans, span dedup,
         # paths/anomaly, streaming batch faces, BPE smoke). ---
         "strip_dup_lines": q_strip_dup_lines,
@@ -5074,6 +5099,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["csv_scan_diff"] = _file_scan_oracle("csv")
     oracles["jsonl_scan_diff"] = _file_scan_oracle("jsonl")
     oracles["apply_bpe"] = _apply_bpe_oracle(8)
+    oracles["bpe_fertility"] = _bpe_fertility_oracle(8)
     # Identical pairing semantics to range_join_views — the batch face
     # of the stream-stream interval join runs the same inequality join.
     oracles["interval_join_batch"] = (
@@ -5140,6 +5166,54 @@ def _bpe_training_ctes(num_merges: int) -> list[str]:
             f"FROM kp{k}) WHERE NOT consumed GROUP BY word, freq)"
         )
     return parts
+
+
+def _bpe_fertility_oracle(num_merges: int) -> str:
+    """Value oracle for bpe_fertility: replay training (the shared CTE
+    chain), run the same delimiter-wrapped replace chain per word
+    CARRYING (lang, word length), then aggregate counts per lang with
+    the exact integer micro-unit ratios."""
+    parts = _bpe_training_ctes(num_merges)
+    parts.append(
+        ", docw AS (SELECT lang, tk[i] AS w FROM ("
+        f"SELECT lang, {_TOKS} AS tk FROM documents), "
+        "unnest(range(1, len(tk) + 1)) AS u(i) WHERE tk[i] <> '')"
+        ", f0 AS (SELECT lang, CAST(len(w) AS BIGINT) AS nc, "
+        "chr(31) || array_to_string("
+        "list_append(list_transform(range(1, len(w) + 1), j -> w[j]), "
+        "'</w>'), chr(31) || chr(31)) || chr(31) AS s FROM docw)"
+    )
+    for k in range(num_merges):
+        parts.append(
+            f", f{k + 1} AS (SELECT lang, nc, COALESCE(replace(s, "
+            f"chr(31) || (SELECT \"left\" FROM m{k}) || chr(31) || "
+            f"chr(31) || (SELECT \"right\" FROM m{k}) || chr(31), "
+            f"chr(31) || (SELECT \"left\" || \"right\" FROM m{k}) || "
+            f"chr(31)), s) AS s FROM f{k})"
+        )
+    parts.append(
+        f", fw AS (SELECT lang, nc, CAST(len(string_split("
+        f"substr(s, 2, len(s) - 2), chr(31) || chr(31))) AS BIGINT) "
+        f"AS nt FROM f{num_merges}), "
+        "agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(nc) AS BIGINT) AS n_chars, "
+        "CAST(sum(nt) AS BIGINT) AS n_tokens FROM fw GROUP BY lang), "
+        "nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM documents GROUP BY lang) "
+        "SELECT lang, n_docs, coalesce(n_words, 0) AS n_words, "
+        "coalesce(n_chars, 0) AS n_chars, "
+        "coalesce(n_tokens, 0) AS n_tokens, "
+        "CAST((2 * coalesce(n_tokens, 0) * 1000000 "
+        "+ greatest(coalesce(n_words, 0), 1)) "
+        "// (2 * greatest(coalesce(n_words, 0), 1)) AS DOUBLE) "
+        "/ 1000000.0 AS fertility, "
+        "CAST((2 * coalesce(n_chars, 0) * 1000000 "
+        "+ greatest(coalesce(n_tokens, 0), 1)) "
+        "// (2 * greatest(coalesce(n_tokens, 0), 1)) AS DOUBLE) "
+        "/ 1000000.0 AS chars_per_token "
+        "FROM nd LEFT JOIN agg USING (lang)"
+    )
+    return "".join(parts)
 
 
 def _apply_bpe_oracle(num_merges: int) -> str:

@@ -62,7 +62,7 @@ from lotad_spark.pipeline.multimodal import (
     resize_images,
     with_decoded_metadata,
 )
-from lotad_spark.pipeline.bpe import apply_bpe, train_bpe
+from lotad_spark.pipeline.bpe import apply_bpe, bpe_fertility, train_bpe
 from lotad_spark.pipeline.sketch import (
     bloom_build,
     bloom_build_terms,
@@ -168,6 +168,7 @@ __all__ = [
     "temperature_rates",
     "train_bpe",
     "apply_bpe",
+    "bpe_fertility",
     "append_to_bm25_index",
     "bm25_against_index",
     "bm25_topk",

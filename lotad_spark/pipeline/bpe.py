@@ -147,6 +147,109 @@ def train_bpe(
     )
 
 
+def _merged_symbols(merges: list[tuple[str, str]]):
+    """Symbol array of the word in column ``_w`` after applying
+    ``merges`` in rank order — the delimiter-wrapped replace chain
+    shared by :func:`apply_bpe` and :func:`bpe_fertility` (see
+    apply_bpe's docstring for the equivalence argument)."""
+    sep = "\x1f"
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("_w")), lambda i: F.substring("_w", i, 1)
+    )
+    s = F.concat(
+        F.lit(sep),
+        F.array_join(
+            F.concat(chars, F.array(F.lit(END_MARK))), sep + sep
+        ),
+        F.lit(sep),
+    )
+    for left, right in merges:
+        s = F.replace(
+            s,
+            F.lit(f"{sep}{left}{sep}{sep}{right}{sep}"),
+            F.lit(f"{sep}{left}{right}{sep}"),
+        )
+    return F.split(
+        F.substring(s, F.lit(2), F.length(s) - 2), sep + sep
+    )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-quality stats per group (typically language) after
+    applying a learned BPE table: (group, n_docs, n_words, n_chars,
+    n_tokens, fertility, chars_per_token) — **fertility** (BPE tokens
+    per whitespace word) is THE standard tokenizer-evaluation number
+    (≈1 means whole words survive as single tokens; ≫1 means the vocab
+    splinters that language into fragments, inflating sequence length
+    and cost for it), and chars_per_token is its compression mirror.
+    A multilingual pipeline runs this to see which languages the
+    tokenizer under-serves before committing to a vocab.
+
+    Scale shape — deliberately LIGHTER than :func:`apply_bpe`: words
+    explode once, the merge chain is the same per-word JVM replace
+    chain, but only COUNTS aggregate — one groupBy keyed by the
+    bounded group column (map-side combine collapses each partition to
+    |groups| rows), no doc-keyed shuffle, no token-array assembly.
+    n_docs rides a second |groups|-row aggregate joined at the end.
+
+    Determinism: counts are exact integers; both ratios round via the
+    exact integer micro-unit division (the repo convention), with
+    max(den, 1) guarding empty groups."""
+    from lotad_spark.pipeline.text import _ratio_6dp
+
+    grp = F.col(group_col)
+    per_word = (
+        df.select(
+            grp.alias("_grp"),
+            F.explode(tokens(F.col(text_col))).alias("_w"),
+        )
+        .filter(F.length("_w") > 0)
+        .select(
+            "_grp",
+            F.length("_w").cast("bigint").alias("_nc"),
+            F.size(_merged_symbols(merges)).cast("bigint").alias("_nt"),
+        )
+    )
+    agg = per_word.groupBy("_grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("_nc").cast("bigint").alias("n_chars"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+    )
+    n_docs = df.groupBy(grp.alias("_grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        n_docs.join(agg, "_grp", "left")
+        .select(
+            F.col("_grp").alias(group_col),
+            "n_docs",
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+            F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            _ratio_6dp(
+                F.col("n_tokens"),
+                F.greatest(F.col("n_words"), F.lit(1)).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "chars_per_token",
+            _ratio_6dp(
+                F.col("n_chars"),
+                F.greatest(F.col("n_tokens"), F.lit(1)).cast("bigint"),
+            ),
+        )
+    )
+
+
 def apply_bpe(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -173,26 +276,7 @@ def apply_bpe(
     tens of merges this surface targets. A production-size table
     (10k+ merges) belongs in an Arrow-batched pandas UDF with the
     merge list broadcast — same semantics, flat plan."""
-    sep = "\x1f"
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("_w")), lambda i: F.substring("_w", i, 1)
-    )
-    s = F.concat(
-        F.lit(sep),
-        F.array_join(
-            F.concat(chars, F.array(F.lit(END_MARK))), sep + sep
-        ),
-        F.lit(sep),
-    )
-    for left, right in merges:
-        s = F.replace(
-            s,
-            F.lit(f"{sep}{left}{sep}{sep}{right}{sep}"),
-            F.lit(f"{sep}{left}{right}{sep}"),
-        )
-    syms = F.split(
-        F.substring(s, F.lit(2), F.length(s) - 2), sep + sep
-    )
+    syms = _merged_symbols(merges)
     per_word = (
         df.select(
             F.col(id_col),

@@ -100,3 +100,53 @@ class TestApplyBpe:
         for doc_id, text in CORPUS:
             expected = [s for w in text.split() for s in ref_vocab[w]]
             assert got[doc_id] == (len(expected), expected)
+
+
+class TestBpeFertility:
+    def test_matches_hand_computation(self, spark):
+        from lotad_spark.pipeline import bpe_fertility
+
+        # merges: (a, b) then (ab, </w>) — "ab" becomes ONE token
+        merges = [("a", "b"), ("ab", "</w>")]
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "ab ab cd"),
+                (2, "en", "ab"),
+                (3, "de", "xyz"),
+                (4, "fr", None),      # no words: zero counts, doc counted
+            ],
+            "doc_id bigint, lang string, text string",
+        )
+        got = {
+            r.lang: (r.n_docs, r.n_words, r.n_chars, r.n_tokens,
+                     r.fertility, r.chars_per_token)
+            for r in bpe_fertility(docs, merges).collect()
+        }
+        # en: words ab, ab, cd, ab -> tokens: ab</w> x3 (1 each),
+        # c d </w> (3); n_words 4, n_chars 8, n_tokens 6
+        assert got["en"] == (2, 4, 8, 6, round(6 / 4, 6), round(8 / 6, 6))
+        # de: xyz -> x y z </w> = 4 tokens, 3 chars, 1 word
+        assert got["de"] == (1, 1, 3, 4, 4.0, 0.75)
+        # fr: no words at all -> zeros with guarded ratios
+        assert got["fr"] == (1, 0, 0, 0, 0.0, 0.0)
+
+    def test_group_keyed_aggregation_only(self, spark, sf_dir):
+        """No doc-keyed shuffle and no token-array assembly: the only
+        hashpartitioning key is the group column."""
+        import re
+
+        from lotad_spark.pipeline import bpe_fertility
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        docs = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        plan = (
+            bpe_fertility(docs, [("a", "b")])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+        # both aggregates key on the group column (the n_docs face
+        # partitions on its original name) — never on doc_id
+        assert keys and keys <= {"_grp", "lang"}, keys
+        assert "collect_list" not in plan
