@@ -32,7 +32,19 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of trimmed text."""
+    """Whitespace tokens of trimmed text — the repo-wide tokenization
+    convention, mirrored verbatim by the oracles' ``_TOKS``
+    (``string_split_regex(trim(text), '\\s+')``).
+
+    Two deliberate convention notes (identical in both engines, so
+    cross-engine hashes are safe): (1) ``trim`` strips ASCII SPACES
+    only — text starting with a newline/tab yields one empty leading
+    token, which splitting callers filter and counting callers
+    (text_stats) count; (2) the token class is Java's ASCII ``\\s``
+    ([ \\t\\n\\x0B\\f\\r]) — python's ``\\s``/str.split additionally
+    treat \\x1c-\\x1f as whitespace (see the randomized-parity tests).
+    Run :func:`normalize_text` first when byte-level noise would
+    otherwise splinter the tokenization."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.trim(c), r"\s+")
 
