@@ -83,33 +83,19 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, str] | None:
 
 def _parse_pnm(payload: bytes) -> tuple[int, int, str] | None:
     """REAL decode of a netpbm (P1-P6 PBM/PGM/PPM) header: magic, then
-    whitespace-separated width/height with ``#`` comments allowed
-    anywhere in the header — the full public spec for the header section.
-    Like PIL, dimensions come from the header alone (a truncated pixel
-    section fails at load, not open). Returns None when not netpbm."""
-    magic = payload[:2].decode("ascii", "replace")
-    if magic not in _PNM_MODE or (len(payload) > 2 and payload[2:3].isdigit()):
+    whitespace-separated width/height (+ maxval for P2/P3/P5/P6) with
+    ``#`` comments allowed anywhere in the header — the full public
+    spec for the header section. Like PIL, dimensions come from the
+    header alone (a truncated PIXEL section fails at load, not open; a
+    truncated HEADER is not a netpbm file and falls through). Thin
+    wrapper over the one shared scanner (:func:`_pnm_header`) so the
+    metadata path and the pixel-decode path can never disagree on what
+    parses."""
+    hdr = _pnm_header(payload)
+    if hdr is None:
         return None
-    dims: list[int] = []
-    i = 2
-    while len(dims) < 2 and i < len(payload):
-        c = payload[i : i + 1]
-        if c == b"#":  # comment runs to end of line
-            while i < len(payload) and payload[i : i + 1] != b"\n":
-                i += 1
-        elif c.isspace():
-            i += 1
-        elif c.isdigit():
-            j = i
-            while j < len(payload) and payload[j : j + 1].isdigit():
-                j += 1
-            dims.append(int(payload[i:j]))
-            i = j
-        else:
-            return None
-    if len(dims) < 2 or dims[0] <= 0 or dims[1] <= 0:
-        return None
-    return (dims[0], dims[1], _PNM_MODE[magic])
+    magic, w, h, _maxval, _off = hdr
+    return (w, h, _PNM_MODE[magic])
 
 
 def _pnm_header(
@@ -281,9 +267,11 @@ def with_decoded_metadata(
         f for f in df.schema.fields
         if keep_content or f.name != content_col
     ]
-    out_schema = (
-        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in passthrough)
-        + ", " + DECODE_SCHEMA
+    # join() so a content-only input (no passthrough columns) yields a
+    # valid schema instead of a leading ", "
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in passthrough]
+        + [DECODE_SCHEMA]
     )
     pass_names = [f.name for f in passthrough]
 
@@ -352,8 +340,12 @@ def extract_feature_counts(
 
     A production deployment swaps in a vision/audio encoder emitting raw
     activations; the batch iteration and output schema stay the
-    contract. NULL payloads emit kind='null' with a zero histogram."""
-    out_schema = f"`{id_col}` bigint, kind string, hist array<int>"
+    contract. NULL payloads emit kind='null' with a zero histogram.
+    The id column keeps the CALLER'S type (string/uuid media ids work,
+    not just bigint — the same derived-schema rule as the ANN serving
+    relations)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, kind string, hist array<int>"
 
     def feat_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

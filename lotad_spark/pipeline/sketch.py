@@ -186,8 +186,11 @@ def bloom_build_terms(
 ) -> DataFrame:
     """Bloom filter of an arbitrary string column (already-tokenized
     terms, shingles, URLs, doc hashes) as a (word, bits) relation —
-    the building block :func:`bloom_build` wraps with tokenization."""
-    positions = terms.select(
+    the building block :func:`bloom_build` wraps with tokenization.
+    NULL terms are dropped (a NULL hashes to a NULL position, which
+    would otherwise surface as a null map key in
+    :func:`bloom_prefilter` and kill the job)."""
+    positions = terms.filter(F.col(term_col).isNotNull()).select(
         F.explode(
             F.array(
                 *[

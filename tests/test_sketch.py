@@ -291,3 +291,26 @@ class TestBloomPrefilter:
 
         keys = re.findall(r"hashpartitioning\((\w+)", plan)
         assert all(k.startswith("word") for k in keys), keys
+
+    def test_null_terms_dropped_and_prefilter_survives(self, spark):
+        """A NULL in the term column must not poison the filter: it
+        hashes to a NULL position and would surface as a null map key
+        inside bloom_prefilter (r11 review finding)."""
+        from lotad_spark.pipeline import bloom_build_terms, bloom_prefilter
+
+        ev = spark.createDataFrame(
+            [("a b c",), (None,), ("d e f",)], "shingle string"
+        )
+        bloom = bloom_build_terms(ev, "shingle", n_bits=4096)
+        assert not any(r.word is None for r in bloom.collect())
+        corpus = spark.createDataFrame(
+            [(1, "a b c"), (2, "zzz"), (3, None)],
+            "doc_id bigint, shingle string",
+        )
+        kept = {
+            r.doc_id
+            for r in bloom_prefilter(
+                corpus, bloom, "shingle", n_bits=4096
+            ).collect()
+        }
+        assert kept == {1}  # NULL probe row: NULL checks -> filtered out

@@ -757,3 +757,39 @@ class TestStreamIntervalJoin:
                 point_ts="v_ts",
                 interval_ts="v_ts",
             )
+
+
+class TestReviewRegressions:
+    def test_feature_counts_string_media_ids(self, spark):
+        """The mapInPandas output schema derives the id type from the
+        input (string/uuid media ids, not just bigint)."""
+        from lotad_spark.pipeline.multimodal import extract_feature_counts
+
+        df = spark.createDataFrame(
+            [("img-a", b"abc"), ("img-b", None)],
+            "media_id string, content binary",
+        )
+        got = {r.media_id: r.kind for r in extract_feature_counts(df).collect()}
+        assert got == {"img-a": "bytes", "img-b": "null"}
+
+    def test_decode_metadata_content_only_input(self, spark):
+        """A content-only table (no passthrough columns) must yield a
+        valid output schema, not a leading-comma parse error."""
+        from lotad_spark.pipeline.multimodal import with_decoded_metadata
+
+        df = spark.createDataFrame(
+            [(b"P6\n2 1\n255\n" + b"x" * 6,)], "content binary"
+        )
+        out = with_decoded_metadata(df)
+        assert out.columns == ["width", "height", "mode"]
+        r = out.collect()[0]
+        assert (r.width, r.height, r.mode) == (2, 1, "RGB")
+
+    def test_truncated_binary_header_falls_back_loudly(self, spark):
+        """P6 with no maxval is malformed: both the metadata path and
+        the pixel path now agree it is not netpbm (shared scanner) —
+        it falls to the labeled byte-length fake, never a guess."""
+        from lotad_spark.pipeline.multimodal import _parse_pnm, decode_pixels
+
+        assert _parse_pnm(b"P6\n3 2\n") is None
+        assert decode_pixels(b"P6\n3 2\n") is None
