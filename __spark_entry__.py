@@ -3724,7 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       asof_latest_order). The former bpe_merges row is RETIRED per the
       r10 consolidation plan — apply_bpe's oracle replays the identical
       merge-training CTE unroll, so the coverage is unchanged.
-    * 37-50: next-longest out, last driver-green r9 with code unchanged
+    * 38-50: next-longest out, last driver-green r9 with code unchanged
       since: line dedup, the file-format scan rows (orc/csv/jsonl/
       sqlite), apply_bpe, interval join, dedup_semantic, streaming
       batch faces, frame_sample_plan, span dedup, paths/anomaly,
@@ -3784,6 +3784,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (train + per-word replace chain + micro-unit ratios, fully
         # replayed in SQL); displaces rollup_anomaly (r9-green). ---
         "bpe_fertility": q_bpe_fertility,
+        # --- 18: re-enters (changed code): repetition_stats ratios
+        # hardened to exact integer micro-units (the r11 self-review
+        # boundary-hazard finding); displaces path_signatures
+        # (r9-green). ---
+        "text_repetition": q_text_repetition,
         # --- 18-36: the longest-unverified rows, all last
         # driver-green r8 with code unchanged since. ---
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3805,7 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_by_user": q_twa_by_user,
         "json_key_stats": q_json_key_stats,
         "asof_latest_order": q_asof_latest_order,
-        # --- 37-50: next-longest out, last driver-green r9 with
+        # --- 38-50: next-longest out, last driver-green r9 with
         # code unchanged since (file-format scans, span dedup,
         # paths/anomaly, streaming batch faces, BPE smoke). ---
         "strip_dup_lines": q_strip_dup_lines,
@@ -3900,7 +3905,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "text_fingerprints": q_text_fingerprints,
         "text_winnow_fp": q_text_winnow_fp,
-        "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "text_unigram_lm": q_text_unigram_lm,
     }
@@ -4818,23 +4822,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM checked"
         ),
         "text_winnow_fp": _WINNOW_SQL,
+        # ratios replayed as exact integer micro-units (the gopher/_LM
+        # hardening): round(double, 6) flips engines on .5e-6 boundaries
         "text_repetition": (
             "WITH lines AS (SELECT doc_id, "
-            "CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines, "
-            "round(1.0 - CAST(len(list_distinct(str_split(text, chr(10)))) "
-            "AS DOUBLE) / greatest(len(str_split(text, chr(10))), 1), 6) "
-            "AS dup_line_frac FROM documents), "
+            "CAST(len(str_split(text, chr(10))) AS BIGINT) AS nl, "
+            "CAST(len(str_split(text, chr(10))) "
+            "- len(list_distinct(str_split(text, chr(10)))) AS BIGINT) "
+            "AS ndup FROM documents), "
             f"tok AS (SELECT doc_id, {_TOKS} AS a FROM documents), "
             "grams AS (SELECT doc_id, unnest(list_transform("
             "range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS gram "
             "FROM tok), "
             "gc AS (SELECT doc_id, gram, count(*) AS c FROM grams "
             "GROUP BY doc_id, gram), "
-            "agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot_c "
-            "FROM gc GROUP BY doc_id) "
-            "SELECT l.doc_id, l.n_lines, l.dup_line_frac, "
-            "round(coalesce(CAST(top_c AS DOUBLE) / tot_c, 0.0), 6) "
-            "AS top_bigram_frac FROM lines l LEFT JOIN agg USING (doc_id)"
+            "agg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c, "
+            "CAST(sum(c) AS BIGINT) AS tot_c FROM gc GROUP BY doc_id) "
+            "SELECT l.doc_id, l.nl AS n_lines, "
+            "CAST((2 * ndup * 1000000 + greatest(nl, 1)) "
+            "// (2 * greatest(nl, 1)) AS DOUBLE) / 1000000.0 "
+            "AS dup_line_frac, "
+            "CAST((2 * coalesce(top_c, 0) * 1000000 "
+            "+ greatest(coalesce(tot_c, 0), 1)) "
+            "// (2 * greatest(coalesce(tot_c, 0), 1)) AS DOUBLE) "
+            "/ 1000000.0 AS top_bigram_frac "
+            "FROM lines l LEFT JOIN agg USING (doc_id)"
         ),
         "text_pii_scrub": (
             "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
@@ -5200,7 +5212,7 @@ def _bpe_fertility_oracle(num_merges: int) -> str:
         "CAST(sum(nt) AS BIGINT) AS n_tokens FROM fw GROUP BY lang), "
         "nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
         "FROM documents GROUP BY lang) "
-        "SELECT lang, n_docs, coalesce(n_words, 0) AS n_words, "
+        "SELECT nd.lang AS lang, n_docs, coalesce(n_words, 0) AS n_words, "
         "coalesce(n_chars, 0) AS n_chars, "
         "coalesce(n_tokens, 0) AS n_tokens, "
         "CAST((2 * coalesce(n_tokens, 0) * 1000000 "
@@ -5211,7 +5223,7 @@ def _bpe_fertility_oracle(num_merges: int) -> str:
         "+ greatest(coalesce(n_tokens, 0), 1)) "
         "// (2 * greatest(coalesce(n_tokens, 0), 1)) AS DOUBLE) "
         "/ 1000000.0 AS chars_per_token "
-        "FROM nd LEFT JOIN agg USING (lang)"
+        "FROM nd LEFT JOIN agg ON nd.lang IS NOT DISTINCT FROM agg.lang"
     )
     return "".join(parts)
 

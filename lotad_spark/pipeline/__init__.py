@@ -44,6 +44,7 @@ from lotad_spark.pipeline.similarity import (
     build_ivf_index,
     build_ivf_sq8_index,
     cosine_topk,
+    drop_zero_vectors,
     ivf_sq8_topk,
     ivf_topk_indexed,
     embedding_near_dup_pairs,
@@ -144,6 +145,7 @@ __all__ = [
     "ivf_topk",
     "ivf_topk_indexed",
     "quantize_embeddings",
+    "drop_zero_vectors",
     "embedding_near_dup_pairs",
     "semantic_dedup",
     "prototypicality_prune",

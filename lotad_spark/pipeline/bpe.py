@@ -224,10 +224,17 @@ def bpe_fertility(
     n_docs = df.groupBy(grp.alias("_grp")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+    # null-SAFE join: a NULL group (lang-ID couldn't classify — exactly
+    # the bucket worth scrutiny) groups fine on both sides but a plain
+    # equi-join would drop its stats row and zero-fill its fertility
     return (
-        n_docs.join(agg, "_grp", "left")
+        n_docs.join(
+            agg.withColumnRenamed("_grp", "_grp_a"),
+            n_docs["_grp"].eqNullSafe(F.col("_grp_a")),
+            "left",
+        )
         .select(
-            F.col("_grp").alias(group_col),
+            n_docs["_grp"].alias(group_col),
             "n_docs",
             F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
             F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),

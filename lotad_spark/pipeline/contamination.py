@@ -96,8 +96,16 @@ def contamination_pairs(
             "(expected None or 'bloom')"
         )
     e_sz = e_sh.groupBy("eval_id").agg(F.count(F.lit(1)).alias("e_sz"))
+    # The whole point of the bloom path is surviving an eval set whose
+    # FULL SHINGLE STRINGS no longer broadcast comfortably — so do NOT
+    # force-broadcast them there: the corpus side is already reduced to
+    # matches + the fp trickle, and the planner (AQE) picks broadcast
+    # when the eval strings do fit, shuffle when they don't. The exact
+    # path keeps the explicit hint (its design premise is a small eval
+    # set and an UNREDUCED corpus side that must never shuffle).
+    e_join = e_sh if prefilter == "bloom" else F.broadcast(e_sh)
     inter = (
-        t_sh.join(F.broadcast(e_sh), "shingle")
+        t_sh.join(e_join, "shingle")
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -22,6 +22,15 @@ Two operators:
 Similarities are rounded to 6 decimals *before* ranking, with vec_id
 tie-breaks, so results are reproducible across engines (float folds can
 differ in the last ulp between implementations).
+
+PRECONDITION (every cosine-based operator here): vectors must be
+non-zero. cosine(0⃗, ·) is 0/0 — Spark's fold yields NaN (which sorts
+ABOVE every real sim under desc ordering, polluting top-k), and engines
+genuinely diverge on it (DuckDB's list_cosine_similarity returns −1.0),
+so a zero vector breaks both ranking and the cross-engine contract.
+Real embedding pipelines L2-normalize upstream, making zero vectors
+invalid input; where that isn't guaranteed, gate the corpus through
+:func:`drop_zero_vectors` first (one shuffle-free filter).
 """
 
 from __future__ import annotations
@@ -615,6 +624,21 @@ def ivf_topk(
     return _ranked_topk(scored, k, id_col=id_col).select("query_id", id_col, "sim")
 
 
+def drop_zero_vectors(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Filter out all-zero (and NULL) vectors — the documented
+    precondition of every cosine-based operator in this module (see the
+    module docstring: 0⃗ makes cosine 0/0, which ranks as NaN-first in
+    Spark and diverges cross-engine). One shuffle-free filter; run it
+    once at ingest when upstream L2-normalization isn't guaranteed."""
+    v = F.col(vec_col).cast("array<double>")
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return df.filter(F.col(vec_col).isNotNull() & (sq > 0.0))
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -717,6 +741,11 @@ def semantic_dedup(
     duplicate-insensitive.
     """
     spark = corpus.sparkSession
+    # localCheckpoint: `assigned` is consumed THREE times (both sides of
+    # the blocked self-join + the final left join back) and Catalyst
+    # shares no common subplans, so without it the assignment kernel —
+    # the documented cost driver — ran 3× per job (r11 review finding;
+    # the dsir/retrieval/bigram multi-consumer pattern).
     assigned = assign_to_centroids(
         corpus.select(id_col, vec_col),
         centroids,
@@ -725,7 +754,7 @@ def semantic_dedup(
         cent_id_col=cent_id_col,
         cent_vec_col=cent_vec_col,
         kernel=kernel,
-    )
+    ).localCheckpoint(eager=False)
     B = max(1, int(pair_blocks))
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
     withblk = assigned.withColumn("_blk", blk)

@@ -271,14 +271,16 @@ def repetition_stats(
     restores gram-free docs (fraction 0.0)."""
     t = F.col(text_col)
     lines = F.split(t, "\n")
+    # ratios in exact integer micro-units (_ratio_6dp): round(double, 6)
+    # on an int/int quotient is not engine-reproducible on exact .5e-6
+    # boundaries — the same hardening as gopher_rules / the LM averages
+    n_l = F.size(lines).cast("bigint")
+    n_dup = (n_l - F.size(F.array_distinct(lines))).cast("bigint")
     base = df.select(
         F.col(id_col),
-        F.size(lines).cast("bigint").alias("n_lines"),
-        F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct(lines)).cast("double")
-            / F.greatest(F.size(lines), F.lit(1)).cast("double"),
-            6,
+        n_l.alias("n_lines"),
+        _ratio_6dp(
+            n_dup, F.greatest(n_l, F.lit(1)).cast("bigint")
         ).alias("dup_line_frac"),
     )
     # Bind the token array once (same trick as dedup.shingles) and emit
@@ -304,11 +306,10 @@ def repetition_stats(
         id_col,
         "n_lines",
         "dup_line_frac",
-        F.round(
-            F.coalesce(
-                F.col("_top").cast("double") / F.col("_tot"), F.lit(0.0)
-            ),
-            6,
+        _ratio_6dp(
+            F.coalesce(F.col("_top"), F.lit(0)).cast("bigint"),
+            F.greatest(F.coalesce(F.col("_tot"), F.lit(0)), F.lit(1))
+            .cast("bigint"),
         ).alias("top_bigram_frac"),
     )
 

@@ -150,3 +150,20 @@ class TestBpeFertility:
         # partitions on its original name) — never on doc_id
         assert keys and keys <= {"_grp", "lang"}, keys
         assert "collect_list" not in plan
+
+    def test_null_group_keeps_its_stats(self, spark):
+        """A NULL lang (unclassified docs) must report its REAL word
+        stats, not zero-fill: the n_docs/agg join is null-safe."""
+        from lotad_spark.pipeline import bpe_fertility
+
+        docs = spark.createDataFrame(
+            [(1, None, "ab ab"), (2, "en", "ab")],
+            "doc_id bigint, lang string, text string",
+        )
+        got = {
+            r.lang: (r.n_docs, r.n_words, r.n_tokens)
+            for r in bpe_fertility(docs, [("a", "b")]).collect()
+        }
+        # merges: (a,b) only -> "ab" = tokens [ab, </w>] = 2 per word
+        assert got[None] == (1, 2, 4)
+        assert got["en"] == (1, 1, 2)

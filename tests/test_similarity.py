@@ -797,3 +797,25 @@ class TestPrunePrototypesCli:
         kept = landed.filter("keep").count()
         assert abs(kept - 0.75 * n) <= 4
         assert f"kept {kept}/{n}" in result.output
+
+
+class TestDropZeroVectors:
+    def test_gate_removes_invalid_and_topk_is_clean(self, spark):
+        from lotad_spark.pipeline import drop_zero_vectors
+        from lotad_spark.pipeline.similarity import cosine_topk
+
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 0.0]),   # zero vector: cosine is 0/0
+            (2, None),         # NULL vector
+            (3, [0.5, 0.5]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        clean = drop_zero_vectors(df)
+        assert {r.vec_id for r in clean.collect()} == {0, 3}
+        # the documented hazard: ungated, the zero vector's NaN sim
+        # ranks FIRST; gated, top-k holds only real similarities
+        q = clean.filter("vec_id = 0")
+        got = cosine_topk(q, clean, k=2).collect()
+        assert [r.vec_id for r in got] == [3]
+        assert all(r.sim == r.sim for r in got)  # no NaN
