@@ -1851,7 +1851,9 @@ def q_text_normalize(spark, sf_dir):
         F.concat(
             F.lit("  "),
             F.regexp_replace(t, " ", "  "),
-            F.lit("\t\r\nx"),
+            # \x07 = BEL, exercised by the control-strip step; kept
+            # as an ESCAPE (a raw control byte here is invisible in review)
+            F.lit("\t\r\n\x07x"),
         ).alias("text"),
     )
     return normalize_text(noisy)
@@ -2195,33 +2197,74 @@ ranked AS (
 SELECT query_id, vec_id, sim FROM ranked WHERE r <= 5
 """
 
+def _oracle_embedding_sample(sf_dir: str) -> list[list[float]]:
+    """The id-ordered bounded embeddings sample every centroid/codebook
+    oracle trains on — cached per sf_dir (six builders otherwise
+    re-read the same parquet rows; r11 review finding). Returns fresh
+    lists so callers can't mutate the cache."""
+    import duckdb
+
+    from lotad_spark.pipeline import kmeans
+
+    cached = _ORACLE_SAMPLE_CACHE.get(sf_dir)
+    if cached is None:
+        rows = duckdb.connect().execute(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+            f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
+        ).fetchall()
+        cached = tuple(tuple(float(x) for x in r[0]) for r in rows)
+        _ORACLE_SAMPLE_CACHE[sf_dir] = cached
+    return [list(v) for v in cached]
+
+
+_ORACLE_SAMPLE_CACHE: dict = {}
+_ORACLE_CENTROID_CACHE: dict = {}
+_PQ_BOOKS_CACHE: dict = {}
+
+
+def _oracle_centroids(sf_dir: str, k: int) -> list[list[float]]:
+    """Deterministic k-means centroids for the oracle builders — cached:
+    five builders train the IDENTICAL RNG-free constants (r11 review
+    finding: oracle_sql() paid ~5× coarse-training CPU for nothing)."""
+    from lotad_spark.pipeline import kmeans
+
+    key = (sf_dir, k)
+    cached = _ORACLE_CENTROID_CACHE.get(key)
+    if cached is None:
+        cached = tuple(
+            tuple(c)
+            for c in kmeans.train_centroids(
+                _oracle_embedding_sample(sf_dir), k
+            )
+        )
+        _ORACLE_CENTROID_CACHE[key] = cached
+    return [list(c) for c in cached]
+
+
+def _centroid_values_sql(sf_dir: str, k: int = 16) -> str:
+    """The shared VALUES literal (repr of a double round-trips exactly
+    through DuckDB's parser)."""
+    return ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(_oracle_centroids(sf_dir, k))
+    )
+
+
 def _ann_ivf_sql() -> str:
     """IVF oracle with k-means centroids embedded as literals.
 
     The SAME deterministic trainer (`pipeline.kmeans.train_centroids`)
     runs here on the sample read via DuckDB; because init and iteration
-    are RNG-free, the constants match the Spark side bit-for-bit
-    (``repr`` of a double round-trips exactly through DuckDB's parser).
+    are RNG-free, the constants match the Spark side bit-for-bit.
     The driver evaluates oracles at sf0.01; override with
     $SPARK_GRAFT_ORACLE_SF_DIR when checking another scale locally.
     """
-    import duckdb
-
-    from lotad_spark.pipeline import kmeans
-
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    sample = duckdb.connect().execute(
-        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
-        f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
-    ).fetchall()
-    cents = kmeans.train_centroids([list(r[0]) for r in sample], 16)
-    values = ", ".join(
-        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
-        for i, c in enumerate(cents)
+    return _ANN_IVF_SQL_TEMPLATE.replace(
+        "__CENTROID_VALUES__", _centroid_values_sql(sf_dir, 16)
     )
-    return _ANN_IVF_SQL_TEMPLATE.replace("__CENTROID_VALUES__", values)
 
 
 def _proto_prune_sql() -> str:
@@ -2230,22 +2273,10 @@ def _proto_prune_sql() -> str:
     assignment (round-6 cosine argmax, ties to the lowest cent_id),
     per-cluster prototypicality rank (proto DESC, vec_id ASC), and the
     exact integer micro-unit cut line n * 500000 // 10⁶."""
-    import duckdb
-
-    from lotad_spark.pipeline import kmeans
-
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    sample = duckdb.connect().execute(
-        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
-        f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
-    ).fetchall()
-    cents = kmeans.train_centroids([list(r[0]) for r in sample], 16)
-    values = ", ".join(
-        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
-        for i, c in enumerate(cents)
-    )
+    values = _centroid_values_sql(sf_dir, 16)
     return (
         f"WITH cent(cent_id, cv) AS (VALUES {values}), "
         "assigned AS (SELECT vec_id, cent_id, s AS proto FROM ("
@@ -2269,28 +2300,29 @@ def _pq_oracle_parts() -> tuple[str, "object"]:
     (replaying pq_encode's round-6 argmax with ties to the lowest code)
     and the trained codebooks. Trains the SAME deterministic L2 Lloyd's
     (`pipeline.pq.train_pq_codebooks`) on the sample read via DuckDB —
-    RNG-free, so the literals match the Spark side bit-for-bit."""
-    import duckdb
-
+    RNG-free, so the literals match the Spark side bit-for-bit.
+    Cached per sf_dir: three oracle builders need the identical books
+    (r11 review finding)."""
     from lotad_spark.pipeline import kmeans, pq
 
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    sample = duckdb.connect().execute(
-        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
-        f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
-    ).fetchall()
-    dim = len(sample[0][0])
+    sample = _oracle_embedding_sample(sf_dir)
+    dim = len(sample[0])
     m, sub = pq.DEFAULT_M, dim // pq.DEFAULT_M
-    books = [
-        pq._train_l2(
-            [list(r[0])[j * sub : (j + 1) * sub] for r in sample],
-            pq.DEFAULT_CODES,
-            kmeans.DEFAULT_ITERS,
-        )
-        for j in range(m)
-    ]
+    cached = _PQ_BOOKS_CACHE.get(sf_dir)
+    if cached is None:
+        cached = [
+            pq._train_l2(
+                [v[j * sub : (j + 1) * sub] for v in sample],
+                pq.DEFAULT_CODES,
+                kmeans.DEFAULT_ITERS,
+            )
+            for j in range(m)
+        ]
+        _PQ_BOOKS_CACHE[sf_dir] = cached
+    books = cached
     cb_values = ", ".join(
         f"({j}, {c}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[], "
         f"{pq.self_dot(cv)!r})"
@@ -2396,22 +2428,12 @@ def _ann_ivfpq_sql() -> str:
     probe ranking, PQ encode replay, and integer-LUT ADC scoring
     restricted to each query's probed buckets — every stage of
     q_ann_ivfpq_topk's expr-kernel path replayed in SQL."""
-    import duckdb
-
-    from lotad_spark.pipeline import kmeans, pq
+    from lotad_spark.pipeline import pq
 
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    sample = duckdb.connect().execute(
-        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
-        f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
-    ).fetchall()
-    cents = kmeans.train_centroids([list(r[0]) for r in sample], 16)
-    cent_values = ", ".join(
-        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
-        for i, c in enumerate(cents)
-    )
+    cent_values = _centroid_values_sql(sf_dir, 16)
     encode_cte, books = _pq_oracle_parts()
     scale = float(pq.LUT_SCALE)
     return (
@@ -2460,14 +2482,8 @@ def _ann_ivfpq_residual_sql() -> str:
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    sample = [
-        list(r[0])
-        for r in duckdb.connect().execute(
-            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
-            f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
-        ).fetchall()
-    ]
-    cents = kmeans.train_centroids(sample, 16)
+    sample = _oracle_embedding_sample(sf_dir)
+    cents = _oracle_centroids(sf_dir, 16)
     anchors, books = pq.train_residual_models(sample, cents)
     sub = len(books[0][0])
     scale = float(pq.LUT_SCALE)
@@ -2570,15 +2586,7 @@ def _ann_sq8_sql() -> str:
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
     con = duckdb.connect()
-    sample = con.execute(
-        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
-        f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
-    ).fetchall()
-    cents = kmeans.train_centroids([list(r[0]) for r in sample], 16)
-    cent_values = ", ".join(
-        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
-        for i, c in enumerate(cents)
-    )
+    cent_values = _centroid_values_sql(sf_dir, 16)
     qrows = con.execute(
         f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
         "WHERE vec_id < 5 ORDER BY vec_id"
@@ -3826,15 +3834,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "event_transitions": q_event_transitions,
+        # --- 51+: rotated out (the window ends EXACTLY at
+        # event_transitions, entry 50), ordered by verification debt
+        # for r12: first the five rows the late-r11 additions displaced
+        # (path_signatures .. temperature_rates, all r9-green), then
+        # the remaining r9-green rows, then everything driver-green in
+        # r10/r11 (code unchanged), newest last.
+        # See COVERAGE.md 'Driver-window rotation'. ---
         "path_signatures": q_path_signatures,
         "rollup_anomaly": q_rollup_anomaly,
         "events_sliding_agg": q_events_sliding_agg,
         "bpe_pair_counts": q_bpe_pair_counts,
         "temperature_rates": q_temperature_rates,
-        # --- 51+: rotated out, ordered by verification debt for
-        # r12: first the remaining r9-green rows, then everything
-        # driver-green in r10/r11 (code unchanged), newest last.
-        # See COVERAGE.md 'Driver-window rotation'. ---
         "multi_grain_cube": q_multi_grain_cube,
         "anomaly_online": q_anomaly_online,
         "events_funnel_windowed": q_events_funnel_windowed,

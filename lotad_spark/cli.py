@@ -125,7 +125,13 @@ def curate(docs_path, eval_path, output_path, block_size, mix_rates,
             key, sep, val = p.partition("=")
             if not sep:
                 raise click.BadParameter(f"{what} needs SOURCE=NUMBER, got {p!r}")
-            out[key] = float(val)
+            try:
+                out[key] = float(val)
+            except ValueError:
+                raise click.BadParameter(
+                    f"{what} needs SOURCE=NUMBER, got {p!r} "
+                    f"({val!r} is not a number)"
+                ) from None
         return out
 
     from pyspark.sql import functions as F
@@ -149,24 +155,14 @@ def curate(docs_path, eval_path, output_path, block_size, mix_rates,
         min_quality=min_quality,
     )
     plan.write.mode("overwrite").parquet(f"{output_path}/plan")
-    # Reader manifest straight off the written plan (no pipeline re-run):
-    # the same explode-and-slice arithmetic chunk_manifest applies.
+    # Reader manifest straight off the written plan (no pipeline
+    # re-run), via the ONE shared slice-arithmetic helper.
+    from lotad_spark.pipeline.sampling import manifest_from_plan
+
     p = read_table(spark, f"{output_path}/plan")
-    c = F.col("chunk_id")
-    start_g = F.greatest(F.col("chunk_start"), c * block_size)
-    end_g = F.least(
-        F.col("chunk_start") + F.col("n_tokens"), (c + 1) * block_size
-    )
-    manifest = (
-        p.withColumn(
-            "chunk_id",
-            F.explode(F.sequence(F.col("first_chunk"), F.col("last_chunk"))),
-        )
-        .withColumn("slice_start", start_g - F.col("chunk_start"))
-        .withColumn("slice_len", end_g - start_g)
-        .select("pack_id", "chunk_id", "slice_start", "slice_len")
-    )
-    manifest.write.mode("overwrite").parquet(f"{output_path}/manifest")
+    manifest_from_plan(p, block_size, id_col="pack_id").write.mode(
+        "overwrite"
+    ).parquet(f"{output_path}/manifest")
     n_packs = p.count()
     n_chunks = p.agg(F.max("last_chunk")).collect()[0][0]
     # max(last_chunk) == 0 means ONE block (ids are 0-based); only a
@@ -766,10 +762,30 @@ def term_sketch_cmd(docs_path, output_path, depth, width, merge_into,
     from lotad_spark.pipeline.sketch import cms_build, cms_estimate, cms_merge
     from lotad_spark.sources.parquet import read_table
 
+    from pyspark.sql import functions as F
+
     spark = get_spark("lotad_spark_term_sketch")
     sk = cms_build(read_table(spark, docs_path), depth=depth, width=width)
     if merge_into:
-        sk = cms_merge(spark.read.parquet(merge_into), sk)
+        old = spark.read.parquet(merge_into)
+        # merging different grids silently UNDERCOUNTS (buckets from the
+        # old grid never line up with new probes), so reject what can be
+        # detected: cells outside the declared grid. A smaller-width old
+        # sketch is indistinguishable from sparse data — record your
+        # depth/width out of band and keep them constant per index.
+        mx = old.agg(
+            F.max("row").alias("r"), F.max("bucket").alias("b")
+        ).collect()[0]
+        if (mx.r is not None and mx.r >= depth) or (
+            mx.b is not None and mx.b >= width
+        ):
+            raise click.UsageError(
+                f"--merge-into sketch has cells up to (row={mx.r}, "
+                f"bucket={mx.b}) — outside the declared grid "
+                f"depth={depth}, width={width}; merging mismatched "
+                "grids breaks the never-undercount guarantee"
+            )
+        sk = cms_merge(old, sk)
     # stage-then-swap so --merge-into can point AT output_path
     sk.write.mode("overwrite").parquet(f"{output_path}.tmp")
     from lotad_spark.pipeline.retrieval import _replace_dir

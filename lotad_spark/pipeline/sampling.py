@@ -489,6 +489,17 @@ def chunk_manifest(
     plan = token_chunk_plan(
         df, block_size, id_col=id_col, text_col=text_col, salt=salt
     )
+    return manifest_from_plan(plan, block_size, id_col=id_col)
+
+
+def manifest_from_plan(
+    plan: DataFrame, block_size: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """The explode-and-slice arithmetic of :func:`chunk_manifest`, split
+    out so a MATERIALIZED plan (e.g. the `curate` CLI's written
+    ``plan/`` parquet) can emit its manifest without re-running the
+    pipeline — and so the slice arithmetic exists exactly once (the CLI
+    previously carried a verbatim copy; r11 review finding)."""
     c = F.col("chunk_id")
     slice_start_g = F.greatest(F.col("chunk_start"), c * block_size)
     slice_end_g = F.least(

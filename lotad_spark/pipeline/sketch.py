@@ -114,11 +114,18 @@ def cms_build(
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
-    """Cell-wise sum of independently-built sketches (same depth/width)
-    — the mergeable-summaries property: sketch(A) ⊕ sketch(B) ≡
-    sketch(A ∪ B) exactly (integer sums commute), pinned in tests. The
+    """Cell-wise sum of independently-built sketches — the
+    mergeable-summaries property: sketch(A) ⊕ sketch(B) ≡ sketch(A ∪ B)
+    exactly (integer sums commute), pinned in tests. The
     daily-increment loop: sketch the new shard, merge, done — old text
-    is never re-read."""
+    is never re-read.
+
+    CONTRACT: every input must share the same depth/width. The relation
+    carries no grid metadata, so a mismatch cannot be fully detected
+    here and silently UNDERCOUNTS at estimate time (old-grid buckets
+    never line up with new probes, and min-over-rows takes the hole).
+    The `term-sketch` CLI rejects the detectable direction (cells
+    outside the declared grid); keep depth/width constant per index."""
     if not sketches:
         raise ValueError("cms_merge: no sketches")
     merged = sketches[0]

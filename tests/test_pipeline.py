@@ -1239,3 +1239,44 @@ class TestTextOpRandomizedParity:
             hits = [w for w in words if w in ts]
             want = (len(hits), ",".join(sorted(set(hits))), bool(hits))
             assert got[d] == want, (d, repr(t), got[d], want)
+
+
+class TestCliGuardrails:
+    def test_term_sketch_rejects_mismatched_grid(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(1, "a b c d e f g h")], "doc_id bigint, text string"
+        ).write.parquet(src)
+        sk = str(tmp_path / "sk")
+        r1 = CliRunner().invoke(
+            cli,
+            ["term-sketch", "--docs", src, "--output", sk,
+             "--depth", "4", "--width", "4096"],
+            catch_exceptions=False,
+        )
+        assert r1.exit_code == 0, r1.output
+        # merging the 4x4096 sketch under a declared 2x64 grid must fail
+        r2 = CliRunner().invoke(
+            cli,
+            ["term-sketch", "--docs", src, "--output", sk,
+             "--depth", "2", "--width", "64", "--merge-into", sk],
+        )
+        assert r2.exit_code != 0
+        assert "never-undercount" in r2.output
+
+    def test_curate_non_numeric_rate_is_a_clean_error(self):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        result = CliRunner().invoke(
+            cli,
+            ["curate", "--docs", ".", "--output", "/tmp/x",
+             "--mix", "web=high"],
+        )
+        assert result.exit_code != 0
+        assert "not a number" in result.output
