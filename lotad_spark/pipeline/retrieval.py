@@ -260,7 +260,14 @@ def _replace_dir(spark, tmp: str, dst: str) -> None:
     """Swap a staged directory into place with two Hadoop-FS renames
     (local FS and HDFS: metadata-only, near-atomic; object stores:
     copy-rename, still a far narrower window than a delete-then-write
-    overwrite). A reader never observes a half-written ``dst``."""
+    overwrite). A reader never observes a half-written ``dst`` — but
+    there IS a narrow missing-``dst`` window between the
+    rename(dst → dst.old) and rename(tmp → dst) steps: a crash there
+    leaves only ``dst.old`` (the pre-swap state; ``tmp`` was already
+    renamed away). Readers handle it via :func:`_read_meta`, which
+    falls back to ``dst.old`` when ``dst`` is absent, so a concurrent
+    probe during (or after) that crash still reads a complete,
+    pre-swap meta rather than failing."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     dst_p = jvm.org.apache.hadoop.fs.Path(dst)
@@ -274,6 +281,30 @@ def _replace_dir(spark, tmp: str, dst: str) -> None:
     fs.rename(tmp_p, dst_p)
     if fs.exists(old_p):
         fs.delete(old_p, True)
+
+
+def _read_meta(spark, path: str) -> DataFrame:
+    """Read an index's ``meta`` directory, falling back to ``meta.old``
+    when ``meta`` is absent — the recovery face of
+    :func:`_replace_dir`'s missing-``dst`` crash window (a crash
+    between its two renames leaves only the pre-swap ``meta.old``).
+    The fallback serves the PRE-append totals, which is consistent
+    with the postings a concurrent reader may see mid-append; the next
+    successful append (or a re-run of the final swap) restores
+    ``meta``."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    meta_p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = meta_p.getFileSystem(conf)
+    if fs.exists(meta_p):
+        return spark.read.parquet(path)
+    old = path + ".old"
+    old_p = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(old_p):
+        return spark.read.parquet(old)
+    # Neither exists: surface the normal Spark path error on the
+    # primary location.
+    return spark.read.parquet(path)
 
 
 def append_to_bm25_index(
@@ -296,7 +327,9 @@ def append_to_bm25_index(
     Crash-consistency ordering: the summed meta is STAGED to
     ``meta.tmp`` first, then the postings append, then a rename-swap of
     ``meta`` (:func:`_replace_dir`) — so a concurrent probe always reads
-    a complete meta (never a transiently-missing one), and a failure
+    a complete meta (the swap's narrow missing-``meta`` crash window is
+    covered by the probes' ``meta.old`` fallback, :func:`_read_meta`),
+    and a failure
     between the postings append and the swap leaves ``meta.tmp`` holding
     the CORRECT post-append totals: recovery is re-running the append's
     final swap, not a rebuild. The one unrecoverable window is a crash
@@ -304,7 +337,7 @@ def append_to_bm25_index(
     removed or the index rebuilt before serving — parquet appends are
     not transactional on any filesystem."""
     spark = docs.sparkSession
-    old = spark.read.parquet(f"{path}/meta").collect()[0]
+    old = _read_meta(spark, f"{path}/meta").collect()[0]
     stored, meta = _index_postings(docs, id_col, text_col)
     new = meta.collect()[0]
     spark.createDataFrame(
@@ -351,7 +384,7 @@ def bm25_against_index(
     provably reads only the partitions its terms hash into — the same
     contract as the IVF/PQ/SQ8 index probes (plan-pinned)."""
     postings = spark.read.parquet(f"{index_path}/postings")
-    meta = spark.read.parquet(f"{index_path}/meta")
+    meta = _read_meta(spark, f"{index_path}/meta")
     scalars = meta.select(
         F.col("n_docs").cast("double").alias("_n"),
         (

@@ -382,10 +382,21 @@ def normalize_text(
     Returns df with ``text_col`` replaced and ``n_chars_removed``
     (original minus normalized length, 0 for NULL) — the audit signal:
     a corpus where normalization removes 30% of bytes has an ingest
-    problem worth seeing."""
+    problem worth seeing. With ``nfc=True`` the original length is
+    captured BEFORE the NFC pass, so ``n_chars_removed`` includes
+    characters the NFC composition itself removed (decomposed
+    sequences shrinking when composed)."""
+    pre_nfc_len: str | None = None
     if nfc:
         import pandas as pd  # noqa: F401 — mapInPandas contract
 
+        # Capture the raw length before the NFC stage rewrites the
+        # text — n_chars_removed is documented as original-minus-final,
+        # and NFC composition can itself change the length.
+        pre_nfc_len = "_pre_nfc_len"
+        df = df.withColumn(
+            pre_nfc_len, F.length(F.col(text_col)).cast("bigint")
+        )
         fields = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in df.schema.fields
@@ -405,7 +416,9 @@ def normalize_text(
 
         df = df.mapInPandas(nfc_batches, schema=fields)
     t = F.col(text_col)
-    orig_len = F.length(t)
+    orig_len = (
+        F.col(pre_nfc_len) if pre_nfc_len is not None else F.length(t)
+    )
     norm = F.regexp_replace(t, r"\r\n?", "\n")
     norm = F.regexp_replace(
         norm, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""
@@ -421,7 +434,7 @@ def normalize_text(
     passthrough = [
         F.col(f.name)
         for f in df.schema.fields
-        if f.name not in (id_col, text_col)
+        if f.name not in (id_col, text_col, pre_nfc_len)
     ]
     return df.select(
         F.col(id_col),
@@ -478,16 +491,29 @@ def blocklist_filter(
             ).alias("_w"),
         )
         lit = F.array(*[F.lit(t) for t in tl])
-        n_hits = F.size(
-            F.filter(F.col("_w"), lambda w: F.array_contains(lit, w))
-        ).cast("bigint")
-        return staged.select(
+        # Materialize the lambda-bearing n_hits tree in its OWN
+        # projection before anything references it twice: reusing the
+        # same F.filter(..., lambda) Column across sibling outputs of
+        # one select is the Spark 4 common-expression-rewrite hazard
+        # (sub-references can resolve against the sibling output; see
+        # the strip_duplicate_spans incident). `blocked` below reads
+        # the plain materialized column, never the shared tree.
+        counted = staged.select(
             F.col(id_col),
-            n_hits.alias("n_hits"),
+            F.size(
+                F.filter(F.col("_w"), lambda w: F.array_contains(lit, w))
+            )
+            .cast("bigint")
+            .alias("n_hits"),
             F.array_join(
                 F.array_sort(F.array_intersect(F.col("_w"), lit)), ","
             ).alias("hit_terms"),
-            (n_hits > 0).alias("blocked"),
+        )
+        return counted.select(
+            F.col(id_col),
+            F.col("n_hits"),
+            F.col("hit_terms"),
+            (F.col("n_hits") > 0).alias("blocked"),
         )
     if strategy != "join":
         raise ValueError(

@@ -1127,10 +1127,18 @@ class TestNormalizeText:
             [(1, "café"), (2, "café")],  # é vs e + combining
             "doc_id bigint, text string",
         )
-        got = {
-            r.doc_id: r.text for r in normalize_text(df, nfc=True).collect()
-        }
+        out = normalize_text(df, nfc=True)
+        rows = {r.doc_id: r for r in out.collect()}
+        got = {k: r.text for k, r in rows.items()}
         assert got[1] == got[2] == "café"
+        # The audit signal counts the NFC pass too: doc 2's combining
+        # sequence (5 chars) composes to 4, so n_chars_removed = 1 —
+        # the original length is captured BEFORE the NFC stage (the
+        # r11-advice regression where it bound after).
+        assert rows[1].n_chars_removed == 0
+        assert rows[2].n_chars_removed == 1
+        # and the internal staging column never leaks
+        assert "_pre_nfc_len" not in out.columns
         # default path leaves them distinct (and stays pure-JVM)
         raw = {
             r.doc_id: r.text for r in normalize_text(df).collect()

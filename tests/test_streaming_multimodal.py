@@ -178,6 +178,31 @@ class TestMultimodal:
         assert _parse_bmp(b"BMtooshort") is None
         assert _parse_bmp(b"not bmp at all, padded out to length") is None
 
+    def test_pnm_truncated_headers_rejected(self):
+        """Pin the r11 tightening of the header contract (a silent
+        behavior change vs the old ``_parse_pnm``): P2/P3/P5/P6 REQUIRE
+        maxval in the header, and the binary formats require the single
+        post-header whitespace byte before pixel data. Shapes the old
+        parser accepted now fall through to the honest unknown/byte
+        fallback instead of decoding with a guessed maxval."""
+        from lotad_spark.pipeline.multimodal import _pnm_header
+
+        # Truncated header: width+height but no maxval → rejected.
+        assert _pnm_header(b"P5 3 2") is None
+        assert _pnm_header(b"P6 3 2") is None
+        assert _pnm_header(b"P2 3 2") is None
+        # Binary formats: maxval present but NO single whitespace byte
+        # after it (end of payload) → rejected.
+        assert _pnm_header(b"P5 3 2 255") is None
+        assert _pnm_header(b"P6 3 2 255") is None
+        assert _pnm_header(b"P4 3 2") is None
+        # The well-formed twins still parse.
+        assert _pnm_header(b"P5 3 2 255 ") == ("P5", 3, 2, 255, 11)
+        assert _pnm_header(b"P4 3 2 ") == ("P4", 3, 2, 1, 7)
+        # ASCII formats need no trailing separator byte: the token
+        # scanner stops at the last maxval digit.
+        assert _pnm_header(b"P2 3 2 255") == ("P2", 3, 2, 255, 10)
+
     def test_bmp_coreheader_rejected(self):
         """A BITMAPCOREHEADER BMP (DIB size 12, 16-bit width/height at
         different offsets) must fall through rather than be read at
