@@ -2197,35 +2197,66 @@ ranked AS (
 SELECT query_id, vec_id, sim FROM ranked WHERE r <= 5
 """
 
-def _oracle_embedding_sample(sf_dir: str) -> list[list[float]]:
+def _oracle_embedding_sample(
+    sf_dir: str, limit: int | None = None
+) -> list[list[float]]:
     """The id-ordered bounded embeddings sample every centroid/codebook
-    oracle trains on — cached per sf_dir (six builders otherwise
-    re-read the same parquet rows; r11 review finding). Returns fresh
-    lists so callers can't mutate the cache."""
+    oracle trains on — cached per (sf_dir, limit) (six builders
+    otherwise re-read the same parquet rows; r11 review finding).
+    ``limit`` defaults to ``kmeans.DEFAULT_SAMPLE_SIZE`` (the
+    train_pq_codebooks default); coarse-centroid trainers pass the
+    k-scaled ``kmeans.default_sample_size(k)``. Returns fresh lists so
+    callers can't mutate the cache."""
     import duckdb
 
     from lotad_spark.pipeline import kmeans
 
-    cached = _ORACLE_SAMPLE_CACHE.get(sf_dir)
+    limit = limit or kmeans.DEFAULT_SAMPLE_SIZE
+    key = (sf_dir, limit)
+    cached = _ORACLE_SAMPLE_CACHE.get(key)
     if cached is None:
         rows = duckdb.connect().execute(
             f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
-            f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
+            f"ORDER BY vec_id ASC LIMIT {limit}"
         ).fetchall()
         cached = tuple(tuple(float(x) for x in r[0]) for r in rows)
-        _ORACLE_SAMPLE_CACHE[sf_dir] = cached
+        _ORACLE_SAMPLE_CACHE[key] = cached
     return [list(v) for v in cached]
 
 
 _ORACLE_SAMPLE_CACHE: dict = {}
 _ORACLE_CENTROID_CACHE: dict = {}
 _PQ_BOOKS_CACHE: dict = {}
+_ORACLE_RULE_K_CACHE: dict = {}
+
+
+def _oracle_rule_k(sf_dir: str) -> int:
+    """The cluster-size rule the IVF-family builds now default to
+    (`kmeans.default_n_centroids`, max(8, n/250)) derived the oracle
+    way: COUNT(*) over the same embeddings parquet via DuckDB. A plain
+    integer function of the row count, so the Spark side (which counts
+    through its own scan) lands on the identical k."""
+    from lotad_spark.pipeline import kmeans
+
+    cached = _ORACLE_RULE_K_CACHE.get(sf_dir)
+    if cached is None:
+        import duckdb
+
+        n = duckdb.connect().execute(
+            f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+        cached = kmeans.default_n_centroids(int(n))
+        _ORACLE_RULE_K_CACHE[sf_dir] = cached
+    return cached
 
 
 def _oracle_centroids(sf_dir: str, k: int) -> list[list[float]]:
     """Deterministic k-means centroids for the oracle builders — cached:
     five builders train the IDENTICAL RNG-free constants (r11 review
-    finding: oracle_sql() paid ~5× coarse-training CPU for nothing)."""
+    finding: oracle_sql() paid ~5× coarse-training CPU for nothing).
+    The sample limit follows `kmeans.default_sample_size(k)` exactly
+    like the Spark-side builds, so a rule-derived k past 32 (corpus >
+    128k vectors) widens both engines' training sample identically."""
     from lotad_spark.pipeline import kmeans
 
     key = (sf_dir, k)
@@ -2234,7 +2265,10 @@ def _oracle_centroids(sf_dir: str, k: int) -> list[list[float]]:
         cached = tuple(
             tuple(c)
             for c in kmeans.train_centroids(
-                _oracle_embedding_sample(sf_dir), k
+                _oracle_embedding_sample(
+                    sf_dir, kmeans.default_sample_size(k)
+                ),
+                k,
             )
         )
         _ORACLE_CENTROID_CACHE[key] = cached
@@ -2263,7 +2297,8 @@ def _ann_ivf_sql() -> str:
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
     return _ANN_IVF_SQL_TEMPLATE.replace(
-        "__CENTROID_VALUES__", _centroid_values_sql(sf_dir, 16)
+        "__CENTROID_VALUES__",
+        _centroid_values_sql(sf_dir, _oracle_rule_k(sf_dir)),
     )
 
 
@@ -2295,23 +2330,30 @@ def _proto_prune_sql() -> str:
     )
 
 
-def _pq_oracle_parts() -> tuple[str, "object"]:
+def _pq_oracle_parts(
+    sample_limit: int | None = None,
+) -> tuple[str, "object"]:
     """Shared PQ oracle scaffolding: the codebook VALUES + encode CTE
     (replaying pq_encode's round-6 argmax with ties to the lowest code)
     and the trained codebooks. Trains the SAME deterministic L2 Lloyd's
     (`pipeline.pq.train_pq_codebooks`) on the sample read via DuckDB —
     RNG-free, so the literals match the Spark side bit-for-bit.
-    Cached per sf_dir: three oracle builders need the identical books
-    (r11 review finding)."""
+    Cached per (sf_dir, sample_limit): three oracle builders need the
+    identical books (r11 review finding). ``sample_limit`` defaults to
+    the `train_pq_codebooks` sample (pq_codes / ann_pq_topk); the
+    IVF-PQ oracle passes the build's k-scaled sample, since
+    `build_ivf_pq_index` trains its books on the SAME sample as its
+    coarse centroids."""
     from lotad_spark.pipeline import kmeans, pq
 
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    sample = _oracle_embedding_sample(sf_dir)
+    sample = _oracle_embedding_sample(sf_dir, sample_limit)
     dim = len(sample[0])
     m, sub = pq.DEFAULT_M, dim // pq.DEFAULT_M
-    cached = _PQ_BOOKS_CACHE.get(sf_dir)
+    key = (sf_dir, sample_limit or kmeans.DEFAULT_SAMPLE_SIZE)
+    cached = _PQ_BOOKS_CACHE.get(key)
     if cached is None:
         cached = [
             pq._train_l2(
@@ -2321,7 +2363,7 @@ def _pq_oracle_parts() -> tuple[str, "object"]:
             )
             for j in range(m)
         ]
-        _PQ_BOOKS_CACHE[sf_dir] = cached
+        _PQ_BOOKS_CACHE[key] = cached
     books = cached
     cb_values = ", ".join(
         f"({j}, {c}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[], "
@@ -2433,8 +2475,13 @@ def _ann_ivfpq_sql() -> str:
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    cent_values = _centroid_values_sql(sf_dir, 16)
-    encode_cte, books = _pq_oracle_parts()
+    from lotad_spark.pipeline import kmeans
+
+    rule_k = _oracle_rule_k(sf_dir)
+    cent_values = _centroid_values_sql(sf_dir, rule_k)
+    encode_cte, books = _pq_oracle_parts(
+        kmeans.default_sample_size(rule_k)
+    )
     scale = float(pq.LUT_SCALE)
     return (
         f"WITH cent(cent_id, ccv) AS (VALUES {cent_values}), "
@@ -2482,8 +2529,13 @@ def _ann_ivfpq_residual_sql() -> str:
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    sample = _oracle_embedding_sample(sf_dir)
-    cents = _oracle_centroids(sf_dir, 16)
+    rule_k = _oracle_rule_k(sf_dir)
+    # The build trains anchors/books on the SAME k-scaled sample as
+    # its coarse centroids — mirror that here.
+    sample = _oracle_embedding_sample(
+        sf_dir, kmeans.default_sample_size(rule_k)
+    )
+    cents = _oracle_centroids(sf_dir, rule_k)
     anchors, books = pq.train_residual_models(sample, cents)
     sub = len(books[0][0])
     scale = float(pq.LUT_SCALE)
@@ -2586,7 +2638,7 @@ def _ann_sq8_sql() -> str:
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
     con = duckdb.connect()
-    cent_values = _centroid_values_sql(sf_dir, 16)
+    cent_values = _centroid_values_sql(sf_dir, _oracle_rule_k(sf_dir))
     qrows = con.execute(
         f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
         "WHERE vec_id < 5 ORDER BY vec_id"

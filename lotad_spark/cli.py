@@ -372,8 +372,9 @@ def dsir_select_cmd(docs_path, target_filter, output_path, k, buckets):
               help="Parquet file/dir with (vec_id, embedding, ...) rows")
 @click.option("--output", "output_path", required=True,
               help="IVF-PQ index root (data/ centroids/ codebooks/)")
-@click.option("--centroids", "n_centroids", default=16, show_default=True,
-              help="Coarse IVF partitions")
+@click.option("--centroids", "n_centroids", default=None, type=int,
+              help="Coarse IVF partitions [default: cluster-size rule "
+                   "max(8, corpus/250)]")
 @click.option("--subspaces", "m", default=16, show_default=True,
               help="PQ subspaces (must divide the embedding dim)")
 @click.option("--codes", "n_codes", default=32, show_default=True,
@@ -453,8 +454,9 @@ def pq_topk_cmd(index_path, query_path, output_path, k, nprobe) -> None:
               help="Parquet file/dir with (vec_id, embedding, ...) rows")
 @click.option("--output", "output_path", required=True,
               help="IVF-SQ8 index root (data/ centroids/)")
-@click.option("--centroids", "n_centroids", default=16, show_default=True,
-              help="Coarse IVF partitions")
+@click.option("--centroids", "n_centroids", default=None, type=int,
+              help="Coarse IVF partitions [default: cluster-size rule "
+                   "max(8, corpus/250)]")
 def sq8_index_cmd(emb_path, output_path, n_centroids) -> None:
     """Build the IVF-SQ8 serving index: corpus assigned to coarse
     centroids and stored as per-vector int8 scalar quantization —

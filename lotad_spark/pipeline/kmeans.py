@@ -28,6 +28,59 @@ import numpy as np
 
 DEFAULT_SAMPLE_SIZE = 512
 DEFAULT_ITERS = 5
+DEFAULT_TARGET_CLUSTER_SIZE = 250
+MIN_CENTROIDS = 8
+
+
+MAX_CENTROIDS = 4096
+
+
+def default_n_centroids(
+    n_vectors: int,
+    *,
+    target_cluster_size: int = DEFAULT_TARGET_CLUSTER_SIZE,
+    floor: int = MIN_CENTROIDS,
+    cap: int = MAX_CENTROIDS,
+) -> int:
+    """The cluster-size rule: ``max(floor, n_vectors // target)``.
+
+    This is THE knob that keeps every IVF-family layout's probed
+    fraction (``nprobe / n_centroids``) constant as the corpus grows: a
+    fixed centroid count makes each probed bucket's VOLUME
+    corpus-proportional (the measured sf1 SQ8-probe growth), while the
+    rule holds the expected bucket near ``target_cluster_size`` rows so
+    probe cost tracks the probed fraction, not the corpus. Same rule
+    `semantic_dedup`'s pair-volume bound documents
+    (``n_centroids ∝ corpus_size / target_cluster_size``; SemDeDup uses
+    11k clusters for 100M docs ≈ 9k/cluster — our 250 suits the
+    serving-probe latency target rather than dedup pair volume).
+
+    Deterministic and engine-reproducible: a plain integer function of
+    the corpus row count, so SQL oracles derive the identical k from
+    ``COUNT(*)``.
+
+    ``cap`` bounds the driver-side Lloyd's cost
+    (O(sample × k × dim × iters)): past ~4096 coarse lists the
+    single-driver trainer is the wrong tool — shard the corpus and
+    build per-shard indexes instead (the partitioned serving layout
+    already composes), or supply pre-trained ``centroids``."""
+    if n_vectors < 0:
+        raise ValueError("default_n_centroids: negative n_vectors")
+    return max(floor, min(cap, int(n_vectors) // target_cluster_size))
+
+
+def default_sample_size(n_centroids: int) -> int:
+    """Training-sample rows for a given centroid count:
+    ``max(DEFAULT_SAMPLE_SIZE, 16 · k)``. Without this,
+    :func:`train_centroids`'s ``k = min(k, len(sample))`` silently
+    caps a rule-derived k at the fixed 512-row sample the moment the
+    corpus passes 128k vectors — the probed-fraction contract would
+    quietly stop scaling. 16 points/cluster is deliberately lean (the
+    faiss guidance is ~39×): the sample stays driver-bounded
+    (≤ 16 · 4096 rows at the cap) and determinism is what the oracle
+    needs; cluster QUALITY tuning belongs to an explicit
+    ``sample_size``."""
+    return max(DEFAULT_SAMPLE_SIZE, 16 * int(n_centroids))
 
 
 def train_centroids(

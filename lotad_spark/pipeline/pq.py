@@ -449,7 +449,7 @@ def build_ivf_pq_index(
     corpus: DataFrame,
     path: str,
     *,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     m: int = DEFAULT_M,
     n_codes: int = DEFAULT_CODES,
     id_col: str = "vec_id",
@@ -484,15 +484,25 @@ def build_ivf_pq_index(
     (first-max argmax == lowest cent_id, mirroring
     ``assign_to_centroids``; a last-ulp rounding divergence vs the
     Spark assignment can only re-route a training sample, never a
-    corpus row — codebook quality, not correctness)."""
+    corpus row — codebook quality, not correctness).
+
+    ``n_centroids`` defaults to the cluster-size rule
+    (:func:`~lotad_spark.pipeline.kmeans.default_n_centroids` —
+    ``max(8, n/250)``), keeping the probed fraction constant as the
+    corpus grows; the count job is amortized into the write-once
+    build. Explicit int overrides."""
     from lotad_spark.pipeline import kmeans
     from lotad_spark.pipeline.similarity import assign_to_centroids
 
+    if n_centroids is None:
+        n_centroids = kmeans.default_n_centroids(
+            corpus.select(id_col).count()
+        )
     sample = kmeans.sample_vectors(
         corpus,
         id_col=id_col,
         vec_col=vec_col,
-        sample_size=sample_size or kmeans.DEFAULT_SAMPLE_SIZE,
+        sample_size=sample_size or kmeans.default_sample_size(n_centroids),
     )
     cents = kmeans.train_centroids(
         sample, n_centroids, iters=train_iters or kmeans.DEFAULT_ITERS

@@ -337,7 +337,7 @@ def build_ivf_index(
     corpus: DataFrame,
     path: str,
     *,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_size: int | None = None,
@@ -349,14 +349,25 @@ def build_ivf_index(
     saved alongside. This is the 100 TB serving shape: the expensive
     train+assign runs once; every later query reads only its ``nprobe``
     probed partitions (true partition pruning at the scan — pinned by
-    tests/test_plans.py), i.e. ``nprobe/n_centroids`` of the data."""
+    tests/test_plans.py), i.e. ``nprobe/n_centroids`` of the data.
+
+    ``n_centroids`` defaults to the cluster-size rule
+    (:func:`~lotad_spark.pipeline.kmeans.default_n_centroids` —
+    ``max(8, n/250)``), so the probed fraction stays constant as the
+    corpus grows instead of each bucket growing with it; the one count
+    job it costs is a column-pruned parquet metadata read, amortized
+    into a write-once build. Pass an explicit int to override."""
     from lotad_spark.pipeline import kmeans
 
+    if n_centroids is None:
+        n_centroids = kmeans.default_n_centroids(
+            corpus.select(id_col).count()
+        )
     sample = kmeans.sample_vectors(
         corpus,
         id_col=id_col,
         vec_col=vec_col,
-        sample_size=sample_size or kmeans.DEFAULT_SAMPLE_SIZE,
+        sample_size=sample_size or kmeans.default_sample_size(n_centroids),
     )
     cents = kmeans.train_centroids(
         sample, n_centroids, iters=train_iters or kmeans.DEFAULT_ITERS
@@ -420,7 +431,7 @@ def build_ivf_sq8_index(
     corpus: DataFrame,
     path: str,
     *,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_size: int | None = None,
@@ -435,14 +446,24 @@ def build_ivf_sq8_index(
     float64 compute form), vs IVF-PQ's ~17× compression at lower
     recall. Each row also stores ``Σq`` and ``Σq²`` so the probe
     reconstructs ``|v̂|²`` from two ints + two scalars — the scoring
-    fold touches the int8 array exactly once per (query, row)."""
+    fold touches the int8 array exactly once per (query, row).
+
+    ``n_centroids`` defaults to the cluster-size rule
+    (``max(8, n/250)``): SQ8 buckets store full-length int8 rows, so at
+    a FIXED centroid count probed-bucket volume is corpus-proportional
+    (the measured sf1 1.8× probe growth) — the rule keeps the probe
+    tracking the probed fraction instead. Explicit int overrides."""
     from lotad_spark.pipeline import kmeans
 
+    if n_centroids is None:
+        n_centroids = kmeans.default_n_centroids(
+            corpus.select(id_col).count()
+        )
     sample = kmeans.sample_vectors(
         corpus,
         id_col=id_col,
         vec_col=vec_col,
-        sample_size=sample_size or kmeans.DEFAULT_SAMPLE_SIZE,
+        sample_size=sample_size or kmeans.default_sample_size(n_centroids),
     )
     cents = kmeans.train_centroids(
         sample, n_centroids, iters=train_iters or kmeans.DEFAULT_ITERS
@@ -557,7 +578,7 @@ def ivf_topk(
     corpus: DataFrame,
     k: int = 5,
     *,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -581,16 +602,25 @@ def ivf_topk(
     over a bounded id-ordered sample — no RNG, reproducible across
     engines) unless a pre-trained ``centroids`` frame
     (cent_id, cent_vec) is supplied. Each query searches only its
-    ``nprobe`` nearest buckets.
+    ``nprobe`` nearest buckets. ``n_centroids`` defaults to the
+    cluster-size rule (``max(8, n/250)`` —
+    :func:`~lotad_spark.pipeline.kmeans.default_n_centroids`) so the
+    searched fraction stays ``nprobe/k`` as the corpus grows; the rule
+    costs one column-pruned count job, skipped entirely when a trained
+    ``centroids`` frame is supplied.
     """
     if centroids is None:
         from lotad_spark.pipeline import kmeans
 
+        if n_centroids is None:
+            n_centroids = kmeans.default_n_centroids(
+                corpus.select(id_col).count()
+            )
         sample = kmeans.sample_vectors(
             corpus,
             id_col=id_col,
             vec_col=vec_col,
-            sample_size=sample_size or kmeans.DEFAULT_SAMPLE_SIZE,
+            sample_size=sample_size or kmeans.default_sample_size(n_centroids),
         )
         cents = kmeans.train_centroids(
             sample, n_centroids, iters=train_iters or kmeans.DEFAULT_ITERS

@@ -154,6 +154,47 @@ class TestIvfTopk:
         for b in base:
             assert max(C @ np.array(b)) > 0.95
 
+    def test_cluster_size_rule(self):
+        """The cluster-size rule (max(8, n/250), capped) and its
+        sample-size companion — the defaults every IVF-family build now
+        derives k from, so probe cost tracks the probed fraction
+        instead of the corpus (BASELINE.md sf1 SQ8 finding)."""
+        import pytest
+
+        from lotad_spark.pipeline.kmeans import (
+            default_n_centroids,
+            default_sample_size,
+        )
+
+        assert default_n_centroids(0) == 8
+        assert default_n_centroids(2_000) == 8  # every test SF
+        assert default_n_centroids(20_000) == 80  # sf1
+        assert default_n_centroids(1_000_000) == 4000
+        assert default_n_centroids(10**12) == 4096  # capped
+        with pytest.raises(ValueError):
+            default_n_centroids(-1)
+        # the sample widens with k so train_centroids' k=min(k, sample)
+        # never silently caps a rule-derived k
+        assert default_sample_size(8) == 512
+        assert default_sample_size(32) == 512
+        assert default_sample_size(80) == 1280
+        assert default_sample_size(4096) == 65536
+
+    def test_rule_default_applies_to_builds(self, spark, sf_dir, tmp_path):
+        """Omitting n_centroids derives the rule value (8 at test-SF
+        corpus sizes, NOT the old fixed 16): the built index's
+        centroids relation carries exactly rule-k rows."""
+        from lotad_spark.pipeline.kmeans import default_n_centroids
+        from lotad_spark.pipeline.similarity import build_ivf_index
+        from lotad_spark.sources.parquet import read_table
+
+        e = read_table(spark, f"{sf_dir}/embeddings.parquet")
+        expect = default_n_centroids(e.count())
+        idx = str(tmp_path / "ivf_rule")
+        build_ivf_index(e, idx)
+        got = spark.read.parquet(f"{idx}/centroids").count()
+        assert got == expect == 8
+
 
 class TestEmbeddingNearDup:
     def test_scaled_duplicates_found(self, spark):
