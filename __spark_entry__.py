@@ -1739,6 +1739,195 @@ def q_blocklist_filter(spark, sf_dir):
     )
 
 
+# Deterministic URL synthesis over documents (the table carries no URL
+# column): the SAME SQL expression builds the url on both engines —
+# Spark runs it via selectExpr, the oracle inlines it (with the one
+# dialect cast swapped) — so every adversarial axis (mixed-case scheme
+# and host, userinfo, www, default/odd ports, trailing slash, tracking
+# params, unsorted params, fragments, plus outright non-URLs) is
+# byte-identical cross-engine BEFORE canonicalization touches it.
+_URL_SYNTH_SQL = (
+    "CASE WHEN doc_id % 97 = 0 THEN 'not a url' ELSE "
+    "(CASE doc_id % 4 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'http' "
+    "WHEN 2 THEN 'HTTPS' ELSE 'https' END) || '://' "
+    "|| (CASE WHEN doc_id % 7 = 0 THEN 'u:p@' ELSE '' END) "
+    "|| (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) "
+    "|| (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) "
+    "|| '.example.com' "
+    "|| (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443' "
+    "WHEN 2 THEN ':8080' ELSE '' END) "
+    "|| '/p/' || CAST(doc_id % 25 AS STRING) "
+    "|| (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) "
+    "|| (CASE doc_id % 6 WHEN 0 THEN '?utm_source=a&z=9&a=1' "
+    "WHEN 1 THEN '?a=1&z=9' WHEN 2 THEN '?z=9&a=1&gclid=x' "
+    "WHEN 3 THEN '?ref=home' WHEN 4 THEN '' ELSE '?b=&a=2' END) "
+    "|| (CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) END"
+)
+
+
+def _url_corpus(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_URL_SYNTH_SQL} AS url"
+    )
+
+
+def _url_canon_ctes() -> str:
+    """DuckDB CTE chain replaying pipeline/urls.py canonicalization
+    byte for byte (the 7 documented steps), ending in
+    ``canon(doc_id, url, canonical_url)``. The tracking list and every
+    regex mirror the Spark expressions exactly."""
+    from lotad_spark.pipeline.urls import TRACKING_PARAMS
+
+    tracking = "[" + ", ".join(f"'{p}'" for p in TRACKING_PARAMS) + "]"
+    synth = _URL_SYNTH_SQL.replace(" AS STRING)", " AS VARCHAR)")
+    return (
+        f"corpus AS (SELECT doc_id, {synth} AS url FROM documents), "
+        "p1 AS (SELECT doc_id, url, "
+        "lower(regexp_extract(trim(url), "
+        "'^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme, "
+        "regexp_replace(trim(url), "
+        "'^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest FROM corpus), "
+        "p2 AS (SELECT *, "
+        "regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1), "
+        "'^[^@]*@', '') AS hostport, "
+        "regexp_replace(regexp_extract(rest, '^[^/?#]*([^#]*)', 1), "
+        "'#.*$', '') AS tail FROM p1), "
+        "p3 AS (SELECT *, "
+        "regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', "
+        "'')), '^www\\.', '') AS host, "
+        "regexp_extract(hostport, ':([0-9]+)$', 1) AS port, "
+        "regexp_extract(tail, '^([^?]*)', 1) AS raw_path, "
+        "CASE WHEN contains(tail, '?') THEN "
+        "regexp_replace(tail, '^[^?]*\\?', '') ELSE '' END AS raw_query "
+        "FROM p2), "
+        "p4 AS (SELECT *, "
+        "CASE WHEN raw_path = '' THEN '/' WHEN raw_path <> '/' THEN "
+        "regexp_replace(raw_path, '/$', '') ELSE raw_path END AS path, "
+        "CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR "
+        "(scheme = 'https' AND port = '443') THEN '' "
+        "ELSE ':' || port END AS portsfx, "
+        # coalesce: DuckDB's array_to_string over an EMPTY filtered
+        # list yields NULL, which would NULL the whole concatenation
+        "coalesce(array_to_string(list_sort(list_filter("
+        "string_split(raw_query, '&'), t -> t <> '' "
+        "AND NOT starts_with(regexp_extract(t, '^([^=]*)', 1), 'utm_') "
+        f"AND NOT list_contains({tracking}, "
+        "regexp_extract(t, '^([^=]*)', 1)))), '&'), '') AS canq "
+        "FROM p3), "
+        "canon AS (SELECT doc_id, url, "
+        "CASE WHEN scheme = '' OR host = '' THEN NULL ELSE "
+        "scheme || '://' || host || portsfx || path || "
+        "CASE WHEN canq = '' THEN '' ELSE '?' || canq END END "
+        "AS canonical_url FROM p4)"
+    )
+
+
+_URL_DOMAIN_CTE = (
+    "dom AS (SELECT doc_id, canonical_url, "
+    "regexp_extract(canonical_url, "
+    "'^[a-z][a-z0-9+.\\-]*://([^/:?]*)', 1) AS domain FROM canon)"
+)
+
+
+def q_url_dedup(spark, sf_dir):
+    """Exact URL dedup after canonicalization (pipeline/urls.py
+    url_dedup): min-id keep-rule per canonical URL; unparseable URLs
+    (NULL canonical) each keep themselves. The oracle replays the full
+    7-step canonicalization regex pipeline AND the windowed keep rule —
+    every canonical byte is value-checked."""
+    from lotad_spark.pipeline import url_dedup
+
+    return url_dedup(_url_corpus(spark, sf_dir))
+
+
+def _url_dedup_sql() -> str:
+    return (
+        f"WITH {_url_canon_ctes()} "
+        "SELECT doc_id, canonical_url, "
+        "CASE WHEN canonical_url IS NULL THEN doc_id ELSE "
+        "min(doc_id) OVER (PARTITION BY canonical_url) END AS keep_id, "
+        "CASE WHEN canonical_url IS NULL THEN false ELSE "
+        "doc_id <> min(doc_id) OVER (PARTITION BY canonical_url) END "
+        "AS is_dup FROM canon"
+    )
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain aggregation (pipeline/urls.py domain_stats): host +
+    apex heuristic, doc count, distinct canonical URLs; unparseable
+    rows aggregate under domain NULL so gate coverage is auditable."""
+    from lotad_spark.pipeline import domain_stats
+
+    return domain_stats(_url_corpus(spark, sf_dir))
+
+
+def _domain_stats_sql() -> str:
+    return (
+        f"WITH {_url_canon_ctes()}, {_URL_DOMAIN_CTE} "
+        "SELECT domain, "
+        "CASE WHEN regexp_matches(domain, '[^.]+\\.[^.]+$') THEN "
+        "regexp_extract(domain, '([^.]+\\.[^.]+)$', 1) "
+        "ELSE domain END AS apex_domain, "
+        "count(*) AS n_docs, "
+        "count(DISTINCT canonical_url) AS n_urls "
+        "FROM dom GROUP BY domain"
+    )
+
+
+def q_domain_cap(spark, sf_dir):
+    """Deterministic per-domain cap (pipeline/urls.py domain_cap, the
+    RefinedWeb anti-monoculture gate): rank by id within domain, flag
+    rank > 20; NULL domains never capped."""
+    from lotad_spark.pipeline import domain_cap
+
+    return domain_cap(_url_corpus(spark, sf_dir), 20)
+
+
+def _domain_cap_sql() -> str:
+    return (
+        f"WITH {_url_canon_ctes()}, {_URL_DOMAIN_CTE} "
+        "SELECT doc_id, domain, "
+        "CAST(CASE WHEN domain IS NULL THEN 1 ELSE "
+        "row_number() OVER (PARTITION BY domain ORDER BY doc_id ASC) "
+        "END AS BIGINT) AS domain_rank, "
+        "CASE WHEN domain IS NULL THEN false ELSE "
+        "row_number() OVER (PARTITION BY domain ORDER BY doc_id ASC) "
+        "> 20 END AS capped FROM dom"
+    )
+
+
+# src1.example.com is a prefix of src11/src12/... hosts — pinning that
+# suffix-at-label matching never substring-matches; absent.io pins the
+# no-match path.
+_URL_BLOCK_DOMAINS = ("src1.example.com", "src7.example.com", "absent.io")
+
+
+def q_domain_blocklist(spark, sf_dir):
+    """Domain-axis blocklist (pipeline/urls.py domain_blocklist_filter):
+    exact-or-subdomain matching against a literal list, zero exchanges;
+    src1.example.com must NOT catch src11.example.com (substring
+    hazard pinned)."""
+    from lotad_spark.pipeline import domain_blocklist_filter
+
+    return domain_blocklist_filter(
+        _url_corpus(spark, sf_dir), list(_URL_BLOCK_DOMAINS)
+    )
+
+
+def _domain_blocklist_sql() -> str:
+    dl = "[" + ", ".join(f"'{d}'" for d in sorted(_URL_BLOCK_DOMAINS)) + "]"
+    return (
+        f"WITH {_url_canon_ctes()}, {_URL_DOMAIN_CTE}, "
+        "hits AS (SELECT doc_id, domain, "
+        "CASE WHEN domain IS NULL THEN [] ELSE "
+        f"list_sort(list_filter({dl}, d -> domain = d OR "
+        "suffix(domain, '.' || d))) END AS h FROM dom) "
+        "SELECT doc_id, domain, "
+        "CASE WHEN len(h) > 0 THEN h[1] END AS blocked_by, "
+        "len(h) > 0 AS blocked FROM hits"
+    )
+
+
 def q_prototypicality_prune(spark, sf_dir):
     """SSL-prototypes pruning (pipeline/similarity.py
     prototypicality_prune, Sorscher et al. 2022): deterministic k-means
@@ -3808,6 +3997,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # not hard-coded bigint); 7 rides build_ivf_sq8_index (cent_id
         # threaded through quantize, self-join removed); 8 rides the
         # quantize_embeddings keep_cols projection change. ---
+        # --- r12 NEW: URL/domain curation (pipeline/urls.py) — the
+        # canonicalize→dedup→domain-stats/cap/blocklist ladder, every
+        # canonical byte replayed through the 7-step regex pipeline in
+        # SQL over the shared deterministic URL synthesis. ---
+        "url_dedup": q_url_dedup,
+        "domain_stats": q_domain_stats,
+        "domain_cap": q_domain_cap,
+        "domain_blocklist": q_domain_blocklist,
         "diff_deleted_rows": q_diff_deleted_rows,
         "gopher_rules": q_gopher_rules,
         "multimodal_features": q_multimodal_features,
@@ -4025,6 +4222,10 @@ def oracle_sql() -> dict[str, str]:
         )
 
     oracles = {
+        "url_dedup": _url_dedup_sql(),
+        "domain_stats": _domain_stats_sql(),
+        "domain_cap": _domain_cap_sql(),
+        "domain_blocklist": _domain_blocklist_sql(),
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"
         ),

@@ -699,6 +699,65 @@ def blocklist_cmd(docs_path, terms_csv, terms_file, output_path,
     )
 
 
+@cli.command("url-dedup")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (doc_id, url, ...) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes per-row (canonical_url, keep_id, is_dup) "
+                   "flags to OUTPUT/flags")
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--url-col", default="url", show_default=True)
+def url_dedup_cmd(docs_path, output_path, id_col, url_col) -> None:
+    """Canonicalize URLs (tracking strip, default ports, www, param
+    sort) and flag exact duplicates — min-id keeps, unparseable URLs
+    keep themselves. The first gate of a web-scale ingest."""
+    from pyspark.sql import functions as F
+
+    from lotad_spark.pipeline.urls import url_dedup
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_url_dedup")
+    flags = url_dedup(
+        read_table(spark, docs_path), id_col=id_col, url_col=url_col
+    )
+    flags.write.mode("overwrite").parquet(f"{output_path}/flags")
+    landed = spark.read.parquet(f"{output_path}/flags")
+    n_total, n_dup, n_bad = landed.agg(
+        F.count(F.lit(1)),
+        F.count_if(F.col("is_dup")),
+        F.count_if(F.col("canonical_url").isNull()),
+    ).collect()[0]
+    click.echo(
+        f"url-dedup: {n_dup}/{n_total} duplicate URLs, "
+        f"{n_bad} unparseable -> {output_path}/flags"
+    )
+
+
+@cli.command("domain-stats")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (doc_id, url, ...) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes (domain, apex_domain, n_docs, n_urls) to "
+                   "OUTPUT/domains")
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--url-col", default="url", show_default=True)
+def domain_stats_cmd(docs_path, output_path, id_col, url_col) -> None:
+    """Per-domain corpus stats (doc count, distinct canonical URLs) —
+    the relation a domain cap or blocklist decision reads."""
+    from lotad_spark.pipeline.urls import domain_stats
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_domain_stats")
+    stats = domain_stats(
+        read_table(spark, docs_path), id_col=id_col, url_col=url_col
+    )
+    stats.write.mode("overwrite").parquet(f"{output_path}/domains")
+    n = spark.read.parquet(f"{output_path}/domains").count()
+    click.echo(f"domain-stats: {n} domains -> {output_path}/domains")
+
+
 @cli.command("prune-prototypes")
 @click.option("--embeddings", "emb_path", type=click.Path(exists=True),
               required=True,

@@ -99,15 +99,23 @@ class TestAnnIndexOracles:
 
         from lotad_spark.pipeline import kmeans, pq
 
+        con = d.connect()
+        n = con.execute(
+            "SELECT count(*) FROM "
+            "'/root/testdata/sf0.001/embeddings.parquet'"
+        ).fetchone()[0]
+        # mirror the r12 rule-derived defaults the build now uses
+        k = kmeans.default_n_centroids(int(n))
         sample = [
             list(r[0])
-            for r in d.connect().execute(
+            for r in con.execute(
                 "SELECT embedding FROM "
                 "'/root/testdata/sf0.001/embeddings.parquet' "
-                f"ORDER BY vec_id ASC LIMIT {kmeans.DEFAULT_SAMPLE_SIZE}"
+                "ORDER BY vec_id ASC "
+                f"LIMIT {kmeans.default_sample_size(k)}"
             ).fetchall()
         ]
-        cents = kmeans.train_centroids(sample, 16)
+        cents = kmeans.train_centroids(sample, k)
         anchors, _ = pq.train_residual_models(sample, cents)
         sql = entry._ann_ivfpq_residual_sql()
         assert repr(anchors[0][0]) in sql

@@ -1,0 +1,309 @@
+"""URL/domain curation tests.
+
+The canonicalization spec is pinned two independent ways: unit cases
+here, and a randomized adversarial-corpus parity sweep against a pure
+Python reference built on ``urllib.parse`` — a genuinely different
+parser, so a convention the Spark regex pipeline and the DuckDB oracle
+might accidentally SHARE still gets caught (the oracle-blind-spot
+methodology that caught the normalize_text trim bug)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from lotad_spark.pipeline.urls import (
+    TRACKING_PARAMS,
+    TRACKING_PREFIX,
+    canonicalize_urls,
+    domain_blocklist_filter,
+    domain_cap,
+    domain_stats,
+    url_dedup,
+)
+
+
+def _py_canonical(url: str | None) -> str | None:
+    """Independent reference: urllib.parse does the parsing, plain
+    Python applies the 7 documented steps."""
+    from urllib.parse import urlsplit
+
+    if url is None:
+        return None
+    u = url.strip()
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", u):
+        return None
+    sp = urlsplit(u)
+    scheme = sp.scheme.lower()
+    host = (sp.hostname or "").lower()
+    if host.startswith("www."):
+        host = host[4:]
+    if not host:
+        return None
+    m = re.search(r":(\d+)$", sp.netloc)
+    port = m.group(1) if m else ""
+    if (scheme == "http" and port == "80") or (
+        scheme == "https" and port == "443"
+    ):
+        port = ""
+    port_sfx = f":{port}" if port else ""
+    path = sp.path
+    if path == "":
+        path = "/"
+    elif path != "/" and path.endswith("/"):
+        path = path[:-1]
+    toks = [
+        t
+        for t in sp.query.split("&")
+        if t != ""
+        and not t.split("=")[0].startswith(TRACKING_PREFIX)
+        and t.split("=")[0] not in TRACKING_PARAMS
+    ]
+    q = "&".join(sorted(toks))
+    return (
+        f"{scheme}://{host}{port_sfx}{path}" + (f"?{q}" if q else "")
+    )
+
+
+class TestCanonicalize:
+    CASES = [
+        # tracking strip + param sort + default port + www + fragment
+        (
+            "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1&gclid=g#f",
+            "https://example.com/a/b?a=1&b=2",
+        ),
+        ("https://example.com/a/b?a=1&b=2", "https://example.com/a/b?a=1&b=2"),
+        # userinfo stripped, non-default port kept, path case kept
+        (
+            "http://user:pw@Sub.Example.com:8080/Weird/",
+            "http://sub.example.com:8080/Weird",
+        ),
+        # empty path -> /
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/", "http://example.com/"),
+        # root slash never stripped; one trailing slash elsewhere is
+        ("http://example.com/a//", "http://example.com/a/"),
+        # no scheme -> NULL
+        ("not a url", None),
+        ("example.com/path", None),
+        # host-less -> NULL
+        ("http:///path", None),
+        # query-only tracking -> no '?'
+        ("http://a.io/x?utm_a=1&utm_b=2", "http://a.io/x"),
+        # empty TOKENS dropped (trailing &); an empty-VALUED param
+        # (b=) survives — it is still a param; '=' in values rides
+        # inside its token
+        ("http://a.io/x?b=&a=c=d&", "http://a.io/x?a=c=d&b="),
+    ]
+
+    def test_unit_cases(self, spark):
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(self.CASES)],
+            "doc_id bigint, url string",
+        )
+        got = {
+            r.doc_id: r.canonical_url
+            for r in canonicalize_urls(df).collect()
+        }
+        for i, (u, want) in enumerate(self.CASES):
+            assert got[i] == want, (u, got[i], want)
+
+    def test_unit_cases_match_python_reference(self):
+        for u, want in self.CASES:
+            assert _py_canonical(u) == want, u
+
+    def test_null_in_null_out(self, spark):
+        df = spark.createDataFrame(
+            [(1, None)], "doc_id bigint, url string"
+        )
+        assert canonicalize_urls(df).collect()[0].canonical_url is None
+
+    def test_single_projection_no_exchange(self, spark):
+        df = spark.createDataFrame(
+            [(1, "http://a.io/x")], "doc_id bigint, url string"
+        )
+        plan = (
+            canonicalize_urls(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # zero UDFs
+
+    @staticmethod
+    def _gnarly_urls(n=400, seed=7):
+        import random
+
+        rng = random.Random(seed)
+        schemes = ["http", "HTTP", "https", "HTTPS", "ftp", ""]
+        hosts = [
+            "example.com", "WWW.Example.COM", "sub.a.example.co.uk",
+            "a.io", "www.a.io", "localhost", "",
+        ]
+        ports = ["", ":80", ":443", ":8080", ":0443"]
+        users = ["", "u@", "u:p@"]
+        paths = ["", "/", "/a", "/a/", "/A/b//c/", "/p%20q"]
+        params = [
+            "a=1", "b=2", "z=", "utm_source=x", "utm_medium=y",
+            "gclid=g", "ref=home", "a=c=d", "", "B=9",
+        ]
+        frags = ["", "#f", "#a?b=1"]
+        out = []
+        for _ in range(n):
+            q = "&".join(
+                rng.sample(params, rng.randint(0, 5))
+            )
+            out.append(
+                rng.choice(schemes)
+                + ("://" if rng.random() < 0.9 else ":/")
+                + rng.choice(users)
+                + rng.choice(hosts)
+                + rng.choice(ports)
+                + rng.choice(paths)
+                + (("?" + q) if q and rng.random() < 0.9 else "")
+                + rng.choice(frags)
+            )
+        return out
+
+    def test_randomized_parity_vs_python_reference(self, spark):
+        urls = self._gnarly_urls()
+        df = spark.createDataFrame(
+            list(enumerate(urls)), "doc_id bigint, url string"
+        )
+        got = {
+            r.doc_id: r.canonical_url
+            for r in canonicalize_urls(df).collect()
+        }
+        mismatches = [
+            (u, got[i], _py_canonical(u))
+            for i, u in enumerate(urls)
+            if got[i] != _py_canonical(u)
+        ]
+        assert not mismatches, mismatches[:5]
+
+
+class TestUrlDedup:
+    def test_min_id_keeps_and_nulls_self_keep(self, spark):
+        df = spark.createDataFrame(
+            [
+                (5, "https://www.A.io/x?utm_a=1"),
+                (2, "https://a.io/x"),
+                (9, "HTTPS://A.IO:443/x/"),
+                (3, "junk"),
+                (4, "junk"),
+            ],
+            "doc_id bigint, url string",
+        )
+        got = {r.doc_id: r for r in url_dedup(df).collect()}
+        assert got[2].keep_id == 2 and not got[2].is_dup
+        assert got[5].keep_id == 2 and got[5].is_dup
+        assert got[9].keep_id == 2 and got[9].is_dup
+        # unparseable rows are never each other's duplicates
+        assert got[3].keep_id == 3 and not got[3].is_dup
+        assert got[4].keep_id == 4 and not got[4].is_dup
+
+
+class TestDomainOps:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "http://a.example.com/1"),
+                (2, "http://a.example.com/2"),
+                (3, "http://a.example.com/2?utm_x=1"),
+                (4, "http://b.io/1"),
+                (5, "nope"),
+            ],
+            "doc_id bigint, url string",
+        )
+
+    def test_domain_stats(self, spark):
+        got = {
+            r.domain: r for r in domain_stats(self._df(spark)).collect()
+        }
+        a = got["a.example.com"]
+        assert (a.n_docs, a.n_urls) == (3, 2)  # 2 and 3 collapse
+        assert a.apex_domain == "example.com"
+        assert got["b.io"].n_docs == 1 and got["b.io"].apex_domain == "b.io"
+        assert got[None].n_docs == 1 and got[None].n_urls == 0
+
+    def test_domain_cap(self, spark):
+        got = {
+            r.doc_id: r
+            for r in domain_cap(self._df(spark), 2).collect()
+        }
+        assert [got[i].capped for i in (1, 2, 3)] == [False, False, True]
+        assert not got[4].capped
+        assert not got[5].capped and got[5].domain is None
+        with pytest.raises(ValueError):
+            domain_cap(self._df(spark), 0)
+
+    def test_blocklist_suffix_at_label_semantics(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "http://example.com/x"),
+                (2, "http://deep.sub.example.com/x"),
+                (3, "http://notexample.com/x"),
+                (4, "nope"),
+            ],
+            "doc_id bigint, url string",
+        )
+        got = {
+            r.doc_id: r
+            for r in domain_blocklist_filter(
+                df, ["Example.com", "b.io"]
+            ).collect()
+        }
+        assert got[1].blocked and got[1].blocked_by == "example.com"
+        assert got[2].blocked  # subdomain matches
+        assert not got[3].blocked  # substring does NOT
+        assert not got[4].blocked and got[4].blocked_by is None
+        with pytest.raises(ValueError):
+            domain_blocklist_filter(df, [])
+
+    def test_url_cli_commands(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        docs = spark.createDataFrame(
+            [
+                (1, "https://www.a.io/x?utm_a=1"),
+                (2, "https://a.io/x"),
+                (3, "http://b.io/y"),
+                (4, "junk"),
+            ],
+            "doc_id bigint, url string",
+        )
+        src = str(tmp_path / "docs")
+        docs.write.mode("overwrite").parquet(src)
+        out = str(tmp_path / "out")
+        r = CliRunner().invoke(
+            cli,
+            ["url-dedup", "--docs", src, "--output", out],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        assert "1/4 duplicate URLs, 1 unparseable" in r.output
+        out2 = str(tmp_path / "out2")
+        r = CliRunner().invoke(
+            cli,
+            ["domain-stats", "--docs", src, "--output", out2],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        assert "3 domains" in r.output  # a.io, b.io, NULL
+
+    def test_blocklist_literal_zero_exchange(self, spark):
+        df = spark.createDataFrame(
+            [(1, "http://a.io/x")], "doc_id bigint, url string"
+        )
+        plan = (
+            domain_blocklist_filter(df, ["a.io"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
