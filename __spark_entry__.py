@@ -1928,6 +1928,86 @@ def _domain_blocklist_sql() -> str:
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality classifier
+    (pipeline/quality.py, Joulin et al. 2016): logistic regression over
+    hashed unigram+bigram buckets, trained driver-side on the bounded
+    id-ordered 512-doc sample (label = lang 'en'; RNG-free full-batch
+    GD, bit-reproducible), scoring the corpus with decimal-exact
+    micro-unit logits. The oracle retrains the IDENTICAL trainer on the
+    same sample read via DuckDB, embeds the nonzero weights as
+    DECIMAL(18,6) literals, and replays featurization + the HALF_UP
+    integer mean in SQL. The sigmoid 'score' column is excluded (libm
+    exp — the one non-reproducible op); pred needs only the sign."""
+    from lotad_spark.pipeline.quality import (
+        score_quality_classifier,
+        train_quality_classifier_sampled,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w, b = train_quality_classifier_sampled(labeled, "_y")
+    return score_quality_classifier(docs, w, b).select(
+        "doc_id", "n_grams", "logit", "pred"
+    )
+
+
+def _quality_classifier_sql() -> str:
+    """Oracle: retrain the deterministic classifier on the same sample
+    (the kmeans literal pattern), then replay hashed featurization
+    (the dsir CTE idiom), the exact decimal weighted sum, and the
+    HALF_UP micro-unit mean in SQL."""
+    import duckdb
+
+    from lotad_spark.pipeline.quality import (
+        _round6,
+        train_quality_classifier,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    rows = duckdb.connect().execute(
+        f"SELECT text, CAST(lang = 'en' AS INT) "
+        f"FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id ASC LIMIT 512"
+    ).fetchall()
+    w, b = train_quality_classifier([(t, int(y)) for t, y in rows])
+    wt_vals = ", ".join(
+        f"({i}, {_round6(x):.6f})"
+        for i, x in enumerate(w)
+        if _round6(x) != 0.0
+    )
+    bias_micro = int(round(_round6(b) * 1_000_000))
+    return (
+        "WITH base AS (SELECT doc_id, "
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "x -> x <> '') AS w FROM documents WHERE text IS NOT NULL), "
+        "grams AS (SELECT doc_id, "
+        "unnest(list_concat(w, list_transform(range(1, len(w)), "
+        "i -> w[i] || ' ' || w[i + 1]))) AS g FROM base), "
+        "feat AS (SELECT doc_id, "
+        "CAST(CAST('0x' || substr(md5(g), 1, 8) AS UBIGINT) % 4096 "
+        "AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS tf "
+        "FROM grams GROUP BY ALL), "
+        f"wt(bucket, w) AS (VALUES {wt_vals}), "
+        "agg AS (SELECT f.doc_id, "
+        "CAST(sum(f.tf) AS BIGINT) AS n_grams, "
+        "COALESCE(sum(f.tf * wt.w), 0.000000) AS sw "
+        "FROM feat f LEFT JOIN wt USING (bucket) GROUP BY f.doc_id), "
+        "m AS (SELECT doc_id, n_grams, "
+        "CAST(sw * 1000000 AS BIGINT) AS sm FROM agg), "
+        "lg AS (SELECT doc_id, n_grams, "
+        "CAST((CASE WHEN sm < 0 THEN "
+        "-((2 * (-sm) + n_grams) // (2 * n_grams)) "
+        "ELSE (2 * sm + n_grams) // (2 * n_grams) END) "
+        f"+ {bias_micro} AS DOUBLE) / 1000000.0 AS logit FROM m) "
+        "SELECT doc_id, n_grams, logit, logit > 0 AS pred FROM lg"
+    )
+
+
 def q_prototypicality_prune(spark, sf_dir):
     """SSL-prototypes pruning (pipeline/similarity.py
     prototypicality_prune, Sorscher et al. 2022): deterministic k-means
@@ -4001,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonicalize→dedup→domain-stats/cap/blocklist ladder, every
         # canonical byte replayed through the 7-step regex pipeline in
         # SQL over the shared deterministic URL synthesis. ---
+        "quality_classifier": q_quality_classifier,
         "url_dedup": q_url_dedup,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
@@ -4222,6 +4303,7 @@ def oracle_sql() -> dict[str, str]:
         )
 
     oracles = {
+        "quality_classifier": _quality_classifier_sql(),
         "url_dedup": _url_dedup_sql(),
         "domain_stats": _domain_stats_sql(),
         "domain_cap": _domain_cap_sql(),

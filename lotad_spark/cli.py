@@ -758,6 +758,56 @@ def domain_stats_cmd(docs_path, output_path, id_col, url_col) -> None:
     click.echo(f"domain-stats: {n} domains -> {output_path}/domains")
 
 
+@cli.command("quality-classify")
+@click.option("--labeled", "labeled_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet with (doc_id, text, <label-col>) training "
+                   "rows; label must be 0/1 or boolean")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet corpus to score (doc_id, text, ...)")
+@click.option("--label-col", default="label", show_default=True)
+@click.option("--output", "output_path", required=True,
+              help="Writes (doc_id, n_grams, logit, pred, score) to "
+                   "OUTPUT/scores")
+@click.option("--distributed/--sampled", default=False, show_default=True,
+              help="sampled = bounded deterministic driver training "
+                   "(bit-reproducible); distributed = gradient "
+                   "aggregation over the full labeled set")
+def quality_classify_cmd(labeled_path, docs_path, label_col,
+                         output_path, distributed) -> None:
+    """fastText-style hashed-ngram quality classifier: train logistic
+    regression on the labeled set, score the corpus with exact
+    micro-unit logits."""
+    from pyspark.sql import functions as F
+
+    from lotad_spark.pipeline.quality import (
+        score_quality_classifier,
+        train_quality_classifier_distributed,
+        train_quality_classifier_sampled,
+    )
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_quality")
+    labeled = read_table(spark, labeled_path)
+    train = (
+        train_quality_classifier_distributed
+        if distributed
+        else train_quality_classifier_sampled
+    )
+    w, b = train(labeled, label_col)
+    scored = score_quality_classifier(read_table(spark, docs_path), w, b)
+    scored.write.mode("overwrite").parquet(f"{output_path}/scores")
+    landed = spark.read.parquet(f"{output_path}/scores")
+    n, n_pos = landed.agg(
+        F.count(F.lit(1)), F.count_if(F.col("pred"))
+    ).collect()[0]
+    click.echo(
+        f"quality-classify: {n_pos}/{n} docs predicted positive "
+        f"-> {output_path}/scores"
+    )
+
+
 @cli.command("prune-prototypes")
 @click.option("--embeddings", "emb_path", type=click.Path(exists=True),
               required=True,
