@@ -918,5 +918,74 @@ def term_sketch_cmd(docs_path, output_path, depth, width, merge_into,
             click.echo(f"  {r.term}: ~{r.est}")
 
 
+@cli.command("sketch-index")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (doc_id, text, ...) rows")
+@click.option("--index", "index_path", required=True,
+              help="Index root (cms/ bloom/ meta/)")
+@click.option("--append", "append_mode", is_flag=True, default=False,
+              help="Fold the batch into an existing index (grid read "
+                   "from meta — mismatched parameters are impossible)")
+@click.option("--depth", default=4, show_default=True,
+              help="CMS rows (build only; append reads meta)")
+@click.option("--width", default=1024, show_default=True,
+              help="CMS buckets per row (build only)")
+@click.option("--bits", "n_bits", default=8192, show_default=True,
+              help="Bloom bitmap size (build only)")
+@click.option("--hashes", "n_hashes", default=4, show_default=True,
+              help="Bloom hash count (build only)")
+@click.option("--estimate", "estimate_csv", default=None,
+              help="Comma-separated terms to estimate/probe afterwards")
+def sketch_index_cmd(docs_path, index_path, append_mode, depth, width,
+                     n_bits, n_hashes, estimate_csv) -> None:
+    """Persisted sketch index (CMS frequency + Bloom membership with
+    the grid stored in meta): build once, append daily shards without
+    re-reading old text, probe with parameters read from the layout."""
+    from lotad_spark.pipeline.sketch import (
+        append_to_sketch_index,
+        read_sketch_meta,
+        sketch_index_contains,
+        sketch_index_estimate,
+        write_sketch_index,
+    )
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_sketch_index")
+    docs = read_table(spark, docs_path)
+    if append_mode:
+        append_to_sketch_index(docs, index_path)
+    else:
+        write_sketch_index(
+            docs, index_path, depth=depth, width=width,
+            n_bits=n_bits, n_hashes=n_hashes,
+        )
+    meta = read_sketch_meta(spark, index_path)
+    click.echo(
+        f"sketch-index: {'appended to' if append_mode else 'built'} "
+        f"{index_path} (depth={meta['depth']}, width={meta['width']}, "
+        f"bits={meta['n_bits']}, hashes={meta['n_hashes']}, "
+        f"n_docs={meta['n_docs']})"
+    )
+    if estimate_csv:
+        terms = spark.createDataFrame(
+            [(t.strip(),) for t in estimate_csv.split(",") if t.strip()],
+            "term string",
+        )
+        est = {
+            r.term: r.est
+            for r in sketch_index_estimate(
+                spark, index_path, terms
+            ).collect()
+        }
+        for r in sketch_index_contains(
+            spark, index_path, terms
+        ).orderBy("term").collect():
+            click.echo(
+                f"  {r.term}: ~{est[r.term]}"
+                f" ({'present' if r.present else 'absent'})"
+            )
+
+
 if __name__ == "__main__":
     cli()

@@ -347,3 +347,195 @@ def bloom_contains(
         .groupBy(term_col)
         .agg((F.min(hit) == 1).alias("present"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted sketch index: the stored-layout face (the BM25/IVF
+# precedent) that makes the grid contract STRUCTURAL. cms_merge /
+# bloom_merge document that merging sketches of different grids
+# silently undercounts; the index stores the grid WITH the sketch, so
+# every probe/append/merge reads its parameters from meta and a
+# mismatched-grid merge is rejected by comparison instead of relying
+# on out-of-band bookkeeping.
+# ---------------------------------------------------------------------------
+
+
+def _sketch_meta(spark, depth, width, n_bits, n_hashes, n_docs):
+    return spark.createDataFrame(
+        [(int(depth), int(width), int(n_bits), int(n_hashes),
+          int(n_docs))],
+        "depth int, width int, n_bits int, n_hashes int, n_docs bigint",
+    )
+
+
+def write_sketch_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> None:
+    """Materialize the ingest-monitoring state for a corpus: the
+    count-min grid (``cms/``: row, bucket, cnt), the Bloom membership
+    bitmap (``bloom/``: word, bits), and ``meta/`` — ONE row carrying
+    (depth, width, n_bits, n_hashes, n_docs). The corpus tokenizes
+    once at build; every later estimate/membership probe reads back a
+    few KB of grid state and its parameters — text never re-enters a
+    plan, and a caller can no longer probe or merge with the wrong
+    grid because the grid travels with the data."""
+    spark = df.sparkSession
+    cms_build(df, text_col, depth=depth, width=width).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/cms")
+    bloom_build(
+        df, text_col, n_bits=n_bits, n_hashes=n_hashes
+    ).write.mode("overwrite").parquet(f"{path}/bloom")
+    _sketch_meta(
+        spark, depth, width, n_bits, n_hashes, df.count()
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_sketch_meta(spark, path: str) -> dict:
+    """The index's grid parameters as a plain dict — served through
+    the ``meta.old`` crash-window fallback shared with the BM25
+    layout (:func:`~lotad_spark.pipeline.retrieval._read_meta`)."""
+    from lotad_spark.pipeline.retrieval import _read_meta
+
+    row = _read_meta(spark, f"{path}/meta").collect()[0]
+    return {k: row[k] for k in row.asDict()}
+
+
+def append_to_sketch_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> None:
+    """Sketch a new document batch and fold it into a live index
+    WITHOUT re-reading the existing corpus — the mergeable-summaries
+    property made operational: the batch builds on the grid read from
+    ``meta`` (so a parameter drift is impossible by construction),
+    merges cell-wise with the stored few-KB state, and swaps each
+    directory into place with the BM25 rename-swap
+    (:func:`~lotad_spark.pipeline.retrieval._replace_dir` — readers
+    fall back to ``.old`` in the crash window). Probe-after-append is
+    bit-identical to a fresh build over the union (pinned in tests).
+
+    Swap order: cms, bloom, then meta (meta's grid never changes on
+    append; only n_docs advances, so a crash between swaps leaves a
+    servable index whose n_docs lags — advisory, never correctness)."""
+    from lotad_spark.pipeline.retrieval import _read_meta, _replace_dir
+
+    spark = df.sparkSession
+    meta = _read_meta(spark, f"{path}/meta").collect()[0]
+    batch_cms = cms_build(
+        df, text_col, depth=meta["depth"], width=meta["width"]
+    )
+    batch_bloom = bloom_build(
+        df, text_col, n_bits=meta["n_bits"], n_hashes=meta["n_hashes"]
+    )
+    cms_merge(
+        spark.read.parquet(f"{path}/cms"), batch_cms
+    ).write.mode("overwrite").parquet(f"{path}/cms.tmp")
+    bloom_merge(
+        spark.read.parquet(f"{path}/bloom"), batch_bloom
+    ).write.mode("overwrite").parquet(f"{path}/bloom.tmp")
+    _replace_dir(spark, f"{path}/cms.tmp", f"{path}/cms")
+    _replace_dir(spark, f"{path}/bloom.tmp", f"{path}/bloom")
+    _sketch_meta(
+        spark,
+        meta["depth"],
+        meta["width"],
+        meta["n_bits"],
+        meta["n_hashes"],
+        int(meta["n_docs"]) + df.count(),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.tmp")
+    _replace_dir(spark, f"{path}/meta.tmp", f"{path}/meta")
+
+
+def merge_sketch_indexes(spark, paths: list[str], out_path: str) -> None:
+    """Merge independently-built shard indexes into one — REJECTING
+    mismatched grids by meta comparison (the failure mode
+    :func:`cms_merge`'s contract documents as silently undercounting
+    is structurally impossible here: the grid rides with each
+    shard)."""
+    if not paths:
+        raise ValueError("merge_sketch_indexes: no input indexes")
+    metas = [read_sketch_meta(spark, p) for p in paths]
+    grid_keys = ("depth", "width", "n_bits", "n_hashes")
+    grids = [{k: m[k] for k in grid_keys} for m in metas]
+    if any(g != grids[0] for g in grids[1:]):
+        raise ValueError(
+            "merge_sketch_indexes: grid mismatch across inputs "
+            f"(merging different grids silently undercounts): {grids}"
+        )
+    cms_merge(
+        *[spark.read.parquet(f"{p}/cms") for p in paths]
+    ).write.mode("overwrite").parquet(f"{out_path}/cms")
+    bloom_merge(
+        *[spark.read.parquet(f"{p}/bloom") for p in paths]
+    ).write.mode("overwrite").parquet(f"{out_path}/bloom")
+    _sketch_meta(
+        spark,
+        grids[0]["depth"],
+        grids[0]["width"],
+        grids[0]["n_bits"],
+        grids[0]["n_hashes"],
+        sum(int(m["n_docs"]) for m in metas),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/meta")
+
+
+def sketch_index_estimate(
+    spark,
+    path: str,
+    terms: DataFrame,
+    term_col: str = "term",
+) -> DataFrame:
+    """CMS frequency estimates off a stored index — the grid comes
+    from ``meta``, so probing with the wrong width is impossible."""
+    meta = read_sketch_meta(spark, path)
+    return cms_estimate(
+        spark.read.parquet(f"{path}/cms"),
+        terms,
+        term_col,
+        depth=meta["depth"],
+        width=meta["width"],
+    )
+
+
+def sketch_index_contains(
+    spark,
+    path: str,
+    terms: DataFrame,
+    term_col: str = "term",
+) -> DataFrame:
+    """Bloom membership off a stored index (meta-derived grid)."""
+    meta = read_sketch_meta(spark, path)
+    return bloom_contains(
+        spark.read.parquet(f"{path}/bloom"),
+        terms,
+        term_col,
+        n_bits=meta["n_bits"],
+        n_hashes=meta["n_hashes"],
+    )
+
+
+def sketch_index_prefilter(
+    spark,
+    path: str,
+    df: DataFrame,
+    col: str,
+) -> DataFrame:
+    """In-scan Bloom prefilter of a corpus-sized relation against a
+    stored index (meta-derived grid) — the 100 TB ingest-membership
+    shape with the layout contract attached."""
+    meta = read_sketch_meta(spark, path)
+    return bloom_prefilter(
+        df,
+        spark.read.parquet(f"{path}/bloom"),
+        col,
+        n_bits=meta["n_bits"],
+        n_hashes=meta["n_hashes"],
+    )

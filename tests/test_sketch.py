@@ -314,3 +314,178 @@ class TestBloomPrefilter:
             ).collect()
         }
         assert kept == {1}  # NULL probe row: NULL checks -> filtered out
+
+
+class TestSketchIndex:
+    """Persisted sketch layout (r12): grid travels with the data, so
+    probes/appends/merges cannot use the wrong parameters, and the
+    cms_merge silent-undercount contract becomes a raised error."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_write_probe_matches_direct(self, spark, tmp_path):
+        from lotad_spark.pipeline import (
+            cms_build,
+            cms_estimate,
+            sketch_index_contains,
+            sketch_index_estimate,
+            write_sketch_index,
+        )
+
+        docs = self._docs(
+            spark, [(1, "a b a"), (2, "b c"), (3, "a d d")]
+        )
+        idx = str(tmp_path / "sk")
+        write_sketch_index(docs, idx, depth=3, width=64, n_bits=256,
+                           n_hashes=3)
+        terms = spark.createDataFrame(
+            [("a",), ("b",), ("d",), ("zz",)], "term string"
+        )
+        # estimates off the stored index == direct cms path (grid read
+        # from meta, not re-supplied)
+        direct = {
+            r.term: r.est
+            for r in cms_estimate(
+                cms_build(docs, depth=3, width=64),
+                terms, depth=3, width=64,
+            ).collect()
+        }
+        stored = {
+            r.term: r.est
+            for r in sketch_index_estimate(spark, idx, terms).collect()
+        }
+        assert stored == direct
+        assert stored["a"] >= 3 and stored["d"] >= 2  # never undercount
+        present = {
+            r.term: r.present
+            for r in sketch_index_contains(spark, idx, terms).collect()
+        }
+        assert present["a"] and present["b"] and present["d"]
+
+    def test_append_equals_fresh_union_build(self, spark, tmp_path):
+        from lotad_spark.pipeline import (
+            append_to_sketch_index,
+            read_sketch_meta,
+            sketch_index_contains,
+            sketch_index_estimate,
+            write_sketch_index,
+        )
+
+        first = self._docs(spark, [(1, "x y x"), (2, "y z")])
+        batch = self._docs(spark, [(3, "z w w"), (4, "x q")])
+        idx = str(tmp_path / "inc")
+        write_sketch_index(first, idx, depth=3, width=64, n_bits=256,
+                           n_hashes=3)
+        append_to_sketch_index(batch, idx)
+        fresh = str(tmp_path / "fresh")
+        write_sketch_index(
+            first.unionByName(batch), fresh, depth=3, width=64,
+            n_bits=256, n_hashes=3,
+        )
+        terms = spark.createDataFrame(
+            [(t,) for t in "x y z w q zz".split()], "term string"
+        )
+        got_a = sorted(
+            map(tuple, sketch_index_estimate(spark, idx, terms).collect())
+        )
+        got_f = sorted(
+            map(tuple, sketch_index_estimate(spark, fresh, terms).collect())
+        )
+        assert got_a == got_f  # bit-identical estimates
+        pa = sorted(
+            map(tuple, sketch_index_contains(spark, idx, terms).collect())
+        )
+        pf = sorted(
+            map(tuple, sketch_index_contains(spark, fresh, terms).collect())
+        )
+        assert pa == pf
+        meta = read_sketch_meta(spark, idx)
+        assert meta["n_docs"] == 4
+        # append adopted the stored grid, not the defaults
+        assert (meta["depth"], meta["width"]) == (3, 64)
+
+    def test_merge_rejects_grid_mismatch(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from lotad_spark.pipeline import (
+            merge_sketch_indexes,
+            sketch_index_estimate,
+            write_sketch_index,
+        )
+
+        a = self._docs(spark, [(1, "a a b")])
+        b = self._docs(spark, [(2, "b c")])
+        pa, pb, pc = (str(tmp_path / n) for n in ("a", "b", "c"))
+        write_sketch_index(a, pa, depth=3, width=64, n_bits=256, n_hashes=3)
+        write_sketch_index(b, pb, depth=3, width=32, n_bits=256, n_hashes=3)
+        with _pytest.raises(ValueError, match="grid mismatch"):
+            merge_sketch_indexes(spark, [pa, pb], str(tmp_path / "out"))
+        with _pytest.raises(ValueError, match="no input"):
+            merge_sketch_indexes(spark, [], str(tmp_path / "out"))
+        # matched grids merge == union build
+        write_sketch_index(b, pc, depth=3, width=64, n_bits=256, n_hashes=3)
+        out = str(tmp_path / "merged")
+        merge_sketch_indexes(spark, [pa, pc], out)
+        fresh = str(tmp_path / "fresh")
+        write_sketch_index(
+            a.unionByName(b), fresh, depth=3, width=64, n_bits=256,
+            n_hashes=3,
+        )
+        terms = spark.createDataFrame([("a",), ("b",), ("c",)], "term string")
+        assert sorted(
+            map(tuple, sketch_index_estimate(spark, out, terms).collect())
+        ) == sorted(
+            map(tuple, sketch_index_estimate(spark, fresh, terms).collect())
+        )
+
+    def test_sketch_index_cli_build_and_append(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        docs = self._docs(spark, [(1, "a b a"), (2, "b c")])
+        src = str(tmp_path / "docs")
+        docs.write.mode("overwrite").parquet(src)
+        idx = str(tmp_path / "idx")
+        r = CliRunner().invoke(
+            cli,
+            ["sketch-index", "--docs", src, "--index", idx,
+             "--depth", "3", "--width", "64",
+             "--estimate", "a,zzz"],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        assert "built" in r.output and "n_docs=2" in r.output
+        assert "a: ~2 (present)" in r.output
+        r = CliRunner().invoke(
+            cli,
+            ["sketch-index", "--docs", src, "--index", idx, "--append",
+             "--estimate", "a"],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        # append adopted the STORED grid (depth=3), not the CLI default
+        assert "depth=3" in r.output and "n_docs=4" in r.output
+        assert "a: ~4 (present)" in r.output
+
+    def test_prefilter_off_stored_index(self, spark, tmp_path):
+        from lotad_spark.pipeline import (
+            sketch_index_prefilter,
+            write_sketch_index,
+        )
+
+        docs = self._docs(spark, [(1, "alpha beta"), (2, "gamma")])
+        idx = str(tmp_path / "pf")
+        write_sketch_index(docs, idx, n_bits=4096, n_hashes=3)
+        probe = spark.createDataFrame(
+            [(1, "alpha"), (2, "gamma"), (3, "never-seen-term-xyz")],
+            "k bigint, term string",
+        )
+        kept = {
+            r.k
+            for r in sketch_index_prefilter(
+                spark, idx, probe, "term"
+            ).collect()
+        }
+        assert {1, 2} <= kept  # no false negatives
