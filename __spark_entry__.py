@@ -1676,6 +1676,114 @@ def _doc_ppm_media(spark, sf_dir):
     )
 
 
+def _doc_png_media(spark, sf_dir):
+    """Each doc as a VALID 8-bit truecolor PNG whose pixel bytes are
+    IDENTICAL to the P6 row's (the doc's text rpad/truncated to
+    w*h*3): built in an Arrow mapInPandas stage with the scanline
+    FILTER TYPE CYCLING (y + doc_id) % 5 through
+    none/sub/up/average/paeth (heights are <= 3, so cycling by doc
+    guarantees every filter type appears across the corpus), so
+    decoding must run the real zlib inflate AND un-apply every filter
+    correctly to reconstruct the bytes — any unfilter bug changes the
+    pixels and hash-mismatches the oracle (which derives the expected
+    histogram from the same text bytes, engine-independently)."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w, h = did % 5 + 2, did % 3 + 1
+                need = w * h * 3
+                raw = (text or "").encode("utf-8")[:need].ljust(
+                    need, b"x"
+                )
+                px = np.frombuffer(raw, np.uint8).reshape(h, w * 3).astype(int)
+                stream = bytearray()
+                bpp = 3
+                for y in range(h):
+                    # cycle by doc too: h <= 3, so y alone would never
+                    # reach average/paeth
+                    f = (y + did) % 5
+                    line = px[y]
+                    prev = px[y - 1] if y > 0 else np.zeros(w * 3, int)
+                    if f == 0:
+                        enc = line
+                    elif f == 1:
+                        left = np.concatenate([[0] * bpp, line[:-bpp]])
+                        enc = (line - left) % 256
+                    elif f == 2:
+                        enc = (line - prev) % 256
+                    elif f == 3:
+                        left = np.concatenate([[0] * bpp, line[:-bpp]])
+                        enc = (line - (left + prev) // 2) % 256
+                    else:
+                        left = np.concatenate([[0] * bpp, line[:-bpp]])
+                        ul = np.concatenate([[0] * bpp, prev[:-bpp]])
+                        p = left + prev - ul
+                        pa = np.abs(p - left)
+                        pb = np.abs(p - prev)
+                        pc = np.abs(p - ul)
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc),
+                            left,
+                            np.where(pb <= pc, prev, ul),
+                        )
+                        enc = (line - pred) % 256
+                    stream.append(f)
+                    stream.extend(int(v) for v in enc)
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(stream)))
+                    + chunk(b"IEND", b"")
+                )
+            yield pdf.assign(content=payloads)[["doc_id", "content"]].rename(
+                columns={"doc_id": "media_id"}
+            )
+
+    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def q_multimodal_png_luma_hist(spark, sf_dir):
+    """The PNG face of the real-pixel luma oracle: same pixel CONTENT
+    as multimodal_luma_hist (text bytes), but carried through a full
+    PNG encode (zlib deflate + all five scanline filters, cycling per
+    row) → decode_pixels (stdlib inflate + numpy unfilter) → BT.601
+    luma histogram. The oracle computes the expected histogram from
+    the text bytes directly, so the ENTIRE PNG round trip is
+    value-checked: a wrong unfilter, a swapped channel, or a fallback
+    row (kind='bytes') hash-mismatches."""
+    from lotad_spark.pipeline.multimodal import extract_feature_counts
+
+    return extract_feature_counts(
+        _doc_png_media(spark, sf_dir), kind="luma"
+    ).select(
+        "media_id",
+        "kind",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias(
+            "hist"
+        ),
+    )
+
+
 def q_multimodal_luma_hist(spark, sf_dir):
     """REAL pixel-feature extraction (pipeline/multimodal.py
     extract_feature_counts kind='luma'): the kernel decodes the P6
@@ -4082,6 +4190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical byte replayed through the 7-step regex pipeline in
         # SQL over the shared deterministic URL synthesis. ---
         "quality_classifier": q_quality_classifier,
+        "multimodal_png_luma_hist": q_multimodal_png_luma_hist,
         "url_dedup": q_url_dedup,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
@@ -5226,6 +5335,10 @@ def oracle_sql() -> dict[str, str]:
     }
     # The incremental rollup must serve the SAME hours the batch rollup
     # does — one oracle, two execution paths.
+    # The PNG luma face shares the P6 oracle VERBATIM: identical pixel
+    # content (text bytes), so the expected histogram is the same —
+    # the PNG encode→inflate→unfilter round trip must reproduce it.
+    oracles["multimodal_png_luma_hist"] = oracles["multimodal_luma_hist"]
     oracles["rollup_incremental"] = oracles["rollup_hourly"]
     # Histogram-quantile estimates: identical binning, cumulative walk,
     # and linear interpolation reproduced in SQL — the estimate is pure

@@ -144,11 +144,14 @@ def decode_pixels(payload: bytes):
     ``kind`` column; nothing silently fakes pixels).
 
     Covered: netpbm P5/P6 (binary gray/RGB, maxval 255), P2/P3 (their
-    ASCII twins), and uncompressed 24/32-bpp BMP (bottom-up or top-down,
-    4-byte row stride, BGR(A) channel order — all per the public specs).
-    Grayscale replicates to RGB so downstream kernels see one shape.
-    Anything truncated, palette-mapped, compressed, or with a non-255
-    maxval returns None rather than guessing."""
+    ASCII twins), uncompressed 24/32-bpp BMP (bottom-up or top-down,
+    4-byte row stride, BGR(A) channel order), and 8-bit non-interlaced
+    PNG (gray/truecolor/gray-alpha/RGBA; stdlib zlib inflate + all five
+    scanline filters un-applied in numpy — :func:`_png_pixels`) — all
+    per the public specs. Grayscale replicates to RGB and alpha drops
+    so downstream kernels see one shape. Anything truncated,
+    palette-mapped, 16-bit, interlaced, or with a non-255 maxval
+    returns None rather than guessing."""
     import numpy as np
 
     hdr = _pnm_header(payload)
@@ -184,7 +187,10 @@ def decode_pixels(payload: bytes):
             return (w, h, vals.astype(np.uint8).reshape(h, w, 3))
         g = vals.astype(np.uint8).reshape(h, w)
         return (w, h, np.stack([g, g, g], axis=-1))
-    return _bmp_pixels(payload)
+    bmp = _bmp_pixels(payload)
+    if bmp is not None:
+        return bmp
+    return _png_pixels(payload)
 
 
 def _bmp_pixels(payload: bytes):
@@ -222,6 +228,153 @@ def _bmp_pixels(payload: bytes):
     return (width, h, px[:, :, [2, 1, 0]].copy())
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color types → sample channels (type 3 = palette: honest None)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_MODE = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}
+
+
+def _png_chunks(payload: bytes):
+    """(IHDR tuple, concatenated IDAT bytes) or None when the payload
+    is not a structurally-complete PNG (bad signature, truncated
+    chunk, missing IHDR/IDAT). CRCs are not verified — corrupt pixel
+    data surfaces as a zlib error downstream, which maps to the same
+    honest None."""
+    import struct
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            return None  # truncated chunk
+        if typ == b"IHDR":
+            if ln != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + CRC
+    if ihdr is None or not idat:
+        return None
+    return ihdr, b"".join(idat)
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, str] | None:
+    """PNG metadata from IHDR (the chunk walk validates structure, so
+    the metadata path and :func:`_png_pixels` can never disagree on
+    what parses). Palette (color type 3) still reports its header —
+    metadata is header-only, like the PNM/BMP parsers."""
+    parsed = _png_chunks(payload)
+    if parsed is None:
+        return None
+    w, h, _d, ctype, _c, _f, _i = parsed[0]
+    if w <= 0 or h <= 0:
+        return None
+    mode = "P" if ctype == 3 else _PNG_MODE.get(ctype)
+    if mode is None:
+        return None
+    return (int(w), int(h), mode)
+
+
+def _png_pixels(payload: bytes):
+    """REAL pixel decode for the web's dominant lossless format:
+    8-bit-depth, non-interlaced grayscale (0), truecolor (2),
+    gray+alpha (4) and RGBA (6) PNGs — zlib inflate is stdlib, and the
+    five scanline filters (none/sub/up/average/paeth, PNG spec §9) are
+    un-applied here in numpy. Alpha is dropped (the luma/resize
+    kernels take RGB); grayscale replicates. Palette (3), 16-bit,
+    interlaced, or structurally-broken payloads return None rather
+    than guessing — same honesty contract as the PNM/BMP decoders.
+
+    Sub/up filters vectorize (per-lane cumsum mod 256 / row add);
+    average/paeth lines fall back to a per-byte loop — correctness
+    over speed, and the decode already runs inside an Arrow-batched
+    mapInPandas stage."""
+    import zlib
+
+    import numpy as np
+
+    parsed = _png_chunks(payload)
+    if parsed is None:
+        return None
+    (w, h, depth, ctype, comp, filt, inter), idat = parsed
+    if (
+        w <= 0
+        or h <= 0
+        or depth != 8
+        or comp != 0
+        or filt != 0
+        or inter != 0
+    ):
+        return None
+    ch = _PNG_CHANNELS.get(ctype)
+    if ch is None:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(
+            np.int32
+        )
+        pos += stride + 1
+        if ftype == 0:
+            recon = line
+        elif ftype == 1:  # sub: recon[x] = line[x] + recon[x-bpp]
+            recon = line.copy()
+            for lane in range(ch):
+                recon[lane::ch] = np.cumsum(line[lane::ch]) % 256
+        elif ftype == 2:  # up
+            recon = (line + prev) % 256
+        elif ftype == 3:  # average (sequential in x)
+            recon = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = recon[x - ch] if x >= ch else 0
+                recon[x] = (line[x] + (a + prev[x]) // 2) % 256
+        elif ftype == 4:  # paeth (sequential in x)
+            recon = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = recon[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                recon[x] = (line[x] + pr) % 256
+        else:
+            return None  # invalid filter byte
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    px = out.reshape(h, w, ch)
+    if ctype == 0:
+        g = px[:, :, 0]
+        return (w, h, np.stack([g, g, g], axis=-1))
+    if ctype == 4:
+        g = px[:, :, 0]
+        return (w, h, np.stack([g, g, g], axis=-1))
+    if ctype == 6:
+        return (w, h, px[:, :, :3].copy())
+    return (w, h, px.copy())
+
+
 # ITU-R BT.601 luma, integer micro-form: (299R + 587G + 114B) // 1000 —
 # exact integer arithmetic, so the histogram is bit-reproducible in any
 # engine that can index the same bytes (the DuckDB oracle replays it).
@@ -233,9 +386,9 @@ def _luma(arr):
 
 
 def _headers_decode(payload: bytes) -> tuple[int, int, str]:
-    """No-PIL kernel: real header parse for BMP/netpbm payloads, byte-
-    length fake (mode='STUB') for anything else."""
-    for parse in (_parse_bmp, _parse_pnm):
+    """No-PIL kernel: real header parse for BMP/netpbm/PNG payloads,
+    byte-length fake (mode='STUB') for anything else."""
+    for parse in (_parse_bmp, _parse_pnm, _parse_png):
         parsed = parse(payload)
         if parsed is not None:
             return parsed

@@ -203,6 +203,161 @@ class TestMultimodal:
         # scanner stops at the last maxval digit.
         assert _pnm_header(b"P2 3 2 255") == ("P2", 3, 2, 255, 10)
 
+    @staticmethod
+    def _make_png(px_rows, ctype=2, filters=None, depth=8, interlace=0):
+        """Minimal PNG encoder for fixtures: px_rows is [h][w*channels]
+        ints; filters gives the per-row filter byte (default all 0)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        h = len(px_rows)
+        w = len(px_rows[0]) // ch
+        filters = filters or [0] * h
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        stream = bytearray()
+        for y, f in enumerate(filters):
+            line = np.array(px_rows[y], dtype=int)
+            prev = (
+                np.array(px_rows[y - 1], dtype=int)
+                if y > 0
+                else np.zeros(w * ch, int)
+            )
+            left = np.concatenate([[0] * ch, line[:-ch]])
+            ul = np.concatenate([[0] * ch, prev[:-ch]])
+            if f == 0:
+                enc = line
+            elif f == 1:
+                enc = (line - left) % 256
+            elif f == 2:
+                enc = (line - prev) % 256
+            elif f == 3:
+                enc = (line - (left + prev) // 2) % 256
+            else:
+                p = left + prev - ul
+                pa, pb, pc = (
+                    np.abs(p - left), np.abs(p - prev), np.abs(p - ul),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left,
+                    np.where(pb <= pc, prev, ul),
+                )
+                enc = (line - pred) % 256
+            stream.append(f)
+            stream.extend(int(v) for v in enc)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_png_decode_every_filter_type(self):
+        """Each of the five scanline filters un-applies to the exact
+        original bytes."""
+        import numpy as np
+
+        from lotad_spark.pipeline.multimodal import decode_pixels
+
+        rows = [
+            [10, 200, 30, 40, 50, 255, 7, 8, 9],
+            [1, 2, 3, 130, 140, 150, 20, 21, 22],
+            [90, 91, 92, 0, 255, 0, 33, 34, 35],
+            [5, 6, 7, 8, 9, 10, 11, 12, 13],
+            [250, 251, 252, 253, 254, 255, 0, 1, 2],
+        ]
+        for f in range(5):
+            payload = self._make_png(rows, filters=[f] * 5)
+            got = decode_pixels(payload)
+            assert got is not None, f"filter {f} failed to decode"
+            w, h, arr = got
+            assert (w, h) == (3, 5)
+            assert arr.tolist() == np.array(rows, dtype=np.uint8).reshape(
+                5, 3, 3
+            ).tolist(), f"filter {f} mis-unfiltered"
+        # mixed filters in one image
+        payload = self._make_png(rows, filters=[0, 1, 2, 3, 4])
+        _, _, arr = decode_pixels(payload)
+        assert arr.reshape(5, 9).tolist() == rows
+
+    def test_png_gray_and_alpha_variants(self):
+        from lotad_spark.pipeline.multimodal import decode_pixels
+
+        # grayscale replicates to RGB
+        g = self._make_png([[0, 128, 255]], ctype=0)
+        w, h, arr = decode_pixels(g)
+        assert (w, h) == (3, 1)
+        assert arr.tolist() == [[[0, 0, 0], [128, 128, 128],
+                                 [255, 255, 255]]]
+        # RGBA drops alpha
+        rgba = self._make_png([[1, 2, 3, 99, 4, 5, 6, 0]], ctype=6)
+        _, _, a2 = decode_pixels(rgba)
+        assert a2.tolist() == [[[1, 2, 3], [4, 5, 6]]]
+        # gray+alpha replicates gray, drops alpha
+        la = self._make_png([[77, 200]], ctype=4)
+        _, _, a3 = decode_pixels(la)
+        assert a3.tolist() == [[[77, 77, 77]]]
+
+    def test_png_honest_none_fallbacks(self):
+        import struct
+        import zlib
+
+        from lotad_spark.pipeline.multimodal import (
+            _parse_png,
+            decode_pixels,
+        )
+
+        ok = self._make_png([[1, 2, 3]], ctype=2)
+        # 16-bit depth, interlaced: metadata parses, pixels honest None
+        deep = self._make_png([[1, 2, 3]], ctype=2, depth=16)
+        assert decode_pixels(deep) is None
+        inter = self._make_png([[1, 2, 3]], ctype=2, interlace=1)
+        assert decode_pixels(inter) is None
+        assert _parse_png(inter) == (1, 1, "RGB")
+        # palette: metadata reports 'P', pixels None
+        pal = ok.replace(
+            struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0),
+            struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0),
+        )
+        assert _parse_png(pal) == (1, 1, "P")
+        assert decode_pixels(pal) is None
+        # truncated IDAT chunk, corrupt zlib, bad signature
+        assert decode_pixels(ok[:-20]) is None
+        assert decode_pixels(b"\x89PNG\r\n\x1a\nnot chunks") is None
+        assert _parse_png(b"GIF89a") is None
+        # short zlib stream (truncated pixel data) -> None
+        stream = zlib.compress(b"\x00\x01")  # 1 filter byte + 1 of 3 px
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+        short = (b"\x89PNG\r\n\x1a\n"
+                 + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+                 + chunk(b"IDAT", stream) + chunk(b"IEND", b""))
+        assert decode_pixels(short) is None
+
+    def test_png_metadata_in_decode_stage(self, spark):
+        from lotad_spark.pipeline.multimodal import with_decoded_metadata
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(self._make_png([[1, 2, 3, 4, 5, 6]]))),
+                (2, bytearray(b"not an image at all")),
+            ],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in with_decoded_metadata(df).collect()}
+        assert (got[1].width, got[1].height, got[1].mode) == (2, 1, "RGB")
+        assert got[2].mode == "STUB"
+
     def test_bmp_coreheader_rejected(self):
         """A BITMAPCOREHEADER BMP (DIB size 12, 16-bit width/height at
         different offsets) must fall through rather than be read at
