@@ -758,6 +758,45 @@ def q_text_unigram_lm(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (pipeline/text.py ccnet_buckets,
+    Wenzek et al. 2020): corpus-LM average log-prob per doc (the
+    micro-unit-exact unigram scorer), then EXACT rank terciles per
+    language (3·(rank−1) div n over avg_logprob DESC, id ASC) — no
+    approximate percentiles, so the split replays bit-for-bit in SQL."""
+    from lotad_spark.pipeline import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
+_CCNET_BUCKETS_SQL = (
+    "WITH toks AS (SELECT doc_id, "
+    "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+    "FROM toks WHERE term <> '' GROUP BY doc_id, term), "
+    "lm AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term), "
+    "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM lm), "
+    "lp AS (SELECT term, CAST(round(ln(c / tot.t), 6) "
+    "AS DECIMAL(18,6)) AS lp FROM lm CROSS JOIN tot), "
+    "s AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n, "
+    "CAST(sum(tf.tf * lp.lp) * 1000000 AS BIGINT) AS sm "
+    "FROM tf JOIN lp USING (term) GROUP BY tf.doc_id), "
+    "scored AS (SELECT s.doc_id, d.lang, s.n AS n_tokens, "
+    "CAST(CASE WHEN sm < 0 THEN -((2*abs(sm) + n) // (2*n)) "
+    "ELSE (2*abs(sm) + n) // (2*n) END AS DOUBLE) / 1000000.0 "
+    "AS avg_logprob FROM s JOIN documents d USING (doc_id)), "
+    "ranked AS (SELECT *, row_number() OVER (PARTITION BY lang "
+    "ORDER BY avg_logprob DESC, doc_id ASC) AS r, "
+    "count(*) OVER (PARTITION BY lang) AS n FROM scored), "
+    "b AS (SELECT doc_id, lang, n_tokens, avg_logprob, "
+    "CASE (3 * (r - 1)) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle' "
+    "ELSE 'tail' END AS bucket FROM ranked) "
+    "SELECT doc_id, lang, n_tokens, avg_logprob, bucket, "
+    "bucket <> 'tail' AS keep FROM b"
+)
+
+
 def q_chunk_manifest(spark, sf_dir):
     """Reader manifest for the chunk plan: (doc, chunk, in-doc slice) —
     every block assembles to exactly block_size tokens."""
@@ -4130,161 +4169,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r6 — 66 declared, exactly the first 50 checked). Priority for the
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
-    green stable rows rotate out. Layout this round (r11):
+    green stable rows rotate out. Layout this round (r12), per the
+    precomputed queue in COVERAGE.md:
 
-    * 1-8: changed-code re-entries. diff_deleted_rows is the r10-plan
-      CONSOLIDATION of the old diff_deleted_rows +
-      diff_deleted_rows_groupby pair — the merged row runs the groupby
-      (scale-path) strategy while every other diff row pins the
-      window/default face; gopher_rules now counts DISTINCT stopwords
-      (the r10-advice paper-fidelity fix); multimodal_features rides
-      the rewritten extract_feature_counts (kind column, real luma
-      kernel); ann_pq_topk / ann_ivfpq_topk / ann_ivfpq_residual_topk
-      ride pq_topk/ivf_pq_topk whose query-id schema is now DERIVED
-      from the caller's id type instead of hard-coded bigint;
-      ann_sq8_topk rides build_ivf_sq8_index (cent_id threaded through
-      quantize — build-time self-join removed); quantize_embeddings
-      rides the keep_cols projection change.
-    * 9-13: NEW this round, no driver-green run yet —
-      multimodal_luma_hist and multimodal_resize_hist (REAL pixel
-      decode: integer BT.601 luma histogram; nearest-neighbor resample
-      re-encoded as P6 — both replayed byte-for-byte in SQL),
-      blocklist_filter (C4-style banned-words gate, exact token
-      matching, shuffle-free literal strategy), prototypicality_prune
-      (SSL-prototypes pruning, Sorscher et al. 2022 — centroid-literal
-      oracle), and cms_term_counts (count-min sketch, Cormode &
-      Muthukrishnan 2005 — the ENTIRE sketch replayed in SQL including
-      the never-undercount guarantee).
-    * 14-32: the longest-unverified rows, all last driver-green r8 with
-      code unchanged since (sampling/curation family, token packing,
-      training_plan, psi_online, the rollup family, json_key_stats,
-      asof_latest_order). The former bpe_merges row is RETIRED per the
-      r10 consolidation plan — apply_bpe's oracle replays the identical
-      merge-training CTE unroll, so the coverage is unchanged.
-    * 38-50: next-longest out, last driver-green r9 with code unchanged
-      since: line dedup, the file-format scan rows (orc/csv/jsonl/
-      sqlite), apply_bpe, interval join, dedup_semantic, streaming
-      batch faces, frame_sample_plan, span dedup, paths/anomaly,
-      sliding agg, bpe_pair_counts, temperature_rates.
-    * 51+: rotated out, ordered by verification debt for r12 — first
-      the remaining r9-green rows, then everything driver-green in
-      r10/r11 with code unchanged, newest last. Every rotated row has
-      at least one driver-green round; the FULL registry stays enforced
-      by scripts/check_oracle.py (126 value-checked + 1 rows-only at
+    * 1-6: NEW this round, no driver-green run yet — the fastText-style
+      hashed quality classifier (quality_classifier: driver-trained
+      weight literals, decimal-exact micro-unit logits), the
+      URL/domain curation ladder (url_dedup / domain_stats /
+      domain_cap / domain_blocklist: the full 7-step canonicalization
+      regex pipeline replayed byte-for-byte in SQL over a shared
+      deterministic URL synthesis), and multimodal_png_luma_hist (the
+      PNG encode→inflate→unfilter round trip value-checked against
+      the engine-independent text-derived pixel source).
+    * 7-18: changed-code re-entries — the four IVF-family ANN rows +
+      pq_codes / ann_pq_topk ride the new cluster-size-rule
+      n_centroids default (max(8, min(4096, n/250)), oracles deriving
+      the identical k from COUNT(*)) and the limit-aware oracle
+      trainers; blocklist_filter re-staged for the Spark 4
+      shared-lambda-tree hazard; text_normalize's nfc path now
+      captures the pre-NFC length; the four multimodal rows ride
+      decode_pixels, which gained the PNG branch.
+    * 19-47: the r12 queue head — the remaining r9-green rows, longest
+      out of the window, in COVERAGE.md's precomputed order
+      (multimodal_decode moved up into the changed-code block).
+    * 48-50: next-oldest (r10-green) per the queue:
+      rolling_active_users_bound, dsir_weights, bm25_topk.
+    * 51+: rotated out — the rest of the r10-green block in COVERAGE
+      order, then the r11-green window rows (newest last). Every
+      rotated row has at least one driver-green round with code
+      unchanged since; the FULL registry stays enforced by
+      scripts/check_oracle.py (132 value-checked + 1 rows-only at
       sf0.01) and the pytest suite. See COVERAGE.md "Driver-window
       rotation".
     """
     return {
-        # --- 1-8: changed-code re-entries (r11). 1 is the merged
-        # diff_deleted_rows row (the r10 consolidation: it now RUNS
-        # strategy='groupby' — the scale path — while every other
-        # diff row pins the window/default face); 2 counts DISTINCT
-        # stopwords (the r10-advice Gopher fidelity fix); 3 rides the
-        # rewritten extract_feature_counts (kind column, luma kernel);
-        # 4-6 ride pq_topk/ivf_pq_topk (query-id schema now derived,
-        # not hard-coded bigint); 7 rides build_ivf_sq8_index (cent_id
-        # threaded through quantize, self-join removed); 8 rides the
-        # quantize_embeddings keep_cols projection change. ---
-        # --- r12 NEW: URL/domain curation (pipeline/urls.py) — the
-        # canonicalize→dedup→domain-stats/cap/blocklist ladder, every
-        # canonical byte replayed through the 7-step regex pipeline in
-        # SQL over the shared deterministic URL synthesis. ---
+        # --- 1-6: NEW this round (r12), no driver-green run yet —
+        # the fastText-style hashed quality classifier (driver-trained
+        # literals, micro-unit logits), the URL/domain curation ladder
+        # (full 7-step canonicalization replayed in SQL), and the PNG
+        # face of the real-pixel luma oracle (zlib inflate + all five
+        # scanline filters value-checked against the text-derived
+        # pixel source). ---
         "quality_classifier": q_quality_classifier,
-        "multimodal_png_luma_hist": q_multimodal_png_luma_hist,
+        "ccnet_buckets": q_ccnet_buckets,
         "url_dedup": q_url_dedup,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
         "domain_blocklist": q_domain_blocklist,
-        "diff_deleted_rows": q_diff_deleted_rows,
-        "gopher_rules": q_gopher_rules,
-        "multimodal_features": q_multimodal_features,
-        "ann_pq_topk": q_ann_pq_topk,
+        "multimodal_png_luma_hist": q_multimodal_png_luma_hist,
+        # --- 7-18: changed-code re-entries (r12). The four IVF-family
+        # ANN rows + pq_codes/ann_pq_topk ride the cluster-size-rule
+        # n_centroids default and the limit-aware oracle trainers;
+        # blocklist_filter's literal strategy was re-staged for the
+        # shared-lambda-tree hazard; text_normalize's nfc path now
+        # captures the pre-NFC length; the multimodal rows ride
+        # decode_pixels, which gained the PNG branch. ---
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_sq8_topk": q_ann_sq8_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
-        "ann_sq8_topk": q_ann_sq8_topk,
-        "quantize_embeddings": q_quantize_embeddings,
-        # --- 9-13: NEW this round, no driver-green run yet:
-        # real-pixel multimodal rows (luma histogram; nearest-neighbor
-        # resize), the C4-style blocklist gate, SSL-prototypes
-        # pruning (Sorscher et al. 2022), and the count-min sketch
-        # with its full SQL replay (Cormode & Muthukrishnan 2005). ---
+        "ann_pq_topk": q_ann_pq_topk,
+        "pq_codes": q_pq_codes,
+        "blocklist_filter": q_blocklist_filter,
+        "text_normalize": q_text_normalize,
+        "multimodal_features": q_multimodal_features,
         "multimodal_luma_hist": q_multimodal_luma_hist,
         "multimodal_resize_hist": q_multimodal_resize_hist,
-        "blocklist_filter": q_blocklist_filter,
-        "prototypicality_prune": q_prototypicality_prune,
-        "cms_term_counts": q_cms_term_counts,
-        # --- 14: NEW (added after the first r11 rotation): Bloom-filter
-        # membership with the full bit-level SQL replay incl. the
-        # no-false-negative guarantee; displaces temperature_rates
-        # (r9-green) from position 50 per policy. ---
-        "bloom_membership": q_bloom_membership,
-        # --- 15: NEW: CCNet-style normalization over a deterministically
-        # noised fixture, five-regex replay in SQL; displaces
-        # bpe_pair_counts (r9-green) from the window per policy. ---
-        "text_normalize": q_text_normalize,
-        # --- 16: NEW: the Bloom-prefiltered decontamination path,
-        # output-identical to exact (shares the exact oracle; tight
-        # 4096-bit filter forces false positives through the join);
-        # displaces events_sliding_agg (r9-green) per policy. ---
-        "contamination_bloom": q_contamination_bloom,
-        # --- 17: NEW: per-language tokenizer fertility after BPE
-        # (train + per-word replace chain + micro-unit ratios, fully
-        # replayed in SQL); displaces rollup_anomaly (r9-green). ---
-        "bpe_fertility": q_bpe_fertility,
-        # --- 18: re-enters (changed code): repetition_stats ratios
-        # hardened to exact integer micro-units (the r11 self-review
-        # boundary-hazard finding); displaces path_signatures
-        # (r9-green). ---
-        "text_repetition": q_text_repetition,
-        # --- 18-36: the longest-unverified rows, all last
-        # driver-green r8 with code unchanged since. ---
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "sample_hash": q_sample_hash,
-        "upsample_weights": q_upsample_weights,
-        "shuffle_batches": q_shuffle_batches,
-        "train_eval_split": q_train_eval_split,
-        "stratified_cap": q_stratified_cap,
-        "length_quantiles": q_length_quantiles,
-        "mixture_sample": q_mixture_sample,
-        "curate_corpus": q_curate_corpus,
-        "chunk_manifest": q_chunk_manifest,
-        "token_chunk_plan": q_token_chunk_plan,
-        "training_plan": q_training_plan,
-        "psi_online": q_psi_online,
-        "rollup_hourly": q_rollup_hourly,
-        "rollup_incremental": q_rollup_incremental,
-        "rollup_gapfill": q_rollup_gapfill,
-        "twa_by_user": q_twa_by_user,
-        "json_key_stats": q_json_key_stats,
-        "asof_latest_order": q_asof_latest_order,
-        # --- 38-50: next-longest out, last driver-green r9 with
-        # code unchanged since (file-format scans, span dedup,
-        # paths/anomaly, streaming batch faces, BPE smoke). ---
-        "strip_dup_lines": q_strip_dup_lines,
-        "orc_scan_diff": q_orc_scan_diff,
-        "csv_scan_diff": q_csv_scan_diff,
-        "apply_bpe": q_apply_bpe,
-        "interval_join_batch": q_interval_join_batch,
-        "jsonl_scan_diff": q_jsonl_scan_diff,
-        "dedup_semantic": q_dedup_semantic,
-        "streaming_dedup_batch": q_streaming_dedup_batch,
-        "frame_sample_plan": q_frame_sample_plan,
-        "sqlite_scan_diff": q_sqlite_scan_diff,
-        "dup_spans": q_dup_spans,
-        "strip_dup_spans": q_strip_dup_spans,
-        "event_transitions": q_event_transitions,
-        # --- 51+: rotated out (the window ends EXACTLY at
-        # event_transitions, entry 50), ordered by verification debt
-        # for r12: first the five rows the late-r11 additions displaced
-        # (path_signatures .. temperature_rates, all r9-green), then
-        # the remaining r9-green rows, then everything driver-green in
-        # r10/r11 (code unchanged), newest last.
-        # See COVERAGE.md 'Driver-window rotation'. ---
-        "path_signatures": q_path_signatures,
-        "rollup_anomaly": q_rollup_anomaly,
-        "events_sliding_agg": q_events_sliding_agg,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "temperature_rates": q_temperature_rates,
+        "multimodal_decode": q_multimodal_decode,
+        # --- 19-47: the r12 queue from COVERAGE.md — the remaining
+        # r9-green rows, longest out of the window, in the precomputed
+        # order (multimodal_decode moved up into the changed block). ---
         "multi_grain_cube": q_multi_grain_cube,
         "anomaly_online": q_anomaly_online,
         "events_funnel_windowed": q_events_funnel_windowed,
@@ -4310,11 +4264,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_static_batch": q_drift_static_batch,
         "events_key_stats": q_events_key_stats,
         "events_session_agg": q_events_session_agg,
-        "multimodal_decode": q_multimodal_decode,
         "skew_salted_join": q_skew_salted_join,
         "schema_drift_records": q_schema_drift_records,
         "rollup_distinct_users": q_rollup_distinct_users,
         "skew_two_phase_agg": q_skew_two_phase_agg,
+        # --- 48-50: next-oldest (r10-green) per the queue. ---
+        "rolling_active_users_bound": q_rolling_active_users_bound,
+        "dsir_weights": q_dsir_weights,
+        "bm25_topk": q_bm25_topk,
+        # --- 51+: rotated out. First the rest of the r10-green block
+        # in COVERAGE order, then the r11-green rows (newest last).
+        # Every rotated row has at least one driver-green round with
+        # code unchanged since; the FULL registry stays enforced by
+        # scripts/check_oracle.py and the pytest suite. ---
         "diff_value_change": q_diff_value_change,
         "diff_counts": q_diff_counts,
         "diff_ignore_column": q_diff_ignore_column,
@@ -4325,11 +4287,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_dup_collapse": q_diff_dup_collapse,
         "drift_summary": q_drift_summary,
         "custom_query_diff": q_custom_query_diff,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "rolling_active_users_bound": q_rolling_active_users_bound,
-        "pq_codes": q_pq_codes,
-        "dsir_weights": q_dsir_weights,
-        "bm25_topk": q_bm25_topk,
         "text_bigram_lm": q_text_bigram_lm,
         "token_windows": q_token_windows,
         "sql_row_hash_diff": q_sql_row_hash_diff,
@@ -4357,6 +4314,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fp": q_text_winnow_fp,
         "text_pii_scrub": q_text_pii_scrub,
         "text_unigram_lm": q_text_unigram_lm,
+        "diff_deleted_rows": q_diff_deleted_rows,
+        "gopher_rules": q_gopher_rules,
+        "quantize_embeddings": q_quantize_embeddings,
+        "prototypicality_prune": q_prototypicality_prune,
+        "cms_term_counts": q_cms_term_counts,
+        "bloom_membership": q_bloom_membership,
+        "contamination_bloom": q_contamination_bloom,
+        "bpe_fertility": q_bpe_fertility,
+        "text_repetition": q_text_repetition,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "sample_hash": q_sample_hash,
+        "upsample_weights": q_upsample_weights,
+        "shuffle_batches": q_shuffle_batches,
+        "train_eval_split": q_train_eval_split,
+        "stratified_cap": q_stratified_cap,
+        "length_quantiles": q_length_quantiles,
+        "mixture_sample": q_mixture_sample,
+        "curate_corpus": q_curate_corpus,
+        "chunk_manifest": q_chunk_manifest,
+        "token_chunk_plan": q_token_chunk_plan,
+        "training_plan": q_training_plan,
+        "psi_online": q_psi_online,
+        "rollup_hourly": q_rollup_hourly,
+        "rollup_incremental": q_rollup_incremental,
+        "rollup_gapfill": q_rollup_gapfill,
+        "twa_by_user": q_twa_by_user,
+        "json_key_stats": q_json_key_stats,
+        "asof_latest_order": q_asof_latest_order,
+        "strip_dup_lines": q_strip_dup_lines,
+        "orc_scan_diff": q_orc_scan_diff,
+        "csv_scan_diff": q_csv_scan_diff,
+        "apply_bpe": q_apply_bpe,
+        "interval_join_batch": q_interval_join_batch,
+        "jsonl_scan_diff": q_jsonl_scan_diff,
+        "dedup_semantic": q_dedup_semantic,
+        "streaming_dedup_batch": q_streaming_dedup_batch,
+        "frame_sample_plan": q_frame_sample_plan,
+        "sqlite_scan_diff": q_sqlite_scan_diff,
+        "dup_spans": q_dup_spans,
+        "strip_dup_spans": q_strip_dup_spans,
+        "event_transitions": q_event_transitions,
+        "path_signatures": q_path_signatures,
+        "rollup_anomaly": q_rollup_anomaly,
+        "events_sliding_agg": q_events_sliding_agg,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "temperature_rates": q_temperature_rates,
     }
 
 
@@ -4413,6 +4416,7 @@ def oracle_sql() -> dict[str, str]:
 
     oracles = {
         "quality_classifier": _quality_classifier_sql(),
+        "ccnet_buckets": _CCNET_BUCKETS_SQL,
         "url_dedup": _url_dedup_sql(),
         "domain_stats": _domain_stats_sql(),
         "domain_cap": _domain_cap_sql(),

@@ -222,7 +222,7 @@ def main() -> None:
         ):
             continue
         if name.startswith(
-            ("dedup_", "ann_", "pq_", "text_", "tfidf_", "mixture_", "upsample_", "shuffle_", "token_", "quantize_", "chunk_", "training_", "weighted_", "dsir_", "bm25_", "gopher_", "blocklist_", "cms_", "prototypicality_", "multimodal_", "bloom_", "contamination_")
+            ("dedup_", "ann_", "pq_", "text_", "tfidf_", "mixture_", "upsample_", "shuffle_", "token_", "quantize_", "chunk_", "training_", "weighted_", "dsir_", "bm25_", "gopher_", "blocklist_", "cms_", "prototypicality_", "multimodal_", "bloom_", "contamination_", "url_", "domain_", "quality_", "ccnet_")
         ):
             fn = entry_mod.queries()[name]
             t0 = time.perf_counter()
@@ -340,6 +340,34 @@ def main() -> None:
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     queries["bm25_probe"] = round(best, 3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # Persisted sketch index (r12): build once (CMS grid + Bloom bitmap
+    # + meta), then probe a bounded vocabulary off the stored layout —
+    # the ingest-monitoring serving shape; probe state is the few-KB
+    # grid, so probe cost is corpus-independent by construction.
+    from lotad_spark.pipeline.sketch import (
+        sketch_index_estimate,
+        write_sketch_index,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="lotad_bench_sketch_")
+    t0 = time.perf_counter()
+    write_sketch_index(read_table(spark, f"{sf_dir}/documents.parquet"), idx_dir)
+    queries["sketch_index_build_once"] = round(time.perf_counter() - t0, 3)
+    probe_terms = spark.createDataFrame(
+        [(t,) for t in ("the", "dup", "data", "never-there")],
+        "term string",
+    )
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sketch_index_estimate(spark, idx_dir, probe_terms).foreach(
+            lambda _: None
+        )
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    queries["sketch_index_probe"] = round(best, 3)
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     # SemDeDup at the production configuration (r10): the dedup_semantic

@@ -674,6 +674,69 @@ def unigram_logprob(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", LREC — public): score every document with the corpus-LM
+    average log-probability (:func:`unigram_logprob`, the deterministic
+    perplexity proxy), then split EACH LANGUAGE into exact thirds by
+    rank — ``head`` (most corpus-like), ``middle``, ``tail`` (the
+    incoherent/rare-token residue CCNet discards). Returns
+    ``(id, lang, n_tokens, avg_logprob, bucket, keep)`` with
+    ``keep = bucket != 'tail'`` (the paper's default head+middle
+    training cut); every row comes back flagged, never dropped.
+
+    Terciles are RANK-based, not value-threshold-based:
+    ``bucket_idx = 3·(rank−1) div n`` over (avg_logprob DESC, id ASC)
+    within the language — pure integer arithmetic on an exact
+    deterministic ordering, so the split is bit-reproducible in any
+    engine (percentile thresholds would re-introduce the approximate /
+    boundary hazards the micro-unit scores just eliminated). Docs with
+    NULL language bucket together under NULL — auditable, not hidden.
+
+    Scale: one doc-keyed exchange inherited from the scorer plus one
+    language-keyed rank window. Language cardinality is tiny but a
+    dominant language makes a hot partition (exact per-group rank —
+    same trade as ``domain_cap``); at 100 TB compute per-language
+    cut SCORES from the mergeable histogram quantiles
+    (``column_histogram``/``quantiles_from_counts``) and broadcast
+    them instead of ranking, accepting approximate boundaries."""
+    scored = unigram_logprob(df, id_col=id_col, text_col=text_col)
+    joined = scored.join(
+        df.select(id_col, lang_col), id_col
+    )
+    wrank = Window.partitionBy(lang_col).orderBy(
+        F.desc("avg_logprob"), F.asc(id_col)
+    )
+    wn = Window.partitionBy(lang_col)
+    staged = joined.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("n_tokens"),
+        F.col("avg_logprob"),
+        F.row_number().over(wrank).alias("_r"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    k = F.lit(3) * (F.col("_r") - 1)
+    idx = ((k - k % F.col("_n")) / F.col("_n")).cast("int")
+    withb = staged.select(
+        id_col,
+        lang_col,
+        "n_tokens",
+        "avg_logprob",
+        F.when(idx == 0, F.lit("head"))
+        .when(idx == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return withb.withColumn("keep", F.col("bucket") != "tail")
+
+
 def _avg_micros_6dp(sum_col: str, n_col: str) -> Column:
     """round(sum/n, 6) for a DECIMAL(·,6) sum — computed ENTIRELY in
     exact integer arithmetic (micro-units, HALF_UP away from zero via

@@ -1083,6 +1083,53 @@ class TestNewCliCommands:
         assert "  absent: ~0" in r2.output
 
 
+class TestCcnetBuckets:
+    def test_exact_thirds_and_ordering(self, spark, sf_dir):
+        from lotad_spark.pipeline import ccnet_buckets
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        docs = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        got = ccnet_buckets(docs).collect()
+        by_lang: dict = {}
+        for r in got:
+            by_lang.setdefault(r.lang, []).append(r)
+        for lang, rows in by_lang.items():
+            n = len(rows)
+            counts = {"head": 0, "middle": 0, "tail": 0}
+            for r in rows:
+                counts[r.bucket] += 1
+                assert r.keep == (r.bucket != "tail")
+            # rank terciles: sizes differ by at most 1
+            assert max(counts.values()) - min(counts.values()) <= 1, (
+                lang, counts,
+            )
+            # independent replay of the bucketing from the scores:
+            # sort by (-avg_logprob, doc_id), bucket = 3*(i) // n
+            ordered = sorted(
+                rows, key=lambda r: (-r.avg_logprob, r.doc_id)
+            )
+            names = ["head", "middle", "tail"]
+            for i, r in enumerate(ordered):
+                assert r.bucket == names[3 * i // n], (lang, r.doc_id)
+
+    def test_null_lang_buckets_together(self, spark):
+        from lotad_spark.pipeline import ccnet_buckets
+
+        df = spark.createDataFrame(
+            [
+                (1, "aa bb cc", None),
+                (2, "aa aa aa", None),
+                (3, "zz yy xx", None),
+                (4, "aa bb", "en"),
+            ],
+            "doc_id bigint, text string, lang string",
+        )
+        got = {r.doc_id: r for r in ccnet_buckets(df).collect()}
+        null_buckets = {got[i].bucket for i in (1, 2, 3)}
+        assert null_buckets == {"head", "middle", "tail"}
+        assert got[4].bucket == "head" and got[4].keep
+
+
 class TestNormalizeText:
     def test_matches_reference(self, spark):
         from lotad_spark.pipeline import normalize_text
