@@ -192,7 +192,9 @@ def train_quality_classifier_distributed(
         )
         .localCheckpoint(eager=False)
     )
-    n_docs = feats.select(id_col).distinct().count()
+    # Count the FULL labeled set (not distinct feature ids): gram-less
+    # docs divide into the gradient exactly as in the driver trainer.
+    n_docs = labeled.count()
     import numpy as np
 
     w = np.zeros(buckets, dtype=np.float64)
@@ -202,12 +204,21 @@ def train_quality_classifier_distributed(
             [(i, float(x)) for i, x in enumerate(w)],
             "bucket bigint, _w double",
         )
-        scored = (
+        per_doc_z = (
             feats.join(F.broadcast(wdf), "bucket")
             .groupBy(id_col)
-            .agg(
-                F.first("_y").alias("_y"),
-                (F.sum(F.col("_x") * F.col("_w")) + F.lit(b)).alias("_z"),
+            .agg(F.sum(F.col("_x") * F.col("_w")).alias("_zs"))
+        )
+        # Left join from the FULL labeled set: a gram-less document has
+        # no feature rows but still contributes sigmoid(b) − y to the
+        # bias gradient (the driver trainer includes it — dropping it
+        # here would silently diverge the two trainers on any labeled
+        # set containing empty/whitespace docs).
+        scored = (
+            labeled.select(id_col, "_y")
+            .join(per_doc_z, id_col, "left")
+            .withColumn(
+                "_z", F.coalesce(F.col("_zs"), F.lit(0.0)) + F.lit(b)
             )
             .withColumn(
                 "_err", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z"))) - F.col("_y")

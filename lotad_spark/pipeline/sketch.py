@@ -425,7 +425,14 @@ def append_to_sketch_index(
 
     Swap order: cms, bloom, then meta (meta's grid never changes on
     append; only n_docs advances, so a crash between swaps leaves a
-    servable index whose n_docs lags — advisory, never correctness)."""
+    servable index whose n_docs lags — advisory, never correctness).
+    Crash RECOVERY is re-running the append, and that is safe within
+    each sketch's own contract: the Bloom cell-wise OR is idempotent
+    (re-appending changes nothing), and a re-applied CMS batch can
+    only OVERCOUNT the affected cells — the count-min guarantee is
+    never-undercount, which double-counting preserves. A crash after
+    the cms swap but before the bloom swap briefly serves a bloom
+    missing the batch's members; the re-run closes it."""
     from lotad_spark.pipeline.retrieval import _read_meta, _replace_dir
 
     spark = df.sparkSession

@@ -56,7 +56,12 @@ class TestTraining:
         trainer to float-sum tolerance."""
         import numpy as np
 
-        rows = _synthetic(60)
+        # include gram-less docs (empty / whitespace / NULL text): they
+        # carry no features but still push the bias gradient — the
+        # regression where the distributed trainer dropped them
+        rows = _synthetic(60) + [
+            (1000, "", 1), (1001, "   ", 0), (1002, None, 1),
+        ]
         df = spark.createDataFrame(
             rows, "doc_id bigint, text string, y int"
         )
