@@ -72,6 +72,9 @@ def curate_corpus(
     sample_rate: float = 1.0,
     salt: str = "curate",
     keep_text: bool = False,
+    url_col: str | None = None,
+    blocklist_terms: list[str] | tuple[str, ...] | None = None,
+    max_per_domain: int | None = None,
 ) -> DataFrame:
     """Returns the curated corpus as (id, source, quality, n_tokens)
     — plus the text column when ``keep_text`` (for downstream packing).
@@ -79,7 +82,34 @@ def curate_corpus(
     ``eval_df`` is the benchmark set to decontaminate against (skipped
     when None). All thresholds mirror the component operators' defaults;
     see the module docstring for the plan shape per stage.
+
+    Optional r12 gates (all default OFF, so the base composition — and
+    its oracle row — is unchanged):
+
+    * ``url_col`` — run :func:`~lotad_spark.pipeline.urls.url_dedup`
+      FIRST (stage 0): exact dedup on the canonical URL before any text
+      is read — the cheapest drop in the pipeline, one shuffle of
+      (id, url) only.
+    * ``blocklist_terms`` — a C4-style banned-words gate
+      (:func:`~lotad_spark.pipeline.text.blocklist_filter`, literal
+      strategy) folded into the gate region: blocked ids anti-join out
+      before dedup.
+    * ``max_per_domain`` (requires ``url_col``) — the RefinedWeb
+      anti-monoculture cap
+      (:func:`~lotad_spark.pipeline.urls.domain_cap`) after near-dup,
+      so the cap counts surviving docs, not raw crawl.
     """
+    if max_per_domain is not None and url_col is None:
+        raise ValueError("curate_corpus: max_per_domain needs url_col")
+    if url_col is not None:
+        from lotad_spark.pipeline.urls import url_dedup
+
+        url_drop = (
+            url_dedup(docs, id_col, url_col)
+            .filter(F.col("is_dup"))
+            .select(id_col)
+        )
+        docs = docs.join(url_drop, id_col, "left_anti")
     t = F.col(text_col)
     gated = docs.select(
         F.col(id_col),
@@ -93,6 +123,16 @@ def curate_corpus(
         & (F.col("quality") >= min_quality)
         & F.col("n_tokens").between(min_tokens, max_tokens)
     )
+
+    if blocklist_terms:
+        from lotad_spark.pipeline.text import blocklist_filter
+
+        blocked = (
+            blocklist_filter(docs, list(blocklist_terms), id_col, text_col)
+            .filter(F.col("blocked"))
+            .select(id_col)
+        )
+        gated = gated.join(blocked, id_col, "left_anti")
 
     deduped = exact_dedup_rows(gated, id_col, text_col)
 
@@ -117,6 +157,20 @@ def curate_corpus(
         # Same reasoning as the near-dup drop: contamination volume
         # scales with the corpus, so let AQE decide the join strategy.
         kept = kept.join(bad, id_col, "left_anti")
+
+    if max_per_domain is not None:
+        from lotad_spark.pipeline.urls import domain_cap
+
+        # Rank only the SURVIVORS of the earlier stages — capping
+        # against raw-crawl counts would punish a domain for docs the
+        # pipeline already dropped.
+        survivors = docs.join(kept.select(id_col), id_col)
+        over_cap = (
+            domain_cap(survivors, max_per_domain, id_col, url_col)
+            .filter(F.col("capped"))
+            .select(id_col)
+        )
+        kept = kept.join(over_cap, id_col, "left_anti")
 
     capped = stratified_cap(
         kept, source_col, cap_per_source, id_col,

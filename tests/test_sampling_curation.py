@@ -179,6 +179,89 @@ class TestCurateCorpus:
         }
         assert not bad & {r.doc_id for r in rows}
 
+    def test_r12_gates_compose(self, spark, docs):
+        """Optional URL-dedup / blocklist / domain-cap stages: defaults
+        OFF leave the base composition identical; ON they drop exactly
+        the rows their standalone operators flag."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from lotad_spark.pipeline import (
+            blocklist_filter,
+            domain_cap,
+            url_dedup,
+        )
+
+        base = {
+            r.doc_id
+            for r in curate_corpus(docs, None, cap_per_source=50).collect()
+        }
+        # give every doc a URL: ids sharing id % 7 collide on the
+        # canonical form; two domains split on id % 2
+        withurl = docs.withColumn(
+            "url",
+            F.concat(
+                F.lit("https://www."),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("a")).otherwise(
+                    F.lit("b")
+                ),
+                F.lit(".example.com/p/"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("?utm_x=1"),
+            ),
+        )
+        url_dups = {
+            r.doc_id
+            for r in url_dedup(withurl).filter("is_dup").collect()
+        }
+        got = {
+            r.doc_id
+            for r in curate_corpus(
+                withurl, None, cap_per_source=50, url_col="url"
+            ).collect()
+        }
+        assert got == base - url_dups
+        # blocklist gate drops exactly the standalone-flagged ids
+        terms = ["the"]
+        blocked = {
+            r.doc_id
+            for r in blocklist_filter(docs, terms).filter("blocked").collect()
+        }
+        got_bl = {
+            r.doc_id
+            for r in curate_corpus(
+                docs, None, cap_per_source=50, blocklist_terms=terms
+            ).collect()
+        }
+        assert got_bl == base - blocked
+        # domain cap ranks the SURVIVORS, and needs url_col
+        with _pytest.raises(ValueError, match="needs url_col"):
+            curate_corpus(docs, None, max_per_domain=3)
+        capped_out = curate_corpus(
+            withurl, None, cap_per_source=50, url_col="url",
+            max_per_domain=3,
+        ).collect()
+        survivors = [r.doc_id for r in capped_out]
+        ranked = {
+            r.doc_id
+            for r in domain_cap(
+                withurl.join(
+                    spark.createDataFrame(
+                        [(i,) for i in base - url_dups], "doc_id bigint"
+                    ),
+                    "doc_id",
+                ),
+                3,
+            )
+            .filter("capped")
+            .collect()
+        }
+        assert not set(survivors) & ranked
+        per_domain: dict = {}
+        for d in survivors:
+            per_domain[d % 2] = per_domain.get(d % 2, 0) + 1
+        assert all(n <= 3 for n in per_domain.values())
+
     def test_sampling_nests(self, docs):
         full = {
             r.doc_id
