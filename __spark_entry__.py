@@ -1823,6 +1823,83 @@ def q_multimodal_png_luma_hist(spark, sf_dir):
     )
 
 
+def _doc_wav_media(spark, sf_dir):
+    """Each doc as a VALID 16-bit mono PCM WAV whose data bytes are the
+    doc's text rpad/truncated to 2·n_frames bytes (n_frames derived
+    from doc_id) — built in an Arrow mapInPandas stage; the SQL oracle
+    indexes the SAME text bytes as little-endian sample pairs, so the
+    RIFF chunk walk + PCM decode is value-checked byte for byte."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                n_frames = (did % 5 + 2) * 4
+                need = n_frames * 2
+                data = (text or "").encode("utf-8")[:need].ljust(
+                    need, b"x"
+                )
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                chunks += b"data" + struct.pack("<I", len(data)) + data
+                payloads.append(
+                    b"RIFF"
+                    + struct.pack("<I", 4 + len(chunks))
+                    + b"WAVE"
+                    + chunks
+                )
+            yield pdf.assign(content=payloads)[["doc_id", "content"]].rename(
+                columns={"doc_id": "media_id"}
+            )
+
+    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def q_multimodal_audio_hist(spark, sf_dir):
+    """REAL audio-sample extraction (pipeline/multimodal.py
+    extract_audio_hist): the kernel walks the RIFF chunks, decodes the
+    ACTUAL 16-bit PCM samples, and histograms amplitude into 16 even
+    bins over the signed range — all-integer arithmetic, so the oracle
+    replays byte pairing (little-endian), the signed-offset bin map
+    ((u + 32768) % 65536 · 16 // 65536), and the counts exactly in
+    SQL. The constant kind='pcm' pins that the real decode path ran
+    for every row (a fallback row reads 'bytes' and hash-mismatches)."""
+    from lotad_spark.pipeline.multimodal import extract_audio_hist
+
+    return extract_audio_hist(_doc_wav_media(spark, sf_dir)).select(
+        "media_id",
+        "kind",
+        "sample_rate",
+        "n_frames",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias(
+            "hist"
+        ),
+    )
+
+
+_MULTIMODAL_AUDIO_SQL = (
+    "WITH base AS (SELECT doc_id AS media_id, "
+    "CAST((doc_id % 5 + 2) * 4 AS BIGINT) AS nf, "
+    "rpad(coalesce(text, ''), "
+    "CAST((doc_id % 5 + 2) * 4 * 2 AS INT), 'x') AS px FROM documents), "
+    "bins AS (SELECT media_id, nf, list_transform(range(0, nf), "
+    "i -> ((ord(substr(px, 2 * i + 1, 1)) "
+    "+ 256 * ord(substr(px, 2 * i + 2, 1)) + 32768) % 65536) "
+    "* 16 // 65536) AS bl FROM base) "
+    "SELECT media_id, 'pcm' AS kind, 8000 AS sample_rate, "
+    "nf AS n_frames, "
+    "array_to_string(list_transform(range(0, 16), b -> "
+    "CAST(len(list_filter(bl, x -> x = b)) AS VARCHAR)), ',') AS hist "
+    "FROM bins"
+)
+
+
 def q_multimodal_luma_hist(spark, sf_dir):
     """REAL pixel-feature extraction (pipeline/multimodal.py
     extract_feature_counts kind='luma'): the kernel decodes the P6
@@ -4172,16 +4249,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green stable rows rotate out. Layout this round (r12), per the
     precomputed queue in COVERAGE.md:
 
-    * 1-6: NEW this round, no driver-green run yet — the fastText-style
+    * 1-8: NEW this round, no driver-green run yet — the fastText-style
       hashed quality classifier (quality_classifier: driver-trained
-      weight literals, decimal-exact micro-unit logits), the
-      URL/domain curation ladder (url_dedup / domain_stats /
-      domain_cap / domain_blocklist: the full 7-step canonicalization
-      regex pipeline replayed byte-for-byte in SQL over a shared
-      deterministic URL synthesis), and multimodal_png_luma_hist (the
-      PNG encode→inflate→unfilter round trip value-checked against
-      the engine-independent text-derived pixel source).
-    * 7-18: changed-code re-entries — the four IVF-family ANN rows +
+      weight literals, decimal-exact micro-unit logits), CCNet
+      head/middle/tail bucketing (ccnet_buckets: exact per-language
+      rank terciles over the micro-unit LM score), the URL/domain
+      curation ladder (url_dedup / domain_stats / domain_cap /
+      domain_blocklist: the full 7-step canonicalization regex
+      pipeline replayed byte-for-byte in SQL over a shared
+      deterministic URL synthesis), multimodal_png_luma_hist (the PNG
+      encode→inflate→unfilter round trip value-checked against the
+      engine-independent text-derived pixel source), and
+      multimodal_audio_hist (RIFF/WAVE PCM decode value-checked the
+      same way over little-endian sample pairs).
+    * 9-20: changed-code re-entries — the four IVF-family ANN rows +
       pq_codes / ann_pq_topk ride the new cluster-size-rule
       n_centroids default (max(8, min(4096, n/250)), oracles deriving
       the identical k from COUNT(*)) and the limit-aware oracle
@@ -4189,11 +4270,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       shared-lambda-tree hazard; text_normalize's nfc path now
       captures the pre-NFC length; the four multimodal rows ride
       decode_pixels, which gained the PNG branch.
-    * 19-47: the r12 queue head — the remaining r9-green rows, longest
+    * 21-49: the r12 queue head — the remaining r9-green rows, longest
       out of the window, in COVERAGE.md's precomputed order
       (multimodal_decode moved up into the changed-code block).
-    * 48-50: next-oldest (r10-green) per the queue:
-      rolling_active_users_bound, dsir_weights, bm25_topk.
+    * 50: next-oldest (r10-green) per the queue:
+      rolling_active_users_bound (dsir_weights and bm25_topk were
+      displaced to 51+ by the late new rows; both r10-green, they head
+      the r13 fill).
     * 51+: rotated out — the rest of the r10-green block in COVERAGE
       order, then the r11-green window rows (newest last). Every
       rotated row has at least one driver-green round with code
@@ -4217,6 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "domain_blocklist": q_domain_blocklist,
         "multimodal_png_luma_hist": q_multimodal_png_luma_hist,
+        "multimodal_audio_hist": q_multimodal_audio_hist,
         # --- 7-18: changed-code re-entries (r12). The four IVF-family
         # ANN rows + pq_codes/ann_pq_topk ride the cluster-size-rule
         # n_centroids default and the limit-aware oracle trainers;
@@ -4417,6 +4501,7 @@ def oracle_sql() -> dict[str, str]:
     oracles = {
         "quality_classifier": _quality_classifier_sql(),
         "ccnet_buckets": _CCNET_BUCKETS_SQL,
+        "multimodal_audio_hist": _MULTIMODAL_AUDIO_SQL,
         "url_dedup": _url_dedup_sql(),
         "domain_stats": _domain_stats_sql(),
         "domain_cap": _domain_cap_sql(),

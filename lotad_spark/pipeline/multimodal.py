@@ -464,6 +464,148 @@ def frame_sample_plan(
 FEATURE_DIM = 16
 
 
+def _wav_header(payload: bytes):
+    """RIFF/WAVE chunk walk for uncompressed PCM: returns
+    ``(n_channels, sample_rate, bits, data_offset, data_len)`` or None
+    when the payload is not a structurally-complete PCM WAV (bad
+    magic, truncated chunk, missing fmt/data, compressed audio_format,
+    or a bit depth other than 8/16). Like the image parsers, the walk
+    is the ONE definition the metadata and sample-decode paths share."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, ln = payload[pos : pos + 4], struct.unpack_from(
+            "<I", payload, pos
+        + 4)[0]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None  # truncated chunk
+        if cid == b"fmt " and ln >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = (pos + 8, ln)
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, n_ch, rate, _bps, _align, bits = fmt
+    if audio_format != 1 or n_ch < 1 or bits not in (8, 16):
+        return None  # compressed / float / exotic depth: honest None
+    return (n_ch, rate, bits, data[0], data[1])
+
+
+def decode_audio(payload: bytes):
+    """REAL sample decode for the zero-dependency audio format —
+    uncompressed RIFF/WAVE PCM (8-bit unsigned or 16-bit signed
+    little-endian, any channel count): returns
+    ``(sample_rate, ndarray[n_frames, n_channels] int32)`` with every
+    sample normalized to the SIGNED 16-bit range (8-bit input maps
+    ``(s − 128)·256``), or None for anything compressed, float-PCM,
+    or truncated — the same honesty contract as
+    :func:`decode_pixels`. Trailing bytes that don't fill a whole
+    frame are dropped (the spec allows a padded data chunk)."""
+    import numpy as np
+
+    hdr = _wav_header(payload)
+    if hdr is None:
+        return None
+    n_ch, rate, bits, off, ln = hdr
+    bytes_per = bits // 8
+    frame = n_ch * bytes_per
+    n_frames = ln // frame
+    if n_frames == 0:
+        return None
+    if bits == 16:
+        samples = (
+            np.frombuffer(payload, np.dtype("<i2"), n_frames * n_ch, off)
+            .astype(np.int32)
+            .reshape(n_frames, n_ch)
+        )
+    else:
+        samples = (
+            (
+                np.frombuffer(
+                    payload, np.uint8, n_frames * n_ch, off
+                ).astype(np.int32)
+                - 128
+            )
+            * 256
+        ).reshape(n_frames, n_ch)
+    return (rate, samples)
+
+
+def extract_audio_hist(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """(id, kind, sample_rate, n_frames, hist array<int>) per media row
+    via Arrow-batched mapInPandas — the audio sibling of
+    ``extract_feature_counts(kind='luma')``: decode REAL PCM samples
+    (:func:`decode_audio`), histogram their amplitude into ``dim`` even
+    bins over the signed 16-bit range (``(s + 32768) · dim // 65536``
+    — pure integer arithmetic summed over channels in frame order, so
+    the histogram replays exactly in SQL). Payloads the decoder can't
+    handle fall back to the byte histogram with ``kind='bytes'`` and
+    ``sample_rate``/``n_frames`` 0 — labeled, never silently faked;
+    NULL payloads emit kind='null'. The id column keeps the caller's
+    type."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, kind string, sample_rate int, "
+        "n_frames bigint, hist array<int>"
+    )
+
+    def audio_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            kinds, rates, frames, feats = [], [], [], []
+            for b in pdf[content_col]:
+                if b is None:
+                    kinds.append("null")
+                    rates.append(0)
+                    frames.append(0)
+                    feats.append([0] * dim)
+                    continue
+                raw = bytes(b)
+                dec = decode_audio(raw)
+                if dec is not None:
+                    rate, samples = dec
+                    bins = ((samples + 32768) * dim) // 65536
+                    kinds.append("pcm")
+                    rates.append(int(rate))
+                    frames.append(int(samples.shape[0]))
+                    feats.append(
+                        np.bincount(
+                            bins.ravel(), minlength=dim
+                        ).tolist()
+                    )
+                    continue
+                arr = np.frombuffer(raw, dtype=np.uint8) % dim
+                kinds.append("bytes")
+                rates.append(0)
+                frames.append(0)
+                feats.append(np.bincount(arr, minlength=dim).tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "kind": kinds,
+                    "sample_rate": rates,
+                    "n_frames": frames,
+                    "hist": feats,
+                }
+            )
+
+    return df.mapInPandas(audio_batches, schema=out_schema)
+
+
 def extract_feature_counts(
     df: DataFrame,
     content_col: str = "content",

@@ -358,6 +358,91 @@ class TestMultimodal:
         assert (got[1].width, got[1].height, got[1].mode) == (2, 1, "RGB")
         assert got[2].mode == "STUB"
 
+    @staticmethod
+    def _make_wav(data: bytes, n_ch=1, rate=8000, bits=16,
+                  audio_format=1):
+        import struct
+
+        fmt = struct.pack(
+            "<HHIIHH", audio_format, n_ch, rate,
+            rate * n_ch * bits // 8, n_ch * bits // 8, bits,
+        )
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += (
+            b"data" + struct.pack("<I", len(data)) + data
+            + (b"\0" if len(data) % 2 else b"")
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+            + chunks
+        )
+
+    def test_wav_decode_16_8_bit_and_stereo(self):
+        import struct
+
+        from lotad_spark.pipeline.multimodal import decode_audio
+
+        rate, s = decode_audio(
+            self._make_wav(struct.pack("<4h", -32768, -1, 0, 32767))
+        )
+        assert rate == 8000
+        assert s.ravel().tolist() == [-32768, -1, 0, 32767]
+        # 8-bit unsigned maps (s - 128) * 256 into the 16-bit range
+        _, s8 = decode_audio(self._make_wav(bytes([0, 128, 255]), bits=8))
+        assert s8.ravel().tolist() == [-32768, 0, 32512]
+        # stereo keeps channels as columns
+        _, st = decode_audio(
+            self._make_wav(struct.pack("<4h", 1, 2, 3, 4), n_ch=2)
+        )
+        assert st.tolist() == [[1, 2], [3, 4]]
+        # odd-length data chunk: the pad byte must not become a sample
+        _, so = decode_audio(self._make_wav(bytes([7, 200, 9]), bits=8))
+        assert so.ravel().tolist() == [(7 - 128) * 256, (200 - 128) * 256,
+                                       (9 - 128) * 256]
+
+    def test_wav_honest_none_fallbacks(self):
+        import struct
+
+        from lotad_spark.pipeline.multimodal import decode_audio
+
+        ok = self._make_wav(struct.pack("<2h", 5, 6))
+        assert decode_audio(ok) is not None
+        # compressed (non-PCM audio_format), float-ish depth, truncation
+        assert decode_audio(
+            self._make_wav(b"\0\0\0\0", audio_format=85)
+        ) is None
+        assert decode_audio(
+            self._make_wav(b"\0" * 8, bits=32)
+        ) is None
+        assert decode_audio(ok[:-3]) is None  # truncated data chunk
+        assert decode_audio(b"RIFF\x04\0\0\0WAVE") is None  # no chunks
+        assert decode_audio(b"not audio at all") is None
+
+    def test_audio_hist_stage_and_fallback_labeling(self, spark):
+        import struct
+
+        from lotad_spark.pipeline.multimodal import extract_audio_hist
+
+        wav = self._make_wav(struct.pack("<4h", -32768, -1, 0, 32767))
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(wav)),
+                (2, bytearray(b"opaque bytes, not audio")),
+                (3, None),
+            ],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in extract_audio_hist(df).collect()}
+        r1 = got[1]
+        assert (r1.kind, r1.sample_rate, r1.n_frames) == ("pcm", 8000, 4)
+        # bins: -32768 -> 0, -1 -> 7, 0 -> 8, 32767 -> 15
+        expect = [0] * 16
+        for b in (0, 7, 8, 15):
+            expect[b] += 1
+        assert r1.hist == expect
+        assert got[2].kind == "bytes" and got[2].sample_rate == 0
+        assert got[3].kind == "null"
+
     def test_bmp_coreheader_rejected(self):
         """A BITMAPCOREHEADER BMP (DIB size 12, 16-bit width/height at
         different offsets) must fall through rather than be read at
