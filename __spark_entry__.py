@@ -1900,6 +1900,122 @@ _MULTIMODAL_AUDIO_SQL = (
 )
 
 
+def _doc_avi_media(spark, sf_dir):
+    """Each doc as a VALID uncompressed 24-bpp RIFF/AVI whose frame
+    rasters are the doc's text rpad/truncated to n_frames·12·h bytes
+    (w fixed at 4 so the stride needs no padding; h and n_frames
+    derived from doc_id) — built in an Arrow mapInPandas stage; the
+    SQL oracle indexes the SAME text bytes per sampled frame, so the
+    chunk walk, frame split, BGR ordering, and luma arithmetic are
+    value-checked byte for byte."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import struct
+
+        def chunk(cid, body):
+            return (
+                cid
+                + struct.pack("<I", len(body))
+                + body
+                + (b"\0" if len(body) % 2 else b"")
+            )
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w, h = 4, did % 2 + 1
+                nf = did % 3 + 1
+                per = w * 3 * h
+                data = (text or "").encode("utf-8")[: nf * per].ljust(
+                    nf * per, b"x"
+                )
+                avih = (
+                    struct.pack("<8I", 40000, 0, 0, 0, nf, 0, 1, 0)
+                    + struct.pack("<II", w, h)
+                    + b"\0" * 16
+                )
+                strf = (
+                    struct.pack("<IiiHHII", 40, w, h, 1, 24, 0, 0)
+                    + b"\0" * 16
+                )
+                hdrl = chunk(
+                    b"LIST",
+                    b"hdrl"
+                    + chunk(b"avih", avih)
+                    + chunk(b"LIST", b"strl" + chunk(b"strf", strf)),
+                )
+                movi = chunk(
+                    b"LIST",
+                    b"movi"
+                    + b"".join(
+                        chunk(b"00db", data[f * per : (f + 1) * per])
+                        for f in range(nf)
+                    ),
+                )
+                body = b"AVI " + hdrl + movi
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", len(body)) + body
+                )
+            yield pdf.assign(content=payloads)[["doc_id", "content"]].rename(
+                columns={"doc_id": "media_id"}
+            )
+
+    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def q_multimodal_video_hist(spark, sf_dir):
+    """REAL video-frame extraction (pipeline/multimodal.py
+    extract_video_hist): walk the RIFF/AVI chunks, decode every 2nd
+    uncompressed 24-bpp frame's ACTUAL raster (bottom-up, BGR), and
+    luma-histogram the sampled pixels — all-integer arithmetic, so the
+    oracle replays frame sampling, byte indexing (R/G/B at offsets
+    3/2/1 of each on-disk BGR triple; the histogram is
+    orientation-insensitive so the bottom-up flip drops out), luma,
+    and binning exactly in SQL. kind='frames' pins the real decode
+    path ran for every row."""
+    from lotad_spark.pipeline.multimodal import extract_video_hist
+
+    return extract_video_hist(
+        _doc_avi_media(spark, sf_dir), every_nth=2
+    ).select(
+        "media_id",
+        "kind",
+        "n_frames",
+        "n_sampled",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias(
+            "hist"
+        ),
+    )
+
+
+_MULTIMODAL_VIDEO_SQL = (
+    "WITH base AS (SELECT doc_id AS media_id, "
+    "CAST(doc_id % 2 + 1 AS BIGINT) AS h, "
+    "CAST(doc_id % 3 + 1 AS BIGINT) AS nf, "
+    "rpad(coalesce(text, ''), "
+    "CAST((doc_id % 3 + 1) * 12 * (doc_id % 2 + 1) AS INT), 'x') AS px "
+    "FROM documents), "
+    "lum AS (SELECT media_id, nf, "
+    "CAST(len(list_filter(range(0, nf), f -> f % 2 = 0)) AS BIGINT) "
+    "AS ns, "
+    "flatten(list_transform(list_filter(range(0, nf), f -> f % 2 = 0), "
+    "f -> list_transform(range(0, 4 * h), p -> "
+    "(299 * ord(substr(px, CAST(f * 12 * h + 3 * p + 3 AS INT), 1)) "
+    "+ 587 * ord(substr(px, CAST(f * 12 * h + 3 * p + 2 AS INT), 1)) "
+    "+ 114 * ord(substr(px, CAST(f * 12 * h + 3 * p + 1 AS INT), 1))"
+    ") // 1000))) AS lumas FROM base) "
+    "SELECT media_id, 'frames' AS kind, nf AS n_frames, "
+    "ns AS n_sampled, "
+    "array_to_string(list_transform(range(0, 16), b -> "
+    "CAST(len(list_filter(lumas, l -> l * 16 // 256 = b)) "
+    "AS VARCHAR)), ',') AS hist FROM lum"
+)
+
+
 def q_multimodal_luma_hist(spark, sf_dir):
     """REAL pixel-feature extraction (pipeline/multimodal.py
     extract_feature_counts kind='luma'): the kernel decodes the P6
@@ -4249,7 +4365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green stable rows rotate out. Layout this round (r12), per the
     precomputed queue in COVERAGE.md:
 
-    * 1-8: NEW this round, no driver-green run yet — the fastText-style
+    * 1-9: NEW this round, no driver-green run yet — the fastText-style
       hashed quality classifier (quality_classifier: driver-trained
       weight literals, decimal-exact micro-unit logits), CCNet
       head/middle/tail bucketing (ccnet_buckets: exact per-language
@@ -4261,8 +4377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       encode→inflate→unfilter round trip value-checked against the
       engine-independent text-derived pixel source), and
       multimodal_audio_hist (RIFF/WAVE PCM decode value-checked the
-      same way over little-endian sample pairs).
-    * 9-20: changed-code re-entries — the four IVF-family ANN rows +
+      same way over little-endian sample pairs), and
+      multimodal_video_hist (uncompressed-AVI frame decode — chunk
+      walk, BGR raster, frame sampling — replayed over the same
+      text-byte pixel source).
+    * 10-21: changed-code re-entries — the four IVF-family ANN rows +
       pq_codes / ann_pq_topk ride the new cluster-size-rule
       n_centroids default (max(8, min(4096, n/250)), oracles deriving
       the identical k from COUNT(*)) and the limit-aware oracle
@@ -4270,13 +4389,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       shared-lambda-tree hazard; text_normalize's nfc path now
       captures the pre-NFC length; the four multimodal rows ride
       decode_pixels, which gained the PNG branch.
-    * 21-49: the r12 queue head — the remaining r9-green rows, longest
+    * 22-50: the r12 queue head — the remaining r9-green rows, longest
       out of the window, in COVERAGE.md's precomputed order
-      (multimodal_decode moved up into the changed-code block).
-    * 50: next-oldest (r10-green) per the queue:
-      rolling_active_users_bound (dsir_weights and bm25_topk were
-      displaced to 51+ by the late new rows; both r10-green, they head
-      the r13 fill).
+      (multimodal_decode moved up into the changed-code block). The
+      late new rows displaced bm25_topk, dsir_weights, and
+      rolling_active_users_bound (all r10-green) to 51+; they head the
+      r13 fill.
     * 51+: rotated out — the rest of the r10-green block in COVERAGE
       order, then the r11-green window rows (newest last). Every
       rotated row has at least one driver-green round with code
@@ -4301,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": q_domain_blocklist,
         "multimodal_png_luma_hist": q_multimodal_png_luma_hist,
         "multimodal_audio_hist": q_multimodal_audio_hist,
+        "multimodal_video_hist": q_multimodal_video_hist,
         # --- 7-18: changed-code re-entries (r12). The four IVF-family
         # ANN rows + pq_codes/ann_pq_topk ride the cluster-size-rule
         # n_centroids default and the limit-aware oracle trainers;
@@ -4502,6 +4621,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_sql(),
         "ccnet_buckets": _CCNET_BUCKETS_SQL,
         "multimodal_audio_hist": _MULTIMODAL_AUDIO_SQL,
+        "multimodal_video_hist": _MULTIMODAL_VIDEO_SQL,
         "url_dedup": _url_dedup_sql(),
         "domain_stats": _domain_stats_sql(),
         "domain_cap": _domain_cap_sql(),

@@ -606,6 +606,172 @@ def extract_audio_hist(
     return df.mapInPandas(audio_batches, schema=out_schema)
 
 
+def _avi_parse(payload: bytes):
+    """RIFF/AVI chunk walk for UNCOMPRESSED 24-bpp video: returns
+    ``(width, height, [frame_bytes, ...])`` or None when the payload
+    is not a structurally-complete uncompressed AVI (bad magic,
+    truncated chunk, missing avih/strf, compressed stream, or a bit
+    depth other than 24). Frames are the raw ``..db`` (device
+    independent bitmap) chunks of LIST 'movi' — compressed ``..dc``
+    streams are exactly what the honesty contract refuses to fake."""
+    import struct
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        return None
+    state = {"w": None, "h": None, "bpp": None, "comp": None}
+    frames: list[bytes] = []
+    compressed_seen = False
+
+    def walk(data: bytes) -> bool:
+        nonlocal compressed_seen
+        pos = 0
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            ln = struct.unpack_from("<I", data, pos + 4)[0]
+            body = data[pos + 8 : pos + 8 + ln]
+            if len(body) < ln:
+                return False  # truncated chunk
+            if cid == b"LIST":
+                if not walk(body[4:]):
+                    return False
+            elif cid == b"avih":
+                if ln < 40:
+                    return False
+                state["w"] = struct.unpack_from("<I", body, 32)[0]
+                state["h"] = struct.unpack_from("<I", body, 36)[0]
+            elif cid == b"strf" and ln >= 20:
+                state["bpp"] = struct.unpack_from("<H", body, 14)[0]
+                state["comp"] = struct.unpack_from("<I", body, 16)[0]
+            elif cid[2:4] == b"db":
+                frames.append(body)
+            elif cid[2:4] == b"dc":
+                compressed_seen = True
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        return True
+
+    if not walk(payload[12:]):
+        return None
+    w, h = state["w"], state["h"]
+    if (
+        w is None
+        or h is None
+        or w <= 0
+        or h <= 0
+        or state["bpp"] != 24
+        or state["comp"] != 0
+        or compressed_seen
+        or not frames
+    ):
+        return None
+    return (int(w), int(h), frames)
+
+
+def decode_video_frames(payload: bytes, *, every_nth: int = 1):
+    """REAL frame decode for the zero-dependency video format —
+    uncompressed 24-bpp RIFF/AVI: returns
+    ``(width, height, n_frames_total, [ndarray[h, w, 3] RGB, ...])``
+    for every ``every_nth``-th frame (frame 0 always included), or
+    None for anything compressed/truncated/exotic — the
+    :func:`decode_pixels` honesty contract extended to video. Each
+    frame raster is the BMP pixel-section layout: bottom-up rows,
+    4-byte row stride, BGR on disk (flipped and reordered here). A
+    frame whose chunk is shorter than the raster makes the WHOLE
+    payload None (a half-frame is corruption, not data)."""
+    import numpy as np
+
+    if every_nth < 1:
+        raise ValueError("decode_video_frames: every_nth must be >= 1")
+    parsed = _avi_parse(payload)
+    if parsed is None:
+        return None
+    w, h, frames = parsed
+    stride = ((w * 3 + 3) // 4) * 4
+    out = []
+    for i in range(0, len(frames), every_nth):
+        raw = frames[i]
+        if len(raw) < stride * h:
+            return None
+        rows = np.frombuffer(raw, np.uint8, stride * h).reshape(h, stride)
+        px = rows[:, : w * 3].reshape(h, w, 3)[::-1]  # bottom-up flip
+        out.append(px[:, :, [2, 1, 0]].copy())  # BGR -> RGB
+    return (w, h, len(frames), out)
+
+
+def extract_video_hist(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+    dim: int = FEATURE_DIM,
+    every_nth: int = 2,
+) -> DataFrame:
+    """(id, kind, n_frames, n_sampled, hist array<int>) per media row —
+    the video face of the real-feature kernels: decode every
+    ``every_nth``-th frame (:func:`decode_video_frames`), compute the
+    integer BT.601 luma per pixel, and histogram ALL sampled frames'
+    pixels into one ``dim``-bin relation (pure integer arithmetic —
+    the SQL oracle replays byte indexing, luma, and binning exactly).
+    Undecodable payloads fall back to the byte histogram with
+    ``kind='bytes'`` and frame counts 0; NULL emits kind='null'. The
+    frame-sampling knob is the production lever: cost scales with the
+    SAMPLED pixel volume, not the stored one."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, kind string, n_frames bigint, "
+        "n_sampled bigint, hist array<int>"
+    )
+
+    def video_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            kinds, totals, sampled, feats = [], [], [], []
+            for b in pdf[content_col]:
+                if b is None:
+                    kinds.append("null")
+                    totals.append(0)
+                    sampled.append(0)
+                    feats.append([0] * dim)
+                    continue
+                raw = bytes(b)
+                dec = decode_video_frames(raw, every_nth=every_nth)
+                if dec is not None:
+                    _w, _h, n_total, frames = dec
+                    hist = np.zeros(dim, dtype=np.int64)
+                    for px in frames:
+                        bins = (_luma(px) * dim) // 256
+                        hist += np.bincount(
+                            bins.ravel(), minlength=dim
+                        )
+                    kinds.append("frames")
+                    totals.append(int(n_total))
+                    sampled.append(len(frames))
+                    feats.append([int(x) for x in hist])
+                    continue
+                arr = np.frombuffer(raw, dtype=np.uint8) % dim
+                kinds.append("bytes")
+                totals.append(0)
+                sampled.append(0)
+                feats.append(np.bincount(arr, minlength=dim).tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "kind": kinds,
+                    "n_frames": totals,
+                    "n_sampled": sampled,
+                    "hist": feats,
+                }
+            )
+
+    return df.mapInPandas(video_batches, schema=out_schema)
+
+
 def extract_feature_counts(
     df: DataFrame,
     content_col: str = "content",

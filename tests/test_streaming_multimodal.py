@@ -443,6 +443,106 @@ class TestMultimodal:
         assert got[2].kind == "bytes" and got[2].sample_rate == 0
         assert got[3].kind == "null"
 
+    @staticmethod
+    def _make_avi(frames, w, h, bpp=24, comp=0, stream=b"00db"):
+        import struct
+
+        def chunk(cid, body):
+            return (
+                cid + struct.pack("<I", len(body)) + body
+                + (b"\0" if len(body) % 2 else b"")
+            )
+
+        avih = (
+            struct.pack("<8I", 40000, 0, 0, 0, len(frames), 0, 1, 0)
+            + struct.pack("<II", w, h) + b"\0" * 16
+        )
+        strf = (
+            struct.pack("<IiiHHII", 40, w, h, 1, bpp, comp, 0)
+            + b"\0" * 16
+        )
+        hdrl = chunk(
+            b"LIST",
+            b"hdrl" + chunk(b"avih", avih)
+            + chunk(b"LIST", b"strl" + chunk(b"strf", strf)),
+        )
+        movi = chunk(
+            b"LIST",
+            b"movi" + b"".join(chunk(stream, f) for f in frames),
+        )
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_avi_frame_decode_and_sampling(self):
+        from lotad_spark.pipeline.multimodal import decode_video_frames
+
+        w, h = 4, 2
+        f0 = bytes(range(24))
+        f1 = bytes(reversed(range(24)))
+        avi = self._make_avi([f0, f1, f0], w, h)
+        got = decode_video_frames(avi, every_nth=2)
+        assert got is not None
+        w_, h_, n, frames = got
+        assert (w_, h_, n, len(frames)) == (4, 2, 3, 2)
+        # bottom-up flip + BGR->RGB: source row 1 triple (12,13,14)
+        # lands at output [0][0] as RGB (14,13,12)
+        assert frames[0][0, 0].tolist() == [14, 13, 12]
+        assert frames[0][1, 0].tolist() == [2, 1, 0]
+        # every_nth=1 returns all three
+        assert len(decode_video_frames(avi, every_nth=1)[3]) == 3
+
+    def test_avi_honest_none_fallbacks(self):
+        import pytest as _pytest
+
+        from lotad_spark.pipeline.multimodal import decode_video_frames
+
+        f = bytes(range(24))
+        ok = self._make_avi([f], 4, 2)
+        assert decode_video_frames(ok) is not None
+        # compressed stream flag, compressed chunks, short frame raster
+        assert decode_video_frames(self._make_avi([f], 4, 2, comp=1)) is None
+        assert decode_video_frames(
+            self._make_avi([f], 4, 2, stream=b"00dc")
+        ) is None
+        assert decode_video_frames(self._make_avi([f[:-4]], 4, 2)) is None
+        # 32-bpp, truncation, junk
+        assert decode_video_frames(self._make_avi([f], 4, 2, bpp=32)) is None
+        assert decode_video_frames(ok[:-5]) is None
+        assert decode_video_frames(b"RIFF\x04\0\0\0AVI ") is None
+        assert decode_video_frames(b"not a video") is None
+        with _pytest.raises(ValueError):
+            decode_video_frames(ok, every_nth=0)
+
+    def test_video_hist_stage_and_fallback_labeling(self, spark):
+        from lotad_spark.pipeline.multimodal import (
+            _luma,
+            extract_video_hist,
+        )
+        import numpy as np
+
+        f0 = bytes(range(24))
+        f1 = bytes(b"\xff" * 24)
+        avi = self._make_avi([f0, f1, f0], 4, 2)
+        df = spark.createDataFrame(
+            [(1, bytearray(avi)), (2, bytearray(b"junk")), (3, None)],
+            "media_id bigint, content binary",
+        )
+        got = {
+            r.media_id: r for r in extract_video_hist(df).collect()
+        }
+        r1 = got[1]
+        assert (r1.kind, r1.n_frames, r1.n_sampled) == ("frames", 3, 2)
+        # hand-compute: frames 0 and 2 are f0 twice — histogram over
+        # the BGR->RGB triples of f0, doubled
+        px = np.frombuffer(f0, np.uint8).reshape(2, 12).reshape(2, 4, 3)
+        lum = _luma(px[:, :, [2, 1, 0]])
+        expect = np.bincount(
+            ((lum * 16) // 256).ravel(), minlength=16
+        ) * 2
+        assert r1.hist == expect.tolist()
+        assert got[2].kind == "bytes" and got[2].n_frames == 0
+        assert got[3].kind == "null"
+
     def test_bmp_coreheader_rejected(self):
         """A BITMAPCOREHEADER BMP (DIB size 12, 16-bit width/height at
         different offsets) must fall through rather than be read at
