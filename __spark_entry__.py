@@ -2016,6 +2016,47 @@ _MULTIMODAL_VIDEO_SQL = (
 )
 
 
+def q_image_ahash(spark, sf_dir):
+    """Perceptual image fingerprint (pipeline/multimodal.py
+    image_ahash): decode the P6 pixels, 8×8 nearest-neighbor resample
+    of the integer luma, floor mean, strict-greater bits packed as two
+    non-negative 32-bit halves — every stage integer, so the oracle
+    replays resample indices (i·dim // 8), luma, the mean, and the bit
+    packing exactly in SQL. kind='ahash' pins the real decode path."""
+    from lotad_spark.pipeline.multimodal import image_ahash
+
+    return image_ahash(_doc_ppm_media(spark, sf_dir))
+
+
+_IMAGE_AHASH_SQL = (
+    "WITH base AS (SELECT doc_id AS media_id, "
+    "CAST(doc_id % 5 + 2 AS BIGINT) AS w, "
+    "CAST(doc_id % 3 + 1 AS BIGINT) AS h, "
+    "rpad(coalesce(text, ''), "
+    "CAST((doc_id % 5 + 2) * (doc_id % 3 + 1) * 3 AS INT), 'x') "
+    "AS px FROM documents), "
+    # 64 resampled cells, row-major: cell i samples source pixel
+    # (y·h//8, x·w//8) with y=i//8, x=i%8; luma over the BGR-free P6
+    # RGB triple at 3·idx
+    "cells AS (SELECT media_id, list_transform(range(0, 64), i -> "
+    "(299 * ord(substr(px, CAST(3 * (((i // 8) * h // 8) * w "
+    "+ ((i % 8) * w // 8)) + 1 AS INT), 1)) "
+    "+ 587 * ord(substr(px, CAST(3 * (((i // 8) * h // 8) * w "
+    "+ ((i % 8) * w // 8)) + 2 AS INT), 1)) "
+    "+ 114 * ord(substr(px, CAST(3 * (((i // 8) * h // 8) * w "
+    "+ ((i % 8) * w // 8)) + 3 AS INT), 1))) // 1000) AS cl "
+    "FROM base), "
+    "m AS (SELECT media_id, cl, list_sum(cl) // 64 AS mean FROM cells) "
+    "SELECT media_id, 'ahash' AS kind, "
+    "CAST(list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN cl[CAST(i + 33 AS INT)] > mean THEN (1::BIGINT << i) "
+    "ELSE 0 END)) AS BIGINT) AS ahash_hi, "
+    "CAST(list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN cl[CAST(i + 1 AS INT)] > mean THEN (1::BIGINT << i) "
+    "ELSE 0 END)) AS BIGINT) AS ahash_lo FROM m"
+)
+
+
 def q_multimodal_luma_hist(spark, sf_dir):
     """REAL pixel-feature extraction (pipeline/multimodal.py
     extract_feature_counts kind='luma'): the kernel decodes the P6
@@ -4365,7 +4406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green stable rows rotate out. Layout this round (r12), per the
     precomputed queue in COVERAGE.md:
 
-    * 1-9: NEW this round, no driver-green run yet — the fastText-style
+    * 1-10: NEW this round, no driver-green run yet — the fastText-style
       hashed quality classifier (quality_classifier: driver-trained
       weight literals, decimal-exact micro-unit logits), CCNet
       head/middle/tail bucketing (ccnet_buckets: exact per-language
@@ -4380,8 +4421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       same way over little-endian sample pairs), and
       multimodal_video_hist (uncompressed-AVI frame decode — chunk
       walk, BGR raster, frame sampling — replayed over the same
-      text-byte pixel source).
-    * 10-21: changed-code re-entries — the four IVF-family ANN rows +
+      text-byte pixel source), and image_ahash (the perceptual
+      fingerprint: resample/luma/mean/bit-packing replayed exactly).
+    * 11-22: changed-code re-entries — the four IVF-family ANN rows +
       pq_codes / ann_pq_topk ride the new cluster-size-rule
       n_centroids default (max(8, min(4096, n/250)), oracles deriving
       the identical k from COUNT(*)) and the limit-aware oracle
@@ -4389,12 +4431,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       shared-lambda-tree hazard; text_normalize's nfc path now
       captures the pre-NFC length; the four multimodal rows ride
       decode_pixels, which gained the PNG branch.
-    * 22-50: the r12 queue head — the remaining r9-green rows, longest
+    * 23-50: the r12 queue head — the remaining r9-green rows, longest
       out of the window, in COVERAGE.md's precomputed order
       (multimodal_decode moved up into the changed-code block). The
-      late new rows displaced bm25_topk, dsir_weights, and
-      rolling_active_users_bound (all r10-green) to 51+; they head the
-      r13 fill.
+      late new rows displaced bm25_topk, dsir_weights,
+      rolling_active_users_bound, and skew_two_phase_agg (all
+      r9/r10-green) to 51+; they head the r13 fill.
     * 51+: rotated out — the rest of the r10-green block in COVERAGE
       order, then the r11-green window rows (newest last). Every
       rotated row has at least one driver-green round with code
@@ -4420,6 +4462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_luma_hist": q_multimodal_png_luma_hist,
         "multimodal_audio_hist": q_multimodal_audio_hist,
         "multimodal_video_hist": q_multimodal_video_hist,
+        "image_ahash": q_image_ahash,
         # --- 7-18: changed-code re-entries (r12). The four IVF-family
         # ANN rows + pq_codes/ann_pq_topk ride the cluster-size-rule
         # n_centroids default and the limit-aware oracle trainers;
@@ -4622,6 +4665,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": _CCNET_BUCKETS_SQL,
         "multimodal_audio_hist": _MULTIMODAL_AUDIO_SQL,
         "multimodal_video_hist": _MULTIMODAL_VIDEO_SQL,
+        "image_ahash": _IMAGE_AHASH_SQL,
         "url_dedup": _url_dedup_sql(),
         "domain_stats": _domain_stats_sql(),
         "domain_cap": _domain_cap_sql(),

@@ -34,6 +34,7 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 try:  # real decoder if available; this container has none
     from PIL import Image as _PIL_Image  # noqa: F401
@@ -604,6 +605,176 @@ def extract_audio_hist(
             )
 
     return df.mapInPandas(audio_batches, schema=out_schema)
+
+
+def ahash_parts(payload: bytes):
+    """64-bit average-hash (aHash — the classic perceptual image
+    fingerprint, public) of a decodable payload, returned as TWO
+    non-negative 32-bit halves ``(hi, lo)`` so the packing is exact in
+    a signed bigint on every engine (one 64-bit int would put grid
+    cell 63 in the sign bit). None when :func:`decode_pixels` can't
+    decode.
+
+    All-integer pipeline, so the hash replays exactly in SQL: decode →
+    integer BT.601 luma → 8×8 nearest-neighbor resample
+    (``src = i·src_dim // 8``, the :func:`resize_images` index rule) →
+    floor mean over the 64 cells → bit i set iff cell i > mean
+    (STRICT, so a uniform image hashes to all-zero, not all-one).
+    Cell order is row-major; bit i of half ``lo`` covers cells 0-31,
+    ``hi`` cells 32-63."""
+    dec = decode_pixels(payload)
+    if dec is None:
+        return None
+    w, h, arr = dec
+    lum = _luma(arr)
+    ys = [y * h // 8 for y in range(8)]
+    xs = [x * w // 8 for x in range(8)]
+    cells = [int(lum[y][x]) for y in ys for x in xs]
+    mean = sum(cells) // 64
+    lo = hi = 0
+    for i, c in enumerate(cells):
+        if c > mean:
+            if i < 32:
+                lo |= 1 << i
+            else:
+                hi |= 1 << (i - 32)
+    return (hi, lo)
+
+
+def image_ahash(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, kind, ahash_hi, ahash_lo) per media row via Arrow-batched
+    mapInPandas: the perceptual fingerprint image dedup runs on —
+    byte-identical images, re-encodes of the same pixels (P6 vs PNG vs
+    BMP), and mild brightness-preserving edits land on equal or
+    near-equal hashes; compare with
+    :func:`image_near_dup_pairs`. Undecodable payloads emit
+    kind='bytes' with NULL halves (never a fake hash that could
+    collide with a real one); NULL payloads emit kind='null'."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, kind string, "
+        "ahash_hi bigint, ahash_lo bigint"
+    )
+
+    def hash_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, his, los = [], [], []
+            for b in pdf[content_col]:
+                if b is None:
+                    kinds.append("null")
+                    his.append(None)
+                    los.append(None)
+                    continue
+                parts = ahash_parts(bytes(b))
+                if parts is None:
+                    kinds.append("bytes")
+                    his.append(None)
+                    los.append(None)
+                else:
+                    kinds.append("ahash")
+                    his.append(parts[0])
+                    los.append(parts[1])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "kind": kinds,
+                    "ahash_hi": his,
+                    "ahash_lo": los,
+                }
+            )
+
+    return df.mapInPandas(hash_batches, schema=out_schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+    max_hamming: int = 7,
+    bands: int = 8,
+) -> DataFrame:
+    """Image near-duplicate PAIRING: (id_a, id_b, hamming) for
+    decodable pairs within ``max_hamming`` aHash bits, via the
+    simhash-style multi-probe banding — the 64-bit fingerprint splits
+    into ``bands`` equal slices (``bands`` must divide 64) and
+    candidates share at least one (slice_index, slice_value).
+    Pigeonhole: recall is EXACT for ``max_hamming ≤ bands − 1``
+    (default 7 ≤ 7); verification is exact
+    ``bit_count(hi⊕hi) + bit_count(lo⊕lo)`` on bucket-local candidates
+    only — never all-pairs, the same scale shape as the text
+    SimHash path. Only the hash extraction is Python (Arrow-batched);
+    banding, joining, and verification are pure JVM expressions over
+    two bigints per image."""
+    if 64 % bands or bands < 2:
+        # bands >= 2 also keeps every slice inside ONE 32-bit half, so
+        # slice extraction never straddles the hi/lo boundary
+        raise ValueError(
+            f"image_near_dup_pairs: bands must divide 64 and be >= 2, "
+            f"got {bands}"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    hashed = image_ahash(df, content_col, id_col=id_col).filter(
+        F.col("kind") == "ahash"
+    )
+
+    def slice_expr(b: int):
+        # slice b covers bits [b*width, (b+1)*width) of the 64-bit
+        # hash; pull from the right half (lo = bits 0-31)
+        start = b * width
+        src = F.col("ahash_lo") if start < 32 else F.col("ahash_hi")
+        return (
+            F.shiftright(src, start % 32).bitwiseAND(F.lit(mask))
+        )
+
+    slices = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_i"), slice_expr(b).alias("bv"))
+            for b in range(bands)
+        ]
+    )
+    stacked = hashed.select(
+        F.col(id_col),
+        F.col("ahash_hi"),
+        F.col("ahash_lo"),
+        F.explode(slices).alias("s"),
+    ).select(id_col, "ahash_hi", "ahash_lo", "s.band_i", "s.bv")
+    a = stacked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("ahash_hi").alias("_hia"),
+        F.col("ahash_lo").alias("_loa"),
+        "band_i",
+        "bv",
+    )
+    b = stacked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("ahash_hi").alias("_hib"),
+        F.col("ahash_lo").alias("_lob"),
+        "band_i",
+        "bv",
+    )
+    cands = (
+        a.join(b, ["band_i", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_hia", "_loa", "_hib", "_lob")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("_hia").bitwiseXOR(F.col("_hib"))
+    ) + F.bit_count(F.col("_loa").bitwiseXOR(F.col("_lob")))
+    return (
+        cands.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def _avi_parse(payload: bytes):

@@ -543,6 +543,62 @@ class TestMultimodal:
         assert got[2].kind == "bytes" and got[2].n_frames == 0
         assert got[3].kind == "null"
 
+    def test_image_ahash_properties(self, spark):
+        """aHash invariances the operator exists for: byte-identical
+        inputs and cross-FORMAT re-encodes of the same pixels hash
+        equal; a mild edit lands within a small hamming; uniform
+        images hash all-zero (strict-greater rule); undecodables get
+        NULL halves, never a fake hash."""
+        import numpy as np
+
+        from lotad_spark.pipeline.multimodal import (
+            ahash_parts,
+            image_ahash,
+            image_near_dup_pairs,
+        )
+
+        hdr = b"P6 8 8 255 "
+        px = bytes(v for i in range(64) for v in ((i * 4) % 256,) * 3)
+        p6 = hdr + px
+        # the SAME pixels as a PNG (filter 0) must hash identically
+        png = self._make_png(
+            [list(px[r * 24 : (r + 1) * 24]) for r in range(8)]
+        )
+        assert ahash_parts(p6) == ahash_parts(png)
+        assert ahash_parts(b"P6 4 4 255 " + bytes([9] * 48)) == (0, 0)
+        assert ahash_parts(b"junk") is None
+        edited = bytearray(px)
+        edited[0:3] = b"\xfa\xfa\xfa"
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(p6)),
+                (2, bytearray(png)),
+                (3, bytearray(hdr + bytes(edited))),
+                (4, bytearray(b"junk")),
+                (5, None),
+            ],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in image_ahash(df).collect()}
+        assert (got[1].ahash_hi, got[1].ahash_lo) == (
+            got[2].ahash_hi, got[2].ahash_lo,
+        )
+        assert got[4].kind == "bytes" and got[4].ahash_hi is None
+        assert got[5].kind == "null"
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in image_near_dup_pairs(df).collect()
+        }
+        assert pairs[(1, 2)] == 0  # cross-format exact
+        assert 0 < pairs[(1, 3)] <= 7  # mild edit within threshold
+        assert not any(4 in k or 5 in k for k in pairs)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            image_near_dup_pairs(df, bands=3)
+        with _pytest.raises(ValueError):
+            image_near_dup_pairs(df, bands=1)
+
     def test_bmp_coreheader_rejected(self):
         """A BITMAPCOREHEADER BMP (DIB size 12, 16-bit width/height at
         different offsets) must fall through rather than be read at
