@@ -2057,6 +2057,67 @@ _IMAGE_AHASH_SQL = (
 )
 
 
+def q_video_scene_cuts(spark, sf_dir):
+    """Scene-cut detection (pipeline/multimodal.py scene_cuts): decode
+    every AVI frame, aHash each, flag frames whose hamming to the
+    previous frame reaches the threshold. The oracle replays the
+    per-frame hash — including the bottom-up flip (decoded row r reads
+    source row h−1−r, and aHash is POSITION-sensitive, so the flip
+    cannot drop out like it does for histograms) and the on-disk BGR
+    byte order — plus the consecutive xor/bit_count hamming, all in
+    SQL."""
+    from lotad_spark.pipeline.multimodal import scene_cuts
+
+    return scene_cuts(
+        _doc_avi_media(spark, sf_dir), every_nth=1, cut_hamming=12
+    )
+
+
+# cell i of frame f: grid (y, x) = (i//8, i%8); resample
+# (sy, sx) = (y·h//8, x·4//8); FLIP: source row h−1−sy; pixel index
+# (h−1−sy)·4 + sx; on-disk BGR triple at byte base f·12h + 3·pidx →
+# luma coefficients read R/G/B from offsets 3/2/1.
+_VIDEO_SCENE_SQL = (
+    "WITH base AS (SELECT doc_id AS media_id, "
+    "CAST(doc_id % 2 + 1 AS BIGINT) AS h, "
+    "CAST(doc_id % 3 + 1 AS BIGINT) AS nf, "
+    "rpad(coalesce(text, ''), "
+    "CAST((doc_id % 3 + 1) * 12 * (doc_id % 2 + 1) AS INT), 'x') AS px "
+    "FROM documents), "
+    "fr AS (SELECT media_id, h, px, unnest(range(0, nf)) AS f "
+    "FROM base), "
+    "cl AS (SELECT media_id, f, list_transform(range(0, 64), i -> "
+    "(299 * ord(substr(px, CAST(f * 12 * h "
+    "+ 3 * ((h - 1 - ((i // 8) * h // 8)) * 4 + ((i % 8) * 4 // 8)) "
+    "+ 3 AS INT), 1)) "
+    "+ 587 * ord(substr(px, CAST(f * 12 * h "
+    "+ 3 * ((h - 1 - ((i // 8) * h // 8)) * 4 + ((i % 8) * 4 // 8)) "
+    "+ 2 AS INT), 1)) "
+    "+ 114 * ord(substr(px, CAST(f * 12 * h "
+    "+ 3 * ((h - 1 - ((i // 8) * h // 8)) * 4 + ((i % 8) * 4 // 8)) "
+    "+ 1 AS INT), 1))) // 1000) AS cells FROM fr), "
+    "m AS (SELECT media_id, f, cells, list_sum(cells) // 64 AS mean "
+    "FROM cl), "
+    "hashes AS (SELECT media_id, f, "
+    "CAST(list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN cells[CAST(i + 33 AS INT)] > mean "
+    "THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hi, "
+    "CAST(list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN cells[CAST(i + 1 AS INT)] > mean "
+    "THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS lo FROM m), "
+    "seq AS (SELECT media_id, f, hi, lo, "
+    "lag(hi) OVER (PARTITION BY media_id ORDER BY f) AS phi, "
+    "lag(lo) OVER (PARTITION BY media_id ORDER BY f) AS plo "
+    "FROM hashes) "
+    "SELECT media_id, 'frames' AS kind, f AS frame_idx, "
+    "CAST(CASE WHEN phi IS NULL THEN NULL ELSE "
+    "bit_count(xor(hi, phi)) + bit_count(xor(lo, plo)) END AS INT) "
+    "AS hamming_prev, "
+    "coalesce(bit_count(xor(hi, phi)) + bit_count(xor(lo, plo)) >= 12, "
+    "false) AS is_cut FROM seq"
+)
+
+
 def q_multimodal_luma_hist(spark, sf_dir):
     """REAL pixel-feature extraction (pipeline/multimodal.py
     extract_feature_counts kind='luma'): the kernel decodes the P6
@@ -4406,7 +4467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green stable rows rotate out. Layout this round (r12), per the
     precomputed queue in COVERAGE.md:
 
-    * 1-10: NEW this round, no driver-green run yet — the fastText-style
+    * 1-11: NEW this round, no driver-green run yet — the fastText-style
       hashed quality classifier (quality_classifier: driver-trained
       weight literals, decimal-exact micro-unit logits), CCNet
       head/middle/tail bucketing (ccnet_buckets: exact per-language
@@ -4421,9 +4482,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       same way over little-endian sample pairs), and
       multimodal_video_hist (uncompressed-AVI frame decode — chunk
       walk, BGR raster, frame sampling — replayed over the same
-      text-byte pixel source), and image_ahash (the perceptual
-      fingerprint: resample/luma/mean/bit-packing replayed exactly).
-    * 11-22: changed-code re-entries — the four IVF-family ANN rows +
+      text-byte pixel source), image_ahash (the perceptual
+      fingerprint: resample/luma/mean/bit-packing replayed exactly),
+      and video_scene_cuts (per-frame hashing incl. the bottom-up
+      flip + consecutive hamming replayed).
+    * 12-23: changed-code re-entries — the four IVF-family ANN rows +
       pq_codes / ann_pq_topk ride the new cluster-size-rule
       n_centroids default (max(8, min(4096, n/250)), oracles deriving
       the identical k from COUNT(*)) and the limit-aware oracle
@@ -4431,12 +4494,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       shared-lambda-tree hazard; text_normalize's nfc path now
       captures the pre-NFC length; the four multimodal rows ride
       decode_pixels, which gained the PNG branch.
-    * 23-50: the r12 queue head — the remaining r9-green rows, longest
+    * 24-50: the r12 queue head — the remaining r9-green rows, longest
       out of the window, in COVERAGE.md's precomputed order
       (multimodal_decode moved up into the changed-code block). The
       late new rows displaced bm25_topk, dsir_weights,
-      rolling_active_users_bound, and skew_two_phase_agg (all
-      r9/r10-green) to 51+; they head the r13 fill.
+      rolling_active_users_bound, skew_two_phase_agg, and
+      rollup_distinct_users (all r9/r10-green) to 51+; they head the
+      r13 fill.
     * 51+: rotated out — the rest of the r10-green block in COVERAGE
       order, then the r11-green window rows (newest last). Every
       rotated row has at least one driver-green round with code
@@ -4463,6 +4527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_hist": q_multimodal_audio_hist,
         "multimodal_video_hist": q_multimodal_video_hist,
         "image_ahash": q_image_ahash,
+        "video_scene_cuts": q_video_scene_cuts,
         # --- 7-18: changed-code re-entries (r12). The four IVF-family
         # ANN rows + pq_codes/ann_pq_topk ride the cluster-size-rule
         # n_centroids default and the limit-aware oracle trainers;
@@ -4666,6 +4731,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_hist": _MULTIMODAL_AUDIO_SQL,
         "multimodal_video_hist": _MULTIMODAL_VIDEO_SQL,
         "image_ahash": _IMAGE_AHASH_SQL,
+        "video_scene_cuts": _VIDEO_SCENE_SQL,
         "url_dedup": _url_dedup_sql(),
         "domain_stats": _domain_stats_sql(),
         "domain_cap": _domain_cap_sql(),

@@ -758,6 +758,37 @@ def domain_stats_cmd(docs_path, output_path, id_col, url_col) -> None:
     click.echo(f"domain-stats: {n} domains -> {output_path}/domains")
 
 
+@cli.command("ccnet-buckets")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (doc_id, text, lang, ...) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes (doc_id, lang, n_tokens, avg_logprob, "
+                   "bucket, keep) to OUTPUT/buckets")
+@click.option("--lang-col", default="lang", show_default=True)
+def ccnet_buckets_cmd(docs_path, output_path, lang_col) -> None:
+    """CCNet head/middle/tail perplexity bucketing: corpus-LM score
+    per doc, exact rank terciles per language, keep = head+middle."""
+    from pyspark.sql import functions as F
+
+    from lotad_spark.pipeline.text import ccnet_buckets
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_ccnet")
+    out = ccnet_buckets(
+        read_table(spark, docs_path), lang_col=lang_col
+    )
+    out.write.mode("overwrite").parquet(f"{output_path}/buckets")
+    landed = spark.read.parquet(f"{output_path}/buckets")
+    n, n_keep = landed.agg(
+        F.count(F.lit(1)), F.count_if(F.col("keep"))
+    ).collect()[0]
+    click.echo(
+        f"ccnet-buckets: {n_keep}/{n} docs in head+middle "
+        f"-> {output_path}/buckets"
+    )
+
+
 @cli.command("quality-classify")
 @click.option("--labeled", "labeled_path", type=click.Path(exists=True),
               required=True,

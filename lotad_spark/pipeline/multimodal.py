@@ -625,7 +625,14 @@ def ahash_parts(payload: bytes):
     dec = decode_pixels(payload)
     if dec is None:
         return None
-    w, h, arr = dec
+    return _ahash_from_pixels(dec[2])
+
+
+def _ahash_from_pixels(arr) -> tuple[int, int]:
+    """The aHash core over an already-decoded ``[h, w, 3]`` RGB array
+    (shared by :func:`ahash_parts` and the per-frame hashing in
+    :func:`scene_cuts`)."""
+    h, w = arr.shape[0], arr.shape[1]
     lum = _luma(arr)
     ys = [y * h // 8 for y in range(8)]
     xs = [x * w // 8 for x in range(8)]
@@ -775,6 +782,89 @@ def image_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def scene_cuts(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+    every_nth: int = 1,
+    cut_hamming: int = 16,
+) -> DataFrame:
+    """Scene-cut detection over uncompressed AVI payloads — the
+    key-frame selector a video-corpus pipeline runs before expensive
+    per-frame featurization: decode every ``every_nth``-th frame
+    (:func:`decode_video_frames`), aHash each
+    (:func:`_ahash_from_pixels`), and flag frames whose hamming to the
+    PREVIOUS sampled frame reaches ``cut_hamming`` as cuts. Returns one
+    row per sampled frame:
+    ``(id, kind, frame_idx, hamming_prev, is_cut)`` — ``hamming_prev``
+    NULL on the first sampled frame (a video's opening frame starts a
+    scene by definition, so ``is_cut`` is false there and callers
+    treat frame 0 as an implicit scene start). Undecodable payloads
+    emit ONE labeled row (kind='bytes', frame_idx NULL); NULL payloads
+    kind='null'. All-integer arithmetic, so the oracle replays
+    per-frame hashing and consecutive hamming exactly in SQL."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, kind string, frame_idx bigint, "
+        "hamming_prev int, is_cut boolean"
+    )
+
+    def cut_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, idxs, hams, cuts = [], [], [], [], []
+            for mid, b in zip(pdf[id_col], pdf[content_col]):
+                if b is None:
+                    ids.append(mid)
+                    kinds.append("null")
+                    idxs.append(None)
+                    hams.append(None)
+                    cuts.append(False)
+                    continue
+                dec = decode_video_frames(
+                    bytes(b), every_nth=every_nth
+                )
+                if dec is None:
+                    ids.append(mid)
+                    kinds.append("bytes")
+                    idxs.append(None)
+                    hams.append(None)
+                    cuts.append(False)
+                    continue
+                _w, _h, _n, frames = dec
+                prev = None
+                for i, px in enumerate(frames):
+                    hi, lo = _ahash_from_pixels(px)
+                    if prev is None:
+                        ham = None
+                    else:
+                        ham = int(
+                            bin((hi ^ prev[0])).count("1")
+                            + bin((lo ^ prev[1])).count("1")
+                        )
+                    ids.append(mid)
+                    kinds.append("frames")
+                    idxs.append(i * every_nth)
+                    hams.append(ham)
+                    cuts.append(
+                        ham is not None and ham >= cut_hamming
+                    )
+                    prev = (hi, lo)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "kind": kinds,
+                    "frame_idx": idxs,
+                    "hamming_prev": hams,
+                    "is_cut": cuts,
+                }
+            )
+
+    return df.mapInPandas(cut_batches, schema=out_schema)
 
 
 def _avi_parse(payload: bytes):

@@ -1112,6 +1112,28 @@ class TestCcnetBuckets:
             for i, r in enumerate(ordered):
                 assert r.bucket == names[3 * i // n], (lang, r.doc_id)
 
+    def test_ccnet_cli(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+        from lotad_spark.sources.parquet import read_table
+
+        docs = read_table(
+            spark, "/root/testdata/sf0.001/documents.parquet"
+        )
+        src = str(tmp_path / "docs")
+        docs.write.mode("overwrite").parquet(src)
+        out = str(tmp_path / "out")
+        r = CliRunner().invoke(
+            cli,
+            ["ccnet-buckets", "--docs", src, "--output", out],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        assert "/500 docs in head+middle" in r.output
+        landed = spark.read.parquet(f"{out}/buckets")
+        assert landed.count() == 500
+
     def test_null_lang_buckets_together(self, spark):
         from lotad_spark.pipeline import ccnet_buckets
 

@@ -599,6 +599,35 @@ class TestMultimodal:
         with _pytest.raises(ValueError):
             image_near_dup_pairs(df, bands=1)
 
+    def test_scene_cuts(self, spark):
+        """A repeated frame scores hamming 0 (no cut); a hard content
+        change scores high (cut); the first frame has NULL hamming and
+        no cut flag; fallbacks are labeled."""
+        from lotad_spark.pipeline.multimodal import scene_cuts
+
+        w, h = 4, 2
+        dark = bytes([10] * 24)
+        # gradient frame: distinct per-cell luma pattern
+        grad = bytes(v for i in range(8) for v in (i * 30, i * 30, i * 30))
+        avi = self._make_avi([dark, dark, grad, grad], w, h)
+        df = spark.createDataFrame(
+            [(1, bytearray(avi)), (2, bytearray(b"junk")), (3, None)],
+            "media_id bigint, content binary",
+        )
+        out = scene_cuts(df, cut_hamming=8).collect()
+        r1 = sorted(
+            (r for r in out if r.media_id == 1),
+            key=lambda r: r.frame_idx,
+        )
+        assert [r.frame_idx for r in r1] == [0, 1, 2, 3]
+        assert r1[0].hamming_prev is None and not r1[0].is_cut
+        assert r1[1].hamming_prev == 0 and not r1[1].is_cut
+        assert r1[2].hamming_prev >= 8 and r1[2].is_cut
+        assert r1[3].hamming_prev == 0 and not r1[3].is_cut
+        by_id = {r.media_id: r for r in out if r.media_id != 1}
+        assert by_id[2].kind == "bytes" and by_id[2].frame_idx is None
+        assert by_id[3].kind == "null"
+
     def test_bmp_coreheader_rejected(self):
         """A BITMAPCOREHEADER BMP (DIB size 12, 16-bit width/height at
         different offsets) must fall through rather than be read at

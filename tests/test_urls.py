@@ -296,6 +296,38 @@ class TestDomainOps:
         assert r.exit_code == 0, r.output
         assert "3 domains" in r.output  # a.io, b.io, NULL
 
+    def test_canonicalize_streams(self, spark, tmp_path):
+        """canonicalize_urls is a stateless projection — it must run
+        unchanged on readStream and match the batch output (the
+        repo-wide stream≡batch contract for scan-stage gates)."""
+        df = spark.createDataFrame(
+            [
+                (1, "HTTPS://WWW.A.io:443/x/?utm_a=1&b=2"),
+                (2, "junk"),
+                (3, "http://b.io/y#f"),
+            ],
+            "doc_id bigint, url string",
+        )
+        src = str(tmp_path / "src")
+        df.write.mode("overwrite").parquet(src)
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = (
+            canonicalize_urls(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            map(tuple, spark.read.parquet(out).collect())
+        )
+        want = sorted(map(tuple, canonicalize_urls(df).collect()))
+        assert got == want
+
     def test_blocklist_literal_zero_exchange(self, spark):
         df = spark.createDataFrame(
             [(1, "http://a.io/x")], "doc_id bigint, url string"
