@@ -127,8 +127,13 @@ def curate_corpus(
     if blocklist_terms:
         from lotad_spark.pipeline.text import blocklist_filter
 
+        # Scan the GATED subset, not raw docs: the anti-join can only
+        # remove gated ids anyway, so the outputs are identical and the
+        # blocklist tokenization pass reads the already-reduced corpus.
         blocked = (
-            blocklist_filter(docs, list(blocklist_terms), id_col, text_col)
+            blocklist_filter(
+                gated, list(blocklist_terms), id_col, text_col
+            )
             .filter(F.col("blocked"))
             .select(id_col)
         )

@@ -125,7 +125,21 @@ def canonicalize_urls(
     """Append ``out_col`` holding the canonical form of ``url_col``
     (the module docstring's 7 steps) — one JVM projection, zero
     exchanges, streaming-safe. URLs with no ``scheme://`` prefix (or
-    NULL input) canonicalize to NULL."""
+    NULL input) canonicalize to NULL.
+
+    Known limitation (documented, not guessed around): IPv6 literal
+    hosts (``http://[::1]/``) are treated textually — the bracketed
+    form survives into the canonical host and the port strip doesn't
+    apply inside brackets. Web-crawl corpora are overwhelmingly named
+    hosts; pipelines with IPv6 URLs should normalize them upstream."""
+    clash = {"_u_scheme", "_u_host", "_u_port", "_u_path", "_u_query"} & set(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"canonicalize_urls: input columns collide with staging "
+            f"names {sorted(clash)}"
+        )
     parts = _url_parts(F.col(url_col))
     # Materialize every multiply-referenced part in its own projection
     # first (shared-lambda/tree hazard; see blocklist_filter).

@@ -114,6 +114,14 @@ class TestCanonicalize:
         for u, want in self.CASES:
             assert _py_canonical(u) == want, u
 
+    def test_staging_column_collision_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, "http://a.io/x", "boom")],
+            "doc_id bigint, url string, _u_host string",
+        )
+        with pytest.raises(ValueError, match="staging"):
+            canonicalize_urls(df)
+
     def test_null_in_null_out(self, spark):
         df = spark.createDataFrame(
             [(1, None)], "doc_id bigint, url string"
