@@ -244,9 +244,12 @@ def domain_stats(
     last-two-labels heuristic (see :func:`_apex_expr`), ``n_docs`` the
     row count and ``n_urls`` the DISTINCT canonical URLs. Unparseable
     URLs aggregate under domain NULL so the gate's coverage is
-    auditable. ONE groupBy exchange on the (bounded-cardinality)
-    domain key; the distinct-URL count is a partial_agg-friendly
-    count(DISTINCT) over the same exchange."""
+    auditable. TWO exchanges (plan-pinned): the exact count(DISTINCT)
+    expands to a partial-aggregated (domain, canonical_url) exchange —
+    bounded by the distinct-URL count, not the corpus — followed by
+    the domain-keyed final aggregation. Trading exactness for one
+    exchange means approx_count_distinct; this gate feeds cap/block
+    DECISIONS, so it stays exact."""
     canon = canonicalize_urls(df.select(id_col, url_col), url_col)
     host = F.when(
         F.col("canonical_url").isNotNull(),

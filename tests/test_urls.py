@@ -271,6 +271,47 @@ class TestDomainOps:
         with pytest.raises(ValueError):
             domain_blocklist_filter(df, [])
 
+    def test_shuffle_budgets(self, spark, sf_dir):
+        """The documented exchange counts: url_dedup = ONE exchange
+        keyed on the canonical URL (the window); domain_stats = TWO
+        (the exact count-distinct's (domain, url) partial exchange —
+        bounded by distinct URLs — plus the domain-keyed final)."""
+        from pyspark.sql import functions as F
+
+        from lotad_spark.sources.parquet import read_table
+
+        docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            F.concat(
+                F.lit("http://d"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".io/p/"),
+                (F.col("doc_id") % 11).cast("string"),
+            ).alias("url"),
+        )
+        plan = (
+            url_dedup(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning(canonical_url") == 1
+        assert plan.count("Exchange") == 1
+        plan2 = (
+            domain_stats(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        ex_lines = [
+            l for l in plan2.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert len(ex_lines) == 2, ex_lines
+        assert sum(
+            1 for l in ex_lines if "canonical_url" in l
+        ) == 1  # the distinct's (domain, url) partial exchange
+        assert all("domain" in l for l in ex_lines)
+
     def test_url_cli_commands(self, spark, tmp_path):
         from click.testing import CliRunner
 
