@@ -2294,6 +2294,43 @@ def _url_dedup_sql() -> str:
     )
 
 
+def q_url_dedup_incremental(spark, sf_dir):
+    """Incremental URL dedup against a stored index (pipeline/urls.py
+    write_url_index + url_dedup_against_index — the daily crawl
+    shape): index the canonical URLs of docs with doc_id < 250, then
+    flag the FULL synthesized corpus against it and within itself. The
+    oracle replays both faces in SQL: membership against the subset's
+    distinct canonicals (index wins) and the min-id window within the
+    batch."""
+    from lotad_spark.pipeline.urls import (
+        url_dedup_against_index,
+        write_url_index,
+    )
+
+    corpus = _url_corpus(spark, sf_dir)
+    root = _scratch("lotad_urlidx_")
+    write_url_index(corpus.filter(F.col("doc_id") < 250), root)
+    return url_dedup_against_index(spark, root, corpus)
+
+
+def _url_dedup_incremental_sql() -> str:
+    return (
+        f"WITH {_url_canon_ctes()}, "
+        "idx AS (SELECT DISTINCT canonical_url FROM canon "
+        "WHERE doc_id < 250 AND canonical_url IS NOT NULL), "
+        "j AS (SELECT c.doc_id, c.canonical_url, "
+        "(i.canonical_url IS NOT NULL) AS in_idx, "
+        "CASE WHEN c.canonical_url IS NULL THEN c.doc_id ELSE "
+        "min(c.doc_id) OVER (PARTITION BY c.canonical_url) END AS keep "
+        "FROM canon c LEFT JOIN idx i USING (canonical_url)) "
+        "SELECT doc_id, canonical_url, "
+        "CASE WHEN in_idx THEN 'index' "
+        "WHEN doc_id <> keep THEN 'batch' END IS NOT NULL AS is_dup, "
+        "CASE WHEN in_idx THEN 'index' "
+        "WHEN doc_id <> keep THEN 'batch' END AS dup_source FROM j"
+    )
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-domain aggregation (pipeline/urls.py domain_stats): host +
     apex heuristic, doc count, distinct canonical URLs; unparseable
@@ -4467,7 +4504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green stable rows rotate out. Layout this round (r12), per the
     precomputed queue in COVERAGE.md:
 
-    * 1-11: NEW this round, no driver-green run yet — the fastText-style
+    * 1-12: NEW this round, no driver-green run yet — the fastText-style
       hashed quality classifier (quality_classifier: driver-trained
       weight literals, decimal-exact micro-unit logits), CCNet
       head/middle/tail bucketing (ccnet_buckets: exact per-language
@@ -4484,9 +4521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       walk, BGR raster, frame sampling — replayed over the same
       text-byte pixel source), image_ahash (the perceptual
       fingerprint: resample/luma/mean/bit-packing replayed exactly),
-      and video_scene_cuts (per-frame hashing incl. the bottom-up
-      flip + consecutive hamming replayed).
-    * 12-23: changed-code re-entries — the four IVF-family ANN rows +
+      video_scene_cuts (per-frame hashing incl. the bottom-up
+      flip + consecutive hamming replayed), and url_dedup_incremental
+      (the stored-index daily-ingest face, both dup sources replayed).
+    * 13-24: changed-code re-entries — the four IVF-family ANN rows +
       pq_codes / ann_pq_topk ride the new cluster-size-rule
       n_centroids default (max(8, min(4096, n/250)), oracles deriving
       the identical k from COUNT(*)) and the limit-aware oracle
@@ -4494,13 +4532,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       shared-lambda-tree hazard; text_normalize's nfc path now
       captures the pre-NFC length; the four multimodal rows ride
       decode_pixels, which gained the PNG branch.
-    * 24-50: the r12 queue head — the remaining r9-green rows, longest
+    * 25-50: the r12 queue head — the remaining r9-green rows, longest
       out of the window, in COVERAGE.md's precomputed order
       (multimodal_decode moved up into the changed-code block). The
       late new rows displaced bm25_topk, dsir_weights,
-      rolling_active_users_bound, skew_two_phase_agg, and
-      rollup_distinct_users (all r9/r10-green) to 51+; they head the
-      r13 fill.
+      rolling_active_users_bound, skew_two_phase_agg,
+      rollup_distinct_users, and schema_drift_records (all
+      r9/r10-green) to 51+; they head the r13 fill. Every row in the
+      50-slot window is VALUE-checked this round (the rows-only HLL
+      row rotated out on multi-round green history).
     * 51+: rotated out — the rest of the r10-green block in COVERAGE
       order, then the r11-green window rows (newest last). Every
       rotated row has at least one driver-green round with code
@@ -4520,6 +4560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "ccnet_buckets": q_ccnet_buckets,
         "url_dedup": q_url_dedup,
+        "url_dedup_incremental": q_url_dedup_incremental,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
         "domain_blocklist": q_domain_blocklist,
@@ -4733,6 +4774,7 @@ def oracle_sql() -> dict[str, str]:
         "image_ahash": _IMAGE_AHASH_SQL,
         "video_scene_cuts": _VIDEO_SCENE_SQL,
         "url_dedup": _url_dedup_sql(),
+        "url_dedup_incremental": _url_dedup_incremental_sql(),
         "domain_stats": _domain_stats_sql(),
         "domain_cap": _domain_cap_sql(),
         "domain_blocklist": _domain_blocklist_sql(),

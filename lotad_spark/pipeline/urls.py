@@ -377,3 +377,120 @@ def domain_blocklist_filter(
         ),
         (F.size("_hits") > 0).alias("blocked"),
     )
+
+
+def write_url_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> None:
+    """Materialize the EXACT canonical-URL membership index the daily
+    crawl loop dedups against (the precise sibling of the approximate
+    ``sketch_index_prefilter`` face): the DISTINCT canonical URLs of
+    the corpus as parquet (``urls/``: canonical_url) plus a one-row
+    ``meta/`` (n_urls). Canonicalization runs once at build;
+    unparseable URLs (NULL canonical) are NOT indexed — they can never
+    match a future batch row, and indexing them would make NULL a
+    member."""
+    canon = (
+        canonicalize_urls(df.select(id_col, url_col), url_col)
+        .filter(F.col("canonical_url").isNotNull())
+        .select("canonical_url")
+        .distinct()
+    )
+    canon.write.mode("overwrite").parquet(f"{path}/urls")
+    spark = df.sparkSession
+    n = spark.read.parquet(f"{path}/urls").count()
+    spark.createDataFrame(
+        [(int(n),)], "n_urls bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def url_dedup_against_index(
+    spark,
+    index_path: str,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Incremental URL dedup: flag a new batch against a stored
+    :func:`write_url_index` AND within itself — one pass, the daily
+    ingest shape. Returns one row per batch row:
+    ``(id, canonical_url, is_dup, dup_source)`` where ``dup_source``
+    is ``'index'`` (canonical already stored — wins over batch),
+    ``'batch'`` (new URL, but a smaller id in THIS batch has it) or
+    NULL. Unparseable URLs keep themselves, as in :func:`url_dedup`.
+
+    Scale shape: the batch canonicalizes once; the index join is a
+    LEFT SEMI-shaped left join on the canonical key — AQE broadcasts
+    the index when it fits, shuffles the (id, canonical) projection
+    (never text) otherwise; the within-batch face reuses the
+    :func:`url_dedup` window. Probe-after-append ≡ rebuild-over-union
+    is pinned in tests."""
+    canon = canonicalize_urls(df.select(id_col, url_col), url_col)
+    idx = spark.read.parquet(f"{index_path}/urls").withColumn(
+        "_in_index", F.lit(True)
+    )
+    joined = canon.join(idx, "canonical_url", "left")
+    w = Window.partitionBy("canonical_url")
+    keep = F.when(
+        F.col("canonical_url").isNull(), F.col(id_col)
+    ).otherwise(F.min(id_col).over(w))
+    staged = joined.select(
+        F.col(id_col),
+        F.col("canonical_url"),
+        F.coalesce(F.col("_in_index"), F.lit(False)).alias("_idx"),
+        keep.alias("_keep"),
+    )
+    dup_source = F.when(F.col("_idx"), F.lit("index")).otherwise(
+        F.when(F.col(id_col) != F.col("_keep"), F.lit("batch"))
+    )
+    return staged.select(
+        id_col,
+        "canonical_url",
+        dup_source.isNotNull().alias("is_dup"),
+        dup_source.alias("dup_source"),
+    )
+
+
+def append_to_url_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> None:
+    """Fold a batch's NEW canonical URLs into a live index without
+    re-reading the stored set's source corpus: canonicalize the batch,
+    left-anti against the stored relation, parquet-APPEND only the
+    novel URLs (existing files untouched — appends here are
+    distinct-safe because the anti-join guarantees novelty), then
+    rewrite meta through the rename-swap (readers fall back to
+    ``meta.old`` in the crash window). A crash mid-append leaves
+    partial part-files of NOVEL urls only — re-running the append
+    anti-joins them away, so recovery is re-run, same as the sketch
+    index."""
+    from lotad_spark.pipeline.retrieval import _replace_dir
+
+    spark = df.sparkSession
+    new = (
+        canonicalize_urls(df.select(id_col, url_col), url_col)
+        .filter(F.col("canonical_url").isNotNull())
+        .select("canonical_url")
+        .distinct()
+        .join(
+            spark.read.parquet(f"{path}/urls"),
+            "canonical_url",
+            "left_anti",
+        )
+        # EAGER checkpoint: the anti-join reads the very directory the
+        # next line appends to — materialize the novel set first so the
+        # write job never scans files it is itself creating.
+        .localCheckpoint(eager=True)
+    )
+    new.write.mode("append").parquet(f"{path}/urls")
+    n = spark.read.parquet(f"{path}/urls").count()
+    spark.createDataFrame(
+        [(int(n),)], "n_urls bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.tmp")
+    _replace_dir(spark, f"{path}/meta.tmp", f"{path}/meta")

@@ -214,6 +214,71 @@ class TestUrlDedup:
         assert got[4].keep_id == 4 and not got[4].is_dup
 
 
+class TestUrlIndex:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, url string")
+
+    def test_probe_flags_index_and_batch_dups(self, spark, tmp_path):
+        from lotad_spark.pipeline import (
+            url_dedup_against_index,
+            write_url_index,
+        )
+
+        day1 = self._df(spark, [
+            (1, "https://www.a.io/x?utm_a=1"),
+            (2, "http://b.io/y"),
+            (3, "junk"),
+        ])
+        idx = str(tmp_path / "idx")
+        write_url_index(day1, idx)
+        # unparseable URLs are not indexed
+        assert spark.read.parquet(f"{idx}/urls").count() == 2
+        batch = self._df(spark, [
+            (10, "https://a.io/x"),          # in index (canonical match)
+            (11, "http://new.io/z"),         # new, unique
+            (12, "http://new.io/z?gclid=1"), # batch dup of 11
+            (13, "junk"),                    # unparseable: keeps itself
+        ])
+        got = {
+            r.doc_id: r
+            for r in url_dedup_against_index(spark, idx, batch).collect()
+        }
+        assert got[10].is_dup and got[10].dup_source == "index"
+        assert not got[11].is_dup and got[11].dup_source is None
+        assert got[12].is_dup and got[12].dup_source == "batch"
+        assert not got[13].is_dup
+
+    def test_append_equals_rebuild_over_union(self, spark, tmp_path):
+        from lotad_spark.pipeline import (
+            append_to_url_index,
+            url_dedup_against_index,
+            write_url_index,
+        )
+
+        day1 = self._df(spark, [(1, "http://a.io/1"), (2, "http://a.io/2")])
+        day2 = self._df(spark, [(3, "http://a.io/2"), (4, "http://a.io/3")])
+        inc = str(tmp_path / "inc")
+        write_url_index(day1, inc)
+        append_to_url_index(day2, inc)
+        fresh = str(tmp_path / "fresh")
+        write_url_index(day1.unionByName(day2), fresh)
+        # identical stored sets and meta
+        a = sorted(r[0] for r in spark.read.parquet(f"{inc}/urls").collect())
+        b = sorted(r[0] for r in spark.read.parquet(f"{fresh}/urls").collect())
+        assert a == b and len(a) == 3
+        assert (
+            spark.read.parquet(f"{inc}/meta").collect()[0].n_urls == 3
+        )
+        # probe-after-append == probe-against-rebuild
+        probe = self._df(spark, [(9, "http://a.io/3"), (10, "http://a.io/9")])
+        ga = sorted(map(tuple, url_dedup_against_index(spark, inc, probe).collect()))
+        gf = sorted(map(tuple, url_dedup_against_index(spark, fresh, probe).collect()))
+        assert ga == gf
+        # re-running the append is a no-op (crash-recovery contract)
+        append_to_url_index(day2, inc)
+        assert spark.read.parquet(f"{inc}/urls").count() == 3
+
+
 class TestDomainOps:
     def _df(self, spark):
         return spark.createDataFrame(
