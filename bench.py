@@ -370,6 +370,31 @@ def main() -> None:
     queries["sketch_index_probe"] = round(best, 3)
     shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # URL-dedup serving shape: the url_dedup_incremental registry row
+    # is the ORACLE configuration (rebuilds the stored set per call);
+    # production builds once and probes batches — the bm25/ivf
+    # build-once/probe split.
+    from lotad_spark.pipeline.urls import (
+        url_dedup_against_index,
+        write_url_index,
+    )
+
+    url_corpus = entry_mod._url_corpus(spark, sf_dir)
+    idx_dir = tempfile.mkdtemp(prefix="lotad_bench_urlidx_")
+    t0 = time.perf_counter()
+    write_url_index(url_corpus, idx_dir)
+    queries["url_index_build_once"] = round(time.perf_counter() - t0, 3)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        url_dedup_against_index(spark, idx_dir, url_corpus).foreach(
+            lambda _: None
+        )
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    queries["url_index_probe"] = round(best, 3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
     # SemDeDup at the production configuration (r10): the dedup_semantic
     # entry row above measures the DEMO config (k=8, expr kernel — the
     # deterministic shape the DuckDB oracle replays). Production uses the

@@ -734,6 +734,57 @@ def url_dedup_cmd(docs_path, output_path, id_col, url_col) -> None:
     )
 
 
+@cli.command("url-index")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (doc_id, url, ...) rows")
+@click.option("--index", "index_path", required=True,
+              help="Index root (urls/ meta/)")
+@click.option("--append", "append_mode", is_flag=True, default=False,
+              help="Fold the batch's NOVEL canonical URLs into an "
+                   "existing index (idempotent — re-run after a crash)")
+@click.option("--probe", "probe_path", type=click.Path(exists=True),
+              default=None,
+              help="Optionally flag this batch against the index after "
+                   "building/appending")
+def url_index_cmd(docs_path, index_path, append_mode, probe_path) -> None:
+    """Stored canonical-URL set for incremental crawl dedup: build or
+    append, then optionally probe a batch (dup_source = index/batch)."""
+    from pyspark.sql import functions as F
+
+    from lotad_spark.pipeline.urls import (
+        append_to_url_index,
+        url_dedup_against_index,
+        write_url_index,
+    )
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_url_index")
+    docs = read_table(spark, docs_path)
+    if append_mode:
+        append_to_url_index(docs, index_path)
+    else:
+        write_url_index(docs, index_path)
+    n = spark.read.parquet(f"{index_path}/meta").collect()[0]["n_urls"]
+    click.echo(
+        f"url-index: {'appended to' if append_mode else 'built'} "
+        f"{index_path} (n_urls={n})"
+    )
+    if probe_path:
+        flags = url_dedup_against_index(
+            spark, index_path, read_table(spark, probe_path)
+        )
+        n_total, n_idx, n_batch = flags.agg(
+            F.count(F.lit(1)),
+            F.count_if(F.col("dup_source") == "index"),
+            F.count_if(F.col("dup_source") == "batch"),
+        ).collect()[0]
+        click.echo(
+            f"  probe: {n_idx} index dups + {n_batch} batch dups "
+            f"of {n_total} rows"
+        )
+
+
 @cli.command("domain-stats")
 @click.option("--docs", "docs_path", type=click.Path(exists=True),
               required=True,

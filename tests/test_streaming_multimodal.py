@@ -628,6 +628,50 @@ class TestMultimodal:
         assert by_id[2].kind == "bytes" and by_id[2].frame_idx is None
         assert by_id[3].kind == "null"
 
+    def test_image_pairs_compose_with_components(self, spark):
+        """image_near_dup_pairs output feeds dedup_components verbatim
+        (the text near-dup composition): a dup CLUSTER spanning
+        formats collapses to one min-id representative."""
+        from lotad_spark.pipeline import dedup_components
+        from lotad_spark.pipeline.multimodal import image_near_dup_pairs
+
+        hdr = b"P6 8 8 255 "
+        px = bytes(v for i in range(64) for v in ((i * 4) % 256,) * 3)
+        png = self._make_png(
+            [list(px[r * 24 : (r + 1) * 24]) for r in range(8)]
+        )
+        edited = bytearray(px)
+        edited[0:3] = b"\xfa\xfa\xfa"
+        # a CHECKERBOARD — structurally unlike the smooth gradients
+        # (two small gradients would legitimately aHash-near each
+        # other: the 8x8 downsample sees the same spatial ramp)
+        other = b"P6 8 8 255 " + bytes(
+            v
+            for y in range(8)
+            for x in range(8)
+            for v in ((255 if (x + y) % 2 else 0),) * 3
+        )
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(hdr + px)),
+                (2, bytearray(png)),
+                (3, bytearray(hdr + bytes(edited))),
+                (4, bytearray(other)),
+            ],
+            "media_id bigint, content binary",
+        )
+        pairs = image_near_dup_pairs(df).select(
+            F.col("id_a"), F.col("id_b")
+        )
+        comps = {
+            r.media_id: r.component_id
+            for r in dedup_components(
+                pairs, id_out="media_id"
+            ).collect()
+        }
+        assert comps[1] == comps[2] == comps[3] == 1
+        assert 4 not in comps  # no pairs -> not in the edge set
+
     def test_bmp_coreheader_rejected(self):
         """A BITMAPCOREHEADER BMP (DIB size 12, 16-bit width/height at
         different offsets) must fall through rather than be read at

@@ -279,6 +279,43 @@ class TestUrlIndex:
         assert spark.read.parquet(f"{inc}/urls").count() == 3
 
 
+class TestUrlIndexCli:
+    def test_build_append_probe(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        d1 = spark.createDataFrame(
+            [(1, "http://a.io/1"), (2, "http://a.io/2")],
+            "doc_id bigint, url string",
+        )
+        d2 = spark.createDataFrame(
+            [(3, "http://a.io/2"), (4, "http://a.io/3"),
+             (5, "http://a.io/3?utm_x=1")],
+            "doc_id bigint, url string",
+        )
+        p1, p2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+        d1.write.parquet(p1)
+        d2.write.parquet(p2)
+        idx = str(tmp_path / "idx")
+        r = CliRunner().invoke(
+            cli, ["url-index", "--docs", p1, "--index", idx],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0 and "n_urls=2" in r.output
+        r = CliRunner().invoke(
+            cli,
+            ["url-index", "--docs", p2, "--index", idx, "--append",
+             "--probe", p2],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        assert "n_urls=3" in r.output
+        # after the append every probe row's canonical is stored, so
+        # all three read as index dups
+        assert "3 index dups + 0 batch dups of 3 rows" in r.output
+
+
 class TestDomainOps:
     def _df(self, spark):
         return spark.createDataFrame(
