@@ -469,7 +469,14 @@ def append_to_url_index(
     ``meta.old`` in the crash window). A crash mid-append leaves
     partial part-files of NOVEL urls only — re-running the append
     anti-joins them away, so recovery is re-run, same as the sketch
-    index."""
+    index.
+
+    Scale note: the novel set is eagerly localCheckpointed (so the
+    append never scans its own new files); executor memory/disk bounds
+    that set. At extreme daily volumes (novel URLs in the hundreds of
+    millions) stage the anti-join result to a scratch parquet dir and
+    append from THERE instead — same two-job shape, unbounded
+    staging."""
     from lotad_spark.pipeline.retrieval import _replace_dir
 
     spark = df.sparkSession
