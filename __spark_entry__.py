@@ -789,11 +789,17 @@ _CCNET_BUCKETS_SQL = (
     "ranked AS (SELECT *, row_number() OVER (PARTITION BY lang "
     "ORDER BY avg_logprob DESC, doc_id ASC) AS r, "
     "count(*) OVER (PARTITION BY lang) AS n FROM scored), "
-    "b AS (SELECT doc_id, lang, n_tokens, avg_logprob, "
+    "b AS (SELECT doc_id, n_tokens, avg_logprob, "
     "CASE (3 * (r - 1)) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle' "
     "ELSE 'tail' END AS bucket FROM ranked) "
-    "SELECT doc_id, lang, n_tokens, avg_logprob, bucket, "
-    "bucket <> 'tail' AS keep FROM b"
+    # Left join back onto the FULL table: token-less docs return as
+    # the explicit 'empty' bucket (keep=false) — the Spark operator's
+    # never-dropped contract, replayed.
+    "SELECT d.doc_id, d.lang, "
+    "CAST(coalesce(b.n_tokens, 0) AS BIGINT) AS n_tokens, "
+    "b.avg_logprob, coalesce(b.bucket, 'empty') AS bucket, "
+    "coalesce(b.bucket IN ('head', 'middle'), false) AS keep "
+    "FROM documents d LEFT JOIN b USING (doc_id)"
 )
 
 
@@ -2252,9 +2258,10 @@ def _url_canon_ctes() -> str:
         # list yields NULL, which would NULL the whole concatenation
         "coalesce(array_to_string(list_sort(list_filter("
         "string_split(raw_query, '&'), t -> t <> '' "
-        "AND NOT starts_with(regexp_extract(t, '^([^=]*)', 1), 'utm_') "
+        "AND NOT starts_with(lower(regexp_extract(t, '^([^=]*)', 1)), "
+        "'utm_') "
         f"AND NOT list_contains({tracking}, "
-        "regexp_extract(t, '^([^=]*)', 1)))), '&'), '') AS canq "
+        "lower(regexp_extract(t, '^([^=]*)', 1))))), '&'), '') AS canq "
         "FROM p3), "
         "canon AS (SELECT doc_id, url, "
         "CASE WHEN scheme = '' OR host = '' THEN NULL ELSE "

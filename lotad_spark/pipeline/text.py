@@ -688,8 +688,15 @@ def ccnet_buckets(
     rank — ``head`` (most corpus-like), ``middle``, ``tail`` (the
     incoherent/rare-token residue CCNet discards). Returns
     ``(id, lang, n_tokens, avg_logprob, bucket, keep)`` with
-    ``keep = bucket != 'tail'`` (the paper's default head+middle
-    training cut); every row comes back flagged, never dropped.
+    ``keep = bucket IN ('head', 'middle')`` (the paper's default
+    head+middle training cut); every row comes back flagged, never
+    dropped — including token-less documents (NULL / empty /
+    whitespace-only text), which the scorer cannot rank: they return
+    with ``n_tokens = 0``, ``avg_logprob`` NULL, and the explicit
+    bucket ``'empty'`` (``keep = false``), so a keep-gated pipeline
+    sees them audited rather than silently vanished. Terciles are
+    computed over the SCORED documents only; ``'empty'`` rows are
+    appended after the split and never perturb the thirds.
 
     Terciles are RANK-based, not value-threshold-based:
     ``bucket_idx = 3·(rank−1) div n`` over (avg_logprob DESC, id ASC)
@@ -700,12 +707,14 @@ def ccnet_buckets(
     NULL language bucket together under NULL — auditable, not hidden.
 
     Scale: one doc-keyed exchange inherited from the scorer plus one
-    language-keyed rank window. Language cardinality is tiny but a
-    dominant language makes a hot partition (exact per-group rank —
-    same trade as ``domain_cap``); at 100 TB compute per-language
-    cut SCORES from the mergeable histogram quantiles
-    (``column_histogram``/``quantiles_from_counts``) and broadcast
-    them instead of ranking, accepting approximate boundaries."""
+    language-keyed rank window, plus the final id-keyed left join that
+    carries token-less docs back (equi-join on the id, no new hazard).
+    Language cardinality is tiny but a dominant language makes a hot
+    partition (exact per-group rank — same trade as ``domain_cap``);
+    at 100 TB compute per-language cut SCORES from the mergeable
+    histogram quantiles (``column_histogram``/``quantiles_from_counts``)
+    and broadcast them instead of ranking, accepting approximate
+    boundaries."""
     scored = unigram_logprob(df, id_col=id_col, text_col=text_col)
     joined = scored.join(
         df.select(id_col, lang_col), id_col
@@ -726,15 +735,28 @@ def ccnet_buckets(
     idx = ((k - k % F.col("_n")) / F.col("_n")).cast("int")
     withb = staged.select(
         id_col,
-        lang_col,
-        "n_tokens",
-        "avg_logprob",
+        F.col("n_tokens"),
+        F.col("avg_logprob"),
         F.when(idx == 0, F.lit("head"))
         .when(idx == 1, F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
-    return withb.withColumn("keep", F.col("bucket") != "tail")
+    # Left-join the bucketed relation back onto the FULL input so
+    # token-less docs (which unigram_logprob cannot emit) come back
+    # flagged 'empty' instead of silently vanishing from a keep gate.
+    flagged = df.select(id_col, lang_col).join(withb, id_col, "left")
+    return flagged.select(
+        id_col,
+        lang_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+            "n_tokens"
+        ),
+        F.col("avg_logprob"),
+        F.coalesce(F.col("bucket"), F.lit("empty")).alias("bucket"),
+        F.coalesce(F.col("bucket").isin("head", "middle"), F.lit(False))
+        .alias("keep"),
+    )
 
 
 def _avg_micros_6dp(sum_col: str, n_col: str) -> Column:

@@ -26,8 +26,10 @@ in ANSI SQL, which is how the oracle value-checks every byte):
 5. drop the fragment entirely;
 6. path: empty → ``/``; otherwise strip ONE trailing slash;
 7. query: split on ``&``, drop empty params and tracking params
-   (``utm_*`` prefix + the exact-key list in :data:`TRACKING_PARAMS`),
-   sort the survivors bytewise, rejoin with ``&``.
+   (``utm_*`` prefix + the exact-key list in :data:`TRACKING_PARAMS`,
+   both matched case-insensitively — ``UTM_Source``/``Gclid`` are
+   stripped too; surviving params stay byte-preserved), sort the
+   survivors bytewise, rejoin with ``&``.
 
 Rows whose URL has no ``scheme://`` prefix canonicalize to NULL —
 surfaced, never guessed (relative URLs have no host to curate by).
@@ -102,14 +104,19 @@ def _url_parts(url: Column) -> dict[str, Column]:
 
 
 def _canonical_query(raw_query: Column) -> Column:
-    """Tracking-stripped, bytewise-sorted query string (may be '')."""
+    """Tracking-stripped, bytewise-sorted query string (may be '').
+
+    The tracking-key MATCH is case-insensitive (``UTM_Source`` /
+    ``Gclid`` are stripped like their lowercase forms — real crawls
+    mix cases); surviving params stay byte-preserved per RFC 3986
+    §6.2.2.1 (only the match key is lowercased, never the output)."""
     toks = F.filter(
         F.split(raw_query, "&"),
         lambda t: (t != "")
-        & ~F.regexp_extract(t, r"^([^=]*)", 1).startswith(
+        & ~F.lower(F.regexp_extract(t, r"^([^=]*)", 1)).startswith(
             TRACKING_PREFIX
         )
-        & ~F.regexp_extract(t, r"^([^=]*)", 1).isin(
+        & ~F.lower(F.regexp_extract(t, r"^([^=]*)", 1)).isin(
             *[F.lit(p) for p in TRACKING_PARAMS]
         ),
     )
@@ -336,7 +343,11 @@ def domain_blocklist_filter(
     curated-blocklist shape (hundreds to thousands of domains), ONE
     scan, zero exchanges. NULL domains are never blocked (surfaced
     via the domain column instead)."""
-    dl = sorted({d.lower().lstrip(".") for d in domains if d.strip()})
+    # strip() FIRST: ' example.com ' must normalize to a matchable
+    # entry, not silently keep its spaces and never match any host.
+    dl = sorted(
+        {d.strip().lower().lstrip(".") for d in domains if d.strip()}
+    )
     if not dl:
         raise ValueError("domain_blocklist_filter: empty domain list")
     canon = canonicalize_urls(df.select(id_col, url_col), url_col)

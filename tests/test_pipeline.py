@@ -1094,11 +1094,13 @@ class TestCcnetBuckets:
         for r in got:
             by_lang.setdefault(r.lang, []).append(r)
         for lang, rows in by_lang.items():
+            # 'empty' rows (token-less docs) sit outside the terciles
+            rows = [r for r in rows if r.bucket != "empty"]
             n = len(rows)
             counts = {"head": 0, "middle": 0, "tail": 0}
             for r in rows:
                 counts[r.bucket] += 1
-                assert r.keep == (r.bucket != "tail")
+                assert r.keep == (r.bucket in ("head", "middle"))
             # rank terciles: sizes differ by at most 1
             assert max(counts.values()) - min(counts.values()) <= 1, (
                 lang, counts,
@@ -1150,6 +1152,36 @@ class TestCcnetBuckets:
         null_buckets = {got[i].bucket for i in (1, 2, 3)}
         assert null_buckets == {"head", "middle", "tail"}
         assert got[4].bucket == "head" and got[4].keep
+
+    def test_tokenless_docs_return_flagged_empty(self, spark):
+        """Never-dropped contract (ADVICE r12): NULL / empty /
+        whitespace-only docs cannot be scored, but they must come back
+        as the explicit 'empty' bucket (keep=false) instead of
+        vanishing from a keep-gated pipeline — and they must not
+        perturb the terciles of the scored docs."""
+        from lotad_spark.pipeline import ccnet_buckets
+
+        df = spark.createDataFrame(
+            [
+                (1, "aa bb cc", "en"),
+                (2, "aa aa aa", "en"),
+                (3, "zz yy xx", "en"),
+                (4, None, "en"),
+                (5, "", "en"),
+                (6, "   \t\n ", None),
+            ],
+            "doc_id bigint, text string, lang string",
+        )
+        got = {r.doc_id: r for r in ccnet_buckets(df).collect()}
+        assert set(got) == {1, 2, 3, 4, 5, 6}  # nothing dropped
+        assert {got[i].bucket for i in (1, 2, 3)} == {
+            "head", "middle", "tail",
+        }
+        for i in (4, 5, 6):
+            r = got[i]
+            assert r.bucket == "empty" and not r.keep
+            assert r.n_tokens == 0 and r.avg_logprob is None
+        assert got[6].lang is None  # lang preserved from the input
 
 
 class TestNormalizeText:

@@ -58,8 +58,8 @@ def _py_canonical(url: str | None) -> str | None:
         t
         for t in sp.query.split("&")
         if t != ""
-        and not t.split("=")[0].startswith(TRACKING_PREFIX)
-        and t.split("=")[0] not in TRACKING_PARAMS
+        and not t.split("=")[0].lower().startswith(TRACKING_PREFIX)
+        and t.split("=")[0].lower() not in TRACKING_PARAMS
     ]
     q = "&".join(sorted(toks))
     return (
@@ -96,6 +96,9 @@ class TestCanonicalize:
         # (b=) survives — it is still a param; '=' in values rides
         # inside its token
         ("http://a.io/x?b=&a=c=d&", "http://a.io/x?a=c=d&b="),
+        # tracking-key match is case-INSENSITIVE (real crawls mix
+        # cases); surviving params stay byte-preserved (A=1 keeps A)
+        ("http://a.io/x?UTM_Source=x&Gclid=y&A=1", "http://a.io/x?A=1"),
     ]
 
     def test_unit_cases(self, spark):
@@ -157,6 +160,7 @@ class TestCanonicalize:
         params = [
             "a=1", "b=2", "z=", "utm_source=x", "utm_medium=y",
             "gclid=g", "ref=home", "a=c=d", "", "B=9",
+            "UTM_Source=x", "Gclid=g", "REF=home",
         ]
         frags = ["", "#f", "#a?b=1"]
         out = []
@@ -372,6 +376,17 @@ class TestDomainOps:
         assert not got[4].blocked and got[4].blocked_by is None
         with pytest.raises(ValueError):
             domain_blocklist_filter(df, [])
+        # whitespace-padded entries normalize instead of silently
+        # never matching (ADVICE r12)
+        got_ws = {
+            r.doc_id: r
+            for r in domain_blocklist_filter(
+                df, [" Example.com ", "\t.b.io\n"]
+            ).collect()
+        }
+        assert got_ws[1].blocked
+        assert got_ws[1].blocked_by == "example.com"
+        assert not got_ws[3].blocked
 
     def test_shuffle_budgets(self, spark, sf_dir):
         """The documented exchange counts: url_dedup = ONE exchange
