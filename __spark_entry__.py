@@ -1829,6 +1829,127 @@ def q_multimodal_png_luma_hist(spark, sf_dir):
     )
 
 
+def _doc_jpeg_media(spark, sf_dir):
+    """Each doc as a VALID sequential-baseline grayscale JFIF JPEG whose
+    8×8 blocks are each a CONSTANT gray drawn from the doc's text bytes
+    (block b of the (doc_id%3+1)×(doc_id%2+1) grid = byte b of the text
+    rpad/truncated with 'x') — the one pixel class a LOSSY format
+    round-trips EXACTLY: a constant block has only a DC coefficient
+    (8·(g−128) under the orthonormal DCT), which an all-ones quant
+    table stores exactly and the IDCT reconstructs exactly. Decoding
+    therefore must run the real marker walk, canonical-Huffman DC
+    decode (differential, category+amplitude bits), EOB handling,
+    dequant, and IDCT to reproduce the grays — any bit-reader,
+    predictor, or IDCT bug changes the pixels and hash-mismatches the
+    oracle, which derives the expected histogram from the same text
+    bytes engine-independently. (The lossy AC / chroma-subsampling
+    paths are pinned by pytest fixtures instead — they cannot be
+    value-checked from an engine-independent pixel source.)"""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import struct
+
+        def seg(marker, payload):
+            return (
+                b"\xff"
+                + bytes([marker])
+                + struct.pack(">H", len(payload) + 2)
+                + payload
+            )
+
+        # canonical tables: DC = 12 categories at code length 4;
+        # AC = EOB alone at code length 1 (constant blocks have no AC)
+        dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+        dc_vals = bytes(range(12))
+        ac_bits = bytes([1] + [0] * 15)
+        ac_vals = bytes([0x00])
+        app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+        def encode(grays, bx_n, by_n):
+            out = bytearray(b"\xff\xd8")
+            out += seg(0xE0, app0)
+            out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+            out += seg(
+                0xC0,
+                bytes([8])
+                + struct.pack(">HH", by_n * 8, bx_n * 8)
+                + bytes([1, 1, 0x11, 0]),
+            )
+            out += seg(0xC4, bytes([0x00]) + dc_bits + dc_vals)
+            out += seg(0xC4, bytes([0x10]) + ac_bits + ac_vals)
+            out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            acc, n, data = 0, 0, bytearray()
+
+            def put(val, ln):
+                nonlocal acc, n
+                for i in range(ln - 1, -1, -1):
+                    acc = (acc << 1) | ((val >> i) & 1)
+                    n += 1
+                    if n == 8:
+                        data.append(acc)
+                        if acc == 0xFF:
+                            data.append(0x00)
+                        acc, n = 0, 0
+
+            pred = 0
+            for g in grays:
+                dc = 8 * (g - 128)
+                diff = dc - pred
+                pred = dc
+                t = abs(diff).bit_length()
+                put(t, 4)  # DC category code (canonical: code == t)
+                if t:
+                    put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                put(0, 1)  # EOB
+            while n:
+                put(1, 1)  # pad the final byte with 1s
+            out += data
+            out += b"\xff\xd9"
+            return bytes(out)
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                bx_n, by_n = did % 3 + 1, did % 2 + 1
+                need = bx_n * by_n
+                raw = (text or "").encode("utf-8")[:need].ljust(
+                    need, b"x"
+                )
+                payloads.append(encode(list(raw), bx_n, by_n))
+            yield pdf.assign(content=payloads)[
+                ["doc_id", "content"]
+            ].rename(columns={"doc_id": "media_id"})
+
+    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def q_multimodal_jpeg_luma_hist(spark, sf_dir):
+    """The JPEG face of the real-pixel luma oracle: constant-block
+    grayscale baseline JPEGs (the exactly-round-tripping pixel class —
+    see :func:`_doc_jpeg_media`) carried through the full zero-dep
+    decode (marker walk → Huffman → dequant → IDCT,
+    pipeline/multimodal.py _jpeg_pixels) → BT.601 luma histogram. The
+    oracle computes the expected histogram from the text bytes
+    directly (luma of gray g is exactly g; each 8×8 block contributes
+    64 pixels), so the decode is value-checked end-to-end and a
+    fallback row (kind='bytes') hash-mismatches."""
+    from lotad_spark.pipeline.multimodal import extract_feature_counts
+
+    return extract_feature_counts(
+        _doc_jpeg_media(spark, sf_dir), kind="luma"
+    ).select(
+        "media_id",
+        "kind",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias(
+            "hist"
+        ),
+    )
+
+
 def _doc_wav_media(spark, sf_dir):
     """Each doc as a VALID 16-bit mono PCM WAV whose data bytes are the
     doc's text rpad/truncated to 2·n_frames bytes (n_frames derived
@@ -4564,6 +4685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # face of the real-pixel luma oracle (zlib inflate + all five
         # scanline filters value-checked against the text-derived
         # pixel source). ---
+        "multimodal_jpeg_luma_hist": q_multimodal_jpeg_luma_hist,
         "quality_classifier": q_quality_classifier,
         "ccnet_buckets": q_ccnet_buckets,
         "url_dedup": q_url_dedup,
@@ -5707,6 +5829,23 @@ def oracle_sql() -> dict[str, str]:
     # content (text bytes), so the expected histogram is the same —
     # the PNG encode→inflate→unfilter round trip must reproduce it.
     oracles["multimodal_png_luma_hist"] = oracles["multimodal_luma_hist"]
+    # The JPEG luma face: constant 8×8 blocks (the exactly-lossless
+    # pixel class of a lossy codec) — block b's gray is text byte b
+    # (rpad 'x'), luma of gray g is exactly g ((299+587+114)·g//1000),
+    # and each block contributes 64 pixels to its g*16//256 bin.
+    oracles["multimodal_jpeg_luma_hist"] = (
+        "WITH base AS (SELECT doc_id AS media_id, "
+        "rpad(coalesce(text, ''), "
+        "CAST((doc_id % 3 + 1) * (doc_id % 2 + 1) AS INT), 'x') AS px, "
+        "CAST((doc_id % 3 + 1) * (doc_id % 2 + 1) AS INT) AS nb "
+        "FROM documents), "
+        "g AS (SELECT media_id, list_transform(range(0, nb), "
+        "i -> ord(substr(px, i + 1, 1))) AS grays FROM base) "
+        "SELECT media_id, 'luma' AS kind, "
+        "array_to_string(list_transform(range(0, 16), b -> "
+        "CAST(64 * len(list_filter(grays, v -> v * 16 // 256 = b)) "
+        "AS VARCHAR)), ',') AS hist FROM g"
+    )
     oracles["rollup_incremental"] = oracles["rollup_hourly"]
     # Histogram-quantile estimates: identical binning, cumulative walk,
     # and linear interpolation reproduced in SQL — the estimate is pure

@@ -16,8 +16,11 @@ preservation — is identical across tiers; swapping in libvips/ffmpeg
 changes only the inner function.
 
 Beyond headers, :func:`decode_pixels` decodes ACTUAL PIXELS — pure
-numpy, zero deps — for netpbm P2/P3/P5/P6 and uncompressed 24/32-bpp
-BMP: the feature kernel (``kind="luma"``: integer BT.601 luma
+numpy + stdlib, zero deps — for netpbm P2/P3/P5/P6, uncompressed
+24/32-bpp BMP, 8-bit non-interlaced PNG, and sequential-baseline
+Huffman JPEG (the format that dominates web image corpora — SOF0/SOF1,
+gray/YCbCr, restart intervals; progressive/arithmetic payloads take
+the labeled fallback): the feature kernel (``kind="luma"``: integer BT.601 luma
 histogram) and the resize kernel (nearest-neighbor resample, re-encoded
 as P6) are therefore REAL image operators for those formats, with the
 byte-level fallback clearly labeled per row (``kind``/``resize_kind``
@@ -146,13 +149,15 @@ def decode_pixels(payload: bytes):
 
     Covered: netpbm P5/P6 (binary gray/RGB, maxval 255), P2/P3 (their
     ASCII twins), uncompressed 24/32-bpp BMP (bottom-up or top-down,
-    4-byte row stride, BGR(A) channel order), and 8-bit non-interlaced
+    4-byte row stride, BGR(A) channel order), 8-bit non-interlaced
     PNG (gray/truecolor/gray-alpha/RGBA; stdlib zlib inflate + all five
-    scanline filters un-applied in numpy — :func:`_png_pixels`) — all
-    per the public specs. Grayscale replicates to RGB and alpha drops
-    so downstream kernels see one shape. Anything truncated,
-    palette-mapped, 16-bit, interlaced, or with a non-255 maxval
-    returns None rather than guessing."""
+    scanline filters un-applied in numpy — :func:`_png_pixels`), and
+    sequential-baseline Huffman JPEG (SOF0/SOF1, 8-bit, gray/YCbCr,
+    restart intervals, divisible sampling grids — :func:`_jpeg_pixels`)
+    — all per the public specs. Grayscale replicates to RGB and alpha
+    drops so downstream kernels see one shape. Anything truncated,
+    palette-mapped, 16-bit, interlaced, progressive, or with a non-255
+    maxval returns None rather than guessing."""
     import numpy as np
 
     hdr = _pnm_header(payload)
@@ -191,7 +196,10 @@ def decode_pixels(payload: bytes):
     bmp = _bmp_pixels(payload)
     if bmp is not None:
         return bmp
-    return _png_pixels(payload)
+    png = _png_pixels(payload)
+    if png is not None:
+        return png
+    return _jpeg_pixels(payload)
 
 
 def _bmp_pixels(payload: bytes):
@@ -376,6 +384,380 @@ def _png_pixels(payload: bytes):
     return (w, h, px.copy())
 
 
+# --- Baseline JPEG (ITU-T T.81 / ISO 10918-1, public spec) -------------
+# Zero-dep sequential-baseline decoder: marker walk, canonical Huffman,
+# run-length AC, dequant, batched float IDCT, chroma upsample, JFIF
+# YCbCr→RGB. Progressive (SOF2), lossless, arithmetic-coded, 12-bit,
+# 16-bit DQT, and non-divisible sampling grids return the same honest
+# None as the other decoders — web corpora are dominated by baseline
+# JFIF, which this covers.
+
+# Zigzag index k → natural (row-major) position, per T.81 Figure A.6.
+_JPEG_ZZ = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# SOFn markers this decoder must refuse (progressive / lossless /
+# differential / arithmetic): everything in 0xC0-0xCF except C0/C1
+# (supported), C4 (DHT), C8 (JPG reserved), CC (DAC — arithmetic, and
+# its presence implies an unsupported scan anyway).
+_JPEG_UNSUPPORTED_SOF = frozenset(
+    (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+class _JpegBits:
+    """MSB-first bit reader over one unstuffed entropy segment."""
+
+    __slots__ = ("d", "i", "b", "n")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.i = 0
+        self.b = 0
+        self.n = 0
+
+    def bit(self):
+        if self.n == 0:
+            if self.i >= len(self.d):
+                return None
+            self.b = self.d[self.i]
+            self.i += 1
+            self.n = 8
+        self.n -= 1
+        return (self.b >> self.n) & 1
+
+    def bits(self, k: int):
+        v = 0
+        for _ in range(k):
+            t = self.bit()
+            if t is None:
+                return None
+            v = (v << 1) | t
+        return v
+
+
+def _jpeg_entropy_segments(data: bytes, pos: int) -> list[bytes]:
+    """Entropy-coded data from ``pos`` split into unstuffed segments at
+    RST markers (0xFF00 byte stuffing removed; any other marker ends
+    the scan)."""
+    segs, cur, i = [], bytearray(), pos
+    while i < len(data):
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < len(data) else None
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+            continue
+        if nxt is not None and 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+            continue
+        break  # real marker (EOI / next header)
+    segs.append(bytes(cur))
+    return segs
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict):
+    code = ln = 0
+    while ln < 16:
+        b = bits.bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map the t received bits to the signed amplitude."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _jpeg_decode_block(bits, dc_tab, ac_tab, pred):
+    """One 8×8 block: (64 zigzag-order coefficients, new DC pred) or
+    None on bit exhaustion / malformed codes."""
+    t = _jpeg_huff_decode(bits, dc_tab)
+    if t is None or t > 15:
+        return None
+    diff = 0
+    if t:
+        v = bits.bits(t)
+        if v is None:
+            return None
+        diff = _jpeg_extend(v, t)
+    dc = pred + diff
+    zz = [0] * 64
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _jpeg_huff_decode(bits, ac_tab)
+        if rs is None:
+            return None
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            return None
+        v = bits.bits(s)
+        if v is None:
+            return None
+        zz[k] = _jpeg_extend(v, s)
+        k += 1
+    return zz, dc
+
+
+def _jpeg_headers(payload: bytes):
+    """Marker walk up to SOS: (qt, hufftabs, sof, dri, scan) or None.
+    ``sof`` is (width, height, [[cid, h, v, tq], …], marker); ``scan``
+    is ([(cid, dc_id, ac_id), …], entropy_data_offset) or None when no
+    SOS was reached (metadata callers don't need one)."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict = {}
+    hufftabs: dict = {}
+    sof = None
+    dri = 0
+    scan = None
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        m = payload[pos + 1]
+        if m == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
+        if m == 0xD9:  # EOI before any scan
+            break
+        if pos + 4 > len(payload):
+            return None
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        seg = payload[pos + 4 : pos + 2 + ln]
+        if ln < 2 or len(seg) != ln - 2:
+            return None
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0 or len(seg) < i + 65:
+                    return None  # 16-bit tables: unsupported
+                qt[tq] = bytes(seg[i + 1 : i + 65])
+                i += 65
+        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            if sof is not None or len(seg) < 6:
+                return None
+            prec = seg[0]
+            h = struct.unpack_from(">H", seg, 1)[0]
+            w = struct.unpack_from(">H", seg, 3)[0]
+            nc = seg[5]
+            if prec != 8 or nc not in (1, 3) or not w or not h:
+                return None
+            if len(seg) < 6 + 3 * nc:
+                return None
+            comps = []
+            for c in range(nc):
+                b0 = 6 + 3 * c
+                hv = seg[b0 + 1]
+                comps.append([seg[b0], hv >> 4, hv & 15, seg[b0 + 2]])
+            sof = (w, h, comps, m)
+        elif m in _JPEG_UNSUPPORTED_SOF:
+            return None
+        elif m == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = seg[i + 1 : i + 17]
+                nsym = sum(counts)
+                vals = seg[i + 17 : i + 17 + nsym]
+                if tc > 1 or len(vals) < nsym:
+                    return None
+                tbl: dict = {}
+                code = k = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        if code >= 1 << length:
+                            return None  # over-full canonical table
+                        tbl[(length, code)] = vals[k]
+                        k += 1
+                        code += 1
+                    code <<= 1
+                hufftabs[(tc, th)] = tbl
+                i += 17 + nsym
+        elif m == 0xDD:  # DRI
+            if ln != 4:
+                return None
+            dri = struct.unpack_from(">H", seg, 0)[0]
+        elif m == 0xDA:  # SOS
+            if sof is None or not seg:
+                return None
+            ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                return None
+            smap = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(ns)
+            ]
+            scan = (smap, pos + 2 + ln)
+            break
+        pos += 2 + ln
+    if sof is None:
+        return None
+    return qt, hufftabs, sof, dri, scan
+
+
+def _parse_jpeg(payload: bytes) -> tuple[int, int, str] | None:
+    """JPEG metadata from the SOF frame header (header-only, like the
+    PNM/BMP/PNG parsers — an unsupported-coding payload still reports
+    its dimensions when the frame header is sequential baseline)."""
+    try:
+        parsed = _jpeg_headers(payload)
+    except (IndexError, ValueError):
+        return None
+    if parsed is None:
+        return None
+    w, h, comps, _m = parsed[2]
+    mode = {1: "L", 3: "RGB"}.get(len(comps))
+    if mode is None:
+        return None
+    return (int(w), int(h), mode)
+
+
+def _jpeg_pixels(payload: bytes):
+    """REAL pixel decode for the web's dominant lossy format: sequential
+    baseline (SOF0/SOF1) Huffman JPEG, 8-bit, grayscale or YCbCr,
+    restart intervals supported, sampling factors accepted whenever the
+    grid divides (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 and their 1-component
+    face). Returns (w, h, ndarray[h, w, 3] uint8 RGB) or honest None.
+
+    The hot math is vectorized (one batched einsum IDCT over every
+    block, numpy upsample/color-convert); the entropy decode is a
+    per-bit Python loop — correct first, and the kernel already runs
+    inside an Arrow-batched mapInPandas stage. Production swaps in
+    libjpeg-turbo via PIL (the `_HAS_PIL` tier); this tier exists so
+    the no-dependency container still decodes REAL pixels."""
+    import numpy as np
+
+    try:
+        parsed = _jpeg_headers(payload)
+    except (IndexError, ValueError):  # corrupt data must not kill a job
+        return None
+    if parsed is None or parsed[4] is None:
+        return None
+    qt_raw, hufftabs, (w, h, comps, _m), dri, (smap, data_pos) = parsed
+    if len(smap) != len(comps):
+        return None  # non-interleaved multi-scan: unsupported
+    zz = np.array(_JPEG_ZZ)
+    qts = {}
+    for tq, raw in qt_raw.items():
+        nat = np.zeros(64, np.int32)
+        nat[zz] = np.frombuffer(raw, np.uint8)
+        qts[tq] = nat.reshape(8, 8)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for c in comps:
+        if not c[1] or not c[2] or hmax % c[1] or vmax % c[2]:
+            return None
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    order = []
+    for cid, tdc, tac in smap:
+        match = [c for c in comps if c[0] == cid]
+        if (
+            not match
+            or match[0][3] not in qts
+            or (0, tdc) not in hufftabs
+            or (1, tac) not in hufftabs
+        ):
+            return None
+        order.append((match[0], hufftabs[(0, tdc)], hufftabs[(1, tac)]))
+    # A lying frame header cannot make us allocate unboundedly: every
+    # block consumes ≥2 entropy bits, so blocks ≤ 8·payload bytes.
+    total_blocks = mx * my * sum(c[1] * c[2] for c in comps)
+    if total_blocks > 8 * len(payload):
+        return None
+    segs = _jpeg_entropy_segments(payload, data_pos)
+    coefs = [
+        np.zeros((my * c[2], mx * c[1], 64), np.int32)
+        for c, _d, _a in order
+    ]
+    bits = _JpegBits(segs[0])
+    seg_idx = 0
+    preds = [0] * len(order)
+    for mcu in range(mx * my):
+        if dri and mcu and mcu % dri == 0:  # restart: new segment
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                return None
+            bits = _JpegBits(segs[seg_idx])
+            preds = [0] * len(order)
+        r, c0 = divmod(mcu, mx)
+        for ci, (comp, dct, act) in enumerate(order):
+            _cid, hi, vi, _tq = comp
+            for by in range(vi):
+                for bx in range(hi):
+                    blk = _jpeg_decode_block(bits, dct, act, preds[ci])
+                    if blk is None:
+                        return None
+                    zzvec, preds[ci] = blk
+                    nat = np.zeros(64, np.int32)
+                    nat[zz] = zzvec
+                    coefs[ci][r * vi + by, c0 * hi + bx] = nat
+    # Orthonormal IDCT basis: A[u, x] = α(u)·cos((2x+1)uπ/16).
+    u = np.arange(8)
+    A = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) * np.sqrt(
+        2.0 / 8
+    )
+    A[0] = np.sqrt(1.0 / 8)
+    planes = {}
+    for ci, (comp, _d, _a) in enumerate(order):
+        cid, hi, vi, tq = comp
+        blocks = coefs[ci].reshape(-1, 8, 8).astype(np.float64) * qts[tq]
+        spatial = np.einsum("ux,nuv,vy->nxy", A, blocks, A)
+        rows, cols = coefs[ci].shape[:2]
+        plane = (
+            spatial.reshape(rows, cols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows * 8, cols * 8)
+        )
+        plane = np.clip(np.round(plane) + 128, 0, 255)
+        plane = plane.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
+        planes[cid] = plane[:h, :w]
+    ordered = [planes[c[0]] for c in comps]  # SOF order = Y (Cb Cr)
+    if len(ordered) == 1:
+        g = ordered[0].astype(np.uint8)
+        return (w, h, np.stack([g, g, g], axis=-1))
+    y, cb, cr = ordered
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128),
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+            y + 1.772 * (cb - 128),
+        ],
+        axis=-1,
+    )
+    return (w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8))
+
+
 # ITU-R BT.601 luma, integer micro-form: (299R + 587G + 114B) // 1000 —
 # exact integer arithmetic, so the histogram is bit-reproducible in any
 # engine that can index the same bytes (the DuckDB oracle replays it).
@@ -387,9 +769,9 @@ def _luma(arr):
 
 
 def _headers_decode(payload: bytes) -> tuple[int, int, str]:
-    """No-PIL kernel: real header parse for BMP/netpbm/PNG payloads,
-    byte-length fake (mode='STUB') for anything else."""
-    for parse in (_parse_bmp, _parse_pnm, _parse_png):
+    """No-PIL kernel: real header parse for BMP/netpbm/PNG/JPEG
+    payloads, byte-length fake (mode='STUB') for anything else."""
+    for parse in (_parse_bmp, _parse_pnm, _parse_png, _parse_jpeg):
         parsed = parse(payload)
         if parsed is not None:
             return parsed
