@@ -2245,6 +2245,186 @@ _VIDEO_SCENE_SQL = (
 )
 
 
+def _doc_avi_pair_media(spark, sf_dir):
+    """Near-dup VIDEO corpus: each doc's AVI is synthesized from its
+    BUDDY's text (buddy = doc_id rounded down to even), so every
+    even/odd pair is two cuts of the same source stream — and the odd
+    doc's video carries ONE EXTRA trailing frame (the next chunk of
+    the shared stream, 'x'-padded), the trim/re-encode shape
+    cross-video near-dup exists to catch. Bounded to doc_id < 1000 so
+    the all-pairs ORACLE replay stays cheap at every scale (the Spark
+    side is banded and needs no such bound — the cap is an oracle-cost
+    choice, stated, not a silent coverage claim). Geometry (h,
+    n_frames) derives from the buddy id so paired videos agree."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id", "text")
+    )
+    buddies = docs.select(
+        F.col("doc_id").alias("_bid"), F.col("text").alias("_btext")
+    )
+    src = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") - F.col("doc_id") % 2).alias("_bid"),
+        )
+        .join(buddies, "_bid", "left")
+        .select("doc_id", "_btext")
+    )
+
+    def build(batches):
+        import struct
+
+        def chunk(cid, body):
+            return (
+                cid
+                + struct.pack("<I", len(body))
+                + body
+                + (b"\0" if len(body) % 2 else b"")
+            )
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["_btext"]):
+                did = int(did)
+                bid = did - did % 2
+                w, h = 4, bid // 2 % 2 + 1
+                nf = bid // 2 % 3 + 1 + did % 2  # odd: one extra frame
+                per = w * 3 * h
+                data = (text or "").encode("utf-8")[: nf * per].ljust(
+                    nf * per, b"x"
+                )
+                avih = (
+                    struct.pack("<8I", 40000, 0, 0, 0, nf, 0, 1, 0)
+                    + struct.pack("<II", w, h)
+                    + b"\0" * 16
+                )
+                strf = (
+                    struct.pack("<IiiHHII", 40, w, h, 1, 24, 0, 0)
+                    + b"\0" * 16
+                )
+                hdrl = chunk(
+                    b"LIST",
+                    b"hdrl"
+                    + chunk(b"avih", avih)
+                    + chunk(b"LIST", b"strl" + chunk(b"strf", strf)),
+                )
+                movi = chunk(
+                    b"LIST",
+                    b"movi"
+                    + b"".join(
+                        chunk(b"00db", data[f * per : (f + 1) * per])
+                        for f in range(nf)
+                    ),
+                )
+                body = b"AVI " + hdrl + movi
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", len(body)) + body
+                )
+            yield pdf.assign(content=payloads)[
+                ["doc_id", "content"]
+            ].rename(columns={"doc_id": "media_id"})
+
+    return src.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def q_video_near_dup_pairs(spark, sf_dir):
+    """Cross-video perceptual near-dup (pipeline/multimodal.py
+    video_near_dup_pairs): per-video scene signature (distinct aHashes
+    of scene-START frames via a JVM lag window over the per-frame hash
+    kernel) → banded pairing (pigeonhole-exact for any matching scene
+    within max_hamming ≤ bands−1) → symmetric scene-coverage verify.
+    The oracle replays the ENTIRE chain in SQL — frame pixel indexing
+    (bottom-up flip, BGR order), per-frame aHash, lag-based scene
+    starts, ALL-pairs min-hamming matching (equal to the banded result
+    by the pigeonhole guarantee, since min_coverage > 0 requires ≥1
+    matched scene), and the exact micro-unit coverage ratio."""
+    from lotad_spark.pipeline.multimodal import video_near_dup_pairs
+
+    return video_near_dup_pairs(
+        _doc_avi_pair_media(spark, sf_dir),
+        every_nth=1,
+        cut_hamming=12,
+        max_hamming=3,
+        bands=8,
+        min_coverage=0.5,
+    )
+
+
+# Frame/pixel replay of _doc_avi_pair_media: buddy text (doc_id - id%2)
+# rpad/truncated to nf·12·h bytes; cell i of frame f reads the flipped
+# BGR raster exactly as _VIDEO_SCENE_SQL documents.
+_VIDEO_NEAR_DUP_SQL = (
+    "WITH base AS (SELECT d.doc_id AS media_id, "
+    "CAST((d.doc_id - d.doc_id % 2) // 2 % 2 + 1 AS BIGINT) AS h, "
+    "CAST((d.doc_id - d.doc_id % 2) // 2 % 3 + 1 + d.doc_id % 2 "
+    "AS BIGINT) AS nf, "
+    "rpad(coalesce(b.text, ''), "
+    "CAST(((d.doc_id - d.doc_id % 2) // 2 % 3 + 1 + d.doc_id % 2) "
+    "* 12 * ((d.doc_id - d.doc_id % 2) // 2 % 2 + 1) AS INT), 'x') "
+    "AS px FROM documents d LEFT JOIN documents b "
+    "ON b.doc_id = d.doc_id - d.doc_id % 2 "
+    "WHERE d.doc_id < 1000), "
+    "fr AS (SELECT media_id, h, px, unnest(range(0, nf)) AS f "
+    "FROM base), "
+    "cl AS (SELECT media_id, f, list_transform(range(0, 64), i -> "
+    "(299 * ord(substr(px, CAST(f * 12 * h "
+    "+ 3 * ((h - 1 - ((i // 8) * h // 8)) * 4 + ((i % 8) * 4 // 8)) "
+    "+ 3 AS INT), 1)) "
+    "+ 587 * ord(substr(px, CAST(f * 12 * h "
+    "+ 3 * ((h - 1 - ((i // 8) * h // 8)) * 4 + ((i % 8) * 4 // 8)) "
+    "+ 2 AS INT), 1)) "
+    "+ 114 * ord(substr(px, CAST(f * 12 * h "
+    "+ 3 * ((h - 1 - ((i // 8) * h // 8)) * 4 + ((i % 8) * 4 // 8)) "
+    "+ 1 AS INT), 1))) // 1000) AS cells FROM fr), "
+    "m AS (SELECT media_id, f, cells, list_sum(cells) // 64 AS mean "
+    "FROM cl), "
+    "hashes AS (SELECT media_id, f, "
+    "CAST(list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN cells[CAST(i + 33 AS INT)] > mean "
+    "THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hi, "
+    "CAST(list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN cells[CAST(i + 1 AS INT)] > mean "
+    "THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS lo FROM m), "
+    "seq AS (SELECT media_id, f, hi, lo, "
+    "lag(hi) OVER (PARTITION BY media_id ORDER BY f) AS phi, "
+    "lag(lo) OVER (PARTITION BY media_id ORDER BY f) AS plo "
+    "FROM hashes), "
+    "sig AS (SELECT DISTINCT media_id, hi, lo FROM seq "
+    "WHERE phi IS NULL "
+    "OR bit_count(xor(hi, phi)) + bit_count(xor(lo, plo)) >= 12), "
+    "ns AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n FROM sig "
+    "GROUP BY media_id), "
+    "hm AS (SELECT a.media_id AS id_a, b.media_id AS id_b, "
+    "a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob, "
+    "bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hd "
+    "FROM sig a JOIN sig b ON a.media_id < b.media_id), "
+    "ma AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) "
+    "AS n_matched_a FROM (SELECT id_a, id_b, hia, loa, min(hd) AS mh "
+    "FROM hm GROUP BY 1, 2, 3, 4) WHERE mh <= 3 GROUP BY 1, 2), "
+    "mb AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) "
+    "AS n_matched_b FROM (SELECT id_a, id_b, hib, lob, min(hd) AS mh "
+    "FROM hm GROUP BY 1, 2, 3, 4) WHERE mh <= 3 GROUP BY 1, 2), "
+    "pairs AS (SELECT DISTINCT id_a, id_b FROM hm), "
+    "scored AS (SELECT p.id_a, p.id_b, na.n AS n_scenes_a, "
+    "nb.n AS n_scenes_b, coalesce(ma.n_matched_a, 0) AS n_matched_a, "
+    "coalesce(mb.n_matched_b, 0) AS n_matched_b "
+    "FROM pairs p JOIN ns na ON na.media_id = p.id_a "
+    "JOIN ns nb ON nb.media_id = p.id_b "
+    "LEFT JOIN ma ON ma.id_a = p.id_a AND ma.id_b = p.id_b "
+    "LEFT JOIN mb ON mb.id_a = p.id_a AND mb.id_b = p.id_b) "
+    "SELECT *, CAST((2 * (n_matched_a + n_matched_b) * 1000000 "
+    "+ (n_scenes_a + n_scenes_b)) // (2 * (n_scenes_a + n_scenes_b)) "
+    "AS DOUBLE) / 1000000.0 AS coverage FROM scored "
+    "WHERE (2 * (n_matched_a + n_matched_b) * 1000000 "
+    "+ (n_scenes_a + n_scenes_b)) // (2 * (n_scenes_a + n_scenes_b)) "
+    ">= 500000"
+)
+
+
 def q_multimodal_luma_hist(spark, sf_dir):
     """REAL pixel-feature extraction (pipeline/multimodal.py
     extract_feature_counts kind='luma'): the kernel decodes the P6
@@ -4686,6 +4866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scanline filters value-checked against the text-derived
         # pixel source). ---
         "multimodal_jpeg_luma_hist": q_multimodal_jpeg_luma_hist,
+        "video_near_dup_pairs": q_video_near_dup_pairs,
         "quality_classifier": q_quality_classifier,
         "ccnet_buckets": q_ccnet_buckets,
         "url_dedup": q_url_dedup,
@@ -4902,6 +5083,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_video_hist": _MULTIMODAL_VIDEO_SQL,
         "image_ahash": _IMAGE_AHASH_SQL,
         "video_scene_cuts": _VIDEO_SCENE_SQL,
+        "video_near_dup_pairs": _VIDEO_NEAR_DUP_SQL,
         "url_dedup": _url_dedup_sql(),
         "url_dedup_incremental": _url_dedup_incremental_sql(),
         "domain_stats": _domain_stats_sql(),

@@ -36,7 +36,7 @@ from __future__ import annotations
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 try:  # real decoder if available; this container has none
@@ -1102,33 +1102,9 @@ def image_near_dup_pairs(
     SimHash path. Only the hash extraction is Python (Arrow-batched);
     banding, joining, and verification are pure JVM expressions over
     two bigints per image."""
-    if 64 % bands or bands < 2:
-        # bands >= 2 also keeps every slice inside ONE 32-bit half, so
-        # slice extraction never straddles the hi/lo boundary
-        raise ValueError(
-            f"image_near_dup_pairs: bands must divide 64 and be >= 2, "
-            f"got {bands}"
-        )
-    width = 64 // bands
-    mask = (1 << width) - 1
+    slices = _ahash_band_slices(bands, "image_near_dup_pairs")
     hashed = image_ahash(df, content_col, id_col=id_col).filter(
         F.col("kind") == "ahash"
-    )
-
-    def slice_expr(b: int):
-        # slice b covers bits [b*width, (b+1)*width) of the 64-bit
-        # hash; pull from the right half (lo = bits 0-31)
-        start = b * width
-        src = F.col("ahash_lo") if start < 32 else F.col("ahash_hi")
-        return (
-            F.shiftright(src, start % 32).bitwiseAND(F.lit(mask))
-        )
-
-    slices = F.array(
-        *[
-            F.struct(F.lit(b).alias("band_i"), slice_expr(b).alias("bv"))
-            for b in range(bands)
-        ]
     )
     stacked = hashed.select(
         F.col(id_col),
@@ -1247,6 +1223,246 @@ def scene_cuts(
             )
 
     return df.mapInPandas(cut_batches, schema=out_schema)
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+    every_nth: int = 1,
+) -> DataFrame:
+    """(id, kind, frame_idx, ahash_hi, ahash_lo) — the per-frame
+    perceptual fingerprints of every ``every_nth``-th frame of an
+    uncompressed-AVI payload, the raw material for cross-video
+    near-dup (:func:`video_near_dup_pairs`). Only the decode+hash is
+    Python (Arrow-batched); everything downstream (scene-start
+    selection via lag, banding, pairing) is pure JVM expression.
+    Undecodable payloads emit ONE labeled row (kind='bytes', NULL
+    halves); NULL payloads kind='null' — the :func:`scene_cuts`
+    honesty contract."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, kind string, frame_idx bigint, "
+        "ahash_hi bigint, ahash_lo bigint"
+    )
+
+    def hash_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, idxs, his, los = [], [], [], [], []
+            for mid, b in zip(pdf[id_col], pdf[content_col]):
+                if b is None:
+                    ids.append(mid)
+                    kinds.append("null")
+                    idxs.append(None)
+                    his.append(None)
+                    los.append(None)
+                    continue
+                dec = decode_video_frames(bytes(b), every_nth=every_nth)
+                if dec is None:
+                    ids.append(mid)
+                    kinds.append("bytes")
+                    idxs.append(None)
+                    his.append(None)
+                    los.append(None)
+                    continue
+                _w, _h, _n, frames = dec
+                for i, px in enumerate(frames):
+                    hi, lo = _ahash_from_pixels(px)
+                    ids.append(mid)
+                    kinds.append("frames")
+                    idxs.append(i * every_nth)
+                    his.append(hi)
+                    los.append(lo)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "kind": kinds,
+                    "frame_idx": idxs,
+                    "ahash_hi": his,
+                    "ahash_lo": los,
+                }
+            )
+
+    return df.mapInPandas(hash_batches, schema=out_schema)
+
+
+def _ahash_band_slices(bands: int, caller: str):
+    """The 64-bit-fingerprint band machinery shared by
+    :func:`image_near_dup_pairs` and :func:`video_near_dup_pairs`:
+    validates ``bands`` and returns the exploded
+    ``array<struct<band_i, bv>>`` column of equal hash slices.
+    ``bands ≥ 2`` keeps every slice inside ONE 32-bit half, so slice
+    extraction never straddles the hi/lo boundary."""
+    if 64 % bands or bands < 2:
+        raise ValueError(
+            f"{caller}: bands must divide 64 and be >= 2, got {bands}"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def slice_expr(b: int):
+        # slice b covers bits [b*width, (b+1)*width) of the 64-bit
+        # hash; pull from the right half (lo = bits 0-31)
+        start = b * width
+        src = F.col("ahash_lo") if start < 32 else F.col("ahash_hi")
+        return F.shiftright(src, start % 32).bitwiseAND(F.lit(mask))
+
+    return F.array(
+        *[
+            F.struct(F.lit(b).alias("band_i"), slice_expr(b).alias("bv"))
+            for b in range(bands)
+        ]
+    )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+    every_nth: int = 1,
+    cut_hamming: int = 16,
+    max_hamming: int = 7,
+    bands: int = 8,
+    min_coverage: float = 0.5,
+) -> DataFrame:
+    """CROSS-video perceptual near-dup — two re-encodes/trims of the
+    same clip pair up without all-pairs: each video compresses to its
+    SCENE SIGNATURE (the distinct aHashes of its scene-START frames:
+    frame 0 plus every frame whose hamming to the previous sampled
+    frame reaches ``cut_hamming`` — the :func:`scene_cuts` rule,
+    computed here as a JVM lag window over
+    :func:`video_frame_hashes`), signatures band-pair exactly like
+    :func:`image_near_dup_pairs` (pigeonhole: any scene-hash pair
+    within ``max_hamming ≤ bands − 1`` bits IS found, so a pair with
+    at least one matching scene is never missed), and candidates are
+    verified by symmetric scene coverage. Returns
+    ``(id_a, id_b, n_scenes_a, n_scenes_b, n_matched_a, n_matched_b,
+    coverage)`` where ``n_matched_x`` counts side-x signature hashes
+    with a ≤``max_hamming`` partner on the other side and
+    ``coverage = (n_matched_a + n_matched_b) / (n_scenes_a +
+    n_scenes_b)`` (exact integer micro-units, 6dp — the
+    engine-boundary-proof ratio shape), filtered to
+    ``≥ min_coverage``.
+
+    Scale: signatures carry two bigints per SCENE (not per frame, not
+    per pixel) — a 2-hour video is a few hundred rows; banding keeps
+    candidate volume tracking true-pair density exactly as the image /
+    SimHash paths do, and the per-candidate verification join touches
+    scene sets, never payloads. ``min_coverage`` must be > 0: a
+    zero-threshold would ask for pairs with no matching scene, which
+    banding (correctly) never generates."""
+    if not 0 < min_coverage <= 1:
+        raise ValueError(
+            f"video_near_dup_pairs: min_coverage must be in (0, 1], "
+            f"got {min_coverage}"
+        )
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"video_near_dup_pairs: exact recall needs max_hamming <= "
+            f"bands - 1, got {max_hamming} > {bands - 1}"
+        )
+    hashed = video_frame_hashes(
+        df, content_col, id_col=id_col, every_nth=every_nth
+    ).filter(F.col("kind") == "frames")
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    phi = F.lag("ahash_hi").over(w)
+    plo = F.lag("ahash_lo").over(w)
+    ham_prev = F.bit_count(F.col("ahash_hi").bitwiseXOR(phi)) + F.bit_count(
+        F.col("ahash_lo").bitwiseXOR(plo)
+    )
+    sig = (
+        hashed.withColumn("_hp", ham_prev)
+        .filter(F.col("_hp").isNull() | (F.col("_hp") >= cut_hamming))
+        .select(id_col, "ahash_hi", "ahash_lo")
+        .distinct()
+    )
+    n_scenes = sig.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    slices = _ahash_band_slices(bands, "video_near_dup_pairs")
+    stacked = sig.select(
+        F.col(id_col), F.explode(slices).alias("s")
+    ).select(id_col, "s.band_i", "s.bv")
+    cands = (
+        stacked.select(F.col(id_col).alias("id_a"), "band_i", "bv")
+        .join(
+            stacked.select(F.col(id_col).alias("id_b"), "band_i", "bv"),
+            ["band_i", "bv"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"),
+        F.col("ahash_hi").alias("_hia"),
+        F.col("ahash_lo").alias("_loa"),
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"),
+        F.col("ahash_hi").alias("_hib"),
+        F.col("ahash_lo").alias("_lob"),
+    )
+    crossed = cands.join(sig_a, "id_a").join(sig_b, "id_b")
+    ham = F.bit_count(
+        F.col("_hia").bitwiseXOR(F.col("_hib"))
+    ) + F.bit_count(F.col("_loa").bitwiseXOR(F.col("_lob")))
+    matched_a = (
+        crossed.groupBy("id_a", "id_b", "_hia", "_loa")
+        .agg(F.min(ham).alias("_mh"))
+        .filter(F.col("_mh") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matched_a"))
+    )
+    matched_b = (
+        crossed.groupBy("id_a", "id_b", "_hib", "_lob")
+        .agg(F.min(ham).alias("_mh"))
+        .filter(F.col("_mh") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matched_b"))
+    )
+    paired = (
+        cands.join(matched_a, ["id_a", "id_b"], "left")
+        .join(matched_b, ["id_a", "id_b"], "left")
+        .join(
+            n_scenes.select(
+                F.col(id_col).alias("id_a"), F.col("n").alias("n_scenes_a")
+            ),
+            "id_a",
+        )
+        .join(
+            n_scenes.select(
+                F.col(id_col).alias("id_b"), F.col("n").alias("n_scenes_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_scenes_a",
+            "n_scenes_b",
+            F.coalesce("n_matched_a", F.lit(0))
+            .cast("bigint")
+            .alias("n_matched_a"),
+            F.coalesce("n_matched_b", F.lit(0))
+            .cast("bigint")
+            .alias("n_matched_b"),
+        )
+    )
+    # round((ma+mb)/(na+nb), 6) in exact integer micro-units (HALF_UP)
+    # — the same engine-boundary-proof shape as the text-module ratios.
+    num = (
+        F.col("n_matched_a") + F.col("n_matched_b")
+    ).cast("bigint") * F.lit(1_000_000)
+    den = (F.col("n_scenes_a") + F.col("n_scenes_b")).cast("bigint")
+    x = F.lit(2) * num + den
+    d2 = F.lit(2) * den
+    q = ((x - x % d2) / d2).cast("bigint")
+    return paired.withColumn(
+        "coverage", q.cast("double") / F.lit(1_000_000.0)
+    ).filter(F.col("coverage") >= F.lit(float(min_coverage)))
 
 
 def _avi_parse(payload: bytes):

@@ -628,6 +628,68 @@ class TestMultimodal:
         assert by_id[2].kind == "bytes" and by_id[2].frame_idx is None
         assert by_id[3].kind == "null"
 
+    def test_video_near_dup_pairs(self, spark):
+        """Cross-video perceptual near-dup: a trimmed re-encode of the
+        same clip (same scenes, one dropped, mild brightness shift)
+        pairs with the original at full coverage; a structurally
+        different video pairs with neither. Fallback/NULL payloads are
+        excluded by the kind filter."""
+        from lotad_spark.pipeline.multimodal import video_near_dup_pairs
+
+        w, h = 4, 2
+        dark = bytes([10] * 24)
+        # +6 uniform brightness: aHash-invariant (cells and mean shift
+        # together) — the mild edit a perceptual signature must absorb
+        bright = bytes(v + 6 for v in dark)
+        grad = bytes(
+            v for i in range(8) for v in (i * 30, i * 30, i * 30)
+        )
+        checker = bytes(
+            v
+            for y in range(2)
+            for x in range(4)
+            for v in ((255 if (x + y) % 2 else 0),) * 3
+        )
+        full = self._make_avi([dark, dark, grad, grad], w, h)
+        trimmed = self._make_avi([bright, grad], w, h)
+        other = self._make_avi([checker, checker], w, h)
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(full)),
+                (2, bytearray(trimmed)),
+                (3, bytearray(other)),
+                (4, bytearray(b"junk")),
+                (5, None),
+            ],
+            "media_id bigint, content binary",
+        )
+        got = {
+            (r.id_a, r.id_b): r
+            for r in video_near_dup_pairs(
+                df, cut_hamming=8, min_coverage=0.5
+            ).collect()
+        }
+        assert set(got) == {(1, 2)}
+        r = got[(1, 2)]
+        assert r.n_scenes_a == 2 and r.n_scenes_b == 2
+        assert r.n_matched_a == 2 and r.n_matched_b == 2
+        assert r.coverage == 1.0
+
+    def test_video_near_dup_validation(self, spark):
+        from lotad_spark.pipeline.multimodal import video_near_dup_pairs
+
+        df = spark.createDataFrame(
+            [(1, b"x")], "media_id bigint, content binary"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="min_coverage"):
+            video_near_dup_pairs(df, min_coverage=0.0)
+        with _pytest.raises(ValueError, match="bands"):
+            video_near_dup_pairs(df, bands=5)
+        with _pytest.raises(ValueError, match="exact recall"):
+            video_near_dup_pairs(df, max_hamming=9, bands=8)
+
     def test_image_pairs_compose_with_components(self, spark):
         """image_near_dup_pairs output feeds dedup_components verbatim
         (the text near-dup composition): a dup CLUSTER spanning
