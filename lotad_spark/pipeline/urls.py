@@ -233,30 +233,210 @@ def _apex_expr(host: Column) -> Column:
     public-suffix list is a versioned external artifact; the heuristic
     is wrong for multi-label suffixes (``example.co.uk`` →
     ``co.uk``) and says so here rather than pretending. Pipelines that
-    need true eTLD+1 should join a PSL relation on ``domain``."""
+    need true eTLD+1 pass ``apex='psl'`` with :func:`load_psl` rules
+    (see :func:`apex_psl_frame`)."""
     return F.when(
         host.rlike(r"[^.]+\.[^.]+$"),
         F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
     ).otherwise(host)
 
 
+# --- eTLD+1 via a user-supplied public-suffix list -------------------
+# The PSL (publicsuffix.org — a versioned, licensed external artifact)
+# is never vendored here: callers download their own snapshot and pass
+# it through load_psl. Parsing and matching follow the published
+# algorithm: comments '//' and blanks skipped, '!rule' = exception,
+# '*' matches exactly one label; the longest matching rule wins except
+# an exception rule always wins (public suffix = exception rule minus
+# its leftmost label); no match defaults to the 1-label rule '*'.
+# Registrable (apex) domain = public suffix + one preceding label; a
+# host that IS a public suffix has no registrable domain (apex NULL —
+# surfaced, never guessed). Hosts are matched as-given (lowercase
+# canonical form); IDNA/punycode normalization of a unicode PSL
+# snapshot is the caller's concern and is documented, not guessed.
+
+
+def load_psl(source) -> list[tuple[str, int, bool]]:
+    """Parse a public-suffix list from a file path or an iterable of
+    lines into ``(pattern, n_labels, is_exception)`` rules for
+    :func:`apex_psl_frame` / :func:`psl_apex`. Exception patterns are
+    stored WITHOUT the leading ``!``. Raises on an empty rule set —
+    an accidentally-empty file must not silently degrade every apex
+    to the default rule."""
+    if isinstance(source, str):
+        with open(source, encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
+    else:
+        lines = list(source)
+    rules = []
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        token = line.split()[0].lower()
+        is_exc = token.startswith("!")
+        if is_exc:
+            token = token[1:]
+        if not token or token.startswith(".") or token.endswith("."):
+            raise ValueError(f"load_psl: malformed rule {raw!r}")
+        rules.append((token, token.count(".") + 1, is_exc))
+    if not rules:
+        raise ValueError("load_psl: no rules found")
+    return rules
+
+
+def psl_apex(host: str | None, rules) -> str | None:
+    """Driver-side reference of the PSL algorithm (also the blocklist
+    guardrail's checker): the registrable domain of ``host`` under
+    ``rules``, or None when the host is itself a public suffix /
+    single label / None. The Spark path (:func:`apex_psl_frame`) is
+    parity-tested against this function."""
+    if not host:
+        return None
+    labels = host.split(".")
+    n = len(labels)
+    by_pattern = {p: (nl, exc) for p, nl, exc in rules}
+    max_labels = max(nl for _p, nl, _e in rules)
+    exc_len = norm_len = None
+    for k in range(1, min(n, max_labels) + 1):
+        cands = [".".join(labels[-k:])]
+        if k > 1:
+            cands.append("*." + ".".join(labels[-(k - 1) :]))
+        for pat in cands:
+            hit = by_pattern.get(pat)
+            if hit is None:
+                continue
+            nl, exc = hit
+            if exc:
+                exc_len = max(exc_len or 0, nl)
+            else:
+                norm_len = max(norm_len or 0, nl)
+    suffix_len = (exc_len - 1) if exc_len else (norm_len or 1)
+    if n <= suffix_len:
+        return None
+    return ".".join(labels[-(suffix_len + 1) :])
+
+
+def apex_psl_frame(
+    df: DataFrame,
+    rules,
+    domain_col: str = "domain",
+    out_col: str = "apex_domain",
+) -> DataFrame:
+    """Append the eTLD+1 (``out_col``) of ``domain_col`` under the PSL
+    ``rules`` (:func:`load_psl`). Spark shape: each host explodes into
+    its ≤``max_rule_labels`` candidate suffixes (exact + one-label
+    wildcard form — bounded by the RULE depth, not the host), a
+    BROADCAST join against the tiny rule relation finds matches, and
+    one host-keyed aggregation picks the winner per the published
+    algorithm (exception beats longest beats default-1). Run it on a
+    per-domain relation (e.g. :func:`domain_stats` output), not the
+    raw corpus — apex is a function of the domain, so compute it once
+    per domain. NULL domains and public-suffix hosts yield NULL apex."""
+    spark = df.sparkSession
+    max_labels = max(nl for _p, nl, _e in rules)
+    rules_df = spark.createDataFrame(
+        rules, "pattern string, rule_labels int, is_exception boolean"
+    )
+    labels = F.split(F.col(domain_col), r"\.")
+    n = F.size(labels)
+    k = F.col("_k")
+    exact = F.array_join(F.expr(
+        f"slice(split(`{domain_col}`, '\\\\.'), -_k, _k)"
+    ), ".")
+    wild = F.concat(
+        F.lit("*."),
+        F.array_join(
+            F.expr(f"slice(split(`{domain_col}`, '\\\\.'), -(_k - 1), _k - 1)"),
+            ".",
+        ),
+    )
+    cands = (
+        df.select(F.col(domain_col))
+        .filter(F.col(domain_col).isNotNull())
+        .distinct()
+        .select(
+            domain_col,
+            F.explode(
+                F.sequence(F.lit(1), F.least(n, F.lit(max_labels)))
+            ).alias("_k"),
+        )
+        .select(
+            domain_col,
+            F.explode(
+                F.when(k > 1, F.array(exact, wild)).otherwise(
+                    F.array(exact)
+                )
+            ).alias("pattern"),
+        )
+    )
+    won = (
+        cands.join(F.broadcast(rules_df), "pattern")
+        .groupBy(domain_col)
+        .agg(
+            F.max(
+                F.when(F.col("is_exception"), F.col("rule_labels"))
+            ).alias("_exc"),
+            F.max(
+                F.when(~F.col("is_exception"), F.col("rule_labels"))
+            ).alias("_norm"),
+        )
+        .select(
+            F.col(domain_col).alias("_dom"),
+            F.when(F.col("_exc").isNotNull(), F.col("_exc") - 1)
+            .otherwise(F.coalesce(F.col("_norm"), F.lit(1)))
+            .alias("_slen"),
+        )
+    )
+    joined = df.join(
+        won, df[domain_col] == won["_dom"], "left"
+    ).withColumn("_slen2", F.coalesce(F.col("_slen"), F.lit(1)))
+    apex = F.when(
+        F.col(domain_col).isNotNull()
+        & (n > F.col("_slen2")),
+        F.array_join(
+            F.expr(
+                f"slice(split(`{domain_col}`, '\\\\.'), "
+                "-(_slen2 + 1), _slen2 + 1)"
+            ),
+            ".",
+        ),
+    )
+    return joined.withColumn(out_col, apex).drop("_dom", "_slen", "_slen2")
+
+
 def domain_stats(
     df: DataFrame,
     id_col: str = "doc_id",
     url_col: str = "url",
+    *,
+    apex: str = "last2",
+    psl_rules=None,
 ) -> DataFrame:
     """Per-domain aggregation feeding cap/blocklist decisions:
     ``(domain, apex_domain, n_docs, n_urls)`` where ``domain`` is the
     canonical host (www-stripped, lowercased), ``apex_domain`` the
-    last-two-labels heuristic (see :func:`_apex_expr`), ``n_docs`` the
-    row count and ``n_urls`` the DISTINCT canonical URLs. Unparseable
-    URLs aggregate under domain NULL so the gate's coverage is
-    auditable. TWO exchanges (plan-pinned): the exact count(DISTINCT)
-    expands to a partial-aggregated (domain, canonical_url) exchange —
-    bounded by the distinct-URL count, not the corpus — followed by
-    the domain-keyed final aggregation. Trading exactness for one
+    last-two-labels heuristic (see :func:`_apex_expr`; the default —
+    zero dependencies, wrong for multi-label suffixes and says so) or,
+    with ``apex='psl'`` and :func:`load_psl` rules, the true eTLD+1
+    (``example.co.uk`` stays ``example.co.uk`` instead of lumping all
+    of ``co.uk``; public-suffix hosts get NULL apex). ``n_docs`` is
+    the row count and ``n_urls`` the DISTINCT canonical URLs.
+    Unparseable URLs aggregate under domain NULL so the gate's
+    coverage is auditable. TWO exchanges (plan-pinned): the exact
+    count(DISTINCT) expands to a partial-aggregated
+    (domain, canonical_url) exchange — bounded by the distinct-URL
+    count, not the corpus — followed by the domain-keyed final
+    aggregation; the PSL mode adds only a broadcast join on the
+    already-one-row-per-domain output. Trading exactness for one
     exchange means approx_count_distinct; this gate feeds cap/block
     DECISIONS, so it stays exact."""
+    if apex not in ("last2", "psl"):
+        raise ValueError(
+            f"domain_stats: apex must be 'last2' or 'psl', got {apex!r}"
+        )
+    if apex == "psl" and not psl_rules:
+        raise ValueError("domain_stats: apex='psl' requires psl_rules")
     canon = canonicalize_urls(df.select(id_col, url_col), url_col)
     host = F.when(
         F.col("canonical_url").isNotNull(),
@@ -265,17 +445,19 @@ def domain_stats(
         ),
     )
     staged = canon.withColumn("domain", host)
-    return (
-        staged.groupBy("domain")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.count_distinct(F.col("canonical_url"))
-            .cast("bigint")
-            .alias("n_urls"),
-        )
-        .withColumn("apex_domain", _apex_expr(F.col("domain")))
-        .select("domain", "apex_domain", "n_docs", "n_urls")
+    stats = staged.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct(F.col("canonical_url"))
+        .cast("bigint")
+        .alias("n_urls"),
     )
+    if apex == "psl":
+        stats = apex_psl_frame(stats, psl_rules)
+    else:
+        stats = stats.withColumn(
+            "apex_domain", _apex_expr(F.col("domain"))
+        )
+    return stats.select("domain", "apex_domain", "n_docs", "n_urls")
 
 
 def domain_cap(
@@ -329,6 +511,8 @@ def domain_blocklist_filter(
     domains: list[str] | tuple[str, ...],
     id_col: str = "doc_id",
     url_col: str = "url",
+    *,
+    psl_rules=None,
 ) -> DataFrame:
     """Domain-axis blocklist (the companion to the content-axis
     :func:`~lotad_spark.pipeline.text.blocklist_filter`): flag rows
@@ -350,6 +534,17 @@ def domain_blocklist_filter(
     )
     if not dl:
         raise ValueError("domain_blocklist_filter: empty domain list")
+    if psl_rules is not None:
+        # Guardrail: suffix-at-label matching means an entry that IS a
+        # public suffix blocks an entire registry zone ('co.uk' blocks
+        # every .co.uk site). With PSL rules supplied, refuse such
+        # entries loudly instead of letting a typo empty the corpus.
+        too_broad = [d for d in dl if psl_apex(d, psl_rules) is None]
+        if too_broad:
+            raise ValueError(
+                "domain_blocklist_filter: entries are public suffixes "
+                f"(would block entire registry zones): {too_broad}"
+            )
     canon = canonicalize_urls(df.select(id_col, url_col), url_col)
     staged = canon.select(
         F.col(id_col),

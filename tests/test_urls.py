@@ -388,6 +388,130 @@ class TestDomainOps:
         assert got_ws[1].blocked_by == "example.com"
         assert not got_ws[3].blocked
 
+    PSL_LINES = [
+        "// test snapshot (PSL format: publicsuffix.org/list/)",
+        "",
+        "com",
+        "uk",
+        "co.uk",
+        "au",
+        "com.au",
+        "ck",
+        "*.ck",
+        "!www.ck",
+    ]
+
+    def test_psl_parse_and_reference(self):
+        from lotad_spark.pipeline.urls import load_psl, psl_apex
+
+        rules = load_psl(self.PSL_LINES)
+        assert ("co.uk", 2, False) in rules
+        assert ("www.ck", 2, True) in rules  # '!' stripped, flagged
+        cases = [
+            ("example.co.uk", "example.co.uk"),   # multi-label suffix
+            ("a.b.example.co.uk", "example.co.uk"),
+            ("example.com.au", "example.com.au"),
+            ("x.com", "x.com"),
+            ("co.uk", None),            # host IS a public suffix
+            ("b.src.ck", "b.src.ck"),   # wildcard *.ck
+            ("src.ck", None),           # '*' makes src.ck the suffix
+            ("x.www.ck", "www.ck"),     # exception rule
+            ("www.ck", "www.ck"),
+            ("localhost", None),        # single label: no registrable
+            ("foo.unlisted", "foo.unlisted"),  # default 1-label rule
+            (None, None),
+        ]
+        for host, want in cases:
+            assert psl_apex(host, rules) == want, (host, want)
+        with pytest.raises(ValueError, match="no rules"):
+            load_psl(["// only comments"])
+        with pytest.raises(ValueError, match="malformed"):
+            load_psl([".leading.dot"])
+
+    def test_domain_stats_psl_mode(self, spark):
+        from lotad_spark.pipeline.urls import domain_stats, load_psl
+
+        rules = load_psl(self.PSL_LINES)
+        df = spark.createDataFrame(
+            [
+                (1, "http://a.example.co.uk/x"),
+                (2, "http://example.co.uk/x"),
+                (3, "http://b.src.ck/x"),
+                (4, "http://co.uk/x"),        # public suffix itself
+                (5, "not a url"),
+            ],
+            "doc_id bigint, url string",
+        )
+        got = {
+            r.domain: r.apex_domain
+            for r in domain_stats(df, apex="psl", psl_rules=rules).collect()
+        }
+        assert got["a.example.co.uk"] == "example.co.uk"
+        assert got["example.co.uk"] == "example.co.uk"
+        assert got["b.src.ck"] == "b.src.ck"
+        assert got["co.uk"] is None
+        assert got[None] is None  # unparseable bucket keeps NULL apex
+        # last2 default unchanged, and mis-groups exactly as documented
+        last2 = {
+            r.domain: r.apex_domain for r in domain_stats(df).collect()
+        }
+        assert last2["a.example.co.uk"] == "co.uk"
+        with pytest.raises(ValueError, match="psl_rules"):
+            domain_stats(df, apex="psl")
+        with pytest.raises(ValueError, match="apex"):
+            domain_stats(df, apex="etld")
+
+    def test_apex_psl_parity_vs_python_reference(self, spark):
+        """Randomized host corpus: the Spark broadcast-join matcher
+        must agree with the driver-side reference on every host."""
+        import random
+
+        from lotad_spark.pipeline.urls import (
+            apex_psl_frame,
+            load_psl,
+            psl_apex,
+        )
+
+        rules = load_psl(self.PSL_LINES)
+        rng = random.Random(13)
+        parts = ["a", "b", "www", "src", "example", "x9"]
+        tlds = ["com", "uk", "co.uk", "au", "com.au", "ck", "net", "org"]
+        hosts = list(
+            {
+                ".".join(rng.sample(parts, rng.randint(0, 3)) + [t])
+                if rng.random() < 0.9
+                else t
+                for t in (rng.choice(tlds) for _ in range(200))
+            }
+        )
+        df = spark.createDataFrame(
+            [(h,) for h in hosts], "domain string"
+        )
+        got = {
+            r.domain: r.apex_domain
+            for r in apex_psl_frame(df, rules).collect()
+        }
+        for h in hosts:
+            assert got[h] == psl_apex(h, rules), h
+
+    def test_blocklist_psl_guardrail(self, spark):
+        from lotad_spark.pipeline.urls import load_psl
+
+        rules = load_psl(self.PSL_LINES)
+        df = spark.createDataFrame(
+            [(1, "http://a.example.co.uk/x")],
+            "doc_id bigint, url string",
+        )
+        # a registrable-domain entry passes with the guardrail on
+        got = domain_blocklist_filter(
+            df, ["example.co.uk"], psl_rules=rules
+        ).collect()
+        assert got[0].blocked
+        with pytest.raises(ValueError, match="public suffixes"):
+            domain_blocklist_filter(
+                df, ["example.com", "co.uk"], psl_rules=rules
+            )
+
     def test_shuffle_budgets(self, spark, sf_dir):
         """The documented exchange counts: url_dedup = ONE exchange
         keyed on the canonical URL (the window); domain_stats = TWO
