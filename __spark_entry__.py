@@ -492,14 +492,6 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(pairs)
 
 
-def q_dup_spans(spark, sf_dir):
-    """Exact duplicate-substring spans (ExactSubstr dedup, span level):
-    maximal token ranges whose 6-grams repeat corpus-wide, over the
-    near-dup corpus. Oracle replays the positional-n-gram + gaps-and-
-    islands construction in SQL."""
-    from lotad_spark.pipeline.spandedup import duplicate_spans
-
-    return duplicate_spans(_near_dup_corpus(spark, sf_dir), n=6)
 
 
 def q_span_index_probe(spark, sf_dir):
@@ -542,7 +534,10 @@ def q_contamination_spans(spark, sf_dir):
 def q_strip_dup_spans(spark, sf_dir):
     """Span-stripped rewrite of the near-dup corpus: duplicated passages
     removed, untouched documents byte-identical. The oracle rebuilds the
-    kept-token text with the same single-space join."""
+    kept-token text with the same single-space join — its CTE chain
+    starts with the full span-detection replay (_SPAN_CTES_SQL), which
+    is why the retired dup_spans row (r13 consolidation) lost no
+    coverage: this row runs detection AND the rewrite."""
     from lotad_spark.pipeline.spandedup import strip_duplicate_spans
 
     return strip_duplicate_spans(_near_dup_corpus(spark, sf_dir), n=6)
@@ -586,15 +581,6 @@ def q_canonical_keep(spark, sf_dir):
     return canonical_docs(comps, scores, "text_len")
 
 
-def q_bpe_pair_counts(spark, sf_dir):
-    """Round-0 BPE statistics: adjacent-symbol pair counts weighted by
-    word frequency over the corpus word histogram — the one
-    corpus-scale job of tokenizer training, oracle-replayed in SQL."""
-    from lotad_spark.pipeline.bpe import pair_counts, symbolize, word_histogram
-
-    return pair_counts(
-        symbolize(word_histogram(_t(spark, sf_dir, "documents")))
-    )
 
 
 # (the former bpe_merges registry row was consolidated into apply_bpe
@@ -603,15 +589,15 @@ def q_bpe_pair_counts(spark, sf_dir):
 # pins the merge table against an independent reference implementation)
 
 
-def q_dedup_simhash(spark, sf_dir):
-    from lotad_spark.pipeline import simhash32
-
-    return simhash32(_t(spark, sf_dir, "documents"))
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash hamming pairing over the near-dup corpus: banding recall is
-    exact for hamming ≤ bands−1 = 3 (pigeonhole), mirrored in the oracle."""
+    exact for hamming ≤ bands−1 = 3 (pigeonhole), mirrored in the oracle.
+    Also the sole registry face of the simhash32 kernel since the r13
+    consolidation (the oracle replays per-doc fingerprints via the same
+    CTEs the retired dedup_simhash row used; unicode-input behavior
+    stays pinned by tests/test_pipeline.py)."""
     from lotad_spark.pipeline import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(_near_dup_corpus(spark, sf_dir)).select(
@@ -1054,18 +1040,6 @@ def _eval_snippets(spark, sf_dir):
     )
 
 
-def q_contamination_check(spark, sf_dir):
-    """Benchmark decontamination: n-gram CONTAINMENT (|T∩E| / |E|) of each
-    eval item in each training doc, eval side broadcast — the 100 TB side
-    is never shuffled by shingle."""
-    from lotad_spark.pipeline import contamination_pairs
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return contamination_pairs(
-        docs, _eval_snippets(spark, sf_dir), threshold=0.5
-    ).select(
-        "train_id", "eval_id", F.round("containment", 6).alias("containment")
-    )
 
 
 def q_json_key_stats(spark, sf_dir):
@@ -1197,13 +1171,6 @@ def q_events_funnel_windowed(spark, sf_dir):
     )
 
 
-def q_rolling_active_users(spark, sf_dir):
-    """Exact rolling 7-day active users per day — distinct-over-a-
-    sliding-frame via contribution explosion of the per-user-DAY
-    relation (never raw events), one distinct + one count."""
-    from lotad_spark.operators.funnel import rolling_active_users
-
-    return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
 
 
 def q_rolling_active_users_bound(spark, sf_dir):
@@ -1679,21 +1646,6 @@ def q_multimodal_decode(spark, sf_dir):
     return with_decoded_metadata(media)
 
 
-def q_multimodal_features(spark, sf_dir):
-    """Feature-extraction plumbing: the Arrow kernel emits exact integer
-    byte-histogram counts, so the full histogram is oracle-checkable
-    (DuckDB recomputes the same counts from the codepoints — the corpus is
-    ASCII, so byte == codepoint)."""
-    from lotad_spark.pipeline.multimodal import extract_feature_counts
-
-    media = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "utf-8").alias("content"),
-    )
-    return extract_feature_counts(media).select(
-        "media_id",
-        F.array_join(F.col("hist").cast("array<string>"), ",").alias("hist"),
-    )
 
 
 def _doc_ppm_media(spark, sf_dir):
@@ -1808,8 +1760,8 @@ def _doc_png_media(spark, sf_dir):
 
 
 def q_multimodal_png_luma_hist(spark, sf_dir):
-    """The PNG face of the real-pixel luma oracle: same pixel CONTENT
-    as multimodal_luma_hist (text bytes), but carried through a full
+    """The PNG face of the real-pixel luma oracle: pixel content is
+    the doc's own text bytes (the P6 pattern), carried through a full
     PNG encode (zlib deflate + all five scanline filters, cycling per
     row) → decode_pixels (stdlib inflate + numpy unfilter) → BT.601
     luma histogram. The oracle computes the expected histogram from
@@ -2425,26 +2377,6 @@ _VIDEO_NEAR_DUP_SQL = (
 )
 
 
-def q_multimodal_luma_hist(spark, sf_dir):
-    """REAL pixel-feature extraction (pipeline/multimodal.py
-    extract_feature_counts kind='luma'): the kernel decodes the P6
-    payload's ACTUAL pixels (pure numpy, no imaging library) and
-    histograms the integer BT.601 luma — (299R + 587G + 114B) // 1000,
-    binned luma*16//256 — into 16 bins. All-integer arithmetic, so the
-    oracle replays byte indexing, luma, and binning exactly in SQL; the
-    constant kind='luma' column pins that the REAL pixel path ran for
-    every row (a fallback row would read 'bytes' and hash-mismatch)."""
-    from lotad_spark.pipeline.multimodal import extract_feature_counts
-
-    return extract_feature_counts(
-        _doc_ppm_media(spark, sf_dir), kind="luma"
-    ).select(
-        "media_id",
-        "kind",
-        F.array_join(F.col("hist").cast("array<string>"), ",").alias(
-            "hist"
-        ),
-    )
 
 
 def q_multimodal_resize_hist(spark, sf_dir):
@@ -2715,6 +2647,86 @@ def _domain_blocklist_sql() -> str:
     )
 
 
+# A tiny PSL snapshot in the published format (publicsuffix.org/list):
+# plain, multi-label, wildcard, and exception rules — one of each shape
+# so every branch of the matcher is value-checked.
+_PSL_RULES_LINES = (
+    "com", "org", "uk", "co.uk", "au", "com.au", "ck", "*.ck", "!www.ck",
+)
+# Deterministic host synthesis over documents: multi-label suffixes
+# (co.uk/com.au), a wildcard zone (*.ck), the exception (www.ck), a
+# public-suffix-only host (apex must be NULL), an unlisted TLD (default
+# 1-label rule), a single label (no registrable domain), and NULLs.
+_PSL_HOST_SQL = (
+    "CASE WHEN doc_id % 19 = 0 THEN NULL ELSE "
+    "(CASE WHEN doc_id % 3 = 0 THEN 'd' || CAST(doc_id % 23 AS STRING) "
+    "|| '.' ELSE '' END) || "
+    "(CASE doc_id % 10 WHEN 0 THEN 'example.co.uk' "
+    "WHEN 1 THEN 'shop.example.co.uk' WHEN 2 THEN 'example.com.au' "
+    "WHEN 3 THEN 'src.ck' WHEN 4 THEN 'b.src.ck' WHEN 5 THEN 'x.www.ck' "
+    "WHEN 6 THEN 'example.com' WHEN 7 THEN 'foo.unlisted' "
+    "WHEN 8 THEN 'co.uk' ELSE 'localhost' END) END"
+)
+
+
+def q_domain_apex_psl(spark, sf_dir):
+    """True eTLD+1 under a public-suffix list (pipeline/urls.py
+    apex_psl_frame, the apex='psl' mode of domain_stats): candidate
+    suffixes explode per host (bounded by RULE depth, 2 here), a
+    broadcast join against the rule relation finds matches, and the
+    published winner rule applies — exception beats longest beats the
+    default 1-label rule; public-suffix hosts and single labels get
+    NULL apex, never a guess. The oracle replays candidate generation
+    (exact + one-label wildcard forms), the rule join, and the winner
+    arithmetic in SQL over the same host synthesis; the matcher is
+    additionally parity-tested against the driver-side psl_apex
+    reference on a randomized corpus in tests/test_urls.py."""
+    from lotad_spark.pipeline.urls import apex_psl_frame, load_psl
+
+    hosts = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_PSL_HOST_SQL} AS domain"
+    )
+    return apex_psl_frame(hosts, load_psl(_PSL_RULES_LINES)).select(
+        "doc_id", "domain", "apex_domain"
+    )
+
+
+def _domain_apex_psl_sql() -> str:
+    host = _PSL_HOST_SQL.replace(" AS STRING)", " AS VARCHAR)")
+    vals = ", ".join(
+        f"('{p[1:]}', {p.count('.') + 1}, true)"
+        if p.startswith("!")
+        else f"('{p}', {p.count('.') + 1}, false)"
+        for p in _PSL_RULES_LINES
+    )
+    return (
+        f"WITH hosts AS (SELECT doc_id, {host} AS domain FROM documents), "
+        f"rules(pattern, rule_labels, is_exception) AS (VALUES {vals}), "
+        "dist AS (SELECT DISTINCT domain, "
+        "len(string_split(domain, '.')) AS n FROM hosts "
+        "WHERE domain IS NOT NULL), "
+        "ks AS (SELECT domain, n, unnest(range(1, least(n, 2) + 1)) AS k "
+        "FROM dist), "
+        "cand AS (SELECT domain, array_to_string(list_slice("
+        "string_split(domain, '.'), n - k + 1, n), '.') AS pattern FROM ks "
+        "UNION ALL SELECT domain, '*.' || array_to_string(list_slice("
+        "string_split(domain, '.'), n - k + 2, n), '.') FROM ks WHERE k > 1), "
+        "won AS (SELECT c.domain, CASE WHEN "
+        "max(CASE WHEN r.is_exception THEN r.rule_labels END) IS NOT NULL "
+        "THEN max(CASE WHEN r.is_exception THEN r.rule_labels END) - 1 "
+        "ELSE coalesce(max(CASE WHEN NOT r.is_exception "
+        "THEN r.rule_labels END), 1) END AS slen "
+        "FROM cand c JOIN rules r USING (pattern) GROUP BY c.domain) "
+        "SELECT h.doc_id, h.domain, "
+        "CASE WHEN h.domain IS NOT NULL "
+        "AND len(string_split(h.domain, '.')) > coalesce(w.slen, 1) THEN "
+        "array_to_string(list_slice(string_split(h.domain, '.'), "
+        "len(string_split(h.domain, '.')) - coalesce(w.slen, 1), "
+        "len(string_split(h.domain, '.'))), '.') END AS apex_domain "
+        "FROM hosts h LEFT JOIN won w ON h.domain = w.domain"
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style hashed linear quality classifier
     (pipeline/quality.py, Joulin et al. 2016): logistic regression over
@@ -2943,9 +2955,11 @@ def q_contamination_bloom(spark, sf_dir):
     match drop inside the scan stage, and the exact containment join
     runs on the survivors. A Bloom filter has no false negatives, so
     the output is IDENTICAL to the exact path BY CONSTRUCTION — the
-    oracle is therefore the same exact containment SQL as
-    contamination_check, and a hash match proves the scale path loses
-    nothing. prefilter_bits=4096 is deliberately tight at this scale
+    oracle is therefore the exact containment SQL (until the r13
+    consolidation also the contamination_check row, retired because
+    this row runs a strict superset: prefilter + the same exact join;
+    the unfiltered arm stays pytest-pinned), and a hash match proves
+    the scale path loses nothing. prefilter_bits=4096 is deliberately tight at this scale
     to force real false positives through the exact join."""
     from lotad_spark.pipeline import contamination_pairs
 
@@ -3132,25 +3146,6 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5)
 
 
-def q_pq_codes(spark, sf_dir):
-    """Product-quantization encode (pipeline/pq.py, Jegou et al. 2011):
-    M per-subspace codebooks trained by a deterministic L2 Lloyd's on
-    the bounded id-ordered sample; each vector becomes M small codes —
-    a pure projection, zero exchange, codebooks as literals. Codes emit
-    space-joined so the array compares as one string cross-engine. The
-    oracle retrains the RNG-free trainer on the same sample (the
-    _ann_ivf_sql pattern) and replays the argmax (2.<v_sub,c> - |c|²,
-    round-6, ties to the lowest code) in SQL."""
-    from lotad_spark.pipeline.pq import pq_encode, train_pq_codebooks
-
-    e = _t(spark, sf_dir, "embeddings")
-    books = train_pq_codebooks(e)
-    return pq_encode(e, books).select(
-        "vec_id",
-        F.array_join(F.col("pq_code").cast("array<string>"), " ").alias(
-            "codes"
-        ),
-    )
 
 
 def q_ann_ivfpq_topk(spark, sf_dir):
@@ -3441,13 +3436,6 @@ def _pq_oracle_parts(
     return encode_cte, books
 
 
-def _pq_codes_sql() -> str:
-    encode_cte, _ = _pq_oracle_parts()
-    return (
-        f"WITH {encode_cte} "
-        "SELECT vec_id, string_agg(CAST(code AS VARCHAR), ' ' "
-        "ORDER BY m) AS codes FROM enc GROUP BY vec_id"
-    )
 
 
 def _pq_lut_cte(books) -> str:
@@ -3917,12 +3905,6 @@ spans AS (
     FROM isl GROUP BY doc_id, g
 )"""
 
-_DUP_SPANS_SQL = f"""{_SPAN_CTES_SQL}
-SELECT doc_id, CAST(s AS BIGINT) AS span_start, CAST(e AS BIGINT) AS span_end,
-       CAST(ng AS BIGINT) AS n_dup_grams
-FROM spans
-"""
-
 # Span-level decontamination: train positions whose 6-gram is in the
 # eval key set, merged by the same gaps-and-islands rule.
 _CONTAM_SPANS_SQL = f"""
@@ -4268,12 +4250,6 @@ fp AS (
     FROM bits GROUP BY doc_id
 )"""
 
-
-_SIMHASH_SQL = (
-    "WITH "
-    + _simhash_fp_ctes("SELECT doc_id, text FROM documents")
-    + "\nSELECT doc_id, simhash FROM fp"
-)
 
 # 4 bands × 8 bits; recall exact for hamming ≤ 3 — mirrors
 # lotad_spark.pipeline.dedup.simhash_near_dup_pairs defaults.
@@ -4809,65 +4785,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r6 — 66 declared, exactly the first 50 checked). Priority for the
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
-    green stable rows rotate out. Layout this round (r12), per the
-    precomputed queue in COVERAGE.md:
+    green stable rows rotate out. Layout this round (r13), per the
+    precomputed queue in COVERAGE.md, after the r13 consolidation
+    retired 8 merge-safe rows (134 rows total: 133 value-checked + 1
+    rows-only; see COVERAGE.md "Registry consolidation r13"):
 
-    * 1-12: NEW this round, no driver-green run yet — the fastText-style
-      hashed quality classifier (quality_classifier: driver-trained
-      weight literals, decimal-exact micro-unit logits), CCNet
-      head/middle/tail bucketing (ccnet_buckets: exact per-language
-      rank terciles over the micro-unit LM score), the URL/domain
-      curation ladder (url_dedup / domain_stats / domain_cap /
-      domain_blocklist: the full 7-step canonicalization regex
-      pipeline replayed byte-for-byte in SQL over a shared
-      deterministic URL synthesis), multimodal_png_luma_hist (the PNG
-      encode→inflate→unfilter round trip value-checked against the
-      engine-independent text-derived pixel source), and
-      multimodal_audio_hist (RIFF/WAVE PCM decode value-checked the
-      same way over little-endian sample pairs), and
-      multimodal_video_hist (uncompressed-AVI frame decode — chunk
-      walk, BGR raster, frame sampling — replayed over the same
-      text-byte pixel source), image_ahash (the perceptual
-      fingerprint: resample/luma/mean/bit-packing replayed exactly),
-      video_scene_cuts (per-frame hashing incl. the bottom-up
-      flip + consecutive hamming replayed), and url_dedup_incremental
-      (the stored-index daily-ingest face, both dup sources replayed).
-    * 13-24: changed-code re-entries — the four IVF-family ANN rows +
-      pq_codes / ann_pq_topk ride the new cluster-size-rule
-      n_centroids default (max(8, min(4096, n/250)), oracles deriving
-      the identical k from COUNT(*)) and the limit-aware oracle
-      trainers; blocklist_filter re-staged for the Spark 4
-      shared-lambda-tree hazard; text_normalize's nfc path now
-      captures the pre-NFC length; the four multimodal rows ride
-      decode_pixels, which gained the PNG branch.
-    * 25-50: the r12 queue head — the remaining r9-green rows, longest
-      out of the window, in COVERAGE.md's precomputed order
-      (multimodal_decode moved up into the changed-code block). The
-      late new rows displaced bm25_topk, dsir_weights,
-      rolling_active_users_bound, skew_two_phase_agg,
-      rollup_distinct_users, and schema_drift_records (all
-      r9/r10-green) to 51+; they head the r13 fill. Every row in the
-      50-slot window is VALUE-checked this round (the rows-only HLL
-      row rotated out on multi-round green history).
-    * 51+: rotated out — the rest of the r10-green block in COVERAGE
-      order, then the r11-green window rows (newest last). Every
-      rotated row has at least one driver-green round with code
-      unchanged since; the FULL registry stays enforced by
-      scripts/check_oracle.py (132 value-checked + 1 rows-only at
-      sf0.01) and the pytest suite. See COVERAGE.md "Driver-window
-      rotation".
+    * 1-3: NEW, no driver-green run yet — domain_apex_psl (the eTLD+1
+      public-suffix matcher added this round), multimodal_jpeg_luma_hist
+      and video_near_dup_pairs (added after the r12 driver run; local
+      3-scale gate green only).
+    * 4-16: changed-code re-entries — all r12-green, but their code
+      changed AFTER the r12 driver run: ccnet_buckets (token-less-doc
+      left-join fix), the URL/domain ladder (tracking-param lowercase
+      fix, blocklist whitespace fix, the PSL restructure of
+      domain_stats/domain_blocklist_filter), and the multimodal rows
+      riding decode_pixels / the metadata kernel (JPEG branch), the
+      refactored aHash band machinery, and the scene-cut module.
+    * 17-22: the six rows the late-r12 additions displaced from the
+      r12 window before they were ever driver-checked at their new
+      slots — schema_drift_records, rollup_distinct_users (rows-only
+      by design: HLL estimates are engine-specific),
+      skew_two_phase_agg, rolling_active_users_bound (now also the
+      sole face of the exact rolling kernel — see consolidation),
+      dsir_weights, bm25_topk. All r9/r10-green.
+    * 23-50: the head of the r10-green block, longest out of the
+      window (out since r11), in COVERAGE.md's listed order —
+      diff_value_change through text_stats.
+    * 51+: rotated out — first the remainder of the r10-green block
+      (the r14 queue head: text_quality → text_unigram_lm), then the
+      r11-green block in listed order, then the r12-green window rows
+      (newest last). Every rotated row has at least one driver-green
+      round with code unchanged since; the FULL registry stays
+      enforced by scripts/check_oracle.py (133 value-checked + 1
+      rows-only at sf0.01) and the pytest suite. See COVERAGE.md
+      "Driver-window rotation".
     """
     return {
-        # --- 1-6: NEW this round (r12), no driver-green run yet —
-        # the fastText-style hashed quality classifier (driver-trained
-        # literals, micro-unit logits), the URL/domain curation ladder
-        # (full 7-step canonicalization replayed in SQL), and the PNG
-        # face of the real-pixel luma oracle (zlib inflate + all five
-        # scanline filters value-checked against the text-derived
-        # pixel source). ---
+        # --- 1-3: NEW, no driver-green run yet. ---
+        "domain_apex_psl": q_domain_apex_psl,
         "multimodal_jpeg_luma_hist": q_multimodal_jpeg_luma_hist,
         "video_near_dup_pairs": q_video_near_dup_pairs,
-        "quality_classifier": q_quality_classifier,
+        # --- 4-16: changed-code re-entries (r12-green, code changed
+        # after the r12 driver run). ---
         "ccnet_buckets": q_ccnet_buckets,
         "url_dedup": q_url_dedup,
         "url_dedup_incremental": q_url_dedup_incremental,
@@ -4877,68 +4836,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_luma_hist": q_multimodal_png_luma_hist,
         "multimodal_audio_hist": q_multimodal_audio_hist,
         "multimodal_video_hist": q_multimodal_video_hist,
-        "image_ahash": q_image_ahash,
-        "video_scene_cuts": q_video_scene_cuts,
-        # --- 7-18: changed-code re-entries (r12). The four IVF-family
-        # ANN rows + pq_codes/ann_pq_topk ride the cluster-size-rule
-        # n_centroids default and the limit-aware oracle trainers;
-        # blocklist_filter's literal strategy was re-staged for the
-        # shared-lambda-tree hazard; text_normalize's nfc path now
-        # captures the pre-NFC length; the multimodal rows ride
-        # decode_pixels, which gained the PNG branch. ---
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_sq8_topk": q_ann_sq8_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "pq_codes": q_pq_codes,
-        "blocklist_filter": q_blocklist_filter,
-        "text_normalize": q_text_normalize,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_luma_hist": q_multimodal_luma_hist,
         "multimodal_resize_hist": q_multimodal_resize_hist,
         "multimodal_decode": q_multimodal_decode,
-        # --- 19-47: the r12 queue from COVERAGE.md — the remaining
-        # r9-green rows, longest out of the window, in the precomputed
-        # order (multimodal_decode moved up into the changed block). ---
-        "multi_grain_cube": q_multi_grain_cube,
-        "anomaly_online": q_anomaly_online,
-        "events_funnel_windowed": q_events_funnel_windowed,
-        "value_deciles": q_value_deciles,
-        "span_index_probe": q_span_index_probe,
-        "canonical_keep": q_canonical_keep,
-        "contamination_spans": q_contamination_spans,
-        "rolling_active_users": q_rolling_active_users,
-        "events_funnel": q_events_funnel,
-        "profile_drift": q_profile_drift,
-        "events_retention": q_events_retention,
-        "psi_drift": q_psi_drift,
-        "keyed_diff": q_keyed_diff,
-        "events_value_hist": q_events_value_hist,
-        "zorder_codes": q_zorder_codes,
-        "snapshot_diff": q_snapshot_diff,
-        "dedup_index_probe": q_dedup_index_probe,
-        "range_join_views": q_range_join_views,
-        "quantile_estimates": q_quantile_estimates,
-        "quantiles_online": q_quantiles_online,
-        "weighted_sample": q_weighted_sample,
-        "dedup_embedding": q_dedup_embedding,
-        "drift_static_batch": q_drift_static_batch,
-        "events_key_stats": q_events_key_stats,
-        "events_session_agg": q_events_session_agg,
-        "skew_salted_join": q_skew_salted_join,
+        "image_ahash": q_image_ahash,
+        "video_scene_cuts": q_video_scene_cuts,
+        # --- 17-22: displaced before their r12 slots were checked. ---
         "schema_drift_records": q_schema_drift_records,
         "rollup_distinct_users": q_rollup_distinct_users,
         "skew_two_phase_agg": q_skew_two_phase_agg,
-        # --- 48-50: next-oldest (r10-green) per the queue. ---
         "rolling_active_users_bound": q_rolling_active_users_bound,
         "dsir_weights": q_dsir_weights,
         "bm25_topk": q_bm25_topk,
-        # --- 51+: rotated out. First the rest of the r10-green block
-        # in COVERAGE order, then the r11-green rows (newest last).
-        # Every rotated row has at least one driver-green round with
-        # code unchanged since; the FULL registry stays enforced by
-        # scripts/check_oracle.py and the pytest suite. ---
+        # --- 23-50: r10-green block head, longest out of the window. ---
         "diff_value_change": q_diff_value_change,
         "diff_counts": q_diff_counts,
         "diff_ignore_column": q_diff_ignore_column,
@@ -4964,11 +4873,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_near_minhash": q_dedup_near_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "contamination_check": q_contamination_check,
         "text_stats": q_text_stats,
+        # --- 51+: rotated out. First the remainder of the r10-green
+        # block (the r14 queue head), then the r11-green block in
+        # listed order, then the r12-green window rows (newest last).
+        # Every rotated row has at least one driver-green round with
+        # code unchanged since; the FULL registry stays enforced by
+        # scripts/check_oracle.py and the pytest suite. ---
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "corpus_filter": q_corpus_filter,
@@ -5014,14 +4927,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_batch": q_streaming_dedup_batch,
         "frame_sample_plan": q_frame_sample_plan,
         "sqlite_scan_diff": q_sqlite_scan_diff,
-        "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "event_transitions": q_event_transitions,
         "path_signatures": q_path_signatures,
         "rollup_anomaly": q_rollup_anomaly,
         "events_sliding_agg": q_events_sliding_agg,
-        "bpe_pair_counts": q_bpe_pair_counts,
         "temperature_rates": q_temperature_rates,
+        "multi_grain_cube": q_multi_grain_cube,
+        "anomaly_online": q_anomaly_online,
+        "events_funnel_windowed": q_events_funnel_windowed,
+        "value_deciles": q_value_deciles,
+        "span_index_probe": q_span_index_probe,
+        "canonical_keep": q_canonical_keep,
+        "contamination_spans": q_contamination_spans,
+        "events_funnel": q_events_funnel,
+        "profile_drift": q_profile_drift,
+        "events_retention": q_events_retention,
+        "psi_drift": q_psi_drift,
+        "keyed_diff": q_keyed_diff,
+        "events_value_hist": q_events_value_hist,
+        "zorder_codes": q_zorder_codes,
+        "snapshot_diff": q_snapshot_diff,
+        "dedup_index_probe": q_dedup_index_probe,
+        "range_join_views": q_range_join_views,
+        "quantile_estimates": q_quantile_estimates,
+        "quantiles_online": q_quantiles_online,
+        "weighted_sample": q_weighted_sample,
+        "dedup_embedding": q_dedup_embedding,
+        "drift_static_batch": q_drift_static_batch,
+        "events_key_stats": q_events_key_stats,
+        "events_session_agg": q_events_session_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "quality_classifier": q_quality_classifier,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_sq8_topk": q_ann_sq8_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "blocklist_filter": q_blocklist_filter,
+        "text_normalize": q_text_normalize,
     }
 
 
@@ -5089,6 +5033,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _domain_stats_sql(),
         "domain_cap": _domain_cap_sql(),
         "domain_blocklist": _domain_blocklist_sql(),
+        "domain_apex_psl": _domain_apex_psl_sql(),
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"
         ),
@@ -5277,7 +5222,6 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_DUP_CORPUS_SQL}) GROUP BY md5(text)"
         ),
         "dedup_near_minhash": _NEAR_DUP_SQL,
-        "dup_spans": _DUP_SPANS_SQL,
         "span_index_probe": _SPAN_INDEX_PROBE_SQL,
         "contamination_spans": _CONTAM_SPANS_SQL,
         "strip_dup_spans": _STRIP_SPANS_SQL,
@@ -5310,19 +5254,6 @@ def oracle_sql() -> dict[str, str]:
             "round(p_temp, 6) AS p_temp, "
             "round(least(p_temp * T / n_docs, 1.0), 6) AS keep_rate "
             "FROM c2, t"
-        ),
-        "bpe_pair_counts": (
-            "WITH words AS (SELECT w AS word, count(*) AS freq FROM ("
-            f"SELECT unnest({_TOKS}) AS w FROM documents) "
-            "WHERE len(w) > 0 GROUP BY w), "
-            "sym AS (SELECT word, freq, "
-            "list_append(list_transform(range(1, len(word) + 1), "
-            "i -> word[i]), '</w>') AS syms FROM words), "
-            "pr AS (SELECT freq, unnest(list_transform(range(1, len(syms)), "
-            "i -> {'l': syms[i], 'r': syms[i+1]})) AS u "
-            "FROM sym WHERE len(syms) >= 2) "
-            'SELECT u.l AS "left", u.r AS "right", '
-            "CAST(sum(freq) AS BIGINT) AS pair_count FROM pr GROUP BY 1, 2"
         ),
         "dedup_components": (
             "WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM "
@@ -5358,7 +5289,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored WHERE rn = 1"
         ),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
-        "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "sample_hash": (
             "SELECT doc_id FROM documents "
@@ -5614,7 +5544,6 @@ def oracle_sql() -> dict[str, str]:
             "substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) "
             "<= 50"
         ),
-        "contamination_check": _CONTAM_SQL,
         # The bloom-prefiltered path must be output-identical to the
         # exact path (no false negatives), so it shares the exact
         # containment oracle — the hash match IS the claim.
@@ -5631,7 +5560,6 @@ def oracle_sql() -> dict[str, str]:
         "training_plan": _TRAINING_PLAN_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ann_ivf_sql(),
-        "pq_codes": _pq_codes_sql(),
         "ann_pq_topk": _ann_pq_sql(),
         "ann_ivfpq_topk": _ann_ivfpq_sql(),
         "ann_ivfpq_residual_topk": _ann_ivfpq_residual_sql(),
@@ -5683,17 +5611,6 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_nulls, "
             "CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_values "
             "FROM kv GROUP BY key"
-        ),
-        "rolling_active_users": (
-            "WITH ud AS (SELECT DISTINCT user_id, "
-            "CAST(date_trunc('day', ts) AS DATE) AS d FROM events), "
-            "mx AS (SELECT max(d) AS mx FROM ud), "
-            "exp AS (SELECT user_id, d + CAST(k AS INTEGER) AS day "
-            "FROM ud, unnest(range(0, 7)) AS u(k)), "
-            "cov AS (SELECT DISTINCT user_id, day FROM exp, mx "
-            "WHERE day <= mx) "
-            "SELECT CAST(day AS VARCHAR) AS day, "
-            "CAST(count(*) AS BIGINT) AS n_active FROM cov GROUP BY 1"
         ),
         # The approx face's accuracy contract: exact replay + literal
         # TRUE — the Spark side computes within_bound from the HLL
@@ -5794,36 +5711,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         # ASCII corpus ⇒ ord(char) == utf-8 byte; the 16-bin integer
         # histogram matches the Arrow kernel's np.bincount exactly.
-        "multimodal_features": (
-            "SELECT doc_id AS media_id, "
-            "array_to_string(list_transform(range(16), b -> "
-            "len(list_filter(list_transform(split(text, ''), c -> ord(c)), "
-            "c -> c % 16 = b))), ',') AS hist "
-            "FROM documents"
-        ),
-        # REAL pixel decode: the pixel section is the doc's own text
-        # (rpad/truncated to w*h*3 ASCII bytes), so the oracle indexes the
-        # same bytes with substr/ord, replays the integer BT.601 luma
-        # ((299R+587G+114B)//1000) and the luma*16//256 binning, and
-        # emits the literal kind='luma' — a fallback (bytes) row on the
-        # Spark side would hash-mismatch.
-        "multimodal_luma_hist": (
-            "WITH base AS (SELECT doc_id AS media_id, "
-            "CAST(doc_id % 5 + 2 AS INT) AS w, "
-            "CAST(doc_id % 3 + 1 AS INT) AS h, "
-            "rpad(coalesce(text, ''), "
-            "CAST((doc_id % 5 + 2) * (doc_id % 3 + 1) * 3 AS INT), 'x') "
-            "AS px FROM documents), "
-            "lum AS (SELECT media_id, list_transform(range(0, w * h), "
-            "i -> (299 * ord(substr(px, 3 * i + 1, 1)) "
-            "+ 587 * ord(substr(px, 3 * i + 2, 1)) "
-            "+ 114 * ord(substr(px, 3 * i + 3, 1))) // 1000) AS lumas "
-            "FROM base) "
-            "SELECT media_id, 'luma' AS kind, "
-            "array_to_string(list_transform(range(0, 16), b -> "
-            "CAST(len(list_filter(lumas, l -> l * 16 // 256 = b)) "
-            "AS VARCHAR)), ',') AS hist FROM lum"
-        ),
         # Resize replay: target pixel (x, y) of the 4x2 output samples
         # source pixel (x*w//4, y*h//2); t in 0..7 linearizes (y, x) as
         # (t//4, t%4). Same byte indexing/luma/binning as above on the
@@ -6007,10 +5894,33 @@ def oracle_sql() -> dict[str, str]:
     }
     # The incremental rollup must serve the SAME hours the batch rollup
     # does — one oracle, two execution paths.
-    # The PNG luma face shares the P6 oracle VERBATIM: identical pixel
-    # content (text bytes), so the expected histogram is the same —
-    # the PNG encode→inflate→unfilter round trip must reproduce it.
-    oracles["multimodal_png_luma_hist"] = oracles["multimodal_luma_hist"]
+    # The PNG luma face: pixel content is the doc's own text (rpad to
+    # w*h*3 ASCII bytes, w=doc_id%5+2, h=doc_id%3+1), so the oracle
+    # indexes the same bytes with substr/ord, replays the integer
+    # BT.601 luma ((299R+587G+114B)//1000) and the luma*16//256
+    # binning, and emits the literal kind='luma' — the PNG
+    # encode→inflate→unfilter round trip must reproduce it, and a
+    # fallback (bytes) row on the Spark side would hash-mismatch.
+    # (Until the r13 consolidation this SQL was the multimodal_luma_hist
+    # row, which the PNG face shared verbatim; the P6 luma chain stays
+    # pinned by multimodal_resize_hist's decode→resample→luma replay.)
+    oracles["multimodal_png_luma_hist"] = (
+        "WITH base AS (SELECT doc_id AS media_id, "
+        "CAST(doc_id % 5 + 2 AS INT) AS w, "
+        "CAST(doc_id % 3 + 1 AS INT) AS h, "
+        "rpad(coalesce(text, ''), "
+        "CAST((doc_id % 5 + 2) * (doc_id % 3 + 1) * 3 AS INT), 'x') "
+        "AS px FROM documents), "
+        "lum AS (SELECT media_id, list_transform(range(0, w * h), "
+        "i -> (299 * ord(substr(px, 3 * i + 1, 1)) "
+        "+ 587 * ord(substr(px, 3 * i + 2, 1)) "
+        "+ 114 * ord(substr(px, 3 * i + 3, 1))) // 1000) AS lumas "
+        "FROM base) "
+        "SELECT media_id, 'luma' AS kind, "
+        "array_to_string(list_transform(range(0, 16), b -> "
+        "CAST(len(list_filter(lumas, l -> l * 16 // 256 = b)) "
+        "AS VARCHAR)), ',') AS hist FROM lum"
+    )
     # The JPEG luma face: constant 8×8 blocks (the exactly-lossless
     # pixel class of a lossy codec) — block b's gray is text byte b
     # (rpad 'x'), luma of gray g is exactly g ((299+587+114)·g//1000),
@@ -6282,8 +6192,10 @@ def _bpe_training_ctes(num_merges: int) -> list[str]:
     the learned merges (this replay carried the retired bpe_merges row's
     oracle verbatim, which is why that row could be consolidated)."""
     parts = [
-        # v0: word histogram symbolized to chars + '</w>' (identical to
-        # the bpe_pair_counts oracle's symbolization).
+        # v0: word histogram symbolized to chars + '</w>' (this CTE
+        # also carried the retired bpe_pair_counts row's symbolization
+        # verbatim — r13 consolidation — so round-0 pair statistics
+        # stay value-checked through this chain).
         "WITH words AS (SELECT w AS word, count(*) AS freq FROM ("
         f"SELECT unnest({_TOKS}) AS w FROM documents) "
         "WHERE len(w) > 0 GROUP BY w), "

@@ -203,7 +203,7 @@ def main() -> None:
     # Headline analytics queries from the driver contract.
     import __spark_entry__ as entry_mod
 
-    for name in ("q1_lineitem_agg", "topk_orders", "events_window_agg", "events_funnel", "profile_drift", "events_retention", "psi_drift", "asof_latest_order", "range_join_views", "rollup_hourly", "rollup_incremental", "rollup_gapfill", "twa_by_user", "rollup_distinct_users", "quantile_estimates", "quantiles_online", "events_sliding_agg", "rollup_anomaly", "multi_grain_cube", "event_transitions", "path_signatures", "dup_spans", "strip_dup_spans", "bpe_pair_counts", "temperature_rates", "anomaly_online", "events_funnel_windowed", "value_deciles", "span_index_probe", "canonical_keep", "contamination_spans", "rolling_active_users", "strip_dup_lines", "json_schema_drift", "sql_row_hash_diff", "json_key_stats", "apply_bpe", "bpe_fertility", "interval_join_batch", "orc_scan_diff", "csv_scan_diff", "jsonl_scan_diff", "streaming_dedup_batch", "frame_sample_plan"):
+    for name in ("q1_lineitem_agg", "topk_orders", "events_window_agg", "events_funnel", "profile_drift", "events_retention", "psi_drift", "asof_latest_order", "range_join_views", "rollup_hourly", "rollup_incremental", "rollup_gapfill", "twa_by_user", "rollup_distinct_users", "quantile_estimates", "quantiles_online", "events_sliding_agg", "rollup_anomaly", "multi_grain_cube", "event_transitions", "path_signatures", "strip_dup_spans", "temperature_rates", "anomaly_online", "events_funnel_windowed", "value_deciles", "span_index_probe", "canonical_keep", "contamination_spans", "rolling_active_users_bound", "strip_dup_lines", "json_schema_drift", "sql_row_hash_diff", "json_key_stats", "apply_bpe", "bpe_fertility", "interval_join_batch", "orc_scan_diff", "csv_scan_diff", "jsonl_scan_diff", "streaming_dedup_batch", "frame_sample_plan"):
         fn = entry_mod.queries()[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
