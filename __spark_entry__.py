@@ -2823,6 +2823,43 @@ def q_prototypicality_prune(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT phi-heavy hitters with candidate-only shuffles
+    (pipeline/sketch.py heavy_hitters; Misra-Gries 1982 per partition
+    + mergeable-summaries batch rule + broadcast exact verification —
+    the vocabulary never shuffles). The corpus is augmented with a
+    per-doc singleton token (u<doc_id>) and a mid-frequency family
+    (m<doc_id%37>, ~1/37 share each) so the ceil(phi*N) threshold has
+    real negatives on both sides; phi=0.005 keeps the ~31 common
+    corpus tokens and excludes everything synthesized. Output is
+    exact integer counts (no float share — engine-boundary
+    discipline), so the oracle is plain GROUP BY/HAVING; MG only
+    PRUNES, making the result partitioning-independent (pinned with a
+    brute-force reference in tests/test_sketch.py)."""
+    from lotad_spark.pipeline import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "coalesce(text, '') || ' u' || CAST(doc_id AS STRING) || "
+        "' m' || CAST(doc_id % 37 AS STRING) AS text",
+    )
+    return heavy_hitters(docs, phi=0.005)
+
+
+_HEAVY_HITTERS_SQL = (
+    "WITH aug AS (SELECT doc_id, coalesce(text, '') || ' u' || "
+    "CAST(doc_id AS VARCHAR) || ' m' || CAST(doc_id % 37 AS VARCHAR) "
+    "AS text FROM documents), "
+    "tok AS (SELECT unnest(list_filter(string_split_regex("
+    "trim(lower(text)), '\\s+'), x -> x <> '')) AS token FROM aug), "
+    "tot AS (SELECT count(*) AS n FROM tok) "
+    "SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences, "
+    "CAST(tot.n AS BIGINT) AS n_tokens_total "
+    "FROM tok, tot GROUP BY token, tot.n "
+    "HAVING count(*) >= ceil(0.005 * tot.n)"
+)
+
+
 def q_cms_term_counts(spark, sf_dir):
     """Count-min sketch (pipeline/sketch.py, Cormode & Muthukrishnan
     2005): sketch the corpus token stream into the 4x1024 counter grid,
@@ -4787,45 +4824,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r13), per the
     precomputed queue in COVERAGE.md, after the r13 consolidation
-    retired 8 merge-safe rows (134 rows total: 133 value-checked + 1
+    retired 8 merge-safe rows (135 rows total: 134 value-checked + 1
     rows-only; see COVERAGE.md "Registry consolidation r13"):
 
-    * 1-3: NEW, no driver-green run yet — domain_apex_psl (the eTLD+1
-      public-suffix matcher added this round), multimodal_jpeg_luma_hist
-      and video_near_dup_pairs (added after the r12 driver run; local
-      3-scale gate green only).
-    * 4-16: changed-code re-entries — all r12-green, but their code
+    * 1-4: NEW, no driver-green run yet — heavy_hitters (exact
+      phi-heavy hitters via per-partition Misra-Gries candidates +
+      broadcast exact verification, added this round) and
+      domain_apex_psl (the eTLD+1 public-suffix matcher added this
+      round), then multimodal_jpeg_luma_hist and video_near_dup_pairs
+      (added after the r12 driver run; local 3-scale gate green only).
+    * 5-17: changed-code re-entries — all r12-green, but their code
       changed AFTER the r12 driver run: ccnet_buckets (token-less-doc
       left-join fix), the URL/domain ladder (tracking-param lowercase
       fix, blocklist whitespace fix, the PSL restructure of
       domain_stats/domain_blocklist_filter), and the multimodal rows
       riding decode_pixels / the metadata kernel (JPEG branch), the
       refactored aHash band machinery, and the scene-cut module.
-    * 17-22: the six rows the late-r12 additions displaced from the
+    * 18-23: the six rows the late-r12 additions displaced from the
       r12 window before they were ever driver-checked at their new
       slots — schema_drift_records, rollup_distinct_users (rows-only
       by design: HLL estimates are engine-specific),
       skew_two_phase_agg, rolling_active_users_bound (now also the
       sole face of the exact rolling kernel — see consolidation),
       dsir_weights, bm25_topk. All r9/r10-green.
-    * 23-50: the head of the r10-green block, longest out of the
+    * 24-50: the head of the r10-green block, longest out of the
       window (out since r11), in COVERAGE.md's listed order —
-      diff_value_change through text_stats.
+      diff_value_change through ann_cosine_topk (27 rows).
     * 51+: rotated out — first the remainder of the r10-green block
-      (the r14 queue head: text_quality → text_unigram_lm), then the
+      (the r14 queue head: text_stats → text_unigram_lm), then the
       r11-green block in listed order, then the r12-green window rows
       (newest last). Every rotated row has at least one driver-green
       round with code unchanged since; the FULL registry stays
-      enforced by scripts/check_oracle.py (133 value-checked + 1
+      enforced by scripts/check_oracle.py (134 value-checked + 1
       rows-only at sf0.01) and the pytest suite. See COVERAGE.md
       "Driver-window rotation".
     """
     return {
-        # --- 1-3: NEW, no driver-green run yet. ---
+        # --- 1-4: NEW, no driver-green run yet. ---
+        "heavy_hitters": q_heavy_hitters,
         "domain_apex_psl": q_domain_apex_psl,
         "multimodal_jpeg_luma_hist": q_multimodal_jpeg_luma_hist,
         "video_near_dup_pairs": q_video_near_dup_pairs,
-        # --- 4-16: changed-code re-entries (r12-green, code changed
+        # --- 5-17: changed-code re-entries (r12-green, code changed
         # after the r12 driver run). ---
         "ccnet_buckets": q_ccnet_buckets,
         "url_dedup": q_url_dedup,
@@ -4840,14 +4880,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "image_ahash": q_image_ahash,
         "video_scene_cuts": q_video_scene_cuts,
-        # --- 17-22: displaced before their r12 slots were checked. ---
+        # --- 18-23: displaced before their r12 slots were checked. ---
         "schema_drift_records": q_schema_drift_records,
         "rollup_distinct_users": q_rollup_distinct_users,
         "skew_two_phase_agg": q_skew_two_phase_agg,
         "rolling_active_users_bound": q_rolling_active_users_bound,
         "dsir_weights": q_dsir_weights,
         "bm25_topk": q_bm25_topk,
-        # --- 23-50: r10-green block head, longest out of the window. ---
+        # --- 24-50: r10-green block head, longest out of the window. ---
         "diff_value_change": q_diff_value_change,
         "diff_counts": q_diff_counts,
         "diff_ignore_column": q_diff_ignore_column,
@@ -4875,13 +4915,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "text_stats": q_text_stats,
         # --- 51+: rotated out. First the remainder of the r10-green
         # block (the r14 queue head), then the r11-green block in
         # listed order, then the r12-green window rows (newest last).
         # Every rotated row has at least one driver-green round with
         # code unchanged since; the FULL registry stays enforced by
         # scripts/check_oracle.py and the pytest suite. ---
+        "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "corpus_filter": q_corpus_filter,
@@ -5034,6 +5074,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _domain_cap_sql(),
         "domain_blocklist": _domain_blocklist_sql(),
         "domain_apex_psl": _domain_apex_psl_sql(),
+        "heavy_hitters": _HEAVY_HITTERS_SQL,
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"
         ),

@@ -546,3 +546,101 @@ def sketch_index_prefilter(
         n_bits=meta["n_bits"],
         n_hashes=meta["n_hashes"],
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    phi: float = 0.001,
+) -> DataFrame:
+    """EXACT φ-heavy hitters over the corpus token stream — every token
+    whose count is ≥ ⌈φ·N⌉ (N = total tokens), with its exact count —
+    while shuffling only CANDIDATES, never the vocabulary.
+
+    The 100 TB problem: ``groupBy(token)`` shuffles the whole term
+    vocabulary (billions of keys for a web corpus) to answer a question
+    whose output is a handful of rows. The classic two-phase fix
+    (Misra & Gries 1982, "Finding repeated elements", Sci. Comput.
+    Program.; merge rule from Agarwal et al. 2012, "Mergeable
+    summaries", PODS — both public):
+
+    1. **Candidate generation, zero shuffle**: each partition folds its
+       token stream through a k-counter Misra–Gries summary
+       (k = ⌈1/φ⌉) inside one Arrow ``mapInPandas`` pass — per batch, a
+       vectorized ``value_counts`` is itself an exact summary, merged
+       into the running one by the mergeable-summaries rule (add
+       counts; if > k survive, subtract the (k+1)-th largest and drop
+       ≤ 0). MG guarantees any token with partition-local frequency
+       share > 1/(k+1) survives; a token with GLOBAL share ≥ φ has
+       local share ≥ φ on at least one partition (its share is a
+       weighted average over partitions), and φ > 1/(k+1) by choice of
+       k — so the union of per-partition survivors is a SUPERSET of
+       the true heavy hitters. Output: ≤ k tokens per partition.
+    2. **Exact verification**: the candidate set (≤ k·P rows — at
+       k=1000 and 1000 executors ~1M short strings, megabytes) is
+       semi-broadcast back over the stream; one map-side-combined
+       ``groupBy`` over candidate hits only computes exact counts, and
+       the ⌈φ·N⌉ threshold keeps the true heavy hitters.
+
+    The result is EXACT and partitioning-independent: MG only PRUNES
+    (a different partitioning yields a different candidate superset,
+    but verification counts are exact and the threshold is global), so
+    the oracle is plain GROUP BY / HAVING SQL. Emits
+    ``(token, n_occurrences, n_tokens_total)`` — counts, not a float
+    share, so there is no rounding boundary to disagree on
+    (engine-boundary discipline). Tokenization is the repo convention:
+    lowercased, whitespace-split, empty tokens dropped (the
+    ``cms_build`` stream).
+
+    φ < 1e-6 is refused: k counters live in executor memory and a
+    million-counter dict stops being a "summary"; shard the corpus and
+    merge summaries instead (the mergeable rule above is exactly the
+    shard-merge operator).
+    """
+    import math
+
+    import pandas as pd
+
+    from lotad_spark.pipeline.text import tokens
+
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(f"heavy_hitters: phi must be in (0, 1], got {phi}")
+    if phi < 1e-6:
+        raise ValueError(
+            "heavy_hitters: phi < 1e-6 means >1M driver-side counters "
+            "per partition — shard the corpus and merge MG summaries "
+            "instead"
+        )
+    k = math.ceil(1.0 / phi)
+    tok_array = F.filter(
+        tokens(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+        lambda w: w != "",
+    )
+    toks = df.select(F.explode(tok_array).alias("token"))
+
+    def mg(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            merged = counters.add(pdf["token"].value_counts(), fill_value=0)
+            if len(merged) > k:
+                cut = merged.nlargest(k + 1).iloc[-1]
+                merged = merged - cut
+                merged = merged[merged > 0]
+            counters = merged
+        yield pd.DataFrame({"token": counters.index.astype(str)})
+
+    candidates = (
+        toks.mapInPandas(mg, schema="token string")
+        .distinct()
+    )
+    n_total = df.select(
+        F.sum(F.size(tok_array)).cast("bigint").alias("n")
+    ).collect()[0].n or 0
+    threshold = math.ceil(phi * n_total)
+    return (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= F.lit(int(threshold)))
+        .withColumn("n_tokens_total", F.lit(int(n_total)).cast("bigint"))
+    )

@@ -489,3 +489,102 @@ class TestSketchIndex:
             ).collect()
         }
         assert {1, 2} <= kept  # no false negatives
+
+
+class TestHeavyHitters:
+    """Exact φ-heavy hitters: MG candidates must be a SUPERSET, the
+    verified output must equal brute force, including exactly at the
+    ⌈φ·N⌉ boundary, under any partitioning."""
+
+    def _brute(self, rows, phi):
+        import math
+        from collections import Counter
+
+        c = Counter()
+        for _, t in rows:
+            c.update(w for w in (t or "").lower().split() if w)
+        n = sum(c.values())
+        thr = math.ceil(phi * n)
+        return {t: (k, n) for t, k in c.items() if k >= thr}
+
+    def test_matches_brute_force_at_boundary(self, spark):
+        from lotad_spark.pipeline import heavy_hitters
+
+        # engineered counts: with filler making N = 1000 and phi = 0.01
+        # (thr = 10), 'edge' sits EXACTLY at the threshold and 'miss'
+        # one below — the boundary is pinned, not sampled.
+        filler = [f"f{i}" for i in range(969)]  # all unique, count 1
+        stream = ["edge"] * 10 + ["miss"] * 9 + ["big"] * 12 + filler
+        assert len(stream) == 1000
+        rows = [
+            (i, " ".join(stream[i * 50:(i + 1) * 50])) for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        want = self._brute(rows, 0.01)
+        assert set(want) == {"edge", "big"}  # sanity of the fixture
+        for parts in (1, 7):
+            got = {
+                r.token: (r.n_occurrences, r.n_tokens_total)
+                for r in heavy_hitters(
+                    df.repartition(parts), phi=0.01
+                ).collect()
+            }
+            assert got == want, parts
+
+    def test_skewed_corpus_small_k_forces_evictions(self, spark):
+        """phi = 0.2 → k = 5 counters against 40 distinct tokens: the
+        MG summary must survive constant eviction pressure and still
+        never lose a true heavy hitter."""
+        import random
+
+        from lotad_spark.pipeline import heavy_hitters
+
+        rng = random.Random(13)
+        toks = ["hot"] * 300 + ["warm"] * 140 + [
+            f"n{rng.randint(0, 39)}" for _ in range(260)
+        ]
+        rng.shuffle(toks)
+        rows = [(i, " ".join(toks[i * 70:(i + 1) * 70])) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        want = self._brute(rows, 0.2)
+        assert "hot" in want and "warm" in want
+        got = {
+            r.token: (r.n_occurrences, r.n_tokens_total)
+            for r in heavy_hitters(df.repartition(4), phi=0.2).collect()
+        }
+        assert got == want
+
+    def test_null_and_empty_text(self, spark):
+        from lotad_spark.pipeline import heavy_hitters
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "   "), (3, "a a b")],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r.token: r.n_occurrences
+            for r in heavy_hitters(df, phi=0.5).collect()
+        }
+        # N = 3, thr = 2: only 'a'
+        assert got == {"a": 2}
+
+    def test_phi_validation(self, spark):
+        from lotad_spark.pipeline import heavy_hitters
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="phi must be"):
+            heavy_hitters(df, phi=0.0)
+        with pytest.raises(ValueError, match="shard the corpus"):
+            heavy_hitters(df, phi=1e-9)
+
+    def test_candidate_broadcast_plan(self, spark):
+        """The verification join must broadcast the candidate set (the
+        vocabulary never shuffles) — plan-pinned."""
+        from lotad_spark.pipeline import heavy_hitters
+
+        df = spark.createDataFrame(
+            [(i, f"t{i % 5} common") for i in range(50)],
+            "doc_id bigint, text string",
+        )
+        plan = heavy_hitters(df, phi=0.1)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
