@@ -2727,6 +2727,168 @@ def _domain_apex_psl_sql() -> str:
     )
 
 
+def _doc_gif_media(spark, sf_dir):
+    """Each doc as a VALID GIF89a whose palette-index pixels are the
+    doc's text bytes (rpad/truncated to w*h — the P6/PNG/JPEG rows'
+    pixel source), 256-entry grayscale global table (index i →
+    (i,i,i), so luma of a pixel is exactly its byte), compressed by a
+    REAL greedy longest-match LZW (variable 3→12-bit codes, decoder
+    width schedule tracked for the packing) and stored INTERLACED for
+    every odd doc — so decoding must run the full LZW inflate AND the
+    4-pass row reorder to put pixels back in place. The downstream
+    resize is position-sensitive, so a wrong deinterlace or a wrong
+    LZW entry changes sampled bytes and hash-mismatches the oracle
+    (which derives expectations from the same text bytes,
+    engine-independently)."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import struct
+
+        import numpy as np
+
+        def pack_codes(codes):
+            out = bytearray()
+            acc = nbits = 0
+            width, nxt, first = 9, 258, True
+            for c in codes:
+                acc |= c << nbits
+                nbits += width
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+                if c == 256:
+                    width, nxt, first = 9, 258, True
+                elif c == 257:
+                    pass
+                elif first:
+                    first = False
+                elif nxt < 4096:
+                    nxt += 1
+                    if nxt == (1 << width) and width < 12:
+                        width += 1
+            if nbits:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        def lzw(data):
+            d = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            codes = [256]
+            w = b""
+            for b in data:
+                wc = w + bytes([b])
+                if wc in d:
+                    w = wc
+                else:
+                    codes.append(d[w])
+                    if nxt < 4096:
+                        d[wc] = nxt
+                        nxt += 1
+                    else:
+                        codes.append(256)
+                        d = {bytes([i]): i for i in range(256)}
+                        nxt = 258
+                    w = bytes([b])
+            if w:
+                codes.append(d[w])
+            codes.append(257)
+            return pack_codes(codes)
+
+        pal = bytes(v for i in range(256) for v in (i, i, i))
+        passes = ((0, 8), (4, 8), (2, 4), (1, 2))
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w, h = did % 5 + 2, did % 3 + 1
+                raw = (text or "").encode("utf-8")[: w * h].ljust(
+                    w * h, b"x"
+                )
+                pix = np.frombuffer(raw, np.uint8).reshape(h, w)
+                inter = did % 2 == 1
+                if inter:
+                    order = [
+                        y for s, st in passes for y in range(s, h, st)
+                    ]
+                    pix = pix[order]
+                stream = lzw(bytes(pix.reshape(-1)))
+                body = bytearray([8])
+                for i in range(0, len(stream), 255):
+                    ch = stream[i : i + 255]
+                    body.append(len(ch))
+                    body += ch
+                body.append(0)
+                payloads.append(
+                    b"GIF89a"
+                    + struct.pack("<HH", w, h)
+                    + bytes([0xF7, 0, 0])
+                    + pal
+                    + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+                    + b"\x2c"
+                    + struct.pack("<HHHH", 0, 0, w, h)
+                    + bytes([0x40 if inter else 0])
+                    + bytes(body)
+                    + b"\x3b"
+                )
+            yield pdf.assign(content=payloads)[
+                ["doc_id", "content"]
+            ].rename(columns={"doc_id": "media_id"})
+
+    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def q_multimodal_gif_resize_hist(spark, sf_dir):
+    """The GIF face of the real-pixel tier (pipeline/multimodal.py
+    _gif_pixels): full LZW inflate (variable-width codes, table
+    growth, KwKwK) + 4-pass deinterlace + grayscale palette lookup,
+    then the position-sensitive nearest-neighbor resize to 4x2 and the
+    16-bin integer luma histogram. Gray index g has luma exactly g, so
+    the oracle replays the resample index arithmetic
+    (x*src_w//4, y*src_h//2) straight off the text bytes — any decode,
+    deinterlace, or resample defect moves a sampled byte and
+    hash-mismatches; resize_kind='pixel' is implied by values (a
+    bytes-fallback row histograms different bytes). Decoder internals
+    pinned independently in tests/test_gif.py (hand-built KwKwK code
+    sequence, compressor fuzz incl. the 4096 reset, positional
+    interlace fixtures)."""
+    from lotad_spark.pipeline.multimodal import (
+        extract_feature_counts,
+        resize_images,
+    )
+
+    resized = resize_images(
+        _doc_gif_media(spark, sf_dir), width=4, height=2
+    )
+    return extract_feature_counts(resized, kind="luma").select(
+        "media_id",
+        "kind",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias(
+            "hist"
+        ),
+    )
+
+
+_GIF_RESIZE_HIST_SQL = (
+    "WITH base AS (SELECT doc_id AS media_id, "
+    "CAST(doc_id % 5 + 2 AS INT) AS w, "
+    "CAST(doc_id % 3 + 1 AS INT) AS h, "
+    "rpad(coalesce(text, ''), "
+    "CAST((doc_id % 5 + 2) * (doc_id % 3 + 1) AS INT), 'x') AS px "
+    "FROM documents), "
+    "sam AS (SELECT media_id, list_transform(range(0, 8), i -> "
+    "ord(substr(px, ((i // 4) * h // 2) * w + ((i % 4) * w // 4) + 1, "
+    "1))) AS grays FROM base) "
+    "SELECT media_id, 'luma' AS kind, "
+    "array_to_string(list_transform(range(0, 16), b -> "
+    "CAST(len(list_filter(grays, g -> g * 16 // 256 = b)) "
+    "AS VARCHAR)), ',') AS hist FROM sam"
+)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style hashed linear quality classifier
     (pipeline/quality.py, Joulin et al. 2016): logistic regression over
@@ -4824,48 +4986,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r13), per the
     precomputed queue in COVERAGE.md, after the r13 consolidation
-    retired 8 merge-safe rows (135 rows total: 134 value-checked + 1
+    retired 8 merge-safe rows (136 rows total: 135 value-checked + 1
     rows-only; see COVERAGE.md "Registry consolidation r13"):
 
-    * 1-4: NEW, no driver-green run yet — heavy_hitters (exact
+    * 1-5: NEW, no driver-green run yet — heavy_hitters (exact
       phi-heavy hitters via per-partition Misra-Gries candidates +
-      broadcast exact verification, added this round) and
-      domain_apex_psl (the eTLD+1 public-suffix matcher added this
-      round), then multimodal_jpeg_luma_hist and video_near_dup_pairs
+      broadcast exact verification), domain_apex_psl (the eTLD+1
+      public-suffix matcher), and multimodal_gif_resize_hist (the GIF
+      face of the real-pixel tier: full LZW inflate + 4-pass
+      deinterlace + palette lookup, value-checked through the
+      position-sensitive resize) — all added this round — then
+      multimodal_jpeg_luma_hist and video_near_dup_pairs
       (added after the r12 driver run; local 3-scale gate green only).
-    * 5-17: changed-code re-entries — all r12-green, but their code
+    * 6-18: changed-code re-entries — all r12-green, but their code
       changed AFTER the r12 driver run: ccnet_buckets (token-less-doc
       left-join fix), the URL/domain ladder (tracking-param lowercase
       fix, blocklist whitespace fix, the PSL restructure of
       domain_stats/domain_blocklist_filter), and the multimodal rows
       riding decode_pixels / the metadata kernel (JPEG branch), the
       refactored aHash band machinery, and the scene-cut module.
-    * 18-23: the six rows the late-r12 additions displaced from the
+    * 19-24: the six rows the late-r12 additions displaced from the
       r12 window before they were ever driver-checked at their new
       slots — schema_drift_records, rollup_distinct_users (rows-only
       by design: HLL estimates are engine-specific),
       skew_two_phase_agg, rolling_active_users_bound (now also the
       sole face of the exact rolling kernel — see consolidation),
       dsir_weights, bm25_topk. All r9/r10-green.
-    * 24-50: the head of the r10-green block, longest out of the
+    * 25-50: the head of the r10-green block, longest out of the
       window (out since r11), in COVERAGE.md's listed order —
-      diff_value_change through ann_cosine_topk (27 rows).
+      diff_value_change through dedup_simhash_pairs (26 rows).
     * 51+: rotated out — first the remainder of the r10-green block
-      (the r14 queue head: text_stats → text_unigram_lm), then the
+      (the r14 queue head: ann_cosine_topk → text_unigram_lm), then the
       r11-green block in listed order, then the r12-green window rows
       (newest last). Every rotated row has at least one driver-green
       round with code unchanged since; the FULL registry stays
-      enforced by scripts/check_oracle.py (134 value-checked + 1
+      enforced by scripts/check_oracle.py (135 value-checked + 1
       rows-only at sf0.01) and the pytest suite. See COVERAGE.md
       "Driver-window rotation".
     """
     return {
-        # --- 1-4: NEW, no driver-green run yet. ---
+        # --- 1-5: NEW, no driver-green run yet. ---
         "heavy_hitters": q_heavy_hitters,
         "domain_apex_psl": q_domain_apex_psl,
+        "multimodal_gif_resize_hist": q_multimodal_gif_resize_hist,
         "multimodal_jpeg_luma_hist": q_multimodal_jpeg_luma_hist,
         "video_near_dup_pairs": q_video_near_dup_pairs,
-        # --- 5-17: changed-code re-entries (r12-green, code changed
+        # --- 6-18: changed-code re-entries (r12-green, code changed
         # after the r12 driver run). ---
         "ccnet_buckets": q_ccnet_buckets,
         "url_dedup": q_url_dedup,
@@ -4880,14 +5046,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "image_ahash": q_image_ahash,
         "video_scene_cuts": q_video_scene_cuts,
-        # --- 18-23: displaced before their r12 slots were checked. ---
+        # --- 19-24: displaced before their r12 slots were checked. ---
         "schema_drift_records": q_schema_drift_records,
         "rollup_distinct_users": q_rollup_distinct_users,
         "skew_two_phase_agg": q_skew_two_phase_agg,
         "rolling_active_users_bound": q_rolling_active_users_bound,
         "dsir_weights": q_dsir_weights,
         "bm25_topk": q_bm25_topk,
-        # --- 24-50: r10-green block head, longest out of the window. ---
+        # --- 25-50: r10-green block head, longest out of the window. ---
         "diff_value_change": q_diff_value_change,
         "diff_counts": q_diff_counts,
         "diff_ignore_column": q_diff_ignore_column,
@@ -4914,13 +5080,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_minhash": q_dedup_near_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "ann_cosine_topk": q_ann_cosine_topk,
         # --- 51+: rotated out. First the remainder of the r10-green
         # block (the r14 queue head), then the r11-green block in
         # listed order, then the r12-green window rows (newest last).
         # Every rotated row has at least one driver-green round with
         # code unchanged since; the FULL registry stays enforced by
         # scripts/check_oracle.py and the pytest suite. ---
+        "ann_cosine_topk": q_ann_cosine_topk,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -5075,6 +5241,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_blocklist": _domain_blocklist_sql(),
         "domain_apex_psl": _domain_apex_psl_sql(),
         "heavy_hitters": _HEAVY_HITTERS_SQL,
+        "multimodal_gif_resize_hist": _GIF_RESIZE_HIST_SQL,
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"
         ),

@@ -153,8 +153,10 @@ def decode_pixels(payload: bytes):
     PNG (gray/truecolor/gray-alpha/RGBA; stdlib zlib inflate + all five
     scanline filters un-applied in numpy — :func:`_png_pixels`), and
     sequential-baseline Huffman JPEG (SOF0/SOF1, 8-bit, gray/YCbCr,
-    restart intervals, divisible sampling grids — :func:`_jpeg_pixels`)
-    — all per the public specs. Grayscale replicates to RGB and alpha
+    restart intervals, divisible sampling grids — :func:`_jpeg_pixels`),
+    and GIF87a/89a (full LZW inflate, global/local color tables,
+    4-pass deinterlace, first frame — :func:`_gif_pixels`) — all per
+    the public specs. Grayscale replicates to RGB and alpha
     drops so downstream kernels see one shape. Anything truncated,
     palette-mapped, 16-bit, interlaced, progressive, or with a non-255
     maxval returns None rather than guessing."""
@@ -199,6 +201,9 @@ def decode_pixels(payload: bytes):
     png = _png_pixels(payload)
     if png is not None:
         return png
+    gif = _gif_pixels(payload)
+    if gif is not None:
+        return gif
     return _jpeg_pixels(payload)
 
 
@@ -625,6 +630,186 @@ def _jpeg_headers(payload: bytes):
     return qt, hufftabs, sof, dri, scan
 
 
+def _parse_gif(payload: bytes) -> tuple[int, int, str] | None:
+    """GIF metadata from the logical screen descriptor (GIF87a/GIF89a
+    — CompuServe 1987/1989 public spec): width/height are the two
+    little-endian uint16s after the 6-byte signature. Palette format,
+    so mode 'P' (what PIL reports)."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack_from("<HH", payload, 6)
+    if w <= 0 or h <= 0:
+        return None
+    return (int(w), int(h), "P")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int):
+    """GIF-variant LZW (LSB-first bit packing, variable 3-12 bit codes,
+    CLEAR/EOI control codes, deferred-clear tolerated): the palette
+    INDEX stream of one image, or None on any spec violation. Linear
+    in the compressed bytes — each code appends one table entry and
+    emits one stored byte string."""
+    if not (2 <= min_code_size <= 8):
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # table is indexed BY CODE: two placeholder slots keep the clear/eoi
+    # control codes from shifting every later entry down by two
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    out = bytearray()
+    prev = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while len(out) < npix:
+        while nbits < code_size:
+            if pos >= n:
+                return None  # ran out of codes before the pixel count
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(roots)
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return None  # EOI before npix pixels: truncated image
+        if prev is None:
+            if code >= clear:
+                return None  # first code after clear must be a root
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out[:npix])
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_pixels(payload: bytes):
+    """First image frame of a GIF, decoded for real: block walk
+    (extensions skipped by their sub-block framing), global/local
+    color table, the full LZW inflate (:func:`_gif_lzw_decode`),
+    4-pass deinterlace when the descriptor flags it, palette lookup to
+    RGB. The frame decodes standalone at its OWN dimensions (honest
+    even when it is a sub-rectangle of the logical screen); GIF89a
+    transparency maps the transparent index to its palette color — a
+    first frame composites over an undefined canvas, and inventing a
+    background would be a guess. None (never a guess) for a missing
+    color table, a truncated stream, or any LZW violation."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = payload[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        gct_n = 2 << (flags & 0x07)
+        if len(payload) < pos + gct_n * 3:
+            return None
+        palette = np.frombuffer(
+            payload, np.uint8, gct_n * 3, pos
+        ).reshape(gct_n, 3)
+        pos += gct_n * 3
+
+    def skip_subblocks(p: int) -> int | None:
+        while True:
+            if p >= len(payload):
+                return None
+            size = payload[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer before any image
+            return None
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos = skip_subblocks(pos + 2)
+            if pos is None:
+                return None
+            continue
+        if block != 0x2C:
+            return None
+        if len(payload) < pos + 10:
+            return None
+        _left, _top, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+        iflags = payload[pos + 9]
+        pos += 10
+        if fw <= 0 or fh <= 0:
+            return None
+        if iflags & 0x80:  # local color table wins for this frame
+            lct_n = 2 << (iflags & 0x07)
+            if len(payload) < pos + lct_n * 3:
+                return None
+            palette = np.frombuffer(
+                payload, np.uint8, lct_n * 3, pos
+            ).reshape(lct_n, 3)
+            pos += lct_n * 3
+        if palette is None:
+            return None
+        if pos >= len(payload):
+            return None
+        min_code_size = payload[pos]
+        pos += 1
+        chunks = []
+        while True:
+            if pos >= len(payload):
+                return None
+            size = payload[pos]
+            pos += 1
+            if size == 0:
+                break
+            chunks.append(payload[pos : pos + size])
+            if len(chunks[-1]) < size:
+                return None
+            pos += size
+        idx = _gif_lzw_decode(b"".join(chunks), min_code_size, fw * fh)
+        if idx is None:
+            return None
+        rows = np.frombuffer(idx, np.uint8).reshape(fh, fw)
+        if iflags & 0x40:  # deinterlace: 4 passes back to frame order
+            order = [
+                y
+                for start, step in _GIF_INTERLACE_PASSES
+                for y in range(start, fh, step)
+            ]
+            out = np.empty_like(rows)
+            out[order] = rows
+            rows = out
+        if int(rows.max()) >= len(palette):
+            return None  # index outside the color table: corrupt
+        return (int(fw), int(fh), palette[rows].copy())
+    return None
+
+
 def _parse_jpeg(payload: bytes) -> tuple[int, int, str] | None:
     """JPEG metadata from the SOF frame header (header-only, like the
     PNM/BMP/PNG parsers — an unsupported-coding payload still reports
@@ -771,7 +956,7 @@ def _luma(arr):
 def _headers_decode(payload: bytes) -> tuple[int, int, str]:
     """No-PIL kernel: real header parse for BMP/netpbm/PNG/JPEG
     payloads, byte-length fake (mode='STUB') for anything else."""
-    for parse in (_parse_bmp, _parse_pnm, _parse_png, _parse_jpeg):
+    for parse in (_parse_bmp, _parse_pnm, _parse_png, _parse_gif, _parse_jpeg):
         parsed = parse(payload)
         if parsed is not None:
             return parsed
