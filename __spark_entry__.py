@@ -2889,6 +2889,52 @@ _GIF_RESIZE_HIST_SQL = (
 )
 
 
+def q_pack_plan(spark, sf_dir):
+    """No-split sequence packing (pipeline/sampling.py pack_plan, the
+    instruction-tuning sibling of token_chunk_plan): whole documents
+    into 80-token blocks, 16 md5 buckets packed independently by
+    next-fit-decreasing — the strongest packing rule that is a pure
+    sequential scan, so the oracle replays it EXACTLY with a recursive
+    CTE walking each bucket in (n_tokens DESC, doc_id ASC) order.
+    Documents longer than a block surface as overflow=TRUE with NULL
+    pack_id (never silently truncated); ~20% of the corpus at this
+    block size, so the arm is value-checked, not theoretical. Only
+    (id, n_tokens, bucket) ever shuffles — never text."""
+    from lotad_spark.pipeline import pack_plan
+
+    return pack_plan(
+        _t(spark, sf_dir, "documents"), 80, n_buckets=16
+    )
+
+
+_PACK_PLAN_SQL = (
+    "WITH RECURSIVE d AS (SELECT doc_id, CAST(len(list_filter("
+    "string_split_regex(trim(coalesce(text, '')), '\\s+'), "
+    "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), "
+    "b AS (SELECT doc_id, n_tokens, "
+    "substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket "
+    "FROM d WHERE n_tokens > 0), "
+    "fit AS (SELECT *, row_number() OVER (PARTITION BY bucket "
+    "ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM b "
+    "WHERE n_tokens <= 80), "
+    "s AS (SELECT bucket, rn, doc_id, n_tokens, "
+    "CAST(0 AS BIGINT) AS bin_idx, n_tokens AS fill "
+    "FROM fit WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT f.bucket, f.rn, f.doc_id, f.n_tokens, "
+    "CASE WHEN s.fill + f.n_tokens <= 80 THEN s.bin_idx "
+    "ELSE s.bin_idx + 1 END, "
+    "CASE WHEN s.fill + f.n_tokens <= 80 THEN s.fill + f.n_tokens "
+    "ELSE f.n_tokens END "
+    "FROM s JOIN fit f ON f.bucket = s.bucket AND f.rn = s.rn + 1) "
+    "SELECT doc_id, n_tokens, "
+    "bucket || '-' || CAST(bin_idx AS VARCHAR) AS pack_id, "
+    "FALSE AS overflow FROM s "
+    "UNION ALL SELECT doc_id, n_tokens, CAST(NULL AS VARCHAR), TRUE "
+    "FROM b WHERE n_tokens > 80"
+)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style hashed linear quality classifier
     (pipeline/quality.py, Joulin et al. 2016): logistic regression over
@@ -4986,52 +5032,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r13), per the
     precomputed queue in COVERAGE.md, after the r13 consolidation
-    retired 8 merge-safe rows (136 rows total: 135 value-checked + 1
+    retired 8 merge-safe rows (137 rows total: 136 value-checked + 1
     rows-only; see COVERAGE.md "Registry consolidation r13"):
 
-    * 1-5: NEW, no driver-green run yet — heavy_hitters (exact
+    * 1-6: NEW, no driver-green run yet — heavy_hitters (exact
       phi-heavy hitters via per-partition Misra-Gries candidates +
       broadcast exact verification), domain_apex_psl (the eTLD+1
-      public-suffix matcher), and multimodal_gif_resize_hist (the GIF
+      public-suffix matcher), multimodal_gif_resize_hist (the GIF
       face of the real-pixel tier: full LZW inflate + 4-pass
       deinterlace + palette lookup, value-checked through the
-      position-sensitive resize) — all added this round — then
+      position-sensitive resize), and pack_plan (no-split sequence
+      packing, next-fit-decreasing per md5 bucket, recursive-CTE
+      oracle) — all added this round — then
       multimodal_jpeg_luma_hist and video_near_dup_pairs
       (added after the r12 driver run; local 3-scale gate green only).
-    * 6-18: changed-code re-entries — all r12-green, but their code
+    * 7-19: changed-code re-entries — all r12-green, but their code
       changed AFTER the r12 driver run: ccnet_buckets (token-less-doc
       left-join fix), the URL/domain ladder (tracking-param lowercase
       fix, blocklist whitespace fix, the PSL restructure of
       domain_stats/domain_blocklist_filter), and the multimodal rows
       riding decode_pixels / the metadata kernel (JPEG branch), the
       refactored aHash band machinery, and the scene-cut module.
-    * 19-24: the six rows the late-r12 additions displaced from the
+    * 20-25: the six rows the late-r12 additions displaced from the
       r12 window before they were ever driver-checked at their new
       slots — schema_drift_records, rollup_distinct_users (rows-only
       by design: HLL estimates are engine-specific),
       skew_two_phase_agg, rolling_active_users_bound (now also the
       sole face of the exact rolling kernel — see consolidation),
       dsir_weights, bm25_topk. All r9/r10-green.
-    * 25-50: the head of the r10-green block, longest out of the
+    * 26-50: the head of the r10-green block, longest out of the
       window (out since r11), in COVERAGE.md's listed order —
-      diff_value_change through dedup_simhash_pairs (26 rows).
+      diff_value_change through dedup_ngram_jaccard (25 rows).
     * 51+: rotated out — first the remainder of the r10-green block
-      (the r14 queue head: ann_cosine_topk → text_unigram_lm), then the
+      (the r14 queue head: dedup_simhash_pairs → text_unigram_lm), then the
       r11-green block in listed order, then the r12-green window rows
       (newest last). Every rotated row has at least one driver-green
       round with code unchanged since; the FULL registry stays
-      enforced by scripts/check_oracle.py (135 value-checked + 1
+      enforced by scripts/check_oracle.py (136 value-checked + 1
       rows-only at sf0.01) and the pytest suite. See COVERAGE.md
       "Driver-window rotation".
     """
     return {
-        # --- 1-5: NEW, no driver-green run yet. ---
+        # --- 1-6: NEW, no driver-green run yet. ---
         "heavy_hitters": q_heavy_hitters,
         "domain_apex_psl": q_domain_apex_psl,
         "multimodal_gif_resize_hist": q_multimodal_gif_resize_hist,
+        "pack_plan": q_pack_plan,
         "multimodal_jpeg_luma_hist": q_multimodal_jpeg_luma_hist,
         "video_near_dup_pairs": q_video_near_dup_pairs,
-        # --- 6-18: changed-code re-entries (r12-green, code changed
+        # --- 7-19: changed-code re-entries (r12-green, code changed
         # after the r12 driver run). ---
         "ccnet_buckets": q_ccnet_buckets,
         "url_dedup": q_url_dedup,
@@ -5046,14 +5095,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "image_ahash": q_image_ahash,
         "video_scene_cuts": q_video_scene_cuts,
-        # --- 19-24: displaced before their r12 slots were checked. ---
+        # --- 20-25: displaced before their r12 slots were checked. ---
         "schema_drift_records": q_schema_drift_records,
         "rollup_distinct_users": q_rollup_distinct_users,
         "skew_two_phase_agg": q_skew_two_phase_agg,
         "rolling_active_users_bound": q_rolling_active_users_bound,
         "dsir_weights": q_dsir_weights,
         "bm25_topk": q_bm25_topk,
-        # --- 25-50: r10-green block head, longest out of the window. ---
+        # --- 26-50: r10-green block head, longest out of the window. ---
         "diff_value_change": q_diff_value_change,
         "diff_counts": q_diff_counts,
         "diff_ignore_column": q_diff_ignore_column,
@@ -5079,13 +5128,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_near_minhash": q_dedup_near_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         # --- 51+: rotated out. First the remainder of the r10-green
         # block (the r14 queue head), then the r11-green block in
         # listed order, then the r12-green window rows (newest last).
         # Every rotated row has at least one driver-green round with
         # code unchanged since; the FULL registry stays enforced by
         # scripts/check_oracle.py and the pytest suite. ---
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -5242,6 +5291,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_apex_psl": _domain_apex_psl_sql(),
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "multimodal_gif_resize_hist": _GIF_RESIZE_HIST_SQL,
+        "pack_plan": _PACK_PLAN_SQL,
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"
         ),

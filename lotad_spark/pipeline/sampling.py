@@ -514,3 +514,116 @@ def manifest_from_plan(
         .withColumn("slice_len", slice_end_g - slice_start_g)
         .select(id_col, "chunk_id", "slice_start", "slice_len")
     )
+
+
+def pack_plan(
+    df: DataFrame,
+    block_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    salt: str = "pack",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """NO-SPLIT packing plan — the instruction-tuning sibling of
+    :func:`token_chunk_plan`: assign whole documents to fixed
+    ``block_size``-token training blocks such that no document crosses
+    a block boundary (each block is padded, never contaminated by a
+    neighbor's attention). Returns one row per nonempty document:
+    ``(id, n_tokens, pack_id, overflow)`` where ``pack_id`` is the
+    block label ('<bucket>-<idx>') and ``overflow`` marks documents
+    LONGER than a block — surfaced, never silently truncated
+    (``pack_id`` NULL; the caller decides truncate/split/drop).
+
+    Algorithm: documents hash into ``n_buckets`` deterministic buckets
+    (the :func:`sample_key` md5 idiom — engine-replayable), and each
+    bucket packs independently by NEXT-FIT-DECREASING: order by
+    (n_tokens DESC, id ASC), keep one open block, start a new one when
+    the next document doesn't fit. NFD is the strongest packing rule
+    that is still a PURE SEQUENTIAL SCAN — exactly replayable as a
+    recursive SQL CTE (the oracle), unlike first-fit's open-bin
+    search. Waste bound, honestly: each CLOSED block is filled past
+    ``block_size − next_doc_tokens``, and descending order makes the
+    straggler small; the classic adversarial NFD corpora (alternating
+    just-over-half sizes) still approach 2× optimal — callers packing
+    pathological length mixes should bucket by length first.
+
+    Scale shape: only ``(id, n_tokens, bucket)`` ever shuffles (never
+    text) — ONE exchange into ``n_buckets`` groups; each bucket packs
+    in one Arrow ``applyInPandas`` task (vectorized sort + one linear
+    scan), so parallelism is the bucket count and the sequential part
+    is corpus/n_buckets. Block ids are bucket-qualified, so no
+    cross-bucket coordination exists at any scale."""
+    import pandas as pd
+
+    if block_size <= 0:
+        raise ValueError(f"pack_plan: block_size must be > 0, got {block_size}")
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError(f"pack_plan: n_buckets out of range: {n_buckets}")
+    n_tok = F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+    ).cast("bigint")
+    width = len(format(n_buckets - 1, "x")) if n_buckets > 1 else 1
+    d = (
+        df.select(F.col(id_col), n_tok.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "bucket",
+            F.substring(sample_key(id_col, salt), 1, width)
+            if n_buckets == 16**width
+            else F.format_string(
+                f"%0{width}x",
+                (
+                    F.conv(
+                        F.substring(sample_key(id_col, salt), 1, 8), 16, 10
+                    ).cast("bigint")
+                    % n_buckets
+                ).cast("int"),
+            ),
+        )
+    )
+    over = d.filter(F.col("n_tokens") > block_size).select(
+        id_col,
+        "n_tokens",
+        F.lit(None).cast("string").alias("pack_id"),
+        F.lit(True).alias("overflow"),
+    )
+    fit = d.filter(F.col("n_tokens") <= block_size)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        )
+        bins = []
+        idx, fill = 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if first:
+                fill = n
+                first = False
+            elif fill + n <= block_size:
+                fill += n
+            else:
+                idx += 1
+                fill = n
+            bins.append(idx)
+        out = pdf[[id_col, "n_tokens", "bucket"]].copy()
+        out["bin_idx"] = bins
+        return out
+
+    packed = fit.groupBy("bucket").applyInPandas(
+        pack,
+        schema=f"`{id_col}` bigint, n_tokens bigint, bucket string, "
+        "bin_idx bigint",
+    )
+    return packed.select(
+        id_col,
+        "n_tokens",
+        F.concat_ws("-", "bucket", F.col("bin_idx").cast("string")).alias(
+            "pack_id"
+        ),
+        F.lit(False).alias("overflow"),
+    ).unionByName(over)

@@ -791,3 +791,96 @@ class TestSpanStrippedTrainingPlan:
 
         with _pytest.raises(ValueError, match="eval_df"):
             plan_training_corpus(docs, None, strip_eval_spans=True)
+
+
+class TestPackPlan:
+    """No-split packing: block capacity, exactly-once coverage,
+    NFD replay vs an independent Python reference, overflow honesty."""
+
+    def _reference(self, rows, block_size, salt="pack", n_buckets=256):
+        import hashlib
+
+        width = len(format(n_buckets - 1, "x")) if n_buckets > 1 else 1
+        by_bucket = {}
+        out = {}
+        for did, text in rows:
+            n = len([t for t in (text or "").strip().split() if t])
+            if n == 0:
+                continue
+            key = hashlib.md5(f"{salt}:{did}".encode()).hexdigest()[:8]
+            if n_buckets == 16**width:
+                b = key[:width]
+            else:
+                b = format(int(key, 16) % n_buckets, f"0{width}x")
+            if n > block_size:
+                out[did] = (n, None, True)
+            else:
+                by_bucket.setdefault(b, []).append((n, did))
+        for b, docs in by_bucket.items():
+            docs.sort(key=lambda t: (-t[0], t[1]))
+            idx, fill, first = 0, 0, True
+            for n, did in docs:
+                if first:
+                    fill, first = n, False
+                elif fill + n <= block_size:
+                    fill += n
+                else:
+                    idx, fill = idx + 1, n
+                out[did] = (n, f"{b}-{idx}", False)
+        return out
+
+    def test_matches_reference_and_block_capacity(self, spark):
+        import random
+
+        from lotad_spark.pipeline import pack_plan
+
+        rng = random.Random(29)
+        rows = [
+            (i, " ".join("w" for _ in range(rng.randint(0, 140))))
+            for i in range(300)
+        ]
+        rows.append((300, None))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        want = self._reference(rows, 100)
+        for parts in (1, 8):
+            got = {
+                r.doc_id: (r.n_tokens, r.pack_id, r.overflow)
+                for r in pack_plan(
+                    df.repartition(parts), 100
+                ).collect()
+            }
+            assert got == want, parts
+        # block capacity: sum of tokens per pack_id <= block_size
+        fills = {}
+        for did, (n, pid, ov) in want.items():
+            if pid is not None:
+                fills[pid] = fills.get(pid, 0) + n
+        assert fills and max(fills.values()) <= 100
+        # overflow rows: > block, NULL pack_id, flagged
+        overs = [d for d, (n, p, ov) in want.items() if ov]
+        assert overs and all(want[d][0] > 100 for d in overs)
+        # zero-token/NULL docs absent
+        assert 300 not in want and all(
+            want[d][0] > 0 for d in want
+        )
+
+    def test_small_bucket_count_mod_path(self, spark):
+        from lotad_spark.pipeline import pack_plan
+
+        rows = [(i, " ".join("w" for _ in range(i % 7 + 1))) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        want = self._reference(rows, 12, n_buckets=10)
+        got = {
+            r.doc_id: (r.n_tokens, r.pack_id, r.overflow)
+            for r in pack_plan(df, 12, n_buckets=10).collect()
+        }
+        assert got == want
+
+    def test_validation(self, spark):
+        from lotad_spark.pipeline import pack_plan
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="block_size"):
+            pack_plan(df, 0)
+        with pytest.raises(ValueError, match="n_buckets"):
+            pack_plan(df, 10, n_buckets=0)
