@@ -794,19 +794,96 @@ def url_index_cmd(docs_path, index_path, append_mode, probe_path) -> None:
                    "OUTPUT/domains")
 @click.option("--id-col", default="doc_id", show_default=True)
 @click.option("--url-col", default="url", show_default=True)
-def domain_stats_cmd(docs_path, output_path, id_col, url_col) -> None:
+@click.option("--psl", "psl_path", type=click.Path(exists=True),
+              default=None,
+              help="Public-suffix list snapshot (publicsuffix.org "
+                   "format): apex_domain becomes true eTLD+1 instead "
+                   "of the last-two-labels heuristic")
+def domain_stats_cmd(docs_path, output_path, id_col, url_col, psl_path) -> None:
     """Per-domain corpus stats (doc count, distinct canonical URLs) —
     the relation a domain cap or blocklist decision reads."""
-    from lotad_spark.pipeline.urls import domain_stats
+    from lotad_spark.pipeline.urls import domain_stats, load_psl
     from lotad_spark.sources.parquet import read_table
 
     spark = get_spark("lotad_spark_domain_stats")
+    kw = {}
+    if psl_path:
+        kw = {"apex": "psl", "psl_rules": load_psl(psl_path)}
     stats = domain_stats(
-        read_table(spark, docs_path), id_col=id_col, url_col=url_col
+        read_table(spark, docs_path), id_col=id_col, url_col=url_col, **kw
     )
     stats.write.mode("overwrite").parquet(f"{output_path}/domains")
     n = spark.read.parquet(f"{output_path}/domains").count()
-    click.echo(f"domain-stats: {n} domains -> {output_path}/domains")
+    mode = "eTLD+1 (PSL)" if psl_path else "last-2-labels apex"
+    click.echo(
+        f"domain-stats: {n} domains ({mode}) -> {output_path}/domains"
+    )
+
+
+@cli.command("heavy-hitters")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (doc_id, text, ...) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes (token, n_occurrences, n_tokens_total) to "
+                   "OUTPUT/hitters")
+@click.option("--phi", default=0.001, show_default=True,
+              help="Frequency-share threshold: keep tokens with count "
+                   ">= ceil(phi * N)")
+@click.option("--text-col", default="text", show_default=True)
+def heavy_hitters_cmd(docs_path, output_path, phi, text_col) -> None:
+    """EXACT phi-heavy-hitter tokens with candidate-only shuffles
+    (per-partition Misra-Gries + broadcast exact verification — the
+    vocabulary never shuffles)."""
+    from lotad_spark.pipeline.sketch import heavy_hitters
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_heavy_hitters")
+    out = heavy_hitters(
+        read_table(spark, docs_path), text_col=text_col, phi=phi
+    )
+    out.write.mode("overwrite").parquet(f"{output_path}/hitters")
+    landed = spark.read.parquet(f"{output_path}/hitters").collect()
+    total = landed[0].n_tokens_total if landed else 0
+    click.echo(
+        f"heavy-hitters: {len(landed)} tokens >= ceil({phi} * {total}) "
+        f"-> {output_path}/hitters"
+    )
+
+
+@cli.command("pack-plan")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (doc_id, text, ...) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes (doc_id, n_tokens, pack_id, overflow) to "
+                   "OUTPUT/plan")
+@click.option("--block-size", default=2048, show_default=True)
+@click.option("--n-buckets", default=256, show_default=True)
+def pack_plan_cmd(docs_path, output_path, block_size, n_buckets) -> None:
+    """NO-SPLIT sequence packing: whole documents into fixed
+    block-size token blocks (next-fit-decreasing per hash bucket);
+    over-long docs flagged overflow, never silently truncated."""
+    from pyspark.sql import functions as F
+
+    from lotad_spark.pipeline.sampling import pack_plan
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_pack_plan")
+    out = pack_plan(
+        read_table(spark, docs_path), block_size, n_buckets=n_buckets
+    )
+    out.write.mode("overwrite").parquet(f"{output_path}/plan")
+    landed = spark.read.parquet(f"{output_path}/plan")
+    n, n_over, n_blocks = landed.agg(
+        F.count(F.lit(1)),
+        F.count_if(F.col("overflow")),
+        F.count_distinct(F.col("pack_id")),
+    ).collect()[0]
+    click.echo(
+        f"pack-plan: {n} docs into {n_blocks} blocks of {block_size} "
+        f"tokens, {n_over} overflow -> {output_path}/plan"
+    )
 
 
 @cli.command("ccnet-buckets")

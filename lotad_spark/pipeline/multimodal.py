@@ -149,17 +149,19 @@ def decode_pixels(payload: bytes):
 
     Covered: netpbm P5/P6 (binary gray/RGB, maxval 255), P2/P3 (their
     ASCII twins), uncompressed 24/32-bpp BMP (bottom-up or top-down,
-    4-byte row stride, BGR(A) channel order), 8-bit non-interlaced
-    PNG (gray/truecolor/gray-alpha/RGBA; stdlib zlib inflate + all five
-    scanline filters un-applied in numpy — :func:`_png_pixels`), and
+    4-byte row stride, BGR(A) channel order), 8-bit
+    PNG, sequential or Adam7-interlaced (gray/truecolor/gray-alpha/
+    RGBA; stdlib zlib inflate + all five scanline filters un-applied
+    in numpy, per-reduced-image for Adam7 — :func:`_png_pixels`), and
     sequential-baseline Huffman JPEG (SOF0/SOF1, 8-bit, gray/YCbCr,
     restart intervals, divisible sampling grids — :func:`_jpeg_pixels`),
     and GIF87a/89a (full LZW inflate, global/local color tables,
     4-pass deinterlace, first frame — :func:`_gif_pixels`) — all per
     the public specs. Grayscale replicates to RGB and alpha
     drops so downstream kernels see one shape. Anything truncated,
-    palette-mapped, 16-bit, interlaced, progressive, or with a non-255
-    maxval returns None rather than guessing."""
+    palette-mapped, 16-bit, progressive, or with a non-255
+    maxval returns None rather than guessing (PNG interlace is Adam7,
+    decoded; GIF interlace is the 4-pass row order, decoded)."""
     import numpy as np
 
     hdr = _pnm_header(payload)
@@ -295,51 +297,32 @@ def _parse_png(payload: bytes) -> tuple[int, int, str] | None:
     return (int(w), int(h), mode)
 
 
-def _png_pixels(payload: bytes):
-    """REAL pixel decode for the web's dominant lossless format:
-    8-bit-depth, non-interlaced grayscale (0), truecolor (2),
-    gray+alpha (4) and RGBA (6) PNGs — zlib inflate is stdlib, and the
-    five scanline filters (none/sub/up/average/paeth, PNG spec §9) are
-    un-applied here in numpy. Alpha is dropped (the luma/resize
-    kernels take RGB); grayscale replicates. Palette (3), 16-bit,
-    interlaced, or structurally-broken payloads return None rather
-    than guessing — same honesty contract as the PNM/BMP decoders.
+# Adam7 interlace passes: (x0, y0, dx, dy) per PNG spec 8.2.
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_defilter(raw: bytes, pos: int, width: int, height: int, ch: int):
+    """Un-apply the five PNG scanline filters over one (sub)image of
+    ``height`` rows x ``width`` pixels starting at ``pos`` in the
+    inflated stream: ``(rows[h, w*ch] uint8, new_pos)`` or None on a
+    truncated stream / invalid filter byte. Filtering restarts per
+    call — exactly the spec's rule for each Adam7 reduced image.
 
     Sub/up filters vectorize (per-lane cumsum mod 256 / row add);
     average/paeth lines fall back to a per-byte loop — correctness
     over speed, and the decode already runs inside an Arrow-batched
     mapInPandas stage."""
-    import zlib
-
     import numpy as np
 
-    parsed = _png_chunks(payload)
-    if parsed is None:
+    stride = width * ch
+    if len(raw) - pos < height * (stride + 1):
         return None
-    (w, h, depth, ctype, comp, filt, inter), idat = parsed
-    if (
-        w <= 0
-        or h <= 0
-        or depth != 8
-        or comp != 0
-        or filt != 0
-        or inter != 0
-    ):
-        return None
-    ch = _PNG_CHANNELS.get(ctype)
-    if ch is None:
-        return None
-    try:
-        raw = zlib.decompress(idat)
-    except zlib.error:
-        return None
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
-        return None
-    out = np.zeros((h, stride), dtype=np.uint8)
+    out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    pos = 0
-    for y in range(h):
+    for y in range(height):
         ftype = raw[pos]
         line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(
             np.int32
@@ -377,6 +360,63 @@ def _png_pixels(payload: bytes):
             return None  # invalid filter byte
         out[y] = recon.astype(np.uint8)
         prev = recon
+    return out, pos
+
+
+def _png_pixels(payload: bytes):
+    """REAL pixel decode for the web's dominant lossless format:
+    8-bit-depth grayscale (0), truecolor (2), gray+alpha (4) and RGBA
+    (6) PNGs, sequential OR Adam7-interlaced — zlib inflate is stdlib,
+    the five scanline filters (none/sub/up/average/paeth, PNG spec 9)
+    un-apply in numpy (:func:`_png_defilter`, restarted per Adam7
+    reduced image exactly as spec 8.2 requires), and interlaced passes
+    scatter back by the (x0, y0, dx, dy) grids. Alpha is dropped (the
+    luma/resize kernels take RGB); grayscale replicates. Palette (3),
+    16-bit, or structurally-broken payloads return None rather than
+    guessing — same honesty contract as the PNM/BMP decoders."""
+    import zlib
+
+    import numpy as np
+
+    parsed = _png_chunks(payload)
+    if parsed is None:
+        return None
+    (w, h, depth, ctype, comp, filt, inter), idat = parsed
+    if (
+        w <= 0
+        or h <= 0
+        or depth != 8
+        or comp != 0
+        or filt != 0
+        or inter not in (0, 1)
+    ):
+        return None
+    ch = _PNG_CHANNELS.get(ctype)
+    if ch is None:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    if inter == 0:
+        got = _png_defilter(raw, 0, w, h, ch)
+        if got is None:
+            return None
+        out = got[0]
+    else:
+        out = np.zeros((h, w * ch), dtype=np.uint8)
+        grid = out.reshape(h, w, ch)
+        pos = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass for small images: no bytes at all
+            got = _png_defilter(raw, pos, pw, ph, ch)
+            if got is None:
+                return None
+            rows, pos = got
+            grid[y0::dy, x0::dx] = rows.reshape(ph, pw, ch)
     px = out.reshape(h, w, ch)
     if ctype == 0:
         g = px[:, :, 0]
@@ -708,106 +748,160 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int):
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def _gif_pixels(payload: bytes):
-    """First image frame of a GIF, decoded for real: block walk
-    (extensions skipped by their sub-block framing), global/local
-    color table, the full LZW inflate (:func:`_gif_lzw_decode`),
-    4-pass deinterlace when the descriptor flags it, palette lookup to
-    RGB. The frame decodes standalone at its OWN dimensions (honest
-    even when it is a sub-rectangle of the logical screen); GIF89a
-    transparency maps the transparent index to its palette color — a
-    first frame composites over an undefined canvas, and inventing a
-    background would be a guess. None (never a guess) for a missing
-    color table, a truncated stream, or any LZW violation."""
+def _gif_iter_frames(payload: bytes):
+    """Generator over a GIF's image frames in stream order:
+    ``(left, top, fw, fh, transparent, rgb[fh, fw, 3])`` per frame —
+    block walk (extensions skipped by their sub-block framing, except
+    the GCE whose transparency flag is captured for the frame it
+    precedes), global/local color table, full LZW inflate
+    (:func:`_gif_lzw_decode`), 4-pass deinterlace, palette lookup.
+    Raises ValueError on any spec violation (missing table, truncated
+    stream, LZW violation, out-of-table index) — callers wrap to the
+    honest None."""
     import struct
 
     import numpy as np
 
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
-        return None
+        raise ValueError("not a gif")
     flags = payload[10]
     pos = 13
-    palette = None
+    g_palette = None
     if flags & 0x80:
         gct_n = 2 << (flags & 0x07)
         if len(payload) < pos + gct_n * 3:
-            return None
-        palette = np.frombuffer(
+            raise ValueError("truncated global color table")
+        g_palette = np.frombuffer(
             payload, np.uint8, gct_n * 3, pos
         ).reshape(gct_n, 3)
         pos += gct_n * 3
 
-    def skip_subblocks(p: int) -> int | None:
+    def skip_subblocks(p: int) -> int:
         while True:
             if p >= len(payload):
-                return None
+                raise ValueError("truncated sub-blocks")
             size = payload[p]
             p += 1
             if size == 0:
                 return p
             p += size
 
+    transparent = False
     while pos < len(payload):
         block = payload[pos]
-        if block == 0x3B:  # trailer before any image
-            return None
+        if block == 0x3B:  # trailer
+            return
         if block == 0x21:  # extension: label byte + sub-blocks
+            label = payload[pos + 1] if pos + 1 < len(payload) else None
+            if label == 0xF9 and pos + 3 < len(payload):
+                # GCE: packed field bit 0 = transparency, applies to
+                # the NEXT image descriptor
+                transparent = bool(payload[pos + 3] & 0x01)
             pos = skip_subblocks(pos + 2)
-            if pos is None:
-                return None
             continue
         if block != 0x2C:
-            return None
+            raise ValueError(f"unknown block 0x{block:02x}")
         if len(payload) < pos + 10:
-            return None
-        _left, _top, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+            raise ValueError("truncated image descriptor")
+        left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
         iflags = payload[pos + 9]
         pos += 10
         if fw <= 0 or fh <= 0:
-            return None
+            raise ValueError("empty frame")
+        palette = g_palette
         if iflags & 0x80:  # local color table wins for this frame
             lct_n = 2 << (iflags & 0x07)
             if len(payload) < pos + lct_n * 3:
-                return None
+                raise ValueError("truncated local color table")
             palette = np.frombuffer(
                 payload, np.uint8, lct_n * 3, pos
             ).reshape(lct_n, 3)
             pos += lct_n * 3
         if palette is None:
-            return None
+            raise ValueError("no color table")
         if pos >= len(payload):
-            return None
+            raise ValueError("truncated before lzw")
         min_code_size = payload[pos]
         pos += 1
         chunks = []
         while True:
             if pos >= len(payload):
-                return None
+                raise ValueError("truncated pixel sub-blocks")
             size = payload[pos]
             pos += 1
             if size == 0:
                 break
             chunks.append(payload[pos : pos + size])
             if len(chunks[-1]) < size:
-                return None
+                raise ValueError("truncated pixel sub-block")
             pos += size
         idx = _gif_lzw_decode(b"".join(chunks), min_code_size, fw * fh)
         if idx is None:
-            return None
+            raise ValueError("lzw violation")
         rows = np.frombuffer(idx, np.uint8).reshape(fh, fw)
         if iflags & 0x40:  # deinterlace: 4 passes back to frame order
             order = [
                 y
-                for start, step in _GIF_INTERLACE_PASSES
-                for y in range(start, fh, step)
+                for s, step in _GIF_INTERLACE_PASSES
+                for y in range(s, fh, step)
             ]
             out = np.empty_like(rows)
             out[order] = rows
             rows = out
         if int(rows.max()) >= len(palette):
-            return None  # index outside the color table: corrupt
-        return (int(fw), int(fh), palette[rows].copy())
+            raise ValueError("index outside color table")
+        yield (int(left), int(top), int(fw), int(fh), transparent,
+               palette[rows].copy())
+        transparent = False
+    raise ValueError("no trailer")
+
+
+def _gif_pixels(payload: bytes):
+    """First image frame of a GIF, decoded for real (the
+    :func:`_gif_iter_frames` walk, stopped after one frame). The frame
+    decodes standalone at its OWN dimensions (honest even when it is a
+    sub-rectangle of the logical screen); GIF89a transparency maps the
+    transparent index to its palette color — a first frame composites
+    over an undefined canvas, and inventing a background would be a
+    guess. None (never a guess) for a missing color table, a truncated
+    stream, or any LZW violation."""
+    try:
+        for _l, _t, fw, fh, _tr, rgb in _gif_iter_frames(payload):
+            return (fw, fh, rgb)
+    except ValueError:
+        return None
     return None
+
+
+def _gif_video_frames(payload: bytes, *, every_nth: int = 1):
+    """All frames of an ANIMATED GIF under the video-tier honesty
+    contract: every frame must be full-canvas (left/top 0, logical
+    screen dims) and opaque (no GCE transparency), so each frame fully
+    replaces the canvas and no composite state needs inventing —
+    sub-rectangle or transparent animation frames make the WHOLE
+    payload None (rendering them requires disposal-method compositing,
+    a renderer's job, not a decoder's). Returns
+    ``(w, h, n_frames_total, [rgb, ...])`` like the AVI path."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack_from("<HH", payload, 6)
+    if w <= 0 or h <= 0:
+        return None
+    frames = []
+    try:
+        for left, top, fw, fh, transparent, rgb in _gif_iter_frames(
+            payload
+        ):
+            if left != 0 or top != 0 or fw != w or fh != h or transparent:
+                return None
+            frames.append(rgb)
+    except ValueError:
+        return None
+    if not frames:
+        return None
+    return (int(w), int(h), len(frames), frames[::every_nth])
 
 
 def _parse_jpeg(payload: bytes) -> tuple[int, int, str] | None:
@@ -1715,8 +1809,10 @@ def _avi_parse(payload: bytes):
 
 
 def decode_video_frames(payload: bytes, *, every_nth: int = 1):
-    """REAL frame decode for the zero-dependency video format —
-    uncompressed 24-bpp RIFF/AVI: returns
+    """REAL frame decode for the zero-dependency video formats —
+    uncompressed 24-bpp RIFF/AVI, and ANIMATED GIF whose frames are
+    full-canvas and opaque (:func:`_gif_video_frames` — the honest
+    no-compositing subset): returns
     ``(width, height, n_frames_total, [ndarray[h, w, 3] RGB, ...])``
     for every ``every_nth``-th frame (frame 0 always included), or
     None for anything compressed/truncated/exotic — the
@@ -1731,7 +1827,7 @@ def decode_video_frames(payload: bytes, *, every_nth: int = 1):
         raise ValueError("decode_video_frames: every_nth must be >= 1")
     parsed = _avi_parse(payload)
     if parsed is None:
-        return None
+        return _gif_video_frames(payload, every_nth=every_nth)
     w, h, frames = parsed
     stride = ((w * 3 + 3) // 4) * 4
     out = []

@@ -96,7 +96,11 @@ def gif_encode(
     local_table: bool = False,
     extension: bool = True,
     palette: bytes | None = None,
+    more_frames: list | None = None,
+    frame_offsets: list | None = None,
+    transparent_frames: set | None = None,
 ) -> bytes:
+    frames = [pix] + list(more_frames or [])
     h, w = pix.shape
     if palette is None:
         palette = bytes(v for i in range(256) for v in ((i, i, i) if gray_palette else (i, 255 - i, i ^ 0x55)))
@@ -104,22 +108,28 @@ def gif_encode(
     out = bytearray(b"GIF89a" + struct.pack("<HH", w, h) + bytes([lsd_flags, 0, 0]))
     if not local_table:
         out += palette
-    if extension:  # a GCE the block walk must skip by sub-block framing
-        out += b"\x21\xf9\x04\x01\x0a\x00\x00\x00"
-    id_flags = (0x80 | 0x07 if local_table else 0) | (0x40 if interlaced else 0)
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([id_flags])
-    if local_table:
-        out += palette
-    if interlaced:
-        order = [y for s, st in _PASSES for y in range(s, h, st)]
-        pix = pix[order]
-    stream = lzw_encode(bytes(pix.reshape(-1)))
-    out.append(8)  # min code size
-    for i in range(0, len(stream), 255):
-        ch = stream[i : i + 255]
-        out.append(len(ch))
-        out += ch
-    out += b"\x00\x3b"
+    for fi, fpix in enumerate(frames):
+        fh, fw = fpix.shape
+        left, top = (frame_offsets or {}).get(fi, (0, 0)) if isinstance(frame_offsets, dict) else (0, 0)
+        if extension:  # a GCE the block walk must parse/skip per frame
+            tbit = 0x01 if fi in (transparent_frames or set()) else 0x00
+            out += bytes([0x21, 0xF9, 0x04, tbit, 0x0A, 0x00, 0x00, 0x00])
+        id_flags = (0x80 | 0x07 if local_table else 0) | (0x40 if interlaced else 0)
+        out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh) + bytes([id_flags])
+        if local_table:
+            out += palette
+        epix = fpix
+        if interlaced:
+            order = [y for s, st in _PASSES for y in range(s, fh, st)]
+            epix = fpix[order]
+        stream = lzw_encode(bytes(epix.reshape(-1)))
+        out.append(8)  # min code size
+        for i in range(0, len(stream), 255):
+            ch = stream[i : i + 255]
+            out.append(len(ch))
+            out += ch
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -312,3 +322,73 @@ class TestGifOnSpark:
         )
         row = extract_feature_counts(df, kind="luma").collect()[0]
         assert row.kind == "bytes"
+
+
+class TestAnimatedGifVideo:
+    """Animated GIF through the video tier: full-canvas opaque frames
+    decode as a frame list; sub-rect or transparent frames make the
+    whole payload honest-None (compositing is a renderer's job)."""
+
+    def test_frames_roundtrip_and_every_nth(self):
+        from lotad_spark.pipeline.multimodal import decode_video_frames
+
+        rng = np.random.RandomState(31)
+        frames = [rng.randint(0, 256, (4, 6)).astype(np.uint8) for _ in range(5)]
+        payload = gif_encode(frames[0], more_frames=frames[1:])
+        got = decode_video_frames(payload)
+        assert got is not None
+        w, h, n, out = got
+        assert (w, h, n) == (6, 4, 5) and len(out) == 5
+        for want, arr in zip(frames, out):
+            assert (arr[:, :, 0] == want).all()
+        w2, h2, n2, out2 = decode_video_frames(payload, every_nth=2)
+        assert n2 == 5 and len(out2) == 3
+        assert (out2[1][:, :, 0] == frames[2]).all()
+
+    def test_interlaced_animation(self):
+        from lotad_spark.pipeline.multimodal import decode_video_frames
+
+        rng = np.random.RandomState(37)
+        frames = [rng.randint(0, 256, (9, 3)).astype(np.uint8) for _ in range(3)]
+        got = decode_video_frames(
+            gif_encode(frames[0], more_frames=frames[1:], interlaced=True)
+        )
+        assert got is not None and got[2] == 3
+        for want, arr in zip(frames, got[3]):
+            assert (arr[:, :, 0] == want).all()
+
+    def test_subrect_frame_refused(self):
+        from lotad_spark.pipeline.multimodal import decode_video_frames
+
+        a = np.zeros((4, 6), dtype=np.uint8)
+        b = np.zeros((2, 3), dtype=np.uint8)  # sub-rect second frame
+        payload = gif_encode(a, more_frames=[b])
+        assert decode_video_frames(payload) is None
+
+    def test_transparent_frame_refused_for_video_but_first_frame_decodes(self):
+        from lotad_spark.pipeline.multimodal import (
+            _gif_pixels,
+            decode_video_frames,
+        )
+
+        a = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        b = (a + 1) % 256
+        payload = gif_encode(a, more_frames=[b], transparent_frames={1})
+        assert decode_video_frames(payload) is None
+        # the still-image face keeps its documented palette-color rule
+        assert (_gif_pixels(payload)[2][:, :, 0] == a).all()
+
+    def test_scene_cuts_on_animated_gif(self, spark):
+        from lotad_spark.pipeline.multimodal import scene_cuts
+
+        rng = np.random.RandomState(41)
+        # two repeated scenes: frames 0-2 identical, 3-5 very different
+        s1 = rng.randint(0, 40, (16, 16)).astype(np.uint8)
+        s2 = 255 - s1
+        payload = gif_encode(s1, more_frames=[s1, s1, s2, s2, s2])
+        df = spark.createDataFrame(
+            [(1, payload)], "media_id bigint, content binary"
+        )
+        rows = scene_cuts(df).collect()
+        kinds = {r.media_id: r.kind for r in rows}
+        assert kinds[1] != "bytes"  # the real video path ran

@@ -884,3 +884,23 @@ class TestPackPlan:
             pack_plan(df, 0)
         with pytest.raises(ValueError, match="n_buckets"):
             pack_plan(df, 10, n_buckets=0)
+
+    def test_shuffle_budget_one_exchange(self, spark):
+        """The documented exchange count: packing shuffles ONLY the
+        (id, n_tokens, bucket) projection into buckets — exactly one
+        hashpartitioning exchange in the whole plan (the overflow arm
+        is a scan-side filter union, no exchange)."""
+        import re
+
+        from lotad_spark.pipeline import pack_plan
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "d e")], "doc_id bigint, text string"
+        )
+        plan = (
+            pack_plan(df, 10)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

@@ -320,9 +320,17 @@ class TestMultimodal:
         # 16-bit depth, interlaced: metadata parses, pixels honest None
         deep = self._make_png([[1, 2, 3]], ctype=2, depth=16)
         assert decode_pixels(deep) is None
+        # interlace flag: a 1x1 image's Adam7 stream IS its sequential
+        # stream (only pass 1 exists), so this now DECODES (r13 Adam7)
         inter = self._make_png([[1, 2, 3]], ctype=2, interlace=1)
-        assert decode_pixels(inter) is None
+        assert decode_pixels(inter)[2].reshape(-1).tolist() == [1, 2, 3]
         assert _parse_png(inter) == (1, 1, "RGB")
+        # an interlace byte outside {0, 1} stays honest-None
+        bad_i = ok.replace(
+            struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0),
+            struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 2),
+        )
+        assert decode_pixels(bad_i) is None
         # palette: metadata reports 'P', pixels None
         pal = ok.replace(
             struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0),
@@ -1349,3 +1357,124 @@ class TestReviewRegressions:
 
         assert _parse_pnm(b"P6\n3 2\n") is None
         assert decode_pixels(b"P6\n3 2\n") is None
+
+
+class TestPngAdam7:
+    """Adam7-interlaced PNG decode: an independent per-pass encoder
+    (filters restart per reduced image, as the spec requires) must
+    round-trip through _png_pixels for every color type, every filter,
+    and sizes straddling the pass grids — positionally, not just as a
+    multiset."""
+
+    _PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    def _encode(self, px, ctype, fsel):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w, ch = px.shape
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        def filt(rows):
+            stream = bytearray()
+            prev = np.zeros(rows.shape[1], dtype=int)
+            for yy in range(rows.shape[0]):
+                f = fsel(yy)
+                line = rows[yy].astype(int)
+                left = np.concatenate([[0] * ch, line[:-ch]])
+                ul = np.concatenate([[0] * ch, prev[:-ch]])
+                if f == 0:
+                    enc = line
+                elif f == 1:
+                    enc = (line - left) % 256
+                elif f == 2:
+                    enc = (line - prev) % 256
+                elif f == 3:
+                    enc = (line - (left + prev) // 2) % 256
+                else:
+                    p = left + prev - ul
+                    pa, pb, pc = (
+                        np.abs(p - left), np.abs(p - prev), np.abs(p - ul),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, prev, ul),
+                    )
+                    enc = (line - pred) % 256
+                stream.append(f)
+                stream.extend(int(v) for v in enc)
+                prev = line
+            return stream
+
+        stream = bytearray()
+        for x0, y0, dx, dy in self._PASSES:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            stream += filt(sub.reshape(sub.shape[0], sub.shape[1] * ch))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_roundtrip_all_ctypes_filters_sizes(self):
+        import numpy as np
+
+        from lotad_spark.pipeline.multimodal import _png_pixels
+
+        rng = np.random.RandomState(23)
+        for w, h in [(1, 1), (3, 2), (8, 8), (13, 9), (20, 17)]:
+            for ctype, ch in ((2, 3), (0, 1), (6, 4), (4, 2)):
+                for fsel in (lambda y: 0, lambda y: y % 5):
+                    px = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+                    got = _png_pixels(self._encode(px, ctype, fsel))
+                    assert got is not None, (w, h, ctype)
+                    gw, gh, arr = got
+                    assert (gw, gh) == (w, h)
+                    if ctype in (0, 4):
+                        want = np.stack([px[:, :, 0]] * 3, -1)
+                    else:
+                        want = px[:, :, :3]
+                    assert (arr == want).all(), (w, h, ctype)
+
+    def test_positional_distinct_rows(self):
+        import numpy as np
+
+        from lotad_spark.pipeline.multimodal import _png_pixels
+
+        px = np.arange(9, dtype=np.uint8).repeat(5 * 3).reshape(9, 5, 3)
+        assert (_png_pixels(self._encode(px, 2, lambda y: 0))[2] == px).all()
+
+    def test_truncated_interlaced_stream(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from lotad_spark.pipeline.multimodal import _png_pixels
+
+        px = np.zeros((9, 5, 3), dtype=np.uint8)
+        good = self._encode(px, 2, lambda y: 0)
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        bad = (
+            good[:33]
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b"")
+        )
+        assert _png_pixels(bad) is None
