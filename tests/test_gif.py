@@ -392,3 +392,87 @@ class TestAnimatedGifVideo:
         rows = scene_cuts(df).collect()
         kinds = {r.media_id: r.kind for r in rows}
         assert kinds[1] != "bytes"  # the real video path ran
+
+
+class TestDecoderCrashRobustness:
+    """A corrupt image/audio/video payload in a 100 TB corpus must
+    never kill the job: every decoder returns honest None (or the
+    labeled fallback) on truncations, byte flips, and garbage — it
+    never raises. Sweep every truncation point of one valid payload
+    per family plus randomized flips and pure garbage."""
+
+    def _payloads(self):
+        import struct
+        import zlib
+
+        rng = np.random.RandomState(99)
+        pix = rng.randint(0, 256, (3, 4)).astype(np.uint8)
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        out = {
+            "gif": gif_encode(pix),
+            "gif_anim": gif_encode(pix, more_frames=[pix, pix]),
+            "ppm": b"P6\n4 3\n255\n"
+            + bytes(rng.randint(0, 256, 36).astype(np.uint8)),
+        }
+        raw = bytes(rng.randint(0, 256, 36).astype(np.uint8))
+        s = bytearray()
+        for y in range(3):
+            s.append(0)
+            s.extend(raw[y * 12 : (y + 1) * 12])
+        out["png"] = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(s)))
+            + chunk(b"IEND", b"")
+        )
+        rows = b"".join(
+            bytes(rng.randint(0, 256, 12).astype(np.uint8)) for _ in range(3)
+        )
+        out["bmp"] = (
+            b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, 4, 3, 1, 24, 0, len(rows), 0, 0, 0, 0
+            )
+            + rows
+        )
+        data = bytes(rng.randint(0, 256, 32).astype(np.uint8))
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        out["wav"] = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return out
+
+    def test_never_raises(self):
+        from lotad_spark.pipeline.multimodal import (
+            _headers_decode,
+            decode_audio,
+            decode_pixels,
+            decode_video_frames,
+        )
+
+        rng = np.random.RandomState(7)
+        fns = (decode_pixels, decode_audio, decode_video_frames,
+               _headers_decode)
+        for name, p in self._payloads().items():
+            for k in range(len(p)):  # every truncation point
+                t = p[:k]
+                for fn in fns:
+                    fn(t)  # must not raise
+            for _ in range(40):  # random byte flips
+                b = bytearray(p)
+                for _ in range(rng.randint(1, 6)):
+                    b[rng.randint(0, len(b))] = rng.randint(0, 256)
+                for fn in fns:
+                    fn(bytes(b))
+        for _ in range(150):  # pure garbage
+            t = bytes(rng.randint(0, 256, rng.randint(0, 300)).astype(np.uint8))
+            for fn in fns:
+                fn(t)
