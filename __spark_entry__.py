@@ -2935,6 +2935,80 @@ _PACK_PLAN_SQL = (
 )
 
 
+# Edit-join corpus: distinct ASCII strings ('d<id>-<8 md5 hex>') plus
+# two mutation arms (one deletion, one substitution — true ED-1 pairs).
+# The oracle runs this SQL; the Spark arm mirrors it expression-for-
+# expression in q_edit_distance_pairs (same base/substr arithmetic), so
+# any drift hash-mismatches immediately. ASCII ONLY: Spark's
+# levenshtein is codepoint-based, DuckDB's byte-based; they agree
+# exactly on ASCII (the cross-engine hazard is documented on the
+# operator and pinned by the unicode-aware pytest reference).
+_EDIT_CORPUS_SQL = (
+    "SELECT doc_id, 'd' || CAST(doc_id AS {S}) || '-' || "
+    "substr(md5(CAST(doc_id AS {S})), 1, 8) AS text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 100000, substr('d' || CAST(doc_id AS {S}) || '-' || "
+    "substr(md5(CAST(doc_id AS {S})), 1, 8), 1, 4) || "
+    "substr('d' || CAST(doc_id AS {S}) || '-' || "
+    "substr(md5(CAST(doc_id AS {S})), 1, 8), 6) AS text "
+    "FROM documents WHERE doc_id % 10 = 0 "
+    "UNION ALL "
+    "SELECT doc_id + 200000, substr('d' || CAST(doc_id AS {S}) || '-' || "
+    "substr(md5(CAST(doc_id AS {S})), 1, 8), 1, 3) || 'z' || "
+    "substr('d' || CAST(doc_id AS {S}) || '-' || "
+    "substr(md5(CAST(doc_id AS {S})), 1, 8), 5) AS text "
+    "FROM documents WHERE doc_id % 15 = 0"
+)
+
+
+def q_edit_distance_pairs(spark, sf_dir):
+    """Edit-distance similarity join (pipeline/dedup.py
+    edit_distance_pairs; PassJoin, Li/Deng/Feng VLDB 2011): all pairs
+    within Levenshtein <= 2 over a synthesized ASCII corpus (distinct
+    md5-suffixed strings + deletion/substitution mutation arms, so true
+    ED-1 pairs exist by construction). Candidates come from the k+1
+    even-split segment equi-join with shift/length residuals — never
+    all-pairs; JVM levenshtein verifies. The oracle IS the brute-force
+    all-pairs (length-windowed) — the strongest possible check that
+    the filter loses nothing; exact-match parity vs an independent DP
+    reference is additionally pinned in tests/test_dedup.py."""
+    from lotad_spark.pipeline.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        "'d' || CAST(doc_id AS STRING) || '-' || "
+        "substr(md5(CAST(doc_id AS STRING)), 1, 8)"
+    )
+    corpus = (
+        docs.selectExpr("doc_id", f"{base} AS text")
+        .unionByName(
+            docs.filter("doc_id % 10 = 0").selectExpr(
+                "doc_id + 100000 AS doc_id",
+                f"substr({base}, 1, 4) || substr({base}, 6) AS text",
+            )
+        )
+        .unionByName(
+            docs.filter("doc_id % 15 = 0").selectExpr(
+                "doc_id + 200000 AS doc_id",
+                f"substr({base}, 1, 3) || 'z' || substr({base}, 5) AS text",
+            )
+        )
+    )
+    return edit_distance_pairs(corpus, k=2)
+
+
+def _edit_pairs_sql() -> str:
+    corpus = _EDIT_CORPUS_SQL.format(S="VARCHAR")
+    return (
+        f"WITH c AS ({corpus}) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(levenshtein(a.text, b.text) AS INT) AS distance "
+        "FROM c a JOIN c b ON a.doc_id < b.doc_id "
+        "AND abs(len(a.text) - len(b.text)) <= 2 "
+        "WHERE levenshtein(a.text, b.text) <= 2"
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style hashed linear quality classifier
     (pipeline/quality.py, Joulin et al. 2016): logistic regression over
@@ -5032,10 +5106,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r13), per the
     precomputed queue in COVERAGE.md, after the r13 consolidation
-    retired 8 merge-safe rows (137 rows total: 136 value-checked + 1
+    retired 8 merge-safe rows (138 rows total: 137 value-checked + 1
     rows-only; see COVERAGE.md "Registry consolidation r13"):
 
-    * 1-6: NEW, no driver-green run yet — heavy_hitters (exact
+    * 1-7: NEW, no driver-green run yet — edit_distance_pairs
+      (PassJoin edit-similarity join, brute-force oracle) and
+      heavy_hitters (exact
       phi-heavy hitters via per-partition Misra-Gries candidates +
       broadcast exact verification), domain_apex_psl (the eTLD+1
       public-suffix matcher), multimodal_gif_resize_hist (the GIF
@@ -5046,41 +5122,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       oracle) — all added this round — then
       multimodal_jpeg_luma_hist and video_near_dup_pairs
       (added after the r12 driver run; local 3-scale gate green only).
-    * 7-19: changed-code re-entries — all r12-green, but their code
+    * 8-20: changed-code re-entries — all r12-green, but their code
       changed AFTER the r12 driver run: ccnet_buckets (token-less-doc
       left-join fix), the URL/domain ladder (tracking-param lowercase
       fix, blocklist whitespace fix, the PSL restructure of
       domain_stats/domain_blocklist_filter), and the multimodal rows
       riding decode_pixels / the metadata kernel (JPEG branch), the
       refactored aHash band machinery, and the scene-cut module.
-    * 20-25: the six rows the late-r12 additions displaced from the
+    * 21-26: the six rows the late-r12 additions displaced from the
       r12 window before they were ever driver-checked at their new
       slots — schema_drift_records, rollup_distinct_users (rows-only
       by design: HLL estimates are engine-specific),
       skew_two_phase_agg, rolling_active_users_bound (now also the
       sole face of the exact rolling kernel — see consolidation),
       dsir_weights, bm25_topk. All r9/r10-green.
-    * 26-50: the head of the r10-green block, longest out of the
+    * 27-50: the head of the r10-green block, longest out of the
       window (out since r11), in COVERAGE.md's listed order —
-      diff_value_change through dedup_ngram_jaccard (25 rows).
+      diff_value_change through dedup_near_minhash (24 rows).
     * 51+: rotated out — first the remainder of the r10-green block
-      (the r14 queue head: dedup_simhash_pairs → text_unigram_lm), then the
+      (the r14 queue head: dedup_ngram_jaccard → text_unigram_lm), then the
       r11-green block in listed order, then the r12-green window rows
       (newest last). Every rotated row has at least one driver-green
       round with code unchanged since; the FULL registry stays
-      enforced by scripts/check_oracle.py (136 value-checked + 1
+      enforced by scripts/check_oracle.py (137 value-checked + 1
       rows-only at sf0.01) and the pytest suite. See COVERAGE.md
       "Driver-window rotation".
     """
     return {
-        # --- 1-6: NEW, no driver-green run yet. ---
+        # --- 1-7: NEW, no driver-green run yet. ---
+        "edit_distance_pairs": q_edit_distance_pairs,
         "heavy_hitters": q_heavy_hitters,
         "domain_apex_psl": q_domain_apex_psl,
         "multimodal_gif_resize_hist": q_multimodal_gif_resize_hist,
         "pack_plan": q_pack_plan,
         "multimodal_jpeg_luma_hist": q_multimodal_jpeg_luma_hist,
         "video_near_dup_pairs": q_video_near_dup_pairs,
-        # --- 7-19: changed-code re-entries (r12-green, code changed
+        # --- 8-20: changed-code re-entries (r12-green, code changed
         # after the r12 driver run). ---
         "ccnet_buckets": q_ccnet_buckets,
         "url_dedup": q_url_dedup,
@@ -5095,14 +5172,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "image_ahash": q_image_ahash,
         "video_scene_cuts": q_video_scene_cuts,
-        # --- 20-25: displaced before their r12 slots were checked. ---
+        # --- 21-26: displaced before their r12 slots were checked. ---
         "schema_drift_records": q_schema_drift_records,
         "rollup_distinct_users": q_rollup_distinct_users,
         "skew_two_phase_agg": q_skew_two_phase_agg,
         "rolling_active_users_bound": q_rolling_active_users_bound,
         "dsir_weights": q_dsir_weights,
         "bm25_topk": q_bm25_topk,
-        # --- 26-50: r10-green block head, longest out of the window. ---
+        # --- 27-50: r10-green block head, longest out of the window. ---
         "diff_value_change": q_diff_value_change,
         "diff_counts": q_diff_counts,
         "diff_ignore_column": q_diff_ignore_column,
@@ -5127,13 +5204,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "dedup_near_minhash": q_dedup_near_minhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         # --- 51+: rotated out. First the remainder of the r10-green
         # block (the r14 queue head), then the r11-green block in
         # listed order, then the r12-green window rows (newest last).
         # Every rotated row has at least one driver-green round with
         # code unchanged since; the FULL registry stays enforced by
         # scripts/check_oracle.py and the pytest suite. ---
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_stats": q_text_stats,
@@ -5289,6 +5366,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _domain_cap_sql(),
         "domain_blocklist": _domain_blocklist_sql(),
         "domain_apex_psl": _domain_apex_psl_sql(),
+        "edit_distance_pairs": _edit_pairs_sql(),
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "multimodal_gif_resize_hist": _GIF_RESIZE_HIST_SQL,
         "pack_plan": _PACK_PLAN_SQL,

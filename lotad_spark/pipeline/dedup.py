@@ -645,3 +645,155 @@ def near_dup_against_index(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    k: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs within Levenshtein distance ≤ ``k`` — EXACT, never
+    all-pairs: the PassJoin segment filter (Li, Deng & Feng 2011,
+    "PASS-JOIN: a partition-based method for similarity joins", VLDB —
+    public) generates candidates, JVM ``levenshtein`` verifies.
+    Returns ``(id_a, id_b, distance)`` with ``id_a < id_b``.
+
+    Candidate rule (both directions of every pair satisfy it): split
+    each string of length l ≥ k+1 into k+1 contiguous segments (even
+    split — first l%(k+1) segments one char longer). k edits can fall
+    inside at most k segments, so for any pair within distance k at
+    least one segment of each side appears in the OTHER side as an
+    exact substring, shifted by at most k (the shift is bounded by the
+    insert/delete balance before it, ≤ total edits). The join is
+    therefore an EQUI-join on (segment length, segment text) against
+    the probe side's exploded substrings of the few lengths a partner
+    within ±k could use, with the |shift| ≤ k and |len diff| ≤ k
+    residuals cutting the verify volume. Strings SHORTER than k+1
+    chars can't be segmented — they go through a broadcast
+    length-window arm (degenerate and tiny in real corpora; it is
+    still exact).
+
+    Scale shape: shuffles carry (segment, id, position) rows — short
+    keys, never the corpus text twice — and verification is JVM
+    ``levenshtein`` on the joined pairs. Honest worst case: a
+    low-entropy corpus (everyone shares 'http://www.') makes hot
+    segment keys and candidate volume degenerates toward the true
+    near-pair density ceiling; raise segmentation entropy by joining
+    on (segment, length bucket) — already done — or pre-strip shared
+    boilerplate (normalize_text / strip_duplicate_lines upstream).
+    Distances are CODEPOINT Levenshtein (Spark's semantics); byte-wise
+    engines (DuckDB's levenshtein) agree on ASCII only — the oracle
+    corpus is ASCII by construction.
+    """
+    if k < 1:
+        raise ValueError(f"edit_distance_pairs: k must be >= 1, got {k}")
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).cast("string").alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull())
+        .withColumn("_l", F.length("_s"))
+    )
+    long_side = base.filter(F.col("_l") >= k + 1)
+    # index side: the k+1 even-split segments with their 0-based starts
+    i = F.col("_i")
+    q = (F.col("l_s") / (k + 1)).cast("int")
+    r = F.col("l_s") % (k + 1)
+    seg_start = i * q + F.least(i, r)
+    seg_len = q + F.when(i < r, 1).otherwise(0)
+    segs = long_side.select(
+        F.col("_id").alias("id_s"),
+        F.col("_s").alias("s"),
+        F.col("_l").alias("l_s"),
+        F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i"),
+    ).select(
+        "id_s",
+        "s",
+        "l_s",
+        seg_start.alias("p_s"),
+        F.substring(F.col("s"), seg_start + 1, seg_len).alias("_seg"),
+        seg_len.alias("_q"),
+    )
+    # probe side: substrings of every length a ±k partner's segments
+    # could take — floor((l-k)/(k+1)) .. ceil((l+k)/(k+1)), a span of
+    # at most ~3 distinct lengths
+    lo = F.greatest(
+        ((F.col("_l") - k) / (k + 1)).cast("int"), F.lit(1)
+    )
+    hi = (
+        ((F.col("_l") + k) + (k + 1) - 1) / (k + 1)
+    ).cast("int")
+    probes = (
+        base.select(
+            F.col("_id").alias("id_t"),
+            F.col("_s").alias("t"),
+            F.col("_l").alias("l_t"),
+            F.explode(F.sequence(lo, hi)).alias("_q"),
+        )
+        .filter(F.col("_q") <= F.col("l_t"))
+        .select(
+            "id_t",
+            "t",
+            "l_t",
+            "_q",
+            F.explode(
+                F.sequence(F.lit(0), F.col("l_t") - F.col("_q"))
+            ).alias("p_t"),
+        )
+        .select(
+            "id_t",
+            "t",
+            "l_t",
+            "_q",
+            "p_t",
+            F.substring(F.col("t"), F.col("p_t") + 1, F.col("_q")).alias(
+                "_seg"
+            ),
+        )
+    )
+    cand = (
+        segs.join(probes, ["_q", "_seg"])
+        .filter(
+            (F.col("id_s") != F.col("id_t"))
+            & (F.abs(F.col("l_s") - F.col("l_t")) <= k)
+            & (F.abs(F.col("p_s") - F.col("p_t")) <= k)
+        )
+        .select(
+            F.least("id_s", "id_t").alias("id_a"),
+            F.greatest("id_s", "id_t").alias("id_b"),
+            "s",
+            "t",
+        )
+        .distinct()
+    )
+    verified = cand.filter(F.levenshtein("s", "t") <= k).select(
+        "id_a",
+        "id_b",
+        F.levenshtein("s", "t").cast("int").alias("distance"),
+    )
+    # degenerate arm: strings too short to segment pair with anything
+    # within the length window (broadcast — this set is tiny)
+    shorts = base.filter(F.col("_l") < k + 1)
+    short_pairs = (
+        base.join(
+            F.broadcast(
+                shorts.select(
+                    F.col("_id").alias("id_u"),
+                    F.col("_s").alias("u"),
+                    F.col("_l").alias("l_u"),
+                )
+            ),
+            (F.col("_id") != F.col("id_u"))
+            & (F.abs(F.col("_l") - F.col("l_u")) <= k),
+        )
+        .filter(F.levenshtein("_s", "u") <= k)
+        .select(
+            F.least("_id", "id_u").alias("id_a"),
+            F.greatest("_id", "id_u").alias("id_b"),
+            F.levenshtein("_s", "u").cast("int").alias("distance"),
+        )
+        .distinct()
+    )
+    return verified.unionByName(short_pairs).distinct()
