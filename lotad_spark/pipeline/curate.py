@@ -205,6 +205,8 @@ def plan_training_corpus(
     source_col: str = "source",
     strip_eval_spans: bool = False,
     span_ngram: int = 6,
+    packing: str = "chunk",
+    packing_buckets: int = 256,
     **curate_kwargs,
 ) -> DataFrame:
     """The full raw-crawl → training-blocks plan, lazily composed:
@@ -213,6 +215,17 @@ def plan_training_corpus(
         → mixture_sample (per-source target rates)
         → upsample_by_weight (epoch repetition)
         → token_chunk_plan (deterministic shuffle, concat, fixed blocks)
+
+    ``packing`` picks the final stage: ``"chunk"`` (default — the
+    GPT-style concat-and-cut plan above, documents may span blocks) or
+    ``"nosplit"`` (:func:`~lotad_spark.pipeline.sampling.pack_plan` —
+    whole documents into blocks, next-fit-decreasing per hash bucket;
+    the instruction-tuning shape). The nosplit plan returns
+    ``(item_id, n_tokens, pack_id, overflow)`` where ``item_id`` is
+    ``id '#' epoch`` and over-long items surface as overflow instead of
+    being silently truncated; ``packing_buckets`` is pack_plan's
+    parallelism/packing-locality knob (more buckets = more parallel,
+    slightly looser packing — items only co-pack within a bucket).
 
     ``strip_eval_spans=True`` additionally EXCISES eval-set passages
     from surviving documents (span-level decontamination —
@@ -286,6 +299,27 @@ def plan_training_corpus(
     repeated = upsample_by_weight(
         curated, upsample_weights or {}, source_col=source_col, id_col=id_col
     )
+    if packing not in ("chunk", "nosplit"):
+        raise ValueError(
+            f"plan_training_corpus: packing must be 'chunk' or "
+            f"'nosplit', got {packing!r}"
+        )
+    if packing == "nosplit":
+        from lotad_spark.pipeline.sampling import pack_plan
+
+        items = repeated.withColumn(
+            "item_id",
+            F.concat(
+                F.col(id_col).cast("string"), F.lit("#"), F.col("epoch")
+            ),
+        )
+        return pack_plan(
+            items,
+            block_size,
+            id_col="item_id",
+            text_col=text_col,
+            n_buckets=packing_buckets,
+        )
     packed_ids = repeated.withColumn(
         "pack_id",
         F.concat(

@@ -614,9 +614,12 @@ def pack_plan(
         out["bin_idx"] = bins
         return out
 
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in d.schema.fields
+    )[id_col]
     packed = fit.groupBy("bucket").applyInPandas(
         pack,
-        schema=f"`{id_col}` bigint, n_tokens bigint, bucket string, "
+        schema=f"`{id_col}` {id_type}, n_tokens bigint, bucket string, "
         "bin_idx bigint",
     )
     return packed.select(

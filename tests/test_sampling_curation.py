@@ -904,3 +904,63 @@ class TestPackPlan:
             .toString()
         )
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+class TestPlanTrainingCorpusNosplit:
+    def test_nosplit_packing_backend(self, docs, snippets):
+        from lotad_spark.pipeline import curate_corpus, plan_training_corpus
+
+        out = plan_training_corpus(
+            docs,
+            snippets,
+            upsample_weights={"src2": 2.0},
+            block_size=200,
+            cap_per_source=40,
+            sample_rate=0.5,
+            packing="nosplit",
+            packing_buckets=4,
+        ).collect()
+        assert out and set(out[0].asDict()) == {
+            "item_id", "n_tokens", "pack_id", "overflow",
+        }
+        # block capacity: no pack exceeds block_size; overflow items
+        # (none expected at this block size — max doc is 100 tokens)
+        # would carry NULL pack_id, never a truncation
+        fills = {}
+        for r in out:
+            if r.overflow:
+                assert r.pack_id is None and r.n_tokens > 200
+            else:
+                fills[r.pack_id] = fills.get(r.pack_id, 0) + r.n_tokens
+        assert fills and max(fills.values()) <= 200
+        # NFD actually packs: at least one block holds 2+ items
+        assert len(fills) < sum(1 for r in out if not r.overflow)
+        # exactly-once coverage of the upsampled item set: same items
+        # as the chunk-mode plan for the same inputs
+        chunk = plan_training_corpus(
+            docs,
+            snippets,
+            upsample_weights={"src2": 2.0},
+            block_size=200,
+            cap_per_source=40,
+            sample_rate=0.5,
+        ).collect()
+        assert {r.item_id for r in out} == {r.pack_id for r in chunk}
+        # src2 survivors appear at two epochs here too
+        curated = curate_corpus(
+            docs, snippets, cap_per_source=40, sample_rate=0.5
+        ).collect()
+        kept_src2 = {r.doc_id for r in curated if r.source == "src2"}
+        if kept_src2:
+            d = next(iter(kept_src2))
+            eps = {r.item_id.split("#")[1] for r in out
+                   if r.item_id.split("#")[0] == str(d)}
+            assert len(eps) == 2
+
+    def test_bad_packing_value(self, docs):
+        import pytest
+
+        from lotad_spark.pipeline import plan_training_corpus
+
+        with pytest.raises(ValueError, match="packing"):
+            plan_training_corpus(docs, block_size=64, packing="bestfit")
