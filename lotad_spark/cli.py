@@ -113,11 +113,18 @@ def setup(config_path) -> None:
 @click.option("--cap-per-source", default=1_000, show_default=True)
 @click.option("--sample-rate", default=1.0, show_default=True)
 @click.option("--min-quality", default=0.5, show_default=True)
+@click.option("--packing", type=click.Choice(["chunk", "nosplit"]),
+              default="chunk", show_default=True,
+              help="chunk = concat-and-cut (docs may span blocks); "
+                   "nosplit = whole docs per block, next-fit-decreasing "
+                   "(over-long docs flagged overflow)")
 def curate(docs_path, eval_path, output_path, block_size, mix_rates,
-           up_weights, cap_per_source, sample_rate, min_quality) -> None:
+           up_weights, cap_per_source, sample_rate, min_quality,
+           packing) -> None:
     """Run the raw-docs → training-blocks pipeline
     (``pipeline.plan_training_corpus``) and write the chunk plan + reader
-    manifest as parquet under OUTPUT/{plan,manifest}."""
+    manifest as parquet under OUTPUT/{plan,manifest} (nosplit packing
+    writes the pack plan only — whole docs need no reader slices)."""
 
     def parse_kv(pairs: tuple[str, ...], what: str) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -153,8 +160,22 @@ def curate(docs_path, eval_path, output_path, block_size, mix_rates,
         cap_per_source=cap_per_source,
         sample_rate=sample_rate,
         min_quality=min_quality,
+        packing=packing,
     )
     plan.write.mode("overwrite").parquet(f"{output_path}/plan")
+    if packing == "nosplit":
+        p = read_table(spark, f"{output_path}/plan")
+        n_items, n_over, n_blocks = p.agg(
+            F.count(F.lit(1)),
+            F.count_if(F.col("overflow")),
+            F.count_distinct(F.col("pack_id")),
+        ).collect()[0]
+        click.echo(
+            f"curate: packed {n_items} docs into {n_blocks} no-split "
+            f"blocks of {block_size} tokens ({n_over} overflow) "
+            f"to {output_path}/plan"
+        )
+        return
     # Reader manifest straight off the written plan (no pipeline
     # re-run), via the ONE shared slice-arithmetic helper.
     from lotad_spark.pipeline.sampling import manifest_from_plan
