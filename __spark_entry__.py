@@ -3009,6 +3009,50 @@ def _edit_pairs_sql() -> str:
     )
 
 
+def q_edit_distance_topk(spark, sf_dir):
+    """The search face of the edit join (pipeline/dedup.py
+    edit_distance_search): per-query top-3 corpus strings within
+    Levenshtein <= 2, rank ties broken by id. Queries are 1-edit
+    mutations of every 100th corpus string, so every query has a
+    guaranteed distance-1 hit and the ranking window is exercised on
+    real near-ties. The corpus is SEGMENTED (a projection) and the
+    query substrings BROADCAST — the corpus never shuffles (plan-pinned
+    in tests/test_dedup.py). The oracle is the brute-force per-query
+    scan with the identical (distance, id) rank."""
+    from lotad_spark.pipeline.dedup import edit_distance_search
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        "'d' || CAST(doc_id AS STRING) || '-' || "
+        "substr(md5(CAST(doc_id AS STRING)), 1, 8)"
+    )
+    corpus = docs.selectExpr("doc_id", f"{base} AS text")
+    queries = docs.filter("doc_id % 100 = 0").selectExpr(
+        "doc_id AS query_id",
+        f"substr({base}, 1, 4) || substr({base}, 6) AS text",
+    )
+    return edit_distance_search(corpus, queries, k_max=2, topn=3)
+
+
+def _edit_topk_sql() -> str:
+    base = (
+        "'d' || CAST(doc_id AS VARCHAR) || '-' || "
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    )
+    return (
+        f"WITH c AS (SELECT doc_id, {base} AS s FROM documents), "
+        f"q AS (SELECT doc_id AS query_id, substr({base}, 1, 4) || "
+        f"substr({base}, 6) AS t FROM documents WHERE doc_id % 100 = 0), "
+        "m AS (SELECT q.query_id, c.doc_id, "
+        "CAST(levenshtein(c.s, q.t) AS INT) AS distance "
+        "FROM q, c WHERE levenshtein(c.s, q.t) <= 2), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY distance ASC, doc_id ASC) AS rk FROM m) "
+        "SELECT query_id, doc_id, distance, CAST(rk AS INT) AS rank "
+        "FROM r WHERE rk <= 3"
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style hashed linear quality classifier
     (pipeline/quality.py, Joulin et al. 2016): logistic regression over
@@ -5106,12 +5150,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r13), per the
     precomputed queue in COVERAGE.md, after the r13 consolidation
-    retired 8 merge-safe rows (138 rows total: 137 value-checked + 1
+    retired 8 merge-safe rows (139 rows total: 138 value-checked + 1
     rows-only; see COVERAGE.md "Registry consolidation r13"):
 
-    * 1-7: NEW, no driver-green run yet — edit_distance_pairs
-      (PassJoin edit-similarity join, brute-force oracle) and
-      heavy_hitters (exact
+    * 1-8: NEW, no driver-green run yet — edit_distance_pairs and
+      edit_distance_topk (PassJoin edit-similarity join + its search
+      face, brute-force oracles) and heavy_hitters (exact
       phi-heavy hitters via per-partition Misra-Gries candidates +
       broadcast exact verification), domain_apex_psl (the eTLD+1
       public-suffix matcher), multimodal_gif_resize_hist (the GIF
@@ -5122,42 +5166,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       oracle) — all added this round — then
       multimodal_jpeg_luma_hist and video_near_dup_pairs
       (added after the r12 driver run; local 3-scale gate green only).
-    * 8-20: changed-code re-entries — all r12-green, but their code
+    * 9-21: changed-code re-entries — all r12-green, but their code
       changed AFTER the r12 driver run: ccnet_buckets (token-less-doc
       left-join fix), the URL/domain ladder (tracking-param lowercase
       fix, blocklist whitespace fix, the PSL restructure of
       domain_stats/domain_blocklist_filter), and the multimodal rows
       riding decode_pixels / the metadata kernel (JPEG branch), the
       refactored aHash band machinery, and the scene-cut module.
-    * 21-26: the six rows the late-r12 additions displaced from the
+    * 22-27: the six rows the late-r12 additions displaced from the
       r12 window before they were ever driver-checked at their new
       slots — schema_drift_records, rollup_distinct_users (rows-only
       by design: HLL estimates are engine-specific),
       skew_two_phase_agg, rolling_active_users_bound (now also the
       sole face of the exact rolling kernel — see consolidation),
       dsir_weights, bm25_topk. All r9/r10-green.
-    * 27-50: the head of the r10-green block, longest out of the
+    * 28-50: the head of the r10-green block, longest out of the
       window (out since r11), in COVERAGE.md's listed order —
-      diff_value_change through dedup_near_minhash (24 rows).
+      diff_value_change through dedup_components (23 rows).
     * 51+: rotated out — first the remainder of the r10-green block
-      (the r14 queue head: dedup_ngram_jaccard → text_unigram_lm), then the
+      (the r14 queue head: dedup_near_minhash → text_unigram_lm), then the
       r11-green block in listed order, then the r12-green window rows
       (newest last). Every rotated row has at least one driver-green
       round with code unchanged since; the FULL registry stays
-      enforced by scripts/check_oracle.py (137 value-checked + 1
+      enforced by scripts/check_oracle.py (138 value-checked + 1
       rows-only at sf0.01) and the pytest suite. See COVERAGE.md
       "Driver-window rotation".
     """
     return {
-        # --- 1-7: NEW, no driver-green run yet. ---
+        # --- 1-8: NEW, no driver-green run yet. ---
         "edit_distance_pairs": q_edit_distance_pairs,
+        "edit_distance_topk": q_edit_distance_topk,
         "heavy_hitters": q_heavy_hitters,
         "domain_apex_psl": q_domain_apex_psl,
         "multimodal_gif_resize_hist": q_multimodal_gif_resize_hist,
         "pack_plan": q_pack_plan,
         "multimodal_jpeg_luma_hist": q_multimodal_jpeg_luma_hist,
         "video_near_dup_pairs": q_video_near_dup_pairs,
-        # --- 8-20: changed-code re-entries (r12-green, code changed
+        # --- 9-21: changed-code re-entries (r12-green, code changed
         # after the r12 driver run). ---
         "ccnet_buckets": q_ccnet_buckets,
         "url_dedup": q_url_dedup,
@@ -5172,14 +5217,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "image_ahash": q_image_ahash,
         "video_scene_cuts": q_video_scene_cuts,
-        # --- 21-26: displaced before their r12 slots were checked. ---
+        # --- 22-27: displaced before their r12 slots were checked. ---
         "schema_drift_records": q_schema_drift_records,
         "rollup_distinct_users": q_rollup_distinct_users,
         "skew_two_phase_agg": q_skew_two_phase_agg,
         "rolling_active_users_bound": q_rolling_active_users_bound,
         "dsir_weights": q_dsir_weights,
         "bm25_topk": q_bm25_topk,
-        # --- 27-50: r10-green block head, longest out of the window. ---
+        # --- 28-50: r10-green block head, longest out of the window. ---
         "diff_value_change": q_diff_value_change,
         "diff_counts": q_diff_counts,
         "diff_ignore_column": q_diff_ignore_column,
@@ -5203,13 +5248,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": q_events_window_agg,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
-        "dedup_near_minhash": q_dedup_near_minhash,
         # --- 51+: rotated out. First the remainder of the r10-green
         # block (the r14 queue head), then the r11-green block in
         # listed order, then the r12-green window rows (newest last).
         # Every rotated row has at least one driver-green round with
         # code unchanged since; the FULL registry stays enforced by
         # scripts/check_oracle.py and the pytest suite. ---
+        "dedup_near_minhash": q_dedup_near_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -5367,6 +5412,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_blocklist": _domain_blocklist_sql(),
         "domain_apex_psl": _domain_apex_psl_sql(),
         "edit_distance_pairs": _edit_pairs_sql(),
+        "edit_distance_topk": _edit_topk_sql(),
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "multimodal_gif_resize_hist": _GIF_RESIZE_HIST_SQL,
         "pack_plan": _PACK_PLAN_SQL,

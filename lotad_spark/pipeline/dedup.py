@@ -797,3 +797,137 @@ def edit_distance_pairs(
         .distinct()
     )
     return verified.unionByName(short_pairs).distinct()
+
+
+def edit_distance_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_max: int = 2,
+    topn: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-``topn`` corpus strings per query under Levenshtein distance
+    ≤ ``k_max`` — the SEARCH face of :func:`edit_distance_pairs`
+    (spelling-variant / near-key lookup). Returns
+    ``(query_id, id, distance, rank)`` with rank 1 = closest, ties
+    broken by id ascending (deterministic, engine-replayable).
+
+    The PassJoin asymmetry is flipped to put the cheap work on the BIG
+    side: every CORPUS string carries its k+1 even-split segments (a
+    projection), while the small QUERY side explodes into substrings
+    of the few lengths a ±k partner's segments could take and
+    BROADCASTS — so the corpus is never exploded and never shuffled;
+    candidates fall out of a broadcast hash join plus the shift/length
+    residuals, and JVM ``levenshtein`` verifies. Corpus strings too
+    short to segment take the same broadcast length-window arm as the
+    join face. Ranking is one per-query window over verified matches
+    only (bounded by |queries| × candidates, never the corpus)."""
+    if k_max < 1:
+        raise ValueError(
+            f"edit_distance_search: k_max must be >= 1, got {k_max}"
+        )
+    if topn < 1:
+        raise ValueError(
+            f"edit_distance_search: topn must be >= 1, got {topn}"
+        )
+    k = k_max
+    base = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).cast("string").alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull())
+        .withColumn("_l", F.length("_s"))
+    )
+    qrel = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(text_col).cast("string").alias("_t"),
+        )
+        .filter(F.col("_t").isNotNull())
+        .withColumn("_lt", F.length("_t"))
+    )
+    # corpus side: k+1 even-split segments (projection, no explosion
+    # of the text itself — k+1 short rows per corpus string)
+    i = F.col("_i")
+    q = (F.col("_l") / (k + 1)).cast("int")
+    r = F.col("_l") % (k + 1)
+    seg_start = i * q + F.least(i, r)
+    seg_len = q + F.when(i < r, 1).otherwise(0)
+    segs = base.filter(F.col("_l") >= k + 1).select(
+        F.col("_id"),
+        F.col("_s"),
+        F.col("_l"),
+        F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i"),
+    ).select(
+        "_id",
+        "_s",
+        "_l",
+        seg_start.alias("_ps"),
+        F.substring(F.col("_s"), seg_start + 1, seg_len).alias("_seg"),
+        seg_len.alias("_q"),
+    )
+    # query side: substrings of the lengths a ±k corpus partner's
+    # segments could take — tiny, broadcast
+    lo = F.greatest(((F.col("_lt") - k) / (k + 1)).cast("int"), F.lit(1))
+    hi = (((F.col("_lt") + k) + (k + 1) - 1) / (k + 1)).cast("int")
+    qsubs = (
+        qrel.select(
+            "query_id",
+            "_t",
+            "_lt",
+            F.explode(F.sequence(lo, hi)).alias("_q"),
+        )
+        .filter(F.col("_q") <= F.col("_lt"))
+        .select(
+            "query_id",
+            "_t",
+            "_lt",
+            "_q",
+            F.explode(
+                F.sequence(F.lit(0), F.col("_lt") - F.col("_q"))
+            ).alias("_pt"),
+        )
+        .select(
+            "query_id",
+            "_t",
+            "_lt",
+            "_q",
+            "_pt",
+            F.substring(F.col("_t"), F.col("_pt") + 1, F.col("_q")).alias(
+                "_seg"
+            ),
+        )
+    )
+    cand = (
+        segs.join(F.broadcast(qsubs), ["_q", "_seg"])
+        .filter(
+            (F.abs(F.col("_l") - F.col("_lt")) <= k)
+            & (F.abs(F.col("_ps") - F.col("_pt")) <= k)
+        )
+        .select("query_id", F.col("_id"), "_s", "_t")
+        .distinct()
+    )
+    shorts = base.filter(F.col("_l") < k + 1).join(
+        F.broadcast(qrel),
+        F.abs(F.col("_l") - F.col("_lt")) <= k,
+    ).select("query_id", F.col("_id"), "_s", "_t")
+    matched = (
+        cand.unionByName(shorts)
+        .withColumn("distance", F.levenshtein("_s", "_t").cast("int"))
+        .filter(F.col("distance") <= k)
+        .select("query_id", "_id", "distance")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("distance"), F.asc("_id")
+    )
+    return (
+        matched.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topn)
+        .select(
+            "query_id", F.col("_id").alias(id_col), "distance", "rank"
+        )
+    )

@@ -89,3 +89,82 @@ class TestEditDistancePairs:
         df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
         with pytest.raises(ValueError, match="k must be"):
             edit_distance_pairs(df, k=0)
+
+
+class TestEditDistanceSearch:
+    """The search face: per-query top-n under Levenshtein <= k_max must
+    equal brute force INCLUDING the (distance, id) rank order."""
+
+    def test_matches_brute_force_with_ranking(self, spark):
+        import random
+
+        from lotad_spark.pipeline import edit_distance_search
+
+        rng = random.Random(83)
+        alpha = "abcdefg"
+        corpus = [
+            (i, "".join(rng.choice(alpha) for _ in range(rng.randint(1, 16))))
+            for i in range(200)
+        ]
+        queries = []
+        for qi in range(12):
+            t = list(rng.choice(corpus)[1])
+            for _ in range(rng.randint(0, 2)):
+                op = rng.choice("ids")
+                p = rng.randrange(max(1, len(t)))
+                if op == "i":
+                    t.insert(p, rng.choice(alpha))
+                elif op == "d" and t:
+                    del t[p]
+                elif t:
+                    t[p] = rng.choice(alpha)
+            queries.append((qi, "".join(t)))
+        k, topn = 2, 4
+        want = set()
+        for qi, qt in queries:
+            scored = sorted(
+                (TestEditDistancePairs._lev(s, qt), cid)
+                for cid, s in corpus
+                if TestEditDistancePairs._lev(s, qt) <= k
+            )
+            for rank, (d, cid) in enumerate(scored[:topn], 1):
+                want.add((qi, cid, d, rank))
+        cdf = spark.createDataFrame(corpus, "doc_id bigint, text string")
+        qdf = spark.createDataFrame(queries, "query_id bigint, text string")
+        for parts in (1, 6):
+            got = {
+                (r.query_id, r.doc_id, r.distance, r.rank)
+                for r in edit_distance_search(
+                    cdf.repartition(parts), qdf, k_max=k, topn=topn
+                ).collect()
+            }
+            assert got == want, parts
+
+    def test_validation(self, spark):
+        import pytest
+
+        from lotad_spark.pipeline import edit_distance_search
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        q = spark.createDataFrame([(1, "x")], "query_id bigint, text string")
+        with pytest.raises(ValueError, match="k_max"):
+            edit_distance_search(df, q, k_max=0)
+        with pytest.raises(ValueError, match="topn"):
+            edit_distance_search(df, q, topn=0)
+
+    def test_broadcast_plan(self, spark):
+        """The corpus must never shuffle: the candidate join is a
+        broadcast of the query substrings — plan-pinned."""
+        from lotad_spark.pipeline import edit_distance_search
+
+        df = spark.createDataFrame(
+            [(i, f"abcde{i}") for i in range(30)], "doc_id bigint, text string"
+        )
+        q = spark.createDataFrame([(1, "abcde1")], "query_id bigint, text string")
+        plan = (
+            edit_distance_search(df, q)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
