@@ -3053,6 +3053,147 @@ def _edit_topk_sql() -> str:
     )
 
 
+def _doc_tiff_media(spark, sf_dir):
+    """Each doc as a VALID baseline TIFF whose 8-bit grayscale pixels
+    are the doc's text bytes (rpad/truncated to w*h — the shared pixel
+    source): byte order cycles II/MM by doc parity, every third doc
+    splits into 1-row strips (multi-strip reassembly exercised), and
+    every fifth doc stores WhiteIsZero (payload bytes inverted, so the
+    decoder's spec-mandated re-inversion must restore the text bytes).
+    Decoding must walk the IFD in the right byte order, honor strip
+    offsets/counts, and apply the photometric — any defect changes
+    pixel values and hash-mismatches the oracle."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import struct
+
+        import numpy as np
+
+        def encode(arr, big_endian, rps, white_is_zero):
+            bo = ">" if big_endian else "<"
+            h, w = arr.shape
+            photo = 0 if white_is_zero else 1
+            data = (
+                (255 - arr.astype(np.int16)).astype(np.uint8)
+                if white_is_zero
+                else arr
+            )
+            strips = [
+                bytes(data[y0 : y0 + rps].reshape(-1))
+                for y0 in range(0, h, rps)
+            ]
+            entries = [
+                (256, 4, 1, [w]),
+                (257, 4, 1, [h]),
+                (258, 3, 1, [8]),
+                (259, 3, 1, [1]),
+                (262, 3, 1, [photo]),
+                (273, 4, len(strips), None),
+                (277, 3, 1, [1]),
+                (278, 4, 1, [rps]),
+                (279, 4, len(strips), [len(s) for s in strips]),
+            ]
+            fmts = {3: "H", 4: "I"}
+            sizes = {3: 2, 4: 4}
+            extra_off = 8 + 2 + len(entries) * 12 + 4
+            extra_len = sum(
+                sizes[t] * c
+                for _tag, t, c, _v in entries
+                if sizes[t] * c > 4
+            )
+            pos = extra_off + extra_len
+            offs = []
+            for s in strips:
+                offs.append(pos)
+                pos += len(s)
+            extra = bytearray()
+            body = b""
+            for tag, typ, cnt, vals in entries:
+                if vals is None:
+                    vals = offs
+                e = struct.pack(bo + "HHI", tag, typ, cnt)
+                if sizes[typ] * cnt > 4:
+                    e += struct.pack(bo + "I", extra_off + len(extra))
+                    extra += struct.pack(bo + fmts[typ] * cnt, *vals)
+                else:
+                    packed = struct.pack(bo + fmts[typ] * cnt, *vals)
+                    e += packed + b"\x00" * (4 - len(packed))
+                body += e
+            return (
+                (b"MM" if big_endian else b"II")
+                + struct.pack(bo + "HI", 42, 8)
+                + struct.pack(bo + "H", len(entries))
+                + body
+                + struct.pack(bo + "I", 0)
+                + bytes(extra)
+                + b"".join(strips)
+            )
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w, h = did % 5 + 2, did % 3 + 1
+                raw = (text or "").encode("utf-8")[: w * h].ljust(
+                    w * h, b"x"
+                )
+                pix = np.frombuffer(raw, np.uint8).reshape(h, w)
+                payloads.append(
+                    encode(
+                        pix,
+                        big_endian=did % 2 == 1,
+                        rps=1 if did % 3 == 0 and h > 1 else h,
+                        white_is_zero=did % 5 == 0,
+                    )
+                )
+            yield pdf.assign(content=payloads)[
+                ["doc_id", "content"]
+            ].rename(columns={"doc_id": "media_id"})
+
+    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def q_multimodal_tiff_luma_hist(spark, sf_dir):
+    """The TIFF face of the real-pixel tier (pipeline/multimodal.py
+    _tiff_pixels): IFD walk in BOTH byte orders (cycling by doc),
+    multi-strip reassembly, and the WhiteIsZero inversion, feeding the
+    16-bin integer luma histogram. Gray pixel g has luma exactly g and
+    the WhiteIsZero docs store 255-g on disk, so the oracle derives
+    expectations straight from the text bytes — a wrong byte order,
+    strip order, or photometric changes counted values and
+    hash-mismatches. Encoder-independent pytest fixtures in
+    tests/test_tiff.py pin the decoder branch-by-branch."""
+    from lotad_spark.pipeline.multimodal import extract_feature_counts
+
+    return extract_feature_counts(
+        _doc_tiff_media(spark, sf_dir), kind="luma"
+    ).select(
+        "media_id",
+        "kind",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias(
+            "hist"
+        ),
+    )
+
+
+_TIFF_LUMA_HIST_SQL = (
+    "WITH base AS (SELECT doc_id AS media_id, "
+    "rpad(coalesce(text, ''), "
+    "CAST((doc_id % 5 + 2) * (doc_id % 3 + 1) AS INT), 'x') AS px, "
+    "CAST((doc_id % 5 + 2) * (doc_id % 3 + 1) AS INT) AS nb "
+    "FROM documents), "
+    "g AS (SELECT media_id, list_transform(range(0, nb), "
+    "i -> ord(substr(px, i + 1, 1))) AS grays FROM base) "
+    "SELECT media_id, 'luma' AS kind, "
+    "array_to_string(list_transform(range(0, 16), b -> "
+    "CAST(len(list_filter(grays, v -> v * 16 // 256 = b)) "
+    "AS VARCHAR)), ',') AS hist FROM g"
+)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style hashed linear quality classifier
     (pipeline/quality.py, Joulin et al. 2016): logistic regression over
@@ -5150,12 +5291,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r13), per the
     precomputed queue in COVERAGE.md, after the r13 consolidation
-    retired 8 merge-safe rows (139 rows total: 138 value-checked + 1
+    retired 8 merge-safe rows (140 rows total: 139 value-checked + 1
     rows-only; see COVERAGE.md "Registry consolidation r13"):
 
-    * 1-8: NEW, no driver-green run yet — edit_distance_pairs and
+    * 1-9: NEW, no driver-green run yet — edit_distance_pairs and
       edit_distance_topk (PassJoin edit-similarity join + its search
-      face, brute-force oracles) and heavy_hitters (exact
+      face, brute-force oracles), multimodal_tiff_luma_hist (baseline
+      TIFF: both byte orders, multi-strip, WhiteIsZero), and
+      heavy_hitters (exact
       phi-heavy hitters via per-partition Misra-Gries candidates +
       broadcast exact verification), domain_apex_psl (the eTLD+1
       public-suffix matcher), multimodal_gif_resize_hist (the GIF
@@ -5166,43 +5309,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       oracle) — all added this round — then
       multimodal_jpeg_luma_hist and video_near_dup_pairs
       (added after the r12 driver run; local 3-scale gate green only).
-    * 9-21: changed-code re-entries — all r12-green, but their code
+    * 10-22: changed-code re-entries — all r12-green, but their code
       changed AFTER the r12 driver run: ccnet_buckets (token-less-doc
       left-join fix), the URL/domain ladder (tracking-param lowercase
       fix, blocklist whitespace fix, the PSL restructure of
       domain_stats/domain_blocklist_filter), and the multimodal rows
       riding decode_pixels / the metadata kernel (JPEG branch), the
       refactored aHash band machinery, and the scene-cut module.
-    * 22-27: the six rows the late-r12 additions displaced from the
+    * 23-28: the six rows the late-r12 additions displaced from the
       r12 window before they were ever driver-checked at their new
       slots — schema_drift_records, rollup_distinct_users (rows-only
       by design: HLL estimates are engine-specific),
       skew_two_phase_agg, rolling_active_users_bound (now also the
       sole face of the exact rolling kernel — see consolidation),
       dsir_weights, bm25_topk. All r9/r10-green.
-    * 28-50: the head of the r10-green block, longest out of the
+    * 29-50: the head of the r10-green block, longest out of the
       window (out since r11), in COVERAGE.md's listed order —
-      diff_value_change through dedup_components (23 rows).
+      diff_value_change through dedup_exact (22 rows).
     * 51+: rotated out — first the remainder of the r10-green block
-      (the r14 queue head: dedup_near_minhash → text_unigram_lm), then the
+      (the r14 queue head: dedup_components → text_unigram_lm), then the
       r11-green block in listed order, then the r12-green window rows
       (newest last). Every rotated row has at least one driver-green
       round with code unchanged since; the FULL registry stays
-      enforced by scripts/check_oracle.py (138 value-checked + 1
+      enforced by scripts/check_oracle.py (139 value-checked + 1
       rows-only at sf0.01) and the pytest suite. See COVERAGE.md
       "Driver-window rotation".
     """
     return {
-        # --- 1-8: NEW, no driver-green run yet. ---
+        # --- 1-9: NEW, no driver-green run yet. ---
         "edit_distance_pairs": q_edit_distance_pairs,
         "edit_distance_topk": q_edit_distance_topk,
         "heavy_hitters": q_heavy_hitters,
         "domain_apex_psl": q_domain_apex_psl,
         "multimodal_gif_resize_hist": q_multimodal_gif_resize_hist,
+        "multimodal_tiff_luma_hist": q_multimodal_tiff_luma_hist,
         "pack_plan": q_pack_plan,
         "multimodal_jpeg_luma_hist": q_multimodal_jpeg_luma_hist,
         "video_near_dup_pairs": q_video_near_dup_pairs,
-        # --- 9-21: changed-code re-entries (r12-green, code changed
+        # --- 10-22: changed-code re-entries (r12-green, code changed
         # after the r12 driver run). ---
         "ccnet_buckets": q_ccnet_buckets,
         "url_dedup": q_url_dedup,
@@ -5217,14 +5361,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "image_ahash": q_image_ahash,
         "video_scene_cuts": q_video_scene_cuts,
-        # --- 22-27: displaced before their r12 slots were checked. ---
+        # --- 23-28: displaced before their r12 slots were checked. ---
         "schema_drift_records": q_schema_drift_records,
         "rollup_distinct_users": q_rollup_distinct_users,
         "skew_two_phase_agg": q_skew_two_phase_agg,
         "rolling_active_users_bound": q_rolling_active_users_bound,
         "dsir_weights": q_dsir_weights,
         "bm25_topk": q_bm25_topk,
-        # --- 28-50: r10-green block head, longest out of the window. ---
+        # --- 29-50: r10-green block head, longest out of the window. ---
         "diff_value_change": q_diff_value_change,
         "diff_counts": q_diff_counts,
         "diff_ignore_column": q_diff_ignore_column,
@@ -5247,13 +5391,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "events_window_agg": q_events_window_agg,
         "dedup_exact": q_dedup_exact,
-        "dedup_components": q_dedup_components,
         # --- 51+: rotated out. First the remainder of the r10-green
         # block (the r14 queue head), then the r11-green block in
         # listed order, then the r12-green window rows (newest last).
         # Every rotated row has at least one driver-green round with
         # code unchanged since; the FULL registry stays enforced by
         # scripts/check_oracle.py and the pytest suite. ---
+        "dedup_components": q_dedup_components,
         "dedup_near_minhash": q_dedup_near_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -5415,6 +5559,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_topk": _edit_topk_sql(),
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "multimodal_gif_resize_hist": _GIF_RESIZE_HIST_SQL,
+        "multimodal_tiff_luma_hist": _TIFF_LUMA_HIST_SQL,
         "pack_plan": _PACK_PLAN_SQL,
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"

@@ -155,8 +155,10 @@ def decode_pixels(payload: bytes):
     in numpy, per-reduced-image for Adam7 — :func:`_png_pixels`), and
     sequential-baseline Huffman JPEG (SOF0/SOF1, 8-bit, gray/YCbCr,
     restart intervals, divisible sampling grids — :func:`_jpeg_pixels`),
-    and GIF87a/89a (full LZW inflate, global/local color tables,
-    4-pass deinterlace, first frame — :func:`_gif_pixels`) — all per
+    GIF87a/89a (full LZW inflate, global/local color tables,
+    4-pass deinterlace, first frame — :func:`_gif_pixels`), and
+    baseline uncompressed TIFF (II/MM byte order, 8-bit gray/RGB
+    strips, WhiteIsZero inversion — :func:`_tiff_pixels`) — all per
     the public specs. Grayscale replicates to RGB and alpha
     drops so downstream kernels see one shape. Anything truncated,
     palette-mapped, 16-bit, progressive, or with a non-255
@@ -206,6 +208,9 @@ def decode_pixels(payload: bytes):
     gif = _gif_pixels(payload)
     if gif is not None:
         return gif
+    tiff = _tiff_pixels(payload)
+    if tiff is not None:
+        return tiff
     return _jpeg_pixels(payload)
 
 
@@ -904,6 +909,123 @@ def _gif_video_frames(payload: bytes, *, every_nth: int = 1):
     return (int(w), int(h), len(frames), frames[::every_nth])
 
 
+def _tiff_ifd(payload: bytes):
+    """Parse the first IFD of a TIFF: ``(byteorder, {tag: [values]})``
+    or None when the payload is not TIFF. Handles II/MM byte order,
+    BYTE/SHORT/LONG entry types, and values stored inline (≤4 bytes)
+    or at an offset — the baseline subset sufficient for uncompressed
+    strips."""
+    import struct
+
+    if len(payload) < 8:
+        return None
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        return None
+    if struct.unpack_from(bo + "H", payload, 2)[0] != 42:
+        return None
+    ifd_off = struct.unpack_from(bo + "I", payload, 4)[0]
+    if len(payload) < ifd_off + 2:
+        return None
+    n = struct.unpack_from(bo + "H", payload, ifd_off)[0]
+    if len(payload) < ifd_off + 2 + n * 12:
+        return None
+    sizes = {1: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    tags = {}
+    for e in range(n):
+        base = ifd_off + 2 + e * 12
+        tag, typ = struct.unpack_from(bo + "HH", payload, base)
+        cnt = struct.unpack_from(bo + "I", payload, base + 4)[0]
+        if typ not in sizes or cnt == 0:
+            continue  # rational/ascii tags: irrelevant here, skip
+        total = sizes[typ] * cnt
+        off = base + 8 if total <= 4 else struct.unpack_from(
+            bo + "I", payload, base + 8
+        )[0]
+        if len(payload) < off + total:
+            return None
+        tags[tag] = list(
+            struct.unpack_from(bo + fmts[typ] * cnt, payload, off)
+        )
+    return bo, tags
+
+
+def _parse_tiff(payload: bytes) -> tuple[int, int, str] | None:
+    """TIFF metadata from the first IFD (header-only, like the other
+    parsers): width/length plus the PIL-style mode for the baseline
+    photometrics (gray 'L', RGB 'RGB', palette 'P')."""
+    parsed = _tiff_ifd(payload)
+    if parsed is None:
+        return None
+    _bo, tags = parsed
+    if 256 not in tags or 257 not in tags:
+        return None
+    w, h = tags[256][0], tags[257][0]
+    if w <= 0 or h <= 0:
+        return None
+    mode = {0: "L", 1: "L", 2: "RGB", 3: "P"}.get(
+        tags.get(262, [None])[0], "TIFF"
+    )
+    return (int(w), int(h), mode)
+
+
+def _tiff_pixels(payload: bytes):
+    """REAL pixel decode for baseline TIFF (TIFF 6.0 spec, public):
+    uncompressed (Compression=1) 8-bit grayscale or RGB strips, either
+    byte order, any RowsPerStrip split, chunky planar layout.
+    WhiteIsZero (photometric 0) inverts per the spec. Palette,
+    predictor, planar=2, other bit depths, or any compression return
+    the honest None — swap in a real imaging library for those."""
+    import numpy as np
+
+    parsed = _tiff_ifd(payload)
+    if parsed is None:
+        return None
+    _bo, tags = parsed
+    try:
+        w = int(tags[256][0])
+        h = int(tags[257][0])
+    except KeyError:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    if tags.get(259, [1])[0] != 1:  # Compression: uncompressed only
+        return None
+    photo = tags.get(262, [1])[0]
+    if photo not in (0, 1, 2):
+        return None
+    spp = tags.get(277, [1])[0]
+    if (photo == 2 and spp != 3) or (photo in (0, 1) and spp != 1):
+        return None
+    if any(b != 8 for b in tags.get(258, [8])):
+        return None
+    if tags.get(284, [1])[0] != 1:  # PlanarConfiguration: chunky only
+        return None
+    offs = tags.get(273)
+    counts = tags.get(279)
+    if not offs or not counts or len(offs) != len(counts):
+        return None
+    raw = bytearray()
+    for o, c in zip(offs, counts):
+        if len(payload) < o + c:
+            return None
+        raw += payload[o : o + c]
+    need = w * h * spp
+    if len(raw) < need:
+        return None
+    arr = np.frombuffer(bytes(raw[:need]), np.uint8).reshape(h, w, spp)
+    if photo == 0:  # WhiteIsZero: 0 is white — invert to BlackIsZero
+        arr = (255 - arr.astype(np.int16)).astype(np.uint8)
+    if spp == 1:
+        g = arr[:, :, 0]
+        return (w, h, np.stack([g, g, g], axis=-1))
+    return (w, h, arr.copy())
+
+
 def _parse_jpeg(payload: bytes) -> tuple[int, int, str] | None:
     """JPEG metadata from the SOF frame header (header-only, like the
     PNM/BMP/PNG parsers — an unsupported-coding payload still reports
@@ -1050,7 +1172,7 @@ def _luma(arr):
 def _headers_decode(payload: bytes) -> tuple[int, int, str]:
     """No-PIL kernel: real header parse for BMP/netpbm/PNG/JPEG
     payloads, byte-length fake (mode='STUB') for anything else."""
-    for parse in (_parse_bmp, _parse_pnm, _parse_png, _parse_gif, _parse_jpeg):
+    for parse in (_parse_bmp, _parse_pnm, _parse_png, _parse_gif, _parse_tiff, _parse_jpeg):
         parsed = parse(payload)
         if parsed is not None:
             return parsed
