@@ -841,6 +841,68 @@ def domain_stats_cmd(docs_path, output_path, id_col, url_col, psl_path) -> None:
     )
 
 
+@cli.command("edit-join")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (doc_id, text, ...) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes (id_a, id_b, distance) to OUTPUT/pairs")
+@click.option("--k", "k_max", default=2, show_default=True,
+              help="Maximum Levenshtein distance")
+@click.option("--text-col", default="text", show_default=True)
+def edit_join_cmd(docs_path, output_path, k_max, text_col) -> None:
+    """EXACT edit-distance similarity self-join (PassJoin segment
+    filter + levenshtein verify — never all-pairs): every pair of rows
+    within K edits of each other."""
+    from lotad_spark.pipeline.dedup import edit_distance_pairs
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_edit_join")
+    out = edit_distance_pairs(
+        read_table(spark, docs_path), k=k_max, text_col=text_col
+    )
+    out.write.mode("overwrite").parquet(f"{output_path}/pairs")
+    n = spark.read.parquet(f"{output_path}/pairs").count()
+    click.echo(
+        f"edit-join: {n} pairs within distance {k_max} "
+        f"-> {output_path}/pairs"
+    )
+
+
+@cli.command("edit-search")
+@click.option("--docs", "docs_path", type=click.Path(exists=True),
+              required=True,
+              help="Corpus parquet with (doc_id, text, ...) rows")
+@click.option("--queries", "queries_path", type=click.Path(exists=True),
+              required=True,
+              help="Query parquet with (query_id, text) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes (query_id, doc_id, distance, rank) to "
+                   "OUTPUT/hits")
+@click.option("--k", "k_max", default=2, show_default=True)
+@click.option("--topn", default=5, show_default=True)
+def edit_search_cmd(docs_path, queries_path, output_path, k_max, topn) -> None:
+    """Per-query top-N corpus strings within K edits (spelling-variant
+    / near-key lookup); the corpus never shuffles — query substrings
+    broadcast against a corpus segment projection."""
+    from lotad_spark.pipeline.dedup import edit_distance_search
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_edit_search")
+    out = edit_distance_search(
+        read_table(spark, docs_path),
+        read_table(spark, queries_path),
+        k_max=k_max,
+        topn=topn,
+    )
+    out.write.mode("overwrite").parquet(f"{output_path}/hits")
+    n = spark.read.parquet(f"{output_path}/hits").count()
+    click.echo(
+        f"edit-search: {n} hits (top-{topn}, distance <= {k_max}) "
+        f"-> {output_path}/hits"
+    )
+
+
 @cli.command("heavy-hitters")
 @click.option("--docs", "docs_path", type=click.Path(exists=True),
               required=True,
