@@ -423,6 +423,49 @@ def main() -> None:
     ).foreach(lambda _: None)
     queries["dedup_near_minhash_k128"] = round(time.perf_counter() - t0, 3)
 
+    # Long-string edit join: the r14 shuffle-shape fix priced at the
+    # scale it was built for. 2,000 synthetic documents of 1 KiB each
+    # (every 10th a 1-edit mutant of its predecessor, so the true pair
+    # set is 200 rows at distance 1). The candidate exchange now
+    # carries fixed-width (xxhash64(segment), id, length, position)
+    # rows, and aligned-substring selection bounds probes to O(k³) per
+    # doc (plan-pinned in tests/test_plans.py). The r13 shape — every
+    # one of ~3·L probe rows per doc carrying the full 1 KiB text —
+    # measured 47 s on this corpus; this row tracks the fixed shape
+    # (~10 s cold, dominated by stage overhead at toy scale).
+    from lotad_spark.pipeline.dedup import edit_distance_pairs
+
+    _seed = F.when(
+        F.col("id") % 10 == 1, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    _long_text = F.concat(
+        *[
+            F.md5(F.concat(_seed.cast("string"), F.lit(f"_{i}")))
+            for i in range(32)
+        ]
+    )
+    long_docs = (
+        spark.range(2000)
+        .repartition(32)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") % 10 == 1, F.concat(_long_text, F.lit("Z"))
+            ).otherwise(_long_text).alias("text"),
+        )
+    )
+    t0 = time.perf_counter()
+    n_long_pairs = edit_distance_pairs(long_docs, k=2).count()
+    queries["edit_distance_pairs_long1k"] = round(
+        time.perf_counter() - t0, 3
+    )
+    if n_long_pairs != 200:
+        print(
+            f"edit_distance_pairs_long1k: expected 200 pairs, got "
+            f"{n_long_pairs}",
+            file=sys.stderr,
+        )
+
     # Streaming soak: the FULL sf events table through a real multi-batch
     # readStream (8 source files, one per micro-batch) — windowed agg and
     # the applyInPandasWithState custom operator both carry

@@ -666,17 +666,30 @@ def edit_distance_pairs(
     least one segment of each side appears in the OTHER side as an
     exact substring, shifted by at most k (the shift is bounded by the
     insert/delete balance before it, ≤ total edits). The join is
-    therefore an EQUI-join on (segment length, segment text) against
-    the probe side's exploded substrings of the few lengths a partner
-    within ±k could use, with the |shift| ≤ k and |len diff| ≤ k
-    residuals cutting the verify volume. Strings SHORTER than k+1
+    therefore an EQUI-join on (segment length, xxhash64(segment))
+    against the probe side's ALIGNED substrings — for each of the
+    (2k+1) partner lengths, each of the k+1 segment slots, each of the
+    (2k+1) shifts, one substring: O(k³) probes per document, not one
+    per position — with the |shift| ≤ k and |len diff| ≤ k residuals
+    cutting the verify volume. Strings SHORTER than k+1
     chars can't be segmented — they go through a broadcast
     length-window arm (degenerate and tiny in real corpora; it is
     still exact).
 
-    Scale shape: shuffles carry (segment, id, position) rows — short
-    keys, never the corpus text twice — and verification is JVM
-    ``levenshtein`` on the joined pairs. Honest worst case: a
+    Scale shape: the candidate exchange carries (xxhash64(segment),
+    id, length, position) rows ONLY — constant-width keys. The
+    substrings are cut AND hashed map-side, and the text columns are
+    dropped before the join, so a document of length L contributes
+    O(L) fixed-size rows to the shuffle — never the O(L²) bytes that
+    either full-text rows or raw long segments (each ~L/(k+1) chars)
+    would move. Hashing the segment keeps the join EXACT: equal
+    segments always meet (same hash), and a collision can only ADD a
+    candidate, which the levenshtein verify kills. Candidate pairs
+    dedup on (id_a, id_b) while still id-only; the two texts then
+    re-join by id (each text crosses the verify exchange once per
+    surviving candidate pair, bounded by the true near-pair density
+    plus the PassJoin false-positive rate) and JVM ``levenshtein``
+    verifies in the same stage. Honest worst case: a
     low-entropy corpus (everyone shares 'http://www.') makes hot
     segment keys and candidate volume degenerates toward the true
     near-pair density ceiling; raise segmentation entropy by joining
@@ -709,52 +722,79 @@ def edit_distance_pairs(
         F.col("_l").alias("l_s"),
         F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i"),
     ).select(
+        # text dropped and segment HASHED here, map-side: only
+        # fixed-width (hash, id, length, position) rows cross the
+        # candidate exchange
         "id_s",
-        "s",
         "l_s",
         seg_start.alias("p_s"),
-        F.substring(F.col("s"), seg_start + 1, seg_len).alias("_seg"),
+        F.xxhash64(
+            F.substring(F.col("s"), seg_start + 1, seg_len)
+        ).alias("_sh"),
         seg_len.alias("_q"),
     )
-    # probe side: substrings of every length a ±k partner's segments
-    # could take — floor((l-k)/(k+1)) .. ceil((l+k)/(k+1)), a span of
-    # at most ~3 distinct lengths
-    lo = F.greatest(
-        ((F.col("_l") - k) / (k + 1)).cast("int"), F.lit(1)
-    )
-    hi = (
-        ((F.col("_l") + k) + (k + 1) - 1) / (k + 1)
-    ).cast("int")
+    # probe side — ALIGNED substrings only (PassJoin's substring
+    # selection): a ±k partner's i-th segment has a known canonical
+    # start p(i, l_s) and the match shift is bounded by ±k, so instead
+    # of all O(L) substrings per doc it suffices to probe
+    # (2k+1) partner lengths × (k+1) segments × (2k+1) shifts — O(k³)
+    # rows per doc (75 at k=2) regardless of document length.
+    # Long-short pairs are the shorts arm's job, so partner lengths
+    # clamp to the segmentable range.
+    ls = F.col("_ls")
+    qp = (ls / (k + 1)).cast("int")
+    rp = ls % (k + 1)
+    probe_q = qp + F.when(F.col("_i") < rp, 1).otherwise(0)
+    probe_p = F.col("_i") * qp + F.least(F.col("_i"), rp)
     probes = (
-        base.select(
+        base.filter(F.col("_l") >= k + 1)
+        .select(
             F.col("_id").alias("id_t"),
             F.col("_s").alias("t"),
             F.col("_l").alias("l_t"),
-            F.explode(F.sequence(lo, hi)).alias("_q"),
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("_l") - k, F.lit(k + 1)),
+                    F.col("_l") + k,
+                )
+            ).alias("_ls"),
         )
-        .filter(F.col("_q") <= F.col("l_t"))
         .select(
             "id_t",
             "t",
             "l_t",
-            "_q",
-            F.explode(
-                F.sequence(F.lit(0), F.col("l_t") - F.col("_q"))
-            ).alias("p_t"),
+            "_ls",
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i"),
         )
         .select(
             "id_t",
             "t",
+            "l_t",
+            probe_q.alias("_q"),
+            F.explode(
+                F.sequence(probe_p - k, probe_p + k)
+            ).alias("p_t"),
+        )
+        .filter(
+            (F.col("p_t") >= 0)
+            & (F.col("p_t") + F.col("_q") <= F.col("l_t"))
+        )
+        .select(
+            # text dropped and substring hashed HERE, map-side — same
+            # contract as segs; duplicate (p_t, _q) rows from different
+            # (_ls, _i) enumerations cost duplicate candidates only,
+            # which the id-pair distinct collapses
+            "id_t",
             "l_t",
             "_q",
             "p_t",
-            F.substring(F.col("t"), F.col("p_t") + 1, F.col("_q")).alias(
-                "_seg"
-            ),
+            F.xxhash64(
+                F.substring(F.col("t"), F.col("p_t") + 1, F.col("_q"))
+            ).alias("_sh"),
         )
     )
     cand = (
-        segs.join(probes, ["_q", "_seg"])
+        segs.join(probes, ["_q", "_sh"])
         .filter(
             (F.col("id_s") != F.col("id_t"))
             & (F.abs(F.col("l_s") - F.col("l_t")) <= k)
@@ -763,12 +803,17 @@ def edit_distance_pairs(
         .select(
             F.least("id_s", "id_t").alias("id_a"),
             F.greatest("id_s", "id_t").alias("id_b"),
-            "s",
-            "t",
         )
         .distinct()
     )
-    verified = cand.filter(F.levenshtein("s", "t") <= k).select(
+    with_text = cand.join(
+        base.select(F.col("_id").alias("id_a"), F.col("_s").alias("s")),
+        "id_a",
+    ).join(
+        base.select(F.col("_id").alias("id_b"), F.col("_s").alias("t")),
+        "id_b",
+    )
+    verified = with_text.filter(F.levenshtein("s", "t") <= k).select(
         "id_a",
         "id_b",
         F.levenshtein("s", "t").cast("int").alias("distance"),
@@ -816,14 +861,20 @@ def edit_distance_search(
 
     The PassJoin asymmetry is flipped to put the cheap work on the BIG
     side: every CORPUS string carries its k+1 even-split segments (a
-    projection), while the small QUERY side explodes into substrings
-    of the few lengths a ±k partner's segments could take and
-    BROADCASTS — so the corpus is never exploded and never shuffled;
+    projection, hashed to 64-bit keys map-side), while the small QUERY
+    side explodes into the xxhash64 of its substrings of the few
+    lengths a ±k partner's segments could take and BROADCASTS a
+    fixed-width (query_id, len, hash, position) map — so the corpus is
+    never exploded and never shuffled;
     candidates fall out of a broadcast hash join plus the shift/length
-    residuals, and JVM ``levenshtein`` verifies. Corpus strings too
-    short to segment take the same broadcast length-window arm as the
-    join face. Ranking is one per-query window over verified matches
-    only (bounded by |queries| × candidates, never the corpus)."""
+    residuals, and JVM ``levenshtein`` verifies IN the corpus scan
+    partitions, before any exchange. The only shuffle in the whole
+    search is the distinct/rank over ``(query_id, id, distance)`` —
+    no text column ever crosses an exchange (plan-pinned). Corpus
+    strings too short to segment take the same broadcast length-window
+    arm as the join face. Ranking is one per-query window over
+    verified matches only (bounded by |queries| × candidates, never
+    the corpus)."""
     if k_max < 1:
         raise ValueError(
             f"edit_distance_search: k_max must be >= 1, got {k_max}"
@@ -866,49 +917,84 @@ def edit_distance_search(
         "_s",
         "_l",
         seg_start.alias("_ps"),
-        F.substring(F.col("_s"), seg_start + 1, seg_len).alias("_seg"),
+        # 64-bit segment hash as the join key (exact: collisions only
+        # ADD candidates; the levenshtein verify kills them) — keeps
+        # the broadcast map and hash probes constant-width
+        F.xxhash64(
+            F.substring(F.col("_s"), seg_start + 1, seg_len)
+        ).alias("_sh"),
         seg_len.alias("_q"),
     )
-    # query side: substrings of the lengths a ±k corpus partner's
-    # segments could take — tiny, broadcast
-    lo = F.greatest(((F.col("_lt") - k) / (k + 1)).cast("int"), F.lit(1))
-    hi = (((F.col("_lt") + k) + (k + 1) - 1) / (k + 1)).cast("int")
+    # query side — ALIGNED substrings only (the pairs face's PassJoin
+    # substring selection): (2k+1) corpus partner lengths × (k+1)
+    # segment slots × (2k+1) shifts, O(k³) probe rows per query
+    # regardless of query length. Short corpus partners are the
+    # shorts arm's job, so partner lengths clamp to the segmentable
+    # range.
+    ls = F.col("_ls")
+    qp = (ls / (k + 1)).cast("int")
+    rp = ls % (k + 1)
+    probe_q = qp + F.when(F.col("_i") < rp, 1).otherwise(0)
+    probe_p = F.col("_i") * qp + F.least(F.col("_i"), rp)
     qsubs = (
         qrel.select(
             "query_id",
             "_t",
             "_lt",
-            F.explode(F.sequence(lo, hi)).alias("_q"),
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("_lt") - k, F.lit(k + 1)),
+                    F.col("_lt") + k,
+                )
+            ).alias("_ls"),
         )
-        .filter(F.col("_q") <= F.col("_lt"))
         .select(
             "query_id",
             "_t",
             "_lt",
-            "_q",
-            F.explode(
-                F.sequence(F.lit(0), F.col("_lt") - F.col("_q"))
-            ).alias("_pt"),
+            "_ls",
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i"),
         )
         .select(
             "query_id",
             "_t",
+            "_lt",
+            probe_q.alias("_q"),
+            F.explode(
+                F.sequence(probe_p - k, probe_p + k)
+            ).alias("_pt"),
+        )
+        .filter(
+            (F.col("_pt") >= 0)
+            & (F.col("_pt") + F.col("_q") <= F.col("_lt"))
+        )
+        .select(
+            # query text dropped here too: the broadcast map holds
+            # fixed-width (query_id, len, hash, position) rows; the
+            # text itself re-joins from the |queries|-row qrel below
+            "query_id",
             "_lt",
             "_q",
             "_pt",
-            F.substring(F.col("_t"), F.col("_pt") + 1, F.col("_q")).alias(
-                "_seg"
-            ),
+            F.xxhash64(
+                F.substring(F.col("_t"), F.col("_pt") + 1, F.col("_q"))
+            ).alias("_sh"),
         )
     )
+    # Verify BEFORE the dedup exchange: both broadcast joins leave the
+    # corpus text in its scan partitions, levenshtein runs there (a
+    # duplicate candidate costs a redundant verify, bounded by
+    # (k+1)·(2k+1) per pair), and the only shuffle in the whole search
+    # is the distinct/rank over (query_id, id, distance) — no text
+    # column ever crosses an exchange.
     cand = (
-        segs.join(F.broadcast(qsubs), ["_q", "_seg"])
+        segs.join(F.broadcast(qsubs), ["_q", "_sh"])
         .filter(
             (F.abs(F.col("_l") - F.col("_lt")) <= k)
             & (F.abs(F.col("_ps") - F.col("_pt")) <= k)
         )
-        .select("query_id", F.col("_id"), "_s", "_t")
-        .distinct()
+        .select("query_id", F.col("_id"), "_s")
+        .join(F.broadcast(qrel.select("query_id", "_t")), "query_id")
     )
     shorts = base.filter(F.col("_l") < k + 1).join(
         F.broadcast(qrel),

@@ -366,3 +366,79 @@ class TestSkewedDiffPlans:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestEditDistancePlans:
+    """The r13 scale-killer, fixed r14: PassJoin's candidate exchange
+    must carry (xxhash64(segment), id, length, position) ONLY — texts
+    are cut and hashed map-side, dropped before the join, and
+    re-joined by id after the id-pair distinct. A bare text attribute
+    (s#N / t#N / _s#N / _t#N) under the segment-hash exchange means
+    the O(len²)-bytes-per-document shuffle is back."""
+
+    _TEXT_ATTR = r"(?<![\w])_?[st]#\d+"
+
+    @staticmethod
+    def _exchange_blocks(df):
+        """(input_line, arguments_line) for every Exchange operator in
+        the formatted physical plan."""
+        import re
+
+        s = df.sparkSession._jvm.org.apache.spark.sql.api.python \
+            .PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        out = []
+        for block in re.split(r"\n\(\d+\) ", s):
+            if not block.startswith("Exchange"):
+                continue
+            inp = next(
+                (l for l in block.splitlines() if l.startswith("Input")), ""
+            )
+            args = next(
+                (l for l in block.splitlines() if l.startswith("Arguments")),
+                "",
+            )
+            out.append((inp, args))
+        return out
+
+    def test_pairs_candidate_exchange_carries_no_text(self, spark):
+        import re
+
+        from lotad_spark.pipeline import edit_distance_pairs
+
+        df = spark.createDataFrame(
+            [(i, f"string number {i}") for i in range(20)],
+            "doc_id bigint, text string",
+        )
+        blocks = self._exchange_blocks(edit_distance_pairs(df, k=2))
+        seg_exchanges = [b for b in blocks if "_sh" in b[1]]
+        assert seg_exchanges, blocks  # the candidate join must exist
+        for inp, args in seg_exchanges:
+            assert not re.search(self._TEXT_ATTR, inp), (inp, args)
+        # the id-pair distinct (partitioned by BOTH ids) is id-only too
+        pair_exchanges = [
+            b for b in blocks if "id_a#" in b[1] and "id_b#" in b[1]
+        ]
+        assert pair_exchanges, blocks
+        for inp, args in pair_exchanges:
+            assert not re.search(self._TEXT_ATTR, inp), (inp, args)
+
+    def test_search_no_exchange_carries_text(self, spark):
+        import re
+
+        from lotad_spark.pipeline import edit_distance_search
+
+        corpus = spark.createDataFrame(
+            [(i, f"string number {i}") for i in range(20)],
+            "doc_id bigint, text string",
+        )
+        queries = spark.createDataFrame(
+            [(100, "string number 1")], "query_id bigint, text string"
+        )
+        blocks = self._exchange_blocks(
+            edit_distance_search(corpus, queries, k_max=2, topn=3)
+        )
+        assert blocks  # the rank window shuffles (query_id, id, distance)
+        for inp, args in blocks:
+            assert not re.search(self._TEXT_ATTR, inp), (inp, args)
