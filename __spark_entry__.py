@@ -273,25 +273,24 @@ def q_drift_summary(spark, sf_dir):
     )
 
 
-def q_wizard_distinct_sample(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "customer")
-        .select("c_mktsegment")
-        .distinct()
-        .limit(10000)
-    )
-
-
 def q_wizard_overlap_probe(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    sample = (
-        c.select(F.col("c_nationkey").alias("s_nationkey")).distinct().limit(10000)
+    """The wizard's J3 probe THROUGH the public API (r14: formerly an
+    inline copy of the same join; now the registry row exercises
+    wizard.column_overlap_count itself — DISTINCT…LIMIT sample of db1's
+    column, broadcast, map-side semi join count against db2). Also the
+    A3 DISTINCT…LIMIT sample's oracle coverage since the r14
+    consolidation retired wizard_distinct_sample (which ran no repo
+    code): the sample is the first stage of this probe."""
+    from lotad_spark.wizard import column_overlap_count
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
     )
-    return (
-        s.join(F.broadcast(sample), on="s_nationkey", how="left_semi")
-        .agg(F.count(F.lit(1)).alias("overlap_n"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
     )
+    n = column_overlap_count(c, s, "nk")
+    return spark.createDataFrame([(n,)], "overlap_n bigint")
 
 
 def q_suggest_ignore_columns(spark, sf_dir):
@@ -1540,24 +1539,41 @@ def q_anomaly_online(spark, sf_dir):
 
 
 def q_rollup_distinct_users(spark, sf_dir):
-    """Mergeable-sketch distinct counts: minute-level HLL sketches of
-    user_id unioned into hourly estimates — the partial that exact
-    count/sum/min/max rollups cannot carry. No oracle_sql: HLL register
-    layouts are engine-specific, so DuckDB's approx_count_distinct would
-    differ by design; the merge-invariance (minute-union ≡ direct-hour,
-    bit-equal) and a ≤5% error bound vs exact are pinned by
-    tests/test_temporal.py instead, and the driver records the rows-only
-    check."""
+    """Mergeable-sketch distinct counts, VALUE-CHECKED (r14): minute-
+    level HLL sketches of user_id union into hourly estimates — the
+    partial that exact count/sum/min/max rollups cannot carry. The HLL
+    registers themselves are engine-specific, so the oracle-checkable
+    claims are (a) the exact hourly distinct count, replayed by DuckDB,
+    and (b) the accuracy contract — every hour's merged-sketch estimate
+    within 5% of exact — emitted as a boolean the oracle pins to
+    literal TRUE (the rolling_active_users_bound pattern; r13 VERDICT
+    item 4: the former rows-only face burned a window slot as
+    err=no_oracle). Merge-invariance (minute-union ≡ direct-hour,
+    bit-equal) stays pinned by tests/test_temporal.py."""
     from lotad_spark.operators import (
         distinct_report,
         merge_distinct_rollup,
         rollup_distinct,
     )
 
-    minutes = rollup_distinct(
-        _t(spark, sf_dir, "events"), ts_col="ts", id_col="user_id"
+    ev = _t(spark, sf_dir, "events")
+    minutes = rollup_distinct(ev, ts_col="ts", id_col="user_id")
+    est = distinct_report(merge_distinct_rollup(minutes, unit="hour"))
+    exact = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("bucket")
+    ).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_distinct")
     )
-    return distinct_report(merge_distinct_rollup(minutes, unit="hour"))
+    return est.join(exact, "bucket").select(
+        "bucket",
+        "n_rows",
+        "n_distinct",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_distinct"))
+            / F.col("n_distinct")
+            <= 0.05
+        ).alias("within_bound"),
+    )
 
 
 def q_skew_two_phase_agg(spark, sf_dir):
@@ -3056,8 +3072,11 @@ def _edit_topk_sql() -> str:
 def _doc_tiff_media(spark, sf_dir):
     """Each doc as a VALID baseline TIFF whose 8-bit grayscale pixels
     are the doc's text bytes (rpad/truncated to w*h — the shared pixel
-    source): byte order cycles II/MM by doc parity, every third doc
-    splits into 1-row strips (multi-strip reassembly exercised), and
+    source): byte order cycles II/MM by doc parity, strip layout
+    cycles INDEPENDENTLY by (doc_id // 2) parity between 1-row strips
+    (multi-strip reassembly, exercised by every multi-row doc in that
+    class) and one strip holding all rows — the full 2x2 byte-order x
+    strip-layout cross lands in the oracle corpus — and
     every fifth doc stores WhiteIsZero (payload bytes inverted, so the
     decoder's spec-mandated re-inversion must restore the text bytes).
     Decoding must walk the IFD in the right byte order, honor strip
@@ -3145,7 +3164,14 @@ def _doc_tiff_media(spark, sf_dir):
                     encode(
                         pix,
                         big_endian=did % 2 == 1,
-                        rps=1 if did % 3 == 0 and h > 1 else h,
+                        # (did // 2) parity decorrelates the strip
+                        # layout from the byte-order cycle, so the
+                        # oracle covers the full 2x2 cross: II/MM x
+                        # {1-row strips, one multi-row strip}. The r13
+                        # condition (did % 3 == 0 and h > 1) was dead —
+                        # h = did % 3 + 1 makes the two sides mutually
+                        # exclusive — so no oracle doc was multi-strip.
+                        rps=1 if (did // 2) % 2 == 0 else h,
                         white_is_zero=did % 5 == 0,
                     )
                 )
@@ -5289,114 +5315,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r6 — 66 declared, exactly the first 50 checked). Priority for the
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
-    green stable rows rotate out. Layout this round (r13), per the
-    precomputed queue in COVERAGE.md, after the r13 consolidation
-    retired 8 merge-safe rows (140 rows total: 139 value-checked + 1
-    rows-only; see COVERAGE.md "Registry consolidation r13"):
+    green stable rows rotate out. Layout this round (r14), per the
+    precomputed queue in COVERAGE.md (139 rows total, ALL value-checked
+    — the r14 consolidation retired wizard_distinct_sample, which ran
+    no repo code, and the former rows-only rollup_distinct_users face
+    is now value-checked):
 
-    * 1-9: NEW, no driver-green run yet — edit_distance_pairs and
-      edit_distance_topk (PassJoin edit-similarity join + its search
-      face, brute-force oracles), multimodal_tiff_luma_hist (baseline
-      TIFF: both byte orders, multi-strip, WhiteIsZero), and
-      heavy_hitters (exact
-      phi-heavy hitters via per-partition Misra-Gries candidates +
-      broadcast exact verification), domain_apex_psl (the eTLD+1
-      public-suffix matcher), multimodal_gif_resize_hist (the GIF
-      face of the real-pixel tier: full LZW inflate + 4-pass
-      deinterlace + palette lookup, value-checked through the
-      position-sensitive resize), and pack_plan (no-split sequence
-      packing, next-fit-decreasing per md5 bucket, recursive-CTE
-      oracle) — all added this round — then
-      multimodal_jpeg_luma_hist and video_near_dup_pairs
-      (added after the r12 driver run; local 3-scale gate green only).
-    * 10-22: changed-code re-entries — all r12-green, but their code
-      changed AFTER the r12 driver run: ccnet_buckets (token-less-doc
-      left-join fix), the URL/domain ladder (tracking-param lowercase
-      fix, blocklist whitespace fix, the PSL restructure of
-      domain_stats/domain_blocklist_filter), and the multimodal rows
-      riding decode_pixels / the metadata kernel (JPEG branch), the
-      refactored aHash band machinery, and the scene-cut module.
-    * 23-28: the six rows the late-r12 additions displaced from the
-      r12 window before they were ever driver-checked at their new
-      slots — schema_drift_records, rollup_distinct_users (rows-only
-      by design: HLL estimates are engine-specific),
-      skew_two_phase_agg, rolling_active_users_bound (now also the
-      sole face of the exact rolling kernel — see consolidation),
-      dsir_weights, bm25_topk. All r9/r10-green.
-    * 29-50: the head of the r10-green block, longest out of the
-      window (out since r11), in COVERAGE.md's listed order —
-      diff_value_change through dedup_exact (22 rows).
-    * 51+: rotated out — first the remainder of the r10-green block
-      (the r14 queue head: dedup_components → text_unigram_lm), then the
-      r11-green block in listed order, then the r12-green window rows
-      (newest last). Every rotated row has at least one driver-green
-      round with code unchanged since; the FULL registry stays
-      enforced by scripts/check_oracle.py (139 value-checked + 1
-      rows-only at sf0.01) and the pytest suite. See COVERAGE.md
-      "Driver-window rotation".
+    * 1-6: changed-code re-entries — edit_distance_pairs /
+      edit_distance_topk (the candidate shuffle now carries
+      (xxhash64(segment), id, length, position) only, with aligned
+      O(k³) probing), multimodal_tiff_luma_hist (the synthesis now
+      actually emits multi-strip files — the r13 condition was dead),
+      heavy_hitters (N rides the MG pass; the second corpus scan is
+      gone), rollup_distinct_users (exact hourly replay + within-bound
+      boolean — the rolling_active_users_bound pattern), and
+      wizard_overlap_probe (now drives wizard.column_overlap_count
+      instead of an inline copy; also carries the A3 sample coverage
+      after the consolidation).
+    * 7-19: the r10-green remainder, longest out of the window (out
+      since r11) — dedup_components through text_unigram_lm, the
+      precomputed r14 queue head.
+    * 20-50: the r11-green block head in COVERAGE.md's listed order —
+      diff_deleted_rows through csv_scan_diff (31 rows).
+    * 51+: rotated out — first the r11-green remainder (apply_bpe →
+      temperature_rates, the r15 queue head), then the r12-green rows,
+      then the r13-green window rows (newest last). Every rotated row
+      has at least one driver-green round with code unchanged since;
+      the FULL registry stays enforced by scripts/check_oracle.py
+      (139 value-checked at sf0.01) and the pytest suite. See
+      COVERAGE.md "Driver-window rotation".
     """
     return {
-        # --- 1-9: NEW, no driver-green run yet. ---
+        # --- 1-6: r14 changed-code re-entries (edit-distance shuffle
+        # fix, TIFF multi-strip synthesis fix, heavy_hitters one-pass
+        # fusion, the value-checked rollup_distinct_users face, the
+        # wizard probe now driving column_overlap_count itself). ---
         "edit_distance_pairs": q_edit_distance_pairs,
         "edit_distance_topk": q_edit_distance_topk,
-        "heavy_hitters": q_heavy_hitters,
-        "domain_apex_psl": q_domain_apex_psl,
-        "multimodal_gif_resize_hist": q_multimodal_gif_resize_hist,
         "multimodal_tiff_luma_hist": q_multimodal_tiff_luma_hist,
-        "pack_plan": q_pack_plan,
-        "multimodal_jpeg_luma_hist": q_multimodal_jpeg_luma_hist,
-        "video_near_dup_pairs": q_video_near_dup_pairs,
-        # --- 10-22: changed-code re-entries (r12-green, code changed
-        # after the r12 driver run). ---
-        "ccnet_buckets": q_ccnet_buckets,
-        "url_dedup": q_url_dedup,
-        "url_dedup_incremental": q_url_dedup_incremental,
-        "domain_stats": q_domain_stats,
-        "domain_cap": q_domain_cap,
-        "domain_blocklist": q_domain_blocklist,
-        "multimodal_png_luma_hist": q_multimodal_png_luma_hist,
-        "multimodal_audio_hist": q_multimodal_audio_hist,
-        "multimodal_video_hist": q_multimodal_video_hist,
-        "multimodal_resize_hist": q_multimodal_resize_hist,
-        "multimodal_decode": q_multimodal_decode,
-        "image_ahash": q_image_ahash,
-        "video_scene_cuts": q_video_scene_cuts,
-        # --- 23-28: displaced before their r12 slots were checked. ---
-        "schema_drift_records": q_schema_drift_records,
+        "heavy_hitters": q_heavy_hitters,
         "rollup_distinct_users": q_rollup_distinct_users,
-        "skew_two_phase_agg": q_skew_two_phase_agg,
-        "rolling_active_users_bound": q_rolling_active_users_bound,
-        "dsir_weights": q_dsir_weights,
-        "bm25_topk": q_bm25_topk,
-        # --- 29-50: r10-green block head, longest out of the window. ---
-        "diff_value_change": q_diff_value_change,
-        "diff_counts": q_diff_counts,
-        "diff_ignore_column": q_diff_ignore_column,
-        "diff_ignore_dates": q_diff_ignore_dates,
-        "diff_type_mismatch": q_diff_type_mismatch,
-        "diff_json_reorder": q_diff_json_reorder,
-        "diff_array_reorder": q_diff_array_reorder,
-        "diff_dup_collapse": q_diff_dup_collapse,
-        "drift_summary": q_drift_summary,
-        "custom_query_diff": q_custom_query_diff,
-        "text_bigram_lm": q_text_bigram_lm,
-        "token_windows": q_token_windows,
-        "sql_row_hash_diff": q_sql_row_hash_diff,
-        "json_schema_drift": q_json_schema_drift,
-        "missing_table_records": q_missing_table_records,
         "wizard_overlap_probe": q_wizard_overlap_probe,
-        "wizard_distinct_sample": q_wizard_distinct_sample,
-        "suggest_ignore_columns": q_suggest_ignore_columns,
-        "q1_lineitem_agg": q_q1_lineitem_agg,
-        "topk_orders": q_topk_orders,
-        "events_window_agg": q_events_window_agg,
-        "dedup_exact": q_dedup_exact,
-        # --- 51+: rotated out. First the remainder of the r10-green
-        # block (the r14 queue head), then the r11-green block in
-        # listed order, then the r12-green window rows (newest last).
-        # Every rotated row has at least one driver-green round with
-        # code unchanged since; the FULL registry stays enforced by
-        # scripts/check_oracle.py and the pytest suite. ---
+        # --- 7-19: the r10-green remainder, longest out of the window
+        # (out since r11) — the precomputed r14 queue head. ---
         "dedup_components": q_dedup_components,
         "dedup_near_minhash": q_dedup_near_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -5410,6 +5371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fp": q_text_winnow_fp,
         "text_pii_scrub": q_text_pii_scrub,
         "text_unigram_lm": q_text_unigram_lm,
+        # --- 20-50: the r11-green block head, in listed order. ---
         "diff_deleted_rows": q_diff_deleted_rows,
         "gopher_rules": q_gopher_rules,
         "quantize_embeddings": q_quantize_embeddings,
@@ -5441,6 +5403,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_lines": q_strip_dup_lines,
         "orc_scan_diff": q_orc_scan_diff,
         "csv_scan_diff": q_csv_scan_diff,
+        # --- 51+: rotated out. First the r11-green remainder (the r15
+        # queue head), then the r12-green rows, then the r13-green
+        # window rows (newest last). Every rotated row has at least
+        # one driver-green round with code unchanged since; the FULL
+        # registry stays enforced by scripts/check_oracle.py and the
+        # pytest suite. ---
         "apply_bpe": q_apply_bpe,
         "interval_join_batch": q_interval_join_batch,
         "jsonl_scan_diff": q_jsonl_scan_diff,
@@ -5454,6 +5422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_anomaly": q_rollup_anomaly,
         "events_sliding_agg": q_events_sliding_agg,
         "temperature_rates": q_temperature_rates,
+        # r12-green rotated rows.
         "multi_grain_cube": q_multi_grain_cube,
         "anomaly_online": q_anomaly_online,
         "events_funnel_windowed": q_events_funnel_windowed,
@@ -5487,6 +5456,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "blocklist_filter": q_blocklist_filter,
         "text_normalize": q_text_normalize,
+        # r13-green window rows, newest last.
+        "domain_apex_psl": q_domain_apex_psl,
+        "multimodal_gif_resize_hist": q_multimodal_gif_resize_hist,
+        "pack_plan": q_pack_plan,
+        "multimodal_jpeg_luma_hist": q_multimodal_jpeg_luma_hist,
+        "video_near_dup_pairs": q_video_near_dup_pairs,
+        "ccnet_buckets": q_ccnet_buckets,
+        "url_dedup": q_url_dedup,
+        "url_dedup_incremental": q_url_dedup_incremental,
+        "domain_stats": q_domain_stats,
+        "domain_cap": q_domain_cap,
+        "domain_blocklist": q_domain_blocklist,
+        "multimodal_png_luma_hist": q_multimodal_png_luma_hist,
+        "multimodal_audio_hist": q_multimodal_audio_hist,
+        "multimodal_video_hist": q_multimodal_video_hist,
+        "multimodal_resize_hist": q_multimodal_resize_hist,
+        "multimodal_decode": q_multimodal_decode,
+        "image_ahash": q_image_ahash,
+        "video_scene_cuts": q_video_scene_cuts,
+        "schema_drift_records": q_schema_drift_records,
+        "skew_two_phase_agg": q_skew_two_phase_agg,
+        "rolling_active_users_bound": q_rolling_active_users_bound,
+        "dsir_weights": q_dsir_weights,
+        "bm25_topk": q_bm25_topk,
+        "diff_value_change": q_diff_value_change,
+        "diff_counts": q_diff_counts,
+        "diff_ignore_column": q_diff_ignore_column,
+        "diff_ignore_dates": q_diff_ignore_dates,
+        "diff_type_mismatch": q_diff_type_mismatch,
+        "diff_json_reorder": q_diff_json_reorder,
+        "diff_array_reorder": q_diff_array_reorder,
+        "diff_dup_collapse": q_diff_dup_collapse,
+        "drift_summary": q_drift_summary,
+        "custom_query_diff": q_custom_query_diff,
+        "text_bigram_lm": q_text_bigram_lm,
+        "token_windows": q_token_windows,
+        "sql_row_hash_diff": q_sql_row_hash_diff,
+        "json_schema_drift": q_json_schema_drift,
+        "missing_table_records": q_missing_table_records,
+        "suggest_ignore_columns": q_suggest_ignore_columns,
+        "q1_lineitem_agg": q_q1_lineitem_agg,
+        "topk_orders": q_topk_orders,
+        "events_window_agg": q_events_window_agg,
+        "dedup_exact": q_dedup_exact,
     }
 
 
@@ -5620,9 +5633,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'orders', 'db1', "
             "CAST((SELECT count(*) FROM orders WHERE o_orderkey % 89 = 0) AS INTEGER), "
             "'db2', CAST(0 AS INTEGER)"
-        ),
-        "wizard_distinct_sample": (
-            "SELECT DISTINCT c_mktsegment FROM customer LIMIT 10000"
         ),
         "wizard_overlap_probe": (
             "SELECT CAST(count(*) AS BIGINT) AS overlap_n FROM supplier "
@@ -6142,6 +6152,16 @@ def oracle_sql() -> dict[str, str]:
         # The approx face's accuracy contract: exact replay + literal
         # TRUE — the Spark side computes within_bound from the HLL
         # estimate, so a >5% drift on any day hash-mismatches.
+        # The distinct-rollup accuracy contract (r14): exact hourly
+        # replay + literal TRUE — the Spark side derives within_bound
+        # from the merged minute-HLL estimate, so any hour whose
+        # estimate drifts past 5% of exact hash-mismatches.
+        "rollup_distinct_users": (
+            "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct, "
+            "TRUE AS within_bound FROM events GROUP BY 1"
+        ),
         "rolling_active_users_bound": (
             "WITH ud AS (SELECT DISTINCT user_id, "
             "CAST(date_trunc('day', ts) AS DATE) AS d FROM events), "

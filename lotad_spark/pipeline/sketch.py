@@ -575,7 +575,12 @@ def heavy_hitters(
        local share ≥ φ on at least one partition (its share is a
        weighted average over partitions), and φ > 1/(k+1) by choice of
        k — so the union of per-partition survivors is a SUPERSET of
-       the true heavy hitters. Output: ≤ k tokens per partition.
+       the true heavy hitters. Output: ≤ k tokens per partition, plus
+       ONE trailing count row carrying the partition's token total —
+       the global N for the ⌈φ·N⌉ threshold rides the same pass
+       instead of costing a second full corpus scan+tokenize (the
+       tiny summary is persisted, so candidates and N share one
+       materialization; r13 VERDICT item 5).
     2. **Exact verification**: the candidate set (≤ k·P rows — at
        k=1000 and 1000 executors ~1M short strings, megabytes) is
        semi-broadcast back over the stream; one map-side-combined
@@ -620,22 +625,43 @@ def heavy_hitters(
 
     def mg(batches):
         counters = pd.Series(dtype="int64")
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             merged = counters.add(pdf["token"].value_counts(), fill_value=0)
             if len(merged) > k:
                 cut = merged.nlargest(k + 1).iloc[-1]
                 merged = merged - cut
                 merged = merged[merged > 0]
             counters = merged
-        yield pd.DataFrame({"token": counters.index.astype(str)})
+        # one trailing count row per partition (token NULL): the MG
+        # pass already saw every token, so the global N rides along
+        # instead of costing a second full corpus scan+tokenize
+        n_cand = len(counters)
+        yield pd.DataFrame(
+            {
+                "token": list(counters.index.astype(str)) + [None],
+                "n_part": pd.array(
+                    [None] * n_cand + [int(n_part)], dtype="Int64"
+                ),
+            }
+        )
 
+    mg_out = toks.mapInPandas(
+        mg, schema="token string, n_part bigint"
+    ).persist()
+    # the collect materializes the persisted ≤(k+1)·P-row summary, so
+    # candidates below reuse the cache — ONE corpus pass for MG+count
+    n_total = (
+        mg_out.agg(F.sum("n_part").cast("bigint").alias("n"))
+        .collect()[0].n
+        or 0
+    )
     candidates = (
-        toks.mapInPandas(mg, schema="token string")
+        mg_out.filter(F.col("token").isNotNull())
+        .select("token")
         .distinct()
     )
-    n_total = df.select(
-        F.sum(F.size(tok_array)).cast("bigint").alias("n")
-    ).collect()[0].n or 0
     threshold = math.ceil(phi * n_total)
     return (
         toks.join(F.broadcast(candidates), "token")

@@ -442,3 +442,26 @@ class TestEditDistancePlans:
         assert blocks  # the rank window shuffles (query_id, id, distance)
         for inp, args in blocks:
             assert not re.search(self._TEXT_ATTR, inp), (inp, args)
+
+
+class TestHeavyHittersPlans:
+    def test_one_corpus_scan_in_verify_plan(self, spark, sf_dir):
+        """heavy_hitters' returned plan must read the corpus ONCE (the
+        exact-verify pass) and take candidates from the persisted MG
+        summary — a second FileScan means the r13 separate n_total
+        pass is back."""
+        from lotad_spark.pipeline import heavy_hitters
+
+        d = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        try:
+            plan = _plan(heavy_hitters(d, phi=0.01))
+            assert "InMemoryTableScan" in plan, plan
+            # the text after the first InMemoryRelation is the CACHED
+            # plan's description (not executed); the live plan above it
+            # must hold exactly one corpus scan and never re-run the
+            # MG mapInPandas pass
+            live = plan.split("InMemoryRelation")[0]
+            assert live.count("FileScan") == 1, plan
+            assert "MapInPandas" not in live, plan
+        finally:
+            spark.catalog.clearCache()
