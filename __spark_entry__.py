@@ -1918,6 +1918,163 @@ def q_multimodal_jpeg_luma_hist(spark, sf_dir):
     )
 
 
+def _doc_progressive_jpeg_media(spark, sf_dir):
+    """Each doc as a VALID progressive (SOF2) grayscale JFIF JPEG of
+    the SAME constant-gray-block pixel class as :func:`_doc_jpeg_media`
+    (block b of the grid = text byte b; the one pixel class a lossy
+    codec round-trips exactly), so the oracle derives the expected
+    histogram from the text bytes unchanged. The scan script forces
+    the full progressive machinery: a DC first scan at Al=4 (the
+    point-transformed differential DC), a DC successive-approximation
+    refinement (Ah=4 → Al=3) whose correction bits are TEXT-DEPENDENT
+    (bit 3 of DC = 8·(g−128) is bit 0 of g), and two spectral-selection
+    AC first scans (bands 1-5 and 6-63) that cover the all-zero bands
+    with EOB runs. Reconstruction is exact: DC is a multiple of 8, so
+    bits 2..0 — the ones the script never sends — are genuinely zero.
+    A decoder that misreads the point transform, the refinement OR,
+    the EOB-run arithmetic, or multi-scan accumulation changes pixel
+    values and hash-mismatches. (Nonzero-AC progressive paths — ZRL,
+    newly-significant insertion, AC refinement correction bits,
+    restart intervals, 4:2:0 color — are pinned encoder-independently
+    in tests/test_jpeg_progressive.py; they cannot be value-checked
+    from an engine-independent pixel source.)"""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import struct
+
+        def seg(marker, payload):
+            return (
+                b"\xff"
+                + bytes([marker])
+                + struct.pack(">H", len(payload) + 2)
+                + payload
+            )
+
+        dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+        dc_vals = bytes(range(12))
+        # the three EOB-run symbols 0x00/0x10/0x20 (runs 1/2-3/4-7 —
+        # the grid has at most 6 blocks) as canonical codes 0/1/2 at
+        # length 2
+        ac_bits = bytes([0, 3] + [0] * 14)
+        ac_vals = bytes([0x00, 0x10, 0x20])
+        app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+        class BW:
+            def __init__(self):
+                self.data = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def put(self, val, ln):
+                for i in range(ln - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((val >> i) & 1)
+                    self.n += 1
+                    if self.n == 8:
+                        self.data.append(self.acc)
+                        if self.acc == 0xFF:
+                            self.data.append(0x00)
+                        self.acc, self.n = 0, 0
+
+            def done(self):
+                while self.n:
+                    self.put(1, 1)
+                return bytes(self.data)
+
+        def sos(ss, se, ah, al):
+            return seg(
+                0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+            )
+
+        def encode(grays, bx_n, by_n):
+            out = bytearray(b"\xff\xd8")
+            out += seg(0xE0, app0)
+            out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+            out += seg(
+                0xC2,
+                bytes([8])
+                + struct.pack(">HH", by_n * 8, bx_n * 8)
+                + bytes([1, 1, 0x11, 0]),
+            )
+            out += seg(0xC4, bytes([0x00]) + dc_bits + dc_vals)
+            out += seg(0xC4, bytes([0x10]) + ac_bits + ac_vals)
+            dcs = [8 * (g - 128) for g in grays]
+            # scan 1: DC first at Al=4 — differential coding of dc>>4
+            bw = BW()
+            pred = 0
+            for dc in dcs:
+                v = dc >> 4
+                diff = v - pred
+                pred = v
+                t = abs(diff).bit_length()
+                bw.put(t, 4)
+                if t:
+                    bw.put(
+                        diff if diff >= 0 else diff + (1 << t) - 1, t
+                    )
+            out += sos(0, 0, 0, 4) + bw.done()
+            # scan 2: DC refinement Ah=4 → Al=3 — one bit per block,
+            # text-dependent (bit 3 of dc = bit 0 of g)
+            bw = BW()
+            for dc in dcs:
+                bw.put((dc >> 3) & 1, 1)
+            out += sos(0, 0, 4, 3) + bw.done()
+            # scans 3-4: spectral AC bands, all zero → one EOB run
+            # covering every block of the band
+            nb = len(dcs)
+            for ss_, se_ in ((1, 5), (6, 63)):
+                bw = BW()
+                r = nb.bit_length() - 1
+                bw.put(r, 2)  # canonical code for symbol r<<4
+                if r:
+                    bw.put(nb - (1 << r), r)
+                out += sos(ss_, se_, 0, 0) + bw.done()
+            out += b"\xff\xd9"
+            return bytes(out)
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                bx_n, by_n = did % 3 + 1, did % 2 + 1
+                need = bx_n * by_n
+                raw = (text or "").encode("utf-8")[:need].ljust(
+                    need, b"x"
+                )
+                payloads.append(encode(list(raw), bx_n, by_n))
+            yield pdf.assign(content=payloads)[
+                ["doc_id", "content"]
+            ].rename(columns={"doc_id": "media_id"})
+
+    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def q_multimodal_jpeg_progressive_hist(spark, sf_dir):
+    """The progressive-JPEG face of the real-pixel tier (r13 VERDICT
+    item 7 — the last big format gap; progressive dominates web
+    corpora alongside baseline): SOF2 multi-scan decode
+    (pipeline/multimodal.py _jpeg_progressive_pixels — DC point
+    transform, successive-approximation refinement, EOB-run AC band
+    coder, shared dequant→IDCT tail) feeding the 16-bin luma
+    histogram. Shares the baseline face's exactly-round-tripping pixel
+    class, so the oracle derives expected pixels from the text bytes;
+    kind='luma' pins that the real multi-scan decode ran for every
+    row."""
+    from lotad_spark.pipeline.multimodal import extract_feature_counts
+
+    return extract_feature_counts(
+        _doc_progressive_jpeg_media(spark, sf_dir), kind="luma"
+    ).select(
+        "media_id",
+        "kind",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias(
+            "hist"
+        ),
+    )
+
+
 def _doc_wav_media(spark, sf_dir):
     """Each doc as a VALID 16-bit mono PCM WAV whose data bytes are the
     doc's text rpad/truncated to 2·n_frames bytes (n_frames derived
@@ -5316,12 +5473,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r14), per the
-    precomputed queue in COVERAGE.md (139 rows total, ALL value-checked
+    precomputed queue in COVERAGE.md (140 rows total, ALL value-checked
     — the r14 consolidation retired wizard_distinct_sample, which ran
-    no repo code, and the former rows-only rollup_distinct_users face
-    is now value-checked):
+    no repo code, the former rows-only rollup_distinct_users face is
+    now value-checked, and multimodal_jpeg_progressive_hist is new):
 
-    * 1-6: changed-code re-entries — edit_distance_pairs /
+    * 1: NEW — multimodal_jpeg_progressive_hist (the SOF2 progressive
+      decode landed r14: DC point transform + successive-approximation
+      refinement + EOB-run AC band coder over the exactly-round-
+      tripping constant-block pixel class).
+    * 2-7: changed-code re-entries — edit_distance_pairs /
       edit_distance_topk (the candidate shuffle now carries
       (xxhash64(segment), id, length, position) only, with aligned
       O(k³) probing), multimodal_tiff_luma_hist (the synthesis now
@@ -5332,24 +5493,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       wizard_overlap_probe (now drives wizard.column_overlap_count
       instead of an inline copy; also carries the A3 sample coverage
       after the consolidation).
-    * 7-19: the r10-green remainder, longest out of the window (out
+    * 8-20: the r10-green remainder, longest out of the window (out
       since r11) — dedup_components through text_unigram_lm, the
       precomputed r14 queue head.
-    * 20-50: the r11-green block head in COVERAGE.md's listed order —
-      diff_deleted_rows through csv_scan_diff (31 rows).
-    * 51+: rotated out — first the r11-green remainder (apply_bpe →
-      temperature_rates, the r15 queue head), then the r12-green rows,
-      then the r13-green window rows (newest last). Every rotated row
-      has at least one driver-green round with code unchanged since;
-      the FULL registry stays enforced by scripts/check_oracle.py
-      (139 value-checked at sf0.01) and the pytest suite. See
-      COVERAGE.md "Driver-window rotation".
+    * 21-50: the r11-green block head in COVERAGE.md's listed order —
+      diff_deleted_rows through orc_scan_diff (30 rows).
+    * 51+: rotated out — csv_scan_diff (displaced by the late
+      progressive-JPEG addition — the r15 queue head), then the rest
+      of the r11-green remainder (apply_bpe → temperature_rates), then
+      the r12-green rows, then the r13-green window rows (newest
+      last). Every rotated row has at least one driver-green round
+      with code unchanged since; the FULL registry stays enforced by
+      scripts/check_oracle.py (140 value-checked at sf0.01) and the
+      pytest suite. See COVERAGE.md "Driver-window rotation".
     """
     return {
         # --- 1-6: r14 changed-code re-entries (edit-distance shuffle
         # fix, TIFF multi-strip synthesis fix, heavy_hitters one-pass
         # fusion, the value-checked rollup_distinct_users face, the
         # wizard probe now driving column_overlap_count itself). ---
+        "multimodal_jpeg_progressive_hist": q_multimodal_jpeg_progressive_hist,
         "edit_distance_pairs": q_edit_distance_pairs,
         "edit_distance_topk": q_edit_distance_topk,
         "multimodal_tiff_luma_hist": q_multimodal_tiff_luma_hist,
@@ -5402,13 +5565,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_order": q_asof_latest_order,
         "strip_dup_lines": q_strip_dup_lines,
         "orc_scan_diff": q_orc_scan_diff,
+        # --- 51+: rotated out. csv_scan_diff (displaced by the late
+        # progressive-JPEG addition) leads the r15 queue, then the
+        # r11-green remainder, then the r12-green rows, then the
+        # r13-green window rows (newest last). Every rotated row has
+        # at least one driver-green round with code unchanged since;
+        # the FULL registry stays enforced by scripts/check_oracle.py
+        # and the pytest suite. ---
         "csv_scan_diff": q_csv_scan_diff,
-        # --- 51+: rotated out. First the r11-green remainder (the r15
-        # queue head), then the r12-green rows, then the r13-green
-        # window rows (newest last). Every rotated row has at least
-        # one driver-green round with code unchanged since; the FULL
-        # registry stays enforced by scripts/check_oracle.py and the
-        # pytest suite. ---
         "apply_bpe": q_apply_bpe,
         "interval_join_batch": q_interval_join_batch,
         "jsonl_scan_diff": q_jsonl_scan_diff,
@@ -6485,6 +6649,12 @@ def oracle_sql() -> dict[str, str]:
         "CAST(64 * len(list_filter(grays, v -> v * 16 // 256 = b)) "
         "AS VARCHAR)), ',') AS hist FROM g"
     )
+    # The progressive face shares the baseline face's pixel source
+    # (constant gray blocks from the same text bytes), so the oracle
+    # is identical — only the Spark-side decode path differs.
+    oracles["multimodal_jpeg_progressive_hist"] = oracles[
+        "multimodal_jpeg_luma_hist"
+    ]
     oracles["rollup_incremental"] = oracles["rollup_hourly"]
     # Histogram-quantile estimates: identical binning, cumulative walk,
     # and linear interpolation reproduced in SQL — the estimate is pure

@@ -17,9 +17,10 @@ changes only the inner function.
 
 Beyond headers, :func:`decode_pixels` decodes ACTUAL PIXELS — pure
 numpy + stdlib, zero deps — for netpbm P2/P3/P5/P6, uncompressed
-24/32-bpp BMP, 8-bit non-interlaced PNG, and sequential-baseline
-Huffman JPEG (the format that dominates web image corpora — SOF0/SOF1,
-gray/YCbCr, restart intervals; progressive/arithmetic payloads take
+24/32-bpp BMP, 8-bit non-interlaced PNG, and Huffman JPEG, both
+sequential baseline (SOF0/SOF1) and progressive (SOF2, r14 — the two
+codings that dominate web image corpora; gray/YCbCr, restart
+intervals; lossless/arithmetic payloads take
 the labeled fallback): the feature kernel (``kind="luma"``: integer BT.601 luma
 histogram) and the resize kernel (nearest-neighbor resample, re-encoded
 as P6) are therefore REAL image operators for those formats, with the
@@ -153,17 +154,19 @@ def decode_pixels(payload: bytes):
     PNG, sequential or Adam7-interlaced (gray/truecolor/gray-alpha/
     RGBA; stdlib zlib inflate + all five scanline filters un-applied
     in numpy, per-reduced-image for Adam7 — :func:`_png_pixels`), and
-    sequential-baseline Huffman JPEG (SOF0/SOF1, 8-bit, gray/YCbCr,
-    restart intervals, divisible sampling grids — :func:`_jpeg_pixels`),
+    Huffman JPEG — sequential baseline (SOF0/SOF1) AND progressive
+    (SOF2: spectral selection + successive approximation, r14) — 8-bit,
+    gray/YCbCr, restart intervals, divisible sampling grids
+    (:func:`_jpeg_pixels` / :func:`_jpeg_progressive_pixels`),
     GIF87a/89a (full LZW inflate, global/local color tables,
     4-pass deinterlace, first frame — :func:`_gif_pixels`), and
     baseline uncompressed TIFF (II/MM byte order, 8-bit gray/RGB
     strips, WhiteIsZero inversion — :func:`_tiff_pixels`) — all per
     the public specs. Grayscale replicates to RGB and alpha
     drops so downstream kernels see one shape. Anything truncated,
-    palette-mapped, 16-bit, progressive, or with a non-255
-    maxval returns None rather than guessing (PNG interlace is Adam7,
-    decoded; GIF interlace is the 4-pass row order, decoded)."""
+    palette-mapped, 16-bit, lossless/arithmetic-coded JPEG, or with a
+    non-255 maxval returns None rather than guessing (PNG interlace is
+    Adam7, decoded; GIF interlace is the 4-pass row order, decoded)."""
     import numpy as np
 
     hdr = _pnm_header(payload)
@@ -437,10 +440,11 @@ def _png_pixels(payload: bytes):
 # --- Baseline JPEG (ITU-T T.81 / ISO 10918-1, public spec) -------------
 # Zero-dep sequential-baseline decoder: marker walk, canonical Huffman,
 # run-length AC, dequant, batched float IDCT, chroma upsample, JFIF
-# YCbCr→RGB. Progressive (SOF2), lossless, arithmetic-coded, 12-bit,
-# 16-bit DQT, and non-divisible sampling grids return the same honest
-# None as the other decoders — web corpora are dominated by baseline
-# JFIF, which this covers.
+# YCbCr→RGB. Progressive (SOF2) decodes for real since r14
+# (_jpeg_progressive_pixels — spectral selection + successive
+# approximation). Lossless, arithmetic-coded, 12-bit, 16-bit DQT, and
+# non-divisible sampling grids return the same honest None as the
+# other decoders — baseline + progressive JFIF covers web corpora.
 
 # Zigzag index k → natural (row-major) position, per T.81 Figure A.6.
 _JPEG_ZZ = (
@@ -450,12 +454,12 @@ _JPEG_ZZ = (
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 )
 
-# SOFn markers this decoder must refuse (progressive / lossless /
-# differential / arithmetic): everything in 0xC0-0xCF except C0/C1
-# (supported), C4 (DHT), C8 (JPG reserved), CC (DAC — arithmetic, and
-# its presence implies an unsupported scan anyway).
+# SOFn markers this decoder must refuse (lossless / differential /
+# arithmetic): everything in 0xC0-0xCF except C0/C1/C2 (supported —
+# C2 progressive since r14), C4 (DHT), C8 (JPG reserved), CC (DAC —
+# arithmetic, and its presence implies an unsupported scan anyway).
 _JPEG_UNSUPPORTED_SOF = frozenset(
-    (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+    (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
 )
 
 
@@ -490,10 +494,12 @@ class _JpegBits:
         return v
 
 
-def _jpeg_entropy_segments(data: bytes, pos: int) -> list[bytes]:
+def _jpeg_entropy_segments(data: bytes, pos: int):
     """Entropy-coded data from ``pos`` split into unstuffed segments at
     RST markers (0xFF00 byte stuffing removed; any other marker ends
-    the scan)."""
+    the scan). Returns (segments, end_index) — ``end_index`` points at
+    the terminating marker's 0xFF (or len(data)), so a multi-scan
+    (progressive) walk can resume the marker loop there."""
     segs, cur, i = [], bytearray(), pos
     while i < len(data):
         b = data[i]
@@ -513,7 +519,33 @@ def _jpeg_entropy_segments(data: bytes, pos: int) -> list[bytes]:
             continue
         break  # real marker (EOI / next header)
     segs.append(bytes(cur))
-    return segs
+    return segs, i
+
+
+def _jpeg_dht_into(seg: bytes, hufftabs: dict) -> bool:
+    """Parse a DHT segment (possibly several tables) into ``hufftabs``
+    keyed (class, id) → canonical code map. False on malformed input."""
+    i = 0
+    while i + 17 <= len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 15
+        counts = seg[i + 1 : i + 17]
+        nsym = sum(counts)
+        vals = seg[i + 17 : i + 17 + nsym]
+        if tc > 1 or len(vals) < nsym:
+            return False
+        tbl: dict = {}
+        code = k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                if code >= 1 << length:
+                    return False  # over-full canonical table
+                tbl[(length, code)] = vals[k]
+                k += 1
+                code += 1
+            code <<= 1
+        hufftabs[(tc, th)] = tbl
+        i += 17 + nsym
+    return True
 
 
 def _jpeg_huff_decode(bits: _JpegBits, table: dict):
@@ -573,10 +605,12 @@ def _jpeg_decode_block(bits, dc_tab, ac_tab, pred):
 
 
 def _jpeg_headers(payload: bytes):
-    """Marker walk up to SOS: (qt, hufftabs, sof, dri, scan) or None.
-    ``sof`` is (width, height, [[cid, h, v, tq], …], marker); ``scan``
-    is ([(cid, dc_id, ac_id), …], entropy_data_offset) or None when no
-    SOS was reached (metadata callers don't need one)."""
+    """Marker walk up to the FIRST SOS: (qt, hufftabs, sof, dri, scan)
+    or None. ``sof`` is (width, height, [[cid, h, v, tq], …], marker);
+    ``scan`` is ([(cid, dc_id, ac_id), …], entropy_data_offset, Ss, Se,
+    Ah, Al) or None when no SOS was reached (metadata callers don't
+    need one). Progressive (SOF2) streams continue past the first scan
+    via :func:`_jpeg_progressive_pixels`'s marker loop."""
     import struct
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -613,7 +647,7 @@ def _jpeg_headers(payload: bytes):
                     return None  # 16-bit tables: unsupported
                 qt[tq] = bytes(seg[i + 1 : i + 65])
                 i += 65
-        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             if sof is not None or len(seg) < 6:
                 return None
             prec = seg[0]
@@ -633,26 +667,8 @@ def _jpeg_headers(payload: bytes):
         elif m in _JPEG_UNSUPPORTED_SOF:
             return None
         elif m == 0xC4:  # DHT (possibly several tables per segment)
-            i = 0
-            while i + 17 <= len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 15
-                counts = seg[i + 1 : i + 17]
-                nsym = sum(counts)
-                vals = seg[i + 17 : i + 17 + nsym]
-                if tc > 1 or len(vals) < nsym:
-                    return None
-                tbl: dict = {}
-                code = k = 0
-                for length in range(1, 17):
-                    for _ in range(counts[length - 1]):
-                        if code >= 1 << length:
-                            return None  # over-full canonical table
-                        tbl[(length, code)] = vals[k]
-                        k += 1
-                        code += 1
-                    code <<= 1
-                hufftabs[(tc, th)] = tbl
-                i += 17 + nsym
+            if not _jpeg_dht_into(seg, hufftabs):
+                return None
         elif m == 0xDD:  # DRI
             if ln != 4:
                 return None
@@ -667,7 +683,15 @@ def _jpeg_headers(payload: bytes):
                 (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
                 for c in range(ns)
             ]
-            scan = (smap, pos + 2 + ln)
+            b0 = 1 + 2 * ns
+            scan = (
+                smap,
+                pos + 2 + ln,
+                seg[b0],  # Ss (spectral selection start)
+                seg[b0 + 1],  # Se
+                seg[b0 + 2] >> 4,  # Ah (successive approximation high)
+                seg[b0 + 2] & 15,  # Al
+            )
             break
         pos += 2 + ln
     if sof is None:
@@ -1064,7 +1088,10 @@ def _jpeg_pixels(payload: bytes):
         return None
     if parsed is None or parsed[4] is None:
         return None
-    qt_raw, hufftabs, (w, h, comps, _m), dri, (smap, data_pos) = parsed
+    qt_raw, hufftabs, (w, h, comps, _m), dri, scan0 = parsed
+    if _m == 0xC2:
+        return _jpeg_progressive_pixels(payload, parsed)
+    smap, data_pos = scan0[0], scan0[1]
     if len(smap) != len(comps):
         return None  # non-interleaved multi-scan: unsupported
     zz = np.array(_JPEG_ZZ)
@@ -1096,7 +1123,7 @@ def _jpeg_pixels(payload: bytes):
     total_blocks = mx * my * sum(c[1] * c[2] for c in comps)
     if total_blocks > 8 * len(payload):
         return None
-    segs = _jpeg_entropy_segments(payload, data_pos)
+    segs, _end = _jpeg_entropy_segments(payload, data_pos)
     coefs = [
         np.zeros((my * c[2], mx * c[1], 64), np.int32)
         for c, _d, _a in order
@@ -1123,6 +1150,19 @@ def _jpeg_pixels(payload: bytes):
                     nat = np.zeros(64, np.int32)
                     nat[zz] = zzvec
                     coefs[ci][r * vi + by, c0 * hi + bx] = nat
+    coefs_by_cid = {
+        comp[0]: coefs[ci] for ci, (comp, _d, _a) in enumerate(order)
+    }
+    return _jpeg_reconstruct(comps, coefs_by_cid, qts, w, h, hmax, vmax)
+
+
+def _jpeg_reconstruct(comps, coefs_by_cid, qts, w, h, hmax, vmax):
+    """Shared dequant → batched IDCT → upsample → color-convert tail
+    for the sequential and progressive decoders. ``coefs_by_cid`` maps
+    component id → int32 [block_rows, block_cols, 64] NATURAL-order
+    coefficient arrays."""
+    import numpy as np
+
     # Orthonormal IDCT basis: A[u, x] = α(u)·cos((2x+1)uπ/16).
     u = np.arange(8)
     A = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) * np.sqrt(
@@ -1130,11 +1170,12 @@ def _jpeg_pixels(payload: bytes):
     )
     A[0] = np.sqrt(1.0 / 8)
     planes = {}
-    for ci, (comp, _d, _a) in enumerate(order):
+    for comp in comps:
         cid, hi, vi, tq = comp
-        blocks = coefs[ci].reshape(-1, 8, 8).astype(np.float64) * qts[tq]
+        arr = coefs_by_cid[cid]
+        blocks = arr.reshape(-1, 8, 8).astype(np.float64) * qts[tq]
         spatial = np.einsum("ux,nuv,vy->nxy", A, blocks, A)
-        rows, cols = coefs[ci].shape[:2]
+        rows, cols = arr.shape[:2]
         plane = (
             spatial.reshape(rows, cols, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -1157,6 +1198,339 @@ def _jpeg_pixels(payload: bytes):
         axis=-1,
     )
     return (w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8))
+
+
+def _jpeg_prog_decode_scan(
+    payload, scan, hufftabs, dri, comps, cindex, coefs, grids, mx, my
+):
+    """Decode ONE progressive scan into the zigzag coefficient
+    accumulators; returns the payload index of the scan-terminating
+    marker, or None on malformed/truncated entropy data.
+
+    T.81 Annex G decode recurrences (the same ones the public libjpeg
+    reference decoder documents in jdphuff.c; this implementation is
+    original): DC-first stores the running predictor << Al; DC
+    refinement ORs one received bit into bit Al; AC-first runs the
+    EOBn band coder (EOB run = (1<<r) + r extension bits, covering the
+    current block); AC refinement sends ±1<<Al for newly-significant
+    coefficients and one correction bit for every nonzero-history
+    coefficient crossed — including those under an EOB run. Restart
+    intervals reset the DC predictors AND the EOB run."""
+    smap, data_pos, ss, se, ah, al = scan
+    segs, end = _jpeg_entropy_segments(payload, data_pos)
+    bits = _JpegBits(segs[0])
+    seg_idx = 0
+
+    if ss == 0:
+        # DC scan (spec: Se must be 0); the only kind that interleaves
+        if se != 0 or al > 13:
+            return None
+        order = []
+        for cid, tdc, _tac in smap:
+            ci = cindex.get(cid)
+            if ci is None:
+                return None
+            tab = hufftabs.get((0, tdc))
+            if ah == 0 and tab is None:
+                return None
+            order.append((ci, tab))
+        interleaved = len(order) > 1
+        if interleaved:
+            nunits = mx * my
+        else:
+            cbx0, cby0 = grids[order[0][0]]
+            nunits = cbx0 * cby0
+        preds = [0] * len(order)
+
+        def dc_block(arr, by, bx, oi):
+            if ah == 0:
+                t = _jpeg_huff_decode(bits, order[oi][1])
+                if t is None or t > 15:
+                    return False
+                diff = 0
+                if t:
+                    v = bits.bits(t)
+                    if v is None:
+                        return False
+                    diff = _jpeg_extend(v, t)
+                preds[oi] += diff
+                arr[by, bx, 0] = preds[oi] << al
+            else:
+                b = bits.bit()
+                if b is None:
+                    return False
+                if b:
+                    arr[by, bx, 0] |= 1 << al
+            return True
+
+        for unit in range(nunits):
+            if dri and unit and unit % dri == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    return None
+                bits = _JpegBits(segs[seg_idx])
+                preds[:] = [0] * len(order)
+            if interleaved:
+                r0, c0 = divmod(unit, mx)
+                for oi, (ci, _t) in enumerate(order):
+                    _cid, hi, vi, _tq = comps[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            if not dc_block(
+                                coefs[ci], r0 * vi + by, c0 * hi + bx, oi
+                            ):
+                                return None
+            else:
+                ci = order[0][0]
+                by, bx = divmod(unit, cbx0)
+                if not dc_block(coefs[ci], by, bx, 0):
+                    return None
+        return end
+
+    # AC scan: single component, non-interleaved (T.81 G.2 requires it)
+    if len(smap) != 1 or not (1 <= ss <= se <= 63) or al > 13:
+        return None
+    cid, _tdc, tac = smap[0]
+    ci = cindex.get(cid)
+    if ci is None:
+        return None
+    act = hufftabs.get((1, tac))
+    if act is None:
+        return None
+    arr = coefs[ci]
+    cbx, cby = grids[ci]
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+    for unit in range(cbx * cby):
+        if dri and unit and unit % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                return None
+            bits = _JpegBits(segs[seg_idx])
+            eobrun = 0
+        block = arr[divmod(unit, cbx)]
+        if ah == 0:
+            # first scan for this band: the EOBn band coder
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _jpeg_huff_decode(bits, act)
+                if rs is None:
+                    return None
+                r, s = rs >> 4, rs & 15
+                if s:
+                    k += r
+                    if k > se:
+                        return None
+                    v = bits.bits(s)
+                    if v is None:
+                        return None
+                    block[k] = _jpeg_extend(v, s) << al
+                    k += 1
+                else:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            v = bits.bits(r)
+                            if v is None:
+                                return None
+                            eobrun += v
+                        eobrun -= 1  # the run covers THIS block
+                        break
+                    k += 16  # ZRL
+            continue
+        # refinement scan: correction-bit protocol
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _jpeg_huff_decode(bits, act)
+                if rs is None:
+                    return None
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            v = bits.bits(r)
+                            if v is None:
+                                return None
+                            eobrun += v
+                        break  # the EOB sweep below finishes the block
+                    newval = 0  # ZRL: cross 16 zero-history coefficients
+                elif s == 1:
+                    b = bits.bit()
+                    if b is None:
+                        return None
+                    newval = p1 if b else m1
+                else:
+                    return None  # refinement sends magnitude 1 only
+                # cross r zero-history coefficients; every
+                # nonzero-history coefficient passed takes a correction
+                # bit (1 = grow the magnitude by 1<<Al)
+                while k <= se:
+                    if block[k]:
+                        b = bits.bit()
+                        if b is None:
+                            return None
+                        if b and not (block[k] & p1):
+                            block[k] += p1 if block[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    block[k] = newval
+                k += 1
+        if eobrun > 0:
+            # EOB sweep: correction bits for the remaining
+            # nonzero-history coefficients of this block
+            while k <= se:
+                if block[k]:
+                    b = bits.bit()
+                    if b is None:
+                        return None
+                    if b and not (block[k] & p1):
+                        block[k] += p1 if block[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+    return end
+
+
+def _jpeg_progressive_pixels(payload: bytes, parsed=None):
+    """REAL pixel decode for progressive (SOF2) Huffman JPEG — the
+    coding that dominates web corpora alongside baseline (T.81 Annex
+    G: spectral selection AND successive approximation, restart
+    intervals, gray or YCbCr). Coefficients accumulate across scans in
+    zigzag order via :func:`_jpeg_prog_decode_scan`; DHT/DQT/DRI
+    segments between scans update the live tables; after the last scan
+    the shared :func:`_jpeg_reconstruct` tail (dequant → batched IDCT
+    → upsample → color-convert) produces pixels. Returns
+    (w, h, ndarray[h, w, 3] uint8 RGB) or honest None on any
+    malformed/truncated scan."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if parsed is None:
+            parsed = _jpeg_headers(payload)
+    except (IndexError, ValueError):
+        return None
+    if parsed is None or parsed[4] is None:
+        return None
+    qt_raw, hufftabs, (w, h, comps, m), dri, scan = parsed
+    if m != 0xC2:
+        return None
+    qt_raw = dict(qt_raw)
+    hufftabs = dict(hufftabs)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for c in comps:
+        if not c[1] or not c[2] or hmax % c[1] or vmax % c[2]:
+            return None
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    # A lying frame header cannot make us allocate unboundedly (the
+    # baseline bound: every block costs entropy bits in some scan).
+    total_blocks = mx * my * sum(c[1] * c[2] for c in comps)
+    if total_blocks > 8 * len(payload):
+        return None
+    cindex = {c[0]: i for i, c in enumerate(comps)}
+    if len(cindex) != len(comps):
+        return None
+    coefs = [
+        np.zeros((my * c[2], mx * c[1], 64), np.int64) for c in comps
+    ]
+    # non-interleaved scans walk the COMPONENT's own block grid, which
+    # can be smaller than the MCU-padded allocation
+    grids = []
+    for c in comps:
+        cw = -(-(w * c[1]) // hmax)
+        ch = -(-(h * c[2]) // vmax)
+        grids.append((-(-cw // 8), -(-ch // 8)))
+    while scan is not None:
+        pos = _jpeg_prog_decode_scan(
+            payload, scan, hufftabs, dri, comps, cindex, coefs, grids,
+            mx, my,
+        )
+        if pos is None:
+            return None
+        # marker loop between scans: tables and DRI are LIVE state
+        scan = None
+        while pos + 2 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            mk = payload[pos + 1]
+            if mk == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if mk == 0xD9:  # EOI
+                break
+            if mk == 0x01 or 0xD0 <= mk <= 0xD7:  # TEM / stray RST
+                pos += 2
+                continue
+            if pos + 4 > len(payload):
+                return None
+            ln = struct.unpack_from(">H", payload, pos + 2)[0]
+            seg = payload[pos + 4 : pos + 2 + ln]
+            if ln < 2 or len(seg) != ln - 2:
+                return None
+            if mk == 0xC4:  # DHT
+                if not _jpeg_dht_into(seg, hufftabs):
+                    return None
+            elif mk == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    if pq != 0 or len(seg) < i + 65:
+                        return None
+                    qt_raw[tq] = bytes(seg[i + 1 : i + 65])
+                    i += 65
+            elif mk == 0xDD:  # DRI
+                if ln != 4:
+                    return None
+                dri = struct.unpack_from(">H", seg, 0)[0]
+            elif mk == 0xDA:  # next scan
+                ns = seg[0] if seg else 0
+                if not seg or len(seg) < 1 + 2 * ns + 3:
+                    return None
+                smap = [
+                    (
+                        seg[1 + 2 * c],
+                        seg[2 + 2 * c] >> 4,
+                        seg[2 + 2 * c] & 15,
+                    )
+                    for c in range(ns)
+                ]
+                b0 = 1 + 2 * ns
+                scan = (
+                    smap,
+                    pos + 2 + ln,
+                    seg[b0],
+                    seg[b0 + 1],
+                    seg[b0 + 2] >> 4,
+                    seg[b0 + 2] & 15,
+                )
+                break
+            pos += 2 + ln
+    zz = np.array(_JPEG_ZZ)
+    qts = {}
+    for tq, raw in qt_raw.items():
+        nat = np.zeros(64, np.int32)
+        nat[zz] = np.frombuffer(raw, np.uint8)
+        qts[tq] = nat.reshape(8, 8)
+    coefs_by_cid = {}
+    for ci, c in enumerate(comps):
+        if c[3] not in qts:
+            return None
+        nat = np.zeros_like(coefs[ci])
+        nat[..., zz] = coefs[ci]
+        coefs_by_cid[c[0]] = nat
+    return _jpeg_reconstruct(comps, coefs_by_cid, qts, w, h, hmax, vmax)
 
 
 # ITU-R BT.601 luma, integer micro-form: (299R + 587G + 114B) // 1000 —

@@ -411,10 +411,15 @@ class TestJpegHonestNone:
         pix = _const_blocks_image(np.array([[100]]))
         return encode_gray(pix)[0]
 
-    def test_progressive_rejected(self):
+    def test_sof2_with_invalid_scan_script_returns_none(self):
+        """Progressive DECODES since r14 (tests/test_jpeg_progressive
+        pins it), so flipping a baseline file's SOF0 to SOF2 now means:
+        metadata still reports dimensions, but the baseline-style scan
+        (Ss=0, Se=63 — illegal for progressive, where DC scans need
+        Se=0) must return honest None, not garbage pixels."""
         p = self._payload().replace(b"\xff\xc0", b"\xff\xc2", 1)
         assert _jpeg_pixels(p) is None
-        assert _parse_jpeg(p) is None
+        assert _parse_jpeg(p) == (8, 8, "L")
 
     def test_arithmetic_rejected(self):
         p = self._payload().replace(b"\xff\xc0", b"\xff\xc9", 1)
