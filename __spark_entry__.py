@@ -2280,6 +2280,75 @@ def q_image_ahash(spark, sf_dir):
     return image_ahash(_doc_ppm_media(spark, sf_dir))
 
 
+def q_image_phash(spark, sf_dir):
+    """Spectral perceptual fingerprint (pipeline/multimodal.py
+    image_phash — NEW r14, the DCT twin of aHash): decode the P6
+    pixels, 32×32 integer-luma resample, SEPARABLE fixed-point DCT
+    with the _PHASH_DCT14 integer basis (no engine ever calls cos —
+    the oracle embeds the same 256 literals), median-threshold the 63
+    low-frequency AC terms (the 32nd smallest — an exact integer order
+    statistic), strict-greater bits packed as two non-negative halves.
+    Every stage is int64-exact, so the oracle replays resample
+    indices, both matmuls, the order statistic, and the packing in
+    SQL. kind='phash' pins the real decode path; exact-invariance to
+    uniform brightness shifts is pytest-pinned (the DCT basis rows
+    u>=1 sum to exactly 0)."""
+    from lotad_spark.pipeline.multimodal import image_phash
+
+    return image_phash(_doc_ppm_media(spark, sf_dir))
+
+
+def _image_phash_sql():
+    from lotad_spark.pipeline.multimodal import _PHASH_DCT14
+
+    basis = ", ".join(
+        str(v) for row in _PHASH_DCT14 for v in row
+    )  # flat M[u*32 + x], 256 literals shared verbatim with Spark
+    luma_at = (
+        "(299 * ord(substr(px, CAST(3 * (((i // 32) * h // 32) * w "
+        "+ ((i % 32) * w // 32)) + 1 AS INT), 1)) "
+        "+ 587 * ord(substr(px, CAST(3 * (((i // 32) * h // 32) * w "
+        "+ ((i % 32) * w // 32)) + 2 AS INT), 1)) "
+        "+ 114 * ord(substr(px, CAST(3 * (((i // 32) * h // 32) * w "
+        "+ ((i % 32) * w // 32)) + 3 AS INT), 1))) // 1000"
+    )
+    return (
+        "WITH mm AS (SELECT [" + basis + "] AS m), "
+        "base AS (SELECT doc_id AS media_id, "
+        "CAST(doc_id % 5 + 2 AS BIGINT) AS w, "
+        "CAST(doc_id % 3 + 1 AS BIGINT) AS h, "
+        "rpad(coalesce(text, ''), "
+        "CAST((doc_id % 5 + 2) * (doc_id % 3 + 1) * 3 AS INT), 'x') "
+        "AS px FROM documents), "
+        # 32×32 luma resample, row-major (i = y*32 + x)
+        "cells AS (SELECT media_id, list_transform(range(0, 1024), "
+        "i -> " + luma_at + ") AS L FROM base, mm), "
+        # T[u][y] = Σ_x M[u][x]·L[x·32 + y]  (flat t = u*32 + y)
+        "tt AS (SELECT media_id, L, list_transform(range(0, 256), "
+        "t -> list_sum(list_transform(range(0, 32), x -> "
+        "m[CAST((t // 32) * 32 + x + 1 AS INT)] "
+        "* L[CAST(x * 32 + (t % 32) + 1 AS INT)]))) AS T "
+        "FROM cells, mm), "
+        # C[u][v] = Σ_y T[u·32+y]·M[v·32+y]  (flat uv = u*8 + v)
+        "cc AS (SELECT media_id, list_transform(range(0, 64), "
+        "uv -> list_sum(list_transform(range(0, 32), y -> "
+        "T[CAST((uv // 8) * 32 + y + 1 AS INT)] "
+        "* m[CAST((uv % 8) * 32 + y + 1 AS INT)]))) AS C "
+        "FROM tt, mm), "
+        "ac AS (SELECT media_id, C[2:64] AS a FROM cc), "
+        "md AS (SELECT media_id, a, list_sort(a)[32] AS med FROM ac) "
+        "SELECT media_id, 'phash' AS kind, "
+        "CAST(list_sum(list_transform(range(32, 63), i -> "
+        "CASE WHEN a[CAST(i + 1 AS INT)] > med "
+        "THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)) AS BIGINT) "
+        "AS phash_hi, "
+        "CAST(list_sum(list_transform(range(0, 32), i -> "
+        "CASE WHEN a[CAST(i + 1 AS INT)] > med "
+        "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) "
+        "AS phash_lo FROM md"
+    )
+
+
 _IMAGE_AHASH_SQL = (
     "WITH base AS (SELECT doc_id AS media_id, "
     "CAST(doc_id % 5 + 2 AS BIGINT) AS w, "
@@ -5473,16 +5542,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r14), per the
-    precomputed queue in COVERAGE.md (140 rows total, ALL value-checked
+    precomputed queue in COVERAGE.md (141 rows total, ALL value-checked
     — the r14 consolidation retired wizard_distinct_sample, which ran
     no repo code, the former rows-only rollup_distinct_users face is
-    now value-checked, and multimodal_jpeg_progressive_hist is new):
+    now value-checked, and two rows are new):
 
-    * 1: NEW — multimodal_jpeg_progressive_hist (the SOF2 progressive
-      decode landed r14: DC point transform + successive-approximation
-      refinement + EOB-run AC band coder over the exactly-round-
-      tripping constant-block pixel class).
-    * 2-7: changed-code re-entries — edit_distance_pairs /
+    * 1-2: NEW — multimodal_jpeg_progressive_hist (the SOF2
+      progressive decode landed r14: DC point transform +
+      successive-approximation refinement + EOB-run AC band coder over
+      the exactly-round-tripping constant-block pixel class) and
+      image_phash (the DCT perceptual fingerprint with an int64-exact
+      fixed-point basis, fully SQL-replayable).
+    * 3-8: changed-code re-entries — edit_distance_pairs /
       edit_distance_topk (the candidate shuffle now carries
       (xxhash64(segment), id, length, position) only, with aligned
       O(k³) probing), multimodal_tiff_luma_hist (the synthesis now
@@ -5493,18 +5564,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       wizard_overlap_probe (now drives wizard.column_overlap_count
       instead of an inline copy; also carries the A3 sample coverage
       after the consolidation).
-    * 8-20: the r10-green remainder, longest out of the window (out
+    * 9-21: the r10-green remainder, longest out of the window (out
       since r11) — dedup_components through text_unigram_lm, the
       precomputed r14 queue head.
-    * 21-50: the r11-green block head in COVERAGE.md's listed order —
-      diff_deleted_rows through orc_scan_diff (30 rows).
-    * 51+: rotated out — csv_scan_diff (displaced by the late
-      progressive-JPEG addition — the r15 queue head), then the rest
-      of the r11-green remainder (apply_bpe → temperature_rates), then
+    * 22-50: the r11-green block head in COVERAGE.md's listed order —
+      diff_deleted_rows through strip_dup_lines (29 rows).
+    * 51+: rotated out — orc_scan_diff / csv_scan_diff (displaced by
+      the late r14 additions — the r15 queue head), then the rest of
+      the r11-green remainder (apply_bpe → temperature_rates), then
       the r12-green rows, then the r13-green window rows (newest
       last). Every rotated row has at least one driver-green round
       with code unchanged since; the FULL registry stays enforced by
-      scripts/check_oracle.py (140 value-checked at sf0.01) and the
+      scripts/check_oracle.py (141 value-checked at sf0.01) and the
       pytest suite. See COVERAGE.md "Driver-window rotation".
     """
     return {
@@ -5513,6 +5584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fusion, the value-checked rollup_distinct_users face, the
         # wizard probe now driving column_overlap_count itself). ---
         "multimodal_jpeg_progressive_hist": q_multimodal_jpeg_progressive_hist,
+        "image_phash": q_image_phash,
         "edit_distance_pairs": q_edit_distance_pairs,
         "edit_distance_topk": q_edit_distance_topk,
         "multimodal_tiff_luma_hist": q_multimodal_tiff_luma_hist,
@@ -5564,14 +5636,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_key_stats": q_json_key_stats,
         "asof_latest_order": q_asof_latest_order,
         "strip_dup_lines": q_strip_dup_lines,
+        # --- 51+: rotated out. orc_scan_diff / csv_scan_diff
+        # (displaced by the late r14 additions — progressive JPEG and
+        # pHash) lead the r15 queue, then the r11-green remainder,
+        # then the r12-green rows, then the r13-green window rows
+        # (newest last). Every rotated row has at least one
+        # driver-green round with code unchanged since; the FULL
+        # registry stays enforced by scripts/check_oracle.py and the
+        # pytest suite. ---
         "orc_scan_diff": q_orc_scan_diff,
-        # --- 51+: rotated out. csv_scan_diff (displaced by the late
-        # progressive-JPEG addition) leads the r15 queue, then the
-        # r11-green remainder, then the r12-green rows, then the
-        # r13-green window rows (newest last). Every rotated row has
-        # at least one driver-green round with code unchanged since;
-        # the FULL registry stays enforced by scripts/check_oracle.py
-        # and the pytest suite. ---
         "csv_scan_diff": q_csv_scan_diff,
         "apply_bpe": q_apply_bpe,
         "interval_join_batch": q_interval_join_batch,
@@ -5724,6 +5797,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_hist": _MULTIMODAL_AUDIO_SQL,
         "multimodal_video_hist": _MULTIMODAL_VIDEO_SQL,
         "image_ahash": _IMAGE_AHASH_SQL,
+        "image_phash": _image_phash_sql(),
         "video_scene_cuts": _VIDEO_SCENE_SQL,
         "video_near_dup_pairs": _VIDEO_NEAR_DUP_SQL,
         "url_dedup": _url_dedup_sql(),

@@ -1857,6 +1857,122 @@ def image_ahash(
     return df.mapInPandas(hash_batches, schema=out_schema)
 
 
+# Fixed-point DCT-II basis rows for pHash, u ∈ 0..7 over 32 samples:
+# _PHASH_DCT14[u][x] = round(cos((2x+1)·u·π/64) · 2^14). Integer
+# constants so the WHOLE pHash pipeline is exact int64 arithmetic —
+# bit-replayable in any engine that gets the SAME literals (the oracle
+# SQL embeds these values verbatim; no engine ever calls cos()).
+# Overflow headroom: |T| ≤ 32·255·2¹⁴ ≈ 1.3e8, |C| ≤ 32·|T|·2¹⁴ ≈ 7e13
+# — comfortably inside signed 64-bit on both engines.
+import math as _math
+
+_PHASH_DCT14 = tuple(
+    tuple(
+        int(round(_math.cos((2 * x + 1) * u * _math.pi / 64) * 16384))
+        for x in range(32)
+    )
+    for u in range(8)
+)
+
+
+def phash_parts(payload: bytes):
+    """64-bit pHash (the DCT perceptual fingerprint — public method:
+    resize, 2D DCT, median-threshold the low-frequency block) of a
+    decodable payload, returned as TWO non-negative halves ``(hi,
+    lo)``. None when :func:`decode_pixels` can't decode.
+
+    All-integer pipeline, so the hash replays exactly in SQL: decode →
+    integer BT.601 luma → 32×32 nearest-neighbor resample (the
+    ``src = i·src_dim // 32`` index rule shared with aHash/resize) →
+    SEPARABLE fixed-point DCT (T = M·L then C = T·Mᵀ with the
+    :data:`_PHASH_DCT14` integer basis — integer matmuls, exact) →
+    keep the top-left 8×8 of C, drop the DC term → median of the 63
+    AC values = the 32nd smallest (odd count, exact integer order
+    statistic, no averaging) → bit i set iff AC value i > median
+    (STRICT). AC order is row-major over (u, v) skipping (0, 0); bit i
+    of ``lo`` covers AC values 0-31, ``hi`` values 32-62 (bit 63 of
+    the conceptual word is always 0). Versus aHash (spatial means),
+    pHash keys on the spectral envelope, so it survives smooth
+    brightness gradients and mild blur that flip aHash bits."""
+    dec = decode_pixels(payload)
+    if dec is None:
+        return None
+    return _phash_from_pixels(dec[2])
+
+
+def _phash_from_pixels(arr) -> tuple[int, int]:
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    lum = _luma(arr)
+    ys = [y * h // 32 for y in range(32)]
+    xs = [x * w // 32 for x in range(32)]
+    cells = lum[np.ix_(ys, xs)].astype(np.int64)
+    basis = np.array(_PHASH_DCT14, dtype=np.int64)
+    coefs = basis @ cells @ basis.T  # exact int64, separable DCT
+    ac = coefs.reshape(-1)[1:]  # row-major, DC dropped
+    median = int(np.sort(ac)[31])  # 32nd smallest of 63
+    lo = hi = 0
+    for i, c in enumerate(ac.tolist()):
+        if c > median:
+            if i < 32:
+                lo |= 1 << i
+            else:
+                hi |= 1 << (i - 32)
+    return (hi, lo)
+
+
+def image_phash(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, kind, phash_hi, phash_lo) per media row via Arrow-batched
+    mapInPandas — the spectral twin of :func:`image_ahash`, sharing
+    its contract: undecodable payloads emit kind='bytes' with NULL
+    halves, NULL payloads kind='null'. The two non-negative halves
+    pack into the same banding machinery as aHash
+    (:func:`image_near_dup_pairs`), so a pHash-keyed pairing is one
+    substitution away; only the hash extraction is Python."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, kind string, "
+        "phash_hi bigint, phash_lo bigint"
+    )
+
+    def hash_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, his, los = [], [], []
+            for payload in pdf[content_col]:
+                if payload is None:
+                    kinds.append("null")
+                    his.append(None)
+                    los.append(None)
+                    continue
+                parts = phash_parts(bytes(payload))
+                if parts is None:
+                    kinds.append("bytes")
+                    his.append(None)
+                    los.append(None)
+                else:
+                    kinds.append("phash")
+                    his.append(parts[0])
+                    los.append(parts[1])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "kind": kinds,
+                    "phash_hi": his,
+                    "phash_lo": los,
+                }
+            )
+
+    return df.mapInPandas(hash_batches, schema=out_schema)
+
+
 def image_near_dup_pairs(
     df: DataFrame,
     content_col: str = "content",

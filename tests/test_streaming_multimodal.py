@@ -551,6 +551,91 @@ class TestMultimodal:
         assert got[2].kind == "bytes" and got[2].n_frames == 0
         assert got[3].kind == "null"
 
+    def test_image_phash_properties(self, spark):
+        """pHash pins: an independent loop-based replay of the
+        definition (direct 2D fixed-point DCT, no matmul) matches the
+        operator; cross-format re-encodes hash equal; uniform images
+        hash all-zero (all AC terms are 0, strict-greater rule); a
+        uniform BRIGHTNESS shift leaves the hash EXACTLY unchanged
+        (the integer DCT basis rows u>=1 sum to exactly 0, so every
+        AC term is invariant — the spectral property aHash lacks);
+        undecodables get NULL halves."""
+        import numpy as np
+
+        from lotad_spark.pipeline.multimodal import (
+            _PHASH_DCT14,
+            _luma,
+            _phash_from_pixels,
+            image_phash,
+            phash_parts,
+        )
+
+        rng = np.random.RandomState(5)
+        arr = rng.randint(40, 200, (11, 13, 3)).astype(np.uint8)
+
+        # independent replay: direct O(n^4) DCT from the definition
+        lum = _luma(arr)
+        cells = [
+            [int(lum[y * 11 // 32][x * 13 // 32]) for x in range(32)]
+            for y in range(32)
+        ]
+        ac = []
+        for u in range(8):
+            for v in range(8):
+                if u == 0 and v == 0:
+                    continue
+                s = 0
+                for y in range(32):
+                    for x in range(32):
+                        s += (
+                            _PHASH_DCT14[u][y]
+                            * _PHASH_DCT14[v][x]
+                            * cells[y][x]
+                        )
+                ac.append(s)
+        med = sorted(ac)[31]
+        lo = hi = 0
+        for i, c in enumerate(ac):
+            if c > med:
+                if i < 32:
+                    lo |= 1 << i
+                else:
+                    hi |= 1 << (i - 32)
+        assert _phash_from_pixels(arr) == (hi, lo)
+
+        # exact brightness-shift invariance (no clipping at +/-30)
+        assert _phash_from_pixels(arr + 30) == (hi, lo)
+        assert _phash_from_pixels(arr - 30) == (hi, lo)
+
+        # uniform image: every AC coefficient is 0 -> all-zero hash
+        assert phash_parts(b"P6 4 4 255 " + bytes([9] * 48)) == (0, 0)
+        assert phash_parts(b"junk") is None
+
+        # cross-format equality + fallback labeling through the op
+        hdr = b"P6 8 8 255 "
+        px = bytes(v for i in range(64) for v in ((i * 4) % 256,) * 3)
+        p6 = hdr + px
+        png = self._make_png(
+            [list(px[r * 24 : (r + 1) * 24]) for r in range(8)]
+        )
+        assert phash_parts(p6) == phash_parts(png)
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(p6)),
+                (2, bytearray(png)),
+                (3, bytearray(b"junk")),
+                (4, None),
+            ],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in image_phash(df).collect()}
+        assert got[1].kind == "phash"
+        assert (got[1].phash_hi, got[1].phash_lo) == (
+            got[2].phash_hi, got[2].phash_lo,
+        )
+        assert got[3].kind == "bytes" and got[3].phash_hi is None
+        assert got[4].kind == "null"
+
     def test_image_ahash_properties(self, spark):
         """aHash invariances the operator exists for: byte-identical
         inputs and cross-FORMAT re-encodes of the same pixels hash
