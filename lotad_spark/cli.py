@@ -934,6 +934,48 @@ def heavy_hitters_cmd(docs_path, output_path, phi, text_col) -> None:
     )
 
 
+@cli.command("image-dedup")
+@click.option("--media", "media_path", type=click.Path(exists=True),
+              required=True,
+              help="Parquet file/dir with (media_id, content) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes (id_a, id_b, hamming) to OUTPUT/pairs")
+@click.option("--hash", "hash_kind", default="ahash", show_default=True,
+              type=click.Choice(["ahash", "phash"]),
+              help="Fingerprint: spatial-mean aHash or fixed-point-DCT "
+                   "pHash (r14; exactly brightness-shift invariant)")
+@click.option("--max-hamming", default=7, show_default=True)
+@click.option("--bands", default=8, show_default=True,
+              help="Band count; recall is exact for max-hamming <= "
+                   "bands - 1")
+@click.option("--id-col", default="media_id", show_default=True)
+@click.option("--content-col", default="content", show_default=True)
+def image_dedup_cmd(
+    media_path, output_path, hash_kind, max_hamming, bands, id_col,
+    content_col,
+) -> None:
+    """Perceptual image near-duplicate pairs via banded aHash/pHash —
+    bucket-local candidates only, never all-pairs."""
+    from lotad_spark.pipeline.multimodal import image_near_dup_pairs
+    from lotad_spark.sources.parquet import read_table
+
+    spark = get_spark("lotad_spark_image_dedup")
+    out = image_near_dup_pairs(
+        read_table(spark, media_path),
+        content_col,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        bands=bands,
+        hash_kind=hash_kind,
+    )
+    out.write.mode("overwrite").parquet(f"{output_path}/pairs")
+    n = spark.read.parquet(f"{output_path}/pairs").count()
+    click.echo(
+        f"image-dedup: {n} pairs within hamming {max_hamming} "
+        f"({hash_kind}, {bands} bands) -> {output_path}/pairs"
+    )
+
+
 @cli.command("pack-plan")
 @click.option("--docs", "docs_path", type=click.Path(exists=True),
               required=True,

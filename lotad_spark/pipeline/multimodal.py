@@ -1980,9 +1980,10 @@ def image_near_dup_pairs(
     id_col: str = "media_id",
     max_hamming: int = 7,
     bands: int = 8,
+    hash_kind: str = "ahash",
 ) -> DataFrame:
     """Image near-duplicate PAIRING: (id_a, id_b, hamming) for
-    decodable pairs within ``max_hamming`` aHash bits, via the
+    decodable pairs within ``max_hamming`` fingerprint bits, via the
     simhash-style multi-probe banding — the 64-bit fingerprint splits
     into ``bands`` equal slices (``bands`` must divide 64) and
     candidates share at least one (slice_index, slice_value).
@@ -1992,10 +1993,29 @@ def image_near_dup_pairs(
     only — never all-pairs, the same scale shape as the text
     SimHash path. Only the hash extraction is Python (Arrow-batched);
     banding, joining, and verification are pure JVM expressions over
-    two bigints per image."""
+    two bigints per image.
+
+    ``hash_kind`` picks the fingerprint: ``"ahash"`` (spatial means —
+    cheap, flips under smooth brightness gradients) or ``"phash"``
+    (r14 — the fixed-point DCT spectral envelope, exactly invariant to
+    uniform brightness shifts); both pack as two non-negative bigint
+    halves, so the banding/verify plan is identical."""
+    if hash_kind == "ahash":
+        hashed = image_ahash(df, content_col, id_col=id_col)
+        hi_col, lo_col = "ahash_hi", "ahash_lo"
+    elif hash_kind == "phash":
+        hashed = image_phash(df, content_col, id_col=id_col)
+        hi_col, lo_col = "phash_hi", "phash_lo"
+    else:
+        raise ValueError(
+            "image_near_dup_pairs: hash_kind must be 'ahash' or "
+            f"'phash', got {hash_kind!r}"
+        )
     slices = _ahash_band_slices(bands, "image_near_dup_pairs")
-    hashed = image_ahash(df, content_col, id_col=id_col).filter(
-        F.col("kind") == "ahash"
+    hashed = hashed.filter(F.col("kind") == hash_kind).select(
+        F.col(id_col),
+        F.col(hi_col).alias("ahash_hi"),
+        F.col(lo_col).alias("ahash_lo"),
     )
     stacked = hashed.select(
         F.col(id_col),

@@ -636,6 +636,44 @@ class TestMultimodal:
         assert got[3].kind == "bytes" and got[3].phash_hi is None
         assert got[4].kind == "null"
 
+        # the pairing face keyed on pHash: cross-format exact pair at
+        # hamming 0, validation on a bad kind
+        from lotad_spark.pipeline.multimodal import image_near_dup_pairs
+
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in image_near_dup_pairs(df, hash_kind="phash").collect()
+        }
+        assert pairs[(1, 2)] == 0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="hash_kind"):
+            image_near_dup_pairs(df, hash_kind="dhash")
+
+    def test_image_dedup_cli(self, spark, tmp_path):
+        """The image-dedup CLI face lands banded pHash pairs."""
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        hdr = b"P6 8 8 255 "
+        px = bytes(v for i in range(64) for v in ((i * 4) % 256,) * 3)
+        media = str(tmp_path / "media")
+        spark.createDataFrame(
+            [(1, bytearray(hdr + px)), (2, bytearray(hdr + px))],
+            "media_id bigint, content binary",
+        ).write.parquet(media)
+        out = str(tmp_path / "out")
+        r = CliRunner().invoke(
+            cli,
+            ["image-dedup", "--media", media, "--output", out,
+             "--hash", "phash"],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        pairs = spark.read.parquet(f"{out}/pairs").collect()
+        assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
     def test_image_ahash_properties(self, spark):
         """aHash invariances the operator exists for: byte-identical
         inputs and cross-FORMAT re-encodes of the same pixels hash
