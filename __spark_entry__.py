@@ -373,6 +373,132 @@ def _near_dup_corpus(spark, sf_dir):
     return d.unionByName(copies)
 
 
+# Deterministic HTML wrapper for the web-extraction rows: raw text and
+# doc_id slot into a template exercising every extraction step —
+# script/style/comment containers (with a stray '<' and a '</div>'
+# INSIDE the script, which must vanish with it), block tags, inline
+# tags with attributes, the named entities, double- and single-quoted
+# hrefs. Built by the SAME part list on both engines (Spark concat /
+# SQL ||), so the chains replay on identical input.
+_HTML_PARTS = (
+    "<html><head><title>Doc ",
+    None,  # doc_id
+    '</title><style>p { color: #333; }</style>'
+    '<script type="text/javascript">var x = 1 < 2; '
+    'var s = "</div>"; // d',
+    None,  # doc_id
+    "</script></head><body><h1>Doc ",
+    None,  # doc_id
+    "</h1><p>",
+    "TEXT",  # raw document text
+    '</p><div class="note">&amp; &lt;raw&gt; &quot;q&quot;&nbsp;end'
+    '</div><a href="https://example.com/doc/',
+    None,  # doc_id
+    '?a=1&amp;b=2">first link</a> <a href=\'/rel/',
+    None,  # doc_id
+    "'>second</a><!-- comment ",
+    None,  # doc_id
+    " --></body></html>",
+)
+
+
+def _doc_html_frame(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cols = []
+    for part in _HTML_PARTS:
+        if part is None:
+            cols.append(F.col("doc_id").cast("string"))
+        elif part == "TEXT":
+            cols.append(F.coalesce(F.col("text"), F.lit("")))
+        else:
+            cols.append(F.lit(part))
+    return d.select("doc_id", F.concat(*cols).alias("html"))
+
+
+def _html_build_sql() -> str:
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    parts = []
+    for part in _HTML_PARTS:
+        if part is None:
+            parts.append("CAST(doc_id AS VARCHAR)")
+        elif part == "TEXT":
+            parts.append("coalesce(text, '')")
+        else:
+            parts.append(q(part))
+    return (
+        "SELECT doc_id, " + " || ".join(parts) + " AS html FROM documents"
+    )
+
+
+def _html_extract_sql() -> str:
+    """The EXACT html_text_expr chain, regenerated in SQL from the
+    same constants (pipeline/web.py) — patterns live in the common
+    Java-regex/RE2 subset by construction, so the replay is
+    byte-faithful."""
+    from lotad_spark.pipeline.web import (
+        HTML_ENTITY_STEPS,
+        HTML_SPACE_STEPS,
+        HTML_TEXT_STEPS,
+    )
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = "html"
+    for pat, rep in HTML_TEXT_STEPS:
+        rep_sql = "chr(10)" if rep == "\n" else q(rep)
+        expr = f"regexp_replace({expr}, {q(pat)}, {rep_sql}, 'gs')"
+    for lit, rep in HTML_ENTITY_STEPS:
+        expr = f"replace({expr}, {q(lit)}, {q(rep)})"
+    for pat, rep in HTML_SPACE_STEPS:
+        rep_sql = "chr(10)" if rep == "\n" else q(rep)
+        expr = f"regexp_replace({expr}, {q(pat)}, {rep_sql}, 'gs')"
+    return (
+        "SELECT doc_id, " + expr + " AS text FROM (" + _html_build_sql()
+        + ")"
+    )
+
+
+def _html_links_sql() -> str:
+    from lotad_spark.pipeline.web import LINK_PATTERN
+
+    pat = "'" + LINK_PATTERN.replace("'", "''") + "'"
+    return (
+        "SELECT doc_id, unnest(regexp_extract_all(html, " + pat
+        + ", 1)) AS link FROM (" + _html_build_sql() + ")"
+    )
+
+
+def q_html_extract(spark, sf_dir):
+    """WET-style HTML→text extraction (pipeline/web.py html_to_text —
+    NEW r14): one JVM regexp chain (script/style/comment containers
+    drop WITH content, block tags become newlines, remaining tags
+    strip, named entities decode single-pass with &amp; last,
+    whitespace folds). Every pattern is written to the common
+    Java-regex/RE2 subset (no backreferences, no \\s) and the oracle
+    regenerates the identical chain in SQL from the same module
+    constants over the same template-built HTML — so the extraction
+    semantics are value-checked byte-for-byte, including the stray
+    '<' and '</div>' INSIDE the script block that a naive tag-stripper
+    would leak."""
+    from lotad_spark.pipeline.web import html_to_text
+
+    return html_to_text(_doc_html_frame(spark, sf_dir))
+
+
+def q_html_links(spark, sf_dir):
+    """Link extraction from raw HTML (pipeline/web.py extract_links —
+    NEW r14): one projection + explode over regexp_extract_all of
+    single- or double-quoted hrefs; the inlet of the URL ladder
+    (canonicalize_url → url_dedup → domain_stats). Oracle replays the
+    same pattern via DuckDB regexp_extract_all/unnest."""
+    from lotad_spark.pipeline.web import extract_links
+
+    return extract_links(_doc_html_frame(spark, sf_dir))
+
+
 def q_text_stats(spark, sf_dir):
     from lotad_spark.pipeline import text_stats
 
@@ -5542,18 +5668,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r14), per the
-    precomputed queue in COVERAGE.md (141 rows total, ALL value-checked
+    precomputed queue in COVERAGE.md (143 rows total, ALL value-checked
     — the r14 consolidation retired wizard_distinct_sample, which ran
     no repo code, the former rows-only rollup_distinct_users face is
-    now value-checked, and two rows are new):
+    now value-checked, and four rows are new):
 
-    * 1-2: NEW — multimodal_jpeg_progressive_hist (the SOF2
+    * 1-4: NEW — multimodal_jpeg_progressive_hist (the SOF2
       progressive decode landed r14: DC point transform +
       successive-approximation refinement + EOB-run AC band coder over
-      the exactly-round-tripping constant-block pixel class) and
+      the exactly-round-tripping constant-block pixel class),
       image_phash (the DCT perceptual fingerprint with an int64-exact
-      fixed-point basis, fully SQL-replayable).
-    * 3-8: changed-code re-entries — edit_distance_pairs /
+      fixed-point basis, fully SQL-replayable), and html_extract /
+      html_links (WET-style HTML→text + href extraction as one JVM
+      regexp chain in the common Java-regex/RE2 subset; the oracle
+      regenerates the chain in SQL from the same module constants).
+    * 5-10: changed-code re-entries — edit_distance_pairs /
       edit_distance_topk (the candidate shuffle now carries
       (xxhash64(segment), id, length, position) only, with aligned
       O(k³) probing), multimodal_tiff_luma_hist (the synthesis now
@@ -5564,18 +5693,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       wizard_overlap_probe (now drives wizard.column_overlap_count
       instead of an inline copy; also carries the A3 sample coverage
       after the consolidation).
-    * 9-21: the r10-green remainder, longest out of the window (out
+    * 11-23: the r10-green remainder, longest out of the window (out
       since r11) — dedup_components through text_unigram_lm, the
       precomputed r14 queue head.
-    * 22-50: the r11-green block head in COVERAGE.md's listed order —
-      diff_deleted_rows through strip_dup_lines (29 rows).
-    * 51+: rotated out — orc_scan_diff / csv_scan_diff (displaced by
-      the late r14 additions — the r15 queue head), then the rest of
-      the r11-green remainder (apply_bpe → temperature_rates), then
-      the r12-green rows, then the r13-green window rows (newest
+    * 24-50: the r11-green block head in COVERAGE.md's listed order —
+      diff_deleted_rows through json_key_stats (27 rows).
+    * 51+: rotated out — the four r11-green rows displaced by the late
+      r14 additions (asof_latest_order, strip_dup_lines,
+      orc_scan_diff, csv_scan_diff — the r15 queue head), then the
+      rest of the r11-green remainder (apply_bpe → temperature_rates),
+      then the r12-green rows, then the r13-green window rows (newest
       last). Every rotated row has at least one driver-green round
       with code unchanged since; the FULL registry stays enforced by
-      scripts/check_oracle.py (141 value-checked at sf0.01) and the
+      scripts/check_oracle.py (143 value-checked at sf0.01) and the
       pytest suite. See COVERAGE.md "Driver-window rotation".
     """
     return {
@@ -5585,6 +5715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wizard probe now driving column_overlap_count itself). ---
         "multimodal_jpeg_progressive_hist": q_multimodal_jpeg_progressive_hist,
         "image_phash": q_image_phash,
+        "html_extract": q_html_extract,
+        "html_links": q_html_links,
         "edit_distance_pairs": q_edit_distance_pairs,
         "edit_distance_topk": q_edit_distance_topk,
         "multimodal_tiff_luma_hist": q_multimodal_tiff_luma_hist,
@@ -5634,16 +5766,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_gapfill": q_rollup_gapfill,
         "twa_by_user": q_twa_by_user,
         "json_key_stats": q_json_key_stats,
-        "asof_latest_order": q_asof_latest_order,
-        "strip_dup_lines": q_strip_dup_lines,
-        # --- 51+: rotated out. orc_scan_diff / csv_scan_diff
-        # (displaced by the late r14 additions — progressive JPEG and
-        # pHash) lead the r15 queue, then the r11-green remainder,
-        # then the r12-green rows, then the r13-green window rows
-        # (newest last). Every rotated row has at least one
-        # driver-green round with code unchanged since; the FULL
+        # --- 51+: rotated out. The four r11-green rows displaced by
+        # the late r14 additions (progressive JPEG, pHash, the two
+        # HTML-extraction rows) lead the r15 queue, then the r11-green
+        # remainder, then the r12-green rows, then the r13-green
+        # window rows (newest last). Every rotated row has at least
+        # one driver-green round with code unchanged since; the FULL
         # registry stays enforced by scripts/check_oracle.py and the
         # pytest suite. ---
+        "asof_latest_order": q_asof_latest_order,
+        "strip_dup_lines": q_strip_dup_lines,
         "orc_scan_diff": q_orc_scan_diff,
         "csv_scan_diff": q_csv_scan_diff,
         "apply_bpe": q_apply_bpe,
@@ -5798,6 +5930,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_video_hist": _MULTIMODAL_VIDEO_SQL,
         "image_ahash": _IMAGE_AHASH_SQL,
         "image_phash": _image_phash_sql(),
+        "html_extract": _html_extract_sql(),
+        "html_links": _html_links_sql(),
         "video_scene_cuts": _VIDEO_SCENE_SQL,
         "video_near_dup_pairs": _VIDEO_NEAR_DUP_SQL,
         "url_dedup": _url_dedup_sql(),

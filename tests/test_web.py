@@ -1,0 +1,100 @@
+"""HTML→text extraction and link extraction (pipeline/web.py) — the
+chain is pinned three ways: an independent Python `re` replay of the
+same module constants (a third regex engine agreeing with Spark and
+the DuckDB oracle), hand-asserted properties on a crafted document,
+and NULL/edge behavior."""
+
+import re
+
+import pytest
+
+from lotad_spark.pipeline.web import (
+    HTML_ENTITY_STEPS,
+    HTML_SPACE_STEPS,
+    HTML_TEXT_STEPS,
+    LINK_PATTERN,
+    extract_links,
+    html_to_text,
+)
+
+CRAFTED = (
+    '<html><head><title>T</title><style>p { color: red; }</style>'
+    '<script type="text/javascript">var a = "</div>"; if (1<2) {}'
+    "</script></head>"
+    "<body><h1>Head</h1><p>one &amp;amp; two&nbsp;&lt;tag&gt;</p>"
+    '<!-- secret --><a href="https://x.com/a?b=1&amp;c=2">link text</a>'
+    "<a href='/rel/path'>rel</a>"
+    "<ul><li>i1</li><li>i2</li></ul></body></html>"
+)
+
+
+def _py_replay(html: str) -> str:
+    """Independent executor of the published chain (Python re)."""
+    out = html
+    for pat, rep in HTML_TEXT_STEPS:
+        out = re.sub(pat, rep, out)
+    for lit, rep in HTML_ENTITY_STEPS:
+        out = out.replace(lit, rep)
+    for pat, rep in HTML_SPACE_STEPS:
+        out = re.sub(pat, rep, out)
+    return out
+
+
+class TestHtmlToText:
+    def test_crafted_document_properties(self, spark):
+        df = spark.createDataFrame(
+            [(1, CRAFTED), (2, None), (3, "plain, no tags")],
+            "doc_id bigint, html string",
+        )
+        got = {r.doc_id: r.text for r in html_to_text(df).collect()}
+        t = got[1]
+        # invisible containers vanish WITH content — including the
+        # '</div>' and '<' inside the script a naive stripper leaks
+        assert "color" not in t and "var a" not in t
+        assert "secret" not in t
+        # entities decode single-pass: &amp;amp; is the LITERAL &amp;
+        assert "one &amp; two <tag>" in t
+        # block boundaries are newlines; inline anchors are not
+        assert "Head" in t.split("\n")
+        assert "i1" in t.split("\n") and "i2" in t.split("\n")
+        assert "link text" in t and "rel" in t
+        # title text is kept (title is not a block tag; documented)
+        assert "T" in t.split("\n")[0]
+        # NULL stays NULL (auditable), plain text passes through
+        assert got[2] is None
+        assert got[3] == "plain, no tags"
+
+    def test_spark_matches_independent_python_replay(self, spark):
+        cases = [
+            (1, CRAFTED),
+            (2, "a < b & c > d"),  # bare specials survive untouched
+            (3, "<p>x</p><p></p><p>y</p>"),  # empty blocks collapse
+            (4, "  lead <b>bold</b> trail  "),
+            (5, "<SCRIPT>UPPER()</SCRIPT>ok<BR>line"),  # case-folding
+            (6, "<div attr=\"k>v\">odd</div> tail"),  # documented limit
+        ]
+        df = spark.createDataFrame(cases, "doc_id bigint, html string")
+        got = {r.doc_id: r.text for r in html_to_text(df).collect()}
+        for doc_id, html in cases:
+            assert got[doc_id] == _py_replay(html), doc_id
+
+    def test_extract_links(self, spark):
+        df = spark.createDataFrame(
+            [(1, CRAFTED), (2, "no links here"), (3, None)],
+            "doc_id bigint, html string",
+        )
+        rows = extract_links(df).collect()
+        got = sorted((r.doc_id, r.link) for r in rows)
+        assert got == [
+            (1, "/rel/path"),
+            (1, "https://x.com/a?b=1&amp;c=2"),  # raw href, pre-decode
+        ]
+        # links feed the URL ladder
+        from lotad_spark.pipeline.urls import canonicalize_urls
+
+        canon = canonicalize_urls(
+            extract_links(df), "link"
+        ).collect()
+        assert any(
+            c.canonical_url and "x.com" in c.canonical_url for c in canon
+        )
