@@ -471,6 +471,55 @@ def _html_links_sql() -> str:
     )
 
 
+def q_warc_ingest(spark, sf_dir):
+    """The crawl-to-training-text chain end-to-end (NEW r14): the
+    template HTML of every document lands in WARC files — one plain,
+    one per-record-gzip .warc.gz, so BOTH layouts are in the checked
+    rows — read back through sources/warc.py read_warc (binaryFile
+    scan → Arrow mapInPandas framing parse: version line, CRLF
+    headers, byte-exact Content-Length, warcinfo records skipped by
+    type), the HTTP envelope peeled by warc_http_text (JVM
+    expressions), and the body through the html_text_expr chain.
+    The oracle derives (target_uri, text) straight from the documents
+    table via the shared HTML-template + extraction-chain SQL — a
+    framing bug (off-by-one lengths, wrong member boundaries, header
+    misparse) changes rows and hash-mismatches. Synthesis-only driver
+    collect, bounded by the fixture corpus (the operator itself is a
+    distributed binaryFile scan)."""
+    import os
+
+    from lotad_spark.pipeline.web import html_text_expr
+    from lotad_spark.sources.warc import (
+        read_warc,
+        warc_http_text,
+        write_warc_file,
+    )
+
+    docs = sorted(
+        _doc_html_frame(spark, sf_dir).collect(), key=lambda r: r.doc_id
+    )
+    d = _scratch("lotad_warc_")
+    recs = [
+        (
+            f"https://example.com/doc/{r.doc_id}",
+            "text/html",
+            r.html.encode("utf-8"),
+        )
+        for r in docs
+    ]
+    half = len(recs) // 2
+    write_warc_file(recs[:half], os.path.join(d, "part0.warc"))
+    write_warc_file(
+        recs[half:], os.path.join(d, "part1.warc.gz"), gzip_members=True
+    )
+    parsed = warc_http_text(read_warc(spark, d)).filter(
+        F.col("warc_type") == "response"
+    )
+    return parsed.select(
+        "target_uri", html_text_expr(F.col("body")).alias("text")
+    )
+
+
 def q_html_extract(spark, sf_dir):
     """WET-style HTML→text extraction (pipeline/web.py html_to_text —
     NEW r14): one JVM regexp chain (script/style/comment containers
@@ -5668,21 +5717,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r14), per the
-    precomputed queue in COVERAGE.md (143 rows total, ALL value-checked
+    precomputed queue in COVERAGE.md (144 rows total, ALL value-checked
     — the r14 consolidation retired wizard_distinct_sample, which ran
     no repo code, the former rows-only rollup_distinct_users face is
-    now value-checked, and four rows are new):
+    now value-checked, and five rows are new):
 
-    * 1-4: NEW — multimodal_jpeg_progressive_hist (the SOF2
+    * 1-5: NEW — multimodal_jpeg_progressive_hist (the SOF2
       progressive decode landed r14: DC point transform +
       successive-approximation refinement + EOB-run AC band coder over
       the exactly-round-tripping constant-block pixel class),
       image_phash (the DCT perceptual fingerprint with an int64-exact
-      fixed-point basis, fully SQL-replayable), and html_extract /
+      fixed-point basis, fully SQL-replayable), html_extract /
       html_links (WET-style HTML→text + href extraction as one JVM
       regexp chain in the common Java-regex/RE2 subset; the oracle
-      regenerates the chain in SQL from the same module constants).
-    * 5-10: changed-code re-entries — edit_distance_pairs /
+      regenerates the chain in SQL from the same module constants),
+      and warc_ingest (the crawl-to-training-text chain end-to-end:
+      WARC framing via sources/warc.py — plain AND per-record-gzip —
+      HTTP peel, HTML extraction).
+    * 6-11: changed-code re-entries — edit_distance_pairs /
       edit_distance_topk (the candidate shuffle now carries
       (xxhash64(segment), id, length, position) only, with aligned
       O(k³) probing), multimodal_tiff_luma_hist (the synthesis now
@@ -5693,20 +5745,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       wizard_overlap_probe (now drives wizard.column_overlap_count
       instead of an inline copy; also carries the A3 sample coverage
       after the consolidation).
-    * 11-23: the r10-green remainder, longest out of the window (out
+    * 12-24: the r10-green remainder, longest out of the window (out
       since r11) — dedup_components through text_unigram_lm, the
       precomputed r14 queue head.
-    * 24-50: the r11-green block head in COVERAGE.md's listed order —
-      diff_deleted_rows through json_key_stats (27 rows).
-    * 51+: rotated out — the four r11-green rows displaced by the late
-      r14 additions (asof_latest_order, strip_dup_lines,
-      orc_scan_diff, csv_scan_diff — the r15 queue head), then the
-      rest of the r11-green remainder (apply_bpe → temperature_rates),
-      then the r12-green rows, then the r13-green window rows (newest
-      last). Every rotated row has at least one driver-green round
-      with code unchanged since; the FULL registry stays enforced by
-      scripts/check_oracle.py (143 value-checked at sf0.01) and the
-      pytest suite. See COVERAGE.md "Driver-window rotation".
+    * 25-50: the r11-green block head in COVERAGE.md's listed order —
+      diff_deleted_rows through twa_by_user (26 rows).
+    * 51+: rotated out — the five r11-green rows displaced by the late
+      r14 additions (json_key_stats, asof_latest_order,
+      strip_dup_lines, orc_scan_diff, csv_scan_diff — the r15 queue
+      head), then the rest of the r11-green remainder (apply_bpe →
+      temperature_rates), then the r12-green rows, then the r13-green
+      window rows (newest last). Every rotated row has at least one
+      driver-green round with code unchanged since; the FULL registry
+      stays enforced by scripts/check_oracle.py (144 value-checked at
+      sf0.01) and the pytest suite. See COVERAGE.md "Driver-window
+      rotation".
     """
     return {
         # --- 1-6: r14 changed-code re-entries (edit-distance shuffle
@@ -5717,6 +5770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash": q_image_phash,
         "html_extract": q_html_extract,
         "html_links": q_html_links,
+        "warc_ingest": q_warc_ingest,
         "edit_distance_pairs": q_edit_distance_pairs,
         "edit_distance_topk": q_edit_distance_topk,
         "multimodal_tiff_luma_hist": q_multimodal_tiff_luma_hist,
@@ -5765,15 +5819,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "rollup_gapfill": q_rollup_gapfill,
         "twa_by_user": q_twa_by_user,
-        "json_key_stats": q_json_key_stats,
-        # --- 51+: rotated out. The four r11-green rows displaced by
+        # --- 51+: rotated out. The five r11-green rows displaced by
         # the late r14 additions (progressive JPEG, pHash, the two
-        # HTML-extraction rows) lead the r15 queue, then the r11-green
-        # remainder, then the r12-green rows, then the r13-green
-        # window rows (newest last). Every rotated row has at least
-        # one driver-green round with code unchanged since; the FULL
-        # registry stays enforced by scripts/check_oracle.py and the
-        # pytest suite. ---
+        # HTML-extraction rows, the WARC chain) lead the r15 queue,
+        # then the r11-green remainder, then the r12-green rows, then
+        # the r13-green window rows (newest last). Every rotated row
+        # has at least one driver-green round with code unchanged
+        # since; the FULL registry stays enforced by
+        # scripts/check_oracle.py and the pytest suite. ---
+        "json_key_stats": q_json_key_stats,
         "asof_latest_order": q_asof_latest_order,
         "strip_dup_lines": q_strip_dup_lines,
         "orc_scan_diff": q_orc_scan_diff,
@@ -5932,6 +5986,14 @@ def oracle_sql() -> dict[str, str]:
         "image_phash": _image_phash_sql(),
         "html_extract": _html_extract_sql(),
         "html_links": _html_links_sql(),
+        # the WARC chain's payloads are the SAME template HTML, so the
+        # oracle is the extraction replay plus the synthesized URI
+        "warc_ingest": (
+            "SELECT 'https://example.com/doc/' || "
+            "CAST(doc_id AS VARCHAR) AS target_uri, text FROM ("
+            + _html_extract_sql()
+            + ")"
+        ),
         "video_scene_cuts": _VIDEO_SCENE_SQL,
         "video_near_dup_pairs": _VIDEO_NEAR_DUP_SQL,
         "url_dedup": _url_dedup_sql(),

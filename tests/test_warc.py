@@ -1,0 +1,107 @@
+"""WARC source (sources/warc.py): framing round-trips, both storage
+layouts, truncation honesty, and the HTTP peel."""
+
+import gzip
+import os
+
+import pytest
+
+from lotad_spark.sources.warc import (
+    _gunzip_members,
+    parse_warc_records,
+    read_warc,
+    warc_http_text,
+    write_warc_file,
+)
+
+
+def _roundtrip_records(tmp_path, gz):
+    name = "a.warc.gz" if gz else "a.warc"
+    path = str(tmp_path / name)
+    recs = [
+        (f"https://x.com/{i}", "text/plain", f"payload {i}".encode())
+        for i in range(4)
+    ]
+    write_warc_file(recs, path, gzip_members=gz)
+    data = open(path, "rb").read()
+    if gz:
+        data = _gunzip_members(data)
+    return list(parse_warc_records(data))
+
+
+class TestWarcFraming:
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_roundtrip(self, tmp_path, gz):
+        parsed = _roundtrip_records(tmp_path, gz)
+        assert len(parsed) == 5  # warcinfo + 4 responses
+        info_h, info_p = parsed[0]
+        assert info_h["warc-type"] == "warcinfo"
+        for i, (h, p) in enumerate(parsed[1:]):
+            assert h["warc-type"] == "response"
+            assert h["warc-target-uri"] == f"https://x.com/{i}"
+            assert p.endswith(f"payload {i}".encode())
+            assert int(h["content-length"]) == len(p)
+
+    def test_binary_payload_with_embedded_crlf(self):
+        """Content-Length framing must NOT resync on payload bytes
+        that look like record boundaries."""
+        tricky = b"\r\n\r\nWARC/1.0\r\n fake \r\n\r\n" + bytes(range(256))
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            + f"Content-Length: {len(tricky)}\r\n\r\n".encode()
+            + tricky
+            + b"\r\n\r\n"
+        )
+        parsed = list(parse_warc_records(rec + rec))
+        assert len(parsed) == 2
+        assert parsed[0][1] == tricky and parsed[1][1] == tricky
+
+    def test_truncated_payload_keeps_parsed_prefix(self, tmp_path):
+        path = str(tmp_path / "t.warc")
+        write_warc_file(
+            [("https://x.com/a", "text/plain", b"okokok")], path
+        )
+        data = open(path, "rb").read()
+        parsed_full = list(parse_warc_records(data))
+        assert len(parsed_full) == 2
+        # cut inside the LAST record's payload: the warcinfo survives,
+        # the torn record does not
+        parsed_cut = list(parse_warc_records(data[:-12]))
+        assert len(parsed_cut) == 1
+        assert parsed_cut[0][0]["warc-type"] == "warcinfo"
+
+    def test_missing_content_length_stops_file(self):
+        bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"
+        assert list(parse_warc_records(bad)) == []
+
+    def test_empty_payload_record(self):
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"Content-Length: 0\r\n\r\n\r\n\r\n"
+        )
+        parsed = list(parse_warc_records(rec + rec))
+        assert [p for _h, p in parsed] == [b"", b""]
+
+
+class TestWarcSpark:
+    def test_read_and_http_peel(self, spark, tmp_path):
+        d = str(tmp_path)
+        recs = [
+            (f"https://x.com/{i}", "text/html", f"<p>d{i}</p>".encode())
+            for i in range(3)
+        ]
+        write_warc_file(recs, os.path.join(d, "p0.warc"))
+        write_warc_file(
+            recs, os.path.join(d, "p1.warc.gz"), gzip_members=True
+        )
+        df = warc_http_text(read_warc(spark, d))
+        resp = df.filter("warc_type = 'response'").collect()
+        assert len(resp) == 6  # 3 per file, both layouts
+        for r in resp:
+            assert r.http_status == 200
+            assert r.body.startswith("<p>d")
+        # warcinfo payloads are not HTTP: NULL status, raw body
+        info = df.filter("warc_type = 'warcinfo'").collect()
+        assert all(
+            r.http_status is None and "software" in r.body for r in info
+        )
