@@ -934,6 +934,58 @@ def heavy_hitters_cmd(docs_path, output_path, phi, text_col) -> None:
     )
 
 
+@cli.command("web-extract")
+@click.option("--warc", "warc_path", type=click.Path(exists=True),
+              default=None,
+              help="WARC file/dir (plain or per-record-gzip .warc.gz)")
+@click.option("--html", "html_path", type=click.Path(exists=True),
+              default=None,
+              help="Parquet file/dir with (doc_id, html) rows")
+@click.option("--output", "output_path", required=True,
+              help="Writes extracted text to OUTPUT/text (and hrefs "
+                   "to OUTPUT/links with --links)")
+@click.option("--links/--no-links", default=False, show_default=True,
+              help="Also extract hrefs (the URL ladder's inlet)")
+def web_extract_cmd(warc_path, html_path, output_path, links) -> None:
+    """HTML -> training text: WET-style extraction from raw HTML or
+    straight from WARC crawl archives (framing parse + HTTP peel +
+    the one-projection regexp chain)."""
+    if (warc_path is None) == (html_path is None):
+        raise click.UsageError("pass exactly one of --warc / --html")
+    from lotad_spark.pipeline.web import extract_links, html_to_text
+
+    spark = get_spark("lotad_spark_web_extract")
+    if warc_path is not None:
+        from pyspark.sql import functions as F
+
+        from lotad_spark.sources.warc import read_warc, warc_http_text
+
+        pages = (
+            warc_http_text(read_warc(spark, warc_path))
+            .filter(F.col("warc_type") == "response")
+            .select(
+                F.col("target_uri").alias("doc_id"),
+                F.col("body").alias("html"),
+            )
+        )
+    else:
+        from lotad_spark.sources.parquet import read_table
+
+        pages = read_table(spark, html_path)
+    html_to_text(pages).write.mode("overwrite").parquet(
+        f"{output_path}/text"
+    )
+    n = spark.read.parquet(f"{output_path}/text").count()
+    msg = f"web-extract: {n} documents -> {output_path}/text"
+    if links:
+        extract_links(pages).write.mode("overwrite").parquet(
+            f"{output_path}/links"
+        )
+        nl = spark.read.parquet(f"{output_path}/links").count()
+        msg += f"; {nl} links -> {output_path}/links"
+    click.echo(msg)
+
+
 @cli.command("image-dedup")
 @click.option("--media", "media_path", type=click.Path(exists=True),
               required=True,

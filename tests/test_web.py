@@ -98,3 +98,50 @@ class TestHtmlToText:
         assert any(
             c.canonical_url and "x.com" in c.canonical_url for c in canon
         )
+
+
+class TestWebExtractCli:
+    def test_warc_mode_with_links(self, spark, tmp_path):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+        from lotad_spark.sources.warc import write_warc_file
+
+        import os
+
+        d = str(tmp_path / "crawl")
+        os.makedirs(d)
+        write_warc_file(
+            [
+                (
+                    "https://x.com/a",
+                    "text/html",
+                    b'<p>hello</p><a href="/next">n</a>',
+                )
+            ],
+            os.path.join(d, "c.warc.gz"),
+            gzip_members=True,
+        )
+        out = str(tmp_path / "out")
+        r = CliRunner().invoke(
+            cli,
+            ["web-extract", "--warc", d, "--output", out, "--links"],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        text_rows = spark.read.parquet(f"{out}/text").collect()
+        assert [(t.doc_id, t.text) for t in text_rows] == [
+            ("https://x.com/a", "hello\nn")
+        ]
+        link_rows = spark.read.parquet(f"{out}/links").collect()
+        assert [(l.doc_id, l.link) for l in link_rows] == [
+            ("https://x.com/a", "/next")
+        ]
+
+    def test_mode_validation(self):
+        from click.testing import CliRunner
+
+        from lotad_spark.cli import cli
+
+        r = CliRunner().invoke(cli, ["web-extract", "--output", "/tmp/x"])
+        assert r.exit_code != 0 and "exactly one" in r.output
