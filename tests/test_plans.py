@@ -465,3 +465,29 @@ class TestHeavyHittersPlans:
             assert "MapInPandas" not in live, plan
         finally:
             spark.catalog.clearCache()
+
+
+class TestWebPlans:
+    def test_html_extract_single_scan_no_exchange(self, spark, sf_dir):
+        """The extraction chain is ONE projection fused into the scan:
+        an Exchange or Join here means the regexp chain regressed to
+        something non-streaming."""
+        from lotad_spark.pipeline.web import html_to_text
+
+        d = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        pages = d.select("doc_id", F.col("text").alias("html"))
+        plan = _plan(html_to_text(pages))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "EvalPython" not in plan  # zero UDFs
+        assert plan.count("FileScan") == 1
+
+    def test_extract_links_no_exchange(self, spark, sf_dir):
+        from lotad_spark.pipeline.web import extract_links
+
+        d = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        pages = d.select("doc_id", F.col("text").alias("html"))
+        plan = _plan(extract_links(pages))
+        assert "Exchange" not in plan
+        assert "Generate explode" in plan
+        assert "EvalPython" not in plan
