@@ -45,7 +45,10 @@ WARC_SCHEMA = (
 
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress CONCATENATED gzip members (the .warc.gz layout:
-    one member per record) into one byte stream."""
+    one member per record) into one byte stream. Test/synthesis
+    helper — the read path uses :func:`iter_warc_records`, which
+    decompresses member-at-a-time instead of materializing the whole
+    stream."""
     import zlib
 
     out = bytearray()
@@ -61,9 +64,10 @@ def _gunzip_members(data: bytes) -> bytes:
     return bytes(out)
 
 
-def parse_warc_records(data: bytes):
-    """Yield (headers_dict, payload_bytes) per record. Stops at the
-    first malformed record (see module docstring)."""
+def _records_with_end(data: bytes):
+    """Yield (headers_dict, payload_bytes, end_offset) per complete
+    record in ``data``; stops (without consuming) at the first
+    incomplete or malformed record."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -91,8 +95,54 @@ def parse_warc_records(data: bytes):
         body_start = head_end + 4
         if body_start + length > n:
             break  # truncated payload: nothing safe to keep
-        yield headers, data[body_start : body_start + length]
+        yield headers, data[body_start : body_start + length], (
+            body_start + length
+        )
         pos = body_start + length
+
+
+def parse_warc_records(data: bytes):
+    """Yield (headers_dict, payload_bytes) per record of a PLAIN (not
+    gzipped) WARC byte string. Stops at the first malformed record
+    (see module docstring)."""
+    for headers, payload, _end in _records_with_end(data):
+        yield headers, payload
+
+
+def iter_warc_records(data: bytes):
+    """Yield (headers_dict, payload_bytes) from plain OR gzipped WARC
+    bytes (sniffed by magic). Gzip decompresses MEMBER-AT-A-TIME (the
+    .warc.gz layout is one gzip member per record), parsing complete
+    records out of a rolling buffer — peak memory is the raw file
+    plus a few records, never the whole decompressed stream (a 1 GiB
+    .warc.gz expands several-fold; holding it all per task is the
+    memory mistake this avoids). A record split across member
+    boundaries (non-standard but legal) still parses: the buffer
+    accumulates until the record completes."""
+    import zlib
+
+    if data[:2] != b"\x1f\x8b":
+        yield from parse_warc_records(data)
+        return
+    pos = 0
+    n = len(data)
+    buf = b""
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(data[pos:]) + d.flush()
+        except zlib.error:
+            break  # torn final member: keep what already parsed
+        tail = d.unused_data
+        pos = n - len(tail) if tail else n
+        buf += chunk
+        consumed = 0
+        for headers, payload, end in _records_with_end(buf):
+            yield headers, payload
+            consumed = end
+        if consumed:
+            buf = buf[consumed:]
+    # leftover buf is an incomplete record: dropped (truncation rule)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -113,9 +163,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             rows = []
             for fpath, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
-                if data[:2] == b"\x1f\x8b":
-                    data = _gunzip_members(data)
-                for headers, payload in parse_warc_records(data):
+                for headers, payload in iter_warc_records(data):
                     rows.append(
                         (
                             fpath,

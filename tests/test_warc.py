@@ -8,6 +8,7 @@ import pytest
 
 from lotad_spark.sources.warc import (
     _gunzip_members,
+    iter_warc_records,
     parse_warc_records,
     read_warc,
     warc_http_text,
@@ -73,6 +74,38 @@ class TestWarcFraming:
     def test_missing_content_length_stops_file(self):
         bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"
         assert list(parse_warc_records(bad)) == []
+
+    def test_gzip_member_at_a_time_matches_bulk(self, tmp_path):
+        """The streaming member parser must agree with bulk
+        decompress+parse, including a record SPLIT across members
+        (non-standard but legal) and a torn final member."""
+        import gzip as _g
+
+        recs = [
+            (f"https://x.com/{i}", "text/plain", f"p{i}".encode() * 50)
+            for i in range(6)
+        ]
+        path = str(tmp_path / "m.warc.gz")
+        write_warc_file(recs, path, gzip_members=True)
+        data = open(path, "rb").read()
+        bulk = list(parse_warc_records(_gunzip_members(data)))
+        streamed = list(iter_warc_records(data))
+        assert [h["warc-record-id"] for h, _p in streamed] == [
+            h["warc-record-id"] for h, _p in bulk
+        ]
+        assert [p for _h, p in streamed] == [p for _h, p in bulk]
+        # split one record across two members at an arbitrary byte
+        plain = _gunzip_members(data)
+        cut = len(plain) * 2 // 3
+        split = _g.compress(plain[:cut]) + _g.compress(plain[cut:])
+        assert [p for _h, p in iter_warc_records(split)] == [
+            p for _h, p in bulk
+        ]
+        # torn final member: everything before it still parses
+        torn = data[:-20]
+        got = list(iter_warc_records(torn))
+        assert 0 < len(got) < len(bulk)
+        assert [p for _h, p in got] == [p for _h, p in bulk[: len(got)]]
 
     def test_empty_payload_record(self):
         rec = (
