@@ -431,3 +431,38 @@ class TestProgressiveDecode:
                 assert (blk == g).all(), (did, b)
             checked += 1
         assert checked >= 10
+
+
+    def test_randomized_scan_scripts(self):
+        """Fuzz: random spectral splits and SA depths (the script
+        space real encoders draw from) must all reconstruct the
+        ground-truth coefficients exactly."""
+        for seed in (101, 202, 303, 404, 505):
+            rng = np.random.RandomState(seed)
+            # random spectral partition of 1..63
+            cuts = sorted(
+                rng.choice(range(2, 63), rng.randint(0, 4), replace=False)
+            )
+            bands = []
+            lo = 1
+            for c in cuts:
+                bands.append((lo, int(c) - 1))
+                lo = int(c)
+            bands.append((lo, 63))
+            dc_al = int(rng.randint(0, 3))
+            ac_al = int(rng.randint(0, 3))
+            scans = [([0], 0, 0, 0, dc_al)]
+            for a in range(dc_al, 0, -1):
+                scans.append(([0], 0, 0, a, a - 1))
+            for ss, se in bands:
+                scans.append(([0], ss, se, 0, ac_al))
+            for a in range(ac_al, 0, -1):
+                for ss, se in bands:
+                    scans.append(([0], ss, se, a, a - 1))
+            w = int(rng.randint(8, 48))
+            h = int(rng.randint(8, 40))
+            dri = int(rng.choice([0, 0, 2, 3]))
+            _roundtrip(
+                GRAY, w, h, scans, dri=dri,
+                density=float(rng.uniform(0.02, 0.5)), seed=seed,
+            )
