@@ -507,11 +507,22 @@ def q_warc_ingest(spark, sf_dir):
         )
         for r in docs
     ]
-    half = len(recs) // 2
-    write_warc_file(recs[:half], os.path.join(d, "part0.warc"))
-    write_warc_file(
-        recs[half:], os.path.join(d, "part1.warc.gz"), gzip_members=True
-    )
+    # 8 shards, alternating plain/.warc.gz — scan parallelism is the
+    # FILE count with this source, so the synthesis mirrors how a
+    # real crawl shards (and both layouts stay in the checked rows)
+    n_shards = 8
+    for s in range(n_shards):
+        shard = recs[s::n_shards]
+        if not shard:
+            continue
+        if s % 2:
+            write_warc_file(
+                shard,
+                os.path.join(d, f"part{s}.warc.gz"),
+                gzip_members=True,
+            )
+        else:
+            write_warc_file(shard, os.path.join(d, f"part{s}.warc"))
     parsed = warc_http_text(read_warc(spark, d)).filter(
         F.col("warc_type") == "response"
     )
