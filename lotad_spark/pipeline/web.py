@@ -75,8 +75,16 @@ HTML_SPACE_STEPS: tuple[tuple[str, str], ...] = (
     (r"[ \t\r\f\n]+$", ""),
 )
 
-# href/src values in single or double quotes; group 1 is the URL.
-LINK_PATTERN = r"""(?i)href[ \t]*=[ \t]*["']([^"']*)["']"""
+# href/src values — double-quoted, single-quoted, and unquoted forms
+# as THREE patterns (group 1 is the URL in each): matched-quote
+# pairing needs a backreference, which RE2 (the oracle engine) does
+# not have, and a mixed ["']…["'] class would let an apostrophe
+# truncate a double-quoted URL (r14 review finding).
+LINK_PATTERNS: tuple[str, ...] = (
+    '(?i)(?:href|src)[ \\t]*=[ \\t]*"([^"]*)"',
+    "(?i)(?:href|src)[ \\t]*=[ \\t]*'([^']*)'",
+    "(?i)(?:href|src)[ \\t]*=[ \\t]*([^\"' \\t\\r\\n>][^ \\t\\r\\n>]*)",
+)
 
 
 def html_text_expr(col: Column | str) -> Column:
@@ -114,14 +122,17 @@ def extract_links(
     *,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, link) per href occurrence, in document order — the inlet
-    of the URL ladder (``canonicalize_url`` → ``url_dedup`` →
-    ``domain_stats``). One projection + explode, no shuffle; documents
-    without links contribute no rows (count them upstream if the
-    fraction matters)."""
+    """(id, link) per href/src occurrence — the inlet of the URL
+    ladder (``canonicalize_urls`` → ``url_dedup`` → ``domain_stats``).
+    Rows group by quoting style (double-quoted, then single-quoted,
+    then unquoted), document order within each. One projection +
+    explode, no shuffle; documents without links contribute no
+    rows (count them upstream if the fraction matters)."""
+    arrays = [
+        F.regexp_extract_all(F.col(html_col), F.lit(p), 1)
+        for p in LINK_PATTERNS
+    ]
     return df.select(
         F.col(id_col),
-        F.explode(
-            F.regexp_extract_all(F.col(html_col), F.lit(LINK_PATTERN), 1)
-        ).alias("link"),
+        F.explode(F.concat(*arrays)).alias("link"),
     )

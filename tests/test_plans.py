@@ -447,24 +447,19 @@ class TestEditDistancePlans:
 class TestHeavyHittersPlans:
     def test_one_corpus_scan_in_verify_plan(self, spark, sf_dir):
         """heavy_hitters' returned plan must read the corpus ONCE (the
-        exact-verify pass) and take candidates from the persisted MG
-        summary — a second FileScan means the r13 separate n_total
-        pass is back."""
+        exact-verify pass), take candidates from the collected local
+        summary, and leave NOTHING cached — a second FileScan means
+        the r13 separate n_total pass is back; an InMemoryRelation
+        means the r14 persist leak is back."""
         from lotad_spark.pipeline import heavy_hitters
 
         d = ParquetDatabase(spark, sf_dir, "db").table("documents")
-        try:
-            plan = _plan(heavy_hitters(d, phi=0.01))
-            assert "InMemoryTableScan" in plan, plan
-            # the text after the first InMemoryRelation is the CACHED
-            # plan's description (not executed); the live plan above it
-            # must hold exactly one corpus scan and never re-run the
-            # MG mapInPandas pass
-            live = plan.split("InMemoryRelation")[0]
-            assert live.count("FileScan") == 1, plan
-            assert "MapInPandas" not in live, plan
-        finally:
-            spark.catalog.clearCache()
+        plan = _plan(heavy_hitters(d, phi=0.01))
+        assert plan.count("FileScan") == 1, plan
+        assert "MapInPandas" not in plan, plan  # MG pass never re-runs
+        assert "InMemoryRelation" not in plan, plan  # no cache leak
+        # collected candidates enter as a local/parallelized relation
+        assert "LocalTableScan" in plan or "ExistingRDD" in plan, plan
 
 
 class TestWebPlans:

@@ -12,7 +12,6 @@ from lotad_spark.pipeline.web import (
     HTML_ENTITY_STEPS,
     HTML_SPACE_STEPS,
     HTML_TEXT_STEPS,
-    LINK_PATTERN,
     extract_links,
     html_to_text,
 )
@@ -80,7 +79,14 @@ class TestHtmlToText:
 
     def test_extract_links(self, spark):
         df = spark.createDataFrame(
-            [(1, CRAFTED), (2, "no links here"), (3, None)],
+            [
+                (1, CRAFTED),
+                (2, "no links here"),
+                (3, None),
+                # unquoted href, src, and the apostrophe-in-a-double-
+                # quoted-URL case the mixed-quote class used to truncate
+                (4, "<a href=/next>n</a><img src=\"/img/it's.png\">"),
+            ],
             "doc_id bigint, html string",
         )
         rows = extract_links(df).collect()
@@ -88,6 +94,8 @@ class TestHtmlToText:
         assert got == [
             (1, "/rel/path"),
             (1, "https://x.com/a?b=1&amp;c=2"),  # raw href, pre-decode
+            (4, "/img/it's.png"),
+            (4, "/next"),
         ]
         # links feed the URL ladder
         from lotad_spark.pipeline.urls import canonicalize_urls
