@@ -448,6 +448,15 @@ class TestDecoderCrashRobustness:
             + b"fmt " + struct.pack("<I", 16) + fmt
             + b"data" + struct.pack("<I", len(data)) + data
         )
+        # progressive JPEG (r14): the multi-scan decoder joins the sweep
+        import test_jpeg_progressive as tjp
+
+        coefs = tjp._gen_coefs(rng, tjp.GRAY, 16, 16, density=0.2)
+        out["jpeg_prog"] = tjp.encode_progressive(
+            tjp.GRAY, coefs, 16, 16,
+            [([0], 0, 0, 0, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 0, 0)],
+            {0: bytes([1] * 64)},
+        )
         return out
 
     def test_never_raises(self):

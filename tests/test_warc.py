@@ -138,3 +138,35 @@ class TestWarcSpark:
         assert all(
             r.http_status is None and "software" in r.body for r in info
         )
+
+
+class TestWarcCrashRobustness:
+    def test_never_raises(self, tmp_path):
+        """A corrupt crawl shard must never kill the job: truncation
+        sweep, random byte flips, and garbage through both the plain
+        and gzip record iterators."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        recs = [
+            (f"https://x.com/{i}", "text/plain", b"pay" * (i + 1))
+            for i in range(3)
+        ]
+        plain_p = str(tmp_path / "p.warc")
+        gz_p = str(tmp_path / "p.warc.gz")
+        write_warc_file(recs, plain_p)
+        write_warc_file(recs, gz_p, gzip_members=True)
+        for p in (open(plain_p, "rb").read(), open(gz_p, "rb").read()):
+            for k in range(0, len(p), 3):  # truncation sweep
+                list(iter_warc_records(p[:k]))
+            for _ in range(60):  # random byte flips
+                b = bytearray(p)
+                for _ in range(rng.randint(1, 5)):
+                    b[rng.randint(0, len(b))] = rng.randint(0, 256)
+                list(iter_warc_records(bytes(b)))
+        for _ in range(100):  # pure garbage (incl. gzip-magic prefix)
+            t = bytes(
+                rng.randint(0, 256, rng.randint(0, 200)).astype(np.uint8)
+            )
+            list(iter_warc_records(t))
+            list(iter_warc_records(b"\x1f\x8b" + t))
