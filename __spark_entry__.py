@@ -537,6 +537,82 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+# Per-domain REP rules for the robots row — engineered so every
+# longest-match case lands in the fixture id range: /d/1 vs /d/12 vs
+# /d/123 nest (disallow/allow/disallow), b.com disallows everything
+# except the /d/2 prefix.
+_ROBOTS_RULES = (
+    ("a.com", "disallow", "/d/1"),
+    ("a.com", "allow", "/d/12"),
+    ("a.com", "disallow", "/d/123"),
+    ("a.com", "disallow", "/d/3"),
+    ("b.com", "disallow", "/"),
+    ("b.com", "allow", "/d/2"),
+)
+
+
+def q_robots_gate(spark, sf_dir):
+    """Robots Exclusion Protocol gate (pipeline/web.py robots_filter —
+    NEW r14): per-domain allow/disallow prefix rules decide each URL
+    by the published longest-match rule (ties → allow; no match →
+    allow). The corpus never shuffles: rules collapse to one
+    array-valued row per domain, broadcast-join, and the winner folds
+    inside the projection with higher-order array functions. The
+    oracle replays host/path derivation, prefix matching, and the
+    longest-match/tie ranking over the same literal rules via a SQL
+    window — any precedence bug flips booleans and hash-mismatches.
+    (robots.txt PARSING — group semantics, comments, empty Disallow —
+    is driver-side by design, bounded by domains, pytest-pinned:
+    the load_psl precedent.)"""
+    from lotad_spark.pipeline.web import robots_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("a.com")).otherwise(
+            F.lit("b.com")
+        ),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/x")).otherwise(
+            F.lit("")
+        ),
+    )
+    urls = d.select("doc_id", url.alias("url"))
+    rules = spark.createDataFrame(
+        list(_ROBOTS_RULES),
+        "domain string, rule_type string, path_prefix string",
+    )
+    return robots_filter(urls, rules).select(
+        "doc_id", "url", "robots_allowed"
+    )
+
+
+def _robots_gate_sql() -> str:
+    vals = ", ".join(
+        f"('{d}', '{t}', '{p}')" for d, t, p in _ROBOTS_RULES
+    )
+    return (
+        "WITH u AS (SELECT doc_id, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'a.com' ELSE 'b.com' END "
+        "AS domain, "
+        "'/d/' || CAST(doc_id AS VARCHAR) || "
+        "CASE WHEN doc_id % 7 = 0 THEN '/x' ELSE '' END AS path "
+        "FROM documents), "
+        "r(domain, rule_type, path_prefix) AS (VALUES " + vals + "), "
+        "m AS (SELECT u.doc_id, u.domain, u.path, r.rule_type, "
+        "r.path_prefix FROM u LEFT JOIN r ON u.domain = r.domain "
+        "AND starts_with(u.path, r.path_prefix)), "
+        "k AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY length(path_prefix) DESC, "
+        "CASE WHEN rule_type = 'allow' THEN 0 ELSE 1 END) AS rk "
+        "FROM m) "
+        "SELECT doc_id, 'https://' || domain || path AS url, "
+        "(rule_type IS NULL OR rule_type = 'allow') AS robots_allowed "
+        "FROM k WHERE rk = 1"
+    )
+
+
 def q_html_extract(spark, sf_dir):
     """WET-style HTML→text extraction (pipeline/web.py html_to_text —
     NEW r14): one JVM regexp chain (script/style/comment containers
@@ -5734,12 +5810,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r14), per the
-    precomputed queue in COVERAGE.md (144 rows total, ALL value-checked
+    precomputed queue in COVERAGE.md (145 rows total, ALL value-checked
     — the r14 consolidation retired wizard_distinct_sample, which ran
     no repo code, the former rows-only rollup_distinct_users face is
-    now value-checked, and five rows are new):
+    now value-checked, and six rows are new):
 
-    * 1-5: NEW — multimodal_jpeg_progressive_hist (the SOF2
+    * 1-6: NEW — multimodal_jpeg_progressive_hist (the SOF2
       progressive decode landed r14: DC point transform +
       successive-approximation refinement + EOB-run AC band coder over
       the exactly-round-tripping constant-block pixel class),
@@ -5748,10 +5824,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       html_links (WET-style HTML→text + href extraction as one JVM
       regexp chain in the common Java-regex/RE2 subset; the oracle
       regenerates the chain in SQL from the same module constants),
-      and warc_ingest (the crawl-to-training-text chain end-to-end:
+      warc_ingest (the crawl-to-training-text chain end-to-end:
       WARC framing via sources/warc.py — plain AND per-record-gzip —
-      HTTP peel, HTML extraction).
-    * 6-11: changed-code re-entries — edit_distance_pairs /
+      HTTP peel, HTML extraction), and robots_gate (REP longest-match
+      allow/disallow with the decision folded inside the projection —
+      the corpus never shuffles).
+    * 7-12: changed-code re-entries — edit_distance_pairs /
       edit_distance_topk (the candidate shuffle now carries
       (xxhash64(segment), id, length, position) only, with aligned
       O(k³) probing), multimodal_tiff_luma_hist (the synthesis now
@@ -5762,19 +5840,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       wizard_overlap_probe (now drives wizard.column_overlap_count
       instead of an inline copy; also carries the A3 sample coverage
       after the consolidation).
-    * 12-24: the r10-green remainder, longest out of the window (out
+    * 13-25: the r10-green remainder, longest out of the window (out
       since r11) — dedup_components through text_unigram_lm, the
       precomputed r14 queue head.
-    * 25-50: the r11-green block head in COVERAGE.md's listed order —
-      diff_deleted_rows through twa_by_user (26 rows).
-    * 51+: rotated out — the five r11-green rows displaced by the late
-      r14 additions (json_key_stats, asof_latest_order,
+    * 26-50: the r11-green block head in COVERAGE.md's listed order —
+      diff_deleted_rows through rollup_gapfill (25 rows).
+    * 51+: rotated out — the six r11-green rows displaced by the late
+      r14 additions (twa_by_user, json_key_stats, asof_latest_order,
       strip_dup_lines, orc_scan_diff, csv_scan_diff — the r15 queue
       head), then the rest of the r11-green remainder (apply_bpe →
       temperature_rates), then the r12-green rows, then the r13-green
       window rows (newest last). Every rotated row has at least one
       driver-green round with code unchanged since; the FULL registry
-      stays enforced by scripts/check_oracle.py (144 value-checked at
+      stays enforced by scripts/check_oracle.py (145 value-checked at
       sf0.01) and the pytest suite. See COVERAGE.md "Driver-window
       rotation".
     """
@@ -5788,6 +5866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "html_links": q_html_links,
         "warc_ingest": q_warc_ingest,
+        "robots_gate": q_robots_gate,
         "edit_distance_pairs": q_edit_distance_pairs,
         "edit_distance_topk": q_edit_distance_topk,
         "multimodal_tiff_luma_hist": q_multimodal_tiff_luma_hist,
@@ -5835,15 +5914,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hourly": q_rollup_hourly,
         "rollup_incremental": q_rollup_incremental,
         "rollup_gapfill": q_rollup_gapfill,
-        "twa_by_user": q_twa_by_user,
-        # --- 51+: rotated out. The five r11-green rows displaced by
+        # --- 51+: rotated out. The six r11-green rows displaced by
         # the late r14 additions (progressive JPEG, pHash, the two
-        # HTML-extraction rows, the WARC chain) lead the r15 queue,
-        # then the r11-green remainder, then the r12-green rows, then
-        # the r13-green window rows (newest last). Every rotated row
-        # has at least one driver-green round with code unchanged
-        # since; the FULL registry stays enforced by
-        # scripts/check_oracle.py and the pytest suite. ---
+        # HTML-extraction rows, the WARC chain, the robots gate) lead
+        # the r15 queue, then the r11-green remainder, then the
+        # r12-green rows, then the r13-green window rows (newest
+        # last). Every rotated row has at least one driver-green
+        # round with code unchanged since; the FULL registry stays
+        # enforced by scripts/check_oracle.py and the pytest suite. ---
+        "twa_by_user": q_twa_by_user,
         "json_key_stats": q_json_key_stats,
         "asof_latest_order": q_asof_latest_order,
         "strip_dup_lines": q_strip_dup_lines,
@@ -6011,6 +6090,7 @@ def oracle_sql() -> dict[str, str]:
             + _html_extract_sql()
             + ")"
         ),
+        "robots_gate": _robots_gate_sql(),
         "video_scene_cuts": _VIDEO_SCENE_SQL,
         "video_near_dup_pairs": _VIDEO_NEAR_DUP_SQL,
         "url_dedup": _url_dedup_sql(),

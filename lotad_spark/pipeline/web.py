@@ -136,3 +136,120 @@ def extract_links(
         F.col(id_col),
         F.explode(F.concat(*arrays)).alias("link"),
     )
+
+
+def parse_robots(text: str) -> list[tuple[str, str]]:
+    """(rule_type, path_prefix) pairs from a robots.txt body for the
+    ``User-agent: *`` group(s) — the published Robots Exclusion
+    Protocol grouping: consecutive ``User-agent`` lines open a group,
+    the ``Allow``/``Disallow`` lines that follow belong to every agent
+    named in it; ``#`` comments strip; an EMPTY ``Disallow:`` value
+    means "allow everything" and contributes no rule. Wildcard
+    extensions (``*``/``$`` inside values) are kept verbatim as
+    prefixes — the matcher below is prefix-only (the original REP),
+    documented. Driver-side parsing by design: the rules relation is
+    bounded by DOMAINS, not the corpus (the load_psl precedent);
+    the corpus-scale matching lives in :func:`robots_filter` and is
+    oracle-checked."""
+    rules: list[tuple[str, str]] = []
+    applies = False
+    group_closed = True
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if group_closed:
+                applies = val == "*"
+                group_closed = False
+            else:
+                applies = applies or val == "*"
+        elif key in ("allow", "disallow"):
+            group_closed = True
+            if applies and val:
+                rules.append((key, val))
+    return rules
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    *,
+    url_col: str = "url",
+) -> DataFrame:
+    """Append ``robots_allowed`` (boolean) to ``urls`` under per-domain
+    REP rules — the crawl-compliance gate between link extraction and
+    fetching/keeping a page.
+
+    ``rules`` carries (domain, rule_type ∈ {'allow','disallow'},
+    path_prefix) — one row per rule, bounded by DOMAINS × rules/file,
+    so Spark broadcasts it (AQE at this size). Decision per URL is the
+    published longest-match rule: among rules of the URL's domain
+    whose prefix starts the URL's path, the LONGEST wins; a tie
+    between allow and disallow goes to ALLOW; no matching rule (or no
+    rules for the domain) allows. Matching is string-prefix (original
+    REP); ``*``/``$`` wildcard rules match only as literal prefixes —
+    documented, not guessed.
+
+    Scale shape — the corpus NEVER shuffles: rules collapse to ONE
+    array-valued row per domain (a tiny aggregation of the
+    domain-bounded relation), broadcast-join onto the URLs, and the
+    longest-match decision evaluates INSIDE the projection with
+    higher-order array functions — no per-candidate fan-out, no
+    groupBy over the corpus, no exchange. Flag-don't-drop: callers
+    filter on the boolean so the drop is auditable."""
+    from lotad_spark.pipeline.urls import _url_parts
+
+    parts = _url_parts(F.col(url_col))
+    with_parts = urls.select(
+        "*",
+        parts["host"].alias("_r_host"),
+        F.when(parts["raw_path"] == "", "/")
+        .otherwise(parts["raw_path"])
+        .alias("_r_path"),
+    )
+    rules_arr = rules.groupBy(
+        F.col("domain").alias("_r_host")
+    ).agg(
+        F.collect_list(
+            F.struct(
+                F.col("rule_type").alias("t"),
+                F.col("path_prefix").alias("p"),
+            )
+        ).alias("_r_rules")
+    )
+    joined = with_parts.join(F.broadcast(rules_arr), "_r_host", "left")
+    hits = F.filter(
+        F.coalesce(
+            F.col("_r_rules"),
+            F.array().cast("array<struct<t:string,p:string>>"),
+        ),
+        lambda r: F.col("_r_path").startswith(r["p"]),
+    )
+    # fold to the winner: longer prefix wins; equal length → allow
+    best = F.aggregate(
+        hits,
+        F.struct(
+            F.lit(-1).alias("l"), F.lit(1).cast("int").alias("a")
+        ),
+        lambda acc, r: F.when(
+            (F.length(r["p"]) > acc["l"])
+            | (
+                (F.length(r["p"]) == acc["l"])
+                & (r["t"] == F.lit("allow"))
+            ),
+            F.struct(
+                F.length(r["p"]).alias("l"),
+                (r["t"] == F.lit("allow")).cast("int").alias("a"),
+            ),
+        ).otherwise(acc),
+    )
+    return joined.withColumn(
+        "robots_allowed",
+        F.when(best["l"] == -1, F.lit(True)).otherwise(best["a"] == 1),
+    ).drop("_r_host", "_r_path", "_r_rules")

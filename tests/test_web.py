@@ -153,3 +153,104 @@ class TestWebExtractCli:
 
         r = CliRunner().invoke(cli, ["web-extract", "--output", "/tmp/x"])
         assert r.exit_code != 0 and "exactly one" in r.output
+
+
+class TestRobots:
+    TXT = """
+# crawl policy
+User-agent: googlebot
+Disallow: /private
+
+User-agent: *
+User-agent: other
+Disallow: /d/1
+Allow: /d/12
+Disallow: /d/123
+Disallow:
+
+User-agent: x
+Disallow: /only-x
+"""
+
+    def test_parse_group_semantics(self):
+        from lotad_spark.pipeline.web import parse_robots
+
+        # only the star group's rules; the empty Disallow adds nothing
+        assert parse_robots(self.TXT) == [
+            ("disallow", "/d/1"),
+            ("allow", "/d/12"),
+            ("disallow", "/d/123"),
+        ]
+        assert parse_robots("") == []
+        assert parse_robots("User-agent: *\nDisallow:\n") == []
+        # star named in a multi-agent group
+        assert parse_robots(
+            "User-agent: a\nUser-agent: *\nDisallow: /x\n"
+        ) == [("disallow", "/x")]
+
+    def test_longest_match_with_allow_tiebreak(self, spark):
+        from lotad_spark.pipeline.web import robots_filter
+
+        rules = spark.createDataFrame(
+            [
+                ("a.com", "disallow", "/d/1"),
+                ("a.com", "allow", "/d/12"),
+                ("a.com", "disallow", "/d/123"),
+                ("b.com", "disallow", "/"),
+                ("b.com", "allow", "/d/2"),
+                # exact tie: allow wins
+                ("t.com", "disallow", "/p"),
+                ("t.com", "allow", "/p"),
+            ],
+            "domain string, rule_type string, path_prefix string",
+        )
+        urls = spark.createDataFrame(
+            [
+                (1, "https://a.com/d/1x"),
+                (2, "https://a.com/d/12y"),
+                (3, "https://a.com/d/123z"),
+                (4, "https://a.com/other"),
+                (5, "https://b.com/anything"),
+                (6, "https://c.com/free"),  # no rules: allowed
+                (7, "https://b.com/d/2/page"),
+                (8, "https://t.com/page"),  # tie -> allow
+                (9, None),  # unparseable: allowed (flag upstream)
+            ],
+            "id bigint, url string",
+        )
+        got = {
+            r.id: r.robots_allowed
+            for r in robots_filter(urls, rules).collect()
+        }
+        assert got == {
+            1: False, 2: True, 3: False, 4: True, 5: False,
+            6: True, 7: True, 8: True, 9: True,
+        }
+
+    def test_no_corpus_exchange(self, spark, sf_dir):
+        """The decision folds inside the projection after a broadcast
+        join — the URL relation must not shuffle."""
+        import pyspark.sql.functions as F
+
+        from lotad_spark.pipeline.web import robots_filter
+        from lotad_spark.sources.parquet import ParquetDatabase
+
+        d = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        urls = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://a.com/d/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+        )
+        rules = spark.createDataFrame(
+            [("a.com", "disallow", "/d/1")],
+            "domain string, rule_type string, path_prefix string",
+        )
+        plan = robots_filter(urls, rules)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the only exchanges are on the tiny rules side (broadcast +
+        # its pre-aggregation) — never a hashpartitioning of the urls
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "domain" in line or "_r_host" in line, line
