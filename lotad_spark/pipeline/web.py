@@ -154,6 +154,10 @@ def parse_robots(text: str) -> list[tuple[str, str]]:
     rules: list[tuple[str, str]] = []
     applies = False
     group_closed = True
+    # a UTF-8 BOM would make the first line's key "\ufeffuser-agent"
+    # and silently drop the first (often only) group — Google's
+    # reference parser skips it too
+    text = text.lstrip("\ufeff")
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
@@ -188,7 +192,13 @@ def robots_filter(
 
     ``rules`` carries (domain, rule_type ∈ {'allow','disallow'},
     path_prefix) — one row per rule, bounded by DOMAINS × rules/file,
-    so Spark broadcasts it (AQE at this size). Decision per URL is the
+    so Spark broadcasts it (AQE at this size). The rules' ``domain``
+    values are normalized HERE with the same canonical form the URL
+    parse applies (lowercase, port stripped, leading ``www.``
+    stripped) — without this, rules keyed ``www.example.com`` would
+    silently fail to match URLs whose host canonicalizes to
+    ``example.com`` and the gate would fail OPEN (r14 review
+    finding). Decision per URL is the
     published longest-match rule: among rules of the URL's domain
     whose prefix starts the URL's path, the LONGEST wins; a tie
     between allow and disallow goes to ALLOW; no matching rule (or no
@@ -205,6 +215,14 @@ def robots_filter(
     filter on the boolean so the drop is auditable."""
     from lotad_spark.pipeline.urls import _url_parts
 
+    clash = {"_r_host", "_r_path", "_r_rules", "_r_best"} & set(
+        urls.columns
+    )
+    if clash:
+        raise ValueError(
+            f"robots_filter: input columns collide with staging names "
+            f"{sorted(clash)}"
+        )
     parts = _url_parts(F.col(url_col))
     with_parts = urls.select(
         "*",
@@ -213,8 +231,14 @@ def robots_filter(
         .otherwise(parts["raw_path"])
         .alias("_r_path"),
     )
+    # same canonical host form as _url_parts (fail-open hazard above)
+    norm_domain = F.regexp_replace(
+        F.lower(F.regexp_replace(F.col("domain"), r":[0-9]+$", "")),
+        r"^www\.",
+        "",
+    )
     rules_arr = rules.groupBy(
-        F.col("domain").alias("_r_host")
+        norm_domain.alias("_r_host")
     ).agg(
         F.collect_list(
             F.struct(
@@ -249,7 +273,17 @@ def robots_filter(
             ),
         ).otherwise(acc),
     )
-    return joined.withColumn(
-        "robots_allowed",
-        F.when(best["l"] == -1, F.lit(True)).otherwise(best["a"] == 1),
-    ).drop("_r_host", "_r_path", "_r_rules")
+    # stage the fold ONCE before reading two fields from it — the
+    # repo-documented Spark 4 hazard: sibling GetStructField refs each
+    # embed (and, for CodegenFallback higher-order functions,
+    # re-evaluate) a full copy of the lambda tree
+    return (
+        joined.withColumn("_r_best", best)
+        .withColumn(
+            "robots_allowed",
+            F.when(F.col("_r_best.l") == -1, F.lit(True)).otherwise(
+                F.col("_r_best.a") == 1
+            ),
+        )
+        .drop("_r_host", "_r_path", "_r_rules", "_r_best")
+    )

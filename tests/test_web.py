@@ -227,6 +227,48 @@ Disallow: /only-x
             6: True, 7: True, 8: True, 9: True,
         }
 
+    def test_bom_and_domain_normalization(self, spark):
+        from lotad_spark.pipeline.web import parse_robots, robots_filter
+
+        # UTF-8 BOM must not eat the first group
+        assert parse_robots(
+            "\ufeffUser-agent: *\nDisallow: /x\n"
+        ) == [("disallow", "/x")]
+        # rules keyed by www./upper/port forms must still gate URLs
+        # whose host canonicalizes (fail-open hazard)
+        rules = spark.createDataFrame(
+            [
+                ("www.a.com", "disallow", "/d"),
+                ("B.COM:8080", "disallow", "/"),
+            ],
+            "domain string, rule_type string, path_prefix string",
+        )
+        urls = spark.createDataFrame(
+            [(1, "https://a.com/d/1"), (2, "http://www.b.com/page")],
+            "id bigint, url string",
+        )
+        got = {
+            r.id: r.robots_allowed
+            for r in robots_filter(urls, rules).collect()
+        }
+        assert got == {1: False, 2: False}
+
+    def test_staging_collision_raises(self, spark):
+        import pytest as _pytest
+
+        from lotad_spark.pipeline.web import robots_filter
+
+        rules = spark.createDataFrame(
+            [("a.com", "disallow", "/")],
+            "domain string, rule_type string, path_prefix string",
+        )
+        bad = spark.createDataFrame(
+            [(1, "https://a.com/", "x")],
+            "id bigint, url string, _r_host string",
+        )
+        with _pytest.raises(ValueError, match="staging"):
+            robots_filter(bad, rules)
+
     def test_no_corpus_exchange(self, spark, sf_dir):
         """The decision folds inside the projection after a broadcast
         join — the URL relation must not shuffle."""
@@ -251,6 +293,19 @@ Disallow: /only-x
         assert "BroadcastHashJoin" in plan
         # the only exchanges are on the tiny rules side (broadcast +
         # its pre-aggregation) — never a hashpartitioning of the urls
-        for line in plan.splitlines():
-            if "Exchange hashpartitioning" in line:
-                assert "domain" in line or "_r_host" in line, line
+        hash_exchanges = [
+            line
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line
+        ]
+        # exactly the rules-side aggregation exchange — a second one
+        # would mean the corpus started shuffling
+        assert len(hash_exchanges) <= 1, plan
+        for line in hash_exchanges:
+            # the normalized-domain groupBy key surfaces as a
+            # _groupingexpression; all three names are rules-side
+            assert (
+                "domain" in line
+                or "_r_host" in line
+                or "_groupingexpression" in line
+            ), line
