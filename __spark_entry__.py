@@ -2548,6 +2548,50 @@ def q_image_ahash(spark, sf_dir):
     return image_ahash(_doc_ppm_media(spark, sf_dir))
 
 
+def q_image_dhash(spark, sf_dir):
+    """Gradient perceptual fingerprint (pipeline/multimodal.py
+    image_dhash — NEW r14, completing the standard aHash/dHash/pHash
+    trio): decode the P6 pixels, 9×8 integer-luma resample,
+    strict-greater horizontal-neighbor bits packed as two non-negative
+    halves — every stage integer, so the oracle replays the 72-cell
+    resample indices, luma, and the neighbor comparisons exactly in
+    SQL. kind='dhash' pins the real decode path."""
+    from lotad_spark.pipeline.multimodal import image_dhash
+
+    return image_dhash(_doc_ppm_media(spark, sf_dir))
+
+
+_IMAGE_DHASH_SQL = (
+    "WITH base AS (SELECT doc_id AS media_id, "
+    "CAST(doc_id % 5 + 2 AS BIGINT) AS w, "
+    "CAST(doc_id % 3 + 1 AS BIGINT) AS h, "
+    "rpad(coalesce(text, ''), "
+    "CAST((doc_id % 5 + 2) * (doc_id % 3 + 1) * 3 AS INT), 'x') "
+    "AS px FROM base0), "
+    # 8 rows × 9 cols of luma, row-major: cell i samples source pixel
+    # (row·h//8, col·w//9) with row=i//9, col=i%9
+    "cells AS (SELECT media_id, list_transform(range(0, 72), i -> "
+    "(299 * ord(substr(px, CAST(3 * (((i // 9) * h // 8) * w "
+    "+ ((i % 9) * w // 9)) + 1 AS INT), 1)) "
+    "+ 587 * ord(substr(px, CAST(3 * (((i // 9) * h // 8) * w "
+    "+ ((i % 9) * w // 9)) + 2 AS INT), 1)) "
+    "+ 114 * ord(substr(px, CAST(3 * (((i // 9) * h // 8) * w "
+    "+ ((i % 9) * w // 9)) + 3 AS INT), 1))) // 1000) AS cl "
+    "FROM base) "
+    "SELECT media_id, 'dhash' AS kind, "
+    "CAST(list_sum(list_transform(range(32, 64), i -> "
+    "CASE WHEN cl[CAST((i // 8) * 9 + (i % 8) + 1 AS INT)] "
+    "> cl[CAST((i // 8) * 9 + (i % 8) + 2 AS INT)] "
+    "THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)) AS BIGINT) "
+    "AS dhash_hi, "
+    "CAST(list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN cl[CAST((i // 8) * 9 + (i % 8) + 1 AS INT)] "
+    "> cl[CAST((i // 8) * 9 + (i % 8) + 2 AS INT)] "
+    "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) "
+    "AS dhash_lo FROM cells"
+).replace("FROM base0", "FROM documents")
+
+
 def q_image_phash(spark, sf_dir):
     """Spectral perceptual fingerprint (pipeline/multimodal.py
     image_phash — NEW r14, the DCT twin of aHash): decode the P6
@@ -5810,12 +5854,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r14), per the
-    precomputed queue in COVERAGE.md (145 rows total, ALL value-checked
+    precomputed queue in COVERAGE.md (146 rows total, ALL value-checked
     — the r14 consolidation retired wizard_distinct_sample, which ran
     no repo code, the former rows-only rollup_distinct_users face is
-    now value-checked, and six rows are new):
+    now value-checked, and seven rows are new):
 
-    * 1-6: NEW — multimodal_jpeg_progressive_hist (the SOF2
+    * 1-7: NEW — multimodal_jpeg_progressive_hist (the SOF2
       progressive decode landed r14: DC point transform +
       successive-approximation refinement + EOB-run AC band coder over
       the exactly-round-tripping constant-block pixel class),
@@ -5826,10 +5870,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       regenerates the chain in SQL from the same module constants),
       warc_ingest (the crawl-to-training-text chain end-to-end:
       WARC framing via sources/warc.py — plain AND per-record-gzip —
-      HTTP peel, HTML extraction), and robots_gate (REP longest-match
+      HTTP peel, HTML extraction), robots_gate (REP longest-match
       allow/disallow with the decision folded inside the projection —
-      the corpus never shuffles).
-    * 7-12: changed-code re-entries — edit_distance_pairs /
+      the corpus never shuffles), and image_dhash (the gradient member
+      completing the aHash/dHash/pHash perceptual trio).
+    * 8-13: changed-code re-entries — edit_distance_pairs /
       edit_distance_topk (the candidate shuffle now carries
       (xxhash64(segment), id, length, position) only, with aligned
       O(k³) probing), multimodal_tiff_luma_hist (the synthesis now
@@ -5840,21 +5885,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       wizard_overlap_probe (now drives wizard.column_overlap_count
       instead of an inline copy; also carries the A3 sample coverage
       after the consolidation).
-    * 13-25: the r10-green remainder, longest out of the window (out
+    * 14-26: the r10-green remainder, longest out of the window (out
       since r11) — dedup_components through text_unigram_lm, the
       precomputed r14 queue head.
-    * 26-50: the r11-green block head in COVERAGE.md's listed order —
-      diff_deleted_rows through rollup_gapfill (25 rows).
-    * 51+: rotated out — the six r11-green rows displaced by the late
-      r14 additions (twa_by_user, json_key_stats, asof_latest_order,
-      strip_dup_lines, orc_scan_diff, csv_scan_diff — the r15 queue
-      head), then the rest of the r11-green remainder (apply_bpe →
-      temperature_rates), then the r12-green rows, then the r13-green
-      window rows (newest last). Every rotated row has at least one
-      driver-green round with code unchanged since; the FULL registry
-      stays enforced by scripts/check_oracle.py (145 value-checked at
-      sf0.01) and the pytest suite. See COVERAGE.md "Driver-window
-      rotation".
+    * 27-50: the r11-green block head in COVERAGE.md's listed order —
+      diff_deleted_rows through rollup_incremental (24 rows).
+    * 51+: rotated out — the seven r11-green rows displaced by the
+      late r14 additions (rollup_gapfill, twa_by_user, json_key_stats,
+      asof_latest_order, strip_dup_lines, orc_scan_diff,
+      csv_scan_diff — the r15 queue head), then the rest of the
+      r11-green remainder (apply_bpe → temperature_rates), then the
+      r12-green rows, then the r13-green window rows (newest last).
+      Every rotated row has at least one driver-green round with code
+      unchanged since; the FULL registry stays enforced by
+      scripts/check_oracle.py (146 value-checked at sf0.01) and the
+      pytest suite. See COVERAGE.md "Driver-window rotation".
     """
     return {
         # --- 1-6: r14 changed-code re-entries (edit-distance shuffle
@@ -5867,6 +5912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": q_html_links,
         "warc_ingest": q_warc_ingest,
         "robots_gate": q_robots_gate,
+        "image_dhash": q_image_dhash,
         "edit_distance_pairs": q_edit_distance_pairs,
         "edit_distance_topk": q_edit_distance_topk,
         "multimodal_tiff_luma_hist": q_multimodal_tiff_luma_hist,
@@ -5913,15 +5959,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_online": q_psi_online,
         "rollup_hourly": q_rollup_hourly,
         "rollup_incremental": q_rollup_incremental,
-        "rollup_gapfill": q_rollup_gapfill,
-        # --- 51+: rotated out. The six r11-green rows displaced by
-        # the late r14 additions (progressive JPEG, pHash, the two
-        # HTML-extraction rows, the WARC chain, the robots gate) lead
-        # the r15 queue, then the r11-green remainder, then the
+        # --- 51+: rotated out. The seven r11-green rows displaced by
+        # the late r14 additions (progressive JPEG, pHash/dHash, the
+        # two HTML-extraction rows, the WARC chain, the robots gate)
+        # lead the r15 queue, then the r11-green remainder, then the
         # r12-green rows, then the r13-green window rows (newest
         # last). Every rotated row has at least one driver-green
         # round with code unchanged since; the FULL registry stays
         # enforced by scripts/check_oracle.py and the pytest suite. ---
+        "rollup_gapfill": q_rollup_gapfill,
         "twa_by_user": q_twa_by_user,
         "json_key_stats": q_json_key_stats,
         "asof_latest_order": q_asof_latest_order,
@@ -6080,6 +6126,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_video_hist": _MULTIMODAL_VIDEO_SQL,
         "image_ahash": _IMAGE_AHASH_SQL,
         "image_phash": _image_phash_sql(),
+        "image_dhash": _IMAGE_DHASH_SQL,
         "html_extract": _html_extract_sql(),
         "html_links": _html_links_sql(),
         # the WARC chain's payloads are the SAME template HTML, so the

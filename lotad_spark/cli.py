@@ -1005,9 +1005,10 @@ def web_extract_cmd(
 @click.option("--output", "output_path", required=True,
               help="Writes (id_a, id_b, hamming) to OUTPUT/pairs")
 @click.option("--hash", "hash_kind", default="ahash", show_default=True,
-              type=click.Choice(["ahash", "phash"]),
-              help="Fingerprint: spatial-mean aHash or fixed-point-DCT "
-                   "pHash (r14; exactly brightness-shift invariant)")
+              type=click.Choice(["ahash", "phash", "dhash"]),
+              help="Fingerprint: spatial-mean aHash, fixed-point-DCT "
+                   "pHash (exactly brightness-shift invariant), or "
+                   "gradient dHash (contrast-robust)")
 @click.option("--max-hamming", default=7, show_default=True)
 @click.option("--bands", default=8, show_default=True,
               help="Band count; recall is exact for max-hamming <= "

@@ -1922,6 +1922,93 @@ def _phash_from_pixels(arr) -> tuple[int, int]:
     return (hi, lo)
 
 
+def dhash_parts(payload: bytes):
+    """64-bit dHash (the difference/gradient perceptual fingerprint —
+    public method: resize to 9×8, bit = left pixel brighter than its
+    right neighbor) of a decodable payload, returned as TWO
+    non-negative halves ``(hi, lo)``. None when :func:`decode_pixels`
+    can't decode.
+
+    All-integer pipeline (the aHash/pHash discipline): decode →
+    integer BT.601 luma → 9×8 nearest-neighbor resample
+    (``src = i·src_dim // {9,8}``) → bit (row, col) set iff
+    cell[row][col] > cell[row][col+1] (STRICT — a uniform image
+    hashes all-zero). Row-major bits; ``lo`` covers rows 0-3, ``hi``
+    rows 4-7. Versus aHash (global mean) it keys on LOCAL gradients,
+    so global contrast changes that move the mean barely touch it;
+    versus pHash it is far cheaper (no DCT) with coarser
+    invariances — the standard trio, all three banding-compatible."""
+    dec = decode_pixels(payload)
+    if dec is None:
+        return None
+    return _dhash_from_pixels(dec[2])
+
+
+def _dhash_from_pixels(arr) -> tuple[int, int]:
+    h, w = arr.shape[0], arr.shape[1]
+    lum = _luma(arr)
+    ys = [y * h // 8 for y in range(8)]
+    xs = [x * w // 9 for x in range(9)]
+    lo = hi = 0
+    for r in range(8):
+        for c in range(8):
+            if int(lum[ys[r]][xs[c]]) > int(lum[ys[r]][xs[c + 1]]):
+                i = r * 8 + c
+                if i < 32:
+                    lo |= 1 << i
+                else:
+                    hi |= 1 << (i - 32)
+    return (hi, lo)
+
+
+def image_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, kind, dhash_hi, dhash_lo) per media row — the gradient
+    member of the perceptual trio, sharing the aHash/pHash contract
+    (kind='bytes' + NULL halves for undecodables, kind='null' for
+    NULL payloads; halves pack into the same banding machinery)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, kind string, "
+        "dhash_hi bigint, dhash_lo bigint"
+    )
+
+    def hash_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, his, los = [], [], []
+            for payload in pdf[content_col]:
+                if payload is None:
+                    kinds.append("null")
+                    his.append(None)
+                    los.append(None)
+                    continue
+                parts = dhash_parts(bytes(payload))
+                if parts is None:
+                    kinds.append("bytes")
+                    his.append(None)
+                    los.append(None)
+                else:
+                    kinds.append("dhash")
+                    his.append(parts[0])
+                    los.append(parts[1])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "kind": kinds,
+                    "dhash_hi": his,
+                    "dhash_lo": los,
+                }
+            )
+
+    return df.mapInPandas(hash_batches, schema=out_schema)
+
+
 def image_phash(
     df: DataFrame,
     content_col: str = "content",
@@ -1996,20 +2083,25 @@ def image_near_dup_pairs(
     two bigints per image.
 
     ``hash_kind`` picks the fingerprint: ``"ahash"`` (spatial means —
-    cheap, flips under smooth brightness gradients) or ``"phash"``
+    cheap, flips under smooth brightness gradients), ``"phash"``
     (r14 — the fixed-point DCT spectral envelope, exactly invariant to
-    uniform brightness shifts); both pack as two non-negative bigint
-    halves, so the banding/verify plan is identical."""
+    uniform brightness shifts), or ``"dhash"`` (r14 — local horizontal
+    gradients, robust to global contrast shifts); all pack as two
+    non-negative bigint halves, so the banding/verify plan is
+    identical."""
     if hash_kind == "ahash":
         hashed = image_ahash(df, content_col, id_col=id_col)
         hi_col, lo_col = "ahash_hi", "ahash_lo"
     elif hash_kind == "phash":
         hashed = image_phash(df, content_col, id_col=id_col)
         hi_col, lo_col = "phash_hi", "phash_lo"
+    elif hash_kind == "dhash":
+        hashed = image_dhash(df, content_col, id_col=id_col)
+        hi_col, lo_col = "dhash_hi", "dhash_lo"
     else:
         raise ValueError(
-            "image_near_dup_pairs: hash_kind must be 'ahash' or "
-            f"'phash', got {hash_kind!r}"
+            "image_near_dup_pairs: hash_kind must be 'ahash', "
+            f"'phash', or 'dhash', got {hash_kind!r}"
         )
     slices = _ahash_band_slices(bands, "image_near_dup_pairs")
     hashed = hashed.filter(F.col("kind") == hash_kind).select(

@@ -648,7 +648,7 @@ class TestMultimodal:
         import pytest as _pytest
 
         with _pytest.raises(ValueError, match="hash_kind"):
-            image_near_dup_pairs(df, hash_kind="dhash")
+            image_near_dup_pairs(df, hash_kind="whash")
 
     def test_image_dedup_cli(self, spark, tmp_path):
         """The image-dedup CLI face lands banded pHash pairs."""
@@ -673,6 +673,62 @@ class TestMultimodal:
         assert r.exit_code == 0, r.output
         pairs = spark.read.parquet(f"{out}/pairs").collect()
         assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+    def test_image_dhash_properties(self, spark):
+        """dHash pins: independent loop replay of the definition;
+        EXACT invariance under strictly monotone brightness maps
+        (neighbor ORDER is all that is hashed — double every pixel of
+        a sub-128 image and the hash cannot move); uniform images hash
+        all-zero; fallback labeling; the pairing face keyed on dhash."""
+        import numpy as np
+
+        from lotad_spark.pipeline.multimodal import (
+            _dhash_from_pixels,
+            _luma,
+            dhash_parts,
+            image_dhash,
+            image_near_dup_pairs,
+        )
+
+        rng = np.random.RandomState(17)
+        arr = rng.randint(10, 120, (7, 11, 3)).astype(np.uint8)
+        lum = _luma(arr)
+        lo = hi = 0
+        for r in range(8):
+            for c in range(8):
+                y = r * 7 // 8
+                xl = c * 11 // 9
+                xr = (c + 1) * 11 // 9
+                if int(lum[y][xl]) > int(lum[y][xr]):
+                    i = r * 8 + c
+                    if i < 32:
+                        lo |= 1 << i
+                    else:
+                        hi |= 1 << (i - 32)
+        assert _dhash_from_pixels(arr) == (hi, lo)
+        # strictly monotone map: gradient ORDER unchanged, hash exact
+        assert _dhash_from_pixels(arr * 2) == (hi, lo)
+        assert dhash_parts(b"P6 4 4 255 " + bytes([9] * 48)) == (0, 0)
+        assert dhash_parts(b"junk") is None
+        hdr = b"P6 8 8 255 "
+        px = bytes(v for i in range(64) for v in ((i * 4) % 256,) * 3)
+        df = spark.createDataFrame(
+            [(1, bytearray(hdr + px)), (2, bytearray(hdr + px)),
+             (3, bytearray(b"junk")), (4, None)],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in image_dhash(df).collect()}
+        assert got[1].kind == "dhash"
+        assert (got[1].dhash_hi, got[1].dhash_lo) == (
+            got[2].dhash_hi, got[2].dhash_lo,
+        )
+        assert got[3].kind == "bytes" and got[3].dhash_hi is None
+        assert got[4].kind == "null"
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in image_near_dup_pairs(df, hash_kind="dhash").collect()
+        }
+        assert pairs[(1, 2)] == 0
 
     def test_image_ahash_properties(self, spark):
         """aHash invariances the operator exists for: byte-identical
