@@ -540,27 +540,45 @@ def q_warc_ingest(spark, sf_dir):
 # Per-domain REP rules for the robots row — engineered so every
 # longest-match case lands in the fixture id range: /d/1 vs /d/12 vs
 # /d/123 nest (disallow/allow/disallow), b.com disallows everything
-# except the /d/2 prefix.
+# except /d/2-prefixed and 5-terminated paths, and the RFC 9309
+# wildcard forms all interact with the prefixes: `/*4$` (end-anchored
+# star) ties allow `/d/12` at length 5 on /d/124 (allow wins), beats
+# `/d/1`/`/d/3`/`/d/6` on 4-terminated paths; `/d/*8` (mid-pattern
+# star, length 6) out-specifies every length-≤5 disallow incl. on
+# /x-suffixed paths; `/d/6$` (anchor, no star) admits exactly /d/6
+# while `/d/6` blocks /d/60... — r14's prefix-only matcher fails OPEN
+# on all of these, which is what this row now pins.
 _ROBOTS_RULES = (
     ("a.com", "disallow", "/d/1"),
     ("a.com", "allow", "/d/12"),
     ("a.com", "disallow", "/d/123"),
     ("a.com", "disallow", "/d/3"),
+    ("a.com", "disallow", "/*4$"),
+    ("a.com", "allow", "/d/*8"),
+    ("a.com", "disallow", "/d/6"),
+    ("a.com", "allow", "/d/6$"),
+    ("a.com", "disallow", "/*?"),
     ("b.com", "disallow", "/"),
     ("b.com", "allow", "/d/2"),
+    ("b.com", "allow", "/d/*5$"),
 )
 
 
 def q_robots_gate(spark, sf_dir):
     """Robots Exclusion Protocol gate (pipeline/web.py robots_filter —
-    NEW r14): per-domain allow/disallow prefix rules decide each URL
-    by the published longest-match rule (ties → allow; no match →
-    allow). The corpus never shuffles: rules collapse to one
+    NEW r14, RFC 9309 wildcards r15): per-domain allow/disallow rules
+    decide each URL by the RFC's most-specific-match rule (most
+    pattern octets wins; ties → allow; no match → allow), with full
+    ``*``/trailing-``$`` wildcard semantics — plain prefixes stay on
+    startswith, wildcard rules compile once per RULE to an anchored
+    regex. The corpus never shuffles: rules collapse to one
     array-valued row per domain, broadcast-join, and the winner folds
     inside the projection with higher-order array functions. The
-    oracle replays host/path derivation, prefix matching, and the
-    longest-match/tie ranking over the same literal rules via a SQL
-    window — any precedence bug flips booleans and hash-mismatches.
+    oracle replays host/path derivation, prefix AND regex matching
+    (wildcard regexes as literals from the pytest-pinned
+    rule_to_regex), and the longest-match/tie ranking over the same
+    literal rules via a SQL window — any precedence or translation
+    bug flips booleans and hash-mismatches.
     (robots.txt PARSING — group semantics, comments, empty Disallow —
     is driver-side by design, bounded by domains, pytest-pinned:
     the load_psl precedent.)"""
@@ -577,6 +595,12 @@ def q_robots_gate(spark, sf_dir):
         F.when(F.col("doc_id") % 7 == 0, F.lit("/x")).otherwise(
             F.lit("")
         ),
+        # query-bearing URLs exercise the RFC path+query match target
+        # (the `/*?` rule blocks them on a.com unless a longer allow —
+        # /d/*8 — out-specifies it)
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?ref=1")).otherwise(
+            F.lit("")
+        ),
     )
     urls = d.select("doc_id", url.alias("url"))
     rules = spark.createDataFrame(
@@ -589,20 +613,37 @@ def q_robots_gate(spark, sf_dir):
 
 
 def _robots_gate_sql() -> str:
+    # wildcard rules carry their RFC 9309 regex translation as a
+    # LITERAL (computed by the same public rule_to_regex the pytest
+    # third-engine replay pins against Python `re`); Spark builds its
+    # regex independently via the rule_regex_expr JVM chain, so a
+    # translation bug in either engine hash-mismatches here
+    from lotad_spark.pipeline.web import rule_to_regex
+
     vals = ", ".join(
-        f"('{d}', '{t}', '{p}')" for d, t, p in _ROBOTS_RULES
+        "('{}', '{}', '{}', {}, '{}')".format(
+            d,
+            t,
+            p,
+            "TRUE" if ("*" in p or p.endswith("$")) else "FALSE",
+            rule_to_regex(p),
+        )
+        for d, t, p in _ROBOTS_RULES
     )
     return (
         "WITH u AS (SELECT doc_id, "
         "CASE WHEN doc_id % 2 = 0 THEN 'a.com' ELSE 'b.com' END "
         "AS domain, "
         "'/d/' || CAST(doc_id AS VARCHAR) || "
-        "CASE WHEN doc_id % 7 = 0 THEN '/x' ELSE '' END AS path "
+        "CASE WHEN doc_id % 7 = 0 THEN '/x' ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN '?ref=1' ELSE '' END AS path "
         "FROM documents), "
-        "r(domain, rule_type, path_prefix) AS (VALUES " + vals + "), "
+        "r(domain, rule_type, path_prefix, wild, rx) AS "
+        "(VALUES " + vals + "), "
         "m AS (SELECT u.doc_id, u.domain, u.path, r.rule_type, "
         "r.path_prefix FROM u LEFT JOIN r ON u.domain = r.domain "
-        "AND starts_with(u.path, r.path_prefix)), "
+        "AND (CASE WHEN r.wild THEN regexp_matches(u.path, r.rx) "
+        "ELSE starts_with(u.path, r.path_prefix) END)), "
         "k AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
         "ORDER BY length(path_prefix) DESC, "
         "CASE WHEN rule_type = 'allow' THEN 0 ELSE 1 END) AS rk "

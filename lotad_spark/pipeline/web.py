@@ -138,16 +138,67 @@ def extract_links(
     )
 
 
+# Regex metacharacters a robots path pattern must have escaped when
+# translated (``*`` and ``$`` are the REP wildcards, handled apart).
+_REGEX_META = set(".^+?(){}|[]\\")
+
+
+def rule_to_regex(pattern: str) -> str:
+    """RFC 9309 path pattern → anchored regex (the reference
+    translation — :func:`robots_filter` builds the SAME regex with a
+    JVM expression chain, pinned equal in ``tests/test_web.py``).
+    Per RFC 9309 §2.2.3: ``*`` matches any sequence of characters
+    (``.*``), a TRAILING ``$`` anchors at end-of-path; ``$`` anywhere
+    else is a literal octet (the Googlebot behavior). Everything else
+    matches literally, so regex metacharacters escape. The result is
+    written to the common Java-regex/RE2/Python-``re`` subset (no
+    classes, no lookaround) so Spark, the DuckDB oracle, and the
+    pytest third-engine replay all evaluate it identically."""
+    ends_anchor = pattern.endswith("$")
+    body = pattern[:-1] if ends_anchor else pattern
+    out = ["^"]
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in _REGEX_META or ch == "$":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    if ends_anchor:
+        out.append("$")
+    return "".join(out)
+
+
+def _rule_is_wild(p: Column) -> Column:
+    """True when the rule needs regex matching (contains ``*`` or is
+    end-anchored); plain prefixes stay on the cheap ``startswith``."""
+    return p.contains("*") | p.endswith("$")
+
+
+def rule_regex_expr(p: Column) -> Column:
+    """The :func:`rule_to_regex` translation as a JVM expression chain
+    (evaluated once per RULE inside the tiny domain-bounded
+    aggregation, never per URL). Steps mirror the Python reference:
+    escape regex metachars, escape every ``$``, un-escape a TRAILING
+    ``$`` back into an end-anchor, expand ``*`` → ``.*``, anchor at
+    start."""
+    c = F.regexp_replace(p, r"([.^+?(){}|\[\]\\])", "\\\\$1")
+    c = F.regexp_replace(c, r"\$", "\\\\\\$")
+    c = F.regexp_replace(c, r"\\\$$", "\\$")
+    c = F.regexp_replace(c, r"\*", ".*")
+    return F.concat(F.lit("^"), c)
+
+
 def parse_robots(text: str) -> list[tuple[str, str]]:
-    """(rule_type, path_prefix) pairs from a robots.txt body for the
+    """(rule_type, path_pattern) pairs from a robots.txt body for the
     ``User-agent: *`` group(s) — the published Robots Exclusion
     Protocol grouping: consecutive ``User-agent`` lines open a group,
     the ``Allow``/``Disallow`` lines that follow belong to every agent
     named in it; ``#`` comments strip; an EMPTY ``Disallow:`` value
     means "allow everything" and contributes no rule. Wildcard
-    extensions (``*``/``$`` inside values) are kept verbatim as
-    prefixes — the matcher below is prefix-only (the original REP),
-    documented. Driver-side parsing by design: the rules relation is
+    patterns (``*``/``$`` per RFC 9309) are kept verbatim — the
+    matcher in :func:`robots_filter` gives them full RFC semantics.
+    Driver-side parsing by design: the rules relation is
     bounded by DOMAINS, not the corpus (the load_psl precedent);
     the corpus-scale matching lives in :func:`robots_filter` and is
     oracle-checked."""
@@ -198,13 +249,20 @@ def robots_filter(
     stripped) — without this, rules keyed ``www.example.com`` would
     silently fail to match URLs whose host canonicalizes to
     ``example.com`` and the gate would fail OPEN (r14 review
-    finding). Decision per URL is the
-    published longest-match rule: among rules of the URL's domain
-    whose prefix starts the URL's path, the LONGEST wins; a tie
-    between allow and disallow goes to ALLOW; no matching rule (or no
-    rules for the domain) allows. Matching is string-prefix (original
-    REP); ``*``/``$`` wildcard rules match only as literal prefixes —
-    documented, not guessed.
+    finding). Decision per URL is RFC 9309 §2.2.2's most-specific
+    rule: among rules of the URL's domain that MATCH the URL's path,
+    the one with the most pattern octets wins; a tie between allow
+    and disallow goes to ALLOW (the least-restrictive rule); no
+    matching rule (or no rules for the domain) allows. Matching is
+    full RFC 9309: plain patterns are path prefixes; ``*`` matches
+    any character sequence and a trailing ``$`` anchors at
+    end-of-path (rules like ``Disallow: /*?`` or ``/*.pdf$`` gate
+    correctly — the r14 prefix-only subset failed OPEN on them).
+    Wildcard rules compile to an anchored regex ONCE per rule inside
+    the domain-bounded aggregation (:func:`rule_regex_expr`); plain
+    prefixes — the overwhelming majority in real robots files — stay
+    on ``startswith``, so the per-URL fold never pays regex compile
+    cost for them.
 
     Scale shape — the corpus NEVER shuffles: rules collapse to ONE
     array-valued row per domain (a tiny aggregation of the
@@ -224,11 +282,17 @@ def robots_filter(
             f"{sorted(clash)}"
         )
     parts = _url_parts(F.col(url_col))
+    # RFC 9309 matches against the path AND query ("/page?sid=1" must
+    # hit a "Disallow: /*?" rule) — fragment is already stripped by
+    # the parse; an empty path canonicalizes to "/"
+    path = F.when(parts["raw_path"] == "", "/").otherwise(
+        parts["raw_path"]
+    )
     with_parts = urls.select(
         "*",
         parts["host"].alias("_r_host"),
-        F.when(parts["raw_path"] == "", "/")
-        .otherwise(parts["raw_path"])
+        F.when(parts["raw_query"] == "", path)
+        .otherwise(F.concat(path, F.lit("?"), parts["raw_query"]))
         .alias("_r_path"),
     )
     # same canonical host form as _url_parts (fail-open hazard above)
@@ -244,6 +308,8 @@ def robots_filter(
             F.struct(
                 F.col("rule_type").alias("t"),
                 F.col("path_prefix").alias("p"),
+                _rule_is_wild(F.col("path_prefix")).alias("w"),
+                rule_regex_expr(F.col("path_prefix")).alias("rx"),
             )
         ).alias("_r_rules")
     )
@@ -251,9 +317,13 @@ def robots_filter(
     hits = F.filter(
         F.coalesce(
             F.col("_r_rules"),
-            F.array().cast("array<struct<t:string,p:string>>"),
+            F.array().cast(
+                "array<struct<t:string,p:string,w:boolean,rx:string>>"
+            ),
         ),
-        lambda r: F.col("_r_path").startswith(r["p"]),
+        lambda r: F.when(
+            r["w"], F.regexp_like(F.col("_r_path"), r["rx"])
+        ).otherwise(F.col("_r_path").startswith(r["p"])),
     )
     # fold to the winner: longer prefix wins; equal length → allow
     best = F.aggregate(

@@ -253,6 +253,111 @@ Disallow: /only-x
         }
         assert got == {1: False, 2: False}
 
+    def test_rule_to_regex_third_engine(self):
+        """The Python reference translation, replayed against Python
+        ``re`` (the third engine alongside Spark's Java regex and the
+        oracle's RE2) on the RFC 9309 examples."""
+        import re
+
+        from lotad_spark.pipeline.web import rule_to_regex
+
+        cases = [
+            # (pattern, path, matches) — RFC 9309 §2.2.3 shapes
+            ("/", "/anything", True),
+            ("/*?", "/page?sid=1", True),
+            ("/*?", "/page", False),
+            ("/*.pdf$", "/docs/a.pdf", True),
+            ("/*.pdf$", "/docs/a.pdf?dl=1", False),
+            ("/fish*", "/fishheads/yummy.html", True),
+            ("/fish*", "/Fish.asp", False),
+            ("/*.php$", "/filename.php", True),
+            ("/*.php$", "/filename.php5", False),
+            ("/d/6$", "/d/6", True),
+            ("/d/6$", "/d/60", False),
+            # $ mid-pattern is a literal octet
+            ("/a$b", "/a$b/c", True),
+            ("/a$b", "/ab", False),
+            # regex metachars in paths are literal
+            ("/a.b", "/a.b", True),
+            ("/a.b", "/aXb", False),
+            ("/p(1)", "/p(1)/x", True),
+            ("/p+q", "/p+q", True),
+        ]
+        for pat, path, want in cases:
+            rx = rule_to_regex(pat)
+            got = re.search(rx, path) is not None
+            assert got is want, (pat, rx, path)
+
+    def test_rule_regex_expr_matches_python(self, spark):
+        """The JVM translation chain must produce the EXACT regex
+        string the Python reference produces — this is what lets the
+        oracle inline rule_to_regex literals while Spark translates
+        independently."""
+        import pyspark.sql.functions as F
+
+        from lotad_spark.pipeline.web import (
+            rule_regex_expr,
+            rule_to_regex,
+        )
+
+        pats = [
+            "/d/1", "/*4$", "/d/*8", "/d/6$", "/", "/a.b",
+            "/x(y)|z", "/p+q?", "/$", "$", "*$", "/a$b$",
+            "/br[ck]", "/back\\slash", "/*?", "/*.pdf$", "/a^b",
+            "/{}", "/**", "/fish*", "/*.php$",
+        ]
+        df = spark.createDataFrame(
+            [(p,) for p in pats], "p string"
+        ).select("p", rule_regex_expr(F.col("p")).alias("rx"))
+        for r in df.collect():
+            assert r.rx == rule_to_regex(r.p), r.p
+
+    def test_rfc9309_wildcards(self, spark):
+        """Full matcher semantics: * any-sequence, trailing-$ anchor,
+        most-octets precedence ACROSS wildcard and prefix rules, tie →
+        allow; the r14 prefix-only matcher failed OPEN on every
+        disallow here."""
+        from lotad_spark.pipeline.web import robots_filter
+
+        rules = spark.createDataFrame(
+            [
+                ("a.com", "disallow", "/*4$"),
+                ("a.com", "allow", "/d/*8"),
+                ("a.com", "disallow", "/d/6"),
+                ("a.com", "allow", "/d/6$"),
+                ("a.com", "disallow", "/d/1"),
+                ("a.com", "allow", "/d/12"),
+                ("q.com", "disallow", "/*?"),
+                ("q.com", "disallow", "/*.pdf$"),
+            ],
+            "domain string, rule_type string, path_prefix string",
+        )
+        urls = spark.createDataFrame(
+            [
+                (1, "https://a.com/d/4"),  # /*4$ → blocked
+                (2, "https://a.com/d/48"),  # allow /d/*8 (6) wins
+                # tie: allow /d/12 (5) vs disallow /*4$ (5) → allow
+                (3, "https://a.com/d/124"),
+                (4, "https://a.com/d/6"),  # allow /d/6$ (5) > dis (4)
+                (5, "https://a.com/d/62"),  # dis /d/6
+                (6, "https://a.com/d/64"),  # dis /*4$ (5) > dis (4)
+                (7, "https://a.com/d/28/x"),  # /d/*8 matches mid-path
+                (8, "https://q.com/page?sid=1"),  # /*? → blocked
+                (9, "https://q.com/page"),  # no ? → allowed
+                (10, "https://q.com/f/a.pdf"),  # /*.pdf$ → blocked
+                (11, "https://q.com/f/a.pdfx"),  # anchor → allowed
+            ],
+            "id bigint, url string",
+        )
+        got = {
+            r.id: r.robots_allowed
+            for r in robots_filter(urls, rules).collect()
+        }
+        assert got == {
+            1: False, 2: True, 3: True, 4: True, 5: False, 6: False,
+            7: True, 8: False, 9: True, 10: False, 11: True,
+        }
+
     def test_staging_collision_raises(self, spark):
         import pytest as _pytest
 
