@@ -392,7 +392,10 @@ _HTML_PARTS = (
     "</h1><p>",
     "TEXT",  # raw document text
     '</p><div class="note">&amp; &lt;raw&gt; &quot;q&quot;&nbsp;end'
-    '</div><a href="https://example.com/doc/',
+    "</div><p>caf&eacute; r&#233;sum&#xE9; &mdash; &#8212; "
+    "&rsquo;quote&#8217; &hellip; &euro;9 bad:&#0;&#xD800;&#1114112; "
+    "literal:&amp;#39; &unknown; 8digit:&#12345678;</p>"
+    '<a href="https://example.com/doc/',
     None,  # doc_id
     '?a=1&amp;b=2">first link</a> <a href=\'/rel/',
     None,  # doc_id
@@ -432,13 +435,58 @@ def _html_build_sql() -> str:
     )
 
 
+def _entity_decode_sql(col: str) -> str:
+    """DuckDB replay of decode_entities_expr over column ``col``: same
+    HTML_ENTITY_RE / named table / codepoint-validity rule from the
+    module constants, but an INDEPENDENT codepoint→char implementation
+    (DuckDB's native chr() vs Spark's arithmetic UTF-8 bytes)."""
+    from lotad_spark.pipeline.web import (
+        HTML_ENTITY_RE,
+        HTML_NAMED_ENTITIES,
+    )
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    re_sql = q(HTML_ENTITY_RE)
+    code = (
+        "(CASE WHEN substr(e, 2, 1) IN ('x', 'X') "
+        "THEN try_cast('0x' || substr(e, 3) AS INTEGER) "
+        "ELSE try_cast(substr(e, 2) AS INTEGER) END)"
+    )
+    named = " ".join(
+        f"WHEN {q(name)} THEN {q(ch)}"
+        for name, ch in HTML_NAMED_ENTITIES
+    )
+    ent_char = (
+        "CASE WHEN e LIKE '#%' THEN chr(CASE WHEN "
+        + code
+        + " BETWEEN 1 AND 1114111 AND NOT ("
+        + code
+        + " BETWEEN 55296 AND 57343) THEN "
+        + code
+        + " ELSE 65533 END) ELSE CASE e "
+        + named
+        + " END END"
+    )
+    ents = f"regexp_extract_all({col}, {re_sql}, 1)"
+    segs = f"string_split_regex({col}, {re_sql})"
+    return (
+        f"CASE WHEN len({ents}) = 0 THEN {col} ELSE "
+        "array_to_string(list_transform(list_zip("
+        f"list_slice({segs}, 1, len({ents})), "
+        f"list_transform({ents}, e -> {ent_char})), "
+        "p -> p[1] || p[2]), '') "
+        f"|| {segs}[-1] END"
+    )
+
+
 def _html_extract_sql() -> str:
     """The EXACT html_text_expr chain, regenerated in SQL from the
     same constants (pipeline/web.py) — patterns live in the common
     Java-regex/RE2 subset by construction, so the replay is
-    byte-faithful."""
+    byte-faithful. Entity decode replays via _entity_decode_sql."""
     from lotad_spark.pipeline.web import (
-        HTML_ENTITY_STEPS,
         HTML_SPACE_STEPS,
         HTML_TEXT_STEPS,
     )
@@ -450,15 +498,17 @@ def _html_extract_sql() -> str:
     for pat, rep in HTML_TEXT_STEPS:
         rep_sql = "chr(10)" if rep == "\n" else q(rep)
         expr = f"regexp_replace({expr}, {q(pat)}, {rep_sql}, 'gs')"
-    for lit, rep in HTML_ENTITY_STEPS:
-        expr = f"replace({expr}, {q(lit)}, {q(rep)})"
+    # bind the tag-stripped text to a name so the entity construct's
+    # repeated references stay readable (and cheap to plan)
+    inner = (
+        "SELECT doc_id, " + expr + " AS stripped FROM ("
+        + _html_build_sql() + ")"
+    )
+    expr = _entity_decode_sql("stripped")
     for pat, rep in HTML_SPACE_STEPS:
         rep_sql = "chr(10)" if rep == "\n" else q(rep)
         expr = f"regexp_replace({expr}, {q(pat)}, {rep_sql}, 'gs')"
-    return (
-        "SELECT doc_id, " + expr + " AS text FROM (" + _html_build_sql()
-        + ")"
-    )
+    return "SELECT doc_id, " + expr + " AS text FROM (" + inner + ")"
 
 
 def _html_links_sql() -> str:

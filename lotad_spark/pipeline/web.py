@@ -19,9 +19,12 @@ the identical chain on the identical synthesized HTML.
 
 Honest limits (documented, not hidden): this is a TAG-STRIPPER with
 entity decoding, the WET-extraction shape — not a DOM parser. An
-attribute value containing a literal ``>`` ends its tag early; only
-the common named entities (amp/lt/gt/quot/apos/nbsp and the numeric
-forms of those) decode; CDATA and conditional comments are treated as
+attribute value containing a literal ``>`` ends its tag early; ALL
+numeric entities (``&#NNN;`` decimal to 7 digits, ``&#xHH;`` hex to 6
+— both bounds exceed U+10FFFF) plus the ~50 top-frequency WHATWG
+named entities decode in a true single pass (``decode_entities_expr``
+— split on one regex, decode, re-interleave); rarer named entities
+stay literal. CDATA and conditional comments are treated as
 plain comments. Real-world boilerplate removal composes DOWNSTREAM of
 this pass via the existing line-level ops (``duplicate_lines`` /
 ``strip_duplicate_lines`` — the CCNet shape) and ``gopher_rules``.
@@ -41,7 +44,7 @@ BLOCK_TAGS = (
 # (pattern, replacement) chain — ORDER IS LOAD-BEARING: invisible
 # containers drop with their content first, then block boundaries
 # become newlines, then remaining tags drop, then entities decode
-# (&amp; LAST, the single-pass HTML rule), then whitespace folds.
+# (single-pass, decode_entities_expr), then whitespace folds.
 HTML_TEXT_STEPS: tuple[tuple[str, str], ...] = (
     (r"(?is)<script\b[^>]*>.*?</script[ \t]*>", " "),
     (r"(?is)<style\b[^>]*>.*?</style[ \t]*>", " "),
@@ -50,29 +53,89 @@ HTML_TEXT_STEPS: tuple[tuple[str, str], ...] = (
     (r"(?s)<[^>]*>", " "),
 )
 
-# Literal entity decodes (exact string replaces — zero dialect risk).
-HTML_ENTITY_STEPS: tuple[tuple[str, str], ...] = (
-    ("&lt;", "<"),
-    ("&#60;", "<"),
-    ("&gt;", ">"),
-    ("&#62;", ">"),
-    ("&quot;", '"'),
-    ("&#34;", '"'),
-    ("&apos;", "'"),
-    ("&#39;", "'"),
-    ("&nbsp;", " "),
-    ("&#160;", " "),
-    ("&amp;", "&"),
-    ("&#38;", "&"),
+# Named entities and their decodes — the top-frequency set real pages
+# carry (WHATWG names, case-sensitive as the spec defines them).
+# Numeric forms (&#NNN; / &#xHH;) decode GENERALLY via the codepoint
+# arithmetic in ``decode_entities_expr`` — no per-codepoint table.
+HTML_NAMED_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("amp", "&"),
+    ("lt", "<"),
+    ("gt", ">"),
+    ("quot", '"'),
+    ("apos", "'"),
+    ("nbsp", " "),
+    ("mdash", "—"),
+    ("ndash", "–"),
+    ("lsquo", "‘"),
+    ("rsquo", "’"),
+    ("ldquo", "“"),
+    ("rdquo", "”"),
+    ("hellip", "…"),
+    ("bull", "•"),
+    ("middot", "·"),
+    ("copy", "©"),
+    ("reg", "®"),
+    ("trade", "™"),
+    ("deg", "°"),
+    ("plusmn", "±"),
+    ("times", "×"),
+    ("divide", "÷"),
+    ("laquo", "«"),
+    ("raquo", "»"),
+    ("sect", "§"),
+    ("para", "¶"),
+    ("euro", "€"),
+    ("pound", "£"),
+    ("cent", "¢"),
+    ("yen", "¥"),
+    ("agrave", "à"),
+    ("aacute", "á"),
+    ("acirc", "â"),
+    ("auml", "ä"),
+    ("aelig", "æ"),
+    ("ccedil", "ç"),
+    ("egrave", "è"),
+    ("eacute", "é"),
+    ("ecirc", "ê"),
+    ("euml", "ë"),
+    ("icirc", "î"),
+    ("iuml", "ï"),
+    ("ntilde", "ñ"),
+    ("ocirc", "ô"),
+    ("ouml", "ö"),
+    ("ugrave", "ù"),
+    ("ucirc", "û"),
+    ("uuml", "ü"),
+    ("szlig", "ß"),
+    ("oelig", "œ"),
+)
+
+# One regex matches EVERY decodable entity — numeric (decimal bounded
+# to 7 digits, hex to 6: both bounds exceed U+10FFFF, so anything
+# longer is malformed and stays literal) and the named set. Group 1
+# is the entity payload without '&'/';'. A single pattern is what
+# makes the decode SINGLE-PASS: text an entity produces can never
+# re-trigger a later decode step (the r14 literal-replace chain
+# ordered '&amp;' last for the same reason, but could not extend to
+# numeric forms without a poisoning direction).
+HTML_ENTITY_RE = (
+    "&(#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|"
+    + "|".join(name for name, _ in HTML_NAMED_ENTITIES)
+    + ");"
 )
 
 # Whitespace folding: spaces/tabs collapse, newline islands collapse,
-# outer whitespace trims.
+# outer whitespace trims. U+00A0 (from &nbsp;/&#160; or raw in the
+# page) folds WITH plain spaces — training text wants one space form.
+# The NBSP is embedded as a LITERAL character: Java's \\uHHHH, RE2's
+# \\x{HH}, and Python's \\uHHHH escapes have no common subset, but a
+# raw UTF-8 char in a class means the same thing to all three engines.
+_NBSP = "\u00a0"
 HTML_SPACE_STEPS: tuple[tuple[str, str], ...] = (
-    (r"[ \t\r\f]+", " "),
-    (r"[ \t\r\f]*\n[ \t\r\f\n]*", "\n"),
-    (r"^[ \t\r\f\n]+", ""),
-    (r"[ \t\r\f\n]+$", ""),
+    (r"[ \t\r\f" + _NBSP + r"]+", " "),
+    (r"[ \t\r\f" + _NBSP + r"]*\n[ \t\r\f\n" + _NBSP + r"]*", "\n"),
+    (r"^[ \t\r\f\n" + _NBSP + r"]+", ""),
+    (r"[ \t\r\f\n" + _NBSP + r"]+$", ""),
 )
 
 # href/src values — double-quoted, single-quoted, and unquoted forms
@@ -87,14 +150,124 @@ LINK_PATTERNS: tuple[str, ...] = (
 )
 
 
+def _codepoint_char(c: Column) -> Column:
+    """Codepoint (long) → that character as a string, via arithmetic
+    UTF-8 byte construction (hex digits → ``unhex`` → ``decode``) —
+    pure JVM built-ins, stays inside whole-stage codegen (no reflect,
+    no UDF). Spark's own ``char()`` is mod-256 ASCII, useless beyond
+    Latin-1; this handles the full plane set. Invalid codepoints
+    (0, surrogates, > U+10FFFF) yield U+FFFD, the WHATWG rule. The
+    DuckDB oracle replays this with its native ``chr()`` — a genuinely
+    independent implementation of the same spec."""
+    valid = (
+        (c >= 1) & (c <= 0x10FFFF) & ((c < 0xD800) | (c > 0xDFFF))
+    )
+    cp = F.when(valid, c).otherwise(F.lit(0xFFFD))
+
+    def hx(x: Column) -> Column:
+        return F.lpad(F.hex(x), 2, "0")
+
+    def cont(shift: int) -> Column:
+        sh = F.shiftright(cp, shift) if shift else cp
+        return hx(sh.bitwiseAND(F.lit(0x3F)) + F.lit(0x80))
+
+    hexstr = (
+        F.when(cp < 0x80, hx(cp))
+        .when(
+            cp < 0x800,
+            F.concat(hx(F.shiftright(cp, 6) + F.lit(0xC0)), cont(0)),
+        )
+        .when(
+            cp < 0x10000,
+            F.concat(
+                hx(F.shiftright(cp, 12) + F.lit(0xE0)),
+                cont(6),
+                cont(0),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                hx(F.shiftright(cp, 18) + F.lit(0xF0)),
+                cont(12),
+                cont(6),
+                cont(0),
+            )
+        )
+    )
+    return F.decode(F.unhex(hexstr), "UTF-8")
+
+
+def _entity_char(e: Column) -> Column:
+    """Entity payload (group 1 of HTML_ENTITY_RE, no '&'/';') → its
+    decoded character(s)."""
+    code = F.when(
+        F.substring(e, 2, 1).isin("x", "X"),
+        F.conv(F.substring(e, 3, 6), 16, 10).cast("long"),
+    ).otherwise(F.substring(e, 2, 7).cast("long"))
+    out = F.when(e.startswith("#"), _codepoint_char(code))
+    for name, ch in HTML_NAMED_ENTITIES:
+        out = out.when(e == name, F.lit(ch))
+    # unreachable (the regex only matches the alternatives above) but
+    # keeps the expression total
+    return out.otherwise(F.concat(F.lit("&"), e, F.lit(";")))
+
+
+def decode_entities_expr(text: Column) -> Column:
+    """Single-pass HTML entity decode as one JVM expression: split the
+    text on HTML_ENTITY_RE (trailing empties KEPT — Spark's split
+    limit defaults to -1, pinned in tests), decode each matched entity
+    with :func:`_entity_char`, and re-interleave. Characters an entity
+    produces can never re-trigger a decode — the spec's single-pass
+    rule, by construction rather than by replace-ordering."""
+    segs = F.split(text, HTML_ENTITY_RE)
+    ents = F.regexp_extract_all(text, F.lit(HTML_ENTITY_RE), 1)
+    n = F.size(ents)
+    return F.when(n <= 0, text).otherwise(
+        F.concat(
+            F.array_join(
+                F.zip_with(
+                    F.slice(segs, 1, n),
+                    F.transform(ents, _entity_char),
+                    lambda s, ch: F.concat(s, ch),
+                ),
+                "",
+            ),
+            F.element_at(segs, -1),
+        )
+    )
+
+
+def decode_entities(text: str) -> str:
+    """Python reference of :func:`decode_entities_expr` (the pytest
+    third engine): same regex, same codepoint validity rule, same
+    named table."""
+    import re as _re
+
+    named = dict(HTML_NAMED_ENTITIES)
+
+    def dec(m: "_re.Match[str]") -> str:
+        e = m.group(1)
+        if not e.startswith("#"):
+            return named[e]
+        c = (
+            int(e[2:], 16)
+            if e[1] in ("x", "X")
+            else int(e[1:], 10)
+        )
+        if c < 1 or c > 0x10FFFF or 0xD800 <= c <= 0xDFFF:
+            c = 0xFFFD
+        return chr(c)
+
+    return _re.sub(HTML_ENTITY_RE, dec, text)
+
+
 def html_text_expr(col: Column | str) -> Column:
     """The full HTML→text chain as one JVM expression (see module
     docstring for the exact steps and their dialect constraints)."""
     out = F.col(col) if isinstance(col, str) else col
     for pat, rep in HTML_TEXT_STEPS:
         out = F.regexp_replace(out, pat, rep)
-    for lit, rep in HTML_ENTITY_STEPS:
-        out = F.replace(out, F.lit(lit), F.lit(rep))
+    out = decode_entities_expr(out)
     for pat, rep in HTML_SPACE_STEPS:
         out = F.regexp_replace(out, pat, rep)
     return out

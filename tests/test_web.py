@@ -9,9 +9,9 @@ import re
 import pytest
 
 from lotad_spark.pipeline.web import (
-    HTML_ENTITY_STEPS,
     HTML_SPACE_STEPS,
     HTML_TEXT_STEPS,
+    decode_entities,
     extract_links,
     html_to_text,
 )
@@ -32,8 +32,7 @@ def _py_replay(html: str) -> str:
     out = html
     for pat, rep in HTML_TEXT_STEPS:
         out = re.sub(pat, rep, out)
-    for lit, rep in HTML_ENTITY_STEPS:
-        out = out.replace(lit, rep)
+    out = decode_entities(out)
     for pat, rep in HTML_SPACE_STEPS:
         out = re.sub(pat, rep, out)
     return out
@@ -63,6 +62,47 @@ class TestHtmlToText:
         assert got[2] is None
         assert got[3] == "plain, no tags"
 
+    def test_entity_decode(self, spark):
+        """Numeric (decimal/hex), named, invalid-codepoint, and
+        single-pass cases — Spark's arithmetic UTF-8 construction vs
+        the Python reference (the oracle adds DuckDB chr() as the
+        independent third implementation)."""
+        import pyspark.sql.functions as F
+
+        from lotad_spark.pipeline.web import decode_entities_expr
+
+        cases = [
+            "plain, no entities",
+            "caf&eacute; r&#233;sum&#xE9;",  # named + dec + hex agree
+            "&mdash;&#8212; &rsquo;&#x2019; &hellip;&euro;",
+            # single-pass: &amp;#39; yields the LITERAL &#39;
+            "&amp;#39; and &amp;lt; stay encoded",
+            # invalid codepoints → U+FFFD (0, surrogate, > U+10FFFF)
+            "&#0; &#xD800; &#1114112;",
+            "&#1114111; max valid",  # U+10FFFF boundary
+            "&#12345678; 8 digits stays literal",
+            "&unknown; and bare & survive",
+            "ends with entity&hellip;",
+            "&lt;starts with entity",
+            "&#65;&#x42;C adjacent entities",
+        ]
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cases)], "i int, t string"
+        )
+        got = {
+            r.i: r.d
+            for r in df.select(
+                "i", decode_entities_expr(F.col("t")).alias("d")
+            ).collect()
+        }
+        for i, c in enumerate(cases):
+            assert got[i] == decode_entities(c), c
+        # spot-check absolute values, not just engine agreement
+        assert got[1] == "café résumé"
+        assert got[3] == "&#39; and &lt; stay encoded"
+        assert got[4] == "� � �"
+        assert got[10] == "ABC adjacent entities"
+
     def test_spark_matches_independent_python_replay(self, spark):
         cases = [
             (1, CRAFTED),
@@ -71,6 +111,8 @@ class TestHtmlToText:
             (4, "  lead <b>bold</b> trail  "),
             (5, "<SCRIPT>UPPER()</SCRIPT>ok<BR>line"),  # case-folding
             (6, "<div attr=\"k>v\">odd</div> tail"),  # documented limit
+            (7, "nbsp folds &#160; with&nbsp;spaces"),
+            (8, "num &#233; hex &#xE9; named &eacute; dash &#8212;"),
         ]
         df = spark.createDataFrame(cases, "doc_id bigint, html string")
         got = {r.doc_id: r.text for r in html_to_text(df).collect()}
