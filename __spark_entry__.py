@@ -555,14 +555,29 @@ def q_warc_ingest(spark, sf_dir):
         _doc_html_frame(spark, sf_dir).collect(), key=lambda r: r.doc_id
     )
     d = _scratch("lotad_warc_")
-    recs = [
-        (
-            f"https://example.com/doc/{r.doc_id}",
-            "text/html",
-            r.html.encode("utf-8"),
-        )
-        for r in docs
-    ]
+    recs = []
+    for r in docs:
+        uri = f"https://example.com/doc/{r.doc_id}"
+        # exercise the charset decode and the LF-only envelope
+        # fallback IN the checked row: every 3rd cp1252-encodable doc
+        # ships as windows-1252 bytes (decode-back == the template
+        # text, so the oracle replay is unchanged), every 5th with an
+        # LF-terminated HTTP envelope
+        nl = "\n" if r.doc_id % 5 == 0 else "\r\n"
+        if r.doc_id % 3 == 0:
+            try:
+                recs.append(
+                    (
+                        uri,
+                        "text/html; charset=windows-1252",
+                        r.html.encode("cp1252"),
+                        nl,
+                    )
+                )
+                continue
+            except UnicodeEncodeError:
+                pass
+        recs.append((uri, "text/html", r.html.encode("utf-8"), nl))
     # 8 shards, alternating plain/.warc.gz — scan parallelism is the
     # FILE count with this source, so the synthesis mirrors how a
     # real crawl shards (and both layouts stay in the checked rows)

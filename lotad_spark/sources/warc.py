@@ -26,7 +26,9 @@ missing/non-integer ``Content-Length`` terminate the parse of that
 FILE (framing is byte-offset based — there is nothing safe to resync
 on), and everything parsed up to that point is kept; headers are
 latin-1-decoded per the HTTP convention; ``warc_http_text`` decodes
-bodies as UTF-8 with replacement, the crawl-pipeline convention."""
+bodies per the envelope charset for the windows-1252/Latin-1 family
+and as a non-validating UTF-8 reinterpret otherwise (its docstring
+has the exact rules)."""
 
 from __future__ import annotations
 
@@ -216,33 +218,93 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(parse_batches, schema=WARC_SCHEMA)
 
 
+# Windows-1252's 27 defined mappings in the 0x80-0x9F range — the ONLY
+# bytes where cp1252 differs from ISO-8859-1 (and they carry exactly
+# the characters real pages use: curly quotes, dashes, €, …).
+# Undefined bytes (0x81 8D 8F 90 9D) stay as their C1 codepoints, the
+# WHATWG rule.
+_CP1252_EXTRAS = (
+    (0x80, 0x20AC), (0x82, 0x201A), (0x83, 0x0192), (0x84, 0x201E),
+    (0x85, 0x2026), (0x86, 0x2020), (0x87, 0x2021), (0x88, 0x02C6),
+    (0x89, 0x2030), (0x8A, 0x0160), (0x8B, 0x2039), (0x8C, 0x0152),
+    (0x8E, 0x017D), (0x91, 0x2018), (0x92, 0x2019), (0x93, 0x201C),
+    (0x94, 0x201D), (0x95, 0x2022), (0x96, 0x2013), (0x97, 0x2014),
+    (0x98, 0x02DC), (0x99, 0x2122), (0x9A, 0x0161), (0x9B, 0x203A),
+    (0x9C, 0x0153), (0x9E, 0x017E), (0x9F, 0x0178),
+)
+_CP1252_FROM = "".join(chr(b) for b, _ in _CP1252_EXTRAS)
+_CP1252_TO = "".join(chr(c) for _, c in _CP1252_EXTRAS)
+
+# charset labels that decode via the cp1252 path. WHATWG maps the
+# whole Latin-1/ASCII family TO windows-1252 (what every browser and
+# crawler does — pages labeled iso-8859-1 are overwhelmingly cp1252
+# in practice), so they all take it.
+_CP1252_LABELS = (
+    "windows-1252", "cp1252", "x-cp1252", "iso-8859-1", "iso8859-1",
+    "iso_8859-1", "latin-1", "latin1", "l1", "us-ascii", "ascii",
+    "ansi_x3.4-1968",
+)
+
+
+def _cp1252_decode(b: Column) -> Column:
+    """Exact windows-1252 bytes→string: ISO-8859-1 decode (total,
+    byte↔codepoint bijective) then translate the 27 divergent 0x80-9F
+    codepoints — pure JVM, no UDF."""
+    return F.translate(
+        F.decode(b, "ISO-8859-1"), _CP1252_FROM, _CP1252_TO
+    )
+
+
 def warc_http_text(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Append ``http_status`` (int), ``http_content_type`` (string —
     the envelope's Content-Type header value, for text/html
-    filtering), and ``body`` (string) peeled from the HTTP envelope of
-    response records: the status parses off the first line, the body
-    starts after the first blank line. A payload that starts with
-    ``HTTP/`` but has NO blank line is a headers-only record: status
-    parses, body is empty (headers never leak into body). Records
-    whose payload is not an HTTP message get NULL status/content-type
-    and the whole payload as body.
+    filtering), ``http_charset`` (string — the lowercased charset=
+    parameter when present), and ``body`` (string) peeled from the
+    HTTP envelope of response records: the status parses off the
+    first line, the body starts after the first blank line — CRLFCRLF
+    per the RFC, with an LF-only (``\\n\\n``) fallback because real
+    servers emit LF-terminated headers and dropping their bodies
+    silently would be a coverage hole (r14 advice); whichever
+    separator appears FIRST wins. A payload that starts with ``HTTP/``
+    but has NO blank line in either form is a headers-only record:
+    status parses, body is empty (headers never leak into body).
+    Records whose payload is not an HTTP message get NULL
+    status/content-type and the whole payload as body.
 
-    Honesty note on encoding: ``body`` is the payload bytes
-    REINTERPRETED as a UTF-8 string via Spark's binary→string cast,
-    which does NOT validate — non-UTF-8 bytes carry through
-    byte-faithfully rather than becoming U+FFFD. Filter on
-    ``http_status``/``http_content_type`` BEFORE treating body as text
-    (the ``web-extract`` CLI does); decoding-with-replacement would
-    cost a Python UDF on the hot path for no curation benefit. Pure
-    JVM expressions — one projection, no UDF."""
-    raw = F.col(content_col).cast("string")
-    is_http = raw.startswith("HTTP/")
-    sep = F.instr(raw, "\r\n\r\n")
-    head = F.when(sep > 0, raw.substr(F.lit(1), sep - 1)).otherwise(raw)
-    status = F.regexp_extract(raw, r"^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    Encoding: header offsets are found on an ISO-8859-1 peel (total,
+    one char per byte — so char positions ARE byte positions), and the
+    body is sliced from the BYTES then decoded per the envelope's
+    charset: the windows-1252/Latin-1/ASCII family decodes exactly
+    (``_cp1252_decode`` — the WHATWG label mapping); everything else,
+    including absent/UTF-8/unsupported labels, is Spark's
+    non-validating binary→string UTF-8 reinterpret, byte-faithful
+    rather than U+FFFD-replacing (documented honesty: a shift_jis page
+    still carries mojibake — filter on ``http_charset`` upstream if
+    that matters). Pure JVM expressions — one projection, no UDF."""
+    bin_c = F.col(content_col)
+    peel = F.decode(bin_c, "ISO-8859-1")
+    is_http = peel.startswith("HTTP/")
+    crlf = F.instr(peel, "\r\n\r\n")
+    lf = F.instr(peel, "\n\n")
+    use_crlf = (crlf > 0) & ((lf == 0) | (crlf <= lf))
+    sep = F.when(use_crlf, crlf).when(lf > 0, lf).otherwise(F.lit(0))
+    sep_len = F.when(use_crlf, F.lit(4)).otherwise(F.lit(2))
+    head = F.when(sep > 0, peel.substr(F.lit(1), sep - 1)).otherwise(
+        peel
+    )
+    status = F.regexp_extract(peel, r"^HTTP/[0-9.]+ ([0-9]{3})", 1)
     ctype = F.regexp_extract(
         head, r"(?im)^content-type:[ \t]*([^\r\n]+)", 1
     )
+    charset = F.lower(
+        F.regexp_extract(
+            ctype, "(?i)charset=[\"']?([A-Za-z0-9_.\\-]+)", 1
+        )
+    )
+    body_bin = bin_c.substr(sep + sep_len, F.length(bin_c))
+    body_decoded = F.when(
+        charset.isin(*_CP1252_LABELS), _cp1252_decode(body_bin)
+    ).otherwise(body_bin.cast("string"))
     return df.select(
         "*",
         F.when(is_http & (status != ""), status.cast("int"))
@@ -251,24 +313,31 @@ def warc_http_text(df: DataFrame, content_col: str = "content") -> DataFrame:
         F.when(is_http & (ctype != ""), ctype)
         .otherwise(F.lit(None).cast("string"))
         .alias("http_content_type"),
-        F.when(is_http & (sep > 0), raw.substr(sep + 4, F.length(raw)))
+        F.when(is_http & (charset != ""), charset)
+        .otherwise(F.lit(None).cast("string"))
+        .alias("http_charset"),
+        F.when(is_http & (sep > 0), body_decoded)
         .when(is_http, F.lit(""))
-        .otherwise(raw)
+        .otherwise(bin_c.cast("string"))
         .alias("body"),
     )
 
 
 def write_warc_file(
-    records: Iterable[tuple[str, str, bytes]],
+    records: Iterable[tuple],
     path: str,
     *,
     gzip_members: bool = False,
     date: str = "2024-01-01T00:00:00Z",
 ) -> None:
-    """Write (uri, content_type_of_payload, payload_bytes) tuples as a
-    spec-shaped WARC file — one warcinfo record, then one response
-    record per tuple wrapping the payload in a minimal HTTP/1.1
-    envelope. Mainly the test/oracle synthesis face; also the export
+    """Write (uri, content_type_of_payload, payload_bytes[,
+    http_line_ending]) tuples as a spec-shaped WARC file — one
+    warcinfo record, then one response record per tuple wrapping the
+    payload in a minimal HTTP/1.1 envelope. The optional 4th element
+    sets the INNER HTTP envelope's line ending (default CRLF; pass
+    ``"\\n"`` to synthesize the LF-only servers warc_http_text's
+    fallback handles — WARC record headers stay CRLF per spec either
+    way). Mainly the test/oracle synthesis face; also the export
     path for small curated sets. ``gzip_members=True`` writes the
     standard per-record-gzip ``.warc.gz`` layout."""
     import gzip as _gzip
@@ -297,9 +366,11 @@ def write_warc_file(
             info,
         )
     )
-    for i, (uri, ctype, payload) in enumerate(records):
+    for i, rec in enumerate(records):
+        uri, ctype, payload = rec[0], rec[1], rec[2]
+        nl = rec[3] if len(rec) > 3 else "\r\n"
         http = (
-            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n".encode()
+            f"HTTP/1.1 200 OK{nl}Content-Type: {ctype}{nl}{nl}".encode()
             + payload
         )
         out.append(

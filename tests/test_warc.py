@@ -140,6 +140,80 @@ class TestWarcSpark:
         )
 
 
+    def test_charset_decode_and_lf_fallback(self, spark, tmp_path):
+        """Envelope-charset body decode (exact windows-1252 incl. the
+        0x80-9F curly-quote range), the WHATWG latin-1→cp1252 label
+        mapping, the LF-only header fallback, and the documented
+        mojibake honesty case for unsupported charsets."""
+        d = str(tmp_path)
+        cp_text = "café ’curly’ €9 — dash"
+        sjis_text = "日本語"
+        recs = [
+            # 0: cp1252-labeled cp1252 bytes → exact text back
+            (
+                "https://x.com/0",
+                "text/html; charset=windows-1252",
+                cp_text.encode("cp1252"),
+            ),
+            # 1: iso-8859-1 label, cp1252 bytes (what real pages do)
+            (
+                "https://x.com/1",
+                'text/html; charset="ISO-8859-1"',
+                cp_text.encode("cp1252"),
+            ),
+            # 2: LF-only envelope: body must NOT drop
+            ("https://x.com/2", "text/html", b"<p>lf body</p>", "\n"),
+            # 3: unsupported charset: bytes reinterpreted as UTF-8
+            # (mojibake stays byte-faithful, documented)
+            (
+                "https://x.com/3",
+                "text/html; charset=shift_jis",
+                sjis_text.encode("shift_jis"),
+            ),
+            # 4: no charset, valid UTF-8 → unchanged
+            ("https://x.com/4", "text/html", cp_text.encode("utf-8")),
+        ]
+        write_warc_file(recs, os.path.join(d, "p.warc"))
+        rows = {
+            r.target_uri[-1]: r
+            for r in warc_http_text(read_warc(spark, d))
+            .filter("warc_type = 'response'")
+            .collect()
+        }
+        assert rows["0"].body == cp_text
+        assert rows["0"].http_charset == "windows-1252"
+        assert rows["1"].body == cp_text
+        assert rows["1"].http_charset == "iso-8859-1"
+        assert rows["2"].body == "<p>lf body</p>"
+        assert rows["2"].http_status == 200
+        assert rows["3"].http_charset == "shift_jis"
+        assert rows["3"].body != sjis_text  # honest mojibake
+        assert rows["4"].body == cp_text
+        assert rows["4"].http_charset is None
+
+    def test_cp1252_decode_matches_python(self, spark):
+        """Every defined cp1252 byte decodes exactly as Python's
+        cp1252 codec; the 5 undefined bytes take the WHATWG C1 rule."""
+        import pyspark.sql.functions as F
+
+        from lotad_spark.sources.warc import _cp1252_decode
+
+        undefined = {0x81, 0x8D, 0x8F, 0x90, 0x9D}
+        data = bytes(range(256))
+        got = (
+            spark.createDataFrame([(data,)], "b binary")
+            .select(_cp1252_decode(F.col("b")).alias("s"))
+            .collect()[0]
+            .s
+        )
+        assert len(got) == 256
+        for i, ch in enumerate(got):
+            if i in undefined:
+                assert ord(ch) == i  # C1 control kept (WHATWG)
+            else:
+                assert ch == bytes([i]).decode("cp1252"), hex(i)
+
+
 class TestWarcCrashRobustness:
     def test_never_raises(self, tmp_path):
         """A corrupt crawl shard must never kill the job: truncation
