@@ -53,6 +53,10 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     drift_counts: dict[str, int] = {}
+    # Correctness pins evaluated during the bench run — recorded in the
+    # output JSON so a silent regression cannot hide behind a green
+    # timing row (stderr is not captured by the driver).
+    checks: dict[str, bool] = {}
 
     # Min of three warm repeats per table: per-job scheduling overhead on a
     # shared box varies by ±1s, which across 8 tables swamps the signal
@@ -459,6 +463,9 @@ def main() -> None:
     queries["edit_distance_pairs_long1k"] = round(
         time.perf_counter() - t0, 3
     )
+    # Machine-visible recall pin: a regression in the candidate-exchange
+    # rewrite must show in the recorded JSON, not only on stderr.
+    checks["edit_distance_pairs_long1k_pairs_ok"] = n_long_pairs == 200
     if n_long_pairs != 200:
         print(
             f"edit_distance_pairs_long1k: expected 200 pairs, got "
@@ -533,6 +540,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": sf,
+        "checks": checks,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as fh:
@@ -541,6 +549,7 @@ def main() -> None:
     headline = {k: full[k] for k in ("metric", "value", "unit", "sf")}
     headline["n_queries"] = len(queries)
     headline["queries_file"] = "BENCH_FULL.json"
+    headline["checks_ok"] = all(checks.values())
     print(json.dumps(headline))
 
 

@@ -813,10 +813,15 @@ def edit_distance_pairs(
         base.select(F.col("_id").alias("id_b"), F.col("_s").alias("t")),
         "id_b",
     )
-    verified = with_text.filter(F.levenshtein("s", "t") <= k).select(
-        "id_a",
-        "id_b",
-        F.levenshtein("s", "t").cast("int").alias("distance"),
+    # Materialize the distance ONCE before filtering: Catalyst does not
+    # CSE levenshtein across the filter/project boundary, and the verify
+    # is the hot O(|s|*|t|) step of the whole join.
+    verified = (
+        with_text.withColumn(
+            "distance", F.levenshtein("s", "t").cast("int")
+        )
+        .filter(F.col("distance") <= k)
+        .select("id_a", "id_b", "distance")
     )
     # degenerate arm: strings too short to segment pair with anything
     # within the length window (broadcast — this set is tiny)
@@ -833,11 +838,12 @@ def edit_distance_pairs(
             (F.col("_id") != F.col("id_u"))
             & (F.abs(F.col("_l") - F.col("l_u")) <= k),
         )
-        .filter(F.levenshtein("_s", "u") <= k)
+        .withColumn("distance", F.levenshtein("_s", "u").cast("int"))
+        .filter(F.col("distance") <= k)
         .select(
             F.least("_id", "id_u").alias("id_a"),
             F.greatest("_id", "id_u").alias("id_b"),
-            F.levenshtein("_s", "u").cast("int").alias("distance"),
+            "distance",
         )
         .distinct()
     )
