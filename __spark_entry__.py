@@ -3864,6 +3864,610 @@ _TIFF_LUMA_HIST_SQL = (
 )
 
 
+# --- WebP / VP8L fixture encoder --------------------------------------
+# A minimal-but-real VP8L (lossless WebP) writer, independent of the
+# decoder in lotad_spark/pipeline/multimodal.py — the round trip
+# (encode variant -> _webp_pixels -> pixel values) is what the oracle
+# row verifies, so the two sides are deliberately separate
+# implementations of the public spec (RFC 9649). Five encoding classes
+# cycle by doc_id so the oracle corpus covers: plain literals with
+# normal (code-length-coded) prefix codes and optionally meta prefix
+# codes (an entropy image with two code groups), the subtract-green
+# transform with LZ77 backrefs (both mapped short-distance and plain
+# 120+dist codes), the color cache, the predictor transform (tile
+# modes cycling through all 14), and color indexing with sub-byte
+# pixel bundling.
+
+_WP_CL_ORDER = (
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15
+)
+
+
+class _WpBitWriter:
+    """LSB-first bit accumulator (the VP8L stream convention)."""
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val: int, nbits: int) -> None:
+        self.acc |= (val & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+
+    def put_code(self, code: int, nbits: int) -> None:
+        # prefix-code words are walked MSB-of-code-first by the reader
+        for i in range(nbits - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+    def tobytes(self) -> bytes:
+        return self.acc.to_bytes((self.n + 7) // 8, "little")
+
+
+def _wp_huff_lengths(freqs: dict) -> dict:
+    """Huffman code lengths (deterministic tie-breaks by insertion
+    serial over symbol-sorted leaves). Callers guarantee >= 3 symbols;
+    fixture alphabets are small enough that depth stays far below the
+    15-bit spec cap (asserted)."""
+    import heapq
+
+    items = sorted(freqs.items())
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(items)]
+    heapq.heapify(heap)
+    serial = len(heap)
+    depth = {s: 0 for s, _f in items}
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, serial, g1 + g2))
+        serial += 1
+    assert max(depth.values()) <= 15, "fixture alphabet too skewed"
+    return depth
+
+
+def _wp_canonical(lengths: dict) -> dict:
+    """symbol -> (nbits, code), deflate canonical numbering — must
+    match the decoder's (and every other engine's) assignment rule."""
+    items = sorted((l, s) for s, l in lengths.items() if l > 0)
+    out = {}
+    code = 0
+    prev = items[0][0]
+    for ln, sym in items:
+        code <<= ln - prev
+        prev = ln
+        out[sym] = (ln, code)
+        code += 1
+    return out
+
+
+def _wp_write_prefix_code(bw: _WpBitWriter, freqs: dict, alphabet: int) -> dict:
+    """Emit one prefix-code header for the given symbol frequencies and
+    return the symbol -> (nbits, code) encoder map (0-bit for the
+    single-symbol form)."""
+    syms = sorted(freqs)
+    # the simple form's symbol fields are <= 8 bits wide: symbols
+    # >= 256 (LZ77 length / cache-hit greens) must take the normal form
+    if len(syms) == 1 and syms[0] <= 255:
+        s = syms[0]
+        bw.put(1, 1)  # simple
+        bw.put(0, 1)  # one symbol
+        if s < 2:
+            bw.put(0, 1)
+            bw.put(s, 1)
+        else:
+            bw.put(1, 1)
+            bw.put(s, 8)
+        return {s: (0, 0)}
+    if len(syms) == 2 and syms[1] <= 255:
+        s0, s1 = syms
+        bw.put(1, 1)  # simple
+        bw.put(1, 1)  # two symbols
+        bw.put(1, 1)  # first symbol in the 8-bit form
+        bw.put(s0, 8)
+        bw.put(s1, 8)
+        # canonical over equal lengths: smaller symbol takes code 0
+        return {s0: (1, 0), s1: (1, 1)}
+    if len(syms) == 1:
+        # one >255 symbol: a single length-1 entry — the decoder's
+        # single-nonzero rule reads it as a 0-bit constant code
+        lengths = {syms[0]: 1}
+        enc = {syms[0]: (0, 0)}
+    elif len(syms) == 2:
+        lengths = {syms[0]: 1, syms[1]: 1}
+        enc = _wp_canonical(lengths)
+    else:
+        lengths = _wp_huff_lengths(freqs)
+        enc = _wp_canonical(lengths)
+    # code-length ops over symbols 0..max_used (rest implied zero by
+    # the max_symbol read bound)
+    max_used = max(syms)
+    ops = []  # (cl_symbol, extra_val, extra_nbits)
+    i = 0
+    while i <= max_used:
+        ln = lengths.get(i, 0)
+        if ln == 0:
+            run = 0
+            j = i
+            while j <= max_used and lengths.get(j, 0) == 0:
+                run += 1
+                j += 1
+            while run >= 11:
+                r = min(run, 138)
+                ops.append((18, r - 11, 7))
+                run -= r
+            if run >= 3:
+                ops.append((17, run - 3, 3))
+            else:
+                ops.extend((0, 0, 0) for _ in range(run))
+            i = j
+        else:
+            ops.append((ln, 0, 0))
+            i += 1
+    bw.put(0, 1)  # normal (code-length-coded) form
+    bw.put(15, 4)  # num_code_lengths = 4 + 15 = 19: all, in order
+    used_cl = sorted({op[0] for op in ops})
+    if len(used_cl) == 1:
+        # single-nonzero code-length code = 0-bit reads on the decoder
+        cl_lengths = {used_cl[0]: 1}
+        cl_enc = {used_cl[0]: (0, 0)}
+    else:
+        # uniform lengths: deterministic and always Kraft-feasible
+        bits = max(1, (len(used_cl) - 1).bit_length())
+        cl_lengths = {s: bits for s in used_cl}
+        cl_enc = _wp_canonical(cl_lengths)
+    for s in _WP_CL_ORDER:
+        bw.put(cl_lengths.get(s, 0), 3)
+    # bound the number of length reads: max_reads = 2 + an
+    # even-width field (2..16 bits) — size the field to the op count
+    assert 2 <= len(ops) <= 2 + 0xFFFF
+    nbits = max(2, (max(len(ops) - 2, 1).bit_length() + 1) // 2 * 2)
+    bw.put(1, 1)
+    bw.put((nbits - 2) // 2, 3)
+    bw.put(len(ops) - 2, nbits)
+    for cl_sym, ev, eb in ops:
+        n, c = cl_enc[cl_sym]
+        if n:
+            bw.put_code(c, n)
+        if eb:
+            bw.put(ev, eb)
+    return enc
+
+
+def _wp_lz77_sym(value: int):
+    """LZ77 value -> (prefix_symbol, extra_val, extra_nbits)."""
+    if value <= 4:
+        return (value - 1, 0, 0)
+    code = 4
+    while True:
+        extra = (code - 2) >> 1
+        base = (2 + (code & 1)) << extra
+        if base + 1 <= value <= base + (1 << extra):
+            return (code, value - base - 1, extra)
+        code += 1
+
+
+def _wp_emit_literal(bw, enc5, p):
+    g, r, b, a = (p >> 8) & 255, (p >> 16) & 255, p & 255, (p >> 24) & 255
+    for enc, sym in zip(enc5, (g, r, b, a)):
+        n, c = enc[sym]
+        if n:
+            bw.put_code(c, n)
+
+
+def _wp_write_plain_image(bw: _WpBitWriter, pixels: list) -> None:
+    """A sub-image (transform data / palette / entropy image): no
+    cache, one code group, every pixel a literal."""
+    bw.put(0, 1)  # no color cache
+    freq_g, freq_r, freq_b, freq_a = {}, {}, {}, {}
+    for p in pixels:
+        for d, v in (
+            (freq_g, (p >> 8) & 255),
+            (freq_r, (p >> 16) & 255),
+            (freq_b, p & 255),
+            (freq_a, (p >> 24) & 255),
+        ):
+            d[v] = d.get(v, 0) + 1
+    enc_g = _wp_write_prefix_code(bw, freq_g, 256 + 24)
+    enc_r = _wp_write_prefix_code(bw, freq_r, 256)
+    enc_b = _wp_write_prefix_code(bw, freq_b, 256)
+    enc_a = _wp_write_prefix_code(bw, freq_a, 256)
+    _wp_write_prefix_code(bw, {0: 1}, 40)  # unused distance code
+    for p in pixels:
+        _wp_emit_literal(bw, (enc_g, enc_r, enc_b, enc_a), p)
+
+
+def _wp_add_px(a: int, b: int) -> int:
+    return (
+        (((a >> 24) + (b >> 24)) & 0xFF) << 24
+        | ((((a >> 16) + (b >> 16)) & 0xFF) << 16)
+        | ((((a >> 8) + (b >> 8)) & 0xFF) << 8)
+        | ((a + b) & 0xFF)
+    )
+
+
+def _wp_sub_px(a: int, b: int) -> int:
+    return (
+        (((a >> 24) - (b >> 24)) & 0xFF) << 24
+        | ((((a >> 16) - (b >> 16)) & 0xFF) << 16)
+        | ((((a >> 8) - (b >> 8)) & 0xFF) << 8)
+        | ((a - b) & 0xFF)
+    )
+
+
+def _wp_avg2(a: int, b: int) -> int:
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _wp_predict(mode, left, top, tl, tr):
+    """Forward-side copy of the 14 spec predictors (independent of the
+    decoder's `_vp8l_predict` — a divergence breaks the round trip and
+    the oracle row)."""
+
+    def chans(p):
+        return ((p >> 24) & 255, (p >> 16) & 255, (p >> 8) & 255, p & 255)
+
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _wp_avg2(_wp_avg2(left, tr), top)
+    if mode == 6:
+        return _wp_avg2(left, tl)
+    if mode == 7:
+        return _wp_avg2(left, top)
+    if mode == 8:
+        return _wp_avg2(tl, top)
+    if mode == 9:
+        return _wp_avg2(top, tr)
+    if mode == 10:
+        return _wp_avg2(_wp_avg2(left, tl), _wp_avg2(top, tr))
+    lc, tc, tlc = chans(left), chans(top), chans(tl)
+    if mode == 11:
+        p_l = p_t = 0
+        for i in range(4):
+            est = lc[i] + tc[i] - tlc[i]
+            p_l += abs(est - lc[i])
+            p_t += abs(est - tc[i])
+        return left if p_l < p_t else top
+    if mode == 12:
+        out = 0
+        for i in range(4):
+            v = lc[i] + tc[i] - tlc[i]
+            out = (out << 8) | (0 if v < 0 else 255 if v > 255 else v)
+        return out
+    # mode 13: ClampAddSubtractHalf with C-truncating division
+    avg = _wp_avg2(left, top)
+    out = 0
+    for i, a in enumerate(chans(avg)):
+        d = a - tlc[i]
+        v = a + (d // 2 if d >= 0 else -((-d) // 2))
+        out = (out << 8) | (0 if v < 0 else 255 if v > 255 else v)
+    return out
+
+
+def _wp_encode_fixture(data: bytes, w: int, h: int, did: int) -> bytes:
+    """One doc's pixels (gray = byte value, or palette class 4:
+    gray = (byte %% 4) * 85) as a valid lossless WebP, encoding class
+    cycling by doc_id %% 5 — see the module comment."""
+    import struct
+
+    cls = did % 5
+    grays = list(data)
+    argb = [0xFF000000 | g << 16 | g << 8 | g for g in grays]
+    n = w * h
+    bw = _WpBitWriter()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)  # alpha hint
+    bw.put(0, 3)  # version
+
+    def lz_token_stream(pixels, mapped_dist):
+        """literal/backref token plan: runs of >=3 equal pixels become
+        literal + dist-1 backref (mapped short code or plain 120+1)."""
+        toks = []
+        i = 0
+        while i < len(pixels):
+            j = i + 1
+            while j < len(pixels) and pixels[j] == pixels[i]:
+                j += 1
+            run = j - i
+            if run >= 3 and i > 0:
+                toks.append(("lit", pixels[i]))
+                toks.append(("ref", run - 1, 2 if mapped_dist else 121))
+            elif run >= 4 and i == 0:
+                toks.append(("lit", pixels[i]))
+                toks.append(("ref", run - 1, 2 if mapped_dist else 121))
+            else:
+                toks.extend(("lit", pixels[k]) for k in range(i, j))
+            i = j
+        return toks
+
+    def write_coded_image(pixels, *, cache_bits=0, toks=None, groups=None):
+        """Top-level entropy-coded image: optional cache, optional
+        2-group meta assignment, literals/backrefs per `toks`."""
+        if cache_bits:
+            bw.put(1, 1)
+            bw.put(cache_bits, 4)
+        else:
+            bw.put(0, 1)
+        if groups is None:
+            bw.put(0, 1)  # no meta prefix
+            group_of = [0] * len(pixels)
+            n_groups = 1
+        else:
+            hbits, group_of, meta_px = groups
+            bw.put(1, 1)
+            bw.put(hbits - 2, 3)
+            _wp_write_plain_image(bw, meta_px)
+            n_groups = max(group_of) + 1
+        if toks is None:
+            toks = [("lit", p) for p in pixels]
+        # assign each token to the group of its starting pixel, and
+        # simulate the cache to plan hit/literal per token
+        cache = [None] * (1 << cache_bits) if cache_bits else None
+        plan = []  # (group, kind, payload...)
+        pos = 0
+        for t in toks:
+            g = group_of[pos]
+            if t[0] == "lit":
+                p = t[1]
+                if cache is not None:
+                    idx = ((0x1E35A7BD * p) & 0xFFFFFFFF) >> (32 - cache_bits)
+                    if cache[idx] == p:
+                        plan.append((g, "hit", idx))
+                    else:
+                        cache[idx] = p
+                        plan.append((g, "lit", p))
+                else:
+                    plan.append((g, "lit", p))
+                pos += 1
+            else:
+                _, length, dval = t
+                plan.append((g, "ref", length, dval))
+                if cache is not None:
+                    for k in range(length):
+                        p = pixels[pos + k]
+                        idx = (
+                            (0x1E35A7BD * p) & 0xFFFFFFFF
+                        ) >> (32 - cache_bits)
+                        cache[idx] = p
+                pos += length
+        # per-group frequencies
+        cache_n = (1 << cache_bits) if cache_bits else 0
+        freqs = [
+            [dict(), dict(), dict(), dict(), dict()] for _ in range(n_groups)
+        ]
+        for step in plan:
+            g = step[0]
+            fg, fr, fb, fa, fd = freqs[g]
+            if step[1] == "lit":
+                p = step[2]
+                for d, v in (
+                    (fg, (p >> 8) & 255),
+                    (fr, (p >> 16) & 255),
+                    (fb, p & 255),
+                    (fa, (p >> 24) & 255),
+                ):
+                    d[v] = d.get(v, 0) + 1
+            elif step[1] == "hit":
+                fg[280 + step[2]] = fg.get(280 + step[2], 0) + 1
+            else:
+                lsym = _wp_lz77_sym(step[2])[0]
+                dsym = _wp_lz77_sym(step[3])[0]
+                fg[256 + lsym] = fg.get(256 + lsym, 0) + 1
+                fd[dsym] = fd.get(dsym, 0) + 1
+        encs = []
+        for g in range(n_groups):
+            fg, fr, fb, fa, fd = freqs[g]
+            encs.append(
+                (
+                    _wp_write_prefix_code(bw, fg, 256 + 24 + cache_n),
+                    _wp_write_prefix_code(bw, fr or {0: 1}, 256),
+                    _wp_write_prefix_code(bw, fb or {0: 1}, 256),
+                    _wp_write_prefix_code(bw, fa or {0: 1}, 256),
+                    _wp_write_prefix_code(bw, fd or {0: 1}, 40),
+                )
+            )
+        for step in plan:
+            enc_g, enc_r, enc_b, enc_a, enc_d = encs[step[0]]
+            if step[1] == "lit":
+                _wp_emit_literal(
+                    bw, (enc_g, enc_r, enc_b, enc_a), step[2]
+                )
+            elif step[1] == "hit":
+                nb, c = enc_g[280 + step[2]]
+                if nb:
+                    bw.put_code(c, nb)
+            else:
+                lsym, lev, leb = _wp_lz77_sym(step[2])
+                nb, c = enc_g[256 + lsym]
+                if nb:
+                    bw.put_code(c, nb)
+                if leb:
+                    bw.put(lev, leb)
+                dsym, dev, deb = _wp_lz77_sym(step[3])
+                nb, c = enc_d[dsym]
+                if nb:
+                    bw.put_code(c, nb)
+                if deb:
+                    bw.put(dev, deb)
+
+    if cls == 0:
+        bw.put(0, 1)  # no transforms
+        if (did // 5) % 2:
+            hbits = 2
+            mw, mh = -(-w // 4), -(-h // 4)
+            meta_px = [
+                0xFF000000 | (((tx + ty) % 2) << 8)
+                for ty in range(mh)
+                for tx in range(mw)
+            ]
+            group_of = [
+                ((x >> hbits) + (y >> hbits)) % 2
+                for y in range(h)
+                for x in range(w)
+            ]
+            write_coded_image(argb, groups=(hbits, group_of, meta_px))
+        else:
+            write_coded_image(argb)
+    elif cls == 1:
+        bw.put(1, 1)
+        bw.put(2, 2)  # subtract-green
+        bw.put(0, 1)  # end transforms
+        res = [0xFF000000 | g << 8 for g in grays]  # r'=b'=0 for gray
+        write_coded_image(
+            res, toks=lz_token_stream(res, mapped_dist=(did // 5) % 2)
+        )
+    elif cls == 2:
+        bw.put(0, 1)  # no transforms
+        write_coded_image(argb, cache_bits=4)
+    elif cls == 3:
+        bw.put(1, 1)
+        bw.put(0, 2)  # predictor transform
+        bw.put(0, 3)  # size_bits = 2 -> 4x4 tiles
+        tiles_w, tiles_h = -(-w // 4), -(-h // 4)
+        modes = [
+            (did + t) % 14 for t in range(tiles_w * tiles_h)
+        ]
+        _wp_write_plain_image(
+            bw, [0xFF000000 | m << 8 for m in modes]
+        )
+        bw.put(0, 1)  # end transforms
+        res = []
+        for i in range(n):
+            x, y = i % w, i // w
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = argb[i - 1]
+            elif x == 0:
+                pred = argb[i - w]
+            else:
+                pred = _wp_predict(
+                    modes[(y >> 2) * tiles_w + (x >> 2)],
+                    argb[i - 1],
+                    argb[i - w],
+                    argb[i - w - 1],
+                    argb[i - w + 1],
+                )
+            res.append(_wp_sub_px(argb[i], pred))
+        write_coded_image(res)
+    else:  # cls == 4: color indexing, 4-gray palette, 2-bit bundling
+        idx = [g % 4 for g in grays]
+        pal = [0xFF000000 | (85 * k) * 0x010101 for k in range(4)]
+        bw.put(1, 1)
+        bw.put(3, 2)  # color indexing
+        bw.put(3, 8)  # palette size - 1
+        deltas = [pal[0]] + [
+            _wp_sub_px(pal[k], pal[k - 1]) for k in range(1, 4)
+        ]
+        _wp_write_plain_image(bw, deltas)
+        bw.put(0, 1)  # end transforms
+        rw = -(-w // 4)
+        packed = []
+        for y in range(h):
+            for px in range(rw):
+                byte = 0
+                for j in range(4):
+                    x = px * 4 + j
+                    if x < w:
+                        byte |= idx[y * w + x] << (2 * j)
+                packed.append(0xFF000000 | byte << 8)
+        write_coded_image(packed)
+
+    vp8l = b"\x2f" + bw.tobytes()
+    pad = b"\x00" if len(vp8l) & 1 else b""
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(vp8l) + len(pad))
+        + b"WEBP"
+        + b"VP8L"
+        + struct.pack("<I", len(vp8l))
+        + vp8l
+        + pad
+    )
+
+
+def _doc_webp_media(spark, sf_dir):
+    """Each doc as a valid LOSSLESS WebP whose pixels are the doc's
+    text bytes as gray levels (rpad/truncated to w*h, the shared pixel
+    source; palette class maps byte -> (byte %% 4) * 85), with the
+    encoding class cycling by doc_id %% 5 across: plain normal-coded
+    literals (+ an entropy image with two code groups on alternating
+    docs), subtract-green + LZ77 backrefs (mapped short-distance codes
+    on alternating docs), a 16-entry color cache, the predictor
+    transform with tile modes sweeping all 14 predictors, and a
+    bundled 4-color palette. Any decoder defect — prefix-code
+    reconstruction, distance mapping, cache hashing, transform
+    inversion — changes pixel values and hash-mismatches the oracle."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w, h = did % 6 + 3, did % 4 + 2
+                raw = (text or "").encode("utf-8")[: w * h].ljust(
+                    w * h, b"x"
+                )
+                payloads.append(_wp_encode_fixture(raw, w, h, did))
+            yield pdf.assign(content=payloads)[
+                ["doc_id", "content"]
+            ].rename(columns={"doc_id": "media_id"})
+
+    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def q_multimodal_webp_luma_hist(spark, sf_dir):
+    """The WebP face of the real-pixel tier (pipeline/multimodal.py
+    _webp_pixels — VP8L per RFC 9649): canonical prefix codes, LZ77
+    with the 120-entry distance map, color cache, entropy image, and
+    all four transforms, feeding the 16-bin integer luma histogram.
+    Gray pixel g has luma exactly g, so the oracle derives expectations
+    straight from the text bytes (palette class: (byte % 4) * 85) —
+    any bitstream or transform defect changes counted values and
+    hash-mismatches. Encoder-independent bitstream vectors pin the
+    decoder branch-by-branch in tests/test_webp.py."""
+    from lotad_spark.pipeline.multimodal import extract_feature_counts
+
+    return extract_feature_counts(
+        _doc_webp_media(spark, sf_dir), kind="luma"
+    ).select(
+        "media_id",
+        "kind",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias(
+            "hist"
+        ),
+    )
+
+
+_WEBP_LUMA_HIST_SQL = (
+    "WITH base AS (SELECT doc_id AS media_id, doc_id % 5 AS cls, "
+    "rpad(coalesce(text, ''), "
+    "CAST((doc_id % 6 + 3) * (doc_id % 4 + 2) AS INT), 'x') AS px, "
+    "CAST((doc_id % 6 + 3) * (doc_id % 4 + 2) AS INT) AS nb "
+    "FROM documents), "
+    "g AS (SELECT media_id, list_transform(range(0, nb), "
+    "i -> CASE WHEN cls = 4 THEN (ord(substr(px, i + 1, 1)) % 4) * 85 "
+    "ELSE ord(substr(px, i + 1, 1)) END) AS grays FROM base) "
+    "SELECT media_id, 'luma' AS kind, "
+    "array_to_string(list_transform(range(0, 16), b -> "
+    "CAST(len(list_filter(grays, v -> v * 16 // 256 = b)) "
+    "AS VARCHAR)), ',') AS hist FROM g"
+)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style hashed linear quality classifier
     (pipeline/quality.py, Joulin et al. 2016): logistic regression over
@@ -6012,6 +6616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fix, TIFF multi-strip synthesis fix, heavy_hitters one-pass
         # fusion, the value-checked rollup_distinct_users face, the
         # wizard probe now driving column_overlap_count itself). ---
+        "multimodal_webp_luma_hist": q_multimodal_webp_luma_hist,
         "multimodal_jpeg_progressive_hist": q_multimodal_jpeg_progressive_hist,
         "image_phash": q_image_phash,
         "html_extract": q_html_extract,
@@ -6257,6 +6862,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "multimodal_gif_resize_hist": _GIF_RESIZE_HIST_SQL,
         "multimodal_tiff_luma_hist": _TIFF_LUMA_HIST_SQL,
+        "multimodal_webp_luma_hist": _WEBP_LUMA_HIST_SQL,
         "pack_plan": _PACK_PLAN_SQL,
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"

@@ -159,10 +159,12 @@ def decode_pixels(payload: bytes):
     gray/YCbCr, restart intervals, divisible sampling grids
     (:func:`_jpeg_pixels` / :func:`_jpeg_progressive_pixels`),
     GIF87a/89a (full LZW inflate, global/local color tables,
-    4-pass deinterlace, first frame — :func:`_gif_pixels`), and
+    4-pass deinterlace, first frame — :func:`_gif_pixels`),
     baseline uncompressed TIFF (II/MM byte order, 8-bit gray/RGB
-    strips, WhiteIsZero inversion — :func:`_tiff_pixels`) — all per
-    the public specs. Grayscale replicates to RGB and alpha
+    strips, WhiteIsZero inversion — :func:`_tiff_pixels`), and
+    lossless WebP (VP8L: prefix codes, LZ77 + distance map, color
+    cache, entropy image, all four transforms — :func:`_webp_pixels`;
+    lossy VP8 stays honest-None) — all per the public specs. Grayscale replicates to RGB and alpha
     drops so downstream kernels see one shape. Anything truncated,
     palette-mapped, 16-bit, lossless/arithmetic-coded JPEG, or with a
     non-255 maxval returns None rather than guessing (PNG interlace is
@@ -214,6 +216,9 @@ def decode_pixels(payload: bytes):
     tiff = _tiff_pixels(payload)
     if tiff is not None:
         return tiff
+    webp = _webp_pixels(payload)
+    if webp is not None:
+        return webp
     return _jpeg_pixels(payload)
 
 
@@ -1050,6 +1055,542 @@ def _tiff_pixels(payload: bytes):
     return (w, h, arr.copy())
 
 
+# --- WebP (RIFF container; VP8L lossless bitstream per the public
+# "WebP Lossless Bitstream Specification", now RFC 9649) ---------------
+#
+# The VP8L short-distance codes 1..120 address a fixed close
+# neighborhood of the current pixel. The spec lists the 120 (dx, dy)
+# offsets as a literal table; that table is exactly the enumeration of
+# dx in [-7, 8], dy in [0, 7] minus the non-causal row-0 cells
+# (dy == 0 and dx <= 0) — 16*8 - 8 = 120 cells — ordered by increasing
+# Euclidean distance, ties broken by |dx| ascending then positive dx
+# first ((0,1), (1,0), (1,1), (-1,1), (0,2), (2,0), (1,2), (-1,2),
+# (2,1), (-2,1), ... (8,6), (7,7), (-7,7), (8,7)). Generating it from
+# that rule rather than transcribing 120 literals keeps the provenance
+# checkable; tests/test_webp.py pins the spec-listed prefix and the
+# domain/size invariants.
+_WEBP_DIST_MAP = tuple(
+    sorted(
+        (
+            (dx, dy)
+            for dy in range(8)
+            for dx in range(-7, 9)
+            if not (dy == 0 and dx <= 0)
+        ),
+        key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0),
+    )
+)
+
+# Code-length-code symbol order (VP8L reuses the Brotli/deflate-style
+# RLE alphabet: 0-15 literal lengths, 16 = repeat-previous, 17/18 =
+# zero runs), read in this fixed order.
+_WEBP_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+class _Vp8lError(Exception):
+    """Malformed/unsupported VP8L stream — callers return honest None."""
+
+
+class _Vp8lBits:
+    """LSB-first bit reader (VP8L convention) over one big int —
+    payloads are single images, so the one-time int conversion beats a
+    per-read byte walk in CPython."""
+
+    __slots__ = ("_acc", "_pos", "_len")
+
+    def __init__(self, data: bytes):
+        self._acc = int.from_bytes(data, "little")
+        self._pos = 0
+        self._len = len(data) * 8
+
+    def read(self, n: int) -> int:
+        if self._pos + n > self._len:
+            raise _Vp8lError("truncated stream")
+        v = (self._acc >> self._pos) & ((1 << n) - 1)
+        self._pos += n
+        return v
+
+
+def _vp8l_build_code(lengths):
+    """Canonical prefix code from per-symbol code lengths (deflate
+    numbering: codes assigned in (length, symbol) order). Returns
+    ``("const", sym)`` for a single-symbol code — per the spec such a
+    code consumes ZERO bits per read — else ``(table, max_len)`` with
+    ``table[(nbits, code)] = symbol`` walked MSB-of-code-first."""
+    items = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
+    if not items:
+        raise _Vp8lError("empty prefix code")
+    if len(items) == 1:
+        return ("const", items[0][1])
+    table = {}
+    code = 0
+    prev_len = items[0][0]
+    for ln, sym in items:
+        code <<= ln - prev_len
+        prev_len = ln
+        table[(ln, code)] = sym
+        code += 1
+    if code > (1 << prev_len):
+        raise _Vp8lError("over-subscribed prefix code")
+    return (table, items[-1][0])
+
+
+def _vp8l_read_sym(bits: _Vp8lBits, code) -> int:
+    table, max_len = code
+    if table == "const":
+        return max_len
+    acc = 0
+    n = 0
+    while n < max_len:
+        acc = (acc << 1) | bits.read(1)
+        n += 1
+        sym = table.get((n, acc))
+        if sym is not None:
+            return sym
+    raise _Vp8lError("invalid prefix code word")
+
+
+def _vp8l_read_prefix_code(bits: _Vp8lBits, alphabet_size: int):
+    """One prefix code: the 'simple' 1/2-symbol form or the normal
+    code-length-coded form (with the optional max_symbol read bound and
+    the 16/17/18 repeat codes)."""
+    if bits.read(1):  # simple code
+        num_symbols = bits.read(1) + 1
+        s0 = bits.read(8) if bits.read(1) else bits.read(1)
+        if num_symbols == 1:
+            return ("const", s0)
+        s1 = bits.read(8)
+        if s0 == s1 or max(s0, s1) >= alphabet_size:
+            raise _Vp8lError("bad simple code symbols")
+        lengths = [0] * alphabet_size
+        lengths[s0] = lengths[s1] = 1
+        return _vp8l_build_code(lengths)
+    num_cl = 4 + bits.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_WEBP_CL_ORDER[i]] = bits.read(3)
+    cl_code = _vp8l_build_code(cl_lengths)
+    if bits.read(1):  # explicit bound on the number of length reads
+        length_nbits = 2 + 2 * bits.read(3)
+        max_reads = 2 + bits.read(length_nbits)
+    else:
+        max_reads = alphabet_size
+    lengths = [0] * alphabet_size
+    symbol = 0
+    prev_nonzero = 8  # spec default for the first repeat-16
+    while symbol < alphabet_size and max_reads > 0:
+        max_reads -= 1
+        s = _vp8l_read_sym(bits, cl_code)
+        if s < 16:
+            lengths[symbol] = s
+            symbol += 1
+            if s:
+                prev_nonzero = s
+            continue
+        if s == 16:
+            repeat, val = 3 + bits.read(2), prev_nonzero
+        elif s == 17:
+            repeat, val = 3 + bits.read(3), 0
+        else:
+            repeat, val = 11 + bits.read(7), 0
+        if symbol + repeat > alphabet_size:
+            raise _Vp8lError("repeat overruns alphabet")
+        for _ in range(repeat):
+            lengths[symbol] = val
+            symbol += 1
+    return _vp8l_build_code(lengths)
+
+
+def _vp8l_lz77_value(bits: _Vp8lBits, prefix: int) -> int:
+    """LZ77 length/distance prefix symbol -> value (both alphabets use
+    the same 2-codes-per-doubling extra-bits layout)."""
+    if prefix < 4:
+        return prefix + 1
+    extra = (prefix - 2) >> 1
+    offset = (2 + (prefix & 1)) << extra
+    return offset + bits.read(extra) + 1
+
+
+def _vp8l_decode_image(bits: _Vp8lBits, w: int, h: int, top_level: bool):
+    """Decode one entropy-coded VP8L image to a flat list of ARGB ints
+    plus the transform list (top-level only). Sub-images (transform
+    data, palettes, the entropy image) recurse with top_level=False:
+    no transforms, no meta prefix — but a color cache is legal."""
+    transforms = []
+    cur_w = w
+    if top_level:
+        seen = set()
+        while bits.read(1):
+            ttype = bits.read(2)
+            if ttype in seen:
+                raise _Vp8lError("duplicate transform")
+            seen.add(ttype)
+            if ttype == 2:  # subtract-green: no payload
+                transforms.append((2, None, cur_w))
+            elif ttype in (0, 1):  # predictor / color transform
+                size_bits = bits.read(3) + 2
+                bw = -(-cur_w // (1 << size_bits))
+                bh = -(-h // (1 << size_bits))
+                sub, _ = _vp8l_decode_image(bits, bw, bh, False)
+                transforms.append((ttype, (size_bits, sub), cur_w))
+            else:  # color indexing (palette)
+                n_colors = bits.read(8) + 1
+                if n_colors <= 2:
+                    wbits = 3
+                elif n_colors <= 4:
+                    wbits = 2
+                elif n_colors <= 16:
+                    wbits = 1
+                else:
+                    wbits = 0
+                raw, _ = _vp8l_decode_image(bits, n_colors, 1, False)
+                pal = [raw[0] & 0xFFFFFFFF]
+                for p in raw[1:]:  # entries are stored component-delta-coded
+                    prev = pal[-1]
+                    pal.append(
+                        (((prev >> 24) + (p >> 24)) & 0xFF) << 24
+                        | ((((prev >> 16) + (p >> 16)) & 0xFF) << 16)
+                        | ((((prev >> 8) + (p >> 8)) & 0xFF) << 8)
+                        | ((prev + p) & 0xFF)
+                    )
+                transforms.append((3, (wbits, pal), cur_w))
+                cur_w = -(-cur_w // (1 << wbits))
+    cache_bits = 0
+    if bits.read(1):
+        cache_bits = bits.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise _Vp8lError("bad color-cache size")
+    meta = None
+    n_groups = 1
+    if top_level and bits.read(1):  # entropy image (meta prefix codes)
+        hbits = bits.read(3) + 2
+        mw = -(-cur_w // (1 << hbits))
+        mh = -(-h // (1 << hbits))
+        img, _ = _vp8l_decode_image(bits, mw, mh, False)
+        idx = [((p >> 16) & 0xFF) << 8 | ((p >> 8) & 0xFF) for p in img]
+        n_groups = max(idx) + 1
+        meta = (hbits, mw, idx)
+    green_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    groups = [
+        (
+            _vp8l_read_prefix_code(bits, green_alpha),
+            _vp8l_read_prefix_code(bits, 256),
+            _vp8l_read_prefix_code(bits, 256),
+            _vp8l_read_prefix_code(bits, 256),
+            _vp8l_read_prefix_code(bits, 40),
+        )
+        for _ in range(n_groups)
+    ]
+    n = cur_w * h
+    pix = [0] * n
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    pos = 0
+    grp = groups[0]
+    while pos < n:
+        if meta is not None:
+            hbits, mw, idx = meta
+            y, x = divmod(pos, cur_w)
+            grp = groups[idx[(y >> hbits) * mw + (x >> hbits)]]
+        g_code, r_code, b_code, a_code, d_code = grp
+        s = _vp8l_read_sym(bits, g_code)
+        if s < 256:  # literal: G then R, B, A
+            red = _vp8l_read_sym(bits, r_code)
+            blue = _vp8l_read_sym(bits, b_code)
+            alpha = _vp8l_read_sym(bits, a_code)
+            p = (alpha << 24) | (red << 16) | (s << 8) | blue
+            pix[pos] = p
+            if cache is not None:
+                cache[((0x1E35A7BD * p) & 0xFFFFFFFF) >> shift] = p
+            pos += 1
+        elif s < 280:  # LZ77 backward reference
+            length = _vp8l_lz77_value(bits, s - 256)
+            d_val = _vp8l_lz77_value(bits, _vp8l_read_sym(bits, d_code))
+            if d_val > 120:
+                dist = d_val - 120
+            else:
+                dx, dy = _WEBP_DIST_MAP[d_val - 1]
+                dist = dy * cur_w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > n:
+                raise _Vp8lError("backref out of range")
+            for _ in range(length):
+                p = pix[pos - dist]
+                pix[pos] = p
+                if cache is not None:
+                    cache[((0x1E35A7BD * p) & 0xFFFFFFFF) >> shift] = p
+                pos += 1
+        else:  # color-cache hit
+            if cache is None:
+                raise _Vp8lError("cache hit without cache")
+            pix[pos] = cache[s - 280]
+            pos += 1
+    return pix, transforms
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    """Per-channel (a+b)//2 on packed ARGB without unpacking: SWAR —
+    identical to the spec's per-component Average2."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_add_px(a: int, b: int) -> int:
+    """Per-channel modulo-256 sum of two packed ARGB pixels."""
+    return (
+        (((a >> 24) + (b >> 24)) & 0xFF) << 24
+        | ((((a >> 16) + (b >> 16)) & 0xFF) << 16)
+        | ((((a >> 8) + (b >> 8)) & 0xFF) << 8)
+        | ((a + b) & 0xFF)
+    )
+
+
+def _vp8l_channels(p: int):
+    return ((p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+
+
+def _vp8l_predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
+    """The 14 VP8L spatial predictors (spec §4.2); all arithmetic
+    per-channel on packed ARGB."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(left, tr), top)
+    if mode == 6:
+        return _vp8l_avg2(left, tl)
+    if mode == 7:
+        return _vp8l_avg2(left, top)
+    if mode == 8:
+        return _vp8l_avg2(tl, top)
+    if mode == 9:
+        return _vp8l_avg2(top, tr)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(left, tl), _vp8l_avg2(top, tr))
+    lc, tc, tlc = _vp8l_channels(left), _vp8l_channels(top), _vp8l_channels(tl)
+    if mode == 11:  # Select: Manhattan distance to the L+T-TL estimate
+        p_l = p_t = 0
+        for i in range(4):
+            est = lc[i] + tc[i] - tlc[i]
+            p_l += abs(est - lc[i])
+            p_t += abs(est - tc[i])
+        return left if p_l < p_t else top
+    if mode == 12:  # ClampAddSubtractFull
+        out = 0
+        for i in range(4):
+            v = lc[i] + tc[i] - tlc[i]
+            out = (out << 8) | (0 if v < 0 else 255 if v > 255 else v)
+        return out
+    if mode == 13:  # ClampAddSubtractHalf (C-truncating division)
+        avg = _vp8l_avg2(left, top)
+        out = 0
+        for i, a in enumerate(_vp8l_channels(avg)):
+            d = a - tlc[i]
+            v = a + (d // 2 if d >= 0 else -((-d) // 2))
+            out = (out << 8) | (0 if v < 0 else 255 if v > 255 else v)
+        return out
+    raise _Vp8lError("bad predictor mode")
+
+
+def _vp8l_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: int8(t) * int8(c) >> 5 (arithmetic)."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _vp8l_inverse_transforms(pix, transforms, w: int, h: int):
+    """Apply inverse transforms in reverse stream order. Each entry
+    carries the image width at its read point, so a palette transform
+    (the only width-changer) expands back before earlier-read
+    transforms run at their full width."""
+    # current (possibly reduced) width from the buffer itself — the
+    # palette transform is the only width-changer
+    cur_w = (len(pix) // h) if h else w
+    for ttype, data, read_w in reversed(transforms):
+        if ttype == 3:  # color indexing: expand packed indices
+            wbits, pal = data
+            npal = len(pal)
+            if wbits == 0:
+                pix = [
+                    pal[(p >> 8) & 0xFF] if ((p >> 8) & 0xFF) < npal else 0
+                    for p in pix
+                ]
+            else:
+                bpp = 8 >> wbits
+                per = 1 << wbits
+                mask = (1 << bpp) - 1
+                out = [0] * (read_w * h)
+                for y in range(h):
+                    row = y * cur_w
+                    orow = y * read_w
+                    for x in range(read_w):
+                        packed = (pix[row + (x >> wbits)] >> 8) & 0xFF
+                        i = (packed >> ((x & (per - 1)) * bpp)) & mask
+                        out[orow + x] = pal[i] if i < npal else 0
+                pix = out
+            cur_w = read_w
+        elif ttype == 2:  # add green back to red and blue
+            pix = [
+                (p & 0xFF000000)
+                | ((((p >> 16) + (p >> 8)) & 0xFF) << 16)
+                | (p & 0x0000FF00)
+                | ((p + (p >> 8)) & 0xFF)
+                for p in pix
+            ]
+        elif ttype == 0:  # predictor
+            size_bits, sub = data
+            tiles_w = -(-cur_w // (1 << size_bits))
+            for y in range(h):
+                row = y * cur_w
+                for x in range(cur_w):
+                    i = row + x
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = pix[i - 1]
+                    elif x == 0:
+                        pred = pix[i - cur_w]
+                    else:
+                        mode = (
+                            sub[(y >> size_bits) * tiles_w + (x >> size_bits)]
+                            >> 8
+                        ) & 0xFF
+                        pred = _vp8l_predict(
+                            mode,
+                            pix[i - 1],
+                            pix[i - cur_w],
+                            pix[i - cur_w - 1],
+                            # right edge: raster-contiguous next cell =
+                            # current row's first pixel (already decoded)
+                            pix[i - cur_w + 1],
+                        )
+                    pix[i] = _vp8l_add_px(pix[i], pred)
+        elif ttype == 1:  # color transform (cross-channel deltas)
+            size_bits, sub = data
+            tiles_w = -(-cur_w // (1 << size_bits))
+            for y in range(h):
+                row = y * cur_w
+                for x in range(cur_w):
+                    i = row + x
+                    t = sub[(y >> size_bits) * tiles_w + (x >> size_bits)]
+                    g2r, g2b, r2b = (t & 0xFF), (t >> 8) & 0xFF, (t >> 16) & 0xFF
+                    p = pix[i]
+                    green = (p >> 8) & 0xFF
+                    red = ((p >> 16) + _vp8l_delta(g2r, green)) & 0xFF
+                    blue = (
+                        p + _vp8l_delta(g2b, green) + _vp8l_delta(r2b, red)
+                    ) & 0xFF
+                    pix[i] = (p & 0xFF00FF00) | (red << 16) | blue
+    return pix
+
+
+def _webp_chunks(payload: bytes):
+    """RIFF chunk walk for a WebP container: yields (fourcc, data)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        data = payload[pos + 8 : pos + 8 + size]
+        if len(data) < size:
+            return
+        yield fourcc, data
+        pos += 8 + size + (size & 1)
+
+
+def _vp8l_header(data: bytes):
+    """VP8L chunk header: (width, height, alpha_hint, bits) or None."""
+    if len(data) < 5 or data[0] != 0x2F:
+        return None
+    bits = _Vp8lBits(data[1:])
+    w = bits.read(14) + 1
+    h = bits.read(14) + 1
+    alpha = bits.read(1)
+    if bits.read(3) != 0:  # version must be 0
+        return None
+    return (w, h, alpha, bits)
+
+
+def _parse_webp(payload: bytes) -> tuple[int, int, str] | None:
+    """WebP metadata (header-only): VP8L lossless header, VP8X extended
+    canvas size, or the lossy VP8 keyframe size — pixels come from
+    :func:`_webp_pixels` (VP8L only; lossy stays honest-None)."""
+    import struct
+
+    for fourcc, data in _webp_chunks(payload):
+        if fourcc == b"VP8L":
+            hdr = _vp8l_header(data)
+            if hdr is None:
+                return None
+            return (hdr[0], hdr[1], "RGBA" if hdr[2] else "RGB")
+        if fourcc == b"VP8X" and len(data) >= 10:
+            w = 1 + int.from_bytes(data[4:7], "little")
+            h = 1 + int.from_bytes(data[7:10], "little")
+            return (w, h, "RGBA" if data[0] & 0x10 else "RGB")
+        if fourcc == b"VP8 " and len(data) >= 10:
+            if data[3:6] != b"\x9d\x01\x2a":
+                return None
+            w = struct.unpack_from("<H", data, 6)[0] & 0x3FFF
+            h = struct.unpack_from("<H", data, 8)[0] & 0x3FFF
+            return (w, h, "RGB")
+    return None
+
+
+def _webp_pixels(payload: bytes):
+    """REAL pixel decode for LOSSLESS WebP (VP8L, per the public
+    bitstream spec / RFC 9649): simple and code-length-coded canonical
+    prefix codes, LZ77 backrefs with the 120-entry short-distance map,
+    the color cache, meta prefix codes (entropy image), and all four
+    transforms (predictor with the 14 spatial modes, cross-channel
+    color transform, subtract-green, color indexing incl. sub-byte
+    pixel bundling). Lossy VP8, animation, or any malformed stream
+    returns the honest None — same contract as the other zero-dep
+    decoders (and the same constant-factor caveat: pure-Python
+    per-pixel work, the right SHAPE for the scan stage but a real
+    constant vs native codecs)."""
+    import numpy as np
+
+    vp8l = None
+    for fourcc, data in _webp_chunks(payload):
+        if fourcc == b"VP8L":
+            vp8l = data
+            break
+        if fourcc == b"ANIM":  # animated: first-frame decode not wired
+            return None
+    if vp8l is None:
+        return None
+    try:
+        hdr = _vp8l_header(vp8l)
+        if hdr is None:
+            return None
+        w, h, _alpha, bits = hdr
+        if w * h > 16_000_000:  # decompression-bomb bound
+            return None
+        pix, transforms = _vp8l_decode_image(bits, w, h, True)
+        pix = _vp8l_inverse_transforms(pix, transforms, w, h)
+    except _Vp8lError:
+        return None
+    arr = np.array(pix, dtype=np.uint32).reshape(h, w)
+    rgb = np.empty((h, w, 3), dtype=np.uint8)
+    rgb[:, :, 0] = (arr >> 16) & 0xFF
+    rgb[:, :, 1] = (arr >> 8) & 0xFF
+    rgb[:, :, 2] = arr & 0xFF
+    return (w, h, rgb)
+
+
 def _parse_jpeg(payload: bytes) -> tuple[int, int, str] | None:
     """JPEG metadata from the SOF frame header (header-only, like the
     PNM/BMP/PNG parsers — an unsupported-coding payload still reports
@@ -1546,7 +2087,7 @@ def _luma(arr):
 def _headers_decode(payload: bytes) -> tuple[int, int, str]:
     """No-PIL kernel: real header parse for BMP/netpbm/PNG/JPEG
     payloads, byte-length fake (mode='STUB') for anything else."""
-    for parse in (_parse_bmp, _parse_pnm, _parse_png, _parse_gif, _parse_tiff, _parse_jpeg):
+    for parse in (_parse_bmp, _parse_pnm, _parse_png, _parse_gif, _parse_tiff, _parse_webp, _parse_jpeg):
         parsed = parse(payload)
         if parsed is not None:
             return parsed
