@@ -2346,56 +2346,77 @@ def _ahash_from_pixels(arr) -> tuple[int, int]:
     return (hi, lo)
 
 
+def image_hashes(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+    kinds: tuple = ("ahash",),
+) -> DataFrame:
+    """(id, kind, <k>_hi, <k>_lo per requested kind) via ONE
+    Arrow-batched mapInPandas stage: each image decodes ONCE
+    (:func:`decode_pixels` — the dominant cost) and the decoded pixels
+    feed every requested hash kernel, so running two fingerprint kinds
+    (e.g. an aHash band pass verified by pHash) pays one decode, not
+    two. Shared contract for the whole trio: NULL payloads emit
+    kind='null', undecodable payloads kind='bytes' — both with NULL
+    halves (never a fake hash that could collide with a real one) —
+    and successful rows carry '+'.join(kinds) (the bare kind name for
+    single-kind calls, which is what :func:`image_near_dup_pairs`
+    filters on)."""
+    bad = [k for k in kinds if k not in _HASH_KERNELS]
+    if bad or not kinds:
+        raise ValueError(
+            f"image_hashes: kinds must be drawn from "
+            f"{sorted(_HASH_KERNELS)}, got {list(kinds)!r}"
+        )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"`{id_col}` {id_type}", "kind string"]
+        + [f"{k}_hi bigint, {k}_lo bigint" for k in kinds]
+    )
+    ok_kind = "+".join(kinds)
+
+    def hash_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: pdf[id_col], "kind": []}
+            halves = {k: ([], []) for k in kinds}
+            for b in pdf[content_col]:
+                if b is None:
+                    tag, dec = "null", None
+                else:
+                    dec = decode_pixels(bytes(b))
+                    tag = ok_kind if dec is not None else "bytes"
+                out["kind"].append(tag)
+                for k in kinds:
+                    hi, lo = (
+                        _HASH_KERNELS[k](dec[2]) if dec is not None
+                        else (None, None)
+                    )
+                    halves[k][0].append(hi)
+                    halves[k][1].append(lo)
+            for k in kinds:
+                out[f"{k}_hi"], out[f"{k}_lo"] = halves[k]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(hash_batches, schema=out_schema)
+
+
 def image_ahash(
     df: DataFrame,
     content_col: str = "content",
     *,
     id_col: str = "media_id",
 ) -> DataFrame:
-    """(id, kind, ahash_hi, ahash_lo) per media row via Arrow-batched
-    mapInPandas: the perceptual fingerprint image dedup runs on —
-    byte-identical images, re-encodes of the same pixels (P6 vs PNG vs
-    BMP), and mild brightness-preserving edits land on equal or
-    near-equal hashes; compare with
-    :func:`image_near_dup_pairs`. Undecodable payloads emit
-    kind='bytes' with NULL halves (never a fake hash that could
-    collide with a real one); NULL payloads emit kind='null'."""
-    id_type = df.schema[id_col].dataType.simpleString()
-    out_schema = (
-        f"`{id_col}` {id_type}, kind string, "
-        "ahash_hi bigint, ahash_lo bigint"
-    )
-
-    def hash_batches(
-        batches: Iterable[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            kinds, his, los = [], [], []
-            for b in pdf[content_col]:
-                if b is None:
-                    kinds.append("null")
-                    his.append(None)
-                    los.append(None)
-                    continue
-                parts = ahash_parts(bytes(b))
-                if parts is None:
-                    kinds.append("bytes")
-                    his.append(None)
-                    los.append(None)
-                else:
-                    kinds.append("ahash")
-                    his.append(parts[0])
-                    los.append(parts[1])
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "kind": kinds,
-                    "ahash_hi": his,
-                    "ahash_lo": los,
-                }
-            )
-
-    return df.mapInPandas(hash_batches, schema=out_schema)
+    """(id, kind, ahash_hi, ahash_lo) per media row: the perceptual
+    fingerprint image dedup runs on — byte-identical images,
+    re-encodes of the same pixels (P6 vs PNG vs BMP), and mild
+    brightness-preserving edits land on equal or near-equal hashes;
+    compare with :func:`image_near_dup_pairs`. One face of the shared
+    :func:`image_hashes` stage."""
+    return image_hashes(df, content_col, id_col=id_col, kinds=("ahash",))
 
 
 # Fixed-point DCT-II basis rows for pHash, u ∈ 0..7 over 32 samples:
@@ -2502,6 +2523,14 @@ def _dhash_from_pixels(arr) -> tuple[int, int]:
     return (hi, lo)
 
 
+# pixels -> (hi, lo) kernels behind the shared image_hashes stage
+_HASH_KERNELS = {
+    "ahash": _ahash_from_pixels,
+    "phash": _phash_from_pixels,
+    "dhash": _dhash_from_pixels,
+}
+
+
 def image_dhash(
     df: DataFrame,
     content_col: str = "content",
@@ -2509,45 +2538,10 @@ def image_dhash(
     id_col: str = "media_id",
 ) -> DataFrame:
     """(id, kind, dhash_hi, dhash_lo) per media row — the gradient
-    member of the perceptual trio, sharing the aHash/pHash contract
-    (kind='bytes' + NULL halves for undecodables, kind='null' for
-    NULL payloads; halves pack into the same banding machinery)."""
-    id_type = df.schema[id_col].dataType.simpleString()
-    out_schema = (
-        f"`{id_col}` {id_type}, kind string, "
-        "dhash_hi bigint, dhash_lo bigint"
-    )
-
-    def hash_batches(
-        batches: Iterable[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            kinds, his, los = [], [], []
-            for payload in pdf[content_col]:
-                if payload is None:
-                    kinds.append("null")
-                    his.append(None)
-                    los.append(None)
-                    continue
-                parts = dhash_parts(bytes(payload))
-                if parts is None:
-                    kinds.append("bytes")
-                    his.append(None)
-                    los.append(None)
-                else:
-                    kinds.append("dhash")
-                    his.append(parts[0])
-                    los.append(parts[1])
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "kind": kinds,
-                    "dhash_hi": his,
-                    "dhash_lo": los,
-                }
-            )
-
-    return df.mapInPandas(hash_batches, schema=out_schema)
+    member of the perceptual trio (local horizontal gradients, robust
+    to global contrast shifts). One face of the shared
+    :func:`image_hashes` stage."""
+    return image_hashes(df, content_col, id_col=id_col, kinds=("dhash",))
 
 
 def image_phash(
@@ -2556,49 +2550,13 @@ def image_phash(
     *,
     id_col: str = "media_id",
 ) -> DataFrame:
-    """(id, kind, phash_hi, phash_lo) per media row via Arrow-batched
-    mapInPandas — the spectral twin of :func:`image_ahash`, sharing
-    its contract: undecodable payloads emit kind='bytes' with NULL
-    halves, NULL payloads kind='null'. The two non-negative halves
-    pack into the same banding machinery as aHash
-    (:func:`image_near_dup_pairs`), so a pHash-keyed pairing is one
-    substitution away; only the hash extraction is Python."""
-    id_type = df.schema[id_col].dataType.simpleString()
-    out_schema = (
-        f"`{id_col}` {id_type}, kind string, "
-        "phash_hi bigint, phash_lo bigint"
-    )
-
-    def hash_batches(
-        batches: Iterable[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            kinds, his, los = [], [], []
-            for payload in pdf[content_col]:
-                if payload is None:
-                    kinds.append("null")
-                    his.append(None)
-                    los.append(None)
-                    continue
-                parts = phash_parts(bytes(payload))
-                if parts is None:
-                    kinds.append("bytes")
-                    his.append(None)
-                    los.append(None)
-                else:
-                    kinds.append("phash")
-                    his.append(parts[0])
-                    los.append(parts[1])
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "kind": kinds,
-                    "phash_hi": his,
-                    "phash_lo": los,
-                }
-            )
-
-    return df.mapInPandas(hash_batches, schema=out_schema)
+    """(id, kind, phash_hi, phash_lo) per media row — the spectral
+    twin of :func:`image_ahash` (fixed-point DCT envelope, exactly
+    invariant to uniform brightness shifts). The two non-negative
+    halves pack into the same banding machinery
+    (:func:`image_near_dup_pairs`). One face of the shared
+    :func:`image_hashes` stage."""
+    return image_hashes(df, content_col, id_col=id_col, kinds=("phash",))
 
 
 def image_near_dup_pairs(

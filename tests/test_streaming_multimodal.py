@@ -786,6 +786,52 @@ class TestMultimodal:
         with _pytest.raises(ValueError):
             image_near_dup_pairs(df, bands=1)
 
+    def test_image_hashes_multi_kind_matches_single(self, spark):
+        """The shared image_hashes stage: a multi-kind call (one decode
+        feeding every kernel) emits exactly the single-kind columns,
+        kind='+'-joins the request, and the null/bytes contract
+        holds per row."""
+        import pytest as _pytest
+
+        from lotad_spark.pipeline.multimodal import (
+            image_ahash,
+            image_dhash,
+            image_hashes,
+            image_phash,
+        )
+
+        px = bytes(v for i in range(64) for v in ((i * 7) % 256,) * 3)
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(b"P6 8 8 255 " + px)),
+                (2, bytearray(b"junk")),
+                (3, None),
+            ],
+            "media_id bigint, content binary",
+        )
+        multi = {
+            r.media_id: r
+            for r in image_hashes(
+                df, kinds=("ahash", "phash", "dhash")
+            ).collect()
+        }
+        assert multi[1].kind == "ahash+phash+dhash"
+        assert multi[2].kind == "bytes" and multi[2].phash_hi is None
+        assert multi[3].kind == "null" and multi[3].dhash_lo is None
+        for single_fn, k in (
+            (image_ahash, "ahash"),
+            (image_phash, "phash"),
+            (image_dhash, "dhash"),
+        ):
+            single = {r.media_id: r for r in single_fn(df).collect()}
+            assert single[1].kind == k
+            assert single[1][f"{k}_hi"] == multi[1][f"{k}_hi"]
+            assert single[1][f"{k}_lo"] == multi[1][f"{k}_lo"]
+        with _pytest.raises(ValueError):
+            image_hashes(df, kinds=("ahash", "nope"))
+        with _pytest.raises(ValueError):
+            image_hashes(df, kinds=())
+
     def test_scene_cuts(self, spark):
         """A repeated frame scores hamming 0 (no cut); a hard content
         change scores high (cut); the first frame has NULL hamming and
