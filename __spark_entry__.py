@@ -4452,6 +4452,171 @@ def q_multimodal_webp_luma_hist(spark, sf_dir):
     )
 
 
+def _pdf_fixture(text: str, did: int) -> bytes:
+    """One doc as a valid single-page PDF whose extracted text is
+    EXACTLY the doc text, with the writer variant cycling by
+    doc_id %% 4: (0) plain literal-string Tj, (1) FlateDecode content
+    with the catalog/pages/page/font objects packed in an object
+    stream (/Type /ObjStm — the modern-writer layout), (2) a TJ array
+    of kerned chunks (extractor must concatenate across kerns), (3) an
+    ASCIIHexDecode content filter. Non-latin-1-safe text ships as a
+    BOM-prefixed UTF-16BE hex string (the spec's text-string form).
+    A classic xref table with correct offsets closes the file."""
+    import zlib
+
+    variant = did % 4
+    use_utf16 = (not text.isascii()) or ("\r" in text)
+
+    def show(s: str) -> bytes:
+        if use_utf16:
+            return (
+                b"<"
+                + (b"\xfe\xff" + s.encode("utf-16-be")).hex().encode()
+                + b">"
+            )
+        esc = (
+            s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        )
+        return b"(" + esc.encode("latin-1") + b")"
+
+    if variant == 2 and not use_utf16:
+        chunks = [text[i : i + 6] for i in range(0, len(text), 6)] or [""]
+        shown = b"[" + b" -12 ".join(show(c) for c in chunks) + b"] TJ"
+    else:
+        shown = show(text) + b" Tj"
+    content = b"BT /F1 12 Tf 72 720 Td " + shown + b" ET"
+
+    if variant == 1:
+        stream_data = zlib.compress(content)
+        content_dict = (
+            b"<< /Length " + str(len(stream_data)).encode()
+            + b" /Filter /FlateDecode >>"
+        )
+    elif variant == 3:
+        stream_data = content.hex().encode() + b">"
+        content_dict = (
+            b"<< /Length " + str(len(stream_data)).encode()
+            + b" /Filter /ASCIIHexDecode >>"
+        )
+    else:
+        stream_data = content
+        content_dict = b"<< /Length " + str(len(stream_data)).encode() + b" >>"
+
+    catalog = b"<< /Type /Catalog /Pages 2 0 R >>"
+    pages = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    page = (
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>"
+    )
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+    parts = [b"%PDF-1.5\n" if variant == 1 else b"%PDF-1.4\n"]
+    offsets = {}
+
+    def add(num: int, body: bytes) -> None:
+        offsets[num] = sum(map(len, parts))
+        parts.append(
+            str(num).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+        )
+
+    def add_stream(num: int, d: bytes, data: bytes) -> None:
+        offsets[num] = sum(map(len, parts))
+        parts.append(
+            str(num).encode() + b" 0 obj\n" + d
+            + b"\nstream\n" + data + b"\nendstream\nendobj\n"
+        )
+
+    if variant == 1:
+        # objects 1/2/3/5 live inside object stream 6
+        inner = [(1, catalog), (2, pages), (3, page), (5, font)]
+        bodies, offs, pos = [], [], 0
+        for _n, b in inner:
+            offs.append(pos)
+            bodies.append(b)
+            pos += len(b) + 1
+        header = " ".join(
+            f"{n} {o}" for (n, _b), o in zip(inner, offs)
+        ).encode() + b" "
+        objstm_content = header + b" ".join(bodies)
+        objstm_data = zlib.compress(objstm_content)
+        add_stream(
+            6,
+            b"<< /Type /ObjStm /N 4 /First "
+            + str(len(header)).encode()
+            + b" /Length " + str(len(objstm_data)).encode()
+            + b" /Filter /FlateDecode >>",
+            objstm_data,
+        )
+        add_stream(4, content_dict, stream_data)
+    else:
+        add(1, catalog)
+        add(2, pages)
+        add(3, page)
+        add_stream(4, content_dict, stream_data)
+        add(5, font)
+
+    max_num = max(offsets)
+    xref_pos = sum(map(len, parts))
+    xref = [b"xref\n", f"0 {max_num + 1}\n".encode(), b"0000000000 65535 f \n"]
+    for num in range(1, max_num + 1):
+        if num in offsets:
+            xref.append(f"{offsets[num]:010d} 00000 n \n".encode())
+        else:
+            xref.append(b"0000000000 65535 f \n")
+    trailer = (
+        b"trailer\n<< /Size " + str(max_num + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n"
+        + str(xref_pos).encode() + b"\n%%EOF\n"
+    )
+    return b"".join(parts) + b"".join(xref) + trailer
+
+
+def _doc_pdf_media(spark, sf_dir):
+    """Each doc as a valid single-page PDF of its text — see
+    :func:`_pdf_fixture` for the four writer variants (plain literal,
+    FlateDecode + ObjStm, kerned TJ array, ASCIIHexDecode) cycling by
+    doc_id. Extracted text must round-trip exactly, so any defect in
+    object scan, stream decode, page walk, string unescape, or text
+    operators hash-mismatches the oracle."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = [
+                _pdf_fixture(text or "", int(did))
+                for did, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pdf.assign(content=payloads)[
+                ["doc_id", "content"]
+            ].rename(columns={"doc_id": "media_id"})
+
+    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def q_pdf_extract(spark, sf_dir):
+    """PDF text extraction (pipeline/pdf.py — the zero-dep ISO 32000
+    subset: linear object scan, ObjStm expansion, Flate/ASCIIHex/85
+    filters, page-tree walk, BT/ET text operators, UTF-16BE text
+    strings): the extracted text must equal the doc text byte-for-byte
+    across all four writer variants, so the oracle is the identity
+    projection over documents. Hand-built multi-page / escape /
+    honest-None vectors pin the parser in tests/test_pdf.py."""
+    from lotad_spark.pipeline.pdf import extract_pdf_text
+
+    return extract_pdf_text(_doc_pdf_media(spark, sf_dir)).select(
+        "media_id", "kind", "n_pages", "text"
+    )
+
+
+_PDF_EXTRACT_SQL = (
+    "SELECT doc_id AS media_id, 'pdf' AS kind, CAST(1 AS INT) AS n_pages, "
+    "coalesce(text, '') AS text FROM documents"
+)
+
+
 _WEBP_LUMA_HIST_SQL = (
     "WITH base AS (SELECT doc_id AS media_id, doc_id % 5 AS cls, "
     "rpad(coalesce(text, ''), "
@@ -6616,6 +6781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fix, TIFF multi-strip synthesis fix, heavy_hitters one-pass
         # fusion, the value-checked rollup_distinct_users face, the
         # wizard probe now driving column_overlap_count itself). ---
+        "pdf_extract": q_pdf_extract,
         "multimodal_webp_luma_hist": q_multimodal_webp_luma_hist,
         "multimodal_jpeg_progressive_hist": q_multimodal_jpeg_progressive_hist,
         "image_phash": q_image_phash,
@@ -6863,6 +7029,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_gif_resize_hist": _GIF_RESIZE_HIST_SQL,
         "multimodal_tiff_luma_hist": _TIFF_LUMA_HIST_SQL,
         "multimodal_webp_luma_hist": _WEBP_LUMA_HIST_SQL,
+        "pdf_extract": _PDF_EXTRACT_SQL,
         "pack_plan": _PACK_PLAN_SQL,
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"

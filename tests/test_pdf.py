@@ -1,0 +1,346 @@
+"""PDF text-extraction tests (pipeline/pdf.py).
+
+All documents here are hand-assembled from the public ISO 32000
+layout, independent of the entry-module fixture writer — object
+syntax, stream framing, filters, page trees, escapes, and the text
+operators are each pinned on their own."""
+
+import zlib
+
+import pytest
+
+from lotad_spark.pipeline.pdf import extract_pdf_text, pdf_text_pages
+
+
+def build_pdf(objects: dict, root: int = 1, header: bytes = b"%PDF-1.4\n") -> bytes:
+    """Assemble numbered objects (bytes bodies; (dict, data) tuples
+    become streams) with a trailer pointing at `root`."""
+    parts = [header]
+    for num in sorted(objects):
+        body = objects[num]
+        if isinstance(body, tuple):
+            d, data = body
+            parts.append(
+                f"{num} 0 obj\n".encode() + d + b"\nstream\n" + data
+                + b"\nendstream\nendobj\n"
+            )
+        else:
+            parts.append(f"{num} 0 obj\n".encode() + body + b"\nendobj\n")
+    parts.append(
+        b"trailer\n<< /Size " + str(max(objects) + 1).encode()
+        + b" /Root " + str(root).encode() + b" 0 R >>\n%%EOF\n"
+    )
+    return b"".join(parts)
+
+
+def content_obj(content: bytes) -> tuple:
+    return (b"<< /Length " + str(len(content)).encode() + b" >>", content)
+
+
+BASE = {
+    1: b"<< /Type /Catalog /Pages 2 0 R >>",
+    2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+    3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+}
+
+
+def one_pager(content: bytes) -> bytes:
+    return build_pdf({**BASE, 4: content_obj(content)})
+
+
+class TestTextOperators:
+    def test_tj_and_positioning(self):
+        assert pdf_text_pages(
+            one_pager(b"BT 72 720 Td (Hello) Tj ET")
+        ) == ("Hello", 1)
+
+    def test_tstar_quote_dquote_newlines(self):
+        txt, n = pdf_text_pages(
+            one_pager(
+                b"BT (a) Tj T* (b) Tj (c) ' 1 2 (d) \" ET"
+            )
+        )
+        assert (txt, n) == ("a\nb\nc\nd", 1)
+
+    def test_td_newline_only_on_vertical_move(self):
+        txt, _ = pdf_text_pages(
+            one_pager(b"BT (a) Tj 10 0 Td (b) Tj 10 -14 Td (c) Tj ET")
+        )
+        assert txt == "ab\nc"
+
+    def test_tj_array_concatenates_across_kerns(self):
+        txt, _ = pdf_text_pages(
+            one_pager(b"BT [(He) -20 (llo) 5 ( wo) (rld)] TJ ET")
+        )
+        assert txt == "Hello world"
+
+    def test_inline_image_skipped(self):
+        txt, _ = pdf_text_pages(
+            one_pager(
+                b"BT (a) Tj BI /W 1 /H 1 ID \xff\x00( Tj EI (b) Tj ET"
+            )
+        )
+        assert txt == "ab"
+
+
+class TestStrings:
+    def test_escapes(self):
+        content = rb"BT (oct \101\102, tab \t, nl \n, paren \( \), bs \\) Tj ET"
+        txt, _ = pdf_text_pages(one_pager(content))
+        assert txt == "oct AB, tab \t, nl \n, paren ( ), bs \\"
+
+    def test_nested_unescaped_parens(self):
+        txt, _ = pdf_text_pages(one_pager(b"BT (a (nested) b) Tj ET"))
+        assert txt == "a (nested) b"
+
+    def test_line_continuation_and_eol_normalization(self):
+        # backslash-EOL disappears; a raw CR / CRLF inside the string
+        # reads as LF per the spec
+        content = b"BT (one\\\ntwo\rthree\r\nfour) Tj ET"
+        txt, _ = pdf_text_pages(one_pager(content))
+        assert txt == "onetwo\nthree\nfour"
+
+    def test_hex_string_whitespace_and_odd_digit(self):
+        # "Hi!" = 48 69 21; odd count pads a trailing zero: 486921 5 -> 'P'
+        txt, _ = pdf_text_pages(one_pager(b"BT <48 69\n21 5> Tj ET"))
+        assert txt == "Hi!P"
+
+    def test_utf16be_bom_string(self):
+        s = "déjà – 漢字"
+        hexed = (b"\xfe\xff" + s.encode("utf-16-be")).hex().encode()
+        txt, _ = pdf_text_pages(one_pager(b"BT <" + hexed + b"> Tj ET"))
+        assert txt == s
+
+
+class TestStructure:
+    def test_multi_page_and_nested_pages_tree(self):
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 3 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: content_obj(b"BT (page one) Tj ET"),
+            # nested subtree holding pages 2 and 3
+            6: b"<< /Type /Pages /Parent 2 0 R /Kids [7 0 R 9 0 R] /Count 2 >>",
+            7: b"<< /Type /Page /Parent 6 0 R /Contents 8 0 R >>",
+            8: content_obj(b"BT (page two) Tj ET"),
+            9: b"<< /Type /Page /Parent 6 0 R /Contents 10 0 R >>",
+            10: content_obj(b"BT (page three) Tj ET"),
+        }
+        assert pdf_text_pages(build_pdf(objs)) == (
+            "page one\npage two\npage three",
+            3,
+        )
+
+    def test_contents_array_concatenates(self):
+        objs = {
+            **BASE,
+            3: b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>",
+            4: content_obj(b"BT (first) Tj"),
+            5: content_obj(b"(, second) Tj ET"),
+        }
+        assert pdf_text_pages(build_pdf(objs)) == ("first, second", 1)
+
+    def test_broken_xref_is_ignored(self):
+        # the object scan must not depend on xref offsets being right
+        payload = one_pager(b"BT (ok) Tj ET")
+        payload += b"xref\n0 5\n" + b"9999999999 00000 n \n" * 5
+        payload += b"startxref\n7\n%%EOF\n"
+        assert pdf_text_pages(payload) == ("ok", 1)
+
+    def test_catalog_found_without_root_entry(self):
+        objs = {**BASE, 4: content_obj(b"BT (scan) Tj ET")}
+        payload = build_pdf(objs)
+        payload = payload.replace(b"/Root 1 0 R ", b"")  # strip trailer key
+        assert pdf_text_pages(payload) == ("scan", 1)
+
+    def test_object_stream_expansion(self):
+        inner = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        ]
+        offs, bodies, pos = [], [], 0
+        for _n, b in inner:
+            offs.append(pos)
+            bodies.append(b)
+            pos += len(b) + 1
+        head = " ".join(
+            f"{n} {o}" for (n, _), o in zip(inner, offs)
+        ).encode() + b" "
+        raw = zlib.compress(head + b" ".join(bodies))
+        objs = {
+            4: content_obj(b"BT (from objstm) Tj ET"),
+            6: (
+                b"<< /Type /ObjStm /N 3 /First " + str(len(head)).encode()
+                + b" /Length " + str(len(raw)).encode()
+                + b" /Filter /FlateDecode >>",
+                raw,
+            ),
+        }
+        assert pdf_text_pages(build_pdf(objs)) == ("from objstm", 1)
+
+
+class TestFilters:
+    def test_flate(self):
+        c = b"BT (deflated text) Tj ET"
+        raw = zlib.compress(c)
+        objs = {
+            **BASE,
+            4: (
+                b"<< /Length " + str(len(raw)).encode()
+                + b" /Filter /FlateDecode >>",
+                raw,
+            ),
+        }
+        assert pdf_text_pages(build_pdf(objs)) == ("deflated text", 1)
+
+    def test_flate_in_filter_array(self):
+        c = b"BT (array filter) Tj ET"
+        raw = zlib.compress(c)
+        objs = {
+            **BASE,
+            4: (
+                b"<< /Length " + str(len(raw)).encode()
+                + b" /Filter [/FlateDecode] >>",
+                raw,
+            ),
+        }
+        assert pdf_text_pages(build_pdf(objs)) == ("array filter", 1)
+
+    def test_asciihex(self):
+        c = b"BT (hex) Tj ET"
+        raw = c.hex().encode() + b">"
+        objs = {
+            **BASE,
+            4: (
+                b"<< /Length " + str(len(raw)).encode()
+                + b" /Filter /ASCIIHexDecode >>",
+                raw,
+            ),
+        }
+        assert pdf_text_pages(build_pdf(objs)) == ("hex", 1)
+
+    def test_ascii85(self):
+        import base64
+
+        c = b"BT (eighty five) Tj ET"
+        raw = base64.a85encode(c) + b"~>"
+        objs = {
+            **BASE,
+            4: (
+                b"<< /Length " + str(len(raw)).encode()
+                + b" /Filter /ASCII85Decode >>",
+                raw,
+            ),
+        }
+        assert pdf_text_pages(build_pdf(objs)) == ("eighty five", 1)
+
+    def test_wrong_length_falls_back_to_endstream_scan(self):
+        c = b"BT (bad length) Tj ET"
+        objs = {**BASE, 4: (b"<< /Length 99999 >>", c)}
+        assert pdf_text_pages(build_pdf(objs)) == ("bad length", 1)
+
+    def test_indirect_length(self):
+        c = b"BT (indirect len) Tj ET"
+        objs = {
+            **BASE,
+            4: (b"<< /Length 7 0 R >>", c),
+            7: str(len(c)).encode(),
+        }
+        assert pdf_text_pages(build_pdf(objs)) == ("indirect len", 1)
+
+
+class TestHonestNone:
+    def test_not_a_pdf(self):
+        assert pdf_text_pages(b"plain text, no header") is None
+
+    def test_unsupported_filter(self):
+        objs = {
+            **BASE,
+            4: (b"<< /Length 4 /Filter /LZWDecode >>", b"\x80\x0b\x60\x50"),
+        }
+        assert pdf_text_pages(build_pdf(objs)) is None
+
+    def test_predictor_parms_unsupported(self):
+        c = zlib.compress(b"BT (x) Tj ET")
+        objs = {
+            **BASE,
+            4: (
+                b"<< /Length " + str(len(c)).encode()
+                + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 >> >>",
+                c,
+            ),
+        }
+        assert pdf_text_pages(build_pdf(objs)) is None
+
+    def test_corrupt_flate_stream(self):
+        objs = {
+            **BASE,
+            4: (b"<< /Length 8 /Filter /FlateDecode >>", b"notflate"),
+        }
+        assert pdf_text_pages(build_pdf(objs)) is None
+
+    def test_no_pages(self):
+        objs = {1: b"<< /Type /Catalog >>"}
+        assert pdf_text_pages(build_pdf(objs)) is None
+
+    def test_missing_content_stream(self):
+        objs = {**BASE}  # /Contents 4 0 R dangles
+        assert pdf_text_pages(build_pdf(objs)) is None
+
+    def test_reference_cycle(self):
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"2 0 R",  # self-referential
+        }
+        assert pdf_text_pages(build_pdf(objs)) is None
+
+
+class TestSparkOperator:
+    def test_kind_contract(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(one_pager(b"BT (real pdf) Tj ET"))),
+                (2, bytearray(b"%PDF-1.4 but otherwise garbage")),
+                (3, bytearray(b"not even close")),
+                (4, None),
+            ],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in extract_pdf_text(df).collect()}
+        assert got[1].kind == "pdf"
+        assert got[1].text == "real pdf" and got[1].n_pages == 1
+        assert got[2].kind == "bytes" and got[2].text is None
+        assert got[3].kind == "bytes"
+        assert got[4].kind == "null" and got[4].n_pages is None
+
+    def test_fixture_round_trip_all_variants(self, spark):
+        import __spark_entry__ as entry
+
+        texts = ["plain", "déjà vu", "with (parens)", ""]
+        rows = [
+            (did, texts[did % len(texts)]) for did in range(8)
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+        def build(batches):
+            for pdf in batches:
+                payloads = [
+                    entry._pdf_fixture(t or "", int(d))
+                    for d, t in zip(pdf["doc_id"], pdf["text"])
+                ]
+                yield pdf.assign(content=payloads)[
+                    ["doc_id", "content"]
+                ].rename(columns={"doc_id": "media_id"})
+
+        media = df.mapInPandas(
+            build, schema="media_id bigint, content binary"
+        )
+        got = {r.media_id: r for r in extract_pdf_text(media).collect()}
+        for did, text in rows:
+            assert got[did].kind == "pdf"
+            assert got[did].text == text, f"variant {did % 4}"
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))
