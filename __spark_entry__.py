@@ -6728,122 +6728,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r6 — 66 declared, exactly the first 50 checked). Priority for the
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
-    green stable rows rotate out. Layout this round (r14), per the
-    precomputed queue in COVERAGE.md (146 rows total, ALL value-checked
-    — the r14 consolidation retired wizard_distinct_sample, which ran
-    no repo code, the former rows-only rollup_distinct_users face is
-    now value-checked, and seven rows are new):
+    green stable rows rotate out. Layout this round (r15), per the
+    precomputed queue in COVERAGE.md (148 rows total, ALL
+    value-checked — two rows are new):
 
-    * 1-7: NEW — multimodal_jpeg_progressive_hist (the SOF2
-      progressive decode landed r14: DC point transform +
-      successive-approximation refinement + EOB-run AC band coder over
-      the exactly-round-tripping constant-block pixel class),
-      image_phash (the DCT perceptual fingerprint with an int64-exact
-      fixed-point basis, fully SQL-replayable), html_extract /
-      html_links (WET-style HTML→text + href extraction as one JVM
-      regexp chain in the common Java-regex/RE2 subset; the oracle
-      regenerates the chain in SQL from the same module constants),
-      warc_ingest (the crawl-to-training-text chain end-to-end:
-      WARC framing via sources/warc.py — plain AND per-record-gzip —
-      HTTP peel, HTML extraction), robots_gate (REP longest-match
-      allow/disallow with the decision folded inside the projection —
-      the corpus never shuffles), and image_dhash (the gradient member
-      completing the aHash/dHash/pHash perceptual trio).
-    * 8-13: changed-code re-entries — edit_distance_pairs /
-      edit_distance_topk (the candidate shuffle now carries
-      (xxhash64(segment), id, length, position) only, with aligned
-      O(k³) probing), multimodal_tiff_luma_hist (the synthesis now
-      actually emits multi-strip files — the r13 condition was dead),
-      heavy_hitters (N rides the MG pass; the second corpus scan is
-      gone), rollup_distinct_users (exact hourly replay + within-bound
-      boolean — the rolling_active_users_bound pattern), and
-      wizard_overlap_probe (now drives wizard.column_overlap_count
-      instead of an inline copy; also carries the A3 sample coverage
-      after the consolidation).
-    * 14-26: the r10-green remainder, longest out of the window (out
-      since r11) — dedup_components through text_unigram_lm, the
-      precomputed r14 queue head.
-    * 27-50: the r11-green block head in COVERAGE.md's listed order —
-      diff_deleted_rows through rollup_incremental (24 rows).
-    * 51+: rotated out — the seven r11-green rows displaced by the
-      late r14 additions (rollup_gapfill, twa_by_user, json_key_stats,
-      asof_latest_order, strip_dup_lines, orc_scan_diff,
-      csv_scan_diff — the r15 queue head), then the rest of the
-      r11-green remainder (apply_bpe → temperature_rates), then the
-      r12-green rows, then the r13-green window rows (newest last).
-      Every rotated row has at least one driver-green round with code
-      unchanged since; the FULL registry stays enforced by
-      scripts/check_oracle.py (146 value-checked at sf0.01) and the
-      pytest suite. See COVERAGE.md "Driver-window rotation".
+    * 1-2: NEW — pdf_extract (the zero-dep ISO 32000 subset in
+      pipeline/pdf.py: linear object scan + ObjStm expansion,
+      Flate/ASCIIHex/85 stream filters, the page-tree walk, BT/ET text
+      operators with UTF-16BE strings; byte-exact text round-trip
+      across four writer variants incl. an object-stream layout) and
+      multimodal_webp_luma_hist (the VP8L lossless WebP decoder per
+      RFC 9649: simple + code-length-coded prefix codes, LZ77 with the
+      120-entry distance map, the color cache, meta prefix codes, and
+      all four transforms; five encoder classes cycle by doc).
+    * 3-11: changed-code re-entries — robots_gate (RFC 9309 * and $
+      wildcard matching with most-octets precedence), html_extract /
+      html_links (single-pass numeric + named entity decoding in the
+      extraction chain), warc_ingest (charset-aware body decode,
+      LF-only header handling), image_ahash / image_phash /
+      image_dhash (the three extraction stages unified behind one
+      shared image_hashes decode pass — one decode now feeds every
+      requested kind), and edit_distance_pairs / edit_distance_topk
+      (levenshtein materialized once across the filter/project
+      boundary).
+    * 12-18: the seven r11-green rows displaced by the late r14
+      additions, longest out of the window — rollup_gapfill through
+      csv_scan_diff, the precomputed r15 queue head.
+    * 19-31: the r11-green remainder — apply_bpe through
+      temperature_rates (13 rows).
+    * 32-50: the r12-green block head in COVERAGE.md's listed order —
+      multi_grain_cube through quantiles_online (19 rows).
+    * 51+: rotated out — the r12-green remainder (weighted_sample →
+      text_normalize), then the r13-green rows, then the r14-green
+      window rows (newest last). Every rotated row has at least one
+      driver-green round with code unchanged since; the FULL registry
+      stays enforced by scripts/check_oracle.py (148 value-checked at
+      sf0.01) and the pytest suite. See COVERAGE.md "Driver-window
+      rotation".
     """
     return {
-        # --- 1-6: r14 changed-code re-entries (edit-distance shuffle
-        # fix, TIFF multi-strip synthesis fix, heavy_hitters one-pass
-        # fusion, the value-checked rollup_distinct_users face, the
-        # wizard probe now driving column_overlap_count itself). ---
+        # --- 1-2: NEW this round (r15). ---
         "pdf_extract": q_pdf_extract,
         "multimodal_webp_luma_hist": q_multimodal_webp_luma_hist,
-        "multimodal_jpeg_progressive_hist": q_multimodal_jpeg_progressive_hist,
-        "image_phash": q_image_phash,
+        # --- 3-11: r15 changed-code re-entries (RFC 9309 robots
+        # wildcards, HTML entity decoding, WARC charset handling,
+        # the unified image_hashes stage, the levenshtein
+        # materialization). ---
+        "robots_gate": q_robots_gate,
         "html_extract": q_html_extract,
         "html_links": q_html_links,
         "warc_ingest": q_warc_ingest,
-        "robots_gate": q_robots_gate,
+        "image_ahash": q_image_ahash,
+        "image_phash": q_image_phash,
         "image_dhash": q_image_dhash,
         "edit_distance_pairs": q_edit_distance_pairs,
         "edit_distance_topk": q_edit_distance_topk,
-        "multimodal_tiff_luma_hist": q_multimodal_tiff_luma_hist,
-        "heavy_hitters": q_heavy_hitters,
-        "rollup_distinct_users": q_rollup_distinct_users,
-        "wizard_overlap_probe": q_wizard_overlap_probe,
-        # --- 7-19: the r10-green remainder, longest out of the window
-        # (out since r11) — the precomputed r14 queue head. ---
-        "dedup_components": q_dedup_components,
-        "dedup_near_minhash": q_dedup_near_minhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "corpus_filter": q_corpus_filter,
-        "text_fingerprints": q_text_fingerprints,
-        "text_winnow_fp": q_text_winnow_fp,
-        "text_pii_scrub": q_text_pii_scrub,
-        "text_unigram_lm": q_text_unigram_lm,
-        # --- 20-50: the r11-green block head, in listed order. ---
-        "diff_deleted_rows": q_diff_deleted_rows,
-        "gopher_rules": q_gopher_rules,
-        "quantize_embeddings": q_quantize_embeddings,
-        "prototypicality_prune": q_prototypicality_prune,
-        "cms_term_counts": q_cms_term_counts,
-        "bloom_membership": q_bloom_membership,
-        "contamination_bloom": q_contamination_bloom,
-        "bpe_fertility": q_bpe_fertility,
-        "text_repetition": q_text_repetition,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "sample_hash": q_sample_hash,
-        "upsample_weights": q_upsample_weights,
-        "shuffle_batches": q_shuffle_batches,
-        "train_eval_split": q_train_eval_split,
-        "stratified_cap": q_stratified_cap,
-        "length_quantiles": q_length_quantiles,
-        "mixture_sample": q_mixture_sample,
-        "curate_corpus": q_curate_corpus,
-        "chunk_manifest": q_chunk_manifest,
-        "token_chunk_plan": q_token_chunk_plan,
-        "training_plan": q_training_plan,
-        "psi_online": q_psi_online,
-        "rollup_hourly": q_rollup_hourly,
-        "rollup_incremental": q_rollup_incremental,
-        # --- 51+: rotated out. The seven r11-green rows displaced by
-        # the late r14 additions (progressive JPEG, pHash/dHash, the
-        # two HTML-extraction rows, the WARC chain, the robots gate)
-        # lead the r15 queue, then the r11-green remainder, then the
-        # r12-green rows, then the r13-green window rows (newest
-        # last). Every rotated row has at least one driver-green
-        # round with code unchanged since; the FULL registry stays
-        # enforced by scripts/check_oracle.py and the pytest suite. ---
+        # --- 12-18: the seven r11-green rows displaced by the late
+        # r14 additions, longest out of the window. ---
         "rollup_gapfill": q_rollup_gapfill,
         "twa_by_user": q_twa_by_user,
         "json_key_stats": q_json_key_stats,
@@ -6851,6 +6792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_lines": q_strip_dup_lines,
         "orc_scan_diff": q_orc_scan_diff,
         "csv_scan_diff": q_csv_scan_diff,
+        # --- 19-31: the r11-green remainder. ---
         "apply_bpe": q_apply_bpe,
         "interval_join_batch": q_interval_join_batch,
         "jsonl_scan_diff": q_jsonl_scan_diff,
@@ -6864,7 +6806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_anomaly": q_rollup_anomaly,
         "events_sliding_agg": q_events_sliding_agg,
         "temperature_rates": q_temperature_rates,
-        # r12-green rotated rows.
+        # --- 32-50: the r12-green block head, in listed order. ---
         "multi_grain_cube": q_multi_grain_cube,
         "anomaly_online": q_anomaly_online,
         "events_funnel_windowed": q_events_funnel_windowed,
@@ -6884,6 +6826,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_views": q_range_join_views,
         "quantile_estimates": q_quantile_estimates,
         "quantiles_online": q_quantiles_online,
+        # --- 51+: rotated out. The r12-green remainder, then the
+        # r13-green rows, then the r14-green window rows (newest
+        # last). Every rotated row has at least one driver-green
+        # round with code unchanged since; the FULL registry stays
+        # enforced by scripts/check_oracle.py (148 value-checked at
+        # sf0.01) and the pytest suite. ---
         "weighted_sample": q_weighted_sample,
         "dedup_embedding": q_dedup_embedding,
         "drift_static_batch": q_drift_static_batch,
@@ -6898,7 +6846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "blocklist_filter": q_blocklist_filter,
         "text_normalize": q_text_normalize,
-        # r13-green window rows, newest last.
+        # r13-green rotated rows.
         "domain_apex_psl": q_domain_apex_psl,
         "multimodal_gif_resize_hist": q_multimodal_gif_resize_hist,
         "pack_plan": q_pack_plan,
@@ -6915,7 +6863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_hist": q_multimodal_video_hist,
         "multimodal_resize_hist": q_multimodal_resize_hist,
         "multimodal_decode": q_multimodal_decode,
-        "image_ahash": q_image_ahash,
         "video_scene_cuts": q_video_scene_cuts,
         "schema_drift_records": q_schema_drift_records,
         "skew_two_phase_agg": q_skew_two_phase_agg,
@@ -6942,6 +6889,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "events_window_agg": q_events_window_agg,
         "dedup_exact": q_dedup_exact,
+        # r14-green window rows, newest last.
+        "multimodal_jpeg_progressive_hist": q_multimodal_jpeg_progressive_hist,
+        "multimodal_tiff_luma_hist": q_multimodal_tiff_luma_hist,
+        "heavy_hitters": q_heavy_hitters,
+        "rollup_distinct_users": q_rollup_distinct_users,
+        "wizard_overlap_probe": q_wizard_overlap_probe,
+        "dedup_components": q_dedup_components,
+        "dedup_near_minhash": q_dedup_near_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "corpus_filter": q_corpus_filter,
+        "text_fingerprints": q_text_fingerprints,
+        "text_winnow_fp": q_text_winnow_fp,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_unigram_lm": q_text_unigram_lm,
+        "diff_deleted_rows": q_diff_deleted_rows,
+        "gopher_rules": q_gopher_rules,
+        "quantize_embeddings": q_quantize_embeddings,
+        "prototypicality_prune": q_prototypicality_prune,
+        "cms_term_counts": q_cms_term_counts,
+        "bloom_membership": q_bloom_membership,
+        "contamination_bloom": q_contamination_bloom,
+        "bpe_fertility": q_bpe_fertility,
+        "text_repetition": q_text_repetition,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "sample_hash": q_sample_hash,
+        "upsample_weights": q_upsample_weights,
+        "shuffle_batches": q_shuffle_batches,
+        "train_eval_split": q_train_eval_split,
+        "stratified_cap": q_stratified_cap,
+        "length_quantiles": q_length_quantiles,
+        "mixture_sample": q_mixture_sample,
+        "curate_corpus": q_curate_corpus,
+        "chunk_manifest": q_chunk_manifest,
+        "token_chunk_plan": q_token_chunk_plan,
+        "training_plan": q_training_plan,
+        "psi_online": q_psi_online,
+        "rollup_hourly": q_rollup_hourly,
+        "rollup_incremental": q_rollup_incremental,
     }
 
 

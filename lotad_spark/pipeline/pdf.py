@@ -262,7 +262,12 @@ class _Document:
                 elif ds < len(payload) and payload[ds] in (0x0A, 0x0D):
                     ds += 1
                 self.streams[num] = (val, ds)
-            self.objs.setdefault(num, val)
+            elif num in self.streams:
+                self.streams.pop(num)
+            # incremental updates append redefinitions: the LATER
+            # definition wins (object-stream copies below never
+            # override a direct object)
+            self.objs[num] = val
         self._expand_object_streams()
 
     def resolve(self, v, depth: int = 0):

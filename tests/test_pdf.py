@@ -153,6 +153,17 @@ class TestStructure:
         payload = payload.replace(b"/Root 1 0 R ", b"")  # strip trailer key
         assert pdf_text_pages(payload) == ("scan", 1)
 
+    def test_incremental_update_later_definition_wins(self):
+        # incremental saves append redefined objects at the tail
+        base = build_pdf({**BASE, 4: content_obj(b"BT (old text) Tj ET")})
+        new = content_obj(b"BT (new text) Tj ET")
+        update = (
+            b"4 0 obj\n" + new[0] + b"\nstream\n" + new[1]
+            + b"\nendstream\nendobj\n"
+            + b"trailer\n<< /Size 6 /Root 1 0 R /Prev 9 >>\n%%EOF\n"
+        )
+        assert pdf_text_pages(base + update) == ("new text", 1)
+
     def test_object_stream_expansion(self):
         inner = [
             (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
