@@ -4452,6 +4452,140 @@ def q_multimodal_webp_luma_hist(spark, sf_dir):
     )
 
 
+def _exif_blob(did: int) -> bytes:
+    """A TIFF-structured EXIF block (independent writer): IFD0 with
+    Make/Model/Orientation/DateTime + the Exif sub-IFD pointer, the
+    sub-IFD with the pixel dimensions; byte order cycles by doc
+    parity; ASCII values exercise both inline (<=4 bytes) and
+    offset-stored layouts."""
+    import struct
+
+    bo = "<" if did % 2 == 0 else ">"
+    make = f"Maker{did % 5}".encode() + b"\x00"  # 7 bytes: offset-stored
+    model = f"M-{did % 7}".encode() + b"\x00"  # 4 bytes: inline
+    dt = f"2026:01:{did % 28 + 1:02d} 12:00:00".encode() + b"\x00"
+    ifd0_off = 8
+    exif_off = ifd0_off + 2 + 5 * 12 + 4
+    extra_off = exif_off + 2 + 2 * 12 + 4
+    extra = make + dt
+
+    def entry(tag, typ, cnt, val4):
+        return struct.pack(bo + "HHI", tag, typ, cnt) + val4
+
+    def u32(v):
+        return struct.pack(bo + "I", v)
+
+    ifd0 = struct.pack(bo + "H", 5)
+    ifd0 += entry(271, 2, len(make), u32(extra_off))
+    ifd0 += entry(272, 2, len(model), model)
+    ifd0 += entry(274, 3, 1, struct.pack(bo + "H", did % 8 + 1) + b"\x00\x00")
+    ifd0 += entry(306, 2, len(dt), u32(extra_off + len(make)))
+    ifd0 += entry(34665, 4, 1, u32(exif_off))
+    ifd0 += u32(0)
+    exif = struct.pack(bo + "H", 2)
+    exif += entry(40962, 4, 1, u32(did % 6 + 3))
+    exif += entry(40963, 4, 1, u32(did % 4 + 2))
+    exif += u32(0)
+    return (
+        (b"II" if bo == "<" else b"MM")
+        + struct.pack(bo + "HI", 42, ifd0_off)
+        + ifd0
+        + exif
+        + extra
+    )
+
+
+def _exif_container(did: int) -> bytes:
+    """The EXIF block wrapped in the container cycling by doc_id % 4:
+    JPEG APP1, bare TIFF, WebP EXIF chunk (with and without the
+    Exif\\0\\0 prefix, cycling), PNG eXIf chunk (real CRCs)."""
+    import struct
+    import zlib
+
+    blob = _exif_blob(did)
+    v = did % 4
+    if v == 0:
+        app1 = b"Exif\x00\x00" + blob
+        return (
+            b"\xff\xd8\xff\xe1"
+            + struct.pack(">H", len(app1) + 2)
+            + app1
+            + b"\xff\xd9"
+        )
+    if v == 1:
+        return blob
+    if v == 2:
+        data = (b"Exif\x00\x00" + blob) if (did // 4) % 2 else blob
+        pad = b"\x00" if len(data) & 1 else b""
+        vp8x = b"\x08\x00\x00\x00" + (0).to_bytes(3, "little") + (
+            0
+        ).to_bytes(3, "little")
+        chunks = (
+            b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+            + b"EXIF" + struct.pack("<I", len(data)) + data + pad
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+    def png_chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"eXIf", blob)
+        + png_chunk(b"IEND", b"")
+    )
+
+
+def _doc_exif_media(spark, sf_dir):
+    """Each doc as a media payload carrying a deterministic EXIF block
+    (fields derived from doc_id), the container cycling JPEG-APP1 /
+    TIFF / WebP-chunk / PNG-eXIf — all four extraction paths land in
+    the oracle corpus."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = [_exif_container(int(d)) for d in pdf["doc_id"]]
+            yield pdf.assign(content=payloads)[
+                ["doc_id", "content"]
+            ].rename(columns={"doc_id": "media_id"})
+
+    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def q_exif_metadata(spark, sf_dir):
+    """EXIF extraction across all four carrying containers
+    (multimodal.py exif_metadata/extract_exif): byte-order cycling,
+    inline and offset-stored ASCII, the Exif sub-IFD hop, and the
+    WebP prefix variants all land in the checked rows; every field
+    derives from doc_id so the oracle replays them arithmetically."""
+    from lotad_spark.pipeline.multimodal import extract_exif
+
+    return extract_exif(_doc_exif_media(spark, sf_dir)).select(
+        "media_id", "kind", "orientation", "make", "model",
+        "datetime", "pixel_w", "pixel_h",
+    )
+
+
+_EXIF_METADATA_SQL = (
+    "SELECT doc_id AS media_id, 'exif' AS kind, "
+    "CAST(doc_id % 8 + 1 AS INT) AS orientation, "
+    "'Maker' || CAST(doc_id % 5 AS VARCHAR) AS make, "
+    "'M-' || CAST(doc_id % 7 AS VARCHAR) AS model, "
+    "'2026:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || "
+    "' 12:00:00' AS \"datetime\", "
+    "CAST(doc_id % 6 + 3 AS INT) AS pixel_w, "
+    "CAST(doc_id % 4 + 2 AS INT) AS pixel_h FROM documents"
+)
+
+
 def _pdf_fixture(text: str, did: int) -> bytes:
     """One doc as a valid single-page PDF whose extracted text is
     EXACTLY the doc text, with the writer variant cycling by
@@ -6768,6 +6902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- 1-2: NEW this round (r15). ---
+        "exif_metadata": q_exif_metadata,
         "pdf_extract": q_pdf_extract,
         "multimodal_webp_luma_hist": q_multimodal_webp_luma_hist,
         # --- 3-11: r15 changed-code re-entries (RFC 9309 robots
@@ -7020,6 +7155,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_tiff_luma_hist": _TIFF_LUMA_HIST_SQL,
         "multimodal_webp_luma_hist": _WEBP_LUMA_HIST_SQL,
         "pdf_extract": _PDF_EXTRACT_SQL,
+        "exif_metadata": _EXIF_METADATA_SQL,
         "pack_plan": _PACK_PLAN_SQL,
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"

@@ -1591,6 +1591,199 @@ def _webp_pixels(payload: bytes):
     return (w, h, rgb)
 
 
+# --- EXIF (the TIFF-structured metadata block carried by JPEG APP1,
+# TIFF IFD0, the WebP EXIF chunk, and the PNG eXIf chunk; public spec:
+# CIPA DC-008 / TIFF 6.0) -----------------------------------------------
+
+_EXIF_IFD_POINTER = 34665  # IFD0 tag holding the Exif sub-IFD offset
+
+
+def _exif_tags(blob: bytes):
+    """Tags from a TIFF-structured EXIF blob: IFD0 merged with the
+    Exif sub-IFD (ASCII values as stripped strings, integer types as
+    lists). None when the blob is not TIFF-structured. A dedicated
+    walker rather than :func:`_tiff_ifd` because EXIF needs ASCII
+    (type 2) values and the sub-IFD hop, which the pixel path never
+    reads."""
+    import struct
+
+    if len(blob) < 8:
+        return None
+    if blob[:2] == b"II":
+        bo = "<"
+    elif blob[:2] == b"MM":
+        bo = ">"
+    else:
+        return None
+    if struct.unpack_from(bo + "H", blob, 2)[0] != 42:
+        return None
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    out: dict = {}
+
+    def read_ifd(off: int) -> None:
+        if off <= 0 or len(blob) < off + 2:
+            return
+        n = struct.unpack_from(bo + "H", blob, off)[0]
+        for e in range(n):
+            base = off + 2 + e * 12
+            if len(blob) < base + 12:
+                return
+            tag, typ = struct.unpack_from(bo + "HH", blob, base)
+            cnt = struct.unpack_from(bo + "I", blob, base + 4)[0]
+            if typ not in sizes or cnt == 0 or cnt > (1 << 20):
+                continue  # rationals/undefined: not needed here
+            total = sizes[typ] * cnt
+            voff = (
+                base + 8
+                if total <= 4
+                else struct.unpack_from(bo + "I", blob, base + 8)[0]
+            )
+            if len(blob) < voff + total:
+                continue
+            if typ == 2:
+                out[tag] = (
+                    blob[voff : voff + cnt]
+                    .split(b"\x00")[0]
+                    .decode("latin-1")
+                    .strip()
+                )
+            else:
+                out[tag] = list(
+                    struct.unpack_from(bo + fmts[typ] * cnt, blob, voff)
+                )
+
+    read_ifd(struct.unpack_from(bo + "I", blob, 4)[0])
+    sub = out.get(_EXIF_IFD_POINTER)
+    if isinstance(sub, list) and sub:
+        read_ifd(int(sub[0]))
+    return out or None
+
+
+def exif_metadata(payload: bytes):
+    """EXIF fields from any container that carries the block — JPEG
+    (APP1 ``Exif\\0\\0``), TIFF (IFD0 itself), WebP (``EXIF`` chunk),
+    PNG (``eXIf`` chunk): ``(orientation, make, model, datetime,
+    pixel_w, pixel_h)`` with None for absent fields, or None when the
+    payload has no parseable EXIF. Orientation (tag 274, values 1-8)
+    is the field image dedup needs: the perceptual hashes are not
+    rotation-invariant, so normalizing by the declared orientation
+    before hashing collapses rotated re-encodes of the same shot."""
+    import struct
+
+    tiff = None
+    if payload[:2] == b"\xff\xd8":  # JPEG: segment walk to APP1
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                if marker in (0xD9, 0xDA):
+                    break
+                pos += 2
+                continue
+            seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+            if seglen < 2:
+                break
+            seg = payload[pos + 4 : pos + 2 + seglen]
+            if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+                tiff = seg[6:]
+                break
+            if marker == 0xDA:
+                break
+            pos += 2 + seglen
+    elif payload[:2] in (b"II", b"MM"):
+        tiff = payload
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        for fourcc, data in _webp_chunks(payload):
+            if fourcc == b"EXIF":
+                tiff = data[6:] if data[:6] == b"Exif\x00\x00" else data
+                break
+    elif payload[:8] == _PNG_SIG:
+        pos = 8
+        while pos + 8 <= len(payload):
+            ln, typ = struct.unpack_from(">I4s", payload, pos)
+            if typ == b"eXIf":
+                tiff = payload[pos + 8 : pos + 8 + ln]
+                break
+            pos += 12 + ln
+    if not tiff:
+        return None
+    tags = _exif_tags(tiff)
+    if tags is None:
+        return None
+
+    def first_int(tag):
+        v = tags.get(tag)
+        return int(v[0]) if isinstance(v, list) and v else None
+
+    def text(tag):
+        v = tags.get(tag)
+        return v if isinstance(v, str) else None
+
+    orientation = first_int(274)
+    if orientation is not None and not 1 <= orientation <= 8:
+        orientation = None
+    return (
+        orientation,
+        text(271),  # Make
+        text(272),  # Model
+        text(306) or text(36867),  # DateTime, else DateTimeOriginal
+        first_int(40962),  # PixelXDimension
+        first_int(40963),  # PixelYDimension
+    )
+
+
+def extract_exif(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, kind, orientation, make, model, datetime, pixel_w,
+    pixel_h) per media row via Arrow-batched mapInPandas — kind='exif'
+    when a parseable block exists in any supported container,
+    kind='none' when the payload has no EXIF (a normal condition, not
+    an error), kind='null' for NULL payloads. Provenance/dedup
+    plumbing: orientation feeds rotation-normalized perceptual
+    hashing, make/model/datetime feed near-dup heuristics and
+    training-data provenance audits."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, kind string, orientation int, "
+        "make string, model string, datetime string, "
+        "pixel_w int, pixel_h int"
+    )
+
+    def exif_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "kind", "orientation", "make", "model",
+                    "datetime", "pixel_w", "pixel_h",
+                )
+            }
+            for b in pdf[content_col]:
+                if b is None:
+                    vals = ("null", None, None, None, None, None, None)
+                else:
+                    got = exif_metadata(bytes(b))
+                    vals = (
+                        ("none", None, None, None, None, None, None)
+                        if got is None
+                        else ("exif",) + got
+                    )
+                for k, v in zip(rows, vals):
+                    rows[k].append(v)
+            yield pd.DataFrame({id_col: pdf[id_col], **rows})
+
+    return df.mapInPandas(exif_batches, schema=out_schema)
+
+
 def _parse_jpeg(payload: bytes) -> tuple[int, int, str] | None:
     """JPEG metadata from the SOF frame header (header-only, like the
     PNM/BMP/PNG parsers — an unsupported-coding payload still reports

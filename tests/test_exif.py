@@ -1,0 +1,178 @@
+"""EXIF extraction tests (pipeline/multimodal.py exif_metadata).
+
+Hand-assembled TIFF-structured blocks (independent of the entry
+fixture writer) cover field layouts, and each carrying container is
+built by hand: JPEG APP1 behind other APP segments, bare TIFF, WebP
+EXIF chunk with/without the Exif\\0\\0 prefix, PNG eXIf."""
+
+import struct
+import zlib
+
+from lotad_spark.pipeline.multimodal import (
+    _exif_tags,
+    exif_metadata,
+    extract_exif,
+)
+
+
+def tiff_blob(entries_ifd0, entries_exif=None, bo="<", extra=b""):
+    """Hand IFD assembly: entries are (tag, typ, cnt, raw4) tuples laid
+    out verbatim; `extra` appends after both IFDs (callers compute
+    their own offsets)."""
+    n0 = len(entries_ifd0) + (1 if entries_exif is not None else 0)
+    ifd0_off = 8
+    exif_off = ifd0_off + 2 + n0 * 12 + 4
+
+    def pack(entries):
+        out = struct.pack(bo + "H", len(entries))
+        for tag, typ, cnt, raw4 in entries:
+            out += struct.pack(bo + "HHI", tag, typ, cnt) + raw4
+        return out + struct.pack(bo + "I", 0)
+
+    e0 = list(entries_ifd0)
+    if entries_exif is not None:
+        e0.append((34665, 4, 1, struct.pack(bo + "I", exif_off)))
+        e0.sort(key=lambda e: e[0])
+    body = pack(e0)
+    if entries_exif is not None:
+        body += pack(entries_exif)
+    return (
+        (b"II" if bo == "<" else b"MM")
+        + struct.pack(bo + "HI", 42, ifd0_off)
+        + body
+        + extra
+    )
+
+
+def orientation_only(value, bo="<"):
+    return tiff_blob(
+        [(274, 3, 1, struct.pack(bo + "H", value) + b"\x00\x00")], bo=bo
+    )
+
+
+class TestBlockParsing:
+    def test_orientation_both_byte_orders(self):
+        for bo in ("<", ">"):
+            assert exif_metadata(orientation_only(6, bo)) == (
+                6, None, None, None, None, None,
+            )
+
+    def test_out_of_range_orientation_nulled(self):
+        got = exif_metadata(orientation_only(9))
+        assert got == (None, None, None, None, None, None)
+
+    def test_inline_and_offset_ascii(self):
+        # inline "ab\0" (3 bytes) and offset-stored "longcamera\0"
+        make = b"longcamera\x00"
+        # offsets: header 8 + ifd0 (2 + 2*12 + 4) = 38
+        blob = tiff_blob(
+            [
+                (271, 2, len(make), struct.pack("<I", 38)),
+                (272, 2, 3, b"ab\x00\x00"),
+            ],
+            extra=make,
+        )
+        assert exif_metadata(blob) == (
+            None, "longcamera", "ab", None, None, None,
+        )
+
+    def test_exif_subifd_dimensions(self):
+        blob = tiff_blob(
+            [(274, 3, 1, struct.pack("<H", 3) + b"\x00\x00")],
+            entries_exif=[
+                (40962, 4, 1, struct.pack("<I", 640)),
+                (40963, 4, 1, struct.pack("<I", 480)),
+            ],
+        )
+        assert exif_metadata(blob) == (3, None, None, None, 640, 480)
+
+    def test_datetime_original_fallback(self):
+        dt = b"2020:05:06 07:08:09\x00"
+        # IFD0 has only the sub-IFD pointer; DateTimeOriginal lives in
+        # the sub-IFD at tag 36867. Offsets: 8 + (2+12+4) + (2+12+4) = 44
+        blob = tiff_blob(
+            [],
+            entries_exif=[(36867, 2, len(dt), struct.pack("<I", 44))],
+            extra=dt,
+        )
+        assert exif_metadata(blob) == (
+            None, None, None, "2020:05:06 07:08:09", None, None,
+        )
+
+    def test_truncated_blob(self):
+        blob = orientation_only(5)
+        assert exif_metadata(blob[:10]) is None
+        assert _exif_tags(b"II*\x00") is None
+
+    def test_bad_magic(self):
+        assert _exif_tags(b"II\x2b\x00" + b"\x00" * 8) is None
+
+
+class TestContainers:
+    def test_jpeg_app1_behind_other_segments(self):
+        blob = orientation_only(8)
+        app0 = b"\xff\xe0" + struct.pack(">H", 6) + b"JFIF"
+        app1 = b"Exif\x00\x00" + blob
+        payload = (
+            b"\xff\xd8" + app0
+            + b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+            + b"\xff\xd9"
+        )
+        assert exif_metadata(payload)[0] == 8
+
+    def test_jpeg_without_exif(self):
+        app0 = b"\xff\xe0" + struct.pack(">H", 6) + b"JFIF"
+        assert exif_metadata(b"\xff\xd8" + app0 + b"\xff\xd9") is None
+
+    def test_webp_chunk_with_and_without_prefix(self):
+        blob = orientation_only(2)
+        for data in (blob, b"Exif\x00\x00" + blob):
+            pad = b"\x00" if len(data) & 1 else b""
+            chunk = b"EXIF" + struct.pack("<I", len(data)) + data + pad
+            payload = (
+                b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+            )
+            assert exif_metadata(payload)[0] == 2
+
+    def test_png_exif_chunk(self):
+        blob = orientation_only(7)
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+            + chunk(b"eXIf", blob)
+            + chunk(b"IEND", b"")
+        )
+        assert exif_metadata(payload)[0] == 7
+
+    def test_bare_tiff(self):
+        assert exif_metadata(orientation_only(4))[0] == 4
+
+    def test_non_media_payloads(self):
+        assert exif_metadata(b"not media") is None
+        assert exif_metadata(b"") is None
+
+
+class TestSparkOperator:
+    def test_kind_contract(self, spark):
+        import __spark_entry__ as entry
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(entry._exif_container(5))),
+                (2, bytearray(b"\xff\xd8\xff\xd9")),  # JPEG, no EXIF
+                (3, None),
+            ],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in extract_exif(df).collect()}
+        assert got[1].kind == "exif" and got[1].orientation == 5 % 8 + 1
+        assert got[1].make == "Maker0" and got[1].pixel_w == 5 % 6 + 3
+        assert got[2].kind == "none" and got[2].orientation is None
+        assert got[3].kind == "null"

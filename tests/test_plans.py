@@ -486,3 +486,36 @@ class TestWebPlans:
         assert "Exchange" not in plan
         assert "Generate explode" in plan
         assert "EvalPython" not in plan
+
+
+class TestMediaStagePlans:
+    def test_pdf_extract_single_arrow_stage_no_exchange(self, spark, sf_dir):
+        """extract_pdf_text is ONE Arrow mapInPandas over the scan — an
+        Exchange or a second FileScan means the per-payload parse
+        stopped living inside the scan stage."""
+        from lotad_spark.pipeline.pdf import extract_pdf_text
+
+        d = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        media = d.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("content"),
+        )
+        plan = _plan(extract_pdf_text(media))
+        assert "Exchange" not in plan
+        assert plan.count("FileScan") == 1
+        assert plan.count("MapInPandas") == 1
+
+    def test_image_hashes_multi_kind_single_stage(self, spark, sf_dir):
+        """The unified hash stage: two hash kinds still cost ONE
+        mapInPandas (one decode) over one scan."""
+        from lotad_spark.pipeline.multimodal import image_hashes
+
+        d = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        media = d.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("content"),
+        )
+        plan = _plan(image_hashes(media, kinds=("ahash", "dhash")))
+        assert "Exchange" not in plan
+        assert plan.count("FileScan") == 1
+        assert plan.count("MapInPandas") == 1
