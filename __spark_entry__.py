@@ -4452,6 +4452,96 @@ def q_multimodal_webp_luma_hist(spark, sf_dir):
     )
 
 
+def _doc_sitemap_xml(spark, sf_dir):
+    """Each doc as a sitemap document built by a pure JVM expression:
+    even docs are a ``<urlset>`` with doc_id%3+1 page entries (escaped
+    ``&amp;`` in every loc, whitespace padding inside ``<loc>``,
+    ``<lastmod>`` on alternating entries), odd docs a
+    ``<sitemapindex>`` with child sitemap refs — newlines between
+    elements so the (?s) block patterns are load-bearing."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    is_urlset = F.col("doc_id") % 2 == 0
+
+    def url_entry(i):
+        num = (F.col("doc_id") * 10 + i).cast("string")
+        lastmod = F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit("<lastmod> 2026-01-0"),
+                (i + 1).cast("string"),
+                F.lit(" </lastmod>"),
+            ),
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit("<url>\n<loc> https://ex.com/p?a=1&amp;id="),
+            num,
+            F.lit(" </loc>\n"),
+            lastmod,
+            F.lit("</url>\n"),
+        )
+
+    def child_entry(i):
+        num = (F.col("doc_id") * 10 + i).cast("string")
+        return F.concat(
+            F.lit("<sitemap>\n<loc>https://ex.com/sm/"),
+            num,
+            F.lit(".xml</loc>\n</sitemap>\n"),
+        )
+
+    entries = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("doc_id") % 3),
+            lambda i: F.when(is_urlset, url_entry(i)).otherwise(
+                child_entry(i)
+            ),
+        ),
+        "",
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'),
+        F.when(
+            is_urlset,
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'),
+        ).otherwise(
+            F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n')
+        ),
+        entries,
+        F.when(is_urlset, F.lit("</urlset>")).otherwise(
+            F.lit("</sitemapindex>")
+        ),
+    )
+    return docs.select("doc_id", xml.alias("xml"))
+
+
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap parsing (pipeline/web.py sitemap_urls): urlset page
+    entries and sitemapindex children, XML entity unescape in loc,
+    whitespace trimming, NULL lastmod when absent — the discovery
+    companion to the robots gate (RFC 9309's Sitemap directive). The
+    fixture is built AND parsed by JVM expressions; the oracle derives
+    every entry arithmetically from doc_id."""
+    from lotad_spark.pipeline.web import sitemap_urls
+
+    return sitemap_urls(
+        _doc_sitemap_xml(spark, sf_dir), "xml", id_col="doc_id"
+    ).select("doc_id", "kind", "url", "lastmod")
+
+
+_SITEMAP_URLS_SQL = (
+    "WITH n AS (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS i "
+    "FROM documents) "
+    "SELECT doc_id, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'url' ELSE 'sitemap' END AS kind, "
+    "CASE WHEN doc_id % 2 = 0 "
+    "THEN 'https://ex.com/p?a=1&id=' || CAST(doc_id * 10 + i AS VARCHAR) "
+    "ELSE 'https://ex.com/sm/' || CAST(doc_id * 10 + i AS VARCHAR) || '.xml' "
+    "END AS url, "
+    "CASE WHEN doc_id % 2 = 0 AND i % 2 = 0 "
+    "THEN '2026-01-0' || CAST(i + 1 AS VARCHAR) END AS lastmod "
+    "FROM n"
+)
+
+
 def _exif_blob(did: int) -> bytes:
     """A TIFF-structured EXIF block (independent writer): IFD0 with
     Make/Model/Orientation/DateTime + the Exif sub-IFD pointer, the
@@ -6902,6 +6992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- 1-2: NEW this round (r15). ---
+        "sitemap_urls": q_sitemap_urls,
         "exif_metadata": q_exif_metadata,
         "pdf_extract": q_pdf_extract,
         "multimodal_webp_luma_hist": q_multimodal_webp_luma_hist,
@@ -7156,6 +7247,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_webp_luma_hist": _WEBP_LUMA_HIST_SQL,
         "pdf_extract": _PDF_EXTRACT_SQL,
         "exif_metadata": _EXIF_METADATA_SQL,
+        "sitemap_urls": _SITEMAP_URLS_SQL,
         "pack_plan": _PACK_PLAN_SQL,
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"

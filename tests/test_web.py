@@ -456,3 +456,66 @@ Disallow: /only-x
                 or "_r_host" in line
                 or "_groupingexpression" in line
             ), line
+
+
+class TestSitemaps:
+    XML = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc> https://a.com/p?x=1&amp;y=2 </loc>
+    <lastmod>2026-03-04</lastmod>
+  </url>
+  <url><loc>https://a.com/plain</loc></url>
+  <url><lastmod>2026-01-01</lastmod></url>
+</urlset>"""
+    INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://a.com/sm/1.xml</loc>
+  <lastmod>2026-02-02</lastmod></sitemap>
+  <sitemap><loc>https://a.com/sm/2.xml</loc></sitemap>
+</sitemapindex>"""
+
+    def _run(self, spark, xml):
+        from lotad_spark.pipeline.web import sitemap_urls
+
+        df = spark.createDataFrame([(1, xml)], "doc_id bigint, xml string")
+        return [
+            (r.kind, r.url, r.lastmod)
+            for r in sitemap_urls(df).orderBy("url").collect()
+        ]
+
+    def test_urlset_entities_whitespace_missing_loc(self, spark):
+        got = self._run(spark, self.XML)
+        # the loc-less entry drops; entities decode; whitespace trims
+        assert got == [
+            ("url", "https://a.com/p?x=1&y=2", "2026-03-04"),
+            ("url", "https://a.com/plain", None),
+        ]
+
+    def test_sitemapindex_children(self, spark):
+        got = self._run(spark, self.INDEX)
+        assert got == [
+            ("sitemap", "https://a.com/sm/1.xml", "2026-02-02"),
+            ("sitemap", "https://a.com/sm/2.xml", None),
+        ]
+
+    def test_namespace_prefixed_extracts_nothing(self, spark):
+        xml = (
+            '<sm:urlset xmlns:sm="x"><sm:url><sm:loc>https://a.com/'
+            "</sm:loc></sm:url></sm:urlset>"
+        )
+        assert self._run(spark, xml) == []
+
+    def test_non_sitemap_document(self, spark):
+        assert self._run(spark, "<html><body>hi</body></html>") == []
+
+    def test_plan_single_projection(self, spark):
+        from lotad_spark.pipeline.web import sitemap_urls
+
+        df = spark.createDataFrame([(1, self.XML)], "doc_id bigint, xml string")
+        plan = (
+            sitemap_urls(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+        assert "Join" not in plan
