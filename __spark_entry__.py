@@ -4452,6 +4452,37 @@ def q_multimodal_webp_luma_hist(spark, sf_dir):
     )
 
 
+def q_template_fingerprint(spark, sf_dir):
+    """Template fingerprinting (pipeline/web.py template_fingerprint)
+    over the SAME template-built HTML corpus as html_extract: md5 of
+    the lowercased tag-name sequence plus tag counts. Docs whose text
+    carries markup-like characters perturb the sequence — both engines
+    must extract identically from the identical page, so the oracle
+    regenerates the HTML and replays the tag scan in SQL."""
+    from lotad_spark.pipeline.web import template_fingerprint
+
+    return template_fingerprint(
+        _doc_html_frame(spark, sf_dir), "html", id_col="doc_id"
+    ).select("doc_id", "template_fp", "n_tags", "n_distinct_tags")
+
+
+def _template_fingerprint_sql() -> str:
+    from lotad_spark.pipeline.web import TEMPLATE_TAG_RE
+
+    re_sql = "'" + TEMPLATE_TAG_RE.replace("'", "''") + "'"
+    tags = (
+        f"list_transform(regexp_extract_all(html, {re_sql}, 1), "
+        "t -> lower(t))"
+    )
+    return (
+        "SELECT doc_id, "
+        f"md5(array_to_string({tags}, ',')) AS template_fp, "
+        f"CAST(len({tags}) AS INT) AS n_tags, "
+        f"CAST(len(list_distinct({tags})) AS INT) AS n_distinct_tags "
+        "FROM (" + _html_build_sql() + ")"
+    )
+
+
 def _doc_sitemap_xml(spark, sf_dir):
     """Each doc as a sitemap document built by a pure JVM expression:
     even docs are a ``<urlset>`` with doc_id%3+1 page entries (escaped
@@ -6992,6 +7023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- 1-2: NEW this round (r15). ---
+        "template_fingerprint": q_template_fingerprint,
         "sitemap_urls": q_sitemap_urls,
         "exif_metadata": q_exif_metadata,
         "pdf_extract": q_pdf_extract,
@@ -7248,6 +7280,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_extract": _PDF_EXTRACT_SQL,
         "exif_metadata": _EXIF_METADATA_SQL,
         "sitemap_urls": _SITEMAP_URLS_SQL,
+        "template_fingerprint": _template_fingerprint_sql(),
         "pack_plan": _PACK_PLAN_SQL,
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"

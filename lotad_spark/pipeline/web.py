@@ -608,3 +608,39 @@ def sitemap_urls(
         _xml_unescape_expr(F.col("_loc")).alias("url"),
         F.nullif(F.col("_lm"), F.lit("")).alias("lastmod"),
     )
+
+
+# tag-name tokens (opening or closing) — the template skeleton of a
+# page; common Java-regex/RE2 subset so the oracle replays it verbatim
+TEMPLATE_TAG_RE = r"<[ \t\n\r]*(/?[a-zA-Z][a-zA-Z0-9]*)"
+
+
+def template_fingerprint(
+    df: DataFrame,
+    html_col: str = "html",
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, template_fp, n_tags, n_distinct_tags) per page: md5 of the
+    lowercased tag-name sequence. Pages rendered from the same
+    template share the fingerprint even when every word of text
+    differs — the standard cheap key for template clustering, which a
+    training pipeline uses to spot boilerplate farms (thousands of
+    pages, one skeleton) and to cap or drop them; group on
+    ``template_fp`` downstream. One projection fused into the scan:
+    zero UDFs, zero exchanges. Attribute CONTENT is excluded by
+    construction (only tag names hash), so A/B text variants of one
+    template collapse; pages differing in structure (one extra
+    ``<div>``) do not — that sensitivity is the point of an EXACT
+    template key; use the text-side near-dup family for fuzzy
+    grouping."""
+    tags = F.transform(
+        F.regexp_extract_all(F.col(html_col), F.lit(TEMPLATE_TAG_RE), 1),
+        F.lower,
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(F.array_join(tags, ",")).alias("template_fp"),
+        F.size(tags).cast("int").alias("n_tags"),
+        F.size(F.array_distinct(tags)).cast("int").alias("n_distinct_tags"),
+    )

@@ -519,3 +519,48 @@ class TestSitemaps:
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
         assert "Join" not in plan
+
+
+class TestTemplateFingerprint:
+    def _fps(self, spark, pages):
+        from lotad_spark.pipeline.web import template_fingerprint
+
+        df = spark.createDataFrame(
+            list(enumerate(pages)), "doc_id bigint, html string"
+        )
+        return {
+            r.doc_id: (r.template_fp, r.n_tags, r.n_distinct_tags)
+            for r in template_fingerprint(df).collect()
+        }
+
+    def test_same_template_different_text_collapses(self, spark):
+        a = "<html><body><div class='x'><p>alpha words</p></div></body></html>"
+        b = '<html><body><div id="y"><p>совсем другой текст</p></div></body></html>'
+        c = "<html><body><div><div><p>extra level</p></div></div></body></html>"
+        got = self._fps(spark, [a, b, c])
+        assert got[0][0] == got[1][0]  # attributes/text don't matter
+        assert got[0][0] != got[2][0]  # structure does
+        assert got[0][1] == 8 and got[0][2] == 8  # 4 open + 4 close
+
+    def test_case_insensitive_and_closing_tags(self, spark):
+        got = self._fps(spark, ["<DIV><P>x</P></DIV>", "<div><p>x</p></div>"])
+        assert got[0] == got[1]
+
+    def test_no_markup_hashes_empty_sequence(self, spark):
+        import hashlib
+
+        got = self._fps(spark, ["just plain text"])
+        assert got[0] == (hashlib.md5(b"").hexdigest(), 0, 0)
+
+    def test_plan_single_projection(self, spark):
+        from lotad_spark.pipeline.web import template_fingerprint
+
+        df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id bigint, html string")
+        plan = (
+            template_fingerprint(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
