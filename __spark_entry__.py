@@ -4452,6 +4452,75 @@ def q_multimodal_webp_luma_hist(spark, sf_dir):
     )
 
 
+def q_main_content(spark, sf_dir):
+    """Main-content extraction (pipeline/web.py main_content): block
+    splitting at tag boundaries, link-density + length scoring with
+    integer-percent branches, newline join, single-pass entity decode
+    — over the same template-built HTML corpus as html_extract (whose
+    nav/footer boilerplate blocks must drop and whose doc-text block
+    must survive). The oracle regenerates the page and replays the
+    whole chain in SQL from the module constants."""
+    from lotad_spark.pipeline.web import main_content
+
+    return main_content(
+        _doc_html_frame(spark, sf_dir), "html", id_col="doc_id"
+    ).select("doc_id", "main_text", "n_blocks", "n_kept")
+
+
+def _main_content_sql() -> str:
+    from lotad_spark.pipeline.web import (
+        HTML_TEXT_STEPS,
+        MAIN_ANCHOR_RE,
+        MAIN_BLOCK_SPLIT_RE,
+        MAIN_TAG_RE,
+        MAIN_WS_RE,
+    )
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    cleaned = "html"
+    for pat, rep in HTML_TEXT_STEPS[:3]:
+        cleaned = f"regexp_replace({cleaned}, {q(pat)}, {q(rep)}, 'gs')"
+
+    def txt(b):
+        return (
+            f"trim(regexp_replace(regexp_replace({b}, {q(MAIN_TAG_RE)}, "
+            f"' ', 'gs'), {q(MAIN_WS_RE)}, ' ', 'g'))"
+        )
+
+    def ltxt(b):
+        # DuckDB's array_to_string([]) is NULL where Spark's
+        # array_join([]) is '' — coalesce aligns the engines
+        joined = (
+            f"coalesce(array_to_string(regexp_extract_all({b}, "
+            f"{q(MAIN_ANCHOR_RE)}, 1), ' '), '')"
+        )
+        return txt(joined)
+
+    blocks = f"string_split_regex({cleaned}, {q(MAIN_BLOCK_SPLIT_RE)})"
+    keep = (
+        f"len({txt('b')}) >= 25 AND "
+        f"len({ltxt('b')}) * 100 <= len({txt('b')}) * 50"
+    )
+    kept = (
+        f"list_transform(list_filter({blocks}, b -> {keep}), "
+        f"b -> {txt('b')})"
+    )
+    inner = (
+        "SELECT doc_id, "
+        f"coalesce(array_to_string({kept}, chr(10)), '') AS joined, "
+        f"len(list_filter({blocks}, b -> len({txt('b')}) > 0)) AS nb, "
+        f"len({kept}) AS nk FROM (" + _html_build_sql() + ")"
+    )
+    return (
+        "SELECT doc_id, "
+        + _entity_decode_sql("joined")
+        + " AS main_text, CAST(nb AS INT) AS n_blocks, "
+        "CAST(nk AS INT) AS n_kept FROM (" + inner + ")"
+    )
+
+
 def q_template_fingerprint(spark, sf_dir):
     """Template fingerprinting (pipeline/web.py template_fingerprint)
     over the SAME template-built HTML corpus as html_extract: md5 of
@@ -7023,6 +7092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- 1-2: NEW this round (r15). ---
+        "main_content": q_main_content,
         "template_fingerprint": q_template_fingerprint,
         "sitemap_urls": q_sitemap_urls,
         "exif_metadata": q_exif_metadata,
@@ -7281,6 +7351,7 @@ def oracle_sql() -> dict[str, str]:
         "exif_metadata": _EXIF_METADATA_SQL,
         "sitemap_urls": _SITEMAP_URLS_SQL,
         "template_fingerprint": _template_fingerprint_sql(),
+        "main_content": _main_content_sql(),
         "pack_plan": _PACK_PLAN_SQL,
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"

@@ -644,3 +644,97 @@ def template_fingerprint(
         F.size(tags).cast("int").alias("n_tags"),
         F.size(F.array_distinct(tags)).cast("int").alias("n_distinct_tags"),
     )
+
+
+# --- Main-content extraction (boilerplate removal) --------------------
+# The jusText/CCNet-style step between raw HTML and the text-quality
+# ladder: split the page into block-level segments, score each by
+# visible-text length and LINK DENSITY (navigation/footer boilerplate
+# is short and link-heavy; article prose is long and link-light), keep
+# the prose blocks. All patterns stay in the common Java-regex/RE2
+# subset so the oracle replays the identical chain.
+
+MAIN_BLOCK_SPLIT_RE = r"(?is)</?(" + BLOCK_TAGS + r")\b[^>]*>"
+MAIN_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a[ \t]*>"
+MAIN_TAG_RE = r"(?s)<[^>]*>"
+MAIN_WS_RE = "[ \t\r\n\f" + _NBSP + "]+"
+
+
+def _main_visible_text(col: Column) -> Column:
+    """Visible text of one block segment: strip remaining inline tags,
+    fold whitespace, trim. Entities stay literal here — scoring uses
+    raw visible length on BOTH engines; the final joined text decodes
+    once at the end."""
+    t = F.regexp_replace(col, MAIN_TAG_RE, " ")
+    t = F.regexp_replace(t, MAIN_WS_RE, " ")
+    return F.trim(t)
+
+
+def main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    *,
+    id_col: str = "doc_id",
+    min_chars: int = 25,
+    max_link_pct: int = 50,
+) -> DataFrame:
+    """(id, main_text, n_blocks, n_kept) per page — boilerplate-removed
+    text: invisible containers (script/style/comments) drop with
+    content, the page splits at block-tag boundaries, and a block
+    survives when its visible text has at least ``min_chars``
+    characters AND its link density (characters inside ``<a>`` over
+    all visible characters) is at most ``max_link_pct`` percent.
+    Surviving blocks join with newlines and entities decode once.
+    Integer-percent scoring keeps both engines branch-identical (the
+    gopher_rules discipline). One projection fused into the scan:
+    zero UDFs, zero exchanges.
+
+    Honest limits: block segmentation is tag-boundary splitting, not a
+    DOM (the html_to_text contract); scoring runs BEFORE entity decode
+    on both engines, so entity-heavy text is measured at its encoded
+    length; jusText's stopword-class refinement is deliberately out —
+    it needs per-language stopword tables, which live in
+    ``text.quality_score`` downstream."""
+    cleaned = F.col(html_col)
+    for pat, rep in HTML_TEXT_STEPS[:3]:  # script/style/comment drops
+        cleaned = F.regexp_replace(cleaned, pat, rep)
+    stats = F.transform(
+        F.split(cleaned, MAIN_BLOCK_SPLIT_RE),
+        lambda b: F.struct(
+            _main_visible_text(b).alias("txt"),
+            _main_visible_text(
+                F.array_join(
+                    F.regexp_extract_all(b, F.lit(MAIN_ANCHOR_RE), 1), " "
+                )
+            ).alias("ltxt"),
+        ),
+    )
+    kept = F.filter(
+        stats,
+        lambda s: (F.length(s["txt"]) >= min_chars)
+        & (
+            F.length(s["ltxt"]) * 100
+            <= F.length(s["txt"]) * max_link_pct
+        ),
+    )
+    n_blocks = F.size(
+        F.filter(stats, lambda s: F.length(s["txt"]) > 0)
+    ).cast("int")
+    out = df.select(
+        F.col(id_col),
+        kept.alias("_kept"),
+        n_blocks.alias("n_blocks"),
+    )
+    # stage the filtered array once (the repo-documented Spark 4
+    # higher-order-function re-evaluation hazard), then project text
+    # and count from it
+    return out.select(
+        id_col,
+        decode_entities_expr(
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s["txt"]), "\n"
+            )
+        ).alias("main_text"),
+        "n_blocks",
+        F.size(F.col("_kept")).cast("int").alias("n_kept"),
+    )

@@ -564,3 +564,71 @@ class TestTemplateFingerprint:
         )
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestMainContent:
+    PAGE = (
+        "<html><head><title>t</title>"
+        "<script>var boilerplate = 'not text';</script></head><body>"
+        "<div><a href='/'>Home</a> | <a href='/a'>About</a> | "
+        "<a href='/c'>Contact</a></div>"
+        "<div>This is the real article prose, long enough to keep and "
+        "with no links at all inside it.</div>"
+        "<div>Second paragraph of genuine content &amp; it also clears "
+        "the length bar comfortably.</div>"
+        "<div>Footer: <a href='/tos'>Terms of service and privacy "
+        "information page link text here</a></div>"
+        "</body></html>"
+    )
+
+    def _run(self, spark, html, **kw):
+        from lotad_spark.pipeline.web import main_content
+
+        df = spark.createDataFrame([(1, html)], "doc_id bigint, html string")
+        return main_content(df, **kw).collect()[0]
+
+    def test_boilerplate_drops_prose_survives(self, spark):
+        r = self._run(spark, self.PAGE)
+        assert r.main_text == (
+            "This is the real article prose, long enough to keep and "
+            "with no links at all inside it.\n"
+            "Second paragraph of genuine content & it also clears "
+            "the length bar comfortably."
+        )
+        # nav (3 links, link-dense), title, and footer (one long link)
+        # all dropped; script text never appears
+        assert "Home" not in r.main_text
+        assert "boilerplate" not in r.main_text
+        assert "Terms" not in r.main_text
+        assert r.n_kept == 2 and r.n_blocks >= 4
+
+    def test_link_density_boundary(self, spark):
+        # exactly 50% link chars: kept (<=); just over: dropped
+        half = "<p>" + "<a href='/x'>" + "l" * 25 + "</a>" + "m" * 25 + "</p>"
+        over = "<p>" + "<a href='/x'>" + "l" * 26 + "</a>" + "m" * 24 + "</p>"
+        assert self._run(spark, half).n_kept == 1
+        assert self._run(spark, over).n_kept == 0
+
+    def test_min_chars_parameter(self, spark):
+        short = "<p>only nineteen chars</p>"
+        assert self._run(spark, short).n_kept == 0
+        assert self._run(spark, short, min_chars=10).n_kept == 1
+
+    def test_null_html_stays_null(self, spark):
+        from lotad_spark.pipeline.web import main_content
+
+        df = spark.createDataFrame(
+            [(1, None)], "doc_id bigint, html string"
+        )
+        r = main_content(df).collect()[0]
+        assert r.main_text is None and r.n_kept is None
+
+    def test_plan_single_projection(self, spark):
+        from lotad_spark.pipeline.web import main_content
+
+        df = spark.createDataFrame([(1, self.PAGE)], "doc_id bigint, html string")
+        plan = (
+            main_content(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
