@@ -4452,6 +4452,117 @@ def q_multimodal_webp_luma_hist(spark, sf_dir):
     )
 
 
+def _doc_exif_png_media(spark, sf_dir):
+    """Each doc as an 8-bit GRAYSCALE PNG (filter 0, real CRCs) whose
+    pixels are the doc's text bytes (the shared w*h formula), carrying
+    an eXIf chunk whose orientation cycles doc_id %% 8 + 1 — the
+    rotation-normalized hash must read pixels through the declared
+    orientation, so every one of the 8 mappings lands in the oracle
+    corpus."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import struct
+        import zlib
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w, h = did % 5 + 2, did % 3 + 1
+                raw = (text or "").encode("utf-8")[: w * h].ljust(
+                    w * h, b"x"
+                )
+                rows = b"".join(
+                    b"\x00" + raw[y * w : (y + 1) * w] for y in range(h)
+                )
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"eXIf", _exif_blob(did))
+                    + chunk(b"IDAT", zlib.compress(rows))
+                    + chunk(b"IEND", b"")
+                )
+            yield pdf.assign(content=payloads)[
+                ["doc_id", "content"]
+            ].rename(columns={"doc_id": "media_id"})
+
+    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def q_image_ahash_oriented(spark, sf_dir):
+    """Orientation-normalized perceptual hashing — the r15 composition
+    of the EXIF tier into the hash tier (multimodal.py
+    image_hashes(normalize_orientation=True) +
+    _apply_exif_orientation): the decoded pixels upright per the
+    declared EXIF orientation BEFORE the aHash resample, so sideways
+    camera shots and their upright re-encodes collapse. The fixture's
+    orientation cycles all 8 values over gray PNGs with an eXIf
+    chunk; the oracle replays the per-orientation (ny,nx)->(sy,sx)
+    coordinate mapping, the resample, and the bit packing in SQL."""
+    from lotad_spark.pipeline.multimodal import image_hashes
+
+    return image_hashes(
+        _doc_exif_png_media(spark, sf_dir),
+        kinds=("ahash",),
+        normalize_orientation=True,
+    )
+
+
+# normalized dims (nw, nh) swap for orientations 5-8; cell i of the
+# 8x8 grid samples normalized (ny, nx) = ((i//8)*nh//8, (i%8)*nw//8),
+# which maps to source (sy, sx) per the CIPA orientation semantics;
+# gray pixels mean luma == byte value at sy*w + sx.
+_IMAGE_AHASH_ORIENTED_SQL = (
+    "WITH base AS (SELECT doc_id AS media_id, "
+    "CAST(doc_id % 5 + 2 AS BIGINT) AS w, "
+    "CAST(doc_id % 3 + 1 AS BIGINT) AS h, "
+    "CAST(doc_id % 8 + 1 AS BIGINT) AS o, "
+    "rpad(coalesce(text, ''), "
+    "CAST((doc_id % 5 + 2) * (doc_id % 3 + 1) AS INT), 'x') "
+    "AS px FROM documents), "
+    "dims AS (SELECT *, "
+    "CASE WHEN o >= 5 THEN h ELSE w END AS nw, "
+    "CASE WHEN o >= 5 THEN w ELSE h END AS nh FROM base), "
+    "cells AS (SELECT media_id, list_transform(range(0, 64), i -> "
+    "ord(substr(px, CAST("
+    "(CASE o WHEN 1 THEN ((i // 8) * nh // 8) "
+    "WHEN 2 THEN ((i // 8) * nh // 8) "
+    "WHEN 3 THEN h - 1 - ((i // 8) * nh // 8) "
+    "WHEN 4 THEN h - 1 - ((i // 8) * nh // 8) "
+    "WHEN 5 THEN ((i % 8) * nw // 8) "
+    "WHEN 6 THEN h - 1 - ((i % 8) * nw // 8) "
+    "WHEN 7 THEN h - 1 - ((i % 8) * nw // 8) "
+    "ELSE ((i % 8) * nw // 8) END) * w + "
+    "(CASE o WHEN 1 THEN ((i % 8) * nw // 8) "
+    "WHEN 2 THEN w - 1 - ((i % 8) * nw // 8) "
+    "WHEN 3 THEN w - 1 - ((i % 8) * nw // 8) "
+    "WHEN 4 THEN ((i % 8) * nw // 8) "
+    "WHEN 5 THEN ((i // 8) * nh // 8) "
+    "WHEN 6 THEN ((i // 8) * nh // 8) "
+    "WHEN 7 THEN w - 1 - ((i // 8) * nh // 8) "
+    "ELSE w - 1 - ((i // 8) * nh // 8) END) "
+    "+ 1 AS INT), 1))) AS cl FROM dims), "
+    "m AS (SELECT media_id, cl, list_sum(cl) // 64 AS mean FROM cells) "
+    "SELECT media_id, 'ahash' AS kind, "
+    "CAST(list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN cl[CAST(i + 33 AS INT)] > mean THEN (1::BIGINT << i) "
+    "ELSE 0 END)) AS BIGINT) AS ahash_hi, "
+    "CAST(list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN cl[CAST(i + 1 AS INT)] > mean THEN (1::BIGINT << i) "
+    "ELSE 0 END)) AS BIGINT) AS ahash_lo FROM m"
+)
+
+
 def q_main_content(spark, sf_dir):
     """Main-content extraction (pipeline/web.py main_content): block
     splitting at tag boundaries, link-density + length scoring with
@@ -7092,6 +7203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- 1-2: NEW this round (r15). ---
+        "image_ahash_oriented": q_image_ahash_oriented,
         "main_content": q_main_content,
         "template_fingerprint": q_template_fingerprint,
         "sitemap_urls": q_sitemap_urls,
@@ -7352,6 +7464,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_urls": _SITEMAP_URLS_SQL,
         "template_fingerprint": _template_fingerprint_sql(),
         "main_content": _main_content_sql(),
+        "image_ahash_oriented": _IMAGE_AHASH_ORIENTED_SQL,
         "pack_plan": _PACK_PLAN_SQL,
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"

@@ -2545,6 +2545,7 @@ def image_hashes(
     *,
     id_col: str = "media_id",
     kinds: tuple = ("ahash",),
+    normalize_orientation: bool = False,
 ) -> DataFrame:
     """(id, kind, <k>_hi, <k>_lo per requested kind) via ONE
     Arrow-batched mapInPandas stage: each image decodes ONCE
@@ -2556,7 +2557,16 @@ def image_hashes(
     halves (never a fake hash that could collide with a real one) —
     and successful rows carry '+'.join(kinds) (the bare kind name for
     single-kind calls, which is what :func:`image_near_dup_pairs`
-    filters on)."""
+    filters on).
+
+    ``normalize_orientation=True`` uprights the decoded pixels by the
+    payload's EXIF orientation (:func:`exif_metadata` /
+    :func:`_apply_exif_orientation`) BEFORE hashing: none of the
+    perceptual hashes is rotation-invariant, so a camera shot stored
+    sideways (orientation 6/8 — ubiquitous in phone photos) and its
+    upright re-encode only collapse to the same fingerprint when the
+    declared orientation is applied first. Payloads without EXIF hash
+    as-is."""
     bad = [k for k in kinds if k not in _HASH_KERNELS]
     if bad or not kinds:
         raise ValueError(
@@ -2578,14 +2588,20 @@ def image_hashes(
             halves = {k: ([], []) for k in kinds}
             for b in pdf[content_col]:
                 if b is None:
-                    tag, dec = "null", None
+                    tag, arr = "null", None
                 else:
-                    dec = decode_pixels(bytes(b))
+                    raw = bytes(b)
+                    dec = decode_pixels(raw)
                     tag = ok_kind if dec is not None else "bytes"
+                    arr = dec[2] if dec is not None else None
+                    if arr is not None and normalize_orientation:
+                        exif = exif_metadata(raw)
+                        if exif is not None and exif[0] is not None:
+                            arr = _apply_exif_orientation(arr, exif[0])
                 out["kind"].append(tag)
                 for k in kinds:
                     hi, lo = (
-                        _HASH_KERNELS[k](dec[2]) if dec is not None
+                        _HASH_KERNELS[k](arr) if arr is not None
                         else (None, None)
                     )
                     halves[k][0].append(hi)
@@ -2722,6 +2738,31 @@ _HASH_KERNELS = {
     "phash": _phash_from_pixels,
     "dhash": _dhash_from_pixels,
 }
+
+
+def _apply_exif_orientation(arr, orientation: int):
+    """Upright the decoded ``[h, w, 3]`` array per the EXIF orientation
+    value (1-8, CIPA DC-008 semantics: 2 mirror-h, 3 rotate 180,
+    4 mirror-v, 5 mirror-h + rotate 270 CW = transpose, 6 rotate 90
+    CW, 7 mirror-h + rotate 90 CW = transverse, 8 rotate 270 CW).
+    Anything else (incl. 1) returns the array unchanged."""
+    import numpy as np
+
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1]
+    if orientation == 5:
+        return arr.transpose(1, 0, 2)
+    if orientation == 6:
+        return np.rot90(arr, -1)
+    if orientation == 7:
+        return np.rot90(arr[:, ::-1], -1)
+    if orientation == 8:
+        return np.rot90(arr, 1)
+    return arr
 
 
 def image_dhash(

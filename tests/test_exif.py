@@ -176,3 +176,88 @@ class TestSparkOperator:
         assert got[1].make == "Maker0" and got[1].pixel_w == 5 % 6 + 3
         assert got[2].kind == "none" and got[2].orientation is None
         assert got[3].kind == "null"
+
+
+class TestOrientationNormalizedHashing:
+    def test_transform_matches_numpy_reference(self):
+        import numpy as np
+
+        from lotad_spark.pipeline.multimodal import _apply_exif_orientation
+
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        ref = {
+            1: arr,
+            2: np.fliplr(arr),
+            3: np.rot90(arr, 2),
+            4: np.flipud(arr),
+            5: arr.transpose(1, 0, 2),
+            6: np.rot90(arr, -1),
+            7: np.rot90(np.fliplr(arr), -1),
+            8: np.rot90(arr, 1),
+        }
+        for o, expect in ref.items():
+            assert (_apply_exif_orientation(arr, o) == expect).all(), o
+
+    def test_sideways_shot_collapses_to_upright(self, spark):
+        """A rotated-storage image with orientation metadata must hash
+        equal to its upright twin once normalization is on — and NOT
+        without it."""
+        import numpy as np
+        import struct
+        import zlib
+
+        from lotad_spark.pipeline.multimodal import image_hashes
+
+        def gray_png(pix, exif_orientation=None):
+            h, w = pix.shape
+
+            def chunk(typ, data):
+                return (
+                    struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+                )
+
+            rows = b"".join(
+                b"\x00" + bytes(pix[y]) for y in range(h)
+            )
+            out = b"\x89PNG\r\n\x1a\n" + chunk(
+                b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            )
+            if exif_orientation is not None:
+                blob = (
+                    b"II" + struct.pack("<HI", 42, 8)
+                    + struct.pack("<H", 1)
+                    + struct.pack("<HHI", 274, 3, 1)
+                    + struct.pack("<H", exif_orientation) + b"\x00\x00"
+                    + struct.pack("<I", 0)
+                )
+                out += chunk(b"eXIf", blob)
+            return out + chunk(b"IDAT", zlib.compress(rows)) + chunk(
+                b"IEND", b""
+            )
+
+        rng = np.random.default_rng(9)
+        upright = rng.integers(0, 256, (6, 9), dtype=np.uint8)
+        # camera stored it rotated 90 CCW; orientation 6 uprights it
+        stored = np.rot90(upright[..., None].repeat(3, -1), 1)[..., 0]
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(gray_png(upright))),
+                (2, bytearray(gray_png(stored, exif_orientation=6))),
+            ],
+            "media_id bigint, content binary",
+        )
+        norm = {
+            r.media_id: (r.ahash_hi, r.ahash_lo)
+            for r in image_hashes(
+                df, normalize_orientation=True
+            ).collect()
+        }
+        raw = {
+            r.media_id: (r.ahash_hi, r.ahash_lo)
+            for r in image_hashes(df).collect()
+        }
+        assert norm[1] == norm[2]
+        assert raw[1] != raw[2]
+        assert raw[1] == norm[1]  # no EXIF -> unchanged
