@@ -332,12 +332,18 @@ class _Document:
                 digits = bytes(c for c in digits if c not in _WS)
                 if len(digits) % 2:
                     digits += b"0"
-                raw = bytes.fromhex(digits.decode("latin-1"))
+                try:
+                    raw = bytes.fromhex(digits.decode("latin-1"))
+                except ValueError as exc:
+                    raise _PdfError("bad hex stream") from exc
             elif name in ("ASCII85Decode", "A85"):
                 body = raw.split(b"~>")[0]
-                raw = base64.a85decode(
-                    bytes(c for c in body if c not in _WS)
-                )
+                try:
+                    raw = base64.a85decode(
+                        bytes(c for c in body if c not in _WS)
+                    )
+                except ValueError as exc:
+                    raise _PdfError("bad ascii85 stream") from exc
             else:
                 raise _PdfError(f"unsupported filter {name}")
             self._decoded_total += len(raw)

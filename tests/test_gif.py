@@ -457,6 +457,16 @@ class TestDecoderCrashRobustness:
             [([0], 0, 0, 0, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 0, 0)],
             {0: bytes([1] * 64)},
         )
+        # r15 parsers join the sweep: WebP (every encoder class), PDF
+        # (every writer variant), EXIF (every carrying container)
+        import __spark_entry__ as entry
+
+        body = bytes(rng.randint(0, 256, 24).astype(np.uint8))
+        for cls in range(5):
+            out[f"webp_c{cls}"] = entry._wp_encode_fixture(body, 6, 4, cls)
+        for v in range(4):
+            out[f"pdf_v{v}"] = entry._pdf_fixture("fuzz target (text)", v)
+            out[f"exif_c{v}"] = entry._exif_container(v)
         return out
 
     def test_never_raises(self):
@@ -465,11 +475,13 @@ class TestDecoderCrashRobustness:
             decode_audio,
             decode_pixels,
             decode_video_frames,
+            exif_metadata,
         )
+        from lotad_spark.pipeline.pdf import pdf_text_pages
 
         rng = np.random.RandomState(7)
         fns = (decode_pixels, decode_audio, decode_video_frames,
-               _headers_decode)
+               _headers_decode, exif_metadata, pdf_text_pages)
         for name, p in self._payloads().items():
             for k in range(len(p)):  # every truncation point
                 t = p[:k]
