@@ -4452,6 +4452,46 @@ def q_multimodal_webp_luma_hist(spark, sf_dir):
     )
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode script profiling (pipeline/text.py script_profile):
+    per-script character counts over the documents corpus plus the
+    dominant script with first-listed tie-breaks. The oracle replays
+    each class count with the SAME raw-character class (the literal
+    chars mean the same to Java regex and RE2) and the dominant-pick
+    CASE chain in SQL."""
+    from lotad_spark.pipeline.text import script_profile
+
+    return script_profile(_t(spark, sf_dir, "documents"))
+
+
+def _script_profile_sql() -> str:
+    from lotad_spark.pipeline.text import SCRIPT_CLASSES
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    counts = {
+        name: (
+            f"len(text) - len(regexp_replace(text, {q(pat)}, '', 'g'))"
+        )
+        for name, pat in SCRIPT_CLASSES
+    }
+    cols = ", ".join(
+        f"CAST({expr} AS INT) AS {name}_chars"
+        for name, expr in counts.items()
+    )
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    dom = "CASE "
+    for name, expr in counts.items():
+        dom += f"WHEN {best} > 0 AND {expr} = {best} THEN {q(name)} "
+    dom += "ELSE CASE WHEN text IS NULL THEN NULL ELSE 'none' END END"
+    return (
+        "SELECT doc_id, CAST(len(text) AS INT) AS n_chars, "
+        + cols
+        + ", " + dom + " AS dominant_script FROM documents"
+    )
+
+
 def _doc_exif_png_media(spark, sf_dir):
     """Each doc as an 8-bit GRAYSCALE PNG (filter 0, real CRCs) whose
     pixels are the doc's text bytes (the shared w*h formula), carrying
@@ -7203,6 +7243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- 1-2: NEW this round (r15). ---
+        "script_profile": q_script_profile,
         "image_ahash_oriented": q_image_ahash_oriented,
         "main_content": q_main_content,
         "template_fingerprint": q_template_fingerprint,
@@ -7465,6 +7506,7 @@ def oracle_sql() -> dict[str, str]:
         "template_fingerprint": _template_fingerprint_sql(),
         "main_content": _main_content_sql(),
         "image_ahash_oriented": _IMAGE_AHASH_ORIENTED_SQL,
+        "script_profile": _script_profile_sql(),
         "pack_plan": _PACK_PLAN_SQL,
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"

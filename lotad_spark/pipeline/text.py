@@ -1141,3 +1141,69 @@ def strip_duplicate_lines(
         .cast("bigint")
         .alias("n_lines_removed"),
     )
+
+
+# --- Unicode script profiling ------------------------------------------
+# Character classes per major script, built from RAW characters (not
+# \uXXXX escapes — Java's \uHHHH, RE2's \x{HH}, and Python's escapes
+# have no common syntax, but a literal char in a class means the same
+# thing to all three engines: the _NBSP precedent). BMP ranges only:
+# Java regex sees supplementary chars as surrogate pairs, so classes
+# stay below U+10000 and supplementary text simply counts toward no
+# class (never mis-counts).
+
+
+def _chr_range(lo: int, hi: int) -> str:
+    return chr(lo) + "-" + chr(hi)
+
+
+SCRIPT_CLASSES: tuple = (
+    ("latin", "[A-Za-z" + _chr_range(0xC0, 0x24F) + "]"),
+    ("cyrillic", "[" + _chr_range(0x400, 0x52F) + "]"),
+    ("greek", "[" + _chr_range(0x370, 0x3FF) + "]"),
+    ("arabic", "[" + _chr_range(0x600, 0x6FF) + _chr_range(0x750, 0x77F) + "]"),
+    ("hebrew", "[" + _chr_range(0x590, 0x5FF) + "]"),
+    ("devanagari", "[" + _chr_range(0x900, 0x97F) + "]"),
+    ("han", "[" + _chr_range(0x3400, 0x4DBF) + _chr_range(0x4E00, 0x9FFF) + "]"),
+    ("kana", "[" + _chr_range(0x3040, 0x30FF) + "]"),
+    ("hangul", "[" + _chr_range(0x1100, 0x11FF) + _chr_range(0xAC00, 0xD7AF) + "]"),
+)
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_chars, <script>_chars per class, dominant_script) — the
+    writing-system complement to :func:`lang_id`: per-script character
+    counts (count = length minus length-after-removing-the-class, one
+    regexp_replace per class) and the dominant script (first class in
+    listed order reaching the maximum; 'none' when no class matches —
+    digits/punctuation-only docs). A training pipeline uses this to
+    route language-specific stages, to catch script-mixing spam
+    (Cyrillic lookalikes inside Latin words score both classes), and
+    to audit corpus composition. One projection fused into the scan:
+    zero UDFs, zero exchanges. NULL text profiles as NULL counts."""
+    txt = F.col(text_col)
+    counts = [
+        (name, F.length(txt) - F.length(F.regexp_replace(txt, pat, "")))
+        for name, pat in SCRIPT_CLASSES
+    ]
+    best = F.greatest(*[c for _n, c in counts])
+    dominant = F.lit("none")
+    for name, c in reversed(counts):  # first-listed wins ties
+        dominant = F.when((best > 0) & (c == best), F.lit(name)).otherwise(
+            dominant
+        )
+    return df.select(
+        F.col(id_col),
+        F.length(txt).cast("int").alias("n_chars"),
+        *[c.cast("int").alias(f"{n}_chars") for n, c in counts],
+        # NULL text profiles as NULL, not 'none' (a when() chain over
+        # NULL counts would fall through to the literal)
+        F.when(txt.isNull(), F.lit(None).cast("string"))
+        .otherwise(dominant)
+        .alias("dominant_script"),
+    )

@@ -1389,3 +1389,40 @@ class TestCliGuardrails:
         )
         assert result.exit_code != 0
         assert "not a number" in result.output
+
+
+class TestScriptProfile:
+    def test_mixed_scripts_and_dominant(self, spark):
+        from lotad_spark.pipeline.text import script_profile
+
+        rows = [
+            (1, "hello мир"),            # 5 latin, 3 cyrillic
+            (2, "日本語とカタカナ"),        # 3 han, 5 kana (と is kana)
+            (3, "한국어 텍스트"),           # hangul only
+            (4, "12345 !!! ..."),          # no script class
+            (5, "ααββ ΑΒ"),               # greek
+            (6, None),
+            (7, "abcабв"),                 # 3 vs 3 tie -> first listed
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r.doc_id: r for r in script_profile(df).collect()}
+        assert got[1].latin_chars == 5 and got[1].cyrillic_chars == 3
+        assert got[1].dominant_script == "latin"
+        assert got[2].han_chars == 3 and got[2].kana_chars == 5
+        assert got[2].dominant_script == "kana"
+        assert got[3].dominant_script == "hangul"
+        assert got[4].dominant_script == "none"
+        assert got[4].n_chars == 13 and got[4].latin_chars == 0
+        assert got[5].dominant_script == "greek" and got[5].greek_chars == 6
+        assert got[6].dominant_script is None and got[6].n_chars is None
+        assert got[7].dominant_script == "latin"  # tie: listed order
+
+    def test_plan_single_projection(self, spark):
+        from lotad_spark.pipeline.text import script_profile
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        plan = (
+            script_profile(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
