@@ -4452,6 +4452,46 @@ def q_multimodal_webp_luma_hist(spark, sf_dir):
     )
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease in exact integer micro-units
+    (pipeline/text.py readability): sentence/word/vowel-group counts
+    plus the micro-unit score with clamped floor divisions — replayed
+    verbatim in SQL from the module regex constants, so any rounding
+    or clamping divergence hash-mismatches."""
+    from lotad_spark.pipeline.text import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
+def _readability_sql() -> str:
+    from lotad_spark.pipeline.text import (
+        READABILITY_SENT_RE,
+        READABILITY_VOWEL_RE,
+        READABILITY_WORD_RE,
+    )
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    def n(pat):
+        return f"len(regexp_extract_all(text, {q(pat)}))"
+
+    s, w, v = (
+        n(READABILITY_SENT_RE),
+        n(READABILITY_WORD_RE),
+        n(READABILITY_VOWEL_RE),
+    )
+    return (
+        "SELECT doc_id, "
+        f"CAST({s} AS INT) AS n_sentences, "
+        f"CAST({w} AS INT) AS n_words, "
+        f"CAST({v} AS INT) AS n_vowel_groups, "
+        f"CAST(206835000 - (1015000 * {w}) // greatest({s}, 1) "
+        f"- (84600000 * {v}) // greatest({w}, 1) AS BIGINT) "
+        "AS flesch_micro FROM documents"
+    )
+
+
 def q_script_profile(spark, sf_dir):
     """Unicode script profiling (pipeline/text.py script_profile):
     per-script character counts over the documents corpus plus the
@@ -7243,6 +7283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- 1-2: NEW this round (r15). ---
+        "readability": q_readability,
         "script_profile": q_script_profile,
         "image_ahash_oriented": q_image_ahash_oriented,
         "main_content": q_main_content,
@@ -7507,6 +7548,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": _main_content_sql(),
         "image_ahash_oriented": _IMAGE_AHASH_ORIENTED_SQL,
         "script_profile": _script_profile_sql(),
+        "readability": _readability_sql(),
         "pack_plan": _PACK_PLAN_SQL,
         "diff_deleted_rows": _sym_except(
             _CUSTOMER_COLS, "customer", f"({deleted})"

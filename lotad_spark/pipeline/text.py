@@ -1207,3 +1207,62 @@ def script_profile(
         .otherwise(dominant)
         .alias("dominant_script"),
     )
+
+
+# readability tokens: sentence-ending punctuation runs, word tokens,
+# vowel-group runs (the classic syllable heuristic) — common
+# Java-regex/RE2 subset, replayed verbatim by the oracle
+READABILITY_SENT_RE = "[.!?]+"
+READABILITY_WORD_RE = "[^ \t\n\r\f]+"
+READABILITY_VOWEL_RE = "[aeiouyAEIOUY]+"
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_sentences, n_words, n_vowel_groups, flesch_micro) — the
+    Flesch reading-ease quality signal in EXACT integer micro-units
+    (the gopher_rules discipline, so both engines branch and round
+    identically): score·10⁶ = 206835000
+    − (1015000·words) // max(sentences, 1)
+    − (84600000·vowel_groups) // max(words, 1), with vowel-group runs
+    as the standard syllable heuristic and sentence-ending punctuation
+    runs as sentences. Training pipelines bucket on this next to
+    quality_score/gopher_rules: very low scores flag dense boilerplate
+    and OCR junk, implausibly high ones flag word-salad. Honest limit:
+    the heuristic is English-centric (vowel-group syllables); for
+    other scripts use :func:`script_profile` to route first. One
+    projection fused into the scan; NULL text yields NULL columns."""
+    txt = F.col(text_col)
+
+    def n_matches(pat):
+        return F.size(F.regexp_extract_all(txt, F.lit(pat), 0))
+
+    sent = n_matches(READABILITY_SENT_RE)
+    words = n_matches(READABILITY_WORD_RE)
+    vgroups = n_matches(READABILITY_VOWEL_RE)
+    # integer FLOOR divisions, not SQL's fractional '/'; multiply in
+    # bigint (count * 10^6 overflows int32 under ANSI)
+    flesch = (
+        F.lit(206835000).cast("bigint")
+        - F.floor(
+            (F.lit(1015000).cast("bigint") * words)
+            / F.greatest(sent, F.lit(1))
+        )
+        - F.floor(
+            (F.lit(84600000).cast("bigint") * vgroups)
+            / F.greatest(words, F.lit(1))
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        sent.cast("int").alias("n_sentences"),
+        words.cast("int").alias("n_words"),
+        vgroups.cast("int").alias("n_vowel_groups"),
+        F.when(txt.isNull(), F.lit(None).cast("bigint"))
+        .otherwise(flesch.cast("bigint"))
+        .alias("flesch_micro"),
+    )

@@ -1426,3 +1426,44 @@ class TestScriptProfile:
         )
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestReadability:
+    def test_hand_computed_score(self, spark):
+        from lotad_spark.pipeline.text import readability
+
+        text = "The cat sat. The dog ran away!"
+        # sentences: '.', '!' -> 2; words: 7; vowel groups:
+        # e/a/a/e/o/a/a/ay -> The(1) cat(1) sat(1) The(1) dog(1)
+        # ran(1) away(2) = 8
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        r = readability(df).collect()[0]
+        assert (r.n_sentences, r.n_words, r.n_vowel_groups) == (2, 7, 8)
+        expect = 206835000 - (1015000 * 7) // 2 - (84600000 * 8) // 7
+        assert r.flesch_micro == expect
+
+    def test_no_sentence_punctuation_clamps(self, spark):
+        from lotad_spark.pipeline.text import readability
+
+        df = spark.createDataFrame(
+            [(1, "no punctuation here"), (2, ""), (3, None)],
+            "doc_id bigint, text string",
+        )
+        got = {r.doc_id: r for r in readability(df).collect()}
+        assert got[1].n_sentences == 0  # clamp happens in the divisor
+        # vowel groups: no(o) pu-nctua-tio-n(u, ua, io) he-re(e, e) = 6
+        assert got[1].flesch_micro == (
+            206835000 - 1015000 * 3 - (84600000 * 6) // 3
+        )
+        assert got[2].flesch_micro == 206835000  # 0 words, 0 groups
+        assert got[3].flesch_micro is None
+
+    def test_plan_single_projection(self, spark):
+        from lotad_spark.pipeline.text import readability
+
+        df = spark.createDataFrame([(1, "x.")], "doc_id bigint, text string")
+        plan = (
+            readability(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
