@@ -7244,45 +7244,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r15), per the
-    precomputed queue in COVERAGE.md (148 rows total, ALL
-    value-checked — two rows are new):
+    precomputed queue in COVERAGE.md (155 rows total, ALL
+    value-checked — nine rows are new):
 
-    * 1-2: NEW — pdf_extract (the zero-dep ISO 32000 subset in
-      pipeline/pdf.py: linear object scan + ObjStm expansion,
-      Flate/ASCIIHex/85 stream filters, the page-tree walk, BT/ET text
-      operators with UTF-16BE strings; byte-exact text round-trip
-      across four writer variants incl. an object-stream layout) and
-      multimodal_webp_luma_hist (the VP8L lossless WebP decoder per
-      RFC 9649: simple + code-length-coded prefix codes, LZ77 with the
-      120-entry distance map, the color cache, meta prefix codes, and
-      all four transforms; five encoder classes cycle by doc).
-    * 3-11: changed-code re-entries — robots_gate (RFC 9309 * and $
+    * 1-9: NEW — readability (Flesch micro-units, clamped floor
+      divisions), script_profile (per-writing-system char counts +
+      dominant script over raw-character classes),
+      image_ahash_oriented (EXIF-orientation-normalized hashing: all
+      8 CIPA mappings replayed coordinate-by-coordinate in SQL),
+      main_content (block-level link-density boilerplate removal),
+      template_fingerprint (tag-sequence md5 for template clustering),
+      sitemap_urls (urlset entries + sitemapindex children, XML
+      unescape), exif_metadata (the TIFF-structured block from JPEG
+      APP1 / TIFF IFD0 / WebP EXIF / PNG eXIf, both byte orders, the
+      Exif sub-IFD hop), pdf_extract (the zero-dep ISO 32000 subset:
+      object scan + ObjStm expansion, Flate/ASCIIHex/85 filters,
+      page-tree walk, BT/ET text operators; byte-exact round-trip
+      across four writer variants), and multimodal_webp_luma_hist
+      (the VP8L lossless decoder per RFC 9649: prefix codes, LZ77 +
+      the 120-entry distance map, color cache, entropy image, all
+      four transforms; five encoder classes cycle by doc).
+    * 10-18: changed-code re-entries — robots_gate (RFC 9309 * and $
       wildcard matching with most-octets precedence), html_extract /
-      html_links (single-pass numeric + named entity decoding in the
-      extraction chain), warc_ingest (charset-aware body decode,
-      LF-only header handling), image_ahash / image_phash /
-      image_dhash (the three extraction stages unified behind one
-      shared image_hashes decode pass — one decode now feeds every
-      requested kind), and edit_distance_pairs / edit_distance_topk
-      (levenshtein materialized once across the filter/project
-      boundary).
-    * 12-18: the seven r11-green rows displaced by the late r14
+      html_links (single-pass numeric + named entity decoding),
+      warc_ingest (charset-aware body decode, LF-only headers),
+      image_ahash / image_phash / image_dhash (unified behind one
+      shared image_hashes decode pass), and edit_distance_pairs /
+      edit_distance_topk (levenshtein materialized once across the
+      filter/project boundary).
+    * 19-25: the seven r11-green rows displaced by the late r14
       additions, longest out of the window — rollup_gapfill through
-      csv_scan_diff, the precomputed r15 queue head.
-    * 19-31: the r11-green remainder — apply_bpe through
+      csv_scan_diff.
+    * 26-38: the r11-green remainder — apply_bpe through
       temperature_rates (13 rows).
-    * 32-50: the r12-green block head in COVERAGE.md's listed order —
-      multi_grain_cube through quantiles_online (19 rows).
-    * 51+: rotated out — the r12-green remainder (weighted_sample →
-      text_normalize), then the r13-green rows, then the r14-green
-      window rows (newest last). Every rotated row has at least one
-      driver-green round with code unchanged since; the FULL registry
-      stays enforced by scripts/check_oracle.py (148 value-checked at
-      sf0.01) and the pytest suite. See COVERAGE.md "Driver-window
-      rotation".
+    * 39-50: the r12-green block head in COVERAGE.md's listed order —
+      multi_grain_cube through keyed_diff (12 rows).
+    * 51+: rotated out — the rest of the r12-green block
+      (events_value_hist -> text_normalize), then the r13-green rows,
+      then the r14-green window rows (newest last). Every rotated row
+      has at least one driver-green round with code unchanged since;
+      the FULL registry stays enforced by scripts/check_oracle.py
+      (155 value-checked at sf0.01) and the pytest suite. See
+      COVERAGE.md "Driver-window rotation".
     """
     return {
-        # --- 1-2: NEW this round (r15). ---
+        # --- 1-9: NEW this round (r15). ---
         "readability": q_readability,
         "script_profile": q_script_profile,
         "image_ahash_oriented": q_image_ahash_oriented,
@@ -7292,7 +7298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_metadata": q_exif_metadata,
         "pdf_extract": q_pdf_extract,
         "multimodal_webp_luma_hist": q_multimodal_webp_luma_hist,
-        # --- 3-11: r15 changed-code re-entries (RFC 9309 robots
+        # --- 10-18: r15 changed-code re-entries (RFC 9309 robots
         # wildcards, HTML entity decoding, WARC charset handling,
         # the unified image_hashes stage, the levenshtein
         # materialization). ---
@@ -7305,7 +7311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "edit_distance_pairs": q_edit_distance_pairs,
         "edit_distance_topk": q_edit_distance_topk,
-        # --- 12-18: the seven r11-green rows displaced by the late
+        # --- 19-25: the seven r11-green rows displaced by the late
         # r14 additions, longest out of the window. ---
         "rollup_gapfill": q_rollup_gapfill,
         "twa_by_user": q_twa_by_user,
@@ -7314,7 +7320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_lines": q_strip_dup_lines,
         "orc_scan_diff": q_orc_scan_diff,
         "csv_scan_diff": q_csv_scan_diff,
-        # --- 19-31: the r11-green remainder. ---
+        # --- 26-38: the r11-green remainder. ---
         "apply_bpe": q_apply_bpe,
         "interval_join_batch": q_interval_join_batch,
         "jsonl_scan_diff": q_jsonl_scan_diff,
@@ -7328,7 +7334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_anomaly": q_rollup_anomaly,
         "events_sliding_agg": q_events_sliding_agg,
         "temperature_rates": q_temperature_rates,
-        # --- 32-50: the r12-green block head, in listed order. ---
+        # --- 39-50: the r12-green block head, in listed order
+        # (through keyed_diff; the rest slid past the window when
+        # the nine r15 rows landed). ---
         "multi_grain_cube": q_multi_grain_cube,
         "anomaly_online": q_anomaly_online,
         "events_funnel_windowed": q_events_funnel_windowed,
