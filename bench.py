@@ -226,7 +226,7 @@ def main() -> None:
         ):
             continue
         if name.startswith(
-            ("dedup_", "ann_", "pq_", "text_", "heavy_", "pack_", "edit_", "tfidf_", "mixture_", "upsample_", "shuffle_", "token_", "quantize_", "chunk_", "training_", "weighted_", "dsir_", "bm25_", "gopher_", "blocklist_", "cms_", "prototypicality_", "multimodal_", "bloom_", "contamination_", "url_", "domain_", "quality_", "ccnet_", "image_", "video_", "html_", "warc_", "robots_")
+            ("dedup_", "ann_", "pq_", "text_", "heavy_", "pack_", "edit_", "tfidf_", "mixture_", "upsample_", "shuffle_", "token_", "quantize_", "chunk_", "training_", "weighted_", "dsir_", "bm25_", "gopher_", "blocklist_", "cms_", "prototypicality_", "multimodal_", "bloom_", "contamination_", "url_", "domain_", "quality_", "ccnet_", "image_", "video_", "html_", "warc_", "robots_", "pdf_", "exif_", "main_", "template_", "sitemap_", "script_", "readability")
         ):
             fn = entry_mod.queries()[name]
             t0 = time.perf_counter()
