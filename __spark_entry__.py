@@ -558,12 +558,18 @@ def q_warc_ingest(spark, sf_dir):
     recs = []
     for r in docs:
         uri = f"https://example.com/doc/{r.doc_id}"
-        # exercise the charset decode and the LF-only envelope
-        # fallback IN the checked row: every 3rd cp1252-encodable doc
+        # exercise the charset decode and the envelope-separator
+        # fallbacks IN the checked row: every 3rd cp1252-encodable doc
         # ships as windows-1252 bytes (decode-back == the template
-        # text, so the oracle replay is unchanged), every 5th with an
-        # LF-terminated HTTP envelope
-        nl = "\n" if r.doc_id % 5 == 0 else "\r\n"
+        # text, so the oracle replay is unchanged), every 7th with the
+        # MIXED envelope (LF header lines, CRLF blank — the r15
+        # review-caught form), every 5th LF-only
+        if r.doc_id % 7 == 0:
+            nl, blank = "\n", "\r\n"
+        elif r.doc_id % 5 == 0:
+            nl, blank = "\n", "\n"
+        else:
+            nl, blank = "\r\n", "\r\n"
         if r.doc_id % 3 == 0:
             try:
                 recs.append(
@@ -572,12 +578,15 @@ def q_warc_ingest(spark, sf_dir):
                         "text/html; charset=windows-1252",
                         r.html.encode("cp1252"),
                         nl,
+                        blank,
                     )
                 )
                 continue
             except UnicodeEncodeError:
                 pass
-        recs.append((uri, "text/html", r.html.encode("utf-8"), nl))
+        recs.append(
+            (uri, "text/html", r.html.encode("utf-8"), nl, blank)
+        )
     # 8 shards, alternating plain/.warc.gz — scan parallelism is the
     # FILE count with this source, so the synthesis mirrors how a
     # real crawl shards (and both layouts stay in the checked rows)

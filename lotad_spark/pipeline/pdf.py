@@ -323,8 +323,19 @@ class _Document:
         for f in chain:
             name = f[1] if isinstance(f, tuple) else None
             if name in ("FlateDecode", "Fl"):
+                # inflate INCREMENTALLY against the remaining budget:
+                # a single zlib.decompress() would allocate the whole
+                # output (~1000:1 max ratio) before the bound check —
+                # the OOM path the bound exists to prevent
+                budget = _MAX_DECODED - self._decoded_total
                 try:
-                    raw = zlib.decompress(raw)
+                    dec = zlib.decompressobj()
+                    out = dec.decompress(raw, max(budget, 1) + 1)
+                    if len(out) > budget or (
+                        dec.unconsumed_tail and not dec.eof
+                    ):
+                        raise _PdfError("decoded size bound exceeded")
+                    raw = out
                 except zlib.error as exc:
                     raise _PdfError("bad flate stream") from exc
             elif name in ("ASCIIHexDecode", "AHx"):
@@ -352,6 +363,10 @@ class _Document:
         return raw
 
     def _expand_object_streams(self) -> None:
+        # direct objects always win over ObjStm copies; BETWEEN object
+        # streams, later definitions win (the incremental-update rule
+        # applied consistently with the direct-object scan above)
+        direct = set(self.objs)
         for num, (d, _s) in list(self.streams.items()):
             if not isinstance(d, dict) or self.resolve(d.get("Type")) != (
                 "name",
@@ -382,7 +397,8 @@ class _Document:
                         val, _p = _parse_value(content, first + off)
                     except _PdfError:
                         continue
-                    self.objs.setdefault(onum, val)
+                    if onum not in direct:
+                        self.objs[onum] = val
             except _PdfError:
                 continue
 
@@ -400,13 +416,22 @@ class _Document:
         raise _PdfError("no catalog")
 
     def pages(self) -> list:
-        """Page dicts in document order (depth-first /Kids walk)."""
+        """Page dicts in document order (depth-first /Kids walk). A
+        visited set over node identity bounds the walk LINEARLY in the
+        object count: a depth cap alone still allows exponential
+        traversal of a self-referential or shared /Kids subtree (a
+        ~200-byte crafted PDF would otherwise hang the executor)."""
         cat = self._catalog()
         out: list = []
+        seen: set = set()
 
         def walk(node, depth):
+            key = node.num if isinstance(node, _Ref) else id(node)
+            if key in seen or depth > 64:
+                return
+            seen.add(key)
             node = self.resolve(node)
-            if not isinstance(node, dict) or depth > 64:
+            if not isinstance(node, dict):
                 return
             t = node.get("Type")
             if t == ("name", "Page"):

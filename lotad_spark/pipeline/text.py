@@ -1241,28 +1241,32 @@ def readability(
     def n_matches(pat):
         return F.size(F.regexp_extract_all(txt, F.lit(pat), 0))
 
-    sent = n_matches(READABILITY_SENT_RE)
-    words = n_matches(READABILITY_WORD_RE)
-    vgroups = n_matches(READABILITY_VOWEL_RE)
-    # integer FLOOR divisions, not SQL's fractional '/'; multiply in
-    # bigint (count * 10^6 overflows int32 under ANSI)
-    flesch = (
-        F.lit(206835000).cast("bigint")
-        - F.floor(
-            (F.lit(1015000).cast("bigint") * words)
-            / F.greatest(sent, F.lit(1))
-        )
-        - F.floor(
-            (F.lit(84600000).cast("bigint") * vgroups)
-            / F.greatest(words, F.lit(1))
-        )
-    )
-    return df.select(
+    staged = df.select(
         F.col(id_col),
-        sent.cast("int").alias("n_sentences"),
-        words.cast("int").alias("n_words"),
-        vgroups.cast("int").alias("n_vowel_groups"),
-        F.when(txt.isNull(), F.lit(None).cast("bigint"))
+        txt.isNull().alias("_tnull"),
+        n_matches(READABILITY_SENT_RE).cast("int").alias("n_sentences"),
+        n_matches(READABILITY_WORD_RE).cast("int").alias("n_words"),
+        n_matches(READABILITY_VOWEL_RE).cast("int").alias("n_vowel_groups"),
+    )
+    # TRUE integer division (`div`) on bigint, not floor(double /):
+    # the double path loses units once count*10^6 exceeds 2^53, which
+    # would hash-mismatch the oracle's exact `//` on a pathological
+    # ~100 MB document; multiply in bigint (int32 overflows under
+    # ANSI). All operands are non-negative, so Spark's
+    # truncate-toward-zero div and DuckDB's floor `//` agree.
+    flesch = F.expr(
+        "CAST(206835000 AS BIGINT) "
+        "- (CAST(1015000 AS BIGINT) * n_words) "
+        "div greatest(n_sentences, 1) "
+        "- (CAST(84600000 AS BIGINT) * n_vowel_groups) "
+        "div greatest(n_words, 1)"
+    )
+    return staged.select(
+        id_col,
+        "n_sentences",
+        "n_words",
+        "n_vowel_groups",
+        F.when(F.col("_tnull"), F.lit(None).cast("bigint"))
         .otherwise(flesch.cast("bigint"))
         .alias("flesch_micro"),
     )

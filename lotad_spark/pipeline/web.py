@@ -709,8 +709,13 @@ def main_content(
             ).alias("ltxt"),
         ),
     )
+    # stage the per-block stats array ONCE before kept/n_blocks both
+    # read it — the repo-documented Spark 4 hazard: sibling references
+    # to a higher-order-function tree each embed (and re-evaluate) a
+    # full copy of the lambda chain, doubling the per-block regex cost
+    staged = df.select(F.col(id_col), stats.alias("_stats"))
     kept = F.filter(
-        stats,
+        F.col("_stats"),
         lambda s: (F.length(s["txt"]) >= min_chars)
         & (
             F.length(s["ltxt"]) * 100
@@ -718,16 +723,14 @@ def main_content(
         ),
     )
     n_blocks = F.size(
-        F.filter(stats, lambda s: F.length(s["txt"]) > 0)
+        F.filter(F.col("_stats"), lambda s: F.length(s["txt"]) > 0)
     ).cast("int")
-    out = df.select(
+    out = staged.select(
         F.col(id_col),
         kept.alias("_kept"),
         n_blocks.alias("n_blocks"),
     )
-    # stage the filtered array once (the repo-documented Spark 4
-    # higher-order-function re-evaluation hazard), then project text
-    # and count from it
+    # same staging rule for the filtered array feeding text + count
     return out.select(
         id_col,
         decode_entities_expr(

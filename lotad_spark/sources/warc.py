@@ -262,10 +262,11 @@ def warc_http_text(df: DataFrame, content_col: str = "content") -> DataFrame:
     parameter when present), and ``body`` (string) peeled from the
     HTTP envelope of response records: the status parses off the
     first line, the body starts after the first blank line — CRLFCRLF
-    per the RFC, with an LF-only (``\\n\\n``) fallback because real
-    servers emit LF-terminated headers and dropping their bodies
-    silently would be a coverage hole (r14 advice); whichever
-    separator appears FIRST wins. A payload that starts with ``HTTP/``
+    per the RFC, with LF-only (``\\n\\n``) and mixed (``\\n\\r\\n`` —
+    LF-terminated header lines, CRLF blank line) fallbacks because
+    real servers emit all three and dropping their bodies silently
+    would be a coverage hole (r14 advice; the mixed form r15); the
+    form whose body would start EARLIEST wins. A payload that starts with ``HTTP/``
     but has NO blank line in either form is a headers-only record:
     status parses, body is empty (headers never leak into body).
     Records whose payload is not an HTTP message get NULL
@@ -284,11 +285,28 @@ def warc_http_text(df: DataFrame, content_col: str = "content") -> DataFrame:
     bin_c = F.col(content_col)
     peel = F.decode(bin_c, "ISO-8859-1")
     is_http = peel.startswith("HTTP/")
+    # three blank-line forms: CRLFCRLF (the RFC), LFLF (LF-only
+    # servers), and the MIXED LF+CRLF (LF-terminated header lines, a
+    # CRLF blank line — review-caught: previously misread as
+    # headers-only, silently dropping the body). The form whose BODY
+    # would start earliest wins — unambiguous because a CRLFCRLF match
+    # at p also matches the mixed form at p+1 with the same body
+    # start p+4.
     crlf = F.instr(peel, "\r\n\r\n")
+    mixed = F.instr(peel, "\n\r\n")
     lf = F.instr(peel, "\n\n")
-    use_crlf = (crlf > 0) & ((lf == 0) | (crlf <= lf))
-    sep = F.when(use_crlf, crlf).when(lf > 0, lf).otherwise(F.lit(0))
-    sep_len = F.when(use_crlf, F.lit(4)).otherwise(F.lit(2))
+    big = F.length(peel) + F.lit(5)
+    crlf_end = F.when(crlf > 0, crlf + 4).otherwise(big)
+    mixed_end = F.when(mixed > 0, mixed + 3).otherwise(big)
+    lf_end = F.when(lf > 0, lf + 2).otherwise(big)
+    body_pos = F.least(crlf_end, mixed_end, lf_end)
+    sep = (
+        F.when(body_pos >= big, F.lit(0))
+        .when(crlf_end == body_pos, crlf)
+        .when(mixed_end == body_pos, mixed)
+        .otherwise(lf)
+    )
+    sep_len = body_pos - sep
     head = F.when(sep > 0, peel.substr(F.lit(1), sep - 1)).otherwise(
         peel
     )
@@ -369,8 +387,11 @@ def write_warc_file(
     for i, rec in enumerate(records):
         uri, ctype, payload = rec[0], rec[1], rec[2]
         nl = rec[3] if len(rec) > 3 else "\r\n"
+        # optional 5th element: the BLANK-LINE terminator, for
+        # synthesizing mixed envelopes (LF header lines, CRLF blank)
+        blank = rec[4] if len(rec) > 4 else nl
         http = (
-            f"HTTP/1.1 200 OK{nl}Content-Type: {ctype}{nl}{nl}".encode()
+            f"HTTP/1.1 200 OK{nl}Content-Type: {ctype}{nl}{blank}".encode()
             + payload
         )
         out.append(

@@ -306,6 +306,67 @@ class TestHonestNone:
         }
         assert pdf_text_pages(build_pdf(objs)) is None
 
+    def test_kids_cycle_is_linear_not_exponential(self):
+        """A Pages node listing itself in /Kids (review-caught: the
+        depth cap alone allowed ~2^64 walk calls — an executor hang
+        from a ~200-byte payload). The visited set must make this
+        return fast."""
+        import time
+
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [2 0 R 2 0 R 3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: content_obj(b"BT (survived the cycle) Tj ET"),
+        }
+        t0 = time.perf_counter()
+        got = pdf_text_pages(build_pdf(objs))
+        assert time.perf_counter() - t0 < 2.0
+        assert got == ("survived the cycle", 1)
+
+    def test_decompression_bomb_bounded(self):
+        """A small FlateDecode stream inflating past the 64 MiB bound
+        must yield honest-None WITHOUT materializing the output
+        (review-caught: a single zlib.decompress allocated the whole
+        bomb before the bound check)."""
+        raw = zlib.compress(b"\x00" * (80 << 20), 9)  # ~80 MiB -> ~80 KiB
+        objs = {
+            **BASE,
+            4: (
+                b"<< /Length " + str(len(raw)).encode()
+                + b" /Filter /FlateDecode >>",
+                raw,
+            ),
+        }
+        assert pdf_text_pages(build_pdf(objs)) is None
+
+    def test_later_objstm_definition_wins(self):
+        """Incremental-update semantics apply BETWEEN object streams
+        too (review-caught: setdefault kept the stale copy)."""
+
+        def objstm(body: bytes, onum: int) -> tuple:
+            head = f"{onum} 0 ".encode()
+            raw = zlib.compress(head + body)
+            return (
+                b"<< /Type /ObjStm /N 1 /First "
+                + str(len(head)).encode()
+                + b" /Length " + str(len(raw)).encode()
+                + b" /Filter /FlateDecode >>",
+                raw,
+            )
+
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            4: content_obj(b"BT (old) Tj ET"),
+            5: content_obj(b"BT (new) Tj ET"),
+            # object 3 (the page) defined in TWO ObjStms: the later
+            # one points at the new content stream and must win
+            6: objstm(b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", 3),
+            7: objstm(b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>", 3),
+        }
+        assert pdf_text_pages(build_pdf(objs)) == ("new", 1)
+
 
 class TestSparkOperator:
     def test_kind_contract(self, spark):

@@ -191,6 +191,32 @@ class TestWarcSpark:
         assert rows["4"].body == cp_text
         assert rows["4"].http_charset is None
 
+    def test_mixed_lf_crlf_envelope_keeps_body(self, spark, tmp_path):
+        """LF-terminated header lines with a CRLF blank line (the
+        review-caught third separator form): previously misread as
+        headers-only, silently dropping the body."""
+        d = str(tmp_path)
+        recs = [
+            # mixed: nl='\n', blank='\r\n'
+            ("https://x.com/0", "text/html", b"<p>mixed body</p>", "\n", "\r\n"),
+            # control: pure CRLF in the same file
+            ("https://x.com/1", "text/html", b"<p>crlf body</p>"),
+            # genuinely headers-only (no blank line at all)
+            ("https://x.com/2", "text/html", b""),
+        ]
+        write_warc_file(recs, os.path.join(d, "p.warc"))
+        rows = {
+            r.target_uri[-1]: r
+            for r in warc_http_text(read_warc(spark, d))
+            .filter("warc_type = 'response'")
+            .collect()
+        }
+        assert rows["0"].body == "<p>mixed body</p>"
+        assert rows["0"].http_status == 200
+        assert rows["0"].http_content_type == "text/html"
+        assert rows["1"].body == "<p>crlf body</p>"
+        assert rows["2"].body == ""
+
     def test_cp1252_decode_matches_python(self, spark):
         """Every defined cp1252 byte decodes exactly as Python's
         cp1252 codec; the 5 undefined bytes take the WHATWG C1 rule."""
