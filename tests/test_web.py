@@ -378,11 +378,12 @@ Disallow: /only-x
             [
                 (1, "https://a.com/d/4"),  # /*4$ → blocked
                 (2, "https://a.com/d/48"),  # allow /d/*8 (6) wins
-                # tie: allow /d/12 (5) vs disallow /*4$ (5) → allow
+                # allow /d/12 (5 octets) beats disallow /*4$ (4)
                 (3, "https://a.com/d/124"),
-                (4, "https://a.com/d/6"),  # allow /d/6$ (5) > dis (4)
+                (4, "https://a.com/d/6"),  # allow /d/6$ (5) > dis /d/6 (4)
                 (5, "https://a.com/d/62"),  # dis /d/6
-                (6, "https://a.com/d/64"),  # dis /*4$ (5) > dis (4)
+                # both matches disallow (/*4$ 4, /d/6 4) → blocked
+                (6, "https://a.com/d/64"),
                 (7, "https://a.com/d/28/x"),  # /d/*8 matches mid-path
                 (8, "https://q.com/page?sid=1"),  # /*? → blocked
                 (9, "https://q.com/page"),  # no ? → allowed
