@@ -4743,9 +4743,12 @@ def _template_fingerprint_sql() -> str:
         f"list_transform(regexp_extract_all(html, {re_sql}, 1), "
         "t -> lower(t))"
     )
+    # coalesce: DuckDB array_to_string([], ',') is NULL where Spark
+    # array_join([], ',') is '' — a zero-tag page must fingerprint as
+    # md5('') in both engines (same alignment as _main_content_sql).
     return (
         "SELECT doc_id, "
-        f"md5(array_to_string({tags}, ',')) AS template_fp, "
+        f"md5(coalesce(array_to_string({tags}, ','), '')) AS template_fp, "
         f"CAST(len({tags}) AS INT) AS n_tags, "
         f"CAST(len(list_distinct({tags})) AS INT) AS n_distinct_tags "
         "FROM (" + _html_build_sql() + ")"

@@ -813,14 +813,17 @@ def edit_distance_pairs(
         base.select(F.col("_id").alias("id_b"), F.col("_s").alias("t")),
         "id_b",
     )
-    # Materialize the distance ONCE before filtering: Catalyst does not
-    # CSE levenshtein across the filter/project boundary, and the verify
-    # is the hot O(|s|*|t|) step of the whole join.
+    # Bounded verify: levenshtein(s, t, threshold=k) banded-DP caps each
+    # evaluation at O(k * min(|s|,|t|)) and returns -1 past the band.
+    # Catalyst pushes the <= k predicate back through the projection and
+    # evaluates the expression in both Filter and Project (no CSE across
+    # that boundary — verified on the optimized plan), so the win comes
+    # from bounding the per-evaluation cost, not from evaluation count.
     verified = (
         with_text.withColumn(
-            "distance", F.levenshtein("s", "t").cast("int")
+            "distance", F.levenshtein("s", "t", k).cast("int")
         )
-        .filter(F.col("distance") <= k)
+        .filter(F.col("distance") >= 0)
         .select("id_a", "id_b", "distance")
     )
     # degenerate arm: strings too short to segment pair with anything
@@ -838,8 +841,8 @@ def edit_distance_pairs(
             (F.col("_id") != F.col("id_u"))
             & (F.abs(F.col("_l") - F.col("l_u")) <= k),
         )
-        .withColumn("distance", F.levenshtein("_s", "u").cast("int"))
-        .filter(F.col("distance") <= k)
+        .withColumn("distance", F.levenshtein("_s", "u", k).cast("int"))
+        .filter(F.col("distance") >= 0)
         .select(
             F.least("_id", "id_u").alias("id_a"),
             F.greatest("_id", "id_u").alias("id_b"),
@@ -1008,8 +1011,8 @@ def edit_distance_search(
     ).select("query_id", F.col("_id"), "_s", "_t")
     matched = (
         cand.unionByName(shorts)
-        .withColumn("distance", F.levenshtein("_s", "_t").cast("int"))
-        .filter(F.col("distance") <= k)
+        .withColumn("distance", F.levenshtein("_s", "_t", k).cast("int"))
+        .filter(F.col("distance") >= 0)
         .select("query_id", "_id", "distance")
         .distinct()
     )

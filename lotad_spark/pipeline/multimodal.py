@@ -1158,6 +1158,8 @@ def _vp8l_read_prefix_code(bits: _Vp8lBits, alphabet_size: int):
         num_symbols = bits.read(1) + 1
         s0 = bits.read(8) if bits.read(1) else bits.read(1)
         if num_symbols == 1:
+            if s0 >= alphabet_size:
+                raise _Vp8lError("bad simple code symbols")
             return ("const", s0)
         s1 = bits.read(8)
         if s0 == s1 or max(s0, s1) >= alphabet_size:

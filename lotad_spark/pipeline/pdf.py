@@ -248,12 +248,22 @@ class _Document:
         self.objs: dict[int, object] = {}
         self.streams: dict[int, tuple] = {}  # num -> (dict, raw_start)
         self._decoded_total = 0
-        for m in _OBJ_RE.finditer(payload):
+        # Position-driven scan: after recording a stream object the scan
+        # jumps past its endstream, so object discovery never reads
+        # stream payload bytes — compressed bytes that happen to match
+        # "N G obj" and parse must not shadow a real earlier definition.
+        scan = 0
+        while True:
+            m = _OBJ_RE.search(payload, scan)
+            if m is None:
+                break
+            scan = m.end()
             num = int(m.group(1))
             try:
                 val, pos = _parse_value(payload, m.end())
             except _PdfError:
                 continue
+            scan = pos
             pos2 = _skip_ws(payload, pos)
             if payload.startswith(b"stream", pos2):
                 ds = pos2 + 6
@@ -262,6 +272,7 @@ class _Document:
                 elif ds < len(payload) and payload[ds] in (0x0A, 0x0D):
                     ds += 1
                 self.streams[num] = (val, ds)
+                scan = self._stream_scan_end(val, ds)
             elif num in self.streams:
                 self.streams.pop(num)
             # incremental updates append redefinitions: the LATER
@@ -269,6 +280,25 @@ class _Document:
             # override a direct object)
             self.objs[num] = val
         self._expand_object_streams()
+
+    def _stream_scan_end(self, d, start: int) -> int:
+        """Scan position just past this stream's endstream. A direct
+        integer /Length wins when endstream actually follows it (the
+        one case where the body may contain the literal bytes
+        ``endstream``); otherwise — /Length indirect (possibly to a
+        not-yet-scanned object) or wrong — the first endstream bounds
+        the skip. No endstream at all: resume right after the dict so
+        a truncated stream can't swallow the rest of the document."""
+        data = self.data
+        length = d.get("Length") if isinstance(d, dict) else None
+        if isinstance(length, int) and 0 <= length <= len(data) - start:
+            tail = _skip_ws(data, start + length)
+            if data.startswith(b"endstream", tail):
+                return tail + 9
+        end = data.find(b"endstream", start)
+        if end >= 0:
+            return end + 9
+        return start
 
     def resolve(self, v, depth: int = 0):
         while isinstance(v, _Ref):
