@@ -4979,19 +4979,112 @@ _EXIF_METADATA_SQL = (
 )
 
 
+def _lzw_encode_fixture(data: bytes, early: int = 1) -> bytes:
+    """Fixture-side PDF LZWDecode encoder (TIFF variable-width codes,
+    MSB-first, 256=Clear / 257=EOD). Width bumps mirror the DECODER's
+    schedule by construction: the encoder simulates the decoder's
+    next-code counter (one behind its own — the decoder learns each
+    entry one code later) so every code is written at exactly the
+    width the decoder will read it with."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    enc_next = 258
+    dec_next = 258
+    first = True
+    emit(256)
+
+    def after_emit() -> None:
+        nonlocal dec_next, width, first
+        if not first:
+            dec_next += 1
+            if dec_next + early >= (1 << width) and width < 12:
+                width += 1
+        first = False
+
+    w = b""
+    for i in range(len(data)):
+        wc = w + data[i : i + 1]
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        after_emit()
+        if enc_next < 4096:
+            table[wc] = enc_next
+            enc_next += 1
+        w = wc[-1:]
+    if w:
+        emit(table[w])
+        after_emit()
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _png_predict_fixture(data: bytes, columns: int) -> bytes:
+    """Forward-apply PNG row filters (DecodeParms /Predictor >= 10,
+    Colors 1, 8 bpc) for the fixture: row i uses filter type i %% 5,
+    so one document exercises None/Sub/Up/Average/Paeth. ``data`` must
+    already be padded to a multiple of ``columns``."""
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), columns):
+        row = data[r : r + columns]
+        ft = (r // columns) % 5
+        out.append(ft)
+        for i, x in enumerate(row):
+            a = row[i - 1] if i else 0
+            b = prev[i]
+            c = prev[i - 1] if i else 0
+            if ft == 0:
+                ref = 0
+            elif ft == 1:
+                ref = a
+            elif ft == 2:
+                ref = b
+            elif ft == 3:
+                ref = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                ref = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((x - ref) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
 def _pdf_fixture(text: str, did: int) -> bytes:
     """One doc as a valid single-page PDF whose extracted text is
     EXACTLY the doc text, with the writer variant cycling by
-    doc_id %% 4: (0) plain literal-string Tj, (1) FlateDecode content
+    doc_id %% 6: (0) plain literal-string Tj, (1) FlateDecode content
     with the catalog/pages/page/font objects packed in an object
     stream (/Type /ObjStm — the modern-writer layout), (2) a TJ array
     of kerned chunks (extractor must concatenate across kerns), (3) an
-    ASCIIHexDecode content filter. Non-latin-1-safe text ships as a
-    BOM-prefixed UTF-16BE hex string (the spec's text-string form).
-    A classic xref table with correct offsets closes the file."""
+    ASCIIHexDecode content filter, (4) LZWDecode — with TIFF
+    horizontal differencing (/Predictor 2) on every other variant-4
+    doc, (5) a two-stage filter array [/ASCIIHexDecode /FlateDecode]
+    whose Flate stage carries PNG row predictors (/Predictor 12, all
+    five filter types cycling by row; content space-padded to the row
+    width — whitespace is token-neutral in content streams).
+    Non-latin-1-safe text ships as a BOM-prefixed UTF-16BE hex string
+    (the spec's text-string form). A classic xref table with correct
+    offsets closes the file."""
     import zlib
 
-    variant = did % 4
+    variant = did % 6
     use_utf16 = (not text.isascii()) or ("\r" in text)
 
     def show(s: str) -> bytes:
@@ -5024,6 +5117,41 @@ def _pdf_fixture(text: str, did: int) -> bytes:
         content_dict = (
             b"<< /Length " + str(len(stream_data)).encode()
             + b" /Filter /ASCIIHexDecode >>"
+        )
+    elif variant == 4:
+        if did % 2 == 0:
+            cols = 16
+            padded = content + b" " * (-len(content) % cols)
+            diffed = bytearray()
+            for r in range(0, len(padded), cols):
+                row = padded[r : r + cols]
+                diffed += bytes(
+                    [(row[i] - (row[i - 1] if i else 0)) & 0xFF
+                     for i in range(cols)]
+                )
+            stream_data = _lzw_encode_fixture(bytes(diffed))
+            content_dict = (
+                b"<< /Length " + str(len(stream_data)).encode()
+                + b" /Filter /LZWDecode /DecodeParms "
+                b"<< /Predictor 2 /Columns 16 >> >>"
+            )
+        else:
+            stream_data = _lzw_encode_fixture(content)
+            content_dict = (
+                b"<< /Length " + str(len(stream_data)).encode()
+                + b" /Filter /LZWDecode >>"
+            )
+    elif variant == 5:
+        cols = 24
+        padded = content + b" " * (-len(content) % cols)
+        stream_data = (
+            zlib.compress(_png_predict_fixture(padded, cols)).hex().encode()
+            + b">"
+        )
+        content_dict = (
+            b"<< /Length " + str(len(stream_data)).encode()
+            + b" /Filter [/ASCIIHexDecode /FlateDecode] /DecodeParms "
+            b"[null << /Predictor 12 /Columns 24 >>] >>"
         )
     else:
         stream_data = content
@@ -5101,11 +5229,13 @@ def _pdf_fixture(text: str, did: int) -> bytes:
 
 def _doc_pdf_media(spark, sf_dir):
     """Each doc as a valid single-page PDF of its text — see
-    :func:`_pdf_fixture` for the four writer variants (plain literal,
-    FlateDecode + ObjStm, kerned TJ array, ASCIIHexDecode) cycling by
-    doc_id. Extracted text must round-trip exactly, so any defect in
-    object scan, stream decode, page walk, string unescape, or text
-    operators hash-mismatches the oracle."""
+    :func:`_pdf_fixture` for the six writer variants (plain literal,
+    FlateDecode + ObjStm, kerned TJ array, ASCIIHexDecode, LZWDecode
+    with/without TIFF differencing, hex+Flate filter array with PNG
+    row predictors) cycling by doc_id. Extracted text must round-trip
+    exactly, so any defect in object scan, stream decode, predictor
+    undo, page walk, string unescape, or text operators
+    hash-mismatches the oracle."""
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -5125,12 +5255,13 @@ def _doc_pdf_media(spark, sf_dir):
 
 def q_pdf_extract(spark, sf_dir):
     """PDF text extraction (pipeline/pdf.py — the zero-dep ISO 32000
-    subset: linear object scan, ObjStm expansion, Flate/ASCIIHex/85
-    filters, page-tree walk, BT/ET text operators, UTF-16BE text
-    strings): the extracted text must equal the doc text byte-for-byte
-    across all four writer variants, so the oracle is the identity
-    projection over documents. Hand-built multi-page / escape /
-    honest-None vectors pin the parser in tests/test_pdf.py."""
+    subset: linear object scan, ObjStm expansion, Flate/LZW/ASCIIHex/85
+    filters, PNG + TIFF predictors, page-tree walk, BT/ET text
+    operators, UTF-16BE text strings): the extracted text must equal
+    the doc text byte-for-byte across all six writer variants, so the
+    oracle is the identity projection over documents. Hand-built
+    multi-page / escape / honest-None vectors pin the parser in
+    tests/test_pdf.py."""
     from lotad_spark.pipeline.pdf import extract_pdf_text
 
     return extract_pdf_text(_doc_pdf_media(spark, sf_dir)).select(

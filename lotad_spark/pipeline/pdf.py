@@ -16,8 +16,12 @@ Supported (all from the public spec):
   catalog/page objects);
 * indirect references, nested dicts/arrays, literal strings with the
   full escape set, hex strings, names with ``#xx`` escapes;
-* stream filters: FlateDecode (stdlib zlib), ASCIIHexDecode,
-  ASCII85Decode (stdlib base64), including filter arrays;
+* stream filters: FlateDecode (stdlib zlib), LZWDecode (the TIFF
+  variable-width 9-12 bit code variant PDF specifies, EarlyChange
+  honored), ASCIIHexDecode, ASCII85Decode (stdlib base64), including
+  filter arrays; /DecodeParms predictors on Flate/LZW streams — PNG
+  row filters (None/Sub/Up/Average/Paeth, the /Predictor >= 10
+  family) and TIFF horizontal differencing (/Predictor 2);
 * the page tree (``/Root -> /Pages -> /Kids``; catalog-scan fallback),
   per-page ``/Contents`` (single stream or array);
 * text operators inside content streams: Tj, ', ", TJ, with line
@@ -26,10 +30,10 @@ Supported (all from the public spec):
   convention).
 
 Out of scope, returns None (swap in a real PDF library for these):
-encryption, LZW/DCT/JBIG2/CCITT-filtered CONTENT streams, predictors
-on content streams, and CID/Type0 composite-font decoding beyond the
-UTF-16BE string convention — a wrong-text guess poisons training data
-in ways a labeled fallback does not.
+encryption, DCT/JBIG2/CCITT-filtered CONTENT streams (image filters),
+and CID/Type0 composite-font decoding beyond the UTF-16BE string
+convention — a wrong-text guess poisons training data in ways a
+labeled fallback does not.
 
 100 TB shape: the extractor runs per-payload inside the scan stage
 (Arrow-batched mapInPandas), embarrassingly parallel and linear in
@@ -57,6 +61,121 @@ _DELIM = b"()<>[]{}/%"
 
 class _PdfError(Exception):
     pass
+
+
+def _lzw_decode(data: bytes, early: int, budget: int) -> bytes:
+    """PDF LZWDecode: the TIFF variant — MSB-first variable-width codes
+    (9 to 12 bits), 256 = ClearTable, 257 = EOD, code width bumps when
+    the NEXT code to assign reaches ``(1 << width) - early``
+    (/EarlyChange defaults to 1: the encoder switches one code early).
+    ``budget`` bounds the output (the caller's decompression-bomb
+    accounting); exceeding it raises like the Flate path."""
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    next_code = 258
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = ((acc << 8) | byte) & 0xFFFFFFFF
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table.clear()
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < 256:
+                entry = bytes([code])
+            elif code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                # the KwKwK case: the code being defined right now
+                entry = prev + prev[:1]
+            else:
+                raise _PdfError("bad LZW code")
+            out += entry
+            if len(out) > budget:
+                raise _PdfError("decoded size bound exceeded")
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code + early >= (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    # EOD is formally required; crawled PDFs routinely truncate it
+    return bytes(out)
+
+
+def _apply_predictor(data: bytes, pred: int, colors: int, bpc: int,
+                     columns: int) -> bytes:
+    """Undo a /DecodeParms predictor on Flate/LZW output: 2 = TIFF
+    horizontal differencing, >= 10 = PNG row filters (each row carries
+    a leading filter-type byte; filters operate on the bytes-per-pixel
+    stride). Truncated final rows raise — honest-None beats silently
+    shifted bytes feeding the content-stream tokenizer."""
+    if pred in (1, None):
+        return data
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (colors * bpc * columns + 7) // 8
+    if rowlen <= 0:
+        raise _PdfError("bad predictor columns")
+    if pred == 2:
+        if bpc != 8:
+            raise _PdfError("TIFF predictor with bpc != 8 unsupported")
+        if len(data) % rowlen:
+            raise _PdfError("truncated predictor row")
+        out = bytearray(data)
+        for r in range(0, len(out), rowlen):
+            for i in range(r + bpp, r + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if pred < 10:
+        raise _PdfError(f"unsupported predictor {pred}")
+    if len(data) % (rowlen + 1):
+        raise _PdfError("truncated predictor row")
+    out = bytearray()
+    prev_row = bytearray(rowlen)
+    for pos in range(0, len(data), rowlen + 1):
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev_row[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev_row[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev_row[i]
+                c = prev_row[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    ref = a
+                elif pb <= pc:
+                    ref = b
+                else:
+                    ref = c
+                row[i] = (row[i] + ref) & 0xFF
+        else:
+            raise _PdfError(f"bad PNG filter type {ft}")
+        out += row
+        prev_row = row
+    return bytes(out)
 
 
 class _Ref:
@@ -345,13 +464,18 @@ class _Document:
             chain = [self.resolve(f) for f in filters]
         else:
             raise _PdfError("bad /Filter")
-        parms = self.resolve(d.get("DecodeParms"))
-        if parms not in (None, [], {}) and not (
-            isinstance(parms, list) and all(self.resolve(p) in (None, {}) for p in parms)
-        ):
-            raise _PdfError("DecodeParms (predictors) unsupported")
-        for f in chain:
+        parms_raw = self.resolve(d.get("DecodeParms"))
+        if isinstance(parms_raw, list):
+            parms_list = [self.resolve(p) for p in parms_raw]
+        else:
+            parms_list = [parms_raw]
+        parms_list += [None] * (len(chain) - len(parms_list))
+        for f, parm in zip(chain, parms_list):
             name = f[1] if isinstance(f, tuple) else None
+            if not isinstance(parm, dict):
+                if parm not in (None, {}):
+                    raise _PdfError("bad /DecodeParms entry")
+                parm = {}
             if name in ("FlateDecode", "Fl"):
                 # inflate INCREMENTALLY against the remaining budget:
                 # a single zlib.decompress() would allocate the whole
@@ -368,6 +492,13 @@ class _Document:
                     raw = out
                 except zlib.error as exc:
                     raise _PdfError("bad flate stream") from exc
+            elif name in ("LZWDecode", "LZW"):
+                early = self.resolve(parm.get("EarlyChange", 1))
+                if early not in (0, 1):
+                    raise _PdfError("bad /EarlyChange")
+                raw = _lzw_decode(
+                    raw, early, _MAX_DECODED - self._decoded_total
+                )
             elif name in ("ASCIIHexDecode", "AHx"):
                 digits = raw.split(b">")[0]
                 digits = bytes(c for c in digits if c not in _WS)
@@ -387,6 +518,16 @@ class _Document:
                     raise _PdfError("bad ascii85 stream") from exc
             else:
                 raise _PdfError(f"unsupported filter {name}")
+            if name in ("FlateDecode", "Fl", "LZWDecode", "LZW"):
+                pred = self.resolve(parm.get("Predictor", 1))
+                if pred not in (None, 1):
+                    raw = _apply_predictor(
+                        raw,
+                        pred,
+                        self.resolve(parm.get("Colors", 1)),
+                        self.resolve(parm.get("BitsPerComponent", 8)),
+                        self.resolve(parm.get("Columns", 1)),
+                    )
             self._decoded_total += len(raw)
             if self._decoded_total > _MAX_DECODED:
                 raise _PdfError("decoded size bound exceeded")

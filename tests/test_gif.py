@@ -464,8 +464,9 @@ class TestDecoderCrashRobustness:
         body = bytes(rng.randint(0, 256, 24).astype(np.uint8))
         for cls in range(5):
             out[f"webp_c{cls}"] = entry._wp_encode_fixture(body, 6, 4, cls)
-        for v in range(4):
+        for v in range(6):  # r16: LZW and predictor writer variants join
             out[f"pdf_v{v}"] = entry._pdf_fixture("fuzz target (text)", v)
+        for v in range(4):
             out[f"exif_c{v}"] = entry._exif_container(v)
         return out
 

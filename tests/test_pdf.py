@@ -260,6 +260,140 @@ class TestFilters:
         }
         assert pdf_text_pages(build_pdf(objs)) == ("indirect len", 1)
 
+    def test_lzw(self):
+        from __spark_entry__ import _lzw_encode_fixture
+
+        raw = _lzw_encode_fixture(b"BT (lzw text) Tj ET")
+        objs = {
+            **BASE,
+            4: (
+                b"<< /Length " + str(len(raw)).encode()
+                + b" /Filter /LZWDecode >>",
+                raw,
+            ),
+        }
+        assert pdf_text_pages(build_pdf(objs)) == ("lzw text", 1)
+
+    def test_lzw_hand_built_vector(self):
+        # Hand-packed 9-bit MSB-first codes: 256 (clear), 'a', 'b',
+        # 258, 257 (EOD). Processing 'b' defines 258='ab', so the
+        # third data code replays it: output "abab".
+        codes = [256, 97, 98, 258, 257]
+        acc = nbits = 0
+        buf = bytearray()
+        for code in codes:
+            acc = (acc << 9) | code
+            nbits += 9
+            while nbits >= 8:
+                buf.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            buf.append((acc << (8 - nbits)) & 0xFF)
+        from lotad_spark.pipeline.pdf import _lzw_decode
+
+        # 258 is the KwKwK code being defined while read: prev='b',
+        # entry='b'+'b'[0]... prev at that point is 'b', table adds
+        # 258='ab' when 'b' processed, so 258 decodes as 'ab'
+        assert _lzw_decode(bytes(buf), 1, 1 << 20) == b"abab"
+
+    def test_lzw_early_change_zero(self):
+        from __spark_entry__ import _lzw_encode_fixture
+
+        body = b"BT (early change zero " + b"xy" * 300 + b") Tj ET"
+        raw = _lzw_encode_fixture(body, early=0)
+        objs = {
+            **BASE,
+            4: (
+                b"<< /Length " + str(len(raw)).encode()
+                + b" /Filter /LZWDecode /DecodeParms "
+                b"<< /EarlyChange 0 >> >>",
+                raw,
+            ),
+        }
+        got = pdf_text_pages(build_pdf(objs))
+        assert got == ("early change zero " + "xy" * 300, 1)
+
+    def test_lzw_width_bump_long_stream(self):
+        # long enough to cross the 9->10->11 bit widths
+        from __spark_entry__ import _lzw_encode_fixture
+
+        words = " ".join(f"w{i % 97}q{i % 89}" for i in range(1200))
+        body = ("BT (" + words + ") Tj ET").encode()
+        raw = _lzw_encode_fixture(body)
+        objs = {
+            **BASE,
+            4: (
+                b"<< /Length " + str(len(raw)).encode()
+                + b" /Filter /LZWDecode >>",
+                raw,
+            ),
+        }
+        assert pdf_text_pages(build_pdf(objs)) == (words, 1)
+
+    def test_flate_png_predictors_all_types(self):
+        from __spark_entry__ import _png_predict_fixture
+
+        cols = 5
+        body = b"BT (png predictor row filters) Tj ET"
+        body += b" " * (-len(body) % cols)  # >= 7 rows: all 5 types
+        raw = zlib.compress(_png_predict_fixture(body, cols))
+        objs = {
+            **BASE,
+            4: (
+                b"<< /Length " + str(len(raw)).encode()
+                + b" /Filter /FlateDecode /DecodeParms "
+                b"<< /Predictor 12 /Columns 5 >> >>",
+                raw,
+            ),
+        }
+        assert pdf_text_pages(build_pdf(objs)) == (
+            "png predictor row filters",
+            1,
+        )
+
+    def test_lzw_tiff_predictor(self):
+        from __spark_entry__ import _lzw_encode_fixture
+
+        cols = 8
+        body = b"BT (tiff differencing) Tj ET"
+        body += b" " * (-len(body) % cols)
+        diffed = bytearray()
+        for r in range(0, len(body), cols):
+            row = body[r : r + cols]
+            diffed += bytes(
+                [(row[i] - (row[i - 1] if i else 0)) & 0xFF
+                 for i in range(cols)]
+            )
+        raw = _lzw_encode_fixture(bytes(diffed))
+        objs = {
+            **BASE,
+            4: (
+                b"<< /Length " + str(len(raw)).encode()
+                + b" /Filter /LZWDecode /DecodeParms "
+                b"<< /Predictor 2 /Columns 8 >> >>",
+                raw,
+            ),
+        }
+        assert pdf_text_pages(build_pdf(objs)) == ("tiff differencing", 1)
+
+    def test_filter_array_with_parallel_parms(self):
+        from __spark_entry__ import _png_predict_fixture
+
+        cols = 6
+        body = b"BT (two stage) Tj ET"
+        body += b" " * (-len(body) % cols)
+        raw = zlib.compress(_png_predict_fixture(body, cols)).hex().encode() + b">"
+        objs = {
+            **BASE,
+            4: (
+                b"<< /Length " + str(len(raw)).encode()
+                + b" /Filter [/ASCIIHexDecode /FlateDecode] /DecodeParms "
+                b"[null << /Predictor 12 /Columns 6 >>] >>",
+                raw,
+            ),
+        }
+        assert pdf_text_pages(build_pdf(objs)) == ("two stage", 1)
+
 
 class TestHonestNone:
     def test_not_a_pdf(self):
@@ -268,17 +402,57 @@ class TestHonestNone:
     def test_unsupported_filter(self):
         objs = {
             **BASE,
-            4: (b"<< /Length 4 /Filter /LZWDecode >>", b"\x80\x0b\x60\x50"),
+            4: (b"<< /Length 4 /Filter /DCTDecode >>", b"\xff\xd8\xff\xe0"),
         }
         assert pdf_text_pages(build_pdf(objs)) is None
 
-    def test_predictor_parms_unsupported(self):
+    def test_bad_lzw_code(self):
+        # 9-bit codes 256 (clear) then 511 — a code neither literal,
+        # in the table, nor the one being defined
+        objs = {
+            **BASE,
+            4: (b"<< /Length 3 /Filter /LZWDecode >>", b"\x80\x7f\xc0"),
+        }
+        assert pdf_text_pages(build_pdf(objs)) is None
+
+    def test_unsupported_predictor_value(self):
         c = zlib.compress(b"BT (x) Tj ET")
         objs = {
             **BASE,
             4: (
                 b"<< /Length " + str(len(c)).encode()
-                + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 >> >>",
+                + b" /Filter /FlateDecode /DecodeParms << /Predictor 5 >> >>",
+                c,
+            ),
+        }
+        assert pdf_text_pages(build_pdf(objs)) is None
+
+    def test_truncated_predictor_row(self):
+        # 10 bytes is not a multiple of rowlen+1 = 4 -> honest None,
+        # never silently shifted bytes
+        from __spark_entry__ import _png_predict_fixture
+
+        filtered = _png_predict_fixture(b"BT (x) Tj ET", 3)[:10]
+        c = zlib.compress(filtered)
+        objs = {
+            **BASE,
+            4: (
+                b"<< /Length " + str(len(c)).encode()
+                + b" /Filter /FlateDecode /DecodeParms "
+                b"<< /Predictor 12 /Columns 3 >> >>",
+                c,
+            ),
+        }
+        assert pdf_text_pages(build_pdf(objs)) is None
+
+    def test_tiff_predictor_non8bpc_unsupported(self):
+        c = zlib.compress(b"BT (x) Tj ET")
+        objs = {
+            **BASE,
+            4: (
+                b"<< /Length " + str(len(c)).encode()
+                + b" /Filter /FlateDecode /DecodeParms "
+                b"<< /Predictor 2 /Columns 4 /BitsPerComponent 4 >> >>",
                 c,
             ),
         }
@@ -391,7 +565,7 @@ class TestSparkOperator:
 
         texts = ["plain", "déjà vu", "with (parens)", ""]
         rows = [
-            (did, texts[did % len(texts)]) for did in range(8)
+            (did, texts[did % len(texts)]) for did in range(12)
         ]
         df = spark.createDataFrame(rows, "doc_id bigint, text string")
 
@@ -411,7 +585,7 @@ class TestSparkOperator:
         got = {r.media_id: r for r in extract_pdf_text(media).collect()}
         for did, text in rows:
             assert got[did].kind == "pdf"
-            assert got[did].text == text, f"variant {did % 4}"
+            assert got[did].text == text, f"variant {did % 6}"
 
 
 if __name__ == "__main__":
