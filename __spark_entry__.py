@@ -481,11 +481,13 @@ def _entity_decode_sql(col: str) -> str:
     )
 
 
-def _html_extract_sql() -> str:
+def _html_extract_sql(builder_sql: str | None = None) -> str:
     """The EXACT html_text_expr chain, regenerated in SQL from the
     same constants (pipeline/web.py) — patterns live in the common
     Java-regex/RE2 subset by construction, so the replay is
-    byte-faithful. Entity decode replays via _entity_decode_sql."""
+    byte-faithful. Entity decode replays via _entity_decode_sql.
+    ``builder_sql`` overrides the (doc_id, html) source — the warc
+    oracle passes the CJK-paragraph-injected variant."""
     from lotad_spark.pipeline.web import (
         HTML_SPACE_STEPS,
         HTML_TEXT_STEPS,
@@ -502,7 +504,7 @@ def _html_extract_sql() -> str:
     # repeated references stay readable (and cheap to plan)
     inner = (
         "SELECT doc_id, " + expr + " AS stripped FROM ("
-        + _html_build_sql() + ")"
+        + (builder_sql or _html_build_sql()) + ")"
     )
     expr = _entity_decode_sql("stripped")
     for pat, rep in HTML_SPACE_STEPS:
@@ -524,6 +526,38 @@ def _html_links_sql() -> str:
         "SELECT doc_id, unnest(" + arrs + ") AS link FROM ("
         + _html_build_sql()
         + ")"
+    )
+
+
+# CJK bodies for the warc row (r16): (charset label, Python codec that
+# mirrors the JVM decoder warc_http_text routes the label to, phrase).
+# Each phrase round-trips its codec exactly (pinned in
+# tests/test_warc.py), so decode-back == the injected template and the
+# oracle replay needs no encoding knowledge — the same trick as the
+# cp1252 fixtures. Labels deliberately include non-canonical aliases
+# (gb2312 → the GBK decoder per WHATWG).
+_CJK_WARC = (
+    ("shift_jis", "cp932", "日本語のテキスト、テスト用です。"),
+    ("euc-jp", "euc_jp", "こんにちは、世界。漢字かな混在。"),
+    ("gb2312", "gbk", "中文文本,简体测试。"),
+    ("euc-kr", "cp949", "한국어 텍스트 예시입니다."),
+    ("big5", "big5", "中文測試,繁體字樣。"),
+)
+
+
+def _warc_inject_cjk(doc_id: int, html: str) -> tuple[str, str, str]:
+    """(html, charset label, python codec) for one warc record: every
+    ``doc_id % 11 == 3`` doc gets a CJK paragraph injected before
+    </body> and ships in the family cycling by doc_id // 11 % 5."""
+    if doc_id % 11 != 3:
+        return html, "", ""
+    label, codec, phrase = _CJK_WARC[(doc_id // 11) % 5]
+    return (
+        html.replace(
+            "</body></html>", "<p>" + phrase + "</p></body></html>"
+        ),
+        label,
+        codec,
     )
 
 
@@ -563,20 +597,42 @@ def q_warc_ingest(spark, sf_dir):
         # ships as windows-1252 bytes (decode-back == the template
         # text, so the oracle replay is unchanged), every 7th with the
         # MIXED envelope (LF header lines, CRLF blank — the r15
-        # review-caught form), every 5th LF-only
+        # review-caught form), every 5th LF-only; every 11th+3 doc
+        # carries an injected CJK paragraph and ships in that family's
+        # encoding (r16 — Shift_JIS/EUC-JP/GBK/EUC-KR/Big5 decode;
+        # non-encodable docs fall back to label-less UTF-8 bytes of
+        # the SAME injected html, so the oracle injects
+        # unconditionally)
         if r.doc_id % 7 == 0:
             nl, blank = "\n", "\r\n"
         elif r.doc_id % 5 == 0:
             nl, blank = "\n", "\n"
         else:
             nl, blank = "\r\n", "\r\n"
+        html, cjk_label, cjk_codec = _warc_inject_cjk(r.doc_id, r.html)
+        if cjk_label:
+            try:
+                recs.append(
+                    (
+                        uri,
+                        f"text/html; charset={cjk_label}",
+                        html.encode(cjk_codec),
+                        nl,
+                        blank,
+                    )
+                )
+            except UnicodeEncodeError:
+                recs.append(
+                    (uri, "text/html", html.encode("utf-8"), nl, blank)
+                )
+            continue
         if r.doc_id % 3 == 0:
             try:
                 recs.append(
                     (
                         uri,
                         "text/html; charset=windows-1252",
-                        r.html.encode("cp1252"),
+                        html.encode("cp1252"),
                         nl,
                         blank,
                     )
@@ -585,7 +641,7 @@ def q_warc_ingest(spark, sf_dir):
             except UnicodeEncodeError:
                 pass
         recs.append(
-            (uri, "text/html", r.html.encode("utf-8"), nl, blank)
+            (uri, "text/html", html.encode("utf-8"), nl, blank)
         )
     # 8 shards, alternating plain/.warc.gz — scan parallelism is the
     # FILE count with this source, so the synthesis mirrors how a
@@ -7669,12 +7725,25 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash": _IMAGE_DHASH_SQL,
         "html_extract": _html_extract_sql(),
         "html_links": _html_links_sql(),
-        # the WARC chain's payloads are the SAME template HTML, so the
-        # oracle is the extraction replay plus the synthesized URI
+        # the WARC chain's payloads are the SAME template HTML (with
+        # the r16 CJK paragraph injected for every 11th+3 doc — the
+        # fixture ships those docs CJK-encoded, decode-back equals the
+        # injected template, so the oracle injects unconditionally and
+        # replays extraction), plus the synthesized URI
         "warc_ingest": (
             "SELECT 'https://example.com/doc/' || "
             "CAST(doc_id AS VARCHAR) AS target_uri, text FROM ("
-            + _html_extract_sql()
+            + _html_extract_sql(
+                "SELECT doc_id, CASE WHEN doc_id % 11 = 3 THEN "
+                "replace(html, '</body></html>', '<p>' || "
+                "(CASE CAST((doc_id // 11) % 5 AS INT) "
+                + " ".join(
+                    f"WHEN {i} THEN '{phrase}'"
+                    for i, (_l, _c, phrase) in enumerate(_CJK_WARC)
+                )
+                + " END) || '</p></body></html>') ELSE html END AS "
+                "html FROM (" + _html_build_sql() + ")"
+            )
             + ")"
         ),
         "robots_gate": _robots_gate_sql(),

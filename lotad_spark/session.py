@@ -136,6 +136,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # WARC body decode (sources/warc.py) routes WHATWG CJK charset
+        # labels through the full JVM charset set, with malformed
+        # sequences replaced by U+FFFD (the WHATWG rule) instead of
+        # failing the task. warc_http_text also sets these at plan
+        # build for externally-created sessions.
+        .config("spark.sql.legacy.javaCharsets", "true")
+        .config("spark.sql.legacy.codingErrorAction", "true")
         # Read TIMESTAMP(NANOS) parquet as BIGINT (sources/parquet.py
         # rebuilds µs timestamps with floor division). Set once here so the
         # behavior never depends on table read order.

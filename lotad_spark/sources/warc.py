@@ -255,6 +255,44 @@ def _cp1252_decode(b: Column) -> Column:
     )
 
 
+# WHATWG charset-label families → the JVM charset that implements the
+# WHATWG decoder (r16 — the CJK coverage the cp1252 work left open:
+# these pages are a large fraction of a global crawl and previously
+# carried mojibake into the whole text ladder). Label sets follow the
+# WHATWG Encoding Standard's label table: the Shift_JIS family decodes
+# as windows-31j (the MS superset every browser uses), EUC-KR as
+# windows-949 (same reason), the GB family as GBK. Honest divergence:
+# Java's Big5 lacks the HKSCS extensions the WHATWG big5 index folds
+# in — HKSCS-only codepoints in big5-labeled pages become U+FFFD.
+# Decoding needs two session flags (set by warc_http_text):
+# spark.sql.legacy.javaCharsets opens decode() to the full JVM charset
+# set, spark.sql.legacy.codingErrorAction=true replaces malformed
+# sequences with U+FFFD (the WHATWG rule) instead of failing the task
+# — one mojibake page must never kill a corpus scan.
+_JVM_CHARSET_FAMILIES = (
+    (
+        ("shift_jis", "shift-jis", "sjis", "x-sjis", "ms_kanji",
+         "csshiftjis", "windows-31j", "cp932", "ms932"),
+        "windows-31j",
+    ),
+    (("euc-jp", "x-euc-jp", "cseucpkdfmtjapanese"), "EUC-JP"),
+    (
+        ("gbk", "gb2312", "gb_2312", "gb_2312-80", "chinese",
+         "csgb2312", "csiso58gb231280", "iso-ir-58", "x-gbk"),
+        "GBK",
+    ),
+    (("gb18030",), "GB18030"),
+    (
+        ("euc-kr", "korean", "csksc56011987", "ks_c_5601-1987",
+         "ks_c_5601-1989", "ksc5601", "ksc_5601", "iso-ir-149",
+         "cseuckr", "windows-949", "cp949"),
+        "x-windows-949",
+    ),
+    (("big5", "cn-big5", "csbig5", "x-x-big5"), "Big5"),
+    (("big5-hkscs",), "Big5-HKSCS"),
+)
+
+
 def warc_http_text(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Append ``http_status`` (int), ``http_content_type`` (string —
     the envelope's Content-Type header value, for text/html
@@ -276,12 +314,21 @@ def warc_http_text(df: DataFrame, content_col: str = "content") -> DataFrame:
     one char per byte — so char positions ARE byte positions), and the
     body is sliced from the BYTES then decoded per the envelope's
     charset: the windows-1252/Latin-1/ASCII family decodes exactly
-    (``_cp1252_decode`` — the WHATWG label mapping); everything else,
-    including absent/UTF-8/unsupported labels, is Spark's
-    non-validating binary→string UTF-8 reinterpret, byte-faithful
-    rather than U+FFFD-replacing (documented honesty: a shift_jis page
-    still carries mojibake — filter on ``http_charset`` upstream if
-    that matters). Pure JVM expressions — one projection, no UDF."""
+    (``_cp1252_decode`` — the WHATWG label mapping); the CJK families
+    (Shift_JIS/EUC-JP/GB*/EUC-KR/Big5 and their WHATWG label aliases,
+    r16) decode through the JVM charset that implements the WHATWG
+    decoder (``_JVM_CHARSET_FAMILIES``), malformed sequences replaced
+    with U+FFFD; everything else, including absent/UTF-8/unsupported
+    labels, is Spark's non-validating binary→string UTF-8 reinterpret,
+    byte-faithful rather than U+FFFD-replacing. Pure JVM expressions —
+    one projection, no UDF. Side effect: sets the two legacy session
+    flags the JVM-charset decode path needs (they only WIDEN decode()
+    label acceptance and soften malformed bytes to U+FFFD; nothing
+    else in the plan library calls decode() on possibly-malformed
+    input)."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
     bin_c = F.col(content_col)
     peel = F.decode(bin_c, "ISO-8859-1")
     is_http = peel.startswith("HTTP/")
@@ -322,7 +369,12 @@ def warc_http_text(df: DataFrame, content_col: str = "content") -> DataFrame:
     body_bin = bin_c.substr(sep + sep_len, F.length(bin_c))
     body_decoded = F.when(
         charset.isin(*_CP1252_LABELS), _cp1252_decode(body_bin)
-    ).otherwise(body_bin.cast("string"))
+    )
+    for labels, jvm_charset in _JVM_CHARSET_FAMILIES:
+        body_decoded = body_decoded.when(
+            charset.isin(*labels), F.decode(body_bin, jvm_charset)
+        )
+    body_decoded = body_decoded.otherwise(body_bin.cast("string"))
     return df.select(
         "*",
         F.when(is_http & (status != ""), status.cast("int"))

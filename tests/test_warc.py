@@ -147,7 +147,6 @@ class TestWarcSpark:
         mojibake honesty case for unsupported charsets."""
         d = str(tmp_path)
         cp_text = "café ’curly’ €9 — dash"
-        sjis_text = "日本語"
         recs = [
             # 0: cp1252-labeled cp1252 bytes → exact text back
             (
@@ -163,12 +162,12 @@ class TestWarcSpark:
             ),
             # 2: LF-only envelope: body must NOT drop
             ("https://x.com/2", "text/html", b"<p>lf body</p>", "\n"),
-            # 3: unsupported charset: bytes reinterpreted as UTF-8
+            # 3: unrouted charset: bytes reinterpreted as UTF-8
             # (mojibake stays byte-faithful, documented)
             (
                 "https://x.com/3",
-                "text/html; charset=shift_jis",
-                sjis_text.encode("shift_jis"),
+                "text/html; charset=koi8-r",
+                "привет".encode("koi8_r"),
             ),
             # 4: no charset, valid UTF-8 → unchanged
             ("https://x.com/4", "text/html", cp_text.encode("utf-8")),
@@ -186,8 +185,8 @@ class TestWarcSpark:
         assert rows["1"].http_charset == "iso-8859-1"
         assert rows["2"].body == "<p>lf body</p>"
         assert rows["2"].http_status == 200
-        assert rows["3"].http_charset == "shift_jis"
-        assert rows["3"].body != sjis_text  # honest mojibake
+        assert rows["3"].http_charset == "koi8-r"
+        assert rows["3"].body != "привет"  # honest mojibake
         assert rows["4"].body == cp_text
         assert rows["4"].http_charset is None
 
@@ -216,6 +215,54 @@ class TestWarcSpark:
         assert rows["0"].http_content_type == "text/html"
         assert rows["1"].body == "<p>crlf body</p>"
         assert rows["2"].body == ""
+
+    def test_cjk_charset_decode(self, spark, tmp_path):
+        """The r16 CJK families decode exactly per the WHATWG label
+        mapping: every family, a non-canonical alias per family, and
+        malformed bytes softening to U+FFFD instead of failing the
+        scan."""
+        d = str(tmp_path)
+        cases = [
+            # (label, python codec mirroring the routed JVM decoder,
+            #  text)
+            ("shift_jis", "cp932", "日本語のテキスト、テスト用です。"),
+            ("sjis", "cp932", "片仮名カタカナ"),  # alias
+            ("euc-jp", "euc_jp", "こんにちは、世界。"),
+            ("gbk", "gbk", "中文文本,简体测试。"),
+            ("gb2312", "gbk", "简体别名路由。"),  # alias → GBK decoder
+            ("gb18030", "gb18030", "𠀀扩展平面"),  # 4-byte form
+            ("euc-kr", "cp949", "한국어 텍스트 예시입니다."),
+            ("korean", "cp949", "별칭 라벨"),  # alias
+            ("big5", "big5", "中文測試,繁體字樣。"),
+        ]
+        recs = [
+            (
+                f"https://x.com/{i}",
+                f"text/html; charset={label}",
+                text.encode(codec),
+            )
+            for i, (label, codec, text) in enumerate(cases)
+        ]
+        # malformed shift_jis: lone lead byte → U+FFFD, never a
+        # task failure
+        recs.append(
+            (
+                f"https://x.com/{len(cases)}",
+                "text/html; charset=shift_jis",
+                "日本".encode("cp932") + b"\x81",
+            )
+        )
+        write_warc_file(recs, os.path.join(d, "p.warc"))
+        rows = {
+            int(r.target_uri.rsplit("/", 1)[1]): r
+            for r in warc_http_text(read_warc(spark, d))
+            .filter("warc_type = 'response'")
+            .collect()
+        }
+        for i, (label, codec, text) in enumerate(cases):
+            assert rows[i].http_charset == label
+            assert rows[i].body == text, (label, rows[i].body)
+        assert rows[len(cases)].body == "日本�"
 
     def test_cp1252_decode_matches_python(self, spark):
         """Every defined cp1252 byte decodes exactly as Python's
