@@ -395,6 +395,14 @@ _HTML_PARTS = (
     "</div><p>caf&eacute; r&#233;sum&#xE9; &mdash; &#8212; "
     "&rsquo;quote&#8217; &hellip; &euro;9 bad:&#0;&#xD800;&#1114112; "
     "literal:&amp;#39; &unknown; 8digit:&#12345678;</p>"
+    # r16 tail-entity fixtures: Greek, arrows, math, Latin-1
+    # completeness, punctuation — the full-HTML4-table names that the
+    # hand-written top-frequency set left literal
+    "<p>tail:&Omega;&alpha;&beta; &rarr;&hArr;&crarr; "
+    "&forall;&exist;&nsub;&sube;&there4;&oplus; &Aring;&thorn;&yuml;"
+    "&ETH;&iexcl; &permil;&prime;&Prime; &lang;&rang;&lceil;&rfloor; "
+    "&spades;&loz; &frac34;&micro;&sup2; &Dagger;&sbquo;&bdquo; "
+    "&alefsym;&weierp; still&sup1;literal:&fjlig;</p>"
     '<a href="https://example.com/doc/',
     None,  # doc_id
     '?a=1&amp;b=2">first link</a> <a href=\'/rel/',

@@ -53,62 +53,34 @@ HTML_TEXT_STEPS: tuple[tuple[str, str], ...] = (
     (r"(?s)<[^>]*>", " "),
 )
 
-# Named entities and their decodes — the top-frequency set real pages
-# carry (WHATWG names, case-sensitive as the spec defines them).
-# Numeric forms (&#NNN; / &#xHH;) decode GENERALLY via the codepoint
+# Named entities and their decodes (r16: the full HTML4 252-name set
+# — complete Latin-1, Greek, arrows, math operators, punctuation —
+# generated from the stdlib ``html.entities`` table rather than
+# hand-typed so no codepoint can be mistyped; values take the
+# HTML5/WHATWG decode where the two specs differ, which is exactly
+# ``lang``/``rang`` — U+27E8/U+27E9 angle brackets, not the deprecated
+# U+2329/U+232A — plus ``apos``, an XML name HTML4 omits but real
+# pages use constantly). Names stay case-sensitive as the spec
+# defines them; only ';'-terminated forms decode (the bare-name
+# legacy forms are ambiguous and stay literal, documented). Numeric
+# forms (&#NNN; / &#xHH;) decode GENERALLY via the codepoint
 # arithmetic in ``decode_entities_expr`` — no per-codepoint table.
-HTML_NAMED_ENTITIES: tuple[tuple[str, str], ...] = (
-    ("amp", "&"),
-    ("lt", "<"),
-    ("gt", ">"),
-    ("quot", '"'),
-    ("apos", "'"),
-    ("nbsp", " "),
-    ("mdash", "—"),
-    ("ndash", "–"),
-    ("lsquo", "‘"),
-    ("rsquo", "’"),
-    ("ldquo", "“"),
-    ("rdquo", "”"),
-    ("hellip", "…"),
-    ("bull", "•"),
-    ("middot", "·"),
-    ("copy", "©"),
-    ("reg", "®"),
-    ("trade", "™"),
-    ("deg", "°"),
-    ("plusmn", "±"),
-    ("times", "×"),
-    ("divide", "÷"),
-    ("laquo", "«"),
-    ("raquo", "»"),
-    ("sect", "§"),
-    ("para", "¶"),
-    ("euro", "€"),
-    ("pound", "£"),
-    ("cent", "¢"),
-    ("yen", "¥"),
-    ("agrave", "à"),
-    ("aacute", "á"),
-    ("acirc", "â"),
-    ("auml", "ä"),
-    ("aelig", "æ"),
-    ("ccedil", "ç"),
-    ("egrave", "è"),
-    ("eacute", "é"),
-    ("ecirc", "ê"),
-    ("euml", "ë"),
-    ("icirc", "î"),
-    ("iuml", "ï"),
-    ("ntilde", "ñ"),
-    ("ocirc", "ô"),
-    ("ouml", "ö"),
-    ("ugrave", "ù"),
-    ("ucirc", "û"),
-    ("uuml", "ü"),
-    ("szlig", "ß"),
-    ("oelig", "œ"),
-)
+# The HTML5-only long tail (~1,980 more names, mostly math-alias
+# exotica) stays literal: each name would widen the single-pass regex
+# every engine replays, for entities that effectively never occur in
+# crawled pages.
+def _build_named_entities() -> tuple[tuple[str, str], ...]:
+    import html.entities as _he
+
+    table = {
+        name: _he.html5.get(name + ";", ch)
+        for name, ch in _he.entitydefs.items()
+    }
+    table["apos"] = "'"
+    return tuple(sorted(table.items()))
+
+
+HTML_NAMED_ENTITIES: tuple[tuple[str, str], ...] = _build_named_entities()
 
 # One regex matches EVERY decodable entity — numeric (decimal bounded
 # to 7 digits, hex to 6: both bounds exceed U+10FFFF, so anything
@@ -204,12 +176,24 @@ def _entity_char(e: Column) -> Column:
         F.substring(e, 2, 1).isin("x", "X"),
         F.conv(F.substring(e, 3, 6), 16, 10).cast("long"),
     ).otherwise(F.substring(e, 2, 7).cast("long"))
-    out = F.when(e.startswith("#"), _codepoint_char(code))
-    for name, ch in HTML_NAMED_ENTITIES:
-        out = out.when(e == name, F.lit(ch))
-    # unreachable (the regex only matches the alternatives above) but
-    # keeps the expression total
-    return out.otherwise(F.concat(F.lit("&"), e, F.lit(";")))
+    # named lookup through ONE literal-map GetMapValue instead of a
+    # 252-branch CaseWhen (r16 — the when-chain form blew past
+    # codegen-friendly expression size once the full HTML4 table
+    # landed); the fallback arm is unreachable (the regex only matches
+    # the map's keys) but keeps the expression total
+    named = F.create_map(
+        *[
+            lit
+            for name, ch in HTML_NAMED_ENTITIES
+            for lit in (F.lit(name), F.lit(ch))
+        ]
+    )
+    return F.when(e.startswith("#"), _codepoint_char(code)).otherwise(
+        F.coalesce(
+            F.element_at(named, e),
+            F.concat(F.lit("&"), e, F.lit(";")),
+        )
+    )
 
 
 def decode_entities_expr(text: Column) -> Column:
