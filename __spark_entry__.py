@@ -2084,6 +2084,99 @@ def q_events_key_stats(spark, sf_dir):
     )
 
 
+def _decode_tier_fixture(did: int) -> bytes:
+    """One media payload per doc for the decode-tier counter, cycling
+    doc_id %% 8 through container/tier pairs: (0) P6 PPM — pnm/real,
+    (1) P5 with maxval 15 — pnm/header_only (the parser reads the
+    header, the pixel decoder refuses non-255 maxval), (2) lossless
+    VP8L WebP — webp/real, (3) lossy VP8 WebP — webp/header_only (dims
+    parse off the keyframe header, pixels honest-None), (4) 16-bit
+    mono PCM WAV — wav/real, (5) float-PCM WAV (audio_format 3) —
+    wav/header_only, (6) 16-bit-depth PNG — png/header_only (IHDR
+    parses, the pixel path is 8-bit-only), (7) non-media bytes —
+    unknown/fallback."""
+    import struct
+    import zlib
+
+    v = did % 8
+    if v == 0:
+        return b"P6\n2 2\n255\n" + bytes(range(12))
+    if v == 1:
+        return b"P5\n2 2\n15\n" + bytes([1, 2, 3, 4])
+    if v == 2:
+        return _wp_encode_fixture(b"tier-fixture-pixels!" * 2, 5, 2, did)
+    if v == 3:
+        vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 4, 3)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8)) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+        )
+    if v in (4, 5):
+        audio_format = 1 if v == 4 else 3
+        data = struct.pack("<4h", 100, -100, 2000, -32768)
+        fmt = struct.pack(
+            "<HHIIHH", audio_format, 1, 8000, 16000, 2, 16
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+    if v == 6:
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        # 2x2 RGB at 16 bits/sample: 2 rows of (1 filter byte + 12)
+        idat = zlib.compress(b"\x00" + b"\xab" * 12 + b"\x00" + b"\xcd" * 12)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+        )
+    return b"not a media payload " + str(did).encode()
+
+
+def q_decode_tier_counts(spark, sf_dir):
+    """Decode-tier telemetry (pipeline/multimodal.py
+    decode_tier_counts — NEW r16): per-(container, tier) payload
+    counts, where tier is real / header_only / fallback / null by the
+    SAME parsers and decoders the media path uses. This is the
+    measurement that decides whether e.g. a lossy-VP8 decoder is worth
+    building for a given crawl. The fixture cycles all eight
+    container/tier pairs by doc_id, so the oracle is doc_id
+    arithmetic."""
+    from lotad_spark.pipeline.multimodal import decode_tier_counts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = [
+                _decode_tier_fixture(int(did)) for did in pdf["doc_id"]
+            ]
+            yield pdf.assign(content=payloads)[["doc_id", "content"]]
+
+    media = docs.mapInPandas(build, schema="doc_id bigint, content binary")
+    return decode_tier_counts(media)
+
+
+_DECODE_TIER_SQL = (
+    "SELECT container, tier, COUNT(*) AS n FROM ("
+    "SELECT CASE CAST(doc_id % 8 AS INT) "
+    "WHEN 0 THEN 'pnm' WHEN 1 THEN 'pnm' "
+    "WHEN 2 THEN 'webp' WHEN 3 THEN 'webp' "
+    "WHEN 4 THEN 'wav' WHEN 5 THEN 'wav' "
+    "WHEN 6 THEN 'png' ELSE 'unknown' END AS container, "
+    "CASE CAST(doc_id % 8 AS INT) "
+    "WHEN 0 THEN 'real' WHEN 2 THEN 'real' WHEN 4 THEN 'real' "
+    "WHEN 7 THEN 'fallback' ELSE 'header_only' END AS tier "
+    "FROM documents) GROUP BY container, tier"
+)
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL image decode: each doc becomes a valid binary P6 PPM payload
     (header 'P6\\n<w> <h>\\n255\\n' + w*h*3 pixel bytes) with dimensions
@@ -5230,6 +5323,38 @@ def _pdf_fixture(text: str, did: int) -> bytes:
     )
     font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
+    # /Info document-information dictionary (r16): fields derive from
+    # doc_id so the pdf_metadata oracle is pure arithmetic; every 5th
+    # doc's Title ships as a BOM-prefixed UTF-16BE hex string, Subject
+    # is present only on every 3rd doc (absent-field NULL path)
+    def info_show(s: str) -> bytes:
+        if s.isascii():
+            esc = (
+                s.replace("\\", "\\\\")
+                .replace("(", "\\(")
+                .replace(")", "\\)")
+            )
+            return b"(" + esc.encode("latin-1") + b")"
+        return (
+            b"<"
+            + (b"\xfe\xff" + s.encode("utf-16-be")).hex().encode()
+            + b">"
+        )
+
+    title = f"Résumé {did}" if did % 5 == 0 else f"Doc {did}"
+    info_parts = [
+        b"<< /Title ", info_show(title),
+        b" /Author ", info_show(f"author-{did % 7}"),
+    ]
+    if did % 3 == 0:
+        info_parts += [b" /Subject ", info_show(f"subject {did % 11}")]
+    info_parts += [
+        b" /Producer ", info_show(f"lotad {did % 4}"),
+        b" /CreationDate (D:202601"
+        + f"{did % 28 + 1:02d}".encode() + b"120000Z) >>",
+    ]
+    info = b"".join(info_parts)
+
     parts = [b"%PDF-1.5\n" if variant == 1 else b"%PDF-1.4\n"]
     offsets = {}
 
@@ -5268,12 +5393,14 @@ def _pdf_fixture(text: str, did: int) -> bytes:
             objstm_data,
         )
         add_stream(4, content_dict, stream_data)
+        add(7, info)
     else:
         add(1, catalog)
         add(2, pages)
         add(3, page)
         add_stream(4, content_dict, stream_data)
         add(5, font)
+        add(7, info)
 
     max_num = max(offsets)
     xref_pos = sum(map(len, parts))
@@ -5285,7 +5412,7 @@ def _pdf_fixture(text: str, did: int) -> bytes:
             xref.append(b"0000000000 65535 f \n")
     trailer = (
         b"trailer\n<< /Size " + str(max_num + 1).encode()
-        + b" /Root 1 0 R >>\nstartxref\n"
+        + b" /Root 1 0 R /Info 7 0 R >>\nstartxref\n"
         + str(xref_pos).encode() + b"\n%%EOF\n"
     )
     return b"".join(parts) + b"".join(xref) + trailer
@@ -5336,6 +5463,36 @@ def q_pdf_extract(spark, sf_dir):
 _PDF_EXTRACT_SQL = (
     "SELECT doc_id AS media_id, 'pdf' AS kind, CAST(1 AS INT) AS n_pages, "
     "coalesce(text, '') AS text FROM documents"
+)
+
+
+def q_pdf_metadata(spark, sf_dir):
+    """PDF document-information extraction (pipeline/pdf.py
+    extract_pdf_metadata — NEW r16): /Info located via classic
+    trailers (last one wins; stream bodies excluded by extent, like
+    object discovery) with the XRef-stream dict fallback, fields
+    decoded per the text-string convention. The fixture writes
+    doc_id-derived fields — UTF-16BE hex Title on every 5th doc,
+    Subject absent on non-multiples of 3 (the NULL path) — so the
+    oracle is pure arithmetic."""
+    from lotad_spark.pipeline.pdf import extract_pdf_metadata
+
+    return extract_pdf_metadata(_doc_pdf_media(spark, sf_dir)).select(
+        "media_id", "kind", "title", "author", "subject", "producer",
+        "creation_date",
+    )
+
+
+_PDF_METADATA_SQL = (
+    "SELECT doc_id AS media_id, 'pdf' AS kind, "
+    "CASE WHEN doc_id % 5 = 0 THEN 'Résumé ' ELSE 'Doc ' END "
+    "|| CAST(doc_id AS VARCHAR) AS title, "
+    "'author-' || CAST(doc_id % 7 AS VARCHAR) AS author, "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'subject ' || CAST(doc_id % 11 AS VARCHAR) END AS subject, "
+    "'lotad ' || CAST(doc_id % 4 AS VARCHAR) AS producer, "
+    "'D:202601' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') "
+    "|| '120000Z' AS creation_date FROM documents"
 )
 
 
@@ -7450,112 +7607,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r6 — 66 declared, exactly the first 50 checked). Priority for the
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
-    green stable rows rotate out. Layout this round (r15), per the
-    precomputed queue in COVERAGE.md (155 rows total, ALL
-    value-checked — nine rows are new):
+    green stable rows rotate out. Layout this round (r16), per the
+    precomputed queue in COVERAGE.md (157 rows total, ALL
+    value-checked — two rows are new):
 
-    * 1-9: NEW — readability (Flesch micro-units, clamped floor
-      divisions), script_profile (per-writing-system char counts +
-      dominant script over raw-character classes),
-      image_ahash_oriented (EXIF-orientation-normalized hashing: all
-      8 CIPA mappings replayed coordinate-by-coordinate in SQL),
-      main_content (block-level link-density boilerplate removal),
-      template_fingerprint (tag-sequence md5 for template clustering),
-      sitemap_urls (urlset entries + sitemapindex children, XML
-      unescape), exif_metadata (the TIFF-structured block from JPEG
-      APP1 / TIFF IFD0 / WebP EXIF / PNG eXIf, both byte orders, the
-      Exif sub-IFD hop), pdf_extract (the zero-dep ISO 32000 subset:
-      object scan + ObjStm expansion, Flate/ASCIIHex/85 filters,
-      page-tree walk, BT/ET text operators; byte-exact round-trip
-      across four writer variants), and multimodal_webp_luma_hist
-      (the VP8L lossless decoder per RFC 9649: prefix codes, LZ77 +
-      the 120-entry distance map, color cache, entropy image, all
-      four transforms; five encoder classes cycle by doc).
-    * 10-18: changed-code re-entries — robots_gate (RFC 9309 * and $
-      wildcard matching with most-octets precedence), html_extract /
-      html_links (single-pass numeric + named entity decoding),
-      warc_ingest (charset-aware body decode, LF-only headers),
-      image_ahash / image_phash / image_dhash (unified behind one
-      shared image_hashes decode pass), and edit_distance_pairs /
-      edit_distance_topk (levenshtein materialized once across the
-      filter/project boundary).
-    * 19-25: the seven r11-green rows displaced by the late r14
-      additions, longest out of the window — rollup_gapfill through
-      csv_scan_diff.
-    * 26-38: the r11-green remainder — apply_bpe through
-      temperature_rates (13 rows).
-    * 39-50: the r12-green block head in COVERAGE.md's listed order —
-      multi_grain_cube through keyed_diff (12 rows).
-    * 51+: rotated out — the rest of the r12-green block
-      (events_value_hist -> text_normalize), then the r13-green rows,
-      then the r14-green window rows (newest last). Every rotated row
-      has at least one driver-green round with code unchanged since;
-      the FULL registry stays enforced by scripts/check_oracle.py
-      (155 value-checked at sf0.01) and the pytest suite. See
-      COVERAGE.md "Driver-window rotation".
+    * 1-2: NEW — decode_tier_counts (per-(container, tier) payload
+      counts by the SAME parsers/decoders the media path uses: the
+      measurement that says how much of a crawl the honest-None
+      fallback covers; fixture cycles all eight container/tier pairs)
+      and pdf_metadata (/Info extraction: trailer scan outside stream
+      extents, XRef-dict fallback, text-string decode incl. UTF-16BE
+      titles, absent-field NULLs).
+    * 3-13: changed-code re-entries — pdf_extract (LZWDecode +
+      Flate/LZW predictors + the stream-extent scan fix; six writer
+      variants now), warc_ingest (WHATWG CJK charset families decode
+      via JVM charsets; CJK-paragraph fixtures), html_extract /
+      html_links / main_content / template_fingerprint (full HTML4
+      named-entity table + literal-map lookup + tail-entity fixture
+      paragraph; template_fingerprint also the zero-tag coalesce) /
+      sitemap_urls / robots_gate (same module, template-adjacent),
+      multimodal_webp_luma_hist (VP8L one-symbol validation), and
+      edit_distance_pairs / edit_distance_topk (bounded
+      levenshtein(s, t, k) at every verify site).
+    * 14-34: the 21 longest-out r12-green rows (out since r13),
+      COVERAGE.md queue order — events_value_hist -> text_normalize,
+      which deliberately includes the three r15 bench-flag rows
+      (dedup_index_probe, weighted_sample, quality_classifier) and
+      the five ANN oracle faces.
+    * 35-50: the r13-green rows in listed order — domain_apex_psl ->
+      multimodal_decode (16 rows; video_scene_cuts slipped to 51 when
+      pdf_metadata landed).
+    * 51+: rotated out — the r13-green remainder, the r12-green block
+      that was in the r15 window, then the r14/r15-green rows (newest
+      last). Every rotated row has at least one driver-green round
+      with code unchanged since; the FULL registry stays enforced by
+      scripts/check_oracle.py (156 value-checked at sf0.01) and the
+      pytest suite. See COVERAGE.md "Driver-window rotation".
     """
     return {
-        # --- 1-9: NEW this round (r15). ---
-        "readability": q_readability,
-        "script_profile": q_script_profile,
-        "image_ahash_oriented": q_image_ahash_oriented,
+        # --- 1: NEW this round (r16). ---
+        "decode_tier_counts": q_decode_tier_counts,
+        "pdf_metadata": q_pdf_metadata,
+        # --- 2-12: r16 changed-code re-entries (PDF LZW/predictors,
+        # WARC CJK decode, the full HTML4 entity table, VP8L
+        # validation, bounded levenshtein). ---
+        "pdf_extract": q_pdf_extract,
+        "warc_ingest": q_warc_ingest,
+        "html_extract": q_html_extract,
+        "html_links": q_html_links,
         "main_content": q_main_content,
         "template_fingerprint": q_template_fingerprint,
         "sitemap_urls": q_sitemap_urls,
-        "exif_metadata": q_exif_metadata,
-        "pdf_extract": q_pdf_extract,
-        "multimodal_webp_luma_hist": q_multimodal_webp_luma_hist,
-        # --- 10-18: r15 changed-code re-entries (RFC 9309 robots
-        # wildcards, HTML entity decoding, WARC charset handling,
-        # the unified image_hashes stage, the levenshtein
-        # materialization). ---
         "robots_gate": q_robots_gate,
-        "html_extract": q_html_extract,
-        "html_links": q_html_links,
-        "warc_ingest": q_warc_ingest,
-        "image_ahash": q_image_ahash,
-        "image_phash": q_image_phash,
-        "image_dhash": q_image_dhash,
+        "multimodal_webp_luma_hist": q_multimodal_webp_luma_hist,
         "edit_distance_pairs": q_edit_distance_pairs,
         "edit_distance_topk": q_edit_distance_topk,
-        # --- 19-25: the seven r11-green rows displaced by the late
-        # r14 additions, longest out of the window. ---
-        "rollup_gapfill": q_rollup_gapfill,
-        "twa_by_user": q_twa_by_user,
-        "json_key_stats": q_json_key_stats,
-        "asof_latest_order": q_asof_latest_order,
-        "strip_dup_lines": q_strip_dup_lines,
-        "orc_scan_diff": q_orc_scan_diff,
-        "csv_scan_diff": q_csv_scan_diff,
-        # --- 26-38: the r11-green remainder. ---
-        "apply_bpe": q_apply_bpe,
-        "interval_join_batch": q_interval_join_batch,
-        "jsonl_scan_diff": q_jsonl_scan_diff,
-        "dedup_semantic": q_dedup_semantic,
-        "streaming_dedup_batch": q_streaming_dedup_batch,
-        "frame_sample_plan": q_frame_sample_plan,
-        "sqlite_scan_diff": q_sqlite_scan_diff,
-        "strip_dup_spans": q_strip_dup_spans,
-        "event_transitions": q_event_transitions,
-        "path_signatures": q_path_signatures,
-        "rollup_anomaly": q_rollup_anomaly,
-        "events_sliding_agg": q_events_sliding_agg,
-        "temperature_rates": q_temperature_rates,
-        # --- 39-50: the r12-green block head, in listed order
-        # (through keyed_diff; the rest slid past the window when
-        # the nine r15 rows landed). ---
-        "multi_grain_cube": q_multi_grain_cube,
-        "anomaly_online": q_anomaly_online,
-        "events_funnel_windowed": q_events_funnel_windowed,
-        "value_deciles": q_value_deciles,
-        "span_index_probe": q_span_index_probe,
-        "canonical_keep": q_canonical_keep,
-        "contamination_spans": q_contamination_spans,
-        "events_funnel": q_events_funnel,
-        "profile_drift": q_profile_drift,
-        "events_retention": q_events_retention,
-        "psi_drift": q_psi_drift,
-        "keyed_diff": q_keyed_diff,
+        # --- 13-33: the 21 longest-out r12-green rows (out since
+        # r13), incl. the three r15 bench-flag rows and the ANN
+        # oracle faces. ---
         "events_value_hist": q_events_value_hist,
         "zorder_codes": q_zorder_codes,
         "snapshot_diff": q_snapshot_diff,
@@ -7563,12 +7672,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_views": q_range_join_views,
         "quantile_estimates": q_quantile_estimates,
         "quantiles_online": q_quantiles_online,
-        # --- 51+: rotated out. The r12-green remainder, then the
-        # r13-green rows, then the r14-green window rows (newest
-        # last). Every rotated row has at least one driver-green
-        # round with code unchanged since; the FULL registry stays
-        # enforced by scripts/check_oracle.py (148 value-checked at
-        # sf0.01) and the pytest suite. ---
         "weighted_sample": q_weighted_sample,
         "dedup_embedding": q_dedup_embedding,
         "drift_static_batch": q_drift_static_batch,
@@ -7583,7 +7686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "blocklist_filter": q_blocklist_filter,
         "text_normalize": q_text_normalize,
-        # r13-green rotated rows.
+        # --- 34-50: r13-green rows, listed order. ---
         "domain_apex_psl": q_domain_apex_psl,
         "multimodal_gif_resize_hist": q_multimodal_gif_resize_hist,
         "pack_plan": q_pack_plan,
@@ -7601,6 +7704,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_hist": q_multimodal_resize_hist,
         "multimodal_decode": q_multimodal_decode,
         "video_scene_cuts": q_video_scene_cuts,
+        # --- 51+: rotated out (r13-green remainder, the r12-green
+        # block from the r15 window, then r14/r15-green rows,
+        # newest last). Every rotated row has a driver-green
+        # round with code unchanged since; the FULL registry is
+        # enforced by scripts/check_oracle.py at sf0.01. ---
+        "readability": q_readability,
+        "script_profile": q_script_profile,
+        "image_ahash_oriented": q_image_ahash_oriented,
+        "exif_metadata": q_exif_metadata,
+        "image_ahash": q_image_ahash,
+        "image_phash": q_image_phash,
+        "image_dhash": q_image_dhash,
+        "rollup_gapfill": q_rollup_gapfill,
+        "twa_by_user": q_twa_by_user,
+        "json_key_stats": q_json_key_stats,
+        "asof_latest_order": q_asof_latest_order,
+        "strip_dup_lines": q_strip_dup_lines,
+        "orc_scan_diff": q_orc_scan_diff,
+        "csv_scan_diff": q_csv_scan_diff,
+        "apply_bpe": q_apply_bpe,
+        "interval_join_batch": q_interval_join_batch,
+        "jsonl_scan_diff": q_jsonl_scan_diff,
+        "dedup_semantic": q_dedup_semantic,
+        "streaming_dedup_batch": q_streaming_dedup_batch,
+        "frame_sample_plan": q_frame_sample_plan,
+        "sqlite_scan_diff": q_sqlite_scan_diff,
+        "strip_dup_spans": q_strip_dup_spans,
+        "event_transitions": q_event_transitions,
+        "path_signatures": q_path_signatures,
+        "rollup_anomaly": q_rollup_anomaly,
+        "events_sliding_agg": q_events_sliding_agg,
+        "temperature_rates": q_temperature_rates,
+        "multi_grain_cube": q_multi_grain_cube,
+        "anomaly_online": q_anomaly_online,
+        "events_funnel_windowed": q_events_funnel_windowed,
+        "value_deciles": q_value_deciles,
+        "span_index_probe": q_span_index_probe,
+        "canonical_keep": q_canonical_keep,
+        "contamination_spans": q_contamination_spans,
+        "events_funnel": q_events_funnel,
+        "profile_drift": q_profile_drift,
+        "events_retention": q_events_retention,
+        "psi_drift": q_psi_drift,
+        "keyed_diff": q_keyed_diff,
         "schema_drift_records": q_schema_drift_records,
         "skew_two_phase_agg": q_skew_two_phase_agg,
         "rolling_active_users_bound": q_rolling_active_users_bound,
@@ -7626,7 +7773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "events_window_agg": q_events_window_agg,
         "dedup_exact": q_dedup_exact,
-        # r14-green window rows, newest last.
         "multimodal_jpeg_progressive_hist": q_multimodal_jpeg_progressive_hist,
         "multimodal_tiff_luma_hist": q_multimodal_tiff_luma_hist,
         "heavy_hitters": q_heavy_hitters,
@@ -8451,6 +8597,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(max(ts) AS TIMESTAMP) AS VARCHAR) AS last_ts "
             "FROM events GROUP BY user_id"
         ),
+        # The fixture cycles all eight container/tier pairs by doc_id,
+        # so tier counts are pure doc_id arithmetic; the Spark side
+        # actually runs every parser + decoder per payload.
+        "decode_tier_counts": _DECODE_TIER_SQL,
+        # Info fields derive from doc_id (UTF-16BE hex Title on every
+        # 5th doc; Subject absent off multiples of 3) — pure
+        # arithmetic replay.
+        "pdf_metadata": _PDF_METADATA_SQL,
         # The Spark side builds a real P6 PPM per doc and header-parses it
         # back; the oracle recomputes the encoded dimensions directly, so a
         # hash match proves the decode round-trip.

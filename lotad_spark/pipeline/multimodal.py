@@ -2337,6 +2337,78 @@ def with_decoded_metadata(
     return df.mapInPandas(decode_batches, schema=out_schema)
 
 
+def classify_decode_tier(payload) -> tuple[str, str]:
+    """(container, tier) for one media payload — the measurement the
+    real-pixel/honest-None split needs to be MANAGEABLE at corpus
+    scale (r16): ``tier`` is ``real`` when the zero-dep decoder
+    produces actual pixels/samples/frames, ``header_only`` when the
+    container parses but the payload falls to the labeled fallback
+    (lossy VP8, palette BMP, 16-bit PNG, compressed TIFF/WAV/AVI, …),
+    ``fallback`` when no container matches (the byte-histogram path),
+    ``null`` for NULL payloads. Containers are detected with the SAME
+    header parsers the metadata path uses, and tiers with the SAME
+    real decoders — the counter can never disagree with the decode it
+    measures."""
+    if payload is None:
+        return ("null", "null")
+    payload = bytes(payload)
+    image_parsers = (
+        ("pnm", _parse_pnm), ("bmp", _parse_bmp), ("png", _parse_png),
+        ("gif", _parse_gif), ("tiff", _parse_tiff),
+        ("webp", _parse_webp), ("jpeg", _parse_jpeg),
+    )
+    for name, parse in image_parsers:
+        if parse(payload) is not None:
+            # GIF is both an image and (animated) video container; a
+            # real ANIMATION decode still counts the container as gif
+            real = decode_pixels(payload) is not None
+            return (name, "real" if real else "header_only")
+    if len(payload) >= 12 and payload[:4] == b"RIFF":
+        if payload[8:12] == b"WAVE":
+            real = decode_audio(payload) is not None
+            return ("wav", "real" if real else "header_only")
+        if payload[8:12] == b"AVI ":
+            real = decode_video_frames(payload) is not None
+            return ("avi", "real" if real else "header_only")
+    return ("unknown", "fallback")
+
+
+def decode_tier_counts(
+    df: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Per-(container, tier) payload counts over a binary media table:
+    classification runs inside the scan stage (Arrow mapInPandas, one
+    pass, embarrassingly parallel), the only exchange carries the
+    tiny (container, tier, partial-count) partials — mergeable
+    map-side, so the counter costs one corpus read at any scale. The
+    output is the decision table for VERDICT-style questions like
+    'how much of this crawl does the lossy-VP8 fallback cover, and is
+    a VP8 decoder worth building?'."""
+
+    def classify_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tiers = pdf[content_col].map(classify_decode_tier)
+            out = pd.DataFrame(
+                {
+                    "container": tiers.map(lambda t: t[0]),
+                    "tier": tiers.map(lambda t: t[1]),
+                }
+            )
+            # map-side partial: one row per (container, tier) per batch
+            yield out.groupby(
+                ["container", "tier"], as_index=False
+            ).size().rename(columns={"size": "n"})
+
+    partials = df.mapInPandas(
+        classify_batches, schema="container string, tier string, n long"
+    )
+    return partials.groupBy("container", "tier").agg(
+        F.sum("n").alias("n")
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     content_col: str = "content",

@@ -50,7 +50,12 @@ from typing import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["pdf_text_pages", "extract_pdf_text"]
+__all__ = [
+    "pdf_text_pages",
+    "extract_pdf_text",
+    "pdf_info_fields",
+    "extract_pdf_metadata",
+]
 
 # total inflated stream bytes allowed per document (bomb bound)
 _MAX_DECODED = 64 << 20
@@ -367,6 +372,7 @@ class _Document:
         self.objs: dict[int, object] = {}
         self.streams: dict[int, tuple] = {}  # num -> (dict, raw_start)
         self._decoded_total = 0
+        self._stream_spans: list[tuple[int, int]] = []
         # Position-driven scan: after recording a stream object the scan
         # jumps past its endstream, so object discovery never reads
         # stream payload bytes — compressed bytes that happen to match
@@ -392,6 +398,7 @@ class _Document:
                     ds += 1
                 self.streams[num] = (val, ds)
                 scan = self._stream_scan_end(val, ds)
+                self._stream_spans.append((ds, scan))
             elif num in self.streams:
                 self.streams.pop(num)
             # incremental updates append redefinitions: the LATER
@@ -573,6 +580,38 @@ class _Document:
             except _PdfError:
                 continue
 
+    def info_dict(self):
+        """The document-information dictionary (/Info) or None: classic
+        trailers win (LAST one — incremental updates append), with the
+        XRef-stream dict (/Type /XRef, where xref-stream writers put
+        /Info) as the fallback. Trailer keywords inside stream bodies
+        are ignored via the recorded stream extents — the same
+        no-reading-payload-bytes rule as object discovery."""
+        data = self.data
+        info_ref = None
+        for m in re.finditer(rb"trailer", data):
+            pos = m.end()
+            if any(s <= m.start() < e for s, e in self._stream_spans):
+                continue
+            try:
+                val, _ = _parse_value(data, _skip_ws(data, pos))
+            except _PdfError:
+                continue
+            if isinstance(val, dict) and "Info" in val:
+                info_ref = val["Info"]
+        if info_ref is None:
+            for d, _s in self.streams.values():
+                if (
+                    isinstance(d, dict)
+                    and d.get("Type") == ("name", "XRef")
+                    and "Info" in d
+                ):
+                    info_ref = d["Info"]
+        if info_ref is None:
+            return None
+        info = self.resolve(info_ref)
+        return info if isinstance(info, dict) else None
+
     # --- document structure ------------------------------------------
 
     def _catalog(self):
@@ -710,6 +749,75 @@ def pdf_text_pages(payload: bytes):
         return ("\n".join(texts), len(pages))
     except (_PdfError, RecursionError, MemoryError):
         return None
+
+
+_INFO_FIELDS = ("Title", "Author", "Subject", "Producer", "CreationDate")
+
+
+def pdf_info_fields(payload: bytes):
+    """(title, author, subject, producer, creation_date) from the
+    document-information dictionary, each None when absent — or None
+    for a payload that isn't a parseable PDF. String values decode per
+    the text-string convention (UTF-16BE when BOM-prefixed, latin-1
+    otherwise); non-string values (malformed Info entries) map to
+    None, never a guess."""
+    if not payload.startswith(b"%PDF-"):
+        return None
+    try:
+        doc = _Document(payload)
+        info = doc.info_dict()
+        out = []
+        for field in _INFO_FIELDS:
+            v = doc.resolve(info.get(field)) if info else None
+            if isinstance(v, tuple) and len(v) == 2 and v[0] == "str":
+                out.append(_decode_text_string(v[1]))
+            else:
+                out.append(None)
+        return tuple(out)
+    except (_PdfError, RecursionError, MemoryError):
+        return None
+
+
+def extract_pdf_metadata(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, kind, title, author, subject, producer, creation_date) per
+    document via Arrow-batched mapInPandas — kind='pdf' for parseable
+    payloads (fields NULL when the Info dict or a field is absent),
+    kind='bytes' for unparseable payloads, kind='null' for NULL
+    payloads. Runs per-payload inside the scan stage like the text
+    extractor: embarrassingly parallel, linear in bytes."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    field_cols = ("title", "author", "subject", "producer",
+                  "creation_date")
+    out_schema = f"`{id_col}` {id_type}, kind string, " + ", ".join(
+        f"{c} string" for c in field_cols
+    )
+
+    def meta_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for b in pdf_batch[content_col]:
+                if b is None:
+                    rows.append(("null",) + (None,) * 5)
+                    continue
+                got = pdf_info_fields(bytes(b))
+                if got is None:
+                    rows.append(("bytes",) + (None,) * 5)
+                else:
+                    rows.append(("pdf",) + got)
+            out = pd.DataFrame(
+                rows, columns=("kind",) + field_cols
+            )
+            out.insert(0, id_col, pdf_batch[id_col].values)
+            yield out
+
+    return df.mapInPandas(meta_batches, schema=out_schema)
 
 
 def extract_pdf_text(

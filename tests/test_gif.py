@@ -473,6 +473,7 @@ class TestDecoderCrashRobustness:
     def test_never_raises(self):
         from lotad_spark.pipeline.multimodal import (
             _headers_decode,
+            classify_decode_tier,
             decode_audio,
             decode_pixels,
             decode_video_frames,
@@ -482,7 +483,8 @@ class TestDecoderCrashRobustness:
 
         rng = np.random.RandomState(7)
         fns = (decode_pixels, decode_audio, decode_video_frames,
-               _headers_decode, exif_metadata, pdf_text_pages)
+               _headers_decode, exif_metadata, pdf_text_pages,
+               classify_decode_tier)
         for name, p in self._payloads().items():
             for k in range(len(p)):  # every truncation point
                 t = p[:k]

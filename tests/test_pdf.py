@@ -590,3 +590,125 @@ class TestSparkOperator:
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+class TestInfoMetadata:
+    """/Info extraction (r16): trailer location rules, text-string
+    decode, NULL paths."""
+
+    def _with_info(self, info_body: bytes) -> bytes:
+        objs = {
+            **BASE,
+            4: content_obj(b"BT (x) Tj ET"),
+            7: info_body,
+        }
+        pdf = build_pdf(objs)
+        return pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Info 7 0 R")
+
+    def test_basic_fields(self):
+        from lotad_spark.pipeline.pdf import pdf_info_fields
+
+        got = pdf_info_fields(
+            self._with_info(
+                b"<< /Title (My Doc) /Author (A. Writer) "
+                b"/Producer (pen) /CreationDate (D:20260101) >>"
+            )
+        )
+        assert got == ("My Doc", "A. Writer", None, "pen", "D:20260101")
+
+    def test_utf16_title_and_escapes(self):
+        from lotad_spark.pipeline.pdf import pdf_info_fields
+
+        hexs = (b"\xfe\xff" + "Résumé 文書".encode("utf-16-be")).hex()
+        got = pdf_info_fields(
+            self._with_info(
+                b"<< /Title <" + hexs.encode() + b"> "
+                b"/Author (paren \\(quoted\\)) >>"
+            )
+        )
+        assert got[0] == "Résumé 文書"
+        assert got[1] == "paren (quoted)"
+
+    def test_last_trailer_wins(self):
+        from lotad_spark.pipeline.pdf import pdf_info_fields
+
+        pdf = self._with_info(b"<< /Title (old) >>")
+        # incremental update appends a new info object + trailer
+        pdf += (
+            b"8 0 obj\n<< /Title (new) >>\nendobj\n"
+            b"trailer\n<< /Size 9 /Root 1 0 R /Info 8 0 R >>\n%%EOF\n"
+        )
+        assert pdf_info_fields(pdf)[0] == "new"
+
+    def test_trailer_inside_stream_ignored(self):
+        from lotad_spark.pipeline.pdf import pdf_info_fields
+
+        pdf = self._with_info(b"<< /Title (real) >>")
+        # a stream whose body embeds a fake trailer must not shadow
+        fake = b"trailer\n<< /Info 9 0 R >>"
+        pdf += (
+            b"9 0 obj\n<< /Title (fake) >>\nendobj\n"
+            b"10 0 obj\n<< /Length " + str(len(fake)).encode()
+            + b" >>\nstream\n" + fake + b"\nendstream\nendobj\n"
+        )
+        assert pdf_info_fields(pdf)[0] == "real"
+
+    def test_xref_stream_fallback(self):
+        import zlib
+
+        from lotad_spark.pipeline.pdf import pdf_info_fields
+
+        # no classic trailer at all: /Info lives on the XRef stream
+        # dict (modern writers)
+        data = zlib.compress(b"\x00" * 6)
+        objs = {
+            **BASE,
+            4: content_obj(b"BT (x) Tj ET"),
+            7: b"<< /Title (from xref) >>",
+            8: (
+                b"<< /Type /XRef /Size 9 /W [1 2 1] /Info 7 0 R "
+                b"/Root 1 0 R /Length " + str(len(data)).encode()
+                + b" /Filter /FlateDecode >>",
+                data,
+            ),
+        }
+        parts = [b"%PDF-1.5\n"]
+        for num in sorted(objs):
+            body = objs[num]
+            if isinstance(body, tuple):
+                d, s = body
+                parts.append(
+                    f"{num} 0 obj\n".encode() + d + b"\nstream\n" + s
+                    + b"\nendstream\nendobj\n"
+                )
+            else:
+                parts.append(
+                    f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+                )
+        parts.append(b"startxref\n0\n%%EOF\n")
+        assert pdf_info_fields(b"".join(parts))[0] == "from xref"
+
+    def test_no_info_and_not_pdf(self):
+        from lotad_spark.pipeline.pdf import pdf_info_fields
+
+        assert pdf_info_fields(one_pager(b"BT (x) Tj ET")) == (
+            None, None, None, None, None,
+        )
+        assert pdf_info_fields(b"not a pdf") is None
+
+    def test_spark_operator_kinds(self, spark):
+        from lotad_spark.pipeline.pdf import extract_pdf_metadata
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(self._with_info(b"<< /Title (T1) >>"))),
+                (2, bytearray(b"junk")),
+                (3, None),
+            ],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in extract_pdf_metadata(df).collect()}
+        assert got[1].kind == "pdf" and got[1].title == "T1"
+        assert got[1].subject is None
+        assert got[2].kind == "bytes" and got[2].title is None
+        assert got[3].kind == "null"

@@ -1703,3 +1703,66 @@ class TestPngAdam7:
             + chunk(b"IEND", b"")
         )
         assert _png_pixels(bad) is None
+
+
+class TestDecodeTierCounts:
+    """classify_decode_tier / decode_tier_counts (r16): the counter
+    must agree with the real decoders by construction, and the
+    distributed face must equal the per-payload classification."""
+
+    def test_classification_matrix(self):
+        import struct
+        import zlib
+
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import classify_decode_tier
+
+        expect = [
+            ("pnm", "real"), ("pnm", "header_only"),
+            ("webp", "real"), ("webp", "header_only"),
+            ("wav", "real"), ("wav", "header_only"),
+            ("png", "header_only"), ("unknown", "fallback"),
+        ]
+        for did in range(16):
+            got = classify_decode_tier(entry._decode_tier_fixture(did))
+            assert got == expect[did % 8], did
+        assert classify_decode_tier(None) == ("null", "null")
+        # real 8-bit PNG classifies real; JPEG header without scan
+        # data is header_only; AVI magic routes to avi
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data))
+            )
+
+        png8 = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+            + chunk(b"IEND", b"")
+        )
+        assert classify_decode_tier(png8) == ("png", "real")
+        avi_stub = b"RIFF" + struct.pack("<I", 4) + b"AVI "
+        assert classify_decode_tier(avi_stub) == ("avi", "header_only")
+
+    def test_distributed_counts_match(self, spark):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import decode_tier_counts
+
+        rows = [
+            (did, bytearray(entry._decode_tier_fixture(did)))
+            for did in range(40)
+        ] + [(999, None)]
+        df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+        got = {
+            (r.container, r.tier): r.n
+            for r in decode_tier_counts(df).collect()
+        }
+        assert got == {
+            ("pnm", "real"): 5, ("pnm", "header_only"): 5,
+            ("webp", "real"): 5, ("webp", "header_only"): 5,
+            ("wav", "real"): 5, ("wav", "header_only"): 5,
+            ("png", "header_only"): 5, ("unknown", "fallback"): 5,
+            ("null", "null"): 1,
+        }
