@@ -381,9 +381,12 @@ def _near_dup_corpus(spark, sf_dir):
 # hrefs. Built by the SAME part list on both engines (Spark concat /
 # SQL ||), so the chains replay on identical input.
 _HTML_PARTS = (
-    "<html><head><title>Doc ",
+    '<html lang="en-US"><head><title>Doc ',
     None,  # doc_id
-    '</title><style>p { color: #333; }</style>'
+    '</title><meta charset="utf-8">'
+    '<meta name="description" content="Summary &amp; notes for doc ',
+    None,  # doc_id
+    '"><style>p { color: #333; }</style>'
     '<script type="text/javascript">var x = 1 < 2; '
     'var s = "</div>"; // d',
     None,  # doc_id
@@ -566,6 +569,73 @@ def _warc_inject_cjk(doc_id: int, html: str) -> tuple[str, str, str]:
         ),
         label,
         codec,
+    )
+
+
+def q_html_meta(spark, sf_dir):
+    """Head-metadata extraction (pipeline/web.py html_meta — NEW r16):
+    title, declared lang, declared charset, meta description (dq/sq
+    content forms), NULL when absent — the stratification keys a
+    curation pipeline reads before any content processing. One JVM
+    projection; the oracle replays the same patterns (common
+    Java-regex/RE2 subset) over the same rebuilt HTML."""
+    from lotad_spark.pipeline.web import html_meta
+
+    return html_meta(_doc_html_frame(spark, sf_dir), "html")
+
+
+def _html_meta_sql() -> str:
+    from lotad_spark.pipeline.web import HTML_META_PATTERNS
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    pats = dict(HTML_META_PATTERNS)
+
+    def ex(p):
+        return f"nullif(regexp_extract(html, {q(p)}, 1), '')"
+
+    return (
+        "SELECT doc_id, "
+        + ex(pats["title"]) + " AS title, "
+        + ex(pats["lang"]) + " AS lang, "
+        + ex(pats["charset"]) + " AS charset, "
+        + "coalesce(" + ex(pats["description"]) + ", "
+        + ex(pats["description_sq"]) + ") AS description "
+        + "FROM (" + _html_build_sql() + ")"
+    )
+
+
+def q_html_anchors(spark, sf_dir):
+    """Anchor-pair extraction (pipeline/web.py html_anchors — NEW
+    r16): (href, anchor_text) per link — the labeled crawl-graph edge
+    list (anchor text is the classic relevance signal for the target
+    page). Both quoting styles are in the fixture (the template's two
+    links). The oracle zips the same two regexp_extract_all groups
+    positionally (DuckDB's parallel unnest == Spark's arrays_zip)."""
+    from lotad_spark.pipeline.web import html_anchors
+
+    return html_anchors(_doc_html_frame(spark, sf_dir), "html")
+
+
+def _html_anchors_sql() -> str:
+    from lotad_spark.pipeline.web import HTML_ANCHOR_PATTERNS
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    hrefs = " || ".join(
+        f"regexp_extract_all(html, {q(p)}, 1)"
+        for p in HTML_ANCHOR_PATTERNS
+    )
+    texts = " || ".join(
+        f"regexp_extract_all(html, {q(p)}, 2)"
+        for p in HTML_ANCHOR_PATTERNS
+    )
+    return (
+        "SELECT doc_id, unnest(" + hrefs + ") AS href, "
+        "unnest(" + texts + ") AS anchor_text FROM ("
+        + _html_build_sql() + ")"
     )
 
 
@@ -7608,17 +7678,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r16), per the
-    precomputed queue in COVERAGE.md (157 rows total, ALL
-    value-checked — two rows are new):
+    precomputed queue in COVERAGE.md (159 rows total, ALL
+    value-checked — four rows are new):
 
-    * 1-2: NEW — decode_tier_counts (per-(container, tier) payload
+    * 1-4: NEW — decode_tier_counts (per-(container, tier) payload
       counts by the SAME parsers/decoders the media path uses: the
       measurement that says how much of a crawl the honest-None
-      fallback covers; fixture cycles all eight container/tier pairs)
-      and pdf_metadata (/Info extraction: trailer scan outside stream
+      fallback covers; fixture cycles all eight container/tier pairs),
+      pdf_metadata (/Info extraction: trailer scan outside stream
       extents, XRef-dict fallback, text-string decode incl. UTF-16BE
-      titles, absent-field NULLs).
-    * 3-13: changed-code re-entries — pdf_extract (LZWDecode +
+      titles, absent-field NULLs), html_meta (title/lang/charset/
+      description head extraction, NULL-when-absent), and
+      html_anchors ((href, anchor_text) edge pairs, both quoting
+      styles, positional zip replayed by DuckDB's parallel unnest).
+    * 5-15: changed-code re-entries — pdf_extract (LZWDecode +
       Flate/LZW predictors + the stream-extent scan fix; six writer
       variants now), warc_ingest (WHATWG CJK charset families decode
       via JVM charsets; CJK-paragraph fixtures), html_extract /
@@ -7629,14 +7702,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       multimodal_webp_luma_hist (VP8L one-symbol validation), and
       edit_distance_pairs / edit_distance_topk (bounded
       levenshtein(s, t, k) at every verify site).
-    * 14-34: the 21 longest-out r12-green rows (out since r13),
+    * 16-36: the 21 longest-out r12-green rows (out since r13),
       COVERAGE.md queue order — events_value_hist -> text_normalize,
       which deliberately includes the three r15 bench-flag rows
       (dedup_index_probe, weighted_sample, quality_classifier) and
       the five ANN oracle faces.
-    * 35-50: the r13-green rows in listed order — domain_apex_psl ->
-      multimodal_decode (16 rows; video_scene_cuts slipped to 51 when
-      pdf_metadata landed).
+    * 37-50: the r13-green rows in listed order — domain_apex_psl ->
+      multimodal_video_hist (14 rows; the last three of the 17-row
+      fill slipped past the window as the four new rows landed).
     * 51+: rotated out — the r13-green remainder, the r12-green block
       that was in the r15 window, then the r14/r15-green rows (newest
       last). Every rotated row has at least one driver-green round
@@ -7648,6 +7721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 1: NEW this round (r16). ---
         "decode_tier_counts": q_decode_tier_counts,
         "pdf_metadata": q_pdf_metadata,
+        "html_meta": q_html_meta,
+        "html_anchors": q_html_anchors,
         # --- 2-12: r16 changed-code re-entries (PDF LZW/predictors,
         # WARC CJK decode, the full HTML4 entity table, VP8L
         # validation, bounded levenshtein). ---
@@ -7879,6 +7954,8 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash": _IMAGE_DHASH_SQL,
         "html_extract": _html_extract_sql(),
         "html_links": _html_links_sql(),
+        "html_meta": _html_meta_sql(),
+        "html_anchors": _html_anchors_sql(),
         # the WARC chain's payloads are the SAME template HTML (with
         # the r16 CJK paragraph injected for every 11th+3 doc — the
         # fixture ships those docs CJK-encoded, decode-back equals the

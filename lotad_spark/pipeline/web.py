@@ -295,6 +295,94 @@ def extract_links(
     )
 
 
+# Head metadata patterns (r16) — one regexp_extract each, all in the
+# common Java-regex/RE2 subset. Values extract RAW (no entity decode):
+# lang/charset are label tokens; decode title/description downstream
+# with decode_entities_expr when the pipeline wants display text.
+HTML_META_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("title", "(?is)<title[^>]*>(.*?)</title"),
+    ("lang", "(?is)<html[^>]*[ \\t]lang[ \\t]*=[ \\t]*[\"']?([A-Za-z0-9-]+)"),
+    ("charset", "(?is)<meta[^>]*charset[ \\t]*=[ \\t]*[\"']?([A-Za-z0-9_.-]+)"),
+    # description: double-quoted then single-quoted content value
+    # (matched-quote pairing needs a backreference RE2 lacks — same
+    # two-pattern rule as LINK_PATTERNS)
+    (
+        "description",
+        "(?is)<meta[^>]*name[ \\t]*=[ \\t]*[\"']?description[\"']?"
+        "[^>]*content[ \\t]*=[ \\t]*\"([^\"]*)\"",
+    ),
+    (
+        "description_sq",
+        "(?is)<meta[^>]*name[ \\t]*=[ \\t]*[\"']?description[\"']?"
+        "[^>]*content[ \\t]*=[ \\t]*'([^']*)'",
+    ),
+)
+
+
+def html_meta(
+    df: DataFrame,
+    html_col: str = "html",
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, title, lang, charset, description) per page — the head
+    metadata a curation pipeline filters and stratifies on (declared
+    language before n-gram lang-id, charset cross-checks against the
+    HTTP envelope, title/description for dedup and quality signals).
+    Absent fields are NULL (``nullif`` of the engines' empty-match
+    convention). One JVM projection, zero UDFs, zero exchanges."""
+    pats = dict(HTML_META_PATTERNS)
+    h = F.col(html_col)
+
+    def ex(pat: str) -> Column:
+        return F.nullif(F.regexp_extract(h, pat, 1), F.lit(""))
+
+    return df.select(
+        F.col(id_col),
+        ex(pats["title"]).alias("title"),
+        ex(pats["lang"]).alias("lang"),
+        ex(pats["charset"]).alias("charset"),
+        F.coalesce(
+            ex(pats["description"]), ex(pats["description_sq"])
+        ).alias("description"),
+    )
+
+
+# Anchor pairs: href value AND the anchor's inner text captured from
+# the same match — two regexp_extract_all calls per quoting style
+# (each engine extracts ONE group per call), zipped positionally.
+HTML_ANCHOR_PATTERNS: tuple[str, ...] = (
+    "(?is)<a[^>]*[ \\t]href[ \\t]*=[ \\t]*\"([^\"]*)\"[^>]*>(.*?)</a",
+    "(?is)<a[^>]*[ \\t]href[ \\t]*=[ \\t]*'([^']*)'[^>]*>(.*?)</a",
+)
+
+
+def html_anchors(
+    df: DataFrame,
+    html_col: str = "html",
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, href, anchor_text) per link — the labeled edge list a
+    crawl graph wants (anchor text is a classic relevance/quality
+    signal for the TARGET page). Inner text extracts raw markup
+    between the tags; strip tags / decode entities downstream when
+    building text features. Rows group by quoting style then document
+    order — one projection + explode, no shuffle."""
+    h = F.col(html_col)
+    zipped = [
+        F.arrays_zip(
+            F.regexp_extract_all(h, F.lit(p), 1).alias("href"),
+            F.regexp_extract_all(h, F.lit(p), 2).alias("anchor_text"),
+        )
+        for p in HTML_ANCHOR_PATTERNS
+    ]
+    pair = F.explode(F.concat(*zipped)).alias("pair")
+    return df.select(F.col(id_col), pair).select(
+        id_col, "pair.href", "pair.anchor_text"
+    )
+
+
 # Regex metacharacters a robots path pattern must have escaped when
 # translated (``*`` and ``$`` are the REP wildcards, handled apart).
 _REGEX_META = set(".^+?(){}|[]\\")

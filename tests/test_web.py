@@ -660,3 +660,87 @@ class TestSitemapDirectives:
         from lotad_spark.pipeline.web import parse_sitemap_directives
 
         assert parse_sitemap_directives("User-agent: *\nDisallow:\n") == []
+
+
+class TestHtmlMetaAndAnchors:
+    """html_meta / html_anchors (r16): head metadata with NULL-absent
+    semantics and (href, anchor_text) pairs across quoting styles."""
+
+    PAGE = (
+        '<html lang="pt-BR"><head><meta charset="ISO-8859-1">'
+        "<title>A Página</title>"
+        "<meta name='description' content='single quoted desc'>"
+        '</head><body>'
+        '<a href="https://x.com/a">first <b>bold</b></a>'
+        "<a href='/rel'>second</a>"
+        "<a name='no-href'>not a link</a></body></html>"
+    )
+
+    def test_meta_extraction(self, spark):
+        from lotad_spark.pipeline.web import html_meta
+
+        df = spark.createDataFrame(
+            [(1, self.PAGE), (2, "<html><body>bare</body></html>"),
+             (3, None)],
+            "doc_id bigint, html string",
+        )
+        got = {r.doc_id: r for r in html_meta(df).collect()}
+        assert got[1].title == "A Página"
+        assert got[1].lang == "pt-BR"
+        assert got[1].charset == "ISO-8859-1"
+        assert got[1].description == "single quoted desc"
+        # absent fields are NULL, not ''
+        assert got[2].title is None and got[2].lang is None
+        assert got[2].charset is None and got[2].description is None
+        assert got[3].title is None
+
+    def test_anchor_pairs(self, spark):
+        from lotad_spark.pipeline.web import html_anchors
+
+        df = spark.createDataFrame(
+            [(1, self.PAGE)], "doc_id bigint, html string"
+        )
+        rows = html_anchors(df).collect()
+        pairs = {(r.href, r.anchor_text) for r in rows}
+        # dq and sq links extract with their inner markup raw; the
+        # href-less <a name=...> is not an edge
+        assert pairs == {
+            ("https://x.com/a", "first <b>bold</b>"),
+            ("/rel", "second"),
+        }
+
+    def test_plans_fused_into_scan(self, spark):
+        from lotad_spark.pipeline.web import html_anchors, html_meta
+
+        df = spark.createDataFrame(
+            [(1, self.PAGE)], "doc_id bigint, html string"
+        )
+        for op in (html_meta, html_anchors):
+            plan = (
+                op(df)._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange" not in plan, op.__name__
+            assert "EvalPython" not in plan, op.__name__
+            assert "Join" not in plan, op.__name__
+
+    def test_python_replay_agrees(self):
+        import re as _re
+
+        from lotad_spark.pipeline.web import (
+            HTML_ANCHOR_PATTERNS,
+            HTML_META_PATTERNS,
+        )
+
+        pats = dict(HTML_META_PATTERNS)
+        m = _re.search(pats["title"], self.PAGE)
+        assert m and m.group(1) == "A Página"
+        m = _re.search(pats["lang"], self.PAGE)
+        assert m and m.group(1) == "pt-BR"
+        m = _re.search(pats["description_sq"], self.PAGE)
+        assert m and m.group(1) == "single quoted desc"
+        assert _re.search(pats["description"], self.PAGE) is None
+        found = []
+        for p in HTML_ANCHOR_PATTERNS:
+            found += _re.findall(p, self.PAGE)
+        assert ("https://x.com/a", "first <b>bold</b>") in found
+        assert ("/rel", "second") in found
