@@ -572,6 +572,75 @@ def _warc_inject_cjk(doc_id: int, html: str) -> tuple[str, str, str]:
     )
 
 
+# The synthetic corpus carries no sentence terminators, so the
+# sentence row PUNCTUATES it first — deterministic literal rewrites
+# both engines replay identically (regexp_replace with literal
+# patterns on both sides): '. ' after every ' table ', '! ' after
+# every ' row ', a trailing '?? ...' fragment, and an unterminated
+# tail. Exercises multi-terminator runs, trimming, and the
+# final-fragment rule IN the checked row.
+_SENT_PUNCT_STEPS = (
+    (" table ", ". "),
+    (" row ", "! "),
+)
+
+
+def q_sentence_split(spark, sf_dir):
+    """Sentence segmentation (pipeline/text.py sentence_split — NEW
+    r16): maximal non-terminator runs with their trailing [.!?] run,
+    whitespace-trimmed, empties dropped, 0-based ids in document
+    order — the grain for per-sentence dedup/decontamination and
+    RAG chunk alignment. The oracle replays the same pattern with
+    DuckDB list functions and a positional parallel unnest over the
+    same punctuated text."""
+    from lotad_spark.pipeline.text import sentence_split
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    for pat, rep in _SENT_PUNCT_STEPS:
+        txt = F.regexp_replace(txt, pat, rep)
+    punct = F.concat(
+        txt,
+        F.lit("?? trailing q "),
+        F.col("doc_id").cast("string"),
+        F.lit(" unterminated tail"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", punct.alias("text")
+    )
+    return sentence_split(docs)
+
+
+def _sentence_split_sql() -> str:
+    from lotad_spark.pipeline.text import (
+        _SENT_TRIM_HEAD,
+        _SENT_TRIM_TAIL,
+        SENTENCE_SPLIT_RE,
+    )
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    punct = "coalesce(text, '')"
+    for pat, rep in _SENT_PUNCT_STEPS:
+        punct = f"regexp_replace({punct}, {q(pat)}, {q(rep)}, 'g')"
+    punct = (
+        punct + " || '?? trailing q ' || CAST(doc_id AS VARCHAR) "
+        "|| ' unterminated tail'"
+    )
+    sents = (
+        "list_filter(list_transform("
+        f"regexp_extract_all(ptext, {q(SENTENCE_SPLIT_RE)}, 0), "
+        f"s -> regexp_replace(regexp_replace(s, {q(_SENT_TRIM_HEAD)}, "
+        f"''), {q(_SENT_TRIM_TAIL)}, '')), s -> s != '')"
+    )
+    return (
+        "SELECT doc_id, CAST(i AS INT) AS sentence_id, sentence FROM ("
+        f"SELECT doc_id, unnest(range(0, len({sents}))) AS i, "
+        f"unnest({sents}) AS sentence FROM ("
+        f"SELECT doc_id, {punct} AS ptext FROM documents))"
+    )
+
+
 def q_html_meta(spark, sf_dir):
     """Head-metadata extraction (pipeline/web.py html_meta — NEW r16):
     title, declared lang, declared charset, meta description (dq/sq
@@ -7678,10 +7747,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r16), per the
-    precomputed queue in COVERAGE.md (159 rows total, ALL
-    value-checked — four rows are new):
+    precomputed queue in COVERAGE.md (160 rows total, ALL
+    value-checked — five rows are new):
 
-    * 1-4: NEW — decode_tier_counts (per-(container, tier) payload
+    * 1-5: NEW — decode_tier_counts (per-(container, tier) payload
       counts by the SAME parsers/decoders the media path uses: the
       measurement that says how much of a crawl the honest-None
       fallback covers; fixture cycles all eight container/tier pairs),
@@ -7690,8 +7759,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       titles, absent-field NULLs), html_meta (title/lang/charset/
       description head extraction, NULL-when-absent), and
       html_anchors ((href, anchor_text) edge pairs, both quoting
-      styles, positional zip replayed by DuckDB's parallel unnest).
-    * 5-15: changed-code re-entries — pdf_extract (LZWDecode +
+      styles, positional zip replayed by DuckDB's parallel unnest),
+      and sentence_split (terminator-run segmentation with trimming
+      and the final-fragment rule, over deterministically punctuated
+      corpus text so multi-sentence paths are IN the checked row).
+    * 6-16: changed-code re-entries — pdf_extract (LZWDecode +
       Flate/LZW predictors + the stream-extent scan fix; six writer
       variants now), warc_ingest (WHATWG CJK charset families decode
       via JVM charsets; CJK-paragraph fixtures), html_extract /
@@ -7702,14 +7774,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       multimodal_webp_luma_hist (VP8L one-symbol validation), and
       edit_distance_pairs / edit_distance_topk (bounded
       levenshtein(s, t, k) at every verify site).
-    * 16-36: the 21 longest-out r12-green rows (out since r13),
+    * 17-37: the 21 longest-out r12-green rows (out since r13),
       COVERAGE.md queue order — events_value_hist -> text_normalize,
       which deliberately includes the three r15 bench-flag rows
       (dedup_index_probe, weighted_sample, quality_classifier) and
       the five ANN oracle faces.
-    * 37-50: the r13-green rows in listed order — domain_apex_psl ->
-      multimodal_video_hist (14 rows; the last three of the 17-row
-      fill slipped past the window as the four new rows landed).
+    * 38-50: the r13-green rows in listed order — domain_apex_psl ->
+      multimodal_audio_hist (13 rows; the last four of the 17-row
+      fill slipped past the window as the five new rows landed).
     * 51+: rotated out — the r13-green remainder, the r12-green block
       that was in the r15 window, then the r14/r15-green rows (newest
       last). Every rotated row has at least one driver-green round
@@ -7723,6 +7795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_metadata": q_pdf_metadata,
         "html_meta": q_html_meta,
         "html_anchors": q_html_anchors,
+        "sentence_split": q_sentence_split,
         # --- 2-12: r16 changed-code re-entries (PDF LZW/predictors,
         # WARC CJK decode, the full HTML4 entity table, VP8L
         # validation, bounded levenshtein). ---
@@ -7956,6 +8029,7 @@ def oracle_sql() -> dict[str, str]:
         "html_links": _html_links_sql(),
         "html_meta": _html_meta_sql(),
         "html_anchors": _html_anchors_sql(),
+        "sentence_split": _sentence_split_sql(),
         # the WARC chain's payloads are the SAME template HTML (with
         # the r16 CJK paragraph injected for every 11th+3 doc — the
         # fixture ships those docs CJK-encoded, decode-back equals the

@@ -1216,6 +1216,48 @@ READABILITY_SENT_RE = "[.!?]+"
 READABILITY_WORD_RE = "[^ \t\n\r\f]+"
 READABILITY_VOWEL_RE = "[aeiouyAEIOUY]+"
 
+# One sentence = a maximal run of non-terminator characters plus its
+# trailing terminator run (a final fragment without a terminator still
+# counts — truncated crawl text is data). Same [.!?] terminator class
+# as READABILITY_SENT_RE; the pattern lives in the common
+# Java-regex/RE2/Python subset.
+SENTENCE_SPLIT_RE = "[^.!?]+[.!?]*"
+_SENT_TRIM_HEAD = "^[ \t\n\r\f]+"
+_SENT_TRIM_TAIL = "[ \t\n\r\f]+$"
+
+
+def sentence_split(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sentence_id, sentence) — sentence segmentation for
+    chunking, per-sentence dedup/decontamination, and citation-grain
+    alignment: maximal non-terminator runs with their trailing
+    ``[.!?]`` run, whitespace-trimmed, empties dropped, 0-based ids in
+    document order. NULL/empty text yields no rows (count docs
+    upstream). One projection + posexplode fused into the scan — no
+    shuffle, linear in bytes; the r16 oracle replays the same pattern
+    with DuckDB list functions and a positional parallel unnest."""
+    txt = F.col(text_col)
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(txt, F.lit(SENTENCE_SPLIT_RE), 0),
+            lambda s: F.regexp_replace(
+                F.regexp_replace(s, _SENT_TRIM_HEAD, ""),
+                _SENT_TRIM_TAIL,
+                "",
+            ),
+        ),
+        lambda s: s != "",
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(sents).alias("sentence_id", "sentence")
+    ).select(
+        id_col, F.col("sentence_id").cast("int"), "sentence"
+    )
+
 
 def readability(
     df: DataFrame,

@@ -1467,3 +1467,66 @@ class TestReadability:
         )
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestSentenceSplit:
+    """sentence_split (r16): terminator-run grouping, trimming,
+    final-fragment rule, empties, plan shape."""
+
+    def test_segmentation_rules(self, spark):
+        from lotad_spark.pipeline.text import sentence_split
+
+        df = spark.createDataFrame(
+            [
+                (1, "One. Two!  Three?! \n Four no end"),
+                (2, "..."),          # terminators only: one empty -> none
+                (3, ""),
+                (4, None),
+                (5, "no terminator at all"),
+            ],
+            "doc_id bigint, text string",
+        )
+        rows = sentence_split(df).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(
+                (r.sentence_id, r.sentence)
+            )
+        assert by_doc[1] == [
+            (0, "One."), (1, "Two!"), (2, "Three?!"),
+            (3, "Four no end"),
+        ]
+        # '...' has no non-terminator run, so the pattern never
+        # matches -> no rows; empty/NULL -> no rows
+        assert 2 not in by_doc and 3 not in by_doc and 4 not in by_doc
+        assert by_doc[5] == [(0, "no terminator at all")]
+
+    def test_python_replay(self):
+        import re as _re
+
+        from lotad_spark.pipeline.text import (
+            _SENT_TRIM_HEAD,
+            _SENT_TRIM_TAIL,
+            SENTENCE_SPLIT_RE,
+        )
+
+        text = "One. Two!  Three?! \n Four no end"
+        got = [
+            _re.sub(_SENT_TRIM_TAIL, "", _re.sub(_SENT_TRIM_HEAD, "", s))
+            for s in _re.findall(SENTENCE_SPLIT_RE, text)
+        ]
+        got = [s for s in got if s]
+        assert got == ["One.", "Two!", "Three?!", "Four no end"]
+
+    def test_plan_no_exchange(self, spark):
+        from lotad_spark.pipeline.text import sentence_split
+
+        df = spark.createDataFrame(
+            [(1, "a. b.")], "doc_id bigint, text string"
+        )
+        plan = (
+            sentence_split(df)._jdf.queryExecution().executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
