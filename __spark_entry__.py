@@ -469,6 +469,10 @@ def _entity_decode_sql(col: str) -> str:
         f"WHEN {q(name)} THEN {q(ch)}"
         for name, ch in HTML_NAMED_ENTITIES
     )
+    # coalesce: the generic name pattern (r16) matches names the table
+    # does not decode — they reconstruct to their literal '&name;',
+    # byte-identical to never having matched (mirrors _entity_char's
+    # fallback arm)
     ent_char = (
         "CASE WHEN e LIKE '#%' THEN chr(CASE WHEN "
         + code
@@ -476,9 +480,9 @@ def _entity_decode_sql(col: str) -> str:
         + code
         + " BETWEEN 55296 AND 57343) THEN "
         + code
-        + " ELSE 65533 END) ELSE CASE e "
+        + " ELSE 65533 END) ELSE coalesce(CASE e "
         + named
-        + " END END"
+        + " END, '&' || e || ';') END"
     )
     ents = f"regexp_extract_all({col}, {re_sql}, 1)"
     segs = f"string_split_regex({col}, {re_sql})"

@@ -82,18 +82,22 @@ def _build_named_entities() -> tuple[tuple[str, str], ...]:
 
 HTML_NAMED_ENTITIES: tuple[tuple[str, str], ...] = _build_named_entities()
 
-# One regex matches EVERY decodable entity — numeric (decimal bounded
-# to 7 digits, hex to 6: both bounds exceed U+10FFFF, so anything
-# longer is malformed and stays literal) and the named set. Group 1
-# is the entity payload without '&'/';'. A single pattern is what
-# makes the decode SINGLE-PASS: text an entity produces can never
-# re-trigger a later decode step (the r14 literal-replace chain
+# One regex matches EVERY entity-shaped token — numeric (decimal
+# bounded to 7 digits, hex to 6: both bounds exceed U+10FFFF, so
+# anything longer is malformed and stays literal) and a GENERIC name
+# form (r16: `[a-zA-Z][a-zA-Z0-9]{1,31}` instead of a 253-branch
+# alternation — the per-`&` match cost is the name length, not the
+# table size; the r16 table growth made the alternation measurably
+# hot in html_extract). Group 1 is the entity payload without
+# '&'/';'. Whether a NAME decodes is decided by the table lookup in
+# ``_entity_char``: unknown names reconstruct to their literal
+# '&name;' — byte-identical to never having matched. A single pattern
+# is what makes the decode SINGLE-PASS: text an entity produces can
+# never re-trigger a later decode step (the r14 literal-replace chain
 # ordered '&amp;' last for the same reason, but could not extend to
 # numeric forms without a poisoning direction).
 HTML_ENTITY_RE = (
-    "&(#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|"
-    + "|".join(name for name, _ in HTML_NAMED_ENTITIES)
-    + ");"
+    "&(#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|[a-zA-Z][a-zA-Z0-9]{1,31});"
 )
 
 # Whitespace folding: spaces/tabs collapse, newline islands collapse,
@@ -232,7 +236,9 @@ def decode_entities(text: str) -> str:
     def dec(m: "_re.Match[str]") -> str:
         e = m.group(1)
         if not e.startswith("#"):
-            return named[e]
+            # unknown names reconstruct literally (the generic name
+            # pattern matches more than the table decodes)
+            return named.get(e, m.group(0))
         c = (
             int(e[2:], 16)
             if e[1] in ("x", "X")
