@@ -935,6 +935,125 @@ def _robots_gate_sql() -> str:
     )
 
 
+# Per-domain Crawl-delay for the crawl_budget row, micro-seconds
+# (integer micro-units, the gopher_rules discipline). b.com has NO
+# delay line — the NULL path.
+_CRAWL_DELAYS_MICROS = {"a.com": 2_500_000}
+
+
+def _robots_body(domain: str) -> str:
+    """A realistic robots.txt body whose ``*``-group rules parse back
+    to EXACTLY that domain's _ROBOTS_RULES rows (a leading non-star
+    group, comments, an empty Disallow, the Crawl-delay line for
+    a.com) — so the crawl_budget row oracle-checks parse_robots and
+    parse_crawl_delay end-to-end: a grouping/comment/BOM bug changes
+    the parsed rules, flips gate booleans, and hash-mismatches."""
+    lines = [
+        "﻿# robots.txt for " + domain,
+        "User-agent: SpecificBot",
+        "Disallow: /only-for-specificbot",
+        "",
+        "User-agent: *",
+        "Disallow:   # empty value: allow everything, no rule",
+    ]
+    if domain in _CRAWL_DELAYS_MICROS:
+        lines.append(
+            f"Crawl-delay: {_CRAWL_DELAYS_MICROS[domain] / 1e6}"
+        )
+    for d, rule_type, pat in _ROBOTS_RULES:
+        if d == domain:
+            lines.append(f"{rule_type.capitalize()}: {pat} # r")
+    return "\n".join(lines) + "\n"
+
+
+def q_crawl_budget(spark, sf_dir):
+    """Crawl scheduling (NEW r16): robots.txt BODIES → parse_robots +
+    parse_crawl_delay (driver-side, domain-bounded — the load_psl
+    precedent) → robots_filter over the same URL corpus as
+    robots_gate → per-domain (n_urls, n_allowed, crawl_delay_micros,
+    est_crawl_micros = n_allowed × delay). This is the first row that
+    value-checks the robots PARSER: the oracle's rules are the
+    _ROBOTS_RULES literals, so if parsing the synthesized bodies
+    (non-star leading group, comments, empty Disallow, BOM) yields
+    anything else, the gate booleans flip and the hash mismatches."""
+    from lotad_spark.pipeline.web import (
+        parse_crawl_delay,
+        parse_robots,
+        robots_filter,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("a.com")).otherwise(
+            F.lit("b.com")
+        ),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/x")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?ref=1")).otherwise(
+            F.lit("")
+        ),
+    )
+    urls = d.select("doc_id", url.alias("url"))
+    rule_rows = []
+    delays = {}
+    for domain in ("a.com", "b.com"):
+        body = _robots_body(domain)
+        for rule_type, pat in parse_robots(body):
+            rule_rows.append((domain, rule_type, pat))
+        delay = parse_crawl_delay(body)
+        delays[domain] = (
+            None if delay is None else int(round(delay * 1_000_000))
+        )
+    rules = spark.createDataFrame(
+        rule_rows, "domain string, rule_type string, path_prefix string"
+    )
+    gated = robots_filter(urls, rules)
+    delay_col = F.when(
+        F.col("domain") == "a.com",
+        F.lit(delays["a.com"]).cast("long"),
+    ).otherwise(F.lit(delays["b.com"]).cast("long"))
+    return (
+        gated.select(
+            F.regexp_extract("url", "^https://([^/]+)", 1).alias(
+                "domain"
+            ),
+            F.col("robots_allowed").cast("int").alias("_a"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum("_a").cast("long").alias("n_allowed"),
+        )
+        .select(
+            "domain",
+            "n_urls",
+            "n_allowed",
+            delay_col.alias("crawl_delay_micros"),
+            (F.col("n_allowed") * delay_col).cast("long").alias(
+                "est_crawl_micros"
+            ),
+        )
+    )
+
+
+def _crawl_budget_sql() -> str:
+    return (
+        "SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls, "
+        "CAST(SUM(CASE WHEN robots_allowed THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_allowed, "
+        "CASE WHEN domain = 'a.com' THEN CAST(2500000 AS BIGINT) END "
+        "AS crawl_delay_micros, "
+        "CASE WHEN domain = 'a.com' THEN "
+        "CAST(SUM(CASE WHEN robots_allowed THEN 1 ELSE 0 END) "
+        "* 2500000 AS BIGINT) END AS est_crawl_micros FROM ("
+        "SELECT regexp_extract(url, '^https://([^/]+)', 1) AS domain, "
+        "robots_allowed FROM (" + _robots_gate_sql() + ")) "
+        "GROUP BY domain"
+    )
+
+
 def q_html_extract(spark, sf_dir):
     """WET-style HTML→text extraction (pipeline/web.py html_to_text —
     NEW r14): one JVM regexp chain (script/style/comment containers
@@ -7751,10 +7870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r16), per the
-    precomputed queue in COVERAGE.md (160 rows total, ALL
-    value-checked — five rows are new):
+    precomputed queue in COVERAGE.md (161 rows total, ALL
+    value-checked — six rows are new):
 
-    * 1-5: NEW — decode_tier_counts (per-(container, tier) payload
+    * 1-6: NEW — decode_tier_counts (per-(container, tier) payload
       counts by the SAME parsers/decoders the media path uses: the
       measurement that says how much of a crawl the honest-None
       fallback covers; fixture cycles all eight container/tier pairs),
@@ -7764,10 +7883,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       description head extraction, NULL-when-absent), and
       html_anchors ((href, anchor_text) edge pairs, both quoting
       styles, positional zip replayed by DuckDB's parallel unnest),
-      and sentence_split (terminator-run segmentation with trimming
+      sentence_split (terminator-run segmentation with trimming
       and the final-fragment rule, over deterministically punctuated
-      corpus text so multi-sentence paths are IN the checked row).
-    * 6-16: changed-code re-entries — pdf_extract (LZWDecode +
+      corpus text so multi-sentence paths are IN the checked row),
+      and crawl_budget (robots.txt bodies -> parse_robots +
+      parse_crawl_delay -> gate -> per-domain schedule: the first row
+      that value-checks the robots PARSER, since a grouping/comment/
+      BOM bug changes the parsed rules and flips gate booleans).
+    * 7-17: changed-code re-entries — pdf_extract (LZWDecode +
       Flate/LZW predictors + the stream-extent scan fix; six writer
       variants now), warc_ingest (WHATWG CJK charset families decode
       via JVM charsets; CJK-paragraph fixtures), html_extract /
@@ -7778,14 +7901,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       multimodal_webp_luma_hist (VP8L one-symbol validation), and
       edit_distance_pairs / edit_distance_topk (bounded
       levenshtein(s, t, k) at every verify site).
-    * 17-37: the 21 longest-out r12-green rows (out since r13),
+    * 18-38: the 21 longest-out r12-green rows (out since r13),
       COVERAGE.md queue order — events_value_hist -> text_normalize,
       which deliberately includes the three r15 bench-flag rows
       (dedup_index_probe, weighted_sample, quality_classifier) and
       the five ANN oracle faces.
-    * 38-50: the r13-green rows in listed order — domain_apex_psl ->
-      multimodal_audio_hist (13 rows; the last four of the 17-row
-      fill slipped past the window as the five new rows landed).
+    * 39-50: the r13-green rows in listed order — domain_apex_psl ->
+      multimodal_png_luma_hist (12 rows; the last five of the 17-row
+      fill slipped past the window as the six new rows landed).
     * 51+: rotated out — the r13-green remainder, the r12-green block
       that was in the r15 window, then the r14/r15-green rows (newest
       last). Every rotated row has at least one driver-green round
@@ -7800,6 +7923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": q_html_meta,
         "html_anchors": q_html_anchors,
         "sentence_split": q_sentence_split,
+        "crawl_budget": q_crawl_budget,
         # --- 2-12: r16 changed-code re-entries (PDF LZW/predictors,
         # WARC CJK decode, the full HTML4 entity table, VP8L
         # validation, bounded levenshtein). ---
@@ -8034,6 +8158,7 @@ def oracle_sql() -> dict[str, str]:
         "html_meta": _html_meta_sql(),
         "html_anchors": _html_anchors_sql(),
         "sentence_split": _sentence_split_sql(),
+        "crawl_budget": _crawl_budget_sql(),
         # the WARC chain's payloads are the SAME template HTML (with
         # the r16 CJK paragraph injected for every 11th+3 doc — the
         # fixture ships those docs CJK-encoded, decode-back equals the

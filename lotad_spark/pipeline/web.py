@@ -482,6 +482,46 @@ def parse_robots(text: str) -> list[tuple[str, str]]:
     return rules
 
 
+def parse_crawl_delay(text: str) -> float | None:
+    """Crawl-delay seconds for the ``User-agent: *`` group(s), or None
+    when absent/unparseable — nonstandard (absent from RFC 9309) but
+    honored by Bing/Yandex and endemic in real robots.txt, so a crawl
+    scheduler needs it. Group semantics mirror :func:`parse_robots`
+    exactly (consecutive User-agent lines open a group; any rule line
+    closes it; comments strip; BOM skipped); the FIRST applicable
+    value wins; negative or non-numeric values are ignored.
+    Driver-side by design — bounded by domains, not the corpus."""
+    delay: float | None = None
+    applies = False
+    group_closed = True
+    text = text.lstrip("﻿")
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if group_closed:
+                applies = val == "*"
+                group_closed = False
+            else:
+                applies = applies or val == "*"
+        elif key in ("allow", "disallow", "crawl-delay"):
+            group_closed = True
+            if key == "crawl-delay" and applies and delay is None:
+                try:
+                    v = float(val)
+                except ValueError:
+                    continue
+                if v >= 0:
+                    delay = v
+    return delay
+
+
 def parse_sitemap_directives(text: str) -> list[str]:
     """Absolute sitemap URLs from a robots.txt body — the sitemaps.org
     ``Sitemap:`` field, which is group-INDEPENDENT per the protocol

@@ -744,3 +744,56 @@ class TestHtmlMetaAndAnchors:
             found += _re.findall(p, self.PAGE)
         assert ("https://x.com/a", "first <b>bold</b>") in found
         assert ("/rel", "second") in found
+
+
+class TestCrawlDelay:
+    """parse_crawl_delay (r16): group scoping, first-group-wins,
+    garbage values, BOM/comments."""
+
+    def test_group_scoping(self):
+        from lotad_spark.pipeline.web import parse_crawl_delay
+
+        body = (
+            "User-agent: OtherBot\nCrawl-delay: 99\nDisallow: /x\n\n"
+            "User-agent: *\nDisallow: /y\nCrawl-delay: 1.5\n"
+        )
+        assert parse_crawl_delay(body) == 1.5
+
+    def test_absent_and_garbage(self):
+        from lotad_spark.pipeline.web import parse_crawl_delay
+
+        assert parse_crawl_delay("User-agent: *\nDisallow: /a\n") is None
+        assert parse_crawl_delay(
+            "User-agent: *\nCrawl-delay: fast\n"
+        ) is None
+        assert parse_crawl_delay(
+            "User-agent: *\nCrawl-delay: -3\n"
+        ) is None
+
+    def test_first_applicable_wins_and_comments(self):
+        from lotad_spark.pipeline.web import parse_crawl_delay
+
+        body = (
+            "﻿# banner\nUser-agent: *\nCrawl-delay: 2 # note\n\n"
+            "User-agent: *\nCrawl-delay: 7\n"
+        )
+        assert parse_crawl_delay(body) == 2.0
+
+    def test_fixture_bodies_round_trip(self):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.web import (
+            parse_crawl_delay,
+            parse_robots,
+        )
+
+        for domain in ("a.com", "b.com"):
+            body = entry._robots_body(domain)
+            got = [(domain, t, p) for t, p in parse_robots(body)]
+            assert got == [
+                r for r in entry._ROBOTS_RULES if r[0] == domain
+            ]
+            delay = parse_crawl_delay(body)
+            if domain in entry._CRAWL_DELAYS_MICROS:
+                assert delay == entry._CRAWL_DELAYS_MICROS[domain] / 1e6
+            else:
+                assert delay is None
