@@ -2374,16 +2374,28 @@ def classify_decode_tier(payload) -> tuple[str, str]:
 
 
 def decode_tier_counts(
-    df: DataFrame, content_col: str = "content"
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    sample_fraction: float | None = None,
+    seed: int = 7,
 ) -> DataFrame:
     """Per-(container, tier) payload counts over a binary media table:
     classification runs inside the scan stage (Arrow mapInPandas, one
     pass, embarrassingly parallel), the only exchange carries the
     tiny (container, tier, partial-count) partials — mergeable
-    map-side, so the counter costs one corpus read at any scale. The
-    output is the decision table for VERDICT-style questions like
-    'how much of this crawl does the lossy-VP8 fallback cover, and is
-    a VP8 decoder worth building?'."""
+    map-side. The output is the decision table for VERDICT-style
+    questions like 'how much of this crawl does the lossy-VP8
+    fallback cover, and is a VP8 decoder worth building?'.
+
+    Cost note: deciding ``real`` vs ``header_only`` requires actually
+    RUNNING the real decoder, so exact mode costs a full decode pass
+    over every classifiable payload. At corpus scale pass
+    ``sample_fraction`` (seeded Bernoulli row sample pushed below the
+    classification) — tier FRACTIONS are what the telemetry decision
+    needs, and they converge fast; the oracle row runs exact mode."""
+    if sample_fraction is not None:
+        df = df.sample(fraction=sample_fraction, seed=seed)
 
     def classify_batches(
         batches: Iterable[pd.DataFrame],

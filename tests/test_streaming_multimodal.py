@@ -1766,3 +1766,13 @@ class TestDecodeTierCounts:
             ("png", "header_only"): 5, ("unknown", "fallback"): 5,
             ("null", "null"): 1,
         }
+        # sampled mode: the scale path — counts bounded by the
+        # population, deterministic under a fixed seed
+        sampled = decode_tier_counts(
+            df, sample_fraction=0.5, seed=7
+        ).collect()
+        assert sum(r.n for r in sampled) <= 41
+        again = decode_tier_counts(
+            df, sample_fraction=0.5, seed=7
+        ).collect()
+        assert sorted(map(tuple, sampled)) == sorted(map(tuple, again))
