@@ -71,3 +71,52 @@ class TestCanonicalHashProperties:
     def test_hash_is_deterministic(self, value):
         s = json.dumps(value)
         assert canonical_value_hash(s) == canonical_value_hash(s)
+
+
+class TestPdfCodecProperties:
+    """r16 PDF filter codecs: encoder/decoder round-trips over
+    arbitrary byte strings (the encoders live in the fixture module;
+    the decoders are the product code under test)."""
+
+    @given(st.binary(max_size=4096), st.sampled_from([0, 1]))
+    @settings(max_examples=60, deadline=None)
+    def test_lzw_round_trip(self, data, early):
+        from __spark_entry__ import _lzw_encode_fixture
+        from lotad_spark.pipeline.pdf import _lzw_decode
+
+        enc = _lzw_encode_fixture(data, early=early)
+        assert _lzw_decode(enc, early, 1 << 26) == data
+
+    @given(st.binary(min_size=0, max_size=2048))
+    @settings(max_examples=60, deadline=None)
+    def test_lzw_kwkwk_heavy_round_trip(self, data):
+        # low-entropy alphabets maximize KwKwK and table growth
+        from __spark_entry__ import _lzw_encode_fixture
+        from lotad_spark.pipeline.pdf import _lzw_decode
+
+        low = bytes(b % 3 for b in data)
+        assert _lzw_decode(_lzw_encode_fixture(low), 1, 1 << 26) == low
+
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=0, max_value=12),
+        st.binary(min_size=0, max_size=512),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_png_predictor_round_trip(self, cols, rows, raw):
+        from __spark_entry__ import _png_predict_fixture
+        from lotad_spark.pipeline.pdf import _apply_predictor
+
+        data = (raw * (cols * rows // max(len(raw), 1) + 1))[: cols * rows]
+        filt = _png_predict_fixture(data, cols)
+        assert _apply_predictor(filt, 12, 1, 8, cols) == data
+
+    @given(st.binary(max_size=2048))
+    @settings(max_examples=60, deadline=None)
+    def test_lzw_decoder_never_hangs_on_garbage(self, junk):
+        from lotad_spark.pipeline.pdf import _PdfError, _lzw_decode
+
+        try:
+            _lzw_decode(junk, 1, 1 << 20)
+        except _PdfError:
+            pass  # rejection is fine; crashing/hanging is not
