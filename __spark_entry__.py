@@ -818,6 +818,61 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+def q_wet_ingest(spark, sf_dir):
+    """WET ingestion (sources/warc.py read_wet / write_wet_file — NEW
+    r16): the Common Crawl pre-extracted-text sidecar, WARC
+    ``conversion`` records with UTF-8 payloads and no HTTP envelope —
+    the most common raw input of an LLM text pipeline. Every doc's
+    text (every 4th with a multi-byte UTF-8 suffix so the reinterpret
+    is exercised beyond ASCII) lands in 6 WET shards alternating
+    plain/.warc.gz, reads back through the same framing parse as
+    warc_ingest, and must round-trip byte-exactly; warcinfo records
+    drop by type. Synthesis-only driver collect, bounded by the
+    fixture corpus (the operator is a distributed binaryFile scan)."""
+    import os
+
+    from lotad_spark.sources.warc import read_wet, write_wet_file
+
+    docs = sorted(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect(),
+        key=lambda r: r.doc_id,
+    )
+    d = _scratch("lotad_wet_")
+    recs = []
+    for r in docs:
+        text = r.text or ""
+        if r.doc_id % 4 == 1:
+            text += " — résumé 中文 ✓"
+        recs.append((f"https://example.com/doc/{r.doc_id}", text))
+    n_shards = 6
+    for s in range(n_shards):
+        shard = recs[s::n_shards]
+        if not shard:
+            continue
+        if s % 2:
+            write_wet_file(
+                shard,
+                os.path.join(d, f"part{s}.warc.gz"),
+                gzip_members=True,
+            )
+        else:
+            write_wet_file(shard, os.path.join(d, f"part{s}.warc"))
+    return read_wet(spark, d).select(
+        "target_uri", "text", "n_bytes"
+    )
+
+
+_WET_INGEST_SQL = (
+    "SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS "
+    "target_uri, t AS text, CAST(octet_length(encode(t)) AS INT) "
+    "AS n_bytes FROM (SELECT doc_id, CASE WHEN doc_id % 4 = 1 THEN "
+    "coalesce(text, '') || ' — résumé 中文 ✓' ELSE coalesce(text, '') "
+    "END AS t FROM documents)"
+)
+
+
 # Per-domain REP rules for the robots row — engineered so every
 # longest-match case lands in the fixture id range: /d/1 vs /d/12 vs
 # /d/123 nest (disallow/allow/disallow), b.com disallows everything
@@ -7870,10 +7925,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r16), per the
-    precomputed queue in COVERAGE.md (161 rows total, ALL
-    value-checked — six rows are new):
+    precomputed queue in COVERAGE.md (162 rows total, ALL
+    value-checked — seven rows are new):
 
-    * 1-6: NEW — decode_tier_counts (per-(container, tier) payload
+    * 1-7: NEW — decode_tier_counts (per-(container, tier) payload
       counts by the SAME parsers/decoders the media path uses: the
       measurement that says how much of a crawl the honest-None
       fallback covers; fixture cycles all eight container/tier pairs),
@@ -7889,8 +7944,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       and crawl_budget (robots.txt bodies -> parse_robots +
       parse_crawl_delay -> gate -> per-domain schedule: the first row
       that value-checks the robots PARSER, since a grouping/comment/
-      BOM bug changes the parsed rules and flips gate booleans).
-    * 7-17: changed-code re-entries — pdf_extract (LZWDecode +
+      BOM bug changes the parsed rules and flips gate booleans), and
+      wet_ingest (Common Crawl WET conversion records: byte-exact
+      text round-trip across plain/.warc.gz shards incl. multi-byte
+      UTF-8, response/warcinfo records dropped by type).
+    * 8-18: changed-code re-entries — pdf_extract (LZWDecode +
       Flate/LZW predictors + the stream-extent scan fix; six writer
       variants now), warc_ingest (WHATWG CJK charset families decode
       via JVM charsets; CJK-paragraph fixtures), html_extract /
@@ -7901,14 +7959,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       multimodal_webp_luma_hist (VP8L one-symbol validation), and
       edit_distance_pairs / edit_distance_topk (bounded
       levenshtein(s, t, k) at every verify site).
-    * 18-38: the 21 longest-out r12-green rows (out since r13),
+    * 19-39: the 21 longest-out r12-green rows (out since r13),
       COVERAGE.md queue order — events_value_hist -> text_normalize,
       which deliberately includes the three r15 bench-flag rows
       (dedup_index_probe, weighted_sample, quality_classifier) and
       the five ANN oracle faces.
-    * 39-50: the r13-green rows in listed order — domain_apex_psl ->
-      multimodal_png_luma_hist (12 rows; the last five of the 17-row
-      fill slipped past the window as the six new rows landed).
+    * 40-50: the r13-green rows in listed order — domain_apex_psl ->
+      domain_blocklist (11 rows; the last six of the 17-row fill
+      slipped past the window as the seven new rows landed).
     * 51+: rotated out — the r13-green remainder, the r12-green block
       that was in the r15 window, then the r14/r15-green rows (newest
       last). Every rotated row has at least one driver-green round
@@ -7924,6 +7982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_anchors": q_html_anchors,
         "sentence_split": q_sentence_split,
         "crawl_budget": q_crawl_budget,
+        "wet_ingest": q_wet_ingest,
         # --- 2-12: r16 changed-code re-entries (PDF LZW/predictors,
         # WARC CJK decode, the full HTML4 entity table, VP8L
         # validation, bounded levenshtein). ---
@@ -8159,6 +8218,7 @@ def oracle_sql() -> dict[str, str]:
         "html_anchors": _html_anchors_sql(),
         "sentence_split": _sentence_split_sql(),
         "crawl_budget": _crawl_budget_sql(),
+        "wet_ingest": _WET_INGEST_SQL,
         # the WARC chain's payloads are the SAME template HTML (with
         # the r16 CJK paragraph injected for every 11th+3 doc — the
         # fixture ships those docs CJK-encoded, decode-back equals the

@@ -393,6 +393,86 @@ def warc_http_text(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
+def read_wet(spark, path: str) -> DataFrame:
+    """WET (WARC conversion) files → (target_uri, warc_date, text,
+    n_bytes): the Common Crawl pre-extracted-text sidecar — the most
+    common raw input of an LLM text pipeline. WET records are
+    ``WARC-Type: conversion`` with a plain UTF-8 text payload and NO
+    HTTP envelope, so this is :func:`read_warc` (same per-FILE
+    parallel framing parse, plain and per-record-gzip layouts) + a
+    type filter + a byte-faithful UTF-8 reinterpret — one JVM
+    projection after the scan; warcinfo/request/response records in
+    mixed archives drop by type."""
+    recs = read_warc(spark, path).filter(
+        F.col("warc_type") == "conversion"
+    )
+    return recs.select(
+        "target_uri",
+        "warc_date",
+        F.col("content").cast("string").alias("text"),
+        F.octet_length("content").cast("int").alias("n_bytes"),
+    )
+
+
+def write_wet_file(
+    records: Iterable[tuple],
+    path: str,
+    *,
+    gzip_members: bool = False,
+    date: str = "2024-01-01T00:00:00Z",
+) -> None:
+    """Write (uri, text) tuples as a spec-shaped WET file: one
+    warcinfo record then one ``conversion`` record per tuple, payload
+    the UTF-8 text with no HTTP envelope (the Common Crawl WET
+    layout). Test/oracle synthesis face and the export path of the
+    extraction chain."""
+    import gzip as _gzip
+
+    def record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode("latin-1") for k, v in headers
+        )
+        return (
+            head
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload
+            + b"\r\n\r\n"
+        )
+
+    out = [
+        record(
+            [
+                ("WARC-Type", "warcinfo"),
+                ("WARC-Date", date),
+                ("WARC-Record-ID", "<urn:uuid:wetinfo-0>"),
+                ("Content-Type", "application/warc-fields"),
+            ],
+            b"software: lotad_spark\r\n",
+        )
+    ]
+    for i, (uri, text) in enumerate(records):
+        out.append(
+            record(
+                [
+                    ("WARC-Type", "conversion"),
+                    ("WARC-Target-URI", uri),
+                    ("WARC-Date", date),
+                    ("WARC-Record-ID", f"<urn:uuid:wet-{i}>"),
+                    ("Content-Type", "text/plain"),
+                ],
+                text.encode("utf-8"),
+            )
+        )
+    if gzip_members:
+        with open(path, "wb") as fh:
+            for rec in out:
+                fh.write(_gzip.compress(rec))
+    else:
+        with open(path, "wb") as fh:
+            for rec in out:
+                fh.write(rec)
+
+
 def write_warc_file(
     records: Iterable[tuple],
     path: str,

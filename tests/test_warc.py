@@ -317,3 +317,48 @@ class TestWarcCrashRobustness:
             )
             list(iter_warc_records(t))
             list(iter_warc_records(b"\x1f\x8b" + t))
+
+
+class TestWet:
+    """read_wet / write_wet_file (r16): conversion-record round-trip,
+    type filtering, multi-byte UTF-8, both layouts."""
+
+    def test_round_trip_both_layouts(self, spark, tmp_path):
+        from lotad_spark.sources.warc import read_wet, write_wet_file
+
+        d = str(tmp_path)
+        recs = [
+            ("https://x.com/0", "plain ascii text"),
+            ("https://x.com/1", "multi-byte — résumé 中文 ✓"),
+            ("https://x.com/2", ""),
+        ]
+        write_wet_file(recs[:2], os.path.join(d, "a.warc"))
+        write_wet_file(
+            recs[2:], os.path.join(d, "b.warc.gz"), gzip_members=True
+        )
+        got = {r.target_uri: r for r in read_wet(spark, d).collect()}
+        for uri, text in recs:
+            assert got[uri].text == text, uri
+            assert got[uri].n_bytes == len(text.encode("utf-8"))
+
+    def test_response_records_drop_by_type(self, spark, tmp_path):
+        from lotad_spark.sources.warc import (
+            read_wet,
+            write_warc_file,
+            write_wet_file,
+        )
+
+        d = str(tmp_path)
+        # a RESPONSE archive in the same dir contributes no WET rows
+        write_warc_file(
+            [("https://x.com/resp", "text/html", b"<p>html</p>")],
+            os.path.join(d, "resp.warc"),
+        )
+        write_wet_file(
+            [("https://x.com/conv", "converted text")],
+            os.path.join(d, "conv.warc"),
+        )
+        rows = read_wet(spark, d).collect()
+        assert [(r.target_uri, r.text) for r in rows] == [
+            ("https://x.com/conv", "converted text")
+        ]
