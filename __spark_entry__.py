@@ -873,6 +873,75 @@ _WET_INGEST_SQL = (
 )
 
 
+def q_wat_links(spark, sf_dir):
+    """WAT link-graph extraction (sources/warc.py read_wat /
+    wat_links — NEW r16): the Common Crawl metadata sidecar parsed
+    JVM-side with from_json against the envelope layout — the crawl
+    graph at ~1/10 the bytes of WARC, no page-body re-parse. Each doc
+    gets doc_id%3+1 links (urls derived from doc_id) in a realistic
+    nested envelope with sibling fields from_json must skip; every
+    7th doc's JSON is truncated garbage and must contribute NO rows
+    (the malformed-JSON honesty path). Synthesis-only driver collect,
+    bounded by the fixture corpus."""
+    import json as _json
+    import os
+
+    from lotad_spark.sources.warc import read_wat, wat_links, write_wat_file
+
+    ids = sorted(
+        r.doc_id
+        for r in _t(spark, sf_dir, "documents").select("doc_id").collect()
+    )
+    d = _scratch("lotad_wat_")
+    recs = []
+    for did in ids:
+        uri = f"https://example.com/doc/{did}"
+        if did % 7 == 2:
+            recs.append((uri, '{"Envelope": {"Payload-Metad'))
+            continue
+        links = [
+            {"path": "A@/href",
+             "url": f"https://example.com/doc/{did * 10 + i}"}
+            for i in range(did % 3 + 1)
+        ]
+        meta = {
+            "Container": {"Filename": f"part{did % 6}.warc"},
+            "Envelope": {
+                "WARC-Header-Metadata": {"WARC-Target-URI": uri},
+                "Payload-Metadata": {
+                    "Actual-Content-Type": "application/http; msgtype=response",
+                    "HTTP-Response-Metadata": {
+                        "Headers": {"Content-Type": "text/html"},
+                        "HTML-Metadata": {"Links": links},
+                    },
+                },
+            },
+        }
+        recs.append((uri, _json.dumps(meta)))
+    n_shards = 6
+    for s in range(n_shards):
+        shard = recs[s::n_shards]
+        if not shard:
+            continue
+        if s % 2:
+            write_wat_file(
+                shard, os.path.join(d, f"part{s}.warc.gz"),
+                gzip_members=True,
+            )
+        else:
+            write_wat_file(shard, os.path.join(d, f"part{s}.warc"))
+    return wat_links(read_wat(spark, d))
+
+
+_WAT_LINKS_SQL = (
+    "SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS "
+    "target_uri, 'https://example.com/doc/' || "
+    "CAST(doc_id * 10 + i AS VARCHAR) AS url, 'A@/href' AS path "
+    "FROM (SELECT doc_id, unnest(range(0, CAST(doc_id % 3 + 1 AS INT)))"
+    " AS i FROM documents WHERE doc_id % 7 != 2)"
+)
+
+
 # Per-domain REP rules for the robots row — engineered so every
 # longest-match case lands in the fixture id range: /d/1 vs /d/12 vs
 # /d/123 nest (disallow/allow/disallow), b.com disallows everything
@@ -7925,10 +7994,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r16), per the
-    precomputed queue in COVERAGE.md (162 rows total, ALL
-    value-checked — seven rows are new):
+    precomputed queue in COVERAGE.md (163 rows total, ALL
+    value-checked — eight rows are new):
 
-    * 1-7: NEW — decode_tier_counts (per-(container, tier) payload
+    * 1-8: NEW — decode_tier_counts (per-(container, tier) payload
       counts by the SAME parsers/decoders the media path uses: the
       measurement that says how much of a crawl the honest-None
       fallback covers; fixture cycles all eight container/tier pairs),
@@ -7947,8 +8016,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       BOM bug changes the parsed rules and flips gate booleans), and
       wet_ingest (Common Crawl WET conversion records: byte-exact
       text round-trip across plain/.warc.gz shards incl. multi-byte
-      UTF-8, response/warcinfo records dropped by type).
-    * 8-18: changed-code re-entries — pdf_extract (LZWDecode +
+      UTF-8, response/warcinfo records dropped by type), and
+      wat_links (the WAT metadata sidecar parsed JVM-side with
+      from_json — the crawl graph without re-reading page bodies;
+      malformed-JSON records contribute no rows).
+    * 9-19: changed-code re-entries — pdf_extract (LZWDecode +
       Flate/LZW predictors + the stream-extent scan fix; six writer
       variants now), warc_ingest (WHATWG CJK charset families decode
       via JVM charsets; CJK-paragraph fixtures), html_extract /
@@ -7959,14 +8031,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       multimodal_webp_luma_hist (VP8L one-symbol validation), and
       edit_distance_pairs / edit_distance_topk (bounded
       levenshtein(s, t, k) at every verify site).
-    * 19-39: the 21 longest-out r12-green rows (out since r13),
+    * 20-40: the 21 longest-out r12-green rows (out since r13),
       COVERAGE.md queue order — events_value_hist -> text_normalize,
       which deliberately includes the three r15 bench-flag rows
       (dedup_index_probe, weighted_sample, quality_classifier) and
       the five ANN oracle faces.
-    * 40-50: the r13-green rows in listed order — domain_apex_psl ->
-      domain_blocklist (11 rows; the last six of the 17-row fill
-      slipped past the window as the seven new rows landed).
+    * 41-50: the r13-green rows in listed order — domain_apex_psl ->
+      domain_cap (10 rows; the last seven of the 17-row fill slipped
+      past the window as the eight new rows landed).
     * 51+: rotated out — the r13-green remainder, the r12-green block
       that was in the r15 window, then the r14/r15-green rows (newest
       last). Every rotated row has at least one driver-green round
@@ -7983,6 +8055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": q_sentence_split,
         "crawl_budget": q_crawl_budget,
         "wet_ingest": q_wet_ingest,
+        "wat_links": q_wat_links,
         # --- 2-12: r16 changed-code re-entries (PDF LZW/predictors,
         # WARC CJK decode, the full HTML4 entity table, VP8L
         # validation, bounded levenshtein). ---
@@ -8219,6 +8292,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_split": _sentence_split_sql(),
         "crawl_budget": _crawl_budget_sql(),
         "wet_ingest": _WET_INGEST_SQL,
+        "wat_links": _WAT_LINKS_SQL,
         # the WARC chain's payloads are the SAME template HTML (with
         # the r16 CJK paragraph injected for every 11th+3 doc — the
         # fixture ships those docs CJK-encoded, decode-back equals the

@@ -393,6 +393,111 @@ def warc_http_text(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
+def _warc_record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    """One spec-shaped WARC record: version line, CRLF headers,
+    byte-exact Content-Length, payload, the two-CRLF terminator.
+    Shared by every writer face."""
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode("latin-1") for k, v in headers
+    )
+    return (
+        head
+        + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+        + payload
+        + b"\r\n\r\n"
+    )
+
+
+def _write_members(records: list[bytes], path: str, gzip_members: bool) -> None:
+    import gzip as _gzip
+
+    with open(path, "wb") as fh:
+        for rec in records:
+            fh.write(_gzip.compress(rec) if gzip_members else rec)
+
+
+def _warcinfo_record(date: str, rid: str) -> bytes:
+    return _warc_record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Date", date),
+            ("WARC-Record-ID", rid),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        b"software: lotad_spark\r\n",
+    )
+
+
+def read_wat(spark, path: str) -> DataFrame:
+    """WAT (WARC metadata) files → (target_uri, warc_date, meta_json):
+    the Common Crawl per-response metadata sidecar — ``WARC-Type:
+    metadata`` records whose payload is one JSON document (headers,
+    detected MIME, extracted link graph, …). Same framing parse as
+    :func:`read_warc`; the payload reinterprets byte-faithfully as
+    UTF-8 (WAT is UTF-8 JSON by construction). Downstream operators
+    parse fields JVM-side with ``from_json`` — see
+    :func:`wat_links`."""
+    recs = read_warc(spark, path).filter(
+        F.col("warc_type") == "metadata"
+    )
+    return recs.select(
+        "target_uri",
+        "warc_date",
+        F.col("content").cast("string").alias("meta_json"),
+    )
+
+
+# The WAT link-graph slice of Common Crawl's envelope layout — enough
+# schema for from_json to reach Links without a UDF; unknown siblings
+# are ignored by from_json's permissive mode.
+_WAT_LINKS_SCHEMA = (
+    "STRUCT<Envelope: STRUCT<`Payload-Metadata`: STRUCT<"
+    "`HTTP-Response-Metadata`: STRUCT<`HTML-Metadata`: STRUCT<"
+    "Links: ARRAY<STRUCT<path: STRING, url: STRING>>>>>>>"
+)
+
+
+def wat_links(df: DataFrame, json_col: str = "meta_json") -> DataFrame:
+    """(target_uri, url, path) per link from parsed WAT metadata —
+    the crawl graph WITHOUT re-reading or re-parsing the page bodies
+    (the point of WAT: the graph at ~1/10 the bytes of WARC).
+    ``from_json`` with an explicit schema keeps parsing JVM-side; a
+    record whose JSON is malformed or linkless contributes no rows."""
+    parsed = F.from_json(F.col(json_col), _WAT_LINKS_SCHEMA)
+    links = parsed["Envelope"]["Payload-Metadata"][
+        "HTTP-Response-Metadata"
+    ]["HTML-Metadata"]["Links"]
+    return df.select(
+        "target_uri", F.explode(links).alias("l")
+    ).select("target_uri", "l.url", "l.path")
+
+
+def write_wat_file(
+    records: Iterable[tuple],
+    path: str,
+    *,
+    gzip_members: bool = False,
+    date: str = "2024-01-01T00:00:00Z",
+) -> None:
+    """Write (uri, meta_json_str) tuples as a spec-shaped WAT file:
+    one warcinfo record then one ``metadata`` record per tuple."""
+    out = [_warcinfo_record(date, "<urn:uuid:watinfo-0>")]
+    for i, (uri, meta) in enumerate(records):
+        out.append(
+            _warc_record(
+                [
+                    ("WARC-Type", "metadata"),
+                    ("WARC-Target-URI", uri),
+                    ("WARC-Date", date),
+                    ("WARC-Record-ID", f"<urn:uuid:wat-{i}>"),
+                    ("Content-Type", "application/json"),
+                ],
+                meta.encode("utf-8"),
+            )
+        )
+    _write_members(out, path, gzip_members)
+
+
 def read_wet(spark, path: str) -> DataFrame:
     """WET (WARC conversion) files → (target_uri, warc_date, text,
     n_bytes): the Common Crawl pre-extracted-text sidecar — the most
@@ -426,33 +531,10 @@ def write_wet_file(
     the UTF-8 text with no HTTP envelope (the Common Crawl WET
     layout). Test/oracle synthesis face and the export path of the
     extraction chain."""
-    import gzip as _gzip
-
-    def record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
-        head = b"WARC/1.0\r\n" + b"".join(
-            f"{k}: {v}\r\n".encode("latin-1") for k, v in headers
-        )
-        return (
-            head
-            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
-            + payload
-            + b"\r\n\r\n"
-        )
-
-    out = [
-        record(
-            [
-                ("WARC-Type", "warcinfo"),
-                ("WARC-Date", date),
-                ("WARC-Record-ID", "<urn:uuid:wetinfo-0>"),
-                ("Content-Type", "application/warc-fields"),
-            ],
-            b"software: lotad_spark\r\n",
-        )
-    ]
+    out = [_warcinfo_record(date, "<urn:uuid:wetinfo-0>")]
     for i, (uri, text) in enumerate(records):
         out.append(
-            record(
+            _warc_record(
                 [
                     ("WARC-Type", "conversion"),
                     ("WARC-Target-URI", uri),
@@ -463,14 +545,7 @@ def write_wet_file(
                 text.encode("utf-8"),
             )
         )
-    if gzip_members:
-        with open(path, "wb") as fh:
-            for rec in out:
-                fh.write(_gzip.compress(rec))
-    else:
-        with open(path, "wb") as fh:
-            for rec in out:
-                fh.write(rec)
+    _write_members(out, path, gzip_members)
 
 
 def write_warc_file(

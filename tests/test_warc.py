@@ -362,3 +362,45 @@ class TestWet:
         assert [(r.target_uri, r.text) for r in rows] == [
             ("https://x.com/conv", "converted text")
         ]
+
+
+class TestWat:
+    """read_wat / wat_links (r16): envelope parsing, malformed-JSON
+    honesty, linkless records."""
+
+    def test_links_round_trip(self, spark, tmp_path):
+        import json
+
+        from lotad_spark.sources.warc import (
+            read_wat,
+            wat_links,
+            write_wat_file,
+        )
+
+        d = str(tmp_path)
+        meta = {
+            "Envelope": {
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Links": [
+                                {"path": "A@/href", "url": "https://y.com/1"},
+                                {"path": "IMG@/src", "url": "/img.png"},
+                            ]
+                        }
+                    }
+                }
+            }
+        }
+        recs = [
+            ("https://x.com/a", json.dumps(meta)),
+            ("https://x.com/bad", '{"Envelope": {"Payl'),  # malformed
+            ("https://x.com/none", '{"Envelope": {}}'),     # linkless
+        ]
+        write_wat_file(recs, os.path.join(d, "a.warc.gz"), gzip_members=True)
+        rows = wat_links(read_wat(spark, d)).collect()
+        got = sorted((r.target_uri, r.url, r.path) for r in rows)
+        assert got == [
+            ("https://x.com/a", "/img.png", "IMG@/src"),
+            ("https://x.com/a", "https://y.com/1", "A@/href"),
+        ]
