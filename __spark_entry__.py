@@ -5431,14 +5431,68 @@ def _exif_blob(did: int) -> bytes:
     )
 
 
-def _exif_container(did: int) -> bytes:
+def _exif_gps_blob(did: int) -> bytes:
+    """A TIFF-structured EXIF block whose IFD0 holds only the GPS IFD
+    pointer; the GPS IFD carries lat/lon DMS rationals (seconds with
+    denominator 100 — non-integer rationals exercised), N/S and E/W
+    refs, and a decimeter-denominator altitude with the
+    below-sea-level ref byte — all derived from doc_id so the oracle
+    replays the micro-degree fold arithmetically. Byte order cycles
+    by doc parity like _exif_blob."""
+    import struct
+
+    bo = "<" if did % 2 == 0 else ">"
+
+    def entry(tag, typ, cnt, val4):
+        return struct.pack(bo + "HHI", tag, typ, cnt) + val4
+
+    def u32(v):
+        return struct.pack(bo + "I", v)
+
+    def rat(n, d):
+        return struct.pack(bo + "II", n, d)
+
+    ifd0_off = 8
+    gps_off = ifd0_off + 2 + 1 * 12 + 4  # 26
+    data_off = gps_off + 2 + 6 * 12 + 4  # 104
+    lat_off, lon_off, alt_off = data_off, data_off + 24, data_off + 48
+    ifd0 = struct.pack(bo + "H", 1)
+    ifd0 += entry(34853, 4, 1, u32(gps_off))
+    ifd0 += u32(0)
+    lat_ref = b"N\x00\x00\x00" if did % 2 == 0 else b"S\x00\x00\x00"
+    lon_ref = b"W\x00\x00\x00" if did % 3 == 0 else b"E\x00\x00\x00"
+    gps = struct.pack(bo + "H", 6)
+    gps += entry(1, 2, 2, lat_ref)
+    gps += entry(2, 5, 3, u32(lat_off))
+    gps += entry(3, 2, 2, lon_ref)
+    gps += entry(4, 5, 3, u32(lon_off))
+    gps += entry(5, 1, 1, bytes([1 if did % 5 == 0 else 0, 0, 0, 0]))
+    gps += entry(6, 5, 1, u32(alt_off))
+    gps += u32(0)
+    data = (
+        rat(did % 90, 1) + rat(did % 60, 1) + rat((did % 600) * 10, 100)
+        + rat(did % 180, 1) + rat((did * 7) % 60, 1)
+        + rat(((did * 11) % 600) * 10, 100)
+        + rat((did * 37) % 5000, 10)
+    )
+    return (
+        (b"II" if bo == "<" else b"MM")
+        + struct.pack(bo + "HI", 42, ifd0_off)
+        + ifd0
+        + gps
+        + data
+    )
+
+
+def _exif_container(did: int, blob: bytes | None = None) -> bytes:
     """The EXIF block wrapped in the container cycling by doc_id % 4:
     JPEG APP1, bare TIFF, WebP EXIF chunk (with and without the
     Exif\\0\\0 prefix, cycling), PNG eXIf chunk (real CRCs)."""
     import struct
     import zlib
 
-    blob = _exif_blob(did)
+    if blob is None:
+        blob = _exif_blob(did)
     v = did % 4
     if v == 0:
         app1 = b"Exif\x00\x00" + blob
@@ -5494,6 +5548,63 @@ def _doc_exif_media(spark, sf_dir):
             ].rename(columns={"doc_id": "media_id"})
 
     return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def q_exif_gps(spark, sf_dir):
+    """EXIF GPS extraction (multimodal.py exif_gps/extract_exif_gps —
+    NEW r16): the GPS IFD's DMS rationals fold to signed integer
+    micro-degrees with per-term floor division (sign from the
+    N/S/E/W refs, applied last), altitude to millimeters with the
+    below-sea-level ref; every 9th doc carries the GPS-less _exif_blob
+    (kind='none', NULL fields). Containers and byte orders cycle like
+    the exif_metadata row; all values derive from doc_id so the
+    oracle replays the fold arithmetically."""
+    from lotad_spark.pipeline.multimodal import extract_exif_gps
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = [
+                _exif_container(
+                    int(d),
+                    blob=(
+                        _exif_blob(int(d))
+                        if d % 9 == 4
+                        else _exif_gps_blob(int(d))
+                    ),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pdf.assign(content=payloads)[
+                ["doc_id", "content"]
+            ].rename(columns={"doc_id": "media_id"})
+
+    media = docs.mapInPandas(
+        build, schema="media_id bigint, content binary"
+    )
+    return extract_exif_gps(media)
+
+
+_EXIF_GPS_SQL = (
+    "SELECT doc_id AS media_id, "
+    "CASE WHEN doc_id % 9 = 4 THEN 'none' ELSE 'gps' END AS kind, "
+    "CASE WHEN doc_id % 9 = 4 THEN NULL ELSE "
+    "(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) * "
+    "CAST((doc_id % 90) * 1000000 + ((doc_id % 60) * 1000000) // 60 + "
+    "(((doc_id % 600) * 10) * 1000000) // 360000 AS BIGINT) END "
+    "AS lat_micro_deg, "
+    "CASE WHEN doc_id % 9 = 4 THEN NULL ELSE "
+    "(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END) * "
+    "CAST((doc_id % 180) * 1000000 + "
+    "(((doc_id * 7) % 60) * 1000000) // 60 + "
+    "((((doc_id * 11) % 600) * 10) * 1000000) // 360000 AS BIGINT) END "
+    "AS lon_micro_deg, "
+    "CASE WHEN doc_id % 9 = 4 THEN NULL ELSE "
+    "(CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END) * "
+    "CAST((((doc_id * 37) % 5000) * 1000) // 10 AS BIGINT) END "
+    "AS alt_milli_m FROM documents"
+)
 
 
 def q_exif_metadata(spark, sf_dir):
@@ -7994,10 +8105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r16), per the
-    precomputed queue in COVERAGE.md (163 rows total, ALL
-    value-checked — eight rows are new):
+    precomputed queue in COVERAGE.md (164 rows total, ALL
+    value-checked — nine rows are new):
 
-    * 1-8: NEW — decode_tier_counts (per-(container, tier) payload
+    * 1-9: NEW — decode_tier_counts (per-(container, tier) payload
       counts by the SAME parsers/decoders the media path uses: the
       measurement that says how much of a crawl the honest-None
       fallback covers; fixture cycles all eight container/tier pairs),
@@ -8019,8 +8130,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       UTF-8, response/warcinfo records dropped by type), and
       wat_links (the WAT metadata sidecar parsed JVM-side with
       from_json — the crawl graph without re-reading page bodies;
-      malformed-JSON records contribute no rows).
-    * 9-19: changed-code re-entries — pdf_extract (LZWDecode +
+      malformed-JSON records contribute no rows), and exif_gps (the
+      GPS IFD's DMS rationals folded to signed integer micro-degrees
+      with per-term floor division; altitude to millimeters;
+      containers and byte orders cycle; every 9th doc GPS-less).
+    * 10-20: changed-code re-entries — pdf_extract (LZWDecode +
       Flate/LZW predictors + the stream-extent scan fix; six writer
       variants now), warc_ingest (WHATWG CJK charset families decode
       via JVM charsets; CJK-paragraph fixtures), html_extract /
@@ -8031,14 +8145,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       multimodal_webp_luma_hist (VP8L one-symbol validation), and
       edit_distance_pairs / edit_distance_topk (bounded
       levenshtein(s, t, k) at every verify site).
-    * 20-40: the 21 longest-out r12-green rows (out since r13),
+    * 21-41: the 21 longest-out r12-green rows (out since r13),
       COVERAGE.md queue order — events_value_hist -> text_normalize,
       which deliberately includes the three r15 bench-flag rows
       (dedup_index_probe, weighted_sample, quality_classifier) and
       the five ANN oracle faces.
-    * 41-50: the r13-green rows in listed order — domain_apex_psl ->
-      domain_cap (10 rows; the last seven of the 17-row fill slipped
-      past the window as the eight new rows landed).
+    * 42-50: the r13-green rows in listed order — domain_apex_psl ->
+      domain_stats (9 rows; the last eight of the 17-row fill slipped
+      past the window as the nine new rows landed).
     * 51+: rotated out — the r13-green remainder, the r12-green block
       that was in the r15 window, then the r14/r15-green rows (newest
       last). Every rotated row has at least one driver-green round
@@ -8056,6 +8170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "wet_ingest": q_wet_ingest,
         "wat_links": q_wat_links,
+        "exif_gps": q_exif_gps,
         # --- 2-12: r16 changed-code re-entries (PDF LZW/predictors,
         # WARC CJK decode, the full HTML4 entity table, VP8L
         # validation, bounded levenshtein). ---
@@ -8293,6 +8408,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_budget": _crawl_budget_sql(),
         "wet_ingest": _WET_INGEST_SQL,
         "wat_links": _WAT_LINKS_SQL,
+        "exif_gps": _EXIF_GPS_SQL,
         # the WARC chain's payloads are the SAME template HTML (with
         # the r16 CJK paragraph injected for every 11th+3 doc — the
         # fixture ships those docs CJK-encoded, decode-back equals the

@@ -1598,6 +1598,7 @@ def _webp_pixels(payload: bytes):
 # CIPA DC-008 / TIFF 6.0) -----------------------------------------------
 
 _EXIF_IFD_POINTER = 34665  # IFD0 tag holding the Exif sub-IFD offset
+_GPS_IFD_POINTER = 34853  # IFD0 tag holding the GPS IFD offset
 
 
 def _exif_tags(blob: bytes):
@@ -1619,11 +1620,11 @@ def _exif_tags(blob: bytes):
         return None
     if struct.unpack_from(bo + "H", blob, 2)[0] != 42:
         return None
-    sizes = {1: 1, 2: 1, 3: 2, 4: 4}
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
     fmts = {1: "B", 3: "H", 4: "I"}
     out: dict = {}
 
-    def read_ifd(off: int) -> None:
+    def read_ifd(off: int, dest: dict) -> None:
         if off <= 0 or len(blob) < off + 2:
             return
         n = struct.unpack_from(bo + "H", blob, off)[0]
@@ -1634,7 +1635,7 @@ def _exif_tags(blob: bytes):
             tag, typ = struct.unpack_from(bo + "HH", blob, base)
             cnt = struct.unpack_from(bo + "I", blob, base + 4)[0]
             if typ not in sizes or cnt == 0 or cnt > (1 << 20):
-                continue  # rationals/undefined: not needed here
+                continue  # undefined/signed types: not needed here
             total = sizes[typ] * cnt
             voff = (
                 base + 8
@@ -1644,33 +1645,42 @@ def _exif_tags(blob: bytes):
             if len(blob) < voff + total:
                 continue
             if typ == 2:
-                out[tag] = (
+                dest[tag] = (
                     blob[voff : voff + cnt]
                     .split(b"\x00")[0]
                     .decode("latin-1")
                     .strip()
                 )
+            elif typ == 5:  # unsigned rational: (numerator, denominator)
+                dest[tag] = [
+                    struct.unpack_from(bo + "II", blob, voff + 8 * i)
+                    for i in range(cnt)
+                ]
             else:
-                out[tag] = list(
+                dest[tag] = list(
                     struct.unpack_from(bo + fmts[typ] * cnt, blob, voff)
                 )
 
-    read_ifd(struct.unpack_from(bo + "I", blob, 4)[0])
+    read_ifd(struct.unpack_from(bo + "I", blob, 4)[0], out)
     sub = out.get(_EXIF_IFD_POINTER)
     if isinstance(sub, list) and sub:
-        read_ifd(int(sub[0]))
+        read_ifd(int(sub[0]), out)
+    gps_ptr = out.get(_GPS_IFD_POINTER)
+    if isinstance(gps_ptr, list) and gps_ptr:
+        gps: dict = {}
+        # GPS tag numbers collide with IFD0's low tags, so the GPS IFD
+        # lands in its own namespace under the string key "gps"
+        read_ifd(int(gps_ptr[0]), gps)
+        if gps:
+            out["gps"] = gps
     return out or None
 
 
-def exif_metadata(payload: bytes):
-    """EXIF fields from any container that carries the block — JPEG
-    (APP1 ``Exif\\0\\0``), TIFF (IFD0 itself), WebP (``EXIF`` chunk),
-    PNG (``eXIf`` chunk): ``(orientation, make, model, datetime,
-    pixel_w, pixel_h)`` with None for absent fields, or None when the
-    payload has no parseable EXIF. Orientation (tag 274, values 1-8)
-    is the field image dedup needs: the perceptual hashes are not
-    rotation-invariant, so normalizing by the declared orientation
-    before hashing collapses rotated re-encodes of the same shot."""
+def _exif_tiff_blob(payload: bytes):
+    """The TIFF-structured EXIF block carried by any supported
+    container (JPEG APP1 ``Exif\\0\\0``, bare TIFF, WebP ``EXIF``
+    chunk, PNG ``eXIf`` chunk), or None — the ONE container walk the
+    metadata and GPS faces share."""
     import struct
 
     tiff = None
@@ -1710,6 +1720,19 @@ def exif_metadata(payload: bytes):
                 tiff = payload[pos + 8 : pos + 8 + ln]
                 break
             pos += 12 + ln
+    return tiff or None
+
+
+def exif_metadata(payload: bytes):
+    """EXIF fields from any container that carries the block — JPEG
+    (APP1 ``Exif\\0\\0``), TIFF (IFD0 itself), WebP (``EXIF`` chunk),
+    PNG (``eXIf`` chunk): ``(orientation, make, model, datetime,
+    pixel_w, pixel_h)`` with None for absent fields, or None when the
+    payload has no parseable EXIF. Orientation (tag 274, values 1-8)
+    is the field image dedup needs: the perceptual hashes are not
+    rotation-invariant, so normalizing by the declared orientation
+    before hashing collapses rotated re-encodes of the same shot."""
+    tiff = _exif_tiff_blob(payload)
     if not tiff:
         return None
     tags = _exif_tags(tiff)
@@ -1784,6 +1807,110 @@ def extract_exif(
             yield pd.DataFrame({id_col: pdf[id_col], **rows})
 
     return df.mapInPandas(exif_batches, schema=out_schema)
+
+
+def exif_gps(payload: bytes):
+    """GPS position from the EXIF GPS IFD (tag 34853) in any carrying
+    container: ``(lat_micro_deg, lon_micro_deg, alt_milli_m)`` as
+    signed integers, each None when absent/malformed; None when the
+    payload carries no GPS IFD at all. DMS rationals fold to
+    micro-degrees with PER-TERM floor division on the magnitude —
+    ``d·10⁶//dd + m·10⁶//(md·60) + s·10⁶//(sd·3600)``, sign applied
+    last from the N/S/E/W ref — an exact integer formula both engines
+    replay identically (the gopher_rules micro-unit discipline; ≤2 µ°
+    quantization, far below GPS accuracy). The altitude meter-rational
+    folds to millimeters: ``num·1000//den``, negated when
+    GPSAltitudeRef is 1 (below sea level). Geo signals
+    feed region filtering, location-based dedup, and provenance
+    audits of image corpora."""
+    tiff = _exif_tiff_blob(payload)
+    if not tiff:
+        return None
+    tags = _exif_tags(tiff)
+    gps = tags.get("gps") if tags else None
+    if not isinstance(gps, dict):
+        return None
+
+    def dms_micro(vals, ref, neg_ref):
+        if not (isinstance(vals, list) and len(vals) == 3):
+            return None
+        try:
+            (dn, dd), (mn, md), (sn, sd) = vals
+        except (TypeError, ValueError):
+            return None
+        if not (dd and md and sd):
+            return None
+        mag = (
+            (dn * 1_000_000) // dd
+            + (mn * 1_000_000) // (md * 60)
+            + (sn * 1_000_000) // (sd * 3600)
+        )
+        if not isinstance(ref, str) or not ref:
+            return None
+        return -mag if ref[0] == neg_ref else mag
+
+    lat = dms_micro(gps.get(2), gps.get(1), "S")
+    lon = dms_micro(gps.get(4), gps.get(3), "W")
+    alt = None
+    a = gps.get(6)
+    if isinstance(a, list) and a:
+        try:
+            an, ad = a[0]
+        except (TypeError, ValueError):
+            an = ad = 0
+        if ad:
+            alt = (an * 1000) // ad
+            ref = gps.get(5)
+            if isinstance(ref, list) and ref and int(ref[0]) == 1:
+                alt = -alt
+    if lat is None and lon is None and alt is None:
+        return None
+    return (lat, lon, alt)
+
+
+def extract_exif_gps(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, kind, lat_micro_deg, lon_micro_deg, alt_milli_m) per media
+    row via Arrow-batched mapInPandas — kind='gps' when a GPS IFD
+    parses, 'none' when the payload has no GPS (normal, not an
+    error), 'null' for NULL payloads. Same scan-stage shape as
+    extract_exif."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, kind string, lat_micro_deg bigint, "
+        "lon_micro_deg bigint, alt_milli_m bigint"
+    )
+
+    def gps_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[content_col]:
+                if b is None:
+                    rows.append(("null", None, None, None))
+                else:
+                    got = exif_gps(bytes(b))
+                    rows.append(
+                        ("none", None, None, None)
+                        if got is None
+                        else ("gps",) + got
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=(
+                    "kind", "lat_micro_deg", "lon_micro_deg",
+                    "alt_milli_m",
+                ),
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(gps_batches, schema=out_schema)
 
 
 def _parse_jpeg(payload: bytes) -> tuple[int, int, str] | None:

@@ -261,3 +261,85 @@ class TestOrientationNormalizedHashing:
         assert norm[1] == norm[2]
         assert raw[1] != raw[2]
         assert raw[1] == norm[1]  # no EXIF -> unchanged
+
+
+class TestExifGps:
+    """exif_gps (r16): DMS micro-degree fold, refs, malformed
+    rationals, the no-GPS path."""
+
+    def test_fixture_round_trip(self):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import exif_gps
+
+        for did in range(12):
+            payload = entry._exif_container(
+                did, blob=entry._exif_gps_blob(did)
+            )
+            lat, lon, alt = exif_gps(payload)
+            lat_mag = (
+                (did % 90) * 1_000_000
+                + ((did % 60) * 1_000_000) // 60
+                + (((did % 600) * 10) * 1_000_000) // 360_000
+            )
+            assert lat == (lat_mag if did % 2 == 0 else -lat_mag), did
+            assert (lon < 0) == (did % 3 == 0) or lon == 0, did
+            assert (alt <= 0) == (did % 5 == 0) or alt == 0, did
+
+    def test_no_gps_ifd_is_none(self):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import exif_gps
+
+        assert exif_gps(entry._exif_container(4)) is None
+
+    def test_zero_denominator_field_is_null(self):
+        import struct
+
+        from lotad_spark.pipeline.multimodal import exif_gps
+
+        # hand-build: GPS IFD where the latitude seconds denominator
+        # is 0 -> lat None; altitude still parses
+        bo = "<"
+
+        def entry_(tag, typ, cnt, val4):
+            return struct.pack(bo + "HHI", tag, typ, cnt) + val4
+
+        def u32(v):
+            return struct.pack(bo + "I", v)
+
+        def rat(n, d):
+            return struct.pack(bo + "II", n, d)
+
+        gps_off = 8 + 2 + 12 + 4
+        data_off = gps_off + 2 + 3 * 12 + 4
+        ifd0 = struct.pack(bo + "H", 1) + entry_(
+            34853, 4, 1, u32(gps_off)
+        ) + u32(0)
+        gps = struct.pack(bo + "H", 3)
+        gps += entry_(1, 2, 2, b"N\x00\x00\x00")
+        gps += entry_(2, 5, 3, u32(data_off))
+        gps += entry_(6, 5, 1, u32(data_off + 24))
+        gps += u32(0)
+        data = rat(10, 1) + rat(30, 1) + rat(5, 0) + rat(123, 10)
+        blob = b"II" + struct.pack(bo + "HI", 42, 8) + ifd0 + gps + data
+        got = exif_gps(blob)
+        assert got == (None, None, 12_300)
+
+    def test_spark_operator_kinds(self, spark):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import extract_exif_gps
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(entry._exif_container(
+                    6, blob=entry._exif_gps_blob(6)))),
+                (2, bytearray(entry._exif_container(4))),  # no GPS
+                (3, bytearray(b"not media")),
+                (4, None),
+            ],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in extract_exif_gps(df).collect()}
+        assert got[1].kind == "gps" and got[1].lat_micro_deg is not None
+        assert got[2].kind == "none" and got[2].lat_micro_deg is None
+        assert got[3].kind == "none"
+        assert got[4].kind == "null"
