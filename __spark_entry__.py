@@ -3061,6 +3061,38 @@ def q_multimodal_audio_hist(spark, sf_dir):
     )
 
 
+def q_audio_stats(spark, sf_dir):
+    """Audio curation stats (multimodal.py audio_stats — NEW r16):
+    duration/peak/energy in exact integer arithmetic over REAL decoded
+    PCM samples (energy = Σ s² is the stored form; RMS needs sqrt, so
+    it derives at display time). Same WAV fixture as the audio-hist
+    row — the oracle re-derives every stat from the text bytes as
+    little-endian signed 16-bit samples."""
+    from lotad_spark.pipeline.multimodal import audio_stats
+
+    return audio_stats(_doc_wav_media(spark, sf_dir))
+
+
+_AUDIO_STATS_SQL = (
+    "WITH base AS (SELECT doc_id AS media_id, "
+    "CAST((doc_id % 5 + 2) * 4 AS BIGINT) AS nf, "
+    "rpad(coalesce(text, ''), "
+    "CAST((doc_id % 5 + 2) * 4 * 2 AS INT), 'x') AS px FROM documents), "
+    "sl AS (SELECT media_id, nf, list_transform("
+    "list_transform(range(0, nf), i -> ord(substr(px, 2 * i + 1, 1)) "
+    "+ 256 * ord(substr(px, 2 * i + 2, 1))), "
+    "u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS s "
+    "FROM base) "
+    "SELECT media_id, 'pcm' AS kind, 8000 AS sample_rate, "
+    "1 AS n_channels, nf AS n_frames, "
+    "CAST(nf * 1000 // 8000 AS BIGINT) AS duration_ms, "
+    "CAST(coalesce(list_aggregate(list_transform(s, x -> abs(x)), "
+    "'max'), 0) AS INT) AS peak_abs, "
+    "CAST(coalesce(list_aggregate(list_transform(s, x -> x * x), "
+    "'sum'), 0) AS BIGINT) AS energy FROM sl"
+)
+
+
 _MULTIMODAL_AUDIO_SQL = (
     "WITH base AS (SELECT doc_id AS media_id, "
     "CAST((doc_id % 5 + 2) * 4 AS BIGINT) AS nf, "
@@ -8105,10 +8137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r16), per the
-    precomputed queue in COVERAGE.md (164 rows total, ALL
-    value-checked — nine rows are new):
+    precomputed queue in COVERAGE.md (165 rows total, ALL
+    value-checked — ten rows are new):
 
-    * 1-9: NEW — decode_tier_counts (per-(container, tier) payload
+    * 1-10: NEW — decode_tier_counts (per-(container, tier) payload
       counts by the SAME parsers/decoders the media path uses: the
       measurement that says how much of a crawl the honest-None
       fallback covers; fixture cycles all eight container/tier pairs),
@@ -8133,8 +8165,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       malformed-JSON records contribute no rows), and exif_gps (the
       GPS IFD's DMS rationals folded to signed integer micro-degrees
       with per-term floor division; altitude to millimeters;
-      containers and byte orders cycle; every 9th doc GPS-less).
-    * 10-20: changed-code re-entries — pdf_extract (LZWDecode +
+      containers and byte orders cycle; every 9th doc GPS-less), and
+      audio_stats (duration/peak/energy in exact integers over real
+      decoded PCM — energy is the stored form, RMS derives at display
+      time).
+    * 11-21: changed-code re-entries — pdf_extract (LZWDecode +
       Flate/LZW predictors + the stream-extent scan fix; six writer
       variants now), warc_ingest (WHATWG CJK charset families decode
       via JVM charsets; CJK-paragraph fixtures), html_extract /
@@ -8145,14 +8180,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       multimodal_webp_luma_hist (VP8L one-symbol validation), and
       edit_distance_pairs / edit_distance_topk (bounded
       levenshtein(s, t, k) at every verify site).
-    * 21-41: the 21 longest-out r12-green rows (out since r13),
+    * 22-42: the 21 longest-out r12-green rows (out since r13),
       COVERAGE.md queue order — events_value_hist -> text_normalize,
       which deliberately includes the three r15 bench-flag rows
       (dedup_index_probe, weighted_sample, quality_classifier) and
       the five ANN oracle faces.
-    * 42-50: the r13-green rows in listed order — domain_apex_psl ->
-      domain_stats (9 rows; the last eight of the 17-row fill slipped
-      past the window as the nine new rows landed).
+    * 43-50: the r13-green rows in listed order — domain_apex_psl ->
+      url_dedup_incremental (8 rows; the last nine of the 17-row fill
+      slipped past the window as the ten new rows landed).
     * 51+: rotated out — the r13-green remainder, the r12-green block
       that was in the r15 window, then the r14/r15-green rows (newest
       last). Every rotated row has at least one driver-green round
@@ -8171,6 +8206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_ingest": q_wet_ingest,
         "wat_links": q_wat_links,
         "exif_gps": q_exif_gps,
+        "audio_stats": q_audio_stats,
         # --- 2-12: r16 changed-code re-entries (PDF LZW/predictors,
         # WARC CJK decode, the full HTML4 entity table, VP8L
         # validation, bounded levenshtein). ---
@@ -8409,6 +8445,7 @@ def oracle_sql() -> dict[str, str]:
         "wet_ingest": _WET_INGEST_SQL,
         "wat_links": _WAT_LINKS_SQL,
         "exif_gps": _EXIF_GPS_SQL,
+        "audio_stats": _AUDIO_STATS_SQL,
         # the WARC chain's payloads are the SAME template HTML (with
         # the r16 CJK paragraph injected for every 11th+3 doc — the
         # fixture ships those docs CJK-encoded, decode-back equals the

@@ -2641,6 +2641,71 @@ def decode_audio(payload: bytes):
     return (rate, samples)
 
 
+def audio_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, kind, sample_rate, n_channels, n_frames, duration_ms,
+    peak_abs, energy) per media row — the audio curation signals
+    (silence/clipping detection, length stratification) in EXACT
+    integer arithmetic so both engines agree bit-for-bit:
+    ``duration_ms = n_frames·1000 // rate``, ``peak_abs = max |s|``,
+    ``energy = Σ s²`` over all channels (bigint — RMS needs a sqrt,
+    so the ENERGY is the stored form and callers derive RMS at
+    display time). Undecodable payloads are kind='bytes' with NULL
+    stats; NULL payloads kind='null'. Scan-stage Arrow batches like
+    every media face."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, kind string, sample_rate int, "
+        "n_channels int, n_frames bigint, duration_ms bigint, "
+        "peak_abs int, energy bigint"
+    )
+
+    def stat_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for b in pdf[content_col]:
+                if b is None:
+                    rows.append(("null",) + (None,) * 6)
+                    continue
+                dec = decode_audio(bytes(b))
+                if dec is None:
+                    rows.append(("bytes",) + (None,) * 6)
+                    continue
+                rate, samples = dec
+                s = samples.astype(np.int64)
+                n_frames = int(s.shape[0])
+                rows.append(
+                    (
+                        "pcm",
+                        int(rate),
+                        int(s.shape[1]) if s.ndim == 2 else 1,
+                        n_frames,
+                        n_frames * 1000 // rate if rate else None,
+                        int(np.abs(s).max()) if s.size else 0,
+                        int((s * s).sum()),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=(
+                    "kind", "sample_rate", "n_channels", "n_frames",
+                    "duration_ms", "peak_abs", "energy",
+                ),
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(stat_batches, schema=out_schema)
+
+
 def extract_audio_hist(
     df: DataFrame,
     content_col: str = "content",

@@ -1776,3 +1776,51 @@ class TestDecodeTierCounts:
             df, sample_fraction=0.5, seed=7
         ).collect()
         assert sorted(map(tuple, sampled)) == sorted(map(tuple, again))
+
+
+class TestAudioStats:
+    """audio_stats (r16): exact integer duration/peak/energy, channel
+    handling, 8-bit normalization, fallback kinds."""
+
+    @staticmethod
+    def _wav(samples, rate=8000, n_ch=1, bits=16):
+        import struct
+
+        if bits == 16:
+            data = b"".join(struct.pack("<h", s) for s in samples)
+            align, bps = 2 * n_ch, rate * 2 * n_ch
+        else:
+            data = bytes(samples)
+            align, bps = n_ch, rate * n_ch
+        fmt = struct.pack("<HHIIHH", 1, n_ch, rate, bps, align, bits)
+        chunks = (
+            b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def test_stats_exact(self, spark):
+        from lotad_spark.pipeline.multimodal import audio_stats
+
+        # stereo: frames interleave L R; peak from |−30000|
+        stereo = self._wav([100, -200, -30000, 400], n_ch=2)
+        # 8-bit mono: samples normalize (s − 128)·256
+        eight = self._wav([128, 0, 255], bits=8)
+        df = spark.createDataFrame(
+            [(1, bytearray(stereo)), (2, bytearray(eight)),
+             (3, bytearray(b"junk")), (4, None)],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in audio_stats(df).collect()}
+        s = got[1]
+        assert (s.kind, s.n_channels, s.n_frames) == ("pcm", 2, 2)
+        assert s.duration_ms == 2 * 1000 // 8000
+        assert s.peak_abs == 30000
+        assert s.energy == 100**2 + 200**2 + 30000**2 + 400**2
+        e = got[2]
+        vals = [(128 - 128) * 256, (0 - 128) * 256, (255 - 128) * 256]
+        assert e.kind == "pcm" and e.n_frames == 3
+        assert e.peak_abs == max(abs(v) for v in vals)
+        assert e.energy == sum(v * v for v in vals)
+        assert got[3].kind == "bytes" and got[3].energy is None
+        assert got[4].kind == "null"
