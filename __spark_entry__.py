@@ -3177,6 +3177,28 @@ def _doc_avi_media(spark, sf_dir):
     return docs.mapInPandas(build, schema="media_id bigint, content binary")
 
 
+def q_video_stats(spark, sf_dir):
+    """Video curation stats (multimodal.py video_stats — NEW r16):
+    width/height/frame-count/frame-timing off the AVI header,
+    duration in exact integer milliseconds — length and frame-rate
+    filters for video corpora. Same AVI fixture as the video-hist
+    row (dwMicroSecPerFrame = 40000); AVI-only by design — GIF
+    timing is per-frame and covered by the scene-cut face."""
+    from lotad_spark.pipeline.multimodal import video_stats
+
+    return video_stats(_doc_avi_media(spark, sf_dir))
+
+
+_VIDEO_STATS_SQL = (
+    "SELECT doc_id AS media_id, 'avi' AS kind, 4 AS width, "
+    "CAST(doc_id % 2 + 1 AS INT) AS height, "
+    "CAST(doc_id % 3 + 1 AS INT) AS n_frames, "
+    "CAST(40000 AS BIGINT) AS usec_per_frame, "
+    "CAST((doc_id % 3 + 1) * 40000 // 1000 AS BIGINT) AS duration_ms "
+    "FROM documents"
+)
+
+
 def q_multimodal_video_hist(spark, sf_dir):
     """REAL video-frame extraction (pipeline/multimodal.py
     extract_video_hist): walk the RIFF/AVI chunks, decode every 2nd
@@ -8137,10 +8159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r16), per the
-    precomputed queue in COVERAGE.md (165 rows total, ALL
-    value-checked — ten rows are new):
+    precomputed queue in COVERAGE.md (166 rows total, ALL
+    value-checked — eleven rows are new):
 
-    * 1-10: NEW — decode_tier_counts (per-(container, tier) payload
+    * 1-11: NEW — decode_tier_counts (per-(container, tier) payload
       counts by the SAME parsers/decoders the media path uses: the
       measurement that says how much of a crawl the honest-None
       fallback covers; fixture cycles all eight container/tier pairs),
@@ -8168,8 +8190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       containers and byte orders cycle; every 9th doc GPS-less), and
       audio_stats (duration/peak/energy in exact integers over real
       decoded PCM — energy is the stored form, RMS derives at display
-      time).
-    * 11-21: changed-code re-entries — pdf_extract (LZWDecode +
+      time), and video_stats (AVI header timing: frame count,
+      usec_per_frame, integer-exact duration_ms; GIF timing is
+      per-frame and stays with the scene-cut face).
+    * 12-22: changed-code re-entries — pdf_extract (LZWDecode +
       Flate/LZW predictors + the stream-extent scan fix; six writer
       variants now), warc_ingest (WHATWG CJK charset families decode
       via JVM charsets; CJK-paragraph fixtures), html_extract /
@@ -8180,14 +8204,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       multimodal_webp_luma_hist (VP8L one-symbol validation), and
       edit_distance_pairs / edit_distance_topk (bounded
       levenshtein(s, t, k) at every verify site).
-    * 22-42: the 21 longest-out r12-green rows (out since r13),
+    * 23-43: the 21 longest-out r12-green rows (out since r13),
       COVERAGE.md queue order — events_value_hist -> text_normalize,
       which deliberately includes the three r15 bench-flag rows
       (dedup_index_probe, weighted_sample, quality_classifier) and
       the five ANN oracle faces.
-    * 43-50: the r13-green rows in listed order — domain_apex_psl ->
-      url_dedup_incremental (8 rows; the last nine of the 17-row fill
-      slipped past the window as the ten new rows landed).
+    * 44-50: the r13-green rows in listed order — domain_apex_psl ->
+      url_dedup (7 rows; the last ten of the 17-row fill slipped past
+      the window as the eleven new rows landed).
     * 51+: rotated out — the r13-green remainder, the r12-green block
       that was in the r15 window, then the r14/r15-green rows (newest
       last). Every rotated row has at least one driver-green round
@@ -8207,6 +8231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_links": q_wat_links,
         "exif_gps": q_exif_gps,
         "audio_stats": q_audio_stats,
+        "video_stats": q_video_stats,
         # --- 2-12: r16 changed-code re-entries (PDF LZW/predictors,
         # WARC CJK decode, the full HTML4 entity table, VP8L
         # validation, bounded levenshtein). ---
@@ -8446,6 +8471,7 @@ def oracle_sql() -> dict[str, str]:
         "wat_links": _WAT_LINKS_SQL,
         "exif_gps": _EXIF_GPS_SQL,
         "audio_stats": _AUDIO_STATS_SQL,
+        "video_stats": _VIDEO_STATS_SQL,
         # the WARC chain's payloads are the SAME template HTML (with
         # the r16 CJK paragraph injected for every 11th+3 doc — the
         # fixture ships those docs CJK-encoded, decode-back equals the

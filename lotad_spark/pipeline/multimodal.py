@@ -3495,7 +3495,8 @@ def _avi_parse(payload: bytes):
         or payload[8:12] != b"AVI "
     ):
         return None
-    state = {"w": None, "h": None, "bpp": None, "comp": None}
+    state = {"w": None, "h": None, "bpp": None, "comp": None,
+             "usec": None}
     frames: list[bytes] = []
     compressed_seen = False
 
@@ -3514,6 +3515,7 @@ def _avi_parse(payload: bytes):
             elif cid == b"avih":
                 if ln < 40:
                     return False
+                state["usec"] = struct.unpack_from("<I", body, 0)[0]
                 state["w"] = struct.unpack_from("<I", body, 32)[0]
                 state["h"] = struct.unpack_from("<I", body, 36)[0]
             elif cid == b"strf" and ln >= 20:
@@ -3540,7 +3542,62 @@ def _avi_parse(payload: bytes):
         or not frames
     ):
         return None
-    return (int(w), int(h), frames)
+    return (int(w), int(h), frames, state["usec"])
+
+
+def video_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, kind, width, height, n_frames, usec_per_frame,
+    duration_ms) per media row — the video curation signals (length
+    stratification, frame-rate sanity filters) from the AVI header
+    alone; ``duration_ms = n_frames·usec_per_frame // 1000`` in exact
+    integers. AVI-only by design: GIF animation timing lives in
+    per-frame GCE blocks (variable per frame — no single rate exists)
+    and is covered by the scene-cut face; non-AVI payloads are
+    kind='bytes' with NULL stats, NULL payloads kind='null'."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, kind string, width int, height int, "
+        "n_frames int, usec_per_frame bigint, duration_ms bigint"
+    )
+
+    def stat_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[content_col]:
+                if b is None:
+                    rows.append(("null",) + (None,) * 5)
+                    continue
+                parsed = _avi_parse(bytes(b))
+                if parsed is None:
+                    rows.append(("bytes",) + (None,) * 5)
+                    continue
+                w, h, frames, usec = parsed
+                n = len(frames)
+                rows.append(
+                    (
+                        "avi", w, h, n,
+                        None if usec is None else int(usec),
+                        None if usec is None else n * int(usec) // 1000,
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=(
+                    "kind", "width", "height", "n_frames",
+                    "usec_per_frame", "duration_ms",
+                ),
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(stat_batches, schema=out_schema)
 
 
 def decode_video_frames(payload: bytes, *, every_nth: int = 1):
@@ -3563,7 +3620,7 @@ def decode_video_frames(payload: bytes, *, every_nth: int = 1):
     parsed = _avi_parse(payload)
     if parsed is None:
         return _gif_video_frames(payload, every_nth=every_nth)
-    w, h, frames = parsed
+    w, h, frames, _usec = parsed
     stride = ((w * 3 + 3) // 4) * 4
     out = []
     for i in range(0, len(frames), every_nth):

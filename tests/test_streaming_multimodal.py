@@ -1824,3 +1824,47 @@ class TestAudioStats:
         assert e.energy == sum(v * v for v in vals)
         assert got[3].kind == "bytes" and got[3].energy is None
         assert got[4].kind == "null"
+
+
+class TestVideoStats:
+    """video_stats (r16): header timing, duration arithmetic, the
+    AVI-only contract."""
+
+    def test_stats_and_fallbacks(self, spark):
+        import struct
+
+        from lotad_spark.pipeline.multimodal import video_stats
+
+        def chunk(cid, body):
+            return (
+                cid + struct.pack("<I", len(body)) + body
+                + (b"\0" if len(body) % 2 else b"")
+            )
+
+        w, h, nf, usec = 4, 2, 3, 33333
+        per = w * 3 * h
+        avih = (
+            struct.pack("<8I", usec, 0, 0, 0, nf, 0, 1, 0)
+            + struct.pack("<II", w, h)
+        )
+        strf = b"\x00" * 14 + struct.pack("<H", 24) + struct.pack("<I", 0)
+        movi = b"movi" + b"".join(
+            chunk(b"00db", bytes([i] * per)) for i in range(nf)
+        )
+        hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"strf", strf)
+        body = chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+        avi = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+        df = spark.createDataFrame(
+            [(1, bytearray(avi)), (2, bytearray(b"GIF89a...")),
+             (3, None)],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in video_stats(df).collect()}
+        s = got[1]
+        assert (s.kind, s.width, s.height, s.n_frames) == ("avi", 4, 2, 3)
+        assert s.usec_per_frame == usec
+        assert s.duration_ms == nf * usec // 1000
+        # GIF is deliberately NOT an avi-stats subject (per-frame GCE
+        # timing) and non-media is honest bytes
+        assert got[2].kind == "bytes" and got[2].n_frames is None
+        assert got[3].kind == "null"
