@@ -406,6 +406,12 @@ _HTML_PARTS = (
     "&ETH;&iexcl; &permil;&prime;&Prime; &lang;&rang;&lceil;&rfloor; "
     "&spades;&loz; &frac34;&micro;&sup2; &Dagger;&sbquo;&bdquo; "
     "&alefsym;&weierp; still&sup1;literal:&fjlig;</p>"
+    # r16 table fixture: a TH header row, a varying data cell, raw
+    # inner markup (<b>) and a raw entity inside cells
+    '<table class="kv"><tr><th>key</th><th>v&amp;al</th></tr>'
+    "<tr><td><b>id</b></td><td>",
+    None,  # doc_id
+    "</td></tr></table>"
     '<a href="https://example.com/doc/',
     None,  # doc_id
     '?a=1&amp;b=2">first link</a> <a href=\'/rel/',
@@ -709,6 +715,48 @@ def _html_anchors_sql() -> str:
         "SELECT doc_id, unnest(" + hrefs + ") AS href, "
         "unnest(" + texts + ") AS anchor_text FROM ("
         + _html_build_sql() + ")"
+    )
+
+
+def q_html_tables(spark, sf_dir):
+    """Table extraction (pipeline/web.py html_tables — NEW r16): per
+    (table, row) cell lists from three nested lazy patterns, all JVM
+    — the structured-extraction grain for table-QA / table-to-text
+    data. The template's table carries a TH header row, raw inner
+    markup, a raw entity, and a doc_id-varying cell; the oracle
+    replays the same nested extraction with DuckDB list_transform +
+    two positional parallel unnests."""
+    from lotad_spark.pipeline.web import html_tables
+
+    return html_tables(_doc_html_frame(spark, sf_dir), "html")
+
+
+def _html_tables_sql() -> str:
+    from lotad_spark.pipeline.web import (
+        HTML_CELL_RE,
+        HTML_CELL_SEP,
+        HTML_TABLE_RE,
+        HTML_TR_RE,
+    )
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    nested = (
+        f"list_transform(regexp_extract_all(html, {q(HTML_TABLE_RE)}, 1), "
+        f"t -> list_transform(regexp_extract_all(t, {q(HTML_TR_RE)}, 1), "
+        f"r -> regexp_extract_all(r, {q(HTML_CELL_RE)}, 1)))"
+    )
+    return (
+        "SELECT doc_id, CAST(ti AS INT) AS table_idx, "
+        "CAST(ri AS INT) AS row_idx, "
+        "CAST(len(cl) AS INT) AS n_cells, "
+        f"array_to_string(cl, chr({ord(HTML_CELL_SEP)})) AS cells FROM ("
+        "SELECT doc_id, ti, unnest(rt) AS cl, "
+        "unnest(range(0, len(rt))) AS ri FROM ("
+        f"SELECT doc_id, unnest({nested}) AS rt, "
+        f"unnest(range(0, len({nested}))) AS ti FROM ("
+        + _html_build_sql() + ")))"
     )
 
 
@@ -8159,10 +8207,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r16), per the
-    precomputed queue in COVERAGE.md (166 rows total, ALL
-    value-checked — eleven rows are new):
+    precomputed queue in COVERAGE.md (167 rows total, ALL
+    value-checked — twelve rows are new):
 
-    * 1-11: NEW — decode_tier_counts (per-(container, tier) payload
+    * 1-12: NEW — decode_tier_counts (per-(container, tier) payload
       counts by the SAME parsers/decoders the media path uses: the
       measurement that says how much of a crawl the honest-None
       fallback covers; fixture cycles all eight container/tier pairs),
@@ -8190,10 +8238,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       containers and byte orders cycle; every 9th doc GPS-less), and
       audio_stats (duration/peak/energy in exact integers over real
       decoded PCM — energy is the stored form, RMS derives at display
-      time), and video_stats (AVI header timing: frame count,
+      time), video_stats (AVI header timing: frame count,
       usec_per_frame, integer-exact duration_ms; GIF timing is
-      per-frame and stays with the scene-cut face).
-    * 12-22: changed-code re-entries — pdf_extract (LZWDecode +
+      per-frame and stays with the scene-cut face), and html_tables
+      (per-(table, row) cell lists from three nested lazy patterns —
+      the table-QA grain; flat-table contract documented).
+    * 13-23: changed-code re-entries — pdf_extract (LZWDecode +
       Flate/LZW predictors + the stream-extent scan fix; six writer
       variants now), warc_ingest (WHATWG CJK charset families decode
       via JVM charsets; CJK-paragraph fixtures), html_extract /
@@ -8204,14 +8254,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       multimodal_webp_luma_hist (VP8L one-symbol validation), and
       edit_distance_pairs / edit_distance_topk (bounded
       levenshtein(s, t, k) at every verify site).
-    * 23-43: the 21 longest-out r12-green rows (out since r13),
+    * 24-44: the 21 longest-out r12-green rows (out since r13),
       COVERAGE.md queue order — events_value_hist -> text_normalize,
       which deliberately includes the three r15 bench-flag rows
       (dedup_index_probe, weighted_sample, quality_classifier) and
       the five ANN oracle faces.
-    * 44-50: the r13-green rows in listed order — domain_apex_psl ->
-      url_dedup (7 rows; the last ten of the 17-row fill slipped past
-      the window as the eleven new rows landed).
+    * 45-50: the r13-green rows in listed order — domain_apex_psl ->
+      ccnet_buckets (6 rows; the last eleven of the 17-row fill
+      slipped past the window as the twelve new rows landed).
     * 51+: rotated out — the r13-green remainder, the r12-green block
       that was in the r15 window, then the r14/r15-green rows (newest
       last). Every rotated row has at least one driver-green round
@@ -8232,6 +8282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_gps": q_exif_gps,
         "audio_stats": q_audio_stats,
         "video_stats": q_video_stats,
+        "html_tables": q_html_tables,
         # --- 2-12: r16 changed-code re-entries (PDF LZW/predictors,
         # WARC CJK decode, the full HTML4 entity table, VP8L
         # validation, bounded levenshtein). ---
@@ -8472,6 +8523,7 @@ def oracle_sql() -> dict[str, str]:
         "exif_gps": _EXIF_GPS_SQL,
         "audio_stats": _AUDIO_STATS_SQL,
         "video_stats": _VIDEO_STATS_SQL,
+        "html_tables": _html_tables_sql(),
         # the WARC chain's payloads are the SAME template HTML (with
         # the r16 CJK paragraph injected for every 11th+3 doc — the
         # fixture ships those docs CJK-encoded, decode-back equals the

@@ -797,3 +797,66 @@ class TestCrawlDelay:
                 assert delay == entry._CRAWL_DELAYS_MICROS[domain] / 1e6
             else:
                 assert delay is None
+
+
+class TestHtmlTables:
+    """html_tables (r16): nested extraction, header rows, ragged
+    rows, the flat-table contract."""
+
+    PAGE = (
+        "<html><body>"
+        "<table><tr><th>A</th><th>B</th></tr>"
+        "<tr><td>1</td><td>x <b>bold</b></td></tr>"
+        "<tr><td>lone</td></tr></table>"
+        "<p>between</p>"
+        "<TABLE class='z'><TR><TD>only</TD></TR></TABLE>"
+        "</body></html>"
+    )
+
+    def test_rows_and_cells(self, spark):
+        from lotad_spark.pipeline.web import HTML_CELL_SEP, html_tables
+
+        df = spark.createDataFrame(
+            [(1, self.PAGE), (2, "<p>no tables</p>"), (3, None)],
+            "doc_id bigint, html string",
+        )
+        rows = html_tables(df).collect()
+        got = {
+            (r.doc_id, r.table_idx, r.row_idx): (r.n_cells, r.cells)
+            for r in rows
+        }
+        sep = HTML_CELL_SEP
+        assert got[(1, 0, 0)] == (2, f"A{sep}B")
+        assert got[(1, 0, 1)] == (2, f"1{sep}x <b>bold</b>")
+        assert got[(1, 0, 2)] == (1, "lone")  # ragged row kept
+        assert got[(1, 1, 0)] == (1, "only")  # case-folded tags
+        assert len(got) == 4  # doc 2/3 contribute nothing
+
+    def test_nested_table_truncates_documented(self, spark):
+        # the documented flat-table limit: the outer match ends at the
+        # INNER </table>, so the inner rows are what extracts
+        from lotad_spark.pipeline.web import html_tables
+
+        page = (
+            "<table><tr><td>outer"
+            "<table><tr><td>inner</td></tr></table>"
+            "</td></tr></table>"
+        )
+        df = spark.createDataFrame(
+            [(1, page)], "doc_id bigint, html string"
+        )
+        rows = html_tables(df).collect()
+        assert any("inner" in r.cells for r in rows)
+
+    def test_plan_no_exchange(self, spark):
+        from lotad_spark.pipeline.web import html_tables
+
+        df = spark.createDataFrame(
+            [(1, self.PAGE)], "doc_id bigint, html string"
+        )
+        plan = (
+            html_tables(df)._jdf.queryExecution().executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
