@@ -5709,6 +5709,136 @@ _EXIF_GPS_SQL = (
 )
 
 
+def _provenance_container(did: int) -> bytes:
+    """One media payload for the provenance row, container cycling by
+    doc_id % 5: (0) PNG tEXt Software + Comment, (1) JPEG COM comment
+    + APP1-EXIF Software (tag 305), (2) PNG zTXt Software (zlib), (3)
+    PNG iTXt Description (flag 0, lang/translated filled), (4) bare
+    TIFF tag 305. Every doc_id % 7 == 3 doc is an untagged P6 instead
+    (the kind='none' path). Field values derive from doc_id."""
+    import struct
+    import zlib
+
+    if did % 7 == 3:
+        return b"P6\n1 1\n255\n" + b"abc"
+    sw = f"gen-{did % 4}/1.{did % 3}"
+    cm = f"c {did % 11}"
+    v = did % 5
+
+    def png(chunks: list[tuple[bytes, bytes]]) -> bytes:
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        for typ, data in chunks:
+            out += chunk(typ, data)
+        return out + chunk(b"IEND", b"")
+
+    if v == 0:
+        return png([
+            (b"tEXt", b"Software\x00" + sw.encode("latin-1")),
+            (b"tEXt", b"Comment\x00" + cm.encode("latin-1")),
+        ])
+    if v == 1:
+        bo = "<" if did % 2 == 0 else ">"
+        swb = sw.encode("latin-1") + b"\x00"
+        ifd0 = struct.pack(bo + "H", 1)
+        ifd0 += struct.pack(bo + "HHI", 305, 2, len(swb)) + struct.pack(
+            bo + "I", 8 + 2 + 12 + 4
+        )
+        ifd0 += struct.pack(bo + "I", 0)
+        blob = (
+            (b"II" if bo == "<" else b"MM")
+            + struct.pack(bo + "HI", 42, 8)
+            + ifd0
+            + swb
+        )
+        app1 = b"Exif\x00\x00" + blob
+        com = cm.encode("latin-1")
+        return (
+            b"\xff\xd8\xff\xe1"
+            + struct.pack(">H", len(app1) + 2)
+            + app1
+            + b"\xff\xfe"
+            + struct.pack(">H", len(com) + 2)
+            + com
+            + b"\xff\xd9"
+        )
+    if v == 2:
+        return png([
+            (
+                b"zTXt",
+                b"Software\x00\x00"
+                + zlib.compress(sw.encode("latin-1")),
+            )
+        ])
+    if v == 3:
+        return png([
+            (
+                b"iTXt",
+                b"Description\x00\x00\x00en\x00desc\x00"
+                + cm.encode("utf-8"),
+            )
+        ])
+    bo = "<" if did % 2 == 0 else ">"
+    swb = sw.encode("latin-1") + b"\x00"
+    ifd0 = struct.pack(bo + "H", 1)
+    ifd0 += struct.pack(bo + "HHI", 305, 2, len(swb)) + struct.pack(
+        bo + "I", 8 + 2 + 12 + 4
+    )
+    ifd0 += struct.pack(bo + "I", 0)
+    return (
+        (b"II" if bo == "<" else b"MM")
+        + struct.pack(bo + "HI", 42, 8)
+        + ifd0
+        + swb
+    )
+
+
+def q_image_provenance(spark, sf_dir):
+    """Image provenance tags (multimodal.py image_provenance /
+    extract_image_provenance — NEW r16): Software/Comment strings
+    from PNG tEXt/zTXt/iTXt, the JPEG COM segment, and the EXIF
+    Software tag (305) — the curation signal that flags generated
+    images (generators stamp exactly these fields) so they can be
+    capped or routed. All five carrying forms cycle by doc_id; every
+    7th+3 doc is untagged (kind='none'); values derive from doc_id so
+    the oracle is arithmetic."""
+    from lotad_spark.pipeline.multimodal import extract_image_provenance
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = [
+                _provenance_container(int(d)) for d in pdf["doc_id"]
+            ]
+            yield pdf.assign(content=payloads)[
+                ["doc_id", "content"]
+            ].rename(columns={"doc_id": "media_id"})
+
+    media = docs.mapInPandas(
+        build, schema="media_id bigint, content binary"
+    )
+    return extract_image_provenance(media)
+
+
+_IMAGE_PROVENANCE_SQL = (
+    "SELECT doc_id AS media_id, "
+    "CASE WHEN doc_id % 7 = 3 THEN 'none' ELSE 'tagged' END AS kind, "
+    "CASE WHEN doc_id % 7 = 3 OR doc_id % 5 = 3 THEN NULL ELSE "
+    "'gen-' || CAST(doc_id % 4 AS VARCHAR) || '/1.' || "
+    "CAST(doc_id % 3 AS VARCHAR) END AS software, "
+    "CASE WHEN doc_id % 7 = 3 OR doc_id % 5 IN (2, 4) THEN NULL ELSE "
+    "'c ' || CAST(doc_id % 11 AS VARCHAR) END AS comment "
+    "FROM documents"
+)
+
+
 def q_exif_metadata(spark, sf_dir):
     """EXIF extraction across all four carrying containers
     (multimodal.py exif_metadata/extract_exif): byte-order cycling,
@@ -8207,10 +8337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r16), per the
-    precomputed queue in COVERAGE.md (167 rows total, ALL
-    value-checked — twelve rows are new):
+    precomputed queue in COVERAGE.md (168 rows total, ALL
+    value-checked — thirteen rows are new):
 
-    * 1-12: NEW — decode_tier_counts (per-(container, tier) payload
+    * 1-13: NEW — decode_tier_counts (per-(container, tier) payload
       counts by the SAME parsers/decoders the media path uses: the
       measurement that says how much of a crawl the honest-None
       fallback covers; fixture cycles all eight container/tier pairs),
@@ -8242,8 +8372,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       usec_per_frame, integer-exact duration_ms; GIF timing is
       per-frame and stays with the scene-cut face), and html_tables
       (per-(table, row) cell lists from three nested lazy patterns —
-      the table-QA grain; flat-table contract documented).
-    * 13-23: changed-code re-entries — pdf_extract (LZWDecode +
+      the table-QA grain; flat-table contract documented), and
+      image_provenance (Software/Comment tags from PNG tEXt/zTXt/
+      iTXt, the JPEG COM segment, and EXIF tag 305 — the
+      generated-image triage signal).
+    * 14-24: changed-code re-entries — pdf_extract (LZWDecode +
       Flate/LZW predictors + the stream-extent scan fix; six writer
       variants now), warc_ingest (WHATWG CJK charset families decode
       via JVM charsets; CJK-paragraph fixtures), html_extract /
@@ -8254,14 +8387,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       multimodal_webp_luma_hist (VP8L one-symbol validation), and
       edit_distance_pairs / edit_distance_topk (bounded
       levenshtein(s, t, k) at every verify site).
-    * 24-44: the 21 longest-out r12-green rows (out since r13),
+    * 25-45: the 21 longest-out r12-green rows (out since r13),
       COVERAGE.md queue order — events_value_hist -> text_normalize,
       which deliberately includes the three r15 bench-flag rows
       (dedup_index_probe, weighted_sample, quality_classifier) and
       the five ANN oracle faces.
-    * 45-50: the r13-green rows in listed order — domain_apex_psl ->
-      ccnet_buckets (6 rows; the last eleven of the 17-row fill
-      slipped past the window as the twelve new rows landed).
+    * 46-50: the r13-green rows in listed order — domain_apex_psl ->
+      video_near_dup_pairs (5 rows; the last twelve of the 17-row
+      fill slipped past the window as the thirteen new rows landed).
     * 51+: rotated out — the r13-green remainder, the r12-green block
       that was in the r15 window, then the r14/r15-green rows (newest
       last). Every rotated row has at least one driver-green round
@@ -8283,6 +8416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": q_audio_stats,
         "video_stats": q_video_stats,
         "html_tables": q_html_tables,
+        "image_provenance": q_image_provenance,
         # --- 2-12: r16 changed-code re-entries (PDF LZW/predictors,
         # WARC CJK decode, the full HTML4 entity table, VP8L
         # validation, bounded levenshtein). ---
@@ -8524,6 +8658,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_stats": _AUDIO_STATS_SQL,
         "video_stats": _VIDEO_STATS_SQL,
         "html_tables": _html_tables_sql(),
+        "image_provenance": _IMAGE_PROVENANCE_SQL,
         # the WARC chain's payloads are the SAME template HTML (with
         # the r16 CJK paragraph injected for every 11th+3 doc — the
         # fixture ships those docs CJK-encoded, decode-back equals the

@@ -1809,6 +1809,141 @@ def extract_exif(
     return df.mapInPandas(exif_batches, schema=out_schema)
 
 
+def image_provenance(payload: bytes):
+    """(software, comment) provenance strings from any container that
+    records them — the curation signal that flags synthetic/generated
+    images (generators stamp themselves into exactly these fields) and
+    editing-tool provenance:
+
+    * PNG: ``tEXt`` (latin-1 ``keyword\\0text``), ``zTXt`` (zlib,
+      bomb-bounded), and uncompressed ``iTXt`` — keywords Software /
+      Comment / Description;
+    * JPEG: the ``COM`` segment (comment) and the EXIF Software tag
+      (305) via the APP1 block;
+    * TIFF / WebP: tag 305 from the EXIF structure.
+
+    None when the payload records neither field; fields are
+    independently None. First occurrence wins per field."""
+    import struct
+    import zlib
+
+    software = comment = None
+    if payload[:8] == _PNG_SIG:
+        pos = 8
+        while pos + 8 <= len(payload):
+            ln, typ = struct.unpack_from(">I4s", payload, pos)
+            body = payload[pos + 8 : pos + 8 + ln]
+            if len(body) < ln:
+                break
+            key = text = None
+            if typ == b"tEXt" and b"\x00" in body:
+                key_b, text_b = body.split(b"\x00", 1)
+                key, text = key_b.decode("latin-1"), text_b.decode(
+                    "latin-1"
+                )
+            elif typ == b"zTXt" and b"\x00" in body:
+                key_b, rest = body.split(b"\x00", 1)
+                if len(rest) >= 1 and rest[0] == 0:
+                    try:
+                        text_b = zlib.decompress(rest[1:], bufsize=1 << 16)
+                        if len(text_b) <= 1 << 20:
+                            key = key_b.decode("latin-1")
+                            text = text_b.decode("latin-1")
+                    except zlib.error:
+                        pass
+            elif typ == b"iTXt":
+                # keyword\0 flag(1) method(1) lang\0 translated\0 text
+                n1 = body.find(b"\x00")
+                if n1 >= 0 and len(body) >= n1 + 3 and body[n1 + 1] == 0:
+                    rest = body[n1 + 3 :]
+                    n2 = rest.find(b"\x00")
+                    n3 = rest.find(b"\x00", n2 + 1) if n2 >= 0 else -1
+                    if n3 >= 0:
+                        key = body[:n1].decode("latin-1")
+                        text = rest[n3 + 1 :].decode(
+                            "utf-8", errors="replace"
+                        )
+            if key is not None and text is not None:
+                if key == "Software" and software is None:
+                    software = text
+                elif key in ("Comment", "Description") and comment is None:
+                    comment = text
+            if typ == b"IEND":
+                break
+            pos += 12 + ln
+    elif payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                if marker in (0xD9, 0xDA):
+                    break
+                pos += 2
+                continue
+            seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+            if seglen < 2:
+                break
+            seg = payload[pos + 4 : pos + 2 + seglen]
+            if marker == 0xFE and comment is None:
+                comment = seg.decode("latin-1")
+            if marker == 0xDA:
+                break
+            pos += 2 + seglen
+    if software is None:
+        tiff = _exif_tiff_blob(payload)
+        if tiff:
+            tags = _exif_tags(tiff)
+            if tags:
+                v = tags.get(305)  # Software
+                if isinstance(v, str):
+                    software = v
+    if software is None and comment is None:
+        return None
+    return (software, comment)
+
+
+def extract_image_provenance(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, kind, software, comment) per media row — kind='tagged'
+    when either field parses, 'none' otherwise, 'null' for NULL
+    payloads. The generated-image triage face: group by software to
+    see which generators/editors dominate a crawl and cap or route
+    them."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, kind string, software string, "
+        "comment string"
+    )
+
+    def prov_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[content_col]:
+                if b is None:
+                    rows.append(("null", None, None))
+                    continue
+                got = image_provenance(bytes(b))
+                rows.append(
+                    ("none", None, None) if got is None
+                    else ("tagged",) + got
+                )
+            out = pd.DataFrame(
+                rows, columns=("kind", "software", "comment")
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(prov_batches, schema=out_schema)
+
+
 def exif_gps(payload: bytes):
     """GPS position from the EXIF GPS IFD (tag 34853) in any carrying
     container: ``(lat_micro_deg, lon_micro_deg, alt_milli_m)`` as

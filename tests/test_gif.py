@@ -482,9 +482,14 @@ class TestDecoderCrashRobustness:
         from lotad_spark.pipeline.pdf import pdf_text_pages
 
         rng = np.random.RandomState(7)
+        from lotad_spark.pipeline.multimodal import (
+            exif_gps,
+            image_provenance,
+        )
+
         fns = (decode_pixels, decode_audio, decode_video_frames,
                _headers_decode, exif_metadata, pdf_text_pages,
-               classify_decode_tier)
+               classify_decode_tier, exif_gps, image_provenance)
         for name, p in self._payloads().items():
             for k in range(len(p)):  # every truncation point
                 t = p[:k]

@@ -1868,3 +1868,64 @@ class TestVideoStats:
         # timing) and non-media is honest bytes
         assert got[2].kind == "bytes" and got[2].n_frames is None
         assert got[3].kind == "null"
+
+
+class TestImageProvenance:
+    """image_provenance (r16): chunk/segment parsing across the five
+    carrying forms, malformed robustness, kind contract."""
+
+    def test_fixture_forms(self):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import image_provenance
+
+        for did in range(25):
+            got = image_provenance(entry._provenance_container(did))
+            if did % 7 == 3:
+                assert got is None
+                continue
+            sw = f"gen-{did % 4}/1.{did % 3}"
+            cm = f"c {did % 11}"
+            want = {
+                0: (sw, cm), 1: (sw, cm), 2: (sw, None),
+                3: (None, cm), 4: (sw, None),
+            }[did % 5]
+            assert got == want, did
+
+    def test_malformed_never_raises(self):
+        import numpy as np
+
+        from lotad_spark.pipeline.multimodal import image_provenance
+
+        rng = np.random.RandomState(3)
+        import __spark_entry__ as entry
+
+        for did in (0, 1, 2, 3, 4):
+            p = entry._provenance_container(did)
+            for k in range(0, len(p), 3):  # truncations
+                image_provenance(p[:k])
+            for _ in range(30):  # byte flips
+                b = bytearray(p)
+                b[rng.randint(0, len(b))] = rng.randint(0, 256)
+                image_provenance(bytes(b))
+
+    def test_spark_operator(self, spark):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import (
+            extract_image_provenance,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (0, bytearray(entry._provenance_container(0))),
+                (3, bytearray(entry._provenance_container(3))),
+                (9, None),
+            ],
+            "media_id bigint, content binary",
+        )
+        got = {
+            r.media_id: r
+            for r in extract_image_provenance(df).collect()
+        }
+        assert got[0].kind == "tagged" and got[0].software == "gen-0/1.0"
+        assert got[3].kind == "none"
+        assert got[9].kind == "null"
