@@ -1844,9 +1844,19 @@ def image_provenance(payload: bytes):
             elif typ == b"zTXt" and b"\x00" in body:
                 key_b, rest = body.split(b"\x00", 1)
                 if len(rest) >= 1 and rest[0] == 0:
+                    # Incremental-budget inflate: a few-KB chunk can claim
+                    # GBs of output, so cap BEFORE allocating — ask for at
+                    # most limit+1 bytes and treat an over-limit or
+                    # truncated stream as untagged (the PDF Flate
+                    # discipline).
                     try:
-                        text_b = zlib.decompress(rest[1:], bufsize=1 << 16)
-                        if len(text_b) <= 1 << 20:
+                        dec = zlib.decompressobj()
+                        text_b = dec.decompress(rest[1:], (1 << 20) + 1)
+                        if (
+                            len(text_b) <= 1 << 20
+                            and not dec.unconsumed_tail
+                            and dec.eof
+                        ):
                             key = key_b.decode("latin-1")
                             text = text_b.decode("latin-1")
                     except zlib.error:
@@ -2776,6 +2786,24 @@ def decode_audio(payload: bytes):
     return (rate, samples)
 
 
+def _pcm_energy(flat, block: int = 1 << 24) -> int:
+    """Exact Σ s² over a flat int64 PCM sample array as a Python int.
+
+    Per-sample s² ≤ 2³⁰ for 16-bit PCM, so a 2²⁴-element block dot
+    product stays ≤ 2⁵⁴ — safe in int64 — and accumulating the block
+    sums in a Python int keeps the result exact for arbitrarily long
+    audio (a whole-array int64 sum wraps silently past ~8.6e9
+    samples). ``block`` exists for tests; callers use the default."""
+    import numpy as np
+
+    return sum(
+        int(np.dot(blk, blk))
+        for blk in (
+            flat[i : i + block] for i in range(0, flat.size, block)
+        )
+    )
+
+
 def audio_stats(
     df: DataFrame,
     content_col: str = "content",
@@ -2817,6 +2845,11 @@ def audio_stats(
                 rate, samples = dec
                 s = samples.astype(np.int64)
                 n_frames = int(s.shape[0])
+                energy = _pcm_energy(s.ravel())
+                if energy > (1 << 63) - 1:
+                    # Exact value doesn't fit the bigint column: NULL
+                    # (loud absence) beats a silently wrapped number.
+                    energy = None
                 rows.append(
                     (
                         "pcm",
@@ -2825,7 +2858,7 @@ def audio_stats(
                         n_frames,
                         n_frames * 1000 // rate if rate else None,
                         int(np.abs(s).max()) if s.size else 0,
-                        int((s * s).sum()),
+                        energy,
                     )
                 )
             out = pd.DataFrame(

@@ -586,19 +586,39 @@ class _Document:
         XRef-stream dict (/Type /XRef, where xref-stream writers put
         /Info) as the fallback. Trailer keywords inside stream bodies
         are ignored via the recorded stream extents — the same
-        no-reading-payload-bytes rule as object discovery."""
+        no-reading-payload-bytes rule as object discovery. The keyword
+        must start a line (ISO 32000 §7.5.5 puts ``trailer`` on its own
+        line after the xref table), so ``trailer <<...>>`` embedded
+        mid-line in a literal string or comment can't parse as a later
+        trailer and override the real /Info; and when the last
+        ``startxref`` pointer is parseable, trailers at or after the
+        xref section it points to are preferred over earlier ones
+        (a string spoof would also need to sit past the live xref
+        offset to win)."""
         data = self.data
-        info_ref = None
-        for m in re.finditer(rb"trailer", data):
+        # the offset the last startxref points at (the live xref
+        # section; its trailer follows it) — None when absent/garbled
+        xref_off = None
+        for m in re.finditer(rb"startxref[ \t]*\r?\n?[ \t]*(\d+)", data):
+            if not any(
+                s <= m.start() < e for s, e in self._stream_spans
+            ):
+                xref_off = int(m.group(1))
+        best = best_after_xref = None
+        for m in re.finditer(rb"(?:^|[\r\n])[ \t]*trailer\b", data):
+            kw_start = m.start() + (data[m.start()] in b"\r\n")
             pos = m.end()
-            if any(s <= m.start() < e for s, e in self._stream_spans):
+            if any(s <= kw_start < e for s, e in self._stream_spans):
                 continue
             try:
                 val, _ = _parse_value(data, _skip_ws(data, pos))
             except _PdfError:
                 continue
             if isinstance(val, dict) and "Info" in val:
-                info_ref = val["Info"]
+                best = val["Info"]
+                if xref_off is not None and kw_start >= xref_off:
+                    best_after_xref = val["Info"]
+        info_ref = best_after_xref if best_after_xref is not None else best
         if info_ref is None:
             for d, _s in self.streams.values():
                 if (

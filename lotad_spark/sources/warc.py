@@ -172,6 +172,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     content_type, content) per WARC record under ``path`` — plain or
     per-record-gzip ``.warc.gz`` (sniffed by magic bytes, not
     extension)."""
+    ensure_cjk_decode_confs(spark)
     raw = (
         spark.read.format("binaryFile")
         .load(path)
@@ -288,9 +289,45 @@ _JVM_CHARSET_FAMILIES = (
          "cseuckr", "windows-949", "cp949"),
         "x-windows-949",
     ),
-    (("big5", "cn-big5", "csbig5", "x-x-big5"), "Big5"),
-    (("big5-hkscs",), "Big5-HKSCS"),
+    # WHATWG's big5 index folds in the HKSCS extensions, so the plain
+    # big5 label family routes through Java's Big5-HKSCS superset
+    # decoder (r17 — previously plain Big5, which turned HKSCS-only
+    # codepoints into U+FFFD; Big5-HKSCS decodes the common Big5 range
+    # identically and adds the HKSCS planes, strictly closer to the
+    # WHATWG index).
+    (("big5", "cn-big5", "csbig5", "x-x-big5", "big5-hkscs"),
+     "Big5-HKSCS"),
 )
+
+# The two runtime confs the JVM-charset decode path requires.
+# javaCharsets opens decode() to the full JVM charset set (else the
+# CJK names above fail analysis with Spark's INVALID_PARAMETER_VALUE.
+# CHARSET — loud); codingErrorAction=true replaces malformed sequences
+# with U+FFFD, the WHATWG rule (else one mojibake page fails the task
+# with MALFORMED_CHARACTER_CODING — also loud). Both failure modes are
+# errors, never silently different text. The softened error action is
+# session-global: every decode() in the session gets U+FFFD-on-
+# malformed while set. Within this library that is inert — all other
+# decode() sites use ISO-8859-1, a total decoding with no malformed
+# sequences — but sessions mixing in their own decode() calls should
+# know (hence the name appearing in get_spark()'s conf block too).
+_CJK_DECODE_CONFS = (
+    ("spark.sql.legacy.javaCharsets", "true"),
+    ("spark.sql.legacy.codingErrorAction", "true"),
+)
+
+
+def ensure_cjk_decode_confs(spark: SparkSession) -> None:
+    """(Re-)assert the two runtime confs the CJK decode path needs.
+
+    Called at every plan-build entry point (``read_warc``/``read_wet``/
+    ``read_wat``/``warc_http_text``) rather than only once, so a session
+    whose confs were reset between builds gets them re-pinned by the
+    next build. A plan built BEFORE a reset and executed after still
+    fails loudly Spark-side (see ``_CJK_DECODE_CONFS``) — re-run
+    ``warc_http_text`` after any conf reset."""
+    for k, v in _CJK_DECODE_CONFS:
+        spark.conf.set(k, v)
 
 
 def warc_http_text(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -321,14 +358,15 @@ def warc_http_text(df: DataFrame, content_col: str = "content") -> DataFrame:
     with U+FFFD; everything else, including absent/UTF-8/unsupported
     labels, is Spark's non-validating binary→string UTF-8 reinterpret,
     byte-faithful rather than U+FFFD-replacing. Pure JVM expressions —
-    one projection, no UDF. Side effect: sets the two legacy session
-    flags the JVM-charset decode path needs (they only WIDEN decode()
-    label acceptance and soften malformed bytes to U+FFFD; nothing
-    else in the plan library calls decode() on possibly-malformed
-    input)."""
+    one projection, no UDF. Side effect: (re-)asserts the two legacy
+    session flags the JVM-charset decode path needs (see
+    ``ensure_cjk_decode_confs`` — they only WIDEN decode() label
+    acceptance and soften malformed bytes to U+FFFD session-wide;
+    nothing else in this library calls decode() on possibly-malformed
+    input, and if a user resets them between build and execution the
+    plan fails loudly Spark-side rather than decoding differently)."""
     spark = df.sparkSession
-    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
-    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
+    ensure_cjk_decode_confs(spark)
     bin_c = F.col(content_col)
     peel = F.decode(bin_c, "ISO-8859-1")
     is_http = peel.startswith("HTTP/")

@@ -712,3 +712,49 @@ class TestInfoMetadata:
         assert got[1].subject is None
         assert got[2].kind == "bytes" and got[2].title is None
         assert got[3].kind == "null"
+
+
+class TestTrailerAnchoring:
+    """r17 advice fix: a `trailer <<...>>` embedded mid-line in a
+    literal string (or comment) must not parse as a later trailer and
+    override the real /Info — the keyword is line-anchored per ISO
+    32000 §7.5.5."""
+
+    def _with_info(self, info_body: bytes) -> bytes:
+        objs = {**BASE, 4: content_obj(b"BT (x) Tj ET"), 7: info_body}
+        pdf = build_pdf(objs)
+        return pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Info 7 0 R")
+
+    def test_midline_string_spoof_ignored(self):
+        from lotad_spark.pipeline.pdf import pdf_info_fields
+
+        pdf = self._with_info(b"<< /Title (real) >>")
+        # appended AFTER the real trailer, so under the old unanchored
+        # last-match-wins scan the spoof parsed and won
+        pdf += (
+            b"9 0 obj\n<< /Title (fake) >>\nendobj\n"
+            b"11 0 obj\n<< /T (x trailer << /Info 9 0 R >> y) >>\n"
+            b"endobj\n"
+        )
+        assert pdf_info_fields(pdf)[0] == "real"
+
+    def test_comment_spoof_ignored(self):
+        from lotad_spark.pipeline.pdf import pdf_info_fields
+
+        pdf = self._with_info(b"<< /Title (real) >>")
+        pdf += (
+            b"9 0 obj\n<< /Title (fake) >>\nendobj\n"
+            b"% note: trailer << /Info 9 0 R >>\n"
+        )
+        assert pdf_info_fields(pdf)[0] == "real"
+
+    def test_line_anchored_incremental_update_still_wins(self):
+        from lotad_spark.pipeline.pdf import pdf_info_fields
+
+        pdf = self._with_info(b"<< /Title (old) >>")
+        pdf += (
+            b"8 0 obj\n<< /Title (new) >>\nendobj\n"
+            b"trailer\n<< /Size 9 /Root 1 0 R /Info 8 0 R >>\n"
+            b"startxref\n0\n%%EOF\n"
+        )
+        assert pdf_info_fields(pdf)[0] == "new"

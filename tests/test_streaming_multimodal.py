@@ -1929,3 +1929,76 @@ class TestImageProvenance:
         assert got[0].kind == "tagged" and got[0].software == "gen-0/1.0"
         assert got[3].kind == "none"
         assert got[9].kind == "null"
+
+
+class TestAdviceRegressionsR17:
+    """r17 advice fixes: zTXt inflate budget, energy exactness."""
+
+    @staticmethod
+    def _png(*chunks):
+        import struct
+
+        out = [b"\x89PNG\r\n\x1a\n"]
+        for typ, body in chunks:
+            out.append(
+                struct.pack(">I", len(body)) + typ + body + b"\0" * 4
+            )
+        return b"".join(out)
+
+    def test_ztxt_bomb_is_untagged_not_inflated(self):
+        import zlib
+
+        from lotad_spark.pipeline.multimodal import image_provenance
+
+        # a few-KB chunk claiming 64 MB of output: must come back
+        # untagged without allocating past the 1 MB budget (the
+        # decompressobj max_length cap — the old bufsize arg was only
+        # an initial size, not a cap)
+        bomb = zlib.compress(b"\x00" * (64 << 20), 9)
+        assert len(bomb) < 100_000
+        png = self._png(
+            (b"zTXt", b"Comment\x00\x00" + bomb),
+            (b"IEND", b""),
+        )
+        assert image_provenance(png) is None
+
+    def test_ztxt_small_still_decodes(self):
+        import zlib
+
+        from lotad_spark.pipeline.multimodal import image_provenance
+
+        png = self._png(
+            (b"zTXt", b"Software\x00\x00" + zlib.compress(b"genX")),
+            (b"IEND", b""),
+        )
+        assert image_provenance(png) == ("genX", None)
+
+    def test_ztxt_truncated_stream_untagged(self):
+        import zlib
+
+        from lotad_spark.pipeline.multimodal import image_provenance
+
+        cut = zlib.compress(b"hello world" * 10)[:-4]
+        png = self._png(
+            (b"zTXt", b"Software\x00\x00" + cut),
+            (b"IEND", b""),
+        )
+        assert image_provenance(png) is None
+
+    def test_pcm_energy_blockwise_python_int(self):
+        import numpy as np
+
+        from lotad_spark.pipeline.multimodal import _pcm_energy
+
+        # in-domain samples (|s| ≤ 2^15, the 16-bit PCM bound) with a
+        # tiny block size force MANY per-block int64 dot products whose
+        # totals combine in a Python int — the accumulation path that
+        # replaces the silently-wrapping whole-array int64 sum
+        flat = np.full(1001, -(1 << 15), dtype=np.int64)
+        want = 1001 * (1 << 30)
+        got = _pcm_energy(flat, block=4)
+        assert got == want and type(got) is int
+        assert _pcm_energy(flat) == want  # default block, same answer
+        assert _pcm_energy(np.array([], dtype=np.int64)) == 0
+        # exactness across an uneven final block
+        assert _pcm_energy(np.full(7, 3, dtype=np.int64), block=3) == 63

@@ -404,3 +404,26 @@ class TestWat:
             ("https://x.com/a", "/img.png", "IMG@/src"),
             ("https://x.com/a", "https://y.com/1", "A@/href"),
         ]
+
+
+class TestCjkConfReassert:
+    """r17 advice fix: the two legacy decode confs are re-asserted at
+    every plan-build entry point, so a session whose confs were reset
+    between builds gets them re-pinned by the next build."""
+
+    def test_http_text_repins_confs(self, spark):
+        from lotad_spark.sources.warc import warc_http_text
+
+        spark.conf.set("spark.sql.legacy.javaCharsets", "false")
+        spark.conf.set("spark.sql.legacy.codingErrorAction", "false")
+        df = spark.createDataFrame(
+            [(bytearray(b"HTTP/1.1 200 OK\r\n\r\nhi"),)],
+            "content binary",
+        )
+        out = warc_http_text(df)
+        assert spark.conf.get("spark.sql.legacy.javaCharsets") == "true"
+        assert (
+            spark.conf.get("spark.sql.legacy.codingErrorAction")
+            == "true"
+        )
+        assert out.collect()[0].body == "hi"
