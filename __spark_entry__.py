@@ -384,7 +384,11 @@ _HTML_PARTS = (
     '<html lang="en-US"><head><title>Doc ',
     None,  # doc_id
     '</title><meta charset="utf-8">'
-    '<meta name="description" content="Summary &amp; notes for doc ',
+    # r17 canonical fixture: the URL varies by doc_id so the checked
+    # row value-checks the extraction, and it feeds url_dedup directly
+    '<link rel="canonical" href="https://example.com/canon/',
+    None,  # doc_id
+    '"><meta name="description" content="Summary &amp; notes for doc ',
     None,  # doc_id
     '"><style>p { color: #333; }</style>'
     '<script type="text/javascript">var x = 1 < 2; '
@@ -433,6 +437,23 @@ def _doc_html_frame(spark, sf_dir):
         else:
             cols.append(F.lit(part))
     return d.select("doc_id", F.concat(*cols).alias("html"))
+
+
+def _doc_html_py(doc_id: int, text: str | None) -> str:
+    """Driver-side Python render of the SAME ``_HTML_PARTS`` template —
+    byte-identical to ``_doc_html_frame``'s Catalyst concat by
+    construction (pinned in tests/test_entry_oracles.py), so fixture
+    synthesis that already runs a driver loop (the WARC writer) can
+    render without paying the expression-template analysis."""
+    out = []
+    for part in _HTML_PARTS:
+        if part is None:
+            out.append(str(doc_id))
+        elif part == "TEXT":
+            out.append(text or "")
+        else:
+            out.append(part)
+    return "".join(out)
 
 
 def _html_build_sql() -> str:
@@ -562,7 +583,13 @@ _CJK_WARC = (
     ("euc-jp", "euc_jp", "こんにちは、世界。漢字かな混在。"),
     ("gb2312", "gbk", "中文文本,简体测试。"),
     ("euc-kr", "cp949", "한국어 텍스트 예시입니다."),
-    ("big5", "big5", "中文測試,繁體字樣。"),
+    # r17: the big5 label routes through Java's Big5-HKSCS superset
+    # decoder, so the phrase carries five HKSCS-only Cantonese chars
+    # (哋嘅嘢喺咗) that plain Big5 turned into U+FFFD — the closed
+    # divergence is IN the checked row. Python's big5hkscs codec
+    # round-trips these bytes identically to the JVM decoder
+    # (verified; pinned in tests/test_warc.py).
+    ("big5", "big5hkscs", "廣東話測試:佢哋嘅嘢喺咗度。繁體字樣。"),
 )
 
 
@@ -680,7 +707,11 @@ def _html_meta_sql() -> str:
         + ex(pats["lang"]) + " AS lang, "
         + ex(pats["charset"]) + " AS charset, "
         + "coalesce(" + ex(pats["description"]) + ", "
-        + ex(pats["description_sq"]) + ") AS description "
+        + ex(pats["description_sq"]) + ") AS description, "
+        + "coalesce(" + ex(pats["canonical"]) + ", "
+        + ex(pats["canonical_sq"]) + ", "
+        + ex(pats["canonical_hf"]) + ", "
+        + ex(pats["canonical_hf_sq"]) + ") AS canonical "
         + "FROM (" + _html_build_sql() + ")"
     )
 
@@ -785,12 +816,15 @@ def q_warc_ingest(spark, sf_dir):
     )
 
     docs = sorted(
-        _doc_html_frame(spark, sf_dir).collect(), key=lambda r: r.doc_id
+        _t(spark, sf_dir, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r.doc_id,
     )
     d = _scratch("lotad_warc_")
     recs = []
-    for r in docs:
-        uri = f"https://example.com/doc/{r.doc_id}"
+    for raw in docs:
+        doc_id = raw.doc_id
+        doc_html = _doc_html_py(doc_id, raw.text)
+        uri = f"https://example.com/doc/{doc_id}"
         # exercise the charset decode and the envelope-separator
         # fallbacks IN the checked row: every 3rd cp1252-encodable doc
         # ships as windows-1252 bytes (decode-back == the template
@@ -802,13 +836,13 @@ def q_warc_ingest(spark, sf_dir):
         # non-encodable docs fall back to label-less UTF-8 bytes of
         # the SAME injected html, so the oracle injects
         # unconditionally)
-        if r.doc_id % 7 == 0:
+        if doc_id % 7 == 0:
             nl, blank = "\n", "\r\n"
-        elif r.doc_id % 5 == 0:
+        elif doc_id % 5 == 0:
             nl, blank = "\n", "\n"
         else:
             nl, blank = "\r\n", "\r\n"
-        html, cjk_label, cjk_codec = _warc_inject_cjk(r.doc_id, r.html)
+        html, cjk_label, cjk_codec = _warc_inject_cjk(doc_id, doc_html)
         if cjk_label:
             try:
                 recs.append(
@@ -825,7 +859,7 @@ def q_warc_ingest(spark, sf_dir):
                     (uri, "text/html", html.encode("utf-8"), nl, blank)
                 )
             continue
-        if r.doc_id % 3 == 0:
+        if doc_id % 3 == 0:
             try:
                 recs.append(
                     (

@@ -322,6 +322,30 @@ HTML_META_PATTERNS: tuple[tuple[str, str], ...] = (
         "(?is)<meta[^>]*name[ \\t]*=[ \\t]*[\"']?description[\"']?"
         "[^>]*content[ \\t]*=[ \\t]*'([^']*)'",
     ),
+    # rel=canonical (r17): the canonical URL feeds url_dedup directly —
+    # the crawl-dedup join real pipelines run first. Four patterns:
+    # rel-before-href and href-before-rel, each in both quote styles
+    # (same no-backreference rule as description).
+    (
+        "canonical",
+        "(?is)<link[^>]*rel[ \\t]*=[ \\t]*[\"']?canonical[\"']?"
+        "[^>]*href[ \\t]*=[ \\t]*\"([^\"]*)\"",
+    ),
+    (
+        "canonical_sq",
+        "(?is)<link[^>]*rel[ \\t]*=[ \\t]*[\"']?canonical[\"']?"
+        "[^>]*href[ \\t]*=[ \\t]*'([^']*)'",
+    ),
+    (
+        "canonical_hf",
+        "(?is)<link[^>]*href[ \\t]*=[ \\t]*\"([^\"]*)\""
+        "[^>]*rel[ \\t]*=[ \\t]*[\"']?canonical",
+    ),
+    (
+        "canonical_hf_sq",
+        "(?is)<link[^>]*href[ \\t]*=[ \\t]*'([^']*)'"
+        "[^>]*rel[ \\t]*=[ \\t]*[\"']?canonical",
+    ),
 )
 
 
@@ -331,12 +355,14 @@ def html_meta(
     *,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, title, lang, charset, description) per page — the head
-    metadata a curation pipeline filters and stratifies on (declared
-    language before n-gram lang-id, charset cross-checks against the
-    HTTP envelope, title/description for dedup and quality signals).
-    Absent fields are NULL (``nullif`` of the engines' empty-match
-    convention). One JVM projection, zero UDFs, zero exchanges."""
+    """(id, title, lang, charset, description, canonical) per page —
+    the head metadata a curation pipeline filters and stratifies on
+    (declared language before n-gram lang-id, charset cross-checks
+    against the HTTP envelope, title/description for dedup and quality
+    signals, rel=canonical feeding url_dedup — the crawl-dedup join
+    real pipelines run first). Absent fields are NULL (``nullif`` of
+    the engines' empty-match convention). One JVM projection, zero
+    UDFs, zero exchanges."""
     pats = dict(HTML_META_PATTERNS)
     h = F.col(html_col)
 
@@ -351,6 +377,12 @@ def html_meta(
         F.coalesce(
             ex(pats["description"]), ex(pats["description_sq"])
         ).alias("description"),
+        F.coalesce(
+            ex(pats["canonical"]),
+            ex(pats["canonical_sq"]),
+            ex(pats["canonical_hf"]),
+            ex(pats["canonical_hf_sq"]),
+        ).alias("canonical"),
     )
 
 

@@ -134,3 +134,51 @@ class TestFileScanOracle:
         assert f"% {spec['drop_mod']} != 0" in sql
         assert spec["prefix"] in sql
         assert ("c_acctbal" in sql) == spec["double"]
+
+
+class TestHtmlTemplateParity:
+    def test_python_render_matches_catalyst(self, spark):
+        """_doc_html_py (r17, the WARC-fixture render) must stay
+        byte-identical to _doc_html_frame's Catalyst concat — the
+        DuckDB oracle replays the same _HTML_PARTS, so a divergence
+        here silently splits fixture from oracle."""
+        sf = "/root/testdata/sf0.001"
+        frame = {
+            r.doc_id: r.html
+            for r in entry._doc_html_frame(spark, sf).collect()
+        }
+        docs = (
+            entry._t(spark, sf, "documents")
+            .select("doc_id", "text")
+            .collect()
+        )
+        assert len(docs) == len(frame)
+        for r in docs:
+            assert entry._doc_html_py(r.doc_id, r.text) == frame[r.doc_id]
+
+    def test_cjk_warc_phrases_roundtrip(self):
+        """Every _CJK_WARC phrase must survive its Python codec
+        round-trip (the oracle replay depends on decode-back ==
+        injected template); the big5 phrase must carry HKSCS-only
+        chars so the r17 Big5-HKSCS routing is in the checked row."""
+        for label, codec, phrase in entry._CJK_WARC:
+            assert phrase.encode(codec).decode(codec) == phrase, label
+        big5 = dict(
+            (label, (codec, phrase))
+            for label, codec, phrase in entry._CJK_WARC
+        )["big5"]
+        assert big5[0] == "big5hkscs"
+        hkscs_only = [
+            ch
+            for ch in big5[1]
+            if not _encodable(ch, "big5")
+        ]
+        assert len(hkscs_only) >= 3, hkscs_only
+
+
+def _encodable(ch: str, codec: str) -> bool:
+    try:
+        ch.encode(codec)
+        return True
+    except UnicodeEncodeError:
+        return False

@@ -233,7 +233,11 @@ class TestWarcSpark:
             ("gb18030", "gb18030", "𠀀扩展平面"),  # 4-byte form
             ("euc-kr", "cp949", "한국어 텍스트 예시입니다."),
             ("korean", "cp949", "별칭 라벨"),  # alias
-            ("big5", "big5", "中文測試,繁體字樣。"),
+            # r17: the big5 label routes through Big5-HKSCS — plain
+            # Big5 text still decodes identically (superset), and
+            # HKSCS-only Cantonese chars now decode instead of U+FFFD
+            ("big5", "big5hkscs", "中文測試,繁體字樣。"),
+            ("big5", "big5hkscs", "佢哋嘅嘢喺咗度。"),
         ]
         recs = [
             (

@@ -692,7 +692,34 @@ class TestHtmlMetaAndAnchors:
         # absent fields are NULL, not ''
         assert got[2].title is None and got[2].lang is None
         assert got[2].charset is None and got[2].description is None
+        assert got[2].canonical is None
         assert got[3].title is None
+
+    def test_canonical_forms(self, spark):
+        from lotad_spark.pipeline.web import html_meta
+
+        wrap = "<html><head>%s</head><body>x</body></html>"
+        df = spark.createDataFrame(
+            [
+                (1, wrap % '<link rel="canonical" '
+                           'href="https://c.com/1">'),
+                (2, wrap % "<link rel='canonical' "
+                           "href='https://c.com/2'>"),
+                # href before rel (real pages emit both orders)
+                (3, wrap % '<link href="https://c.com/3" '
+                           'rel="canonical">'),
+                (4, wrap % "<link href='https://c.com/4' "
+                           "rel=canonical>"),
+                # a non-canonical link must not match
+                (5, wrap % '<link rel="stylesheet" href="/s.css">'),
+            ],
+            "doc_id bigint, html string",
+        )
+        got = {r.doc_id: r.canonical for r in html_meta(df).collect()}
+        assert got == {
+            1: "https://c.com/1", 2: "https://c.com/2",
+            3: "https://c.com/3", 4: "https://c.com/4", 5: None,
+        }
 
     def test_anchor_pairs(self, spark):
         from lotad_spark.pipeline.web import html_anchors
