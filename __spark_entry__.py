@@ -3083,37 +3083,91 @@ def q_multimodal_jpeg_progressive_hist(spark, sf_dir):
     )
 
 
-def _doc_wav_media(spark, sf_dir):
-    """Each doc as a VALID 16-bit mono PCM WAV whose data bytes are the
+def _wav_payload(did: int, text) -> bytes:
+    """One doc as a VALID 16-bit mono PCM WAV whose data bytes are the
     doc's text rpad/truncated to 2·n_frames bytes (n_frames derived
-    from doc_id) — built in an Arrow mapInPandas stage; the SQL oracle
-    indexes the SAME text bytes as little-endian sample pairs, so the
-    RIFF chunk walk + PCM decode is value-checked byte for byte."""
+    from doc_id); the SQL oracle indexes the SAME text bytes as
+    little-endian sample pairs, so the RIFF chunk walk + PCM decode is
+    value-checked byte for byte."""
+    import struct
+
+    n_frames = (did % 5 + 2) * 4
+    need = n_frames * 2
+    data = (text or "").encode("utf-8")[:need].ljust(need, b"x")
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return (
+        b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    )
+
+
+def _mp3_payload(did: int) -> bytes:
+    """One doc as a VALID MPEG1 Layer III stream (r17): 128 kbps
+    (index 9) at 32000 Hz (index 2) gives EXACT 576-byte frames
+    (144·128000/32000), so the header walk's arithmetic is pure
+    doc_id math: did%4+2 frames → 1152·(did%4+2) sample frames,
+    duration 36·(did%4+2) ms. Channel mode cycles mono/stereo on
+    (did//6)%2; every (did//6)%3==1 doc carries an ID3v2 tag of
+    varying syncsafe size (the skip path), every (did//6)%2==1 a
+    trailing ID3v1 'TAG' block (the stop-at-garbage path)."""
+    nf = did % 4 + 2
+    mono = (did // 6) % 2 == 0
+    b3 = (9 << 4) | (2 << 2)
+    frame = bytes([0xFF, 0xFB, b3, 0xC0 if mono else 0x00])
+    frame += bytes((did + i) % 256 for i in range(576 - 4))
+    out = b""
+    if (did // 6) % 3 == 1:
+        sz = did % 30 + 10
+        out += (
+            b"ID3\x04\x00\x00"
+            + bytes([0, 0, sz >> 7, sz & 0x7F])
+            + b"\x00" * sz
+        )
+    out += frame * nf
+    if (did // 6) % 2 == 1:
+        out += b"TAG" + b"v" * 125
+    return out
+
+
+def _doc_wav_media(spark, sf_dir):
+    """Every doc as the :func:`_wav_payload` WAV — the audio-hist
+    fixture (all-PCM by design: the hist row pins kind='pcm' for every
+    row)."""
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
     def build(batches):
-        import struct
-
         for pdf in batches:
-            payloads = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                did = int(did)
-                n_frames = (did % 5 + 2) * 4
-                need = n_frames * 2
-                data = (text or "").encode("utf-8")[:need].ljust(
-                    need, b"x"
-                )
-                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
-                chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
-                chunks += b"data" + struct.pack("<I", len(data)) + data
-                payloads.append(
-                    b"RIFF"
-                    + struct.pack("<I", 4 + len(chunks))
-                    + b"WAVE"
-                    + chunks
-                )
+            payloads = [
+                _wav_payload(int(did), text)
+                for did, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pdf.assign(content=payloads)[["doc_id", "content"]].rename(
+                columns={"doc_id": "media_id"}
+            )
+
+    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def _doc_audio_media(spark, sf_dir):
+    """The audio_stats fixture (r17): every ``doc_id % 6 == 5`` doc is
+    the :func:`_mp3_payload` MPEG stream (header-walk face), the rest
+    the :func:`_wav_payload` PCM WAV (full-decode face) — both
+    container kinds cycle IN the checked row."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = [
+                _mp3_payload(int(did))
+                if int(did) % 6 == 5
+                else _wav_payload(int(did), text)
+                for did, text in zip(pdf["doc_id"], pdf["text"])
+            ]
             yield pdf.assign(content=payloads)[["doc_id", "content"]].rename(
                 columns={"doc_id": "media_id"}
             )
@@ -3144,34 +3198,48 @@ def q_multimodal_audio_hist(spark, sf_dir):
 
 
 def q_audio_stats(spark, sf_dir):
-    """Audio curation stats (multimodal.py audio_stats — NEW r16):
-    duration/peak/energy in exact integer arithmetic over REAL decoded
-    PCM samples (energy = Σ s² is the stored form; RMS needs sqrt, so
-    it derives at display time). Same WAV fixture as the audio-hist
-    row — the oracle re-derives every stat from the text bytes as
-    little-endian signed 16-bit samples."""
+    """Audio curation stats (multimodal.py audio_stats — r16; MP3 face
+    r17): duration/peak/energy in exact integer arithmetic over REAL
+    decoded PCM samples (energy = Σ s² is the stored form; RMS needs
+    sqrt, so it derives at display time), and for every 6th doc an
+    MPEG1 Layer III stream whose duration/rate/channels come off the
+    frame-header walk alone — peak/energy honestly NULL (amplitude
+    needs the DCT synthesis this path refuses to fake). The oracle
+    re-derives the WAV stats from the text bytes as little-endian
+    signed 16-bit samples and the MP3 stats as pure doc_id
+    arithmetic (576-byte frames by construction)."""
     from lotad_spark.pipeline.multimodal import audio_stats
 
-    return audio_stats(_doc_wav_media(spark, sf_dir))
+    return audio_stats(_doc_audio_media(spark, sf_dir))
 
 
 _AUDIO_STATS_SQL = (
-    "WITH base AS (SELECT doc_id AS media_id, "
+    "WITH base AS (SELECT doc_id AS media_id, doc_id AS did, "
     "CAST((doc_id % 5 + 2) * 4 AS BIGINT) AS nf, "
     "rpad(coalesce(text, ''), "
     "CAST((doc_id % 5 + 2) * 4 * 2 AS INT), 'x') AS px FROM documents), "
-    "sl AS (SELECT media_id, nf, list_transform("
+    "sl AS (SELECT media_id, did, nf, list_transform("
     "list_transform(range(0, nf), i -> ord(substr(px, 2 * i + 1, 1)) "
     "+ 256 * ord(substr(px, 2 * i + 2, 1))), "
     "u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS s "
     "FROM base) "
-    "SELECT media_id, 'pcm' AS kind, 8000 AS sample_rate, "
-    "1 AS n_channels, nf AS n_frames, "
-    "CAST(nf * 1000 // 8000 AS BIGINT) AS duration_ms, "
-    "CAST(coalesce(list_aggregate(list_transform(s, x -> abs(x)), "
-    "'max'), 0) AS INT) AS peak_abs, "
-    "CAST(coalesce(list_aggregate(list_transform(s, x -> x * x), "
-    "'sum'), 0) AS BIGINT) AS energy FROM sl"
+    "SELECT media_id, "
+    "CASE WHEN did % 6 = 5 THEN 'mp3' ELSE 'pcm' END AS kind, "
+    "CAST(CASE WHEN did % 6 = 5 THEN 32000 ELSE 8000 END AS INT) "
+    "AS sample_rate, "
+    "CAST(CASE WHEN did % 6 = 5 THEN "
+    "CASE WHEN (did // 6) % 2 = 0 THEN 1 ELSE 2 END "
+    "ELSE 1 END AS INT) AS n_channels, "
+    "CAST(CASE WHEN did % 6 = 5 THEN 1152 * (did % 4 + 2) "
+    "ELSE nf END AS BIGINT) AS n_frames, "
+    "CAST(CASE WHEN did % 6 = 5 THEN 36 * (did % 4 + 2) "
+    "ELSE nf * 1000 // 8000 END AS BIGINT) AS duration_ms, "
+    "CAST(CASE WHEN did % 6 = 5 THEN NULL ELSE "
+    "coalesce(list_aggregate(list_transform(s, x -> abs(x)), "
+    "'max'), 0) END AS INT) AS peak_abs, "
+    "CAST(CASE WHEN did % 6 = 5 THEN NULL ELSE "
+    "coalesce(list_aggregate(list_transform(s, x -> x * x), "
+    "'sum'), 0) END AS BIGINT) AS energy FROM sl"
 )
 
 
@@ -3192,66 +3260,154 @@ _MULTIMODAL_AUDIO_SQL = (
 )
 
 
-def _doc_avi_media(spark, sf_dir):
-    """Each doc as a VALID uncompressed 24-bpp RIFF/AVI whose frame
+def _avi_payload(did: int, text) -> bytes:
+    """One doc as a VALID uncompressed 24-bpp RIFF/AVI whose frame
     rasters are the doc's text rpad/truncated to n_frames·12·h bytes
     (w fixed at 4 so the stride needs no padding; h and n_frames
-    derived from doc_id) — built in an Arrow mapInPandas stage; the
-    SQL oracle indexes the SAME text bytes per sampled frame, so the
-    chunk walk, frame split, BGR ordering, and luma arithmetic are
-    value-checked byte for byte."""
+    derived from doc_id); the SQL oracle indexes the SAME text bytes
+    per sampled frame, so the chunk walk, frame split, BGR ordering,
+    and luma arithmetic are value-checked byte for byte."""
+    import struct
+
+    def chunk(cid, body):
+        return (
+            cid
+            + struct.pack("<I", len(body))
+            + body
+            + (b"\0" if len(body) % 2 else b"")
+        )
+
+    w, h = 4, did % 2 + 1
+    nf = did % 3 + 1
+    per = w * 3 * h
+    data = (text or "").encode("utf-8")[: nf * per].ljust(nf * per, b"x")
+    avih = (
+        struct.pack("<8I", 40000, 0, 0, 0, nf, 0, 1, 0)
+        + struct.pack("<II", w, h)
+        + b"\0" * 16
+    )
+    strf = struct.pack("<IiiHHII", 40, w, h, 1, 24, 0, 0) + b"\0" * 16
+    hdrl = chunk(
+        b"LIST",
+        b"hdrl"
+        + chunk(b"avih", avih)
+        + chunk(b"LIST", b"strl" + chunk(b"strf", strf)),
+    )
+    movi = chunk(
+        b"LIST",
+        b"movi"
+        + b"".join(
+            chunk(b"00db", data[f * per : (f + 1) * per])
+            for f in range(nf)
+        ),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mp4_payload(did: int) -> bytes:
+    """One doc as a VALID header-only ISO-BMFF MP4 (r17): ftyp + moov
+    with mvhd (timescale 1000, duration (did%7+1)·250 → duration_ms is
+    pure doc_id math), a video trak (tkhd 16.16 dims (did%3+2) ×
+    (did%2+2), mdhd timescale 90000, single-entry stts of did%4+2
+    samples at delta 3000 → usec_per_frame 33333 exactly), and on
+    every (did//5)%2==1 doc an AUDIO trak (0×0 tkhd dims) FIRST — the
+    parser must skip it to find the video trak. An empty mdat closes
+    the file."""
+    import struct
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    def full(t, body):
+        return box(t, b"\x00\x00\x00\x00" + body)
+
+    unity = struct.pack(
+        ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+
+    def tkhd(w, h):
+        return full(
+            b"tkhd",
+            struct.pack(">IIIII", 0, 0, 1, 0, 0)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+            + unity
+            + struct.pack(">II", w << 16, h << 16),
+        )
+
+    def trak(w, h, mts, entries):
+        stts = full(
+            b"stts",
+            struct.pack(">I", len(entries))
+            + b"".join(struct.pack(">II", c, d) for c, d in entries),
+        )
+        mdhd = full(
+            b"mdhd",
+            struct.pack(">IIII", 0, 0, mts, 0)
+            + struct.pack(">HH", 0, 0),
+        )
+        return box(
+            b"trak",
+            tkhd(w, h)
+            + box(b"mdia", mdhd + box(b"minf", box(b"stbl", stts))),
+        )
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, 1000, (did % 7 + 1) * 250)
+        + struct.pack(">IHH", 0x10000, 0x100, 0)
+        + b"\x00" * 8
+        + unity
+        + b"\x00" * 24
+        + struct.pack(">I", 3),
+    )
+    video = trak(did % 3 + 2, did % 2 + 2, 90000, [(did % 4 + 2, 3000)])
+    traks = video
+    if (did // 5) % 2 == 1:
+        traks = trak(0, 0, 44100, [(10, 1024)]) + video
+    return ftyp + box(b"moov", mvhd + traks) + box(b"mdat", b"")
+
+
+def _doc_avi_media(spark, sf_dir):
+    """Every doc as the :func:`_avi_payload` AVI — the video-hist and
+    scene-cut fixture (all-AVI by design: those rows pin real frame
+    decode for every row)."""
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
     def build(batches):
-        import struct
-
-        def chunk(cid, body):
-            return (
-                cid
-                + struct.pack("<I", len(body))
-                + body
-                + (b"\0" if len(body) % 2 else b"")
+        for pdf in batches:
+            payloads = [
+                _avi_payload(int(did), text)
+                for did, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pdf.assign(content=payloads)[["doc_id", "content"]].rename(
+                columns={"doc_id": "media_id"}
             )
 
+    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def _doc_video_media(spark, sf_dir):
+    """The video_stats fixture (r17): every ``doc_id % 5 == 2`` doc is
+    the :func:`_mp4_payload` header-only MP4 (box-walk face), the rest
+    the :func:`_avi_payload` AVI (chunk-walk face) — both container
+    kinds cycle IN the checked row."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
         for pdf in batches:
-            payloads = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                did = int(did)
-                w, h = 4, did % 2 + 1
-                nf = did % 3 + 1
-                per = w * 3 * h
-                data = (text or "").encode("utf-8")[: nf * per].ljust(
-                    nf * per, b"x"
-                )
-                avih = (
-                    struct.pack("<8I", 40000, 0, 0, 0, nf, 0, 1, 0)
-                    + struct.pack("<II", w, h)
-                    + b"\0" * 16
-                )
-                strf = (
-                    struct.pack("<IiiHHII", 40, w, h, 1, 24, 0, 0)
-                    + b"\0" * 16
-                )
-                hdrl = chunk(
-                    b"LIST",
-                    b"hdrl"
-                    + chunk(b"avih", avih)
-                    + chunk(b"LIST", b"strl" + chunk(b"strf", strf)),
-                )
-                movi = chunk(
-                    b"LIST",
-                    b"movi"
-                    + b"".join(
-                        chunk(b"00db", data[f * per : (f + 1) * per])
-                        for f in range(nf)
-                    ),
-                )
-                body = b"AVI " + hdrl + movi
-                payloads.append(
-                    b"RIFF" + struct.pack("<I", len(body)) + body
-                )
+            payloads = [
+                _mp4_payload(int(did))
+                if int(did) % 5 == 2
+                else _avi_payload(int(did), text)
+                for did, text in zip(pdf["doc_id"], pdf["text"])
+            ]
             yield pdf.assign(content=payloads)[["doc_id", "content"]].rename(
                 columns={"doc_id": "media_id"}
             )
@@ -3260,24 +3416,35 @@ def _doc_avi_media(spark, sf_dir):
 
 
 def q_video_stats(spark, sf_dir):
-    """Video curation stats (multimodal.py video_stats — NEW r16):
-    width/height/frame-count/frame-timing off the AVI header,
-    duration in exact integer milliseconds — length and frame-rate
-    filters for video corpora. Same AVI fixture as the video-hist
-    row (dwMicroSecPerFrame = 40000); AVI-only by design — GIF
-    timing is per-frame and covered by the scene-cut face."""
+    """Video curation stats (multimodal.py video_stats — r16; MP4 face
+    r17): width/height/frame-count/frame-timing off the container
+    header alone, duration in exact integer milliseconds — length and
+    frame-rate filters for video corpora. Every 5th doc is a
+    header-only ISO-BMFF MP4 (mvhd/tkhd/stts box walk — real crawled
+    video is overwhelmingly MP4; half of them carry an audio trak the
+    parser must skip), the rest the AVI fixture (dwMicroSecPerFrame =
+    40000). GIF stays out by design — its timing is per-frame and
+    covered by the scene-cut face. Both kinds' stats are pure doc_id
+    arithmetic in the oracle."""
     from lotad_spark.pipeline.multimodal import video_stats
 
-    return video_stats(_doc_avi_media(spark, sf_dir))
+    return video_stats(_doc_video_media(spark, sf_dir))
 
 
 _VIDEO_STATS_SQL = (
-    "SELECT doc_id AS media_id, 'avi' AS kind, 4 AS width, "
-    "CAST(doc_id % 2 + 1 AS INT) AS height, "
-    "CAST(doc_id % 3 + 1 AS INT) AS n_frames, "
-    "CAST(40000 AS BIGINT) AS usec_per_frame, "
-    "CAST((doc_id % 3 + 1) * 40000 // 1000 AS BIGINT) AS duration_ms "
-    "FROM documents"
+    "SELECT doc_id AS media_id, "
+    "CASE WHEN doc_id % 5 = 2 THEN 'mp4' ELSE 'avi' END AS kind, "
+    "CAST(CASE WHEN doc_id % 5 = 2 THEN doc_id % 3 + 2 ELSE 4 END "
+    "AS INT) AS width, "
+    "CAST(CASE WHEN doc_id % 5 = 2 THEN doc_id % 2 + 2 "
+    "ELSE doc_id % 2 + 1 END AS INT) AS height, "
+    "CAST(CASE WHEN doc_id % 5 = 2 THEN doc_id % 4 + 2 "
+    "ELSE doc_id % 3 + 1 END AS INT) AS n_frames, "
+    "CAST(CASE WHEN doc_id % 5 = 2 THEN CAST(3000 AS BIGINT) "
+    "* 1000000 // 90000 ELSE 40000 END AS BIGINT) AS usec_per_frame, "
+    "CAST(CASE WHEN doc_id % 5 = 2 THEN (doc_id % 7 + 1) * 250 "
+    "ELSE (doc_id % 3 + 1) * 40000 // 1000 END AS BIGINT) "
+    "AS duration_ms FROM documents"
 )
 
 
@@ -8402,9 +8569,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       containers and byte orders cycle; every 9th doc GPS-less), and
       audio_stats (duration/peak/energy in exact integers over real
       decoded PCM — energy is the stored form, RMS derives at display
-      time), video_stats (AVI header timing: frame count,
-      usec_per_frame, integer-exact duration_ms; GIF timing is
-      per-frame and stays with the scene-cut face), and html_tables
+      time; r17: every 6th doc is an MPEG1 Layer III stream whose
+      duration/rate/channels come off the frame-header walk, amplitude
+      honestly NULL), video_stats (container-header timing: frame
+      count, usec_per_frame, integer-exact duration_ms; r17: every 5th
+      doc is a header-only ISO-BMFF MP4 via the mvhd/tkhd/stts box
+      walk, half with an audio trak the parser must skip; GIF timing
+      is per-frame and stays with the scene-cut face), and html_tables
       (per-(table, row) cell lists from three nested lazy patterns —
       the table-QA grain; flat-table contract documented), and
       image_provenance (Software/Comment tags from PNG tEXt/zTXt/

@@ -2786,6 +2786,93 @@ def decode_audio(payload: bytes):
     return (rate, samples)
 
 
+# MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3 — public).
+# Sample rates by version key (3=MPEG1, 2=MPEG2, 0=MPEG2.5) and the
+# 2-bit samplerate index; bitrates in kbps by (version, layer) with
+# layer bits 3=Layer I, 2=Layer II, 1=Layer III. Index 0 is "free
+# format" (frame size unknowable from the header — the walk stops
+# honestly) and 15 is forbidden.
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+_MP3_BR_V1L1 = (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320,
+                352, 384, 416, 448)
+_MP3_BR_V1L2 = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                256, 320, 384)
+_MP3_BR_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                224, 256, 320)
+_MP3_BR_V2L1 = (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176,
+                192, 224, 256)
+_MP3_BR_V2L23 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 144, 160)
+_MP3_BITRATES = {
+    (3, 3): _MP3_BR_V1L1, (3, 2): _MP3_BR_V1L2, (3, 1): _MP3_BR_V1L3,
+    (2, 3): _MP3_BR_V2L1, (2, 2): _MP3_BR_V2L23, (2, 1): _MP3_BR_V2L23,
+    (0, 3): _MP3_BR_V2L1, (0, 2): _MP3_BR_V2L23, (0, 1): _MP3_BR_V2L23,
+}
+
+
+def _mp3_scan(payload: bytes):
+    """MPEG-audio frame-header walk (r17): ``(sample_rate, n_channels,
+    n_sample_frames, duration_ms)`` from headers alone — duration
+    without a DCT synthesis, the curation signal crawled MP3 needs.
+    Skips a leading ID3v2 tag (syncsafe size), then counts FULLY
+    PRESENT frames (a truncated final frame doesn't count — a header
+    alone could be payload garbage that happens to sync); stops at the
+    first non-sync byte (trailing ID3v1/garbage) and refuses
+    free-format frames (size unknowable) and mid-stream sample-rate
+    changes. None when no complete frame parses. duration_ms =
+    total_samples·1000 // rate, exact integers."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        sz = (
+            ((payload[6] & 0x7F) << 21)
+            | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7)
+            | (payload[9] & 0x7F)
+        )
+        pos = 10 + sz
+    total = 0
+    rate = ch = None
+    while pos + 4 <= len(payload):
+        b1, b2, b3, b4 = payload[pos : pos + 4]
+        if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+            break
+        ver = (b2 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+        layer = (b2 >> 1) & 3  # 3=I, 2=II, 1=III, 0=reserved
+        if ver == 1 or layer == 0:
+            break
+        br_idx = b3 >> 4
+        sr_idx = (b3 >> 2) & 3
+        pad = (b3 >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            break
+        sr = _MP3_RATES[ver][sr_idx]
+        br = _MP3_BITRATES[(ver, layer)][br_idx] * 1000
+        if layer == 3:  # Layer I: 384 samples, slot = 4 bytes
+            spf = 384
+            fsz = (12 * br // sr + pad) * 4
+        elif layer == 2:  # Layer II: 1152 samples
+            spf = 1152
+            fsz = 144 * br // sr + pad
+        else:  # Layer III: 1152 (MPEG1) / 576 (MPEG2/2.5) samples
+            spf = 1152 if ver == 3 else 576
+            fsz = (144 if ver == 3 else 72) * br // sr + pad
+        if fsz <= 4 or pos + fsz > len(payload):
+            break
+        if rate is None:
+            rate, ch = sr, 1 if (b4 >> 6) == 3 else 2
+        elif sr != rate:
+            return None  # mid-stream rate change: refuse, don't guess
+        total += spf
+        pos += fsz
+    if not total or rate is None:
+        return None
+    return rate, ch, total, total * 1000 // rate
+
+
 def _pcm_energy(flat, block: int = 1 << 24) -> int:
     """Exact Σ s² over a flat int64 PCM sample array as a Python int.
 
@@ -2817,9 +2904,14 @@ def audio_stats(
     ``duration_ms = n_frames·1000 // rate``, ``peak_abs = max |s|``,
     ``energy = Σ s²`` over all channels (bigint — RMS needs a sqrt,
     so the ENERGY is the stored form and callers derive RMS at
-    display time). Undecodable payloads are kind='bytes' with NULL
-    stats; NULL payloads kind='null'. Scan-stage Arrow batches like
-    every media face."""
+    display time). MP3 payloads (r17) take the header walk
+    (:func:`_mp3_scan`): kind='mp3' with sample_rate / n_channels /
+    n_frames (total sample frames) / duration_ms from the frame
+    headers alone, peak_abs/energy honestly NULL — amplitude stats
+    need a full DCT synthesis this zero-dependency path refuses to
+    fake. Undecodable payloads are kind='bytes' with NULL stats; NULL
+    payloads kind='null'. Scan-stage Arrow batches like every media
+    face."""
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
         f"`{id_col}` {id_type}, kind string, sample_rate int, "
@@ -2840,7 +2932,14 @@ def audio_stats(
                     continue
                 dec = decode_audio(bytes(b))
                 if dec is None:
-                    rows.append(("bytes",) + (None,) * 6)
+                    mp3 = _mp3_scan(bytes(b))
+                    if mp3 is not None:
+                        sr, ch, nf, dur = mp3
+                        rows.append(
+                            ("mp3", sr, ch, nf, dur, None, None)
+                        )
+                    else:
+                        rows.append(("bytes",) + (None,) * 6)
                     continue
                 rate, samples = dec
                 s = samples.astype(np.int64)
@@ -3713,6 +3812,121 @@ def _avi_parse(payload: bytes):
     return (int(w), int(h), frames, state["usec"])
 
 
+_MP4_CONTAINERS = frozenset(
+    (b"moov", b"trak", b"mdia", b"minf", b"stbl")
+)
+
+
+def _mp4_parse(payload: bytes):
+    """ISO-BMFF (MP4) header-only box walk (r17, ISO/IEC 14496-12):
+    ``(width, height, n_frames, usec_per_frame, duration_ms)`` without
+    touching a single mdat byte — real crawled video is overwhelmingly
+    MP4 and its curation signals live entirely in moov. Reads mvhd
+    (movie timescale/duration → ``duration_ms = duration·1000 //
+    timescale``, exact), the first trak whose tkhd has non-zero 16.16
+    dimensions (the video track; audio traks carry 0×0), that trak's
+    mdhd media timescale, and its stts: n_frames = Σ sample counts;
+    usec_per_frame = delta·1,000,000 // media_timescale only when stts
+    has exactly ONE entry (a variable-rate table has no single frame
+    duration — NULL, never an average passed off as truth). None when
+    the payload has no ftyp or no parseable mvhd. v0 and v1 mvhd/tkhd
+    forms both handled; 64-bit largesize boxes walked."""
+    import struct
+
+    if len(payload) < 12:
+        return None
+
+    state = {"ts": None, "dur": None}
+    # per-trak accumulation: dims from tkhd, mdhd timescale, stts
+    traks: list[dict] = []
+    cur: dict | None = None
+
+    def walk(data: bytes, depth: int) -> None:
+        nonlocal cur
+        if depth > 8:
+            return
+        pos = 0
+        while pos + 8 <= len(data):
+            size, typ = struct.unpack_from(">I4s", data, pos)
+            hdr = 8
+            if size == 1:
+                if pos + 16 > len(data):
+                    return
+                size = struct.unpack_from(">Q", data, pos + 8)[0]
+                hdr = 16
+            elif size == 0:
+                size = len(data) - pos
+            if size < hdr or pos + size > len(data):
+                return  # malformed/truncated box: stop, keep parsed
+            body = data[pos + hdr : pos + size]
+            if typ == b"trak":
+                cur = {"w": 0, "h": 0, "mts": None, "stts": None}
+                traks.append(cur)
+                walk(body, depth + 1)
+                cur = None
+            elif typ in _MP4_CONTAINERS:
+                walk(body, depth + 1)
+            elif typ == b"mvhd" and len(body) >= 4:
+                v = body[0]
+                if v == 1 and len(body) >= 32:
+                    state["ts"] = struct.unpack_from(">I", body, 20)[0]
+                    state["dur"] = struct.unpack_from(">Q", body, 24)[0]
+                elif v == 0 and len(body) >= 20:
+                    state["ts"] = struct.unpack_from(">I", body, 12)[0]
+                    state["dur"] = struct.unpack_from(">I", body, 16)[0]
+            elif typ == b"tkhd" and cur is not None and len(body) >= 4:
+                v = body[0]
+                need = 92 if v == 1 else 80
+                if len(body) >= need + 4:
+                    wq, hq = struct.unpack_from(">II", body, need - 4)
+                    cur["w"], cur["h"] = wq >> 16, hq >> 16
+            elif typ == b"mdhd" and cur is not None and len(body) >= 4:
+                v = body[0]
+                off = 20 if v == 1 else 12
+                if len(body) >= off + 4:
+                    cur["mts"] = struct.unpack_from(">I", body, off)[0]
+            elif typ == b"stts" and cur is not None and len(body) >= 8:
+                n = struct.unpack_from(">I", body, 4)[0]
+                if len(body) >= 8 + 8 * n:
+                    cur["stts"] = [
+                        struct.unpack_from(">II", body, 8 + 8 * i)
+                        for i in range(n)
+                    ]
+            pos += size
+
+    # top level must carry an ftyp for the mp4 claim (walk finds it by
+    # scanning box types at depth 0)
+    pos, has_ftyp = 0, False
+    while pos + 8 <= len(payload):
+        size, typ = struct.unpack_from(">I4s", payload, pos)
+        if size == 1:
+            if pos + 16 > len(payload):
+                break
+            size = struct.unpack_from(">Q", payload, pos + 8)[0]
+        elif size == 0:
+            size = len(payload) - pos
+        if size < 8 or pos + size > len(payload):
+            break
+        if typ == b"ftyp":
+            has_ftyp = True
+        pos += size
+    if not has_ftyp:
+        return None
+    walk(payload, 0)
+    if state["ts"] in (None, 0) or state["dur"] is None:
+        return None
+    dur_ms = state["dur"] * 1000 // state["ts"]
+    video = next((t for t in traks if t["w"] > 0 and t["h"] > 0), None)
+    if video is None:
+        return None
+    n_frames = usec = None
+    if video["stts"]:
+        n_frames = sum(c for c, _d in video["stts"])
+        if len(video["stts"]) == 1 and video["mts"]:
+            usec = video["stts"][0][1] * 1_000_000 // video["mts"]
+    return (video["w"], video["h"], n_frames, usec, dur_ms)
+
+
 def video_stats(
     df: DataFrame,
     content_col: str = "content",
@@ -3721,12 +3935,16 @@ def video_stats(
 ) -> DataFrame:
     """(id, kind, width, height, n_frames, usec_per_frame,
     duration_ms) per media row — the video curation signals (length
-    stratification, frame-rate sanity filters) from the AVI header
-    alone; ``duration_ms = n_frames·usec_per_frame // 1000`` in exact
-    integers. AVI-only by design: GIF animation timing lives in
-    per-frame GCE blocks (variable per frame — no single rate exists)
-    and is covered by the scene-cut face; non-AVI payloads are
-    kind='bytes' with NULL stats, NULL payloads kind='null'."""
+    stratification, frame-rate sanity filters) from container headers
+    alone; ``duration_ms`` in exact integers. Two container faces:
+    RIFF/AVI (kind='avi', ``duration_ms = n_frames·usec_per_frame //
+    1000``) and ISO-BMFF/MP4 (kind='mp4', r17 — :func:`_mp4_parse`,
+    mvhd/tkhd/stts header walk, ``duration_ms = mvhd duration·1000 //
+    timescale``; real crawled video is overwhelmingly MP4). GIF stays
+    out by design: its animation timing lives in per-frame GCE blocks
+    (no single rate exists) and is covered by the scene-cut face;
+    other payloads are kind='bytes' with NULL stats, NULL payloads
+    kind='null'."""
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
         f"`{id_col}` {id_type}, kind string, width int, height int, "
@@ -3744,7 +3962,12 @@ def video_stats(
                     continue
                 parsed = _avi_parse(bytes(b))
                 if parsed is None:
-                    rows.append(("bytes",) + (None,) * 5)
+                    mp4 = _mp4_parse(bytes(b))
+                    if mp4 is not None:
+                        w, h, n, usec, dur_ms = mp4
+                        rows.append(("mp4", w, h, n, usec, dur_ms))
+                    else:
+                        rows.append(("bytes",) + (None,) * 5)
                     continue
                 w, h, frames, usec = parsed
                 n = len(frames)

@@ -2002,3 +2002,123 @@ class TestAdviceRegressionsR17:
         assert _pcm_energy(np.array([], dtype=np.int64)) == 0
         # exactness across an uneven final block
         assert _pcm_energy(np.full(7, 3, dtype=np.int64), block=3) == 63
+
+
+class TestMp3AudioFace:
+    """audio_stats MP3 face (r17): frame-header walk duration, ID3
+    skip, honest-NULL amplitude stats."""
+
+    def test_fixture_and_operator(self, spark):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import audio_stats
+
+        # doc_ids hitting the %6==5 branch with varying (did//6) parity
+        dids = [5, 11, 17, 23, 29, 35]
+        df = spark.createDataFrame(
+            [(d, bytearray(entry._mp3_payload(d))) for d in dids],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in audio_stats(df).collect()}
+        for d in dids:
+            r = got[d]
+            nf = d % 4 + 2
+            assert r.kind == "mp3"
+            assert r.sample_rate == 32000
+            assert r.n_channels == (1 if (d // 6) % 2 == 0 else 2)
+            assert r.n_frames == 1152 * nf
+            assert r.duration_ms == 36 * nf
+            assert r.peak_abs is None and r.energy is None
+
+    def test_scan_robustness(self):
+        import numpy as np
+
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import _mp3_scan
+
+        rng = np.random.RandomState(7)
+        p = entry._mp3_payload(11)
+        for k in range(0, len(p), 97):
+            _mp3_scan(p[:k])  # truncations never raise
+        for _ in range(40):
+            b = bytearray(p)
+            b[rng.randint(0, len(b))] = rng.randint(0, 256)
+            _mp3_scan(bytes(b))
+
+    def test_rate_change_refused(self):
+        from lotad_spark.pipeline.multimodal import _mp3_scan
+
+        def frame(sr_idx):
+            b3 = (9 << 4) | (sr_idx << 2)
+            size = 144 * 128000 // (44100, 48000, 32000)[sr_idx]
+            return bytes([0xFF, 0xFB, b3, 0xC0]) + b"\0" * (size - 4)
+
+        assert _mp3_scan(frame(2) + frame(1)) is None
+
+
+class TestMp4VideoFace:
+    """video_stats MP4 face (r17): mvhd/tkhd/stts box walk, audio-trak
+    skip, exact-integer duration."""
+
+    def test_fixture_and_operator(self, spark):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import video_stats
+
+        dids = [2, 7, 12, 17, 22, 27]  # %5==2, (did//5) parity varies
+        df = spark.createDataFrame(
+            [(d, bytearray(entry._mp4_payload(d))) for d in dids],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in video_stats(df).collect()}
+        for d in dids:
+            r = got[d]
+            assert r.kind == "mp4"
+            assert (r.width, r.height) == (d % 3 + 2, d % 2 + 2)
+            assert r.n_frames == d % 4 + 2
+            assert r.usec_per_frame == 3000 * 1000000 // 90000
+            assert r.duration_ms == (d % 7 + 1) * 250
+        # honest fallbacks unchanged
+        df2 = spark.createDataFrame(
+            [(1, bytearray(b"not video")), (2, None)],
+            "media_id bigint, content binary",
+        )
+        got2 = {r.media_id: r for r in video_stats(df2).collect()}
+        assert got2[1].kind == "bytes" and got2[2].kind == "null"
+
+    def test_variable_stts_gives_null_usec(self):
+        import struct as s2
+
+        from lotad_spark.pipeline.multimodal import _mp4_parse
+
+        def box(t, body):
+            return s2.pack(">I", 8 + len(body)) + t + body
+
+        def full(t, body):
+            return box(t, b"\x00" * 4 + body)
+        unity = s2.pack(">9i", 0x10000,0,0, 0,0x10000,0, 0,0,0x40000000)
+        tk = full(b"tkhd", s2.pack(">IIIII",0,0,1,0,0) + b"\0"*8
+                  + s2.pack(">HHHH",0,0,0,0) + unity
+                  + s2.pack(">II", 6 << 16, 4 << 16))
+        md = full(b"mdhd", s2.pack(">IIII",0,0,90000,0) + s2.pack(">HH",0,0))
+        st = full(b"stts", s2.pack(">IIIII", 2, 3, 3000, 2, 6000))
+        trak = box(b"trak", tk + box(b"mdia", md + box(b"minf", box(b"stbl", st))))
+        mv = full(b"mvhd", s2.pack(">IIII",0,0,1000,750)
+                  + s2.pack(">IHH",0x10000,0x100,0) + b"\0"*8 + unity
+                  + b"\0"*24 + s2.pack(">I",2))
+        f = box(b"ftyp", b"isom" + s2.pack(">I",512) + b"isomiso2")
+        got = _mp4_parse(f + box(b"moov", mv + trak))
+        assert got == (6, 4, 5, None, 750)
+
+    def test_parse_robustness(self):
+        import numpy as np
+
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import _mp4_parse
+
+        rng = np.random.RandomState(11)
+        p = entry._mp4_payload(7)
+        for k in range(0, len(p), 13):
+            _mp4_parse(p[:k])
+        for _ in range(60):
+            b = bytearray(p)
+            b[rng.randint(0, len(b))] = rng.randint(0, 256)
+            _mp4_parse(bytes(b))
