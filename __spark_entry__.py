@@ -2554,7 +2554,7 @@ def q_events_key_stats(spark, sf_dir):
 
 def _decode_tier_fixture(did: int) -> bytes:
     """One media payload per doc for the decode-tier counter, cycling
-    doc_id %% 8 through container/tier pairs: (0) P6 PPM — pnm/real,
+    doc_id %% 10 through container/tier pairs: (0) P6 PPM — pnm/real,
     (1) P5 with maxval 15 — pnm/header_only (the parser reads the
     header, the pixel decoder refuses non-255 maxval), (2) lossless
     VP8L WebP — webp/real, (3) lossy VP8 WebP — webp/header_only (dims
@@ -2562,11 +2562,16 @@ def _decode_tier_fixture(did: int) -> bytes:
     mono PCM WAV — wav/real, (5) float-PCM WAV (audio_format 3) —
     wav/header_only, (6) 16-bit-depth PNG — png/header_only (IHDR
     parses, the pixel path is 8-bit-only), (7) non-media bytes —
-    unknown/fallback."""
+    unknown/fallback, (8, r17) header-only ISO-BMFF MP4 —
+    mp4/header_only, (9, r17) MPEG1-L3 stream — mp3/header_only."""
     import struct
     import zlib
 
-    v = did % 8
+    v = did % 10
+    if v == 8:
+        return _mp4_payload(did)
+    if v == 9:
+        return _mp3_payload(did)
     if v == 0:
         return b"P6\n2 2\n255\n" + bytes(range(12))
     if v == 1:
@@ -2633,12 +2638,13 @@ def q_decode_tier_counts(spark, sf_dir):
 
 _DECODE_TIER_SQL = (
     "SELECT container, tier, COUNT(*) AS n FROM ("
-    "SELECT CASE CAST(doc_id % 8 AS INT) "
+    "SELECT CASE CAST(doc_id % 10 AS INT) "
     "WHEN 0 THEN 'pnm' WHEN 1 THEN 'pnm' "
     "WHEN 2 THEN 'webp' WHEN 3 THEN 'webp' "
     "WHEN 4 THEN 'wav' WHEN 5 THEN 'wav' "
-    "WHEN 6 THEN 'png' ELSE 'unknown' END AS container, "
-    "CASE CAST(doc_id % 8 AS INT) "
+    "WHEN 6 THEN 'png' WHEN 8 THEN 'mp4' WHEN 9 THEN 'mp3' "
+    "ELSE 'unknown' END AS container, "
+    "CASE CAST(doc_id % 10 AS INT) "
     "WHEN 0 THEN 'real' WHEN 2 THEN 'real' WHEN 4 THEN 'real' "
     "WHEN 7 THEN 'fallback' ELSE 'header_only' END AS tier "
     "FROM documents) GROUP BY container, tier"

@@ -2642,6 +2642,13 @@ def classify_decode_tier(payload) -> tuple[str, str]:
         if payload[8:12] == b"AVI ":
             real = decode_video_frames(payload) is not None
             return ("avi", "real" if real else "header_only")
+    # r17 header-walk containers: stats come off headers alone by
+    # design, so their honest tier is header_only (no sample/pixel
+    # decode exists for them in this zero-dep path)
+    if _mp4_parse(payload) is not None:
+        return ("mp4", "header_only")
+    if _mp3_scan(payload) is not None:
+        return ("mp3", "header_only")
     return ("unknown", "fallback")
 
 

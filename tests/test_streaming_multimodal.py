@@ -1722,10 +1722,11 @@ class TestDecodeTierCounts:
             ("webp", "real"), ("webp", "header_only"),
             ("wav", "real"), ("wav", "header_only"),
             ("png", "header_only"), ("unknown", "fallback"),
+            ("mp4", "header_only"), ("mp3", "header_only"),
         ]
-        for did in range(16):
+        for did in range(20):
             got = classify_decode_tier(entry._decode_tier_fixture(did))
-            assert got == expect[did % 8], did
+            assert got == expect[did % 10], did
         assert classify_decode_tier(None) == ("null", "null")
         # real 8-bit PNG classifies real; JPEG header without scan
         # data is header_only; AVI magic routes to avi
@@ -1760,10 +1761,11 @@ class TestDecodeTierCounts:
             for r in decode_tier_counts(df).collect()
         }
         assert got == {
-            ("pnm", "real"): 5, ("pnm", "header_only"): 5,
-            ("webp", "real"): 5, ("webp", "header_only"): 5,
-            ("wav", "real"): 5, ("wav", "header_only"): 5,
-            ("png", "header_only"): 5, ("unknown", "fallback"): 5,
+            ("pnm", "real"): 4, ("pnm", "header_only"): 4,
+            ("webp", "real"): 4, ("webp", "header_only"): 4,
+            ("wav", "real"): 4, ("wav", "header_only"): 4,
+            ("png", "header_only"): 4, ("unknown", "fallback"): 4,
+            ("mp4", "header_only"): 4, ("mp3", "header_only"): 4,
             ("null", "null"): 1,
         }
         # sampled mode: the scale path — counts bounded by the
