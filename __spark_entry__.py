@@ -8543,152 +8543,119 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r6 — 66 declared, exactly the first 50 checked). Priority for the
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
-    green stable rows rotate out. Layout this round (r16), per the
+    green stable rows rotate out. Layout this round (r17), per the
     precomputed queue in COVERAGE.md (168 rows total, ALL
-    value-checked — thirteen rows are new):
+    value-checked — no new rows; r17 changed code and rotated):
 
-    * 1-13: NEW — decode_tier_counts (per-(container, tier) payload
-      counts by the SAME parsers/decoders the media path uses: the
-      measurement that says how much of a crawl the honest-None
-      fallback covers; fixture cycles all eight container/tier pairs),
-      pdf_metadata (/Info extraction: trailer scan outside stream
-      extents, XRef-dict fallback, text-string decode incl. UTF-16BE
-      titles, absent-field NULLs), html_meta (title/lang/charset/
-      description head extraction, NULL-when-absent), and
-      html_anchors ((href, anchor_text) edge pairs, both quoting
-      styles, positional zip replayed by DuckDB's parallel unnest),
-      sentence_split (terminator-run segmentation with trimming
-      and the final-fragment rule, over deterministically punctuated
-      corpus text so multi-sentence paths are IN the checked row),
-      and crawl_budget (robots.txt bodies -> parse_robots +
-      parse_crawl_delay -> gate -> per-domain schedule: the first row
-      that value-checks the robots PARSER, since a grouping/comment/
-      BOM bug changes the parsed rules and flips gate booleans), and
-      wet_ingest (Common Crawl WET conversion records: byte-exact
-      text round-trip across plain/.warc.gz shards incl. multi-byte
-      UTF-8, response/warcinfo records dropped by type), and
-      wat_links (the WAT metadata sidecar parsed JVM-side with
-      from_json — the crawl graph without re-reading page bodies;
-      malformed-JSON records contribute no rows), and exif_gps (the
-      GPS IFD's DMS rationals folded to signed integer micro-degrees
-      with per-term floor division; altitude to millimeters;
-      containers and byte orders cycle; every 9th doc GPS-less), and
-      audio_stats (duration/peak/energy in exact integers over real
-      decoded PCM — energy is the stored form, RMS derives at display
-      time; r17: every 6th doc is an MPEG1 Layer III stream whose
-      duration/rate/channels come off the frame-header walk, amplitude
-      honestly NULL), video_stats (container-header timing: frame
-      count, usec_per_frame, integer-exact duration_ms; r17: every 5th
-      doc is a header-only ISO-BMFF MP4 via the mvhd/tkhd/stts box
-      walk, half with an audio trak the parser must skip; GIF timing
-      is per-frame and stays with the scene-cut face), and html_tables
-      (per-(table, row) cell lists from three nested lazy patterns —
-      the table-QA grain; flat-table contract documented), and
-      image_provenance (Software/Comment tags from PNG tEXt/zTXt/
-      iTXt, the JPEG COM segment, and EXIF tag 305 — the
-      generated-image triage signal).
-    * 14-24: changed-code re-entries — pdf_extract (LZWDecode +
-      Flate/LZW predictors + the stream-extent scan fix; six writer
-      variants now), warc_ingest (WHATWG CJK charset families decode
-      via JVM charsets; CJK-paragraph fixtures), html_extract /
-      html_links / main_content / template_fingerprint (full HTML4
-      named-entity table + literal-map lookup + tail-entity fixture
-      paragraph; template_fingerprint also the zero-tag coalesce) /
-      sitemap_urls / robots_gate (same module, template-adjacent),
-      multimodal_webp_luma_hist (VP8L one-symbol validation), and
-      edit_distance_pairs / edit_distance_topk (bounded
-      levenshtein(s, t, k) at every verify site).
-    * 25-45: the 21 longest-out r12-green rows (out since r13),
-      COVERAGE.md queue order — events_value_hist -> text_normalize,
-      which deliberately includes the three r15 bench-flag rows
-      (dedup_index_probe, weighted_sample, quality_classifier) and
-      the five ANN oracle faces.
-    * 46-50: the r13-green rows in listed order — domain_apex_psl ->
-      video_near_dup_pairs (5 rows; the last twelve of the 17-row
-      fill slipped past the window as the thirteen new rows landed).
-    * 51+: rotated out — the r13-green remainder, the r12-green block
-      that was in the r15 window, then the r14/r15-green rows (newest
-      last). Every rotated row has at least one driver-green round
-      with code unchanged since; the FULL registry stays enforced by
-      scripts/check_oracle.py (156 value-checked at sf0.01) and the
-      pytest suite. See COVERAGE.md "Driver-window rotation".
+    * 1-19: changed-code re-entries — audio_stats (NEW MP3 face: MPEG
+      frame-header walk for duration/rate/channels, amplitude honestly
+      NULL) and video_stats (NEW MP4 face: ISO-BMFF mvhd/tkhd/stts
+      box walk, audio-trak skip, exact-integer duration);
+      decode_tier_counts (mp4/mp3 containers added, fixture cycles 10
+      pairs); the whole html family — html_meta gains rel=canonical
+      (four patterns, both attribute orders and quote styles) and the
+      shared template gains a doc_id-varying canonical link, so
+      html_anchors/html_tables/html_extract/html_links/main_content/
+      template_fingerprint re-verify on the grown template; warc_ingest
+      (big5 label now routes through Big5-HKSCS with five HKSCS-only
+      chars IN the fixture phrase; fixture HTML renders driver-side in
+      Python, byte-equality pinned; decode confs re-asserted at every
+      plan build) with wet_ingest/wat_links on the same source module;
+      pdf_metadata/pdf_extract (trailer keyword line-anchored per ISO
+      32000 §7.5.5 + startxref preference — string/comment spoofs
+      can't override /Info); image_provenance (zTXt inflate budget:
+      decompressobj with a 1 MB max_length cap); and the three rows
+      riding the refactored per-doc media payload builders
+      (multimodal_audio_hist / multimodal_video_hist /
+      video_scene_cuts — byte-identical payloads, builders extracted).
+    * 20-44: the 25 longest-out r13-green rows (out since r14), the
+      COVERAGE.md r17 queue order — schema_drift_records ->
+      dedup_exact, covering the whole diff family, the wizard rows,
+      and the reference-parity SQL surface.
+    * 45-50: the r13-green tail that slipped past the r16 window —
+      ccnet_buckets -> domain_blocklist.
+    * 51+: rotated out — the rest of the r13-green tail, then older
+      green rows, with the r16-window-green rows LAST (freshest green
+      rotates out last). Every rotated row has at least one
+      driver-green round with code unchanged since; the FULL registry
+      stays enforced by scripts/check_oracle.py (168 value-checked at
+      sf0.01) and the pytest suite. See COVERAGE.md "Driver-window
+      rotation (round 17)".
     """
     return {
-        # --- 1: NEW this round (r16). ---
-        "decode_tier_counts": q_decode_tier_counts,
-        "pdf_metadata": q_pdf_metadata,
-        "html_meta": q_html_meta,
-        "html_anchors": q_html_anchors,
-        "sentence_split": q_sentence_split,
-        "crawl_budget": q_crawl_budget,
-        "wet_ingest": q_wet_ingest,
-        "wat_links": q_wat_links,
-        "exif_gps": q_exif_gps,
+        # --- 1-19: r17 changed-code re-entries — audio_stats (MP3
+        # frame-header face) / video_stats (MP4 box-walk face) /
+        # decode_tier_counts (mp4+mp3 containers, %10 fixture);
+        # the html family (rel=canonical column + the canonical
+        # link in the shared template); warc_ingest (HKSCS big5
+        # fixture, Python-side fixture render, conf re-assert) and
+        # the WET/WAT siblings; pdf_metadata/pdf_extract (trailer
+        # line-anchoring); image_provenance (zTXt inflate budget);
+        # the three rows on the refactored media payload builders. ---
         "audio_stats": q_audio_stats,
         "video_stats": q_video_stats,
+        "decode_tier_counts": q_decode_tier_counts,
+        "html_meta": q_html_meta,
+        "html_anchors": q_html_anchors,
         "html_tables": q_html_tables,
-        "image_provenance": q_image_provenance,
-        # --- 2-12: r16 changed-code re-entries (PDF LZW/predictors,
-        # WARC CJK decode, the full HTML4 entity table, VP8L
-        # validation, bounded levenshtein). ---
-        "pdf_extract": q_pdf_extract,
-        "warc_ingest": q_warc_ingest,
         "html_extract": q_html_extract,
         "html_links": q_html_links,
         "main_content": q_main_content,
         "template_fingerprint": q_template_fingerprint,
-        "sitemap_urls": q_sitemap_urls,
-        "robots_gate": q_robots_gate,
-        "multimodal_webp_luma_hist": q_multimodal_webp_luma_hist,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "edit_distance_topk": q_edit_distance_topk,
-        # --- 13-33: the 21 longest-out r12-green rows (out since
-        # r13), incl. the three r15 bench-flag rows and the ANN
-        # oracle faces. ---
-        "events_value_hist": q_events_value_hist,
-        "zorder_codes": q_zorder_codes,
-        "snapshot_diff": q_snapshot_diff,
-        "dedup_index_probe": q_dedup_index_probe,
-        "range_join_views": q_range_join_views,
-        "quantile_estimates": q_quantile_estimates,
-        "quantiles_online": q_quantiles_online,
-        "weighted_sample": q_weighted_sample,
-        "dedup_embedding": q_dedup_embedding,
-        "drift_static_batch": q_drift_static_batch,
-        "events_key_stats": q_events_key_stats,
-        "events_session_agg": q_events_session_agg,
-        "skew_salted_join": q_skew_salted_join,
-        "quality_classifier": q_quality_classifier,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_sq8_topk": q_ann_sq8_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "blocklist_filter": q_blocklist_filter,
-        "text_normalize": q_text_normalize,
-        # --- 34-50: r13-green rows, listed order. ---
-        "domain_apex_psl": q_domain_apex_psl,
-        "multimodal_gif_resize_hist": q_multimodal_gif_resize_hist,
-        "pack_plan": q_pack_plan,
-        "multimodal_jpeg_luma_hist": q_multimodal_jpeg_luma_hist,
-        "video_near_dup_pairs": q_video_near_dup_pairs,
+        "warc_ingest": q_warc_ingest,
+        "wet_ingest": q_wet_ingest,
+        "wat_links": q_wat_links,
+        "pdf_metadata": q_pdf_metadata,
+        "pdf_extract": q_pdf_extract,
+        "image_provenance": q_image_provenance,
+        "multimodal_audio_hist": q_multimodal_audio_hist,
+        "multimodal_video_hist": q_multimodal_video_hist,
+        "video_scene_cuts": q_video_scene_cuts,
+        # --- 20-44: the 25 longest-out r13-green rows (out since
+        # r14), COVERAGE.md r17 queue order. ---
+        "schema_drift_records": q_schema_drift_records,
+        "skew_two_phase_agg": q_skew_two_phase_agg,
+        "rolling_active_users_bound": q_rolling_active_users_bound,
+        "dsir_weights": q_dsir_weights,
+        "bm25_topk": q_bm25_topk,
+        "diff_value_change": q_diff_value_change,
+        "diff_counts": q_diff_counts,
+        "diff_ignore_column": q_diff_ignore_column,
+        "diff_ignore_dates": q_diff_ignore_dates,
+        "diff_type_mismatch": q_diff_type_mismatch,
+        "diff_json_reorder": q_diff_json_reorder,
+        "diff_array_reorder": q_diff_array_reorder,
+        "diff_dup_collapse": q_diff_dup_collapse,
+        "drift_summary": q_drift_summary,
+        "custom_query_diff": q_custom_query_diff,
+        "text_bigram_lm": q_text_bigram_lm,
+        "token_windows": q_token_windows,
+        "sql_row_hash_diff": q_sql_row_hash_diff,
+        "json_schema_drift": q_json_schema_drift,
+        "missing_table_records": q_missing_table_records,
+        "suggest_ignore_columns": q_suggest_ignore_columns,
+        "q1_lineitem_agg": q_q1_lineitem_agg,
+        "topk_orders": q_topk_orders,
+        "events_window_agg": q_events_window_agg,
+        "dedup_exact": q_dedup_exact,
+        # --- 45-50: the r13-green tail that slipped past the r16
+        # window, listed order. ---
         "ccnet_buckets": q_ccnet_buckets,
         "url_dedup": q_url_dedup,
         "url_dedup_incremental": q_url_dedup_incremental,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
         "domain_blocklist": q_domain_blocklist,
+        # --- 51+: rotated out — the rest of the r13-green tail,
+        # then older green rows, with the r16-window-green rows
+        # LAST (freshest green rotates out last). Every rotated
+        # row has at least one driver-green round with code
+        # unchanged since; the FULL registry stays enforced by
+        # scripts/check_oracle.py at sf0.01 and the pytest suite.
+        # See COVERAGE.md 'Driver-window rotation (round 17)'. ---
         "multimodal_png_luma_hist": q_multimodal_png_luma_hist,
-        "multimodal_audio_hist": q_multimodal_audio_hist,
-        "multimodal_video_hist": q_multimodal_video_hist,
         "multimodal_resize_hist": q_multimodal_resize_hist,
         "multimodal_decode": q_multimodal_decode,
-        "video_scene_cuts": q_video_scene_cuts,
-        # --- 51+: rotated out (r13-green remainder, the r12-green
-        # block from the r15 window, then r14/r15-green rows,
-        # newest last). Every rotated row has a driver-green
-        # round with code unchanged since; the FULL registry is
-        # enforced by scripts/check_oracle.py at sf0.01. ---
         "readability": q_readability,
         "script_profile": q_script_profile,
         "image_ahash_oriented": q_image_ahash_oriented,
@@ -8728,31 +8695,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "psi_drift": q_psi_drift,
         "keyed_diff": q_keyed_diff,
-        "schema_drift_records": q_schema_drift_records,
-        "skew_two_phase_agg": q_skew_two_phase_agg,
-        "rolling_active_users_bound": q_rolling_active_users_bound,
-        "dsir_weights": q_dsir_weights,
-        "bm25_topk": q_bm25_topk,
-        "diff_value_change": q_diff_value_change,
-        "diff_counts": q_diff_counts,
-        "diff_ignore_column": q_diff_ignore_column,
-        "diff_ignore_dates": q_diff_ignore_dates,
-        "diff_type_mismatch": q_diff_type_mismatch,
-        "diff_json_reorder": q_diff_json_reorder,
-        "diff_array_reorder": q_diff_array_reorder,
-        "diff_dup_collapse": q_diff_dup_collapse,
-        "drift_summary": q_drift_summary,
-        "custom_query_diff": q_custom_query_diff,
-        "text_bigram_lm": q_text_bigram_lm,
-        "token_windows": q_token_windows,
-        "sql_row_hash_diff": q_sql_row_hash_diff,
-        "json_schema_drift": q_json_schema_drift,
-        "missing_table_records": q_missing_table_records,
-        "suggest_ignore_columns": q_suggest_ignore_columns,
-        "q1_lineitem_agg": q_q1_lineitem_agg,
-        "topk_orders": q_topk_orders,
-        "events_window_agg": q_events_window_agg,
-        "dedup_exact": q_dedup_exact,
         "multimodal_jpeg_progressive_hist": q_multimodal_jpeg_progressive_hist,
         "multimodal_tiff_luma_hist": q_multimodal_tiff_luma_hist,
         "heavy_hitters": q_heavy_hitters,
@@ -8795,6 +8737,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_online": q_psi_online,
         "rollup_hourly": q_rollup_hourly,
         "rollup_incremental": q_rollup_incremental,
+        "sentence_split": q_sentence_split,
+        "crawl_budget": q_crawl_budget,
+        "exif_gps": q_exif_gps,
+        "sitemap_urls": q_sitemap_urls,
+        "robots_gate": q_robots_gate,
+        "multimodal_webp_luma_hist": q_multimodal_webp_luma_hist,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "edit_distance_topk": q_edit_distance_topk,
+        "events_value_hist": q_events_value_hist,
+        "zorder_codes": q_zorder_codes,
+        "snapshot_diff": q_snapshot_diff,
+        "dedup_index_probe": q_dedup_index_probe,
+        "range_join_views": q_range_join_views,
+        "quantile_estimates": q_quantile_estimates,
+        "quantiles_online": q_quantiles_online,
+        "weighted_sample": q_weighted_sample,
+        "dedup_embedding": q_dedup_embedding,
+        "drift_static_batch": q_drift_static_batch,
+        "events_key_stats": q_events_key_stats,
+        "events_session_agg": q_events_session_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "quality_classifier": q_quality_classifier,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_sq8_topk": q_ann_sq8_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "blocklist_filter": q_blocklist_filter,
+        "text_normalize": q_text_normalize,
+        "domain_apex_psl": q_domain_apex_psl,
+        "multimodal_gif_resize_hist": q_multimodal_gif_resize_hist,
+        "pack_plan": q_pack_plan,
+        "multimodal_jpeg_luma_hist": q_multimodal_jpeg_luma_hist,
+        "video_near_dup_pairs": q_video_near_dup_pairs,
     }
 
 
