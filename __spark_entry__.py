@@ -900,6 +900,98 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+def q_http_unwrap(spark, sf_dir):
+    """HTTP wire-decoding ingest (sources/warc.py warc_http_unwrap +
+    unwrapped_body_text — NEW r17): real crawls store bodies AS SENT,
+    so Transfer-Encoding: chunked framing and Content-Encoding:
+    gzip/deflate compression sit between the WARC payload and the
+    text — decodings the pure-JVM envelope peel cannot express. The
+    fixture ships every doc's template HTML with did%3 cycling
+    gzip (wbits-31 member, mtime 0) / identity / zlib-deflate, did%4==0
+    additionally chunk-framed (chunking applied LAST, per the RFC
+    layering), and did%9==4 labeled with the unsupported 'br' coding —
+    whose body must come back NULL with the label intact (loud
+    absence, never garbage text). The oracle rebuilds the HTML from
+    the shared template and derives the labels/NULLs by arithmetic —
+    a de-chunk or inflate bug changes the text bytes and
+    hash-mismatches."""
+    import gzip as _gzip
+    import os
+    import zlib
+
+    from lotad_spark.sources.warc import (
+        read_warc,
+        unwrapped_body_text,
+        warc_http_unwrap,
+        write_warc_file,
+    )
+
+    docs = sorted(
+        _t(spark, sf_dir, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r.doc_id,
+    )
+    d = _scratch("lotad_httpunwrap_")
+
+    def chunked(b: bytes) -> bytes:
+        out = b""
+        for i in range(0, len(b), 100):
+            c = b[i : i + 100]
+            out += f"{len(c):x}".encode() + b"\r\n" + c + b"\r\n"
+        return out + b"0\r\n\r\n"
+
+    recs = []
+    for raw in docs:
+        did = raw.doc_id
+        uri = f"https://example.com/doc/{did}"
+        body = _doc_html_py(did, raw.text).encode("utf-8")
+        extras = []
+        if did % 9 == 4:
+            extras.append(("Content-Encoding", "br"))
+        elif did % 3 == 0:
+            body = _gzip.compress(body, 9, mtime=0)
+            extras.append(("Content-Encoding", "gzip"))
+        elif did % 3 == 2:
+            body = zlib.compress(body)
+            extras.append(("Content-Encoding", "deflate"))
+        if did % 4 == 0:
+            body = chunked(body)
+            extras.append(("Transfer-Encoding", "chunked"))
+        recs.append((uri, "text/html", body, "\r\n", "\r\n", extras))
+    for s in range(4):
+        shard = recs[s::4]
+        if s % 2:
+            write_warc_file(
+                shard, os.path.join(d, f"p{s}.warc.gz"),
+                gzip_members=True,
+            )
+        else:
+            write_warc_file(shard, os.path.join(d, f"p{s}.warc"))
+    parsed = unwrapped_body_text(
+        warc_http_unwrap(read_warc(spark, d))
+    ).filter(F.col("warc_type") == "response")
+    return parsed.select(
+        "target_uri",
+        "http_content_encoding",
+        "http_transfer_encoding",
+        "text",
+    )
+
+
+def _http_unwrap_sql() -> str:
+    return (
+        "SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) "
+        "AS target_uri, "
+        "CASE WHEN doc_id % 9 = 4 THEN 'br' "
+        "WHEN doc_id % 3 = 0 THEN 'gzip' "
+        "WHEN doc_id % 3 = 2 THEN 'deflate' "
+        "ELSE NULL END AS http_content_encoding, "
+        "CASE WHEN doc_id % 4 = 0 THEN 'chunked' ELSE NULL END "
+        "AS http_transfer_encoding, "
+        "CASE WHEN doc_id % 9 = 4 THEN NULL ELSE html END AS text "
+        "FROM (" + _html_build_sql() + ")"
+    )
+
+
 def q_wet_ingest(spark, sf_dir):
     """WET ingestion (sources/warc.py read_wet / write_wet_file — NEW
     r16): the Common Crawl pre-extracted-text sidecar, WARC
@@ -3155,6 +3247,117 @@ def _doc_wav_media(spark, sf_dir):
             )
 
     return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def _audio_tags_fixture(did: int) -> bytes:
+    """One audio payload for the audio_tags row (r17), cycling the two
+    carrying forms with doc_id-arithmetic values: even docs are WAV
+    with a RIFF LIST-INFO chunk (INAM/IART/IPRD), odd docs MPEG audio
+    with a leading ID3v2 tag (TIT2/TPE1/TALB; v2.3 and v2.4 syncsafe
+    sizes cycle on did%4, utf-8 vs latin-1 encoding bytes on did%7);
+    title 't'||did%9 always present, artist absent on did%5==0, album
+    absent on did%3==0; docs with did%10 in (1,6) are tagless (the
+    'none' path). Values are ASCII so both encodings decode
+    identically and the oracle is pure arithmetic."""
+    import struct
+
+    tagless = did % 10 in (1, 6)
+    title = f"t{did % 9}"
+    artist = None if did % 5 == 0 else f"a{did % 7}"
+    album = None if did % 3 == 0 else f"b{did % 4}"
+    if did % 2 == 0:
+        data = struct.pack("<4h", 10, -10, 20, -20)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        chunks = b"fmt " + struct.pack("<I", 16) + fmt
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        if not tagless:
+            info = b"INFO"
+            for sid, val in (
+                (b"INAM", title), (b"IART", artist), (b"IPRD", album)
+            ):
+                if val is None:
+                    continue
+                v = val.encode("latin-1") + b"\x00"
+                info += sid + struct.pack("<I", len(v)) + v
+                if len(v) % 2:
+                    info += b"\x00"
+            chunks += b"LIST" + struct.pack("<I", len(info)) + info
+        return (
+            b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+            + chunks
+        )
+    frame = bytes([0xFF, 0xFB, (9 << 4) | (2 << 2), 0xC0])
+    frame += bytes((did + i) % 256 for i in range(576 - 4))
+    if tagless:
+        return frame
+    major = 4 if did % 4 == 3 else 3
+    enc = 3 if did % 7 == 1 else 0
+    frames = b""
+    for fid, val in (
+        (b"TIT2", title), (b"TPE1", artist), (b"TALB", album)
+    ):
+        if val is None:
+            continue
+        body = bytes([enc]) + val.encode("utf-8")
+        n = len(body)
+        if major == 4:
+            szb = bytes(
+                [(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                 (n >> 7) & 0x7F, n & 0x7F]
+            )
+        else:
+            szb = struct.pack(">I", n)
+        frames += fid + szb + b"\x00\x00" + body
+    tag_sz = len(frames)
+    hdr = (
+        b"ID3" + bytes([major, 0, 0])
+        + bytes([(tag_sz >> 21) & 0x7F, (tag_sz >> 14) & 0x7F,
+                 (tag_sz >> 7) & 0x7F, tag_sz & 0x7F])
+    )
+    return hdr + frames + frame
+
+
+def q_audio_tags(spark, sf_dir):
+    """Audio metadata tags (multimodal.py audio_tags — NEW r17): ID3v2
+    text frames (TIT2/TPE1/TALB, v2.3 + v2.4 syncsafe, utf-8 and
+    latin-1 encoding bytes) and RIFF LIST-INFO (INAM/IART/IPRD) —
+    the by-artist/by-ripper triage and pre-decode dedup key for
+    crawled audio, the image_provenance analogue. Both carrying forms,
+    absent-field NULLs, and the tagless 'none' path all cycle in the
+    checked row; the oracle is pure doc_id arithmetic."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    from lotad_spark.pipeline.multimodal import audio_tags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = [
+                _audio_tags_fixture(int(did)) for did in pdf["doc_id"]
+            ]
+            yield pdf.assign(content=payloads)[["doc_id", "content"]].rename(
+                columns={"doc_id": "media_id"}
+            )
+
+    media = docs.mapInPandas(
+        build, schema="media_id bigint, content binary"
+    )
+    return audio_tags(media)
+
+
+_AUDIO_TAGS_SQL = (
+    "SELECT doc_id AS media_id, "
+    "CASE WHEN doc_id % 10 IN (1, 6) THEN 'none' "
+    "WHEN doc_id % 2 = 0 THEN 'riff' ELSE 'id3' END AS kind, "
+    "CASE WHEN doc_id % 10 IN (1, 6) THEN NULL "
+    "ELSE 't' || CAST(doc_id % 9 AS VARCHAR) END AS title, "
+    "CASE WHEN doc_id % 10 IN (1, 6) OR doc_id % 5 = 0 THEN NULL "
+    "ELSE 'a' || CAST(doc_id % 7 AS VARCHAR) END AS artist, "
+    "CASE WHEN doc_id % 10 IN (1, 6) OR doc_id % 3 = 0 THEN NULL "
+    "ELSE 'b' || CAST(doc_id % 4 AS VARCHAR) END AS album "
+    "FROM documents"
+)
 
 
 def _doc_audio_media(spark, sf_dir):
@@ -8544,10 +8747,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r17), per the
-    precomputed queue in COVERAGE.md (168 rows total, ALL
-    value-checked — no new rows; r17 changed code and rotated):
+    precomputed queue in COVERAGE.md (170 rows total, ALL
+    value-checked — two NEW rows):
 
-    * 1-19: changed-code re-entries — audio_stats (NEW MP3 face: MPEG
+    * 1-2: NEW — audio_tags (ID3v2.2/2.3/2.4 text frames
+      TIT2/TPE1/TALB with per-frame encoding bytes + RIFF LIST-INFO
+      INAM/IART/IPRD: the by-artist/by-ripper triage and pre-decode
+      dedup key for crawled audio; both carrying forms, absent-field
+      NULLs, and the tagless path cycle in the checked row) and
+      http_unwrap (warc_http_unwrap + unwrapped_body_text: real
+      crawls store bodies AS SENT — Transfer-Encoding: chunked
+      de-framing and Content-Encoding gzip/deflate inflate with a
+      64 MB budget, unsupported codings come back NULL-body with the
+      label intact, then the same JVM charset ladder; gzip/identity/
+      deflate/chunked/chunked-over-gzip/'br' all cycle in the row).
+    * 3-21: changed-code re-entries — audio_stats (NEW MP3 face: MPEG
       frame-header walk for duration/rate/channels, amplitude honestly
       NULL) and video_stats (NEW MP4 face: ISO-BMFF mvhd/tkhd/stts
       box walk, audio-trak skip, exact-integer duration);
@@ -8568,12 +8782,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       riding the refactored per-doc media payload builders
       (multimodal_audio_hist / multimodal_video_hist /
       video_scene_cuts — byte-identical payloads, builders extracted).
-    * 20-44: the 25 longest-out r13-green rows (out since r14), the
+    * 22-46: the 25 longest-out r13-green rows (out since r14), the
       COVERAGE.md r17 queue order — schema_drift_records ->
       dedup_exact, covering the whole diff family, the wizard rows,
       and the reference-parity SQL surface.
-    * 45-50: the r13-green tail that slipped past the r16 window —
-      ccnet_buckets -> domain_blocklist.
+    * 47-50: the r13-green tail that slipped past the r16 window —
+      ccnet_buckets -> domain_stats (domain_cap / domain_blocklist
+      slip to 51-52 as the two new rows land; both are multi-round
+      green with code unchanged).
     * 51+: rotated out — the rest of the r13-green tail, then older
       green rows, with the r16-window-green rows LAST (freshest green
       rotates out last). Every rotated row has at least one
@@ -8591,7 +8807,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixture, Python-side fixture render, conf re-assert) and
         # the WET/WAT siblings; pdf_metadata/pdf_extract (trailer
         # line-anchoring); image_provenance (zTXt inflate budget);
-        # the three rows on the refactored media payload builders. ---
+        # the three rows on the refactored media payload builders.
+        # Position 1 is the r17 NEW row (rule (b): no driver-green
+        # round yet): audio_tags — ID3v2/RIFF-INFO metadata tags. ---
+        "audio_tags": q_audio_tags,
+        "http_unwrap": q_http_unwrap,
         "audio_stats": q_audio_stats,
         "video_stats": q_video_stats,
         "decode_tier_counts": q_decode_tier_counts,
@@ -8842,6 +9062,8 @@ def oracle_sql() -> dict[str, str]:
         "wet_ingest": _WET_INGEST_SQL,
         "wat_links": _WAT_LINKS_SQL,
         "exif_gps": _EXIF_GPS_SQL,
+        "audio_tags": _AUDIO_TAGS_SQL,
+        "http_unwrap": _http_unwrap_sql(),
         "audio_stats": _AUDIO_STATS_SQL,
         "video_stats": _VIDEO_STATS_SQL,
         "html_tables": _html_tables_sql(),

@@ -2649,6 +2649,16 @@ def classify_decode_tier(payload) -> tuple[str, str]:
         return ("mp4", "header_only")
     if _mp3_scan(payload) is not None:
         return ("mp3", "header_only")
+    # PDFs are documents, not media — but lumping them into the
+    # unknown/fallback bucket misread the telemetry (r17): name the
+    # container and tier it by the SAME extractor the pdf rows run
+    # (real = text extraction succeeds, header_only = magic matches
+    # but the parse refuses)
+    if payload[:5] == b"%PDF-":
+        from lotad_spark.pipeline.pdf import pdf_text_pages
+
+        real = pdf_text_pages(payload) is not None
+        return ("pdf", "real" if real else "header_only")
     return ("unknown", "fallback")
 
 
@@ -2878,6 +2888,181 @@ def _mp3_scan(payload: bytes):
     if not total or rate is None:
         return None
     return rate, ch, total, total * 1000 // rate
+
+
+# ID3v2 text-frame ids for the three tags curation uses (title /
+# artist / album), per major version: v2.2 uses 3-char ids with
+# 3-byte sizes; v2.3/2.4 use 4-char ids with 4-byte sizes (v2.4
+# syncsafe). Values decode per the frame's encoding byte.
+_ID3_FRAME_KEYS = {
+    b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
+    b"TT2": "title", b"TP1": "artist", b"TAL": "album",
+}
+# RIFF LIST-INFO sub-chunk ids → the same three slots (WAV's metadata
+# carrier; values are NUL-terminated latin-1 text)
+_RIFF_INFO_KEYS = {b"INAM": "title", b"IART": "artist",
+                   b"IPRD": "album"}
+
+
+def _id3_text(enc: int, raw: bytes):
+    """One ID3 text-frame body → str per the encoding byte (0
+    latin-1, 1 utf-16 with BOM, 2 utf-16-be, 3 utf-8), trimmed at the
+    first terminator; None for an undecodable or unknown form."""
+    try:
+        if enc == 0:
+            return raw.split(b"\x00", 1)[0].decode("latin-1")
+        if enc == 1:
+            return raw.decode("utf-16").split("\x00", 1)[0]
+        if enc == 2:
+            return raw.decode("utf-16-be").split("\x00", 1)[0]
+        if enc == 3:
+            return raw.split(b"\x00", 1)[0].decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    return None
+
+
+def audio_tags_payload(payload: bytes):
+    """(kind, title, artist, album) metadata tags from an audio
+    container, or None when the payload carries neither form (r17):
+
+    * ID3v2.2/2.3/2.4 leading tag on MPEG audio — text frames
+      TIT2/TPE1/TALB (TT2/TP1/TAL in v2.2), per-frame encoding byte;
+    * RIFF/WAVE ``LIST`` chunk of form ``INFO`` — INAM/IART/IPRD,
+      NUL-terminated latin-1.
+
+    The dedup/provenance face for crawled audio (generators and
+    rippers stamp exactly these fields — the image_provenance
+    analogue). First occurrence wins per field; fields independently
+    None; malformed frames are skipped, never fatal."""
+    import struct
+
+    title = artist = album = None
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        major = payload[3]
+        sz = (
+            ((payload[6] & 0x7F) << 21)
+            | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7)
+            | (payload[9] & 0x7F)
+        )
+        tag = payload[10 : 10 + sz]
+        pos = 0
+        id_len = 3 if major == 2 else 4
+        while pos + id_len * 2 <= len(tag):
+            fid = tag[pos : pos + id_len]
+            if not fid.strip(b"\x00"):
+                break  # padding reached
+            if major == 2:
+                fsz = int.from_bytes(tag[pos + 3 : pos + 6], "big")
+                body_off = pos + 6
+            else:
+                raw_sz = tag[pos + 4 : pos + 8]
+                if major >= 4:
+                    fsz = (
+                        ((raw_sz[0] & 0x7F) << 21)
+                        | ((raw_sz[1] & 0x7F) << 14)
+                        | ((raw_sz[2] & 0x7F) << 7)
+                        | (raw_sz[3] & 0x7F)
+                    )
+                else:
+                    fsz = int.from_bytes(raw_sz, "big")
+                body_off = pos + 10
+            body = tag[body_off : body_off + fsz]
+            if len(body) < fsz:
+                break
+            key = _ID3_FRAME_KEYS.get(fid)
+            if key and fsz >= 1:
+                text = _id3_text(body[0], body[1:])
+                if text:
+                    if key == "title" and title is None:
+                        title = text
+                    elif key == "artist" and artist is None:
+                        artist = text
+                    elif key == "album" and album is None:
+                        album = text
+            pos = body_off + fsz
+        if title is None and artist is None and album is None:
+            return None
+        return ("id3", title, artist, album)
+    if (
+        len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            ln = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = payload[pos + 8 : pos + 8 + ln]
+            if len(body) < ln:
+                break
+            if cid == b"LIST" and body[:4] == b"INFO":
+                sub = 4
+                while sub + 8 <= len(body):
+                    sid = body[sub : sub + 4]
+                    sln = struct.unpack_from("<I", body, sub + 4)[0]
+                    sval = body[sub + 8 : sub + 8 + sln]
+                    if len(sval) < sln:
+                        break
+                    key = _RIFF_INFO_KEYS.get(sid)
+                    if key:
+                        text = sval.split(b"\x00", 1)[0].decode(
+                            "latin-1"
+                        )
+                        if text:
+                            if key == "title" and title is None:
+                                title = text
+                            elif key == "artist" and artist is None:
+                                artist = text
+                            elif key == "album" and album is None:
+                                album = text
+                    sub += 8 + sln + (sln & 1)
+            pos += 8 + ln + (ln & 1)
+        if title is None and artist is None and album is None:
+            return None
+        return ("riff", title, artist, album)
+    return None
+
+
+def audio_tags(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, kind, title, artist, album) per media row — the audio
+    metadata-tag face (:func:`audio_tags_payload`): kind is 'id3' /
+    'riff' for the carrying forms, 'none' for tagless payloads, 'null'
+    for NULL. Scan-stage Arrow batches like every media face; the
+    output is the grouping key for by-artist/by-ripper triage and the
+    join key audio dedup wants before any sample decode."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, kind string, title string, "
+        "artist string, album string"
+    )
+
+    def tag_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[content_col]:
+                if b is None:
+                    rows.append(("null", None, None, None))
+                    continue
+                got = audio_tags_payload(bytes(b))
+                rows.append(
+                    ("none", None, None, None) if got is None else got
+                )
+            out = pd.DataFrame(
+                rows, columns=("kind", "title", "artist", "album")
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(tag_batches, schema=out_schema)
 
 
 def _pcm_energy(flat, block: int = 1 << 24) -> int:

@@ -317,6 +317,22 @@ _CJK_DECODE_CONFS = (
 )
 
 
+def _charset_body_expr(body_bin: Column, charset: Column) -> Column:
+    """The charset-label decode ladder (shared by warc_http_text and
+    the unwrap face): cp1252 family exactly via translate, the WHATWG
+    CJK families via the JVM decoders (requires the two session confs
+    — see ensure_cjk_decode_confs), everything else the byte-faithful
+    UTF-8 reinterpret. Pure JVM expressions."""
+    body_decoded = F.when(
+        charset.isin(*_CP1252_LABELS), _cp1252_decode(body_bin)
+    )
+    for labels, jvm_charset in _JVM_CHARSET_FAMILIES:
+        body_decoded = body_decoded.when(
+            charset.isin(*labels), F.decode(body_bin, jvm_charset)
+        )
+    return body_decoded.otherwise(body_bin.cast("string"))
+
+
 def ensure_cjk_decode_confs(spark: SparkSession) -> None:
     """(Re-)assert the two runtime confs the CJK decode path needs.
 
@@ -405,14 +421,7 @@ def warc_http_text(df: DataFrame, content_col: str = "content") -> DataFrame:
         )
     )
     body_bin = bin_c.substr(sep + sep_len, F.length(bin_c))
-    body_decoded = F.when(
-        charset.isin(*_CP1252_LABELS), _cp1252_decode(body_bin)
-    )
-    for labels, jvm_charset in _JVM_CHARSET_FAMILIES:
-        body_decoded = body_decoded.when(
-            charset.isin(*labels), F.decode(body_bin, jvm_charset)
-        )
-    body_decoded = body_decoded.otherwise(body_bin.cast("string"))
+    body_decoded = _charset_body_expr(body_bin, charset)
     return df.select(
         "*",
         F.when(is_http & (status != ""), status.cast("int"))
@@ -428,6 +437,196 @@ def warc_http_text(df: DataFrame, content_col: str = "content") -> DataFrame:
         .when(is_http, F.lit(""))
         .otherwise(bin_c.cast("string"))
         .alias("body"),
+    )
+
+
+def _dechunk(body: bytes):
+    """Decode an RFC 9112 chunked transfer coding: hex size line
+    (chunk extensions after ';' ignored), chunk bytes, CRLF, repeated
+    until the 0-size chunk; trailer section ignored. None for any
+    malformed framing — loud absence beats mis-framed bytes."""
+    out = []
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            return None
+        line = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            n = int(line, 16)
+        except ValueError:
+            return None
+        pos = nl + 2
+        if n == 0:
+            return b"".join(out)
+        chunk = body[pos : pos + n]
+        if len(chunk) < n:
+            return None
+        out.append(chunk)
+        pos += n
+        if body[pos : pos + 2] != b"\r\n":
+            return None
+        pos += 2
+
+
+# Inflate budget for one HTTP body (the zTXt/PDF discipline): a
+# crawled page should never expand an executor past this, and a
+# stream that wants more is refused, not truncated.
+_BODY_INFLATE_LIMIT = 64 << 20
+
+
+def _inflate_body(body: bytes, encoding: str):
+    """Decompress one Content-Encoding token: gzip/x-gzip (wbits 31)
+    or deflate (RFC 9110 'deflate' is zlib-wrapped, but real servers
+    also ship raw DEFLATE — try both, the browser rule). Budgeted via
+    decompressobj max_length; over-limit, truncated, or trailing-
+    garbage streams return None."""
+    import zlib
+
+    wbits_tries = (31,) if encoding in ("gzip", "x-gzip") else (15, -15)
+    for wbits in wbits_tries:
+        try:
+            dec = zlib.decompressobj(wbits)
+            out = dec.decompress(body, _BODY_INFLATE_LIMIT + 1)
+            if (
+                len(out) <= _BODY_INFLATE_LIMIT
+                and dec.eof
+                and not dec.unconsumed_tail
+            ):
+                return out
+        except zlib.error:
+            continue
+    return None
+
+
+_HTTP_SEPS = (b"\r\n\r\n", b"\n\r\n", b"\n\n")
+
+
+def _http_unwrap_payload(payload: bytes):
+    """(status, content_type, charset, content_encoding,
+    transfer_encoding, body_bytes) for one HTTP response payload —
+    the Python twin of warc_http_text's header rules (three blank-line
+    forms, earliest body start wins; headers-only → empty body) PLUS
+    the wire decodings the JVM path can't express: Transfer-Encoding:
+    chunked de-framing, then Content-Encoding gzip/deflate inflate
+    (identity passes through). An encoded body that fails its decode
+    yields body None with the labels intact — loud absence, never
+    mis-framed or mojibake bytes. None (all fields) when the payload
+    is not an HTTP message."""
+    import re as _re
+
+    if not payload.startswith(b"HTTP/"):
+        return None
+    best = None
+    for sep in _HTTP_SEPS:
+        p = payload.find(sep)
+        if p >= 0:
+            start = p + len(sep)
+            if best is None or start < best[0]:
+                best = (start, p)
+    if best is None:
+        head, body = payload, b""
+    else:
+        head, body = payload[: best[1]], payload[best[0] :]
+    peel = head.decode("iso-8859-1")
+    m = _re.match(r"HTTP/[0-9.]+ ([0-9]{3})", peel)
+    status = int(m.group(1)) if m else None
+
+    def header(name: str):
+        hm = _re.search(
+            rf"(?im)^{name}:[ \t]*([^\r\n]+)", peel
+        )
+        return hm.group(1).strip() if hm else None
+
+    ctype = header("content-type")
+    charset = None
+    if ctype:
+        cm = _re.search(
+            "(?i)charset=[\"']?([A-Za-z0-9_.\\-]+)", ctype
+        )
+        charset = cm.group(1).lower() if cm else None
+    cenc = header("content-encoding")
+    cenc = cenc.lower().strip() if cenc else None
+    tenc = header("transfer-encoding")
+    tenc = tenc.lower().strip() if tenc else None
+    if tenc is not None:
+        body = _dechunk(body) if tenc == "chunked" else None
+    if body is not None and cenc not in (None, "identity"):
+        if cenc in ("gzip", "x-gzip", "deflate"):
+            body = _inflate_body(body, cenc)
+        else:  # br/zstd/multi-token: refused, label preserved
+            body = None
+    return (status, ctype, charset, cenc, tenc, body)
+
+
+def warc_http_unwrap(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """The WIRE-DECODING envelope peel (r17): real crawls store bodies
+    as sent — Transfer-Encoding: chunked framing and Content-Encoding:
+    gzip/deflate compression — which the pure-JVM ``warc_http_text``
+    cannot express (Spark has no per-row gunzip expression). This
+    Arrow face (scan-stage mapInPandas, linear in bytes, inflate
+    budgeted) appends ``http_status`` / ``http_content_type`` /
+    ``http_charset`` / ``http_content_encoding`` /
+    ``http_transfer_encoding`` and the DECODED ``body`` as binary;
+    failed decodes are NULL bodies with labels intact. Pipe through
+    :func:`unwrapped_body_text` for the charset-ladder text column.
+    Use ``warc_http_text`` when the crawl is known identity-encoded
+    (zero Python in the plan); use this face when it is not."""
+    in_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
+    )
+    out_schema = (
+        f"{in_fields}, http_status int, http_content_type string, "
+        "http_charset string, http_content_encoding string, "
+        "http_transfer_encoding string, body binary"
+    )
+    names = [f.name for f in df.schema]
+
+    def unwrap_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[content_col]:
+                got = (
+                    _http_unwrap_payload(bytes(b))
+                    if b is not None
+                    else None
+                )
+                if got is None:
+                    # not an HTTP message: whole payload is the body
+                    rows.append(
+                        (None, None, None, None, None,
+                         None if b is None else bytes(b))
+                    )
+                else:
+                    rows.append(got)
+            cols = list(zip(*rows)) if rows else [[]] * 6
+            out = pdf[names].copy()
+            for i, name in enumerate(
+                ("http_status", "http_content_type", "http_charset",
+                 "http_content_encoding", "http_transfer_encoding",
+                 "body")
+            ):
+                out[name] = list(cols[i])
+            yield out
+
+    ensure_cjk_decode_confs(df.sparkSession)
+    return df.mapInPandas(unwrap_batches, schema=out_schema)
+
+
+def unwrapped_body_text(df: DataFrame) -> DataFrame:
+    """Append ``text`` — the charset-ladder decode of the unwrapped
+    binary ``body`` (same JVM ladder as warc_http_text: cp1252 family
+    exact, WHATWG CJK families, byte-faithful UTF-8 reinterpret
+    otherwise); NULL body stays NULL text."""
+    charset = F.coalesce(F.col("http_charset"), F.lit(""))
+    return df.withColumn(
+        "text",
+        F.when(
+            F.col("body").isNotNull(),
+            _charset_body_expr(F.col("body"), charset),
+        ),
     )
 
 
@@ -633,10 +832,15 @@ def write_warc_file(
         uri, ctype, payload = rec[0], rec[1], rec[2]
         nl = rec[3] if len(rec) > 3 else "\r\n"
         # optional 5th element: the BLANK-LINE terminator, for
-        # synthesizing mixed envelopes (LF header lines, CRLF blank)
+        # synthesizing mixed envelopes (LF header lines, CRLF blank);
+        # optional 6th: extra HTTP header (name, value) pairs (r17 —
+        # Content-Encoding / Transfer-Encoding fixtures)
         blank = rec[4] if len(rec) > 4 else nl
+        extras = rec[5] if len(rec) > 5 else ()
+        extra_str = "".join(f"{k}: {v}{nl}" for k, v in extras)
         http = (
-            f"HTTP/1.1 200 OK{nl}Content-Type: {ctype}{nl}{blank}".encode()
+            f"HTTP/1.1 200 OK{nl}Content-Type: {ctype}{nl}"
+            f"{extra_str}{blank}".encode()
             + payload
         )
         out.append(

@@ -2124,3 +2124,85 @@ class TestMp4VideoFace:
             b = bytearray(p)
             b[rng.randint(0, len(b))] = rng.randint(0, 256)
             _mp4_parse(bytes(b))
+
+
+class TestAudioTags:
+    """audio_tags (r17): ID3v2.2/2.3/2.4 text frames, RIFF LIST-INFO,
+    encodings, tagless/null kinds, malformed robustness."""
+
+    def test_fixture_matrix(self):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import audio_tags_payload
+
+        for did in range(60):
+            got = audio_tags_payload(entry._audio_tags_fixture(did))
+            if did % 10 in (1, 6):
+                assert got is None, did
+                continue
+            kind = "riff" if did % 2 == 0 else "id3"
+            title = f"t{did % 9}"
+            artist = None if did % 5 == 0 else f"a{did % 7}"
+            album = None if did % 3 == 0 else f"b{did % 4}"
+            assert got == (kind, title, artist, album), did
+
+    def test_id3_v22_and_utf16(self):
+        from lotad_spark.pipeline.multimodal import audio_tags_payload
+
+        # v2.2: 3-char ids, 3-byte sizes
+        body = b"\x00Old Title"
+        frames = b"TT2" + len(body).to_bytes(3, "big") + body
+        tag = b"ID3\x02\x00\x00" + bytes(
+            [0, 0, len(frames) >> 7, len(frames) & 0x7F]
+        ) + frames
+        assert audio_tags_payload(tag) == ("id3", "Old Title", None, None)
+        # v2.3 with utf-16 (BOM) and utf-16-be encodings
+        t16 = "Résumé 曲".encode("utf-16")  # with BOM
+        b1 = b"\x01" + t16
+        a16 = "アーティスト".encode("utf-16-be")
+        b2 = b"\x02" + a16
+        frames = (
+            b"TIT2" + len(b1).to_bytes(4, "big") + b"\x00\x00" + b1
+            + b"TPE1" + len(b2).to_bytes(4, "big") + b"\x00\x00" + b2
+        )
+        n = len(frames)
+        tag = b"ID3\x03\x00\x00" + bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F,
+             n & 0x7F]
+        ) + frames
+        got = audio_tags_payload(tag)
+        assert got == ("id3", "Résumé 曲", "アーティスト", None)
+
+    def test_spark_operator_kinds(self, spark):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import audio_tags
+
+        df = spark.createDataFrame(
+            [
+                (0, bytearray(entry._audio_tags_fixture(0))),
+                (7, bytearray(entry._audio_tags_fixture(7))),
+                (11, bytearray(entry._audio_tags_fixture(11))),
+                (99, None),
+            ],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in audio_tags(df).collect()}
+        assert got[0].kind == "riff" and got[0].title == "t0"
+        assert got[7].kind == "id3" and got[7].album == "b3"
+        assert got[11].kind == "none" and got[11].title is None
+        assert got[99].kind == "null"
+
+    def test_malformed_never_raises(self):
+        import numpy as np
+
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import audio_tags_payload
+
+        rng = np.random.RandomState(13)
+        for did in (0, 2, 3, 7):
+            p = entry._audio_tags_fixture(did)
+            for k in range(0, len(p), 7):
+                audio_tags_payload(p[:k])
+            for _ in range(40):
+                b = bytearray(p)
+                b[rng.randint(0, len(b))] = rng.randint(0, 256)
+                audio_tags_payload(bytes(b))

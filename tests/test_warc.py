@@ -431,3 +431,117 @@ class TestCjkConfReassert:
             == "true"
         )
         assert out.collect()[0].body == "hi"
+
+
+class TestHttpUnwrap:
+    """warc_http_unwrap (r17): chunked de-framing, gzip/deflate
+    inflate with budget, label-preserving NULLs, charset ladder over
+    decoded bytes."""
+
+    def test_payload_matrix(self):
+        import gzip
+        import zlib
+
+        from lotad_spark.sources.warc import _http_unwrap_payload
+
+        html = "café über — body".encode("utf-8")
+        mk = lambda hdrs, body: (  # noqa: E731
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + hdrs + b"\r\n" + body
+        )
+        # identity
+        got = _http_unwrap_payload(mk(b"", html))
+        assert got[0] == 200 and got[5] == html
+        # gzip
+        got = _http_unwrap_payload(
+            mk(b"Content-Encoding: gzip\r\n", gzip.compress(html))
+        )
+        assert got[3] == "gzip" and got[5] == html
+        # zlib-wrapped deflate AND raw deflate (the browser rule)
+        for enc in (zlib.compress(html),
+                    zlib.compressobj(9, zlib.DEFLATED, -15).compress(html)
+                    + zlib.compressobj(9, zlib.DEFLATED, -15).flush()):
+            pass
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        raw = co.compress(html) + co.flush()
+        for body in (zlib.compress(html), raw):
+            got = _http_unwrap_payload(
+                mk(b"Content-Encoding: deflate\r\n", body)
+            )
+            assert got[4] is None and got[5] == html
+        # chunked, then chunked+gzip layering
+        def chunked(b):
+            out = b""
+            for i in range(0, len(b), 7):
+                c = b[i : i + 7]
+                out += f"{len(c):x}".encode() + b"\r\n" + c + b"\r\n"
+            return out + b"0\r\n\r\n"
+
+        got = _http_unwrap_payload(
+            mk(b"Transfer-Encoding: chunked\r\n", chunked(html))
+        )
+        assert got[4] == "chunked" and got[5] == html
+        got = _http_unwrap_payload(
+            mk(
+                b"Content-Encoding: gzip\r\n"
+                b"Transfer-Encoding: chunked\r\n",
+                chunked(gzip.compress(html)),
+            )
+        )
+        assert got[5] == html
+        # unsupported coding: NULL body, label intact
+        got = _http_unwrap_payload(
+            mk(b"Content-Encoding: br\r\n", b"\x1b\x2c\x00")
+        )
+        assert got[3] == "br" and got[5] is None
+        # malformed chunk framing and truncated gzip: NULL body
+        got = _http_unwrap_payload(
+            mk(b"Transfer-Encoding: chunked\r\n", b"zz\r\nhello")
+        )
+        assert got[5] is None
+        got = _http_unwrap_payload(
+            mk(b"Content-Encoding: gzip\r\n", gzip.compress(html)[:-3])
+        )
+        assert got[5] is None
+        # non-HTTP and headers-only
+        assert _http_unwrap_payload(b"plain bytes") is None
+        got = _http_unwrap_payload(b"HTTP/1.1 200 OK\r\nX: y")
+        assert got[0] == 200 and got[5] == b""
+
+    def test_spark_face_with_charset(self, spark, tmp_path):
+        import gzip
+        import os
+
+        from lotad_spark.sources.warc import (
+            read_warc,
+            unwrapped_body_text,
+            warc_http_unwrap,
+            write_warc_file,
+        )
+
+        d = str(tmp_path)
+        cp = "café — quote’s".encode("cp1252")
+        sj = "日本語の本文。".encode("cp932")
+        recs = [
+            ("https://x.com/0", "text/html; charset=windows-1252",
+             gzip.compress(cp), "\r\n", "\r\n",
+             [("Content-Encoding", "gzip")]),
+            ("https://x.com/1", "text/html; charset=shift_jis",
+             sj),
+            ("https://x.com/2", "text/html",
+             b"\x00broken", "\r\n", "\r\n",
+             [("Content-Encoding", "gzip")]),
+        ]
+        write_warc_file(recs, os.path.join(d, "u.warc"))
+        rows = {
+            r.target_uri[-1]: r
+            for r in unwrapped_body_text(
+                warc_http_unwrap(read_warc(spark, d))
+            )
+            .filter("warc_type = 'response'")
+            .collect()
+        }
+        assert rows["0"].text == "café — quote’s"
+        assert rows["0"].http_content_encoding == "gzip"
+        assert rows["1"].text == "日本語の本文。"
+        assert rows["2"].text is None  # truncated gzip: loud absence
