@@ -3249,6 +3249,75 @@ def _doc_wav_media(spark, sf_dir):
     return docs.mapInPandas(build, schema="media_id bigint, content binary")
 
 
+def q_audio_fingerprint(spark, sf_dir):
+    """Audio energy-contour fingerprint (multimodal.py
+    audio_fingerprint — NEW r17): the flat PCM stream splits into 33
+    integer-boundary windows, exact Σ s² per window, bit w set when
+    E[w+1] > E[w] — the audio near-dup key (band + hamming downstream,
+    the simhash pattern). The fixture is a LONGER WAV than the stats
+    row ((did%5+2)·32 frames, so windows hold 1-4 samples and the
+    contour actually varies) with samples from the text bytes; the
+    oracle replays windowing, exact energies, and the bit packing with
+    DuckDB list functions — an off-by-one window boundary flips bits
+    and hash-mismatches."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    from lotad_spark.pipeline.multimodal import audio_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                n = (did % 5 + 2) * 32
+                data = (text or "").encode("utf-8")[: n * 2].ljust(
+                    n * 2, b"x"
+                )
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                chunks = b"fmt " + struct.pack("<I", 16) + fmt
+                chunks += b"data" + struct.pack("<I", len(data)) + data
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks))
+                    + b"WAVE" + chunks
+                )
+            yield pdf.assign(content=payloads)[["doc_id", "content"]].rename(
+                columns={"doc_id": "media_id"}
+            )
+
+    media = docs.mapInPandas(
+        build, schema="media_id bigint, content binary"
+    )
+    return audio_fingerprint(media)
+
+
+_AUDIO_FP_SQL = (
+    "WITH base AS (SELECT doc_id AS media_id, "
+    "CAST((doc_id % 5 + 2) * 32 AS BIGINT) AS nf, "
+    "rpad(coalesce(text, ''), "
+    "CAST((doc_id % 5 + 2) * 32 * 2 AS INT), 'x') AS px FROM documents), "
+    "sl AS (SELECT media_id, nf, list_transform("
+    "list_transform(range(0, nf), i -> ord(substr(px, "
+    "CAST(2 * i + 1 AS INT), 1)) "
+    "+ 256 * ord(substr(px, CAST(2 * i + 2 AS INT), 1))), "
+    "u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS s "
+    "FROM base) "
+    "SELECT media_id, 'pcm' AS kind, "
+    "CAST(list_aggregate(list_transform(range(0, 32), w -> "
+    "CASE WHEN coalesce(list_aggregate(list_transform("
+    "list_slice(s, CAST((w + 1) * nf // 33 + 1 AS INT), "
+    "CAST((w + 2) * nf // 33 AS INT)), x -> x * x), 'sum'), 0) > "
+    "coalesce(list_aggregate(list_transform("
+    "list_slice(s, CAST(w * nf // 33 + 1 AS INT), "
+    "CAST((w + 1) * nf // 33 AS INT)), x -> x * x), 'sum'), 0) "
+    "THEN CAST(1 AS BIGINT) << (31 - CAST(w AS INT)) "
+    "ELSE 0 END), 'sum') AS BIGINT) AS fp FROM sl"
+)
+
+
 def _audio_tags_fixture(did: int) -> bytes:
     """One audio payload for the audio_tags row (r17), cycling the two
     carrying forms with doc_id-arithmetic values: even docs are WAV
@@ -8747,10 +8816,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r17), per the
-    precomputed queue in COVERAGE.md (170 rows total, ALL
-    value-checked — two NEW rows):
+    precomputed queue in COVERAGE.md (171 rows total, ALL
+    value-checked — three NEW rows):
 
-    * 1-2: NEW — audio_tags (ID3v2.2/2.3/2.4 text frames
+    * 1-3: NEW — audio_tags (ID3v2.2/2.3/2.4 text frames
       TIT2/TPE1/TALB with per-frame encoding bytes + RIFF LIST-INFO
       INAM/IART/IPRD: the by-artist/by-ripper triage and pre-decode
       dedup key for crawled audio; both carrying forms, absent-field
@@ -8760,8 +8829,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       de-framing and Content-Encoding gzip/deflate inflate with a
       64 MB budget, unsupported codings come back NULL-body with the
       label intact, then the same JVM charset ladder; gzip/identity/
-      deflate/chunked/chunked-over-gzip/'br' all cycle in the row).
-    * 3-21: changed-code re-entries — audio_stats (NEW MP3 face: MPEG
+      deflate/chunked/chunked-over-gzip/'br' all cycle in the row),
+      and audio_fingerprint (energy-contour hash over decoded PCM —
+      33 integer-boundary windows, exact per-window energies, bit w
+      set when E[w+1] > E[w]: the audio near-dup key, banded +
+      hamming-verified downstream like the simhash rows).
+    * 4-22: changed-code re-entries — audio_stats (NEW MP3 face: MPEG
       frame-header walk for duration/rate/channels, amplitude honestly
       NULL) and video_stats (NEW MP4 face: ISO-BMFF mvhd/tkhd/stts
       box walk, audio-trak skip, exact-integer duration);
@@ -8782,14 +8855,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       riding the refactored per-doc media payload builders
       (multimodal_audio_hist / multimodal_video_hist /
       video_scene_cuts — byte-identical payloads, builders extracted).
-    * 22-46: the 25 longest-out r13-green rows (out since r14), the
+    * 23-47: the 25 longest-out r13-green rows (out since r14), the
       COVERAGE.md r17 queue order — schema_drift_records ->
       dedup_exact, covering the whole diff family, the wizard rows,
       and the reference-parity SQL surface.
-    * 47-50: the r13-green tail that slipped past the r16 window —
-      ccnet_buckets -> domain_stats (domain_cap / domain_blocklist
-      slip to 51-52 as the two new rows land; both are multi-round
-      green with code unchanged).
+    * 48-50: the r13-green tail that slipped past the r16 window —
+      ccnet_buckets, url_dedup, url_dedup_incremental (domain_stats /
+      domain_cap / domain_blocklist slip to 51-53 as the three new
+      rows land; all multi-round green with code unchanged).
     * 51+: rotated out — the rest of the r13-green tail, then older
       green rows, with the r16-window-green rows LAST (freshest green
       rotates out last). Every rotated row has at least one
@@ -8812,6 +8885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round yet): audio_tags — ID3v2/RIFF-INFO metadata tags. ---
         "audio_tags": q_audio_tags,
         "http_unwrap": q_http_unwrap,
+        "audio_fingerprint": q_audio_fingerprint,
         "audio_stats": q_audio_stats,
         "video_stats": q_video_stats,
         "decode_tier_counts": q_decode_tier_counts,
@@ -9064,6 +9138,7 @@ def oracle_sql() -> dict[str, str]:
         "exif_gps": _EXIF_GPS_SQL,
         "audio_tags": _AUDIO_TAGS_SQL,
         "http_unwrap": _http_unwrap_sql(),
+        "audio_fingerprint": _AUDIO_FP_SQL,
         "audio_stats": _AUDIO_STATS_SQL,
         "video_stats": _VIDEO_STATS_SQL,
         "html_tables": _html_tables_sql(),

@@ -3065,6 +3065,74 @@ def audio_tags(
     return df.mapInPandas(tag_batches, schema=out_schema)
 
 
+def audio_fingerprint_payload(payload: bytes, n_bits: int = 32):
+    """Energy-contour fingerprint of decoded PCM: the flat sample
+    stream splits into ``n_bits + 1`` integer-boundary windows
+    (window w covers ``[w·n // (n_bits+1), (w+1)·n // (n_bits+1))``),
+    each window's energy is the exact Σ s², and bit w is set when
+    ``E[w+1] > E[w]`` — the audio analogue of aHash's
+    brighter-than-mean bits: invariant to volume scaling direction
+    and robust to re-encoding noise, so near-identical audio collides
+    and hamming distance ranks near-dups. None for payloads
+    :func:`decode_audio` can't decode (MP3 stays honest-None here —
+    a header walk has no samples to contour)."""
+    dec = decode_audio(payload)
+    if dec is None:
+        return None
+    import numpy as np
+
+    _rate, samples = dec
+    s = samples.astype(np.int64).ravel()
+    n = int(s.size)
+    k = n_bits + 1
+    energies = []
+    for w in range(k):
+        blk = s[w * n // k : (w + 1) * n // k]
+        energies.append(int(np.dot(blk, blk)))
+    fp = 0
+    for w in range(n_bits):
+        if energies[w + 1] > energies[w]:
+            fp |= 1 << (n_bits - 1 - w)
+    return fp
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+    n_bits: int = 32,
+) -> DataFrame:
+    """(id, kind, fp) per media row — the audio near-dup key
+    (:func:`audio_fingerprint_payload`): kind='pcm' with the
+    energy-contour fingerprint for decodable audio, 'bytes'/'null'
+    with NULL fp otherwise. Pair near-dups downstream exactly like the
+    simhash rows: band the fp and hamming-verify within buckets — the
+    fingerprint is the value-checked kernel, the join reuses the
+    existing banded machinery. Scan-stage Arrow batches."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, kind string, fp bigint"
+
+    def fp_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[content_col]:
+                if b is None:
+                    rows.append(("null", None))
+                    continue
+                fp = audio_fingerprint_payload(bytes(b), n_bits)
+                rows.append(
+                    ("bytes", None) if fp is None else ("pcm", fp)
+                )
+            out = pd.DataFrame(rows, columns=("kind", "fp"))
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(fp_batches, schema=out_schema)
+
+
 def _pcm_energy(flat, block: int = 1 << 24) -> int:
     """Exact Σ s² over a flat int64 PCM sample array as a Python int.
 

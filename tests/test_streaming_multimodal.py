@@ -2206,3 +2206,61 @@ class TestAudioTags:
                 b = bytearray(p)
                 b[rng.randint(0, len(b))] = rng.randint(0, 256)
                 audio_tags_payload(bytes(b))
+
+
+class TestAudioFingerprint:
+    """audio_fingerprint (r17): energy-contour bits, invariances,
+    honest fallbacks."""
+
+    @staticmethod
+    def _wav(samples, rate=8000):
+        import struct
+
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        chunks = (
+            b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+            + chunks
+        )
+
+    def test_contour_bits_and_invariance(self):
+        from lotad_spark.pipeline.multimodal import (
+            audio_fingerprint_payload,
+        )
+
+        # strictly growing energy contour → all 32 bits set
+        grow = [i * 9 for i in range(66)]
+        fp = audio_fingerprint_payload(self._wav(grow))
+        assert fp == (1 << 32) - 1
+        # constant → no bits
+        assert audio_fingerprint_payload(self._wav([100] * 66)) == 0
+        # volume scaling preserves the contour (energies scale
+        # uniformly, comparisons unchanged)
+        # doubling is exact in integers; halving could flip ties
+        mixed = [((i * 37) % 200) - 100 for i in range(99)]
+        doubled = [s * 2 for s in mixed]
+        assert audio_fingerprint_payload(
+            self._wav(mixed)
+        ) == audio_fingerprint_payload(self._wav(doubled))
+        # non-audio: None
+        assert audio_fingerprint_payload(b"junk") is None
+
+    def test_spark_kinds(self, spark):
+        from lotad_spark.pipeline.multimodal import audio_fingerprint
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(self._wav([i for i in range(66)]))),
+                (2, bytearray(b"nope")),
+                (3, None),
+            ],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in audio_fingerprint(df).collect()}
+        assert got[1].kind == "pcm" and got[1].fp is not None
+        assert got[2].kind == "bytes" and got[2].fp is None
+        assert got[3].kind == "null"
