@@ -519,3 +519,52 @@ class TestMediaStagePlans:
         assert "Exchange" not in plan
         assert plan.count("FileScan") == 1
         assert plan.count("MapInPandas") == 1
+
+
+class TestR17MediaPlans:
+    """r17 faces keep the scan-stage shape: one FileScan, one Arrow
+    stage, zero exchanges."""
+
+    def _media(self, spark, sf_dir):
+        d = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        return d.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("content"),
+        )
+
+    def test_audio_tags_single_stage(self, spark, sf_dir):
+        from lotad_spark.pipeline.multimodal import audio_tags
+
+        plan = _plan(audio_tags(self._media(spark, sf_dir)))
+        assert "Exchange" not in plan
+        assert plan.count("FileScan") == 1
+        assert plan.count("MapInPandas") == 1
+
+    def test_audio_fingerprint_single_stage(self, spark, sf_dir):
+        from lotad_spark.pipeline.multimodal import audio_fingerprint
+
+        plan = _plan(audio_fingerprint(self._media(spark, sf_dir)))
+        assert "Exchange" not in plan
+        assert plan.count("FileScan") == 1
+        assert plan.count("MapInPandas") == 1
+
+    def test_http_unwrap_single_arrow_stage(self, spark, sf_dir):
+        """warc_http_unwrap + the charset-ladder text projection stay
+        ONE Arrow stage over the binary scan — the wire decode must
+        not introduce an exchange or a Python round-trip beyond the
+        single mapInPandas."""
+        from lotad_spark.sources.warc import (
+            unwrapped_body_text,
+            warc_http_unwrap,
+        )
+
+        d = ParquetDatabase(spark, sf_dir, "db").table("documents")
+        media = d.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("content"),
+        )
+        plan = _plan(unwrapped_body_text(warc_http_unwrap(media)))
+        assert "Exchange" not in plan
+        assert plan.count("FileScan") == 1
+        assert plan.count("MapInPandas") == 1
+        assert "EvalPython" not in plan.replace("MapInPandas", "")
