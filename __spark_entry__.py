@@ -900,6 +900,66 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+def q_canonical_url_dedup(spark, sf_dir):
+    """Declared-canonical dedup (pipeline/urls.py canonical_url_dedup
+    — NEW r17): the composition the html_meta rel=canonical column
+    exists FOR — group pages by canonical target (own-URL fallback
+    when absent) and keep the min id, collapsing mirror/AMP families
+    before any content hashing. Fixture: every 10th doc gains a
+    MIRROR page (doc_id+100000, different own URL, byte-identical
+    html → same canonical); every 7th+3 doc's canonical link is
+    stripped (the fallback path — its mirror lands in a SEPARATE
+    own-URL group, exactly the un-collapsible case). The oracle
+    derives every group by doc_id arithmetic."""
+    from lotad_spark.pipeline.urls import canonical_url_dedup
+    from lotad_spark.pipeline.web import html_meta
+
+    pages = _doc_html_frame(spark, sf_dir)
+    # strip the canonical link from every 7th+3 doc (literal-pattern
+    # rewrite both engines replay)
+    stripped = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.regexp_replace(
+            "html",
+            '<link rel="canonical" href="https://example\\.com/canon/'
+            '[0-9]+">',
+            "",
+        ),
+    ).otherwise(F.col("html"))
+    pages = pages.select("doc_id", stripped.alias("html"))
+    mirrors = pages.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    allp = pages.unionByName(mirrors)
+    meta = html_meta(allp, "html").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "canonical",
+    )
+    return canonical_url_dedup(meta)
+
+
+_CANONICAL_URL_DEDUP_SQL = (
+    "WITH d AS (SELECT doc_id AS did FROM documents), g AS ("
+    "SELECT 'https://example.com/canon/' || CAST(did AS VARCHAR) "
+    "AS canonical_url, "
+    "CAST(CASE WHEN did % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) "
+    "AS n_pages, did AS keeper FROM d WHERE did % 7 != 3 "
+    "UNION ALL "
+    "SELECT 'https://example.com/doc/' || CAST(did AS VARCHAR), "
+    "CAST(1 AS BIGINT), did FROM d WHERE did % 7 = 3 "
+    "UNION ALL "
+    "SELECT 'https://example.com/doc/' || CAST(did + 100000 AS VARCHAR), "
+    "CAST(1 AS BIGINT), did + 100000 FROM d "
+    "WHERE did % 7 = 3 AND did % 10 = 0) "
+    "SELECT canonical_url, n_pages, "
+    "CAST(keeper AS BIGINT) AS keeper_doc_id FROM g"
+)
+
+
 def q_http_unwrap(spark, sf_dir):
     """HTTP wire-decoding ingest (sources/warc.py warc_http_unwrap +
     unwrapped_body_text — NEW r17): real crawls store bodies AS SENT,
@@ -8816,10 +8876,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r17), per the
-    precomputed queue in COVERAGE.md (171 rows total, ALL
-    value-checked — three NEW rows):
+    precomputed queue in COVERAGE.md (172 rows total, ALL
+    value-checked — four NEW rows):
 
-    * 1-3: NEW — audio_tags (ID3v2.2/2.3/2.4 text frames
+    * 1-4: NEW — audio_tags (ID3v2.2/2.3/2.4 text frames
       TIT2/TPE1/TALB with per-frame encoding bytes + RIFF LIST-INFO
       INAM/IART/IPRD: the by-artist/by-ripper triage and pre-decode
       dedup key for crawled audio; both carrying forms, absent-field
@@ -8833,8 +8893,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       and audio_fingerprint (energy-contour hash over decoded PCM —
       33 integer-boundary windows, exact per-window energies, bit w
       set when E[w+1] > E[w]: the audio near-dup key, banded +
-      hamming-verified downstream like the simhash rows).
-    * 4-22: changed-code re-entries — audio_stats (NEW MP3 face: MPEG
+      hamming-verified downstream like the simhash rows), and
+      canonical_url_dedup (the composition rel=canonical exists FOR:
+      group pages by declared canonical with own-URL fallback, min-id
+      keeper — mirror/AMP families collapse BEFORE content hashing;
+      fixture synthesizes mirror pages and strips the canonical from
+      every 7th+3 doc so the un-collapsible fallback path is in the
+      checked row).
+    * 5-23: changed-code re-entries — audio_stats (NEW MP3 face: MPEG
       frame-header walk for duration/rate/channels, amplitude honestly
       NULL) and video_stats (NEW MP4 face: ISO-BMFF mvhd/tkhd/stts
       box walk, audio-trak skip, exact-integer duration);
@@ -8855,13 +8921,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       riding the refactored per-doc media payload builders
       (multimodal_audio_hist / multimodal_video_hist /
       video_scene_cuts — byte-identical payloads, builders extracted).
-    * 23-47: the 25 longest-out r13-green rows (out since r14), the
+    * 24-48: the 25 longest-out r13-green rows (out since r14), the
       COVERAGE.md r17 queue order — schema_drift_records ->
       dedup_exact, covering the whole diff family, the wizard rows,
       and the reference-parity SQL surface.
-    * 48-50: the r13-green tail that slipped past the r16 window —
-      ccnet_buckets, url_dedup, url_dedup_incremental (domain_stats /
-      domain_cap / domain_blocklist slip to 51-53 as the three new
+    * 49-50: the r13-green tail that slipped past the r16 window —
+      ccnet_buckets, url_dedup (url_dedup_incremental / domain_stats /
+      domain_cap / domain_blocklist slip to 51-54 as the four new
       rows land; all multi-round green with code unchanged).
     * 51+: rotated out — the rest of the r13-green tail, then older
       green rows, with the r16-window-green rows LAST (freshest green
@@ -8886,6 +8952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_tags": q_audio_tags,
         "http_unwrap": q_http_unwrap,
         "audio_fingerprint": q_audio_fingerprint,
+        "canonical_url_dedup": q_canonical_url_dedup,
         "audio_stats": q_audio_stats,
         "video_stats": q_video_stats,
         "decode_tier_counts": q_decode_tier_counts,
@@ -9139,6 +9206,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_tags": _AUDIO_TAGS_SQL,
         "http_unwrap": _http_unwrap_sql(),
         "audio_fingerprint": _AUDIO_FP_SQL,
+        "canonical_url_dedup": _CANONICAL_URL_DEDUP_SQL,
         "audio_stats": _AUDIO_STATS_SQL,
         "video_stats": _VIDEO_STATS_SQL,
         "html_tables": _html_tables_sql(),

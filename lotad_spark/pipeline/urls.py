@@ -228,6 +228,38 @@ def url_dedup(
     )
 
 
+def canonical_url_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    canonical_col: str = "canonical",
+) -> DataFrame:
+    """Dedup by DECLARED canonical (r17): group pages on their
+    rel=canonical target (``html_meta``'s ``canonical`` column),
+    falling back to the page's own URL when absent, and emit
+    ``(canonical_url, n_pages, keeper_<id>)`` with the minimum id as
+    keeper (the repo's deterministic keep-rule). This is the
+    crawl-dedup join real pipelines run FIRST — mirrors, AMP pages,
+    and session-id variants declare the same canonical, so whole
+    duplicate families collapse before any content bytes are hashed
+    or shuffled.
+
+    Scale shape: ONE exchange keyed on ~100-byte canonical URLs with
+    map-side partial aggregation — the same bounded-key shuffle as
+    :func:`url_dedup`, never document text."""
+    key = F.coalesce(F.col(canonical_col), F.col(url_col)).alias(
+        "canonical_url"
+    )
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min(id_col).alias(f"keeper_{id_col}"),
+        )
+    )
+
+
 def _apex_expr(host: Column) -> Column:
     """Last-two-labels apex heuristic. Deliberately NOT eTLD+1: the
     public-suffix list is a versioned external artifact; the heuristic

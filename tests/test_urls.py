@@ -724,3 +724,51 @@ class TestStreamUrlIngest:
         )
         with pytest.raises(ValueError, match="batch DataFrame"):
             stream_urls_into_index(df, "/tmp/x", "/tmp/y")
+
+
+class TestCanonicalUrlDedup:
+    """canonical_url_dedup (r17): declared-canonical grouping with
+    own-URL fallback and min-id keeper."""
+
+    def test_groups_and_fallback(self, spark):
+        from lotad_spark.pipeline.urls import canonical_url_dedup
+
+        rows = [
+            # a mirror family: three pages declaring one canonical
+            (1, "https://a.com/x", "https://a.com/canonical"),
+            (2, "https://amp.a.com/x", "https://a.com/canonical"),
+            (3, "https://m.a.com/x?sid=9", "https://a.com/canonical"),
+            # no canonical: own URL is the group key
+            (4, "https://b.com/y", None),
+            # two canonical-less pages never collapse
+            (5, "https://c.com/z", None),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, url string, canonical string"
+        )
+        got = {
+            r.canonical_url: r
+            for r in canonical_url_dedup(df).collect()
+        }
+        fam = got["https://a.com/canonical"]
+        assert fam.n_pages == 3 and fam.keeper_doc_id == 1
+        assert got["https://b.com/y"].n_pages == 1
+        assert got["https://c.com/z"].keeper_doc_id == 5
+        assert len(got) == 3
+
+    def test_single_bounded_shuffle(self, spark):
+        from lotad_spark.pipeline.urls import canonical_url_dedup
+
+        df = spark.createDataFrame(
+            [(1, "https://a.com/x", None)],
+            "doc_id bigint, url string, canonical string",
+        )
+        plan = (
+            canonical_url_dedup(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one exchange on the canonical key, with a map-side partial
+        assert plan.count("Exchange") <= 1
+        assert "partial_count" in plan or "HashAggregate" in plan
