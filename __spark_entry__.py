@@ -3386,8 +3386,10 @@ def _audio_tags_fixture(did: int) -> bytes:
     sizes cycle on did%4, utf-8 vs latin-1 encoding bytes on did%7);
     title 't'||did%9 always present, artist absent on did%5==0, album
     absent on did%3==0; docs with did%10 in (1,6) are tagless (the
-    'none' path). Values are ASCII so both encodings decode
-    identically and the oracle is pure arithmetic."""
+    'none' path); docs with did%10==9 carry ONLY a trailing 128-byte
+    ID3v1 TAG block (r17 — the legacy fallback path). Values are
+    ASCII so both encodings decode identically and the oracle is pure
+    arithmetic."""
     import struct
 
     tagless = did % 10 in (1, 6)
@@ -3419,6 +3421,14 @@ def _audio_tags_fixture(did: int) -> bytes:
     frame += bytes((did + i) % 256 for i in range(576 - 4))
     if tagless:
         return frame
+    if did % 10 == 9:
+        def pad30(v):
+            return (v or "").encode("latin-1").ljust(30, b"\x00")
+
+        return (
+            frame + b"TAG" + pad30(title) + pad30(artist)
+            + pad30(album) + b"2024" + b"\x00" * 30 + b"\xff"
+        )
     major = 4 if did % 4 == 3 else 3
     enc = 3 if did % 7 == 1 else 0
     frames = b""
@@ -3478,6 +3488,7 @@ def q_audio_tags(spark, sf_dir):
 _AUDIO_TAGS_SQL = (
     "SELECT doc_id AS media_id, "
     "CASE WHEN doc_id % 10 IN (1, 6) THEN 'none' "
+    "WHEN doc_id % 10 = 9 THEN 'id3v1' "
     "WHEN doc_id % 2 = 0 THEN 'riff' ELSE 'id3' END AS kind, "
     "CASE WHEN doc_id % 10 IN (1, 6) THEN NULL "
     "ELSE 't' || CAST(doc_id % 9 AS VARCHAR) END AS title, "
@@ -3751,6 +3762,104 @@ def _doc_video_media(spark, sf_dir):
             )
 
     return docs.mapInPandas(build, schema="media_id bigint, content binary")
+
+
+def _video_tags_fixture(did: int) -> bytes:
+    """One payload for the video_tags row (r17): an MP4 whose
+    iTunes-style ilst carries encoder/title/artist by arithmetic
+    (encoder 'enc-'||did%6 unless did%5==0, title 'vt'||did%3 unless
+    did%3==1, artist 'va'||did%4 unless did%4==2 — did≡10 mod 60 has
+    all three absent, the empty-ilst 'none' path); every did%7==6 doc
+    ships the AVI payload instead (the non-ISO 'none' path). A
+    non-text 'data' type (13 = JPEG cover art) rides along on every
+    tagged doc so the UTF-8-only rule is exercised IN the row."""
+    import struct
+
+    from lotad_spark.pipeline.multimodal import _iso_boxes
+
+    if did % 7 == 6:
+        return _avi_payload(did, None)
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    def data_item(item4cc: bytes, value: str | None, dtype: int = 1):
+        if value is None:
+            return b""
+        payload = value.encode("utf-8")
+        d = box(
+            b"data", struct.pack(">I", dtype) + b"\x00" * 4 + payload
+        )
+        return box(item4cc, d)
+
+    encoder = None if did % 5 == 0 else f"enc-{did % 6}"
+    title = None if did % 3 == 1 else f"vt{did % 3}"
+    artist = None if did % 4 == 2 else f"va{did % 4}"
+    ilst_body = (
+        data_item(b"\xa9too", encoder)
+        + data_item(b"\xa9nam", title)
+        + data_item(b"\xa9ART", artist)
+        # binary cover art (type 13): must be IGNORED by the
+        # UTF-8-only rule even when a text field is absent
+        + data_item(b"covr", "\xff\xd8fakejpeg", dtype=13)
+    )
+    meta = box(b"meta", b"\x00" * 4 + box(b"ilst", ilst_body))
+    udta = box(b"udta", meta)
+    base = _mp4_payload(did)
+    # splice udta into moov: rebuild moov with udta appended
+    for typ, body in _iso_boxes(base):
+        if typ == b"moov":
+            new_moov = box(b"moov", body + udta)
+            idx = base.find(b"moov")
+            old_len = len(body) + 8
+            start = idx - 4
+            return base[:start] + new_moov + base[start + old_len :]
+    return base
+
+
+def q_video_tags(spark, sf_dir):
+    """MP4 metadata tags (multimodal.py video_tags — NEW r17): the
+    iTunes-style ilst items ©too/©nam/©ART (encoder/title/artist) —
+    encoders stamp ©too, so group-by-encoder is the transcode/
+    generator triage for crawled video, completing the provenance
+    family (image_provenance / audio_tags / video_tags). The fixture
+    cycles absent fields, the all-absent empty-ilst path, the non-ISO
+    path, and a binary cover-art item the UTF-8-only rule must skip;
+    the oracle is pure doc_id arithmetic."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    from lotad_spark.pipeline.multimodal import video_tags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = [
+                _video_tags_fixture(int(did)) for did in pdf["doc_id"]
+            ]
+            yield pdf.assign(content=payloads)[["doc_id", "content"]].rename(
+                columns={"doc_id": "media_id"}
+            )
+
+    media = docs.mapInPandas(
+        build, schema="media_id bigint, content binary"
+    )
+    return video_tags(media)
+
+
+_VIDEO_TAGS_SQL = (
+    "SELECT doc_id AS media_id, "
+    "CASE WHEN doc_id % 7 = 6 THEN 'none' "
+    "WHEN doc_id % 5 = 0 AND doc_id % 3 = 1 AND doc_id % 4 = 2 "
+    "THEN 'none' ELSE 'mp4' END AS kind, "
+    "CASE WHEN doc_id % 7 = 6 OR doc_id % 5 = 0 THEN NULL "
+    "ELSE 'enc-' || CAST(doc_id % 6 AS VARCHAR) END AS encoder, "
+    "CASE WHEN doc_id % 7 = 6 OR doc_id % 3 = 1 THEN NULL "
+    "ELSE 'vt' || CAST(doc_id % 3 AS VARCHAR) END AS title, "
+    "CASE WHEN doc_id % 7 = 6 OR doc_id % 4 = 2 THEN NULL "
+    "ELSE 'va' || CAST(doc_id % 4 AS VARCHAR) END AS artist "
+    "FROM documents"
+)
 
 
 def q_video_stats(spark, sf_dir):
@@ -8876,10 +8985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r17), per the
-    precomputed queue in COVERAGE.md (172 rows total, ALL
-    value-checked — four NEW rows):
+    precomputed queue in COVERAGE.md (173 rows total, ALL
+    value-checked — five NEW rows):
 
-    * 1-4: NEW — audio_tags (ID3v2.2/2.3/2.4 text frames
+    * 1-5: NEW — audio_tags (ID3v2.2/2.3/2.4 text frames
       TIT2/TPE1/TALB with per-frame encoding bytes + RIFF LIST-INFO
       INAM/IART/IPRD: the by-artist/by-ripper triage and pre-decode
       dedup key for crawled audio; both carrying forms, absent-field
@@ -8899,8 +9008,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       keeper — mirror/AMP families collapse BEFORE content hashing;
       fixture synthesizes mirror pages and strips the canonical from
       every 7th+3 doc so the un-collapsible fallback path is in the
-      checked row).
-    * 5-23: changed-code re-entries — audio_stats (NEW MP3 face: MPEG
+      checked row), and video_tags (MP4 iTunes-style ilst items
+      ©too/©nam/©ART — encoder stamps are the transcode/generator
+      triage for crawled video, completing the provenance family
+      across image/audio/video; the UTF-8-only rule, empty-ilst and
+      non-ISO 'none' paths, and a binary cover-art item are all in
+      the checked row; audio_tags also gains the trailing ID3v1 TAG
+      fallback, kind='id3v1' cycling in its row).
+    * 6-24: changed-code re-entries — audio_stats (NEW MP3 face: MPEG
       frame-header walk for duration/rate/channels, amplitude honestly
       NULL) and video_stats (NEW MP4 face: ISO-BMFF mvhd/tkhd/stts
       box walk, audio-trak skip, exact-integer duration);
@@ -8921,13 +9036,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       riding the refactored per-doc media payload builders
       (multimodal_audio_hist / multimodal_video_hist /
       video_scene_cuts — byte-identical payloads, builders extracted).
-    * 24-48: the 25 longest-out r13-green rows (out since r14), the
+    * 25-49: the 25 longest-out r13-green rows (out since r14), the
       COVERAGE.md r17 queue order — schema_drift_records ->
       dedup_exact, covering the whole diff family, the wizard rows,
       and the reference-parity SQL surface.
-    * 49-50: the r13-green tail that slipped past the r16 window —
-      ccnet_buckets, url_dedup (url_dedup_incremental / domain_stats /
-      domain_cap / domain_blocklist slip to 51-54 as the four new
+    * 50: the r13-green tail that slipped past the r16 window —
+      ccnet_buckets (url_dedup / url_dedup_incremental / domain_stats
+      / domain_cap / domain_blocklist slip to 51-55 as the five new
       rows land; all multi-round green with code unchanged).
     * 51+: rotated out — the rest of the r13-green tail, then older
       green rows, with the r16-window-green rows LAST (freshest green
@@ -8953,6 +9068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_unwrap": q_http_unwrap,
         "audio_fingerprint": q_audio_fingerprint,
         "canonical_url_dedup": q_canonical_url_dedup,
+        "video_tags": q_video_tags,
         "audio_stats": q_audio_stats,
         "video_stats": q_video_stats,
         "decode_tier_counts": q_decode_tier_counts,
@@ -9207,6 +9323,7 @@ def oracle_sql() -> dict[str, str]:
         "http_unwrap": _http_unwrap_sql(),
         "audio_fingerprint": _AUDIO_FP_SQL,
         "canonical_url_dedup": _CANONICAL_URL_DEDUP_SQL,
+        "video_tags": _VIDEO_TAGS_SQL,
         "audio_stats": _AUDIO_STATS_SQL,
         "video_stats": _VIDEO_STATS_SQL,
         "html_tables": _html_tables_sql(),

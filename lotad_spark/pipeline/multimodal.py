@@ -2929,7 +2929,12 @@ def audio_tags_payload(payload: bytes):
     * ID3v2.2/2.3/2.4 leading tag on MPEG audio — text frames
       TIT2/TPE1/TALB (TT2/TP1/TAL in v2.2), per-frame encoding byte;
     * RIFF/WAVE ``LIST`` chunk of form ``INFO`` — INAM/IART/IPRD,
-      NUL-terminated latin-1.
+      NUL-terminated latin-1;
+    * ID3v1 trailing 128-byte ``TAG`` block (r17 — the only tag old
+      MP3s carry): 30-byte latin-1 title/artist/album fields, used
+      as the FALLBACK when no v2/LIST field resolved (v1 is the
+      legacy, lower-fidelity form; the extended ``TAG+`` block is
+      not parsed).
 
     The dedup/provenance face for crawled audio (generators and
     rippers stamp exactly these fields — the image_provenance
@@ -2982,9 +2987,9 @@ def audio_tags_payload(payload: bytes):
                     elif key == "album" and album is None:
                         album = text
             pos = body_off + fsz
-        if title is None and artist is None and album is None:
-            return None
-        return ("id3", title, artist, album)
+        if title is not None or artist is not None or album is not None:
+            return ("id3", title, artist, album)
+        return _id3v1_tags(payload)
     if (
         len(payload) >= 12
         and payload[:4] == b"RIFF"
@@ -3022,7 +3027,28 @@ def audio_tags_payload(payload: bytes):
         if title is None and artist is None and album is None:
             return None
         return ("riff", title, artist, album)
-    return None
+    return _id3v1_tags(payload)
+
+
+def _id3v1_tags(payload: bytes):
+    """The trailing 128-byte ID3v1 ``TAG`` block, or None: 30-byte
+    fixed latin-1 fields, NUL/space-padded; empty fields None."""
+    if len(payload) < 128:
+        return None
+    tag = payload[-128:]
+    if tag[:3] != b"TAG":
+        return None
+
+    def field(b: bytes):
+        s = b.split(b"\x00", 1)[0].decode("latin-1").strip()
+        return s or None
+
+    title = field(tag[3:33])
+    artist = field(tag[33:63])
+    album = field(tag[63:93])
+    if title is None and artist is None and album is None:
+        return None
+    return ("id3v1", title, artist, album)
 
 
 def audio_tags(
@@ -4185,6 +4211,131 @@ def _mp4_parse(payload: bytes):
         if len(video["stts"]) == 1 and video["mts"]:
             usec = video["stts"][0][1] * 1_000_000 // video["mts"]
     return (video["w"], video["h"], n_frames, usec, dur_ms)
+
+
+def _iso_boxes(data: bytes):
+    """Yield (type, body) for the ISO-BMFF boxes directly inside
+    ``data`` — 64-bit largesize and to-end-of-container sizes handled;
+    malformed/truncated boxes end the walk silently (callers keep
+    whatever parsed)."""
+    import struct
+
+    pos = 0
+    while pos + 8 <= len(data):
+        size, typ = struct.unpack_from(">I4s", data, pos)
+        hdr = 8
+        if size == 1:
+            if pos + 16 > len(data):
+                return
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = len(data) - pos
+        if size < hdr or pos + size > len(data):
+            return
+        yield typ, data[pos + hdr : pos + size]
+        pos += size
+
+
+# iTunes-style ilst item ids → output slots. ©too is what encoders
+# stamp themselves into — the generated/transcoded-video triage key.
+_MP4_ILST_KEYS = {
+    b"\xa9too": "encoder", b"\xa9nam": "title", b"\xa9ART": "artist",
+}
+
+
+def mp4_tags_payload(payload: bytes):
+    """(encoder, title, artist) from an MP4's iTunes-style metadata
+    (moov → udta → meta → ilst; each item's ``data`` child carries a
+    type indicator — UTF-8 values only, the form every real writer
+    emits), or None when the payload is not ISO-BMFF or carries none
+    of the three items. The video/audio-container sibling of
+    image_provenance: encoders and rippers stamp ``©too``, so
+    group-by-encoder is the transcode/generator triage for crawled
+    MP4."""
+    import struct
+
+    has_ftyp = any(t == b"ftyp" for t, _b in _iso_boxes(payload))
+    if not has_ftyp:
+        return None
+    out = {"encoder": None, "title": None, "artist": None}
+    for t, moov in _iso_boxes(payload):
+        if t != b"moov":
+            continue
+        for t2, udta in _iso_boxes(moov):
+            if t2 != b"udta":
+                continue
+            for t3, meta in _iso_boxes(udta):
+                if t3 != b"meta" or len(meta) < 4:
+                    continue
+                # meta is a FULL box: 4 version/flags bytes precede
+                # its children
+                for t4, ilst in _iso_boxes(meta[4:]):
+                    if t4 != b"ilst":
+                        continue
+                    for item, body in _iso_boxes(ilst):
+                        key = _MP4_ILST_KEYS.get(item)
+                        if key is None or out[key] is not None:
+                            continue
+                        for t5, dbody in _iso_boxes(body):
+                            if t5 != b"data" or len(dbody) < 8:
+                                continue
+                            dtype = (
+                                struct.unpack_from(">I", dbody, 0)[0]
+                                & 0xFFFFFF
+                            )
+                            if dtype != 1:  # UTF-8 text only
+                                continue
+                            try:
+                                out[key] = dbody[8:].decode("utf-8")
+                            except UnicodeDecodeError:
+                                pass
+                            break
+    if all(v is None for v in out.values()):
+        return None
+    return (out["encoder"], out["title"], out["artist"])
+
+
+def video_tags(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, kind, encoder, title, artist) per media row — the MP4
+    metadata-tag face (:func:`mp4_tags_payload`): kind='mp4' for
+    ISO-BMFF payloads carrying at least one of the three iTunes-style
+    items, 'none' for tagless payloads, 'null' for NULL. The
+    image_provenance / audio_tags sibling completing the provenance
+    family across all three media kinds. Scan-stage Arrow batches."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, kind string, encoder string, "
+        "title string, artist string"
+    )
+
+    def tag_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[content_col]:
+                if b is None:
+                    rows.append(("null", None, None, None))
+                    continue
+                got = mp4_tags_payload(bytes(b))
+                rows.append(
+                    ("none", None, None, None)
+                    if got is None
+                    else ("mp4",) + got
+                )
+            out = pd.DataFrame(
+                rows, columns=("kind", "encoder", "title", "artist")
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(tag_batches, schema=out_schema)
 
 
 def video_stats(

@@ -2139,7 +2139,10 @@ class TestAudioTags:
             if did % 10 in (1, 6):
                 assert got is None, did
                 continue
-            kind = "riff" if did % 2 == 0 else "id3"
+            kind = (
+                "id3v1" if did % 10 == 9
+                else "riff" if did % 2 == 0 else "id3"
+            )
             title = f"t{did % 9}"
             artist = None if did % 5 == 0 else f"a{did % 7}"
             album = None if did % 3 == 0 else f"b{did % 4}"
@@ -2155,6 +2158,21 @@ class TestAudioTags:
             [0, 0, len(frames) >> 7, len(frames) & 0x7F]
         ) + frames
         assert audio_tags_payload(tag) == ("id3", "Old Title", None, None)
+        # trailing ID3v1 fallback: plain MPEG frame + TAG block
+        frame = bytes([0xFF, 0xFB, 0x98, 0xC0]) + b"\x00" * 572
+        v1 = (
+            b"TAG" + b"Song".ljust(30, b"\x00")
+            + b"Artist".ljust(30, b"\x00") + b"\x00" * 30
+            + b"2024" + b"\x00" * 30 + b"\xff"
+        )
+        assert audio_tags_payload(frame + v1) == (
+            "id3v1", "Song", "Artist", None
+        )
+        # v2 tag with NO known frames falls through to the v1 block
+        empty_v2 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 0])
+        assert audio_tags_payload(empty_v2 + frame + v1) == (
+            "id3v1", "Song", "Artist", None
+        )
         # v2.3 with utf-16 (BOM) and utf-16-be encodings
         t16 = "Résumé 曲".encode("utf-16")  # with BOM
         b1 = b"\x01" + t16
@@ -2264,3 +2282,62 @@ class TestAudioFingerprint:
         assert got[1].kind == "pcm" and got[1].fp is not None
         assert got[2].kind == "bytes" and got[2].fp is None
         assert got[3].kind == "null"
+
+
+class TestVideoTags:
+    """video_tags (r17): MP4 ilst items, UTF-8-only rule, non-ISO and
+    empty-ilst 'none' paths, robustness."""
+
+    def test_fixture_matrix(self):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import mp4_tags_payload
+
+        for did in range(80):
+            got = mp4_tags_payload(entry._video_tags_fixture(did))
+            if did % 7 == 6 or (
+                did % 5 == 0 and did % 3 == 1 and did % 4 == 2
+            ):
+                assert got is None, did
+                continue
+            enc = None if did % 5 == 0 else f"enc-{did % 6}"
+            title = None if did % 3 == 1 else f"vt{did % 3}"
+            artist = None if did % 4 == 2 else f"va{did % 4}"
+            assert got == (enc, title, artist), did
+
+    def test_spark_kinds_and_stats_coexist(self, spark):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import (
+            video_stats,
+            video_tags,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (2, bytearray(entry._video_tags_fixture(2))),
+                (6, bytearray(entry._video_tags_fixture(6))),  # AVI
+                (9, None),
+            ],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in video_tags(df).collect()}
+        assert got[2].kind == "mp4" and got[2].encoder == "enc-2"
+        assert got[6].kind == "none"
+        assert got[9].kind == "null"
+        # the spliced udta must not break the stats box walk
+        stats = {r.media_id: r for r in video_stats(df).collect()}
+        assert stats[2].kind == "mp4" and stats[2].width == 2 % 3 + 2
+
+    def test_malformed_never_raises(self):
+        import numpy as np
+
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import mp4_tags_payload
+
+        rng = np.random.RandomState(17)
+        p = entry._video_tags_fixture(2)
+        for k in range(0, len(p), 11):
+            mp4_tags_payload(p[:k])
+        for _ in range(50):
+            b = bytearray(p)
+            b[rng.randint(0, len(b))] = rng.randint(0, 256)
+            mp4_tags_payload(bytes(b))
