@@ -468,6 +468,13 @@ class TestDecoderCrashRobustness:
             out[f"pdf_v{v}"] = entry._pdf_fixture("fuzz target (text)", v)
         for v in range(4):
             out[f"exif_c{v}"] = entry._exif_container(v)
+        # r17 parsers join: MP4 (with and without the ilst splice),
+        # MPEG audio with ID3 variants, the tag-carrying fixtures
+        out["mp4_plain"] = entry._mp4_payload(7)
+        out["mp4_ilst"] = entry._video_tags_fixture(2)
+        out["mp3_id3v2"] = entry._mp3_payload(11)
+        out["mp3_id3v1"] = entry._audio_tags_fixture(9)
+        out["wav_info"] = entry._audio_tags_fixture(4)
         return out
 
     def test_never_raises(self):
@@ -483,13 +490,20 @@ class TestDecoderCrashRobustness:
 
         rng = np.random.RandomState(7)
         from lotad_spark.pipeline.multimodal import (
+            _mp3_scan,
+            _mp4_parse,
+            audio_fingerprint_payload,
+            audio_tags_payload,
             exif_gps,
             image_provenance,
+            mp4_tags_payload,
         )
 
         fns = (decode_pixels, decode_audio, decode_video_frames,
                _headers_decode, exif_metadata, pdf_text_pages,
-               classify_decode_tier, exif_gps, image_provenance)
+               classify_decode_tier, exif_gps, image_provenance,
+               _mp4_parse, _mp3_scan, audio_tags_payload,
+               mp4_tags_payload, audio_fingerprint_payload)
         for name, p in self._payloads().items():
             for k in range(len(p)):  # every truncation point
                 t = p[:k]
