@@ -2945,6 +2945,12 @@ def audio_tags_payload(payload: bytes):
     title = artist = album = None
     if payload[:3] == b"ID3" and len(payload) >= 10:
         major = payload[3]
+        if payload[5] & 0x80:
+            # tag-level unsynchronisation rewrites 0xFF 0x00 byte
+            # pairs — parsing without reversing it would yield
+            # corrupted text, so fall straight to the v1 block
+            # (honest absence beats silently-wrong tags)
+            return _id3v1_tags(payload)
         sz = (
             ((payload[6] & 0x7F) << 21)
             | ((payload[7] & 0x7F) << 14)

@@ -2173,6 +2173,13 @@ class TestAudioTags:
         assert audio_tags_payload(empty_v2 + frame + v1) == (
             "id3v1", "Song", "Artist", None
         )
+        # unsynchronised v2 tag (flag 0x80): parsing without reversing
+        # the 0xFF 0x00 rewrite would corrupt text — fall to v1
+        unsync = b"ID3\x03\x00\x80" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+        assert audio_tags_payload(unsync + frame + v1) == (
+            "id3v1", "Song", "Artist", None
+        )
+        assert audio_tags_payload(unsync + frame) is None
         # v2.3 with utf-16 (BOM) and utf-16-be encodings
         t16 = "Résumé 曲".encode("utf-16")  # with BOM
         b1 = b"\x01" + t16
