@@ -2851,6 +2851,8 @@ def _mp3_scan(payload: bytes):
             | (payload[9] & 0x7F)
         )
         pos = 10 + sz
+        if payload[5] & 0x10:  # v2.4 footer: 10 bytes after the tag
+            pos += 10
     total = 0
     rate = ch = None
     while pos + 4 <= len(payload):
@@ -2957,13 +2959,33 @@ def audio_tags_payload(payload: bytes):
             | ((payload[8] & 0x7F) << 7)
             | (payload[9] & 0x7F)
         )
+        if major == 2 and payload[5] & 0x40:
+            # v2.2 "compression" flag: the whole tag body is
+            # compressed with an unspecified scheme — unreadable by
+            # design, fall to the v1 block
+            return _id3v1_tags(payload)
         tag = payload[10 : 10 + sz]
         pos = 0
+        if major in (3, 4) and payload[5] & 0x40:
+            # extended header precedes the frames: v2.3 size excludes
+            # its own 4 size bytes (plain big-endian); v2.4 size is
+            # syncsafe and INCLUDES itself
+            if len(tag) >= 4:
+                if major == 3:
+                    pos = 4 + int.from_bytes(tag[:4], "big")
+                else:
+                    pos = (
+                        ((tag[0] & 0x7F) << 21)
+                        | ((tag[1] & 0x7F) << 14)
+                        | ((tag[2] & 0x7F) << 7)
+                        | (tag[3] & 0x7F)
+                    )
         id_len = 3 if major == 2 else 4
         while pos + id_len * 2 <= len(tag):
             fid = tag[pos : pos + id_len]
             if not fid.strip(b"\x00"):
                 break  # padding reached
+            frame_flags2 = 0
             if major == 2:
                 fsz = int.from_bytes(tag[pos + 3 : pos + 6], "big")
                 body_off = pos + 6
@@ -2978,12 +3000,23 @@ def audio_tags_payload(payload: bytes):
                     )
                 else:
                     fsz = int.from_bytes(raw_sz, "big")
+                frame_flags2 = tag[pos + 9] if pos + 9 < len(tag) else 0
                 body_off = pos + 10
             body = tag[body_off : body_off + fsz]
             if len(body) < fsz:
                 break
+            # per-frame format flags: compressed / encrypted /
+            # unsynchronised frames would decode to garbage text —
+            # skip them (honest absence). v2.3 puts compression 0x80 /
+            # encryption 0x40 in byte 2; v2.4 uses 0x08 / 0x04 / 0x02
+            # (unsync) / 0x01 (data-length indicator).
+            transformed = (
+                frame_flags2 & (0xC0 if major == 3 else 0x0F)
+                if major in (3, 4)
+                else 0
+            )
             key = _ID3_FRAME_KEYS.get(fid)
-            if key and fsz >= 1:
+            if key and fsz >= 1 and not transformed:
                 text = _id3_text(body[0], body[1:])
                 if text:
                     if key == "title" and title is None:

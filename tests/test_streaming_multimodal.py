@@ -2348,3 +2348,57 @@ class TestVideoTags:
             b = bytearray(p)
             b[rng.randint(0, len(b))] = rng.randint(0, 256)
             mp4_tags_payload(bytes(b))
+
+
+class TestId3EdgeForms:
+    """r17 self-review fixes: extended headers, per-frame
+    compression/encryption flags, v2.2 compressed tags, v2.4 footer."""
+
+    @staticmethod
+    def _ss(n):
+        return bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F,
+             n & 0x7F]
+        )
+
+    def test_extended_headers_skipped(self):
+        from lotad_spark.pipeline.multimodal import audio_tags_payload
+
+        body = b"\x00Title X"
+        frame = b"TIT2" + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+        # v2.3: ext size excludes its own 4 bytes
+        frames = (6).to_bytes(4, "big") + b"\x00" * 6 + frame
+        tag = b"ID3\x03\x00\x40" + self._ss(len(frames)) + frames
+        assert audio_tags_payload(tag) == ("id3", "Title X", None, None)
+        # v2.4: syncsafe ext size includes itself
+        frame4 = b"TIT2" + self._ss(len(body)) + b"\x00\x00" + body
+        frames4 = self._ss(10) + b"\x00" * 6 + frame4
+        tag4 = b"ID3\x04\x00\x40" + self._ss(len(frames4)) + frames4
+        assert audio_tags_payload(tag4) == ("id3", "Title X", None, None)
+
+    def test_transformed_frames_skipped(self):
+        from lotad_spark.pipeline.multimodal import audio_tags_payload
+
+        body = b"\x00Title X"
+        # v2.3 compressed frame: decoding its body as text would be
+        # garbage — must yield NOTHING, not wrong text
+        cf = b"TIT2" + len(body).to_bytes(4, "big") + b"\x00\x80" + body
+        tag = b"ID3\x03\x00\x00" + self._ss(len(cf)) + cf
+        assert audio_tags_payload(tag) is None
+        # v2.4 encrypted frame likewise
+        ef = b"TIT2" + self._ss(len(body)) + b"\x00\x04" + body
+        tag4 = b"ID3\x04\x00\x00" + self._ss(len(ef)) + ef
+        assert audio_tags_payload(tag4) is None
+        # v2.2 whole-tag compression flag: unreadable by design
+        c22 = b"ID3\x02\x00\x40" + self._ss(8) + b"\x00" * 8
+        assert audio_tags_payload(c22) is None
+
+    def test_v24_footer_skipped_by_mp3_scan(self):
+        from lotad_spark.pipeline.multimodal import _mp3_scan
+
+        fr = bytes([0xFF, 0xFB, 0x98, 0xC0]) + b"\x00" * 572
+        tag = (
+            b"ID3\x04\x00\x10" + self._ss(4) + b"\x00" * 4
+            + b"3DI\x04\x00\x10" + self._ss(4)
+        )
+        assert _mp3_scan(tag + fr) == (32000, 1, 1152, 36)
