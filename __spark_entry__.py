@@ -678,6 +678,72 @@ def _sentence_split_sql() -> str:
     )
 
 
+def q_lang_mismatch(spark, sf_dir):
+    """Declared-vs-detected language mismatch (NEW r17): the CCNet-
+    style mislabel flag — a page whose html lang attribute disagrees
+    with n-gram detection is a known quality hazard (template lang
+    left at the CMS default). Composes html_meta's declared lang over
+    a per-doc REWRITTEN template (declared cycles en-US/fr/de/absent
+    by doc_id%4 via literal rewrites both engines replay) with
+    lang_id's detection on the raw text, joined on doc_id;
+    is_mismatch = primary declared subtag != detected (NULL when
+    nothing is declared — can't judge an absent label). The oracle
+    replays the declared cycle arithmetically and the detection via
+    the shared lang-marker SQL."""
+    from lotad_spark.pipeline import lang_id
+    from lotad_spark.pipeline.web import html_meta
+
+    frame = _doc_html_frame(spark, sf_dir)
+    decl = F.element_at(
+        F.array(
+            F.lit("en-US"), F.lit("fr"), F.lit("de"),
+            F.lit(None).cast("string"),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    html2 = F.when(
+        decl.isNull(),
+        F.regexp_replace("html", F.lit(' lang="en-US"'), F.lit("")),
+    ).otherwise(
+        F.regexp_replace(
+            "html",
+            F.lit('lang="en-US"'),
+            F.concat(F.lit('lang="'), decl, F.lit('"')),
+        )
+    )
+    meta = html_meta(
+        frame.select("doc_id", html2.alias("html")), "html"
+    ).select("doc_id", F.col("lang").alias("declared"))
+    detected = lang_id(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", F.col("lang_pred").alias("detected"))
+    joined = meta.join(detected, "doc_id")
+    primary = F.lower(F.split(F.col("declared"), "-")[0])
+    return joined.select(
+        "doc_id",
+        "declared",
+        "detected",
+        F.when(
+            F.col("declared").isNotNull(),
+            primary != F.col("detected"),
+        ).alias("is_mismatch"),
+    )
+
+
+def _lang_mismatch_sql() -> str:
+    return (
+        "WITH lang AS (" + _LANG_ID_SQL + "), "
+        "d AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT) "
+        "WHEN 0 THEN 'en-US' WHEN 1 THEN 'fr' WHEN 2 THEN 'de' "
+        "ELSE NULL END AS declared FROM documents) "
+        "SELECT d.doc_id, d.declared, l.lang_pred AS detected, "
+        "CASE WHEN d.declared IS NULL THEN NULL "
+        "ELSE lower(string_split(d.declared, '-')[1]) != l.lang_pred "
+        "END AS is_mismatch "
+        "FROM d JOIN lang l ON d.doc_id = l.doc_id"
+    )
+
+
 def q_html_meta(spark, sf_dir):
     """Head-metadata extraction (pipeline/web.py html_meta — NEW r16):
     title, declared lang, declared charset, meta description (dq/sq
@@ -8985,10 +9051,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window: (a) repaired/changed rows, (b) rows with NO driver-green
     round yet, (c) the rows longest out of the window, (d) multi-round
     green stable rows rotate out. Layout this round (r17), per the
-    precomputed queue in COVERAGE.md (173 rows total, ALL
-    value-checked — five NEW rows):
+    precomputed queue in COVERAGE.md (174 rows total, ALL
+    value-checked — six NEW rows):
 
-    * 1-5: NEW — audio_tags (ID3v2.2/2.3/2.4 text frames
+    * 1-6: NEW — audio_tags (ID3v2.2/2.3/2.4 text frames
       TIT2/TPE1/TALB with per-frame encoding bytes + RIFF LIST-INFO
       INAM/IART/IPRD: the by-artist/by-ripper triage and pre-decode
       dedup key for crawled audio; both carrying forms, absent-field
@@ -9014,8 +9080,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       across image/audio/video; the UTF-8-only rule, empty-ilst and
       non-ISO 'none' paths, and a binary cover-art item are all in
       the checked row; audio_tags also gains the trailing ID3v1 TAG
-      fallback, kind='id3v1' cycling in its row).
-    * 6-24: changed-code re-entries — audio_stats (NEW MP3 face: MPEG
+      fallback, kind='id3v1' cycling in its row), and lang_mismatch
+      (declared html lang vs n-gram detection — the CCNet-style
+      mislabel flag; the declared side cycles en-US/fr/de/absent via
+      per-doc template rewrites and is read back through html_meta,
+      so the extraction + composition are both in the checked row).
+    * 7-25: changed-code re-entries — audio_stats (NEW MP3 face: MPEG
       frame-header walk for duration/rate/channels, amplitude honestly
       NULL) and video_stats (NEW MP4 face: ISO-BMFF mvhd/tkhd/stts
       box walk, audio-trak skip, exact-integer duration);
@@ -9036,14 +9106,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       riding the refactored per-doc media payload builders
       (multimodal_audio_hist / multimodal_video_hist /
       video_scene_cuts — byte-identical payloads, builders extracted).
-    * 25-49: the 25 longest-out r13-green rows (out since r14), the
+    * 26-50: the 25 longest-out r13-green rows (out since r14), the
       COVERAGE.md r17 queue order — schema_drift_records ->
       dedup_exact, covering the whole diff family, the wizard rows,
       and the reference-parity SQL surface.
-    * 50: the r13-green tail that slipped past the r16 window —
-      ccnet_buckets (url_dedup / url_dedup_incremental / domain_stats
-      / domain_cap / domain_blocklist slip to 51-55 as the five new
-      rows land; all multi-round green with code unchanged).
+      The six new rows + nineteen changed-code re-entries + the 25
+      longest-out r13-green rows fill the window EXACTLY; the
+      r13-green tail (ccnet_buckets → domain_blocklist) slips to
+      51-56 — all multi-round green with code unchanged.
     * 51+: rotated out — the rest of the r13-green tail, then older
       green rows, with the r16-window-green rows LAST (freshest green
       rotates out last). Every rotated row has at least one
@@ -9069,6 +9139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": q_audio_fingerprint,
         "canonical_url_dedup": q_canonical_url_dedup,
         "video_tags": q_video_tags,
+        "lang_mismatch": q_lang_mismatch,
         "audio_stats": q_audio_stats,
         "video_stats": q_video_stats,
         "decode_tier_counts": q_decode_tier_counts,
@@ -9324,6 +9395,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_fingerprint": _AUDIO_FP_SQL,
         "canonical_url_dedup": _CANONICAL_URL_DEDUP_SQL,
         "video_tags": _VIDEO_TAGS_SQL,
+        "lang_mismatch": _lang_mismatch_sql(),
         "audio_stats": _AUDIO_STATS_SQL,
         "video_stats": _VIDEO_STATS_SQL,
         "html_tables": _html_tables_sql(),
