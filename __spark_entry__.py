@@ -3307,15 +3307,16 @@ def q_multimodal_jpeg_progressive_hist(spark, sf_dir):
     )
 
 
-def _wav_payload(did: int, text) -> bytes:
+def _wav_payload(did: int, text, frame_mult: int = 4) -> bytes:
     """One doc as a VALID 16-bit mono PCM WAV whose data bytes are the
-    doc's text rpad/truncated to 2·n_frames bytes (n_frames derived
-    from doc_id); the SQL oracle indexes the SAME text bytes as
-    little-endian sample pairs, so the RIFF chunk walk + PCM decode is
-    value-checked byte for byte."""
+    doc's text rpad/truncated to 2·n_frames bytes (n_frames =
+    (did%5+2)·frame_mult; the fingerprint row passes 32 so its 33
+    windows hold real samples); the SQL oracle indexes the SAME text
+    bytes as little-endian sample pairs, so the RIFF chunk walk + PCM
+    decode is value-checked byte for byte."""
     import struct
 
-    n_frames = (did % 5 + 2) * 4
+    n_frames = (did % 5 + 2) * frame_mult
     need = n_frames * 2
     data = (text or "").encode("utf-8")[:need].ljust(need, b"x")
     fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
@@ -3324,6 +3325,16 @@ def _wav_payload(did: int, text) -> bytes:
     return (
         b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
     )
+
+
+def _mpeg_l3_frame(did: int, mono: bool) -> bytes:
+    """One EXACT 576-byte MPEG1 Layer III frame (128 kbps index 9 at
+    32000 Hz index 2 — 144·128000/32000 with zero padding), filler
+    bytes derived from doc_id; shared by every MP3 fixture so the
+    header arithmetic lives in one place."""
+    b3 = (9 << 4) | (2 << 2)
+    head = bytes([0xFF, 0xFB, b3, 0xC0 if mono else 0x00])
+    return head + bytes((did + i) % 256 for i in range(576 - 4))
 
 
 def _mp3_payload(did: int) -> bytes:
@@ -3337,9 +3348,7 @@ def _mp3_payload(did: int) -> bytes:
     trailing ID3v1 'TAG' block (the stop-at-garbage path)."""
     nf = did % 4 + 2
     mono = (did // 6) % 2 == 0
-    b3 = (9 << 4) | (2 << 2)
-    frame = bytes([0xFF, 0xFB, b3, 0xC0 if mono else 0x00])
-    frame += bytes((did + i) % 256 for i in range(576 - 4))
+    frame = _mpeg_l3_frame(did, mono)
     out = b""
     if (did // 6) % 3 == 1:
         sz = did % 30 + 10
@@ -3393,23 +3402,11 @@ def q_audio_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
     def build(batches):
-        import struct
-
         for pdf in batches:
-            payloads = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                did = int(did)
-                n = (did % 5 + 2) * 32
-                data = (text or "").encode("utf-8")[: n * 2].ljust(
-                    n * 2, b"x"
-                )
-                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
-                chunks = b"fmt " + struct.pack("<I", 16) + fmt
-                chunks += b"data" + struct.pack("<I", len(data)) + data
-                payloads.append(
-                    b"RIFF" + struct.pack("<I", 4 + len(chunks))
-                    + b"WAVE" + chunks
-                )
+            payloads = [
+                _wav_payload(int(did), text, frame_mult=32)
+                for did, text in zip(pdf["doc_id"], pdf["text"])
+            ]
             yield pdf.assign(content=payloads)[["doc_id", "content"]].rename(
                 columns={"doc_id": "media_id"}
             )
@@ -3483,8 +3480,7 @@ def _audio_tags_fixture(did: int) -> bytes:
             b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
             + chunks
         )
-    frame = bytes([0xFF, 0xFB, (9 << 4) | (2 << 2), 0xC0])
-    frame += bytes((did + i) % 256 for i in range(576 - 4))
+    frame = _mpeg_l3_frame(did, mono=True)
     if tagless:
         return frame
     if did % 10 == 9:

@@ -3064,7 +3064,10 @@ def audio_tags_payload(payload: bytes):
                     sub += 8 + sln + (sln & 1)
             pos += 8 + ln + (ln & 1)
         if title is None and artist is None and album is None:
-            return None
+            # WAV with no LIST-INFO fields but a trailing ID3v1 block
+            # (real rippers emit this combination): the documented
+            # fallback applies here too
+            return _id3v1_tags(payload)
         return ("riff", title, artist, album)
     return _id3v1_tags(payload)
 
@@ -3150,10 +3153,13 @@ def audio_fingerprint_payload(payload: bytes, n_bits: int = 32):
     s = samples.astype(np.int64).ravel()
     n = int(s.size)
     k = n_bits + 1
-    energies = []
-    for w in range(k):
-        blk = s[w * n // k : (w + 1) * n // k]
-        energies.append(int(np.dot(blk, blk)))
+    # _pcm_energy per window: exact Python-int accumulation (a raw
+    # whole-window int64 dot would wrap past ~8.6e9 samples and flip
+    # contour bits — the same hazard the audio_stats energy fix
+    # closed)
+    energies = [
+        _pcm_energy(s[w * n // k : (w + 1) * n // k]) for w in range(k)
+    ]
     fp = 0
     for w in range(n_bits):
         if energies[w + 1] > energies[w]:
@@ -4219,23 +4225,10 @@ def _mp4_parse(payload: bytes):
                     ]
             pos += size
 
-    # top level must carry an ftyp for the mp4 claim (walk finds it by
-    # scanning box types at depth 0)
-    pos, has_ftyp = 0, False
-    while pos + 8 <= len(payload):
-        size, typ = struct.unpack_from(">I4s", payload, pos)
-        if size == 1:
-            if pos + 16 > len(payload):
-                break
-            size = struct.unpack_from(">Q", payload, pos + 8)[0]
-        elif size == 0:
-            size = len(payload) - pos
-        if size < 8 or pos + size > len(payload):
-            break
-        if typ == b"ftyp":
-            has_ftyp = True
-        pos += size
-    if not has_ftyp:
+    # top level must carry an ftyp for the mp4 claim (the shared
+    # _iso_boxes walk — it also gets the 16-byte largesize header
+    # bound right, unlike a bare size<8 check)
+    if not any(t == b"ftyp" for t, _b in _iso_boxes(payload)):
         return None
     walk(payload, 0)
     if state["ts"] in (None, 0) or state["dur"] is None:

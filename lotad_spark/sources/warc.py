@@ -440,11 +440,20 @@ def warc_http_text(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
+_HEX_DIGITS = frozenset(b"0123456789abcdefABCDEF")
+
+
 def _dechunk(body: bytes):
     """Decode an RFC 9112 chunked transfer coding: hex size line
-    (chunk extensions after ';' ignored), chunk bytes, CRLF, repeated
-    until the 0-size chunk; trailer section ignored. None for any
-    malformed framing — loud absence beats mis-framed bytes."""
+    (chunk extensions after ';' ignored; STRICT hex digits only —
+    ``int(x, 16)`` alone also accepts ``-6``/``0x10``/``1_0``, and a
+    negative size previously looped this parser forever on one
+    crafted record), chunk bytes, CRLF, repeated until the 0-size
+    chunk, then trailer field lines (skipped) and the terminating
+    blank CRLF (required — a body truncated exactly at the ``0``
+    line is indistinguishable from a complete one otherwise). None
+    for any malformed framing — loud absence beats mis-framed
+    bytes."""
     out = []
     pos = 0
     while True:
@@ -452,13 +461,20 @@ def _dechunk(body: bytes):
         if nl < 0:
             return None
         line = body[pos:nl].split(b";", 1)[0].strip()
-        try:
-            n = int(line, 16)
-        except ValueError:
+        if not line or any(c not in _HEX_DIGITS for c in line):
             return None
+        n = int(line, 16)
         pos = nl + 2
         if n == 0:
-            return b"".join(out)
+            # trailer section: zero or more field lines, then the
+            # terminating blank CRLF
+            while True:
+                nl2 = body.find(b"\r\n", pos)
+                if nl2 < 0:
+                    return None
+                if nl2 == pos:
+                    return b"".join(out)
+                pos = nl2 + 2
         chunk = body[pos : pos + n]
         if len(chunk) < n:
             return None
@@ -476,15 +492,37 @@ _BODY_INFLATE_LIMIT = 64 << 20
 
 
 def _inflate_body(body: bytes, encoding: str):
-    """Decompress one Content-Encoding token: gzip/x-gzip (wbits 31)
-    or deflate (RFC 9110 'deflate' is zlib-wrapped, but real servers
-    also ship raw DEFLATE — try both, the browser rule). Budgeted via
-    decompressobj max_length; over-limit, truncated, or trailing-
-    garbage streams return None."""
+    """Decompress one Content-Encoding token: gzip/x-gzip (wbits 31,
+    MULTI-MEMBER per RFC 1952 — concatenated members are legal and
+    real servers/--rsyncable gzip emit them; returning only the first
+    member would silently drop the rest of the page) or deflate
+    (RFC 9110 'deflate' is zlib-wrapped, but real servers also ship
+    raw DEFLATE — try both, the browser rule). Budgeted via
+    decompressobj max_length across ALL members; over-limit,
+    truncated, or trailing-garbage streams return None (trailing
+    bytes land in ``unused_data`` after eof, which a plain
+    ``unconsumed_tail`` check never sees)."""
     import zlib
 
-    wbits_tries = (31,) if encoding in ("gzip", "x-gzip") else (15, -15)
-    for wbits in wbits_tries:
+    if encoding in ("gzip", "x-gzip"):
+        out = []
+        total = 0
+        rest = body
+        while rest:
+            try:
+                dec = zlib.decompressobj(31)
+                piece = dec.decompress(
+                    rest, _BODY_INFLATE_LIMIT + 1 - total
+                )
+            except zlib.error:
+                return None
+            total += len(piece)
+            if total > _BODY_INFLATE_LIMIT or not dec.eof:
+                return None
+            out.append(piece)
+            rest = dec.unused_data
+        return b"".join(out) if out else None
+    for wbits in (15, -15):
         try:
             dec = zlib.decompressobj(wbits)
             out = dec.decompress(body, _BODY_INFLATE_LIMIT + 1)
@@ -492,6 +530,7 @@ def _inflate_body(body: bytes, encoding: str):
                 len(out) <= _BODY_INFLATE_LIMIT
                 and dec.eof
                 and not dec.unconsumed_tail
+                and not dec.unused_data
             ):
                 return out
         except zlib.error:
@@ -549,8 +588,12 @@ def _http_unwrap_payload(payload: bytes):
     cenc = cenc.lower().strip() if cenc else None
     tenc = header("transfer-encoding")
     tenc = tenc.lower().strip() if tenc else None
-    if tenc is not None:
-        body = _dechunk(body) if tenc == "chunked" else None
+    if tenc == "chunked":
+        body = _dechunk(body)
+    elif tenc not in (None, "identity"):
+        # identity means "no transformation" (RFC 2616-era responses
+        # carry it explicitly); anything else is un-decodable framing
+        body = None
     if body is not None and cenc not in (None, "identity"):
         if cenc in ("gzip", "x-gzip", "deflate"):
             body = _inflate_body(body, cenc)
@@ -619,7 +662,11 @@ def unwrapped_body_text(df: DataFrame) -> DataFrame:
     """Append ``text`` — the charset-ladder decode of the unwrapped
     binary ``body`` (same JVM ladder as warc_http_text: cp1252 family
     exact, WHATWG CJK families, byte-faithful UTF-8 reinterpret
-    otherwise); NULL body stays NULL text."""
+    otherwise); NULL body stays NULL text. This is the function that
+    actually puts the JVM-charset decode() expressions into the plan,
+    so it re-asserts the two legacy confs like every other plan-build
+    entry point."""
+    ensure_cjk_decode_confs(df.sparkSession)
     charset = F.coalesce(F.col("http_charset"), F.lit(""))
     return df.withColumn(
         "text",

@@ -2402,3 +2402,29 @@ class TestId3EdgeForms:
             + b"3DI\x04\x00\x10" + self._ss(4)
         )
         assert _mp3_scan(tag + fr) == (32000, 1, 1152, 36)
+
+
+class TestWavId3v1Fallback:
+    def test_wav_with_trailing_tag_block(self):
+        """r17 review fix: a WAV with no LIST-INFO fields but a
+        trailing ID3v1 block (real rippers emit this) takes the
+        documented v1 fallback instead of returning nothing."""
+        import struct
+
+        from lotad_spark.pipeline.multimodal import audio_tags_payload
+
+        data = struct.pack("<4h", 1, 2, 3, 4)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        chunks = (
+            b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        v1 = (
+            b"TAG" + b"WavSong".ljust(30, b"\x00") + b"\x00" * 60
+            + b"2024" + b"\x00" * 30 + b"\xff"
+        )
+        assert audio_tags_payload(wav + v1) == (
+            "id3v1", "WavSong", None, None
+        )
+        assert audio_tags_payload(wav) is None

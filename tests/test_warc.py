@@ -545,3 +545,51 @@ class TestHttpUnwrap:
         assert rows["0"].http_content_encoding == "gzip"
         assert rows["1"].text == "日本語の本文。"
         assert rows["2"].text is None  # truncated gzip: loud absence
+
+
+class TestHttpUnwrapReviewFixes:
+    """r17 review fixes: chunk-size strictness (a negative hex size
+    previously looped forever on one crafted record), multi-member
+    gzip, trailing-garbage refusal, TE identity passthrough."""
+
+    def test_dechunk_strictness(self):
+        from lotad_spark.sources.warc import _dechunk
+
+        assert _dechunk(b"3\r\nabc\r\n0\r\n\r\n") == b"abc"
+        # trailer fields before the terminator are skipped
+        assert _dechunk(b"3\r\nabc\r\n0\r\nX-T: y\r\n\r\n") == b"abc"
+        # negative / prefixed / underscored sizes: int(x,16) accepts
+        # them, HTTP does not — and -6 used to hang the parser
+        for bad in (b"-6\r\n", b"0x2\r\nab\r\n0\r\n\r\n",
+                    b"1_0\r\n" + b"a" * 16 + b"\r\n0\r\n\r\n",
+                    b"+3\r\nabc\r\n0\r\n\r\n"):
+            assert _dechunk(b"1\r\nZ\r\n" + bad) is None, bad
+        # missing final terminator: truncation is not completion
+        assert _dechunk(b"3\r\nabc\r\n0\r\n") is None
+
+    def test_multi_member_gzip_and_garbage(self):
+        import gzip
+        import zlib
+
+        from lotad_spark.sources.warc import _inflate_body
+
+        two = gzip.compress(b"part one. ") + gzip.compress(b"part two.")
+        assert _inflate_body(two, "gzip") == b"part one. part two."
+        assert _inflate_body(gzip.compress(b"x") + b"JUNK", "gzip") is None
+        assert (
+            _inflate_body(zlib.compress(b"x") + b"JUNK", "deflate")
+            is None
+        )
+
+    def test_te_identity_passthrough(self):
+        from lotad_spark.sources.warc import _http_unwrap_payload
+
+        got = _http_unwrap_payload(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: identity\r\n\r\nhi"
+        )
+        assert got[4] == "identity" and got[5] == b"hi"
+        # unknown TE still refuses
+        got = _http_unwrap_payload(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\nxx"
+        )
+        assert got[5] is None
