@@ -113,6 +113,13 @@ def parse_warc_records(data: bytes):
 
 _GZ_CHUNK = 1 << 18  # 256 KiB feed size for the member decompressor
 
+# Rolling-buffer inflate bound (r17): deflate's ~1000:1 max ratio
+# means a small crafted member can inflate a task to OOM; a legitimate
+# WARC record never approaches this. Exceeding it treats the file as
+# torn at that point — records already parsed are kept (the same
+# truncation rule as a torn member).
+_WARC_INFLATE_LIMIT = 1 << 30
+
 
 def iter_warc_records(data: bytes):
     """Yield (headers_dict, payload_bytes) from plain OR gzipped WARC
@@ -142,15 +149,22 @@ def iter_warc_records(data: bytes):
     while pos < n and not torn:
         d = zlib.decompressobj(wbits=31)
         parts = []
+        inflated = len(buf)
         while not d.eof:
             if pos >= n:
                 break
             feed = mv[pos : pos + _GZ_CHUNK]
             pos += len(feed)
             try:
-                parts.append(d.decompress(feed))
+                piece = d.decompress(feed)
             except zlib.error:
                 torn = True  # torn member: keep what already parsed
+                break
+            parts.append(piece)
+            inflated += len(piece)
+            if inflated > _WARC_INFLATE_LIMIT:
+                # decompression bomb: stop HERE, keep prior records
+                torn = True
                 break
         if d.eof:
             # the last feed may have crossed into the next member

@@ -593,3 +593,31 @@ class TestHttpUnwrapReviewFixes:
             b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\nxx"
         )
         assert got[5] is None
+
+
+class TestInflateBound:
+    def test_bomb_member_keeps_prior_records(self, monkeypatch):
+        """r17: a crafted gzip member inflating past the rolling-buffer
+        bound is treated as torn AT that member — records already
+        parsed are kept, the task never OOMs."""
+        import gzip as _g
+
+        from lotad_spark.sources import warc as warc_mod
+        from lotad_spark.sources.warc import iter_warc_records
+
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"WARC-Record-ID: <urn:uuid:ok-1>\r\n"
+            b"Content-Length: 4\r\n\r\nokok\r\n\r\n"
+        )
+        bomb = _g.compress(b"\x00" * (1 << 22))  # inflates to 4 MiB
+        data = _g.compress(rec) + bomb + _g.compress(rec)
+        monkeypatch.setattr(warc_mod, "_WARC_INFLATE_LIMIT", 1 << 16)
+        got = list(iter_warc_records(data))
+        assert len(got) == 1  # the record before the bomb survives
+        assert got[0][1] == b"okok"
+        # without the tiny cap the same file parses fully (the bomb
+        # "record" is just garbage that stops the parse at its header)
+        monkeypatch.setattr(warc_mod, "_WARC_INFLATE_LIMIT", 1 << 30)
+        got = list(iter_warc_records(data))
+        assert [p for _h, p in got][0] == b"okok"
