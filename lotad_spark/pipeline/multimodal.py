@@ -257,6 +257,13 @@ def _bmp_pixels(payload: bytes):
     return (width, h, px[:, :, [2, 1, 0]].copy())
 
 
+# Uniform decode bound (r17): no per-format pixel decoder allocates
+# for more pixels than this, no matter what the header declares — a
+# crafted 26-byte IHDR/SOF could otherwise demand gigabytes before any
+# data-length check runs. 16 M pixels (the r15 WebP bound) covers any
+# plausible crawled image.
+_PIXEL_BOUND = 16_000_000
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # PNG color types → sample channels (type 3 = palette: honest None)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -407,8 +414,18 @@ def _png_pixels(payload: bytes):
     ch = _PNG_CHANNELS.get(ctype)
     if ch is None:
         return None
+    if w * h > _PIXEL_BOUND:
+        return None
+    # bounded inflate: the raw stream for these dims is at most
+    # h·(w·ch+1) filter-prefixed scanline bytes (Adam7 adds a handful
+    # of extra filter bytes) — a crafted IDAT claiming more is a bomb,
+    # not an image
+    cap = h * (w * ch + 2) + 4096
     try:
-        raw = zlib.decompress(idat)
+        dec = zlib.decompressobj()
+        raw = dec.decompress(idat, cap + 1)
+        if len(raw) > cap or not dec.eof:
+            return None
     except zlib.error:
         return None
     if inter == 0:
@@ -901,6 +918,8 @@ def _gif_pixels(payload: bytes):
     stream, or any LZW violation."""
     try:
         for _l, _t, fw, fh, _tr, rgb in _gif_iter_frames(payload):
+            if fw * fh > _PIXEL_BOUND:
+                return None
             return (fw, fh, rgb)
     except ValueError:
         return None
@@ -1021,6 +1040,8 @@ def _tiff_pixels(payload: bytes):
     except KeyError:
         return None
     if w <= 0 or h <= 0:
+        return None
+    if w * h > _PIXEL_BOUND:
         return None
     if tags.get(259, [1])[0] != 1:  # Compression: uncompressed only
         return None
@@ -1579,7 +1600,7 @@ def _webp_pixels(payload: bytes):
         if hdr is None:
             return None
         w, h, _alpha, bits = hdr
-        if w * h > 16_000_000:  # decompression-bomb bound
+        if w * h > _PIXEL_BOUND:  # decompression-bomb bound
             return None
         pix, transforms = _vp8l_decode_image(bits, w, h, True)
         pix = _vp8l_inverse_transforms(pix, transforms, w, h)
@@ -2097,6 +2118,8 @@ def _jpeg_pixels(payload: bytes):
     if parsed is None or parsed[4] is None:
         return None
     qt_raw, hufftabs, (w, h, comps, _m), dri, scan0 = parsed
+    if w * h > _PIXEL_BOUND:
+        return None
     if _m == 0xC2:
         return _jpeg_progressive_pixels(payload, parsed)
     smap, data_pos = scan0[0], scan0[1]
@@ -2431,6 +2454,8 @@ def _jpeg_progressive_pixels(payload: bytes, parsed=None):
     if parsed is None or parsed[4] is None:
         return None
     qt_raw, hufftabs, (w, h, comps, m), dri, scan = parsed
+    if w * h > _PIXEL_BOUND:
+        return None
     if m != 0xC2:
         return None
     qt_raw = dict(qt_raw)

@@ -2428,3 +2428,76 @@ class TestWavId3v1Fallback:
             "id3v1", "WavSong", None, None
         )
         assert audio_tags_payload(wav) is None
+
+
+class TestPixelBound:
+    """r17: every per-format pixel decoder refuses header-declared
+    dimensions past _PIXEL_BOUND before allocating, and the PNG IDAT
+    inflate is capped at the scanline budget for the declared dims."""
+
+    def test_huge_dims_refused_cheaply(self):
+        import struct
+        import time
+        import zlib
+
+        from lotad_spark.pipeline.multimodal import decode_pixels
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data))
+            )
+
+        # PNG declaring 100000x100000 (10 G pixels)
+        ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + chunk(b"IEND", b"")
+        )
+        t0 = time.perf_counter()
+        assert decode_pixels(png) is None
+        assert time.perf_counter() - t0 < 2.0
+        # TIFF: II header, IFD with width/height tags at 65535x65535
+        def tiff(w, h):
+            entries = [
+                (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+                (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, 1),
+                (273, 4, 1, 200), (279, 4, 1, 8),
+            ]
+            ifd = struct.pack("<H", len(entries)) + b"".join(
+                struct.pack("<HHI", t, ty, n) + struct.pack("<I", v)
+                for t, ty, n, v in entries
+            ) + b"\x00" * 4
+            return b"II*\x00" + struct.pack("<I", 8) + ifd + b"\x00" * 300
+        assert decode_pixels(tiff(65535, 65535)) is None
+
+    def test_png_idat_bomb_capped(self):
+        import struct
+        import zlib
+
+        from lotad_spark.pipeline.multimodal import decode_pixels
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data))
+            )
+
+        # 1x1 gray PNG whose IDAT inflates to 8 MB: the scanline
+        # budget for 1x1 is a few bytes — refuse without materializing
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+        bomb = zlib.compress(b"\x00" * (8 << 20), 9)
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+        )
+        assert decode_pixels(png) is None
+        # a VALID 1x1 still decodes (raw = filter byte + 1 gray byte)
+        good = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00\x7f"))
+            + chunk(b"IEND", b"")
+        )
+        got = decode_pixels(good)
+        assert got is not None and got[0] == 1 and got[1] == 1
