@@ -859,6 +859,11 @@ def _gif_iter_frames(payload: bytes):
         pos += 10
         if fw <= 0 or fh <= 0:
             raise ValueError("empty frame")
+        if fw * fh > _PIXEL_BOUND:
+            # bound BEFORE the LZW inflate — its output cap is the
+            # frame's own pixel count, so a 65535x65535 descriptor
+            # would otherwise let a crafted stream produce ~4 GiB
+            raise ValueError("frame exceeds pixel bound")
         palette = g_palette
         if iflags & 0x80:  # local color table wins for this frame
             lct_n = 2 << (iflags & 0x07)
@@ -918,8 +923,6 @@ def _gif_pixels(payload: bytes):
     stream, or any LZW violation."""
     try:
         for _l, _t, fw, fh, _tr, rgb in _gif_iter_frames(payload):
-            if fw * fh > _PIXEL_BOUND:
-                return None
             return (fw, fh, rgb)
     except ValueError:
         return None
