@@ -2874,7 +2874,10 @@ def q_multimodal_decode(spark, sf_dir):
     (header 'P6\\n<w> <h>\\n255\\n' + w*h*3 pixel bytes) with dimensions
     derived from doc_id; the kernel parses the header back out (same
     answer PIL gives), so the oracle checks an actual decode round-trip,
-    not a byte-length fake."""
+    not a byte-length fake. r17: every 6th doc ships an SVG instead —
+    the web's dominant vector format, dims off the root tag
+    (mode='SVG'; no rasterizer exists in the zero-dep tier, so the
+    pixel path stays honest-None for it)."""
     from lotad_spark.pipeline.multimodal import with_decoded_metadata
 
     w = (F.col("doc_id") % 13 + 1).cast("int")
@@ -2887,9 +2890,18 @@ def q_multimodal_decode(spark, sf_dir):
         F.lit("\n255\n"),
         F.repeat(F.lit("x"), w * h * 3),
     )
+    svg = F.concat(
+        F.lit('<?xml version="1.0"?>\n'
+              '<svg xmlns="http://www.w3.org/2000/svg" width="'),
+        (F.col("doc_id") % 19 + 1).cast("int").cast("string"),
+        F.lit('" height="'),
+        (F.col("doc_id") % 11 + 1).cast("int").cast("string"),
+        F.lit('"><rect fill="#333"/></svg>'),
+    )
+    payload = F.when(F.col("doc_id") % 6 == 4, svg).otherwise(ppm)
     media = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
-        F.encode(ppm, "utf-8").alias("content"),
+        F.encode(payload, "utf-8").alias("content"),
     )
     return with_decoded_metadata(media)
 
@@ -9081,7 +9093,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       mislabel flag; the declared side cycles en-US/fr/de/absent via
       per-doc template rewrites and is read back through html_meta,
       so the extraction + composition are both in the checked row).
-    * 7-25: changed-code re-entries — audio_stats (NEW MP3 face: MPEG
+      A late r17 change adds the SVG face to multimodal_decode (dims
+      off the root tag, mode='SVG', honest-None pixels — the web's
+      dominant vector format joins the metadata tier), so that row
+      re-enters at position 7 per rule (a) and dedup_exact slips
+      to 51.
+    * 8-26: changed-code re-entries — audio_stats (NEW MP3 face: MPEG
       frame-header walk for duration/rate/channels, amplitude honestly
       NULL) and video_stats (NEW MP4 face: ISO-BMFF mvhd/tkhd/stts
       box walk, audio-trak skip, exact-integer duration);
@@ -9102,7 +9119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       riding the refactored per-doc media payload builders
       (multimodal_audio_hist / multimodal_video_hist /
       video_scene_cuts — byte-identical payloads, builders extracted).
-    * 26-50: the 25 longest-out r13-green rows (out since r14), the
+    * 27-50: the longest-out r13-green rows (24 of the 25 in-window; (out since r14), the
       COVERAGE.md r17 queue order — schema_drift_records ->
       dedup_exact, covering the whole diff family, the wizard rows,
       and the reference-parity SQL surface.
@@ -9136,6 +9153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_dedup": q_canonical_url_dedup,
         "video_tags": q_video_tags,
         "lang_mismatch": q_lang_mismatch,
+        # r17 late change: the decode row gained the SVG face, so
+        # it re-enters the window here (rule (a)); dedup_exact
+        # slips to 51.
+        "multimodal_decode": q_multimodal_decode,
         "audio_stats": q_audio_stats,
         "video_stats": q_video_stats,
         "decode_tier_counts": q_decode_tier_counts,
@@ -9199,7 +9220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # See COVERAGE.md 'Driver-window rotation (round 17)'. ---
         "multimodal_png_luma_hist": q_multimodal_png_luma_hist,
         "multimodal_resize_hist": q_multimodal_resize_hist,
-        "multimodal_decode": q_multimodal_decode,
         "readability": q_readability,
         "script_profile": q_script_profile,
         "image_ahash_oriented": q_image_ahash_oriented,
@@ -10127,9 +10147,12 @@ def oracle_sql() -> dict[str, str]:
         # hash match proves the decode round-trip.
         "multimodal_decode": (
             "SELECT doc_id AS media_id, "
-            "CAST(doc_id % 13 + 1 AS INTEGER) AS width, "
-            "CAST(doc_id % 7 + 1 AS INTEGER) AS height, "
-            "'RGB' AS mode FROM documents"
+            "CAST(CASE WHEN doc_id % 6 = 4 THEN doc_id % 19 + 1 "
+            "ELSE doc_id % 13 + 1 END AS INTEGER) AS width, "
+            "CAST(CASE WHEN doc_id % 6 = 4 THEN doc_id % 11 + 1 "
+            "ELSE doc_id % 7 + 1 END AS INTEGER) AS height, "
+            "CASE WHEN doc_id % 6 = 4 THEN 'SVG' ELSE 'RGB' END "
+            "AS mode FROM documents"
         ),
         # ASCII corpus ⇒ ord(char) == utf-8 byte; the 16-bin integer
         # histogram matches the Arrow kernel's np.bincount exactly.

@@ -2579,10 +2579,59 @@ def _luma(arr):
     return (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
 
 
+def _parse_svg(payload: bytes):
+    """Header-only dims for SVG (r17 — the web's dominant VECTOR
+    image format, a large crawled-image fraction the raster parsers
+    can't see): sniff the ``<svg …>`` root tag in the first 4 KiB
+    (after optional BOM / XML declaration / comments / doctype), read
+    integer-or-float px/unitless width/height attributes (floats
+    floor), falling back to the viewBox's width/height. None when the
+    root tag or parseable dims are absent; em/%/other units stay None
+    (resolving them needs layout context this tier doesn't have). No
+    rasterizer exists in the zero-dependency tier, so the pixel path
+    stays honest-None and the decode tier is header_only."""
+    import re as _re
+
+    head = payload[:4096]
+    if b"<svg" not in head:
+        return None
+    text = head.decode("utf-8", errors="replace")
+    m = _re.search(r"<svg\b[^>]*>", text, _re.S)
+    if m is None:
+        return None
+    tag = m.group(0)
+
+    def dim(name: str):
+        dm = _re.search(
+            r'(?<![-\w])' + name
+            + r'[ \t\r\n]*=[ \t\r\n]*["\']'
+            r"([0-9]+(?:\.[0-9]+)?)(?:px)?[\"']",
+            tag,
+        )
+        return int(float(dm.group(1))) if dm else None
+
+    w, h = dim("width"), dim("height")
+    if w is None or h is None:
+        vb = _re.search(
+            r'viewBox[ \t\r\n]*=[ \t\r\n]*["\'][ \t]*-?[0-9.]+'
+            r"[ \t,]+-?[0-9.]+[ \t,]+([0-9.]+)[ \t,]+([0-9.]+)",
+            tag,
+        )
+        if vb:
+            if w is None:
+                w = int(float(vb.group(1)))
+            if h is None:
+                h = int(float(vb.group(2)))
+    if not w or not h or w <= 0 or h <= 0:
+        return None
+    return (w, h, "SVG")
+
+
 def _headers_decode(payload: bytes) -> tuple[int, int, str]:
     """No-PIL kernel: real header parse for BMP/netpbm/PNG/JPEG
-    payloads, byte-length fake (mode='STUB') for anything else."""
-    for parse in (_parse_bmp, _parse_pnm, _parse_png, _parse_gif, _parse_tiff, _parse_webp, _parse_jpeg):
+    payloads (+ SVG root-tag dims, r17), byte-length fake
+    (mode='STUB') for anything else."""
+    for parse in (_parse_bmp, _parse_pnm, _parse_png, _parse_gif, _parse_tiff, _parse_webp, _parse_jpeg, _parse_svg):
         parsed = parse(payload)
         if parsed is not None:
             return parsed
@@ -2656,6 +2705,7 @@ def classify_decode_tier(payload) -> tuple[str, str]:
         ("pnm", _parse_pnm), ("bmp", _parse_bmp), ("png", _parse_png),
         ("gif", _parse_gif), ("tiff", _parse_tiff),
         ("webp", _parse_webp), ("jpeg", _parse_jpeg),
+        ("svg", _parse_svg),
     )
     for name, parse in image_parsers:
         if parse(payload) is not None:

@@ -475,6 +475,10 @@ class TestDecoderCrashRobustness:
         out["mp3_id3v2"] = entry._mp3_payload(11)
         out["mp3_id3v1"] = entry._audio_tags_fixture(9)
         out["wav_info"] = entry._audio_tags_fixture(4)
+        out["svg"] = (
+            b'<?xml version="1.0"?>\n<svg xmlns="http://www.w3.org/'
+            b'2000/svg" width="12" height="9"><rect/></svg>'
+        )
         return out
 
     def test_never_raises(self):

@@ -2501,3 +2501,42 @@ class TestPixelBound:
         )
         got = decode_pixels(good)
         assert got is not None and got[0] == 1 and got[1] == 1
+
+
+class TestSvgFace:
+    """_parse_svg (r17): root-tag dims, viewBox fallback, unit
+    honesty, tier contract."""
+
+    def test_parser_forms(self):
+        from lotad_spark.pipeline.multimodal import _parse_svg
+
+        assert _parse_svg(b'<svg width="10" height="5">') == (10, 5, "SVG")
+        assert _parse_svg(
+            b'<?xml version="1.0"?>\n<!-- c -->\n'
+            b'<svg\n  viewBox="0 0 300 150">'
+        ) == (300, 150, "SVG")
+        # px suffix and floats floor; width + viewBox mix
+        assert _parse_svg(b'<svg width="3.7px" height="2.2">') == (3, 2, "SVG")
+        assert _parse_svg(
+            b'<svg width="8" viewBox="0 0 20 10">'
+        ) == (8, 10, "SVG")
+        # honest Nones: %/em units, stroke-width red herring, non-xml
+        assert _parse_svg(b'<svg width="50%" height="20">') is None
+        assert _parse_svg(b'<svg height="20" stroke-width="9">') is None
+        assert _parse_svg(b"plain bytes") is None
+
+    def test_metadata_and_tier(self, spark):
+        from lotad_spark.pipeline.multimodal import (
+            classify_decode_tier,
+            decode_pixels,
+            with_decoded_metadata,
+        )
+
+        svg = b'<svg xmlns="http://www.w3.org/2000/svg" width="7" height="3"/>'
+        assert classify_decode_tier(svg) == ("svg", "header_only")
+        assert decode_pixels(svg) is None  # no rasterizer: honest
+        df = spark.createDataFrame(
+            [(1, bytearray(svg))], "media_id bigint, content binary"
+        )
+        r = with_decoded_metadata(df).collect()[0]
+        assert (r.width, r.height, r.mode) == (7, 3, "SVG")
