@@ -6433,11 +6433,12 @@ _EXIF_GPS_SQL = (
 
 def _provenance_container(did: int) -> bytes:
     """One media payload for the provenance row, container cycling by
-    doc_id % 5: (0) PNG tEXt Software + Comment, (1) JPEG COM comment
+    doc_id % 6: (0) PNG tEXt Software + Comment, (1) JPEG COM comment
     + APP1-EXIF Software (tag 305), (2) PNG zTXt Software (zlib), (3)
     PNG iTXt Description (flag 0, lang/translated filled), (4) bare
-    TIFF tag 305. Every doc_id % 7 == 3 doc is an untagged P6 instead
-    (the kind='none' path). Field values derive from doc_id."""
+    TIFF tag 305, (5, r17) SVG with the Adobe Generator comment and a
+    <desc>. Every doc_id % 7 == 3 doc is an untagged P6 instead (the
+    kind='none' path). Field values derive from doc_id."""
     import struct
     import zlib
 
@@ -6445,7 +6446,14 @@ def _provenance_container(did: int) -> bytes:
         return b"P6\n1 1\n255\n" + b"abc"
     sw = f"gen-{did % 4}/1.{did % 3}"
     cm = f"c {did % 11}"
-    v = did % 5
+    v = did % 6
+    if v == 5:
+        return (
+            '<?xml version="1.0"?>\n'
+            f"<!-- Generator: {sw} -->\n"
+            '<svg xmlns="http://www.w3.org/2000/svg" width="3" '
+            f'height="2"><desc>{cm}</desc><rect/></svg>'
+        ).encode("utf-8")
 
     def png(chunks: list[tuple[bytes, bytes]]) -> bytes:
         def chunk(typ, data):
@@ -6552,10 +6560,10 @@ def q_image_provenance(spark, sf_dir):
 _IMAGE_PROVENANCE_SQL = (
     "SELECT doc_id AS media_id, "
     "CASE WHEN doc_id % 7 = 3 THEN 'none' ELSE 'tagged' END AS kind, "
-    "CASE WHEN doc_id % 7 = 3 OR doc_id % 5 = 3 THEN NULL ELSE "
+    "CASE WHEN doc_id % 7 = 3 OR doc_id % 6 = 3 THEN NULL ELSE "
     "'gen-' || CAST(doc_id % 4 AS VARCHAR) || '/1.' || "
     "CAST(doc_id % 3 AS VARCHAR) END AS software, "
-    "CASE WHEN doc_id % 7 = 3 OR doc_id % 5 IN (2, 4) THEN NULL ELSE "
+    "CASE WHEN doc_id % 7 = 3 OR doc_id % 6 IN (2, 4) THEN NULL ELSE "
     "'c ' || CAST(doc_id % 11 AS VARCHAR) END AS comment "
     "FROM documents"
 )

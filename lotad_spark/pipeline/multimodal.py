@@ -1844,14 +1844,37 @@ def image_provenance(payload: bytes):
       Comment / Description;
     * JPEG: the ``COM`` segment (comment) and the EXIF Software tag
       (305) via the APP1 block;
-    * TIFF / WebP: tag 305 from the EXIF structure.
+    * TIFF / WebP: tag 305 from the EXIF structure;
+    * SVG (r17): the Adobe ``<!-- Generator: … -->`` comment or the
+      ``inkscape:version`` attribute (the two stamps real vector
+      editors leave), and ``<desc>`` as the comment field — scanned
+      in the first 8 KiB.
 
     None when the payload records neither field; fields are
     independently None. First occurrence wins per field."""
+    import re as _re
     import struct
     import zlib
 
     software = comment = None
+    if _parse_svg(payload) is not None:
+        head = payload[:8192].decode("utf-8", errors="replace")
+        gm = _re.search(r"<!--\s*Generator:\s*(.*?)\s*-->", head, _re.S)
+        if gm:
+            software = gm.group(1)
+        else:
+            iv = _re.search(
+                r'inkscape:version[ \t\r\n]*=[ \t\r\n]*["\']([^"\']+)',
+                head,
+            )
+            if iv:
+                software = "Inkscape " + iv.group(1)
+        dm = _re.search(r"<desc[^>]*>(.*?)</desc>", head, _re.S)
+        if dm and dm.group(1).strip():
+            comment = dm.group(1).strip()
+        if software is None and comment is None:
+            return None
+        return (software, comment)
     if payload[:8] == _PNG_SIG:
         pos = 8
         while pos + 8 <= len(payload):

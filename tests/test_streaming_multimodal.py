@@ -1889,8 +1889,8 @@ class TestImageProvenance:
             cm = f"c {did % 11}"
             want = {
                 0: (sw, cm), 1: (sw, cm), 2: (sw, None),
-                3: (None, cm), 4: (sw, None),
-            }[did % 5]
+                3: (None, cm), 4: (sw, None), 5: (sw, cm),
+            }[did % 6]
             assert got == want, did
 
     def test_malformed_never_raises(self):
@@ -1901,7 +1901,7 @@ class TestImageProvenance:
         rng = np.random.RandomState(3)
         import __spark_entry__ as entry
 
-        for did in (0, 1, 2, 3, 4):
+        for did in (0, 1, 2, 3, 4, 5):
             p = entry._provenance_container(did)
             for k in range(0, len(p), 3):  # truncations
                 image_provenance(p[:k])
