@@ -1848,7 +1848,11 @@ def image_provenance(payload: bytes):
     * SVG (r17): the Adobe ``<!-- Generator: … -->`` comment or the
       ``inkscape:version`` attribute (the two stamps real vector
       editors leave), and ``<desc>`` as the comment field — scanned
-      in the first 8 KiB.
+      in the first 8 KiB. r18 (ADVICE): the branch gates on the
+      prolog-aware root-tag sniff (:func:`_svg_root_tag`), NOT on
+      parseable dims — SVGs with ``width="100%"``/em units or no
+      dims still yield provenance, and HTML with inline SVG islands
+      never takes this path.
 
     None when the payload records neither field; fields are
     independently None. First occurrence wins per field."""
@@ -1857,7 +1861,7 @@ def image_provenance(payload: bytes):
     import zlib
 
     software = comment = None
-    if _parse_svg(payload) is not None:
+    if _svg_root_tag(payload) is not None:
         head = payload[:8192].decode("utf-8", errors="replace")
         gm = _re.search(r"<!--\s*Generator:\s*(.*?)\s*-->", head, _re.S)
         if gm:
@@ -2602,27 +2606,76 @@ def _luma(arr):
     return (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
 
 
-def _parse_svg(payload: bytes):
-    """Header-only dims for SVG (r17 — the web's dominant VECTOR
-    image format, a large crawled-image fraction the raster parsers
-    can't see): sniff the ``<svg …>`` root tag in the first 4 KiB
-    (after optional BOM / XML declaration / comments / doctype), read
-    integer-or-float px/unitless width/height attributes (floats
-    floor), falling back to the viewBox's width/height. None when the
-    root tag or parseable dims are absent; em/%/other units stay None
-    (resolving them needs layout context this tier doesn't have). No
-    rasterizer exists in the zero-dependency tier, so the pixel path
-    stays honest-None and the decode tier is header_only."""
+def _svg_root_tag(payload: bytes):
+    """The root ``<svg …>`` tag of a STANDALONE SVG document, or None.
+
+    Skips an optional UTF-8 BOM, whitespace, the XML declaration,
+    comments, and a doctype (including a bracketed internal subset),
+    then requires the first real ELEMENT to be ``<svg`` — so HTML
+    pages carrying inline SVG islands (whose first element is
+    ``<html``/``<body``) never take the SVG path, and a standalone
+    SVG is recognized regardless of whether its dimensions parse
+    (r18 ADVICE: provenance extraction must not depend on numeric
+    dims). Scans the first 4 KiB only."""
     import re as _re
 
     head = payload[:4096]
+    if head[:3] == b"\xef\xbb\xbf":
+        head = head[3:]
     if b"<svg" not in head:
         return None
     text = head.decode("utf-8", errors="replace")
-    m = _re.search(r"<svg\b[^>]*>", text, _re.S)
-    if m is None:
+    pos, n = 0, len(text)
+    while pos < n:
+        while pos < n and text[pos] in " \t\r\n":
+            pos += 1
+        if text.startswith("<svg", pos):
+            m = _re.match(r"<svg\b[^>]*>", text[pos:], _re.S)
+            return m.group(0) if m else None
+        if text.startswith("<!--", pos):
+            end = text.find("-->", pos + 4)
+            if end < 0:
+                return None
+            pos = end + 3
+        elif text.startswith("<?", pos):
+            end = text.find("?>", pos + 2)
+            if end < 0:
+                return None
+            pos = end + 2
+        elif text.startswith("<!", pos):
+            # doctype; a '[' before the first '>' opens an internal
+            # subset whose entity declarations contain '>' — skip to
+            # the closing ']>' instead
+            gt = text.find(">", pos + 2)
+            br = text.find("[", pos + 2)
+            if br != -1 and (gt == -1 or br < gt):
+                end = text.find("]>", br)
+                gt = -1 if end < 0 else end + 1
+            if gt < 0:
+                return None
+            pos = gt + 1
+        else:
+            return None
+    return None
+
+
+def _parse_svg(payload: bytes):
+    """Header-only dims for SVG (r17 — the web's dominant VECTOR
+    image format, a large crawled-image fraction the raster parsers
+    can't see): locate the root ``<svg …>`` tag via
+    :func:`_svg_root_tag` (r18: prolog-aware — HTML with inline SVG
+    no longer classifies as SVG), read integer-or-float px/unitless
+    width/height attributes (floats floor), falling back to the
+    viewBox's width/height. None when the root tag or parseable dims
+    are absent; em/%/other units stay None (resolving them needs
+    layout context this tier doesn't have). No rasterizer exists in
+    the zero-dependency tier, so the pixel path stays honest-None and
+    the decode tier is header_only."""
+    import re as _re
+
+    tag = _svg_root_tag(payload)
+    if tag is None:
         return None
-    tag = m.group(0)
 
     def dim(name: str):
         dm = _re.search(

@@ -1184,26 +1184,45 @@ def script_profile(
     digits/punctuation-only docs). A training pipeline uses this to
     route language-specific stages, to catch script-mixing spam
     (Cyrillic lookalikes inside Latin words score both classes), and
-    to audit corpus composition. One projection fused into the scan:
-    zero UDFs, zero exchanges. NULL text profiles as NULL counts."""
+    to audit corpus composition. Two staged projections fused into the
+    scan: zero UDFs, zero exchanges. NULL text profiles as NULL counts.
+
+    Staging note (r18): computing ``dominant_script`` directly over the
+    nine regexp count EXPRESSIONS duplicated each count ~10× (once in
+    ``greatest``, once per when-branch) and the generated
+    ``processNext()`` blew janino's 64 KB method limit — the row ran
+    interpreted. Stage 1 materializes the counts as named columns;
+    stage 2 ranks over cheap attribute references. Catalyst's
+    CollapseProject keeps the stages separate because each count
+    column is referenced more than once downstream (non-cheap aliases
+    used >1× are never re-inlined), so each generated method stays
+    small and the plan compiles (pinned in tests/test_plans.py)."""
     txt = F.col(text_col)
-    counts = [
-        (name, F.length(txt) - F.length(F.regexp_replace(txt, pat, "")))
-        for name, pat in SCRIPT_CLASSES
-    ]
-    best = F.greatest(*[c for _n, c in counts])
+    staged = df.select(
+        F.col(id_col),
+        F.length(txt).cast("int").alias("n_chars"),
+        txt.isNull().alias("_txt_null"),
+        *[
+            (F.length(txt) - F.length(F.regexp_replace(txt, pat, "")))
+            .cast("int")
+            .alias(f"{name}_chars")
+            for name, pat in SCRIPT_CLASSES
+        ],
+    )
+    cols = [(name, F.col(f"{name}_chars")) for name, _p in SCRIPT_CLASSES]
+    best = F.greatest(*[c for _n, c in cols])
     dominant = F.lit("none")
-    for name, c in reversed(counts):  # first-listed wins ties
+    for name, c in reversed(cols):  # first-listed wins ties
         dominant = F.when((best > 0) & (c == best), F.lit(name)).otherwise(
             dominant
         )
-    return df.select(
+    return staged.select(
         F.col(id_col),
-        F.length(txt).cast("int").alias("n_chars"),
-        *[c.cast("int").alias(f"{n}_chars") for n, c in counts],
+        "n_chars",
+        *[f"{name}_chars" for name, _p in SCRIPT_CLASSES],
         # NULL text profiles as NULL, not 'none' (a when() chain over
         # NULL counts would fall through to the literal)
-        F.when(txt.isNull(), F.lit(None).cast("string"))
+        F.when(F.col("_txt_null"), F.lit(None).cast("string"))
         .otherwise(dominant)
         .alias("dominant_script"),
     )

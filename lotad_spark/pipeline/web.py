@@ -325,26 +325,31 @@ HTML_META_PATTERNS: tuple[tuple[str, str], ...] = (
     # rel=canonical (r17): the canonical URL feeds url_dedup directly —
     # the crawl-dedup join real pipelines run first. Four patterns:
     # rel-before-href and href-before-rel, each in both quote styles
-    # (same no-backreference rule as description).
+    # (same no-backreference rule as description). r18: the keyword
+    # must be FOLLOWED by a terminating delimiter — a closing quote,
+    # whitespace (a rel token list: rel="canonical alternate"), or for
+    # the href-first forms tag-end '>'/'/' — so rel values that merely
+    # START with 'canonical' (rel="canonical-amp") no longer feed a
+    # wrong group key into canonical_url_dedup.
     (
         "canonical",
-        "(?is)<link[^>]*rel[ \\t]*=[ \\t]*[\"']?canonical[\"']?"
+        "(?is)<link[^>]*rel[ \\t]*=[ \\t]*[\"']?canonical[\"' \\t\\n\\r]"
         "[^>]*href[ \\t]*=[ \\t]*\"([^\"]*)\"",
     ),
     (
         "canonical_sq",
-        "(?is)<link[^>]*rel[ \\t]*=[ \\t]*[\"']?canonical[\"']?"
+        "(?is)<link[^>]*rel[ \\t]*=[ \\t]*[\"']?canonical[\"' \\t\\n\\r]"
         "[^>]*href[ \\t]*=[ \\t]*'([^']*)'",
     ),
     (
         "canonical_hf",
         "(?is)<link[^>]*href[ \\t]*=[ \\t]*\"([^\"]*)\""
-        "[^>]*rel[ \\t]*=[ \\t]*[\"']?canonical",
+        "[^>]*rel[ \\t]*=[ \\t]*[\"']?canonical[\"' \\t\\n\\r>/]",
     ),
     (
         "canonical_hf_sq",
         "(?is)<link[^>]*href[ \\t]*=[ \\t]*'([^']*)'"
-        "[^>]*rel[ \\t]*=[ \\t]*[\"']?canonical",
+        "[^>]*rel[ \\t]*=[ \\t]*[\"']?canonical[\"' \\t\\n\\r>/]",
     ),
 )
 

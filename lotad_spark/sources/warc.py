@@ -628,7 +628,25 @@ def warc_http_unwrap(df: DataFrame, content_col: str = "content") -> DataFrame:
     failed decodes are NULL bodies with labels intact. Pipe through
     :func:`unwrapped_body_text` for the charset-ladder text column.
     Use ``warc_http_text`` when the crawl is known identity-encoded
-    (zero Python in the plan); use this face when it is not."""
+    (zero Python in the plan); use this face when it is not.
+
+    The six appended names are FIXED; applying this to a frame that
+    already carries one (e.g. the output of ``warc_http_text`` or a
+    second unwrap pass) would build a duplicate-name schema that only
+    fails later at analysis — r18 (ADVICE): refuse up front with a
+    named ValueError instead."""
+    appended = (
+        "http_status", "http_content_type", "http_charset",
+        "http_content_encoding", "http_transfer_encoding", "body",
+    )
+    clashes = [f.name for f in df.schema if f.name in appended]
+    if clashes:
+        raise ValueError(
+            "warc_http_unwrap appends fixed columns "
+            f"{sorted(appended)}; input already has {clashes}. "
+            "Drop or rename them first (it decodes the RAW record "
+            "content, not an already-unwrapped frame)."
+        )
     in_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
     )

@@ -1427,6 +1427,29 @@ class TestScriptProfile:
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
 
+    def test_no_codegen_fallback(self, spark):
+        """r18 (VERDICT): the unstaged r17 form duplicated each of the
+        nine regexp counts ~10× into one projection and janino refused
+        the generated processNext() — Spark silently ran the row
+        interpreted. With spark.sql.codegen.fallback=false a compile
+        failure becomes a hard error, so this pins that the staged
+        two-projection form COMPILES (the whole registry is swept the
+        same way by scripts/check_codegen.py)."""
+        from lotad_spark.pipeline.text import script_profile
+
+        df = spark.createDataFrame(
+            [(1, "hello мир"), (2, "日本語"), (3, None)],
+            "doc_id bigint, text string",
+        )
+        old = spark.conf.get("spark.sql.codegen.fallback")
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        try:
+            script_profile(df).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        finally:
+            spark.conf.set("spark.sql.codegen.fallback", old)
+
 
 class TestReadability:
     def test_hand_computed_score(self, spark):

@@ -2540,3 +2540,65 @@ class TestSvgFace:
         )
         r = with_decoded_metadata(df).collect()[0]
         assert (r.width, r.height, r.mode) == (7, 3, "SVG")
+
+
+class TestSvgRootSniffR18:
+    """r18 ADVICE: SVG provenance gates on the prolog-aware root-tag
+    sniff, not parseable dims; HTML with inline SVG never takes the
+    SVG path."""
+
+    def test_percent_dims_still_yield_provenance(self):
+        from lotad_spark.pipeline.multimodal import (
+            _parse_svg,
+            image_provenance,
+        )
+
+        svg = (
+            b'<?xml version="1.0"?>\n<!-- Generator: tool/9 -->\n'
+            b'<svg xmlns="http://www.w3.org/2000/svg" width="100%" '
+            b"height=\"100%\"><desc>hand-drawn</desc></svg>"
+        )
+        assert _parse_svg(svg) is None  # dims honestly unresolvable
+        assert image_provenance(svg) == ("tool/9", "hand-drawn")
+
+    def test_no_dims_at_all_still_yield_provenance(self):
+        from lotad_spark.pipeline.multimodal import image_provenance
+
+        svg = (
+            b'<svg xmlns="http://www.w3.org/2000/svg" '
+            b'inkscape:version="1.2"><path d="M0 0"/></svg>'
+        )
+        assert image_provenance(svg) == ("Inkscape 1.2", None)
+
+    def test_html_with_inline_svg_is_not_svg(self):
+        from lotad_spark.pipeline.multimodal import (
+            _parse_svg,
+            _svg_root_tag,
+            image_provenance,
+        )
+
+        html = (
+            b"<!DOCTYPE html>\n<!-- Generator: fake-cms -->\n"
+            b"<html><body><p>hi</p>"
+            b'<svg width="10" height="5"><rect/></svg>'
+            b"</body></html>"
+        )
+        assert _svg_root_tag(html) is None
+        assert _parse_svg(html) is None
+        # the Generator comment belongs to the HTML, not an image
+        assert image_provenance(html) is None
+
+    def test_prolog_forms(self):
+        from lotad_spark.pipeline.multimodal import _svg_root_tag
+
+        # BOM + declaration + doctype with internal subset + comment
+        svg = (
+            b"\xef\xbb\xbf<?xml version='1.0'?>\n"
+            b"<!DOCTYPE svg [ <!ENTITY e \"v\"> ]>\n"
+            b"<!-- c -->\n<svg width='4' height='2'>"
+        )
+        tag = _svg_root_tag(svg)
+        assert tag is not None and tag.startswith("<svg")
+        # unterminated comment / truncated root tag: honest None
+        assert _svg_root_tag(b"<!-- open forever <svg w") is None
+        assert _svg_root_tag(b"<svg width='4' height='2'") is None

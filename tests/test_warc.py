@@ -594,6 +594,21 @@ class TestHttpUnwrapReviewFixes:
         )
         assert got[5] is None
 
+    def test_column_collision_refused_up_front(self, spark):
+        """r18 ADVICE: appending onto a frame that already carries an
+        output name must raise a named ValueError at build time, not a
+        duplicate-field failure later at analysis."""
+        import pytest
+
+        from lotad_spark.sources.warc import warc_http_unwrap
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"x"), 200)],
+            "id bigint, content binary, http_status int",
+        )
+        with pytest.raises(ValueError, match="http_status"):
+            warc_http_unwrap(df)
+
 
 class TestInflateBound:
     def test_bomb_member_keeps_prior_records(self, monkeypatch):

@@ -712,6 +712,16 @@ class TestHtmlMetaAndAnchors:
                            "rel=canonical>"),
                 # a non-canonical link must not match
                 (5, wrap % '<link rel="stylesheet" href="/s.css">'),
+                # r18 (ADVICE): rel values that merely START with
+                # 'canonical' are NOT canonical links, in either
+                # attribute order
+                (6, wrap % '<link rel="canonical-amp" '
+                           'href="https://c.com/6">'),
+                (7, wrap % '<link href="https://c.com/7" '
+                           'rel="canonical-amp">'),
+                # ...but a rel token LIST containing canonical is
+                (8, wrap % '<link rel="canonical alternate" '
+                           'href="https://c.com/8">'),
             ],
             "doc_id bigint, html string",
         )
@@ -719,6 +729,7 @@ class TestHtmlMetaAndAnchors:
         assert got == {
             1: "https://c.com/1", 2: "https://c.com/2",
             3: "https://c.com/3", 4: "https://c.com/4", 5: None,
+            6: None, 7: None, 8: "https://c.com/8",
         }
 
     def test_anchor_pairs(self, spark):
