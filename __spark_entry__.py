@@ -3462,15 +3462,76 @@ def _audio_tags_fixture(did: int) -> bytes:
     title 't'||did%9 always present, artist absent on did%5==0, album
     absent on did%3==0; docs with did%10 in (1,6) are tagless (the
     'none' path); docs with did%10==9 carry ONLY a trailing 128-byte
-    ID3v1 TAG block (r17 — the legacy fallback path). Values are
-    ASCII so both encodings decode identically and the oracle is pure
-    arithmetic."""
+    ID3v1 TAG block (r17 — the legacy fallback path). r18 slots:
+    did%10==2 docs are FLAC with a VORBIS_COMMENT block (kind
+    'flac'); did%10==7 docs are OGG — Vorbis comment header on
+    did%20==7, OpusTags on did%20==17 — whose comment packet is
+    vendor-padded past 255 bytes so it SPANS two pages with real
+    lacing, with an interloper page from another bitstream serial in
+    between (kind 'ogg'); did%10==3 docs apply ID3v2.3 TAG-LEVEL
+    unsynchronisation over utf-16 frames (the FF 00 rewrite actually
+    fires on the BOMs) and did%20==15 docs ID3v2.4 PER-FRAME unsync
+    with a data-length indicator on the title frame — both recovered,
+    kind stays 'id3'. Values are ASCII so every encoding decodes
+    identically and the oracle is pure arithmetic."""
     import struct
 
     tagless = did % 10 in (1, 6)
     title = f"t{did % 9}"
     artist = None if did % 5 == 0 else f"a{did % 7}"
     album = None if did % 3 == 0 else f"b{did % 4}"
+    fields = (
+        ("TITLE", title), ("ARTIST", artist), ("ALBUM", album)
+    )
+    if did % 10 == 2:
+        vendor = b"ref-flac-writer"
+        comments = [
+            struct.pack("<I", len(c)) + c
+            for k, v in fields
+            if v is not None
+            for c in (f"{k}={v}".encode(),)
+        ]
+        vc = (
+            struct.pack("<I", len(vendor)) + vendor
+            + struct.pack("<I", len(comments)) + b"".join(comments)
+        )
+        streaminfo = bytes([0]) + (34).to_bytes(3, "big") + b"\x00" * 34
+        return (
+            b"fLaC" + streaminfo
+            + bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc
+        )
+    if did % 10 == 7:
+        vendor = b"v" * 260  # forces the comment packet past one page
+        comments = [
+            struct.pack("<I", len(c)) + c
+            for k, v in fields
+            if v is not None
+            for c in (f"{k}={v}".encode(),)
+        ]
+        vc = (
+            struct.pack("<I", len(vendor)) + vendor
+            + struct.pack("<I", len(comments)) + b"".join(comments)
+        )
+        magic = b"\x03vorbis" if did % 20 == 7 else b"OpusTags"
+        cpkt = magic + vc
+
+        def ogg_page(serial, lacings, payload):
+            return (
+                b"OggS\x00\x00" + b"\x00" * 8
+                + struct.pack("<I", serial) + struct.pack("<I", 0)
+                + b"\x00" * 4 + bytes([len(lacings)])
+                + bytes(lacings) + payload
+            )
+
+        idpkt = (b"\x01vorbis" if did % 20 == 7 else b"OpusHead")
+        idpkt += b"\x00" * 22
+        assert 255 < len(cpkt) < 510
+        return (
+            ogg_page(7, [len(idpkt)], idpkt)
+            + ogg_page(7, [255], cpkt[:255])
+            + ogg_page(99, [5], b"junk!")  # other-serial interloper
+            + ogg_page(7, [len(cpkt) - 255], cpkt[255:])
+        )
     if did % 2 == 0:
         data = struct.pack("<4h", 10, -10, 20, -20)
         fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
@@ -3503,29 +3564,51 @@ def _audio_tags_fixture(did: int) -> bytes:
             frame + b"TAG" + pad30(title) + pad30(artist)
             + pad30(album) + b"2024" + b"\x00" * 30 + b"\xff"
         )
-    major = 4 if did % 4 == 3 else 3
-    enc = 3 if did % 7 == 1 else 0
+    def syncsafe4(n):
+        return bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+             (n >> 7) & 0x7F, n & 0x7F]
+        )
+
+    unsync_tag = did % 10 == 3       # v2.3 tag-level unsync
+    unsync_frames = did % 20 == 15   # v2.4 per-frame unsync (+DLI)
+    if unsync_tag:
+        major, enc = 3, 1            # utf-16 BOMs put real FFs in
+    elif unsync_frames:
+        major, enc = 4, 1
+    else:
+        major = 4 if did % 4 == 3 else 3
+        enc = 3 if did % 7 == 1 else 0
     frames = b""
     for fid, val in (
         (b"TIT2", title), (b"TPE1", artist), (b"TALB", album)
     ):
         if val is None:
             continue
-        body = bytes([enc]) + val.encode("utf-8")
+        body = bytes([enc]) + val.encode(
+            "utf-16" if enc == 1 else "utf-8"
+        )
+        flags2 = 0
+        if unsync_frames:
+            stored = body.replace(b"\xff", b"\xff\x00")
+            flags2 = 0x02
+            if fid == b"TIT2":  # data-length indicator on one frame
+                stored = syncsafe4(len(body)) + stored
+                flags2 = 0x03
+            body = stored
         n = len(body)
-        if major == 4:
-            szb = bytes(
-                [(n >> 21) & 0x7F, (n >> 14) & 0x7F,
-                 (n >> 7) & 0x7F, n & 0x7F]
-            )
-        else:
-            szb = struct.pack(">I", n)
-        frames += fid + szb + b"\x00\x00" + body
+        szb = syncsafe4(n) if major == 4 else struct.pack(">I", n)
+        frames += fid + szb + b"\x00" + bytes([flags2]) + body
+    tag_flags = 0
+    if unsync_tag:
+        # tag-level unsync is the LAST write step: frame sizes above
+        # describe the raw bodies, the substitution runs over the
+        # whole assembled tag body
+        frames = frames.replace(b"\xff", b"\xff\x00")
+        tag_flags = 0x80
     tag_sz = len(frames)
     hdr = (
-        b"ID3" + bytes([major, 0, 0])
-        + bytes([(tag_sz >> 21) & 0x7F, (tag_sz >> 14) & 0x7F,
-                 (tag_sz >> 7) & 0x7F, tag_sz & 0x7F])
+        b"ID3" + bytes([major, 0, tag_flags]) + syncsafe4(tag_sz)
     )
     return hdr + frames + frame
 
@@ -3535,9 +3618,13 @@ def q_audio_tags(spark, sf_dir):
     text frames (TIT2/TPE1/TALB, v2.3 + v2.4 syncsafe, utf-8 and
     latin-1 encoding bytes) and RIFF LIST-INFO (INAM/IART/IPRD) —
     the by-artist/by-ripper triage and pre-decode dedup key for
-    crawled audio, the image_provenance analogue. Both carrying forms,
-    absent-field NULLs, and the tagless 'none' path all cycle in the
-    checked row; the oracle is pure doc_id arithmetic."""
+    crawled audio, the image_provenance analogue. r18: FLAC
+    VORBIS_COMMENT and OGG Vorbis/Opus comment packets (page-spanning
+    lacing) cycle in as kinds 'flac'/'ogg', and two ID3v2
+    unsynchronisation slots (v2.3 tag-level, v2.4 per-frame + DLI)
+    pin the FF 00 recovery path. All carrying forms, absent-field
+    NULLs, and the tagless 'none' path cycle in the checked row; the
+    oracle is pure doc_id arithmetic."""
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
     from lotad_spark.pipeline.multimodal import audio_tags
@@ -3563,6 +3650,8 @@ _AUDIO_TAGS_SQL = (
     "SELECT doc_id AS media_id, "
     "CASE WHEN doc_id % 10 IN (1, 6) THEN 'none' "
     "WHEN doc_id % 10 = 9 THEN 'id3v1' "
+    "WHEN doc_id % 10 = 2 THEN 'flac' "
+    "WHEN doc_id % 10 = 7 THEN 'ogg' "
     "WHEN doc_id % 2 = 0 THEN 'riff' ELSE 'id3' END AS kind, "
     "CASE WHEN doc_id % 10 IN (1, 6) THEN NULL "
     "ELSE 't' || CAST(doc_id % 9 AS VARCHAR) END AS title, "
@@ -3814,10 +3903,96 @@ def _doc_avi_media(spark, sf_dir):
     return docs.mapInPandas(build, schema="media_id bigint, content binary")
 
 
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    """Minimal EBML element writer for the webm fixtures: marker-kept
+    ID bytes + a 1-or-2-byte size vint + body."""
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(body)
+    size = bytes([0x80 | n]) if n < 0x7F else (0x4000 | n).to_bytes(2, "big")
+    return idb + size + body
+
+
+def _webm_payload(did: int) -> bytes:
+    """One Matroska/WebM container per doc (r18): doctype webm/
+    matroska by did%2; Info Duration (did%13+1)·125 ms at the default
+    10⁶ TimestampScale; an audio TrackEntry FIRST (dims must come
+    from the video track); video PixelWidth/Height did%9+16 ×
+    did%6+9; DefaultDuration (did%3+2)·10⁷ ns absent when did%4==1;
+    WritingApp 'wa-'||did%5 absent when did%5==3 (encoder then falls
+    back to the always-present MuxingApp 'mux-'||did%7); Info Title
+    'mt'||did%3 absent when did%3==0; an ARTIST SimpleTag
+    'ma'||did%4 absent when did%4==1 — placed AFTER a sized junk
+    Cluster so the step-over behavior is pinned IN the checked row."""
+    import struct
+
+    from lotad_spark.pipeline import multimodal as M
+
+    header = _ebml_el(
+        int.from_bytes(M._EBML_MAGIC, "big"),
+        _ebml_el(
+            M._EBML_ID_DOCTYPE,
+            b"webm" if did % 2 == 0 else b"matroska",
+        ),
+    )
+    info = _ebml_el(
+        M._EBML_ID_TIMESTAMP_SCALE, (1_000_000).to_bytes(4, "big")
+    ) + _ebml_el(
+        M._EBML_ID_DURATION,
+        struct.pack(">d", float((did % 13 + 1) * 125)),
+    )
+    if did % 3 != 0:
+        info += _ebml_el(
+            M._EBML_ID_TITLE, f"mt{did % 3}".encode()
+        )
+    if did % 5 != 3:
+        info += _ebml_el(
+            M._EBML_ID_WRITING_APP, f"wa-{did % 5}".encode()
+        )
+    info += _ebml_el(M._EBML_ID_MUXING_APP, f"mux-{did % 7}".encode())
+    video = _ebml_el(
+        M._EBML_ID_VIDEO,
+        _ebml_el(M._EBML_ID_PIXEL_WIDTH, (did % 9 + 16).to_bytes(2, "big"))
+        + _ebml_el(M._EBML_ID_PIXEL_HEIGHT, (did % 6 + 9).to_bytes(2, "big")),
+    )
+    ventry = _ebml_el(M._EBML_ID_TRACK_TYPE, b"\x01") + video
+    if did % 4 != 1:
+        ventry += _ebml_el(
+            M._EBML_ID_DEFAULT_DURATION,
+            ((did % 3 + 2) * 10_000_000).to_bytes(4, "big"),
+        )
+    tracks = _ebml_el(
+        M._EBML_ID_TRACKS,
+        _ebml_el(
+            M._EBML_ID_TRACK_ENTRY,
+            _ebml_el(M._EBML_ID_TRACK_TYPE, b"\x02"),
+        )
+        + _ebml_el(M._EBML_ID_TRACK_ENTRY, ventry),
+    )
+    seg = _ebml_el(M._EBML_ID_INFO, info) + tracks
+    seg += _ebml_el(M._EBML_ID_CLUSTER, b"\xde\xad" * 30)
+    if did % 4 != 1:
+        seg += _ebml_el(
+            M._EBML_ID_TAGS,
+            _ebml_el(
+                M._EBML_ID_TAG,
+                _ebml_el(
+                    M._EBML_ID_SIMPLE_TAG,
+                    _ebml_el(M._EBML_ID_TAG_NAME, b"ARTIST")
+                    + _ebml_el(
+                        M._EBML_ID_TAG_STRING, f"ma{did % 4}".encode()
+                    ),
+                ),
+            ),
+        )
+    return header + _ebml_el(M._EBML_ID_SEGMENT, seg)
+
+
 def _doc_video_media(spark, sf_dir):
-    """The video_stats fixture (r17): every ``doc_id % 5 == 2`` doc is
-    the :func:`_mp4_payload` header-only MP4 (box-walk face), the rest
-    the :func:`_avi_payload` AVI (chunk-walk face) — both container
+    """The video_stats fixture (r17, webm r18): every ``doc_id % 5 ==
+    2`` doc is the :func:`_mp4_payload` header-only MP4 (box-walk
+    face), every ``doc_id % 5 == 4`` the :func:`_webm_payload`
+    Matroska/WebM (EBML varint face), the rest the
+    :func:`_avi_payload` AVI (chunk-walk face) — all three container
     kinds cycle IN the checked row."""
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
@@ -3825,12 +4000,15 @@ def _doc_video_media(spark, sf_dir):
 
     def build(batches):
         for pdf in batches:
-            payloads = [
-                _mp4_payload(int(did))
-                if int(did) % 5 == 2
-                else _avi_payload(int(did), text)
-                for did, text in zip(pdf["doc_id"], pdf["text"])
-            ]
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 5 == 2:
+                    payloads.append(_mp4_payload(did))
+                elif did % 5 == 4:
+                    payloads.append(_webm_payload(did))
+                else:
+                    payloads.append(_avi_payload(did, text))
             yield pdf.assign(content=payloads)[["doc_id", "content"]].rename(
                 columns={"doc_id": "media_id"}
             )
@@ -3846,13 +4024,18 @@ def _video_tags_fixture(did: int) -> bytes:
     all three absent, the empty-ilst 'none' path); every did%7==6 doc
     ships the AVI payload instead (the non-ISO 'none' path). A
     non-text 'data' type (13 = JPEG cover art) rides along on every
-    tagged doc so the UTF-8-only rule is exercised IN the row."""
+    tagged doc so the UTF-8-only rule is exercised IN the row. r18:
+    every remaining did%11==5 doc is the :func:`_webm_payload`
+    Matroska container instead — WritingApp/MuxingApp → encoder,
+    Info Title → title, the post-cluster ARTIST SimpleTag → artist."""
     import struct
 
     from lotad_spark.pipeline.multimodal import _iso_boxes
 
     if did % 7 == 6:
         return _avi_payload(did, None)
+    if did % 11 == 5:
+        return _webm_payload(did)
 
     def box(t, body):
         return struct.pack(">I", 8 + len(body)) + t + body
@@ -3924,13 +4107,27 @@ def q_video_tags(spark, sf_dir):
 _VIDEO_TAGS_SQL = (
     "SELECT doc_id AS media_id, "
     "CASE WHEN doc_id % 7 = 6 THEN 'none' "
+    "WHEN doc_id % 11 = 5 THEN "
+    "(CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'mkv' END) "
     "WHEN doc_id % 5 = 0 AND doc_id % 3 = 1 AND doc_id % 4 = 2 "
     "THEN 'none' ELSE 'mp4' END AS kind, "
-    "CASE WHEN doc_id % 7 = 6 OR doc_id % 5 = 0 THEN NULL "
+    "CASE WHEN doc_id % 7 = 6 THEN NULL "
+    "WHEN doc_id % 11 = 5 THEN "
+    "(CASE WHEN doc_id % 5 = 3 THEN 'mux-' || CAST(doc_id % 7 AS VARCHAR) "
+    "ELSE 'wa-' || CAST(doc_id % 5 AS VARCHAR) END) "
+    "WHEN doc_id % 5 = 0 THEN NULL "
     "ELSE 'enc-' || CAST(doc_id % 6 AS VARCHAR) END AS encoder, "
-    "CASE WHEN doc_id % 7 = 6 OR doc_id % 3 = 1 THEN NULL "
+    "CASE WHEN doc_id % 7 = 6 THEN NULL "
+    "WHEN doc_id % 11 = 5 THEN "
+    "(CASE WHEN doc_id % 3 = 0 THEN NULL "
+    "ELSE 'mt' || CAST(doc_id % 3 AS VARCHAR) END) "
+    "WHEN doc_id % 3 = 1 THEN NULL "
     "ELSE 'vt' || CAST(doc_id % 3 AS VARCHAR) END AS title, "
-    "CASE WHEN doc_id % 7 = 6 OR doc_id % 4 = 2 THEN NULL "
+    "CASE WHEN doc_id % 7 = 6 THEN NULL "
+    "WHEN doc_id % 11 = 5 THEN "
+    "(CASE WHEN doc_id % 4 = 1 THEN NULL "
+    "ELSE 'ma' || CAST(doc_id % 4 AS VARCHAR) END) "
+    "WHEN doc_id % 4 = 2 THEN NULL "
     "ELSE 'va' || CAST(doc_id % 4 AS VARCHAR) END AS artist "
     "FROM documents"
 )
@@ -3940,13 +4137,15 @@ def q_video_stats(spark, sf_dir):
     """Video curation stats (multimodal.py video_stats — r16; MP4 face
     r17): width/height/frame-count/frame-timing off the container
     header alone, duration in exact integer milliseconds — length and
-    frame-rate filters for video corpora. Every 5th doc is a
+    frame-rate filters for video corpora. Every doc_id%5==2 doc is a
     header-only ISO-BMFF MP4 (mvhd/tkhd/stts box walk — real crawled
     video is overwhelmingly MP4; half of them carry an audio trak the
-    parser must skip), the rest the AVI fixture (dwMicroSecPerFrame =
-    40000). GIF stays out by design — its timing is per-frame and
-    covered by the scene-cut face. Both kinds' stats are pure doc_id
-    arithmetic in the oracle."""
+    parser must skip), every doc_id%5==4 a Matroska/WebM (r18 — EBML
+    varint walk, n_frames honestly NULL, a sized junk Cluster stepped
+    over in every payload), the rest the AVI fixture
+    (dwMicroSecPerFrame = 40000). GIF stays out by design — its
+    timing is per-frame and covered by the scene-cut face. All three
+    kinds' stats are pure doc_id arithmetic in the oracle."""
     from lotad_spark.pipeline.multimodal import video_stats
 
     return video_stats(_doc_video_media(spark, sf_dir))
@@ -3954,16 +4153,26 @@ def q_video_stats(spark, sf_dir):
 
 _VIDEO_STATS_SQL = (
     "SELECT doc_id AS media_id, "
-    "CASE WHEN doc_id % 5 = 2 THEN 'mp4' ELSE 'avi' END AS kind, "
-    "CAST(CASE WHEN doc_id % 5 = 2 THEN doc_id % 3 + 2 ELSE 4 END "
+    "CASE WHEN doc_id % 5 = 2 THEN 'mp4' "
+    "WHEN doc_id % 5 = 4 THEN "
+    "(CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'mkv' END) "
+    "ELSE 'avi' END AS kind, "
+    "CAST(CASE WHEN doc_id % 5 = 2 THEN doc_id % 3 + 2 "
+    "WHEN doc_id % 5 = 4 THEN doc_id % 9 + 16 ELSE 4 END "
     "AS INT) AS width, "
     "CAST(CASE WHEN doc_id % 5 = 2 THEN doc_id % 2 + 2 "
+    "WHEN doc_id % 5 = 4 THEN doc_id % 6 + 9 "
     "ELSE doc_id % 2 + 1 END AS INT) AS height, "
     "CAST(CASE WHEN doc_id % 5 = 2 THEN doc_id % 4 + 2 "
+    "WHEN doc_id % 5 = 4 THEN NULL "
     "ELSE doc_id % 3 + 1 END AS INT) AS n_frames, "
     "CAST(CASE WHEN doc_id % 5 = 2 THEN CAST(3000 AS BIGINT) "
-    "* 1000000 // 90000 ELSE 40000 END AS BIGINT) AS usec_per_frame, "
+    "* 1000000 // 90000 "
+    "WHEN doc_id % 5 = 4 THEN (CASE WHEN doc_id % 4 = 1 THEN NULL "
+    "ELSE (doc_id % 3 + 2) * 10000 END) "
+    "ELSE 40000 END AS BIGINT) AS usec_per_frame, "
     "CAST(CASE WHEN doc_id % 5 = 2 THEN (doc_id % 7 + 1) * 250 "
+    "WHEN doc_id % 5 = 4 THEN (doc_id % 13 + 1) * 125 "
     "ELSE (doc_id % 3 + 1) * 40000 // 1000 END AS BIGINT) "
     "AS duration_ms FROM documents"
 )

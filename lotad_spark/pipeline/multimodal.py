@@ -3078,6 +3078,142 @@ def _id3_text(enc: int, raw: bytes):
     return None
 
 
+def _vorbis_comments(data: bytes):
+    """The Vorbis-comment block at the START of ``data`` →
+    {UPPERKEY: value} (first occurrence wins), or None when
+    malformed: u32-LE vendor length + vendor string, u32-LE comment
+    count, then per comment u32-LE length + UTF-8 ``key=value``.
+    Declared lengths are bounds-checked against bytes PRESENT before
+    any slice (the hostile-input rule) and the comment count is
+    capped at 1024 — a header block, not a data stream."""
+    import struct
+
+    if len(data) < 8:
+        return None
+    vlen = struct.unpack_from("<I", data, 0)[0]
+    pos = 4 + vlen
+    if pos + 4 > len(data):
+        return None
+    count = struct.unpack_from("<I", data, pos)[0]
+    if count > 1024:
+        return None
+    pos += 4
+    out: dict = {}
+    for _ in range(count):
+        if pos + 4 > len(data):
+            return None
+        clen = struct.unpack_from("<I", data, pos)[0]
+        pos += 4
+        if pos + clen > len(data):
+            return None
+        raw = data[pos : pos + clen]
+        pos += clen
+        eq = raw.find(b"=")
+        if eq <= 0:
+            continue  # keyless comment: skip, not fatal
+        try:
+            key = raw[:eq].decode("ascii").upper()
+            val = raw[eq + 1 :].decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        if val:
+            out.setdefault(key, val)
+    return out
+
+
+def _flac_vorbis_tags(payload: bytes):
+    """('flac', title, artist, album) from a FLAC stream's
+    VORBIS_COMMENT metadata block (type 4), or None: 'fLaC' magic,
+    then 4-byte block headers (1 flag/type byte + 24-bit big-endian
+    length) until the last-block flag."""
+    if payload[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            return None  # truncated block: refuse the whole claim
+        if hdr & 0x7F == 4:
+            tags = _vorbis_comments(body)
+            if tags:
+                got = _tags_slots(tags)
+                if got != (None, None, None):
+                    return ("flac",) + got
+            return None
+        if hdr & 0x80:
+            return None  # last block reached without comments
+        pos += 4 + blen
+    return None
+
+
+def _ogg_vorbis_tags(payload: bytes):
+    """('ogg', title, artist, album) from an OGG stream's comment
+    header — Vorbis (``\\x03vorbis`` packet) or Opus (``OpusTags``),
+    or None. Pages of the FIRST bitstream serial are walked with real
+    lacing (the comment packet legally spans pages), capped at 16
+    pages / 1 MiB of packet bytes — comment headers live at the
+    front of the stream by spec; media pages never get that far."""
+    import struct
+
+    if payload[:4] != b"OggS":
+        return None
+    serial = None
+    buf = bytearray()
+    packets: list[bytes] = []
+    pos = 0
+    pages = 0
+    while (
+        pos + 27 <= len(payload)
+        and pages < 16
+        and len(buf) < (1 << 20)
+        and len(packets) < 2
+    ):
+        if payload[pos : pos + 4] != b"OggS":
+            break
+        nseg = payload[pos + 26]
+        seg_table = payload[pos + 27 : pos + 27 + nseg]
+        if len(seg_table) < nseg:
+            break
+        page_serial = struct.unpack_from("<I", payload, pos + 14)[0]
+        body = pos + 27 + nseg
+        if serial is None:
+            serial = page_serial
+        if page_serial == serial:
+            off = body
+            for lace in seg_table:
+                chunk = payload[off : off + lace]
+                if len(chunk) < lace:
+                    return None
+                buf += chunk
+                off += lace
+                if lace < 255:  # packet boundary
+                    packets.append(bytes(buf))
+                    buf.clear()
+                    if len(packets) >= 2:
+                        break
+        pos = body + sum(seg_table)
+        pages += 1
+    for pkt in packets[1:2]:  # comment header is packet 2
+        tags = None
+        if pkt[:7] == b"\x03vorbis":
+            tags = _vorbis_comments(pkt[7:])
+        elif pkt[:8] == b"OpusTags":
+            tags = _vorbis_comments(pkt[8:])
+        if tags:
+            got = _tags_slots(tags)
+            if got != (None, None, None):
+                return ("ogg",) + got
+    return None
+
+
+def _tags_slots(tags: dict):
+    return (
+        tags.get("TITLE"), tags.get("ARTIST"), tags.get("ALBUM")
+    )
+
+
 def audio_tags_payload(payload: bytes):
     """(kind, title, artist, album) metadata tags from an audio
     container, or None when the payload carries neither form (r17):
@@ -3090,7 +3226,17 @@ def audio_tags_payload(payload: bytes):
       MP3s carry): 30-byte latin-1 title/artist/album fields, used
       as the FALLBACK when no v2/LIST field resolved (v1 is the
       legacy, lower-fidelity form; the extended ``TAG+`` block is
-      not parsed).
+      not parsed);
+    * Vorbis comments (r18): FLAC VORBIS_COMMENT metadata block
+      (kind='flac') and OGG Vorbis/Opus comment header packet
+      (kind='ogg') — TITLE/ARTIST/ALBUM ``key=value`` pairs, keys
+      case-insensitive, real page lacing (the comment packet legally
+      spans pages).
+
+    r18: tag-level ID3v2.2/2.3 unsynchronisation is now REVERSED
+    (``FF 00`` → ``FF`` over the tag body) and the v2 frames read,
+    instead of abandoning them for the v1 block; v2.4 per-frame
+    unsync likewise. Compressed/encrypted frames stay skipped.
 
     The dedup/provenance face for crawled audio (generators and
     rippers stamp exactly these fields — the image_provenance
@@ -3101,12 +3247,6 @@ def audio_tags_payload(payload: bytes):
     title = artist = album = None
     if payload[:3] == b"ID3" and len(payload) >= 10:
         major = payload[3]
-        if payload[5] & 0x80:
-            # tag-level unsynchronisation rewrites 0xFF 0x00 byte
-            # pairs — parsing without reversing it would yield
-            # corrupted text, so fall straight to the v1 block
-            # (honest absence beats silently-wrong tags)
-            return _id3v1_tags(payload)
         sz = (
             ((payload[6] & 0x7F) << 21)
             | ((payload[7] & 0x7F) << 14)
@@ -3119,6 +3259,15 @@ def audio_tags_payload(payload: bytes):
             # design, fall to the v1 block
             return _id3v1_tags(payload)
         tag = payload[10 : 10 + sz]
+        if payload[5] & 0x80 and major in (2, 3):
+            # r18: tag-level unsynchronisation is a trivially
+            # reversible FF 00 → FF substitution applied to the whole
+            # tag body as the LAST write step (v2.2/2.3) — reverse it
+            # and read the real v2 frames instead of abandoning them
+            # for the lower-fidelity v1 block. (v2.4 moved unsync to
+            # per-frame flags with on-disk frame sizes; handled in
+            # the frame loop below.)
+            tag = tag.replace(b"\xff\x00", b"\xff")
         pos = 0
         if major in (3, 4) and payload[5] & 0x40:
             # extended header precedes the frames: v2.3 size excludes
@@ -3159,18 +3308,26 @@ def audio_tags_payload(payload: bytes):
             body = tag[body_off : body_off + fsz]
             if len(body) < fsz:
                 break
-            # per-frame format flags: compressed / encrypted /
-            # unsynchronised frames would decode to garbage text —
-            # skip them (honest absence). v2.3 puts compression 0x80 /
-            # encryption 0x40 in byte 2; v2.4 uses 0x08 / 0x04 / 0x02
-            # (unsync) / 0x01 (data-length indicator).
+            # per-frame format flags: compressed / encrypted frames
+            # would decode to garbage text — skip them (honest
+            # absence). v2.3 puts compression 0x80 / encryption 0x40
+            # in byte 2; v2.4 uses 0x08 / 0x04. r18: v2.4's per-frame
+            # unsync (0x02) is reversed (FF 00 → FF, after stripping
+            # the syncsafe data-length indicator 0x01 if present)
+            # rather than skipped — frame sizes are on-disk sizes, so
+            # the walk itself is unaffected.
             transformed = (
-                frame_flags2 & (0xC0 if major == 3 else 0x0F)
+                frame_flags2 & (0xC0 if major == 3 else 0x0C)
                 if major in (3, 4)
                 else 0
             )
+            if major == 4 and not transformed:
+                if frame_flags2 & 0x01 and len(body) >= 4:
+                    body = body[4:]
+                if frame_flags2 & 0x02:
+                    body = body.replace(b"\xff\x00", b"\xff")
             key = _ID3_FRAME_KEYS.get(fid)
-            if key and fsz >= 1 and not transformed:
+            if key and len(body) >= 1 and not transformed:
                 text = _id3_text(body[0], body[1:])
                 if text:
                     if key == "title" and title is None:
@@ -3223,6 +3380,11 @@ def audio_tags_payload(payload: bytes):
             # fallback applies here too
             return _id3v1_tags(payload)
         return ("riff", title, artist, album)
+    got = _flac_vorbis_tags(payload)
+    if got is None:
+        got = _ogg_vorbis_tags(payload)
+    if got is not None:
+        return got
     return _id3v1_tags(payload)
 
 
@@ -3255,7 +3417,8 @@ def audio_tags(
 ) -> DataFrame:
     """(id, kind, title, artist, album) per media row — the audio
     metadata-tag face (:func:`audio_tags_payload`): kind is 'id3' /
-    'riff' for the carrying forms, 'none' for tagless payloads, 'null'
+    'riff' / 'id3v1' / 'flac' / 'ogg' (r18) for the carrying forms,
+    'none' for tagless payloads, 'null'
     for NULL. Scan-stage Arrow batches like every media face; the
     output is the grouping key for by-artist/by-ripper triage and the
     join key audio dedup wants before any sample decode."""
@@ -4482,18 +4645,224 @@ def mp4_tags_payload(payload: bytes):
     return (out["encoder"], out["title"], out["artist"])
 
 
+# --- EBML / Matroska / WebM (r18) --------------------------------------
+# WebM is the other major crawled video container (the <video> tag's
+# royalty-free default); its curation signals live in the Segment's
+# Info and Tracks master elements — a header-only varint walk with the
+# same contract as _mp4_parse: exact integers, honest NULLs, zero
+# cluster (media-data) bytes touched. Element IDs from the public
+# Matroska/EBML spec (RFC 8794 + matroska.org), stored WITH their
+# length marker as the spec prints them.
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+_EBML_ID_DOCTYPE = 0x4282
+_EBML_ID_SEGMENT = 0x18538067
+_EBML_ID_INFO = 0x1549A966
+_EBML_ID_TIMESTAMP_SCALE = 0x2AD7B1
+_EBML_ID_DURATION = 0x4489
+_EBML_ID_TITLE = 0x7BA9
+_EBML_ID_MUXING_APP = 0x4D80
+_EBML_ID_WRITING_APP = 0x5741
+_EBML_ID_TRACKS = 0x1654AE6B
+_EBML_ID_TRACK_ENTRY = 0xAE
+_EBML_ID_TRACK_TYPE = 0x83
+_EBML_ID_DEFAULT_DURATION = 0x23E383
+_EBML_ID_VIDEO = 0xE0
+_EBML_ID_PIXEL_WIDTH = 0xB0
+_EBML_ID_PIXEL_HEIGHT = 0xBA
+_EBML_ID_CLUSTER = 0x1F43B675
+_EBML_ID_TAGS = 0x1254C367
+_EBML_ID_TAG = 0x7373
+_EBML_ID_SIMPLE_TAG = 0x67C8
+_EBML_ID_TAG_NAME = 0x45A3
+_EBML_ID_TAG_STRING = 0x4487
+
+
+def _ebml_vint(data: bytes, pos: int, *, max_len: int, keep_marker: bool):
+    """Read one EBML variable-length integer at ``pos``: returns
+    ``(value, n_bytes)`` — value is None for an all-ones 'unknown
+    size' — or None when malformed/truncated. IDs keep the length
+    marker (the spec's printed form); sizes strip it."""
+    if pos >= len(data):
+        return None
+    first = data[pos]
+    if first == 0:
+        return None  # length > 8: not emitted by any real muxer
+    length, mask = 1, 0x80
+    while not (first & mask):
+        mask >>= 1
+        length += 1
+    if length > max_len or pos + length > len(data):
+        return None
+    raw = int.from_bytes(data[pos : pos + length], "big")
+    if keep_marker:
+        return raw, length
+    value = raw & ((1 << (7 * length)) - 1)
+    if value == (1 << (7 * length)) - 1:
+        return None, length  # unknown size
+    return value, length
+
+
+def _ebml_children(data: bytes):
+    """Yield ``(id, body)`` for the EBML elements directly inside
+    ``data``. An unknown-size element (legal for Segment/Cluster)
+    takes the rest of the buffer and ends the walk; a truncated
+    element ends the walk silently — callers keep whatever parsed."""
+    pos, n = 0, len(data)
+    while pos < n:
+        got = _ebml_vint(data, pos, max_len=4, keep_marker=True)
+        if got is None:
+            return
+        eid, idlen = got
+        got = _ebml_vint(data, pos + idlen, max_len=8, keep_marker=False)
+        if got is None:
+            return
+        size, szlen = got
+        start = pos + idlen + szlen
+        if size is None:
+            yield eid, data[start:]
+            return
+        if start + size > n:
+            return
+        yield eid, data[start : start + size]
+        pos = start + size
+
+
+def _ebml_uint(body):
+    return int.from_bytes(body, "big") if 0 < len(body) <= 8 else None
+
+
+def _ebml_float(body):
+    import struct
+
+    if len(body) == 4:
+        return struct.unpack(">f", body)[0]
+    if len(body) == 8:
+        return struct.unpack(">d", body)[0]
+    return None
+
+
+def _ebml_str(body) -> str:
+    return bytes(body).decode("utf-8", errors="replace")
+
+
+def _mkv_parse(payload: bytes):
+    """Header-only Matroska/WebM walk: a dict with ``doctype``
+    ('webm'/'matroska'), ``width``/``height`` (first video track's
+    PixelWidth/PixelHeight — stored as plain uints, no 16.16 games),
+    ``usec_per_frame`` (that track's DefaultDuration ns // 1000, NULL
+    when the muxer omitted it — variable-rate WebM usually does),
+    ``duration_ms`` (Info Duration float × TimestampScale ns,
+    floored to ms; TimestampScale defaults to 1,000,000 per spec),
+    ``title``/``writing_app``/``muxing_app`` (Info strings) and
+    ``tags`` ({TAGNAME: TagString} from Segment→Tags SimpleTags).
+    None when the payload has no EBML magic or a non-Matroska
+    DocType. Sized Clusters are SKIPPED by size arithmetic (O(1) per
+    cluster, no media byte read — Tags legally follow the clusters,
+    so the walk must step over them); an unknown-size Cluster (live-
+    streamed WebM) ends the walk with whatever parsed before it.
+    n_frames would need the media data and stays honestly absent;
+    cost never exceeds bytes PRESENT and reads only header bytes."""
+    if payload[:4] != _EBML_MAGIC:
+        return None
+    payload = memoryview(payload)  # zero-copy slices: a sized cluster
+    # is stepped over without ever copying its media bytes
+    out = {
+        "doctype": None, "width": None, "height": None,
+        "usec_per_frame": None, "duration_ms": None, "title": None,
+        "writing_app": None, "muxing_app": None, "tags": {},
+    }
+    scale = None
+    dur_f = None
+    for eid, body in _ebml_children(payload):
+        if eid == int.from_bytes(_EBML_MAGIC, "big"):
+            for hid, hbody in _ebml_children(body):
+                if hid == _EBML_ID_DOCTYPE:
+                    out["doctype"] = bytes(hbody).decode(
+                        "ascii", errors="replace"
+                    ).rstrip("\x00")
+        elif eid == _EBML_ID_SEGMENT:
+            for sid, sbody in _ebml_children(body):
+                if sid == _EBML_ID_CLUSTER:
+                    continue  # media data: stepped over, never read
+                if sid == _EBML_ID_INFO:
+                    for iid, ibody in _ebml_children(sbody):
+                        if iid == _EBML_ID_TIMESTAMP_SCALE:
+                            scale = _ebml_uint(ibody)
+                        elif iid == _EBML_ID_DURATION:
+                            dur_f = _ebml_float(ibody)
+                        elif iid == _EBML_ID_TITLE:
+                            out["title"] = _ebml_str(ibody)
+                        elif iid == _EBML_ID_WRITING_APP:
+                            out["writing_app"] = _ebml_str(ibody)
+                        elif iid == _EBML_ID_MUXING_APP:
+                            out["muxing_app"] = _ebml_str(ibody)
+                elif sid == _EBML_ID_TRACKS:
+                    for tid, tbody in _ebml_children(sbody):
+                        if tid != _EBML_ID_TRACK_ENTRY:
+                            continue
+                        ttype = w = h = ddur = None
+                        for fid, fbody in _ebml_children(tbody):
+                            if fid == _EBML_ID_TRACK_TYPE:
+                                ttype = _ebml_uint(fbody)
+                            elif fid == _EBML_ID_DEFAULT_DURATION:
+                                ddur = _ebml_uint(fbody)
+                            elif fid == _EBML_ID_VIDEO:
+                                for vid, vbody in _ebml_children(fbody):
+                                    if vid == _EBML_ID_PIXEL_WIDTH:
+                                        w = _ebml_uint(vbody)
+                                    elif vid == _EBML_ID_PIXEL_HEIGHT:
+                                        h = _ebml_uint(vbody)
+                        if (
+                            ttype == 1
+                            and w and h
+                            and out["width"] is None
+                        ):
+                            out["width"], out["height"] = w, h
+                            if ddur:
+                                out["usec_per_frame"] = ddur // 1000
+                elif sid == _EBML_ID_TAGS:
+                    for gid, gbody in _ebml_children(sbody):
+                        if gid != _EBML_ID_TAG:
+                            continue
+                        for mid, mbody in _ebml_children(gbody):
+                            if mid != _EBML_ID_SIMPLE_TAG:
+                                continue
+                            tname = tval = None
+                            for kid, kbody in _ebml_children(mbody):
+                                if kid == _EBML_ID_TAG_NAME:
+                                    tname = _ebml_str(kbody)
+                                elif kid == _EBML_ID_TAG_STRING:
+                                    tval = _ebml_str(kbody)
+                            if tname and tval is not None:
+                                out["tags"].setdefault(
+                                    tname.upper(), tval
+                                )
+    if out["doctype"] not in ("webm", "matroska"):
+        return None
+    if dur_f is not None and dur_f >= 0:
+        if scale is None:
+            scale = 1_000_000  # spec default, ns per tick
+        out["duration_ms"] = int(dur_f * scale) // 1_000_000
+    return out
+
+
 def video_tags(
     df: DataFrame,
     content_col: str = "content",
     *,
     id_col: str = "media_id",
 ) -> DataFrame:
-    """(id, kind, encoder, title, artist) per media row — the MP4
-    metadata-tag face (:func:`mp4_tags_payload`): kind='mp4' for
-    ISO-BMFF payloads carrying at least one of the three iTunes-style
-    items, 'none' for tagless payloads, 'null' for NULL. The
-    image_provenance / audio_tags sibling completing the provenance
-    family across all three media kinds. Scan-stage Arrow batches."""
+    """(id, kind, encoder, title, artist) per media row — the
+    video-container metadata-tag face: kind='mp4' for ISO-BMFF
+    payloads carrying at least one of the three iTunes-style items
+    (:func:`mp4_tags_payload`), kind='webm'/'mkv' (r18) for Matroska
+    payloads carrying Info WritingApp/MuxingApp (the encoder stamp —
+    the ``©too`` equivalent), Info Title, or TITLE/ARTIST SimpleTags
+    (:func:`_mkv_parse`), 'none' for tagless payloads, 'null' for
+    NULL. The image_provenance / audio_tags sibling completing the
+    provenance family across all three media kinds. Scan-stage Arrow
+    batches."""
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
         f"`{id_col}` {id_type}, kind string, encoder string, "
@@ -4510,11 +4879,22 @@ def video_tags(
                     rows.append(("null", None, None, None))
                     continue
                 got = mp4_tags_payload(bytes(b))
-                rows.append(
-                    ("none", None, None, None)
-                    if got is None
-                    else ("mp4",) + got
-                )
+                if got is not None:
+                    rows.append(("mp4",) + got)
+                    continue
+                mkv = _mkv_parse(bytes(b))
+                if mkv is not None:
+                    enc = mkv["writing_app"] or mkv["muxing_app"]
+                    title = mkv["title"] or mkv["tags"].get("TITLE")
+                    artist = mkv["tags"].get("ARTIST")
+                    if (enc, title, artist) != (None, None, None):
+                        kind = (
+                            "webm" if mkv["doctype"] == "webm"
+                            else "mkv"
+                        )
+                        rows.append((kind, enc, title, artist))
+                        continue
+                rows.append(("none", None, None, None))
             out = pd.DataFrame(
                 rows, columns=("kind", "encoder", "title", "artist")
             )
@@ -4533,11 +4913,16 @@ def video_stats(
     """(id, kind, width, height, n_frames, usec_per_frame,
     duration_ms) per media row — the video curation signals (length
     stratification, frame-rate sanity filters) from container headers
-    alone; ``duration_ms`` in exact integers. Two container faces:
+    alone; ``duration_ms`` in exact integers. Three container faces:
     RIFF/AVI (kind='avi', ``duration_ms = n_frames·usec_per_frame //
-    1000``) and ISO-BMFF/MP4 (kind='mp4', r17 — :func:`_mp4_parse`,
+    1000``), ISO-BMFF/MP4 (kind='mp4', r17 — :func:`_mp4_parse`,
     mvhd/tkhd/stts header walk, ``duration_ms = mvhd duration·1000 //
-    timescale``; real crawled video is overwhelmingly MP4). GIF stays
+    timescale``; real crawled video is overwhelmingly MP4), and
+    Matroska/WebM (kind='webm'/'mkv', r18 — :func:`_mkv_parse`, EBML
+    varint walk: Info Duration×TimestampScale → duration_ms, Tracks
+    PixelWidth/Height, DefaultDuration → usec_per_frame; n_frames
+    stays honestly NULL — it lives in the clusters this walk never
+    reads). GIF stays
     out by design: its animation timing lives in per-frame GCE blocks
     (no single rate exists) and is covered by the scene-cut face;
     other payloads are kind='bytes' with NULL stats, NULL payloads
@@ -4563,6 +4948,17 @@ def video_stats(
                     if mp4 is not None:
                         w, h, n, usec, dur_ms = mp4
                         rows.append(("mp4", w, h, n, usec, dur_ms))
+                        continue
+                    mkv = _mkv_parse(bytes(b))
+                    if mkv is not None and mkv["width"]:
+                        kind = (
+                            "webm" if mkv["doctype"] == "webm"
+                            else "mkv"
+                        )
+                        rows.append((
+                            kind, mkv["width"], mkv["height"], None,
+                            mkv["usec_per_frame"], mkv["duration_ms"],
+                        ))
                     else:
                         rows.append(("bytes",) + (None,) * 5)
                     continue

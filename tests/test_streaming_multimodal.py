@@ -2141,6 +2141,8 @@ class TestAudioTags:
                 continue
             kind = (
                 "id3v1" if did % 10 == 9
+                else "flac" if did % 10 == 2
+                else "ogg" if did % 10 == 7
                 else "riff" if did % 2 == 0 else "id3"
             )
             title = f"t{did % 9}"
@@ -2173,8 +2175,9 @@ class TestAudioTags:
         assert audio_tags_payload(empty_v2 + frame + v1) == (
             "id3v1", "Song", "Artist", None
         )
-        # unsynchronised v2 tag (flag 0x80): parsing without reversing
-        # the 0xFF 0x00 rewrite would corrupt text — fall to v1
+        # unsynchronised v2 tag that is ALL padding (r18: the flag is
+        # now reversed and the frames read — an empty walk still
+        # falls through to the v1 block)
         unsync = b"ID3\x03\x00\x80" + bytes([0, 0, 0, 10]) + b"\x00" * 10
         assert audio_tags_payload(unsync + frame + v1) == (
             "id3v1", "Song", "Artist", None
@@ -2205,6 +2208,7 @@ class TestAudioTags:
             [
                 (0, bytearray(entry._audio_tags_fixture(0))),
                 (7, bytearray(entry._audio_tags_fixture(7))),
+                (13, bytearray(entry._audio_tags_fixture(13))),
                 (11, bytearray(entry._audio_tags_fixture(11))),
                 (99, None),
             ],
@@ -2212,7 +2216,10 @@ class TestAudioTags:
         )
         got = {r.media_id: r for r in audio_tags(df).collect()}
         assert got[0].kind == "riff" and got[0].title == "t0"
-        assert got[7].kind == "id3" and got[7].album == "b3"
+        assert got[7].kind == "ogg" and got[7].album == "b3"  # r18
+        # did=13 is the v2.3 tag-unsync slot: recovery through the
+        # Spark operator, not just the payload function
+        assert got[13].kind == "id3" and got[13].album == "b1"
         assert got[11].kind == "none" and got[11].title is None
         assert got[99].kind == "null"
 
@@ -2602,3 +2609,278 @@ class TestSvgRootSniffR18:
         # unterminated comment / truncated root tag: honest None
         assert _svg_root_tag(b"<!-- open forever <svg w") is None
         assert _svg_root_tag(b"<svg width='4' height='2'") is None
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    """Minimal EBML writer for fixtures: marker-kept ID bytes + a
+    1-or-2-byte size vint + body."""
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(body)
+    size = bytes([0x80 | n]) if n < 0x7F else (0x4000 | n).to_bytes(2, "big")
+    return idb + size + body
+
+
+def _webm_fixture(
+    *,
+    doctype: bytes = b"webm",
+    duration: float | None = 2500.0,
+    scale: int | None = 1_000_000,
+    title: bytes | None = b"clip title",
+    writing_app: bytes | None = b"muxtool 7.1",
+    width: int = 640,
+    height: int = 360,
+    default_duration: int | None = 40_000_000,
+    tags_after_cluster: bool = True,
+) -> bytes:
+    import struct
+
+    from lotad_spark.pipeline import multimodal as M
+
+    header = _ebml_el(
+        int.from_bytes(M._EBML_MAGIC, "big"),
+        _ebml_el(M._EBML_ID_DOCTYPE, doctype),
+    )
+    info = b""
+    if scale is not None:
+        info += _ebml_el(M._EBML_ID_TIMESTAMP_SCALE, scale.to_bytes(4, "big"))
+    if duration is not None:
+        info += _ebml_el(M._EBML_ID_DURATION, struct.pack(">d", duration))
+    if title is not None:
+        info += _ebml_el(M._EBML_ID_TITLE, title)
+    if writing_app is not None:
+        info += _ebml_el(M._EBML_ID_WRITING_APP, writing_app)
+    info += _ebml_el(M._EBML_ID_MUXING_APP, b"libebml-ish")
+    video = _ebml_el(
+        M._EBML_ID_VIDEO,
+        _ebml_el(M._EBML_ID_PIXEL_WIDTH, width.to_bytes(2, "big"))
+        + _ebml_el(M._EBML_ID_PIXEL_HEIGHT, height.to_bytes(2, "big")),
+    )
+    ventry = _ebml_el(M._EBML_ID_TRACK_TYPE, b"\x01") + video
+    if default_duration is not None:
+        ventry += _ebml_el(
+            M._EBML_ID_DEFAULT_DURATION, default_duration.to_bytes(4, "big")
+        )
+    # an audio track FIRST: dims must come from the video track
+    aentry = _ebml_el(M._EBML_ID_TRACK_TYPE, b"\x02")
+    tracks = _ebml_el(
+        M._EBML_ID_TRACKS,
+        _ebml_el(M._EBML_ID_TRACK_ENTRY, aentry)
+        + _ebml_el(M._EBML_ID_TRACK_ENTRY, ventry),
+    )
+    cluster = _ebml_el(M._EBML_ID_CLUSTER, b"\xde\xad" * 40)
+    tags = _ebml_el(
+        M._EBML_ID_TAGS,
+        _ebml_el(
+            M._EBML_ID_TAG,
+            _ebml_el(
+                M._EBML_ID_SIMPLE_TAG,
+                _ebml_el(M._EBML_ID_TAG_NAME, b"ARTIST")
+                + _ebml_el(M._EBML_ID_TAG_STRING, b"some band"),
+            ),
+        ),
+    )
+    seg = _ebml_el(M._EBML_ID_INFO, info) + tracks
+    seg += cluster + tags if tags_after_cluster else tags + cluster
+    return header + _ebml_el(M._EBML_ID_SEGMENT, seg)
+
+
+class TestMkvFace:
+    """_mkv_parse (r18): EBML varint walk — Segment Info duration,
+    video-track dims, DefaultDuration, tags AFTER a skipped cluster,
+    doctype routing, honest NULLs, malformed robustness."""
+
+    def test_full_webm(self):
+        from lotad_spark.pipeline.multimodal import _mkv_parse
+
+        got = _mkv_parse(_webm_fixture())
+        assert got is not None
+        assert got["doctype"] == "webm"
+        assert (got["width"], got["height"]) == (640, 360)
+        assert got["duration_ms"] == 2500
+        assert got["usec_per_frame"] == 40_000
+        assert got["title"] == "clip title"
+        assert got["writing_app"] == "muxtool 7.1"
+        # tags placed AFTER the cluster still parse: the walk steps
+        # over sized clusters by arithmetic, it does not stop
+        assert got["tags"].get("ARTIST") == "some band"
+
+    def test_matroska_doctype_and_defaults(self):
+        from lotad_spark.pipeline.multimodal import _mkv_parse
+
+        got = _mkv_parse(
+            _webm_fixture(doctype=b"matroska", scale=None,
+                          duration=1000.0)
+        )
+        # TimestampScale absent -> spec default 1,000,000 ns
+        assert got["doctype"] == "matroska"
+        assert got["duration_ms"] == 1000
+        # foreign doctype is not claimed
+        assert _mkv_parse(_webm_fixture(doctype=b"notvideo")) is None
+
+    def test_honest_nulls(self):
+        from lotad_spark.pipeline.multimodal import _mkv_parse
+
+        got = _mkv_parse(
+            _webm_fixture(duration=None, default_duration=None,
+                          title=None, writing_app=None)
+        )
+        assert got["duration_ms"] is None
+        assert got["usec_per_frame"] is None
+        assert got["title"] is None
+        assert got["writing_app"] is None
+        assert got["muxing_app"] == "libebml-ish"
+
+    def test_unknown_size_segment(self):
+        from lotad_spark.pipeline import multimodal as M
+
+        fix = _webm_fixture()
+        # rebuild with an unknown-size segment: id + 0xFF vint, body
+        # runs to end of payload
+        seg_id = M._EBML_ID_SEGMENT.to_bytes(4, "big")
+        p = fix.find(seg_id)
+        body_start = p + 4 + 2  # fixture used the 2-byte size form
+        rebuilt = fix[:p] + seg_id + b"\xff" + fix[body_start:]
+        got = M._mkv_parse(rebuilt)
+        assert got is not None and got["width"] == 640
+
+    def test_malformed_never_raises(self):
+        import numpy as np
+
+        from lotad_spark.pipeline.multimodal import _mkv_parse
+
+        fix = _webm_fixture()
+        for k in range(0, len(fix), 7):
+            _mkv_parse(fix[:k])
+        rng = np.random.RandomState(11)
+        for _ in range(60):
+            b = bytearray(fix)
+            b[rng.randint(0, len(b))] = rng.randint(0, 256)
+            _mkv_parse(bytes(b))
+        assert _mkv_parse(b"") is None
+        assert _mkv_parse(b"\x1aE\xdf") is None
+
+    def test_video_stats_and_tags_rows(self, spark):
+        from lotad_spark.pipeline.multimodal import (
+            video_stats,
+            video_tags,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(_webm_fixture())),
+                (2, bytearray(_webm_fixture(doctype=b"matroska"))),
+                (3, bytearray(b"not video")),
+            ],
+            "media_id bigint, content binary",
+        )
+        stats = {r.media_id: r for r in video_stats(df).collect()}
+        assert stats[1].kind == "webm"
+        assert (stats[1].width, stats[1].height) == (640, 360)
+        assert stats[1].duration_ms == 2500
+        assert stats[1].n_frames is None  # clusters never read
+        assert stats[2].kind == "mkv"
+        assert stats[3].kind == "bytes"
+        tags = {r.media_id: r for r in video_tags(df).collect()}
+        assert tags[1].kind == "webm"
+        assert tags[1].encoder == "muxtool 7.1"
+        assert tags[1].title == "clip title"
+        assert tags[1].artist == "some band"
+        assert tags[3].kind == "none"
+
+
+class TestAudioTagsR18:
+    """r18: ID3v2 unsync RECOVERY (tag-level v2.3, per-frame v2.4 with
+    data-length indicator) and Vorbis comments (FLAC block, OGG
+    Vorbis/Opus packet with page-spanning lacing)."""
+
+    @staticmethod
+    def _syncsafe(n):
+        return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F])
+
+    def test_v23_tag_level_unsync_recovered(self):
+        from lotad_spark.pipeline.multimodal import audio_tags_payload
+
+        body = b"\x01" + "Ünsync Title".encode("utf-16")  # BOM = FF FE
+        frames = b"TIT2" + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+        assert b"\xff" in frames
+        stored = frames.replace(b"\xff", b"\xff\x00")  # writer's last step
+        tag = (
+            b"ID3\x03\x00\x80" + self._syncsafe(len(stored)) + stored
+        )
+        assert audio_tags_payload(tag) == (
+            "id3", "Ünsync Title", None, None
+        )
+
+    def test_v24_frame_unsync_and_dli_recovered(self):
+        from lotad_spark.pipeline.multimodal import audio_tags_payload
+
+        body = b"\x01" + "Deep ♪ Cut".encode("utf-16")
+        un = body.replace(b"\xff", b"\xff\x00")
+        # title frame: unsync + data-length indicator (flags 0x03)
+        stored = self._syncsafe(len(body)) + un
+        f1 = b"TIT2" + self._syncsafe(len(stored)) + b"\x00\x03" + stored
+        # artist frame: unsync only (flags 0x02)
+        abody = b"\x01" + "Band ÿ".encode("utf-16")
+        aun = abody.replace(b"\xff", b"\xff\x00")
+        f2 = b"TPE1" + self._syncsafe(len(aun)) + b"\x00\x02" + aun
+        frames = f1 + f2
+        tag = b"ID3\x04\x00\x80" + self._syncsafe(len(frames)) + frames
+        assert audio_tags_payload(tag) == (
+            "id3", "Deep ♪ Cut", "Band ÿ", None
+        )
+
+    def test_v24_encrypted_frame_still_skipped(self):
+        from lotad_spark.pipeline.multimodal import audio_tags_payload
+
+        body = b"\x00garbage"
+        f = b"TIT2" + self._syncsafe(len(body)) + b"\x00\x04" + body
+        tag = b"ID3\x04\x00\x00" + self._syncsafe(len(f)) + f
+        assert audio_tags_payload(tag) is None
+
+    def test_flac_and_ogg_fixture_slots(self):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import audio_tags_payload
+
+        got = audio_tags_payload(entry._audio_tags_fixture(12))
+        assert got == ("flac", "t3", "a5", None)  # 12%3==0: no album
+        got = audio_tags_payload(entry._audio_tags_fixture(7))
+        assert got == ("ogg", "t7", "a0", "b3")  # vorbis, spans pages
+        got = audio_tags_payload(entry._audio_tags_fixture(17))
+        assert got == ("ogg", "t8", "a3", "b1")  # OpusTags form
+
+    def test_vorbis_comment_hostility(self):
+        from lotad_spark.pipeline.multimodal import _vorbis_comments
+
+        import struct
+
+        # declared vendor length past the buffer: refuse
+        assert _vorbis_comments(struct.pack("<I", 1 << 30)) is None
+        # comment count bomb: refuse before any loop
+        data = struct.pack("<I", 0) + struct.pack("<I", 1 << 20)
+        assert _vorbis_comments(data) is None
+        # keyless comment skipped, later valid pair still lands
+        c1, c2 = b"nokey", b"TITLE=ok"
+        data = (
+            struct.pack("<I", 0) + struct.pack("<I", 2)
+            + struct.pack("<I", len(c1)) + c1
+            + struct.pack("<I", len(c2)) + c2
+        )
+        assert _vorbis_comments(data) == {"TITLE": "ok"}
+
+    def test_unsync_fixture_slots_recovered(self):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import audio_tags_payload
+
+        # did=3: v2.3 tag-level unsync, utf-16 BOMs rewritten
+        p = entry._audio_tags_fixture(3)
+        assert p[5] == 0x80
+        assert audio_tags_payload(p) == ("id3", "t3", "a3", None)
+        # did=15: v2.4 per-frame unsync + DLI on the title frame
+        # (did%20==15 forces did%5==0, so artist is honestly absent)
+        p = entry._audio_tags_fixture(15)
+        assert p[3] == 4
+        assert audio_tags_payload(p) == ("id3", "t6", None, None)
+        # did=35: the unsync-only (no-DLI) album frame also lands
+        p = entry._audio_tags_fixture(35)
+        assert audio_tags_payload(p) == ("id3", "t8", None, "b3")
