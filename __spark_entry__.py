@@ -1041,6 +1041,23 @@ def q_http_unwrap(spark, sf_dir):
     the shared template and derives the labels/NULLs by arithmetic —
     a de-chunk or inflate bug changes the text bytes and
     hash-mismatches."""
+    parsed = _http_unwrap_fixture_frame(spark, sf_dir).filter(
+        F.col("warc_type") == "response"
+    )
+    return parsed.select(
+        "target_uri",
+        "http_content_encoding",
+        "http_transfer_encoding",
+        "text",
+    )
+
+
+def _http_unwrap_fixture_frame(spark, sf_dir):
+    """Shared fixture for the http_unwrap and http_encoding_counts
+    rows: every doc's template HTML wrapped in an HTTP response with
+    did-arithmetic codings (see q_http_unwrap), WARC-sharded, read
+    back and unwrapped. Returns the full unwrapped frame including
+    warc_type."""
     import gzip as _gzip
     import os
     import zlib
@@ -1092,15 +1109,39 @@ def q_http_unwrap(spark, sf_dir):
             )
         else:
             write_warc_file(shard, os.path.join(d, f"p{s}.warc"))
-    parsed = unwrapped_body_text(
-        warc_http_unwrap(read_warc(spark, d))
-    ).filter(F.col("warc_type") == "response")
-    return parsed.select(
-        "target_uri",
-        "http_content_encoding",
-        "http_transfer_encoding",
-        "text",
+    return unwrapped_body_text(warc_http_unwrap(read_warc(spark, d)))
+
+
+def q_http_encoding_counts(spark, sf_dir):
+    """HTTP wire-coding telemetry (sources/warc.py
+    http_encoding_counts — NEW r18): per-(content_encoding,
+    transfer_encoding, decoded) counts over the same WARC fixture as
+    http_unwrap — the decode_tier_counts analogue for the wire, and
+    the instrument behind the brotli go/no-go (SCALING.md r18): the
+    (br, decoded=false) row IS the measured share a brotli inflate
+    would recover. One bounded-key shuffle of label pairs; the oracle
+    derives every label and the decoded flag from doc_id
+    arithmetic."""
+    from lotad_spark.sources.warc import http_encoding_counts
+
+    unwrapped = _http_unwrap_fixture_frame(spark, sf_dir)
+    return http_encoding_counts(
+        unwrapped.filter(F.col("warc_type") == "response")
     )
+
+
+_HTTP_ENCODING_COUNTS_SQL = (
+    "SELECT content_encoding, transfer_encoding, decoded, "
+    "COUNT(*) AS n FROM ("
+    "SELECT CASE WHEN doc_id % 9 = 4 THEN 'br' "
+    "WHEN doc_id % 3 = 0 THEN 'gzip' "
+    "WHEN doc_id % 3 = 2 THEN 'deflate' "
+    "ELSE 'identity' END AS content_encoding, "
+    "CASE WHEN doc_id % 4 = 0 THEN 'chunked' ELSE 'none' END "
+    "AS transfer_encoding, "
+    "doc_id % 9 <> 4 AS decoded FROM documents"
+    ") GROUP BY content_encoding, transfer_encoding, decoded"
+)
 
 
 def _http_unwrap_sql() -> str:
@@ -2772,7 +2813,7 @@ def q_events_key_stats(spark, sf_dir):
 
 def _decode_tier_fixture(did: int) -> bytes:
     """One media payload per doc for the decode-tier counter, cycling
-    doc_id %% 10 through container/tier pairs: (0) P6 PPM — pnm/real,
+    doc_id %% 12 through container/tier pairs: (0) P6 PPM — pnm/real,
     (1) P5 with maxval 15 — pnm/header_only (the parser reads the
     header, the pixel decoder refuses non-255 maxval), (2) lossless
     VP8L WebP — webp/real, (3) lossy VP8 WebP — webp/header_only (dims
@@ -2781,15 +2822,32 @@ def _decode_tier_fixture(did: int) -> bytes:
     wav/header_only, (6) 16-bit-depth PNG — png/header_only (IHDR
     parses, the pixel path is 8-bit-only), (7) non-media bytes —
     unknown/fallback, (8, r17) header-only ISO-BMFF MP4 —
-    mp4/header_only, (9, r17) MPEG1-L3 stream — mp3/header_only."""
+    mp4/header_only, (9, r17) MPEG1-L3 stream — mp3/header_only,
+    (10, r18) a valid single-page PDF — pdf/real by the SAME
+    pdf_text_pages extractor the pdf rows run (every did%24==22 doc
+    is a magic-only refusal instead — pdf/header_only), (11, r18)
+    SVG — svg/header_only (dims parse, no rasterizer exists). The
+    named pdf/svg tiers stop documents from reading as decode
+    FAILURE in the telemetry (the r17 unknown/fallback misread)."""
     import struct
     import zlib
 
-    v = did % 10
+    v = did % 12
     if v == 8:
         return _mp4_payload(did)
     if v == 9:
         return _mp3_payload(did)
+    if v == 10:
+        if did % 24 == 22:
+            return b"%PDF-1.7\nno xref, no trailer: parse refuses"
+        return _pdf_fixture(f"tier doc {did}", did)
+    if v == 11:
+        return (
+            b'<?xml version="1.0"?>\n'
+            b'<svg xmlns="http://www.w3.org/2000/svg" width="'
+            + str(did % 9 + 1).encode()
+            + b'" height="3"><rect/></svg>'
+        )
     if v == 0:
         return b"P6\n2 2\n255\n" + bytes(range(12))
     if v == 1:
@@ -2836,9 +2894,10 @@ def q_decode_tier_counts(spark, sf_dir):
     counts, where tier is real / header_only / fallback / null by the
     SAME parsers and decoders the media path uses. This is the
     measurement that decides whether e.g. a lossy-VP8 decoder is worth
-    building for a given crawl. The fixture cycles all eight
-    container/tier pairs by doc_id, so the oracle is doc_id
-    arithmetic."""
+    building for a given crawl. The fixture cycles twelve
+    container/tier pairs by doc_id (r18: + pdf real/refused and svg —
+    documents get NAMED tiers, not unknown/fallback), so the oracle
+    is doc_id arithmetic."""
     from lotad_spark.pipeline.multimodal import decode_tier_counts
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -2856,14 +2915,17 @@ def q_decode_tier_counts(spark, sf_dir):
 
 _DECODE_TIER_SQL = (
     "SELECT container, tier, COUNT(*) AS n FROM ("
-    "SELECT CASE CAST(doc_id % 10 AS INT) "
+    "SELECT CASE CAST(doc_id % 12 AS INT) "
     "WHEN 0 THEN 'pnm' WHEN 1 THEN 'pnm' "
     "WHEN 2 THEN 'webp' WHEN 3 THEN 'webp' "
     "WHEN 4 THEN 'wav' WHEN 5 THEN 'wav' "
     "WHEN 6 THEN 'png' WHEN 8 THEN 'mp4' WHEN 9 THEN 'mp3' "
+    "WHEN 10 THEN 'pdf' WHEN 11 THEN 'svg' "
     "ELSE 'unknown' END AS container, "
-    "CASE CAST(doc_id % 10 AS INT) "
+    "CASE CAST(doc_id % 12 AS INT) "
     "WHEN 0 THEN 'real' WHEN 2 THEN 'real' WHEN 4 THEN 'real' "
+    "WHEN 10 THEN (CASE WHEN doc_id % 24 = 22 "
+    "THEN 'header_only' ELSE 'real' END) "
     "WHEN 7 THEN 'fallback' ELSE 'header_only' END AS tier "
     "FROM documents) GROUP BY container, tier"
 )
@@ -9366,6 +9428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round yet): audio_tags — ID3v2/RIFF-INFO metadata tags. ---
         "audio_tags": q_audio_tags,
         "http_unwrap": q_http_unwrap,
+        "http_encoding_counts": q_http_encoding_counts,
         "audio_fingerprint": q_audio_fingerprint,
         "canonical_url_dedup": q_canonical_url_dedup,
         "video_tags": q_video_tags,
@@ -9625,6 +9688,7 @@ def oracle_sql() -> dict[str, str]:
         "exif_gps": _EXIF_GPS_SQL,
         "audio_tags": _AUDIO_TAGS_SQL,
         "http_unwrap": _http_unwrap_sql(),
+        "http_encoding_counts": _HTTP_ENCODING_COUNTS_SQL,
         "audio_fingerprint": _AUDIO_FP_SQL,
         "canonical_url_dedup": _CANONICAL_URL_DEDUP_SQL,
         "video_tags": _VIDEO_TAGS_SQL,

@@ -690,6 +690,30 @@ def warc_http_unwrap(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(unwrap_batches, schema=out_schema)
 
 
+def http_encoding_counts(df: DataFrame) -> DataFrame:
+    """Per-(content_encoding, transfer_encoding, decoded) counts over
+    :func:`warc_http_unwrap` output — the ``decode_tier_counts``
+    analogue for the HTTP wire (r18): the measurement that decides
+    whether an unsupported coding is worth a decoder. The immediate
+    customer is the brotli go/no-go — ``br`` bodies come back NULL
+    with the label intact, so its row reads (br, ..., decoded=false)
+    and its share is the fraction a pure-Python brotli inflate would
+    recover (measured share recorded in SCALING.md r18). Absent
+    labels read 'identity'/'none'; ``decoded`` is body IS NOT NULL.
+    One bounded-key shuffle (≤ a few dozen label pairs) with
+    map-side partial counts — the cheapest possible telemetry at
+    100 TB."""
+    return df.groupBy(
+        F.coalesce(
+            F.col("http_content_encoding"), F.lit("identity")
+        ).alias("content_encoding"),
+        F.coalesce(
+            F.col("http_transfer_encoding"), F.lit("none")
+        ).alias("transfer_encoding"),
+        F.col("body").isNotNull().alias("decoded"),
+    ).agg(F.count("*").alias("n"))
+
+
 def unwrapped_body_text(df: DataFrame) -> DataFrame:
     """Append ``text`` — the charset-ladder decode of the unwrapped
     binary ``body`` (same JVM ladder as warc_http_text: cp1252 family

@@ -636,3 +636,61 @@ class TestInflateBound:
         monkeypatch.setattr(warc_mod, "_WARC_INFLATE_LIMIT", 1 << 30)
         got = list(iter_warc_records(data))
         assert [p for _h, p in got][0] == b"okok"
+
+
+class TestHttpEncodingCounts:
+    """http_encoding_counts (r18): the wire-coding telemetry behind
+    the brotli go/no-go — label normalization, decoded flag, and the
+    bounded-key partial-agg plan."""
+
+    def test_counts_and_labels(self, spark):
+        from lotad_spark.sources.warc import (
+            http_encoding_counts,
+            warc_http_unwrap,
+        )
+        import gzip
+
+        def resp(extra_headers, body):
+            h = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            for k, v in extra_headers:
+                h += f"{k}: {v}\r\n".encode()
+            return h + b"\r\n" + body
+
+        rows = [
+            (1, resp([], b"plain")),
+            (2, resp([("Content-Encoding", "gzip")],
+                     gzip.compress(b"zipped"))),
+            (3, resp([("Content-Encoding", "br")], b"\x1b\x2e")),
+            (4, resp([("Content-Encoding", "br")], b"\x1b\x2e")),
+        ]
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in rows],
+            "id bigint, content binary",
+        )
+        got = {
+            (r.content_encoding, r.transfer_encoding, r.decoded): r.n
+            for r in http_encoding_counts(warc_http_unwrap(df)).collect()
+        }
+        assert got == {
+            ("identity", "none", True): 1,
+            ("gzip", "none", True): 1,
+            ("br", "none", False): 2,  # refused, label intact
+        }
+
+    def test_plan_partial_agg(self, spark):
+        from lotad_spark.sources.warc import (
+            http_encoding_counts,
+            warc_http_unwrap,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"HTTP/1.1 200 OK\r\n\r\nx"))],
+            "id bigint, content binary",
+        )
+        plan = (
+            http_encoding_counts(warc_http_unwrap(df))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # two-phase hash aggregate around one bounded-key exchange
+        assert plan.count("HashAggregate") >= 2
+        assert plan.count("MapInPandas") == 1
