@@ -1723,10 +1723,14 @@ class TestDecodeTierCounts:
             ("wav", "real"), ("wav", "header_only"),
             ("png", "header_only"), ("unknown", "fallback"),
             ("mp4", "header_only"), ("mp3", "header_only"),
+            ("pdf", "real"), ("svg", "header_only"),  # r18 slots
         ]
-        for did in range(20):
+        for did in range(48):
             got = classify_decode_tier(entry._decode_tier_fixture(did))
-            assert got == expect[did % 10], did
+            want = expect[did % 12]
+            if did % 24 == 22:  # magic-only PDF: extractor refuses
+                want = ("pdf", "header_only")
+            assert got == want, did
         assert classify_decode_tier(None) == ("null", "null")
         # real 8-bit PNG classifies real; JPEG header without scan
         # data is header_only; AVI magic routes to avi
@@ -1753,7 +1757,7 @@ class TestDecodeTierCounts:
 
         rows = [
             (did, bytearray(entry._decode_tier_fixture(did)))
-            for did in range(40)
+            for did in range(48)
         ] + [(999, None)]
         df = spark.createDataFrame(rows, "doc_id bigint, content binary")
         got = {
@@ -1766,6 +1770,10 @@ class TestDecodeTierCounts:
             ("wav", "real"): 4, ("wav", "header_only"): 4,
             ("png", "header_only"): 4, ("unknown", "fallback"): 4,
             ("mp4", "header_only"): 4, ("mp3", "header_only"): 4,
+            # r18: dids 10/34 are valid PDFs, 22/46 magic-only
+            # refusals; 11/23/35/47 SVGs
+            ("pdf", "real"): 2, ("pdf", "header_only"): 2,
+            ("svg", "header_only"): 4,
             ("null", "null"): 1,
         }
         # sampled mode: the scale path — counts bounded by the
@@ -2307,6 +2315,8 @@ class TestVideoTags:
         from lotad_spark.pipeline.multimodal import mp4_tags_payload
 
         for did in range(80):
+            if did % 7 != 6 and did % 11 == 5:
+                continue  # r18: the Matroska slot, covered below
             got = mp4_tags_payload(entry._video_tags_fixture(did))
             if did % 7 == 6 or (
                 did % 5 == 0 and did % 3 == 1 and did % 4 == 2
@@ -2317,6 +2327,24 @@ class TestVideoTags:
             title = None if did % 3 == 1 else f"vt{did % 3}"
             artist = None if did % 4 == 2 else f"va{did % 4}"
             assert got == (enc, title, artist), did
+
+    def test_fixture_matroska_slot(self):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import _mkv_parse
+
+        for did in (5, 16, 27, 49, 60, 71):
+            if did % 7 == 6:
+                continue
+            assert did % 11 == 5
+            got = _mkv_parse(entry._video_tags_fixture(did))
+            assert got is not None, did
+            want_dt = "webm" if did % 2 == 0 else "matroska"
+            assert got["doctype"] == want_dt, did
+            enc = got["writing_app"] or got["muxing_app"]
+            if did % 5 == 3:
+                assert enc == f"mux-{did % 7}", did
+            else:
+                assert enc == f"wa-{did % 5}", did
 
     def test_spark_kinds_and_stats_coexist(self, spark):
         import __spark_entry__ as entry
