@@ -3725,23 +3725,95 @@ _AUDIO_TAGS_SQL = (
 )
 
 
+def _flac_stats_payload(did: int) -> bytes:
+    """A FLAC stream whose STREAMINFO carries arithmetic stats:
+    sample rate 8000·(did%3+1), channels did%2+1, total samples
+    (did%50+1)·1000 — packed per the spec's 20/3/5/36-bit layout,
+    bits-per-sample fixed at 16."""
+    sr = 8000 * (did % 3 + 1)
+    ch = did % 2 + 1
+    total = (did % 50 + 1) * 1000
+    packed = (sr << 44) | ((ch - 1) << 41) | (15 << 36) | total
+    streaminfo = (
+        b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    )
+    return (
+        b"fLaC"
+        + bytes([0x80 | 0]) + len(streaminfo).to_bytes(3, "big")
+        + streaminfo
+    )
+
+
+def _ogg_stats_payload(did: int) -> bytes:
+    """An OGG stream for the stats face: Vorbis on did%12==1 (ID
+    header rate 8000·(did%4+1)), Opus on did%12==7 (48 kHz granules,
+    pre-skip 312 subtracted per RFC 7845); channels did%2+1; the
+    LAST page's granule position encodes (did%40+1)·500 output
+    sample frames. An interloper page from another serial rides
+    between them so the serial filter is exercised in the row."""
+    import struct
+
+    ch = did % 2 + 1
+    nf = (did % 40 + 1) * 500
+    if did % 12 == 1:
+        idpkt = (
+            b"\x01vorbis" + struct.pack("<I", 0) + bytes([ch])
+            + struct.pack("<I", 8000 * (did % 4 + 1)) + b"\x00" * 13
+        )
+        granule = nf
+    else:
+        idpkt = (
+            b"OpusHead\x01" + bytes([ch]) + struct.pack("<H", 312)
+            + struct.pack("<I", 48000) + b"\x00\x00\x00"
+        )
+        granule = nf + 312
+
+    def page(serial, granule, payload):
+        lacings = []
+        rest = len(payload)
+        while rest >= 255:
+            lacings.append(255)
+            rest -= 255
+        lacings.append(rest)
+        return (
+            b"OggS\x00\x00" + struct.pack("<q", granule)
+            + struct.pack("<I", serial) + struct.pack("<I", 0)
+            + b"\x00" * 4 + bytes([len(lacings)]) + bytes(lacings)
+            + payload
+        )
+
+    return (
+        page(5, 0, idpkt)
+        + page(77, 999, b"wrong-serial")
+        + page(5, granule, b"\xaa" * 40)
+    )
+
+
 def _doc_audio_media(spark, sf_dir):
-    """The audio_stats fixture (r17): every ``doc_id % 6 == 5`` doc is
-    the :func:`_mp3_payload` MPEG stream (header-walk face), the rest
-    the :func:`_wav_payload` PCM WAV (full-decode face) — both
-    container kinds cycle IN the checked row."""
+    """The audio_stats fixture (r17; flac/ogg r18): every ``doc_id %
+    6 == 5`` doc is the :func:`_mp3_payload` MPEG stream (header-walk
+    face), every ``%6==3`` the :func:`_flac_stats_payload` FLAC
+    (STREAMINFO face), every ``%6==1`` the :func:`_ogg_stats_payload`
+    OGG Vorbis/Opus (granule face), the rest the :func:`_wav_payload`
+    PCM WAV (full-decode face) — four container kinds cycle IN the
+    checked row."""
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
     def build(batches):
         for pdf in batches:
-            payloads = [
-                _mp3_payload(int(did))
-                if int(did) % 6 == 5
-                else _wav_payload(int(did), text)
-                for did, text in zip(pdf["doc_id"], pdf["text"])
-            ]
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 6 == 5:
+                    payloads.append(_mp3_payload(did))
+                elif did % 6 == 3:
+                    payloads.append(_flac_stats_payload(did))
+                elif did % 6 == 1:
+                    payloads.append(_ogg_stats_payload(did))
+                else:
+                    payloads.append(_wav_payload(did, text))
             yield pdf.assign(content=payloads)[["doc_id", "content"]].rename(
                 columns={"doc_id": "media_id"}
             )
@@ -3778,10 +3850,15 @@ def q_audio_stats(spark, sf_dir):
     sqrt, so it derives at display time), and for every 6th doc an
     MPEG1 Layer III stream whose duration/rate/channels come off the
     frame-header walk alone — peak/energy honestly NULL (amplitude
-    needs the DCT synthesis this path refuses to fake). The oracle
-    re-derives the WAV stats from the text bytes as little-endian
-    signed 16-bit samples and the MP3 stats as pure doc_id
-    arithmetic (576-byte frames by construction)."""
+    needs the DCT synthesis this path refuses to fake). r18 faces:
+    every %6==3 doc is FLAC (STREAMINFO 20/3/5/36-bit pack → rate/
+    channels/total-samples) and every %6==1 doc OGG — Vorbis ID
+    header on %12==1, OpusHead with the RFC 7845 48 kHz granules and
+    pre-skip subtraction on %12==7 — with length off the LAST page's
+    granule position past an other-serial interloper page. The
+    oracle re-derives the WAV stats from the text bytes as
+    little-endian signed 16-bit samples and the header-face stats as
+    pure doc_id arithmetic."""
     from lotad_spark.pipeline.multimodal import audio_stats
 
     return audio_stats(_doc_audio_media(spark, sf_dir))
@@ -3798,20 +3875,32 @@ _AUDIO_STATS_SQL = (
     "u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS s "
     "FROM base) "
     "SELECT media_id, "
-    "CASE WHEN did % 6 = 5 THEN 'mp3' ELSE 'pcm' END AS kind, "
-    "CAST(CASE WHEN did % 6 = 5 THEN 32000 ELSE 8000 END AS INT) "
-    "AS sample_rate, "
+    "CASE WHEN did % 6 = 5 THEN 'mp3' WHEN did % 6 = 3 THEN 'flac' "
+    "WHEN did % 6 = 1 THEN 'ogg' ELSE 'pcm' END AS kind, "
+    "CAST(CASE WHEN did % 6 = 5 THEN 32000 "
+    "WHEN did % 6 = 3 THEN 8000 * (did % 3 + 1) "
+    "WHEN did % 6 = 1 THEN (CASE WHEN did % 12 = 1 "
+    "THEN 8000 * (did % 4 + 1) ELSE 48000 END) "
+    "ELSE 8000 END AS INT) AS sample_rate, "
     "CAST(CASE WHEN did % 6 = 5 THEN "
     "CASE WHEN (did // 6) % 2 = 0 THEN 1 ELSE 2 END "
+    "WHEN did % 6 IN (3, 1) THEN did % 2 + 1 "
     "ELSE 1 END AS INT) AS n_channels, "
     "CAST(CASE WHEN did % 6 = 5 THEN 1152 * (did % 4 + 2) "
+    "WHEN did % 6 = 3 THEN (did % 50 + 1) * 1000 "
+    "WHEN did % 6 = 1 THEN (did % 40 + 1) * 500 "
     "ELSE nf END AS BIGINT) AS n_frames, "
     "CAST(CASE WHEN did % 6 = 5 THEN 36 * (did % 4 + 2) "
+    "WHEN did % 6 = 3 THEN (did % 50 + 1) * 1000 * 1000 "
+    "// (8000 * (did % 3 + 1)) "
+    "WHEN did % 6 = 1 THEN (CASE WHEN did % 12 = 1 "
+    "THEN (did % 40 + 1) * 500 * 1000 // (8000 * (did % 4 + 1)) "
+    "ELSE (did % 40 + 1) * 500 * 1000 // 48000 END) "
     "ELSE nf * 1000 // 8000 END AS BIGINT) AS duration_ms, "
-    "CAST(CASE WHEN did % 6 = 5 THEN NULL ELSE "
+    "CAST(CASE WHEN did % 6 IN (5, 3, 1) THEN NULL ELSE "
     "coalesce(list_aggregate(list_transform(s, x -> abs(x)), "
     "'max'), 0) END AS INT) AS peak_abs, "
-    "CAST(CASE WHEN did % 6 = 5 THEN NULL ELSE "
+    "CAST(CASE WHEN did % 6 IN (5, 3, 1) THEN NULL ELSE "
     "coalesce(list_aggregate(list_transform(s, x -> x * x), "
     "'sum'), 0) END AS BIGINT) AS energy FROM sl"
 )
@@ -9358,10 +9447,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       classifies as SVG); html_meta + canonical_url_dedup +
       lang_mismatch (rel=canonical now requires a terminating
       delimiter — 'canonical-amp' no longer matches); http_unwrap
-      (column-collision guard + shared fixture builder).
-    * 13-50: the 38 rows longest out of the window — the r12-green
-      block multi_grain_cube → bpe_fertility in listed order (sat in
-      the r15 window, out since), exactly filling the window.
+      (column-collision guard + shared fixture builder); audio_stats
+      (late r18: FLAC STREAMINFO + OGG granule-position faces,
+      header-only, amplitude honestly NULL).
+    * 14-50: the 37 rows longest out of the window — the r12-green
+      block multi_grain_cube → contamination_bloom in listed order
+      (sat in the r15 window, out since), exactly filling the window;
+      bpe_fertility slips to 51.
     * 51+: rotated out — first the rows with older green (dedup_exact,
       the r13-green ccnet_buckets → domain_blocklist tail, the
       r14-green readability/image-hash block, then the r15/r16-green
@@ -9386,6 +9478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_dedup": q_canonical_url_dedup,
         "lang_mismatch": q_lang_mismatch,
         "http_unwrap": q_http_unwrap,
+        "audio_stats": q_audio_stats,
         # --- 13-50: the 38 longest-out rows — the r12-green
         # multi_grain_cube block, COVERAGE.md r18 queue order,
         # filling the window EXACTLY. ---
@@ -9426,11 +9519,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_term_counts": q_cms_term_counts,
         "bloom_membership": q_bloom_membership,
         "contamination_bloom": q_contamination_bloom,
-        "bpe_fertility": q_bpe_fertility,
         # --- 51+: rotated out — older-green rows first (in
         # prior relative order), the r17-window-green rows
         # LAST (freshest green rotates out last). Full
         # registry enforced by scripts/check_oracle.py. ---
+        "bpe_fertility": q_bpe_fertility,
         "dedup_exact": q_dedup_exact,
         "ccnet_buckets": q_ccnet_buckets,
         "url_dedup": q_url_dedup,
@@ -9517,7 +9610,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_luma_hist": q_multimodal_jpeg_luma_hist,
         "video_near_dup_pairs": q_video_near_dup_pairs,
         "audio_fingerprint": q_audio_fingerprint,
-        "audio_stats": q_audio_stats,
         "html_anchors": q_html_anchors,
         "html_tables": q_html_tables,
         "html_extract": q_html_extract,

@@ -2803,6 +2803,11 @@ def classify_decode_tier(payload) -> tuple[str, str]:
         return ("mp4", "header_only")
     if _mp3_scan(payload) is not None:
         return ("mp3", "header_only")
+    # r18: the FLAC/OGG stats faces are header walks too
+    if _flac_stream_info(payload) is not None:
+        return ("flac", "header_only")
+    if _ogg_stream_info(payload) is not None:
+        return ("ogg", "header_only")
     # PDFs are documents, not media — but lumping them into the
     # unknown/fallback bucket misread the telemetry (r17): name the
     # container and tier it by the SAME extractor the pdf rows run
@@ -3539,6 +3544,99 @@ def _pcm_energy(flat, block: int = 1 << 24) -> int:
     )
 
 
+def _flac_stream_info(payload: bytes):
+    """(sample_rate, n_channels, total_sample_frames, duration_ms)
+    from a FLAC STREAMINFO block (type 0 — mandatory first metadata
+    block), or None: the 8 bytes at offset 10 pack sample rate
+    (20 bits), channels−1 (3), bits-per-sample−1 (5) and total
+    samples (36). Header-only by design (r18) — FLAC amplitude would
+    need the full residual decode this zero-dependency path refuses
+    to fake. A zero total-samples field (streamed FLAC) yields
+    honest-NULL frames/duration."""
+    if payload[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            return None
+        if hdr & 0x7F == 0:
+            if blen < 18:
+                return None
+            packed = int.from_bytes(body[10:18], "big")
+            sr = packed >> 44
+            ch = ((packed >> 41) & 0x7) + 1
+            total = packed & ((1 << 36) - 1)
+            if not sr:
+                return None
+            if total:
+                return (sr, ch, total, total * 1000 // sr)
+            return (sr, ch, None, None)
+        if hdr & 0x80:
+            return None  # last block, no STREAMINFO seen
+        pos += 4 + blen
+    return None
+
+
+def _ogg_stream_info(payload: bytes):
+    """(sample_rate, n_channels, n_sample_frames, duration_ms) for an
+    OGG Vorbis or Opus stream, or None (r18): rate/channels from the
+    first packet's ID header; length from the LAST page's granule
+    position of the same bitstream serial — pages are walked by
+    header+lacing arithmetic only, payload bytes are never read, so
+    cost is linear in page COUNT, not media bytes. Opus granules run
+    at the codec's fixed 48 kHz with the ID header's pre-skip
+    subtracted per RFC 7845; -1 granules (no packet completes on the
+    page) are skipped. A torn final page ends the walk with the last
+    intact granule."""
+    import struct
+
+    if payload[:4] != b"OggS":
+        return None
+    serial = sr = ch = None
+    codec = None
+    preskip = 0
+    last_granule = None
+    pos = 0
+    while pos + 27 <= len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            break
+        nseg = payload[pos + 26]
+        seg = payload[pos + 27 : pos + 27 + nseg]
+        if len(seg) < nseg:
+            break
+        psn = struct.unpack_from("<I", payload, pos + 14)[0]
+        body = pos + 27 + nseg
+        size = sum(seg)
+        if body + size > len(payload):
+            break  # torn page: keep what parsed
+        if serial is None:
+            serial = psn
+            pkt = payload[body : body + size]
+            if pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+                codec = "vorbis"
+                ch = pkt[11]
+                sr = struct.unpack_from("<I", pkt, 12)[0]
+            elif pkt[:8] == b"OpusHead" and len(pkt) >= 12:
+                codec = "opus"
+                ch = pkt[9]
+                preskip = struct.unpack_from("<H", pkt, 10)[0]
+                sr = 48000  # Opus granules always run at 48 kHz
+        if psn == serial:
+            g = struct.unpack_from("<q", payload, pos + 6)[0]
+            if g >= 0:
+                last_granule = g
+        pos = body + size
+    if codec is None or not sr:
+        return None
+    if last_granule is None or last_granule == 0:
+        return (sr, ch, None, None)
+    nf = max(last_granule - (preskip if codec == "opus" else 0), 0)
+    return (sr, ch, nf, nf * 1000 // sr)
+
+
 def audio_stats(
     df: DataFrame,
     content_col: str = "content",
@@ -3557,9 +3655,13 @@ def audio_stats(
     n_frames (total sample frames) / duration_ms from the frame
     headers alone, peak_abs/energy honestly NULL — amplitude stats
     need a full DCT synthesis this zero-dependency path refuses to
-    fake. Undecodable payloads are kind='bytes' with NULL stats; NULL
-    payloads kind='null'. Scan-stage Arrow batches like every media
-    face."""
+    fake. FLAC (r18, kind='flac') reads STREAMINFO
+    (:func:`_flac_stream_info`) and OGG Vorbis/Opus (kind='ogg')
+    takes rate/channels from the ID packet and length from the last
+    page's granule position (:func:`_ogg_stream_info`) — same
+    header-only contract, amplitude honestly NULL. Undecodable
+    payloads are kind='bytes' with NULL stats; NULL payloads
+    kind='null'. Scan-stage Arrow batches like every media face."""
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
         f"`{id_col}` {id_type}, kind string, sample_rate int, "
@@ -3580,14 +3682,29 @@ def audio_stats(
                     continue
                 dec = decode_audio(bytes(b))
                 if dec is None:
-                    mp3 = _mp3_scan(bytes(b))
+                    raw = bytes(b)
+                    mp3 = _mp3_scan(raw)
                     if mp3 is not None:
                         sr, ch, nf, dur = mp3
                         rows.append(
                             ("mp3", sr, ch, nf, dur, None, None)
                         )
-                    else:
-                        rows.append(("bytes",) + (None,) * 6)
+                        continue
+                    flac = _flac_stream_info(raw)
+                    if flac is not None:
+                        sr, ch, nf, dur = flac
+                        rows.append(
+                            ("flac", sr, ch, nf, dur, None, None)
+                        )
+                        continue
+                    ogg = _ogg_stream_info(raw)
+                    if ogg is not None:
+                        sr, ch, nf, dur = ogg
+                        rows.append(
+                            ("ogg", sr, ch, nf, dur, None, None)
+                        )
+                        continue
+                    rows.append(("bytes",) + (None,) * 6)
                     continue
                 rate, samples = dec
                 s = samples.astype(np.int64)

@@ -2912,3 +2912,98 @@ class TestAudioTagsR18:
         # did=35: the unsync-only (no-DLI) album frame also lands
         p = entry._audio_tags_fixture(35)
         assert audio_tags_payload(p) == ("id3", "t8", None, "b3")
+
+
+class TestAudioHeaderFacesR18:
+    """_flac_stream_info / _ogg_stream_info (r18): STREAMINFO bit
+    unpack, granule-position length, Opus pre-skip, serial filter,
+    honest NULLs, malformed robustness."""
+
+    def test_flac_streaminfo(self):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import _flac_stream_info
+
+        got = _flac_stream_info(entry._flac_stats_payload(9))
+        # did=9: sr 8000*(9%3+1)=8000, ch 9%2+1=2, total (9%50+1)*1000
+        assert got == (8000, 2, 10000, 10000 * 1000 // 8000)
+        # zero total samples (streamed flac): honest NULL length
+        sr, ch = 44100, 2
+        packed = (sr << 44) | ((ch - 1) << 41) | (15 << 36) | 0
+        si = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+        p = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+        assert _flac_stream_info(p) == (44100, 2, None, None)
+        assert _flac_stream_info(b"fLaC") is None
+        assert _flac_stream_info(b"not flac") is None
+
+    def test_ogg_vorbis_and_opus(self):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import _ogg_stream_info
+
+        # did=1: vorbis, sr 8000*(1%4+1)=16000, ch 2, nf (1%40+1)*500
+        assert _ogg_stream_info(entry._ogg_stats_payload(1)) == (
+            16000, 2, 1000, 1000 * 1000 // 16000
+        )
+        # did=7: opus — 48 kHz granules, 312 pre-skip subtracted
+        nf = (7 % 40 + 1) * 500
+        assert _ogg_stream_info(entry._ogg_stats_payload(7)) == (
+            48000, 2, nf, nf * 1000 // 48000
+        )
+
+    def test_ogg_torn_final_page_keeps_prior_granule(self):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import _ogg_stream_info
+
+        p = entry._ogg_stats_payload(1)
+        # tear inside the last page's payload: the walk must not
+        # invent a length from the torn page
+        got = _ogg_stream_info(p[:-10])
+        assert got is not None and got[0] == 16000
+        assert got[2] is None  # only granule-0 ID page intact
+
+    def test_audio_stats_kinds(self, spark):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import audio_stats
+
+        df = spark.createDataFrame(
+            [
+                (3, bytearray(entry._flac_stats_payload(3))),
+                (7, bytearray(entry._ogg_stats_payload(7))),
+                (9, bytearray(b"junk")),
+            ],
+            "media_id bigint, content binary",
+        )
+        got = {r.media_id: r for r in audio_stats(df).collect()}
+        assert got[3].kind == "flac" and got[3].peak_abs is None
+        assert got[3].sample_rate == 8000 and got[3].n_channels == 2
+        assert got[7].kind == "ogg" and got[7].sample_rate == 48000
+        assert got[9].kind == "bytes"
+
+    def test_decode_tier_names_flac_ogg(self):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import classify_decode_tier
+
+        assert classify_decode_tier(
+            entry._flac_stats_payload(3)
+        ) == ("flac", "header_only")
+        assert classify_decode_tier(
+            entry._ogg_stats_payload(1)
+        ) == ("ogg", "header_only")
+
+    def test_malformed_never_raises(self):
+        import numpy as np
+
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import (
+            _flac_stream_info,
+            _ogg_stream_info,
+        )
+
+        rng = np.random.RandomState(17)
+        for build in (entry._flac_stats_payload, entry._ogg_stats_payload):
+            p = build(13)
+            for k in range(0, len(p), 5):
+                _flac_stream_info(p[:k]); _ogg_stream_info(p[:k])
+            for _ in range(40):
+                b = bytearray(p)
+                b[rng.randint(0, len(b))] = rng.randint(0, 256)
+                _flac_stream_info(bytes(b)); _ogg_stream_info(bytes(b))
