@@ -6797,8 +6797,12 @@ def _provenance_container(did: int) -> bytes:
     + APP1-EXIF Software (tag 305), (2) PNG zTXt Software (zlib), (3)
     PNG iTXt Description (flag 0, lang/translated filled), (4) bare
     TIFF tag 305, (5, r17) SVG with the Adobe Generator comment and a
-    <desc>. Every doc_id % 7 == 3 doc is an untagged P6 instead (the
-    kind='none' path). Field values derive from doc_id."""
+    <desc>. r18: every did%12==6 doc delivers software via the PNG
+    XMP iTXt packet (CreatorTool, attribute form) and every
+    did%12==7 via the JPEG XMP APP1 (element form) — same outputs,
+    two more real carriers value-checked in the row. Every
+    doc_id % 7 == 3 doc is an untagged P6 instead (the kind='none'
+    path). Field values derive from doc_id."""
     import struct
     import zlib
 
@@ -6829,11 +6833,46 @@ def _provenance_container(did: int) -> bytes:
         return out + chunk(b"IEND", b"")
 
     if v == 0:
+        if did % 12 == 6:
+            # r18: software via the XMP iTXt packet (CreatorTool)
+            # instead of tEXt — same output, new carrier in the row
+            xmp = (
+                '<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+                '<rdf:Description xmlns:xmp='
+                '"http://ns.adobe.com/xap/1.0/" '
+                f'xmp:CreatorTool="{sw}"/></x:xmpmeta>'
+            ).encode("utf-8")
+            return png([
+                (
+                    b"iTXt",
+                    b"XML:com.adobe.xmp\x00\x00\x00\x00\x00" + xmp,
+                ),
+                (b"tEXt", b"Comment\x00" + cm.encode("latin-1")),
+            ])
         return png([
             (b"tEXt", b"Software\x00" + sw.encode("latin-1")),
             (b"tEXt", b"Comment\x00" + cm.encode("latin-1")),
         ])
     if v == 1:
+        if did % 12 == 7:
+            # r18: software via the XMP APP1 CreatorTool (element
+            # form) instead of the Exif APP1 — same output
+            xmp = (
+                "<x:xmpmeta><rdf:Description>"
+                f"<xmp:CreatorTool>{sw}</xmp:CreatorTool>"
+                "</rdf:Description></x:xmpmeta>"
+            ).encode("utf-8")
+            app1 = b"http://ns.adobe.com/xap/1.0/\x00" + xmp
+            com = cm.encode("latin-1")
+            return (
+                b"\xff\xd8\xff\xe1"
+                + struct.pack(">H", len(app1) + 2)
+                + app1
+                + b"\xff\xfe"
+                + struct.pack(">H", len(com) + 2)
+                + com
+                + b"\xff\xd9"
+            )
         bo = "<" if did % 2 == 0 else ">"
         swb = sw.encode("latin-1") + b"\x00"
         ifd0 = struct.pack(bo + "H", 1)

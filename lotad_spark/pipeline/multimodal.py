@@ -1833,6 +1833,29 @@ def extract_exif(
     return df.mapInPandas(exif_batches, schema=out_schema)
 
 
+def _xmp_creator_tool(xml_text: str):
+    """``xmp:CreatorTool`` from an XMP packet (attribute or element
+    form, old ``xap:`` prefix accepted) — the Adobe-ecosystem
+    software stamp (r18), or None."""
+    import re as _re
+
+    m = _re.search(
+        r'(?:xmp|xap):CreatorTool[ \t\r\n]*=[ \t\r\n]*["\']([^"\']*)',
+        xml_text,
+    )
+    if m is None:
+        m = _re.search(
+            r"<(?:xmp|xap):CreatorTool[^>]*>(.*?)"
+            r"</(?:xmp|xap):CreatorTool>",
+            xml_text,
+            _re.S,
+        )
+    if m:
+        got = m.group(1).strip()
+        return got or None
+    return None
+
+
 def image_provenance(payload: bytes):
     """(software, comment) provenance strings from any container that
     records them — the curation signal that flags synthetic/generated
@@ -1841,9 +1864,12 @@ def image_provenance(payload: bytes):
 
     * PNG: ``tEXt`` (latin-1 ``keyword\\0text``), ``zTXt`` (zlib,
       bomb-bounded), and uncompressed ``iTXt`` — keywords Software /
-      Comment / Description;
-    * JPEG: the ``COM`` segment (comment) and the EXIF Software tag
-      (305) via the APP1 block;
+      Comment / Description, plus (r18) the reserved
+      ``XML:com.adobe.xmp`` keyword whose packet's
+      ``xmp:CreatorTool`` fills software;
+    * JPEG: the ``COM`` segment (comment), the EXIF Software tag
+      (305) via the Exif APP1 block, and (r18) the XMP APP1
+      (``http://ns.adobe.com/xap/1.0/`` namespace) CreatorTool;
     * TIFF / WebP: tag 305 from the EXIF structure;
     * SVG (r17): the Adobe ``<!-- Generator: … -->`` comment or the
       ``inkscape:version`` attribute (the two stamps real vector
@@ -1929,6 +1955,11 @@ def image_provenance(payload: bytes):
                     software = text
                 elif key in ("Comment", "Description") and comment is None:
                     comment = text
+                elif key == "XML:com.adobe.xmp" and software is None:
+                    # r18: the XMP packet's CreatorTool — the Adobe-
+                    # ecosystem software stamp rides PNG iTXt under
+                    # this reserved keyword (always uncompressed)
+                    software = _xmp_creator_tool(text)
             if typ == b"IEND":
                 break
             pos += 12 + ln
@@ -1949,6 +1980,16 @@ def image_provenance(payload: bytes):
             seg = payload[pos + 4 : pos + 2 + seglen]
             if marker == 0xFE and comment is None:
                 comment = seg.decode("latin-1")
+            elif (
+                marker == 0xE1
+                and software is None
+                and seg.startswith(b"http://ns.adobe.com/xap/1.0/\x00")
+            ):
+                # r18: the XMP APP1 (namespace-prefixed, distinct
+                # from the Exif APP1) — CreatorTool is the stamp
+                software = _xmp_creator_tool(
+                    seg[29:].decode("utf-8", errors="replace")
+                )
             if marker == 0xDA:
                 break
             pos += 2 + seglen

@@ -3007,3 +3007,68 @@ class TestAudioHeaderFacesR18:
                 b = bytearray(p)
                 b[rng.randint(0, len(b))] = rng.randint(0, 256)
                 _flac_stream_info(bytes(b)); _ogg_stream_info(bytes(b))
+
+
+class TestXmpProvenanceR18:
+    """r18: xmp:CreatorTool as a software carrier — PNG iTXt
+    XML:com.adobe.xmp and the JPEG XMP APP1."""
+
+    def test_fixture_xmp_slots(self):
+        import __spark_entry__ as entry
+        from lotad_spark.pipeline.multimodal import image_provenance
+
+        # did=18: v==0 and did%12==6 → PNG iTXt XMP carrier
+        assert 18 % 6 == 0 and 18 % 12 == 6 and 18 % 7 != 3
+        sw = f"gen-{18 % 4}/1.{18 % 3}"
+        assert image_provenance(entry._provenance_container(18)) == (
+            sw, f"c {18 % 11}"
+        )
+        # did=19: v==1 and did%12==7 → JPEG XMP APP1 carrier
+        assert 19 % 6 == 1 and 19 % 12 == 7
+        sw = f"gen-{19 % 4}/1.{19 % 3}"
+        assert image_provenance(entry._provenance_container(19)) == (
+            sw, f"c {19 % 11}"
+        )
+
+    def test_creator_tool_forms(self):
+        from lotad_spark.pipeline.multimodal import _xmp_creator_tool
+
+        assert _xmp_creator_tool(
+            '<rdf:Description xmp:CreatorTool="Adobe Photoshop 25.0"/>'
+        ) == "Adobe Photoshop 25.0"
+        assert _xmp_creator_tool(
+            "<xmp:CreatorTool>GIMP 2.10</xmp:CreatorTool>"
+        ) == "GIMP 2.10"
+        # legacy xap: prefix
+        assert _xmp_creator_tool(
+            "<xap:CreatorTool>old tool</xap:CreatorTool>"
+        ) == "old tool"
+        assert _xmp_creator_tool('xmp:CreatorTool=""') is None
+        assert _xmp_creator_tool("<no tool here/>") is None
+
+    def test_exif_software_still_wins_when_both(self):
+        """Carrier precedence is first-resolved-wins in chunk order;
+        a tEXt Software before the XMP packet keeps its value."""
+        import struct
+        import zlib
+
+        from lotad_spark.pipeline.multimodal import image_provenance
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+        xmp = b'<r xmp:CreatorTool="xmp-tool"/>'
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"tEXt", b"Software\x00text-tool")
+            + chunk(
+                b"iTXt",
+                b"XML:com.adobe.xmp\x00\x00\x00\x00\x00" + xmp,
+            )
+            + chunk(b"IEND", b"")
+        )
+        assert image_provenance(png) == ("text-tool", None)
