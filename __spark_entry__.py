@@ -4532,6 +4532,61 @@ _IMAGE_AHASH_SQL = (
 )
 
 
+def q_image_near_dup_pairs(spark, sf_dir):
+    """Image near-duplicate pairing (multimodal.py
+    image_near_dup_pairs — registry row NEW r18; operator landed r14):
+    (id_a, id_b, hamming) for decodable pairs within 7 fingerprint
+    bits via simhash-style banding — 64-bit aHash splits into 8
+    slices, candidates share a (slice, value) bucket, verification is
+    exact xor/bit_count on bucket-local candidates only. Pigeonhole
+    makes recall EXACT for max_hamming ≤ bands−1, so the DuckDB
+    oracle is the BRUTE-FORCE all-pairs join over the same replayed
+    hashes — any banding bug (lost bucket, wrong slice arithmetic,
+    dropped candidate) shows up as a missing pair against the
+    exhaustive ground truth. Never all-pairs in Spark: the join is
+    bucket-local, same scale shape as the text SimHash path."""
+    from lotad_spark.pipeline.multimodal import image_near_dup_pairs
+
+    return image_near_dup_pairs(
+        _doc_ppm_media(spark, sf_dir),
+        max_hamming=7,
+        bands=8,
+        hash_kind="ahash",
+    )
+
+
+_IMAGE_NEAR_DUP_SQL = (
+    "WITH base AS (SELECT doc_id AS media_id, "
+    "CAST(doc_id % 5 + 2 AS BIGINT) AS w, "
+    "CAST(doc_id % 3 + 1 AS BIGINT) AS h, "
+    "rpad(coalesce(text, ''), "
+    "CAST((doc_id % 5 + 2) * (doc_id % 3 + 1) * 3 AS INT), 'x') "
+    "AS px FROM documents), "
+    "cells AS (SELECT media_id, list_transform(range(0, 64), i -> "
+    "(299 * ord(substr(px, CAST(3 * (((i // 8) * h // 8) * w "
+    "+ ((i % 8) * w // 8)) + 1 AS INT), 1)) "
+    "+ 587 * ord(substr(px, CAST(3 * (((i // 8) * h // 8) * w "
+    "+ ((i % 8) * w // 8)) + 2 AS INT), 1)) "
+    "+ 114 * ord(substr(px, CAST(3 * (((i // 8) * h // 8) * w "
+    "+ ((i % 8) * w // 8)) + 3 AS INT), 1))) // 1000) AS cl "
+    "FROM base), "
+    "m AS (SELECT media_id, cl, list_sum(cl) // 64 AS mean FROM cells), "
+    "hashes AS (SELECT media_id, "
+    "CAST(list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN cl[CAST(i + 33 AS INT)] > mean THEN (1::BIGINT << i) "
+    "ELSE 0 END)) AS BIGINT) AS hi, "
+    "CAST(list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN cl[CAST(i + 1 AS INT)] > mean THEN (1::BIGINT << i) "
+    "ELSE 0 END)) AS BIGINT) AS lo FROM m) "
+    "SELECT a.media_id AS id_a, b.media_id AS id_b, "
+    "CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) "
+    "AS INT) AS hamming "
+    "FROM hashes a JOIN hashes b ON a.media_id < b.media_id "
+    "WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) "
+    "<= 7"
+)
+
+
 def q_video_scene_cuts(spark, sf_dir):
     """Scene-cut detection (pipeline/multimodal.py scene_cuts): decode
     every AVI frame, aHash each, flag frames whose hamming to the
@@ -9506,6 +9561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- 1-12: the r18 NEW row + changed-code re-entries (rules a/b). ---
         "http_encoding_counts": q_http_encoding_counts,
+        "image_near_dup_pairs": q_image_near_dup_pairs,
         "script_profile": q_script_profile,
         "audio_tags": q_audio_tags,
         "video_stats": q_video_stats,
@@ -9557,11 +9613,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prototypicality_prune": q_prototypicality_prune,
         "cms_term_counts": q_cms_term_counts,
         "bloom_membership": q_bloom_membership,
-        "contamination_bloom": q_contamination_bloom,
         # --- 51+: rotated out — older-green rows first (in
         # prior relative order), the r17-window-green rows
         # LAST (freshest green rotates out last). Full
         # registry enforced by scripts/check_oracle.py. ---
+        "contamination_bloom": q_contamination_bloom,
         "bpe_fertility": q_bpe_fertility,
         "dedup_exact": q_dedup_exact,
         "ccnet_buckets": q_ccnet_buckets,
@@ -9761,6 +9817,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_tags": _AUDIO_TAGS_SQL,
         "http_unwrap": _http_unwrap_sql(),
         "http_encoding_counts": _HTTP_ENCODING_COUNTS_SQL,
+        "image_near_dup_pairs": _IMAGE_NEAR_DUP_SQL,
         "audio_fingerprint": _AUDIO_FP_SQL,
         "canonical_url_dedup": _CANONICAL_URL_DEDUP_SQL,
         "video_tags": _VIDEO_TAGS_SQL,
