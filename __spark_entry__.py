@@ -4587,6 +4587,106 @@ _IMAGE_NEAR_DUP_SQL = (
 )
 
 
+def _office_payload(did: int, text) -> bytes:
+    """One office/zip payload per doc (r18): did%7==2 docs are plain
+    bytes (the 'none' path); otherwise did%3 cycles (0) a DOCX whose
+    word/document.xml carries the doc text in one xml:space-preserved
+    run (XML-escaped on write, so extraction must unescape to round-
+    trip), (1) an EPUB whose single spine chapter holds the text in a
+    <p>, (2) a plain ZIP of did%5+1 members (kind='zip', NULL text).
+    Archives are built with stdlib zipfile — an INDEPENDENT writer
+    from the hand-rolled central-directory reader under test."""
+    import io
+    import zipfile
+
+    if did % 7 == 2:
+        return b"plain bytes " + str(did).encode()
+
+    def make(items):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            for n, d in items:
+                zi = zipfile.ZipInfo(n, date_time=(1980, 1, 1, 0, 0, 0))
+                z.writestr(zi, d)
+        return buf.getvalue()
+
+    t = text or ""
+    esc = (
+        t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    v = did % 3
+    if v == 0:
+        return make([
+            ("[Content_Types].xml", "<Types/>"),
+            (
+                "word/document.xml",
+                "<w:document><w:body><w:p><w:r>"
+                f'<w:t xml:space="preserve">{esc}</w:t>'
+                "</w:r></w:p></w:body></w:document>",
+            ),
+        ])
+    if v == 1:
+        return make([
+            ("mimetype", "application/epub+zip"),
+            (
+                "META-INF/container.xml",
+                "<container><rootfiles><rootfile "
+                'full-path="OEBPS/content.opf"/></rootfiles>'
+                "</container>",
+            ),
+            (
+                "OEBPS/content.opf",
+                '<package><manifest><item id="c1" href="ch1.xhtml"/>'
+                '</manifest><spine><itemref idref="c1"/></spine>'
+                "</package>",
+            ),
+            ("OEBPS/ch1.xhtml", f"<html><body><p>{esc}</p></body></html>"),
+        ])
+    return make([(f"m{i}.txt", f"member {i}") for i in range(did % 5 + 1)])
+
+
+def q_office_extract(spark, sf_dir):
+    """Office-document extraction (pipeline/office.py office_extract —
+    NEW r18): DOCX and EPUB are ZIP archives of XML — the largest
+    crawled document family after PDF/HTML, previously unreadable by
+    this engine. A hand-rolled bounded central-directory walk (budgeted
+    inflate, ZIP64/bomb refusal) feeds w:t-run / spine-chapter text
+    extraction; the fixture writes archives with stdlib zipfile (an
+    independent writer) carrying each doc's text, so extraction must
+    round-trip BYTE-EXACTLY through the escape/unescape and
+    deflate/inflate pair — the oracle is the documents table itself
+    plus kind/member arithmetic."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    from lotad_spark.pipeline.office import office_extract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = [
+                _office_payload(int(did), text)
+                for did, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pdf.assign(content=payloads)[["doc_id", "content"]]
+
+    media = docs.mapInPandas(build, schema="doc_id bigint, content binary")
+    return office_extract(media)
+
+
+_OFFICE_EXTRACT_SQL = (
+    "SELECT doc_id, "
+    "CASE WHEN doc_id % 7 = 2 THEN 'none' "
+    "WHEN doc_id % 3 = 0 THEN 'docx' "
+    "WHEN doc_id % 3 = 1 THEN 'epub' ELSE 'zip' END AS kind, "
+    "CASE WHEN doc_id % 7 = 2 OR doc_id % 3 = 2 THEN NULL "
+    "ELSE coalesce(text, '') END AS text, "
+    "CAST(CASE WHEN doc_id % 7 = 2 THEN NULL "
+    "WHEN doc_id % 3 = 0 THEN 2 WHEN doc_id % 3 = 1 THEN 4 "
+    "ELSE doc_id % 5 + 1 END AS INT) AS n_members FROM documents"
+)
+
+
 def q_video_scene_cuts(spark, sf_dir):
     """Scene-cut detection (pipeline/multimodal.py scene_cuts): decode
     every AVI frame, aHash each, flag frames whose hamming to the
@@ -9562,6 +9662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 1-12: the r18 NEW row + changed-code re-entries (rules a/b). ---
         "http_encoding_counts": q_http_encoding_counts,
         "image_near_dup_pairs": q_image_near_dup_pairs,
+        "office_extract": q_office_extract,
         "script_profile": q_script_profile,
         "audio_tags": q_audio_tags,
         "video_stats": q_video_stats,
@@ -9612,11 +9713,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "prototypicality_prune": q_prototypicality_prune,
         "cms_term_counts": q_cms_term_counts,
-        "bloom_membership": q_bloom_membership,
         # --- 51+: rotated out — older-green rows first (in
         # prior relative order), the r17-window-green rows
         # LAST (freshest green rotates out last). Full
         # registry enforced by scripts/check_oracle.py. ---
+        "bloom_membership": q_bloom_membership,
         "contamination_bloom": q_contamination_bloom,
         "bpe_fertility": q_bpe_fertility,
         "dedup_exact": q_dedup_exact,
@@ -9818,6 +9919,7 @@ def oracle_sql() -> dict[str, str]:
         "http_unwrap": _http_unwrap_sql(),
         "http_encoding_counts": _HTTP_ENCODING_COUNTS_SQL,
         "image_near_dup_pairs": _IMAGE_NEAR_DUP_SQL,
+        "office_extract": _OFFICE_EXTRACT_SQL,
         "audio_fingerprint": _AUDIO_FP_SQL,
         "canonical_url_dedup": _CANONICAL_URL_DEDUP_SQL,
         "video_tags": _VIDEO_TAGS_SQL,
