@@ -17,6 +17,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from lotad_spark.sources.memory import bounded_local_df
 from pyspark.sql import types as T
 
 _NUMERIC = (
@@ -445,7 +447,7 @@ def quantiles_from_counts(
         )
     )
     total = cum.groupBy(*gcols).agg(F.max("_cum").alias("_total"))
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    qdf = bounded_local_df(spark, [(float(q),) for q in qs], "q double")
     joined = total.crossJoin(F.broadcast(qdf))
     probe = joined.join(cum, gcols) if gcols else joined.crossJoin(
         F.broadcast(cum)

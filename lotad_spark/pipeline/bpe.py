@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lotad_spark.sources.memory import bounded_local_df
+
 from lotad_spark.pipeline.text import tokens
 
 END_MARK = "</w>"
@@ -142,7 +144,8 @@ def train_bpe(
                 base, vocab, pending = nxt, nxt, 0
     finally:
         base.unpersist()
-    return spark.createDataFrame(
+    return bounded_local_df(
+        spark,
         merges, "rank int, left string, right string, pair_count bigint"
     )
 

@@ -43,6 +43,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lotad_spark.pipeline import kmeans
+from lotad_spark.sources.memory import bounded_local_df
 
 
 def _qid_schema(queries: DataFrame, id_col: str, tail: str):
@@ -398,7 +399,8 @@ def pq_topk(
     for r in qrows:
         luts, q2 = _quantized_luts(list(r[1]), codebooks)
         lut_rows.append((r[0], luts, q2))
-    lutdf = spark.createDataFrame(
+    lutdf = bounded_local_df(
+        spark,
         lut_rows,
         _qid_schema(
             queries, id_col, "_lut: array<array<bigint>>, _q2: double"
@@ -508,7 +510,8 @@ def build_ivf_pq_index(
         sample, n_centroids, iters=train_iters or kmeans.DEFAULT_ITERS
     )
     spark = corpus.sparkSession
-    centroids = spark.createDataFrame(
+    centroids = bounded_local_df(
+        spark,
         [(i, c) for i, c in enumerate(cents)],
         "cent_id int, cent_vec array<double>",
     )
@@ -544,7 +547,8 @@ def build_ivf_pq_index(
     enc_col = vec_col
     if residual:
         enc_col = "_resid"
-        anchordf = spark.createDataFrame(
+        anchordf = bounded_local_df(
+            spark,
             [(i, a) for i, a in enumerate(anchors)],
             "cent_id int, anchor_vec array<double>",
         )
@@ -568,11 +572,13 @@ def build_ivf_pq_index(
         "overwrite"
     ).partitionBy("cent_id").parquet(f"{path}/data")
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
+    bounded_local_df(
+        spark,
         [(m, n_codes, n_centroids, bool(residual))],
         "m int, n_codes int, n_centroids int, residual boolean",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    spark.createDataFrame(
+    bounded_local_df(
+        spark,
         [
             (j, c, [float(x) for x in cv])
             for j, book in enumerate(books)
@@ -705,7 +711,8 @@ def ivf_pq_topk(
     if not residual:
         # restrict each query to ITS probed buckets via a broadcast
         # pair list
-        pairdf = spark.createDataFrame(
+        pairdf = bounded_local_df(
+            spark,
             [(r.query_id, int(r.cent_id)) for r in probe_pairs],
             _qid_schema(queries, id_col, "cent_id: int"),
         )
@@ -741,14 +748,16 @@ def ivf_pq_topk(
     for qid, qv in qvecs.items():
         luts, q2 = _quantized_luts(qv, books)
         lut_rows.append((qid, luts, q2))
-    lutdf = spark.createDataFrame(
+    lutdf = bounded_local_df(
+        spark,
         lut_rows,
         _qid_schema(
             queries, id_col, "_lut: array<array<bigint>>, _q2: double"
         ),
     )
     # per-(query, probed centroid): ⟨q,c⟩ scaled to the LUT grid
-    pairdf = spark.createDataFrame(
+    pairdf = bounded_local_df(
+        spark,
         [
             (
                 r.query_id,
@@ -776,7 +785,8 @@ def ivf_pq_topk(
             for j, book in enumerate(books)
         ]
         cent_rows.append((cid, cdot, int(np.round(self_dot(cv) * LUT_SCALE))))
-    centdf = spark.createDataFrame(
+    centdf = bounded_local_df(
+        spark,
         cent_rows, "cent_id int, _cdot array<array<bigint>>, _c2 bigint"
     )
     dcc_lit = F.array(

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lotad_spark.pipeline.dsir import DEFAULT_BUCKETS, ngram_features
+from lotad_spark.sources.memory import bounded_local_df
 
 DEFAULT_ITERS = 30
 DEFAULT_LR = 0.5
@@ -200,7 +201,8 @@ def train_quality_classifier_distributed(
     w = np.zeros(buckets, dtype=np.float64)
     b = 0.0
     for _ in range(iters):
-        wdf = spark.createDataFrame(
+        wdf = bounded_local_df(
+            spark,
             [(i, float(x)) for i, x in enumerate(w)],
             "bucket bigint, _w double",
         )
@@ -274,7 +276,8 @@ def score_quality_classifier(
     wrows = [
         (i, _round6(x)) for i, x in enumerate(weights) if _round6(x) != 0.0
     ]
-    wdf = spark.createDataFrame(
+    wdf = bounded_local_df(
+        spark,
         wrows or [(0, 0.0)], "bucket bigint, w double"
     ).select("bucket", F.col("w").cast("decimal(18,6)").alias("w"))
     feats = ngram_features(
@@ -352,10 +355,12 @@ def write_quality_model(
         for i, x in enumerate(weights)
         if _round6(x) != 0.0
     ]
-    spark.createDataFrame(
+    bounded_local_df(
+        spark,
         rows or [(0, 0.0)], "bucket bigint, w double"
     ).write.mode("overwrite").parquet(f"{path}/weights")
-    spark.createDataFrame(
+    bounded_local_df(
+        spark,
         [
             (
                 int(n_buckets),

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lotad_spark.pipeline.text import tokens
+from lotad_spark.sources.memory import bounded_local_df
 
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
@@ -340,7 +341,8 @@ def append_to_bm25_index(
     old = _read_meta(spark, f"{path}/meta").collect()[0]
     stored, meta = _index_postings(docs, id_col, text_col)
     new = meta.collect()[0]
-    spark.createDataFrame(
+    bounded_local_df(
+        spark,
         [
             (
                 int(old["n_docs"]) + int(new["n_docs"]),

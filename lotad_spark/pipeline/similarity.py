@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lotad_spark.sources.memory import bounded_local_df
+
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two ``array<float>`` columns, computed in
@@ -372,7 +374,8 @@ def build_ivf_index(
     cents = kmeans.train_centroids(
         sample, n_centroids, iters=train_iters or kmeans.DEFAULT_ITERS
     )
-    centroids = corpus.sparkSession.createDataFrame(
+    centroids = bounded_local_df(
+        corpus.sparkSession,
         [(i, c) for i, c in enumerate(cents)],
         "cent_id int, cent_vec array<double>",
     )
@@ -468,7 +471,8 @@ def build_ivf_sq8_index(
     cents = kmeans.train_centroids(
         sample, n_centroids, iters=train_iters or kmeans.DEFAULT_ITERS
     )
-    centroids = corpus.sparkSession.createDataFrame(
+    centroids = bounded_local_df(
+        corpus.sparkSession,
         [(i, c) for i, c in enumerate(cents)],
         "cent_id int, cent_vec array<double>",
     )
@@ -625,7 +629,8 @@ def ivf_topk(
         cents = kmeans.train_centroids(
             sample, n_centroids, iters=train_iters or kmeans.DEFAULT_ITERS
         )
-        centroids = corpus.sparkSession.createDataFrame(
+        centroids = bounded_local_df(
+            corpus.sparkSession,
             [(i, c) for i, c in enumerate(cents)],
             "cent_id int, cent_vec array<double>",
         )
@@ -788,7 +793,8 @@ def semantic_dedup(
     B = max(1, int(pair_blocks))
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
     withblk = assigned.withColumn("_blk", blk)
-    cells = spark.createDataFrame(
+    cells = bounded_local_df(
+        spark,
         [(i, j) for i in range(B) for j in range(i, B)], "bi int, bj int"
     )
     a = withblk.join(
@@ -949,7 +955,8 @@ def prototypicality_prune_corpus(
     cents = kmeans.train_centroids(
         sample, n_clusters, iters=train_iters or kmeans.DEFAULT_ITERS
     )
-    centroids = corpus.sparkSession.createDataFrame(
+    centroids = bounded_local_df(
+        corpus.sparkSession,
         [(i, c) for i, c in enumerate(cents)],
         "cent_id int, cent_vec array<double>",
     )
@@ -990,7 +997,8 @@ def semantic_dedup_corpus(
     cents = kmeans.train_centroids(
         sample, n_clusters, iters=train_iters or kmeans.DEFAULT_ITERS
     )
-    centroids = corpus.sparkSession.createDataFrame(
+    centroids = bounded_local_df(
+        corpus.sparkSession,
         [(i, c) for i, c in enumerate(cents)],
         "cent_id int, cent_vec array<double>",
     )

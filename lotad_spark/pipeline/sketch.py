@@ -43,6 +43,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lotad_spark.pipeline.text import tokens
+from lotad_spark.sources.memory import bounded_local_df
 
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
@@ -361,7 +362,8 @@ def bloom_contains(
 
 
 def _sketch_meta(spark, depth, width, n_bits, n_hashes, n_docs):
-    return spark.createDataFrame(
+    return bounded_local_df(
+        spark,
         [(int(depth), int(width), int(n_bits), int(n_hashes),
           int(n_docs))],
         "depth int, width int, n_bits int, n_hashes int, n_docs bigint",
@@ -661,7 +663,8 @@ def heavy_hitters(
     cand_tokens = sorted(
         {r.token for r in summary if r.token is not None}
     )
-    candidates = df.sparkSession.createDataFrame(
+    candidates = bounded_local_df(
+        df.sparkSession,
         [(t,) for t in cand_tokens], "token string"
     )
     threshold = math.ceil(phi * n_total)

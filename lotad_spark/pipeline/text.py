@@ -16,6 +16,8 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from lotad_spark.sources.memory import bounded_local_df
 from pyspark.sql.window import Window
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
@@ -521,7 +523,7 @@ def blocklist_filter(
             "(expected 'literal' or 'join')"
         )
     spark = df.sparkSession
-    termdf = spark.createDataFrame([(t,) for t in tl], "_tok string")
+    termdf = bounded_local_df(spark, [(t,) for t in tl], "_tok string")
     exploded = df.select(
         F.col(id_col),
         F.explode(

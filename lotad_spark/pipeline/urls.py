@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from lotad_spark.sources.memory import bounded_local_df
 
 # Exact-match tracking keys (lowercased), beyond the utm_ prefix:
 # Google (gclid/dclid/wbraid/gbraid), Meta (fbclid), Microsooft ads
@@ -367,7 +368,8 @@ def apex_psl_frame(
     per domain. NULL domains and public-suffix hosts yield NULL apex."""
     spark = df.sparkSession
     max_labels = max(nl for _p, nl, _e in rules)
-    rules_df = spark.createDataFrame(
+    rules_df = bounded_local_df(
+        spark,
         rules, "pattern string, rule_labels int, is_exception boolean"
     )
     labels = F.split(F.col(domain_col), r"\.")
@@ -640,7 +642,8 @@ def write_url_index(
     canon.write.mode("overwrite").parquet(f"{path}/urls")
     spark = df.sparkSession
     n = spark.read.parquet(f"{path}/urls").count()
-    spark.createDataFrame(
+    bounded_local_df(
+        spark,
         [(int(n),)], "n_urls bigint"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
@@ -735,7 +738,8 @@ def append_to_url_index(
     )
     new.write.mode("append").parquet(f"{path}/urls")
     n = spark.read.parquet(f"{path}/urls").count()
-    spark.createDataFrame(
+    bounded_local_df(
+        spark,
         [(int(n),)], "n_urls bigint"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.tmp")
     _replace_dir(spark, f"{path}/meta.tmp", f"{path}/meta")

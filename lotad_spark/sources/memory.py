@@ -36,3 +36,25 @@ class DictDatabase:
                 continue
             out[field.name] = spark_type_name(field.dataType)
         return out
+
+
+def bounded_local_df(spark, rows, schema):
+    """Bounded driver-side relation as a ONE-slice DataFrame.
+
+    ``createDataFrame(list)`` parallelizes into
+    ``sc.defaultParallelism`` Python partitions (32 on the bench box).
+    Any later single-task evaluation of that relation — a
+    ``coalesce(1)`` metadata write is the common case in the index
+    builders — computes the partitions SERIALLY through one
+    PythonRunner handshake each: measured 3.7-4.7 s to write a
+    ONE-ROW meta parquet at 32 cores, vs 0.29 s with a single slice
+    (13x; r18 optimization round, guide §4 "the Python boundary").
+    Bounded relations (centroids, codebooks, metadata, query/LUT
+    tables) never need scan parallelism — one slice is the right
+    shape at any scale, and every downstream use either broadcasts or
+    coalesces anyway. Values and schema are identical to the plain
+    ``createDataFrame`` path (same row-verification code path).
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
