@@ -209,6 +209,31 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _sql_d(x: float) -> str:
+    """Bit-exact SQL double literal: ``repr`` emits the shortest
+    round-trip decimal and Spark's double-literal parse
+    (Double.parseDouble) recovers the identical bits — the one
+    rendering both engines' literal embedding already relies on."""
+    return repr(float(x)) + "D"
+
+
+def _adc_sum_sql(codes_col: str, m: int, row_sql_for) -> Column:
+    """``Σ_j row_j[codes[j]]`` as ONE parsed SQL expression — exact
+    bigint sums, identical NULL propagation through NULL codes (SQL
+    ``get`` is the same null-safe 0-based accessor as ``F.get``).
+
+    Built as text deliberately: on the bench box a py4j round trip
+    costs ~4.6 ms, so composing literal-heavy expressions from
+    ``F.lit``/``F.get`` calls burns seconds of DRIVER time per query
+    (the r18 profile of ann_pq_topk: ~5 s of its 8.6 s was expression
+    CONSTRUCTION). One ``F.expr`` string is one round trip and the
+    JVM parses it in milliseconds."""
+    terms = " + ".join(
+        f"get({row_sql_for(j)}, get(`{codes_col}`, {j}))" for j in range(m)
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
+
+
 def fold_dot(a, b) -> float:
     """Sequential left-fold dot product in float64 — same accumulation
     order as :func:`self_dot`, so scalar literals derived from it are
@@ -291,36 +316,49 @@ def pq_encode(
             f"pq_encode: unknown kernel {kernel!r} (expected 'expr' or 'arrow')"
         )
     sub = len(codebooks[0][0])
-    v = F.col(vec_col).cast("array<double>")
-    codes = []
+    # SQL-text build (r18): the old shape — a py4j-built literal
+    # struct-array per subspace plus an ``aggregate(zip_with(…))``
+    # fold per (subspace, code) — was slow on BOTH sides of the
+    # boundary: ~5 s of driver py4j round trips to CONSTRUCT the
+    # M·K·dim literal tower (~4.6 ms/call on the bench box) and M·K
+    # interpreted lambda folds per row to EVALUATE it (7.1 s total
+    # over 2,000 rows at (16,32)). Now: ONE parsed SQL string per
+    # query (construction ≈0.5 s), keeping the ``transform`` over the
+    # literal book (a fully unrolled 16×32-struct projection was
+    # tried and executes WORSE — 6-14 s, the tower blows codegen)
+    # but with the inner dot as a flat multiply-add chain instead of
+    # the fold machinery (exec 2.3 → 1.4 s). The float64 op sequence
+    # is IDENTICAL to the fold it replaces —
+    # ((((0.0+v₀c₀)+v₁c₁)+…), scalar float→double widening per
+    # element, round-6, struct-max with negated code for lowest-code
+    # ties — and NULL propagation matches (``get`` past the array end
+    # is NULL exactly where ``zip_with`` padded NULL). Literals embed
+    # via ``repr`` (shortest round-trip decimal ↔ Double.parseDouble,
+    # bit-exact). Oracle re-checked at sf0.001/0.01/0.1.
+    per_sub = []
     for j, book in enumerate(codebooks):
-        book_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("code"),
-                    F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
-                    F.lit(self_dot(cv)).alias("dcc"),
-                )
-                for c, cv in enumerate(book)
-            ]
-        )
-        sub_v = F.slice(v, j * sub + 1, sub)
-
-        # factory binds sub_v per subspace; a two-arg lambda would be
-        # misread by PySpark as the (element, index) transform variant
-        def _scored(sv):
-            return F.transform(
-                book_lit,
-                lambda c: F.struct(
-                    F.round(2.0 * _dot(sv, c["cv"]) - c["dcc"], 6).alias(
-                        "s"
-                    ),
-                    (-c["code"]).alias("negc"),
-                ),
+        book_sql = "array(" + ", ".join(
+            "named_struct('code', %d, 'cv', array(%s), 'dcc', %s)"
+            % (
+                c,
+                ", ".join(_sql_d(x) for x in cv),
+                _sql_d(self_dot(cv)),
             )
-
-        codes.append((-F.array_max(_scored(sub_v))["negc"]).cast("int"))
-    return corpus.withColumn(code_col, F.array(*codes))
+            for c, cv in enumerate(book)
+        ) + ")"
+        body_dot = " + ".join(
+            f"(CAST(get(`{vec_col}`, {j * sub + i}) AS DOUBLE)"
+            f" * get(c.cv, {i}))"
+            for i in range(sub)
+        )
+        per_sub.append(
+            f"CAST(-(array_max(transform({book_sql}, "
+            f"c -> named_struct('s', round(2.0D * (0.0D + {body_dot})"
+            f" - c.dcc, 6), 'negc', -c.code))).negc) AS INT)"
+        )
+    return corpus.withColumn(
+        code_col, F.expr(f"array({', '.join(per_sub)})")
+    )
 
 
 def _quantized_luts(
@@ -406,22 +444,16 @@ def pq_topk(
             queries, id_col, "_lut: array<array<bigint>>, _q2: double"
         ),
     )
-    dcc_lit = F.array(
-        *[
-            F.array(*[F.lit(x) for x in row])
-            for row in pq_dcc_lut(codebooks)
-        ]
-    )
-    codes = F.col(code_col)
-    ip_sum = F.aggregate(
-        F.zip_with(codes, F.col("_lut"), lambda c, row: F.get(row, c)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    vnorm_sum = F.aggregate(
-        F.zip_with(codes, dcc_lit, lambda c, row: F.get(row, c)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    dcc_lut = pq_dcc_lut(codebooks)
+    m_ = len(codebooks)
+    # SQL-text ADC sums (r18): exact integer chains, one parsed
+    # expression each (see _adc_sum_sql — the 512-literal dcc table
+    # alone cost ~2.4 s of py4j round trips to build as F.lit arrays).
+    ip_sum = _adc_sum_sql(code_col, m_, lambda j: f"get(`_lut`, {j})")
+    vnorm_sum = _adc_sum_sql(
+        code_col,
+        m_,
+        lambda j: "array(" + ", ".join(f"{x}L" for x in dcc_lut[j]) + ")",
     )
     scored = (
         (
@@ -789,24 +821,15 @@ def ivf_pq_topk(
         spark,
         cent_rows, "cent_id int, _cdot array<array<bigint>>, _c2 bigint"
     )
-    dcc_lit = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in pq_dcc_lut(books)]
-    )
-    codes = F.col("pq_code")
-    lut_sum = F.aggregate(
-        F.zip_with(codes, F.col("_lut"), lambda c, row: F.get(row, c)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    cdot_sum = F.aggregate(
-        F.zip_with(codes, F.col("_cdot"), lambda c, row: F.get(row, c)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    dcc_sum = F.aggregate(
-        F.zip_with(codes, dcc_lit, lambda c, row: F.get(row, c)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    dcc_lut = pq_dcc_lut(books)
+    m_ = len(books)
+    # SQL-text ADC sums (r18) — same contract as the pq_topk site.
+    lut_sum = _adc_sum_sql("pq_code", m_, lambda j: f"get(`_lut`, {j})")
+    cdot_sum = _adc_sum_sql("pq_code", m_, lambda j: f"get(`_cdot`, {j})")
+    dcc_sum = _adc_sum_sql(
+        "pq_code",
+        m_,
+        lambda j: "array(" + ", ".join(f"{x}L" for x in dcc_lut[j]) + ")",
     )
     ip_sum = F.col("_qc") + lut_sum
     vnorm_sum = F.col("_c2") + 2 * cdot_sum + dcc_sum

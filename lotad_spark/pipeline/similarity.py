@@ -142,16 +142,27 @@ def embedding_near_dup_pairs(
     thresholds raise ``bands`` (and ``n_planes`` with it) instead of
     shrinking rows below 8; at 100 TB use 16-bit rows (65k buckets)."""
     planes = lsh_hyperplanes(n_planes, dim)
-    v = F.col(vec_col).cast("array<double>")
+    # SQL-text planes (r18): n_planes × dim F.lit round trips (~4.6 ms
+    # each on the bench box) made CONSTRUCTING the signature projection
+    # a driver-time cost. The fold itself stays exactly as before —
+    # flattening all n_planes × dim products into the projection was
+    # tried and EXECUTES worse (2.8 → 9.5 s: the giant chain loses
+    # codegen) — only the literal plane now arrives as parsed text.
+    from lotad_spark.pipeline.pq import _sql_d
 
-    def dot_lit(plane: list[float]) -> Column:
-        lit = F.array(*[F.lit(x) for x in plane])
-        return F.aggregate(
-            F.zip_with(v, lit, lambda p, q: p * q), F.lit(0.0), lambda a, x: a + x
+    def dot_sql(plane: list[float]) -> str:
+        lits = ", ".join(_sql_d(x) for x in plane)
+        return (
+            f"aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>),"
+            f" array({lits}), (p, q) -> p * q), 0.0D,"
+            " (acc, x) -> acc + x)"
         )
 
     bits = [
-        F.when(F.round(dot_lit(pl), 6) > 0, F.lit("1")).otherwise(F.lit("0"))
+        F.expr(
+            f"CASE WHEN round({dot_sql(pl)}, 6) > 0"
+            " THEN '1' ELSE '0' END"
+        )
         for pl in planes
     ]
     rows = n_planes // bands
@@ -292,47 +303,66 @@ def assign_to_centroids(
             acc += float(x) * float(x)
         return acc
 
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r[0])).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r[1]]).alias("cv"),
-                F.lit(_self_dot(r[1])).alias("dcc"),
-            )
-            for r in rows
-        ]
-    )
-    # Expression kernel (default): k+1 interpreted HOF folds per row —
-    # the row self-dot is hoisted out of the transform and each
-    # centroid's self-dot rides in as the dcc literal (3k → k+1 folds;
-    # HOFs are CodegenFallback, so fold count is the cost driver — an
-    # experiment unrolling the literal dots into plain multiply-add
-    # chains for codegen measured SLOWER at every k; the tree gets too
-    # large). Deterministic: bit-identical to cosine() and the
-    # cross-engine oracles. For production-size k (SemDeDup uses
-    # thousands of clusters) pass kernel="arrow".
-    v = F.col(vec_col).cast("array<double>")
+    # Expression kernel (default), SQL-text build (r18): the earlier
+    # py4j-built literal struct array cost k×(dim+2) driver round
+    # trips (~4.6 ms each on the bench box — seconds per call at
+    # k=16), and the inner ``aggregate(zip_with(…))`` fold ran k+1
+    # interpreted lambda folds per row. Now ONE parsed SQL string: the
+    # ``transform`` over the literal centroid structs stays (a fully
+    # unrolled struct tower executes worse — the pq_encode lesson),
+    # the per-centroid dot is a flat multiply-add chain with the
+    # IDENTICAL float64 op sequence ((((0.0+v₀c₀)+v₁c₁)+…) and NULL
+    # propagation (out-of-range ``get`` is NULL where ``zip_with``
+    # padded NULL; a row LONGER than dim is guarded to NULL exactly
+    # where ``zip_with`` padded the centroid side), and the row
+    # self-dot is staged through a temp column so it is computed once
+    # per row instead of once per centroid — same value, fewer ops.
+    # Deterministic: bit-identical to cosine() and the cross-engine
+    # oracles (re-checked at sf0.001/0.01/0.1). For production-size k
+    # (SemDeDup uses thousands of clusters) pass kernel="arrow".
+    from lotad_spark.pipeline.pq import _sql_d
 
-    def _dot(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    dim = len(rows[0][1])
+    cent_sql = "array(" + ", ".join(
+        "named_struct('cid', %d, 'cv', array(%s), 'dcc', %s)"
+        % (
+            int(r[0]),
+            ", ".join(_sql_d(x) for x in r[1]),
+            _sql_d(_self_dot(r[1])),
         )
-
-    dvv = _dot(v, v)
-    scored = F.transform(
-        cent_lit,
-        lambda c: F.struct(
-            F.round(
-                _dot(v, c["cv"]) / F.sqrt(dvv * c["dcc"]), 6
-            ).alias("sim"),
-            (-c["cid"]).alias("negid"),
+        for r in rows
+    ) + ")"
+    dvv_terms = " + ".join(
+        f"(CAST(get(`{vec_col}`, {i}) AS DOUBLE)"
+        f" * CAST(get(`{vec_col}`, {i}) AS DOUBLE))"
+        for i in range(dim)
+    )
+    dot_terms = " + ".join(
+        f"(CAST(get(`{vec_col}`, {i}) AS DOUBLE) * get(c.cv, {i}))"
+        for i in range(dim)
+    )
+    guarded_dot = (
+        f"IF(size(`{vec_col}`) > {dim}, CAST(NULL AS DOUBLE),"
+        f" 0.0D + {dot_terms})"
+    )
+    tmp = "_assign_dvv"
+    staged = corpus.withColumn(
+        tmp,
+        F.expr(
+            f"IF(size(`{vec_col}`) > {dim}, CAST(NULL AS DOUBLE),"
+            f" 0.0D + {dvv_terms})"
         ),
     )
-    return corpus.withColumn(
-        cent_id_col, (-F.array_max(scored)["negid"]).cast("int")
+    assigned = staged.withColumn(
+        cent_id_col,
+        F.expr(
+            f"CAST(-(array_max(transform({cent_sql}, "
+            f"c -> named_struct('sim', round(({guarded_dot})"
+            f" / sqrt(`{tmp}` * c.dcc), 6), "
+            f"'negid', -c.cid))).negid) AS INT)"
+        ),
     )
+    return assigned.drop(tmp)
 
 
 def build_ivf_index(
@@ -792,7 +822,21 @@ def semantic_dedup(
     ).localCheckpoint(eager=False)
     B = max(1, int(pair_blocks))
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
-    withblk = assigned.withColumn("_blk", blk)
+    # Per-member self-dot computed ONCE before the pairwise join (r18):
+    # cosine() folds three dots per pair — dot(a,b), dot(a,a), dot(b,b)
+    # — and the two self-dots are pair-invariant, so the old shape ran
+    # ~3× the interpreted fold work over the quadratic pair volume.
+    # The staged ``_n2`` is the IDENTICAL fold on the identical bytes
+    # (cosine()'s own accumulation order), just evaluated per member
+    # instead of per pair — sim values bit-equal (oracle re-checked),
+    # and the join carries one extra double per side.
+    da = F.col(vec_col).cast("array<double>")
+    n2 = F.aggregate(
+        F.zip_with(da, da, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    withblk = assigned.withColumn("_blk", blk).withColumn("_n2", n2)
     cells = bounded_local_df(
         spark,
         [(i, j) for i in range(B) for j in range(i, B)], "bi int, bj int"
@@ -802,6 +846,7 @@ def semantic_dedup(
     ).select(
         F.col(id_col).alias("_aid"),
         F.col(vec_col).alias("_avec"),
+        F.col("_n2").alias("_an2"),
         cent_id_col,
         "bi",
         "bj",
@@ -811,6 +856,7 @@ def semantic_dedup(
     ).select(
         F.col(id_col).alias("_bid"),
         F.col(vec_col).alias("_bvec"),
+        F.col("_n2").alias("_bn2"),
         F.col(cent_id_col).alias("_bcent"),
         F.col("bi").alias("_bbi"),
         F.col("bj").alias("_bbj"),
@@ -821,10 +867,21 @@ def semantic_dedup(
         & (F.col("bi") == F.col("_bbi"))
         & (F.col("bj") == F.col("_bbj")),
     ).filter(F.col("_aid") != F.col("_bid"))
+    ab = F.aggregate(
+        F.zip_with(
+            F.col("_avec").cast("array<double>"),
+            F.col("_bvec").cast("array<double>"),
+            lambda p, q: p * q,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     nn = (
         pairs.select(
             F.greatest("_aid", "_bid").alias("_aid"),
-            F.round(cosine(F.col("_avec"), F.col("_bvec")), 6).alias("_sim"),
+            F.round(
+                ab / F.sqrt(F.col("_an2") * F.col("_bn2")), 6
+            ).alias("_sim"),
         )
         .groupBy("_aid")
         .agg(F.max("_sim").alias("nn_sim"))
