@@ -44,12 +44,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from lotad_spark.pipeline.contamination import contaminated_ids
 from lotad_spark.pipeline.dedup import (
     dedup_components,
     exact_dedup_rows,
-    near_dup_pairs,
 )
 from lotad_spark.pipeline.sampling import hash_sample, stratified_cap
 from lotad_spark.pipeline.text import lang_pred_expr, quality_expr, tokens
@@ -140,11 +140,50 @@ def curate_corpus(
         gated = gated.join(blocked, id_col, "left_anti")
 
     deduped = exact_dedup_rows(gated, id_col, text_col)
+    # The deduped relation feeds the near-dup pair DAG, the kept side of
+    # the stage-3 anti-join, AND (via kept) the contamination source —
+    # and dedup_components' convergence loop runs eager actions, so
+    # nothing upstream can be shared by plan reuse alone: unpersisted,
+    # the regex-heavy gate + content-hash dedup executed 3-4× per call
+    # (measured r18, sf0.1: curate 8.2 s → 4.3 s with this persist).
+    # One row per surviving doc (no explode), so unlike the shingle
+    # relation (see near_dup_pairs) the cache is smaller than its
+    # recompute; MEMORY_AND_DISK spills rather than OOMs at scale.
+    deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
 
-    pairs = near_dup_pairs(
-        deduped, id_col, text_col, threshold=near_threshold
+    # Inlined near_dup_pairs with the shingle and signature relations
+    # persisted (r18): the pair DAG references shingles five ways
+    # (signatures via both sides of the band self-join, the intersection
+    # join's two sides, the size lookup) and physical-plan reuse never
+    # unifies them (each branch gets different pushed filters/pruning,
+    # breaking canonical equality) — measured 5 duplicate
+    # scan→tokenize→explode stages per call. Unlike the lazy
+    # near_dup_pairs return (where a persist would outlive the caller —
+    # see its docstring), dedup_components CONSUMES the pairs eagerly in
+    # its convergence loop, so both caches are dropped right after it
+    # returns; the checkpointed labels carry no lineage back to them.
+    # sigs is O(docs × K) longs, shingles O(total tokens) — both
+    # MEMORY_AND_DISK.
+    from lotad_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+        shingles,
+    )
+
+    sh = shingles(deduped, id_col, text_col, 3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(sh, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = lsh_candidate_pairs(sigs, id_col)
+    pairs = ngram_jaccard(cands, sh, id_col).filter(
+        F.col("jaccard") >= near_threshold
     )
     comps = dedup_components(pairs, id_out=id_col)
+    sh.unpersist()
+    sigs.unpersist()
     near_drop = comps.filter(F.col(id_col) != F.col("component_id")).select(
         id_col
     )

@@ -76,15 +76,18 @@ def shingles(
     # re-split the full text for every gram — O(tokens × length) per doc,
     # since interpreted higher-order functions do no subexpression reuse.
     # sequence(0, -k) would flip to a descending range — guard short docs.
-    grams = F.transform(
-        F.array(tokens(F.col(text_col))),
-        lambda tk: F.when(F.size(tk) >= n, F.transform(
-            F.sequence(F.lit(0), F.size(tk) - n),
-            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
-        )).otherwise(F.array().cast("array<string>")),
-    )[0]
+    # r18: bind the token array in a PROJECT below the explode instead of
+    # the transform(array(x))[0] wrapper — one less interpreted HOF layer
+    # per row (HOFs never codegen), measured −15% on the explode stage
+    # with bit-identical output (count + bit_xor(xxhash64) checked).
+    tk = F.col("_tk")
+    grams = F.when(F.size(tk) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(tk) - n),
+        lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+    )).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+        .select(F.col(id_col), F.explode(grams).alias("shingle"))
         .distinct()
     )
 
@@ -128,10 +131,14 @@ def minhash_signatures(
         .cast("long")
         .alias("_h"),
     )
+    # SQL-text permutations (r18): the K py4j Column towers (~9 round
+    # trips each, ~4.6 ms/trip on the bench box) made CONSTRUCTING the
+    # aggregation the dominant cost at production K (128: ~5 s before a
+    # single task ran). Each permutation is now one parsed expression;
+    # integer literals embed exactly, so the evaluated op sequence
+    # (int·long promotion, + int, % int over long) is unchanged.
     aggs = [
-        F.min(
-            (F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE31)
-        ).alias(f"sig_{i}")
+        F.expr(f"min(({a} * `_h` + {b}) % {MERSENNE31}) AS sig_{i}")
         for i, (a, b) in enumerate(perm_coeffs(num_perms))
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -151,20 +158,28 @@ def lsh_candidate_pairs(
     skew guard).
     """
     rows = num_perms // bands
+    # SQL-text banding (r18): same construction-cost fix as
+    # minhash_signatures — the per-band concat/struct towers are now one
+    # parsed expression each (md5/concat_ws/named_struct are the same
+    # functions the Column builders resolved to; values unchanged).
     band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
-        ).alias(f"band_{b}")
+        F.expr(
+            "md5(concat_ws('|', "
+            + ", ".join(f"sig_{b * rows + r}" for r in range(rows))
+            + f")) AS band_{b}"
+        )
         for b in range(bands)
     ]
     banded = sig_df.select(F.col(id_col), *band_cols)
     stacked = banded.select(
         F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_i"), F.col(f"band_{b}").alias("bh"))
+        F.expr(
+            "explode(array("
+            + ", ".join(
+                f"named_struct('band_i', {b}, 'bh', band_{b})"
                 for b in range(bands)
-            ])
+            )
+            + "))"
         ).alias("band"),
     ).select(id_col, "band.band_i", "band.bh")
     if max_bucket is not None:

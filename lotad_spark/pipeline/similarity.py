@@ -174,11 +174,13 @@ def embedding_near_dup_pairs(
     stacked = banded.select(
         id_col,
         vec_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_i"), F.col(f"band_{b}").alias("bh"))
+        F.expr(
+            "explode(array("
+            + ", ".join(
+                f"named_struct('band_i', {b}, 'bh', band_{b})"
                 for b in range(bands)
-            ])
+            )
+            + "))"
         ).alias("band"),
     ).select(id_col, vec_col, "band.band_i", "band.bh")
     a = stacked.select(F.col(id_col).alias("id_a"), "band_i", "bh")

@@ -133,6 +133,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE right-size the materialized layout of persisted plans
+        # (dedup_components' edge cache, curate's deduped corpus): off,
+        # a cached repartition("k") pins shuffle.partitions-many
+        # partitions, so every iterative-CC round launched 32 tasks over
+        # a few hundred cached edges (~7 ms scheduling each); on, the
+        # cache materializes at AQE's advisory size — partition count
+        # scales with the DATA on this box and on a cluster alike.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
