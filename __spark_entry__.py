@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from lotad_spark.hashing import HASH_COL
 from lotad_spark.operators.diff import diff_tables
+from lotad_spark.sources.memory import bounded_local_df
 from lotad_spark.sources.parquet import ParquetDatabase
 
 
@@ -223,7 +224,7 @@ def q_schema_drift_records(spark, sf_dir):
         )
         for r in records
     ]
-    return spark.createDataFrame(
+    return bounded_local_df(spark, 
         rows,
         "table_name string, column_name string, db1 string, "
         "db1_column_type string, db2 string, db2_column_type string",
@@ -238,7 +239,7 @@ def q_missing_table_records(spark, sf_dir):
         "db1", {"customer", "orders"}, "db2", {"customer"}
     )
     rows = [(_q(r.table_name), _q(r.observed_in), _q(r.missing_in)) for r in records]
-    return spark.createDataFrame(
+    return bounded_local_df(spark, 
         rows, "table_name string, observed_in string, missing_in string"
     )
 
@@ -266,7 +267,7 @@ def q_drift_summary(spark, sf_dir):
         )
         for r in res.analysis.get_data_drift_summary()
     ]
-    return spark.createDataFrame(
+    return bounded_local_df(spark, 
         rows,
         "table_name string, db1 string, rows_only_in_db1 int, "
         "db2 string, rows_only_in_db2 int",
@@ -290,7 +291,7 @@ def q_wizard_overlap_probe(spark, sf_dir):
         F.col("s_nationkey").alias("nk")
     )
     n = column_overlap_count(c, s, "nk")
-    return spark.createDataFrame([(n,)], "overlap_n bigint")
+    return bounded_local_df(spark, [(n,)], "overlap_n bigint")
 
 
 def q_suggest_ignore_columns(spark, sf_dir):
@@ -301,7 +302,7 @@ def q_suggest_ignore_columns(spark, sf_dir):
         "c_name", F.concat(F.lit("ZZ-"), F.col("c_custkey").cast("string"))
     )
     cols = suggest_ignore_columns(c, mutated)
-    return spark.createDataFrame([(x,) for x in cols], "column_name string")
+    return bounded_local_df(spark, [(x,) for x in cols], "column_name string")
 
 
 def q_q1_lineitem_agg(spark, sf_dir):
@@ -1349,7 +1350,7 @@ def q_robots_gate(spark, sf_dir):
         ),
     )
     urls = d.select("doc_id", url.alias("url"))
-    rules = spark.createDataFrame(
+    rules = bounded_local_df(spark, 
         list(_ROBOTS_RULES),
         "domain string, rule_type string, path_prefix string",
     )
@@ -1471,7 +1472,7 @@ def q_crawl_budget(spark, sf_dir):
         delays[domain] = (
             None if delay is None else int(round(delay * 1_000_000))
         )
-    rules = spark.createDataFrame(
+    rules = bounded_local_df(spark, 
         rule_rows, "domain string, rule_type string, path_prefix string"
     )
     gated = robots_filter(urls, rules)
@@ -2145,7 +2146,7 @@ def q_bm25_topk(spark, sf_dir):
     the postings before any per-query work."""
     from lotad_spark.pipeline.retrieval import bm25_topk
 
-    q = spark.createDataFrame(
+    q = bounded_local_df(spark, 
         _BM25_QUERIES, "query_id bigint, query string"
     )
     return bm25_topk(_t(spark, sf_dir, "documents"), q, k=5)
@@ -7722,7 +7723,7 @@ def q_bloom_membership(spark, sf_dir):
         .limit(10)
         .select("term", F.lit(True).alias("in_stream"))
     )
-    absent = spark.createDataFrame(
+    absent = bounded_local_df(spark, 
         [(f"notaword{i}",) for i in range(10)], "term string"
     ).select("term", F.lit(False).alias("in_stream"))
     probe = present.unionByName(absent)

@@ -30,6 +30,7 @@ from lotad_spark.benchmarks.fixtures import (  # noqa: E402
 )
 from lotad_spark.operators.diff import diff_tables  # noqa: E402
 from lotad_spark.session import get_spark  # noqa: E402
+from lotad_spark.sources.memory import bounded_local_df  # noqa: E402
 from lotad_spark.sources.parquet import ParquetDatabase  # noqa: E402
 
 
@@ -170,7 +171,7 @@ def main() -> None:
         # that drift pair and shrink the expected drift by one.
         from lotad_spark.benchmarks.fixtures import LINEITEM_MUTATION_MOD
 
-        const = spark.createDataFrame(
+        const = bounded_local_df(spark, 
             li1.filter(
                 F.col("l_orderkey") % LINEITEM_MUTATION_MOD != 0
             ).orderBy("l_orderkey", "l_linenumber").take(1),
@@ -345,7 +346,7 @@ def main() -> None:
         write_bm25_index,
     )
 
-    bm25_queries = spark.createDataFrame(
+    bm25_queries = bounded_local_df(spark, 
         entry_mod._BM25_QUERIES, "query_id bigint, query string"
     )
     bm25_docs = read_table(spark, f"{sf_dir}/documents.parquet")
@@ -377,7 +378,7 @@ def main() -> None:
     t0 = time.perf_counter()
     write_sketch_index(read_table(spark, f"{sf_dir}/documents.parquet"), idx_dir)
     queries["sketch_index_build_once"] = round(time.perf_counter() - t0, 3)
-    probe_terms = spark.createDataFrame(
+    probe_terms = bounded_local_df(spark, 
         [(t,) for t in ("the", "dup", "data", "never-there")],
         "term string",
     )

@@ -17,6 +17,7 @@ from datetime import datetime
 import click
 
 from lotad_spark.config import Config, comparator_from_config
+from lotad_spark.sources.memory import bounded_local_df
 from lotad_spark.session import get_spark
 
 
@@ -1257,7 +1258,7 @@ def term_sketch_cmd(docs_path, output_path, depth, width, merge_into,
         f"(depth={depth}, width={width}) -> {output_path}"
     )
     if estimate_csv:
-        terms = spark.createDataFrame(
+        terms = bounded_local_df(spark, 
             [(t.strip(),) for t in estimate_csv.split(",") if t.strip()],
             "term string",
         )
@@ -1317,7 +1318,7 @@ def sketch_index_cmd(docs_path, index_path, append_mode, depth, width,
         f"n_docs={meta['n_docs']})"
     )
     if estimate_csv:
-        terms = spark.createDataFrame(
+        terms = bounded_local_df(spark, 
             [(t.strip(),) for t in estimate_csv.split(",") if t.strip()],
             "term string",
         )

@@ -144,6 +144,45 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def band_stack(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(id, band_i, bh): the stacked LSH band relation of a signature
+    frame — md5 over '|'-joined row signatures per band, exploded one
+    row per band. The single banding implementation shared by batch
+    pair generation, index build, and index probe (identical band
+    hashes are what make the stored index probeable at all).
+
+    SQL-text banding (r18): the per-band concat/struct towers are one
+    parsed expression each (md5/concat_ws/named_struct are the same
+    functions the Column builders resolved to; values unchanged — the
+    py4j tower construction cost was the only difference)."""
+    rows = num_perms // bands
+    band_cols = [
+        F.expr(
+            "md5(concat_ws('|', "
+            + ", ".join(f"sig_{b * rows + r}" for r in range(rows))
+            + f")) AS band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig_df.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.expr(
+            "explode(array("
+            + ", ".join(
+                f"named_struct('band_i', {b}, 'bh', band_{b})"
+                for b in range(bands)
+            )
+            + "))"
+        ).alias("band"),
+    ).select(id_col, "band.band_i", "band.bh")
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -157,31 +196,7 @@ def lsh_candidate_pairs(
     each bucket only. ``max_bucket`` drops degenerate buckets (boilerplate
     skew guard).
     """
-    rows = num_perms // bands
-    # SQL-text banding (r18): same construction-cost fix as
-    # minhash_signatures — the per-band concat/struct towers are now one
-    # parsed expression each (md5/concat_ws/named_struct are the same
-    # functions the Column builders resolved to; values unchanged).
-    band_cols = [
-        F.expr(
-            "md5(concat_ws('|', "
-            + ", ".join(f"sig_{b * rows + r}" for r in range(rows))
-            + f")) AS band_{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig_df.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.expr(
-            "explode(array("
-            + ", ".join(
-                f"named_struct('band_i', {b}, 'bh', band_{b})"
-                for b in range(bands)
-            )
-            + "))"
-        ).alias("band"),
-    ).select(id_col, "band.band_i", "band.bh")
+    stacked = band_stack(sig_df, id_col, num_perms, bands)
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -513,41 +528,30 @@ def write_dedup_index(
     corpus. Band files partition by ``band_i`` (probes prune to the
     bands they carry); shingle hashes are 64-bit md5 prefixes, so the
     stored relation is ids + fixed-width hashes, never text."""
-    sh = shingles(docs, id_col, text_col, n)
-    sigs = minhash_signatures(sh, id_col, num_perms)
-    rows = num_perms // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    stacked = (
-        sigs.select(F.col(id_col), *band_cols)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band_i"),
-                        F.col(f"band_{b}").alias("bh"),
-                    )
-                    for b in range(bands)
-                ])
-            ).alias("band"),
-        )
-        .select(id_col, "band.band_i", "band.bh")
+    from pyspark.storagelevel import StorageLevel
+
+    # The build is three writes off one shingle relation (bands via the
+    # signatures, the hash store, the sizes): unpersisted, each write
+    # re-ran scan→tokenize→explode→distinct (measured 3× at sf0.1 —
+    # r18). The build is eager (all writes happen inside this call), so
+    # the caches are dropped before returning.
+    sh = shingles(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    sigs = minhash_signatures(sh, id_col, num_perms)
+    stacked = band_stack(sigs, id_col, num_perms, bands)
     stacked.write.mode("overwrite").partitionBy("band_i").parquet(
         f"{path}/bands"
     )
     hashed = sh.select(
         F.col(id_col), F.substring(F.md5(F.col("shingle")), 1, 16).alias("sh64")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     hashed.write.mode("overwrite").parquet(f"{path}/shingles")
     hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz")).write.mode(
         "overwrite"
     ).parquet(f"{path}/sizes")
+    sh.unpersist()
+    hashed.unpersist()
     # Record the build parameters: probing with different shingle/
     # signature parameters never matches the stored bands, so a
     # mismatch must fail loudly, not return an empty result.
@@ -597,28 +601,8 @@ def near_dup_against_index(
         )
     sh_new = shingles(new_docs, id_col, text_col, n)
     sigs = minhash_signatures(sh_new, id_col, num_perms)
-    rows = num_perms // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    new_bands = (
-        sigs.select(F.col(id_col), *band_cols)
-        .select(
-            F.col(id_col).alias("new_id"),
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band_i"),
-                        F.col(f"band_{b}").alias("bh"),
-                    )
-                    for b in range(bands)
-                ])
-            ).alias("band"),
-        )
-        .select("new_id", "band.band_i", "band.bh")
+    new_bands = band_stack(sigs, id_col, num_perms, bands).withColumnRenamed(
+        id_col, "new_id"
     )
     idx_bands = spark.read.parquet(f"{index_path}/bands").select(
         F.col("band_i"), F.col("bh"), F.col(id_col).alias("corpus_id")

@@ -178,7 +178,9 @@ class SqliteNativeDatabase:
             ranges = [(0, 0)]  # WITHOUT ROWID: single full sweep
 
         if not ranges:
-            return self.spark.createDataFrame([], schema)
+            from lotad_spark.sources.memory import bounded_local_df
+
+            return bounded_local_df(self.spark, [], schema)
 
         path, names = self.path, [f.name for f in schema.fields]
         arrow_dtypes = {}
@@ -217,7 +219,10 @@ class SqliteNativeDatabase:
             finally:
                 con.close()
 
-        bounds = self.spark.createDataFrame(
+        from lotad_spark.sources.memory import bounded_local_df
+
+        bounds = bounded_local_df(
+            self.spark,
             ranges, T.StructType([T.StructField("lo", T.LongType()),
                                   T.StructField("hi", T.LongType())])
         ).repartition(len(ranges))

@@ -17,8 +17,16 @@ from pyspark.sql.utils import AnalysisException
 def write_params(
     spark: SparkSession, path: str, schema: str, values: tuple
 ) -> None:
-    """Record build parameters as a one-row parquet at ``path``."""
-    spark.createDataFrame([values], schema).write.mode(
+    """Record build parameters as a one-row parquet at ``path``.
+
+    One-slice relation (r18): ``createDataFrame(list)`` splits even a
+    single row into defaultParallelism Python-RDD partitions, paying
+    one Python-worker roundtrip per partition on evaluation (~4 s per
+    params write at local[32] — the same disease as the index builders'
+    metadata writes, see ``bounded_local_df``)."""
+    from lotad_spark.sources.memory import bounded_local_df
+
+    bounded_local_df(spark, [values], schema).write.mode(
         "overwrite"
     ).parquet(path)
 
