@@ -35,6 +35,16 @@ from lotad_spark.pipeline.text import tokens
 
 END_MARK = "</w>"
 
+# Above this many distinct words, train_bpe keeps the merge loop
+# distributed (the 100 TB shape: web-scale corpora have millions of
+# distinct "words"). At or below it, the (word, freq, syms) histogram is
+# a driver-bounded relation — a few MB — and the loop runs locally:
+# 2 Spark jobs total (histogram scan + bounded collect) instead of 2-3
+# jobs per merge round, each of which costs a full scheduling round trip
+# over a tiny cached relation. Both paths compute the identical merge
+# table (tests/test_bpe.py pins them against each other).
+LOCAL_VOCAB_MAX = 65_536
+
 
 def word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq): whitespace-token counts over the corpus — the one
@@ -100,6 +110,41 @@ def merge_pair(sym_vocab: DataFrame, left: str, right: str) -> DataFrame:
     return sym_vocab.select("word", "freq", folded.alias("syms"))
 
 
+def _train_bpe_local(
+    rows, num_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The merge loop on a collected (word, freq, syms) histogram.
+
+    Exactly the distributed loop's semantics: adjacent-pair counts
+    weighted by word frequency (non-overlapping double counting), argmax
+    with ties broken by (left, right) ascending — Python string order is
+    code-point order, which equals Spark's UTF-8 binary order — and the
+    greedy left-to-right non-overlapping rewrite of ``merge_pair``'s
+    fold. Counts are exact Python ints, as are Spark's bigint sums."""
+    hist = [(r.freq, list(r.syms)) for r in rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for freq, syms in hist:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + freq
+        if not pc:
+            break
+        (left, right), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, left, right, c))
+        for i, (freq, syms) in enumerate(hist):
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            hist[i] = (freq, out)
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     num_merges: int = 10,
@@ -109,6 +154,14 @@ def train_bpe(
     """Learn the first ``num_merges`` BPE merges from the corpus:
     (rank, left, right, pair_count), rank 0 first. Stops early when no
     adjacent pair remains.
+
+    Scale-adaptive: the corpus-scale job is the word histogram; every
+    merge-round statistic lives on the (word, freq, syms) relation.
+    A LIMIT probe (one job, bounded at ``LOCAL_VOCAB_MAX + 1`` rows)
+    checks whether that relation is driver-bounded; if so the loop runs
+    locally on the collected rows (identical merge table — see
+    ``_train_bpe_local``), replacing 2-3 scheduling round trips per
+    round. Larger vocabularies take the distributed loop below.
 
     Folds are pure expressions, so up to ``materialize_every`` merge
     rewrites CHAIN lazily on top of the last persisted vocab before the
@@ -120,6 +173,14 @@ def train_bpe(
     churns per round."""
     spark = df.sparkSession
     base = symbolize(word_histogram(df, text_col)).persist()
+    head = base.limit(LOCAL_VOCAB_MAX + 1).collect()
+    if len(head) <= LOCAL_VOCAB_MAX:
+        base.unpersist()
+        return bounded_local_df(
+            spark,
+            _train_bpe_local(head, num_merges),
+            "rank int, left string, right string, pair_count bigint",
+        )
     vocab = base
     pending = 0  # fold expressions chained since the last materialize
     merges: list[tuple[int, str, str, int]] = []
@@ -137,7 +198,10 @@ def train_bpe(
             merges.append((rank, l, r, int(c)))
             vocab = merge_pair(vocab, l, r)
             pending += 1
-            if pending >= materialize_every:
+            # rank == num_merges - 1: the loop ends and the rewritten
+            # vocab is never read again — materializing it would be one
+            # wasted persist+count job over the chained folds.
+            if pending >= materialize_every and rank < num_merges - 1:
                 nxt = vocab.persist()
                 nxt.count()  # materialize before dropping the parent
                 base.unpersist()
@@ -150,14 +214,17 @@ def train_bpe(
     )
 
 
-def _merged_symbols(merges: list[tuple[str, str]]):
-    """Symbol array of the word in column ``_w`` after applying
-    ``merges`` in rank order — the delimiter-wrapped replace chain
-    shared by :func:`apply_bpe` and :func:`bpe_fertility` (see
-    apply_bpe's docstring for the equivalence argument)."""
+def _merged_symbols(merges: list[tuple[str, str]], word=None):
+    """Symbol array of the word column ``word`` (default: ``_w``) after
+    applying ``merges`` in rank order — the delimiter-wrapped replace
+    chain shared by :func:`apply_bpe` and :func:`bpe_fertility` (see
+    apply_bpe's docstring for the equivalence argument). Accepting a
+    Column lets apply_bpe run the chain inside a higher-order
+    ``transform`` lambda over the word array, with no explode."""
+    w = F.col("_w") if word is None else word
     sep = "\x1f"
     chars = F.transform(
-        F.sequence(F.lit(1), F.length("_w")), lambda i: F.substring("_w", i, 1)
+        F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
     )
     s = F.concat(
         F.lit(sep),
@@ -285,26 +352,27 @@ def apply_bpe(
     The expression tree grows linearly with len(merges); fine for the
     tens of merges this surface targets. A production-size table
     (10k+ merges) belongs in an Arrow-batched pandas UDF with the
-    merge list broadcast — same semantics, flat plan."""
-    syms = _merged_symbols(merges)
-    per_word = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(tokens(F.col(text_col))).alias("_wp", "_w"),
-        )
-        .filter(F.length("_w") > 0)
-        .select(id_col, "_wp", syms.alias("_syms"))
+    merge list broadcast — same semantics, flat plan.
+
+    Shape: the whole tokenization is ONE shuffle-free projection — the
+    merge chain runs inside a higher-order ``transform`` over the word
+    array, so the former posexplode → groupBy(collect_list) →
+    array_sort round trip (a full shuffle of every token, plus a
+    per-doc sort) is gone; word order is preserved by construction.
+    Docs with no non-empty words produced no groups before and are
+    filtered identically here."""
+    words = F.filter(
+        tokens(F.col(text_col)), lambda w: F.length(w) > 0
     )
-    # collect_list keeps no order across the shuffle — aggregate
-    # (position, syms) structs and sort the bounded per-doc array.
-    return per_word.groupBy(id_col).agg(
-        F.sum(F.size("_syms")).cast("bigint").alias("n_tokens"),
-        F.flatten(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("_wp"), F.col("_syms")))
-                ),
-                lambda s: s["_syms"],
-            )
-        ).alias("tokens"),
+    toks = F.flatten(
+        F.transform(words, lambda w: _merged_symbols(merges, w))
+    )
+    return (
+        df.filter(F.size(words) > 0)
+        .select(F.col(id_col), toks.alias("tokens"))
+        .select(
+            id_col,
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+            "tokens",
+        )
     )
