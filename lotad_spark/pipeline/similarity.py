@@ -264,9 +264,16 @@ def assign_to_centroids(
     cent_id_col: str = "cent_id",
     cent_vec_col: str = "cent_vec",
     kernel: str = "expr",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid (max cosine) assignment: corpus columns +
     ``cent_id`` — as a PURE PROJECTION, zero exchange.
+
+    ``score_col`` (expr kernel only) additionally emits the WINNING
+    round-6 cosine — the argmax computes it anyway, so callers that
+    need the similarity to the assigned centroid (prototypicality
+    scoring) read it here instead of joining the centroid relation
+    back and re-folding the identical cosine over the corpus.
 
     The centroid relation is bounded (k rows), so it is collected and
     folded into the row expression as a literal struct array; the
@@ -286,6 +293,11 @@ def assign_to_centroids(
         raise ValueError("assign_to_centroids: empty centroid relation")
 
     if kernel == "arrow":
+        if score_col is not None:
+            raise ValueError(
+                "assign_to_centroids: score_col needs kernel='expr' "
+                "(the arrow argmax does not round-6 the similarity)"
+            )
         # Early, BEFORE building cent_lit: the literal struct array
         # costs k×(dim+2) py4j Column constructions — minutes of
         # driver time at production k, and exactly what the arrow
@@ -355,16 +367,24 @@ def assign_to_centroids(
             f" 0.0D + {dvv_terms})"
         ),
     )
-    assigned = staged.withColumn(
-        cent_id_col,
-        F.expr(
-            f"CAST(-(array_max(transform({cent_sql}, "
-            f"c -> named_struct('sim', round(({guarded_dot})"
-            f" / sqrt(`{tmp}` * c.dcc), 6), "
-            f"'negid', -c.cid))).negid) AS INT)"
-        ),
+    best_sql = (
+        f"array_max(transform({cent_sql}, "
+        f"c -> named_struct('sim', round(({guarded_dot})"
+        f" / sqrt(`{tmp}` * c.dcc), 6), "
+        f"'negid', -c.cid)))"
     )
-    return assigned.drop(tmp)
+    if score_col is None:
+        assigned = staged.withColumn(
+            cent_id_col, F.expr(f"CAST(-(({best_sql}).negid) AS INT)")
+        )
+        return assigned.drop(tmp)
+    btmp = "_assign_best"
+    return (
+        staged.withColumn(btmp, F.expr(best_sql))
+        .withColumn(cent_id_col, F.expr(f"CAST(-(`{btmp}`.negid) AS INT)"))
+        .withColumn(score_col, F.col(btmp)["sim"])
+        .drop(tmp, btmp)
+    )
 
 
 def build_ivf_index(
@@ -941,30 +961,46 @@ def prototypicality_prune(
     rank."""
     from pyspark.sql import Window
 
-    assigned = assign_to_centroids(
-        corpus,
-        centroids,
-        id_col=id_col,
-        vec_col=vec_col,
-        cent_id_col=cent_id_col,
-        cent_vec_col=cent_vec_col,
-        kernel=kernel,
-    )
-    withc = assigned.join(
-        F.broadcast(centroids.select(cent_id_col, cent_vec_col)),
-        cent_id_col,
-    )
-    scored = withc.select(
-        F.col(id_col),
-        F.col(cent_id_col),
-        F.round(
-            cosine(
-                F.col(vec_col).cast("array<double>"),
-                F.col(cent_vec_col).cast("array<double>"),
-            ),
-            6,
-        ).alias("proto"),
-    )
+    if kernel == "expr":
+        # The assignment argmax already computes the round-6 cosine to
+        # the winning centroid (bit-identically to the cosine() fold —
+        # see assign_to_centroids); reading it via score_col removes the
+        # centroid join-back and a second cosine fold over the corpus.
+        scored = assign_to_centroids(
+            corpus,
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            cent_id_col=cent_id_col,
+            cent_vec_col=cent_vec_col,
+            kernel=kernel,
+            score_col="proto",
+        ).select(F.col(id_col), F.col(cent_id_col), F.col("proto"))
+    else:
+        assigned = assign_to_centroids(
+            corpus,
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            cent_id_col=cent_id_col,
+            cent_vec_col=cent_vec_col,
+            kernel=kernel,
+        )
+        withc = assigned.join(
+            F.broadcast(centroids.select(cent_id_col, cent_vec_col)),
+            cent_id_col,
+        )
+        scored = withc.select(
+            F.col(id_col),
+            F.col(cent_id_col),
+            F.round(
+                cosine(
+                    F.col(vec_col).cast("array<double>"),
+                    F.col(cent_vec_col).cast("array<double>"),
+                ),
+                6,
+            ).alias("proto"),
+        )
     micro = int(round(prune_frac * 1_000_000))
     w = Window.partitionBy(cent_id_col).orderBy(
         F.desc("proto"), F.asc(id_col)
