@@ -114,9 +114,30 @@ def get_spark(
     set here is safe to carry over unchanged.
     """
     cores = default_parallelism()
+    # Export the repo root to the WORKER side before the JVM launches:
+    # the pre-importing daemon module below must be importable by the
+    # forked Python daemon, which inherits this process env — a
+    # sys.path fix in the driver script alone never reaches workers.
+    _repo_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _repo_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _repo_root + ((os.pathsep + _pp) if _pp else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cores}]")
+        # Fork Python workers from a daemon that has pandas/pyarrow and
+        # the Arrow-UDF serializer stack ALREADY imported (see
+        # lotad_spark/python_daemon.py): a burst of concurrent Arrow
+        # stages otherwise forks dozens of fresh workers that each pay
+        # the ~0.6 s import storm inside the task critical path —
+        # measured as 10-99 s run-to-run swings on compare_all.
+        .config(
+            "spark.python.daemon.module", "lotad_spark.python_daemon"
+        )
         # Local mode puts every executor thread inside the driver JVM, so
         # the 1g spark.driver.memory default is the binding constraint on
         # a many-core box (observed: GCLocker thrash → job death at ~6M-row
