@@ -1813,7 +1813,13 @@ def q_dsir_weights(spark, sf_dir):
     from lotad_spark.pipeline import dsir_resample, dsir_weights
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    w = dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    # The weight relation feeds the Gumbel top-k AND the output join;
+    # unshared, the whole featurize+score DAG runs twice (the r18-before
+    # plan read 20 scans / 36 exchanges). One narrow row per doc — share
+    # it via the lazy localCheckpoint.
+    w = dsir_weights(docs, docs.filter(F.col("lang") == "en")).localCheckpoint(
+        eager=False
+    )
     sel = (
         dsir_resample(w, 100)
         .select("doc_id")

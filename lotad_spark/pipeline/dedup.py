@@ -536,7 +536,13 @@ def simhash_near_dup_pairs(
     raise ``bands`` with it (and widen the fingerprint) instead."""
     if 32 % bands:
         raise ValueError(f"bands must divide 32, got {bands}")
-    fp = simhash32(df, id_col, text_col)
+    # The fingerprint relation feeds BOTH sides of the band self-join;
+    # unshared, the whole token aggregation (two exchanges over the
+    # doc × token relation) runs twice — and unlike the shingle relation
+    # in near_dup_pairs (where recompute measurably beats persisting the
+    # exploded rows), the materialized form here is 16 bytes/doc, so the
+    # lazy localCheckpoint is strictly cheaper at every scale.
+    fp = simhash32(df, id_col, text_col).localCheckpoint(eager=False)
     width = 32 // bands
     mask = (1 << width) - 1
     slices = F.array(*[

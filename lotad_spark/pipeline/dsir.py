@@ -103,8 +103,21 @@ def bucket_logratios(
     target still get a finite (negative) ratio. Bounded at ``buckets``
     rows — always broadcastable.
     """
-    raw_c = raw_feat.groupBy("bucket").agg(F.sum("tf").alias("_rc"))
-    tgt_c = target_feat.groupBy("bucket").agg(F.sum("tf").alias("_tc"))
+    # Each count relation is bounded at ``buckets`` rows but feeds TWO
+    # consumers (the outer join and its own total); tgt_c unshared
+    # additionally re-featurizes the whole target corpus per consumer.
+    # The lazy localCheckpoint computes each once — ≤4096 tiny rows of
+    # executor-local state.
+    raw_c = (
+        raw_feat.groupBy("bucket")
+        .agg(F.sum("tf").alias("_rc"))
+        .localCheckpoint(eager=False)
+    )
+    tgt_c = (
+        target_feat.groupBy("bucket")
+        .agg(F.sum("tf").alias("_tc"))
+        .localCheckpoint(eager=False)
+    )
     raw_t = raw_c.select(F.sum("_rc").cast("double").alias("_rt"))
     tgt_t = tgt_c.select(F.sum("_tc").cast("double").alias("_tt"))
     lam = float(smoothing)

@@ -4188,10 +4188,19 @@ def image_near_dup_pairs(
             f"'phash', or 'dhash', got {hash_kind!r}"
         )
     slices = _ahash_band_slices(bands, "image_near_dup_pairs")
-    hashed = hashed.filter(F.col("kind") == hash_kind).select(
-        F.col(id_col),
-        F.col(hi_col).alias("ahash_hi"),
-        F.col(lo_col).alias("ahash_lo"),
+    # Two bigints per decodable image, consumed by BOTH sides of the
+    # band self-join: without sharing, the Python image decode stage
+    # runs once per reference (4 MapInPandas nodes in the plan). The
+    # lazy localCheckpoint decodes each payload exactly once and feeds
+    # the 16-byte/image fingerprints to every consumer.
+    hashed = (
+        hashed.filter(F.col("kind") == hash_kind)
+        .select(
+            F.col(id_col),
+            F.col(hi_col).alias("ahash_hi"),
+            F.col(lo_col).alias("ahash_lo"),
+        )
+        .localCheckpoint(eager=False)
     )
     stacked = hashed.select(
         F.col(id_col),
@@ -4461,17 +4470,28 @@ def video_near_dup_pairs(
     ham_prev = F.bit_count(F.col("ahash_hi").bitwiseXOR(phi)) + F.bit_count(
         F.col("ahash_lo").bitwiseXOR(plo)
     )
+    # Scene signatures are two bigints per SCENE, consumed by SIX
+    # branches (scene counts, both sides of the band self-join, both
+    # sides of the verification join): without sharing, the Python
+    # video-decode stage re-runs per branch (48 MapInPandas nodes in
+    # the r18-before plan). The lazy localCheckpoint decodes every
+    # payload exactly once; all downstream work reads the tiny
+    # checkpointed signature relation.
     sig = (
         hashed.withColumn("_hp", ham_prev)
         .filter(F.col("_hp").isNull() | (F.col("_hp") >= cut_hamming))
         .select(id_col, "ahash_hi", "ahash_lo")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_scenes = sig.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     slices = _ahash_band_slices(bands, "video_near_dup_pairs")
     stacked = sig.select(
         F.col(id_col), F.explode(slices).alias("s")
     ).select(id_col, "s.band_i", "s.bv")
+    # Candidates feed the verification join AND the final assembly —
+    # shared the same way (id-pair rows only, bounded by band-collision
+    # volume).
     cands = (
         stacked.select(F.col(id_col).alias("id_a"), "band_i", "bv")
         .join(
@@ -4481,6 +4501,7 @@ def video_near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sig_a = sig.select(
         F.col(id_col).alias("id_a"),
