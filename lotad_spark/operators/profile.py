@@ -125,6 +125,10 @@ def psi_drift(
             .agg(F.count(F.lit(1)).alias(out))
         )
     spine = spark.range(n_bins).withColumnRenamed("id", "bin_id")
+    # ``counts`` (bounded at n_bins rows) feeds BOTH the totals and the
+    # final projection; unshared, each side's full scan + aggregation
+    # runs twice (the r18-before plan read 8 scans / 20 exchanges). The
+    # lazy localCheckpoint computes the histogram once.
     counts = (
         spine.join(binned(df1, "_c1"), "bin_id", "left")
         .join(binned(df2, "_c2"), "bin_id", "left")
@@ -133,6 +137,7 @@ def psi_drift(
             F.coalesce("_c1", F.lit(0)).alias("n_1"),
             F.coalesce("_c2", F.lit(0)).alias("n_2"),
         )
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(
         F.sum("n_1").alias("_t1"), F.sum("n_2").alias("_t2")
@@ -170,12 +175,21 @@ def psi_from_counts(
     (n_bins rows total) broadcasts, and everything here is arithmetic on
     count relations — the raw stream is never touched."""
     gcols = list(group_cols)
-    ref = reference.groupBy(bin_col).agg(
-        F.sum(count_col).alias("_rc")
+    # ``ref`` and ``cur`` are n_bins-sized count relations that each
+    # feed TWO consumers (their own total and the join); the spine below
+    # additionally pays an eager count() before its join use. Lazy
+    # localCheckpoints compute each once instead of re-aggregating the
+    # histogram inputs per consumer.
+    ref = (
+        reference.groupBy(bin_col)
+        .agg(F.sum(count_col).alias("_rc"))
+        .localCheckpoint(eager=False)
     )
     ref_tot = ref.agg(F.sum("_rc").alias("_rt"))
-    cur = current.groupBy(*gcols, bin_col).agg(
-        F.sum(count_col).alias("_cc")
+    cur = (
+        current.groupBy(*gcols, bin_col)
+        .agg(F.sum(count_col).alias("_cc"))
+        .localCheckpoint(eager=False)
     )
     cur_tot = cur.groupBy(*gcols).agg(F.sum("_cc").alias("_ct"))
     # The spine is the UNION of reference and current bin ids: a bin that
@@ -184,7 +198,10 @@ def psi_from_counts(
     # zero reference mass, instead of being silently excluded while its
     # counts inflate _ct.
     spine = (
-        reference.select(bin_col).union(current.select(bin_col)).distinct()
+        reference.select(bin_col)
+        .union(current.select(bin_col))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     spine_n = spine.count()
     joined = (

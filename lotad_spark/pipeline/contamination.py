@@ -68,8 +68,16 @@ def contamination_pairs(
     t_sh = shingles(train, train_id, "text", n).select(
         F.col(train_id).alias("train_id"), "shingle"
     )
-    e_sh = shingles(eval_df, eval_id, "text", n).select(
-        F.col(eval_id).alias("eval_id"), "shingle"
+    # The eval shingle relation feeds THREE consumers on the bloom path
+    # (bitmap build, join side, per-eval sizes) and two on the exact
+    # path; unshared, each consumer re-scans and re-shingles the eval
+    # corpus. The eval side is small BY DESIGN (benchmark suites), so a
+    # lazy localCheckpoint computes it once and every consumer reads the
+    # materialized rows.
+    e_sh = (
+        shingles(eval_df, eval_id, "text", n)
+        .select(F.col(eval_id).alias("eval_id"), "shingle")
+        .localCheckpoint(eager=False)
     )
     if prefilter == "bloom":
         from lotad_spark.pipeline.sketch import (
