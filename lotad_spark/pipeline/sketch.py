@@ -389,15 +389,36 @@ def write_sketch_index(
     plan, and a caller can no longer probe or merge with the wrong
     grid because the grid travels with the data."""
     spark = df.sparkSession
-    cms_build(df, text_col, depth=depth, width=width).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/cms")
-    bloom_build(
-        df, text_col, n_bits=n_bits, n_hashes=n_hashes
-    ).write.mode("overwrite").parquet(f"{path}/bloom")
-    _sketch_meta(
-        spark, depth, width, n_bits, n_hashes, df.count()
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    # The three builds are independent jobs over the same corpus (two
+    # tokenize+aggregate passes and a count) writing to disjoint
+    # subdirectories — submit them concurrently so each job's task tail
+    # back-fills the executors the others leave idle (guide §2.6
+    # overlap-independent-jobs; Spark's FIFO scheduler interleaves them
+    # naturally). Output is byte-identical to the sequential form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_cms() -> None:
+        cms_build(df, text_col, depth=depth, width=width).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/cms")
+
+    def _write_bloom() -> None:
+        bloom_build(
+            df, text_col, n_bits=n_bits, n_hashes=n_hashes
+        ).write.mode("overwrite").parquet(f"{path}/bloom")
+
+    def _write_meta() -> None:
+        _sketch_meta(
+            spark, depth, width, n_bits, n_hashes, df.count()
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(f) for f in (_write_cms, _write_bloom, _write_meta)
+        ]
+        for fut in futures:
+            fut.result()
 
 
 def read_sketch_meta(spark, path: str) -> dict:
