@@ -435,9 +435,21 @@ def quantiles_from_counts(
     from pyspark.sql import Window
 
     bins = spark.range(n_bins).select(F.col("id").alias(bin_col))
+    # The aggregated counts are bounded at groups × n_bins rows but feed
+    # TWO consumers (the group spine and the cumulative join); unshared,
+    # whatever produced ``counts`` (typically a full-scan histogram)
+    # runs once per consumer. The lazy localCheckpoint computes it once;
+    # the spine's distinct group set is derived from the SAME aggregated
+    # relation (identical set by construction — aggregation preserves
+    # the group values).
+    agg_counts = (
+        counts.groupBy(*gcols, bin_col)
+        .agg(F.sum(count_col).cast("bigint").alias("_n"))
+        .localCheckpoint(eager=False)
+    )
     if gcols:
         spine = (
-            counts.select(*[F.col(f"`{c}`") for c in gcols])
+            agg_counts.select(*[F.col(f"`{c}`") for c in gcols])
             .distinct()
             .crossJoin(F.broadcast(bins))
         )
@@ -445,9 +457,7 @@ def quantiles_from_counts(
         spine = bins
     cum = (
         spine.join(
-            counts.groupBy(*gcols, bin_col).agg(
-                F.sum(count_col).cast("bigint").alias("_n")
-            ),
+            agg_counts,
             [*gcols, bin_col],
             "left",
         )
@@ -462,6 +472,9 @@ def quantiles_from_counts(
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
+        # ``cum`` (still groups × n_bins rows) feeds the total AND the
+        # probe join — share it the same way.
+        .localCheckpoint(eager=False)
     )
     total = cum.groupBy(*gcols).agg(F.max("_cum").alias("_total"))
     qdf = bounded_local_df(spark, [(float(q),) for q in qs], "q double")

@@ -10,13 +10,14 @@ commit that touches the entry module:
 
 from __future__ import annotations
 
+import os
 import sys
 import decimal
 import math
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "

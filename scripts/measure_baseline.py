@@ -22,13 +22,14 @@ from __future__ import annotations
 
 import json
 import shutil
+import os
 import sys
 import time
 from pathlib import Path
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lotad_spark.hashing import canonical_value_hash  # noqa: E402
 from lotad_spark.benchmarks.fixtures import (  # noqa: E402
