@@ -1815,7 +1815,7 @@ def q_dsir_weights(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     # The weight relation feeds the Gumbel top-k AND the output join;
     # unshared, the whole featurize+score DAG runs twice (the r18-before
-    # plan read 20 scans / 36 exchanges). One narrow row per doc — share
+    # plan read 4 scans / 25 exchanges). One narrow row per doc — share
     # it via the lazy localCheckpoint.
     w = dsir_weights(docs, docs.filter(F.col("lang") == "en")).localCheckpoint(
         eager=False

@@ -4190,7 +4190,7 @@ def image_near_dup_pairs(
     slices = _ahash_band_slices(bands, "image_near_dup_pairs")
     # Two bigints per decodable image, consumed by BOTH sides of the
     # band self-join: without sharing, the Python image decode stage
-    # runs once per reference (4 MapInPandas nodes in the plan). The
+    # runs once per reference (2 MapInPandas nodes in the plan). The
     # lazy localCheckpoint decodes each payload exactly once and feeds
     # the 16-byte/image fingerprints to every consumer.
     hashed = (
@@ -4473,7 +4473,7 @@ def video_near_dup_pairs(
     # Scene signatures are two bigints per SCENE, consumed by SIX
     # branches (scene counts, both sides of the band self-join, both
     # sides of the verification join): without sharing, the Python
-    # video-decode stage re-runs per branch (48 MapInPandas nodes in
+    # video-decode stage re-runs per branch (24 MapInPandas nodes in
     # the r18-before plan). The lazy localCheckpoint decodes every
     # payload exactly once; all downstream work reads the tiny
     # checkpointed signature relation.
