@@ -59,27 +59,35 @@ def main() -> None:
     def run_query(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    queries: dict[str, float] = {}
+
     # Warm up the JVM, parquet readers, Python worker pool, and codegen so
     # per-query times measure the workload, not session spin-up.
     diff_tables(
         db1.table("region").limit(5), db2.table("region").limit(5),
         db1_id="db1", db2_id="db2",
     ).diff.count()
-    # r18: one UNTIMED full pass over the 8 tables first. The tiny
-    # region warm-up above does not JIT the per-table-width codegen
-    # paths, and the headline block runs FIRST in a fresh JVM — r18
-    # isolated protocol read 8.3-8.7 s (in-band with r17's 8.756)
-    # while the cold-sweep headline read 12.3 s, and the single-pass
-    # ladder showed the decay explicitly (19.2 → 9.7 by rep 3).
-    # Warming all tables makes the headline measure the WORKLOAD, not
-    # first-call compilation, matching the isolated min-of-N protocol
-    # every flag triage already uses.
+    # r18: one full pass over the 8 tables first. The tiny region
+    # warm-up above does not JIT the per-table-width codegen paths, and
+    # the headline block runs FIRST in a fresh JVM — r18 isolated
+    # protocol read 8.3-8.7 s (in-band with r17's 8.756) while the
+    # cold-sweep headline read 12.3 s, and the single-pass ladder showed
+    # the decay explicitly (19.2 → 9.7 by rep 3). Warming all tables
+    # makes the headline measure the WORKLOAD, not first-call
+    # compilation, matching the isolated min-of-N protocol every flag
+    # triage already uses.
+    # r19 (per the r18 verdict): the prelude pass is now TIMED and
+    # reported as ``diff_all_tables_cold_1rep`` — one rep over all 8
+    # tables in a fresh JVM, prelude-free — so rounds keep a
+    # fixed-methodology cold number next to the warmed headline.
+    t0 = time.perf_counter()
     for t in RELATIONAL_TABLES:
         diff_tables(
             db1.table(t), db2.table(t), db1_id="db1", db2_id="db2"
         ).diff.count()
-
-    queries: dict[str, float] = {}
+    queries["diff_all_tables_cold_1rep"] = round(
+        time.perf_counter() - t0, 3
+    )
     drift_counts: dict[str, int] = {}
     # Correctness pins evaluated during the bench run — recorded in the
     # output JSON so a silent regression cannot hide behind a green
@@ -282,9 +290,9 @@ def main() -> None:
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        ivf_topk_indexed(
+        run_query(ivf_topk_indexed(
             spark, idx_dir, emb.filter(F.col("vec_id") < 5), k=5
-        ).write.format("noop").mode("overwrite").save()
+        ))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     queries["ann_ivf_probe_indexed"] = round(best, 3)
@@ -302,9 +310,9 @@ def main() -> None:
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        ivf_pq_topk(
+        run_query(ivf_pq_topk(
             spark, idx_dir, emb.filter(F.col("vec_id") < 5), k=5
-        ).write.format("noop").mode("overwrite").save()
+        ))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     queries["ann_ivfpq_probe"] = round(best, 3)
@@ -322,9 +330,9 @@ def main() -> None:
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        ivf_pq_topk(
+        run_query(ivf_pq_topk(
             spark, idx_dir, emb.filter(F.col("vec_id") < 5), k=5
-        ).write.format("noop").mode("overwrite").save()
+        ))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     queries["ann_ivfpq_residual_probe"] = round(best, 3)
@@ -344,9 +352,9 @@ def main() -> None:
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        ivf_sq8_topk(
+        run_query(ivf_sq8_topk(
             spark, idx_dir, emb.filter(F.col("vec_id") < 5), k=5
-        ).write.format("noop").mode("overwrite").save()
+        ))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     queries["ann_sq8_probe"] = round(best, 3)
@@ -371,9 +379,9 @@ def main() -> None:
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        bm25_against_index(
+        run_query(bm25_against_index(
             spark, idx_dir, bm25_queries, k=5
-        ).write.format("noop").mode("overwrite").save()
+        ))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     queries["bm25_probe"] = round(best, 3)
@@ -439,9 +447,9 @@ def main() -> None:
     sem_corpus = entry_mod._embedding_dup_corpus(spark, sf_dir)
     sem_k = max(8, sem_corpus.count() // 250)
     t0 = time.perf_counter()
-    semantic_dedup_corpus(
+    run_query(semantic_dedup_corpus(
         sem_corpus, n_clusters=sem_k, threshold=0.99, kernel="arrow"
-    ).write.format("noop").mode("overwrite").save()
+    ))
     queries["dedup_semantic_scaled"] = round(time.perf_counter() - t0, 3)
 
     # MinHash at production parameters (K=128 permutations, 16 bands × 8
@@ -451,9 +459,9 @@ def main() -> None:
 
     docs = read_table(spark, f"{sf_dir}/documents.parquet")
     t0 = time.perf_counter()
-    near_dup_pairs(
+    run_query(near_dup_pairs(
         docs, num_perms=128, bands=16, threshold=0.6
-    ).write.format("noop").mode("overwrite").save()
+    ))
     queries["dedup_near_minhash_k128"] = round(time.perf_counter() - t0, 3)
 
     # Long-string edit join: the r14 shuffle-shape fix priced at the
@@ -571,9 +579,16 @@ def main() -> None:
         print(f"BENCH COVERAGE GAP: {unpriced}", file=sys.stderr)
 
     # The driver captures only the last ~2000 chars of output and parses
-    # the FINAL line as JSON, so the full per-query map (78+ rows, far
+    # the FINAL line as JSON, so the full per-query map (200+ rows, far
     # over the window) goes to a file and to an EARLIER stdout line; the
-    # final line is a short headline dict that always fits.
+    # final line is a short headline dict that always fits. r19 (per the
+    # r18 verdict, which lost the driver's per-query regression screen
+    # to the truncation): the final line now carries a COMPACT ``queries``
+    # map — the 8 per-table diff rows + the cold 1-rep headline + the 10
+    # slowest tail rows + the top family subtotals — sized to stay under
+    # ~1500 chars so the driver's per_query/scaling comparisons have
+    # real data again. Additions only: every row the final line carried
+    # before is still present, and BENCH_FULL.json keeps the full map.
     full = {
         "metric": "full_db_drift_diff_wall_sec",
         "value": round(diff_total, 3),
@@ -591,6 +606,28 @@ def main() -> None:
     headline["queries_file"] = "BENCH_FULL.json"
     headline["checks_ok"] = all(checks.values())
     headline["coverage_ok"] = checks["bench_coverage_ok"]
+    compact: dict[str, float] = {
+        f"diff_{t}": queries[f"diff_{t}"] for t in RELATIONAL_TABLES
+    }
+    compact["diff_all_tables_cold_1rep"] = queries[
+        "diff_all_tables_cold_1rep"
+    ]
+    for name, secs in sorted(queries.items(), key=lambda kv: -kv[1])[:10]:
+        compact.setdefault(name, secs)
+    fam_tot: dict[str, float] = {}
+    for name, secs in queries.items():
+        fam = name.split("_", 1)[0]
+        fam_tot[fam] = fam_tot.get(fam, 0.0) + secs
+    fams = sorted(fam_tot.items(), key=lambda kv: -kv[1])[:10]
+    for fam, tot in fams:
+        compact[f"family_{fam}_total"] = round(tot, 3)
+    compact["all_queries_total"] = round(sum(queries.values()), 3)
+    headline["queries"] = compact
+    # Hard size guard: the driver tail-captures ~2000 chars and parses
+    # the final line — shed family subtotals first if we ever approach it.
+    while len(json.dumps(headline)) > 1800 and fams:
+        fam, _ = fams.pop()
+        compact.pop(f"family_{fam}_total", None)
     print(json.dumps(headline))
 
 

@@ -64,7 +64,16 @@ def contamination_pairs(
     exact join — pinned in tests), which is also why this kicks in when
     the eval set outgrows a comfortable broadcast of the full shingle
     strings: the bitmap stays KBs-to-MBs while the string set grows
-    into GBs. Size prefilter_bits ≈ 10× the eval shingle count."""
+    into GBs. Size prefilter_bits ≈ 10× the eval shingle count.
+
+    Size contract: ``eval_df`` must be BOUNDED (a benchmark suite —
+    thousands of items, not a corpus). Its exploded shingle relation is
+    materialized in executor storage via a lazy ``localCheckpoint`` so
+    the three consumers (bitmap build, join side, per-eval sizes) share
+    one computation; an unbounded eval side would turn that into
+    executor memory/disk pressure proportional to n-gram-multiplied
+    eval bytes. ``train`` is the unbounded side and is never
+    materialized."""
     t_sh = shingles(train, train_id, "text", n).select(
         F.col(train_id).alias("train_id"), "shingle"
     )

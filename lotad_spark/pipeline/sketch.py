@@ -396,7 +396,34 @@ def write_sketch_index(
     # back-fills the executors the others leave idle (guide §2.6
     # overlap-independent-jobs; Spark's FIFO scheduler interleaves them
     # naturally). Output is byte-identical to the sequential form.
-    from concurrent.futures import ThreadPoolExecutor
+    # The caller thread's JVM-local scheduler properties (job group /
+    # description / FAIR pool) are captured here and re-applied inside
+    # each worker: pool threads do NOT inherit them, so without this a
+    # caller's cancelJobGroup would never reach the builds. On first
+    # failure the sibling futures are cancelled (best-effort — a job
+    # already submitted to the JVM runs to completion, but queued ones
+    # are dropped) so a failed build surfaces without burning the rest.
+    from concurrent.futures import ThreadPoolExecutor, wait, FIRST_EXCEPTION
+
+    sc = spark.sparkContext
+    caller_props = {
+        k: sc.getLocalProperty(k)
+        for k in (
+            "spark.jobGroup.id",
+            "spark.job.description",
+            "spark.job.interruptOnCancel",
+            "spark.scheduler.pool",
+        )
+    }
+
+    def _with_props(fn):
+        def run() -> None:
+            for k, v in caller_props.items():
+                if v is not None:
+                    sc.setLocalProperty(k, v)
+            fn()
+
+        return run
 
     def _write_cms() -> None:
         cms_build(df, text_col, depth=depth, width=width).write.mode(
@@ -415,10 +442,16 @@ def write_sketch_index(
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         futures = [
-            pool.submit(f) for f in (_write_cms, _write_bloom, _write_meta)
+            pool.submit(_with_props(f))
+            for f in (_write_cms, _write_bloom, _write_meta)
         ]
+        done, not_done = wait(futures, return_when=FIRST_EXCEPTION)
+        if any(f.exception() for f in done):
+            for f in not_done:
+                f.cancel()
         for fut in futures:
-            fut.result()
+            if not fut.cancelled():
+                fut.result()
 
 
 def read_sketch_meta(spark, path: str) -> dict:

@@ -41,7 +41,6 @@ class TestDiffPlans:
         assert "BatchEvalPython" not in plan  # never row-at-a-time
 
 
-
 class TestGroupbyDiffPlans:
     def test_survivor_aggregate_shuffles_hash_only(self, customer):
         """The scale property of the groupby strategy: the aggregation
