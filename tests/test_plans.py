@@ -41,6 +41,50 @@ class TestDiffPlans:
         assert "BatchEvalPython" not in plan  # never row-at-a-time
 
 
+class TestJsonProbeFastPath:
+    """r19: above JSON_PROBE_MIN_BYTES the default path runs a scan-only
+    JSON-presence probe and compiles provably JSON-free inputs to the
+    pure-JVM hash — the ArrowEvalPython node must vanish from the plan
+    while the diff rows stay identical."""
+
+    def test_json_free_input_routes_fast(self, customer, monkeypatch):
+        import lotad_spark.operators.diff as diff_mod
+
+        monkeypatch.setattr(diff_mod, "JSON_PROBE_MIN_BYTES", 0)
+        r = diff_tables(customer, customer.filter("c_custkey != 5"))
+        assert r.hash_path == "fast"
+        assert "EvalPython" not in _plan(r.diff)
+        # identical rows to the unconditional Arrow plan
+        monkeypatch.setattr(diff_mod, "JSON_PROBE_MIN_BYTES", 1 << 60)
+        arrow = diff_tables(customer, customer.filter("c_custkey != 5"))
+        assert arrow.hash_path == "arrow"
+        assert sorted(map(tuple, r.diff.collect())) == sorted(
+            map(tuple, arrow.diff.collect())
+        )
+
+    def test_json_bearing_input_keeps_arrow(self, spark, monkeypatch):
+        import lotad_spark.operators.diff as diff_mod
+
+        monkeypatch.setattr(diff_mod, "JSON_PROBE_MIN_BYTES", 0)
+        d1 = spark.createDataFrame(
+            [(1, '{"a":1,"b":2}'), (2, "plain")], "id bigint, payload string"
+        )
+        d2 = spark.createDataFrame(
+            [(1, '{ "b": 2, "a": 1 }'), (2, "plain")],
+            "id bigint, payload string",
+        )
+        r = diff_tables(d1, d2)
+        assert r.hash_path == "arrow"
+        assert "ArrowEvalPython" in _plan(r.diff)
+        # formatting-only JSON differences still cancel on the probed path
+        assert r.diff.count() == 0
+
+    def test_below_floor_skips_probe(self, customer):
+        # tiny input, default floor: no probe job, unconditional Arrow
+        r = diff_tables(customer, customer)
+        assert r.hash_path == "arrow"
+
+
 class TestGroupbyDiffPlans:
     def test_survivor_aggregate_shuffles_hash_only(self, customer):
         """The scale property of the groupby strategy: the aggregation
