@@ -73,14 +73,18 @@ class DatabaseComparator:
         table_ignore_columns: dict[str, list[str]] | None = None,
         table_queries: dict[str, str] | None = None,
         strategy: str = "auto",
-        # Measured knee on local[32] at sf0.1 (round-6 re-sweep after the
-        # single-exchange diff cut per-table cost ~3×): 3→6.8s, 4→5.5s,
-        # 6→5.1s, 8→5.5s. Past the knee the Py4J gateway + Python GIL
-        # serialize job submission and inflate every table; executor-side
-        # capacity is not the limit. On a real cluster the same driver
-        # bound applies — raise only if job submission (not execution) is
-        # the bottleneck.
-        max_concurrent_tables: int = 6,
+        # Measured knee on local[32] at sf0.1. Round-6 sweep (after the
+        # single-exchange diff): 3→6.8s, 4→5.5s, 6→5.1s, 8→5.5s → 6.
+        # Round-19 re-sweep (after the pre-imported worker daemon and
+        # one-slice relations changed the submission cost): min-of-3 warm,
+        # 2→6.39s, 3→5.08s, 4→4.39s, 6→4.97s, 8→5.61s → 4. Guide §2.6's
+        # "2-3 jobs in flight is plenty" is the right intuition: enough
+        # concurrency to back-fill one table's task tail, not so much
+        # that the Py4J gateway + Python GIL serialize job submission and
+        # inflate every table; executor-side capacity is not the limit.
+        # On a real cluster the same driver bound applies — raise only if
+        # job submission (not execution) is the bottleneck.
+        max_concurrent_tables: int = 4,
     ):
         self.spark = spark
         self.db1 = db1
