@@ -543,18 +543,42 @@ def main() -> None:
     # SHOULD be sized to the state, not inherited from the batch shuffle
     # width: each micro-batch commits every state partition, so 32
     # partitions × 8 batches = 256 commits of mostly-empty stores for a
-    # ~150-key workload — measured 2-3× the whole soak. 8 partitions fits
-    # this state; at production key cardinality raise it with the state
-    # size (commits amortize once partitions hold real state).
+    # ~150-key workload — measured 2-3× the whole soak. At production key
+    # cardinality raise the width with the state size (commits amortize
+    # once partitions hold real state).
+    #
+    # r19 state-store config A/B (min-of-3 per cell, interleaved, fresh
+    # checkpoint per run, identical 7-batch output in every cell):
+    #   windowed:  p8 3.13 / p4 2.60 / p2 2.43 / RocksDB-p8 3.02
+    #   sliding:   p8 3.29 / p4 2.86 / p2 2.65 / RocksDB-p8 3.40
+    #   stateful:  p8 6.84 / p4 7.84 / p2 8.48 / RocksDB-p8 6.18
+    # and noDataMicroBatches=false saved a further ~0.2-0.4 s on the two
+    # JVM window aggs. Cost model: the JVM aggs hold KB-scale state, so
+    # per-partition commit overhead dominates → fewer, larger state
+    # partitions win (guide §2.2 fewer-larger applied to state commits);
+    # the applyInPandasWithState op spends its time in per-partition
+    # Python round trips, so SHRINKING its width serializes Python work
+    # and loses — it keeps 8 (RocksDB and no-data-batch deltas on it are
+    # inside its 6.1-7.8 s run-to-run noise band; the remaining floor is
+    # micro-batch machinery: 7 batches × state commit + Arrow
+    # round-trips, config-insensitive — full table in
+    # OPTIMIZATION_r19.md). No-data micro-batches only advance the
+    # watermark and evict state — in update mode they emit nothing, so
+    # skipping them cannot change soak output (batch count and rows
+    # pinned identical in the A/B).
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    old_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     from lotad_spark.streaming import sliding_window_agg
 
-    for bench_name, op in (
-        ("stream_windowed_agg_soak", windowed_event_agg),
-        ("stream_sliding_agg_soak", sliding_window_agg),
-        ("stream_stateful_soak", key_lifetime_stats),
+    for bench_name, op, state_parts in (
+        ("stream_windowed_agg_soak", windowed_event_agg, 4),
+        ("stream_sliding_agg_soak", sliding_window_agg, 4),
+        ("stream_stateful_soak", key_lifetime_stats, 8),
     ):
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
         ckpt = tempfile.mkdtemp(prefix=f"lotad_bench_ckpt_{bench_name}_")
         stream = (
             spark.readStream.schema(stream_schema)
@@ -581,6 +605,9 @@ def main() -> None:
             )
         shutil.rmtree(ckpt, ignore_errors=True)
     spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", old_nodata
+    )
 
     # Coverage gate: every registry row priced or exempt, recorded as a
     # machine-visible check (a silent pricing gap must fail the sweep,
