@@ -69,8 +69,22 @@ def shingles(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    *,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    ``distinct=False`` skips the dedup exchange and yields the raw
+    (duplicate-bearing, doc-contiguous) shingle stream — correct for any
+    consumer invariant under duplicates. MinHash signatures are the
+    canonical case: ``min((a·h+b) mod M)`` over a multiset equals the
+    min over its set. Catalyst's RemoveRedundantAggregates already
+    elides the distinct below the pure-SQL min tower (verified in
+    plans/r19/minhash_sigs_before.txt — ONE exchange either way), but it
+    cannot see through the opaque Arrow pre-reduction stage used at
+    production K, and the raw stream's doc-contiguity is also what
+    keeps that stage's partial count at ~one row per doc. Jaccard/size
+    consumers need set semantics; they keep the default."""
     # Bind the token array ONCE per row (`transform(array(x), tk -> …)[0]`):
     # referencing the tokenizer expression inside the per-gram lambda would
     # re-split the full text for every gram — O(tokens × length) per doc,
@@ -85,11 +99,10 @@ def shingles(
         F.sequence(F.lit(0), F.size(tk) - n),
         lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
     )).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
-        .select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    ).select(F.col(id_col), F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 MERSENNE31 = 2_147_483_647  # 2^31 − 1, the universal-hash modulus
@@ -110,6 +123,96 @@ def perm_coeffs(num_perms: int) -> list[tuple[int, int]]:
     ]
 
 
+# At or above this K, minhash_signatures pre-reduces the permutation
+# minima in ONE vectorized Arrow stage before the grouping aggregate.
+# Measured at sf0.1 (260k shingle rows, K=128): the K-expression
+# aggregate tower costs ~1.05 s of pure per-row agg-buffer updates (the
+# modulo is free — min(a·h+b) with and without % M timed 1.57 vs
+# 1.55 s), while one numpy (rows × K) matrix + run-boundary
+# minimum.reduceat does the same reduction at memory speed. Below this
+# K the tower is already cheap and the oracle-checked K=8 row keeps its
+# pinned zero-Python plan.
+MINHASH_ARROW_MIN_PERMS = 32
+
+
+def _minhash_partial_sigs_arrow(
+    hashed: DataFrame, id_col: str, num_perms: int
+) -> DataFrame:
+    """Per-batch partial MinHash minima via ``mapInArrow``: one
+    (rows × K) universal-hash matrix + ``minimum.reduceat`` over
+    id-run boundaries per Arrow batch, emitting one partial row per id
+    RUN (the shingle stream is doc-contiguous out of the explode, so
+    runs ≈ docs; the reduction is correct for ANY row order — a doc
+    split across runs or batches just yields more partials for the
+    final SQL min to fold). Arithmetic is bit-identical to the SQL
+    tower: a·h + b < 2^62 fits int64 exactly and numpy's ``%`` matches
+    SQL ``%`` on non-negatives. Rows with NULL id or hash take a
+    per-row pass-through partial (sig_i NULL when h is NULL) — the
+    final SQL min-aggregate then applies exactly SQL's null semantics,
+    so the two paths cannot diverge on nulls either."""
+    import pyarrow as pa
+
+    coeffs = perm_coeffs(num_perms)
+    a_list = [a for a, _ in coeffs]
+    b_list = [b for _, b in coeffs]
+    sig_names = [f"sig_{i}" for i in range(num_perms)]
+    id_type = hashed.schema[id_col].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"`{id_col}` {id_type}"] + [f"{s} bigint" for s in sig_names]
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        A = np.asarray(a_list, dtype=np.int64)
+        B = np.asarray(b_list, dtype=np.int64)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids_col, h_col = b.column(0), b.column(1)
+            if ids_col.null_count == 0 and h_col.null_count == 0:
+                ids = ids_col.to_numpy(zero_copy_only=False)
+                h = h_col.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+                starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+                if len(starts) > b.num_rows // 4:
+                    # scattered input (e.g. a stored hash-partitioned
+                    # shingle relation): group within the batch so the
+                    # partial count stays ≈ distinct ids, not ≈ rows
+                    order = np.argsort(ids, kind="stable")
+                    ids, h = ids[order], h[order]
+                    starts = np.flatnonzero(
+                        np.r_[True, ids[1:] != ids[:-1]]
+                    )
+                v = (h[:, None] * A[None, :] + B[None, :]) % MERSENNE31
+                sig = np.minimum.reduceat(v, starts, axis=0)
+                arrays = [pa.array(ids[starts])] + [
+                    pa.array(sig[:, i]) for i in range(len(a_list))
+                ]
+            else:
+                # null-bearing batch: per-row partials with SQL-shaped
+                # nulls (min ignores them downstream)
+                h = h_col.to_numpy(zero_copy_only=False)  # float + NaN
+                mask = np.isnan(h) if h.dtype.kind == "f" else np.zeros(
+                    len(h), dtype=bool
+                )
+                hi = np.where(mask, 0, h).astype(np.int64)
+                v = (hi[:, None] * A[None, :] + B[None, :]) % MERSENNE31
+                arrays = [ids_col] + [
+                    pa.array(
+                        np.ma.masked_array(v[:, i], mask=mask),
+                        type=pa.int64(),
+                    )
+                    for i in range(len(a_list))
+                ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, [id_col] + sig_names
+            )
+
+    return hashed.mapInArrow(kernel, out_schema)
+
+
 def minhash_signatures(
     shingle_df: DataFrame,
     id_col: str = "doc_id",
@@ -124,7 +227,14 @@ def minhash_signatures(
     aggregate — at production K (128) this removes ~K× of the hash CPU,
     which is the dominant cost of MinHash at corpus scale. The base hash
     is computed in the pre-aggregation projection so codegen evaluates
-    it exactly once per shingle row."""
+    it exactly once per shingle row.
+
+    At K ≥ ``MINHASH_ARROW_MIN_PERMS`` the K minima are pre-reduced in
+    one vectorized Arrow stage (guide §4.2: hand whole batches to
+    native code) and the grouping aggregate folds ~one partial row per
+    doc per batch-run instead of every shingle row — identical values
+    (bit-exact int64 arithmetic, SQL null semantics preserved; pinned
+    in tests/test_dedup.py)."""
     hashed = shingle_df.select(
         F.col(id_col),
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
@@ -137,6 +247,12 @@ def minhash_signatures(
     # single task ran). Each permutation is now one parsed expression;
     # integer literals embed exactly, so the evaluated op sequence
     # (int·long promotion, + int, % int over long) is unchanged.
+    if num_perms >= MINHASH_ARROW_MIN_PERMS:
+        hashed = _minhash_partial_sigs_arrow(hashed, id_col, num_perms)
+        aggs = [
+            F.expr(f"min(sig_{i}) AS sig_{i}") for i in range(num_perms)
+        ]
+        return hashed.groupBy(id_col).agg(*aggs)
     aggs = [
         F.expr(f"min(({a} * `_h` + {b}) % {MERSENNE31}) AS sig_{i}")
         for i, (a, b) in enumerate(perm_coeffs(num_perms))
@@ -279,7 +395,15 @@ def near_dup_pairs(
     sh = shingles(df, id_col, text_col, n)
     if persist_shingles:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures(sh, id_col, num_perms)
+        # the persisted (distinct) relation is already materialized —
+        # reading it back beats re-deriving the raw stream
+        sig_src = sh
+    else:
+        # the signature branch takes the raw doc-contiguous stream (see
+        # shingles(distinct=False)) so the Arrow pre-reduction at
+        # production K sees one run per doc and no distinct exchange
+        sig_src = shingles(df, id_col, text_col, n, distinct=False)
+    sigs = minhash_signatures(sig_src, id_col, num_perms)
     cands = lsh_candidate_pairs(sigs, id_col, num_perms, bands, max_bucket)
     jac = ngram_jaccard(cands, sh, id_col)
     return jac.filter(F.col("jaccard") >= threshold)
@@ -666,7 +790,14 @@ def near_dup_against_index(
             "silently match nothing"
         )
     sh_new = shingles(new_docs, id_col, text_col, n)
-    sigs = minhash_signatures(sh_new, id_col, num_perms)
+    # signature branch off the raw stream (min is duplicate-invariant;
+    # see shingles(distinct=False)) — sh_new keeps set semantics for
+    # the exact intersection and sizes below
+    sigs = minhash_signatures(
+        shingles(new_docs, id_col, text_col, n, distinct=False),
+        id_col,
+        num_perms,
+    )
     new_bands = band_stack(sigs, id_col, num_perms, bands).withColumnRenamed(
         id_col, "new_id"
     )

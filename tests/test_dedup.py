@@ -168,3 +168,60 @@ class TestEditDistanceSearch:
             .toString()
         )
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestMinhashArrowKernel:
+    """r19: at K >= MINHASH_ARROW_MIN_PERMS the permutation minima
+    pre-reduce in one vectorized Arrow stage. The two paths must be
+    value-identical (bit-exact int64 arithmetic, SQL null semantics)
+    and the production-K plan must show the Arrow stage replacing the
+    shingle-row-wide aggregate input."""
+
+    def _sigs(self, docs, k):
+        import lotad_spark.pipeline.dedup as dd
+
+        return dd.minhash_signatures(
+            dd.shingles(docs, distinct=False), num_perms=k
+        )
+
+    def test_arrow_matches_sql_tower(self, spark, monkeypatch):
+        import lotad_spark.pipeline.dedup as dd
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i % 7} x{i % 3} common words here {i}") for i in range(40)]
+            + [(100, None), (None, "aa bb cc dd ee")],
+            "doc_id bigint, text string",
+        )
+        def key(rows):  # None-safe sort key across the null-id group
+            return sorted(
+                (tuple((v is None, v) for v in r) for r in rows)
+            )
+
+        arrow = self._sigs(docs, 64).collect()
+        monkeypatch.setattr(dd, "MINHASH_ARROW_MIN_PERMS", 10**9)
+        sql = self._sigs(docs, 64).collect()
+        assert key(arrow) == key(sql)
+
+    def test_production_k_plan_has_arrow_stage(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "aa bb cc dd")], "doc_id bigint, text string"
+        )
+        plan = (
+            self._sigs(docs, 128)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+
+    def test_oracle_k_stays_pure_jvm(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "aa bb cc dd")], "doc_id bigint, text string"
+        )
+        plan = (
+            self._sigs(docs, 8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "MapInArrow" not in plan and "EvalPython" not in plan
