@@ -54,6 +54,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return ParquetDatabase(spark, sf_dir, "db").table(name)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelism floor for HEAVY per-row Python encode/decode stages.
+
+    The sf-dir relations are single parquet files written as ONE row
+    group, so their scans are one unsplittable task (maxPartitionBytes
+    cannot split inside a row group) and every pure-Python payload
+    builder/decoder downstream of them ran SERIALLY -- measured at
+    sf0.1: the webp fixture encode+decode is ~3.5 s of single-core
+    Python, which was the whole multimodal_webp_luma_hist row (guide
+    S2.5: one huge unsplittable file -> repartition immediately after
+    the read). A round-robin repartition to the session parallelism
+    costs one tiny shuffle of (id, text) rows and unlocks every core.
+
+    Applied ONLY where the per-row Python work dominates that shuffle
+    plus the 32-task Arrow stage setup: the A/B over all 21 media
+    builders showed webp -51%, pdf -33%, jpeg -34% but a systematic
+    0.1-0.7 s LOSS on every cheap builder (png/gif/tiff/office/audio/
+    avi), so those keep the unspread scan. Scale-adaptive: when the
+    scan already splits (production multi-file/multi-row-group
+    inputs), this is a no-op -- the floor only lifts starved scans.
+    Values are per-row, so placement cannot change any result (and
+    Spark's round-robin repartition sorts within partitions first, so
+    row->partition assignment is deterministic under task retries)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
+
 # ---------------------------------------------------------------------------
 # Deterministic mutations (shared shape between Spark queries and oracle SQL)
 # ---------------------------------------------------------------------------
@@ -3205,7 +3236,7 @@ def _doc_jpeg_media(spark, sf_dir):
                 ["doc_id", "content"]
             ].rename(columns={"doc_id": "media_id"})
 
-    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+    return _spread(docs).mapInPandas(build, schema="media_id bigint, content binary")
 
 
 def q_multimodal_jpeg_luma_hist(spark, sf_dir):
@@ -3361,7 +3392,7 @@ def _doc_progressive_jpeg_media(spark, sf_dir):
                 ["doc_id", "content"]
             ].rename(columns={"doc_id": "media_id"})
 
-    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+    return _spread(docs).mapInPandas(build, schema="media_id bigint, content binary")
 
 
 def q_multimodal_jpeg_progressive_hist(spark, sf_dir):
@@ -6324,7 +6355,7 @@ def _doc_webp_media(spark, sf_dir):
                 ["doc_id", "content"]
             ].rename(columns={"doc_id": "media_id"})
 
-    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+    return _spread(docs).mapInPandas(build, schema="media_id bigint, content binary")
 
 
 def q_multimodal_webp_luma_hist(spark, sf_dir):
@@ -7461,7 +7492,7 @@ def _doc_pdf_media(spark, sf_dir):
                 ["doc_id", "content"]
             ].rename(columns={"doc_id": "media_id"})
 
-    return docs.mapInPandas(build, schema="media_id bigint, content binary")
+    return _spread(docs).mapInPandas(build, schema="media_id bigint, content binary")
 
 
 def q_pdf_extract(spark, sf_dir):

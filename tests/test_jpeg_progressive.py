@@ -400,17 +400,23 @@ class TestProgressiveDecode:
         sys.path.insert(0, "/root/repo")
         import __spark_entry__ as entry_mod
 
-        rows = (
-            entry_mod._doc_progressive_jpeg_media(spark, sf_dir)
-            .limit(24)
-            .collect()
-        )
         docs = {
             r.doc_id: r.text
             for r in entry_mod._t(spark, sf_dir, "documents")
             .limit(200)
             .collect()
         }
+        # Filter to the sampled docs BEFORE limiting: the builder's
+        # output order is partition-dependent (the _spread parallelism
+        # floor repartitions), so a bare limit(24) may miss the sample.
+        rows = (
+            entry_mod._doc_progressive_jpeg_media(spark, sf_dir)
+            .where(
+                entry_mod.F.col("media_id").isin([int(k) for k in docs])
+            )
+            .limit(24)
+            .collect()
+        )
         checked = 0
         for r in rows:
             did = int(r.media_id)
