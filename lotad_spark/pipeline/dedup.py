@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from lotad_spark.pipeline.text import tokens
+from lotad_spark.pipeline._share import share_corpus
 
 DEFAULT_PERMS = 8
 DEFAULT_BANDS = 4  # 4 bands × 2 rows = 8 perms
@@ -664,9 +665,10 @@ def simhash_near_dup_pairs(
     # unshared, the whole token aggregation (two exchanges over the
     # doc × token relation) runs twice — and unlike the shingle relation
     # in near_dup_pairs (where recompute measurably beats persisting the
-    # exploded rows), the materialized form here is 16 bytes/doc, so the
-    # lazy localCheckpoint is strictly cheaper at every scale.
-    fp = simhash32(df, id_col, text_col).localCheckpoint(eager=False)
+    # exploded rows), the materialized form here is 16 bytes/doc, so
+    # sharing it once (share_corpus; SCALING.md storage policy) is
+    # strictly cheaper at every scale.
+    fp = share_corpus(simhash32(df, id_col, text_col))
     width = 32 // bands
     mask = (1 << width) - 1
     slices = F.array(*[

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lotad_spark.pipeline.text import tokens
+from lotad_spark.pipeline._share import share_corpus
 
 DEFAULT_BUCKETS = 4096
 DEFAULT_SMOOTHING = 0.5
@@ -157,9 +158,9 @@ def dsir_weights(
     The raw feature relation feeds two consumers (the raw bucket model
     and the scoring join); without sharing, Spark would featurize the
     full corpus twice — the dominant stage, so 2x the whole job at
-    100 TB. ``share_features`` (default) lazily local-checkpoints the
-    *reduced* (id, bucket, tf) relation: the ratio-broadcast job
-    materializes it once and the scoring join reuses the checkpointed
+    100 TB. ``share_features`` (default) shares the *reduced*
+    (id, bucket, tf) relation once (share_corpus): the ratio-broadcast
+    job materializes it and the scoring join reuses the materialized
     partitions. Values are identical either way (the relation is
     deterministic); disable only when executor-local storage is the
     constraint.
@@ -168,7 +169,7 @@ def dsir_weights(
         raw, id_col=id_col, text_col=text_col, buckets=buckets
     )
     if share_features:
-        raw_feat = raw_feat.localCheckpoint(eager=False)
+        raw_feat = share_corpus(raw_feat)
     tgt_feat = ngram_features(
         target, id_col=id_col, text_col=text_col, buckets=buckets
     )

@@ -38,6 +38,7 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
+from lotad_spark.pipeline._share import share_corpus
 from pyspark.sql import functions as F
 
 try:  # real decoder if available; this container has none
@@ -4190,8 +4191,8 @@ def image_near_dup_pairs(
     slices = _ahash_band_slices(bands, "image_near_dup_pairs")
     # Two bigints per decodable image, consumed by BOTH sides of the
     # band self-join: without sharing, the Python image decode stage
-    # runs once per reference (2 MapInPandas nodes in the plan). The
-    # lazy localCheckpoint decodes each payload exactly once and feeds
+    # runs once per reference (2 MapInPandas nodes in the plan).
+    # Shared once (share_corpus) so each payload decodes once, feeding
     # the 16-byte/image fingerprints to every consumer.
     hashed = (
         hashed.filter(F.col("kind") == hash_kind)
@@ -4200,8 +4201,8 @@ def image_near_dup_pairs(
             F.col(hi_col).alias("ahash_hi"),
             F.col(lo_col).alias("ahash_lo"),
         )
-        .localCheckpoint(eager=False)
     )
+    hashed = share_corpus(hashed)
     stacked = hashed.select(
         F.col(id_col),
         F.col("ahash_hi"),
@@ -4474,15 +4475,14 @@ def video_near_dup_pairs(
     # branches (scene counts, both sides of the band self-join, both
     # sides of the verification join): without sharing, the Python
     # video-decode stage re-runs per branch (24 MapInPandas nodes in
-    # the r18-before plan). The lazy localCheckpoint decodes every
-    # payload exactly once; all downstream work reads the tiny
-    # checkpointed signature relation.
-    sig = (
+    # the r18-before plan). Shared once (share_corpus): every payload
+    # decodes exactly once; all downstream work reads the tiny
+    # materialized signature relation.
+    sig = share_corpus(
         hashed.withColumn("_hp", ham_prev)
         .filter(F.col("_hp").isNull() | (F.col("_hp") >= cut_hamming))
         .select(id_col, "ahash_hi", "ahash_lo")
         .distinct()
-        .localCheckpoint(eager=False)
     )
     n_scenes = sig.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     slices = _ahash_band_slices(bands, "video_near_dup_pairs")
@@ -4501,8 +4501,8 @@ def video_near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    cands = share_corpus(cands)
     sig_a = sig.select(
         F.col(id_col).alias("id_a"),
         F.col("ahash_hi").alias("_hia"),

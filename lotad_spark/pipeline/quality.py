@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lotad_spark.pipeline.dsir import DEFAULT_BUCKETS, ngram_features
+from lotad_spark.pipeline._share import share_corpus
 from lotad_spark.sources.memory import bounded_local_df
 
 DEFAULT_ITERS = 30
@@ -172,7 +173,7 @@ def train_quality_classifier_distributed(
     float-sum ordering (last-ulp; pinned within tolerance against the
     driver trainer in tests) — use :func:`train_quality_classifier` /
     ``_sampled`` when bit-reproducibility matters (the oracle path).
-    The reduced feature relation is lazily localCheckpointed ONCE and
+    The reduced feature relation is shared ONCE (share_corpus) and
     reused across all iterations — text is featurized a single time.
     """
     spark = df.sparkSession
@@ -191,8 +192,8 @@ def train_quality_classifier_distributed(
             F.col("tf").cast("double")
             / F.sum("tf").over(Window.partitionBy(id_col)),
         )
-        .localCheckpoint(eager=False)
     )
+    feats = share_corpus(feats)
     # Count the FULL labeled set (not distinct feature ids): gram-less
     # docs divide into the gradient exactly as in the driver trainer.
     n_docs = labeled.count()

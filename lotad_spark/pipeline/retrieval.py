@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lotad_spark.pipeline.text import tokens
+from lotad_spark.pipeline._share import share_corpus
 from lotad_spark.sources.memory import bounded_local_df
 
 DEFAULT_K1 = 1.2
@@ -175,14 +176,12 @@ def bm25_topk(
 
     The postings relation feeds FOUR consumers (match, df, dl, total
     tokens); Catalyst does not share common subplans, so without a
-    checkpoint the corpus would tokenize four times. A lazy
-    localCheckpoint (the dsir/dedup pattern) materializes the reduced
-    (doc, term, tf) relation once — document text is read exactly once.
+    share point the corpus would tokenize four times. share_corpus
+    (the dsir/dedup pattern; SCALING.md storage policy) materializes
+    the reduced (doc, term, tf) relation once — document text is read exactly once.
     The true serving path at 100 TB is :func:`write_bm25_index` +
     :func:`bm25_against_index`, which persists that relation instead."""
-    postings = _postings(docs, id_col, text_col).localCheckpoint(
-        eager=False
-    )
+    postings = share_corpus(_postings(docs, id_col, text_col))
     dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     df_rel = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
@@ -210,9 +209,7 @@ def _index_postings(
     """(postings-with-dl, meta) for one document batch — shared by the
     index build and the incremental append so both write the identical
     layout."""
-    postings = _postings(docs, id_col, text_col).localCheckpoint(
-        eager=False
-    )
+    postings = share_corpus(_postings(docs, id_col, text_col))
     dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stored = postings.join(dl, id_col).withColumn(
         "term_bucket", _term_bucket(F.col("term"))
@@ -399,11 +396,10 @@ def bm25_against_index(
     probed_buckets = sorted(
         {_term_bucket_py(r["term"]) for r in qterms.collect()}
     )
-    tpost = (
+    tpost = share_corpus(
         postings.filter(F.col("term_bucket").isin(probed_buckets))
         .drop("term_bucket")
         .join(F.broadcast(qterms), "term")
-        .localCheckpoint(eager=False)
     )
     df_rel = tpost.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")

@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lotad_spark.sources.memory import bounded_local_df
+from lotad_spark.pipeline._share import share_corpus
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -828,7 +829,7 @@ def semantic_dedup(
     duplicate-insensitive.
     """
     spark = corpus.sparkSession
-    # localCheckpoint: `assigned` is consumed THREE times (both sides of
+    # share_corpus: `assigned` is consumed THREE times (both sides of
     # the blocked self-join + the final left join back) and Catalyst
     # shares no common subplans, so without it the assignment kernel —
     # the documented cost driver — ran 3× per job (r11 review finding;
@@ -841,7 +842,8 @@ def semantic_dedup(
         cent_id_col=cent_id_col,
         cent_vec_col=cent_vec_col,
         kernel=kernel,
-    ).localCheckpoint(eager=False)
+    )
+    assigned = share_corpus(assigned)
     B = max(1, int(pair_blocks))
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
     # Per-member self-dot computed ONCE before the pairwise join (r18):

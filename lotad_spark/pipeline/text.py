@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lotad_spark.sources.memory import bounded_local_df
+from lotad_spark.pipeline._share import share_corpus
 from pyspark.sql.window import Window
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
@@ -976,10 +977,10 @@ def bigram_logprob(
             F.element_at(toks, 1).alias("_w1first"),
         )
         .filter(F.col("_n") >= 1)
-        # three consumers (pairs, unigram counts, first-token rows):
-        # checkpoint the tokenized relation so raw text scans ONCE
-        .localCheckpoint(eager=False)
     )
+    # three consumers (pairs, unigram counts, first-token rows):
+    # share the tokenized relation so raw text scans ONCE
+    base = share_corpus(base)
     pairs = base.select(
         id_col,
         F.explode(
@@ -991,16 +992,14 @@ def bigram_logprob(
     ).select(
         id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
     )
-    doc_pairs = (
+    doc_pairs = share_corpus(
         pairs.groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
     )
-    uni = (
+    uni = share_corpus(
         base.select(id_col, F.explode("_w").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
     )
     total = uni.select(F.sum("c").cast("double").alias("_t"))
     big = doc_pairs.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
